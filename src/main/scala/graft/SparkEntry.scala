@@ -1,13 +1,358 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.conditions._
+import graft.cursor.{Cursor, CursorMode}
+import graft.format.{FieldMap, FormatterRegistry, Formatters}
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Oracle-robustness conventions (SURVEY.md §6):
+  *  - double sums go through DECIMAL(18,4) element casts → exact,
+  *    order-independent, engine-independent sums;
+  *  - averages = exact decimal sum cast to double / count, rounded;
+  *  - timestamps in outputs are cast to DATE, epoch millis, or a plain
+  *    string cast — never raw sub-second timestamps;
+  *  - every query's output is a deterministic row set (unique tiebreaks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val dec = DecimalType(18, 4)
+  private def decSum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core ETL semantics (reference surface) ---
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_discount").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q2_filter_eq" -> ((s, dir) => {
+      val where = Seq(Condition("o_orderstatus", Op.Eq, "F"))
+      Tables(s, dir, "orders")
+        .where(Conditions.all(where))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+    }),
+
+    "q3_filter_range" -> ((s, dir) => {
+      // cursor-window semantics: created_at ∈ [start, end]
+      val cur = Cursor(CursorMode.CreatedAt,
+        start = Some("1996-01-01 00:00:00"), end = Some("1997-06-30 23:59:59"))
+      Tables(s, dir, "orders")
+        .where(cur.slice(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+    }),
+
+    "q4_filter_in" -> ((s, dir) => {
+      val where = Seq(Condition("c_mktsegment", Op.In, Seq("BUILDING", "AUTOMOBILE")))
+      Tables(s, dir, "customer")
+        .where(Conditions.all(where))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    }),
+
+    "q5_filter_contains" -> ((s, dir) => {
+      // search_binding semantics: (name ⊃ widget OR name ⊃ bolt) AND type ⊃ ECONOMY
+      val schema = FilterSchema(Seq(
+        FieldSpec("p_name", Set(Op.Contains),
+          searchBinding = Some(SearchBinding("keywords", BoolJoin.Or, BoolJoin.Or))),
+        FieldSpec("p_type", Set(Op.Contains),
+          searchBinding = Some(SearchBinding("keywords", BoolJoin.And, BoolJoin.Or)))))
+      val conds = Seq(
+        Condition("p_name", Op.Contains, Seq("widget", "bolt")),
+        Condition("p_type", Op.Contains, "ECONOMY"))
+      Tables(s, dir, "part")
+        .where(schema.compileSearch(conds))
+        .select("p_partkey", "p_name", "p_type", "p_size")
+    }),
+
+    "q6_having" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(decSum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+        .where(Conditions.all(Seq(Condition("total_spent", Op.Gt, 300000))))
+    }),
+
+    "q7_cursor_advance" -> ((s, dir) => {
+      val cur = Cursor(CursorMode.UpdatedAt, start = Some("1997-01-01 00:00:00"))
+      Tables(s, dir, "orders")
+        .where(cur.slice(col("o_orderdate")))
+        .agg(max(col("o_orderdate")).cast("string").as("cursor_end"),
+          count(lit(1)).as("n_in_slice"))
+    }),
+
+    "q8_mapping_formatter" -> ((s, dir) => {
+      FormatterRegistry.register("customer_std", Seq(
+        FieldMap("c_custkey", "id"), FieldMap("c_name", "name"),
+        FieldMap("c_mktsegment", "segment"), FieldMap("c_acctbal", "balance")))
+      FormatterRegistry.get("customer_std").get(Tables(s, dir, "customer"))
+    }),
+
+    "q9_unified" -> ((s, dir) => {
+      // native → unified normalization: build the nested struct, then
+      // project fields back out (flat output for the oracle compare)
+      val unified = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(struct(
+          concat(lit("order-"), col("o_orderkey")).as("key"),
+          lit("warehouse_orders").as("origin"),
+          col("c_name").as("owner"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").cast("date").as("created_at"),
+          col("o_totalprice").as("amount")).as("u"))
+      unified.select(
+        col("u.key").as("key"), col("u.origin").as("origin"),
+        col("u.owner").as("owner"), col("u.status").as("status"),
+        col("u.created_at").as("created_at"), col("u.amount").as("amount"))
+    }),
+
+    "q10_push_events" -> ((s, dir) => {
+      Pipeline.pushEvents(
+        events = Tables(s, dir, "events"),
+        eventResourceIdCol = "user_id",
+        resources = broadcast(Tables(s, dir, "customer")),
+        resourceIdCol = "c_custkey",
+        having = Seq(Condition("c_acctbal", Op.Gt, 0)),
+        format = Formatters.columns(
+          "event_id" -> col("event_id"), "user_id" -> col("user_id"),
+          "resource_name" -> col("c_name"), "acctbal" -> col("c_acctbal"),
+          "event_type" -> col("event_type")))
+    }),
+
+    "q11_push_result" -> ((s, dir) => {
+      Pipeline.pushEventsResult(
+        events = Tables(s, dir, "events"),
+        eventResourceIdCol = "user_id",
+        resources = broadcast(Tables(s, dir, "customer")),
+        resourceIdCol = "c_custkey",
+        having = Seq(Condition("c_acctbal", Op.Gt, 0)))
+    }),
+
+    "q12_event_latest" -> ((s, dir) => {
+      // upserted → latest-state resolution
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    "q13_star_join" -> ((s, dir) => {
+      val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
+      val nation   = broadcast(Tables(s, dir, "nation"))
+      val customer = Tables(s, dir, "customer")
+      val orders   = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val lineitem = Tables(s, dir, "lineitem")
+      region
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .join(customer, col("c_nationkey") === col("n_nationkey"))
+        .join(orders, col("o_custkey") === col("c_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q14_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_total"))
+    }),
+
+    "q15_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+          col("o_totalprice"), col("rk"))
+    }),
+
+    "q16_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-min gap), batch twin of the
+      // flatMapGroupsWithState streaming version
+      // ts is long nanos (nanosAsLong): exact integer ordering + arithmetic
+      val byTime  = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(byTime))
+        .withColumn("new_sess",
+          when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(running))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ms")).as("session_start_ms"), max(col("ms")).as("session_end_ms"))
+    }),
+
+    "q17_asof_join" -> ((s, dir) => {
+      // as-of join via the union+last-non-null trick: one sort-merge pass,
+      // no per-row lookups, scales as a single window over (key, time)
+      val ev = Tables(s, dir, "events").select(
+        col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+        lit(null).cast("long").as("okey"), lit(1).as("is_event"))
+      val ord = Tables(s, dir, "orders").select(
+        col("o_custkey").as("k"), (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("okey"), lit(0).as("is_event"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("t"), col("is_event"), coalesce(col("okey"), lit(-1L)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(ord)
+        .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+        .where(col("is_event") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+    }),
+
+    "q18_pull_pipeline" -> ((s, dir) => {
+      Pipeline.pull(
+        source = Tables(s, dir, "orders"),
+        cursorCol = "o_orderdate",
+        cursor = Cursor(CursorMode.CreatedAt, start = Some("1996-01-01 00:00:00")),
+        where = Seq(Condition("o_orderstatus", Op.Eq, "O")),
+        having = Seq(Condition("o_totalprice", Op.Gt, 50000)),
+        format = Formatters.columns(
+          "id" -> col("o_orderkey"), "status" -> col("o_orderstatus"),
+          "total" -> col("o_totalprice"),
+          "order_date" -> col("o_orderdate").cast("date")))
+    })
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*), 6) AS avg_qty,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/count(*), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q2_filter_eq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+         FROM orders WHERE o_orderstatus = 'F'""",
+    "q3_filter_range" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_orderdate
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""",
+    "q4_filter_in" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+         FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')""",
+    "q5_filter_contains" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+         WHERE (p_name LIKE '%widget%' OR p_name LIKE '%bolt%') AND p_type LIKE '%ECONOMY%'""",
+    "q6_having" ->
+      """SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 300000""",
+    "q7_cursor_advance" ->
+      """SELECT CAST(max(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+    "q8_mapping_formatter" ->
+      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment, c_acctbal AS balance
+         FROM customer""",
+    "q9_unified" ->
+      """SELECT 'order-' || o_orderkey AS key, 'warehouse_orders' AS origin,
+         c_name AS owner, o_orderstatus AS status,
+         CAST(o_orderdate AS DATE) AS created_at, o_totalprice AS amount
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q10_push_events" ->
+      """SELECT event_id, user_id, c_name AS resource_name, c_acctbal AS acctbal, event_type
+         FROM events JOIN customer ON user_id = c_custkey WHERE c_acctbal > 0""",
+    "q11_push_result" ->
+      """SELECT count(*) AS total_events,
+         count(CASE WHEN c.c_custkey IS NOT NULL THEN 1 END) AS total_resources_fetched,
+         count(CASE WHEN c.c_custkey IS NOT NULL AND c.c_acctbal > 0 THEN 1 END) AS total_resources_pushed,
+         count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS skipped_missing,
+         count(CASE WHEN c.c_custkey IS NOT NULL AND NOT (c.c_acctbal > 0) THEN 1 END) AS skipped_having
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+    "q12_event_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+    "q13_star_join" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name""",
+    "q14_window" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders""",
+    "q15_topk" ->
+      """SELECT segment, o_orderkey, o_totalprice, rk FROM (
+         SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3""",
+    "q16_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
+         g AS (
+           SELECT user_id, event_id, ts, ms,
+             CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+           min(ms) AS session_start_ms, max(ms) AS session_end_ms
+         FROM s GROUP BY user_id, session_id""",
+    "q17_asof_join" ->
+      """WITH u AS (
+           SELECT user_id AS k, epoch_ns(ts) AS t, event_id, CAST(NULL AS BIGINT) AS okey, 1 AS is_event FROM events
+           UNION ALL
+           SELECT o_custkey, epoch_ns(o_orderdate), CAST(NULL AS BIGINT), o_orderkey, 0 FROM orders),
+         w AS (
+           SELECT k, t, event_id, is_event,
+             last_value(okey IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, is_event, coalesce(okey, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+           FROM u)
+         SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE is_event = 1""",
+    "q18_pull_pipeline" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderstatus = 'O' AND o_totalprice > 50000"""
+  )
 }

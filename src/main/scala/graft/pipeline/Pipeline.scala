@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.conditions.{Condition, Conditions}
+import graft.cursor.Cursor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Result counters of a push run (reference: core/types.py:74-80
+  * `PushResult`). Computed in ONE distributed pass as conditional
+  * aggregates — the reference counts per-row in a Python loop
+  * (core/pipeline.py:114-199); at scale that loop becomes a single
+  * partial-aggregated `agg` over the joined plan. */
+final case class PushResult(
+    totalEvents: Long,
+    totalResourcesFetched: Long,
+    totalResourcesPushed: Long,
+    skippedMissing: Long,
+    skippedHaving: Long)
+
+/** Batch pipelines re-expressing the reference's pull/push semantics
+  * (reference: core/pipeline.py:18-211) as declarative Spark plans.
+  *
+  * The reference iterates cursor batches in a driver loop because its
+  * sources are paginated HTTP APIs. On a data lake the whole incremental
+  * slice is one declarative plan: cursor range + WHERE compile to pushed
+  * scan filters, HAVING stays a post-filter, the formatter is a narrow
+  * projection. No driver-side batching — Spark partitions the scan.
+  */
+object Pipeline {
+
+  /** Incremental pull: source → cursor slice → WHERE → HAVING → format.
+    *
+    * WHERE vs HAVING placement mirrors the reference (WHERE pushed to the
+    * origin read, HAVING applied after, core/pipeline.py:42-58): `where` is
+    * applied directly on the scan (pushdown-eligible), `having` after the
+    * formatter-input rows are materialized in the plan.
+    */
+  def pull(
+      source: DataFrame,
+      cursorCol: String,
+      cursor: Cursor,
+      where: Seq[Condition] = Nil,
+      having: Seq[Condition] = Nil,
+      format: DataFrame => DataFrame = identity): DataFrame = {
+    val sliced   = source.where(cursor.slice(col(cursorCol)))
+    val filtered = sliced.where(Conditions.all(where))
+    val posted   = filtered.where(Conditions.all(having))
+    format(posted)
+  }
+
+  /** Pull + cursor advance (reference returns `Cursor(start, end=last)`,
+    * core/pipeline.py:77). `advance` is a single max/min agg action. */
+  def pullWithCursor(
+      source: DataFrame,
+      cursorCol: String,
+      cursor: Cursor,
+      where: Seq[Condition] = Nil,
+      having: Seq[Condition] = Nil,
+      format: DataFrame => DataFrame = identity): (DataFrame, Cursor) = {
+    val out = pull(source, cursorCol, cursor, where, having, format)
+    // advance from the pre-format slice (the formatter may drop the column)
+    val slice = source.where(cursor.slice(col(cursorCol)))
+      .where(Conditions.all(where))
+    (out, cursor.advance(slice, col(cursorCol)))
+  }
+
+  /** EVENTS-mode push (reference: core/pipeline.py:121-178): events carry a
+    * resource id; fetch the native resources (here: an equi-join), skip
+    * events whose resource is missing, apply HAVING on the joined resource,
+    * format, and hand back the rows to write.
+    *
+    * Scale: the join shuffles on the resource id unless `resources` is
+    * broadcast-sized — callers pass `broadcast(resources)` for dimension
+    * tables. `fetch_resources_by_events` batching disappears: the join IS
+    * the batched fetch.
+    */
+  def pushEvents(
+      events: DataFrame,
+      eventResourceIdCol: String,
+      resources: DataFrame,
+      resourceIdCol: String,
+      having: Seq[Condition] = Nil,
+      format: DataFrame => DataFrame = identity): DataFrame = {
+    val joined = events.join(
+      resources,
+      events(eventResourceIdCol) === resources(resourceIdCol),
+      "inner")
+    format(joined.where(Conditions.all(having)))
+  }
+
+  /** PushResult counters for an EVENTS-mode push, as one conditional-agg
+    * pass over a LEFT join (missing resources survive as NULLs and are
+    * counted, not dropped). */
+  def pushEventsResult(
+      events: DataFrame,
+      eventResourceIdCol: String,
+      resources: DataFrame,
+      resourceIdCol: String,
+      having: Seq[Condition] = Nil): DataFrame = {
+    val havingCol = Conditions.all(having)
+    val matched   = resources(resourceIdCol).isNotNull
+    events
+      .join(resources, events(eventResourceIdCol) === resources(resourceIdCol), "left")
+      .agg(
+        count(lit(1)).as("total_events"),
+        count(when(matched, 1)).as("total_resources_fetched"),
+        count(when(matched && havingCol, 1)).as("total_resources_pushed"),
+        count(when(!matched, 1)).as("skipped_missing"),
+        count(when(matched && !havingCol, 1)).as("skipped_having"))
+  }
+
+  /** RESOURCES-mode push (reference: core/pipeline.py:180-199): direct
+    * batch push with HAVING + format. */
+  def pushResources(
+      resources: DataFrame,
+      having: Seq[Condition] = Nil,
+      format: DataFrame => DataFrame = identity): DataFrame =
+    format(resources.where(Conditions.all(having)))
+}
