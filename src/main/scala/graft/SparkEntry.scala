@@ -30,7 +30,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ llmQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- core ETL semantics (reference surface) ---
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -243,9 +246,173 @@ object SparkEntry {
     })
   )
 
+  // --- LLM-data-pipeline operators (SURVEY.md §2 items 19-32) ---
+
+  private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact" -> ((s, dir) =>
+      operators.dedup.Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    "dd2_fingerprint" -> ((s, dir) =>
+      operators.dedup.Dedup.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    "dd3_ngram_jaccard" -> ((s, dir) =>
+      operators.dedup.SetSimJoin.jaccardJoin(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)),
+
+    "dd4_minhash_lsh" -> ((s, dir) =>
+      operators.dedup.MinHashLSH.nearDupPairs(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)),
+
+    "dd5_simhash" -> ((s, dir) =>
+      operators.dedup.SimHash.nearDupPairs(
+        Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3, chunks = 4)),
+
+    "dd6_embed_dup" -> ((s, dir) =>
+      operators.similarity.Similarity.cosinePairs(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
+
+    "ss1_knn_brute" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      operators.similarity.Similarity.knnBrute(
+        emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
+
+    "ss2_knn_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      operators.similarity.Similarity.knnLsh(
+        emb, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, dim = 64, planes = 8)
+    }),
+
+    "ss3_centroid" -> ((s, dir) =>
+      operators.similarity.Similarity.centroids(
+        Tables(s, dir, "embeddings"), "label", "embedding")),
+
+    "tx1_tokens" -> ((s, dir) =>
+      operators.textual.TextStats.tokenCounts(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    "tx2_quality" -> ((s, dir) =>
+      operators.textual.TextStats.quality(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    "tx3_langid" -> ((s, dir) =>
+      operators.textual.TextStats.langId(Tables(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    "tx4_ngram_freq" -> ((s, dir) =>
+      operators.textual.TextStats.ngramFreq(Tables(s, dir, "documents"), "text", n = 2, minCount = 10)),
+
+    "mm1_binary_meta" -> ((s, dir) =>
+      operators.multimodal.BinaryMeta.extract(
+        s, Tables(s, dir, "documents"), "doc_id", "text").toDF())
+  )
+
   // ----------------------------------------------------------------- oracle
 
-  def oracleSql: Map[String, String] = Map(
+  /** Shared SQL fragments for the document oracles (must mirror
+    * TextFunctions.normalize / tokens exactly). */
+  private val normSql = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
+  private val toksSql = s"string_split($normSql,' ')"
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
+
+  private def llmOracleSql: Map[String, String] = Map(
+    "dd1_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text)""",
+    "dd2_fingerprint" ->
+      s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "dd3_ngram_jaccard" -> jaccardOracle,
+    // MinHash-LSH is exact-verified with (b=32,r=4) ⇒ miss probability
+    // ~6e-8 per true pair at t=0.8: same oracle as the exact join.
+    "dd4_minhash_lsh" -> jaccardOracle,
+    // dd5_simhash / ss2_knn_lsh: hash/plane functions not expressible in
+    // DuckDB → rows-only check (intentionally omitted here).
+    "dd6_embed_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    "ss1_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cosine FROM q JOIN c ON qid != nid)
+         SELECT query_id, neighbor_id, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
+         WHERE rk <= 5""",
+    "ss3_centroid" ->
+      """SELECT label, pos - 1 AS pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
+         FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
+         GROUP BY label, pos""",
+    "tx1_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+         FROM documents""",
+    "tx2_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, $toksSql AS toks,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+           FROM documents),
+         r AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks) AS stop_ratio,
+             (CAST(length(text) AS DOUBLE) - n_alpha - n_digit - n_space) / length(text) AS punct_ratio,
+             CAST(n_digit AS DOUBLE) / length(text) AS digit_ratio
+           FROM t)
+         SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio, round(digit_ratio, 6) AS digit_ratio,
+           round(0.4 * stop_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) + 0.3 * (1.0 - punct_ratio), 6) AS quality_score
+         FROM r""",
+    "tx3_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         s AS (SELECT doc_id, lang,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('el','los','de','y','es','una'))) AS s_es,
+           0 AS s_zh FROM t)
+         SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match FROM (
+           SELECT doc_id, lang,
+             CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                  WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang
+           FROM s)""",
+    "tx4_ngram_freq" ->
+      s"""SELECT ngram, count(*) AS cnt FROM (
+           SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> toks[i] || ' ' || toks[i+1])) AS ngram
+           FROM (SELECT $toksSql AS toks FROM documents))
+         GROUP BY ngram HAVING count(*) >= 10""",
+    "mm1_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         hex(encode(substring(text, 1, 8))) AS header_hex,
+         CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+         CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS fake_height
+         FROM documents"""
+  )
+
+  /** Exact word-3-gram Jaccard ≥ 0.8 pairs (oracle for both the exact
+    * prefix-filter join and the exact-verified MinHash-LSH). */
+  private def jaccardOracle: String =
+    s"""WITH d AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       s AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+       i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       z AS (SELECT doc_id, len(sh) AS n FROM d)
+       SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+       FROM i JOIN z x ON doc_a = x.doc_id JOIN z y ON doc_b = y.doc_id
+       WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8"""
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,69 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection.
+  *
+  * Pipeline: shingle → per-shingle double hash (h1, h2 via xxhash64 with
+  * two salts) → minhash signature of `numPerms` permutations using
+  * Kirsch-Mitzenmacher composition h_i = h1 + i·h2 (long wrap-around is
+  * deterministic) → split into `numBands` bands of r = numPerms/numBands
+  * rows → bucket-join on (band, band signature) → exact-Jaccard
+  * verification of candidates.
+  *
+  * Scale properties: the signature is computed entirely with higher-order
+  * functions (transform/aggregate) — per-row codegen, NO explode of the
+  * shingle set, no shuffle until the band bucket join, whose keys are
+  * fixed-size (band_id, 64-bit bucket hash). With b bands of r rows the
+  * candidate probability is 1-(1-s^r)^b: at (b=32, r=4) a true pair at
+  * s=0.8 is missed with p≈6e-8 while an s=0.2 pair survives with p≈5%
+  * and is then killed by exact verification — so the verified output
+  * equals the exact Jaccard join with near-certainty, at near-linear cost.
+  */
+object MinHashLSH {
+
+  /** Mersenne prime 2^31-1: hash composition stays within 2^40, so the
+    * (h1 + i·h2) mod p permutation family never overflows ANSI long
+    * arithmetic. */
+  private val P = 2147483647L
+
+  /** (doc_id, sh, set_size, sig: array<long>[numPerms]) */
+  private[dedup] def signatures(sets: DataFrame, numPerms: Int): DataFrame =
+    sets
+      .withColumn("hp", transform(col("sh"),
+        s => struct(pmod(xxhash64(s), lit(P)).as("h1"),
+          pmod(xxhash64(s, lit(7)), lit(P)).as("h2"))))
+      .withColumn("sig", transform(
+        sequence(lit(0), lit(numPerms - 1)),
+        i => aggregate(col("hp"), lit(Long.MaxValue),
+          (acc, p) => least(acc,
+            pmod(p.getField("h1") + i.cast("long") * p.getField("h2"), lit(P))))))
+      .drop("hp")
+
+  /** Near-dup pairs with verified Jaccard ≥ threshold.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — same contract as
+    * [[SetSimJoin.jaccardJoin]], approximate candidate generation with
+    * exact verification. */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      numPerms: Int = 128, numBands: Int = 32): DataFrame = {
+    require(numPerms % numBands == 0, "numPerms must divide into numBands")
+    val r = numPerms / numBands
+    val sets = SetSimJoin.shingleSets(docs, idCol, textCol, k)
+    val sig = signatures(sets, numPerms)
+    val buckets = sig.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    SetSimJoin.verify(candidates, sets, threshold)
+  }
+}
