@@ -21,18 +21,17 @@ object TextFunctions {
     * doc has fewer than k tokens (guards sequence() against negative
     * bounds). */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-    .otherwise(array().cast("array<string>"))
+    array_distinct(shinglesAll(toks, k))
 
-  /** All (non-distinct) word k-shingles, for frequency counting. */
+  /** All (non-distinct) word k-shingles, for frequency counting.
+    * Built with k element_at lookups per shingle instead of slice() —
+    * higher-order-function lambdas are interpreted (CodegenFallback), so
+    * avoiding per-shingle array allocation is a large constant factor. */
   def shinglesAll(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(
         sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
     .otherwise(array().cast("array<string>"))
 
   /** Rolling-hash document fingerprint: md5 of the normalized text

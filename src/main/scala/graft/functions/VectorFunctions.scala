@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` columns, built on codegen'd
-  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, so the whole
-  * similarity pipeline stays inside WholeStageCodegen. */
+/** Vector math over `array<float|double>` columns. The hot path (dot
+  * product) is a native codegen'd Catalyst expression
+  * ([[graft.plans.DotProduct]]); higher-order functions are interpreted
+  * (CodegenFallback) and ~100× slower per pair. */
 object VectorFunctions {
 
   /** Element-wise cast to array<double>: similarity math runs in double so
@@ -13,7 +14,10 @@ object VectorFunctions {
   def toDouble(a: Column): Column = a.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

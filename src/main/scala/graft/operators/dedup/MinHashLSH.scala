@@ -28,18 +28,25 @@ object MinHashLSH {
     * arithmetic. */
   private val P = 2147483647L
 
-  /** (doc_id, sh, set_size, sig: array<long>[numPerms]) */
-  private[dedup] def signatures(sets: DataFrame, numPerms: Int): DataFrame =
-    sets
-      .withColumn("hp", transform(col("sh"),
-        s => struct(pmod(xxhash64(s), lit(P)).as("h1"),
-          pmod(xxhash64(s, lit(7)), lit(P)).as("h2"))))
-      .withColumn("sig", transform(
-        sequence(lit(0), lit(numPerms - 1)),
-        i => aggregate(col("hp"), lit(Long.MaxValue),
-          (acc, p) => least(acc,
-            pmod(p.getField("h1") + i.cast("long") * p.getField("h2"), lit(P))))))
-      .drop("hp")
+  /** (doc_id, sig: array<long>[numPerms]).
+    *
+    * Computed as numPerms codegen'd `min` aggregates over the exploded
+    * (doc_id, shingle-hash) table rather than a higher-order-function fold:
+    * HOF lambdas are interpreted (CodegenFallback), which made the fold
+    * ~100× slower than this hash-aggregate — and the partial (map-side)
+    * aggregation collapses each document's shingles before any shuffle,
+    * so at scale only numPerms longs per document cross the wire. */
+  private[dedup] def signatures(sets: DataFrame, numPerms: Int): DataFrame = {
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("shingle")), lit(P)).as("h1"),
+        pmod(xxhash64(col("shingle"), lit(7)), lit(P)).as("h2"))
+    val aggs = (0 until numPerms).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"s$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(i => col(s"s$i")): _*).as("sig"))
+  }
 
   /** Near-dup pairs with verified Jaccard ≥ threshold.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — same contract as
@@ -59,6 +66,7 @@ object MinHashLSH {
           b => struct(b.as("band_id"),
             xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
+      .localCheckpoint() // self-joined below: one signature pass, not two
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -21,14 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
-  /** Shingle sets per doc: (doc_id, sh: array<string>, set_size). */
+  /** Shingle sets per doc: (doc_id, sh: array<string>, set_size).
+    *
+    * `toks` is bound as its own projection on purpose: higher-order
+    * functions are interpreted (CodegenFallback, no common-subexpression
+    * elimination), so if the lambda referenced the raw
+    * split(regexp_replace(...)) expression it would re-tokenize the
+    * document for every element_at — O(shingles × k) regex evaluations per
+    * row. As a materialized attribute each reference is a row-field read.
+    * (CollapseProject keeps the split because the alias is non-cheap and
+    * multiply referenced.)
+    *
+    * The result is materialized with localCheckpoint (row-format blocks):
+    * the set-similarity operators are MULTI-PASS — the shingle index feeds
+    * the doc-frequency agg, the prefix self-join, and the verification
+    * join — and without a lineage break Catalyst inlines the tokenize
+    * expressions into constraints/conditions across every branch (we
+    * measured 68 regexp_replace copies in one physical plan). Columnar
+    * cache() of array<string> is ~12× slower to build than localCheckpoint.
+    * On a cluster the same role is played by persist(DISK) or a temp
+    * table — materializing the shingle index is the standard first pass of
+    * a distributed PPJoin. */
   private[dedup] def shingleSets(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(
         col(idCol).as("doc_id"),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k).as("sh"))
-      .where(size(col("sh")) > 0)
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), TextFunctions.shingles(col("toks"), k).as("sh"))
       .withColumn("set_size", size(col("sh")))
+      .localCheckpoint()
 
   /** Verify candidate pairs (doc_a < doc_b) with the exact Jaccard and
     * keep those ≥ threshold. */
@@ -58,9 +80,15 @@ object SetSimJoin {
     val ranked = ex.join(dfreq, "shingle").withColumn("rnk",
       row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
     val prefix = ranked.where(
-      col("rnk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+        col("rnk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+      .select("doc_id", "set_size", "shingle")
+      .localCheckpoint() // self-joined below: one window pass, not two
+    // length filter: J(A,B) ≥ t implies t·|B| ≤ |A| (and symmetrically),
+    // so the size-ratio bound is exact, not an approximation
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.set_size") >= lit(threshold) * col("b.set_size") &&
+          col("b.set_size") >= lit(threshold) * col("a.set_size"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verify(candidates, sets, threshold)

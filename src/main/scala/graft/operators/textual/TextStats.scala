@@ -31,8 +31,12 @@ object TextStats {
   /** Quality scoring: alpha/digit/space/punct ratios, stopword ratio,
     * mean token length → weighted score in [0,1]. */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // bind toks once: HOF lambdas are interpreted and would otherwise
+    // re-tokenize per filter evaluation (see SetSimJoin.shingleSets)
+    val bound = docs.select(col(idCol), col(textCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
     val t = col(textCol)
-    val toks = TextFunctions.tokens(t)
+    val toks = col("__toks")
     val nTok = size(toks)
     val nStop = size(filter(toks,
       x => StopwordsEn.map(s => x === lit(s)).reduce(_ || _)))
@@ -46,7 +50,7 @@ object TextStats {
       lit(0.4) * stopRatio +
       lit(0.3) * least(lit(1.0), nTok.cast("double") / 100) +
       lit(0.3) * (lit(1.0) - punctRatio)
-    docs.select(
+    bound.select(
       col(idCol).as("doc_id"),
       nTok.as("n_tokens"),
       round(stopRatio, 6).as("stopword_ratio"),
@@ -68,7 +72,9 @@ object TextStats {
 
   def langId(docs: DataFrame, idCol: String, textCol: String,
       actualLangCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    val bound = docs.select(col(idCol), col(actualLangCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val scores = LangProfiles.map { case (lang, words) =>
       lang -> (if (words.isEmpty) lit(0)
                else size(filter(toks, x => words.map(s => x === lit(s)).reduce(_ || _))))
@@ -80,7 +86,7 @@ object TextStats {
         (when(sc >= bSc, lit(lang)).otherwise(bLang),
          when(sc >= bSc, sc).otherwise(bSc))
     }
-    docs.select(
+    bound.select(
       col(idCol).as("doc_id"),
       best._1.as("pred_lang"),
       col(actualLangCol).as("lang"),
@@ -91,8 +97,8 @@ object TextStats {
     * bounds the output (and `log`s nothing silently — the threshold is
     * part of the contract). */
   def ngramFreq(docs: DataFrame, textCol: String, n: Int, minCount: Long): DataFrame =
-    docs.select(explode(
-        TextFunctions.shinglesAll(TextFunctions.tokens(col(textCol)), n)).as("ngram"))
+    docs.select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(TextFunctions.shinglesAll(col("__toks"), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.conditions.{Condition, Conditions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming twin of the batch pull pipeline: the same
+  * declarative transforms over `readStream`, with watermarked event-time
+  * windows for aggregation (reference's event push pipeline,
+  * core/pipeline.py:121-178, re-expressed as a continuous query).
+  *
+  * `ts` arrives as long epoch nanos (parquet TIMESTAMP(NANOS) read with
+  * nanosAsLong — see Verify); event-time is derived micros-precision.
+  */
+object EventStream {
+
+  /** Streaming source over a directory of event parquet files. */
+  def source(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window counts per event type: the streaming
+    * shape of q12-style event aggregation. Late data beyond the watermark
+    * is dropped; state is bounded by (watermark horizon × types). */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming pull: WHERE conditions + projection applied on the stream —
+    * identical Condition algebra as the batch pipeline. */
+  def pull(events: DataFrame, where: Seq[Condition],
+      format: DataFrame => DataFrame = identity): DataFrame =
+    format(events.where(Conditions.all(where)))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.dedup.{Dedup, MinHashLSH, SetSimJoin, SimHash}
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "The quick brown fox, jumps over the lazy dog!"), // fingerprint-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (3L, "completely different words entirely here now today"),
+    (4L, "the quick brown fox jumps over the lazy cat")    // near-dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(r(0L) == 2L) // docs 0 and 2
+    assert(r(1L) == 1L)
+  }
+
+  test("fingerprint dedup also folds punctuation/case variants") {
+    val r = Dedup.fingerprint(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(r(0L) == 3L) // docs 0, 1, 2 share a fingerprint
+  }
+
+  test("exact jaccard join finds near-dup pairs above threshold only") {
+    val pairs = SetSimJoin.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    // 0,1,2 identical after normalization; 4 near-dup; 3 unrelated
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 1L)) && pairs.contains((0L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH verified output equals the exact jaccard join on real docs") {
+    val d = Tables(spark, sf0001, "documents")
+    val exact = SetSimJoin.jaccardJoin(d, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = MinHashLSH.nearDupPairs(d, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
+    val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((0L, 2L)) == 0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

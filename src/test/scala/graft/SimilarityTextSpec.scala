@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.similarity.Similarity
+import graft.operators.textual.TextStats
+import graft.operators.multimodal.BinaryMeta
+import org.apache.spark.sql.functions._
+
+class SimilarityTextSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f), 0),
+    (2L, Array(0f, 1f, 0f), 1),
+    (3L, Array(-1f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+
+  test("knnBrute ranks by cosine with deterministic tiebreak") {
+    val r = Similarity.knnBrute(emb, emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(r.map(_._2).toSeq == Seq(1L, 2L, 3L)) // 0.99.., 0, -1
+  }
+
+  test("cosinePairs finds only the near-identical pair at 0.9") {
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+  }
+
+  test("centroids emit per-label per-position means") {
+    val c = Similarity.centroids(emb, "label", "embedding")
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(c((0, 0)) == 0.95 && c((1, 0)) == -0.5 && c((1, 1)) == 0.5)
+  }
+
+  test("knnLsh returns a subset of brute-force results with same scores") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.knnLsh(e, q, "vec_id", "embedding", 5, dim = 64)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit that brute force also ranked must carry the same cosine
+    lsh.foreach { r => brute.get((r._1, r._2)).foreach(c => assert(c == r._3)) }
+  }
+
+  test("token counts and quality on a known string") {
+    val d = Seq((1L, "the cat sat on the mat 42 times!")).toDF("doc_id", "text")
+    val t = TextStats.tokenCounts(d, "doc_id", "text")
+      .as[(Long, Int, Int, Int)].head()
+    assert(t == ((1L, 32, 8, 9))) // 8 ws tokens; 7 words + "42" + "!"
+    val q = TextStats.quality(d, "doc_id", "text").select("n_tokens", "stopword_ratio")
+      .as[(Int, Double)].head()
+    assert(q._1 == 8 && q._2 == 0.375) // the, on, the
+  }
+
+  test("langId predicts via stopword profiles with fixed tie priority") {
+    val d = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "der hund und die katze ist", "de"),
+      (3L, "xyzzy qwerty", "zh")).toDF("doc_id", "text", "lang")
+    val r = TextStats.langId(d, "doc_id", "text", "lang")
+      .as[(Long, String, String, Boolean)].collect().map(t => t._1 -> t._2).toMap
+    assert(r(1L) == "en" && r(2L) == "de")
+    assert(r(3L) == "en") // all scores 0 -> first priority wins
+  }
+
+  test("binary metadata extraction is deterministic over payload bytes") {
+    val d = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+    val m = BinaryMeta.extract(spark, d, "doc_id", "text").collect().head
+    assert(m.byte_len == 10 && m.header_hex == "6162636465666768")
+    assert(m.fake_width == 10 && m.fake_height == 70)
+  }
+}

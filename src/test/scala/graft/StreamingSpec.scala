@@ -1,0 +1,62 @@
+package graft
+
+import graft.conditions.{Condition, Op}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream-").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming windowed counts equal the batch equivalent") {
+    val dir = stageEventsDir()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val schema = batch.schema
+    val out = Files.createTempDirectory("graft-sink-").toString
+
+    val stream = EventStream.windowedCounts(EventStream.source(spark, dir, schema))
+    val q = stream.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_counts")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+
+    val expected = batch
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming pull applies the same Condition algebra as batch") {
+    val dir = stageEventsDir()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val where = Seq(Condition("event_type", Op.In, Seq("purchase", "signup")))
+
+    val stream = EventStream.pull(
+      EventStream.source(spark, dir, batch.schema), where,
+      df => df.select("event_id", "event_type"))
+    val q = stream.writeStream
+      .format("memory").queryName("pulled").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("pulled").count()
+    val want = batch.where(col("event_type").isin("purchase", "signup")).count()
+    assert(got == want && got > 0)
+  }
+}
