@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.conditions.{Condition, Op}
+import graft.cursor.{Cursor, CursorMode}
+import graft.format.{FieldMap, Formatters}
+import graft.sources.WarehouseRegistry
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Config-driven pull (reference: core/pipeline.py:227-265
+  * `ResourcePullConfig` / `run_resource_pull_from_config`): a JSON document
+  * names origin/target warehouses (resolved through the registry), the
+  * cursor, WHERE/HAVING condition lists, and an optional mapping formatter;
+  * running it composes the declarative pull plan and (unless dry_run)
+  * writes to the target. */
+final case class PullConfig(
+    resource: String,
+    origin: String,
+    target: String,
+    cursorMode: CursorMode,
+    cursorField: String,
+    cursorStart: Option[String],
+    cursorEnd: Option[String],
+    ascending: Boolean,
+    where: Seq[Condition],
+    having: Seq[Condition],
+    mapping: Seq[FieldMap],
+    dryRun: Boolean)
+
+object ConfigPipeline {
+
+  private def jValueToAny(v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => if (i.isValidLong) i.toLong else i
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b)    => b
+    case JArray(xs)  => xs.map(jValueToAny)
+    case JNull       => null
+    case other       => throw new IllegalArgumentException(s"unsupported condition value: $other")
+  }
+
+  private def parseConditions(v: JValue): Seq[Condition] = v match {
+    case JArray(items) => items.map { item =>
+      Condition(
+        field = (item \ "field") match { case JString(s) => s
+          case _ => throw new IllegalArgumentException("condition.field must be a string") },
+        op = Op.fromName((item \ "op") match { case JString(s) => s
+          case _ => throw new IllegalArgumentException("condition.op must be a string") }),
+        value = jValueToAny(item \ "value"))
+    }
+    case JNothing => Nil
+    case other    => throw new IllegalArgumentException(s"conditions must be an array, got $other")
+  }
+
+  private def parseMapping(v: JValue): Seq[FieldMap] = v match {
+    case JArray(items) => items.map { item =>
+      ((item \ "from"), (item \ "to")) match {
+        case (JString(f), JString(t)) => FieldMap(f, t)
+        case _ => throw new IllegalArgumentException("mapping entries need string from/to")
+      }
+    }
+    case JNothing => Nil
+    case other    => throw new IllegalArgumentException(s"mapping must be an array, got $other")
+  }
+
+  private def str(v: JValue, what: String): String = v match {
+    case JString(s) => s
+    case _ => throw new IllegalArgumentException(s"$what must be a string")
+  }
+
+  def parsePull(json: String): PullConfig = {
+    val j = JsonMethods.parse(json)
+    val modeName = (j \ "cursor" \ "mode") match {
+      case JString(s) => s; case _ => "updated_at"
+    }
+    val mode = Seq(CursorMode.Uid, CursorMode.CreatedAt, CursorMode.UpdatedAt)
+      .find(_.name == modeName)
+      .getOrElse(throw new IllegalArgumentException(s"unknown cursor mode: $modeName"))
+    PullConfig(
+      resource = str(j \ "resource", "resource"),
+      origin = str(j \ "origin", "origin"),
+      target = str(j \ "target", "target"),
+      cursorMode = mode,
+      cursorField = str(j \ "cursor" \ "field", "cursor.field"),
+      cursorStart = (j \ "cursor" \ "start") match { case JString(s) => Some(s); case _ => None },
+      cursorEnd = (j \ "cursor" \ "end") match { case JString(s) => Some(s); case _ => None },
+      ascending = (j \ "cursor" \ "sort_by") match { case JString("desc") => false; case _ => true },
+      where = parseConditions(j \ "where"),
+      having = parseConditions(j \ "having"),
+      mapping = parseMapping(j \ "mapping"),
+      dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false })
+  }
+
+  /** Run a parsed pull config: origin → slice/where/having/format →
+    * target (unless dryRun). Returns the output frame and the advanced
+    * cursor (reference pull() returns Cursor(start, end=last)). */
+  def runPull(spark: SparkSession, cfg: PullConfig): (DataFrame, Cursor) = {
+    val origin = WarehouseRegistry.instance(cfg.origin)
+    val cursor = Cursor(cfg.cursorMode, cfg.cursorStart, cfg.cursorEnd, cfg.ascending)
+    val format =
+      if (cfg.mapping.nonEmpty) Formatters.mapping(cfg.mapping) else Formatters.identity
+    val (out, advanced) = Pipeline.pullWithCursor(
+      origin.read(spark, cfg.resource), cfg.cursorField, cursor,
+      cfg.where, cfg.having, format)
+    if (!cfg.dryRun)
+      WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Overwrite)
+    (out, advanced)
+  }
+
+  def runPull(spark: SparkSession, json: String): (DataFrame, Cursor) =
+    runPull(spark, parsePull(json))
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Credential/endpoint spec for a warehouse, the data-lake analogue of the
+  * reference's HTTP auth layer (reference: core/auth.py — ApiKeyAuth /
+  * TokenAuth / BearerAuth build per-request headers). On Spark, auth
+  * material becomes reader/writer OPTIONS (e.g. s3a access keys, JDBC
+  * credentials) merged into every read/write of that warehouse. */
+sealed trait Auth { def asOptions: Map[String, String] }
+object Auth {
+  case object None extends Auth { def asOptions: Map[String, String] = Map.empty }
+  final case class ApiKey(optionName: String, key: String) extends Auth {
+    def asOptions: Map[String, String] = Map(optionName -> key)
+  }
+  final case class Token(optionName: String, token: String, scheme: String = "Token") extends Auth {
+    def asOptions: Map[String, String] = Map(optionName -> s"$scheme $token")
+  }
+  final case class Options(opts: Map[String, String]) extends Auth {
+    def asOptions: Map[String, String] = opts
+  }
+}
+
+/** A warehouse is a named collection of resources (tables) with a format
+  * (reference: core/connector.py `BaseConnector` — but where the reference
+  * reads paginated HTTP batches, a lake warehouse exposes each resource as
+  * a DataFrame and lets Catalyst handle partitioning/pushdown). */
+trait Warehouse {
+  def name: String
+  def auth: Auth
+  def read(spark: SparkSession, resource: String): DataFrame
+  def write(df: DataFrame, resource: String, mode: SaveMode = SaveMode.Overwrite): Unit
+}
+
+/** Directory-per-warehouse, file-per-resource layout. `ext` is the file
+  * suffix of existing resources (the driver's testdata uses
+  * `<resource>.parquet`); written resources become directories. */
+abstract class FileWarehouse extends Warehouse {
+  def baseDir: String
+  def format: String
+  def ext: String
+  def readOptions: Map[String, String] = Map.empty
+  def writeOptions: Map[String, String] = Map.empty
+
+  protected def resourcePath(resource: String): String = {
+    require(!resource.contains("/") && !resource.contains(".."),
+      s"invalid resource name: $resource")
+    s"$baseDir/$resource$ext"
+  }
+
+  override def read(spark: SparkSession, resource: String): DataFrame =
+    spark.read.format(format)
+      .options(readOptions ++ auth.asOptions)
+      .load(resourcePath(resource))
+
+  override def write(df: DataFrame, resource: String, mode: SaveMode): Unit =
+    df.write.format(format)
+      .options(writeOptions ++ auth.asOptions)
+      .mode(mode)
+      .save(resourcePath(resource))
+}
+
+final case class ParquetWarehouse(
+    name: String, baseDir: String, ext: String = ".parquet",
+    auth: Auth = Auth.None) extends FileWarehouse {
+  val format = "parquet"
+}
+
+final case class CsvWarehouse(
+    name: String, baseDir: String, ext: String = ".csv",
+    auth: Auth = Auth.None,
+    override val readOptions: Map[String, String] =
+      Map("header" -> "true", "inferSchema" -> "true"),
+    override val writeOptions: Map[String, String] = Map("header" -> "true"))
+  extends FileWarehouse {
+  val format = "csv"
+}
+
+final case class JsonWarehouse(
+    name: String, baseDir: String, ext: String = ".json",
+    auth: Auth = Auth.None) extends FileWarehouse {
+  val format = "json"
+}
+
+/** Warehouse metadata + factory registry (reference: core/registry.py
+  * `ConnectorMeta` / `register_connector` / `get_connector_instance`). */
+final case class WarehouseMeta(
+    name: String,
+    label: String,
+    warehouseType: String, // ats | crm | jobboard | hcm | customers | lake
+    format: String)
+
+object WarehouseRegistry {
+  private val metas = scala.collection.concurrent.TrieMap.empty[String, WarehouseMeta]
+  private val factories = scala.collection.concurrent.TrieMap.empty[String, () => Warehouse]
+
+  def register(meta: WarehouseMeta, factory: () => Warehouse): Unit = {
+    if (metas.putIfAbsent(meta.name, meta).isDefined)
+      throw new IllegalArgumentException(
+        s"Warehouse with name '${meta.name}' is already registered.")
+    factories.put(meta.name, factory)
+  }
+
+  def list(): Map[String, WarehouseMeta] = metas.toMap
+
+  def instance(name: String): Warehouse =
+    factories.getOrElse(name,
+      throw new NoSuchElementException(s"No factory registered for warehouse '$name'"))()
+
+  def clear(): Unit = { metas.clear(); factories.clear() }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.conditions._
+import graft.pipeline.ConfigPipeline
+import graft.sources._
+import java.nio.file.Files
+
+class SourcesConfigSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("parquet warehouse reads testdata resources; csv/json round-trip") {
+    val wh = ParquetWarehouse("testdata", sf0001)
+    assert(wh.read(spark, "region").count() == 5)
+
+    val tmp = Files.createTempDirectory("graft-wh-").toString
+    val csv = CsvWarehouse("csv_wh", tmp)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    csv.write(df, "things")
+    assert(csv.read(spark, "things").count() == 2)
+    val json = JsonWarehouse("json_wh", tmp)
+    json.write(df, "things")
+    assert(json.read(spark, "things").count() == 2)
+  }
+
+  test("registry: register/list/instance; duplicate names rejected") {
+    WarehouseRegistry.clear()
+    WarehouseRegistry.register(
+      WarehouseMeta("td", "Test Data", "lake", "parquet"),
+      () => ParquetWarehouse("td", sf0001))
+    assert(WarehouseRegistry.list().contains("td"))
+    assert(WarehouseRegistry.instance("td").read(spark, "nation").count() == 25)
+    assertThrows[IllegalArgumentException] {
+      WarehouseRegistry.register(
+        WarehouseMeta("td", "dup", "lake", "parquet"),
+        () => ParquetWarehouse("td", sf0001))
+    }
+    assertThrows[NoSuchElementException](WarehouseRegistry.instance("nope"))
+  }
+
+  test("config-driven pull: json -> plan -> target write -> advanced cursor") {
+    WarehouseRegistry.clear()
+    val outDir = Files.createTempDirectory("graft-target-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("src", "Source", "lake", "parquet"),
+      () => ParquetWarehouse("src", sf0001))
+    WarehouseRegistry.register(
+      WarehouseMeta("dst", "Target", "lake", "parquet"),
+      () => ParquetWarehouse("dst", outDir, ext = ""))
+
+    val cfgJson = """{
+      "resource": "orders",
+      "origin": "src",
+      "target": "dst",
+      "cursor": {"mode": "created_at", "field": "o_orderdate", "start": "1996-01-01"},
+      "where": [{"field": "o_orderstatus", "op": "eq", "value": "O"}],
+      "having": [{"field": "o_totalprice", "op": "gt", "value": 1000}],
+      "mapping": [{"from": "o_orderkey", "to": "id"}, {"from": "o_totalprice", "to": "total"}]
+    }"""
+    val (out, cursor) = ConfigPipeline.runPull(spark, cfgJson)
+    assert(out.columns.toSeq == Seq("id", "total"))
+    val written = spark.read.parquet(s"$outDir/orders")
+    assert(written.count() == out.count() && written.count() > 0)
+    assert(cursor.end.isDefined && cursor.end.get >= "1996-01-01")
+
+    // dry_run writes nothing
+    val cfg2 = ConfigPipeline.parsePull(cfgJson.replace("\"mapping\"",
+      "\"dry_run\": true, \"mapping\""))
+    assert(cfg2.dryRun)
+  }
+
+  test("ui schema export carries operators + bindings") {
+    val schema = FilterSchema(Seq(
+      FieldSpec("created_at", Set(Op.Gte, Op.Lte), cursorTag = Some("created_at")),
+      FieldSpec("name", Set(Op.Contains),
+        searchBinding = Some(SearchBinding("keywords", BoolJoin.And, BoolJoin.Or)))))
+    val json = UiSchema.exportFields(schema)
+    assert(json.contains("\"cursor\":\"created_at\""))
+    assert(json.contains("\"operators\":[\"gte\",\"lte\"]"))
+    assert(json.contains("\"search_field\":\"keywords\""))
+  }
+}
