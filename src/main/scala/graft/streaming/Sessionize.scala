@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event as seen by the sessionizer: `ms` is epoch millis derived from
+  * the long-nanos `ts` (see EventStream.source). */
+final case class SessionEvent(user_id: Long, event_id: Long, ms: Long)
+
+/** Open-session state kept per user between micro-batches. */
+final case class OpenSession(seq: Long, startMs: Long, lastMs: Long, n: Long)
+
+/** A closed session (same shape as the batch q16_sessionize output). */
+final case class ClosedSession(
+    user_id: Long, session_id: Long, n_events: Long,
+    session_start_ms: Long, session_end_ms: Long)
+
+/** Gap-based streaming sessionization via flatMapGroupsWithState — the
+  * continuous twin of the batch window-function sessionizer
+  * (SparkEntry q16): same gap rule, same output shape.
+  *
+  * Per user (group key): events in each micro-batch are folded into the
+  * open session; a gap > `gapMs` closes the current session and emits it.
+  * An event-time timeout at (last event + gap) closes idle sessions once
+  * the watermark passes, bounding state to one OpenSession per active
+  * user. Scale: state is shuffled by user key once; per-batch per-user
+  * events are sorted in memory (bounded by the micro-batch size).
+  */
+object Sessionize {
+
+  def apply(events: DataFrame, gapMs: Long, watermark: String = "1 second")
+      : Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("event_time", watermark)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
+        col("event_time"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: close the idle session
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.seq, s.n, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.map(r => SessionEvent(r._1, r._2, r._3)).toArray
+              .sortBy(e => (e.ms, e.event_id))
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ms - s.lastMs <= gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, e.ms), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.seq, s.n, s.startMs, s.lastMs)
+                  open = Some(OpenSession(s.seq + 1, e.ms, e.ms, 1))
+                case None =>
+                  open = Some(OpenSession(1, e.ms, e.ms, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -42,6 +42,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful sessionization matches batch sessions (closed prefix)") {
+    val dir = stageEventsDir()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+
+    val stream = graft.streaming.Sessionize(
+      graft.streaming.EventStream.source(spark, dir, batch.schema), gapMs = 1800000L)
+    val q = stream.writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    // batch twin (q16 logic)
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allSessions = batch
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(byTime))
+      .withColumn("new_sess", when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(running))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("s"), max(col("ms")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val lastPerUser = allSessions.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    val closedOnly = allSessions -- lastPerUser
+
+    // streamed must contain every certainly-closed session and nothing
+    // outside the batch result (trailing sessions may close via timeout)
+    assert(closedOnly.subsetOf(streamed))
+    assert(streamed.subsetOf(allSessions))
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming pull applies the same Condition algebra as batch") {
     val dir = stageEventsDir()
     val batch = spark.read.parquet(s"$dir/events.parquet")
