@@ -1,0 +1,92 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Typed unified layer (reference: core/models.py — UnifiedJob:160,
+  * UnifiedProfile:427, with nested Location/Skill/Entity structs). Dates
+  * stay ISO-8601 strings exactly as in the reference's pydantic models.
+  * A representative subset of fields is modeled; `payload` carries the
+  * rest as a JSON string (the reference keeps a Dict payload). */
+final case class Location(text: Option[String], lat: Option[Double], lng: Option[Double])
+final case class Entity(name: String, value: Option[String])
+
+final case class UnifiedJob(
+    id: String,
+    origin: String,
+    key: String,
+    reference: Option[String],
+    board_key: Option[String],
+    created_at: Option[String],
+    updated_at: Option[String],
+    name: String,
+    summary: Option[String],
+    location: Option[Location],
+    text: String,
+    skills: Seq[Entity],
+    tags: Seq[Entity],
+    payload: Option[String])
+
+final case class Experience(
+    title: Option[String], company: Option[String],
+    date_start: Option[String], date_end: Option[String])
+
+final case class UnifiedProfile(
+    id: String,
+    origin: String,
+    key: String,
+    source_key: Option[String],
+    created_at: Option[String],
+    updated_at: Option[String],
+    full_name: Option[String],
+    email: Option[String],
+    location: Option[Location],
+    text: String,
+    experiences: Seq[Experience],
+    skills: Seq[Entity],
+    tags: Seq[Entity],
+    payload: Option[String])
+
+/** Column bindings for building the typed unified layer from any native
+  * frame — the Spark analogue of a connector's `to_unified_job`
+  * (reference: core/connector.py:53). Unbound fields default to NULL /
+  * empty, mirroring optional pydantic fields. */
+final case class JobColumns(
+    id: Column, origin: Column, key: Column, name: Column, text: Column,
+    reference: Column = lit(null).cast("string"),
+    boardKey: Column = lit(null).cast("string"),
+    createdAt: Column = lit(null).cast("string"),
+    updatedAt: Column = lit(null).cast("string"),
+    summary: Column = lit(null).cast("string"),
+    locationText: Column = lit(null).cast("string"),
+    lat: Column = lit(null).cast("double"),
+    lng: Column = lit(null).cast("double"),
+    skills: Column = array().cast("array<struct<name:string,value:string>>"),
+    tags: Column = array().cast("array<struct<name:string,value:string>>"),
+    payload: Column = lit(null).cast("string"))
+
+object Unified {
+
+  /** Native frame → Dataset[UnifiedJob]: a narrow select into the unified
+    * schema, then a typed view. Catalyst prunes unused native columns; the
+    * Encoder gives compile-time field safety downstream. */
+  def jobs(df: DataFrame, c: JobColumns): Dataset[UnifiedJob] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      c.id.cast("string").as("id"),
+      c.origin.cast("string").as("origin"),
+      c.key.cast("string").as("key"),
+      c.reference.as("reference"),
+      c.boardKey.as("board_key"),
+      c.createdAt.as("created_at"),
+      c.updatedAt.as("updated_at"),
+      c.name.cast("string").as("name"),
+      c.summary.as("summary"),
+      struct(c.locationText.as("text"), c.lat.as("lat"), c.lng.as("lng")).as("location"),
+      c.text.cast("string").as("text"),
+      c.skills.as("skills"),
+      c.tags.as("tags"),
+      c.payload.as("payload")).as[UnifiedJob]
+  }
+}
