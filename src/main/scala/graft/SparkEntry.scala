@@ -214,22 +214,16 @@ object SparkEntry {
     }),
 
     "q17_asof_join" -> ((s, dir) => {
-      // as-of join via the union+last-non-null trick: one sort-merge pass,
-      // no per-row lookups, scales as a single window over (key, time)
-      val ev = Tables(s, dir, "events").select(
-        col("user_id").as("k"), col("ts").as("t"), col("event_id"),
-        lit(null).cast("long").as("okey"), lit(1).as("is_event"))
-      val ord = Tables(s, dir, "orders").select(
-        col("o_custkey").as("k"), (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t"),
-        lit(null).cast("long").as("event_id"),
-        col("o_orderkey").as("okey"), lit(0).as("is_event"))
-      val w = Window.partitionBy("k")
-        .orderBy(col("t"), col("is_event"), coalesce(col("okey"), lit(-1L)))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.unionByName(ord)
-        .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
-        .where(col("is_event") === 1)
-        .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+      // as-of join: one sort-merge pass over (key, time), no per-row
+      // lookups — see operators.AsOfJoin
+      operators.AsOfJoin.backward(
+        left = Tables(s, dir, "events").select("event_id", "user_id", "ts"),
+        right = Tables(s, dir, "orders"),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"),
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")) * 1000,
+        carry = Seq("asof_orderkey" -> col("o_orderkey")))
+        .select("event_id", "user_id", "asof_orderkey")
     }),
 
     "q18_pull_pipeline" -> ((s, dir) => {
@@ -282,6 +276,13 @@ object SparkEntry {
       operators.similarity.Similarity.knnLsh(
         emb, emb.where(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, dim = 64, planes = 8)
+    }),
+
+    "ss4_knn_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      operators.similarity.Similarity.knnIvf(
+        emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", "label",
+        k = 5, nProbe = 3)
     }),
 
     "ss3_centroid" -> ((s, dir) =>

@@ -70,6 +70,44 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(round(avg(col("v")), 6).as("c"))
 
+  /** Centroid vectors per label: (label, cvec array<double>) — rebuilt
+    * from the flat [[centroids]] output. */
+  def centroidVectors(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    centroids(emb, labelCol, vecCol)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("cvec"))
+
+  /** IVF-style approximate top-k: assign each query to its `nProbe`
+    * nearest coarse centroids (cosine), then score only corpus vectors in
+    * those partitions. The centroid table is tiny and broadcast; the
+    * corpus is touched only in the probed partitions — the classic
+    * inverted-file trade of recall for a ~(nProbe/nLists) scan fraction. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = broadcast(centroidVectors(corpus, labelCol, vecCol))
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "q_vec")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("label"))
+    val probes = q.join(cents)
+      .withColumn("__sim",
+        dot(col("q_vec"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec"))))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("label"))
+      .join(unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec"), "neighbor_id")
+    val scored = probes.join(c, Seq("label"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: bucket = sign bits of
     * `planes` fixed pseudo-random hyperplanes (seeded, deterministic);
     * each query scores only its bucket. Recall < 1 by construction —

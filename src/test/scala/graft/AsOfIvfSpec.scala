@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.operators.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class AsOfIvfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("as-of join attaches latest right row at-or-before left time") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 200L, 12.0),
+      ("A", 205L, 13.0), ("A", 205L, 14.0), ("B", 60L, 1.0))
+      .toDF("sym", "t", "px")
+    val r = AsOfJoin.backward(trades, quotes,
+      col("sym"), col("sym"), col("t"), col("t"),
+      Seq("px" -> col("px"), "quote_t" -> col("t")))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(r(1L).contains(11.0)) // inclusive at equal time
+    assert(r(2L).contains(14.0)) // tie at t=205 -> max payload wins
+    assert(r(3L).isEmpty)        // no quote at or before 50
+  }
+
+  test("ivf knn returns a subset of brute-force with identical scores; full recall at nProbe=nLists") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val bruteScores = brute.map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.knnIvf(e, q, "vec_id", "embedding", "label", 5, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty && ivf.length <= brute.length + 45) // 5 per query side
+    ivf.foreach { r => bruteScores.get((r._1, r._2)).foreach(c => assert(c == r._3)) }
+    // probing every list = exact brute-force result
+    val nLists = e.select(countDistinct(col("label"))).as[Long].head().toInt
+    val full = Similarity.knnIvf(e, q, "vec_id", "embedding", "label", 5, nProbe = nLists)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(full.toSet == brute.toSet)
+  }
+}
