@@ -345,6 +345,26 @@ object SparkEntry {
       """SELECT label, pos - 1 AS pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
          GROUP BY label, pos""",
+    "ss4_knn_ivf" ->
+      """WITH cent AS (
+           SELECT label, list(c ORDER BY pos) AS cvec FROM (
+             SELECT label, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
+             FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
+             GROUP BY label, pos) GROUP BY label),
+         q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+         probes AS (
+           SELECT qid, qv, label FROM (
+             SELECT qid, qv, label,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qv, cvec), 6) DESC, label) AS pr
+             FROM q CROSS JOIN cent) WHERE pr <= 3),
+         c AS (SELECT vec_id AS nid, label, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cosine
+               FROM probes JOIN c USING (label) WHERE qid != nid)
+         SELECT query_id, neighbor_id, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
+         WHERE rk <= 5""",
     "tx1_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
          len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,

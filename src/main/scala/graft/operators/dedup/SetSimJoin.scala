@@ -73,20 +73,27 @@ object SetSimJoin {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, k)
+    // the prefix machinery works on 64-bit shingle hashes: smaller sort
+    // and join keys; a (vanishingly unlikely) hash collision can only ADD
+    // a spurious candidate, which exact verification then kills — the
+    // output stays exact
     val ex = sets.select(col("doc_id"), col("set_size"),
-      explode(col("sh")).as("shingle"))
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("set_size"),
+        xxhash64(col("shingle")).as("shash"), col("shingle"))
     // global doc-frequency: the canonical rare-first total order
-    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfreq, "shingle").withColumn("rnk",
-      row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+    val dfreq = ex.groupBy("shash").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "shash").withColumn("rnk",
+      row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("df"), col("shash"), col("shingle"))))
     val prefix = ranked.where(
         col("rnk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
-      .select("doc_id", "set_size", "shingle")
+      .select("doc_id", "set_size", "shash")
       .localCheckpoint() // self-joined below: one window pass, not two
     // length filter: J(A,B) ≥ t implies t·|B| ≤ |A| (and symmetrically),
     // so the size-ratio bound is exact, not an approximation
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id") &&
           col("a.set_size") >= lit(threshold) * col("b.set_size") &&
           col("b.set_size") >= lit(threshold) * col("a.set_size"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -92,7 +92,7 @@ object Similarity {
       .orderBy(col("__sim").desc, col("label"))
     val probes = q.join(cents)
       .withColumn("__sim",
-        dot(col("q_vec"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec"))))
+        round(dot(col("q_vec"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec"))), 6))
       .withColumn("__pr", row_number().over(probeW))
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("label"))
