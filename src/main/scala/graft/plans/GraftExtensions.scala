@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Cluster deployment: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) registers the functions at
+  * session build; `GraftExtensions.register(spark)` injects them into an
+  * already-built session (used by tests/notebooks). After either,
+  * `SELECT graft_dot(a, b)` works from plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(arr, arr) takes two arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+
+  /** Register into an existing session (tests, shells). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, builder)
+    }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSessionExtensions
+
+class ExtensionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("graft_dot is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(r == 32.0)
+    // type check fires for wrong input types
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_dot(array('a'), array('b'))").collect())
+    assert(err.getMessage.contains("graft_dot"))
+  }
+
+  test("extensions class injects without error (session-build path)") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("codegen and interpreted paths agree") {
+    GraftExtensions.register(spark)
+    val df = Tables(spark, sf0001, "embeddings").limit(50)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    df.createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(v, v) AS d FROM ext_vecs")
+      .as[(Long, Double)].collect().toMap
+    val viaHof = df.selectExpr("vec_id",
+      "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (a, b) -> a + b) AS d")
+      .as[(Long, Double)].collect().toMap
+    assert(viaSql == viaHof)
+  }
+}
