@@ -226,6 +226,16 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_orderkey")
     }),
 
+    "q19_topk_native" -> ((s, dir) => {
+      // custom TopKPerGroup plan: bounded heaps + partial map-side stage,
+      // no window sort (see graft.plans.TopKPerGroup)
+      val joined = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"), col("o_totalprice"))
+      operators.TopK.perGroup(joined, Seq("segment"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+    }),
+
     "q18_pull_pipeline" -> ((s, dir) => {
       Pipeline.pull(
         source = Tables(s, dir, "orders"),
@@ -537,6 +547,11 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
            FROM u)
          SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE is_event = 1""",
+    "q19_topk_native" ->
+      """SELECT segment, o_orderkey, o_totalprice FROM (
+         SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3""",
     "q18_pull_pipeline" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total,
          CAST(o_orderdate AS DATE) AS order_date
