@@ -58,6 +58,31 @@ abstract class FileWarehouse extends Warehouse {
       .options(writeOptions ++ auth.asOptions)
       .mode(mode)
       .save(resourcePath(resource))
+
+  /** Hive-style partitioned write: readers filtering on `partitionCols`
+    * prune directories at planning time (PartitionFilters in the scan) —
+    * the physical layout half of incremental-pull efficiency at 100 TB. */
+  def writePartitioned(df: DataFrame, resource: String,
+      partitionCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format(format)
+      .options(writeOptions ++ auth.asOptions)
+      .partitionBy(partitionCols: _*)
+      .mode(mode)
+      .save(resourcePath(resource))
+}
+
+/** Catalog-backed bucketed tables: two tables bucketed by the same key
+  * into the same bucket count join WITHOUT a shuffle (no Exchange in the
+  * plan) — the standard co-location strategy for repeated big joins. */
+object BucketedTables {
+  def write(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
 }
 
 final case class ParquetWarehouse(
