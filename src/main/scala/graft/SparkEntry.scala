@@ -226,6 +226,17 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_orderkey")
     }),
 
+    "q20_salted_agg" -> ((s, dir) => {
+      // skew-resistant two-phase aggregation; decimal element casts keep
+      // the sums exact across the extra combine stage
+      val orders = Tables(s, dir, "orders")
+        .withColumn("price_dec", col("o_totalprice").cast(dec))
+      operators.Salting.saltedAgg(orders, Seq("o_custkey"), saltBuckets = 8,
+        Seq(operators.SumAgg("price_dec", "total_spent"), operators.CountAgg("n_orders")))
+        .select(col("o_custkey"), col("total_spent").cast("double").as("total_spent"),
+          col("n_orders"))
+    }),
+
     "q19_topk_native" -> ((s, dir) => {
       // custom TopKPerGroup plan: bounded heaps + partial map-side stage,
       // no window sort (see graft.plans.TopKPerGroup)
@@ -547,6 +558,11 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
            FROM u)
          SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE is_event = 1""",
+    "q20_salted_agg" ->
+      """SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_custkey""",
     "q19_topk_native" ->
       """SELECT segment, o_orderkey, o_totalprice FROM (
          SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,

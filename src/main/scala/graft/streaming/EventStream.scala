@@ -37,4 +37,24 @@ object EventStream {
   def pull(events: DataFrame, where: Seq[Condition],
       format: DataFrame => DataFrame = identity): DataFrame =
     format(events.where(Conditions.all(where)))
+
+  /** Streaming EVENTS-mode push: the batch pipeline's fetch-by-id join as
+    * a continuous stream-static inner join (the static side is re-read per
+    * micro-batch; broadcast it when dimension-sized). Missing resources
+    * drop out exactly as in batch; HAVING and the formatter are the same
+    * Condition algebra / projection. */
+  def pushEvents(events: DataFrame, eventResourceIdCol: String,
+      resources: DataFrame, resourceIdCol: String,
+      having: Seq[Condition] = Nil,
+      format: DataFrame => DataFrame = identity): DataFrame =
+    format(events
+      .join(resources, events(eventResourceIdCol) === resources(resourceIdCol), "inner")
+      .where(Conditions.all(having)))
+
+  /** Streaming exact dedup on key columns: state is bounded by the
+    * watermark horizon (duplicates arriving later than the watermark are
+    * not caught — the streaming trade of the batch md5-groupBy dedup). */
+  def dedup(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -78,6 +78,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming events push equals batch pushEvents") {
+    val dir = stageEventsDir()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val customers = spark.read.parquet(s"$sf0001/customer.parquet")
+    val having = Seq(graft.conditions.Condition("c_acctbal", graft.conditions.Op.Gt, 0))
+
+    val stream = EventStream.pushEvents(
+      EventStream.source(spark, dir, batch.schema), "user_id",
+      broadcast(customers), "c_custkey", having,
+      df => df.select("event_id", "user_id", "c_name"))
+    val q = stream.writeStream
+      .format("memory").queryName("pushed_stream").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("pushed_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = graft.pipeline.Pipeline.pushEvents(
+      batch, "user_id", customers, "c_custkey", having,
+      df => df.select("event_id", "user_id", "c_name")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = stageEventsDir()
+    // stage the same file twice: every event is duplicated
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events_copy.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+
+    val stream = EventStream.dedup(
+      EventStream.source(spark, dir, batch.schema), Seq("event_id"), "1 hour")
+      .select("event_id")
+    val q = stream.writeStream
+      .format("memory").queryName("deduped").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    assert(spark.table("deduped").count() == batch.count())
+  }
+
   test("streaming pull applies the same Condition algebra as batch") {
     val dir = stageEventsDir()
     val batch = spark.read.parquet(s"$dir/events.parquet")
