@@ -43,14 +43,21 @@ object SetSimJoin {
     * table — materializing the shingle index is the standard first pass of
     * a distributed PPJoin. */
   private[dedup] def shingleSets(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // a small input file arrives as one partition: spread the (per-row
+    // expensive) tokenize+shingle work across the cluster before
+    // materializing; skip when the source is already parallel
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
+    spread.select(
         col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), TextFunctions.shingles(col("toks"), k).as("sh"))
       .withColumn("set_size", size(col("sh")))
       .localCheckpoint()
+  }
 
   /** Verify candidate pairs (doc_a < doc_b) with the exact Jaccard and
     * keep those ≥ threshold. */
