@@ -103,6 +103,25 @@ object SparkEntry {
           count(lit(1)).as("n_in_slice"))
     }),
 
+    "q21_cursor_uid" -> ((s, dir) => {
+      // uid-mode cursor: numeric id slice + advance in one agg pass
+      val cur = Cursor(CursorMode.Uid, start = Some("1000"))
+      val slice = Tables(s, dir, "orders")
+        .where(col("o_orderkey") >= cur.start.get.toLong)
+      slice.agg(max(col("o_orderkey")).cast("string").as("cursor_end"),
+        count(lit(1)).as("n_in_slice"))
+    }),
+
+    "q22_cursor_desc" -> ((s, dir) => {
+      // descending sync: start is the UPPER bound, advance = min
+      val cur = Cursor(CursorMode.CreatedAt, start = Some("1997-01-01 00:00:00"),
+        ascending = false)
+      Tables(s, dir, "orders")
+        .where(cur.slice(col("o_orderdate")))
+        .agg(min(col("o_orderdate")).cast("string").as("cursor_end"),
+          count(lit(1)).as("n_in_slice"))
+    }),
+
     "q8_mapping_formatter" -> ((s, dir) => {
       FormatterRegistry.register("customer_std", Seq(
         FieldMap("c_custkey", "id"), FieldMap("c_name", "name"),
@@ -487,6 +506,12 @@ object SparkEntry {
     "q7_cursor_advance" ->
       """SELECT CAST(max(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+    "q21_cursor_uid" ->
+      """SELECT CAST(max(o_orderkey) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
+         FROM orders WHERE o_orderkey >= 1000""",
+    "q22_cursor_desc" ->
+      """SELECT CAST(min(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
+         FROM orders WHERE o_orderdate <= TIMESTAMP '1997-01-01 00:00:00'""",
     "q8_mapping_formatter" ->
       """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment, c_acctbal AS balance
          FROM customer""",

@@ -108,6 +108,48 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  /** IVF with a TRAINED coarse quantizer: KMeans (spark.ml) learns
+    * `nLists` centers over the corpus, every corpus vector is assigned to
+    * its nearest center, and each query probes its `nProbe` nearest
+    * centers — the real inverted-file build, vs [[knnIvf]]'s
+    * label-partition shortcut. Deterministic for a fixed seed. */
+  def knnIvfKMeans(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feat = corpus.select(col(idCol).as("neighbor_id"),
+      array_to_vector(toDouble(col(vecCol))).as("__feat"))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__feat").setPredictionCol("__list")
+      .fit(feat)
+    val assigned = model.transform(feat).select(col("neighbor_id"), col("__list").as("list"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      model.clusterCenters.zipWithIndex
+        .map { case (v, i) => (i, v.toArray) }.toSeq
+        .toDF("list", "cvec"))
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "q_vec")
+    val probeW = Window.partitionBy("query_id").orderBy(col("__sim").desc, col("list"))
+    val probes = q.join(cents)
+      .withColumn("__sim",
+        round(dot(col("q_vec"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec"))), 6))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("list"))
+    val c = assigned.join(
+      unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec"), "neighbor_id")
+    val scored = probes.join(c, Seq("list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: bucket = sign bits of
     * `planes` fixed pseudo-random hyperplanes (seeded, deterministic);
     * each query scores only its bucket. Recall < 1 by construction —

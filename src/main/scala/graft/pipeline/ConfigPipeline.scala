@@ -112,4 +112,67 @@ object ConfigPipeline {
 
   def runPull(spark: SparkSession, json: String): (DataFrame, Cursor) =
     runPull(spark, parsePull(json))
+
+  /** Config-driven push (reference: core/pipeline.py:269-309
+    * `ResourcePushConfig` / `run_resource_push_from_config`). EVENTS mode
+    * reads the event stream from `eventsResource` on the origin and joins
+    * it to the origin's `resource` table (the fetch-by-id); RESOURCES mode
+    * pushes the origin resource directly. Returns the pushed frame and the
+    * PushResult counters frame (EVENTS mode). */
+  final case class PushConfig(
+      resource: String,
+      origin: String,
+      target: String,
+      mode: String, // "events" | "resources"
+      eventsResource: Option[String],
+      eventIdCol: Option[String],
+      resourceIdCol: Option[String],
+      having: Seq[Condition],
+      mapping: Seq[FieldMap],
+      dryRun: Boolean)
+
+  def parsePush(json: String): PushConfig = {
+    val j = JsonMethods.parse(json)
+    def opt(v: JValue): Option[String] = v match { case JString(s) => Some(s); case _ => None }
+    PushConfig(
+      resource = str(j \ "resource", "resource"),
+      origin = str(j \ "origin", "origin"),
+      target = str(j \ "target", "target"),
+      mode = opt(j \ "mode").getOrElse("resources"),
+      eventsResource = opt(j \ "events_resource"),
+      eventIdCol = opt(j \ "event_id_col"),
+      resourceIdCol = opt(j \ "resource_id_col"),
+      having = parseConditions(j \ "having"),
+      mapping = parseMapping(j \ "mapping"),
+      dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false })
+  }
+
+  def runPush(spark: SparkSession, cfg: PushConfig): (DataFrame, Option[DataFrame]) = {
+    val origin = WarehouseRegistry.instance(cfg.origin)
+    val format =
+      if (cfg.mapping.nonEmpty) Formatters.mapping(cfg.mapping) else Formatters.identity
+    val resources = origin.read(spark, cfg.resource)
+    val (out, counters) = cfg.mode match {
+      case "events" =>
+        val eventsRes = cfg.eventsResource.getOrElse(
+          throw new IllegalArgumentException("push mode 'events' needs events_resource"))
+        val evIdCol = cfg.eventIdCol.getOrElse(
+          throw new IllegalArgumentException("push mode 'events' needs event_id_col"))
+        val resIdCol = cfg.resourceIdCol.getOrElse(
+          throw new IllegalArgumentException("push mode 'events' needs resource_id_col"))
+        val events = origin.read(spark, eventsRes)
+        (Pipeline.pushEvents(events, evIdCol, resources, resIdCol, cfg.having, format),
+          Some(Pipeline.pushEventsResult(events, evIdCol, resources, resIdCol, cfg.having)))
+      case "resources" =>
+        (Pipeline.pushResources(resources, cfg.having, format), None)
+      case other =>
+        throw new IllegalArgumentException(s"unknown push mode: $other")
+    }
+    if (!cfg.dryRun)
+      WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Overwrite)
+    (out, counters)
+  }
+
+  def runPush(spark: SparkSession, json: String): (DataFrame, Option[DataFrame]) =
+    runPush(spark, parsePush(json))
 }

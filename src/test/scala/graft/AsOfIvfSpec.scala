@@ -22,6 +22,21 @@ class AsOfIvfSpec extends SparkSpecBase {
     assert(r(3L).isEmpty)        // no quote at or before 50
   }
 
+  test("kmeans-trained ivf: subset of brute force, full recall probing all lists") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val bruteScores = brute.map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.knnIvfKMeans(e, q, "vec_id", "embedding", 5, nLists = 8, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r => bruteScores.get((r._1, r._2)).foreach(c => assert(c == r._3)) }
+    val full = Similarity.knnIvfKMeans(e, q, "vec_id", "embedding", 5, nLists = 8, nProbe = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(full.toSet == brute.toSet)
+  }
+
   test("ivf knn returns a subset of brute-force with identical scores; full recall at nProbe=nLists") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.where(col("vec_id") < 10)

@@ -68,6 +68,29 @@ class SourcesConfigSpec extends SparkSpecBase {
     assert(cfg2.dryRun)
   }
 
+  test("config-driven push: events mode joins, counts, writes") {
+    WarehouseRegistry.clear()
+    val outDir = Files.createTempDirectory("graft-push-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("psrc", "Source", "lake", "parquet"),
+      () => ParquetWarehouse("psrc", sf0001))
+    WarehouseRegistry.register(
+      WarehouseMeta("pdst", "Target", "lake", "parquet"),
+      () => ParquetWarehouse("pdst", outDir, ext = ""))
+    val (out, counters) = ConfigPipeline.runPush(spark, """{
+      "resource": "customer", "origin": "psrc", "target": "pdst",
+      "mode": "events", "events_resource": "events",
+      "event_id_col": "user_id", "resource_id_col": "c_custkey",
+      "having": [{"field": "c_acctbal", "op": "gt", "value": 0}],
+      "mapping": [{"from": "event_id", "to": "event_id"}, {"from": "c_name", "to": "name"}]
+    }""")
+    assert(out.columns.toSeq == Seq("event_id", "name") && out.count() > 0)
+    assert(counters.isDefined)
+    val c = counters.get.collect().head
+    assert(c.getLong(0) == 1000 && c.getLong(3) == 0) // 1000 events, none missing
+    assert(spark.read.parquet(s"$outDir/customer").count() == out.count())
+  }
+
   test("ui schema export carries operators + bindings") {
     val schema = FilterSchema(Seq(
       FieldSpec("created_at", Set(Op.Gte, Op.Lte), cursorTag = Some("created_at")),
