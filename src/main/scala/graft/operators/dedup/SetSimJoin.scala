@@ -68,7 +68,10 @@ object SetSimJoin {
         col("set_size").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("set_size").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.IntersectSize(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_a")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_b")))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)

@@ -26,6 +26,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_dot(arr, arr) takes two arguments")
         DotProduct(exprs.head, exprs(1))
+      }),
+    ("graft_intersect_size",
+      new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_intersect_size(arr, arr) takes two arguments")
+        IntersectSize(exprs.head, exprs(1))
       }))
 
   /** Register into an existing session (tests, shells). */

@@ -22,6 +22,25 @@ class ExtensionsSpec extends SparkSpecBase {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("graft_intersect_size equals size(array_intersect) on distinct sets") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_intersect_size(array('a','b','c'), array('b','c','d')) AS i1,
+             size(array_intersect(array('a','b','c'), array('b','c','d'))) AS i2,
+             graft_intersect_size(array('a'), array('x')) AS i3""")
+      .as[(Int, Int, Int)].head()
+    assert(r == ((2, 2, 0)))
+    // agreement on real shingle arrays
+    val docs = Tables(spark, sf0001, "documents").limit(100)
+    docs.createOrReplaceTempView("ext_docs")
+    val agree = spark.sql("""
+      WITH t AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM ext_docs)
+      SELECT count(*) FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE graft_intersect_size(a.toks, b.toks) != size(array_intersect(a.toks, b.toks))""")
+      .as[Long].head()
+    assert(agree == 0)
+  }
+
   test("codegen and interpreted paths agree") {
     GraftExtensions.register(spark)
     val df = Tables(spark, sf0001, "embeddings").limit(50)
