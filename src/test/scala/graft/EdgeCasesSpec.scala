@@ -1,0 +1,59 @@
+package graft
+
+import graft.conditions.{Condition, Op}
+import graft.cursor.{Cursor, CursorMode}
+import graft.operators.dedup.{Dedup, MinHashLSH, SetSimJoin, SimHash}
+import graft.operators.similarity.Similarity
+import graft.operators.textual.TextStats
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class EdgeCasesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("dedup operators return empty on empty input, not errors") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.fingerprint(emptyDocs, "doc_id", "text").count() == 0)
+    assert(SetSimJoin.jaccardJoin(emptyDocs, "doc_id", "text", 3, 0.8).count() == 0)
+    assert(MinHashLSH.nearDupPairs(emptyDocs, "doc_id", "text", 3, 0.8).count() == 0)
+    assert(SimHash.nearDupPairs(emptyDocs, "doc_id", "text", 3, 4).count() == 0)
+  }
+
+  test("docs shorter than the shingle width are dropped, not crashed") {
+    val tiny = Seq((1L, "one two"), (2L, "a b c d e f"), (3L, "")).toDF("doc_id", "text")
+    // only doc 2 has >= 3 tokens; no pairs possible
+    assert(SetSimJoin.jaccardJoin(tiny, "doc_id", "text", 3, 0.5).count() == 0)
+    val t = TextStats.tokenCounts(tiny, "doc_id", "text")
+    assert(t.count() == 3) // stats still computed for all docs
+  }
+
+  test("similarity with empty queries or corpus yields empty results") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val noQueries = emb.where(col("vec_id") < 0)
+    assert(Similarity.knnBrute(emb, noQueries, "vec_id", "embedding", 5).count() == 0)
+    assert(Similarity.knnLsh(emb, noQueries, "vec_id", "embedding", 5, 64).count() == 0)
+    assert(Similarity.cosinePairs(emb.limit(1), "vec_id", "embedding", 0.0).count() == 0)
+  }
+
+  test("pipeline on an empty slice: empty output, cursor keeps its end") {
+    val orders = Tables(spark, sf0001, "orders")
+    val cur = Cursor(CursorMode.CreatedAt, start = Some("2999-01-01"), end = Some("2999-12-31"))
+    val (out, advanced) = Pipeline.pullWithCursor(orders, "o_orderdate", cur,
+      where = Seq(Condition("o_orderstatus", Op.Eq, "O")))
+    assert(out.count() == 0)
+    assert(advanced.end == cur.end) // no progress, end unchanged
+  }
+
+  test("push with empty events reports zero counters") {
+    val orders = Tables(spark, sf0001, "orders")
+    val noEvents = Tables(spark, sf0001, "events").where(lit(false))
+    val r = Pipeline.pushEventsResult(noEvents, "user_id", orders, "o_custkey")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((0L, 0L, 0L, 0L, 0L)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.conditions.{Condition, Conditions, Op}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("Condition compilation matches a reference evaluator on random data") {
+    val rows = samples(Gen.zip(Gen.choose(-50, 50), Gen.alphaLowerStr.map(_.take(6))), 60)
+      .zipWithIndex.map { case ((n, s), i) => (i.toLong, n, s) }
+    val df = rows.toDF("id", "n", "s")
+
+    def reference(op: Op, v: Int)(row: (Long, Int, String)): Boolean = op match {
+      case Op.Eq  => row._2 == v
+      case Op.Gt  => row._2 > v
+      case Op.Gte => row._2 >= v
+      case Op.Lt  => row._2 < v
+      case Op.Lte => row._2 <= v
+      case _      => false
+    }
+    for (op <- Seq(Op.Eq, Op.Gt, Op.Gte, Op.Lt, Op.Lte); v <- Seq(-10, 0, 17)) {
+      val got = df.where(Condition("n", op, v).toColumn)
+        .select("id").as[Long].collect().toSet
+      val want = rows.filter(reference(op, v)).map(_._1).toSet
+      assert(got == want, s"op=$op v=$v")
+    }
+    // AND-composition: conjunction of conditions == intersection of matches
+    val conj = Seq(Condition("n", Op.Gte, -10), Condition("n", Op.Lt, 17))
+    val got = df.where(Conditions.all(conj)).select("id").as[Long].collect().toSet
+    val want = rows.filter(r => r._2 >= -10 && r._2 < 17).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("fingerprint is invariant under case/punctuation/whitespace noise") {
+    val base = samples(Gen.nonEmptyListOf(
+      Gen.oneOf("spark", "data", "query", "join", "scan", "agg")), 30)
+      .map(_.mkString(" "))
+    val noisy = base.zipWithIndex.map { case (s, i) =>
+      val upper = if (i % 2 == 0) s.toUpperCase else s
+      val punct = upper.replace(" ", if (i % 3 == 0) " ,  " else "! ")
+      (i.toLong, s, s"  $punct  ")
+    }
+    val df = noisy.toDF("id", "clean", "dirty")
+      .select(col("id"),
+        TextFunctions.fingerprint(col("clean")).as("f1"),
+        TextFunctions.fingerprint(col("dirty")).as("f2"))
+    assert(df.where(col("f1") =!= col("f2")).count() == 0)
+  }
+
+  test("jaccard join is symmetric in doc order and bounded by [threshold, 1]") {
+    val docs = Tables(spark, sf0001, "documents").limit(200)
+    val pairs = graft.operators.dedup.SetSimJoin
+      .jaccardJoin(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, j) =>
+      assert(a < b)
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    // reversing ids via a relabel keeps the same unordered pair set
+    val relabeled = docs.select((lit(100000L) - col("doc_id")).as("doc_id"), col("text"))
+    val pairs2 = graft.operators.dedup.SetSimJoin
+      .jaccardJoin(relabeled, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (100000L - a, 100000L - b, j) }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(pairs.map { case (a, b, j) => (a, b, j) }.toSet == pairs2)
+  }
+}
