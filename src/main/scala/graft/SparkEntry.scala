@@ -338,6 +338,13 @@ object SparkEntry {
     "tx3_langid" -> ((s, dir) =>
       operators.textual.TextStats.langId(Tables(s, dir, "documents"), "doc_id", "text", "lang")),
 
+    "tx5_tfidf" -> ((s, dir) =>
+      operators.textual.TextStats.tfidfTop(Tables(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    "tx6_chunk" -> ((s, dir) =>
+      operators.textual.TextStats.chunk(Tables(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 16)),
+
     "tx4_ngram_freq" -> ((s, dir) =>
       operators.textual.TextStats.ngramFreq(Tables(s, dir, "documents"), "text", n = 2, minCount = 10)),
 
@@ -442,6 +449,24 @@ object SparkEntry {
                   WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
                   WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang
            FROM s)""",
+    "tx5_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, term, tfidf, rk FROM (
+           SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6) DESC, tf.term) AS rk
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         WHERE rk <= 3""",
+    "tx6_chunk" ->
+      s"""SELECT doc_id, i AS chunk_idx,
+           array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk_text
+         FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+           LATERAL (SELECT unnest(generate_series(0, (len(toks)-1) // 16)) AS i)
+         WHERE len(toks) > 0""",
     "tx4_ngram_freq" ->
       s"""SELECT ngram, count(*) AS cnt FROM (
            SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),

@@ -93,6 +93,45 @@ object TextStats {
       (best._1 === col(actualLangCol)).as("is_match"))
   }
 
+  /** Top-k TF-IDF terms per document: tf from the per-doc term counts,
+    * idf = ln(N/df) from the corpus document frequencies. Two shuffles
+    * (doc-term agg, term df agg) + a broadcast of the tiny df table; the
+    * scalar N rides along as a cross-joined 1-row frame. Ranking on the
+    * rounded score with a term tiebreak keeps results engine-portable. */
+  def tfidfTop(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+  }
+
+  /** Token-window chunking (LLM preprocessing): windows of `window`
+    * tokens with `stride` steps; the last window may be partial. Pure
+    * per-row array work — no shuffle, chunk explosion bounded by
+    * len/stride. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0)
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(__toks) - 1) div $stride")),
+          i => concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(window)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+  }
+
   /** Corpus word-n-gram frequency with map-side combine; `minCount`
     * bounds the output (and `log`s nothing silently — the threshold is
     * part of the contract). */

@@ -65,6 +65,26 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(r(3L) == "en") // all scores 0 -> first priority wins
   }
 
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "common common rareword"),
+      (2L, "common other"),
+      (3L, "common other third")).toDF("doc_id", "text")
+    val top = TextStats.tfidfTop(d, "doc_id", "text", k = 1)
+      .as[(Long, String, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(top(1L) == "rareword") // df=1 beats tf=2 of df=3 'common' (idf=0)
+  }
+
+  test("chunking windows with stride and partial tail") {
+    val d = Seq((1L, (1 to 40).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextStats.chunk(d, "doc_id", "text", window = 32, stride = 16)
+      .as[(Long, Int, String)].collect().sortBy(_._2)
+    assert(chunks.length == 3) // starts 0,16,32
+    assert(chunks(0)._3.startsWith("t1 ") && chunks(0)._3.split(" ").length == 32)
+    assert(chunks(1)._3.startsWith("t17 "))
+    assert(chunks(2)._3.split(" ").length == 8) // partial tail
+  }
+
   test("binary metadata extraction is deterministic over payload bytes") {
     val d = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
     val m = BinaryMeta.extract(spark, d, "doc_id", "text").collect().head
