@@ -122,6 +122,42 @@ object SparkEntry {
           count(lit(1)).as("n_in_slice"))
     }),
 
+    "q23_json_extract" -> ((s, dir) => {
+      // semi-structured payload processing: events.props is a JSON string
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("total_k"), count(lit(1)).as("n"),
+          max(col("k")).as("max_k"))
+    }),
+
+    "q24_pivot" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("segment"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    "q25_rollup" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+    }),
+
+    "q26_quantiles" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+    }),
+
     "q8_mapping_formatter" -> ((s, dir) => {
       FormatterRegistry.register("customer_std", Seq(
         FieldMap("c_custkey", "id"), FieldMap("c_name", "name"),
@@ -531,6 +567,27 @@ object SparkEntry {
     "q7_cursor_advance" ->
       """SELECT CAST(max(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+    "q23_json_extract" ->
+      """SELECT event_type, CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS total_k,
+         count(*) AS n, max(CAST(props ->> 'k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
+    "q24_pivot" ->
+      """SELECT c_mktsegment AS segment,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q25_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q26_quantiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+         FROM orders GROUP BY o_orderstatus""",
     "q21_cursor_uid" ->
       """SELECT CAST(max(o_orderkey) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
          FROM orders WHERE o_orderkey >= 1000""",
