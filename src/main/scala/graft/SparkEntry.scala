@@ -122,6 +122,30 @@ object SparkEntry {
           count(lit(1)).as("n_in_slice"))
     }),
 
+    "q27_distinct_counts" -> ((s, dir) => {
+      // exact distinct cardinalities (the oracle-able twin of the
+      // approx_count_distinct sketch — see ApproxSpec)
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q28_fuzzy_match" -> ((s, dir) => {
+      // edit-distance fuzzy matching on short strings; left side is a
+      // deterministic 1-in-50 sample to bound the pair count (the full
+      // join would be blocked/banded at scale — see SURVEY §5)
+      val parts = Tables(s, dir, "part").select("p_partkey", "p_name")
+      val probes = parts.where(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("probe_key"), col("p_name").as("probe_name"))
+      probes.join(parts, col("probe_key") < col("p_partkey"))
+        .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
+        .where(col("dist") <= 2)
+        .select(col("probe_key"), col("p_partkey"), col("probe_name"),
+          col("p_name"), col("dist"))
+    }),
+
     "q23_json_extract" -> ((s, dir) => {
       // semi-structured payload processing: events.props is a JSON string
       Tables(s, dir, "events")
@@ -567,6 +591,15 @@ object SparkEntry {
     "q7_cursor_advance" ->
       """SELECT CAST(max(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+    "q27_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q28_fuzzy_match" ->
+      """SELECT a.p_partkey AS probe_key, b.p_partkey, a.p_name AS probe_name,
+         b.p_name, levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b ON a.p_partkey % 50 = 0 AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "q23_json_extract" ->
       """SELECT event_type, CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS total_k,
          count(*) AS n, max(CAST(props ->> 'k' AS BIGINT)) AS max_k

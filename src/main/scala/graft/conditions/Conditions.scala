@@ -16,8 +16,13 @@ object Op {
   case object Lte      extends Op("lte")
   case object In       extends Op("in")
   case object Contains extends Op("contains")
+  // beyond the reference's set (its TODO at core/utils.py:98 mentions
+  // extending): explicit null tests, needed because all comparison ops
+  // are null-rejecting under three-valued logic
+  case object IsNull   extends Op("is_null")
+  case object NotNull  extends Op("not_null")
 
-  val all: Set[Op] = Set(Eq, Gt, Gte, Lt, Lte, In, Contains)
+  val all: Set[Op] = Set(Eq, Gt, Gte, Lt, Lte, In, Contains, IsNull, NotNull)
 
   def fromName(s: String): Op =
     all.find(_.name == s).getOrElse(
@@ -60,6 +65,8 @@ final case class Condition(field: String, op: Op, value: Any) {
           case single          => c.isin(single)
         }
       case Op.Contains => c.contains(lit(value.toString))
+      case Op.IsNull   => c.isNull
+      case Op.NotNull  => c.isNotNull
     }
   }
 }
