@@ -122,6 +122,32 @@ object SparkEntry {
           count(lit(1)).as("n_in_slice"))
     }),
 
+    "q29_funnel" -> ((s, dir) => {
+      // conversion funnel: first signup -> first click -> first purchase
+      // per user, one conditional-agg pass (ts is long nanos: exact order)
+      val firsts = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts.agg(
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_signup") < col("t_click"), 1)).as("n_signup_click"),
+        count(when(col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"), 1))
+          .as("n_converted"))
+    }),
+
+    "q30_retention" -> ((s, dir) => {
+      // cohort retention: users active at day offsets from their first day
+      val withDay = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val firstDay = withDay.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      withDay.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "q27_distinct_counts" -> ((s, dir) => {
       // exact distinct cardinalities (the oracle-able twin of the
       // approx_count_distinct sketch — see ApproxSpec)
@@ -136,10 +162,13 @@ object SparkEntry {
       // edit-distance fuzzy matching on short strings; left side is a
       // deterministic 1-in-50 sample to bound the pair count (the full
       // join would be blocked/banded at scale — see SURVEY §5)
+      // repartition the streamed side: the broadcast-nested-loop join
+      // parallelizes over its partitions, and a small parquet arrives as 1
       val parts = Tables(s, dir, "part").select("p_partkey", "p_name")
+        .repartition(s.sparkContext.defaultParallelism)
       val probes = parts.where(col("p_partkey") % 50 === 0)
         .select(col("p_partkey").as("probe_key"), col("p_name").as("probe_name"))
-      probes.join(parts, col("probe_key") < col("p_partkey"))
+      broadcast(probes).join(parts, col("probe_key") < col("p_partkey"))
         .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
         .where(col("dist") <= 2)
         .select(col("probe_key"), col("p_partkey"), col("probe_name"),
@@ -591,6 +620,24 @@ object SparkEntry {
     "q7_cursor_advance" ->
       """SELECT CAST(max(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+    "q29_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+           count(CASE WHEN t_signup < t_click THEN 1 END) AS n_signup_click,
+           count(CASE WHEN t_signup < t_click AND t_click < t_purchase THEN 1 END) AS n_converted
+         FROM f""",
+    "q30_retention" ->
+      """WITH d AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+         fd AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+         SELECT fd.cohort_day, d.day - fd.cohort_day AS day_offset,
+           count(DISTINCT d.user_id) AS n_users
+         FROM d JOIN fd ON d.user_id = fd.user_id
+         GROUP BY fd.cohort_day, d.day - fd.cohort_day""",
     "q27_distinct_counts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
