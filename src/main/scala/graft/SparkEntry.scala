@@ -382,6 +382,13 @@ object SparkEntry {
       operators.dedup.SetSimJoin.jaccardJoin(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)),
 
+    "dd7_clusters" -> ((s, dir) => {
+      // pair graph -> connected components -> cluster assignments
+      val pairs = operators.dedup.SetSimJoin.jaccardJoin(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)
+      operators.dedup.DedupClusters.clusters(pairs)
+    }),
+
     "dd4_minhash_lsh" -> ((s, dir) =>
       operators.dedup.MinHashLSH.nearDupPairs(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)),
@@ -459,6 +466,16 @@ object SparkEntry {
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
     "dd3_ngram_jaccard" -> jaccardOracle,
+    "dd7_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
     // MinHash-LSH is exact-verified with (b=32,r=4) ⇒ miss probability
     // ~6e-8 per true pair at t=0.8: same oracle as the exact join.
     "dd4_minhash_lsh" -> jaccardOracle,

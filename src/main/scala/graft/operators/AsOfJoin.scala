@@ -27,6 +27,8 @@ object AsOfJoin {
       carry: Seq[(String, Column)]): DataFrame = {
     require(carry.nonEmpty, "carry at least one right-side column")
     val leftCols = left.columns.toSeq
+    require(carry.map(_._1).forall(n => !leftCols.contains(n)),
+      s"carry names collide with left columns: ${carry.map(_._1).intersect(leftCols).mkString(",")}")
     val carryStruct = struct(carry.map { case (n, c) => c.as(n) }: _*)
     val l = left.select(
       struct(leftCols.map(col): _*).as("__l"),

@@ -48,7 +48,11 @@ object TopKStrategy extends SparkStrategy {
 /** Physical bounded-heap top-k per group. `partial = true` runs on the
   * map side with no distribution requirement; the final stage requires
   * clustering by the group key, so each group's survivors meet in one
-  * partition and the same algorithm yields the exact answer. */
+  * partition and the same algorithm yields the exact answer.
+  *
+  * Memory: k rows per distinct group per partition, no spill (like
+  * hash-agg pre-Tungsten) — for extreme group cardinality per partition,
+  * fall back to the window formulation. */
 final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],

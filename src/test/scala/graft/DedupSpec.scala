@@ -44,6 +44,14 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact)
   }
 
+  test("cluster assignment: transitive closure with min-id labels") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: clusters {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val c = graft.operators.dedup.DedupClusters.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
     val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
       .as[(Long, Long, Int)].collect()
