@@ -389,6 +389,15 @@ object SparkEntry {
       operators.dedup.DedupClusters.clusters(pairs)
     }),
 
+    "dd8_dedup_apply" -> ((s, dir) => {
+      // end-to-end dedup: near-dup pairs -> clusters -> retained corpus
+      val docs = Tables(s, dir, "documents")
+      val pairs = operators.dedup.SetSimJoin.jaccardJoin(
+        docs, "doc_id", "text", k = 3, threshold = 0.8)
+      operators.dedup.DedupClusters.applyDedup(docs, "doc_id", pairs)
+        .select(col("doc_id").as("kept_id"), col("lang"), col("source"))
+    }),
+
     "dd4_minhash_lsh" -> ((s, dir) =>
       operators.dedup.MinHashLSH.nearDupPairs(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)),
@@ -466,6 +475,19 @@ object SparkEntry {
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
     "dd3_ngram_jaccard" -> jaccardOracle,
+    "dd8_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id AS kept_id, d.lang, d.source
+         FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id""",
     "dd7_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),
          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -49,4 +49,14 @@ object DedupClusters {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Apply dedup: keep every document that is not in any cluster plus the
+    * minimum-id representative of each cluster — the "retained corpus"
+    * output a training-data pipeline actually writes. */
+  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val assign = clusters(pairs).withColumnRenamed("doc_id", "__cc_id")
+    docs.join(assign, docs(idCol) === assign("__cc_id"), "left")
+      .where(col("cluster_id").isNull || col("cluster_id") === docs(idCol))
+      .drop("__cc_id", "cluster_id")
+  }
 }
