@@ -122,6 +122,45 @@ object SparkEntry {
           count(lit(1)).as("n_in_slice"))
     }),
 
+    "q31_window_suite" -> ((s, dir) => {
+      // the window-function family in one pass over a totally-ordered frame
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .where(col("o_custkey") < 50)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    "q32_set_ops" -> ((s, dir) => {
+      // INTERSECT/EXCEPT between incremental slices
+      val orders = Tables(s, dir, "orders")
+      val y96 = orders.where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01")).select("o_custkey")
+      val y97 = orders.where(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01")).select("o_custkey")
+      val both = y96.intersect(y97).select(col("o_custkey"), lit("both").as("bucket"))
+      val only96 = y96.except(y97).select(col("o_custkey"), lit("only_1996").as("bucket"))
+      both.unionByName(only96)
+    }),
+
+    "q33_semi_anti" -> ((s, dir) => {
+      // existence joins: customers with/without any order
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val withOrders = customer.join(orders,
+        customer("c_custkey") === orders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("active").as("status"))
+      val withoutOrders = customer.join(orders,
+        customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("inactive").as("status"))
+      withOrders.unionByName(withoutOrders)
+    }),
+
     "q29_funnel" -> ((s, dir) => {
       // conversion funnel: first signup -> first click -> first purchase
       // per user, one conditional-agg pass (ts is long nanos: exact order)
@@ -659,6 +698,31 @@ object SparkEntry {
     "q7_cursor_advance" ->
       """SELECT CAST(max(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+    "q31_window_suite" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+         lag(o_orderkey, 1) OVER w AS prev_key,
+         lead(o_orderkey, 1) OVER w AS next_key,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4) OVER w AS quartile
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""",
+    "q32_set_ops" ->
+      """SELECT o_custkey, 'both' AS bucket FROM (
+           SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+         UNION ALL
+         SELECT o_custkey, 'only_1996' AS bucket FROM (
+           SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')""",
+    "q33_semi_anti" ->
+      """SELECT c_custkey, 'active' AS status FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, 'inactive' AS status FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
     "q29_funnel" ->
       """WITH f AS (
            SELECT user_id,
