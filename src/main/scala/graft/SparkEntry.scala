@@ -122,6 +122,17 @@ object SparkEntry {
           count(lit(1)).as("n_in_slice"))
     }),
 
+    "q34_datetime" -> ((s, dir) => {
+      // calendar rollups: year/quarter/month extraction (dayofweek is
+      // deliberately avoided — Spark counts 1=Sunday, DuckDB 0=Sunday)
+      Tables(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+    }),
+
     "q31_window_suite" -> ((s, dir) => {
       // the window-function family in one pass over a totally-ordered frame
       val w = Window.partitionBy("o_orderstatus")
@@ -698,6 +709,11 @@ object SparkEntry {
     "q7_cursor_advance" ->
       """SELECT CAST(max(o_orderdate) AS VARCHAR) AS cursor_end, count(*) AS n_in_slice
          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+    "q34_datetime" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
+         CAST(month(o_orderdate) AS INT) AS m, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2, 3""",
     "q31_window_suite" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
          lag(o_orderkey, 1) OVER w AS prev_key,
