@@ -1,0 +1,45 @@
+package graft
+
+import graft.cursor.{Cursor, CursorMode, CursorStore}
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CursorStoreSpec extends SparkSpecBase {
+
+  test("incremental pulls resume from the persisted cursor") {
+    val store = new CursorStore(spark, Files.createTempDirectory("graft-cur-").toString + "/cursors")
+    val srcDir = Files.createTempDirectory("graft-incr-").toString
+    val orders = Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("string").as("created"))
+
+    // day 1: only history before 1998 has landed
+    orders.where(col("created") < "1998-01-01").write.parquet(s"$srcDir/orders")
+    val initial = Cursor(CursorMode.CreatedAt)
+    val cur1 = store.nextCursor("sync1", "orders", initial)
+    val (out1, adv1) = Pipeline.pullWithCursor(
+      spark.read.parquet(s"$srcDir/orders"), "created", cur1)
+    store.save("sync1", "orders", adv1)
+    val n1 = out1.count() // materialize before the source dir is overwritten
+    assert(n1 > 0 && adv1.end.isDefined)
+    assert(adv1.end.get < "1998-01-01")
+
+    // day 2: the full table has landed; resume from the stored end
+    orders.write.mode("overwrite").parquet(s"$srcDir/orders")
+    val cur2 = store.nextCursor("sync1", "orders", initial)
+    assert(cur2.start == adv1.end && cur2.end.isEmpty)
+    val (out2, adv2) = Pipeline.pullWithCursor(
+      spark.read.parquet(s"$srcDir/orders"), "created", cur2)
+    store.save("sync1", "orders", adv2)
+
+    // second slice starts at the boundary (at-least-once) and the two
+    // slices together cover the full table
+    assert(out2.agg(min(col("created"))).head().getString(0) >= adv1.end.get)
+    val total = orders.count()
+    val boundaryRows = orders.where(col("created") === adv1.end.get).count()
+    assert(n1 + out2.count() == total + boundaryRows)
+    // store survives: an unrelated pipeline is isolated
+    assert(store.load("other", "orders").isEmpty)
+    assert(store.load("sync1", "orders").get.end == adv2.end)
+  }
+}
