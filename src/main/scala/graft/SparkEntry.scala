@@ -493,6 +493,15 @@ object SparkEntry {
     "tx3_langid" -> ((s, dir) =>
       operators.textual.TextStats.langId(Tables(s, dir, "documents"), "doc_id", "text", "lang")),
 
+    "tx7_train_split" -> ((s, dir) => {
+      // deterministic 80/10/10 split + per-split stats
+      operators.Sampling.deterministicSplit(
+        Tables(s, dir, "documents"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    }),
+
     "tx5_tfidf" -> ((s, dir) =>
       operators.textual.TextStats.tfidfTop(Tables(s, dir, "documents"), "doc_id", "text", k = 3)),
 
@@ -627,6 +636,15 @@ object SparkEntry {
                   WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
                   WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang
            FROM s)""",
+    "tx7_train_split" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, lang, count(*) AS n, min(doc_id) AS min_id
+         FROM s GROUP BY split, lang""",
     "tx5_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * Rows are assigned to named splits by hashing a stable id into 100
+  * buckets — reproducible across runs, engines, and repartitioning
+  * (unlike `randomSplit`, which depends on partitioning), and any
+  * downstream system can recompute membership from the id alone.
+  *
+  * Default bucket hash is Knuth's multiplicative scheme
+  * `(id * 2654435761) mod 2^32 mod 100`: plain integer arithmetic, so it
+  * is portable to any SQL engine (the DuckDB oracle replicates it
+  * exactly) and never overflows a 64-bit signed long for ids < ~3.4e9.
+  * For string or larger keys pass a custom bucket expression (e.g.
+  * `pmod(xxhash64(col), 100)`).
+  */
+object Sampling {
+
+  def knuthBucket(idCol: Column, buckets: Int = 100): Column =
+    pmod(pmod(idCol * lit(2654435761L), lit(4294967296L)), lit(buckets))
+
+  /** @param splits (name, percent) — must sum to 100.
+    * @return input plus a `split` column. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)],
+      bucket: Column => Column = knuthBucket(_, 100)): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val b = bucket(col(idCol))
+    val cut = splits.scanLeft(0)(_ + _._2).tail
+    val assignment = splits.zip(cut).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), els) => when(b < hi, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", assignment)
+  }
+}

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class SaltingSpec extends SparkSpecBase {
 
+  test("deterministic split: stable, complete, roughly proportional") {
+    val docs = Tables(spark, sf0001, "documents")
+    val split = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500 && counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 350 && counts("train") < 450) // ~80% of 500
+    // rerun is bitwise identical (unlike randomSplit)
+    val again = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    assertThrows[IllegalArgumentException](
+      Sampling.deterministicSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val orders = Tables(spark, sf0001, "orders")
     val direct = orders.groupBy("o_custkey")
