@@ -98,14 +98,19 @@ object SetSimJoin {
         .orderBy(col("df"), col("shash"), col("shingle"))))
     val prefix = ranked.where(
         col("rnk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
-      .select("doc_id", "set_size", "shash")
+      .select("doc_id", "set_size", "shash", "rnk")
       .localCheckpoint() // self-joined below: one window pass, not two
-    // length filter: J(A,B) ≥ t implies t·|B| ≤ |A| (and symmetrically),
-    // so the size-ratio bound is exact, not an approximation
+    // two exact PPJoin prunes on top of the prefix match:
+    //  - length filter: J(A,B) ≥ t implies t·|B| ≤ |A| (and symmetrically)
+    //  - positional filter: matching at ranks (i, j) caps the achievable
+    //    overlap at min(|A|-i, |B|-j)+1, which must reach the required
+    //    overlap α = ceil(t/(1+t)·(|A|+|B|))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shash") === col("b.shash") && col("a.doc_id") < col("b.doc_id") &&
           col("a.set_size") >= lit(threshold) * col("b.set_size") &&
-          col("b.set_size") >= lit(threshold) * col("a.set_size"))
+          col("b.set_size") >= lit(threshold) * col("a.set_size") &&
+          least(col("a.set_size") - col("a.rnk"), col("b.set_size") - col("b.rnk")) + 1 >=
+            ceil(lit(threshold / (1 + threshold)) * (col("a.set_size") + col("b.set_size"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verify(candidates, sets, threshold)
