@@ -14,21 +14,29 @@ object Bench {
     // JVM/codegen warm-up on the tiny SF so the first timed query doesn't
     // absorb one-time compilation cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (ad-hoc timing); driver runs bare
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-          -1L
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-20s $dt%8.2f s")
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, ok) =>
+      // failed queries are marked with a negative duration so a consumer
+      // can't mistake a fast failure for a fast success
+      s"\"" + k + "\":" + (if (ok) v else -v)
+    }.mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

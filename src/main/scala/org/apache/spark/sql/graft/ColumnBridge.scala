@@ -23,6 +23,18 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** Release the block-manager storage of a `localCheckpoint()`ed frame.
+    * Iterative operators (e.g. connected components) supersede a
+    * checkpoint every round; without this the superseded blocks linger
+    * until the RDD is GC'd — a storage leak over long loops. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a function builder into an existing session's registry
     * (SessionState is private[sql]). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -52,6 +52,29 @@ class DedupSpec extends SparkSpecBase {
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("cluster assignment: 50-node chain converges in O(log n) star rounds") {
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) = 49 rounds); large-star/small-star must close it in
+    // O(log n) — give it 8 rounds and require convergence
+    val pairs = (0L until 49L).map(i => (i + 1L, i)).toDF("doc_a", "doc_b")
+    val (assign, converged) =
+      graft.operators.dedup.DedupClusters.clustersConverged(pairs, maxIterations = 8)
+    assert(converged)
+    val c = assign.as[(Long, Long)].collect()
+    assert(c.length == 50 && c.forall(_._2 == 0L))
+  }
+
+  test("cluster assignment: two chains plus a star, random edge order") {
+    val edges = Seq((5L, 3L), (3L, 8L), (20L, 21L), (21L, 22L), (22L, 23L),
+      (100L, 50L), (100L, 60L), (100L, 70L))
+    val c = graft.operators.dedup.DedupClusters
+      .clusters(scala.util.Random.shuffle(edges).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(c(5L) == 3L && c(8L) == 3L && c(3L) == 3L)
+    assert(Seq(20L, 21L, 22L, 23L).forall(c(_) == 20L))
+    assert(Seq(50L, 60L, 70L, 100L).forall(c(_) == 50L))
+  }
+
   test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
     val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
       .as[(Long, Long, Int)].collect()
