@@ -1,6 +1,7 @@
 package graft.cursor
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{AnalysisException, SaveMode, SparkSession}
 
 /** Durable cursor bookkeeping: one row per (pipeline, resource) with the
   * cursor mode/start/end, stored as a small parquet table.
@@ -23,18 +24,37 @@ final class CursorStore(spark: SparkSession, path: String) {
       pipeline: String, resource: String, mode: String,
       start: Option[String], end: Option[String], ascending: Boolean)
 
+  /** ONLY a missing table reads as an empty store. A corrupt file or a
+    * transient IO failure must propagate: treating it as "empty" would let
+    * the next save() rewrite the table with a single row, silently
+    * dropping every other (pipeline, resource) cursor and forcing full
+    * re-syncs — cursor state is the one piece of data this library cannot
+    * afford to lose. */
   private def readAll(): Seq[(String, String, String, Option[String], Option[String], Boolean)] =
     try spark.read.parquet(path)
       .as[(String, String, String, Option[String], Option[String], Boolean)]
       .collect().toSeq
-    catch { case _: Throwable => Nil } // missing table = empty store
+    catch {
+      case e: AnalysisException if Option(e.getCondition).contains("PATH_NOT_FOUND") =>
+        Nil // first run: no store yet
+    }
 
+  /** Upsert one cursor row. Write-temp-then-rename: the live table is
+    * replaced only after the new one is fully written, so a crash
+    * mid-write leaves either the old table or the new one — never a
+    * half-written store. */
   def save(pipeline: String, resource: String, cursor: Cursor): Unit = {
     val kept = readAll().filterNot(r => r._1 == pipeline && r._2 == resource)
     val updated = kept :+ ((pipeline, resource, cursor.mode.name,
       cursor.start, cursor.end, cursor.ascending))
+    val tmp = path + ".__tmp"
     updated.toDF("pipeline", "resource", "mode", "start", "end", "ascending")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new HPath(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(new HPath(tmp), dst))
+      throw new java.io.IOException(s"cursor store rename $tmp -> $path failed")
   }
 
   def load(pipeline: String, resource: String): Option[Cursor] =

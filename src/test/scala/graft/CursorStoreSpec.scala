@@ -42,4 +42,33 @@ class CursorStoreSpec extends SparkSpecBase {
     assert(store.load("other", "orders").isEmpty)
     assert(store.load("sync1", "orders").get.end == adv2.end)
   }
+
+  test("corrupt store file raises instead of silently wiping the table") {
+    val dir = Files.createTempDirectory("graft-cur-corrupt-").toString + "/cursors"
+    val store = new CursorStore(spark, dir)
+    store.save("p1", "orders", Cursor(CursorMode.CreatedAt, end = Some("1997-01-01")))
+    store.save("p2", "orders", Cursor(CursorMode.Uid, end = Some("42")))
+    assert(store.load("p1", "orders").isDefined && store.load("p2", "orders").isDefined)
+
+    // corrupt the table: replace its parquet files with garbage bytes
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      Files.write(f.toPath, "not a parquet file".getBytes)
+    }
+    intercept[Exception](store.load("p1", "orders"))
+    // save() must refuse to rewrite the table it could not read...
+    intercept[Exception](store.save("p3", "orders", Cursor(CursorMode.Uid)))
+    // ...so the on-disk bytes (operator-recoverable) are untouched
+    assert(d.listFiles().exists(f =>
+      f.getName.endsWith(".parquet") &&
+        new String(Files.readAllBytes(f.toPath)) == "not a parquet file"))
+  }
+
+  test("missing store still reads as empty (first run)") {
+    val store = new CursorStore(spark,
+      Files.createTempDirectory("graft-cur-missing-").toString + "/never-written")
+    assert(store.load("p", "r").isEmpty)
+    val init = Cursor(CursorMode.CreatedAt)
+    assert(store.nextCursor("p", "r", init) == init)
+  }
 }
