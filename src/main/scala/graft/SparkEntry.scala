@@ -471,10 +471,14 @@ object SparkEntry {
     }),
 
     "ss2_knn_lsh" -> ((s, dir) => {
+      // data-anchored hyperplane LSH (4 fixed corpus vectors as planes →
+      // 16 buckets): identical blocking structure to the seeded-Gaussian
+      // knnLsh, but engine-portable buckets so the oracle checks the
+      // output exactly
       val emb = Tables(s, dir, "embeddings")
-      operators.similarity.Similarity.knnLsh(
+      operators.similarity.Similarity.knnAnchorLsh(
         emb, emb.where(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, dim = 64, planes = 8)
+        k = 5, anchorIds = (100L to 103L))
     }),
 
     "ss4_knn_ivf" -> ((s, dir) => {
@@ -564,8 +568,31 @@ object SparkEntry {
     // MinHash-LSH is exact-verified with (b=32,r=4) ⇒ miss probability
     // ~6e-8 per true pair at t=0.8: same oracle as the exact join.
     "dd4_minhash_lsh" -> jaccardOracle,
-    // dd5_simhash / ss2_knn_lsh: hash/plane functions not expressible in
-    // DuckDB → rows-only check (intentionally omitted here).
+    // SimHash signatures are md5-digit-derived (engine-portable), so the
+    // oracle recomputes them digit-for-digit and does the all-pairs
+    // Hamming compare directly (n is oracle-scale; Spark uses pigeonhole
+    // chunk blocking, which has exact recall for maxHamming < chunks).
+    "dd5_simhash" -> simhashOracle(maxHamming = 3),
+    "ss2_knn_lsh" ->
+      """WITH anc AS (
+           SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av,
+             (1::BIGINT << CAST(vec_id - 100 AS INTEGER)) AS w
+           FROM embeddings WHERE vec_id BETWEEN 100 AND 103),
+         b AS (
+           SELECT e.vec_id,
+             sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), anc.av) >= 0
+                 THEN anc.w ELSE 0 END) AS bucket
+           FROM embeddings e CROSS JOIN anc GROUP BY e.vec_id),
+         q AS (SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qv, b.bucket
+               FROM embeddings e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id < 20),
+         c AS (SELECT e.vec_id AS nid, CAST(e.embedding AS DOUBLE[]) AS nv, b.bucket
+               FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cosine
+               FROM q JOIN c ON q.bucket = c.bucket AND qid != nid)
+         SELECT query_id, neighbor_id, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
+         WHERE rk <= 5""",
     "dd6_embed_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
@@ -680,6 +707,32 @@ object SparkEntry {
          CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS fake_height
          FROM documents"""
   )
+
+  /** SimHash oracle: recompute the md5-digit 64-bit signatures exactly as
+    * [[graft.operators.dedup.SimHash.signatures]] (digit i of md5's first
+    * 16 hex chars supplies bits 4i..4i+3; bit term = sign of the
+    * count-weighted ±1 sum) and compare all pairs directly — the Hamming
+    * distance is the number of differing sign bits, so no 64-bit packing
+    * is needed on the SQL side. */
+  private def simhashOracle(maxHamming: Int): String = {
+    val dvDefs = (0 until 16)
+      .map(i => s"strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1 AS dv$i")
+      .mkString(", ")
+    val bitDefs = (0 until 64)
+      .map(j => s"sum(cnt * (2 * ((dv${j / 4} >> ${j % 4}) & 1) - 1)) > 0 AS b$j")
+      .mkString(", ")
+    val hamming = (0 until 64)
+      .map(j => s"CAST(a.b$j <> b.b$j AS INTEGER)").mkString(" + ")
+    s"""WITH tf AS (
+         SELECT doc_id, tok, count(*) AS cnt
+         FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         GROUP BY doc_id, tok),
+       d AS (SELECT doc_id, cnt, $dvDefs FROM (SELECT doc_id, cnt, md5(tok) AS h FROM tf)),
+       s AS (SELECT doc_id, $bitDefs FROM d GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
+             FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxHamming"""
+  }
 
   /** Exact word-3-gram Jaccard ≥ 0.8 pairs (oracle for both the exact
     * prefix-filter join and the exact-verified MinHash-LSH). */

@@ -150,6 +150,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  /** Approximate top-k via DATA-ANCHORED hyperplane LSH: bucket bit i is
+    * the sign of ⟨v, anchor_i⟩ for `anchorIds.length` fixed corpus vectors.
+    * Same blocking structure (and cost profile) as [[knnLsh]], but the
+    * hyperplanes are rows of the corpus itself rather than seeded Gaussian
+    * draws, so the buckets are reproducible in ANY engine with a dot
+    * product — the DuckDB oracle checks the full output exactly. Buckets
+    * are computed distributedly: a broadcast join against the (metadata-
+    * sized) anchor table plus one sum aggregate; the corpus is never
+    * collected. Recall < 1 by construction — the scale path when brute
+    * force is too expensive; see SimilarityTextSpec for measured recall
+    * vs [[knnBrute]]. */
+  def knnAnchorLsh(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      anchorIds: Seq[Long]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val weights = anchorIds.zipWithIndex
+      .map { case (id, i) => (id, 1L << i) }.toDF("__aid", "__w")
+    val anchors = broadcast(
+      corpus.where(col(idCol).isin(anchorIds: _*))
+        .select(col(idCol).as("__aid"), toDouble(col(vecCol)).as("__avec"))
+        .join(weights, "__aid"))
+    // sign bits against the raw (un-normalized) vectors: normalization
+    // never changes a sign, and skipping it keeps the bucket function a
+    // pure function of the input floats on both engines
+    def buckets(df: DataFrame, idAlias: String): DataFrame =
+      df.select(col(idCol).as(idAlias), toDouble(col(vecCol)).as("__raw"))
+        .join(anchors)
+        .groupBy(idAlias)
+        .agg(sum(when(dot(col("__raw"), col("__avec")) >= 0, col("__w"))
+          .otherwise(lit(0L))).as("bucket"))
+    val q = broadcast(
+      unitVectors(queries, idCol, vecCol, "query_id", "q_vec")
+        .join(buckets(queries, "query_id"), "query_id"))
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec")
+      .join(buckets(corpus, "neighbor_id"), "neighbor_id")
+    val scored = q.join(c,
+        q("bucket") === c("bucket") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: bucket = sign bits of
     * `planes` fixed pseudo-random hyperplanes (seeded, deterministic);
     * each query scores only its bucket. Recall < 1 by construction —

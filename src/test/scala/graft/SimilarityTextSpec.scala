@@ -44,6 +44,28 @@ class SimilarityTextSpec extends SparkSpecBase {
     lsh.foreach { r => brute.get((r._1, r._2)).foreach(c => assert(c == r._3)) }
   }
 
+  test("anchored LSH: measured recall vs brute force, same-score guarantee") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val bruteScores = brute.map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.knnAnchorLsh(e, q, "vec_id", "embedding", 5,
+      anchorIds = (100L to 103L))
+      .as[(Long, Long, Double, Int)].collect()
+    assert(lsh.nonEmpty)
+    // shared hits carry identical (exact, not approximate) cosines
+    lsh.foreach { r => bruteScores.get((r._1, r._2)).foreach(c => assert(c == r._3)) }
+    // recall is a measured, reported property of the blocking (4 planes →
+    // 16 buckets → each query scores ~1/16 of the corpus); the exactness
+    // gate is the DuckDB oracle on ss2_knn_lsh (bucket-for-bucket output
+    // equality) — this spec pins the recall/cost tradeoff from drifting
+    val recall = lsh.count(r => bruteSet((r._1, r._2))).toDouble / brute.length
+    info(f"anchored-LSH recall@5 vs brute force: $recall%.3f (${lsh.length} hits)")
+    assert(recall > 0.05)
+  }
+
   test("token counts and quality on a known string") {
     val d = Seq((1L, "the cat sat on the mat 42 times!")).toDF("doc_id", "text")
     val t = TextStats.tokenCounts(d, "doc_id", "text")
