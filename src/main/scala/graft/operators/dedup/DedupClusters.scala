@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.IndexScope
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -50,17 +51,20 @@ object DedupClusters extends Logging {
       .unionAll(withMin.select(col("u"), col("m").as("v")))
   }
 
-  /** Order-independent edge-set signature: (row count, bounded hash sum).
-    * pmod keeps the sum far below long overflow under ANSI arithmetic. */
-  private def signature(edges: DataFrame): (Long, Long) = {
+  /** Order-independent edge-set signature: (row count, two independently
+    * seeded bounded hash sums). The second sum squares the (already tiny)
+    * probability that two DIFFERENT edge sets collide and end the loop
+    * early with wrong cluster ids. pmod keeps the sums far below long
+    * overflow under ANSI arithmetic. */
+  private def signature(edges: DataFrame): (Long, Long, Long) = {
     val row = edges.agg(
       count(lit(1)),
-      sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))),
+      sum(pmod(xxhash64(lit(13), col("u"), col("v")), lit(998244353L)))).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) 0L else row.getLong(2))
   }
-
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(df)
 
   /** @param pairs (doc_a, doc_b) undirected edges
     * @return ((doc_id, cluster_id) for every node in `pairs`, converged) */
@@ -80,7 +84,7 @@ object DedupClusters extends Logging {
       // it — exactly one job per round
       val next = smallStar(largeStar(edges)).distinct().localCheckpoint(false)
       val nextSig = signature(next)
-      unpersistCheckpoint(edges)
+      IndexScope.release(edges)
       edges = next
       converged = nextSig == sig
       sig = nextSig
@@ -90,25 +94,45 @@ object DedupClusters extends Logging {
       logWarning(s"connected components did not converge in $maxIterations " +
         "rounds; cluster ids may be incomplete")
     // fixed point = star forest: every edge is (member, component-min);
-    // roots appear only as targets and keep their own id
+    // roots appear only as targets and keep their own id. The assignment
+    // is materialized eagerly (it is the near-dup SUBSET — small) so the
+    // loop's final edge checkpoint can be released here instead of leaking
+    // into whatever stage consumes the assignments.
     val assign = nodes
       .join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
+      .localCheckpoint()
+    IndexScope.release(edges)
     (assign, converged)
   }
 
   /** @param pairs (doc_a, doc_b) undirected edges
-    * @return (doc_id, cluster_id) for every node appearing in `pairs` */
-  def clusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame =
-    clustersConverged(pairs, maxIterations)._1
+    * @return (doc_id, cluster_id) for every node appearing in `pairs`
+    * @throws IllegalStateException when the star loop did not reach its
+    *         fixed point in maxIterations rounds — the edge set is then
+    *         not a star forest and the assignment could carry duplicate /
+    *         non-minimal cluster ids; failing loudly beats silently
+    *         corrupting a dedup. Convergence is O(log² n) rounds on any
+    *         graph, so hitting this means maxIterations is mis-set. */
+  def clusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val (assign, converged) = clustersConverged(pairs, maxIterations)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds; " +
+          "raise maxIterations (convergence is O(log^2 n) rounds)")
+    assign
+  }
 
   /** Apply dedup: keep every document that is not in any cluster plus the
     * minimum-id representative of each cluster — the "retained corpus"
     * output a training-data pipeline actually writes. The assignment table
-    * is the near-dup subset (small) and broadcast. */
+    * is the near-dup subset; usually broadcast-sized, but the strategy is
+    * left to AQE (its runtime size decides), because at web scale the
+    * near-dup subset can be a large corpus fraction and a forced hint
+    * would hit the broadcast limit. */
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val assign = clusters(pairs).withColumnRenamed("doc_id", "__cc_id")
-    docs.join(broadcast(assign), docs(idCol) === assign("__cc_id"), "left")
+    docs.join(assign, docs(idCol) === assign("__cc_id"), "left")
       .where(col("cluster_id").isNull || col("cluster_id") === docs(idCol))
       .drop("__cc_id", "cluster_id")
   }

@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.IndexScope
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -55,18 +56,18 @@ object MinHashLSH {
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
-      numPerms: Int = 128, numBands: Int = 32): DataFrame = {
+      numPerms: Int = 128, numBands: Int = 32): DataFrame = IndexScope.scoped { sc =>
     require(numPerms % numBands == 0, "numPerms must divide into numBands")
     val r = numPerms / numBands
-    val sets = SetSimJoin.shingleSets(docs, idCol, textCol, k)
+    val sets = SetSimJoin.shingleSets(docs, idCol, textCol, k, sc)
     val sig = signatures(sets, numPerms)
-    val buckets = sig.select(
+    val buckets = sc.index(sig.select(
         col("doc_id"),
         explode(transform(sequence(lit(0), lit(numBands - 1)),
           b => struct(b.as("band_id"),
             xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
-      .localCheckpoint() // self-joined below: one signature pass, not two
+      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket")))
+      // self-joined below: one signature pass, not two
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

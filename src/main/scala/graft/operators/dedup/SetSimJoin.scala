@@ -1,6 +1,7 @@
 package graft.operators.dedup
 
 import graft.functions.TextFunctions
+import graft.operators.IndexScope
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,31 +33,32 @@ object SetSimJoin {
     * (CollapseProject keeps the split because the alias is non-cheap and
     * multiply referenced.)
     *
-    * The result is materialized with localCheckpoint (row-format blocks):
-    * the set-similarity operators are MULTI-PASS — the shingle index feeds
-    * the doc-frequency agg, the prefix self-join, and the verification
-    * join — and without a lineage break Catalyst inlines the tokenize
-    * expressions into constraints/conditions across every branch (we
-    * measured 68 regexp_replace copies in one physical plan). Columnar
+    * The result is materialized as SCOPE-OWNED index state (localCheckpoint
+    * row blocks, released when the caller's [[graft.operators.IndexScope]]
+    * closes): the set-similarity operators are MULTI-PASS — the shingle
+    * index feeds the doc-frequency agg, the prefix self-join, and the
+    * verification join — and without a lineage break Catalyst inlines the
+    * tokenize expressions into constraints/conditions across every branch
+    * (we measured 68 regexp_replace copies in one physical plan). Columnar
     * cache() of array<string> is ~12× slower to build than localCheckpoint.
     * On a cluster the same role is played by persist(DISK) or a temp
     * table — materializing the shingle index is the standard first pass of
     * a distributed PPJoin. */
   private[dedup] def shingleSets(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      sc: IndexScope.Scope): DataFrame = {
     // a small input file arrives as one partition: spread the (per-row
     // expensive) tokenize+shingle work across the cluster before
     // materializing; skip when the source is already parallel
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par / 2) docs.repartition(par) else docs
-    spread.select(
+    sc.index(spread.select(
         col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), TextFunctions.shingles(col("toks"), k).as("sh"))
-      .withColumn("set_size", size(col("sh")))
-      .localCheckpoint()
+      .withColumn("set_size", size(col("sh"))))
   }
 
   /** Verify candidate pairs (doc_a < doc_b) with the exact Jaccard and
@@ -78,11 +80,13 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** All pairs with word-k-gram Jaccard ≥ threshold.
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — eagerly
+    * materialized (the pair subset is small); the corpus-sized
+    * shingle/prefix indexes are released before returning. */
   def jaccardJoin(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k)
+      k: Int = 3, threshold: Double = 0.8): DataFrame = IndexScope.scoped { sc =>
+    val sets = shingleSets(docs, idCol, textCol, k, sc)
     // the prefix machinery works on 64-bit shingle hashes: smaller sort
     // and join keys; a (vanishingly unlikely) hash collision can only ADD
     // a spurious candidate, which exact verification then kills — the
@@ -96,10 +100,10 @@ object SetSimJoin {
     val ranked = ex.join(dfreq, "shash").withColumn("rnk",
       row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("df"), col("shash"), col("shingle"))))
-    val prefix = ranked.where(
+    val prefix = sc.index(ranked.where(
         col("rnk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
-      .select("doc_id", "set_size", "shash", "rnk")
-      .localCheckpoint() // self-joined below: one window pass, not two
+      .select("doc_id", "set_size", "shash", "rnk"))
+      // self-joined below: one window pass, not two
     // two exact PPJoin prunes on top of the prefix match:
     //  - length filter: J(A,B) ≥ t implies t·|B| ≤ |A| (and symmetrically)
     //  - positional filter: matching at ranks (i, j) caps the achievable

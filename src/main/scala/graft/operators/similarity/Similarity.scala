@@ -1,6 +1,7 @@
 package graft.operators.similarity
 
 import graft.functions.VectorFunctions._
+import graft.operators.IndexScope
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,26 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Unit-normalized vectors, norm bound once per row; materialized so the
-    * self-join/broadcast branches don't recompute (and so Catalyst can't
-    * inline the normalization into join conditions). Cluster equivalent:
-    * persist(DISK) or a temp table — normalizing the corpus is the
-    * standard linear prep pass of a similarity index. */
+  /** Unit-normalized vectors, norm bound once per row; materialized as
+    * scope-owned index state so the self-join/broadcast branches don't
+    * recompute (and so Catalyst can't inline the normalization into join
+    * conditions) and the storage is released with the scope. Cluster
+    * equivalent: persist(DISK) or a temp table — normalizing the corpus
+    * is the standard linear prep pass of a similarity index. */
   private def unitVectors(df: DataFrame, idCol: String, vecCol: String,
-      idAlias: String, vecAlias: String): DataFrame =
-    df.select(col(idCol).as(idAlias), toDouble(col(vecCol)).as("__v"))
+      idAlias: String, vecAlias: String, sc: IndexScope.Scope): DataFrame =
+    sc.index(df.select(col(idCol).as(idAlias), toDouble(col(vecCol)).as("__v"))
       .select(col(idAlias), col("__v"),
         sqrt(dot(col("__v"), col("__v"))).as("__n"))
       .select(col(idAlias),
-        transform(col("__v"), x => x / col("__n")).as(vecAlias))
-      .localCheckpoint()
+        transform(col("__v"), x => x / col("__n")).as(vecAlias)))
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection. Quadratic in rows; intended for corpus-vs-corpus audit at
     * moderate N or as the verify stage after LSH blocking. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val u = unitVectors(emb, idCol, vecCol, "id", "v")
+      threshold: Double): DataFrame = IndexScope.scoped { sc =>
+    val u = unitVectors(emb, idCol, vecCol, "id", "v", sc)
     val a = u.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = u.select(col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -50,9 +51,9 @@ object Similarity {
     * rounded to 6 decimals with the neighbor id as tiebreak, so results
     * are deterministic and engine-portable. */
   def knnBrute(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(unitVectors(queries, idCol, vecCol, "query_id", "q_vec"))
-    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec")
+      idCol: String, vecCol: String, k: Int): DataFrame = IndexScope.scoped { sc =>
+    val q = broadcast(unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc))
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
     val w = Window.partitionBy("query_id")
@@ -85,9 +86,9 @@ object Similarity {
     * inverted-file trade of recall for a ~(nProbe/nLists) scan fraction. */
   def knnIvf(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
-      k: Int, nProbe: Int = 2): DataFrame = {
+      k: Int, nProbe: Int = 2): DataFrame = IndexScope.scoped { sc =>
     val cents = broadcast(centroidVectors(corpus, labelCol, vecCol))
-    val q = unitVectors(queries, idCol, vecCol, "query_id", "q_vec")
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc)
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__sim").desc, col("label"))
     val probes = q.join(cents)
@@ -97,7 +98,7 @@ object Similarity {
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("label"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("label"))
-      .join(unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec"), "neighbor_id")
+      .join(unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc), "neighbor_id")
     val scored = probes.join(c, Seq("label"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
@@ -115,7 +116,7 @@ object Similarity {
     * label-partition shortcut. Deterministic for a fixed seed. */
   def knnIvfKMeans(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nLists: Int = 8, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+      nLists: Int = 8, nProbe: Int = 2, seed: Long = 42L): DataFrame = IndexScope.scoped { sc =>
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val feat = corpus.select(col(idCol).as("neighbor_id"),
@@ -130,7 +131,7 @@ object Similarity {
       model.clusterCenters.zipWithIndex
         .map { case (v, i) => (i, v.toArray) }.toSeq
         .toDF("list", "cvec"))
-    val q = unitVectors(queries, idCol, vecCol, "query_id", "q_vec")
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc)
     val probeW = Window.partitionBy("query_id").orderBy(col("__sim").desc, col("list"))
     val probes = q.join(cents)
       .withColumn("__sim",
@@ -139,7 +140,7 @@ object Similarity {
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("list"))
     val c = assigned.join(
-      unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec"), "neighbor_id")
+      unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc), "neighbor_id")
     val scored = probes.join(c, Seq("list"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
@@ -163,7 +164,7 @@ object Similarity {
     * vs [[knnBrute]]. */
   def knnAnchorLsh(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      anchorIds: Seq[Long]): DataFrame = {
+      anchorIds: Seq[Long]): DataFrame = IndexScope.scoped { sc =>
     val spark = corpus.sparkSession
     import spark.implicits._
     val weights = anchorIds.zipWithIndex
@@ -182,9 +183,9 @@ object Similarity {
         .agg(sum(when(dot(col("__raw"), col("__avec")) >= 0, col("__w"))
           .otherwise(lit(0L))).as("bucket"))
     val q = broadcast(
-      unitVectors(queries, idCol, vecCol, "query_id", "q_vec")
+      unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc)
         .join(buckets(queries, "query_id"), "query_id"))
-    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec")
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
       .join(buckets(corpus, "neighbor_id"), "neighbor_id")
     val scored = q.join(c,
         q("bucket") === c("bucket") && col("query_id") =!= col("neighbor_id"))
@@ -202,7 +203,7 @@ object Similarity {
     * the scale path when brute force is too expensive. */
   def knnLsh(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+      dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame = IndexScope.scoped { sc =>
     val rng = new scala.util.Random(seed)
     val planeCols = Array.fill(planes)(
       array(Array.fill(dim)(rng.nextGaussian()).map(lit): _*).cast("array<double>"))
@@ -210,9 +211,9 @@ object Similarity {
       planeCols.zipWithIndex.map { case (p, i) =>
         when(dot(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
-    val q = broadcast(unitVectors(queries, idCol, vecCol, "query_id", "q_vec")
+    val q = broadcast(unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc)
       .withColumn("bucket", bucket(col("q_vec"))))
-    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec")
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
       .withColumn("bucket", bucket(col("n_vec")))
     val scored = q.join(c,
         q("bucket") === c("bucket") && col("query_id") =!= col("neighbor_id"))
