@@ -209,20 +209,25 @@ object SparkEntry {
     }),
 
     "q28_fuzzy_match" -> ((s, dir) => {
-      // edit-distance fuzzy matching on short strings; left side is a
-      // deterministic 1-in-50 sample to bound the pair count (the full
-      // join would be blocked/banded at scale — see SURVEY §5)
-      // repartition the streamed side: the broadcast-nested-loop join
-      // parallelizes over its partitions, and a small parquet arrives as 1
-      val parts = Tables(s, dir, "part").select("p_partkey", "p_name")
-        .repartition(s.sparkContext.defaultParallelism)
-      val probes = parts.where(col("p_partkey") % 50 === 0)
-        .select(col("p_partkey").as("probe_key"), col("p_name").as("probe_name"))
-      broadcast(probes).join(parts, col("probe_key") < col("p_partkey"))
-        .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
-        .where(col("dist") <= 2)
-        .select(col("probe_key"), col("p_partkey"), col("probe_name"),
-          col("p_name"), col("dist"))
+      // edit-distance record linkage, full probe set, no sampling:
+      // (1) collapse to the NAME DICTIONARY first — identical-name links
+      //     are exact dedup's job, and on repeated-key data the raw
+      //     self-join's answer explodes quadratically (measured 5.5M pairs
+      //     from 20k rows at sf0.1) while the dictionary is the linkage-
+      //     relevant content; this is the standard shape of distributed
+      //     fuzzy matching (dedupe keys, link the dictionary, expand);
+      // (2) PassJoin-style pigeonhole segment blocking over the dictionary
+      //     (exact recall, shuffle hash join on hashed substring keys —
+      //     no nested loop), banded-levenshtein verification.
+      val dict = Tables(s, dir, "part")
+        .groupBy("p_name")
+        .agg(min(col("p_partkey")).as("key"), count(lit(1)).as("n_parts"))
+      val pairs = operators.FuzzyJoin.selfJoin(dict, "key", "p_name", maxDist = 2)
+      pairs
+        .join(dict.select(col("key").as("id_a"), col("n_parts").as("n_a")), "id_a")
+        .join(dict.select(col("key").as("id_b"), col("n_parts").as("n_b")), "id_b")
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
+          col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
     }),
 
     "q23_json_extract" -> ((s, dir) => {
@@ -837,9 +842,10 @@ object SparkEntry {
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
     "q28_fuzzy_match" ->
-      """SELECT a.p_partkey AS probe_key, b.p_partkey, a.p_name AS probe_name,
-         b.p_name, levenshtein(a.p_name, b.p_name) AS dist
-         FROM part a JOIN part b ON a.p_partkey % 50 = 0 AND a.p_partkey < b.p_partkey
+      """WITH d AS (SELECT p_name, min(p_partkey) AS key, count(*) AS n FROM part GROUP BY p_name)
+         SELECT a.key AS key_a, b.key AS key_b, a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist, a.n AS n_a, b.n AS n_b
+         FROM d a JOIN d b ON a.key < b.key
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "q23_json_extract" ->
       """SELECT event_type, CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS total_k,

@@ -33,17 +33,46 @@ object Similarity {
         transform(col("__v"), x => x / col("__n")).as(vecAlias)))
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
-    * detection. Quadratic in rows; intended for corpus-vs-corpus audit at
-    * moderate N or as the verify stage after LSH blocking. */
+    * detection, EXACT output.
+    *
+    * Exact all-pairs is inherently Θ(N²) dot products, but the naive
+    * `a.join(b, id_a < id_b)` plans as a BroadcastNestedLoopJoin: one side
+    * is broadcast whole (driver/executor memory ceiling) and the work
+    * skews with the streamed side's partitioning — the classic scale
+    * cliff. This version uses BLOCK-PAIR partitioning (the standard
+    * distributed all-pairs scheme): vectors are hashed into `blocks`
+    * groups; side A replicates each vector to the buckets (g, p≥g), side B
+    * to (p≤g, g), and an equi-join on the bucket key gives every unordered
+    * pair exactly once — a plain shuffle hash join with B(B+1)/2 evenly
+    * sized, independently scheduled buckets and ~B× replication instead of
+    * a full broadcast. Survives any corpus that fits the cluster's shuffle.
+    *
+    * Why not LSH blocking here: sign-plane LSH prefilters trade recall for
+    * cost, and at a low threshold on continuous data the loss is real —
+    * on the test corpus the qualifying pairs' cosines sit in [0.40, 0.60]
+    * right against the 0.4 threshold (measured; no planted high-cosine
+    * mass), where no banding scheme reaches near-certain recall without
+    * generating MORE candidates than the exact join computes. For
+    * high-threshold corpora use [[knnLsh]]/[[knnAnchorLsh]] as the
+    * approximate path; this operator is the exact one. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = IndexScope.scoped { sc =>
-    val u = unitVectors(emb, idCol, vecCol, "id", "v", sc)
-    val a = u.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = u.select(col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
+      threshold: Double, blocks: Int = 8): DataFrame = IndexScope.scoped { sc =>
+    val u = sc.index(
+      unitVectors(emb, idCol, vecCol, "id", "v", sc)
+        .withColumn("g", pmod(xxhash64(col("id")), lit(blocks)).cast("int")))
+    val sideA = u.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("g").as("k1"), explode(sequence(col("g"), lit(blocks - 1))).as("k2"))
+    val sideB = u.select(col("id").as("id_b"), col("v").as("v_b"),
+      explode(sequence(lit(0), col("g"))).as("k1"), col("g").as("k2"))
+    sideA.join(sideB,
+        sideA("k1") === sideB("k1") && sideA("k2") === sideB("k2") &&
+          // same-block bucket: order by id; cross-block: ids necessarily differ
+          (sideA("k1") =!= sideA("k2") || col("id_a") < col("id_b")))
       .withColumn("cosine", dot(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** Exact top-k cosine neighbors for each query row (brute force).

@@ -26,6 +26,29 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
   }
 
+  test("cosinePairs block-pair join: exact pair set, no nested-loop join") {
+    val e = Tables(spark, sf0001, "embeddings")
+    // reference: the naive quadratic join, computed inline
+    import graft.functions.VectorFunctions.{dot, toDouble}
+    val u = e.select(col("vec_id").as("id"), toDouble(col("embedding")).as("__v"))
+      .select(col("id"), col("__v"), sqrt(dot(col("__v"), col("__v"))).as("__n"))
+      .select(col("id"), transform(col("__v"), x => x / col("__n")).as("v"))
+      .localCheckpoint()
+    val naive = u.select(col("id").as("a"), col("v").as("va"))
+      .join(u.select(col("id").as("b"), col("v").as("vb")), col("a") < col("b"))
+      .withColumn("c", round(dot(col("va"), col("vb")), 6))
+      .where(col("c") >= 0.4)
+      .select("a", "b", "c").as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4, blocks = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == naive)
+    // and the plan is a shuffle/broadcast HASH join on the bucket key,
+    // never a nested-loop cartesian
+    val plan = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("centroids emit per-label per-position means") {
     val c = Similarity.centroids(emb, "label", "embedding")
       .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
