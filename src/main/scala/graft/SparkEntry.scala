@@ -322,6 +322,24 @@ object SparkEntry {
         .select("user_id", "event_id", "event_type", "value")
     }),
 
+    "q35_event_apply" -> ((s, dir) => {
+      // tombstone merge: apply the event stream to the customer target —
+      // latest 'error' event removes the row, other latest events upsert
+      // the balance from the event payload, unseen customers pass through,
+      // events for unknown keys insert
+      Pipeline.applyEvents(
+        target = Tables(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+        targetKey = "c_custkey",
+        events = Tables(s, dir, "events"),
+        eventKey = "user_id", typeCol = "event_type",
+        tsCol = "ts", tieCol = "event_id",
+        tombstones = Set("error"),
+        updates = Map("c_acctbal" -> "value"))
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("balance"))
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -896,6 +914,16 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value FROM (
          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
          FROM events) WHERE rn = 1""",
+    "q35_event_apply" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value FROM (
+             SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1)
+         SELECT coalesce(c.c_custkey, l.user_id) AS id, c.c_name AS name,
+           c.c_mktsegment AS segment, coalesce(l.value, c.c_acctbal) AS balance
+         FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
+         WHERE l.event_type IS NULL OR l.event_type <> 'error'""",
     "q13_star_join" ->
       """SELECT n_name,
          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

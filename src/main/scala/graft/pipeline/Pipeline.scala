@@ -109,6 +109,60 @@ object Pipeline {
         count(when(matched && !havingCol, 1)).as("skipped_having"))
   }
 
+  /** Apply an event stream to a target table — the tombstone semantics of
+    * the reference's event model (JobEventType/ProfileEventType
+    * created/updated/DELETED/ARCHIVED/upserted, core/types.py:53-66, and
+    * `archived_at` on the resources, core/models.py:216,481), which q12's
+    * latest-state resolution alone does not cover: a real sync must also
+    * REMOVE deleted/archived resources from the target.
+    *
+    * Semantics (the standard CDC merge, expressed with core operators):
+    *  1. resolve each key's LATEST event (tsCol desc, tieCol desc — same
+    *     total order as q12);
+    *  2. full-outer join with the target on the key;
+    *  3. keys whose latest event is in `tombstones` are dropped (even if
+    *     the key never reached the target: insert-then-delete is a no-op);
+    *  4. other events upsert: `updates` maps target column → event column,
+    *     overwritten when the event payload is non-null (null payload =
+    *     no change); unmapped target columns pass through; keys new to the
+    *     target become inserts with null unmapped columns;
+    *  5. target rows without events pass through unchanged.
+    *
+    * One window pass + one shuffle join on the key. At scale the join is
+    * the merge: partition both sides by the key (or bucket the target) and
+    * the plan is the Delta/Iceberg MERGE equivalent without a table format.
+    */
+  def applyEvents(
+      target: DataFrame,
+      targetKey: String,
+      events: DataFrame,
+      eventKey: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      tombstones: Set[String],
+      updates: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(eventKey)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val eventCols = updates.values.toSeq.distinct
+    val latest = events
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(eventKey).as("__ek") +: col(typeCol).as("__et") +:
+        eventCols.map(c => col(c).as(s"__ev_$c")): _*)
+    val joined = target.join(latest, target(targetKey) === col("__ek"), "full_outer")
+    val alive = joined.where(col("__et").isNull ||
+      !col("__et").isin(tombstones.toSeq: _*))
+    val outCols = target.columns.map { c =>
+      if (c == targetKey) coalesce(target(targetKey), col("__ek")).as(c)
+      else updates.get(c) match {
+        case Some(ec) => coalesce(col(s"__ev_$ec"), target(c)).as(c)
+        case None => target(c)
+      }
+    }
+    alive.select(outCols.toSeq: _*)
+  }
+
   /** RESOURCES-mode push (reference: core/pipeline.py:180-199): direct
     * batch push with HAVING + format. */
   def pushResources(

@@ -54,4 +54,40 @@ class CursorPipelineSpec extends SparkSpecBase {
     val out = Formatters.mapping(Seq(FieldMap("id", "key"), FieldMap("nope", "gone")))(rows)
     assert(out.where(col("gone").isNull).count() == 4)
   }
+
+  test("applyEvents: upsert merges, tombstones remove, inserts appear") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0),
+      (6L, "frank", 60.0)).toDF("id", "name", "bal")
+    val events = Seq(
+      // key 1: updated twice — latest (ts 5) wins
+      (101L, 1L, "updated", 3L, 11.0),
+      (102L, 1L, "updated", 5L, 12.0),
+      // key 2: updated then DELETED → removed
+      (103L, 2L, "updated", 1L, 21.0),
+      (104L, 2L, "deleted", 2L, 0.0),
+      // key 3: archived then un-archive-style upsert → stays, merged
+      (105L, 3L, "archived", 1L, 0.0),
+      (106L, 3L, "upserted", 2L, 33.0),
+      // key 4: created → INSERT (null name)
+      (107L, 4L, "created", 1L, 40.0),
+      // key 5: created then archived → never appears
+      (108L, 5L, "created", 1L, 50.0),
+      (109L, 5L, "archived", 2L, 0.0),
+      // same-ts tie on key 6: higher event_id wins (deleted)
+      (110L, 6L, "upserted", 7L, 61.0),
+      (111L, 6L, "deleted", 7L, 0.0)
+    ).toDF("event_id", "key", "type", "ts", "value")
+    val out = Pipeline.applyEvents(target, "id", events, "key", "type",
+        tsCol = "ts", tieCol = "event_id",
+        tombstones = Set("deleted", "archived"),
+        updates = Map("bal" -> "value"))
+      .as[(Long, Option[String], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 3L, 4L))
+    assert(out(1L) == ((Some("alice"), 12.0)))  // latest update applied
+    assert(out(3L) == ((Some("carol"), 33.0)))  // re-upsert after archive
+    assert(out(4L) == ((None, 40.0)))           // insert: unmapped cols null
+  }
 }
