@@ -31,6 +31,10 @@ final case class Experience(
     title: Option[String], company: Option[String],
     date_start: Option[String], date_end: Option[String])
 
+final case class Education(
+    school: Option[String], degree: Option[String],
+    date_start: Option[String], date_end: Option[String])
+
 final case class UnifiedProfile(
     id: String,
     origin: String,
@@ -43,6 +47,9 @@ final case class UnifiedProfile(
     location: Option[Location],
     text: String,
     experiences: Seq[Experience],
+    experiences_duration: Option[Double],
+    educations: Seq[Education],
+    educations_duration: Option[Double],
     skills: Seq[Entity],
     tags: Seq[Entity],
     payload: Option[String])
@@ -61,6 +68,29 @@ final case class JobColumns(
     locationText: Column = lit(null).cast("string"),
     lat: Column = lit(null).cast("double"),
     lng: Column = lit(null).cast("double"),
+    skills: Column = array().cast("array<struct<name:string,value:string>>"),
+    tags: Column = array().cast("array<struct<name:string,value:string>>"),
+    payload: Column = lit(null).cast("string"))
+
+/** Column bindings for the unified profile (reference: to_unified_profile,
+  * core/connector.py:108; UnifiedProfile fields incl. experiences/
+  * educations and their durations, core/models.py:495-520). */
+final case class ProfileColumns(
+    id: Column, origin: Column, key: Column, text: Column,
+    sourceKey: Column = lit(null).cast("string"),
+    createdAt: Column = lit(null).cast("string"),
+    updatedAt: Column = lit(null).cast("string"),
+    fullName: Column = lit(null).cast("string"),
+    email: Column = lit(null).cast("string"),
+    locationText: Column = lit(null).cast("string"),
+    lat: Column = lit(null).cast("double"),
+    lng: Column = lit(null).cast("double"),
+    experiences: Column =
+      array().cast("array<struct<title:string,company:string,date_start:string,date_end:string>>"),
+    experiencesDuration: Column = lit(null).cast("double"),
+    educations: Column =
+      array().cast("array<struct<school:string,degree:string,date_start:string,date_end:string>>"),
+    educationsDuration: Column = lit(null).cast("double"),
     skills: Column = array().cast("array<struct<name:string,value:string>>"),
     tags: Column = array().cast("array<struct<name:string,value:string>>"),
     payload: Column = lit(null).cast("string"))
@@ -89,4 +119,55 @@ object Unified {
       c.tags.as("tags"),
       c.payload.as("payload")).as[UnifiedJob]
   }
+
+  /** Native frame → Dataset[UnifiedProfile] (to_unified_profile analogue,
+    * core/connector.py:108). */
+  def profiles(df: DataFrame, c: ProfileColumns): Dataset[UnifiedProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      c.id.cast("string").as("id"),
+      c.origin.cast("string").as("origin"),
+      c.key.cast("string").as("key"),
+      c.sourceKey.as("source_key"),
+      c.createdAt.as("created_at"),
+      c.updatedAt.as("updated_at"),
+      c.fullName.as("full_name"),
+      c.email.as("email"),
+      struct(c.locationText.as("text"), c.lat.as("lat"), c.lng.as("lng")).as("location"),
+      c.text.cast("string").as("text"),
+      c.experiences.as("experiences"),
+      c.experiencesDuration.as("experiences_duration"),
+      c.educations.as("educations"),
+      c.educationsDuration.as("educations_duration"),
+      c.skills.as("skills"),
+      c.tags.as("tags"),
+      c.payload.as("payload")).as[UnifiedProfile]
+  }
+
+  /** REVERSE path (from_unified_job / from_unified_profile,
+    * core/connector.py:58,113): project a unified frame back into a
+    * native layout. Each native column is an expression over the unified
+    * schema — use [[entityValue]] to pull values back out of the Entity
+    * collections, `col("location.text")` etc. for the nested structs.
+    * The reference runs this per-object in Python before every write;
+    * here it is one narrow projection Catalyst folds into the write. */
+  def toNative(unified: DataFrame, fields: Seq[(String, Column)]): DataFrame =
+    unified.select(fields.map { case (n, e) => e.as(n) }: _*)
+
+  /** Value of the first Entity named `name` in a skills/tags collection
+    * (null when absent) — the common reverse-mapping accessor. `get` (not
+    * element_at) so an empty filter result is null under ANSI. */
+  def entityValue(collection: Column, name: String): Column =
+    get(filter(collection, e => e.getField("name") === lit(name)), lit(0))
+      .getField("value")
+
+  /** Total years spanned by (date_start, date_end) ISO-date ranges: the
+    * experiences_duration / educations_duration computation
+    * (core/models.py:505-510). Open-ended ranges contribute 0. */
+  def durationYears(ranges: Column): Column =
+    round(aggregate(ranges, lit(0.0), (acc, r) =>
+      acc + coalesce(
+        datediff(to_date(r.getField("date_end")), to_date(r.getField("date_start"))) / 365.25,
+        lit(0.0))), 2)
 }
