@@ -14,7 +14,12 @@ object Bench {
     // JVM/codegen warm-up on the tiny SF so the first timed query doesn't
     // absorb one-time compilation cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // optional args = query-name filter (ad-hoc timing); driver runs bare
+    // optional args = query-name filter (ad-hoc timing); driver runs bare.
+    // Unknown names are an ERROR: silently ignoring a typo would print a
+    // perfect-looking total=0 run.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     val results = selected.map { case (name, fn) =>

@@ -4,16 +4,19 @@ import graft.pipeline.ConfigPipeline
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** CLI entry point (reference: cli.py — config-driven pipeline runs).
-  * Usage: graft.Main pull <config.json>
-  * The config format is ConfigPipeline's JSON (resource/origin/target/
-  * cursor/where/having/mapping/dry_run); warehouses must be registered by
-  * the embedding application before invoking, or described inline via
+/** CLI entry point (reference: cli.py + app/api.py:122-344 — config-driven
+  * pipeline runs over both directions).
+  * Usage: graft.Main (pull|push) <config.json>
+  * The config format is ConfigPipeline's JSON (pull:
+  * resource/origin/target/cursor/where/having/mapping/dry_run; push adds
+  * mode=events|resources with events_resource/event_id_col/
+  * resource_id_col); warehouses must be registered by the embedding
+  * application before invoking, or described inline via
   * `origin_dir`/`target_dir` shortcuts (parquet). */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 && args(0) == "pull",
-      "usage: graft.Main pull <config.json>")
+    require(args.length == 2 && (args(0) == "pull" || args(0) == "push"),
+      "usage: graft.Main (pull|push) <config.json>")
     val json = Files.readString(Paths.get(args(1)))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -21,6 +24,14 @@ object Main {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, args(0), json))
+    spark.stop()
+  }
+
+  /** Run one CLI command against an existing session and return the JSON
+    * result line (separated from main() so specs can drive it without
+    * owning the session lifecycle). */
+  def run(spark: SparkSession, command: String, json: String): String = {
     // inline parquet warehouse shortcuts for CLI use
     import org.json4s._
     val j = org.json4s.jackson.JsonMethods.parse(json)
@@ -40,8 +51,22 @@ object Main {
         sources.WarehouseMeta(n, "cli target", "lake", "parquet"),
         () => sources.ParquetWarehouse(n, d, ext = ""))
     }
-    val (out, cursor) = ConfigPipeline.runPull(spark, json)
-    println(s"""{"rows":${out.count()},"cursor_end":${cursor.end.map("\"" + _ + "\"").getOrElse("null")}}""")
-    spark.stop()
+    command match {
+      case "pull" =>
+        val (out, cursor) = ConfigPipeline.runPull(spark, json)
+        s"""{"rows":${out.count()},"cursor_end":${cursor.end.map("\"" + _ + "\"").getOrElse("null")}}"""
+      case "push" =>
+        val (out, counters) = ConfigPipeline.runPush(spark, json)
+        val result = counters match {
+          case Some(c) =>
+            // EVENTS mode: the PushResult counters frame is a single row
+            val r = c.head()
+            s""","push_result":{"total_events":${r.getLong(0)},"total_resources_fetched":${r.getLong(1)},""" +
+              s""""total_resources_pushed":${r.getLong(2)},"skipped_missing":${r.getLong(3)},""" +
+              s""""skipped_having":${r.getLong(4)}}"""
+          case None => ""
+        }
+        s"""{"rows":${out.count()}$result}"""
+    }
   }
 }

@@ -24,7 +24,10 @@ object Formatters {
   def mapping(specs: Seq[FieldMap]): DataFrame => DataFrame = { df =>
     val cols = specs.map { m =>
       if (df.columns.contains(m.from)) col(m.from).as(m.to)
-      else lit(null).as(m.to)
+      // typed null: a bare lit(null) is NullType, which parquet/csv
+      // writers reject — the reference's getattr(obj, src, None) lands in
+      // a string field, so string is the faithful carrier type
+      else lit(null).cast("string").as(m.to)
     }
     df.select(cols: _*)
   }

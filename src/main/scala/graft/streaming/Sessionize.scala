@@ -50,25 +50,49 @@ object Sessionize {
           } else {
             val sorted = rows.map(r => SessionEvent(r._1, r._2, r._3)).toArray
               .sortBy(e => (e.ms, e.event_id))
-            val closed = Seq.newBuilder[ClosedSession]
-            var open = state.getOption
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.ms - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, e.ms), n = s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(userId, s.seq, s.n, s.startMs, s.lastMs)
-                  open = Some(OpenSession(s.seq + 1, e.ms, e.ms, 1))
-                case None =>
-                  open = Some(OpenSession(1, e.ms, e.ms, 1))
-              }
-            }
+            val (closed, open) = foldEvents(userId, state.getOption, sorted, gapMs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  /** One micro-batch of a user's (sorted) events folded into the open
+    * session. Exposed for direct unit testing of the cross-batch
+    * late-event semantics. */
+  private[graft] def foldEvents(
+      userId: Long, open0: Option[OpenSession],
+      sorted: Seq[SessionEvent], gapMs: Long): (Seq[ClosedSession], Option[OpenSession]) = {
+    val closed = Seq.newBuilder[ClosedSession]
+    var open = open0
+    sorted.foreach { e =>
+      open match {
+        // within the gap of the open session on EITHER side: a late
+        // cross-batch event may precede the session start, in which case
+        // it extends the session BACKWARD (lowers startMs) — matching the
+        // batch sessionizer, which sees all events in time order
+        case Some(s) if e.ms - s.lastMs <= gapMs && e.ms >= s.startMs - gapMs =>
+          open = Some(s.copy(startMs = math.min(s.startMs, e.ms),
+            lastMs = math.max(s.lastMs, e.ms), n = s.n + 1))
+        // straggler older than the open session by more than the gap: it
+        // can never join any current or future session — emit it as its
+        // own closed session and renumber the open one after it (batch
+        // would have numbered it earlier; ids stay unique and session
+        // CONTENTS stay correct; the id ordering for this bounded-late
+        // case is the documented divergence)
+        case Some(s) if e.ms < s.startMs - gapMs =>
+          closed += ClosedSession(userId, s.seq, 1, e.ms, e.ms)
+          open = Some(s.copy(seq = s.seq + 1))
+        case Some(s) =>
+          closed += ClosedSession(userId, s.seq, s.n, s.startMs, s.lastMs)
+          open = Some(OpenSession(s.seq + 1, e.ms, e.ms, 1))
+        case None =>
+          open = Some(OpenSession(1, e.ms, e.ms, 1))
+      }
+    }
+    (closed.result(), open)
   }
 }

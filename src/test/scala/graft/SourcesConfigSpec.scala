@@ -3,6 +3,7 @@ package graft
 import graft.conditions._
 import graft.pipeline.ConfigPipeline
 import graft.sources._
+import org.apache.spark.sql.functions.col
 import java.nio.file.Files
 
 class SourcesConfigSpec extends SparkSpecBase {
@@ -89,6 +90,40 @@ class SourcesConfigSpec extends SparkSpecBase {
     val c = counters.get.collect().head
     assert(c.getLong(0) == 1000 && c.getLong(3) == 0) // 1000 events, none missing
     assert(spark.read.parquet(s"$outDir/customer").count() == out.count())
+  }
+
+  test("CLI push command runs end-to-end and prints PushResult counters") {
+    WarehouseRegistry.clear()
+    val outDir = Files.createTempDirectory("graft-cli-push-").toString
+    val line = Main.run(spark, "push", s"""{
+      "resource": "customer", "origin": "cliorigin", "target": "clitarget",
+      "origin_dir": "$sf0001", "target_dir": "$outDir",
+      "mode": "events", "events_resource": "events",
+      "event_id_col": "user_id", "resource_id_col": "c_custkey",
+      "having": [{"field": "c_acctbal", "op": "gt", "value": 0}],
+      "mapping": [{"from": "event_id", "to": "event_id"}, {"from": "c_name", "to": "name"}]
+    }""")
+    assert(line.contains("\"push_result\":") && line.contains("\"total_events\":1000"))
+    assert(spark.read.parquet(s"$outDir/customer").count() > 0)
+    // resources mode: no counters object
+    val outDir2 = Files.createTempDirectory("graft-cli-push2-").toString
+    val line2 = Main.run(spark, "push", s"""{
+      "resource": "customer", "origin": "cliorigin", "target": "clitarget2",
+      "target_dir": "$outDir2", "mode": "resources",
+      "having": [{"field": "c_acctbal", "op": "gt", "value": 0}]
+    }""")
+    assert(!line2.contains("push_result") && line2.contains("\"rows\":"))
+  }
+
+  test("mapping formatter: missing source field writes as typed null") {
+    val outDir = Files.createTempDirectory("graft-fmt-null-").toString
+    val out = graft.format.Formatters.mapping(Seq(
+      graft.format.FieldMap("c_custkey", "id"), graft.format.FieldMap("nope", "gone")))(
+      spark.read.parquet(s"$sf0001/customer.parquet"))
+    out.write.mode("overwrite").parquet(s"$outDir/t") // NullType would throw here
+    val back = spark.read.parquet(s"$outDir/t")
+    assert(back.schema("gone").dataType == org.apache.spark.sql.types.StringType)
+    assert(back.where(col("gone").isNull).count() == back.count())
   }
 
   test("ui schema export carries operators + bindings") {

@@ -78,6 +78,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("sessionize fold: late cross-batch events extend backward or close alone") {
+    import graft.streaming.{ClosedSession, OpenSession, SessionEvent, Sessionize}
+    val gap = 100L
+    // batch 1: one open session [1000, 1050]
+    val (c1, o1) = Sessionize.foldEvents(7L, None,
+      Seq(SessionEvent(7, 1, 1000), SessionEvent(7, 2, 1050)), gap)
+    assert(c1.isEmpty && o1.contains(OpenSession(1, 1000, 1050, 2)))
+    // batch 2: a late event at 950 (within gap of the start) must LOWER
+    // startMs, not just bump the count
+    val (c2, o2) = Sessionize.foldEvents(7L, o1, Seq(SessionEvent(7, 3, 950)), gap)
+    assert(c2.isEmpty && o2.contains(OpenSession(1, 950, 1050, 3)))
+    // batch 3: a straggler at 700 (> gap older than start) closes alone;
+    // the open session is renumbered after it
+    val (c3, o3) = Sessionize.foldEvents(7L, o2, Seq(SessionEvent(7, 4, 700)), gap)
+    assert(c3 == Seq(ClosedSession(7, 1, 1, 700, 700)))
+    assert(o3.contains(OpenSession(2, 950, 1050, 3)))
+    // batch 4: a forward event past the gap closes the open session
+    val (c4, o4) = Sessionize.foldEvents(7L, o3, Seq(SessionEvent(7, 5, 2000)), gap)
+    assert(c4 == Seq(ClosedSession(7, 2, 3, 950, 1050)))
+    assert(o4.contains(OpenSession(3, 2000, 2000, 1)))
+  }
+
   test("streaming events push equals batch pushEvents") {
     val dir = stageEventsDir()
     val batch = spark.read.parquet(s"$dir/events.parquet")
