@@ -340,6 +340,21 @@ object SparkEntry {
           col("c_mktsegment").as("segment"), col("c_acctbal").as("balance"))
     }),
 
+    "q36_cursor_source" -> ((s, dir) => {
+      // cursor-aware DataSource V2: the uid-cursor slice is pushed INTO
+      // the source (row-group stats pruning + row-level bounds in the
+      // reader); the lang filter goes through Spark's pushdown path
+      s.read.format("graft-cursor")
+        .option("path", s"$dir/documents.parquet")
+        .option("cursor_field", "doc_id").option("cursor_mode", "uid")
+        .option("cursor_start", "100").option("cursor_end", "399")
+        .load()
+        .where(col("lang") =!= "zh")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -924,6 +939,10 @@ object SparkEntry {
            c.c_mktsegment AS segment, coalesce(l.value, c.c_acctbal) AS balance
          FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
          WHERE l.event_type IS NULL OR l.event_type <> 'error'""",
+    "q36_cursor_source" ->
+      """SELECT lang, source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents WHERE doc_id BETWEEN 100 AND 399 AND lang <> 'zh'
+         GROUP BY lang, source""",
     "q13_star_join" ->
       """SELECT n_name,
          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
