@@ -19,6 +19,34 @@ object Auth {
   final case class Options(opts: Map[String, String]) extends Auth {
     def asOptions: Map[String, String] = opts
   }
+
+  /** OAuth-style EXPIRING credentials (reference: core/auth.py:82-121 —
+    * access token + expiry, refreshed when stale). `refresh` returns the
+    * option map plus its expiry instant; `asOptions` serves the cached
+    * material until `clock()` passes (expiry − `skewMs`), then refreshes
+    * under a lock. The clock is injectable so specs can drive expiry
+    * deterministically. */
+  final class Expiring(
+      refresh: () => (Map[String, String], Long),
+      clock: () => Long = () => System.currentTimeMillis(),
+      skewMs: Long = 30000) extends Auth {
+    private var cached: Map[String, String] = Map.empty
+    private var expiresAt: Long = Long.MinValue
+    private val lock = new Object
+    /** Number of refresh() calls so far (observability + specs). */
+    @volatile var refreshCount: Int = 0
+    def asOptions: Map[String, String] = lock.synchronized {
+      // clock()+skew vs expiry (addition on the clock side: the initial
+      // MinValue sentinel must not underflow)
+      if (clock() + skewMs >= expiresAt) {
+        val (opts, exp) = refresh()
+        cached = opts
+        expiresAt = exp
+        refreshCount += 1
+      }
+      cached
+    }
+  }
 }
 
 /** A warehouse is a named collection of resources (tables) with a format
@@ -71,6 +99,22 @@ abstract class FileWarehouse extends Warehouse {
       .save(resourcePath(resource))
 }
 
+/** Idempotent per-partition overwrite (dynamic partition overwrite
+  * mode): rewriting the same partition value replaces ONLY that
+  * partition's files — the exactly-once building block for streaming
+  * foreachBatch sinks (a replayed micro-batch rewrites its own partition
+  * instead of duplicating or clobbering the table). */
+trait PartitionedWrites { self: FileWarehouse =>
+  def overwritePartitions(df: DataFrame, resource: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.format(format)
+      .options(writeOptions ++ auth.asOptions)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite)
+      .save(resourcePath(resource))
+}
+
 /** Catalog-backed bucketed tables: two tables bucketed by the same key
   * into the same bucket count join WITHOUT a shuffle (no Exchange in the
   * plan) — the standard co-location strategy for repeated big joins. */
@@ -87,7 +131,7 @@ object BucketedTables {
 
 final case class ParquetWarehouse(
     name: String, baseDir: String, ext: String = ".parquet",
-    auth: Auth = Auth.None) extends FileWarehouse {
+    auth: Auth = Auth.None) extends FileWarehouse with PartitionedWrites {
   val format = "parquet"
 }
 

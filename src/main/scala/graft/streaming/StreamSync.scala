@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.cursor.{Cursor, CursorMode, CursorStore}
+import graft.sources.{FileWarehouse, PartitionedWrites}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous incremental sync: a streaming source synced into a
+  * warehouse with DURABLE cursor bookkeeping — the always-on version of
+  * the reference's pull loop (core/pipeline.py:18 returns the advanced
+  * cursor; an operational sync must persist it and write exactly once).
+  *
+  * Exactly-once output without a table format, from two idempotent
+  * pieces:
+  *  - every micro-batch lands in its own `batch_id=N` partition via
+  *    DYNAMIC partition overwrite, so a replayed batch (foreachBatch is
+  *    at-least-once) rewrites its own partition instead of duplicating;
+  *  - the cursor is saved AFTER the write commits and is monotone —
+  *    a replay re-saves the same value, never regresses it.
+  *
+  * Scale: the write is a normal partitioned parquet write (parallel,
+  * append-only directories); the cursor table is metadata. Downstream
+  * batch consumers read `target/resource` and see each record once.
+  */
+object StreamSync {
+
+  private def notBefore(mode: CursorMode, a: String, b: String): Boolean =
+    mode match {
+      case CursorMode.Uid => a.toLong >= b.toLong
+      case _              => a >= b
+    }
+
+  def start(
+      stream: DataFrame,
+      cursorCol: String,
+      mode: CursorMode,
+      pipeline: String,
+      resource: String,
+      target: FileWarehouse with PartitionedWrites,
+      store: CursorStore,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          target.overwritePartitions(
+            batch.withColumn("batch_id", lit(batchId)), resource, Seq("batch_id"))
+          val endRow = batch.agg(max(col(cursorCol)).cast("string")).head()
+          if (!endRow.isNullAt(0)) {
+            val end = endRow.getString(0)
+            val keep = store.load(pipeline, resource).flatMap(_.end)
+              .forall(prev => notBefore(mode, end, prev))
+            if (keep)
+              store.save(pipeline, resource, Cursor(mode, start = None, end = Some(end)))
+          }
+        }
+      }
+      .start()
+}

@@ -142,6 +142,75 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("deduped").count() == batch.count())
   }
 
+  test("StreamSync: exactly-once warehouse sink with durable cursor") {
+    import graft.cursor.{CursorMode, CursorStore}
+    import graft.sources.ParquetWarehouse
+    val srcDir = Files.createTempDirectory("graft-sync-src-").toString
+    val tgtDir = Files.createTempDirectory("graft-sync-tgt-").toString
+    val ckpt = Files.createTempDirectory("graft-sync-ckpt-").toString
+    val storeDir = Files.createTempDirectory("graft-sync-cur-").toString + "/cursors"
+    val store = new CursorStore(spark, storeDir)
+    val target = ParquetWarehouse("sink", tgtDir, ext = "")
+
+    val all = spark.read.parquet(s"$sf0001/events.parquet")
+    val schema = all.schema
+    // day 1: first half of the stream lands
+    val half = all.where(col("event_id") < 500)
+    half.write.parquet(s"$srcDir/part1")
+    Files.move(Paths.get(s"$srcDir/part1").resolve(
+      new java.io.File(s"$srcDir/part1").listFiles().filter(_.getName.endsWith(".parquet")).head.getName),
+      Paths.get(s"$srcDir/day1.parquet"))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      val q = graft.streaming.StreamSync.start(
+        stream, cursorCol = "event_id", mode = CursorMode.Uid,
+        pipeline = "sync", resource = "events",
+        target = target, store = store, checkpointDir = ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val after1 = spark.read.parquet(s"$tgtDir/events")
+    assert(after1.count() == half.count())
+    assert(store.load("sync", "events").get.end.contains("499"))
+
+    // replay with the same checkpoint: no new batches, no duplicates
+    runOnce()
+    assert(spark.read.parquet(s"$tgtDir/events").count() == half.count())
+
+    // day 2: the rest arrives; resume appends ONLY the new rows
+    val rest = all.where(col("event_id") >= 500)
+    rest.write.parquet(s"$srcDir/part2")
+    Files.move(Paths.get(s"$srcDir/part2").resolve(
+      new java.io.File(s"$srcDir/part2").listFiles().filter(_.getName.endsWith(".parquet")).head.getName),
+      Paths.get(s"$srcDir/day2.parquet"))
+    runOnce()
+    val after2 = spark.read.parquet(s"$tgtDir/events")
+    assert(after2.count() == all.count())
+    assert(after2.select("event_id").distinct().count() == all.count())
+    assert(store.load("sync", "events").get.end.contains(
+      all.agg(max("event_id")).head().getLong(0).toString))
+  }
+
+  test("expiring auth refreshes only when the clock passes expiry") {
+    import graft.sources.Auth
+    var now = 0L
+    var issued = 0
+    val auth = new Auth.Expiring(
+      refresh = () => { issued += 1; (Map("token" -> s"t$issued"), now + 1000) },
+      clock = () => now, skewMs = 100)
+    assert(auth.asOptions == Map("token" -> "t1"))
+    now = 500 // still fresh
+    assert(auth.asOptions == Map("token" -> "t1") && auth.refreshCount == 1)
+    now = 950 // inside the skew window: refresh early (new expiry 1950)
+    assert(auth.asOptions == Map("token" -> "t2") && auth.refreshCount == 2)
+    now = 1200 // fresh again under the new expiry
+    assert(auth.asOptions == Map("token" -> "t2") && auth.refreshCount == 2)
+    now = 1900 // skew window of the new expiry
+    assert(auth.asOptions == Map("token" -> "t3"))
+  }
+
   test("streaming pull applies the same Condition algebra as batch") {
     val dir = stageEventsDir()
     val batch = spark.read.parquet(s"$dir/events.parquet")
