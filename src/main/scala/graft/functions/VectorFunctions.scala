@@ -21,11 +21,15 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a)
-    val bd = toDouble(b)
-    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
-  }
+  /** One-shot cosine: dot + both norms fused into ONE generated loop
+    * ([[graft.plans.CosineSimilarity]]). For scoring the same vectors
+    * against many partners, pre-normalize once and use [[dot]] instead —
+    * the norm work then amortizes. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toDouble(a)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(toDouble(b))))
 
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column = {

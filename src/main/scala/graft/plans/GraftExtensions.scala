@@ -27,6 +27,12 @@ object GraftExtensions {
         require(exprs.length == 2, "graft_dot(arr, arr) takes two arguments")
         DotProduct(exprs.head, exprs(1))
       }),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_cosine(arr, arr) takes two arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      }),
     ("graft_intersect_size",
       new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
       (exprs: Seq[Expression]) => {

@@ -41,6 +41,29 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(agree == 0)
   }
 
+  test("graft_cosine: fused loop agrees with dot/norms; zero vector is null") {
+    GraftExtensions.register(spark)
+    val df = Tables(spark, sf0001, "embeddings").limit(50)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    df.createOrReplaceTempView("ext_cos")
+    val disagreements = spark.sql("""
+      SELECT count(*) FROM ext_cos a JOIN ext_cos b ON a.vec_id < b.vec_id
+      WHERE abs(graft_cosine(a.v, b.v) -
+        graft_dot(a.v, b.v) / (sqrt(graft_dot(a.v, a.v)) * sqrt(graft_dot(b.v, b.v)))) > 1e-12""")
+      .as[Long].head()
+    assert(disagreements == 0)
+    val z = spark.sql(
+      "SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c")
+      .select("c").head()
+    assert(z.isNullAt(0))
+    // VectorFunctions.cosine routes through the same expression
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions.col
+    val self = df.select(VectorFunctions.cosine(col("v"), col("v")).as("c"))
+      .as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
   test("codegen and interpreted paths agree") {
     GraftExtensions.register(spark)
     val df = Tables(spark, sf0001, "embeddings").limit(50)
