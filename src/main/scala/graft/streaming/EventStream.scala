@@ -57,4 +57,28 @@ object EventStream {
   def dedup(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events.withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** STREAM-STREAM interval join: every left event paired with the right
+    * events of the same key whose event time falls in
+    * [left time, left time + maxFollow] — attribution-style correlation
+    * (click → purchases within the hour) as a continuous query.
+    *
+    * Both sides carry watermarks, and the time-range condition bounds the
+    * join state Spark must keep: left rows expire once the right
+    * watermark passes their window's end, right rows once the left
+    * watermark passes their time. Output columns are prefixed l_/r_.
+    * State is O(events inside the watermark horizon), not O(stream). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, maxFollow: String, watermark: String = "1 hour",
+      carry: Seq[String] = Seq("event_id", "event_type", "value")): DataFrame = {
+    def side(df: DataFrame, p: String) = df
+      .withWatermark("event_time", watermark)
+      .select((s"$keyCol" +: carry :+ "event_time").map(c => col(c).as(s"$p$c")): _*)
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col("r_event_time") >= col("l_event_time") &&
+        col("r_event_time") <= col("l_event_time") + expr(s"INTERVAL $maxFollow"))
+  }
 }

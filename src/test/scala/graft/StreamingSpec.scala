@@ -142,6 +142,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("deduped").count() == batch.count())
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    val dir = stageEventsDir()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val schema = batch.schema
+
+    val clicks = EventStream.source(spark, dir, schema).where(col("event_type") === "click")
+    val purchases = EventStream.source(spark, dir, schema).where(col("event_type") === "purchase")
+    val joined = EventStream.intervalJoin(clicks, purchases,
+      keyCol = "user_id", maxFollow = "1 HOUR", watermark = "1 hour")
+    val q = joined.select("l_event_id", "r_event_id").writeStream
+      .format("memory").queryName("attrib").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attrib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val withTime = batch.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val bc = withTime.where(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("event_id").as("cid"), col("event_time").as("ct"))
+    val bp = withTime.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("event_time").as("pt"))
+    val expected = bc.join(bp, col("u") === col("pu") &&
+        col("pt") >= col("ct") && col("pt") <= col("ct") + expr("INTERVAL 1 HOUR"))
+      .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("StreamSync: exactly-once warehouse sink with durable cursor") {
     import graft.cursor.{CursorMode, CursorStore}
     import graft.sources.ParquetWarehouse
