@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke for the similarity/fuzzy operators: synthesizes a
+  * 20k-vector corpus (10 jittered replicas of the sf0.1 embeddings) and
+  * a 10k-entry string dictionary, and times the operators whose scale
+  * behavior matters most. Not part of the driver gates — a dev tool for
+  * verifying that runtimes grow like the DESIGN predicts (near-linear
+  * for the blocked/banded paths) rather than quadratically.
+  * Run: `sbt "runMain graft.ScaleSmoke"` (env SPARK_GRAFT_CPUS). */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[smoke] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s -> $r")
+      r
+    }
+
+    // 20k vectors: 10 deterministically jittered replicas of sf0.1
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb10 = emb.crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select((col("vec_id") * 10 + col("rep")).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + (col("rep") % 3 - 1) * lit(0.001)).as("embedding"),
+        col("label"))
+      .localCheckpoint()
+    println("[smoke] vectors: " + emb10.count())
+
+    time("dd6 blocked cosinePairs 20k")(
+      operators.similarity.Similarity.cosinePairs(
+        emb10, "vec_id", "embedding", 0.4, blocks = 8).count())
+
+    val q = emb10.where(col("vec_id") < 200)
+    val pqIndex = time("PQ index build (train+encode)")(
+      operators.similarity.ProductQuantization.buildIndex(
+        emb10, "vec_id", "embedding"))
+    time("PQ ADC search 200q x 20k")(
+      pqIndex.search(q, "vec_id", "embedding", k = 5, rerank = 100).count())
+    pqIndex.close()
+    time("brute knn 200q x 20k corpus")(
+      operators.similarity.Similarity.knnBrute(
+        emb10, q, "vec_id", "embedding", k = 5).count())
+
+    // 10k-distinct-string dictionary for the segment-blocked fuzzy join
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val w = array(words.map(lit): _*)
+    val dict = spark.range(10000).select(col("id"),
+      concat_ws(" ",
+        element_at(w, (col("id") % 10 + 1).cast("int")),
+        element_at(w, (col("id") / 10 % 10 + 1).cast("int")),
+        element_at(w, (col("id") / 100 % 10 + 1).cast("int")),
+        lpad(col("id") % 97, 2, "0")).as("s"))
+      .localCheckpoint()
+    time("FuzzyJoin 10k dict maxDist 2")(
+      operators.FuzzyJoin.selfJoin(dict, "id", "s", maxDist = 2).count())
+
+    // 50k docs for the text-dedup family (10 replicas, 2% mutated)
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs10 = docs.crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+        when(col("rep") % 50 === 1, concat(col("text"), lit(" zq"))).otherwise(col("text")).as("text"))
+      .localCheckpoint()
+    println("[smoke] docs: " + docs10.count())
+    time("dd3 exact jaccard 50k docs")(
+      operators.dedup.SetSimJoin.jaccardJoin(docs10, "doc_id", "text", 3, 0.8).count())
+    time("dd4 minhash-lsh 50k docs")(
+      operators.dedup.MinHashLSH.nearDupPairs(docs10, "doc_id", "text", 3, 0.8).count())
+    time("dd5 simhash 50k docs")(
+      operators.dedup.SimHash.nearDupPairs(docs10, "doc_id", "text", 3, 4).count())
+
+    spark.stop()
+  }
+}
