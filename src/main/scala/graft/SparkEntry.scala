@@ -340,6 +340,25 @@ object SparkEntry {
           col("c_mktsegment").as("segment"), col("c_acctbal").as("balance"))
     }),
 
+    "q37_interval_join" -> ((s, dir) => {
+      // attribution: purchases within 1h after a click by the same user
+      // (batch twin of streaming.EventStream.intervalJoin); the non-equi
+      // time range rides on the user_id equi-join, so the plan is a hash/
+      // sort-merge join on the key with the range as a join-level filter
+      val e = Tables(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("u"), col("event_id").as("click_id"),
+          col("ts").as("ct"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pt"), col("value"))
+      clicks.join(purchases, col("u") === col("pu") &&
+          col("pt") >= col("ct") && col("pt") <= col("ct") + lit(3600000000000L))
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          decSum(col("value")).as("attributed_value"),
+          min(col("click_id")).as("first_click"))
+    }),
+
     "q36_cursor_source" -> ((s, dir) => {
       // cursor-aware DataSource V2: the uid-cursor slice is pushed INTO
       // the source (row-group stats pruning + row-level bounds in the
@@ -939,6 +958,15 @@ object SparkEntry {
            c.c_mktsegment AS segment, coalesce(l.value, c.c_acctbal) AS balance
          FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
          WHERE l.event_type IS NULL OR l.event_type <> 'error'""",
+    "q37_interval_join" ->
+      """SELECT c.user_id, count(*) AS n_attributed,
+         CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value,
+         min(c.event_id) AS first_click
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_ns(p.ts) >= epoch_ns(c.ts)
+         AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000
+         GROUP BY c.user_id""",
     "q36_cursor_source" ->
       """SELECT lang, source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents WHERE doc_id BETWEEN 100 AND 399 AND lang <> 'zh'
