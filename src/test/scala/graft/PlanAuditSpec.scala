@@ -1,0 +1,35 @@
+package graft
+
+/** Plan-shape regression tests for the round-3 queries: correctness is
+  * the oracle's job; these pin the PHYSICAL shape that makes each query
+  * scale (no accidental nested loops, the right scan). */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q35 tombstone merge: key-partitioned join, no nested loop") {
+    val p = planOf("q35_event_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("FullOuter"))
+  }
+
+  test("q37 interval join: equi join on the key, range as condition") {
+    val p = planOf("q37_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q36 reads through the graft-cursor scan with its slice") {
+    val p = planOf("q36_cursor_source")
+    assert(p.contains("GraftCursorScan"))
+    assert(p.contains("doc_id >= 100") && p.contains("doc_id <= 399"))
+  }
+
+  test("dd6 blocked pairs and q28 fuzzy join stay nested-loop free") {
+    Seq("dd6_embed_dup", "q28_fuzzy_match").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a nested loop")
+    }
+  }
+}
