@@ -56,4 +56,48 @@ class EdgeCasesSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Long)].head()
     assert(r == ((0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("fuzzy join: empty input and all-identical input behave") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(graft.operators.FuzzyJoin.selfJoin(empty, "id", "s", 2).count() == 0)
+    val same = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa")).toDF("id", "s")
+    // all 3 pairs at distance 0, found exactly once each
+    val pairs = graft.operators.FuzzyJoin.selfJoin(same, "id", "s", 2)
+      .as[(Long, Long, String, String, Int)].collect()
+    assert(pairs.length == 3 && pairs.forall(_._5 == 0))
+  }
+
+  test("applyEvents with no events passes the target through unchanged") {
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "bal")
+    val noEvents = Seq.empty[(Long, Long, String, Long, Double)]
+      .toDF("event_id", "key", "type", "ts", "value")
+    val out = Pipeline.applyEvents(target, "id", noEvents, "key", "type",
+      "ts", "event_id", tombstones = Set("deleted"), updates = Map("bal" -> "value"))
+    assert(out.orderBy("id").collect().toSeq == target.orderBy("id").collect().toSeq)
+  }
+
+  test("graft-cursor source: slice entirely outside the data is empty") {
+    val out = spark.read.format("graft-cursor")
+      .option("path", s"$sf0001/documents.parquet")
+      .option("cursor_field", "doc_id")
+      .option("cursor_start", "1000000")
+      .load()
+    assert(out.count() == 0)
+    // every row group pruned on the driver: zero scheduled partitions
+    val scan = out.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputRDDs().head.getNumPartitions == 0)
+  }
+
+  test("PQ on queries absent from the corpus still ranks deterministically") {
+    import spark.implicits._
+    val corpus = Tables(spark, sf0001, "embeddings").where(col("vec_id") >= 100)
+    val queries = Tables(spark, sf0001, "embeddings").where(col("vec_id") < 3)
+    val r = graft.operators.similarity.ProductQuantization.knnPq(
+      corpus, queries, "vec_id", "embedding", k = 3, rerank = 20)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(r.length == 9) // 3 queries x k, all neighbors from the corpus
+    assert(r.forall(_._2 >= 100))
+  }
 }
