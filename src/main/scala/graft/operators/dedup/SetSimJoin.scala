@@ -91,15 +91,20 @@ object SetSimJoin {
     // and join keys; a (vanishingly unlikely) hash collision can only ADD
     // a spurious candidate, which exact verification then kills — the
     // output stays exact
+    // shingle strings are dropped IMMEDIATELY after hashing: the
+    // doc-frequency join and the per-doc ranking window both shuffle the
+    // full (doc, shingle) table, and 64-bit keys cost a fraction of the
+    // 20-40 byte shingle text (a hash collision merely merges two
+    // shingles' ranks/buckets — the exact verify step still decides)
     val ex = sets.select(col("doc_id"), col("set_size"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("set_size"),
-        xxhash64(col("shingle")).as("shash"), col("shingle"))
+        xxhash64(col("shingle")).as("shash"))
     // global doc-frequency: the canonical rare-first total order
     val dfreq = ex.groupBy("shash").agg(count(lit(1)).as("df"))
     val ranked = ex.join(dfreq, "shash").withColumn("rnk",
       row_number().over(Window.partitionBy("doc_id")
-        .orderBy(col("df"), col("shash"), col("shingle"))))
+        .orderBy(col("df"), col("shash"))))
     val prefix = sc.index(ranked.where(
         col("rnk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
       .select("doc_id", "set_size", "shash", "rnk"))
