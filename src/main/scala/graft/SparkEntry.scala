@@ -521,6 +521,18 @@ object SparkEntry {
       operators.similarity.Similarity.cosinePairs(
         Tables(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
 
+    "dd9_embed_dedup" -> ((s, dir) => {
+      // semantic dedup end-to-end: exact blocked cosine pairs → connected
+      // components → retained embedding corpus (the SemDeDup pipeline
+      // shape with an exact pair stage)
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = operators.similarity.Similarity.cosinePairs(
+        emb, "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      operators.dedup.DedupClusters.applyDedup(emb, "vec_id", pairs)
+        .select(col("vec_id").as("kept_id"), col("label"))
+    }),
+
     "ss1_knn_brute" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       operators.similarity.Similarity.knnBrute(
@@ -655,6 +667,22 @@ object SparkEntry {
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    "dd9_embed_dedup" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.vec_id AS kept_id, d.label
+         FROM embeddings d LEFT JOIN cc ON d.vec_id = cc.id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.vec_id""",
     "ss1_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
