@@ -591,7 +591,13 @@ object SparkEntry {
 
     "mm1_binary_meta" -> ((s, dir) =>
       operators.multimodal.BinaryMeta.extract(
-        s, Tables(s, dir, "documents"), "doc_id", "text").toDF())
+        s, Tables(s, dir, "documents"), "doc_id", "text").toDF()),
+
+    "mm2_frame_sample" -> ((s, dir) =>
+      // keyframe-sampling plumbing: 32-byte frames, every 4th kept
+      operators.multimodal.BinaryMeta.frameSample(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        frameBytes = 32, stride = 4))
   )
 
   // ----------------------------------------------------------------- oracle
@@ -785,6 +791,12 @@ object SparkEntry {
              i -> toks[i] || ' ' || toks[i+1])) AS ngram
            FROM (SELECT $toksSql AS toks FROM documents))
          GROUP BY ngram HAVING count(*) >= 10""",
+    "mm2_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS sample_idx, CAST(i * 4 AS INT) AS frame_idx,
+         substring(hex(encode(text)), CAST(i AS INT) * 4 * 32 * 2 + 1, 64) AS frame_hex
+         FROM (SELECT doc_id, text, octet_length(encode(text)) AS len
+               FROM documents WHERE octet_length(encode(text)) >= 32),
+         LATERAL (SELECT unnest(generate_series(0, CAST(floor((len/32.0 - 1)/4) AS BIGINT))) AS i)""",
     "mm1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          hex(encode(substring(text, 1, 8))) AS header_hex,

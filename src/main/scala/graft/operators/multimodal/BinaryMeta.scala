@@ -50,4 +50,27 @@ object BinaryMeta {
         rows.map { case (id, payload) => decodeStub(id, payload) }
       }
   }
+
+  /** FRAME SAMPLING over an opaque binary payload: cut the payload into
+    * fixed-size frames and keep every `stride`-th one — the video
+    * keyframe-sampling shape (one row out per sampled frame, frame bytes
+    * as a column ready for a downstream decoder). The "frame" here is a
+    * raw byte window (no codec in this container); the partitioning,
+    * explode shape, and per-frame payload plumbing are the real thing.
+    * Stays fully codegen'd: substring on binary + an exploded index
+    * sequence, no UDF. */
+  def frameSample(docs: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    val payload = col(payloadCol).cast("binary")
+    docs.select(col(idCol).cast("long").as("doc_id"), payload.as("__p"),
+        length(payload).as("__len"))
+      .where(col("__len") >= frameBytes)
+      .select(col("doc_id"), col("__p"),
+        explode(sequence(lit(0),
+          floor((col("__len") / frameBytes - 1) / stride).cast("int"))).as("sample_idx"))
+      .select(col("doc_id"), col("sample_idx"),
+        (col("sample_idx") * stride).as("frame_idx"),
+        hex(expr(s"substring(__p, sample_idx * $stride * $frameBytes + 1, $frameBytes)"))
+          .as("frame_hex"))
+  }
 }

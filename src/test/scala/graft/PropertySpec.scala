@@ -72,4 +72,40 @@ class PropertySpec extends SparkSpecBase {
       .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
     assert(pairs.map { case (a, b, j) => (a, b, j) }.toSet == pairs2)
   }
+
+  test("fuzzy join equals brute force on random mutated strings") {
+    // random base strings + random single-char edits (substitute, insert,
+    // delete) — the adversarial input space for segment blocking
+    val alphabet = "abcde"
+    val baseGen = Gen.chooseNum(2, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet.toSeq)).map(_.mkString))
+    val bases = samples(baseGen, 40).distinct
+    val editGen = Gen.zip(Gen.oneOf(0, 1, 2), Gen.chooseNum(0, 99), Gen.oneOf(alphabet.toSeq))
+    val mutated = bases.flatMap { s =>
+      samples(editGen, 3).map { case (kind, pos, c) =>
+        val p = pos % math.max(s.length, 1)
+        kind match {
+          case 0 => s.updated(p, c)                       // substitute
+          case 1 => s.substring(0, p) + c + s.substring(p) // insert
+          case 2 if s.length > 1 => s.substring(0, p) + s.substring(p + 1) // delete
+          case _ => s
+        }
+      }
+    }
+    val all = (bases ++ mutated).distinct.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = all.toDF("id", "s")
+    val got = graft.operators.FuzzyJoin.selfJoin(df, "id", "s", maxDist = 2)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    // reference: plain quadratic levenshtein
+    val brute = df.select(col("id").as("id_a"), col("s").as("sa"))
+      .join(df.select(col("id").as("id_b"), col("s").as("sb")), col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= 2)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"sizes: got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // mutations guarantee close pairs exist
+  }
 }
