@@ -109,6 +109,36 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(recall >= 0.3)
   }
 
+  test("IVF-PQ: probe-bounded search, measured recall, exact scores") {
+    import graft.operators.similarity.IvfPq
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val bruteScores = brute.map(r => (r._1, r._2) -> r._3).toMap
+    val index = IvfPq.buildIndex(e, "vec_id", "embedding",
+      nLists = 4, m = 8, nCodes = 16)
+    try {
+      val got = index.search(q, "vec_id", "embedding", k = 5, nProbe = 2, rerank = 50)
+        .as[(Long, Long, Double, Int)].collect()
+      assert(got.nonEmpty && got.length <= 100)
+      // exact re-ranked scores agree with brute force on shared pairs
+      got.foreach { r => bruteScores.get((r._1, r._2)).foreach(c => assert(c == r._3)) }
+      val recall = got.count(r => bruteScores.contains((r._1, r._2))).toDouble / brute.length
+      info(f"IVF-PQ recall@5 (nProbe 2/4 lists): $recall%.3f")
+      // probing half the lists bounds attainable recall; quantization
+      // costs more — pin a floor so the composition can't silently rot
+      assert(recall >= 0.2)
+      // full probe of every list with a generous re-rank ≈ flat PQ
+      val full = index.search(q, "vec_id", "embedding", k = 5,
+        nProbe = 4, rerank = 100)
+        .as[(Long, Long, Double, Int)].collect()
+      val fullRecall = full.count(r => bruteScores.contains((r._1, r._2))).toDouble / brute.length
+      info(f"IVF-PQ recall@5 (nProbe 4/4 lists): $fullRecall%.3f")
+      assert(fullRecall >= recall)
+    } finally index.close()
+  }
+
   test("token counts and quality on a known string") {
     val d = Seq((1L, "the cat sat on the mat 42 times!")).toDF("doc_id", "text")
     val t = TextStats.tokenCounts(d, "doc_id", "text")
