@@ -586,6 +586,11 @@ object SparkEntry {
       operators.textual.TextStats.chunk(Tables(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 16)),
 
+    "tx8_winnow" -> ((s, dir) =>
+      // winnowing fingerprints: local, edit-robust document signatures
+      operators.dedup.Winnowing.fingerprints(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)),
+
     "tx4_ngram_freq" -> ((s, dir) =>
       operators.textual.TextStats.ngramFreq(Tables(s, dir, "documents"), "text", n = 2, minCount = 10)),
 
@@ -785,6 +790,7 @@ object SparkEntry {
          FROM (SELECT doc_id, $toksSql AS toks FROM documents),
            LATERAL (SELECT unnest(generate_series(0, (len(toks)-1) // 16)) AS i)
          WHERE len(toks) > 0""",
+    "tx8_winnow" -> winnowOracle(w = 4),
     "tx4_ngram_freq" ->
       s"""SELECT ngram, count(*) AS cnt FROM (
            SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
@@ -829,6 +835,38 @@ object SparkEntry {
        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
              FROM s a JOIN s b ON a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxHamming"""
+  }
+
+  /** Winnowing oracle: rebuild the 32-bit md5-prefix k-gram hashes digit
+    * by digit and apply the same nearest-smaller selection rule as
+    * [[graft.operators.dedup.Winnowing]] (left neighbors tie-break ≤,
+    * right neighbors strict <; selected iff the clean span R−L−1 covers a
+    * full window). */
+  private def winnowOracle(w: Int): String = {
+    val h32 = (1 to 8).map(p =>
+      s"(strpos('0123456789abcdef', substring(m, $p, 1)) - 1) * ${1L << (4 * (8 - p))}")
+      .mkString(" + ")
+    s"""WITH g AS (
+         SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)),
+       hh AS (
+         SELECT doc_id, pos, $h32 AS h
+         FROM (SELECT doc_id, pos, md5(sh) AS m FROM g)),
+       ctx AS (
+         SELECT doc_id, pos, h,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           list(struct_pack(h := h, pos := pos)) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN ${w - 1} PRECEDING AND 1 PRECEDING) AS lw,
+           list(struct_pack(h := h, pos := pos)) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 1 FOLLOWING AND ${w - 1} FOLLOWING) AS rw
+         FROM hh)
+       SELECT doc_id, CAST(pos AS INT) AS pos, h AS fingerprint FROM (
+         SELECT doc_id, pos, h, n,
+           coalesce(list_max(list_transform(list_filter(lw, e -> e.h <= h), e -> e.pos)), 0) AS L,
+           coalesce(list_min(list_transform(list_filter(rw, e -> e.h < h), e -> e.pos)), n + 1) AS R
+         FROM ctx)
+       WHERE n >= $w AND R - L - 1 >= $w"""
   }
 
   /** Exact word-3-gram Jaccard ≥ 0.8 pairs (oracle for both the exact

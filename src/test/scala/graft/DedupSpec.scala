@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.dedup.{Dedup, MinHashLSH, SetSimJoin, SimHash}
+import graft.operators.dedup.{Dedup, MinHashLSH, SetSimJoin, SimHash, Winnowing}
 
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
@@ -81,5 +81,28 @@ class DedupSpec extends SparkSpecBase {
     val m = pairs.map(t => (t._1, t._2) -> t._3).toMap
     assert(m((0L, 2L)) == 0)
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: shared-substring guarantee and selection density") {
+    val k = 3; val w = 4
+    val shared = "quick brown foxes jump over lazy dogs daily" // 8 tokens
+    val d = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"one two three four five six $shared seven"),
+      (3L, "completely unrelated words nothing in common here at all today")
+    ).toDF("doc_id", "text")
+    val fp = Winnowing.fingerprints(d, "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // SIGMOD'03 guarantee: a shared token run of length ≥ w+k-1 (here 8
+    // ≥ 6) forces at least one shared fingerprint, at ANY offset
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // coverage: every window of w consecutive k-grams contains a selected
+    // position, so consecutive fingerprints are never more than w apart
+    fp.groupBy(_._1).foreach { case (_, rows) =>
+      val ps = rows.map(_._2).sorted
+      ps.sliding(2).filter(_.length == 2).foreach(p => assert(p(1) - p(0) <= w))
+    }
   }
 }
