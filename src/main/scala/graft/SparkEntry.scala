@@ -591,6 +591,23 @@ object SparkEntry {
       operators.dedup.Winnowing.fingerprints(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)),
 
+    "dd10_winnow_pairs" -> ((s, dir) => {
+      // MOSS-style near-dup detection: documents sharing >= 5 winnowing
+      // fingerprints. The fingerprint table is a ~2/(w+1) SAMPLE of the
+      // k-gram index, so the inverted-index self-join moves a fraction of
+      // dd3's shuffle while keeping the shared-substring guarantee
+      operators.IndexScope.scoped { sc =>
+        val fp = sc.index(operators.dedup.Winnowing.fingerprints(
+          Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4))
+        fp.select(col("doc_id").as("doc_a"), col("fingerprint"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("fingerprint")), "fingerprint")
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(countDistinct(col("fingerprint")).as("n_shared"))
+          .where(col("n_shared") >= 5)
+      }
+    }),
+
     "tx4_ngram_freq" -> ((s, dir) =>
       operators.textual.TextStats.ngramFreq(Tables(s, dir, "documents"), "text", n = 2, minCount = 10)),
 
@@ -791,6 +808,13 @@ object SparkEntry {
            LATERAL (SELECT unnest(generate_series(0, (len(toks)-1) // 16)) AS i)
          WHERE len(toks) > 0""",
     "tx8_winnow" -> winnowOracle(w = 4),
+    "dd10_winnow_pairs" ->
+      s"""WITH ${winnowCtes(4)}
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.fingerprint) AS n_shared
+         FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING count(DISTINCT a.fingerprint) >= 5""",
     "tx4_ngram_freq" ->
       s"""SELECT ngram, count(*) AS cnt FROM (
            SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
@@ -842,11 +866,11 @@ object SparkEntry {
     * [[graft.operators.dedup.Winnowing]] (left neighbors tie-break ≤,
     * right neighbors strict <; selected iff the clean span R−L−1 covers a
     * full window). */
-  private def winnowOracle(w: Int): String = {
+  private def winnowCtes(w: Int): String = {
     val h32 = (1 to 8).map(p =>
       s"(strpos('0123456789abcdef', substring(m, $p, 1)) - 1) * ${1L << (4 * (8 - p))}")
       .mkString(" + ")
-    s"""WITH g AS (
+    s"""g AS (
          SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
          FROM (SELECT doc_id, $toksSql AS toks FROM documents),
            LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)),
@@ -860,14 +884,18 @@ object SparkEntry {
              ROWS BETWEEN ${w - 1} PRECEDING AND 1 PRECEDING) AS lw,
            list(struct_pack(h := h, pos := pos)) OVER (PARTITION BY doc_id ORDER BY pos
              ROWS BETWEEN 1 FOLLOWING AND ${w - 1} FOLLOWING) AS rw
-         FROM hh)
-       SELECT doc_id, CAST(pos AS INT) AS pos, h AS fingerprint FROM (
-         SELECT doc_id, pos, h, n,
-           coalesce(list_max(list_transform(list_filter(lw, e -> e.h <= h), e -> e.pos)), 0) AS L,
-           coalesce(list_min(list_transform(list_filter(rw, e -> e.h < h), e -> e.pos)), n + 1) AS R
-         FROM ctx)
-       WHERE n >= $w AND R - L - 1 >= $w"""
+         FROM hh),
+       fp AS (
+         SELECT doc_id, CAST(pos AS INT) AS pos, h AS fingerprint FROM (
+           SELECT doc_id, pos, h, n,
+             coalesce(list_max(list_transform(list_filter(lw, e -> e.h <= h), e -> e.pos)), 0) AS L,
+             coalesce(list_min(list_transform(list_filter(rw, e -> e.h < h), e -> e.pos)), n + 1) AS R
+           FROM ctx)
+         WHERE n >= $w AND R - L - 1 >= $w)"""
   }
+
+  private def winnowOracle(w: Int): String =
+    s"WITH ${winnowCtes(w)} SELECT doc_id, pos, fingerprint FROM fp"
 
   /** Exact word-3-gram Jaccard ≥ 0.8 pairs (oracle for both the exact
     * prefix-filter join and the exact-verified MinHash-LSH). */
