@@ -227,9 +227,14 @@ case class CursorScan(dir: String, fullSchema: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     // read projection = required columns + cursor fields (the source must
     // evaluate its own cursor bounds row-level even when the query does
-    // not project the cursor column)
+    // not project the cursor column). A fully-pruned projection (bare
+    // count() with no cursor) still reads one physical column: parquet
+    // record assembly needs at least one leaf to drive row iteration.
     val readNames =
-      (required.fieldNames ++ cursorPreds.map(_.field)).distinct.toSeq
+      (required.fieldNames ++ cursorPreds.map(_.field)).distinct.toSeq match {
+        case Seq() => Seq(fullSchema.fieldNames.head)
+        case names => names
+      }
     CursorReaderFactory(readNames, required.fieldNames.toSeq, cursorPreds)
   }
 }

@@ -25,6 +25,13 @@ class CursorSourceSpec extends SparkSpecBase {
     assert(viaConnector.count() > 0)
   }
 
+  test("bare count with no cursor and no projected columns still works") {
+    val n = spark.read.format("graft-cursor")
+      .option("path", s"$sf0001/documents.parquet")
+      .load().count()
+    assert(n == spark.read.parquet(s"$sf0001/documents.parquet").count())
+  }
+
   test("descending cursor: start is the upper bound") {
     val desc = spark.read.format("graft-cursor")
       .option("path", s"$sf0001/documents.parquet")
