@@ -29,20 +29,27 @@ final class CursorStore(spark: SparkSession, path: String) {
     * the next save() rewrite the table with a single row, silently
     * dropping every other (pipeline, resource) cursor and forcing full
     * re-syncs — cursor state is the one piece of data this library cannot
-    * afford to lose. */
-  private def readAll(): Seq[(String, String, String, Option[String], Option[String], Boolean)] =
-    try spark.read.parquet(path)
+    * afford to lose. A missing MAIN table with a `.__old` backup present
+    * means a previous save() crashed between its two renames; the backup
+    * holds the last complete state and is read instead. */
+  private def readFrom(p: String): Seq[(String, String, String, Option[String], Option[String], Boolean)] =
+    spark.read.parquet(p)
       .as[(String, String, String, Option[String], Option[String], Boolean)]
       .collect().toSeq
+
+  private def readAll(): Seq[(String, String, String, Option[String], Option[String], Boolean)] =
+    try readFrom(path)
     catch {
       case e: AnalysisException if Option(e.getCondition).contains("PATH_NOT_FOUND") =>
-        Nil // first run: no store yet
+        val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new HPath(path + ".__old"))) readFrom(path + ".__old")
+        else Nil // first run: no store yet
     }
 
-  /** Upsert one cursor row. Write-temp-then-rename: the live table is
-    * replaced only after the new one is fully written, so a crash
-    * mid-write leaves either the old table or the new one — never a
-    * half-written store. */
+  /** Upsert one cursor row. Write-temp, BACKUP-rename, swap: the live
+    * table moves aside (never deleted) before the new one renames in, so
+    * every crash point leaves a complete readable state — the old table,
+    * the new table, or the `.__old` backup that [[readAll]] recovers. */
   def save(pipeline: String, resource: String, cursor: Cursor): Unit = {
     val kept = readAll().filterNot(r => r._1 == pipeline && r._2 == resource)
     val updated = kept :+ ((pipeline, resource, cursor.mode.name,
@@ -51,10 +58,14 @@ final class CursorStore(spark: SparkSession, path: String) {
     updated.toDF("pipeline", "resource", "mode", "start", "end", "ascending")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = new HPath(path)
+    val old = new HPath(path + ".__old")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"cursor store backup rename $path failed")
     if (!fs.rename(new HPath(tmp), dst))
       throw new java.io.IOException(s"cursor store rename $tmp -> $path failed")
+    fs.delete(old, true)
   }
 
   def load(pipeline: String, resource: String): Option[Cursor] =

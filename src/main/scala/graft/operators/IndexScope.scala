@@ -54,11 +54,18 @@ object IndexScope {
     * blanket WARN on unpersisting any locally-checkpointed RDD because it
     * cannot know that; the warning is silenced for this (synchronous)
     * call only, restoring the logger level after. */
-  def release(df: DataFrame): Unit = {
+  /** Serializes logger mutation across concurrent releases: without it,
+    * two releases could interleave read-prev/set/restore and leave the
+    * package logger pinned at ERROR for the rest of the JVM. */
+  private val releaseLock = new Object
+
+  def release(df: DataFrame): Unit = releaseLock.synchronized {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
     // the warning is logged under the concrete RDD subclass's logger
-    // (e.g. o.a.s.rdd.MapPartitionsRDD), so silence the rdd package
+    // (e.g. o.a.s.rdd.MapPartitionsRDD), so silence the rdd package;
+    // unrelated rdd-package warnings emitted during this (synchronous,
+    // sub-millisecond) window are the accepted cost
     val name = "org.apache.spark.rdd"
     val prev = LogManager.getLogger(name).getLevel
     Configurator.setLevel(name, Level.ERROR)

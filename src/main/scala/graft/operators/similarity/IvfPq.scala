@@ -59,16 +59,23 @@ object IvfPq {
         .where(col("__pr") <= nProbe)
         .select(col("query_id"), col("qv"), col("list"))
       // per (query, probed list): the QUERY residual against that list's
-      // centroid, then the FLAT m·nCodes ADC table from it
+      // centroid, then the FLAT m·nCodes ADC table from it. The residual
+      // norm ||r_q||² is NOT rank-invariant here (unlike flat PQ, where
+      // one table serves the whole corpus): candidates from different
+      // probed lists have different dropped constants, so it must be
+      // carried into the ranked score or far lists get systematically
+      // under-counted distances.
       val probedC = probed.withColumn("cvec2",
         element_at(array((0 until nLists).map(coarseLit): _*), col("list") + 1))
         .withColumn("__r", zip_with(col("qv"), col("cvec2"), (x, y) => x - y))
         .select(col("query_id"), col("qv"), col("list"),
+          dot(col("__r"), col("__r")).as("rnorm2"),
           array((0 until m).flatMap(i => (0 until nCodes).map(j =>
             lit(centerNormSq(i, j)) - lit(2.0) * dot(subvec(col("__r"), i), centerLit(i, j)))): _*)
             .as("table"))
       val adc = (0 until m).map(i =>
-        element_at(col("table"), col(s"code_$i") + lit(i * nCodes) + 1)).reduce(_ + _)
+        element_at(col("table"), col(s"code_$i") + lit(i * nCodes) + 1))
+        .reduce(_ + _) + col("rnorm2")
       val preW = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
       val candidates = broadcast(probedC)
         .join(encoded, probedC("list") === encoded("list") &&

@@ -139,16 +139,36 @@ class CursorScanBuilder(dir: String, fullSchema: StructType,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
-  /** Cursor options → range predicates (Cursor.slice semantics). */
+  /** Cursor options → range predicates (Cursor.slice semantics). The
+    * comparison type comes from the COLUMN's type; every supported type
+    * is coerced explicitly and anything else is rejected loudly — a
+    * silently-string-compared numeric bound would return the whole table
+    * (the exact-slice contract this source owns). `cursor_mode` is
+    * validated against the column type: uid demands a numeric column
+    * (Cursor compares uids numerically; a lexicographic fallback would
+    * silently diverge). */
   private val cursorPreds: Seq[SourcePredicate] = {
     Option(options.get("cursor_field")).toSeq.flatMap { field =>
       val asc = !"false".equalsIgnoreCase(options.getOrDefault("cursor_ascending", "true"))
       val dt = fullSchema.apply(field).dataType
+      val numeric = dt match {
+        case LongType | IntegerType | DoubleType | FloatType => true
+        case _ => false
+      }
+      Option(options.get("cursor_mode")).foreach { mode =>
+        if (mode.equalsIgnoreCase("uid") && !numeric)
+          throw new IllegalArgumentException(
+            s"graft-cursor: cursor_mode=uid needs a numeric cursor column; " +
+              s"'$field' is ${dt.simpleString}")
+      }
       def coerce(s: String): Any = dt match {
         case LongType    => s.toLong
         case IntegerType => s.toInt
         case DoubleType  => s.toDouble
-        case _           => s
+        case FloatType   => s.toDouble // cmp promotes the float row value
+        case StringType  => s
+        case other => throw new IllegalArgumentException(
+          s"graft-cursor: unsupported cursor column type ${other.simpleString} for '$field'")
       }
       val start = Option(options.get("cursor_start")).map(coerce)
       val end = Option(options.get("cursor_end")).map(coerce)

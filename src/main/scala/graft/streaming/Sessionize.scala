@@ -68,6 +68,11 @@ object Sessionize {
       sorted: Seq[SessionEvent], gapMs: Long): (Seq[ClosedSession], Option[OpenSession]) = {
     val closed = Seq.newBuilder[ClosedSession]
     var open = open0
+    // a late-straggler session being assembled from THIS batch's events
+    // (they arrive sorted, so consecutive in-gap stragglers merge here
+    // exactly as the batch sessionizer would merge them)
+    var pending: Option[ClosedSession] = None
+    def flushPending(): Unit = pending.foreach { p => closed += p; pending = None }
     sorted.foreach { e =>
       open match {
         // within the gap of the open session on EITHER side: a late
@@ -75,24 +80,39 @@ object Sessionize {
         // it extends the session BACKWARD (lowers startMs) — matching the
         // batch sessionizer, which sees all events in time order
         case Some(s) if e.ms - s.lastMs <= gapMs && e.ms >= s.startMs - gapMs =>
+          flushPending()
           open = Some(s.copy(startMs = math.min(s.startMs, e.ms),
             lastMs = math.max(s.lastMs, e.ms), n = s.n + 1))
         // straggler older than the open session by more than the gap: it
-        // can never join any current or future session — emit it as its
-        // own closed session and renumber the open one after it (batch
-        // would have numbered it earlier; ids stay unique and session
-        // CONTENTS stay correct; the id ordering for this bounded-late
-        // case is the documented divergence)
+        // can never join the open or any future session. Consecutive
+        // in-gap stragglers within this batch fold into ONE session;
+        // each completed straggler session takes the current seq and the
+        // open session renumbers after it (batch would have numbered it
+        // earlier — the id ordering for bounded-late data is the
+        // documented divergence; stragglers split across DIFFERENT
+        // batches do not merge, which the watermark bounds)
         case Some(s) if e.ms < s.startMs - gapMs =>
-          closed += ClosedSession(userId, s.seq, 1, e.ms, e.ms)
-          open = Some(s.copy(seq = s.seq + 1))
+          pending match {
+            case Some(p) if e.ms - p.session_end_ms <= gapMs =>
+              pending = Some(p.copy(n_events = p.n_events + 1,
+                session_end_ms = math.max(p.session_end_ms, e.ms)))
+            case Some(p) =>
+              closed += p
+              pending = Some(ClosedSession(userId, s.seq, 1, e.ms, e.ms))
+              open = Some(s.copy(seq = s.seq + 1))
+            case None =>
+              pending = Some(ClosedSession(userId, s.seq, 1, e.ms, e.ms))
+              open = Some(s.copy(seq = s.seq + 1))
+          }
         case Some(s) =>
+          flushPending()
           closed += ClosedSession(userId, s.seq, s.n, s.startMs, s.lastMs)
           open = Some(OpenSession(s.seq + 1, e.ms, e.ms, 1))
         case None =>
           open = Some(OpenSession(1, e.ms, e.ms, 1))
       }
     }
+    flushPending()
     (closed.result(), open)
   }
 }

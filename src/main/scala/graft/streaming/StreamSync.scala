@@ -25,10 +25,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamSync {
 
+  /** Monotonicity compare for cursor values. Uid is numeric by contract;
+    * the timestamp modes compare numerically too when both values parse
+    * as longs (the repo's event time is long nanos — lexicographic
+    * comparison of digit strings with different lengths would wedge the
+    * cursor at a length boundary forever), else as ISO-ish strings. */
   private def notBefore(mode: CursorMode, a: String, b: String): Boolean =
     mode match {
       case CursorMode.Uid => a.toLong >= b.toLong
-      case _              => a >= b
+      case _ =>
+        (a.toLongOption, b.toLongOption) match {
+          case (Some(x), Some(y)) => x >= y
+          case _                  => a >= b
+        }
     }
 
   def start(

@@ -64,6 +64,26 @@ class CursorStoreSpec extends SparkSpecBase {
         new String(Files.readAllBytes(f.toPath)) == "not a parquet file"))
   }
 
+  test("crash between backup and swap recovers from the .__old backup") {
+    val dir = Files.createTempDirectory("graft-cur-crash-").toString + "/cursors"
+    val store = new CursorStore(spark, dir)
+    store.save("p1", "orders", Cursor(CursorMode.CreatedAt, end = Some("1997-01-01")))
+    store.save("p2", "orders", Cursor(CursorMode.Uid, end = Some("42")))
+    // simulate a crash between rename(dst -> old) and rename(tmp -> dst):
+    // the main table is gone, only the backup remains
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__old")))
+    // reads recover the complete pre-crash state
+    assert(store.load("p1", "orders").get.end.contains("1997-01-01"))
+    assert(store.load("p2", "orders").get.end.contains("42"))
+    // the next save preserves BOTH rows and heals the layout
+    store.save("p3", "orders", Cursor(CursorMode.Uid, end = Some("7")))
+    assert(store.load("p1", "orders").isDefined && store.load("p2", "orders").isDefined
+      && store.load("p3", "orders").isDefined)
+  }
+
   test("missing store still reads as empty (first run)") {
     val store = new CursorStore(spark,
       Files.createTempDirectory("graft-cur-missing-").toString + "/never-written")

@@ -98,6 +98,14 @@ class StreamingSpec extends SparkSpecBase {
     val (c4, o4) = Sessionize.foldEvents(7L, o3, Seq(SessionEvent(7, 5, 2000)), gap)
     assert(c4 == Seq(ClosedSession(7, 2, 3, 950, 1050)))
     assert(o4.contains(OpenSession(3, 2000, 2000, 1)))
+    // straggler RUN in one batch: in-gap stragglers merge into ONE
+    // session, exactly as the batch sessionizer would
+    val (c5, o5) = Sessionize.foldEvents(7L, o4,
+      Seq(SessionEvent(7, 6, 500), SessionEvent(7, 7, 560), SessionEvent(7, 8, 900)), gap)
+    assert(c5 == Seq(
+      ClosedSession(7, 3, 2, 500, 560),   // 500+560 merged (gap 60 <= 100)
+      ClosedSession(7, 4, 1, 900, 900)))  // 900 is its own session
+    assert(o5.contains(OpenSession(5, 2000, 2000, 1)))
   }
 
   test("streaming events push equals batch pushEvents") {
