@@ -2,7 +2,7 @@ package graft.operators.similarity
 
 import graft.functions.VectorFunctions._
 import graft.operators.IndexScope
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,20 +18,18 @@ import org.apache.spark.sql.functions._
   *
   *  1. TRAIN (build): m sub-quantizers — KMeans (spark.ml, fixed seed)
   *     over each d/m-dim subvector block of the corpus;
-  *  2. ENCODE (build): one pass assigns every corpus vector its nearest
-  *     sub-centroid per block. The argmin is computed with native
-  *     [[graft.plans.DotProduct]] expressions against centroid literals
-  *     (argmin_j ||s-c_j||² = argmax_j s·c_j − ½||c_j||², the ||s||² term
-  *     is block-constant), codes land in one int column per block, and
-  *     everything stays in WholeStageCodegen;
+  *  2. ENCODE (build): one codegen'd pass assigns every corpus vector its
+  *     nearest sub-centroid per block ([[SubQuantizer.codeOf]] — native
+  *     dots against centroid literals, one int code column per block);
   *  3. SEARCH (ADC): per query, a FLAT m·nCodes lookup table of
-  *     sub-distances (||c||² − 2·q·c; the query-norm term is
-  *     rank-invariant and dropped); the approximate distance of a corpus
-  *     row is m codegen'd element_at lookups (an array-of-codes + HOF
-  *     fold was CodegenFallback — measured 5× slower than brute force at
-  *     20k vectors before this shape). Top `rerank` candidates per query
-  *     are RE-RANKED with the exact cosine, so final scores are exact and
-  *     the output deterministic.
+  *     sub-distances ([[SubQuantizer.adcTable]]; the query-norm term is
+  *     rank-invariant for a single shared query vector and dropped); the
+  *     approximate distance of a corpus row is m codegen'd element_at
+  *     lookups (an array-of-codes + HOF fold was CodegenFallback —
+  *     measured 5× slower than brute force at 20k vectors). Top `rerank`
+  *     candidates per query are RE-RANKED with the exact cosine
+  *     ([[PqCommon.exactRerank]]), so final scores are exact and the
+  *     output deterministic.
   *
   * At 100 TB the wins are the 30-60× smaller scan footprint and the
   * m-lookup per-pair cost; recall is bounded by quantization error and
@@ -40,47 +38,39 @@ import org.apache.spark.sql.functions._
   * changes nothing structurally. */
 object ProductQuantization {
 
+  private[similarity] def trainSubQuantizers(
+      vecs: DataFrame, vecCol: String, dim: Int, m: Int, nCodes: Int,
+      seed: Long): SubQuantizer = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val centers: Array[Array[Array[Double]]] = (0 until m).map { i =>
+      new KMeans().setK(nCodes).setSeed(seed + i).setFeaturesCol("__f")
+        .fit(vecs.select(array_to_vector(
+          slice(col(vecCol), i * subDim + 1, subDim)).as("__f")))
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    SubQuantizer(centers, subDim)
+  }
+
   /** Build the PQ index: train sub-quantizers, encode the corpus, and
     * materialize the code table + unit-vector table (for re-ranking).
     * Call `close()` when no more query batches will run. */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, nCodes: Int = 16, seed: Long = 42L): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val base = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .localCheckpoint()
     val dim = base.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val subDim = dim / m
-    def subvec(v: Column, i: Int): Column = slice(v, i * subDim + 1, subDim)
-
-    val centers: Array[Array[Array[Double]]] = (0 until m).map { i =>
-      val feats = base.select(array_to_vector(subvec(col("v"), i)).as("__f"))
-      new KMeans().setK(nCodes).setSeed(seed + i)
-        .setFeaturesCol("__f").fit(feats)
-        .clusterCenters.map(_.toArray)
-    }.toArray
-
-    def centerLit(i: Int, j: Int): Column =
-      array(centers(i)(j).map(lit): _*).cast("array<double>")
-    def codeOf(v: Column, i: Int): Column = {
-      val scores = array((0 until nCodes).map(j =>
-        dot(subvec(v, i), centerLit(i, j)) -
-          lit(0.5 * centers(i)(j).map(x => x * x).sum)): _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
+    val sq = trainSubQuantizers(base, "v", dim, m, nCodes, seed)
     val encoded = base.select(
       col("id").as("neighbor_id") +:
-        (0 until m).map(i => codeOf(col("v"), i).as(s"code_$i")): _*)
+        (0 until m).map(i => sq.codeOf(col("v"), i).as(s"code_$i")): _*)
       .localCheckpoint()
-    val unit = base
-      .select(col("id").as("neighbor_id"), col("v"),
-        sqrt(dot(col("v"), col("v"))).as("__n"))
-      .select(col("neighbor_id"), transform(col("v"), x => x / col("__n")).as("n_unit"))
+    val unit = PqCommon.unitTable(base, "id", col("v"), "neighbor_id", "n_unit")
       .localCheckpoint()
     IndexScope.release(base)
-    new PqIndex(centers, encoded, unit, m, nCodes, subDim)
+    new PqIndex(sq, encoded, unit)
   }
 
   /** Build + one search + release — the convenience one-shot form. */
@@ -94,19 +84,11 @@ object ProductQuantization {
   }
 }
 
-/** A built PQ index: collected sub-centroids plus the materialized code
+/** A built PQ index: the trained sub-quantizer plus the materialized code
   * and unit-vector tables. `search` may run any number of query batches;
   * `close()` releases the materialized storage. */
 final class PqIndex private[similarity] (
-    centers: Array[Array[Array[Double]]],
-    encoded: DataFrame, unit: DataFrame,
-    m: Int, nCodes: Int, subDim: Int) {
-
-  private def subvec(v: Column, i: Int): Column = slice(v, i * subDim + 1, subDim)
-  private def centerLit(i: Int, j: Int): Column =
-    array(centers(i)(j).map(lit): _*).cast("array<double>")
-  private def centerNormSq(i: Int, j: Int): Double =
-    centers(i)(j).map(x => x * x).sum
+    sq: SubQuantizer, encoded: DataFrame, unit: DataFrame) {
 
   /** ADC search + exact re-rank.
     * Output: (query_id, neighbor_id, cosine, rk). */
@@ -114,31 +96,15 @@ final class PqIndex private[similarity] (
       k: Int, rerank: Int = 50): DataFrame = IndexScope.scoped { sc =>
     val q = broadcast(sc.index(
       queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-        .select(col("query_id"), col("qv"),
-          array((0 until m).flatMap(i => (0 until nCodes).map(j =>
-            lit(centerNormSq(i, j)) - lit(2.0) * dot(subvec(col("qv"), i), centerLit(i, j)))): _*)
-            .as("table"))))
-    val adc = (0 until m).map(i =>
-      element_at(col("table"), col(s"code_$i") + lit(i * nCodes) + 1)).reduce(_ + _)
+        .select(col("query_id"), col("qv"), sq.adcTable(col("qv")).as("table"))))
     val preW = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
     val candidates = q.join(encoded, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", sq.adcSum(col("table")))
       .withColumn("pre_rk", row_number().over(preW))
       .where(col("pre_rk") <= rerank)
       .select("query_id", "neighbor_id")
-
-    // exact re-rank (norms bound as attributes: HOF lambdas are
-    // interpreted and re-evaluate captured expressions per element)
-    val qUnit = broadcast(q
-      .select(col("query_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("__n"))
-      .select(col("query_id"), transform(col("qv"), x => x / col("__n")).as("q_unit")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .join(qUnit, "query_id").join(unit, "neighbor_id")
-      .withColumn("cosine", round(dot(col("q_unit"), col("n_unit")), 6))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+    val qUnit = broadcast(PqCommon.unitTable(q, "query_id", col("qv"), "query_id", "q_unit"))
+    PqCommon.exactRerank(candidates, qUnit, unit, k)
   }
 
   /** Release the materialized code/unit tables. */
