@@ -1,6 +1,7 @@
 package graft.operators.dedup
 
 import graft.functions.TextFunctions
+import graft.operators.IndexScope
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -50,19 +51,27 @@ object SimHash {
 
   /** Candidate near-dup pairs with Hamming distance ≤ maxHamming.
     * Output: (doc_a, doc_b, hamming) with doc_a < doc_b. Requires
-    * maxHamming < chunks for exact recall (pigeonhole). */
+    * maxHamming < chunks for exact recall (pigeonhole).
+    *
+    * The chunked signature table is materialized index state
+    * ([[graft.operators.IndexScope]]): the self-join below reads it on
+    * BOTH sides, and without the checkpoint Catalyst would inline the
+    * whole token-explode → md5 → 64-sum signature pipeline into each
+    * branch — twice the corpus-scale work per run (and the 64-aggregate
+    * stage is the JIT-heaviest plan in the dedup family, so doubling it
+    * is what a contended machine amplifies first). */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = IndexScope.scoped { sc =>
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val width = 64 / chunks
     val sigs = signatures(docs, idCol, textCol)
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
+    val chunked = sc.index(sigs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
       // chunk value: unsigned shift then mask to `width` bits
       .withColumn("chunk_val",
         expr(s"shiftrightunsigned(simhash, chunk_idx * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
+          .bitwiseAND(lit((1L << width) - 1))))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
