@@ -374,6 +374,31 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
     }),
 
+    "q38_jdbc_pull" -> ((s, dir) => {
+      // full connector path: customer lands in an embedded Derby database
+      // through the JDBC write path, then a cursor window + prefilter
+      // compile through SqlWhere into the origin query (the reference's
+      // build_cursor_query_params analogue) and Derby does the filtering —
+      // Spark only sees the slice. VARCHAR column types are forced because
+      // Derby's CLOB (the dialect default for strings) rejects comparisons.
+      val db = java.nio.file.Files.createTempDirectory("graft-q38-").toString + "/db"
+      val wh = graft.sources.JdbcWarehouse(
+        "derby", s"jdbc:derby:$db;create=true",
+        auth = graft.sources.Auth.Options(
+          Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")),
+        writeOptions = Map("createTableColumnTypes" ->
+          "c_name VARCHAR(64), c_mktsegment VARCHAR(16)"))
+      wh.write(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment")), "customer_rt")
+      wh.readSlice(s, "customer_rt",
+        conditions = Seq(graft.conditions.Condition(
+          "c_mktsegment", graft.conditions.Op.Eq, "BUILDING")),
+        cursorField = Some("c_custkey"),
+        cursor = Some(graft.cursor.Cursor(graft.cursor.CursorMode.Uid,
+          start = Some("200"), end = Some("900"))))
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -1077,6 +1102,10 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents WHERE doc_id BETWEEN 100 AND 399 AND lang <> 'zh'
          GROUP BY lang, source""",
+    "q38_jdbc_pull" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+         FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey BETWEEN 200 AND 900""",
     "q13_star_join" ->
       """SELECT n_name,
          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
