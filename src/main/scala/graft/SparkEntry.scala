@@ -374,6 +374,43 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
     }),
 
+    "q39_scd2" -> ((s, dir) => {
+      // SCD Type-2 dimension build from the event stream: one row per
+      // state EPISODE (consecutive run of the same event_type per user)
+      // with [valid_from, valid_to) micros bounds and an is_current flag —
+      // the slowly-changing-dimension shape a warehouse sync writes.
+      // Two window passes over the same (user_id, time) partitioning:
+      // change detection (lag) and interval close (lead) — Catalyst
+      // reuses one sort+exchange for both. Bounds in MICROS (ts div 1000):
+      // DuckDB reads the nanos parquet column at micro precision, so both
+      // engines order and emit the truncated value.
+      val byTime = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("valid_from_us", expr("ts div 1000"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(byTime))
+        .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"), col("event_id"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("valid_from_us"), col("event_id"))))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    }),
+
+    "q40_stratified" -> ((s, dir) => {
+      // balanced per-stratum sampling (deterministic Knuth-hash threshold,
+      // rate = target/stratum size) — eval-set construction over a skewed
+      // corpus; broadcast of O(strata) counts, no data shuffle
+      val j = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+          col("o_totalprice"))
+      operators.Sampling.stratifiedSample(j, "o_orderkey", "segment", target = 1000)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_sampled"), min(col("o_orderkey")).as("min_key"),
+          decSum(col("o_totalprice")).as("sum_price"))
+    }),
+
     "q38_jdbc_pull" -> ((s, dir) => {
       // full connector path: customer lands in an embedded Derby database
       // through the JDBC write path, then a cursor window + prefilter
@@ -616,6 +653,12 @@ object SparkEntry {
       operators.dedup.Winnowing.fingerprints(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)),
 
+    "tx9_entropy" -> ((s, dir) =>
+      // token-distribution entropy + repetition ratio (Gopher/C4-style
+      // quality signals for boilerplate and degenerate repetition)
+      operators.textual.TextStats.tokenEntropy(
+        Tables(s, dir, "documents"), "doc_id", "text")),
+
     "dd10_winnow_pairs" -> ((s, dir) => {
       // MOSS-style near-dup detection: documents sharing >= 5 winnowing
       // fingerprints. The fingerprint table is a ~2/(w+1) SAMPLE of the
@@ -805,6 +848,16 @@ object SparkEntry {
                   WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
                   WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang
            FROM s)""",
+    "tx9_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token),
+         a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct, sum(c * log2(c)) AS clog
+               FROM tf GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct,
+           round(log2(n_tokens) - clog / n_tokens, 4) AS entropy,
+           round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS repetition
+         FROM a""",
     "tx7_train_split" ->
       """WITH s AS (
            SELECT doc_id, lang,
@@ -1106,6 +1159,30 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
          FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_custkey BETWEEN 200 AND 900""",
+    "q39_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         c AS (
+           SELECT user_id, event_type AS state, ts_us AS valid_from_us, event_id
+           FROM e WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, state, valid_from_us, event_id,
+           lead(valid_from_us) OVER w AS valid_to_us,
+           lead(valid_from_us) OVER w IS NULL AS is_current
+         FROM c
+         WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)""",
+    "q40_stratified" ->
+      """WITH j AS (
+           SELECT o_orderkey, c_mktsegment AS segment, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         n AS (SELECT segment, count(*) AS ns FROM j GROUP BY segment)
+         SELECT segment, count(*) AS n_sampled, min(o_orderkey) AS min_key,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM j JOIN n USING (segment)
+         WHERE (o_orderkey * 2654435761) % 4294967296 % 1000000
+               < (1000 * 1000000) // ns
+         GROUP BY segment""",
     "q13_star_join" ->
       """SELECT n_name,
          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

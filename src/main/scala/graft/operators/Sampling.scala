@@ -35,4 +35,27 @@ object Sampling {
     }
     df.withColumn("split", assignment)
   }
+
+  /** Deterministic stratified sample targeting ~`target` rows PER STRATUM
+    * (balanced eval-set construction: small strata are kept whole, large
+    * strata are down-sampled to the target).
+    *
+    * Per-stratum rate = target/n_s, applied as an integer threshold on a
+    * million-bucket Knuth hash of the id — membership is a pure function
+    * of (id, stratum size), reproducible on any engine, and the sample is
+    * stable under repartitioning. Two passes: one map-side-combined count
+    * per stratum (broadcast back — O(strata) rows), one filtered scan. No
+    * shuffle of the data itself. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n_stratum"))
+    val h = knuthBucket(col(idCol), 1000000)
+    df.join(broadcast(counts), Seq(stratumCol))
+      // integer division (`div`, DuckDB `//`): double `/` then truncate
+      // could land on the wrong side of the threshold for edge quotients
+      .where(h < expr(s"CAST(${target * 1000000L} AS BIGINT) div __n_stratum"))
+      .drop("__n_stratum")
+  }
 }

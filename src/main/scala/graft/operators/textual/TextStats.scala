@@ -132,6 +132,26 @@ object TextStats {
           .as(Seq("chunk_idx", "chunk_text")))
   }
 
+  /** Token-distribution entropy + repetition ratio per document — the
+    * Gopher/C4-style quality signals that catch boilerplate and
+    * degenerate repetition in training corpora. Shannon entropy over the
+    * token frequency distribution is computed in ONE aggregation pass via
+    * H = log2(n) − (Σ c·log2 c)/n (no second join for the totals), and
+    * repetition = 1 − distinct/total. All codegen builtins. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c"))).as("__clog"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens")) - col("__clog") / col("n_tokens"), 4)
+          .as("entropy"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("repetition"))
+
   /** Corpus word-n-gram frequency with map-side combine; `minCount`
     * bounds the output (and `log`s nothing silently — the threshold is
     * part of the contract). */
