@@ -653,6 +653,39 @@ object SparkEntry {
       operators.dedup.Winnowing.fingerprints(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)),
 
+    "dd11_seg_dedup" -> ((s, dir) =>
+      // paragraph-dedup analogue: corpus-wide keep-first over 10-token
+      // segments, reassembled per doc (CCNet/Dolma exact-paragraph stage)
+      operators.dedup.SegmentDedup.dedupSegments(
+        Tables(s, dir, "documents"), "doc_id", "text", segTokens = 10)),
+
+    "tx10_repetition" -> ((s, dir) =>
+      // Gopher repetition filters: top-unigram / top-bigram coverage and
+      // duplicated-5-gram fraction, with the keep rule applied
+      operators.textual.TextStats.repetition(
+        Tables(s, dir, "documents"), "doc_id", "text")),
+
+    "tx11_contamination" -> ((s, dir) => {
+      // test-set decontamination: flag training docs sharing any 8-gram
+      // with the held-out benchmark slice (doc_id % 50 == 0)
+      val docs = Tables(s, dir, "documents")
+      operators.textual.Contamination.check(
+        corpus = docs.where(col("doc_id") % 50 =!= 0),
+        benchmark = docs.where(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+    }),
+
+    "q41_packing" -> ((s, dir) => {
+      // sequence packing: deterministic concat-and-chop binning of docs
+      // into 512-token bins per lang shard; output = per-bin manifest
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      operators.Packing.packBins(d, "doc_id", "lang", "n_tokens", capacity = 512)
+        .groupBy(col("lang"), col("bin_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
     "tx9_entropy" -> ((s, dir) =>
       // token-distribution entropy + repetition ratio (Gopher/C4-style
       // quality signals for boilerplate and degenerate repetition)
@@ -893,6 +926,74 @@ object SparkEntry {
          FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id
          HAVING count(DISTINCT a.fingerprint) >= 5""",
+    "dd11_seg_dedup" ->
+      s"""WITH t AS (SELECT doc_id, toks
+           FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+           WHERE len(toks) > 0),
+         segs AS (
+           SELECT doc_id, i AS seg_idx,
+             array_to_string(toks[i*10+1 : i*10+10], ' ') AS seg
+           FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks)-1) // 10)) AS i)),
+         k AS (
+           SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+           FROM segs)
+         SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), ''))
+             AS kept_md5
+         FROM k GROUP BY doc_id""",
+    "tx10_repetition" ->
+      s"""WITH t AS (SELECT doc_id, toks
+           FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+           WHERE len(toks) > 0),
+         u AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+         a1 AS (SELECT doc_id, sum(c) AS n1, max(c) AS top1 FROM u GROUP BY 1),
+         b AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g FROM t) GROUP BY 1, 2),
+         a2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM b GROUP BY 1),
+         f AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4])) AS g FROM t) GROUP BY 1, 2),
+         a5 AS (SELECT doc_id, sum(c) AS n5, count(*) AS d5 FROM f GROUP BY 1),
+         s AS (SELECT doc_id,
+             round(CAST(top1 AS DOUBLE) / n1, 6) AS top_unigram_frac,
+             coalesce(round(CAST(top2 AS DOUBLE) / n2, 6), 0.0) AS top_bigram_frac,
+             coalesce(round(1.0 - CAST(d5 AS DOUBLE) / n5, 6), 0.0) AS dup_5gram_frac
+           FROM a1 LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id))
+         SELECT doc_id, top_unigram_frac, top_bigram_frac, dup_5gram_frac,
+           (top_unigram_frac <= 0.14 AND top_bigram_frac <= 0.08
+             AND dup_5gram_frac <= 0.30) AS keep
+         FROM s""",
+    "tx11_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 7, 0)),
+             i -> ${(0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")}))) AS gram
+           FROM t),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+         SELECT g.doc_id, count(*) AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_contaminated,
+           round(CAST(count(b.gram) AS DOUBLE) / count(*), 6) AS contaminated_frac,
+           count(b.gram) > 0 AS flagged
+         FROM g LEFT JOIN bench b USING (gram)
+         WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id""",
+    "q41_packing" ->
+      s"""WITH d AS (SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents),
+         p AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296 % 1000000, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_idx,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc
+         FROM p GROUP BY 1, 2""",
     "tx4_ngram_freq" ->
       s"""SELECT ngram, count(*) AS cnt FROM (
            SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),

@@ -152,6 +152,46 @@ object TextStats {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
           .as("repetition"))
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.2): fraction of
+    * the document covered by its most frequent unigram / bigram, and the
+    * fraction of duplicated 5-grams — the signals that kill boilerplate,
+    * keyword stuffing, and degenerate generation loops. Three bounded
+    * per-doc aggregations (gram sizes need different explode widths)
+    * joined on doc_id; each is a map-side-combined groupBy, so total cost
+    * is O(tokens), never O(pairs). `keep` applies the filter rule. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      maxTopUnigram: Double = 0.14, maxTopBigram: Double = 0.08,
+      maxDup5gram: Double = 0.30): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    def gramStats(n: Int, agg: DataFrame => DataFrame): DataFrame = {
+      val grams =
+        if (n == 1) base.select(col("doc_id"), explode(col("__toks")).as("g"))
+        else base.select(col("doc_id"),
+          explode(TextFunctions.shinglesAll(col("__toks"), n)).as("g"))
+      agg(grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c")))
+    }
+    val uni = gramStats(1, _.groupBy("doc_id")
+      .agg(sum("c").as("__n1"), max("c").as("__top1")))
+    val bi = gramStats(2, _.groupBy("doc_id")
+      .agg(sum("c").as("__n2"), max("c").as("__top2")))
+    val five = gramStats(5, _.groupBy("doc_id")
+      .agg(sum("c").as("__n5"), count(lit(1)).as("__d5")))
+    val top1 = round(col("__top1").cast("double") / col("__n1"), 6)
+    // short docs produce no bigrams/5-grams: no repetition evidence → 0
+    val top2 = coalesce(round(col("__top2").cast("double") / col("__n2"), 6), lit(0.0))
+    val dup5 = coalesce(
+      round(lit(1.0) - col("__d5").cast("double") / col("__n5"), 6), lit(0.0))
+    uni.join(bi, Seq("doc_id"), "left").join(five, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        top1.as("top_unigram_frac"),
+        top2.as("top_bigram_frac"),
+        dup5.as("dup_5gram_frac"),
+        (top1 <= maxTopUnigram && top2 <= maxTopBigram && dup5 <= maxDup5gram)
+          .as("keep"))
+  }
+
   /** Corpus word-n-gram frequency with map-side combine; `minCount`
     * bounds the output (and `log`s nothing silently — the threshold is
     * part of the contract). */

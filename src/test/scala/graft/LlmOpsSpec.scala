@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Packing, Sampling}
+import graft.operators.dedup.SegmentDedup
+import graft.operators.textual.{Contamination, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 LLM-pipeline operators: segment dedup, repetition
+  * filters, contamination check, sequence packing, stratified sampling. */
+class LlmOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("SegmentDedup drops corpus-wide duplicate segments keep-first") {
+    // seg size 3: doc 0 = [a b c][d e f]; doc 1 repeats [a b c] then fresh;
+    // doc 2 is entirely doc 0's segments → nothing kept
+    val d = docs(
+      0L -> "a b c d e f",
+      1L -> "a b c x y z",
+      2L -> "a b c d e f")
+    val r = SegmentDedup.dedupSegments(d, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L)))
+  }
+
+  test("SegmentDedup drops within-doc repeats and md5s the reassembly") {
+    val d = docs(7L -> "p q r p q r")
+    val row = SegmentDedup.dedupSegments(d, "doc_id", "text", segTokens = 3).head()
+    assert(row.getAs[Long]("n_segs") == 2 && row.getAs[Long]("n_kept") == 1)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("p q r".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("kept_md5") == expected)
+  }
+
+  test("repetition flags degenerate docs and keeps diverse ones") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam",
+      2L -> "one two three four five six seven eight nine ten")
+    val r = TextStats.repetition(d, "doc_id", "text",
+        maxTopUnigram = 0.14, maxTopBigram = 0.2, maxDup5gram = 0.3)
+      .orderBy("doc_id").collect()
+    assert(!r(0).getAs[Boolean]("keep"), "degenerate doc must fail the filter")
+    assert(r(0).getAs[Double]("top_unigram_frac") == 1.0)
+    assert(r(0).getAs[Double]("dup_5gram_frac") > 0.0)
+    assert(r(1).getAs[Boolean]("keep"), "diverse doc must pass the filter")
+    assert(r(1).getAs[Double]("top_unigram_frac") == 0.1)
+    assert(r(1).getAs[Double]("dup_5gram_frac") == 0.0)
+  }
+
+  test("contamination flags docs sharing an n-gram with the benchmark") {
+    val bench = docs(100L -> "alpha beta gamma delta")
+    val corpus = docs(
+      1L -> "zzz alpha beta gamma delta yyy",  // contains the bench 4-gram
+      2L -> "one two three four five six")
+    val r = Contamination.check(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("flagged") && r(0).getAs[Long]("n_contaminated") == 1L)
+    assert(!r(1).getAs[Boolean]("flagged") && r(1).getAs[Long]("n_contaminated") == 0L)
+  }
+
+  test("packBins: bin boundaries follow the running token total") {
+    // identity order → docs pack in id order. Capacity 10, sizes 4,4,4,4:
+    // concat offsets 0,4,8,12 → bins 0,0,0,1 with in-bin offsets 0,4,8,2
+    val d = Seq((1L, "s", 4L), (2L, "s", 4L), (3L, "s", 4L), (4L, "s", 4L))
+      .toDF("id", "shard", "n")
+    val r = Packing.packBins(d, "id", "shard", "n", capacity = 10, order = identity)
+      .orderBy("id").select("bin_idx", "offset_tokens").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 0L), (0L, 4L), (0L, 8L), (1L, 2L)))
+  }
+
+  test("packBins is stable under repartitioning") {
+    val d = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+    val a = Packing.packBins(d, "doc_id", "lang", "n", 512)
+      .select("doc_id", "bin_idx").as[(Long, Long)].collect().toMap
+    val b = Packing.packBins(d.repartition(13), "doc_id", "lang", "n", 512)
+      .select("doc_id", "bin_idx").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("stratifiedSample keeps small strata whole and bounds large ones") {
+    val d = (1L to 2000L).map(i => (i, if (i <= 30) "small" else "big"))
+      .toDF("id", "stratum")
+    val r = Sampling.stratifiedSample(d, "id", "stratum", target = 100)
+      .groupBy("stratum").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(r("small") == 30, "under-target stratum must be kept whole")
+    // hash threshold is rate-accurate, not exact-count: allow 35% slack
+    assert(r("big") > 65 && r("big") < 135, s"big stratum sampled ${r("big")}")
+  }
+}

@@ -25,6 +25,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("doc_id >= 100") && p.contains("doc_id <= 399"))
   }
 
+  test("dd11 segment dedup: one groupBy exchange, no self-join") {
+    val p = planOf("dd11_seg_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "segment dedup must not join the corpus to itself")
+  }
+
+  test("tx11 contamination: benchmark gram set broadcasts") {
+    val p = planOf("tx11_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("dd6 blocked pairs and q28 fuzzy join stay nested-loop free") {
     Seq("dd6_embed_dup", "q28_fuzzy_match").foreach { q =>
       val p = planOf(q)
