@@ -698,13 +698,18 @@ object SparkEntry {
       // k-gram index, so the inverted-index self-join moves a fraction of
       // dd3's shuffle while keeping the shared-substring guarantee
       operators.IndexScope.scoped { sc =>
+        // distinct (doc, fingerprint) BEFORE the inverted-index join: a
+        // fingerprint selected at several positions of one doc would
+        // otherwise multiply the join fan-out, and distinct input turns
+        // the countDistinct (expand + second shuffle) into a plain count
         val fp = sc.index(operators.dedup.Winnowing.fingerprints(
-          Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4))
+            Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+          .select(col("doc_id"), col("fingerprint")).distinct())
         fp.select(col("doc_id").as("doc_a"), col("fingerprint"))
           .join(fp.select(col("doc_id").as("doc_b"), col("fingerprint")), "fingerprint")
           .where(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b")
-          .agg(countDistinct(col("fingerprint")).as("n_shared"))
+          .agg(count(lit(1)).as("n_shared"))
           .where(col("n_shared") >= 5)
       }
     }),

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * positions on either side spanning a full window — formally, with
   * L = nearest left j where (h_j ≤ h_i) and R = nearest right j where
   * (h_j < h_i) (the asymmetry IS the (hash, pos) tiebreak), i is
-  * selected iff R − L − 1 ≥ w. Both neighborhoods are bounded
-  * collect_list windows of ≤ w−1 structs, so the per-row cost is
-  * constant and the only shuffle is the per-document sort.
+  * selected iff R − L − 1 ≥ w. Each neighborhood is w−1 explicit
+  * lag/lead comparisons folded with greatest/least (null-skipping) — all
+  * codegen'd window builtins, no per-row array materialization (the
+  * first shape used bounded collect_list windows + higher-order filters;
+  * HOF lambdas are CodegenFallback and cost ~25% of the build) — and the
+  * only shuffle is the per-document sort.
   *
   * The k-gram hash is ENGINE-PORTABLE (first 8 hex digits of md5 as a
   * 32-bit integer), so the DuckDB oracle reproduces the fingerprints
@@ -44,21 +47,17 @@ object Winnowing {
       .select(col("doc_id"), (col("p0") + 1).as("pos"), h32(col("sh")).as("h"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val whole = Window.partitionBy("doc_id")
-    val withCtx = ex
+    // nearest smaller-or-equal left / strictly-smaller right neighbor via
+    // w-1 lags/leads; greatest/least skip the null terms from
+    // out-of-range offsets and failed comparisons
+    val lTerms = (1 until w).map(j =>
+      when(lag(col("h"), j).over(byPos) <= col("h"), col("pos") - j))
+    val rTerms = (1 until w).map(j =>
+      when(lead(col("h"), j).over(byPos) < col("h"), col("pos") + j))
+    ex
       .withColumn("n", count(lit(1)).over(whole))
-      .withColumn("lw", collect_list(struct(col("h"), col("pos")))
-        .over(byPos.rowsBetween(-(w - 1), -1)))
-      .withColumn("rw", collect_list(struct(col("h"), col("pos")))
-        .over(byPos.rowsBetween(1, w - 1)))
-    withCtx
-      .withColumn("L", coalesce(
-        array_max(transform(
-          filter(col("lw"), e => e.getField("h") <= col("h")),
-          e => e.getField("pos"))), lit(0)))
-      .withColumn("R", coalesce(
-        array_min(transform(
-          filter(col("rw"), e => e.getField("h") < col("h")),
-          e => e.getField("pos"))), col("n") + 1))
+      .withColumn("L", greatest(lTerms :+ lit(0): _*))
+      .withColumn("R", least(rTerms :+ (col("n") + 1): _*))
       .where(col("n") >= w && col("R") - col("L") - 1 >= w)
       .select(col("doc_id"), col("pos").cast("int").as("pos"),
         col("h").as("fingerprint"))
