@@ -24,10 +24,16 @@ object Contamination {
   def check(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     require(n > 0)
+    // bind the token array to an attribute BEFORE shingling: the shingle
+    // lambda is interpreted (CodegenFallback), and each of its k
+    // element_at calls would otherwise re-run the full tokenize regex on
+    // the text — O(shingles × k) regex evaluations per document
+    // (measured 31s → <1s at sf0.1; same trap documented in
+    // SetSimJoin.scala:31)
     def grams(df: DataFrame, cols: Seq[String]): DataFrame =
-      df.select((col(textCol) +: cols.map(col)): _*)
+      df.select((TextFunctions.tokens(col(textCol)).as("__toks") +: cols.map(col)): _*)
         .select((explode(TextFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), n)).as("gram") +: cols.map(col)): _*)
+          col("__toks"), n)).as("gram") +: cols.map(col)): _*)
     val benchGrams = grams(benchmark, Seq.empty).distinct()
     grams(corpus, Seq(idCol))
       .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("gram"), "left")
