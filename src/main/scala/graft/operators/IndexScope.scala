@@ -37,6 +37,17 @@ object IndexScope {
       held += c
       c
     }
+
+    /** Adopt an ALREADY-checkpointed frame (e.g. the surviving state of a
+      * driver fixpoint loop that checkpoints each round itself) so its
+      * blocks are released when the scope closes — without re-checkpointing.
+      * Without this, a loop's final-round checkpoint would outlive the
+      * scope for the JVM lifetime, the exact leak IndexScope exists to
+      * prevent. */
+    def own(df: DataFrame): DataFrame = {
+      held += df
+      df
+    }
   }
 
   /** Run `body` with a fresh scope; eagerly materialize the frame it

@@ -30,7 +30,11 @@ object Packing {
       .orderBy(order(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .withColumn("bin_idx", ((col("__cum") - col(tokenCol)) / capacity).cast("long"))
+      // integer `div`, not `/`: Spark's / on longs is double division, and
+      // near bin boundaries the double quotient rounds UP once cumulative
+      // sums exceed ~2^47 (double spacing > 1/capacity) — landing a doc in
+      // the wrong bin at corpus scale. `div` matches the oracle's `//`.
+      .withColumn("bin_idx", expr(s"(__cum - `$tokenCol`) div ${capacity}L"))
       .withColumn("offset_tokens", (col("__cum") - col(tokenCol)) % capacity)
       .drop("__cum")
   }

@@ -20,6 +20,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * the database's default case and miss them. Values render as ANSI
   * literals with quote doubling; CONTAINS renders as LIKE with an explicit
   * ESCAPE so wildcard characters in the needle stay literal.
+  *
+  * Backslash-escaping dialects (MySQL family with default sql_mode treat
+  * `\` inside a string literal as an escape): quote doubling alone is NOT
+  * enough there — a value ending in `\` would render as `'foo\'`, the
+  * backslash escaping the closing quote, which both breaks the query and
+  * re-opens an injection surface. Callers pass `backslashEscapes = true`
+  * (JdbcWarehouse derives it from the url) and literals double backslashes
+  * too.
   */
 object SqlWhere {
 
@@ -34,7 +42,7 @@ object SqlWhere {
     * path creates columns (dialect-quoted, case preserved). */
   def ansiQuote(name: String): String = "\"" + identifier(name) + "\""
 
-  def literal(v: Any): String = v match {
+  def literal(v: Any, backslashEscapes: Boolean = false): String = v match {
     case null => "NULL"
     case n: Int => n.toString
     case n: Long => n.toString
@@ -45,24 +53,33 @@ object SqlWhere {
     case n: BigDecimal => n.toString
     case n: java.math.BigDecimal => n.toString
     case b: Boolean => if (b) "TRUE" else "FALSE"
-    case s => "'" + s.toString.replace("'", "''") + "'"
+    case s => "'" + escapeString(s.toString, backslashEscapes) + "'"
+  }
+
+  private def escapeString(raw: String, backslashEscapes: Boolean): String = {
+    val bs = if (backslashEscapes) raw.replace("\\", "\\\\") else raw
+    bs.replace("'", "''")
   }
 
   /** LIKE pattern for a contains-match: escape the escape char first, then
-    * the LIKE metacharacters, then wrap in %...%. */
-  private def likePattern(needle: String): String = {
+    * the LIKE metacharacters, then wrap in %...%. The explicit ESCAPE
+    * clause overrides MySQL's default `\` pattern-escape, so only the
+    * string-literal level needs backslash doubling. */
+  private def likePattern(needle: String, backslashEscapes: Boolean): String = {
     val esc = needle.replace("!", "!!").replace("%", "!%").replace("_", "!_")
-    "'%" + esc.replace("'", "''") + "%' ESCAPE '!'"
+    "'%" + escapeString(esc, backslashEscapes) + "%' ESCAPE '!'"
   }
 
-  def condition(c: Condition, quote: String => String = ansiQuote): String = {
+  def condition(c: Condition, quote: String => String = ansiQuote,
+      backslashEscapes: Boolean = false): String = {
     val f = quote(c.field)
+    def lit(v: Any): String = literal(v, backslashEscapes)
     c.op match {
-      case Op.Eq  => s"$f = ${literal(c.value)}"
-      case Op.Gt  => s"$f > ${literal(c.value)}"
-      case Op.Gte => s"$f >= ${literal(c.value)}"
-      case Op.Lt  => s"$f < ${literal(c.value)}"
-      case Op.Lte => s"$f <= ${literal(c.value)}"
+      case Op.Eq  => s"$f = ${lit(c.value)}"
+      case Op.Gt  => s"$f > ${lit(c.value)}"
+      case Op.Gte => s"$f >= ${lit(c.value)}"
+      case Op.Lt  => s"$f < ${lit(c.value)}"
+      case Op.Lte => s"$f <= ${lit(c.value)}"
       case Op.In =>
         val vs = c.value match {
           case xs: Seq[_]      => xs
@@ -71,8 +88,8 @@ object SqlWhere {
           case single          => Seq(single)
         }
         require(vs.nonEmpty, s"IN condition on '$f' with no values")
-        s"$f IN (${vs.map(literal).mkString(", ")})"
-      case Op.Contains => s"$f LIKE ${likePattern(c.value.toString)}"
+        s"$f IN (${vs.map(lit).mkString(", ")})"
+      case Op.Contains => s"$f LIKE ${likePattern(c.value.toString, backslashEscapes)}"
       case Op.IsNull   => s"$f IS NULL"
       case Op.NotNull  => s"$f IS NOT NULL"
     }
@@ -84,13 +101,14 @@ object SqlWhere {
     * number, reference core/types.py:24); date/timestamp cursors render
     * quoted strings the database compares/casts itself. */
   def cursor(cursorField: String, cur: Cursor,
-      quote: String => String = ansiQuote): Seq[String] = {
+      quote: String => String = ansiQuote,
+      backslashEscapes: Boolean = false): Seq[String] = {
     val f = quote(cursorField)
     def render(v: String): String = cur.mode match {
       case CursorMode.Uid =>
         // fail loudly on a non-numeric uid rather than quote-switching
         BigDecimal(v).toString
-      case _ => literal(v)
+      case _ => literal(v, backslashEscapes)
     }
     val (lo, hi) = if (cur.ascending) (cur.start, cur.end) else (cur.end, cur.start)
     lo.map(v => s"$f >= ${render(v)}").toSeq ++ hi.map(v => s"$f <= ${render(v)}").toSeq
@@ -137,6 +155,16 @@ final case class JdbcWarehouse(
   private def quote(name: String): String =
     org.apache.spark.sql.jdbc.JdbcDialects.get(url)
       .quoteIdentifier(SqlWhere.identifier(name))
+
+  /** MySQL-family origins treat `\` as a string-literal escape under the
+    * default sql_mode, so literals there must double backslashes as well
+    * as quotes (NO_BACKSLASH_ESCAPES origins tolerate the doubling being
+    * absent only; doubling is never harmful because `\\` is `\` either
+    * way under backslash mode and ANSI origins never see the flag). */
+  private def backslashEscapes: Boolean = {
+    val u = url.toLowerCase(java.util.Locale.ROOT)
+    u.startsWith("jdbc:mysql") || u.startsWith("jdbc:mariadb")
+  }
 
   override def read(spark: SparkSession, resource: String): DataFrame =
     spark.read.format("jdbc")
