@@ -30,12 +30,18 @@ object Packing {
       .orderBy(order(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      // token offset of this doc inside the running concatenation: always
+      // >= 0, so truncating and flooring division agree below
+      .withColumn("__prev", col("__cum") - col(tokenCol))
       // integer `div`, not `/`: Spark's / on longs is double division, and
       // near bin boundaries the double quotient rounds UP once cumulative
       // sums exceed ~2^47 (double spacing > 1/capacity) — landing a doc in
-      // the wrong bin at corpus scale. `div` matches the oracle's `//`.
-      .withColumn("bin_idx", expr(s"(__cum - `$tokenCol`) div ${capacity}L"))
-      .withColumn("offset_tokens", (col("__cum") - col(tokenCol)) % capacity)
-      .drop("__cum")
+      // the wrong bin at corpus scale. `div` matches the oracle's `//`
+      // (Spark div truncates toward zero, Python // floors — identical on
+      // the non-negative __prev). Referencing the pre-computed __prev keeps
+      // arbitrary user column names out of the parsed expression.
+      .withColumn("bin_idx", expr(s"__prev div ${capacity}L"))
+      .withColumn("offset_tokens", col("__prev") % capacity)
+      .drop("__cum", "__prev")
   }
 }

@@ -134,6 +134,9 @@ object NNDescent extends Logging {
       done = changed.toDouble / total < convergedFrac
       logInfo(s"nn-descent round $round: $changed/$total edges replaced")
     }
-    graph
+    // the final round's checkpoint would outlive the scope (the loop only
+    // releases SUPERSEDED rounds); adopting it hands its blocks to the
+    // scope, which pins the re-checkpointed result before releasing them
+    sc.own(graph)
   }
 }

@@ -173,6 +173,29 @@ final case class JdbcWarehouse(
       .option("dbtable", table(resource))
       .load()
 
+  /** The derived-table expression readSlice scans: SELECT * FROM resource
+    * WHERE <conditions AND cursor window>, rendered in this origin's
+    * dialect (identifier quoting AND backslash-escape mode) — exposed so
+    * dialect rendering is testable without a live connection. */
+  def compileSlice(
+      resource: String,
+      conditions: Seq[Condition] = Nil,
+      cursorField: Option[String] = None,
+      cursor: Option[Cursor] = None): String = {
+    val cursorFrags = (cursorField, cursor) match {
+      case (Some(f), Some(c)) => SqlWhere.cursor(f, c, quote, backslashEscapes)
+      case (None, None)       => Nil
+      case _ => throw new IllegalArgumentException(
+        "cursorField and cursor must be provided together")
+    }
+    val where = SqlWhere.and(
+      conditions.map(SqlWhere.condition(_, quote, backslashEscapes)) ++ cursorFrags)
+    where match {
+      case Some(w) => s"(SELECT * FROM ${table(resource)} WHERE $w) AS graft_slice"
+      case None    => table(resource)
+    }
+  }
+
   /** Origin-side slice: SELECT * FROM resource WHERE <conditions AND
     * cursor window>, wrapped as a derived table so it composes with
     * Spark's column pruning and (optionally) a partitioned parallel scan. */
@@ -183,18 +206,7 @@ final case class JdbcWarehouse(
       cursorField: Option[String] = None,
       cursor: Option[Cursor] = None,
       partitioning: Option[JdbcPartitioning] = None): DataFrame = {
-    val cursorFrags = (cursorField, cursor) match {
-      case (Some(f), Some(c)) => SqlWhere.cursor(f, c, quote)
-      case (None, None)       => Nil
-      case _ => throw new IllegalArgumentException(
-        "cursorField and cursor must be provided together")
-    }
-    val where = SqlWhere.and(
-      conditions.map(SqlWhere.condition(_, quote)) ++ cursorFrags)
-    val dbtable = where match {
-      case Some(w) => s"(SELECT * FROM ${table(resource)} WHERE $w) AS graft_slice"
-      case None    => table(resource)
-    }
+    val dbtable = compileSlice(resource, conditions, cursorField, cursor)
     val reader = spark.read.format("jdbc")
       .options(readOptions ++ auth.asOptions)
       .option("url", url)

@@ -113,6 +113,36 @@ class JdbcWarehouseSpec extends SparkSpecBase {
       src.agg(sum(col("nkey"))).head().getLong(0))
   }
 
+  test("backslash literals render per dialect (ANSI vs backslash-escaping)") {
+    // ANSI: backslash is not special, quote doubling alone
+    assert(SqlWhere.literal("a\\") == "'a\\'")
+    // backslash mode: a trailing '\' must not escape the closing quote
+    assert(SqlWhere.literal("a\\", backslashEscapes = true) == "'a\\\\'")
+    assert(SqlWhere.condition(Condition("name", Op.Eq, "a\\"),
+      backslashEscapes = true) == "\"name\" = 'a\\\\'")
+    // Contains: string-level doubling composes with the LIKE '!' escaping
+    assert(SqlWhere.condition(Condition("name", Op.Contains, "a\\_b"),
+      backslashEscapes = true) == "\"name\" LIKE '%a\\\\!_b%' ESCAPE '!'")
+    // cursor values pass through the same literal path
+    assert(SqlWhere.cursor("created",
+      Cursor(CursorMode.CreatedAt, start = Some("x\\")),
+      backslashEscapes = true) == Seq("\"created\" >= 'x\\\\'"))
+  }
+
+  test("MySQL-url warehouse wires backslash doubling and backtick quoting") {
+    val my = JdbcWarehouse("mysql", "jdbc:mysql://example.invalid:3306/db")
+    val sql = my.compileSlice("people",
+      conditions = Seq(Condition("name", Op.Eq, "O'Brien\\")),
+      cursorField = Some("created"),
+      cursor = Some(Cursor(CursorMode.CreatedAt, start = Some("2024-01-01"))))
+    assert(sql == "(SELECT * FROM people WHERE `name` = 'O''Brien\\\\'" +
+      " AND `created` >= '2024-01-01') AS graft_slice")
+    // the ANSI warehouse leaves backslashes untouched on the same call path
+    assert(wh.compileSlice("people",
+      conditions = Seq(Condition("name", Op.Eq, "a\\"))) ==
+      "(SELECT * FROM people WHERE \"name\" = 'a\\') AS graft_slice")
+  }
+
   test("SqlWhere rejects identifier injection and quotes literals") {
     intercept[IllegalArgumentException] {
       SqlWhere.condition(Condition("id; DROP TABLE people", Op.Eq, 1))

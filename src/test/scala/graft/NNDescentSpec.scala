@@ -55,6 +55,20 @@ class NNDescentSpec extends SparkSpecBase {
     assert(perNode.forall(r => r._2 == 3 && r._3 == 3))
   }
 
+  test("knnGraph releases every index/round checkpoint; only the result survives") {
+    val ctx = spark.sparkContext
+    val before = ctx.getPersistentRDDs.keySet
+    val g = NNDescent.knnGraph(clustered, "vec_id", "embedding", k = 3,
+      maxRounds = 2, bucketSize = 96)
+    val leaked = ctx.getPersistentRDDs.keySet -- before
+    // unit-vector index, per-round graphs, and the adopted final round are
+    // all released by the scope; the re-checkpointed result is the caller's
+    assert(leaked.size == 1,
+      s"expected only the result checkpoint to survive, found ${leaked.size}")
+    graft.operators.IndexScope.release(g)
+    assert((ctx.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("descent rounds monotonically improve even on structureless data") {
     val emb = Tables(spark, sf0001, "embeddings")
     val truth = bruteGraph(emb, 5)
