@@ -436,6 +436,36 @@ object SparkEntry {
           start = Some("200"), end = Some("900"))))
     }),
 
+    "q42_rest_pull" -> ((s, dir) => {
+      // full REST connector path (the reference's native origin family,
+      // connectors/hrflow/actions.py:22): customer is served by an
+      // in-process paginated JSON API behind an API key; conditions +
+      // cursor compile to query params (build_connector_params analogue,
+      // core/utils.py:604), the driver probes 1 row for the filtered
+      // total, and executors fetch the pages in parallel. The origin does
+      // the filtering — Spark only ever sees the slice.
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+      val fx = graft.sources.RestFixture.serve(customer, "customer",
+        cursorField = "c_custkey",
+        requiredHeader = Some("X-API-Key" -> "graft-fixture-key"))
+      try {
+        val wh = graft.sources.RestWarehouse("fixture", fx.baseUrl,
+          httpAuth = graft.sources.HttpAuth.ApiKey("X-API-Key", "graft-fixture-key"),
+          pageSize = 64)
+        wh.readSlice(s, "customer",
+          conditions = Seq(Condition("c_mktsegment", Op.Eq, "AUTOMOBILE")),
+          cursorField = Some("c_custkey"),
+          cursor = Some(Cursor(CursorMode.Uid,
+            start = Some("150"), end = Some("1200"))),
+          schema = Some(customer.schema))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"))
+          .localCheckpoint() // materialize before the fixture stops
+      } finally fx.stop()
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -1265,6 +1295,10 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
          FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_custkey BETWEEN 200 AND 900""",
+    "q42_rest_pull" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+         FROM customer
+         WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey BETWEEN 150 AND 1200""",
     "q39_scd2" ->
       """WITH e AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

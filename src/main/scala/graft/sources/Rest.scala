@@ -1,0 +1,379 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.conditions.{Condition, Op}
+import graft.cursor.Cursor
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+/** Header-based HTTP auth modes (reference: core/auth.py:37-121 — ApiKeyAuth
+  * / TokenAuth / BearerAuth / OAuth2Auth / LoginAuth build per-request
+  * headers; `build_headers` merges auth headers with static extras,
+  * core/auth.py:20-31).
+  *
+  * Auth material resolves to header strings ON THE DRIVER, once per Spark
+  * job; the resolved map ships inside task closures so executors never hold
+  * refresh credentials — only the short-lived access token a job needs.
+  */
+sealed trait HttpAuth extends Serializable {
+  /** Auth-specific headers (may refresh cached tokens). */
+  def authHeaders(): Map[String, String]
+  /** Static extra headers (tenant ids, correlation ids, ...). */
+  def extraHeaders: Map[String, String]
+  /** Merged headers, extras overriding auth on collision — the reference's
+    * `build_headers` update order (core/auth.py:27-31). */
+  final def buildHeaders(): Map[String, String] = authHeaders() ++ extraHeaders
+}
+
+object HttpAuth {
+  final case class NoAuth(extraHeaders: Map[String, String] = Map.empty)
+      extends HttpAuth {
+    def authHeaders(): Map[String, String] = Map.empty
+  }
+  /** Named-header key (core/auth.py:37 ApiKeyAuth). */
+  final case class ApiKey(headerName: String, key: String,
+      extraHeaders: Map[String, String] = Map.empty) extends HttpAuth {
+    def authHeaders(): Map[String, String] = Map(headerName -> key)
+  }
+  /** `Authorization: <scheme> <token>` (core/auth.py:53 TokenAuth). */
+  final case class Token(token: String, scheme: String = "Token",
+      extraHeaders: Map[String, String] = Map.empty) extends HttpAuth {
+    def authHeaders(): Map[String, String] =
+      Map("Authorization" -> s"$scheme $token")
+  }
+  /** `Authorization: Bearer <token>` (core/auth.py:69 BearerAuth). */
+  final case class Bearer(token: String,
+      extraHeaders: Map[String, String] = Map.empty) extends HttpAuth {
+    def authHeaders(): Map[String, String] =
+      Map("Authorization" -> s"Bearer $token")
+  }
+
+  /** OAuth2 client-credentials bearer with expiry-aware refresh
+    * (core/auth.py:104-140 OAuth2Auth._fetch_access_token — but where the
+    * reference caches forever, this refreshes when the token is within
+    * `skewMs` of expiry, like [[Auth.Expiring]]). `fetchToken` returns
+    * (access token, expiry epoch millis); the clock is injectable so specs
+    * drive expiry deterministically. */
+  final class OAuth2(
+      fetchToken: () => (String, Long),
+      clock: () => Long = () => System.currentTimeMillis(),
+      skewMs: Long = 30000,
+      val extraHeaders: Map[String, String] = Map.empty) extends HttpAuth {
+    private var cached: String = _
+    private var expiresAt: Long = Long.MinValue
+    private val lock = new Object
+    @volatile var refreshCount: Int = 0
+    def authHeaders(): Map[String, String] = lock.synchronized {
+      if (clock() + skewMs >= expiresAt) {
+        val (tok, exp) = fetchToken()
+        cached = tok
+        expiresAt = exp
+        refreshCount += 1
+      }
+      Map("Authorization" -> s"Bearer $cached")
+    }
+  }
+
+  object OAuth2 {
+    /** Standard client-credentials grant: form-POST to `tokenUrl`, read
+      * `access_token` + `expires_in` (seconds) from the JSON response. */
+    def clientCredentials(tokenUrl: String, clientId: String,
+        clientSecret: String, scope: Option[String] = None,
+        extraHeaders: Map[String, String] = Map.empty): OAuth2 = {
+      val form = Seq(
+        "grant_type" -> "client_credentials",
+        "client_id" -> clientId,
+        "client_secret" -> clientSecret) ++ scope.map("scope" -> _)
+      new OAuth2(fetchToken = () => {
+        val body = Http.post(tokenUrl, Map.empty, Http.formEncode(form),
+          "application/x-www-form-urlencoded")
+        val node = Http.mapper.readTree(body)
+        val tok = node.get("access_token").asText()
+        val ttlMs = Option(node.get("expires_in")).map(_.asLong * 1000L)
+          .getOrElse(3600000L)
+        (tok, System.currentTimeMillis() + ttlMs)
+      }, extraHeaders = extraHeaders)
+    }
+  }
+
+  /** Username/password session login: POST credentials once, reuse the
+    * returned session token as a bearer (core/auth.py:143-170 LoginAuth). */
+  final class Login(loginUrl: String, username: String, password: String,
+      val extraHeaders: Map[String, String] = Map.empty) extends HttpAuth {
+    @volatile private var session: String = _
+    def authHeaders(): Map[String, String] = {
+      if (session == null) {
+        val body = Http.post(loginUrl, Map.empty,
+          s"""{"username":${Http.jsonString(username)},"password":${Http.jsonString(password)}}""",
+          "application/json")
+        session = Http.mapper.readTree(body).get("session_token").asText()
+      }
+      Map("Authorization" -> s"Bearer $session")
+    }
+  }
+}
+
+/** Thrown for a non-2xx response that survives retries. */
+final case class RestHttpError(status: Int, url: String, body: String)
+  extends RuntimeException(s"HTTP $status from $url: ${body.take(500)}")
+
+/** Minimal HTTP client over JDK HttpClient — shared by driver-side probes
+  * and executor-side page fetches (one static client per JVM). Retries
+  * 429/5xx and connection failures with exponential backoff; 4xx fails
+  * fast (a bad request never becomes good by retrying). */
+private[graft] object Http {
+  lazy val mapper = new ObjectMapper()
+  private lazy val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(20)).build()
+
+  def urlEncode(s: String): String = URLEncoder.encode(s, UTF_8)
+
+  def formEncode(params: Seq[(String, String)]): String =
+    params.map { case (k, v) => s"${urlEncode(k)}=${urlEncode(v)}" }.mkString("&")
+
+  def withQuery(base: String, params: Seq[(String, String)]): String =
+    if (params.isEmpty) base else s"$base?${formEncode(params)}"
+
+  def jsonString(s: String): String = mapper.writeValueAsString(s)
+
+  def get(url: String, headers: Map[String, String], maxAttempts: Int = 4): String =
+    send(builder(url, headers).GET().build(), url, maxAttempts)
+
+  def post(url: String, headers: Map[String, String], body: String,
+      contentType: String, maxAttempts: Int = 4): String =
+    send(builder(url, headers).header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      url, maxAttempts)
+
+  private def builder(url: String, headers: Map[String, String]) = {
+    val b = HttpRequest.newBuilder(URI.create(url)).timeout(Duration.ofMinutes(2))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    b
+  }
+
+  private def send(req: HttpRequest, url: String, maxAttempts: Int): String = {
+    var attempt = 0
+    var lastError: Throwable = null
+    while (attempt < maxAttempts) {
+      if (attempt > 0) Thread.sleep(100L << (attempt - 1))
+      attempt += 1
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
+        val code = resp.statusCode()
+        if (code / 100 == 2) return resp.body()
+        val err = RestHttpError(code, url, resp.body())
+        if (code != 429 && code / 100 != 5) throw err // 4xx: fail fast
+        lastError = err
+      } catch {
+        case e: java.io.IOException => lastError = e
+      }
+    }
+    throw lastError
+  }
+}
+
+/** Compile the Condition/Cursor algebra into HTTP query params — the
+  * reference's `build_connector_params` (core/utils.py:604): EQ keeps the
+  * raw field name (core/utils.py:291 build_eq_query_params), IN renders
+  * `field__in=v1,v2` with the "array" formatter default (core/utils.py:550),
+  * CONTAINS renders the search-binding shape `field__contains`
+  * (core/utils.py:319), and the cursor window maps to explicit min/max
+  * param names plus a sort param (core/utils.py:195
+  * build_cursor_query_params). Range/null ops extend the same `field__op`
+  * naming pattern the reference's EQ-only builder leaves as TODO. */
+object RestParams {
+
+  def render(v: Any): String = v match {
+    case null => ""
+    case s: String => s
+    case other => other.toString
+  }
+
+  def condition(c: Condition): (String, String) = c.op match {
+    case Op.Eq       => c.field -> render(c.value)
+    case Op.Gt       => s"${c.field}__gt" -> render(c.value)
+    case Op.Gte      => s"${c.field}__gte" -> render(c.value)
+    case Op.Lt       => s"${c.field}__lt" -> render(c.value)
+    case Op.Lte      => s"${c.field}__lte" -> render(c.value)
+    case Op.Contains => s"${c.field}__contains" -> render(c.value)
+    case Op.IsNull   => s"${c.field}__isnull" -> "true"
+    case Op.NotNull  => s"${c.field}__isnull" -> "false"
+    case Op.In =>
+      val vs = c.value match {
+        case xs: Seq[_]      => xs
+        case xs: Array[_]    => xs.toSeq
+        case xs: Iterable[_] => xs.toSeq
+        case single          => Seq(single)
+      }
+      require(vs.nonEmpty, s"IN condition on '${c.field}' with no values")
+      s"${c.field}__in" -> vs.map(render).mkString(",")
+  }
+
+  /** Cursor window + direction. Param names default to `<field>_min` /
+    * `<field>_max` (the reference requires explicit names per resource,
+    * core/utils.py:237-247 — callers with a nonstandard origin pass their
+    * own). Asc/desc maps start/end to min/max exactly like
+    * [[graft.cursor.Cursor.slice]]. */
+  def cursor(cursorField: String, cur: Cursor,
+      minParam: Option[String] = None, maxParam: Option[String] = None,
+      sortParam: String = "sort_by"): Seq[(String, String)] = {
+    val lo = minParam.getOrElse(s"${cursorField}_min")
+    val hi = maxParam.getOrElse(s"${cursorField}_max")
+    val (min, max) = if (cur.ascending) (cur.start, cur.end) else (cur.end, cur.start)
+    min.map(lo -> _).toSeq ++ max.map(hi -> _).toSeq :+
+      (sortParam -> (if (cur.ascending) "asc" else "desc"))
+  }
+}
+
+/** REST warehouse: resources are paginated JSON collection endpoints under
+  * one base url — the reference's native connector family
+  * (connectors/hrflow/actions.py:22 `fetch_jobs(params)` over
+  * `GET /storing/jobs`, core/connector.py:63 `read_jobs_batch`).
+  *
+  * Where the reference loops pages one at a time in a single process, the
+  * Spark-first read is a DISTRIBUTED page fetch — the HTTP analogue of
+  * Spark's partitioned JDBC scan:
+  *
+  *  1. compile conditions + cursor into query params ([[RestParams]]), so
+  *     the ORIGIN filters — a pull ships the slice, never the table;
+  *  2. probe page 1 on the driver to learn the filtered total;
+  *  3. fan the remaining page ids across executors (`spark.range` →
+  *     `mapPartitions`), each task fetching its pages with the same params
+  *     and emitting per-record JSON;
+  *  4. parse with the caller's schema (one pass, no inference job) or let
+  *     `spark.read.json` infer.
+  *
+  * Responses follow the reference's envelope: `{"data": [...]}` with a
+  * `total` count for page fan-out (origins without a total fall back to a
+  * sequential driver loop that stops at the first short page).
+  */
+final case class RestWarehouse(
+    name: String,
+    baseUrl: String,
+    httpAuth: HttpAuth = HttpAuth.NoAuth(),
+    pageSize: Int = 1000,
+    maxParallelFetch: Int = 32,
+    pageParam: String = "page",
+    limitParam: String = "limit",
+    dataField: String = "data",
+    totalField: String = "total",
+    writeBatchSize: Int = 500) extends Warehouse {
+
+  require(pageSize > 0 && maxParallelFetch > 0 && writeBatchSize > 0)
+
+  /** Warehouse-trait auth is reader-option based; REST auth is header
+    * based and rides [[httpAuth]] instead. */
+  def auth: Auth = Auth.None
+
+  private def endpoint(resource: String): String = {
+    require(!resource.contains("/") && !resource.contains(".."),
+      s"invalid resource name: $resource")
+    s"${baseUrl.stripSuffix("/")}/$resource"
+  }
+
+  override def read(spark: SparkSession, resource: String): DataFrame =
+    readSlice(spark, resource)
+
+  /** Origin-filtered paginated read. `schema` skips the inference pass —
+    * at scale, always pass it (inference would re-fetch every page). */
+  def readSlice(
+      spark: SparkSession,
+      resource: String,
+      conditions: Seq[Condition] = Nil,
+      cursorField: Option[String] = None,
+      cursor: Option[Cursor] = None,
+      schema: Option[StructType] = None,
+      cursorMinParam: Option[String] = None,
+      cursorMaxParam: Option[String] = None): DataFrame = {
+    val cursorParams = (cursorField, cursor) match {
+      case (Some(f), Some(c)) =>
+        RestParams.cursor(f, c, cursorMinParam, cursorMaxParam)
+      case (None, None) => Nil
+      case _ => throw new IllegalArgumentException(
+        "cursorField and cursor must be provided together")
+    }
+    val params = conditions.map(RestParams.condition) ++ cursorParams
+    val headers = httpAuth.buildHeaders() // resolved once, driver-side
+    val url = endpoint(resource)
+    val (limitP, pageP, dataF, totalF, limit) =
+      (limitParam, pageParam, dataField, totalField, pageSize)
+
+    def pageUrl(page: Long): String = Http.withQuery(url,
+      params ++ Seq(pageP -> page.toString, limitP -> limit.toString))
+
+    // driver probe: a 1-row request just to read the filtered total — the
+    // driver never holds page data, executors fetch every real page
+    val probeUrl = Http.withQuery(url, params ++ Seq(pageP -> "1", limitP -> "1"))
+    val probe = Http.mapper.readTree(Http.get(probeUrl, headers))
+    require(probe.get(dataF) != null && probe.get(dataF).isArray,
+      s"response from $url has no '$dataF' array")
+    val totalOpt = Option(probe.get(totalF)).map(_.asLong)
+
+    val json: org.apache.spark.sql.Dataset[String] = totalOpt match {
+      case Some(total) =>
+        val totalPages = math.max(1L, (total + limit - 1) / limit)
+        val slots = math.min(totalPages, maxParallelFetch.toLong).toInt
+        import spark.implicits._
+        spark.range(1, totalPages + 1)
+          .repartition(slots)
+          .mapPartitions { pages =>
+            pages.flatMap { p =>
+              val node = Http.mapper.readTree(Http.get(pageUrl(p), headers))
+              val data = node.get(dataF)
+              require(data != null && data.isArray,
+                s"page $p from $url has no '$dataF' array")
+              val it = data.elements()
+              Iterator.continually(it).takeWhile(_.hasNext)
+                .map(_.next().toString)
+            }
+          }
+      case None =>
+        // no total in the envelope: sequential driver loop, stop at the
+        // first short page (the reference's read-until-exhausted shape,
+        // core/connector.py:63)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var page = 1L
+        var n = limit
+        while (n == limit) {
+          val node = Http.mapper.readTree(Http.get(pageUrl(page), headers))
+          val data = node.get(dataF)
+          require(data != null && data.isArray,
+            s"page $page from $url has no '$dataF' array")
+          n = data.size()
+          val it = data.elements()
+          while (it.hasNext) buf += it.next().toString
+          page += 1
+        }
+        import spark.implicits._
+        spark.createDataset(buf.toSeq)
+    }
+    schema match {
+      case Some(st) => spark.read.schema(st).json(json)
+      case None     => spark.read.json(json)
+    }
+  }
+
+  /** Distributed push: each executor partition POSTs its rows as JSON
+    * array batches of `writeBatchSize` — the reference's
+    * `write_resources_batch` loop (core/connector.py:257), parallelized
+    * across partitions. SaveMode is advisory here (a REST origin decides
+    * create-vs-update itself; the reference splits create_jobs/update_jobs
+    * the same way, connectors/hrflow/actions.py:37-67). */
+  override def write(df: DataFrame, resource: String, mode: SaveMode): Unit = {
+    val headers = httpAuth.buildHeaders()
+    val url = endpoint(resource)
+    val bs = writeBatchSize
+    df.toJSON.foreachPartition { (rows: Iterator[String]) =>
+      rows.grouped(bs).foreach { batch =>
+        Http.post(url, headers, batch.mkString("[", ",", "]"),
+          "application/json")
+        ()
+      }
+    }
+  }
+}

@@ -1,0 +1,202 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, struct, to_json}
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import scala.jdk.CollectionConverters._
+
+/** In-process paginated JSON API over a DataFrame's rows — the test double
+  * for a reference-style HTTP origin (connectors/hrflow/actions.py:22
+  * `GET /storing/jobs?params`), used by specs and the q42 gate query.
+  *
+  * Supports the param dialect [[RestParams]] compiles: bare `field=` for EQ,
+  * `field__gt/gte/lt/lte/contains/in/isnull`, `<cursor>_min`/`<cursor>_max`
+  * windows, `sort_by=asc|desc` over the cursor field, `page`/`limit`
+  * pagination. Responses are `{"data":[...],"total":N,"page":P}` —
+  * `total` counts the FILTERED set, which is what lets the client fan
+  * pages out in parallel. Auth: an optional required header (API-key
+  * mode), plus optional `/token` (OAuth2 client-credentials) and `/login`
+  * (session) endpoints that issue bearer tokens the data endpoint then
+  * accepts. Instrumented with request/served-row counters so tests can
+  * assert the ORIGIN did the filtering.
+  *
+  * Fixture only: rows are collected to the server's heap, which is exactly
+  * the thing the library's distributed read path exists to avoid.
+  */
+final class RestFixture private (
+    server: HttpServer,
+    pool: java.util.concurrent.ExecutorService,
+    val resource: String) {
+
+  val requests = new ConcurrentLinkedQueue[String]()
+  val servedRows = new AtomicLong(0)
+  val tokensIssued = new AtomicInteger(0)
+  val postedRows = new ConcurrentLinkedQueue[String]()
+  val postedBatches = new AtomicLong(0)
+
+  def port: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://127.0.0.1:$port/api"
+  def tokenUrl: String = s"http://127.0.0.1:$port/token"
+  def loginUrl: String = s"http://127.0.0.1:$port/login"
+  def requestLog: Seq[String] = requests.asScala.toSeq
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+object RestFixture {
+
+  private final case class Rec(json: String, fields: Map[String, Any])
+
+  /** Serve `df`'s rows at `/api/<resource>`, sorted by `cursorField`.
+    *
+    * @param requiredHeader data requests missing this exact header get 401
+    * @param issueBearer    activate /token + /login; data requests must
+    *                       then carry `Authorization: Bearer <issued>`
+    */
+  def serve(df: DataFrame, resource: String, cursorField: String,
+      requiredHeader: Option[(String, String)] = None,
+      issueBearer: Boolean = false): RestFixture = {
+    val names = df.columns.toSeq
+    val collected = df
+      .select(to_json(struct(names.map(col): _*)).as("__json") +: names.map(col): _*)
+      .collect()
+    val recs = collected.map { r =>
+      Rec(r.getString(0), names.zipWithIndex.map { case (n, i) =>
+        n -> r.get(i + 1)
+      }.toMap)
+    }.sortWith((a, b) => cmpAny(a.fields(cursorField), b.fields(cursorField)) < 0)
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // daemon threads + explicit shutdown in stop(): a fixture must never
+    // keep the host JVM (Verify/Bench mains) alive after the run
+    val pool = Executors.newFixedThreadPool(8, (r: Runnable) => {
+      val t = new Thread(r, "rest-fixture")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
+    val fx = new RestFixture(server, pool, resource)
+    val validTokens = new ConcurrentLinkedQueue[String]()
+
+    def authorized(ex: HttpExchange): Boolean = {
+      val ok1 = requiredHeader.forall { case (k, v) =>
+        Option(ex.getRequestHeaders.getFirst(k)).contains(v)
+      }
+      val ok2 = !issueBearer || Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .exists(h => validTokens.asScala.exists(t => h == s"Bearer $t"))
+      ok1 && ok2
+    }
+
+    server.createContext(s"/api/$resource", (ex: HttpExchange) => {
+      try {
+        val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        fx.requests.add(s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}?$query")
+        if (!authorized(ex)) respond(ex, 401, """{"error":"unauthorized"}""")
+        else if (ex.getRequestMethod == "POST") {
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val arr = Http.mapper.readTree(body)
+          require(arr.isArray, "POST body must be a JSON array")
+          arr.elements().asScala.foreach(n => fx.postedRows.add(n.toString))
+          fx.postedBatches.incrementAndGet()
+          respond(ex, 200, s"""{"accepted":${arr.size()}}""")
+        } else {
+          val params = parseQuery(query)
+          val sortDesc = params.collectFirst { case ("sort_by", v) => v }.contains("desc")
+          val page = params.collectFirst { case ("page", v) => v.toLong }.getOrElse(1L)
+          val limit = params.collectFirst { case ("limit", v) => v.toInt }.getOrElse(100)
+          val filters = params.filterNot { case (k, _) =>
+            k == "page" || k == "limit" || k == "sort_by"
+          }
+          val matched = recs.filter(r => filters.forall(f => eval(r.fields, cursorField, f)))
+          val ordered = if (sortDesc) matched.reverse else matched
+          val slice = ordered.slice(((page - 1) * limit).toInt, (page * limit).toInt)
+          fx.servedRows.addAndGet(slice.length.toLong)
+          respond(ex, 200, slice.map(_.json).mkString(
+            s"""{"total":${matched.length},"page":$page,"data":[""", ",", "]}"))
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, s"""{"error":${Http.jsonString(String.valueOf(e.getMessage))}}""")
+      }
+    })
+
+    if (issueBearer) {
+      server.createContext("/token", (ex: HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val form = parseQuery(body).toMap
+        if (form.get("grant_type").contains("client_credentials") &&
+            form.contains("client_id") && form.contains("client_secret")) {
+          val tok = s"issued-${fx.tokensIssued.incrementAndGet()}"
+          validTokens.add(tok)
+          respond(ex, 200, s"""{"access_token":"$tok","expires_in":3600}""")
+        } else respond(ex, 400, """{"error":"invalid_grant"}""")
+      })
+      server.createContext("/login", (ex: HttpExchange) => {
+        val node = Http.mapper.readTree(ex.getRequestBody)
+        if (node.has("username") && node.has("password")) {
+          val tok = s"session-${fx.tokensIssued.incrementAndGet()}"
+          validTokens.add(tok)
+          respond(ex, 200, s"""{"session_token":"$tok"}""")
+        } else respond(ex, 400, """{"error":"bad_login"}""")
+      })
+    }
+
+    server.start()
+    fx
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def parseQuery(q: String): Seq[(String, String)] =
+    q.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+        case Array(k)    => URLDecoder.decode(k, UTF_8) -> ""
+      }
+    }
+
+  /** Numeric comparison when the stored value is a number (query param
+    * values arrive as strings), string otherwise. */
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      BigDecimal(x.toString).compare(BigDecimal(y.toString))
+    case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+  }
+
+  private def cmpParam(value: Any, arg: String): Int = value match {
+    case n: Number => BigDecimal(n.toString).compare(BigDecimal(arg))
+    case other     => String.valueOf(other).compareTo(arg)
+  }
+
+  private def eval(fields: Map[String, Any], cursorField: String,
+      filter: (String, String)): Boolean = {
+    val (key, arg) = filter
+    def field(k: String): Any = fields.getOrElse(k,
+      throw new IllegalArgumentException(s"unknown field: $k"))
+    key match {
+      case k if k == s"${cursorField}_min" => cmpParam(field(cursorField), arg) >= 0
+      case k if k == s"${cursorField}_max" => cmpParam(field(cursorField), arg) <= 0
+      case k if k.endsWith("__gt")  => cmpParam(field(k.dropRight(4)), arg) > 0
+      case k if k.endsWith("__gte") => cmpParam(field(k.dropRight(5)), arg) >= 0
+      case k if k.endsWith("__lt")  => cmpParam(field(k.dropRight(4)), arg) < 0
+      case k if k.endsWith("__lte") => cmpParam(field(k.dropRight(5)), arg) <= 0
+      case k if k.endsWith("__contains") =>
+        String.valueOf(field(k.dropRight(10))).contains(arg)
+      case k if k.endsWith("__in") =>
+        arg.split(",").exists(v => cmpParam(field(k.dropRight(4)), v) == 0)
+      case k if k.endsWith("__isnull") =>
+        (field(k.dropRight(8)) == null) == (arg == "true")
+      case k => cmpParam(field(k), arg) == 0
+    }
+  }
+}

@@ -1,0 +1,179 @@
+package graft
+
+import graft.conditions.{Condition, Op}
+import graft.cursor.{Cursor, CursorMode}
+import graft.sources.{HttpAuth, RestFixture, RestHttpError, RestParams, RestWarehouse}
+import org.apache.spark.sql.functions._
+
+/** RestWarehouse against an in-process paginated JSON origin: param
+  * compilation, origin-side filtering, distributed page fan-out, auth
+  * header modes (api-key / bearer / OAuth2 refresh / login), and the
+  * batched write path. */
+class RestWarehouseSpec extends SparkSpecBase {
+
+  private lazy val customer = Tables(spark, sf0001, "customer")
+    .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+
+  test("RestParams compiles the condition algebra into query params") {
+    assert(RestParams.condition(Condition("segment", Op.Eq, "GOLD")) ==
+      ("segment" -> "GOLD"))
+    assert(RestParams.condition(Condition("score", Op.Gte, 10)) ==
+      ("score__gte" -> "10"))
+    assert(RestParams.condition(Condition("name", Op.Contains, "smith")) ==
+      ("name__contains" -> "smith"))
+    assert(RestParams.condition(Condition("tag", Op.In, Seq("a", "b"))) ==
+      ("tag__in" -> "a,b"))
+    assert(RestParams.condition(Condition("email", Op.IsNull, null)) ==
+      ("email__isnull" -> "true"))
+    assert(RestParams.cursor("updated", Cursor(CursorMode.UpdatedAt,
+      start = Some("2024-01-01"), end = Some("2024-02-01"))) ==
+      Seq("updated_min" -> "2024-01-01", "updated_max" -> "2024-02-01",
+        "sort_by" -> "asc"))
+    // desc swaps start/end into min/max like Cursor.slice
+    assert(RestParams.cursor("updated", Cursor(CursorMode.UpdatedAt,
+      start = Some("2024-02-01"), end = Some("2024-01-01"), ascending = false)) ==
+      Seq("updated_min" -> "2024-01-01", "updated_max" -> "2024-02-01",
+        "sort_by" -> "desc"))
+  }
+
+  test("readSlice pulls an origin-filtered cursor slice across pages") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 16)
+      val out = wh.readSlice(spark, "customer",
+        conditions = Seq(Condition("c_mktsegment", Op.Eq, "BUILDING")),
+        cursorField = Some("c_custkey"),
+        cursor = Some(Cursor(CursorMode.Uid, start = Some("20"), end = Some("120"))),
+        schema = Some(customer.schema)).localCheckpoint()
+      val expected = customer
+        .where(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey").between(20, 120))
+      assert(out.count() == expected.count() && out.count() > 16,
+        "slice must span multiple pages")
+      assert(out.except(expected).isEmpty && expected.except(out).isEmpty)
+      // the ORIGIN filtered: it served exactly the slice plus the 1-row
+      // driver probe (pages carried the compiled params), not the table
+      assert(fx.servedRows.get() == out.count() + 1)
+      assert(fx.requestLog.forall(_.contains("c_mktsegment=BUILDING")))
+      assert(fx.requestLog.forall(r =>
+        r.contains("c_custkey_min=20") && r.contains("c_custkey_max=120")))
+      // fan-out really paginated: probe + ceil(total/16) pages
+      val total = expected.count()
+      assert(fx.requestLog.size.toLong == 1L + (total + 15) / 16)
+    } finally fx.stop()
+  }
+
+  test("read without schema infers and returns the full resource") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 64)
+      val out = wh.read(spark, "customer").localCheckpoint()
+      assert(out.count() == customer.count())
+      assert(out.columns.sorted.toSeq == customer.columns.sorted.toSeq)
+    } finally fx.stop()
+  }
+
+  test("an envelope without a total falls back to the sequential loop") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 40,
+        totalField = "no_such_field")
+      val out = wh.readSlice(spark, "customer",
+        conditions = Seq(Condition("c_nationkey", Op.In, Seq(1, 2, 3))),
+        schema = Some(customer.schema)).localCheckpoint()
+      val expected = customer.where(col("c_nationkey").isin(1, 2, 3))
+      assert(out.count() == expected.count())
+      assert(out.except(expected).isEmpty)
+    } finally fx.stop()
+  }
+
+  test("api-key auth: wrong key fails fast with 401, right key succeeds") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey",
+      requiredHeader = Some("X-API-Key" -> "sesame"))
+    try {
+      val bad = RestWarehouse("fixture", fx.baseUrl,
+        httpAuth = HttpAuth.ApiKey("X-API-Key", "wrong"))
+      val err = intercept[RestHttpError] { bad.read(spark, "customer") }
+      assert(err.status == 401)
+      val good = RestWarehouse("fixture", fx.baseUrl,
+        httpAuth = HttpAuth.ApiKey("X-API-Key", "sesame"), pageSize = 512)
+      assert(good.read(spark, "customer").localCheckpoint().count() ==
+        customer.count())
+    } finally fx.stop()
+  }
+
+  test("OAuth2 client-credentials fetches a bearer the origin issued") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey",
+      issueBearer = true)
+    try {
+      val auth = HttpAuth.OAuth2.clientCredentials(
+        fx.tokenUrl, clientId = "cid", clientSecret = "cs")
+      val wh = RestWarehouse("fixture", fx.baseUrl, httpAuth = auth, pageSize = 512)
+      assert(wh.read(spark, "customer").localCheckpoint().count() == customer.count())
+      assert(fx.tokensIssued.get() == 1)
+      // second job reuses the unexpired token — no second grant
+      assert(wh.read(spark, "customer").localCheckpoint().count() == customer.count())
+      assert(fx.tokensIssued.get() == 1)
+    } finally fx.stop()
+  }
+
+  test("OAuth2 refreshes when the clock passes expiry") {
+    var tokens = 0
+    var now = 0L
+    val auth = new HttpAuth.OAuth2(
+      fetchToken = () => { tokens += 1; (s"t$tokens", now + 1000) },
+      clock = () => now, skewMs = 100)
+    assert(auth.buildHeaders() == Map("Authorization" -> "Bearer t1"))
+    now = 500 // 500 + 100 < 1000: still fresh
+    assert(auth.buildHeaders() == Map("Authorization" -> "Bearer t1"))
+    now = 950 // 950 + 100 >= 1000: refresh
+    assert(auth.buildHeaders() == Map("Authorization" -> "Bearer t2"))
+    assert(auth.refreshCount == 2)
+  }
+
+  test("login auth exchanges credentials for a session bearer once") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey",
+      issueBearer = true)
+    try {
+      val auth = new HttpAuth.Login(fx.loginUrl, "user", "hunter2")
+      val wh = RestWarehouse("fixture", fx.baseUrl, httpAuth = auth, pageSize = 512)
+      assert(wh.read(spark, "customer").localCheckpoint().count() == customer.count())
+      assert(wh.read(spark, "customer").localCheckpoint().count() == customer.count())
+      assert(fx.tokensIssued.get() == 1, "session token must be reused")
+    } finally fx.stop()
+  }
+
+  test("extra headers merge into every request") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey",
+      requiredHeader = Some("X-Tenant" -> "t1"))
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl,
+        httpAuth = HttpAuth.NoAuth(extraHeaders = Map("X-Tenant" -> "t1")),
+        pageSize = 512)
+      assert(wh.read(spark, "customer").localCheckpoint().count() == customer.count())
+    } finally fx.stop()
+  }
+
+  test("write POSTs partition batches the origin can reassemble") {
+    val fx = RestFixture.serve(customer.limit(0), "customer_sink", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, writeBatchSize = 100)
+      val src = customer.repartition(3)
+      wh.write(src, "customer_sink")
+      assert(fx.postedRows.size() == customer.count())
+      assert(fx.postedBatches.get() >= 3, "each partition posts its own batches")
+      // round-trip: the posted JSON parses back to the same rows
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val back = spark.read.schema(customer.schema)
+        .json(spark.createDataset(fx.postedRows.asScala.toSeq))
+      assert(back.except(customer).isEmpty && customer.except(back).isEmpty)
+    } finally fx.stop()
+  }
+
+  test("resource names cannot escape the endpoint path") {
+    val wh = RestWarehouse("w", "http://127.0.0.1:1/api")
+    intercept[IllegalArgumentException] { wh.read(spark, "../admin") }
+    intercept[IllegalArgumentException] { wh.read(spark, "a/b") }
+  }
+}
