@@ -313,6 +313,23 @@ object SparkEntry {
         having = Seq(Condition("c_acctbal", Op.Gt, 0)))
     }),
 
+    "q43_push_errors" -> ((s, dir) => {
+      // error-isolated RESOURCES push (safe_format_resources,
+      // core/utils.py:13): ~1/37 of the JSON payloads are deliberately
+      // corrupted; the formatter's required output comes back null for
+      // those rows, which count as `errors` and are skipped — never
+      // job-fatal. Counters land in one single-row frame.
+      val src = Tables(s, dir, "events").withColumn("props",
+        when(col("event_id") % 37 === 0, expr("substring(props, 1, 3)"))
+          .otherwise(col("props")))
+      Pipeline.pushResourcesResult(src,
+        having = Seq(Condition("value", Op.Gte, 50.0)),
+        format = Formatters.columns(
+          "event_id" -> col("event_id"),
+          "k" -> get_json_object(col("props"), "$.k").cast("bigint")),
+        requiredCols = Seq("k"))
+    }),
+
     "q12_event_latest" -> ((s, dir) => {
       // upserted → latest-state resolution
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
@@ -1264,6 +1281,12 @@ object SparkEntry {
          count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS skipped_missing,
          count(CASE WHEN c.c_custkey IS NOT NULL AND NOT (c.c_acctbal > 0) THEN 1 END) AS skipped_having
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+    "q43_push_errors" ->
+      """SELECT count(*) AS total_resources_fetched,
+         count(CASE WHEN NOT (value >= 50.0) THEN 1 END) AS skipped_having,
+         count(CASE WHEN value >= 50.0 AND event_id % 37 <> 0 THEN 1 END) AS total_resources_pushed,
+         count(CASE WHEN value >= 50.0 AND event_id % 37 = 0 THEN 1 END) AS errors
+         FROM events""",
     "q12_event_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -6,16 +6,20 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Result counters of a push run (reference: core/types.py:74-80
-  * `PushResult`). Computed in ONE distributed pass as conditional
-  * aggregates — the reference counts per-row in a Python loop
-  * (core/pipeline.py:114-199); at scale that loop becomes a single
-  * partial-aggregated `agg` over the joined plan. */
+  * `PushResult`, including the `errors` list core/pipeline.py:119).
+  * Computed in ONE distributed pass as conditional aggregates — the
+  * reference counts per-row in a Python loop (core/pipeline.py:114-199);
+  * at scale that loop becomes a single partial-aggregated `agg` over the
+  * joined plan. `errors` counts per-record format failures (the rows
+  * [[Pipeline.safeFormat]] isolates); the failing rows themselves are a
+  * DataFrame side-channel, not a driver-side list. */
 final case class PushResult(
     totalEvents: Long,
     totalResourcesFetched: Long,
     totalResourcesPushed: Long,
     skippedMissing: Long,
-    skippedHaving: Long)
+    skippedHaving: Long,
+    errors: Long = 0)
 
 /** Batch pipelines re-expressing the reference's pull/push semantics
   * (reference: core/pipeline.py:18-211) as declarative Spark plans.
@@ -170,4 +174,61 @@ object Pipeline {
       having: Seq[Condition] = Nil,
       format: DataFrame => DataFrame = identity): DataFrame =
     format(resources.where(Conditions.all(having)))
+
+  /** Error-isolated formatting (reference: core/utils.py:13
+    * `safe_format_resources` try/excepts each record so one malformed row
+    * doesn't fail the batch). Spark formatters are projections evaluated
+    * under non-ANSI semantics, so the projection analogue of a per-record
+    * exception is an INVALID OUTPUT: a required output column that comes
+    * back null (failed cast, malformed JSON, missing field).
+    *
+    * Splits the formatted frame into (valid, errors): rows where every
+    * `requiredCols` output is non-null, and the rest with an `error`
+    * column naming the null fields — a distributed side-channel (write it
+    * to a quarantine table) instead of the reference's driver-side string
+    * list. Both frames share the formatted plan; a malformed row is
+    * counted and skipped, never job-fatal. */
+  def safeFormat(
+      df: DataFrame,
+      format: DataFrame => DataFrame,
+      requiredCols: Seq[String]): (DataFrame, DataFrame) = {
+    require(requiredCols.nonEmpty, "safeFormat needs at least one required column")
+    val formatted = format(df)
+    val missing = array_compact(array(
+      requiredCols.map(c => when(col(c).isNull, lit(c))): _*))
+    val flagged = formatted.withColumn("__missing", missing)
+    val valid = flagged.where(size(col("__missing")) === 0).drop("__missing")
+    val errors = flagged.where(size(col("__missing")) > 0)
+      .withColumn("error",
+        concat(lit("null required field(s): "), concat_ws(",", col("__missing"))))
+      .drop("__missing")
+    (valid, errors)
+  }
+
+  /** PushResult counters for an error-isolated RESOURCES-mode push
+    * (core/pipeline.py:180-199 + the `errors` accumulation at :119):
+    * HAVING skips count pre-format, format failures count as `errors`,
+    * survivors as pushed. Two conditional-agg passes (source counters +
+    * formatted counters — validity is only observable through the
+    * formatter's projection) joined into one single-row frame; with
+    * column pruning each pass scans only the columns it needs. */
+  def pushResourcesResult(
+      resources: DataFrame,
+      having: Seq[Condition] = Nil,
+      format: DataFrame => DataFrame = identity,
+      requiredCols: Seq[String] = Nil): DataFrame = {
+    val havingCol = Conditions.all(having)
+    val source = resources.agg(
+      count(lit(1)).as("total_resources_fetched"),
+      count(when(!havingCol, 1)).as("skipped_having"))
+    val (valid, errors) = requiredCols match {
+      case Nil => (pushResources(resources, having, format), null)
+      case req => safeFormat(resources.where(havingCol), format, req)
+    }
+    val pushed = valid.agg(count(lit(1)).as("total_resources_pushed"))
+    val errs =
+      if (errors == null) pushed.sparkSession.range(1).select(lit(0L).as("errors"))
+      else errors.agg(count(lit(1)).as("errors"))
+    source.crossJoin(pushed).crossJoin(errs)
+  }
 }

@@ -50,6 +50,42 @@ class CursorPipelineSpec extends SparkSpecBase {
     assert(res == ((3L, 2L, 1L, 1L, 1L)))
   }
 
+  test("safeFormat isolates malformed rows instead of failing the job") {
+    val src = Seq(
+      (1L, """{"k": 7}"""), (2L, """{"k"""), (3L, """{"k": 9}"""),
+      (4L, """{"other": 1}""")).toDF("id", "props")
+    val (valid, errors) = Pipeline.safeFormat(src,
+      format = Formatters.columns(
+        "id" -> col("id"),
+        "k" -> get_json_object(col("props"), "$.k").cast("bigint")),
+      requiredCols = Seq("k"))
+    assert(valid.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(errors.select("id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(errors.select("error").as[String].collect()
+      .forall(_ == "null required field(s): k"))
+  }
+
+  test("pushResourcesResult counts having skips and format errors") {
+    val src = Seq(
+      (1L, """{"k": 7}""", 100.0),  // pushed
+      (2L, """{"k""", 100.0),       // format error
+      (3L, """{"k": 9}""", 1.0),    // having skip (before format)
+      (4L, """{"k""", 1.0)          // having skip wins over malformed
+    ).toDF("id", "props", "amount")
+    val res = Pipeline.pushResourcesResult(src,
+      having = Seq(Condition("amount", Op.Gte, 50)),
+      format = Formatters.columns(
+        "k" -> get_json_object(col("props"), "$.k").cast("bigint")),
+      requiredCols = Seq("k"))
+    assert(res.columns.toSeq == Seq("total_resources_fetched",
+      "skipped_having", "total_resources_pushed", "errors"))
+    assert(res.as[(Long, Long, Long, Long)].head() == ((4L, 2L, 1L, 1L)))
+    // no requiredCols: plain push, errors hard-zero
+    val plain = Pipeline.pushResourcesResult(src,
+      having = Seq(Condition("amount", Op.Gte, 50)))
+    assert(plain.as[(Long, Long, Long, Long)].head() == ((4L, 2L, 2L, 0L)))
+  }
+
   test("mapping formatter fills missing source fields with null") {
     val out = Formatters.mapping(Seq(FieldMap("id", "key"), FieldMap("nope", "gone")))(rows)
     assert(out.where(col("gone").isNull).count() == 4)
