@@ -649,14 +649,72 @@ object SparkEntry {
     }),
 
     "ss2_knn_lsh" -> ((s, dir) => {
-      // data-anchored hyperplane LSH (4 fixed corpus vectors as planes →
-      // 16 buckets): identical blocking structure to the seeded-Gaussian
-      // knnLsh, but engine-portable buckets so the oracle checks the
-      // output exactly
+      // data-anchored hyperplane LSH (6 fixed corpus vectors as planes →
+      // 64 buckets) with Hamming-≤2 MULTI-PROBE (22 buckets/query, ~1/3
+      // scan fraction, recall@5 0.62 at sf0.01 vs 0.10 for the old
+      // single-probe 16-bucket config): identical blocking structure to
+      // the seeded-Gaussian knnLsh, but engine-portable buckets so the
+      // oracle checks the output exactly
       val emb = Tables(s, dir, "embeddings")
       operators.similarity.Similarity.knnAnchorLsh(
         emb, emb.where(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, anchorIds = (100L to 103L))
+        k = 5, anchorIds = (100L to 105L), hammingProbe = 2)
+    }),
+
+    "ss5_pq_recall" -> ((s, dir) => {
+      // PQ under the driver gate: no SQL oracle can reproduce KMeans
+      // codebooks, so the entry is rows-only and SELF-GATED — recallGate
+      // throws (failing verify) if mean recall@5 vs the exact brute-force
+      // truth drops below 0.60
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = operators.similarity.Similarity.knnBrute(
+        emb, queries, "vec_id", "embedding", k = 5)
+      val approx = operators.similarity.ProductQuantization.knnPq(
+        emb, queries, "vec_id", "embedding", k = 5,
+        m = 8, nCodes = 16, rerank = 50)
+      operators.similarity.Similarity.recallGate(approx, truth, 0.60)
+    }),
+
+    "ss6_ivfpq_recall" -> ((s, dir) => {
+      // IVF-PQ (coarse inverted file + residual PQ), same self-gate shape
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = operators.similarity.Similarity.knnBrute(
+        emb, queries, "vec_id", "embedding", k = 5)
+      val index = operators.similarity.IvfPq.buildIndex(
+        emb, "vec_id", "embedding", nLists = 8, m = 8, nCodes = 16)
+      try operators.similarity.Similarity.recallGate(
+        index.search(queries, "vec_id", "embedding", k = 5,
+          nProbe = 4, rerank = 80), truth, 0.60)
+      finally index.close()
+    }),
+
+    "ss7_nnd_recall" -> ((s, dir) => {
+      // NN-Descent under the gate, on a metrically structured corpus
+      // built DETERMINISTICALLY from the embeddings table: node i =
+      // anchor(i%8) + 0.04·(i/8)·dir(i%8) with anchors/dirs fixed corpus
+      // rows — 8 line manifolds, the regime graph-ANN methods are built
+      // for. (Uniform random vectors have no neighbor structure any
+      // few-round graph method can recover; NNDescentSpec pins that
+      // separately.) Gate: mean recall@5 ≥ 0.90 vs brute truth.
+      val emb = Tables(s, dir, "embeddings")
+      def grouped(lo: Long, name: String) = broadcast(
+        emb.where(col("vec_id").between(lo, lo + 7))
+          .select(pmod(col("vec_id"), lit(8)).as("g"),
+            col("embedding").cast("array<double>").as(name)))
+      val nodes = emb.where(col("vec_id") < 480)
+        .select(col("vec_id"), pmod(col("vec_id"), lit(8)).as("g"),
+          floor(col("vec_id") / 8).cast("double").as("t"))
+        .join(grouped(100, "avec"), "g").join(grouped(200, "dvec"), "g")
+        .select(col("vec_id"), zip_with(col("avec"), col("dvec"),
+          (a, d) => a + col("t") * lit(0.04) * d).as("embedding"))
+      val truth = operators.similarity.Similarity.knnBrute(
+        nodes, nodes, "vec_id", "embedding", k = 5)
+      val approx = operators.similarity.NNDescent.knnGraph(
+        nodes, "vec_id", "embedding", k = 5, maxRounds = 6, bucketSize = 96)
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+      operators.similarity.Similarity.recallGate(approx, truth, 0.90)
     }),
 
     "ss4_knn_ivf" -> ((s, dir) => {
@@ -827,7 +885,7 @@ object SparkEntry {
       """WITH anc AS (
            SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av,
              (1::BIGINT << CAST(vec_id - 100 AS INTEGER)) AS w
-           FROM embeddings WHERE vec_id BETWEEN 100 AND 103),
+           FROM embeddings WHERE vec_id BETWEEN 100 AND 105),
          b AS (
            SELECT e.vec_id,
              sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), anc.av) >= 0
@@ -835,10 +893,13 @@ object SparkEntry {
            FROM embeddings e CROSS JOIN anc GROUP BY e.vec_id),
          q AS (SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qv, b.bucket
                FROM embeddings e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id < 20),
+         probes AS (
+           SELECT qid, qv, xor(q.bucket, f.f) AS bucket
+           FROM q CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32,3,5,9,17,33,6,10,18,34,12,20,36,24,40,48]) AS f) f),
          c AS (SELECT e.vec_id AS nid, CAST(e.embedding AS DOUBLE[]) AS nv, b.bucket
                FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
          s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cosine
-               FROM q JOIN c ON q.bucket = c.bucket AND qid != nid)
+               FROM probes JOIN c ON probes.bucket = c.bucket AND qid != nid)
          SELECT query_id, neighbor_id, cosine, rk FROM (
            SELECT qid AS query_id, nid AS neighbor_id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)

@@ -188,12 +188,20 @@ object Similarity {
     * product — the DuckDB oracle checks the full output exactly. Buckets
     * are computed distributedly: a broadcast join against the (metadata-
     * sized) anchor table plus one sum aggregate; the corpus is never
-    * collected. Recall < 1 by construction — the scale path when brute
-    * force is too expensive; see SimilarityTextSpec for measured recall
-    * vs [[knnBrute]]. */
+    * collected.
+    *
+    * MULTI-PROBE (Lv et al., "Multi-Probe LSH", VLDB 2007, the standard
+    * recall lever): each query also probes every bucket within Hamming
+    * distance `hammingProbe` of its own — a near neighbor that disagrees
+    * on a few sign bits still gets scored. The probe set is a query-side
+    * `explode` over the C(bits, ≤h) flip masks; the corpus index is
+    * untouched, so probing costs scan fraction, not index size. At
+    * hammingProbe=0 this is classic single-bucket LSH. Recall < 1 by
+    * construction — the scale path when brute force is too expensive;
+    * measured recall vs [[knnBrute]] is pinned in SimilarityTextSpec. */
   def knnAnchorLsh(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      anchorIds: Seq[Long]): DataFrame = IndexScope.scoped { sc =>
+      anchorIds: Seq[Long], hammingProbe: Int = 0): DataFrame = IndexScope.scoped { sc =>
     val spark = corpus.sparkSession
     import spark.implicits._
     val weights = anchorIds.zipWithIndex
@@ -211,9 +219,16 @@ object Similarity {
         .groupBy(idAlias)
         .agg(sum(when(dot(col("__raw"), col("__avec")) >= 0, col("__w"))
           .otherwise(lit(0L))).as("bucket"))
+    // every bucket within the probe radius: XOR the query's bucket with
+    // each ≤h-bit flip mask (mask 0 = the bucket itself). Distinct masks
+    // → distinct buckets → each (query, neighbor) pair scores ONCE.
+    val flips = (0L until (1L << anchorIds.length))
+      .filter(m => java.lang.Long.bitCount(m) <= hammingProbe)
     val q = broadcast(
       unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc)
-        .join(buckets(queries, "query_id"), "query_id"))
+        .join(buckets(queries, "query_id"), "query_id")
+        .withColumn("bucket", explode(array(
+          flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*))))
     val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
       .join(buckets(corpus, "neighbor_id"), "neighbor_id")
     val scored = q.join(c,
@@ -224,6 +239,29 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
+  /** Per-query recall of an approximate k-NN result against the exact
+    * truth (both in the (query_id, neighbor_id, ...) shape knnBrute
+    * emits). Emits (query_id, n_true, n_hit, recall) and THROWS if the
+    * mean recall falls below `minMeanRecall` — the self-gate that puts
+    * ANN operators whose internals no SQL oracle can reproduce (PQ,
+    * IVF-PQ, NN-Descent) under the driver's hard correctness gate as
+    * rows-only entries: a recall regression fails the verify run instead
+    * of silently shipping a worse index. The mean check is one
+    * metadata-sized driver action over the materialized per-query frame. */
+  def recallGate(approx: DataFrame, truth: DataFrame,
+      minMeanRecall: Double): DataFrame = IndexScope.scoped { sc =>
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val per = sc.index(t.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / col("n_true"), 4)))
+    val mean = per.agg(avg(col("recall"))).head().getDouble(0)
+    require(mean >= minMeanRecall,
+      f"mean recall $mean%.4f below the $minMeanRecall%.2f gate")
+    per
   }
 
   /** Approximate top-k via random-hyperplane LSH: bucket = sign bits of

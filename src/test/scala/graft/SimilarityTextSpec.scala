@@ -89,6 +89,37 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(recall > 0.05)
   }
 
+  test("anchored LSH multi-probe: recall >= 0.5 at a ~1/3 scan fraction") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    def recallAt(h: Int): Double = {
+      val hits = Similarity.knnAnchorLsh(e, q, "vec_id", "embedding", 5,
+        anchorIds = (100L to 105L), hammingProbe = h)
+        .as[(Long, Long, Double, Int)].collect()
+      hits.count(r => bruteSet((r._1, r._2))).toDouble / brute.length
+    }
+    val single = recallAt(0)
+    val multi = recallAt(2)
+    info(f"anchored-LSH 64-bucket recall@5: single-probe $single%.3f, Hamming<=2 multi-probe $multi%.3f")
+    // the ss2 gate config: 6 anchors, Hamming<=2 (22/64 buckets scanned)
+    assert(multi >= 0.5, f"multi-probe recall $multi%.3f below 0.5")
+    assert(multi >= single, "widening the probe set can only add candidates")
+    // the recallGate helper agrees with the hand-rolled measurement and
+    // throws below its threshold
+    val approx = Similarity.knnAnchorLsh(e, q, "vec_id", "embedding", 5,
+      anchorIds = (100L to 105L), hammingProbe = 2)
+    val truth = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+    val per = Similarity.recallGate(approx, truth, 0.5)
+    val mean = per.agg(avg(col("recall"))).head().getDouble(0)
+    assert(math.abs(mean - multi) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Similarity.recallGate(approx, truth, 0.99)
+    }
+  }
+
   test("product quantization: measured recall, exact re-ranked scores") {
     import graft.operators.similarity.ProductQuantization
     val e = Tables(spark, sf0001, "embeddings")
