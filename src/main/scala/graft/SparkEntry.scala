@@ -822,9 +822,29 @@ object SparkEntry {
     "tx4_ngram_freq" -> ((s, dir) =>
       operators.textual.TextStats.ngramFreq(Tables(s, dir, "documents"), "text", n = 2, minCount = 10)),
 
-    "mm1_binary_meta" -> ((s, dir) =>
-      operators.multimodal.BinaryMeta.extract(
-        s, Tables(s, dir, "documents"), "doc_id", "text").toDF()),
+    "mm1_binary_meta" -> ((s, dir) => {
+      // REAL header decode over a mixed binary corpus: payloads are
+      // synthesized deterministically from doc_id — PNG for even ids,
+      // JPEG for odd, raw text bytes every 13th (the unrecognized-format
+      // path) — with dimensions derived from the id, so the oracle
+      // predicts them arithmetically while the Spark side actually parses
+      // the IHDR / SOFn bytes (operators/multimodal/ImageHeaders.scala).
+      import s.implicits._
+      import operators.multimodal.ImageHeaders
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val w = (16 + id % 624).toInt
+          val h = (16 + (id * 7) % 464).toInt
+          val filler = (id % 100).toInt
+          val payload =
+            if (id % 13 == 0) text.getBytes("UTF-8")
+            else if (id % 2 == 0) ImageHeaders.synthPng(w, h, filler)
+            else ImageHeaders.synthJpeg(w, h, filler)
+          (id, payload)
+        }.toDF("doc_id", "payload")
+      operators.multimodal.BinaryMeta.extract(s, payloads, "doc_id", "payload").toDF()
+    }),
 
     "mm2_frame_sample" -> ((s, dir) =>
       // keyframe-sampling plumbing: 32-byte frames, every 4th kept
@@ -1120,10 +1140,19 @@ object SparkEntry {
                FROM documents WHERE octet_length(encode(text)) >= 32),
          LATERAL (SELECT unnest(generate_series(0, CAST(floor((len/32.0 - 1)/4) AS BIGINT))) AS i)""",
     "mm1_binary_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         hex(encode(substring(text, 1, 8))) AS header_hex,
-         CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-         CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS fake_height
+      """SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
+              WHEN doc_id % 2 = 0 THEN CAST(33 + doc_id % 100 AS BIGINT)
+              ELSE CAST(39 + doc_id % 100 AS BIGINT) END AS byte_len,
+         CASE WHEN doc_id % 13 = 0 THEN hex(encode(substring(text, 1, 8)))
+              WHEN doc_id % 2 = 0 THEN '89504E470D0A1A0A'
+              ELSE 'FFD8FFE000104A46' END AS header_hex,
+         CASE WHEN doc_id % 13 = 0 THEN 'unknown'
+              WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(16 + doc_id % 624 AS INTEGER) END AS width,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(16 + (doc_id * 7) % 464 AS INTEGER) END AS height
          FROM documents"""
   )
 

@@ -3,40 +3,45 @@ package graft.operators.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Typed metadata extracted from an opaque binary payload. */
+/** Typed metadata extracted from an opaque binary payload. `format` is
+  * "png" / "jpeg" / "unknown"; width/height are the REAL dimensions
+  * parsed from the file header ([[ImageHeaders]]), None when the payload
+  * is not a recognized image. */
 final case class BinaryDocMeta(
     doc_id: Long,
     byte_len: Long,
     header_hex: String,
-    fake_width: Long,
-    fake_height: Long)
+    format: String,
+    width: Option[Int],
+    height: Option[Int])
 
 /** Multimodal column plumbing: treat image/audio/video as opaque `binary`
   * columns and run the decode / feature-extract step per partition.
   *
   * The Spark-side shape is the real thing: a typed
   * `Dataset[(Long, Array[Byte])]` → `mapPartitions` with a per-partition
-  * decoder instance (in production the decoder is a JNI/native library
+  * decoder instance (in production a full decoder is a JNI/native library
   * that must be initialized once per partition, not per row — exactly the
-  * shape below). The decode itself is a clearly-marked DETERMINISTIC STUB
-  * (this container has no image/audio codecs): byte length, 8-byte header
-  * hex, and fake dimensions derived from the payload length.
+  * shape below). The decode extracts byte length, 8-byte header hex, and
+  * REAL image dimensions from PNG IHDR / JPEG SOFn header bytes
+  * ([[ImageHeaders]] — public file-format layout, no codec library);
+  * pixel decoding would slot into the same per-partition hook.
   *
   * Scale: mapPartitions streams batches through one decoder per task;
   * binary payloads never shuffle (metadata only leaves the scan stage).
   */
 object BinaryMeta {
 
-  /** STUB decode — stands in for e.g. an image header parse. Keep
-    * deterministic: derived only from payload bytes. */
-  private def decodeStub(id: Long, payload: Array[Byte]): BinaryDocMeta = {
+  private def decode(id: Long, payload: Array[Byte]): BinaryDocMeta = {
     val header = payload.take(8).map(b => f"$b%02X").mkString
+    val dims = ImageHeaders.parse(payload)
     BinaryDocMeta(
       doc_id = id,
       byte_len = payload.length.toLong,
       header_hex = header,
-      fake_width = payload.length.toLong % 640,
-      fake_height = (payload.length.toLong * 7) % 480)
+      format = dims.map(_.format).getOrElse("unknown"),
+      width = dims.map(_.width),
+      height = dims.map(_.height))
   }
 
   /** Extract typed metadata from a binary payload column. */
@@ -47,7 +52,7 @@ object BinaryMeta {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder init would go here (JNI/native handle)
-        rows.map { case (id, payload) => decodeStub(id, payload) }
+        rows.map { case (id, payload) => decode(id, payload) }
       }
   }
 

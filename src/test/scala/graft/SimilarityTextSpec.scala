@@ -215,6 +215,36 @@ class SimilarityTextSpec extends SparkSpecBase {
     val d = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
     val m = BinaryMeta.extract(spark, d, "doc_id", "text").collect().head
     assert(m.byte_len == 10 && m.header_hex == "6162636465666768")
-    assert(m.fake_width == 10 && m.fake_height == 70)
+    assert(m.format == "unknown" && m.width.isEmpty && m.height.isEmpty)
+  }
+
+  test("image header parse recovers true dimensions from REAL codec output") {
+    import graft.operators.multimodal.ImageHeaders
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // real PNG/JPEG bytes from the JDK encoder — not our own synthesis —
+    // so the parser is checked against the actual file formats
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    for ((w, h) <- Seq((1, 1), (640, 480), (31, 977))) {
+      assert(ImageHeaders.parse(encode(w, h, "png"))
+        .contains(ImageHeaders.ImageDims("png", w, h)))
+      assert(ImageHeaders.parse(encode(w, h, "jpg"))
+        .contains(ImageHeaders.ImageDims("jpeg", w, h)))
+    }
+    // synthesized headers agree with the parser too (the mm1 gate corpus)
+    assert(ImageHeaders.parse(ImageHeaders.synthPng(123, 45, 9))
+      .contains(ImageHeaders.ImageDims("png", 123, 45)))
+    assert(ImageHeaders.parse(ImageHeaders.synthJpeg(123, 45, 9))
+      .contains(ImageHeaders.ImageDims("jpeg", 123, 45)))
+    // non-images and truncated headers fall through to None
+    assert(ImageHeaders.parse("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeaders.parse(ImageHeaders.synthPng(1, 1, 0).take(20)).isEmpty)
+    assert(ImageHeaders.parse(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
   }
 }
