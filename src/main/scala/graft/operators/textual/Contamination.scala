@@ -29,11 +29,15 @@ object Contamination {
     // element_at calls would otherwise re-run the full tokenize regex on
     // the text — O(shingles × k) regex evaluations per document
     // (measured 31s → <1s at sf0.1; same trap documented in
-    // SetSimJoin.scala:31)
+    // SetSimJoin.scala:31).
+    // array_distinct BEFORE the explode: the GPT-3-style rule counts each
+    // doc's DISTINCT n-grams, and per-row dedup costs no shuffle while
+    // shrinking the exploded join input (a degenerate doc repeating one
+    // gram contributes 1 row, not n_positions rows)
     def grams(df: DataFrame, cols: Seq[String]): DataFrame =
       df.select((TextFunctions.tokens(col(textCol)).as("__toks") +: cols.map(col)): _*)
-        .select((explode(TextFunctions.shingles(
-          col("__toks"), n)).as("gram") +: cols.map(col)): _*)
+        .select((explode(array_distinct(TextFunctions.shingles(
+          col("__toks"), n))).as("gram") +: cols.map(col)): _*)
     val benchGrams = grams(benchmark, Seq.empty).distinct()
     grams(corpus, Seq(idCol))
       .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("gram"), "left")

@@ -60,6 +60,27 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(!r(1).getAs[Boolean]("flagged") && r(1).getAs[Long]("n_contaminated") == 0L)
   }
 
+  test("contamination counts DISTINCT grams per doc (GPT-3-style rule)") {
+    val bench = docs(100L -> "alpha beta gamma delta")
+    // the benchmark 4-gram occurs TWICE in doc 1; a repeated clean 4-gram
+    // ('one two three four' ×2 via overlap-free repetition) in doc 2
+    val corpus = docs(
+      1L -> "alpha beta gamma delta xx alpha beta gamma delta",
+      2L -> "one two three four zz one two three four")
+    val r = Contamination.check(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    // doc 1: 6 distinct grams of its 6 positions... positions 1-6 give
+    // grams: [abgd], [bgd,xx], [gd,xx,a], [d,xx,ab], [xx,abg], repeated
+    // [abgd] — 5 distinct; exactly 1 contaminated (not 2), frac 1/5
+    assert(r(0).getAs[Long]("n_grams") == 5L)
+    assert(r(0).getAs[Long]("n_contaminated") == 1L)
+    assert(r(0).getAs[Double]("contaminated_frac") == 0.2)
+    // doc 2: 9 tokens → 6 positions, the wrap-around repeat of
+    // 'one two three four' counts once → 5 distinct; nothing contaminated
+    assert(r(1).getAs[Long]("n_grams") == 5L)
+    assert(!r(1).getAs[Boolean]("flagged"))
+  }
+
   test("packBins: bin boundaries follow the running token total") {
     // identity order → docs pack in id order. Capacity 10, sizes 4,4,4,4:
     // concat offsets 0,4,8,12 → bins 0,0,0,1 with in-bin offsets 0,4,8,2
