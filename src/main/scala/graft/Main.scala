@@ -59,11 +59,13 @@ object Main {
         val (out, counters) = ConfigPipeline.runPush(spark, json)
         val result = counters match {
           case Some(c) =>
-            // EVENTS mode: the PushResult counters frame is a single row
+            // the PushResult counters frame is a single row; the column
+            // set differs by mode (events: 5 counters; resources: 4 incl.
+            // errors), so render it generically
             val r = c.head()
-            s""","push_result":{"total_events":${r.getLong(0)},"total_resources_fetched":${r.getLong(1)},""" +
-              s""""total_resources_pushed":${r.getLong(2)},"skipped_missing":${r.getLong(3)},""" +
-              s""""skipped_having":${r.getLong(4)}}"""
+            val fields = c.columns.zipWithIndex
+              .map { case (n, i) => s""""$n":${r.getLong(i)}""" }.mkString(",")
+            s""","push_result":{$fields}"""
           case None => ""
         }
         s"""{"rows":${out.count()}$result}"""

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.conditions.{Condition, Op}
+import graft.conditions.{Condition, Conditions, Op}
 import graft.cursor.{Cursor, CursorMode}
 import graft.format.{FieldMap, Formatters}
 import graft.sources.WarehouseRegistry
@@ -117,8 +117,11 @@ object ConfigPipeline {
     * `ResourcePushConfig` / `run_resource_push_from_config`). EVENTS mode
     * reads the event stream from `eventsResource` on the origin and joins
     * it to the origin's `resource` table (the fetch-by-id); RESOURCES mode
-    * pushes the origin resource directly. Returns the pushed frame and the
-    * PushResult counters frame (EVENTS mode). */
+    * pushes the origin resource directly. `required` names formatted
+    * output columns that must be non-null — rows failing it are counted
+    * as `errors` and skipped, not written (the safe_format_resources
+    * behavior, core/utils.py:13). Returns the pushed frame and the
+    * PushResult counters frame. */
   final case class PushConfig(
       resource: String,
       origin: String,
@@ -129,7 +132,17 @@ object ConfigPipeline {
       resourceIdCol: Option[String],
       having: Seq[Condition],
       mapping: Seq[FieldMap],
+      required: Seq[String],
       dryRun: Boolean)
+
+  private def parseStrings(v: JValue, what: String): Seq[String] = v match {
+    case JArray(items) => items.map {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"$what entries must be strings, got $other")
+    }
+    case JNothing => Nil
+    case other => throw new IllegalArgumentException(s"$what must be an array, got $other")
+  }
 
   def parsePush(json: String): PushConfig = {
     val j = JsonMethods.parse(json)
@@ -144,6 +157,7 @@ object ConfigPipeline {
       resourceIdCol = opt(j \ "resource_id_col"),
       having = parseConditions(j \ "having"),
       mapping = parseMapping(j \ "mapping"),
+      required = parseStrings(j \ "required", "required"),
       dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false })
   }
 
@@ -164,7 +178,13 @@ object ConfigPipeline {
         (Pipeline.pushEvents(events, evIdCol, resources, resIdCol, cfg.having, format),
           Some(Pipeline.pushEventsResult(events, evIdCol, resources, resIdCol, cfg.having)))
       case "resources" =>
-        (Pipeline.pushResources(resources, cfg.having, format), None)
+        val counters = Pipeline.pushResourcesResult(
+          resources, cfg.having, format, cfg.required)
+        val pushed =
+          if (cfg.required.isEmpty) Pipeline.pushResources(resources, cfg.having, format)
+          else Pipeline.safeFormat(
+            resources.where(Conditions.all(cfg.having)), format, cfg.required)._1
+        (pushed, Some(counters))
       case other =>
         throw new IllegalArgumentException(s"unknown push mode: $other")
     }

@@ -105,14 +105,43 @@ class SourcesConfigSpec extends SparkSpecBase {
     }""")
     assert(line.contains("\"push_result\":") && line.contains("\"total_events\":1000"))
     assert(spark.read.parquet(s"$outDir/customer").count() > 0)
-    // resources mode: no counters object
+    // resources mode counters, including the errors counter (zero here)
     val outDir2 = Files.createTempDirectory("graft-cli-push2-").toString
     val line2 = Main.run(spark, "push", s"""{
       "resource": "customer", "origin": "cliorigin", "target": "clitarget2",
       "target_dir": "$outDir2", "mode": "resources",
       "having": [{"field": "c_acctbal", "op": "gt", "value": 0}]
     }""")
-    assert(!line2.contains("push_result") && line2.contains("\"rows\":"))
+    assert(line2.contains("\"push_result\":") &&
+      line2.contains("\"total_resources_fetched\":") && line2.contains("\"errors\":0"))
+  }
+
+  test("config push isolates format errors via `required`; dry_run skips the write") {
+    WarehouseRegistry.clear()
+    val outDir = Files.createTempDirectory("graft-cli-safe-").toString
+    // mapping a nonexistent source field yields a null output column —
+    // with `required` on it, every row is an isolated error, none written
+    val line = Main.run(spark, "push", s"""{
+      "resource": "customer", "origin": "cliorigin", "target": "clitarget",
+      "origin_dir": "$sf0001", "target_dir": "$outDir", "mode": "resources",
+      "mapping": [{"from": "c_custkey", "to": "id"}, {"from": "no_such_col", "to": "v"}],
+      "required": ["v"]
+    }""")
+    val nCustomers = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(line.contains("\"rows\":0") && line.contains("\"total_resources_pushed\":0"))
+    assert(line.contains(s""""errors":$nCustomers"""))
+    // dry_run: plan + counters, nothing lands on the target
+    WarehouseRegistry.clear()
+    val dryDir = Files.createTempDirectory("graft-cli-dry-").toString
+    val dryLine = Main.run(spark, "push", s"""{
+      "resource": "customer", "origin": "cliorigin", "target": "clitarget",
+      "origin_dir": "$sf0001", "target_dir": "$dryDir", "mode": "resources",
+      "having": [{"field": "c_acctbal", "op": "gt", "value": 0}],
+      "dry_run": true
+    }""")
+    assert(dryLine.contains("\"push_result\":"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dryDir/customer")),
+      "dry_run must not write the target")
   }
 
   test("mapping formatter: missing source field writes as typed null") {
