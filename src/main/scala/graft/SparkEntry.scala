@@ -483,6 +483,32 @@ object SparkEntry {
       } finally fx.stop()
     }),
 
+    "q44_stream_agg" -> ((s, dir) => {
+      // Structured Streaming under the hard gate: the events table read as
+      // a FILE STREAM, watermarked tumbling-day aggregation, memory sink,
+      // Trigger.AvailableNow — process everything available, then stop.
+      // All files land in one micro-batch (no maxFilesPerTrigger), so the
+      // watermark never drops in-flight data and the finished table equals
+      // the batch groupBy — which is what lets DuckDB oracle a STREAMING
+      // query exactly. Sums go through the decimal-cast convention.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s, dir, schema,
+        globFilter = Some("events.parquet"))
+      val agg = src.withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          decSum(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+      val sink = s"q44_stream_${System.nanoTime()}"
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(sink).localCheckpoint() // pin: the memory sink is transient
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -1412,6 +1438,11 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
          FROM customer
          WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey BETWEEN 150 AND 1200""",
+    "q44_stream_agg" ->
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
+         event_type, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "q39_scd2" ->
       """WITH e AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

@@ -15,10 +15,17 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
-  /** Streaming source over a directory of event parquet files. */
-  def source(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** Streaming source over a directory of event parquet files.
+    * `globFilter` narrows to matching leaf files — the file stream source
+    * requires a directory basePath, so a single-file table is streamed as
+    * its parent directory plus a filename filter. */
+  def source(spark: SparkSession, dir: String, schema: StructType,
+      globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.parquet(dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Watermarked tumbling-window counts per event type: the streaming
     * shape of q12-style event aggregation. Late data beyond the watermark
