@@ -44,4 +44,16 @@ class PlanAuditSpec extends SparkSpecBase {
         s"$q plan contains a nested loop")
     }
   }
+
+  test("q43 error-isolated counters: two scans, no join of the corpus to itself") {
+    val p = planOf("q43_push_errors")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "counters must combine single-row aggregates, not join data frames")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  // ss2's join shape and q42's origin-side filtering are pinned in
+  // SimilarityTextSpec (multi-probe recall/monotonicity) and
+  // RestWarehouseSpec (served-rows == slice + probe) respectively — their
+  // final plans are scope/checkpoint scans, opaque to a string audit here.
 }
