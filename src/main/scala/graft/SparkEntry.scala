@@ -742,7 +742,7 @@ object SparkEntry {
       val truth = operators.similarity.Similarity.knnBrute(
         nodes, nodes, "vec_id", "embedding", k = 5)
       val approx = operators.similarity.NNDescent.knnGraph(
-        nodes, "vec_id", "embedding", k = 5, maxRounds = 6, bucketSize = 96)
+        nodes, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
       operators.similarity.Similarity.recallGate(approx, truth, 0.90)
     }),

@@ -28,6 +28,12 @@ sealed trait HttpAuth extends Serializable {
   /** Merged headers, extras overriding auth on collision — the reference's
     * `build_headers` update order (core/auth.py:27-31). */
   final def buildHeaders(): Map[String, String] = authHeaders() ++ extraHeaders
+  /** PER-REQUEST headers (request-signing schemes): computed against the
+    * exact method/url/query of each request, on whichever node issues it.
+    * Static schemes return nothing — their material is resolved once via
+    * [[buildHeaders]] on the driver. */
+  def signRequest(method: String, baseUrl: String,
+      params: Seq[(String, String)]): Map[String, String] = Map.empty
 }
 
 object HttpAuth {
@@ -66,7 +72,7 @@ object HttpAuth {
       val extraHeaders: Map[String, String] = Map.empty) extends HttpAuth {
     private var cached: String = _
     private var expiresAt: Long = Long.MinValue
-    private val lock = new Object
+    @transient private lazy val lock = new Object
     @volatile var refreshCount: Int = 0
     def authHeaders(): Map[String, String] = lock.synchronized {
       if (clock() + skewMs >= expiresAt) {
@@ -98,6 +104,60 @@ object HttpAuth {
           .getOrElse(3600000L)
         (tok, System.currentTimeMillis() + ttlMs)
       }, extraHeaders = extraHeaders)
+    }
+  }
+
+  /** OAuth 1.0a request signing (RFC 5849; core/auth.py:82-101 leaves
+    * OAuth1Auth's headers as an empty placeholder — this is the real
+    * construction). Unlike the static schemes, the Authorization header is
+    * computed PER REQUEST: the HMAC-SHA1 signature covers the method, the
+    * base url, and every query parameter (§3.4.1 signature base string),
+    * so it is built on whichever node issues the request via
+    * [[signRequest]]. Nonce/timestamp are injectable for deterministic
+    * specs; production uses the defaults. */
+  final class OAuth1(
+      consumerKey: String, consumerSecret: String,
+      token: String, tokenSecret: String,
+      val extraHeaders: Map[String, String] = Map.empty,
+      nonce: () => String = () => java.util.UUID.randomUUID().toString.replace("-", ""),
+      timestamp: () => Long = () => System.currentTimeMillis() / 1000) extends HttpAuth {
+
+    def authHeaders(): Map[String, String] = Map.empty
+
+    /** RFC 3986 §2.3 percent-encoding (strict: only unreserved chars kept),
+      * the encoding RFC 5849 §3.6 mandates for base strings and keys. */
+    private def enc(s: String): String = {
+      val sb = new StringBuilder
+      s.getBytes(UTF_8).foreach { b =>
+        val c = b.toChar
+        if (c.isLetterOrDigit && c < 128 || c == '-' || c == '.' || c == '_' || c == '~') sb.append(c)
+        else sb.append(f"%%${b & 0xFF}%02X")
+      }
+      sb.toString
+    }
+
+    override def signRequest(method: String, baseUrl: String,
+        params: Seq[(String, String)]): Map[String, String] = {
+      val oauth = Seq(
+        "oauth_consumer_key" -> consumerKey,
+        "oauth_nonce" -> nonce(),
+        "oauth_signature_method" -> "HMAC-SHA1",
+        "oauth_timestamp" -> timestamp().toString,
+        "oauth_token" -> token,
+        "oauth_version" -> "1.0")
+      // §3.4.1.3.2: encode each pair, sort by encoded name then value
+      val normalized = (params ++ oauth)
+        .map { case (k, v) => enc(k) -> enc(v) }
+        .sortBy(identity)
+        .map { case (k, v) => s"$k=$v" }.mkString("&")
+      val base = s"${method.toUpperCase}&${enc(baseUrl)}&${enc(normalized)}"
+      val key = s"${enc(consumerSecret)}&${enc(tokenSecret)}"
+      val mac = javax.crypto.Mac.getInstance("HmacSHA1")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key.getBytes(UTF_8), "HmacSHA1"))
+      val sig = java.util.Base64.getEncoder.encodeToString(mac.doFinal(base.getBytes(UTF_8)))
+      val header = (oauth :+ ("oauth_signature" -> sig))
+        .map { case (k, v) => s"""$k="${enc(v)}"""" }.mkString("OAuth ", ", ", "")
+      Map("Authorization" -> header)
     }
   }
 
@@ -298,20 +358,27 @@ final case class RestWarehouse(
         "cursorField and cursor must be provided together")
     }
     val params = conditions.map(RestParams.condition) ++ cursorParams
-    val headers = httpAuth.buildHeaders() // resolved once, driver-side
+    // static material resolves ONCE on the driver (token refresh happens
+    // here); request-signing schemes additionally sign each request where
+    // it is issued (the auth object rides the task closure — strings only)
+    val headers = httpAuth.buildHeaders()
+    val auth = httpAuth
     val url = endpoint(resource)
     val (limitP, pageP, dataF, totalF, limit) =
       (limitParam, pageParam, dataField, totalField, pageSize)
 
-    def pageUrl(page: Long): String = Http.withQuery(url,
-      params ++ Seq(pageP -> page.toString, limitP -> limit.toString))
+    def fetchPage(page: Long, lim: Int): JsonNode = {
+      val pp = params ++ Seq(pageP -> page.toString, limitP -> lim.toString)
+      val node = Http.mapper.readTree(Http.get(Http.withQuery(url, pp),
+        headers ++ auth.signRequest("GET", url, pp)))
+      require(node.get(dataF) != null && node.get(dataF).isArray,
+        s"page $page from $url has no '$dataF' array")
+      node
+    }
 
     // driver probe: a 1-row request just to read the filtered total — the
     // driver never holds page data, executors fetch every real page
-    val probeUrl = Http.withQuery(url, params ++ Seq(pageP -> "1", limitP -> "1"))
-    val probe = Http.mapper.readTree(Http.get(probeUrl, headers))
-    require(probe.get(dataF) != null && probe.get(dataF).isArray,
-      s"response from $url has no '$dataF' array")
+    val probe = fetchPage(1, 1)
     val totalOpt = Option(probe.get(totalF)).map(_.asLong)
 
     val json: org.apache.spark.sql.Dataset[String] = totalOpt match {
@@ -323,11 +390,7 @@ final case class RestWarehouse(
           .repartition(slots)
           .mapPartitions { pages =>
             pages.flatMap { p =>
-              val node = Http.mapper.readTree(Http.get(pageUrl(p), headers))
-              val data = node.get(dataF)
-              require(data != null && data.isArray,
-                s"page $p from $url has no '$dataF' array")
-              val it = data.elements()
+              val it = fetchPage(p, limit).get(dataF).elements()
               Iterator.continually(it).takeWhile(_.hasNext)
                 .map(_.next().toString)
             }
@@ -340,10 +403,7 @@ final case class RestWarehouse(
         var page = 1L
         var n = limit
         while (n == limit) {
-          val node = Http.mapper.readTree(Http.get(pageUrl(page), headers))
-          val data = node.get(dataF)
-          require(data != null && data.isArray,
-            s"page $page from $url has no '$dataF' array")
+          val data = fetchPage(page, limit).get(dataF)
           n = data.size()
           val it = data.elements()
           while (it.hasNext) buf += it.next().toString
@@ -366,12 +426,15 @@ final case class RestWarehouse(
     * the same way, connectors/hrflow/actions.py:37-67). */
   override def write(df: DataFrame, resource: String, mode: SaveMode): Unit = {
     val headers = httpAuth.buildHeaders()
+    val auth = httpAuth
     val url = endpoint(resource)
     val bs = writeBatchSize
     df.toJSON.foreachPartition { (rows: Iterator[String]) =>
+      // JSON bodies are outside the OAuth1 signature by spec (§3.4.1.3
+      // covers only query + form params) — sign method/url only
+      val h = headers ++ auth.signRequest("POST", url, Nil)
       rows.grouped(bs).foreach { batch =>
-        Http.post(url, headers, batch.mkString("[", ",", "]"),
-          "application/json")
+        Http.post(url, h, batch.mkString("[", ",", "]"), "application/json")
         ()
       }
     }

@@ -51,15 +51,24 @@ object RestFixture {
 
   private final case class Rec(json: String, fields: Map[String, Any])
 
+  /** OAuth1 verification secrets: consumer key/secret + token/secret. */
+  final case class OAuth1Secrets(consumerKey: String, consumerSecret: String,
+      token: String, tokenSecret: String)
+
   /** Serve `df`'s rows at `/api/<resource>`, sorted by `cursorField`.
     *
     * @param requiredHeader data requests missing this exact header get 401
     * @param issueBearer    activate /token + /login; data requests must
     *                       then carry `Authorization: Bearer <issued>`
+    * @param oauth1         verify each request's OAuth1 signature against
+    *                       the request ACTUALLY received (method, url,
+    *                       query) — a client that signs anything other
+    *                       than what it sends gets 401
     */
   def serve(df: DataFrame, resource: String, cursorField: String,
       requiredHeader: Option[(String, String)] = None,
-      issueBearer: Boolean = false): RestFixture = {
+      issueBearer: Boolean = false,
+      oauth1: Option[OAuth1Secrets] = None): RestFixture = {
     val names = df.columns.toSeq
     val collected = df
       .select(to_json(struct(names.map(col): _*)).as("__json") +: names.map(col): _*)
@@ -88,7 +97,8 @@ object RestFixture {
       }
       val ok2 = !issueBearer || Option(ex.getRequestHeaders.getFirst("Authorization"))
         .exists(h => validTokens.asScala.exists(t => h == s"Bearer $t"))
-      ok1 && ok2
+      val ok3 = oauth1.forall(sec => verifyOAuth1(ex, sec))
+      ok1 && ok2 && ok3
     }
 
     server.createContext(s"/api/$resource", (ex: HttpExchange) => {
@@ -147,6 +157,44 @@ object RestFixture {
 
     server.start()
     fx
+  }
+
+  /** Recompute the RFC 5849 signature from the request as RECEIVED:
+    * method + reconstructed base url + actual query params + the oauth_*
+    * header params (minus the signature itself), HMAC-SHA1 with the shared
+    * secrets. Catches clients that sign a different url/param set than
+    * they send. */
+  private def verifyOAuth1(ex: HttpExchange, sec: OAuth1Secrets): Boolean = {
+    def enc(s: String): String = {
+      val sb = new StringBuilder
+      s.getBytes(UTF_8).foreach { b =>
+        val c = b.toChar
+        if (c.isLetterOrDigit && c < 128 || c == '-' || c == '.' || c == '_' || c == '~') sb.append(c)
+        else sb.append(f"%%${b & 0xFF}%02X")
+      }
+      sb.toString
+    }
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(return false)
+    if (!header.startsWith("OAuth ")) return false
+    val oauthParams = header.stripPrefix("OAuth ").split(", ").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> URLDecoder.decode(v.stripPrefix("\"").stripSuffix("\""), UTF_8))
+        case _ => None
+      }
+    }
+    val sig = oauthParams.collectFirst { case ("oauth_signature", v) => v }.getOrElse(return false)
+    if (!oauthParams.toMap.get("oauth_consumer_key").contains(sec.consumerKey)) return false
+    val query = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    val all = query ++ oauthParams.filterNot(_._1 == "oauth_signature")
+    val normalized = all.map { case (k, v) => enc(k) -> enc(v) }
+      .sortBy(identity).map { case (k, v) => s"$k=$v" }.mkString("&")
+    val baseUrl = s"http://127.0.0.1:${ex.getLocalAddress.getPort}${ex.getRequestURI.getPath}"
+    val base = s"${ex.getRequestMethod.toUpperCase}&${enc(baseUrl)}&${enc(normalized)}"
+    val key = s"${enc(sec.consumerSecret)}&${enc(sec.tokenSecret)}"
+    val mac = javax.crypto.Mac.getInstance("HmacSHA1")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key.getBytes(UTF_8), "HmacSHA1"))
+    val expected = java.util.Base64.getEncoder.encodeToString(mac.doFinal(base.getBytes(UTF_8)))
+    expected == sig
   }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
