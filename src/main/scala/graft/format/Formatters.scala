@@ -54,5 +54,8 @@ object FormatterRegistry {
   def get(id: String): Option[DataFrame => DataFrame] =
     registry.get(id).map(Formatters.mapping)
 
+  /** The stored spec itself (the API layer reads it back). */
+  def specs(id: String): Option[Seq[FieldMap]] = registry.get(id)
+
   def clear(): Unit = registry.clear()
 }

@@ -42,7 +42,7 @@ object ConfigPipeline {
     case other       => throw new IllegalArgumentException(s"unsupported condition value: $other")
   }
 
-  private def parseConditions(v: JValue): Seq[Condition] = v match {
+  private[graft] def parseConditions(v: JValue): Seq[Condition] = v match {
     case JArray(items) => items.map { item =>
       Condition(
         field = (item \ "field") match { case JString(s) => s

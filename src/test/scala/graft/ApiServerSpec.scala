@@ -1,0 +1,78 @@
+package graft
+
+import graft.conditions.{FieldSpec, FilterSchema, Op}
+import graft.sources.{Http, ParquetWarehouse, WarehouseMeta, WarehouseRegistry}
+import java.nio.file.Files
+
+/** The embedded HTTP service layer (app/api.py analogue): catalogue,
+  * schema, formatter CRUD, run endpoints sharing the CLI's config format,
+  * and the debug param-compilation surface. */
+class ApiServerSpec extends SparkSpecBase {
+
+  test("warehouses / schema / formatters / run / debug endpoints") {
+    WarehouseRegistry.clear()
+    val outDir = Files.createTempDirectory("graft-api-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("apisrc", "API source", "lake", "parquet"),
+      () => ParquetWarehouse("apisrc", sf0001))
+    WarehouseRegistry.register(
+      WarehouseMeta("apidst", "API target", "lake", "parquet"),
+      () => ParquetWarehouse("apidst", outDir, ext = ""))
+    ApiServer.registerSchema("orders", FilterSchema(Seq(
+      FieldSpec("o_orderstatus", Set(Op.Eq, Op.In)),
+      FieldSpec("o_orderdate", cursorTag = Some("created_at")))))
+
+    val api = ApiServer.start(spark, apiKey = Some("k1"))
+    val h = Map("X-API-Key" -> "k1")
+    try {
+      // unauthorized without the key
+      val denied = intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/warehouses", Map.empty)
+      }
+      assert(denied.status == 401)
+
+      val whs = Http.get(s"${api.baseUrl}/warehouses", h)
+      assert(whs.contains("\"apisrc\"") && whs.contains("\"apidst\""))
+
+      val schema = Http.get(s"${api.baseUrl}/schema/orders", h)
+      assert(schema.contains("o_orderstatus") && schema.contains("\"cursor\":\"created_at\""))
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/schema/nope", h)
+      }.status == 404)
+
+      // formatter CRUD round-trip
+      val put = Http.post(s"${api.baseUrl}/formatters/f1", h,
+        """{"mapping":[{"from":"o_orderkey","to":"id"},{"from":"o_totalprice","to":"total"}]}""",
+        "application/json")
+      assert(put.contains("\"n_fields\":2"))
+      val got = Http.get(s"${api.baseUrl}/formatters/f1", h)
+      assert(got.contains("\"from\":\"o_orderkey\"") && got.contains("\"to\":\"total\""))
+
+      // run a pull through the API — same config document as the CLI
+      val res = Http.post(s"${api.baseUrl}/run/pull", h, s"""{
+        "resource": "orders", "origin": "apisrc", "target": "apidst",
+        "cursor": {"mode": "created_at", "field": "o_orderdate", "start": "1996-01-01"},
+        "where": [{"field": "o_orderstatus", "op": "eq", "value": "O"}],
+        "mapping": [{"from": "o_orderkey", "to": "id"}]
+      }""", "application/json")
+      assert(res.contains("\"rows\":") && res.contains("\"cursor_end\":"))
+      assert(spark.read.parquet(s"$outDir/orders").count() > 0)
+
+      // debug param compilation: both origin renderings of one filter
+      val dbg = Http.post(s"${api.baseUrl}/debug/params", h, """{
+        "conditions": [{"field": "segment", "op": "eq", "value": "GOLD"},
+                       {"field": "name", "op": "contains", "value": "smith"}],
+        "cursor": {"mode": "uid", "field": "id", "start": "100", "end": "900"}
+      }""", "application/json")
+      assert(dbg.contains("\"segment\":\"GOLD\"") && dbg.contains("\"name__contains\":\"smith\""))
+      assert(dbg.contains("\"id_min\":\"100\"") && dbg.contains("\"id_max\":\"900\""))
+      // quotes inside the JSON string arrive escaped
+      assert(dbg.contains("""\"id\" >= 100 AND \"id\" <= 900"""))
+
+      // malformed config is a 400, not a server crash
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.post(s"${api.baseUrl}/run/pull", h, """{"resource": 7}""", "application/json")
+      }.status == 400)
+    } finally api.stop()
+  }
+}
