@@ -93,7 +93,7 @@ object IvfPq {
     val dim = base.select(size(col("v"))).head().getInt(0)
 
     // coarse quantizer over full vectors
-    val coarse = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__f")
+    val coarse = new KMeans().setK(nLists).setMaxIter(8).setSeed(seed).setFeaturesCol("__f")
       .fit(base.select(array_to_vector(col("v")).as("__f")))
       .clusterCenters.map(_.toArray)
     def coarseLit(l: Int): Column =
