@@ -483,6 +483,34 @@ object SparkEntry {
       } finally fx.stop()
     }),
 
+    "q45_incremental" -> ((s, dir) => {
+      // full connector lifecycle under the gate: two incremental pulls
+      // from a REST origin with a cursor advance between them (the
+      // reference's read → _finalize_read_batch → next_cursor loop,
+      // core/connector.py:231). The origin filters BOTH pulls (IN
+      // condition + cursor window compile to query params), advance is
+      // one max() agg, and the at-least-once `>=` restart boundary is
+      // part of the contract — the oracle reproduces it.
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val fx = graft.sources.RestFixture.serve(customer, "customer", "c_custkey")
+      try {
+        val wh = graft.sources.RestWarehouse("fixture", fx.baseUrl, pageSize = 128)
+        val where = Seq(Condition("c_mktsegment", Op.In, Seq("BUILDING", "MACHINERY")))
+        def pull(cur: Cursor) = wh.readSlice(s, "customer",
+          conditions = where, cursorField = Some("c_custkey"),
+          cursor = Some(cur), schema = Some(customer.schema))
+        val day1Cur = Cursor(CursorMode.Uid, start = Some("1"), end = Some("700"))
+        val day1 = pull(day1Cur)
+        val advanced = day1Cur.advance(day1, col("c_custkey"))
+        val day2 = pull(Cursor(CursorMode.Uid,
+          start = advanced.end, end = Some("1400")))
+        day1.withColumn("pull_seq", lit(1))
+          .unionAll(day2.withColumn("pull_seq", lit(2)))
+          .localCheckpoint()
+      } finally fx.stop()
+    }),
+
     "q44_stream_agg" -> ((s, dir) => {
       // Structured Streaming under the hard gate: the events table read as
       // a FILE STREAM, watermarked tumbling-day aggregation, memory sink,
@@ -1442,6 +1470,15 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
          FROM customer
          WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey BETWEEN 150 AND 1200""",
+    "q45_incremental" ->
+      """WITH f AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         m AS (SELECT max(c_custkey) AS adv FROM f WHERE c_custkey BETWEEN 1 AND 700)
+         SELECT c_custkey, c_name, c_mktsegment, 1 AS pull_seq
+         FROM f WHERE c_custkey BETWEEN 1 AND 700
+         UNION ALL
+         SELECT f.c_custkey, f.c_name, f.c_mktsegment, 2 AS pull_seq
+         FROM f, m WHERE f.c_custkey >= m.adv AND f.c_custkey <= 1400""",
     "q44_stream_agg" ->
       """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
          event_type, count(*) AS n_events,
