@@ -266,11 +266,14 @@ object Similarity {
 
   /** Approximate top-k via random-hyperplane LSH: bucket = sign bits of
     * `planes` fixed pseudo-random hyperplanes (seeded, deterministic);
-    * each query scores only its bucket. Recall < 1 by construction —
-    * the scale path when brute force is too expensive. */
+    * each query scores its own bucket plus every bucket within
+    * `hammingProbe` bit flips (multi-probe — same lever as
+    * [[knnAnchorLsh]]). Recall < 1 by construction — the scale path when
+    * brute force is too expensive. */
   def knnLsh(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame = IndexScope.scoped { sc =>
+      dim: Int, planes: Int = 8, seed: Long = 42L,
+      hammingProbe: Int = 0): DataFrame = IndexScope.scoped { sc =>
     val rng = new scala.util.Random(seed)
     val planeCols = Array.fill(planes)(
       array(Array.fill(dim)(rng.nextGaussian()).map(lit): _*).cast("array<double>"))
@@ -278,8 +281,12 @@ object Similarity {
       planeCols.zipWithIndex.map { case (p, i) =>
         when(dot(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
+    val flips = (0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= hammingProbe)
     val q = broadcast(unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc)
-      .withColumn("bucket", bucket(col("q_vec"))))
+      .withColumn("bucket", bucket(col("q_vec")))
+      .withColumn("bucket", explode(array(
+        flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*))))
     val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
       .withColumn("bucket", bucket(col("n_vec")))
     val scored = q.join(c,

@@ -65,6 +65,12 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(lsh.nonEmpty)
     // every LSH hit that brute force also ranked must carry the same cosine
     lsh.foreach { r => brute.get((r._1, r._2)).foreach(c => assert(c == r._3)) }
+    // multi-probe widens the candidate set monotonically
+    val multi = Similarity.knnLsh(e, q, "vec_id", "embedding", 5, dim = 64,
+      hammingProbe = 2).as[(Long, Long, Double, Int)].collect()
+    val hits = (r: Array[(Long, Long, Double, Int)]) =>
+      r.count(x => brute.contains((x._1, x._2)))
+    assert(hits(multi) >= hits(lsh))
   }
 
   test("anchored LSH: measured recall vs brute force, same-score guarantee") {
