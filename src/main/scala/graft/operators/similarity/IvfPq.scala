@@ -32,7 +32,7 @@ object IvfPq {
       encoded: DataFrame, unit: DataFrame, nLists: Int) {
 
     private def coarseLit(l: Int): Column =
-      array(coarse(l).map(lit): _*).cast("array<double>")
+      array(coarse(l).toIndexedSeq.map(lit): _*).cast("array<double>")
 
     /** nProbe-bounded ADC search + exact re-rank.
       * Output: (query_id, neighbor_id, cosine, rk). */
@@ -97,7 +97,7 @@ object IvfPq {
       .fit(base.select(array_to_vector(col("v")).as("__f")))
       .clusterCenters.map(_.toArray)
     def coarseLit(l: Int): Column =
-      array(coarse(l).map(lit): _*).cast("array<double>")
+      array(coarse(l).toIndexedSeq.map(lit): _*).cast("array<double>")
 
     // assignment: argmax_l (v·c_l − ½||c_l||²), native dots
     val listScores = array((0 until nLists).map(l =>

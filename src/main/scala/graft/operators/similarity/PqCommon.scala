@@ -18,7 +18,7 @@ private[similarity] final case class SubQuantizer(
 
   def subvec(v: Column, i: Int): Column = slice(v, i * subDim + 1, subDim)
   def centerLit(i: Int, j: Int): Column =
-    array(centers(i)(j).map(lit): _*).cast("array<double>")
+    array(centers(i)(j).toIndexedSeq.map(lit): _*).cast("array<double>")
   def centerNormSq(i: Int, j: Int): Double = centers(i)(j).map(x => x * x).sum
 
   /** Nearest-centroid code for block i:

@@ -276,7 +276,7 @@ object Similarity {
       hammingProbe: Int = 0): DataFrame = IndexScope.scoped { sc =>
     val rng = new scala.util.Random(seed)
     val planeCols = Array.fill(planes)(
-      array(Array.fill(dim)(rng.nextGaussian()).map(lit): _*).cast("array<double>"))
+      array(Array.fill(dim)(rng.nextGaussian()).toIndexedSeq.map(lit): _*).cast("array<double>"))
     def bucket(vec: Column) =
       planeCols.zipWithIndex.map { case (p, i) =>
         when(dot(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))

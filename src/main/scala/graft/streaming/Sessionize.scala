@@ -50,7 +50,8 @@ object Sessionize {
           } else {
             val sorted = rows.map(r => SessionEvent(r._1, r._2, r._3)).toArray
               .sortBy(e => (e.ms, e.event_id))
-            val (closed, open) = foldEvents(userId, state.getOption, sorted, gapMs)
+            val (closed, open) = foldEvents(userId, state.getOption,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted), gapMs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)

@@ -38,6 +38,46 @@ class PropertySpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("origin-side filtering round-trips adversarial strings (REST + JDBC)") {
+    import graft.sources.{Auth, JdbcWarehouse, RestFixture, RestWarehouse}
+    val nasty = Seq("O'Brien", "a\\", "50% off", "qu'\"ote", "semi;co--lon",
+      "spa ce+plus", "amp&ers=and", "bang!under_score", "café", "percent%_mix")
+    val df = nasty.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "v")
+
+    // REST: values survive query-param encoding + origin-side equality
+    val fx = RestFixture.serve(df, "vals", "id")
+    try {
+      val wh = RestWarehouse("f", fx.baseUrl, pageSize = 4)
+      nasty.foreach { s =>
+        val got = wh.readSlice(spark, "vals",
+          conditions = Seq(Condition("v", Op.Eq, s)),
+          schema = Some(df.schema)).localCheckpoint()
+        assert(got.count() == 1 && got.select("v").head().getString(0) == s,
+          s"REST eq round-trip failed for <$s>")
+      }
+    } finally fx.stop()
+
+    // JDBC: values survive SqlWhere literal rendering into a LIVE origin
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft-prop-derby-").toString + "/db"
+    val wh = JdbcWarehouse("derby", s"jdbc:derby:$dbDir;create=true",
+      auth = Auth.Options(Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")),
+      writeOptions = Map("createTableColumnTypes" -> "v VARCHAR(64)"))
+    wh.write(df, "vals")
+    nasty.foreach { s =>
+      assert(wh.readSlice(spark, "vals",
+        conditions = Seq(Condition("v", Op.Eq, s))).count() == 1,
+        s"JDBC eq round-trip failed for <$s>")
+    }
+    // LIKE metacharacters in CONTAINS stay literal at the origin
+    assert(wh.readSlice(spark, "vals",
+      conditions = Seq(Condition("v", Op.Contains, "50%"))).count() == 1)
+    assert(wh.readSlice(spark, "vals",
+      conditions = Seq(Condition("v", Op.Contains, "ce+p"))).count() == 1)
+    assert(wh.readSlice(spark, "vals",
+      conditions = Seq(Condition("v", Op.Contains, "_mix"))).count() == 1)
+  }
+
   test("fingerprint is invariant under case/punctuation/whitespace noise") {
     val base = samples(Gen.nonEmptyListOf(
       Gen.oneOf("spark", "data", "query", "join", "scan", "agg")), 30)
