@@ -880,6 +880,38 @@ object SparkEntry {
     "tx4_ngram_freq" -> ((s, dir) =>
       operators.textual.TextStats.ngramFreq(Tables(s, dir, "documents"), "text", n = 2, minCount = 10)),
 
+    "tx12_pii" -> ((s, dir) => {
+      // PII scrub gate: the synthetic corpus is PII-free, so inject
+      // deterministic id-derived PII (emails / E.164-ish phones / dotted
+      // quads) and verify detection counts and the masked-text digest
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text", concat(col("text"), lit(" contact "),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("+155500"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 5, "0")))
+          .otherwise(concat(lit("10."),
+            pmod(col("doc_id"), lit(200)).cast("string"), lit(".0.1")))))
+      operators.textual.TextStats.piiScrub(docs, "doc_id", "text")
+    }),
+
+    "tx13_c4_filter" -> ((s, dir) => {
+      // C4 line filtering: give the single-line corpus a line structure —
+      // ids divisible by 2/3/5 gain a too-short line, a lorem-ipsum
+      // boilerplate line, and a code-brace line respectively
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit("\ntiny line")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nthis page uses lorem ipsum filler text for padding"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nfunction f() { return 42; } with many words inside here"))
+            .otherwise(lit(""))))
+      operators.textual.TextStats.lineFilter(docs, "doc_id", "text")
+    }),
+
     "mm1_binary_meta" -> ((s, dir) => {
       // REAL header decode over a mixed binary corpus: payloads are
       // synthesized deterministically from doc_id — PNG for even ids,
@@ -1197,6 +1229,37 @@ object SparkEntry {
          FROM (SELECT doc_id, text, octet_length(encode(text)) AS len
                FROM documents WHERE octet_length(encode(text)) >= 32),
          LATERAL (SELECT unnest(generate_series(0, CAST(floor((len/32.0 - 1)/4) AS BIGINT))) AS i)""",
+    "tx12_pii" ->
+      """WITH d AS (SELECT doc_id, text || ' contact ' ||
+           CASE WHEN doc_id % 3 = 0 THEN 'user' || doc_id || '@example.com'
+                WHEN doc_id % 3 = 1 THEN '+155500' || lpad(CAST(doc_id % 10000 AS VARCHAR), 5, '0')
+                ELSE '10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1' END AS t
+         FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_phones,
+           len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+             '\+[0-9]{7,15}', '[PHONE]', 'g')) AS scrubbed_md5
+         FROM d""",
+    "tx13_c4_filter" ->
+      """WITH d AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'tiny line' ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'this page uses lorem ipsum filler text for padding' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'function f() { return 42; } with many words inside here' ELSE '' END AS t
+         FROM documents),
+         l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+         k AS (SELECT doc_id, lines, list_filter(lines, x ->
+                 len(string_split_regex(trim(x), '\s+')) >= 5
+                 AND NOT contains(lower(x), 'lorem ipsum')
+                 AND NOT contains(lower(x), '{')) AS kept
+               FROM l)
+         SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+           round(CAST(len(kept) AS DOUBLE) / len(lines), 6) AS kept_frac,
+           CAST(len(kept) AS DOUBLE) / len(lines) >= 0.5 AS keep
+         FROM k""",
     "mm1_binary_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 13 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)

@@ -15,6 +15,14 @@ object TextStats {
     * language-ID profiles. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** PII detection patterns — explicit, locale-free, and RE2-compatible
+    * (no backreferences/lookaround) so the DuckDB oracle evaluates the
+    * IDENTICAL regexes. Deliberately conservative: emails, international-
+    * ish phone digit runs, dotted-quad IPs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+  val Ipv4Re  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
   private def countMatches(c: Column, regex: String): Column =
     length(c) - length(regexp_replace(c, regex, ""))
 
@@ -195,6 +203,49 @@ object TextStats {
   /** Corpus word-n-gram frequency with map-side combine; `minCount`
     * bounds the output (and `log`s nothing silently — the threshold is
     * part of the contract). */
+  /** PII scrubbing (the redaction pass every published LLM data pipeline
+    * runs before training): count and mask emails, phone numbers, and
+    * IPv4 addresses. One codegen'd projection — three regexp counts plus
+    * a chained regexp_replace; no shuffle, no UDF. The scrubbed text is
+    * emitted as an md5 so downstream equality checks stay metadata-sized.
+    * Masks use C4/Dolma-style fixed tags. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  /** C4-style line filtering (Raffel et al. 2020 §2.2 heuristics, the
+    * line-level stage of C4/Dolma cleaning): a line is kept iff it has at
+    * least `minWords` words and contains no banned fragment (code braces,
+    * boilerplate phrases). Per-document: line counts and the keep
+    * decision at `keepFrac`. Array ops on the split text — per-row, no
+    * explode, no shuffle. */
+  def lineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, banned: Seq[String] = Seq("lorem ipsum", "{"),
+      keepFrac: Double = 0.5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val words = size(split(trim(l), "\\s+")) >= minWords
+      banned.map(b => !contains(lower(l), lit(b))).foldLeft(words)(_ && _)
+    })
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      round(size(kept).cast("double") / size(lines), 6).as("kept_frac"),
+      (size(kept).cast("double") / size(lines) >= keepFrac).as("keep"))
+  }
+
   def ngramFreq(docs: DataFrame, textCol: String, n: Int, minCount: Long): DataFrame =
     docs.select(TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(explode(TextFunctions.shinglesAll(col("__toks"), n)).as("ngram"))

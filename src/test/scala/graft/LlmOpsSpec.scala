@@ -81,6 +81,39 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(!r(1).getAs[Boolean]("flagged"))
   }
 
+  test("piiScrub counts and masks emails, phones, and IPs") {
+    import graft.operators.textual.TextStats
+    val d = Seq(
+      (1L, "mail a@b.co and bob.smith+tag@corp.example.org twice"),
+      (2L, "call +15551234567 or visit 192.168.0.1 now"),
+      (3L, "clean text with no identifiers at all")).toDF("doc_id", "text")
+    val r = TextStats.piiScrub(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_emails") == 2 && r(0).getAs[Int]("n_phones") == 0)
+    assert(r(1).getAs[Int]("n_phones") == 1 && r(1).getAs[Int]("n_ips") == 1)
+    assert(r(2).getAs[Int]("n_emails") + r(2).getAs[Int]("n_phones") +
+      r(2).getAs[Int]("n_ips") == 0)
+    // masking really replaces: digest of doc 2 equals digest of the
+    // hand-masked twin
+    val masked = Seq((2L, "call [PHONE] or visit [IP] now")).toDF("doc_id", "text")
+    val want = TextStats.piiScrub(masked, "doc_id", "text")
+      .select("scrubbed_md5").head().getString(0)
+    assert(r(1).getAs[String]("scrubbed_md5") == want)
+  }
+
+  test("lineFilter drops short/boilerplate/code lines, keeps prose") {
+    import graft.operators.textual.TextStats
+    val text = Seq(
+      "this is a perfectly reasonable prose line to keep",
+      "tiny",
+      "another line with lorem ipsum inside it somewhere",
+      "if (x) { return y; } code line with braces kept long",
+      "and one more good closing sentence with enough words").mkString("\n")
+    val r = TextStats.lineFilter(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(r.getAs[Int]("n_lines") == 5 && r.getAs[Int]("n_kept") == 2)
+    assert(!r.getAs[Boolean]("keep")) // 2/5 < 0.5
+  }
+
   test("packBins: bin boundaries follow the running token total") {
     // identity order → docs pack in id order. Capacity 10, sizes 4,4,4,4:
     // concat offsets 0,4,8,12 → bins 0,0,0,1 with in-bin offsets 0,4,8,2
