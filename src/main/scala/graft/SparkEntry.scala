@@ -537,6 +537,24 @@ object SparkEntry {
       s.table(sink).localCheckpoint() // pin: the memory sink is transient
     }),
 
+    "q46_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup under the gate: one AvailableNow batch means
+      // every duplicate key collapses against in-batch state, so the
+      // emitted first-seen key set equals batch DISTINCT — oracle-able
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s, dir, schema,
+        globFilter = Some("events.parquet"))
+      val deduped = graft.streaming.EventStream
+        .dedup(src, Seq("user_id", "event_type"), "1 hour")
+        .select(col("user_id"), col("event_type"))
+      val sink = s"q46_stream_${System.nanoTime()}"
+      val query = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(sink).localCheckpoint()
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -1542,6 +1560,8 @@ object SparkEntry {
          UNION ALL
          SELECT f.c_custkey, f.c_name, f.c_mktsegment, 2 AS pull_seq
          FROM f, m WHERE f.c_custkey >= m.adv AND f.c_custkey <= 1400""",
+    "q46_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
     "q44_stream_agg" ->
       """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
          event_type, count(*) AS n_events,
