@@ -88,7 +88,8 @@ object ApiServer {
         case ("GET", List("schema", resource)) =>
           schemas.get(resource) match {
             case Some(s) => respond(ex, 200, UiSchema.exportFields(s))
-            case None    => respond(ex, 404, s"""{"error":"no schema for '$resource'"}""")
+            case None => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
+              "error" -> s"no schema for '$resource'")))
           }
 
         case ("POST", List("formatters", id)) =>
@@ -103,7 +104,10 @@ object ApiServer {
             case _ => throw new IllegalArgumentException("body needs a mapping array")
           }
           FormatterRegistry.register(id, mapping)
-          respond(ex, 200, s"""{"id":"$id","n_fields":${mapping.length}}""")
+          // json4s rendering, not interpolation: the id comes percent-
+          // decoded off the URL and may contain quotes/control chars
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+            ("id" -> id) ~ ("n_fields" -> mapping.length))))
 
         case ("GET", List("formatters", id)) =>
           FormatterRegistry.specs(id) match {
@@ -111,7 +115,8 @@ object ApiServer {
               val arr = m.map(f => ("from" -> f.from) ~ ("to" -> f.to))
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("id" -> id) ~ ("mapping" -> JArray(arr.toList)))))
-            case None => respond(ex, 404, s"""{"error":"no formatter '$id'"}""")
+            case None => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
+              "error" -> s"no formatter '$id'")))
           }
 
         case ("POST", List("run", cmd)) if cmd == "pull" || cmd == "push" =>
@@ -144,7 +149,8 @@ object ApiServer {
             ("rest_params" -> JObject(restParams.map { case (k, v) => k -> JString(v) }.toList)) ~
               ("sql_where" -> SqlWhere.and(sqlFrags).getOrElse("")))))
 
-        case _ => respond(ex, 404, s"""{"error":"no route: $method $path"}""")
+        case _ => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
+          "error" -> s"no route: $method $path")))
       }
 
     server.createContext("/", handle(_))

@@ -58,7 +58,11 @@ object Bench {
       if (ok && dt > math.max(5.0, 6 * median)) {
         val (dt2, ok2) = time(name, fn)
         System.err.println(f"[bench] $name%-20s $dt2%8.2f s (re-timed; first pass $dt%.2f)")
-        if (ok2) (name, math.min(dt, dt2), true, true) else (name, dt, ok, false)
+        // a FAILED re-run of a query that just succeeded is a
+        // reproducibility problem — record the query as failed rather
+        // than quietly keeping the first-pass success
+        if (ok2) (name, math.min(dt, dt2), true, true)
+        else (name, dt, false, true)
       } else (name, dt, ok, false)
     }
     val qs = results.map { case (k, v, ok, _) =>

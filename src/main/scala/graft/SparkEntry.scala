@@ -501,7 +501,10 @@ object SparkEntry {
           conditions = where, cursorField = Some("c_custkey"),
           cursor = Some(cur), schema = Some(customer.schema))
         val day1Cur = Cursor(CursorMode.Uid, start = Some("1"), end = Some("700"))
-        val day1 = pull(day1Cur)
+        // pin the slice before advancing: advance() and the final union
+        // must see the SAME day-1 read, and a lazy frame would re-fetch
+        // every page over HTTP for each consumer (TOCTOU on a live origin)
+        val day1 = pull(day1Cur).localCheckpoint()
         val advanced = day1Cur.advance(day1, col("c_custkey"))
         val day2 = pull(Cursor(CursorMode.Uid,
           start = advanced.end, end = Some("1400")))
@@ -534,7 +537,9 @@ object SparkEntry {
       val query = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-      s.table(sink).localCheckpoint() // pin: the memory sink is transient
+      val out = s.table(sink).localCheckpoint() // pin: the sink is transient
+      s.catalog.dropTempView(sink) // ... and must not outlive the query
+      out
     }),
 
     "q46_stream_dedup" -> ((s, dir) => {
@@ -552,7 +557,9 @@ object SparkEntry {
       val query = deduped.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-      s.table(sink).localCheckpoint()
+      val out = s.table(sink).localCheckpoint()
+      s.catalog.dropTempView(sink)
+      out
     }),
 
     "q13_star_join" -> ((s, dir) => {
@@ -1506,15 +1513,15 @@ object SparkEntry {
     "q11_push_result" ->
       """SELECT count(*) AS total_events,
          count(CASE WHEN c.c_custkey IS NOT NULL THEN 1 END) AS total_resources_fetched,
-         count(CASE WHEN c.c_custkey IS NOT NULL AND c.c_acctbal > 0 THEN 1 END) AS total_resources_pushed,
+         count(CASE WHEN c.c_custkey IS NOT NULL AND (c.c_acctbal > 0) IS TRUE THEN 1 END) AS total_resources_pushed,
          count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS skipped_missing,
-         count(CASE WHEN c.c_custkey IS NOT NULL AND NOT (c.c_acctbal > 0) THEN 1 END) AS skipped_having
+         count(CASE WHEN c.c_custkey IS NOT NULL AND (c.c_acctbal > 0) IS NOT TRUE THEN 1 END) AS skipped_having
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
     "q43_push_errors" ->
       """SELECT count(*) AS total_resources_fetched,
-         count(CASE WHEN NOT (value >= 50.0) THEN 1 END) AS skipped_having,
-         count(CASE WHEN value >= 50.0 AND event_id % 37 <> 0 THEN 1 END) AS total_resources_pushed,
-         count(CASE WHEN value >= 50.0 AND event_id % 37 = 0 THEN 1 END) AS errors
+         count(CASE WHEN (value >= 50.0) IS NOT TRUE THEN 1 END) AS skipped_having,
+         count(CASE WHEN (value >= 50.0) IS TRUE AND event_id % 37 <> 0 THEN 1 END) AS total_resources_pushed,
+         count(CASE WHEN (value >= 50.0) IS TRUE AND event_id % 37 = 0 THEN 1 END) AS errors
          FROM events""",
     "q12_event_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (

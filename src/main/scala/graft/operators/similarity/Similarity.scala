@@ -253,14 +253,19 @@ object Similarity {
   def recallGate(approx: DataFrame, truth: DataFrame,
       minMeanRecall: Double): DataFrame = IndexScope.scoped { sc =>
     val t = truth.select(col("query_id"), col("neighbor_id"))
-    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    // distinct: a duplicated approx pair would otherwise fan out the left
+    // join and inflate n_true and n_hit together
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("__hit", lit(1))
     val per = sc.index(t.join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
       .withColumn("recall", round(col("n_hit").cast("double") / col("n_true"), 4)))
-    val mean = per.agg(avg(col("recall"))).head().getDouble(0)
-    require(mean >= minMeanRecall,
-      f"mean recall $mean%.4f below the $minMeanRecall%.2f gate")
+    val mean = per.agg(avg(col("recall"))).head()
+    require(!mean.isNullAt(0),
+      "recall gate has no ground truth: the truth frame is empty")
+    require(mean.getDouble(0) >= minMeanRecall,
+      f"mean recall ${mean.getDouble(0)}%.4f below the $minMeanRecall%.2f gate")
     per
   }
 

@@ -178,12 +178,10 @@ object ConfigPipeline {
         (Pipeline.pushEvents(events, evIdCol, resources, resIdCol, cfg.having, format),
           Some(Pipeline.pushEventsResult(events, evIdCol, resources, resIdCol, cfg.having)))
       case "resources" =>
-        val counters = Pipeline.pushResourcesResult(
+        // one split builds both the written rows and the counters that
+        // describe them — they cannot desynchronize
+        val (counters, pushed, _) = Pipeline.pushResourcesResultWithOutput(
           resources, cfg.having, format, cfg.required)
-        val pushed =
-          if (cfg.required.isEmpty) Pipeline.pushResources(resources, cfg.having, format)
-          else Pipeline.safeFormat(
-            resources.where(Conditions.all(cfg.having)), format, cfg.required)._1
         (pushed, Some(counters))
       case other =>
         throw new IllegalArgumentException(s"unknown push mode: $other")

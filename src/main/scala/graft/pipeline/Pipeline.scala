@@ -101,16 +101,20 @@ object Pipeline {
       resources: DataFrame,
       resourceIdCol: String,
       having: Seq[Condition] = Nil): DataFrame = {
-    val havingCol = Conditions.all(having)
-    val matched   = resources(resourceIdCol).isNotNull
+    // null-safe HAVING: a predicate evaluating to NULL (null-valued field
+    // under three-valued logic) does NOT pass, and the row must land in
+    // skipped_having — `!havingCol` alone is NULL there too, and the row
+    // would vanish from every counter except the total
+    val passes = coalesce(Conditions.all(having), lit(false))
+    val matched = resources(resourceIdCol).isNotNull
     events
       .join(resources, events(eventResourceIdCol) === resources(resourceIdCol), "left")
       .agg(
         count(lit(1)).as("total_events"),
         count(when(matched, 1)).as("total_resources_fetched"),
-        count(when(matched && havingCol, 1)).as("total_resources_pushed"),
+        count(when(matched && passes, 1)).as("total_resources_pushed"),
         count(when(!matched, 1)).as("skipped_missing"),
-        count(when(matched && !havingCol, 1)).as("skipped_having"))
+        count(when(matched && !passes, 1)).as("skipped_having"))
   }
 
   /** Apply an event stream to a target table — the tombstone semantics of
@@ -205,6 +209,31 @@ object Pipeline {
     (valid, errors)
   }
 
+  /** [[pushResourcesResult]] plus the frames it counted: (counters,
+    * valid-to-push, error side-channel or null) — callers that both WRITE
+    * the valid rows and REPORT the counters build the split once, so the
+    * two can never desynchronize. */
+  def pushResourcesResultWithOutput(
+      resources: DataFrame,
+      having: Seq[Condition] = Nil,
+      format: DataFrame => DataFrame = identity,
+      requiredCols: Seq[String] = Nil): (DataFrame, DataFrame, DataFrame) = {
+    // null-safe HAVING — same accounting rule as pushEventsResult
+    val passes = coalesce(Conditions.all(having), lit(false))
+    val source = resources.agg(
+      count(lit(1)).as("total_resources_fetched"),
+      count(when(!passes, 1)).as("skipped_having"))
+    val (valid, errors) = requiredCols match {
+      case Nil => (format(resources.where(passes)), null)
+      case req => safeFormat(resources.where(passes), format, req)
+    }
+    val pushed = valid.agg(count(lit(1)).as("total_resources_pushed"))
+    val errs =
+      if (errors == null) pushed.sparkSession.range(1).select(lit(0L).as("errors"))
+      else errors.agg(count(lit(1)).as("errors"))
+    (source.crossJoin(pushed).crossJoin(errs), valid, errors)
+  }
+
   /** PushResult counters for an error-isolated RESOURCES-mode push
     * (core/pipeline.py:180-199 + the `errors` accumulation at :119):
     * HAVING skips count pre-format, format failures count as `errors`,
@@ -216,19 +245,6 @@ object Pipeline {
       resources: DataFrame,
       having: Seq[Condition] = Nil,
       format: DataFrame => DataFrame = identity,
-      requiredCols: Seq[String] = Nil): DataFrame = {
-    val havingCol = Conditions.all(having)
-    val source = resources.agg(
-      count(lit(1)).as("total_resources_fetched"),
-      count(when(!havingCol, 1)).as("skipped_having"))
-    val (valid, errors) = requiredCols match {
-      case Nil => (pushResources(resources, having, format), null)
-      case req => safeFormat(resources.where(havingCol), format, req)
-    }
-    val pushed = valid.agg(count(lit(1)).as("total_resources_pushed"))
-    val errs =
-      if (errors == null) pushed.sparkSession.range(1).select(lit(0L).as("errors"))
-      else errors.agg(count(lit(1)).as("errors"))
-    source.crossJoin(pushed).crossJoin(errs)
-  }
+      requiredCols: Seq[String] = Nil): DataFrame =
+    pushResourcesResultWithOutput(resources, having, format, requiredCols)._1
 }

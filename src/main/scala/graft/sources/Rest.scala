@@ -377,9 +377,12 @@ final case class RestWarehouse(
     }
 
     // driver probe: a 1-row request just to read the filtered total — the
-    // driver never holds page data, executors fetch every real page
+    // driver never holds page data, executors fetch every real page.
+    // A present-but-null (or non-numeric) total means the origin could
+    // not compute one: fall through to the sequential loop rather than
+    // reading it as 0 and silently truncating to a single page.
     val probe = fetchPage(1, 1)
-    val totalOpt = Option(probe.get(totalF)).map(_.asLong)
+    val totalOpt = Option(probe.get(totalF)).filter(_.isNumber).map(_.asLong)
 
     val json: org.apache.spark.sql.Dataset[String] = totalOpt match {
       case Some(total) =>
@@ -430,10 +433,12 @@ final case class RestWarehouse(
     val url = endpoint(resource)
     val bs = writeBatchSize
     df.toJSON.foreachPartition { (rows: Iterator[String]) =>
-      // JSON bodies are outside the OAuth1 signature by spec (§3.4.1.3
-      // covers only query + form params) — sign method/url only
-      val h = headers ++ auth.signRequest("POST", url, Nil)
       rows.grouped(bs).foreach { batch =>
+        // JSON bodies are outside the OAuth1 signature by spec (§3.4.1.3
+        // covers only query + form params) — sign method/url only, but
+        // PER REQUEST: RFC 5849 servers reject replayed (timestamp,
+        // nonce) pairs, so each batch POST needs a fresh signature
+        val h = headers ++ auth.signRequest("POST", url, Nil)
         Http.post(url, h, batch.mkString("[", ",", "]"), "application/json")
         ()
       }

@@ -86,6 +86,21 @@ class CursorPipelineSpec extends SparkSpecBase {
     assert(plain.as[(Long, Long, Long, Long)].head() == ((4L, 2L, 2L, 0L)))
   }
 
+  test("push counters account NULL having predicates as skipped") {
+    // a HAVING predicate over a null field is NULL under three-valued
+    // logic — the row must land in skipped_having, not vanish
+    val res = Seq((1L, Some(10.0)), (2L, None)).toDF("id", "amount")
+    val events = Seq((100L, 1L), (101L, 2L)).toDF("event_id", "rid")
+    val ev = Pipeline.pushEventsResult(events, "rid", res, "id",
+      having = Seq(Condition("amount", Op.Gte, 5)))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ev == ((2L, 2L, 1L, 0L, 1L)), "events mode: null-having row skipped")
+    val rr = Pipeline.pushResourcesResult(res,
+      having = Seq(Condition("amount", Op.Gte, 5)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(rr == ((2L, 1L, 1L, 0L)), "resources mode: fetched=2 skipped=1 pushed=1")
+  }
+
   test("mapping formatter fills missing source fields with null") {
     val out = Formatters.mapping(Seq(FieldMap("id", "key"), FieldMap("nope", "gone")))(rows)
     assert(out.where(col("gone").isNull).count() == 4)
