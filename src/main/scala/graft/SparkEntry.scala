@@ -562,6 +562,29 @@ object SparkEntry {
       out
     }),
 
+    "q47_stream_sessions" -> ((s, dir) => {
+      // stateful flatMapGroupsWithState under the gate: one AvailableNow
+      // batch folds each user's full event history in a single group
+      // call, so gap-closure emits every session EXCEPT the user's last
+      // (still open). The huge watermark delay keeps the event-time
+      // timeout sweep from ever firing — no boundary arithmetic between
+      // engines, and the closed set equals q16's sessions minus each
+      // user's final one.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s, dir, schema,
+        globFilter = Some("events.parquet"))
+      val sessions = graft.streaming.Sessionize(src,
+        gapMs = 1800000L, watermark = "3650 days").toDF()
+      val sink = s"q47_stream_${System.nanoTime()}"
+      val query = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val out = s.table(sink).localCheckpoint()
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -1569,6 +1592,26 @@ object SparkEntry {
          FROM f, m WHERE f.c_custkey >= m.adv AND f.c_custkey <= 1400""",
     "q46_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    "q47_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
+         g AS (
+           SELECT user_id, event_id, ts, ms,
+             CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g),
+         agg AS (
+           SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+             min(ms) AS session_start_ms, max(ms) AS session_end_ms
+           FROM s GROUP BY user_id, session_id)
+         SELECT user_id, session_id, n_events, session_start_ms, session_end_ms
+         FROM agg
+         WHERE session_id < (SELECT max(a2.session_id) FROM agg a2
+                             WHERE a2.user_id = agg.user_id)""",
     "q44_stream_agg" ->
       """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
          event_type, count(*) AS n_events,
