@@ -984,6 +984,29 @@ object SparkEntry {
       operators.multimodal.BinaryMeta.extract(s, payloads, "doc_id", "payload").toDF()
     }),
 
+    "mm3_wav_meta" -> ((s, dir) => {
+      // audio twin of mm1: synthesize real RIFF/WAVE headers with
+      // id-derived parameters (every 11th doc stays raw text for the
+      // unknown path), parse them back with the codec-free chunk walk,
+      // and let the oracle predict the fields arithmetically
+      import s.implicits._
+      import operators.multimodal.AudioHeaders
+      val rates = Array(8000, 16000, 44100, 48000)
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 11 == 0) text.getBytes("UTF-8")
+            else AudioHeaders.synthWav(
+              sampleRate = rates((id % 4).toInt),
+              channels = 1 + (id % 2).toInt,
+              bitsPerSample = 16,
+              nSamples = 100 + (id % 500).toInt)
+          (id, payload)
+        }.toDF("doc_id", "payload")
+      AudioHeaders.extract(s, payloads, "doc_id", "payload").toDF()
+    }),
+
     "mm2_frame_sample" -> ((s, dir) =>
       // keyframe-sampling plumbing: 32-byte frames, every 4th kept
       operators.multimodal.BinaryMeta.frameSample(
@@ -1308,6 +1331,23 @@ object SparkEntry {
            round(CAST(len(kept) AS DOUBLE) / len(lines), 6) AS kept_frac,
            CAST(len(kept) AS DOUBLE) / len(lines) >= 0.5 AS keep
          FROM k""",
+    "mm3_wav_meta" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
+              ELSE CAST(44 + (100 + doc_id % 500) * (1 + doc_id % 2) * 2 AS BIGINT) END AS byte_len,
+         CASE WHEN doc_id % 11 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 44100 ELSE 48000 END AS INTEGER) END AS sample_rate,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE CAST(16 AS INTEGER) END AS bits_per_sample,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE CAST((100 + doc_id % 500) * 1000 //
+                   (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) END AS duration_ms
+         FROM documents""",
     "mm1_binary_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 13 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)

@@ -253,4 +253,31 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(ImageHeaders.parse(ImageHeaders.synthPng(1, 1, 0).take(20)).isEmpty)
     assert(ImageHeaders.parse(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
   }
+
+  test("wav header parse recovers real JDK-encoded audio parameters") {
+    import graft.operators.multimodal.AudioHeaders
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // real WAV bytes from the JDK sound stack — independent of synthWav
+    def encode(rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val data = new Array[Byte](nFrames * fmt.getFrameSize)
+      val stream = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    for ((rate, ch, n) <- Seq((8000f, 1, 800), (44100f, 2, 4410))) {
+      val wav = AudioHeaders.parseWav(encode(rate, ch, n))
+      assert(wav.isDefined, s"JDK wav at $rate/$ch must parse")
+      assert(wav.get.sampleRate == rate.toInt && wav.get.channels == ch)
+      assert(wav.get.bitsPerSample == 16)
+      assert(wav.get.durationMs == n.toLong * 1000 / rate.toInt)
+    }
+    // synthWav agrees with the parser; non-audio falls through
+    assert(AudioHeaders.parseWav(AudioHeaders.synthWav(16000, 2, 16, 320))
+      .contains(AudioHeaders.Wav(16000, 2, 16, 20)))
+    assert(AudioHeaders.parseWav("not audio at all, just text".getBytes("UTF-8")).isEmpty)
+    assert(AudioHeaders.parseWav(AudioHeaders.synthWav(8000, 1, 16, 10).take(30)).isEmpty)
+  }
 }
