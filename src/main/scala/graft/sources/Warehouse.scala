@@ -151,6 +151,15 @@ final case class JsonWarehouse(
   val format = "json"
 }
 
+/** ORC — the other columnar lake format Spark ships natively; same
+  * pushdown/pruning story as parquet (PushedFilters + ReadSchema reach
+  * the scan), so warehouses can mix formats per resource family. */
+final case class OrcWarehouse(
+    name: String, baseDir: String, ext: String = ".orc",
+    auth: Auth = Auth.None) extends FileWarehouse with PartitionedWrites {
+  val format = "orc"
+}
+
 /** Warehouse metadata + factory registry (reference: core/registry.py
   * `ConnectorMeta` / `register_connector` / `get_connector_instance`). */
 final case class WarehouseMeta(

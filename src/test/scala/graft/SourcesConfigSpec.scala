@@ -21,6 +21,13 @@ class SourcesConfigSpec extends SparkSpecBase {
     val json = JsonWarehouse("json_wh", tmp)
     json.write(df, "things")
     assert(json.read(spark, "things").count() == 2)
+    val orc = OrcWarehouse("orc_wh", tmp)
+    orc.write(df, "things")
+    assert(orc.read(spark, "things").count() == 2)
+    // ORC gets the same filter pushdown as parquet
+    val scan = orc.read(spark, "things").where(col("id") === 1L)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("id"))
   }
 
   test("registry: register/list/instance; duplicate names rejected") {
