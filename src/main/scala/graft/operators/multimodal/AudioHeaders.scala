@@ -43,6 +43,11 @@ object AudioHeaders {
     while (off + 8 <= p.length) {
       val id = tag(p, off)
       val size = le32(p, off + 4)
+      // a declared chunk size beyond the payload is corruption: stop the
+      // walk rather than let the (unsigned) size wrap negative through
+      // toInt and send the cursor backwards — a malformed payload must
+      // parse to None, never throw or loop out of a task
+      if (size < 0 || size > p.length.toLong) return None
       if (id == "fmt " && off + 24 <= p.length) {
         ch = le16(p, off + 10)
         rate = le32(p, off + 12).toInt

@@ -78,6 +78,32 @@ class PropertySpec extends SparkSpecBase {
       conditions = Seq(Condition("v", Op.Contains, "_mix"))).count() == 1)
   }
 
+  test("header parsers never throw on fuzzed bytes (malformed != job-fatal)") {
+    import graft.operators.multimodal.{AudioHeaders, ImageHeaders}
+    val rnd = new scala.util.Random(4242)
+    def fuzzed: Iterator[Array[Byte]] = Iterator.tabulate(400) { i =>
+      if (i % 4 == 0) { // random garbage of assorted sizes
+        val a = new Array[Byte](rnd.nextInt(96)); rnd.nextBytes(a); a
+      } else { // a VALID header with a few corrupted bytes (worst case:
+               // plausible signatures with broken sizes/offsets)
+        val base = (i % 4) match {
+          case 1 => ImageHeaders.synthPng(64, 48, rnd.nextInt(20))
+          case 2 => ImageHeaders.synthJpeg(64, 48, rnd.nextInt(20))
+          case _ => AudioHeaders.synthWav(16000, 1, 16, rnd.nextInt(50) + 1)
+        }
+        (0 until 3).foreach { _ =>
+          base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+        }
+        base
+      }
+    }
+    fuzzed.foreach { payload =>
+      // must return (possibly None/garbage-dims) without throwing/looping
+      ImageHeaders.parse(payload)
+      AudioHeaders.parseWav(payload)
+    }
+  }
+
   test("fingerprint is invariant under case/punctuation/whitespace noise") {
     val base = samples(Gen.nonEmptyListOf(
       Gen.oneOf("spark", "data", "query", "join", "scan", "agg")), 30)
