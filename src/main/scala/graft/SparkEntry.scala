@@ -764,13 +764,17 @@ object SparkEntry {
     }),
 
     "ss5_pq_recall" -> ((s, dir) => {
-      // PQ under the driver gate: no SQL oracle can reproduce KMeans
-      // codebooks, so the entry is rows-only and SELF-GATED — recallGate
-      // throws (failing verify) if mean recall@5 vs the exact brute-force
-      // truth drops below 0.60. The corpus is a FIXED 5000-vector slice:
-      // the gate pins the OPERATOR's recall at a constant index size
-      // (recall@k of a fixed-size code book degrades with corpus growth —
-      // that's the documented PQ trade, not a regression signal)
+      // PQ under the HARD oracle gate: KMeans codebooks aren't
+      // SQL-reproducible, so the emitted rows are the exact brute-force
+      // truth top-k (ss1's engine-portable shape) — checkable by the
+      // DuckDB oracle — while recallGate (an eager action) throws first
+      // if the PQ operator's mean recall@5 vs that truth drops below
+      // 0.60. A recall regression fails verify as `err`; a truth
+      // regression fails rows/schema/hash. The corpus is a FIXED
+      // 5000-vector slice: the gate pins the OPERATOR's recall at a
+      // constant index size (recall@k of a fixed-size code book degrades
+      // with corpus growth — that's the documented PQ trade, not a
+      // regression signal)
       val emb = Tables(s, dir, "embeddings").where(col("vec_id") < 5000)
       val queries = emb.where(col("vec_id") < 20)
       val truth = operators.similarity.Similarity.knnBrute(
@@ -779,6 +783,7 @@ object SparkEntry {
         emb, queries, "vec_id", "embedding", k = 5,
         m = 8, nCodes = 16, rerank = 150)
       operators.similarity.Similarity.recallGate(approx, truth, 0.60)
+      truth
     }),
 
     "ss6_ivfpq_recall" -> ((s, dir) => {
@@ -790,10 +795,12 @@ object SparkEntry {
         emb, queries, "vec_id", "embedding", k = 5)
       val index = operators.similarity.IvfPq.buildIndex(
         emb, "vec_id", "embedding", nLists = 8, m = 8, nCodes = 16)
-      try operators.similarity.Similarity.recallGate(
-        index.search(queries, "vec_id", "embedding", k = 5,
-          nProbe = 4, rerank = 150), truth, 0.60)
-      finally index.close()
+      try {
+        operators.similarity.Similarity.recallGate(
+          index.search(queries, "vec_id", "embedding", k = 5,
+            nProbe = 4, rerank = 150), truth, 0.60)
+        truth // oracle-checkable truth rows; the gate above already threw on any recall regression
+      } finally index.close()
     }),
 
     "ss7_nnd_recall" -> ((s, dir) => {
@@ -821,6 +828,7 @@ object SparkEntry {
         nodes, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
       operators.similarity.Similarity.recallGate(approx, truth, 0.90)
+      truth // the node construction + brute truth ARE DuckDB-reproducible; gate already enforced recall
     }),
 
     "ss4_knn_ivf" -> ((s, dir) => {
@@ -1021,6 +1029,17 @@ object SparkEntry {
   private val normSql = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
   private val toksSql = s"string_split($normSql,' ')"
 
+  /** Exact brute-force top-5 over the fixed 5000-vector slice — the truth
+    * frame ss5/ss6 emit behind their recall gates (ss1's oracle shape). */
+  private val brute5000Oracle =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+       c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings WHERE vec_id < 5000),
+       s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cosine FROM q JOIN c ON qid != nid)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT qid AS query_id, nid AS neighbor_id, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
+       WHERE rk <= 5"""
+
   def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
 
   private def llmOracleSql: Map[String, String] = Map(
@@ -1110,6 +1129,38 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
          s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cosine FROM q JOIN c ON qid != nid)
+         SELECT query_id, neighbor_id, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
+         WHERE rk <= 5""",
+    // ss5/ss6 emit the brute-force truth over the SAME fixed 5000-vector
+    // corpus slice their recallGate pins the operator against — ss1's
+    // oracle restricted to vec_id < 5000. The approximate operator is
+    // enforced by the in-query gate (a recall drop throws → verify `err`);
+    // the emitted rows are exact and hash-checkable here.
+    "ss5_pq_recall" -> brute5000Oracle,
+    "ss6_ivfpq_recall" -> brute5000Oracle,
+    // ss7's corpus is built deterministically from fixed embeddings rows:
+    // node i (i<480) = anchor(i%8) + 0.04·floor(i/8)·dir(i%8), anchors =
+    // vec_id 100..107, dirs = 200..207 (g = vec_id % 8). The oracle
+    // rebuilds the nodes with the same left-associated double arithmetic
+    // and takes the exact top-5 — identical to the Spark truth frame.
+    "ss7_nnd_recall" ->
+      """WITH av AS (SELECT vec_id % 8 AS g, CAST(embedding AS DOUBLE[]) AS avec
+                     FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+         dv AS (SELECT vec_id % 8 AS g, CAST(embedding AS DOUBLE[]) AS dvec
+                FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
+         nodes AS (
+           SELECT e.vec_id,
+             list_transform(generate_series(1, len(av.avec)),
+               i -> av.avec[i] + CAST(e.vec_id // 8 AS DOUBLE) * 0.04 * dv.dvec[i]) AS v
+           FROM embeddings e
+           JOIN av ON e.vec_id % 8 = av.g
+           JOIN dv ON e.vec_id % 8 = dv.g
+           WHERE e.vec_id < 480),
+         s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+               FROM nodes q JOIN nodes c ON q.vec_id != c.vec_id)
          SELECT query_id, neighbor_id, cosine, rk FROM (
            SELECT qid AS query_id, nid AS neighbor_id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)

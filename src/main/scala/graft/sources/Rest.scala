@@ -17,8 +17,10 @@ import java.time.Duration
   * core/auth.py:20-31).
   *
   * Auth material resolves to header strings ON THE DRIVER, once per Spark
-  * job; the resolved map ships inside task closures so executors never hold
-  * refresh credentials — only the short-lived access token a job needs.
+  * job; the resolved map ships inside task closures. The auth object
+  * itself also rides the closure — for request-signing schemes
+  * ([[HttpAuth.OAuth1]]) and so a task rejected with 401 mid-job can
+  * [[HttpAuth.invalidate]] + re-resolve once instead of failing the job.
   */
 sealed trait HttpAuth extends Serializable {
   /** Auth-specific headers (may refresh cached tokens). */
@@ -34,6 +36,12 @@ sealed trait HttpAuth extends Serializable {
     * [[buildHeaders]] on the driver. */
   def signRequest(method: String, baseUrl: String,
       params: Seq[(String, String)]): Map[String, String] = Map.empty
+  /** Drop any cached token so the next [[buildHeaders]] re-resolves
+    * through the scheme's refresh path — called by the read/write paths
+    * after the origin rejects the current material (401) even though the
+    * local clock considered it fresh (server-side revocation, clock skew
+    * beyond `skewMs`). Static schemes have nothing to drop. */
+  def invalidate(): Unit = ()
 }
 
 object HttpAuth {
@@ -83,6 +91,9 @@ object HttpAuth {
       }
       Map("Authorization" -> s"Bearer $cached")
     }
+    override def invalidate(): Unit = lock.synchronized {
+      expiresAt = Long.MinValue
+    }
   }
 
   object OAuth2 {
@@ -90,7 +101,8 @@ object HttpAuth {
       * `access_token` + `expires_in` (seconds) from the JSON response. */
     def clientCredentials(tokenUrl: String, clientId: String,
         clientSecret: String, scope: Option[String] = None,
-        extraHeaders: Map[String, String] = Map.empty): OAuth2 = {
+        extraHeaders: Map[String, String] = Map.empty,
+        clock: () => Long = () => System.currentTimeMillis()): OAuth2 = {
       val form = Seq(
         "grant_type" -> "client_credentials",
         "client_id" -> clientId,
@@ -102,8 +114,10 @@ object HttpAuth {
         val tok = node.get("access_token").asText()
         val ttlMs = Option(node.get("expires_in")).map(_.asLong * 1000L)
           .getOrElse(3600000L)
-        (tok, System.currentTimeMillis() + ttlMs)
-      }, extraHeaders = extraHeaders)
+        // expiry through the SAME injectable clock the refresh check
+        // reads — a spec-driven clock stays internally consistent
+        (tok, clock() + ttlMs)
+      }, clock = clock, extraHeaders = extraHeaders)
     }
   }
 
@@ -175,6 +189,7 @@ object HttpAuth {
       }
       Map("Authorization" -> s"Bearer $session")
     }
+    override def invalidate(): Unit = session = null
   }
 }
 
@@ -360,21 +375,34 @@ final case class RestWarehouse(
     val params = conditions.map(RestParams.condition) ++ cursorParams
     // static material resolves ONCE on the driver (token refresh happens
     // here); request-signing schemes additionally sign each request where
-    // it is issued (the auth object rides the task closure — strings only)
-    val headers = httpAuth.buildHeaders()
+    // it is issued. The auth object rides the task closure so a task that
+    // gets 401'd mid-job (token expired/revoked after launch) can
+    // invalidate + re-resolve ONCE instead of failing the job
     val auth = httpAuth
     val url = endpoint(resource)
     val (limitP, pageP, dataF, totalF, limit) =
       (limitParam, pageParam, dataField, totalField, pageSize)
 
-    def fetchPage(page: Long, lim: Int): JsonNode = {
+    def fetchPageWith(page: Long, lim: Int,
+        hdrs: Map[String, String]): JsonNode = {
       val pp = params ++ Seq(pageP -> page.toString, limitP -> lim.toString)
       val node = Http.mapper.readTree(Http.get(Http.withQuery(url, pp),
-        headers ++ auth.signRequest("GET", url, pp)))
+        hdrs ++ auth.signRequest("GET", url, pp)))
       require(node.get(dataF) != null && node.get(dataF).isArray,
         s"page $page from $url has no '$dataF' array")
       node
     }
+    // driver-side fetch with one 401-triggered re-resolve: a token cached
+    // from a PREVIOUS read may have expired/been revoked since
+    var headers = auth.buildHeaders()
+    def fetchPage(page: Long, lim: Int): JsonNode =
+      try fetchPageWith(page, lim, headers)
+      catch {
+        case RestHttpError(401, _, _) =>
+          auth.invalidate()
+          headers = auth.buildHeaders()
+          fetchPageWith(page, lim, headers)
+      }
 
     // driver probe: a 1-row request just to read the filtered total — the
     // driver never holds page data, executors fetch every real page.
@@ -388,16 +416,43 @@ final case class RestWarehouse(
       case Some(total) =>
         val totalPages = math.max(1L, (total + limit - 1) / limit)
         val slots = math.min(totalPages, maxParallelFetch.toLong).toInt
+        val taskHeaders = headers // post-probe snapshot; vals ship cleanly
         import spark.implicits._
         spark.range(1, totalPages + 1)
           .repartition(slots)
           .mapPartitions { pages =>
+            // driver-resolved headers first; on a 401 this task
+            // invalidates the (task-local deserialized) auth copy and
+            // re-resolves once — subsequent pages in the partition reuse
+            // the fresh material
+            var hdrs = taskHeaders
+            def fetch(p: Long): JsonNode =
+              try fetchPageWith(p, limit, hdrs)
+              catch {
+                case RestHttpError(401, _, _) =>
+                  auth.invalidate()
+                  hdrs = auth.buildHeaders()
+                  fetchPageWith(p, limit, hdrs)
+              }
             pages.flatMap { p =>
-              val it = fetchPage(p, limit).get(dataF).elements()
+              val it = fetch(p).get(dataF).elements()
               Iterator.continually(it).takeWhile(_.hasNext)
                 .map(_.next().toString)
             }
           }
+          // materialize the fetch EXACTLY ONCE before anything consumes
+          // it: HTTP pagination is not a re-runnable scan — a task retry
+          // or a second action re-issuing requests against a live origin
+          // can skip/duplicate rows if the collection shifted between
+          // fetches (offset-pagination drift). The checkpoint pins the
+          // fetched rows as storage blocks; every downstream action —
+          // including schema inference's extra pass — reads blocks, never
+          // the network. (A retry DURING the checkpoint job itself still
+          // refetches that partition's pages — the unavoidable one-shot
+          // window.) Cluster equivalent: persist(DISK) or land-to-bronze
+          // before transforming; held storage is O(slice), the rows the
+          // caller asked for.
+          .localCheckpoint()
       case None =>
         // no total in the envelope: sequential driver loop, stop at the
         // first short page (the reference's read-until-exhausted shape,

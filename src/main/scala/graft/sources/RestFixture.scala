@@ -38,6 +38,11 @@ final class RestFixture private (
   val tokensIssued = new AtomicInteger(0)
   val postedRows = new ConcurrentLinkedQueue[String]()
   val postedBatches = new AtomicLong(0)
+  private[sources] val validTokens = new ConcurrentLinkedQueue[String]()
+
+  /** Revoke every bearer issued so far: the next data request carrying one
+    * gets 401 — lets specs exercise the client's mid-job re-auth path. */
+  def revokeTokens(): Unit = validTokens.clear()
 
   def port: Int = server.getAddress.getPort
   def baseUrl: String = s"http://127.0.0.1:$port/api"
@@ -89,7 +94,7 @@ object RestFixture {
     })
     server.setExecutor(pool)
     val fx = new RestFixture(server, pool, resource)
-    val validTokens = new ConcurrentLinkedQueue[String]()
+    val validTokens = fx.validTokens
 
     def authorized(ex: HttpExchange): Boolean = {
       val ok1 = requiredHeader.forall { case (k, v) =>

@@ -87,6 +87,41 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx.stop()
   }
 
+  test("readSlice materializes once: later actions issue zero new requests") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 16)
+      val out = wh.readSlice(spark, "customer", schema = Some(customer.schema))
+      val afterRead = fx.requestLog.size
+      // several distinct actions over the returned frame: counts, an agg,
+      // a re-count — HTTP pagination is not a re-runnable scan, so every
+      // one must read the pinned blocks, never the origin
+      assert(out.count() == customer.count())
+      assert(out.agg(sum("c_custkey")).head().getLong(0) ==
+        customer.agg(sum("c_custkey")).head().getLong(0))
+      assert(out.count() == customer.count())
+      assert(fx.requestLog.size == afterRead,
+        "a second action re-issued HTTP requests — offset-pagination drift risk")
+    } finally fx.stop()
+  }
+
+  test("session revoked between reads: client re-authenticates once and succeeds") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey",
+      issueBearer = true)
+    try {
+      val auth = new HttpAuth.Login(fx.loginUrl, "user", "hunter2")
+      val wh = RestWarehouse("fixture", fx.baseUrl, httpAuth = auth, pageSize = 512)
+      assert(wh.read(spark, "customer").count() == customer.count())
+      assert(fx.tokensIssued.get() == 1)
+      // origin-side revocation the client's cache knows nothing about:
+      // the next read's first 401 invalidates the cached session,
+      // re-logins, and completes — instead of failing the job fast
+      fx.revokeTokens()
+      assert(wh.read(spark, "customer").count() == customer.count())
+      assert(fx.tokensIssued.get() == 2, "exactly one re-login")
+    } finally fx.stop()
+  }
+
   test("api-key auth: wrong key fails fast with 401, right key succeeds") {
     val fx = RestFixture.serve(customer, "customer", "c_custkey",
       requiredHeader = Some("X-API-Key" -> "sesame"))
