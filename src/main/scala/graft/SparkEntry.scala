@@ -274,21 +274,44 @@ object SparkEntry {
     }),
 
     "q9_unified" -> ((s, dir) => {
-      // native → unified normalization: build the nested struct, then
-      // project fields back out (flat output for the oracle compare)
-      val unified = Tables(s, dir, "orders")
+      // native → TYPED unified layer (Unified.jobs, incl. the breadth
+      // fields: ranges_float, ranges_date, url, tags) and back out
+      // through the reverse accessors — flat output for the oracle
+      // compare. This is the round trip a connector runs on every pull:
+      // to_unified_job → ... → from_unified_job (core/connector.py:53,58)
+      val native = Tables(s, dir, "orders")
         .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .select(struct(
-          concat(lit("order-"), col("o_orderkey")).as("key"),
-          lit("warehouse_orders").as("origin"),
-          col("c_name").as("owner"),
-          col("o_orderstatus").as("status"),
-          col("o_orderdate").cast("date").as("created_at"),
-          col("o_totalprice").as("amount")).as("u"))
-      unified.select(
-        col("u.key").as("key"), col("u.origin").as("origin"),
-        col("u.owner").as("owner"), col("u.status").as("status"),
-        col("u.created_at").as("created_at"), col("u.amount").as("amount"))
+      val jobs = models.Unified.jobs(native, models.JobColumns(
+        id = concat(lit("order-"), col("o_orderkey")),
+        origin = lit("warehouse_orders"),
+        key = concat(lit("order-"), col("o_orderkey")),
+        name = concat(lit("Order "), col("o_orderkey")),
+        text = col("o_orderpriority"),
+        summary = col("o_orderstatus"),
+        createdAt = col("o_orderdate").cast("string"),
+        url = concat(lit("https://orders.example/"), col("o_orderkey")),
+        tags = array(
+          struct(lit("owner").as("name"), col("c_name").as("value")),
+          struct(lit("segment").as("name"), col("c_mktsegment").as("value"))),
+        rangesFloat = array(struct(lit("budget").as("name"),
+          (col("o_totalprice").cast("double") * lit(0.5)).as("value_min"),
+          col("o_totalprice").cast("double").as("value_max"),
+          lit("usd").as("unit"))),
+        rangesDate = array(struct(lit("delivery").as("name"),
+          col("o_orderdate").cast("string").as("value_min"),
+          date_add(col("o_orderdate"), 90).cast("string").as("value_max")))))
+      val budget = models.Unified.rangeNamed(col("ranges_float"), "budget")
+      val delivery = models.Unified.rangeNamed(col("ranges_date"), "delivery")
+      models.Unified.toNative(jobs.toDF(), Seq(
+        "key" -> col("key"),
+        "origin" -> col("origin"),
+        "owner" -> models.Unified.entityValue(col("tags"), "owner"),
+        "status" -> col("summary"),
+        "created_at" -> col("created_at").cast("date"),
+        "amount" -> budget.getField("value_max"),
+        "budget_min" -> budget.getField("value_min"),
+        "url" -> col("url"),
+        "delivery_until" -> delivery.getField("value_max")))
     }),
 
     "q10_push_events" -> ((s, dir) => {
@@ -1619,7 +1642,11 @@ object SparkEntry {
     "q9_unified" ->
       """SELECT 'order-' || o_orderkey AS key, 'warehouse_orders' AS origin,
          c_name AS owner, o_orderstatus AS status,
-         CAST(o_orderdate AS DATE) AS created_at, o_totalprice AS amount
+         CAST(o_orderdate AS DATE) AS created_at,
+         CAST(o_totalprice AS DOUBLE) AS amount,
+         CAST(o_totalprice AS DOUBLE) * 0.5 AS budget_min,
+         'https://orders.example/' || o_orderkey AS url,
+         CAST(CAST(o_orderdate AS DATE) + 90 AS VARCHAR) AS delivery_until
          FROM orders JOIN customer ON o_custkey = c_custkey""",
     "q10_push_events" ->
       """SELECT event_id, user_id, c_name AS resource_name, c_acctbal AS acctbal, event_type
