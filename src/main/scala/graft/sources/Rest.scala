@@ -225,6 +225,12 @@ private[graft] object Http {
       .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
       url, maxAttempts)
 
+  def put(url: String, headers: Map[String, String], body: String,
+      contentType: String, maxAttempts: Int = 4): String =
+    send(builder(url, headers).header("Content-Type", contentType)
+      .PUT(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      url, maxAttempts)
+
   private def builder(url: String, headers: Map[String, String]) = {
     val b = HttpRequest.newBuilder(URI.create(url)).timeout(Duration.ofMinutes(2))
     headers.foreach { case (k, v) => b.header(k, v) }
@@ -337,7 +343,11 @@ final case class RestWarehouse(
     limitParam: String = "limit",
     dataField: String = "data",
     totalField: String = "total",
-    writeBatchSize: Int = 500) extends Warehouse {
+    writeBatchSize: Int = 500,
+    // configuring the id field opts SaveMode.Overwrite pushes into the
+    // PUT-update path; unset, every write verbs as POST-create (the
+    // reference's create-as-upsert default)
+    updateIdField: Option[String] = None) extends Warehouse {
 
   require(pageSize > 0 && maxParallelFetch > 0 && writeBatchSize > 0)
 
@@ -476,27 +486,99 @@ final case class RestWarehouse(
     }
   }
 
-  /** Distributed push: each executor partition POSTs its rows as JSON
-    * array batches of `writeBatchSize` — the reference's
-    * `write_resources_batch` loop (core/connector.py:257), parallelized
-    * across partitions. SaveMode is advisory here (a REST origin decides
-    * create-vs-update itself; the reference splits create_jobs/update_jobs
-    * the same way, connectors/hrflow/actions.py:37-67). */
+  /** Distributed push — the reference's create_jobs/update_jobs split
+    * (connectors/hrflow/actions.py:37/53), batched and parallelized
+    * across partitions instead of a per-record driver loop:
+    *
+    *  - [[create]] POSTs JSON array batches (the reference documents
+    *    create as an upsert — it is the default push verb);
+    *  - [[update]] PUTs JSON array batches where every element carries
+    *    its id field, so the origin addresses each record
+    *    (`update_jobs` PUTs the record body with its key the same way).
+    *
+    * SaveMode routing: `Overwrite` takes the update path when
+    * [[updateIdField]] is configured; everything else creates. Both verbs
+    * ISOLATE bad records: a batch rejected with 4xx is retried one record
+    * at a time so one poison record cannot sink its whole batch — the
+    * reference's per-record response collection, without giving up
+    * batching on the happy path. `write` throws if any record failed
+    * (after isolation, so the good records landed — at-least-once);
+    * call [[create]]/[[update]] directly for the tolerant report. */
   override def write(df: DataFrame, resource: String, mode: SaveMode): Unit = {
-    val headers = httpAuth.buildHeaders()
+    val report = (mode, updateIdField) match {
+      case (SaveMode.Overwrite, Some(f)) => update(df, resource, f)
+      case _                             => create(df, resource)
+    }
+    if (report.failed > 0) throw new IllegalStateException(
+      s"$name/$resource rejected ${report.failed} records " +
+        s"(${report.written} written)")
+  }
+
+  /** POST-create push (reference create_jobs, actions.py:37). */
+  def create(df: DataFrame, resource: String): RestWriteReport =
+    writeVerb(df, resource, "POST", idField = None)
+
+  /** PUT-update push (reference update_jobs, actions.py:53): every row
+    * must carry a non-null `idField` for the origin to address it. */
+  def update(df: DataFrame, resource: String,
+      idField: String = "id"): RestWriteReport =
+    writeVerb(df, resource, "PUT", idField = Some(idField))
+
+  private def writeVerb(df: DataFrame, resource: String, verb: String,
+      idField: Option[String]): RestWriteReport = {
+    idField.foreach(f => require(df.columns.contains(f),
+      s"update id field '$f' is not in the frame's schema"))
+    val headers0 = httpAuth.buildHeaders()
     val auth = httpAuth
     val url = endpoint(resource)
     val bs = writeBatchSize
-    df.toJSON.foreachPartition { (rows: Iterator[String]) =>
-      rows.grouped(bs).foreach { batch =>
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.toJSON.mapPartitions { rows =>
+      var hdrs = headers0
+      def send(body: String): Unit = {
         // JSON bodies are outside the OAuth1 signature by spec (§3.4.1.3
         // covers only query + form params) — sign method/url only, but
         // PER REQUEST: RFC 5849 servers reject replayed (timestamp,
-        // nonce) pairs, so each batch POST needs a fresh signature
-        val h = headers ++ auth.signRequest("POST", url, Nil)
-        Http.post(url, h, batch.mkString("[", ",", "]"), "application/json")
-        ()
+        // nonce) pairs. 401 → invalidate + re-resolve once per task,
+        // same contract as the read path.
+        def go(h: Map[String, String]): Unit = {
+          val signed = h ++ auth.signRequest(verb, url, Nil)
+          if (verb == "PUT") Http.put(url, signed, body, "application/json")
+          else Http.post(url, signed, body, "application/json")
+          ()
+        }
+        try go(hdrs)
+        catch {
+          case RestHttpError(401, _, _) =>
+            auth.invalidate()
+            hdrs = auth.buildHeaders()
+            go(hdrs)
+        }
       }
-    }
+      var ok = 0L
+      var bad = 0L
+      rows.grouped(bs).foreach { batch =>
+        try { send(batch.mkString("[", ",", "]")); ok += batch.size }
+        catch {
+          // whole batch rejected: isolate — one record per request, so
+          // only the records the origin actually refuses are lost
+          case RestHttpError(code, _, _) if code != 401 && code / 100 == 4 =>
+            batch.foreach { r =>
+              try { send(s"[$r]"); ok += 1 }
+              catch {
+                case RestHttpError(c, _, _) if c != 401 && c / 100 == 4 =>
+                  bad += 1
+              }
+            }
+        }
+      }
+      Iterator((ok, bad))
+    }.collect()
+    RestWriteReport(counts.map(_._1).sum, counts.map(_._2).sum)
   }
 }
+
+/** Outcome of a REST push: `written` records accepted by the origin,
+  * `failed` records it rejected (4xx) after per-record isolation. */
+final case class RestWriteReport(written: Long, failed: Long)

@@ -38,6 +38,8 @@ final class RestFixture private (
   val tokensIssued = new AtomicInteger(0)
   val postedRows = new ConcurrentLinkedQueue[String]()
   val postedBatches = new AtomicLong(0)
+  val putRows = new ConcurrentLinkedQueue[String]()
+  val putBatches = new AtomicLong(0)
   private[sources] val validTokens = new ConcurrentLinkedQueue[String]()
 
   /** Revoke every bearer issued so far: the next data request carrying one
@@ -118,6 +120,21 @@ object RestFixture {
           arr.elements().asScala.foreach(n => fx.postedRows.add(n.toString))
           fx.postedBatches.incrementAndGet()
           respond(ex, 200, s"""{"accepted":${arr.size()}}""")
+        } else if (ex.getRequestMethod == "PUT") {
+          // update verb: every element must carry the id (cursor) field
+          // for the origin to address it — a request containing any
+          // unaddressable record is rejected whole, which is what forces
+          // the client's per-record isolation fallback
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val arr = Http.mapper.readTree(body)
+          require(arr.isArray, "PUT body must be a JSON array")
+          if (arr.elements().asScala.exists(n => !n.hasNonNull(cursorField)))
+            respond(ex, 400, s"""{"error":"record missing '$cursorField'"}""")
+          else {
+            arr.elements().asScala.foreach(n => fx.putRows.add(n.toString))
+            fx.putBatches.incrementAndGet()
+            respond(ex, 200, s"""{"updated":${arr.size()}}""")
+          }
         } else {
           val params = parseQuery(query)
           val sortDesc = params.collectFirst { case ("sort_by", v) => v }.contains("desc")

@@ -3,6 +3,7 @@ package graft
 import graft.conditions.{Condition, Op}
 import graft.cursor.{Cursor, CursorMode}
 import graft.sources.{HttpAuth, RestFixture, RestHttpError, RestParams, RestWarehouse}
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 /** RestWarehouse against an in-process paginated JSON origin: param
@@ -236,6 +237,46 @@ class RestWarehouseSpec extends SparkSpecBase {
       val back = spark.read.schema(customer.schema)
         .json(spark.createDataset(fx.postedRows.asScala.toSeq))
       assert(back.except(customer).isEmpty && customer.except(back).isEmpty)
+    } finally fx.stop()
+  }
+
+  test("update PUTs id-addressed batches; Overwrite routes there via updateIdField") {
+    val fx = RestFixture.serve(customer.limit(0), "customer_sink", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, writeBatchSize = 100,
+        updateIdField = Some("c_custkey"))
+      wh.write(customer.repartition(3), "customer_sink", SaveMode.Overwrite)
+      assert(fx.putRows.size() == customer.count(), "every record PUT")
+      assert(fx.postedRows.size() == 0, "update must not POST")
+      assert(fx.requestLog.forall(_.startsWith("PUT ")))
+      // id-addressing: every element the origin saw carried its key
+      import scala.jdk.CollectionConverters._
+      assert(fx.putRows.asScala.forall(_.contains("\"c_custkey\":")))
+      // the same warehouse creates (POSTs) under Append
+      wh.write(customer.limit(10), "customer_sink", SaveMode.Append)
+      assert(fx.postedRows.size() == 10)
+    } finally fx.stop()
+  }
+
+  test("a poison record is isolated: the rest of its batch still lands") {
+    val fx = RestFixture.serve(customer.limit(0), "customer_sink", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, writeBatchSize = 50)
+      // one row with a null key: toJSON omits null fields, so its JSON has
+      // no c_custkey and the fixture 400s any PUT batch containing it
+      val poisoned = customer.limit(120).withColumn("c_custkey",
+        when(col("c_custkey") === 5, lit(null)).otherwise(col("c_custkey")))
+      val report = wh.update(poisoned.coalesce(1), "customer_sink", "c_custkey")
+      assert(report.failed == 1, "exactly the poison record fails")
+      assert(report.written == 119, "every other record lands")
+      assert(fx.putRows.size() == 119)
+      // write() surfaces the loss instead of swallowing it
+      val err = intercept[IllegalStateException] {
+        RestWarehouse("fixture", fx.baseUrl, writeBatchSize = 50,
+          updateIdField = Some("c_custkey"))
+          .write(poisoned.coalesce(1), "customer_sink", SaveMode.Overwrite)
+      }
+      assert(err.getMessage.contains("rejected 1"))
     } finally fx.stop()
   }
 
