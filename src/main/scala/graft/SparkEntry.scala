@@ -537,6 +537,45 @@ object SparkEntry {
       } finally fx.stop()
     }),
 
+    "q48_rest_push_events" -> ((s, dir) => {
+      // EVENTS-mode push against a LIVE origin (the reference's full
+      // event push: fetch natives BY ID over HTTP, then format + filter
+      // + push — connectors/hrflow/actions.py:69, core/pipeline.py:83).
+      // The events stream names resource ids; RestWarehouse.fetchByIds
+      // hydrates them in distributed id__in batches (vs the reference's
+      // one-GET-per-id driver loop). The origin only HAS 2/3 of the
+      // customers, so skipped_missing is really exercised: those events
+      // drop from the inner join, exactly like resources the reference's
+      // by-id fetch gets a non-200 for.
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val served = customer.where(col("c_custkey") % 3 =!= 0)
+      val fx = graft.sources.RestFixture.serve(served, "customer", "c_custkey")
+      try {
+        val wh = graft.sources.RestWarehouse("fixture", fx.baseUrl)
+        val events = Tables(s, dir, "events")
+        val resources = wh.fetchByIds(events.select(col("user_id")),
+          "customer", "c_custkey", Some(customer.schema), batchSize = 256)
+        val out = Pipeline.pushEvents(
+          events, "user_id", broadcast(resources), "c_custkey",
+          having = Seq(Condition("c_acctbal", Op.Gt, 0)),
+          format = Formatters.columns(
+            "event_id" -> col("event_id"), "user_id" -> col("user_id"),
+            "resource_name" -> col("c_name"), "acctbal" -> col("c_acctbal"),
+            "event_type" -> col("event_type"))).localCheckpoint()
+        // served-count gate: the origin returned exactly the distinct
+        // requested ids it has — each once, nothing paged twice, nothing
+        // beyond the requested slice
+        val uids = events.select(col("user_id")).distinct()
+        val expectServed = uids
+          .join(served, uids("user_id") === served("c_custkey")).count()
+        require(fx.servedRows.get() == expectServed,
+          s"origin served ${fx.servedRows.get()} rows; " +
+            s"expected the $expectServed matching distinct ids")
+        out
+      } finally fx.stop()
+    }),
+
     "q44_stream_agg" -> ((s, dir) => {
       // Structured Streaming under the hard gate: the events table read as
       // a FILE STREAM, watermarked tumbling-day aggregation, memory sink,
@@ -1708,6 +1747,13 @@ object SparkEntry {
          UNION ALL
          SELECT f.c_custkey, f.c_name, f.c_mktsegment, 2 AS pull_seq
          FROM f, m WHERE f.c_custkey >= m.adv AND f.c_custkey <= 1400""",
+    // q48: the origin only has customers with c_custkey % 3 != 0; events
+    // whose resource is missing drop from the inner join (skipped_missing)
+    "q48_rest_push_events" ->
+      """SELECT event_id, user_id, c_name AS resource_name,
+         c_acctbal AS acctbal, event_type
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE c_custkey % 3 <> 0 AND c_acctbal > 0""",
     "q46_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
     "q47_stream_sessions" ->

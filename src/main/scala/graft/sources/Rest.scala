@@ -486,6 +486,62 @@ final case class RestWarehouse(
     }
   }
 
+  /** Distributed BY-ID batch fetch — the events-mode push's resource
+    * hydration (reference fetch_jobs_by_ids, connectors/hrflow/actions.py:69,
+    * which GETs one id at a time in a driver loop). Spark-first: the
+    * (already-distributed) id frame fans out across executors and each
+    * task issues ONE `idField__in=<batch>` request per `batchSize` ids —
+    * requests scale with distinct-ids/batchSize, not with ids. Ids the
+    * origin doesn't have simply don't come back (the reference skips
+    * non-200 singles the same way); the push layer counts them as
+    * skipped_missing. Fetched rows are pinned exactly once, same
+    * single-shot contract as [[readSlice]].
+    *
+    * `ids`' FIRST column supplies the id values (whatever its name — an
+    * events frame's `user_id` column is the common caller); `idField` is
+    * the ORIGIN's field name the `__in` filter addresses. */
+  def fetchByIds(ids: DataFrame, resource: String, idField: String,
+      schema: Option[StructType] = None, batchSize: Int = 200): DataFrame = {
+    require(batchSize > 0)
+    val spark = ids.sparkSession
+    val auth = httpAuth
+    val headers0 = httpAuth.buildHeaders()
+    val url = endpoint(resource)
+    val (limitP, pageP, dataF, bs) = (limitParam, pageParam, dataField, batchSize)
+    import spark.implicits._
+    val idStrs = ids.select(ids(ids.columns.head).cast("string"))
+      .na.drop().distinct().as[String]
+    val json = idStrs.mapPartitions { it =>
+      var hdrs = headers0
+      def fetch(batch: Seq[String]): Iterator[String] = {
+        // limit = batch size: ids are distinct, so one page always holds
+        // every match — no pagination round-trip per batch
+        val pp = Seq(s"${idField}__in" -> batch.mkString(","),
+          pageP -> "1", limitP -> bs.toString)
+        def go(h: Map[String, String]) = Http.mapper.readTree(
+          Http.get(Http.withQuery(url, pp), h ++ auth.signRequest("GET", url, pp)))
+        val node =
+          try go(hdrs)
+          catch {
+            case RestHttpError(401, _, _) =>
+              auth.invalidate()
+              hdrs = auth.buildHeaders()
+              go(hdrs)
+          }
+        val data = node.get(dataF)
+        require(data != null && data.isArray,
+          s"by-id fetch from $url has no '$dataF' array")
+        val els = data.elements()
+        Iterator.continually(els).takeWhile(_.hasNext).map(_.next().toString)
+      }
+      it.grouped(bs).flatMap(fetch)
+    }.localCheckpoint()
+    schema match {
+      case Some(st) => spark.read.schema(st).json(json)
+      case None     => spark.read.json(json)
+    }
+  }
+
   /** Distributed push — the reference's create_jobs/update_jobs split
     * (connectors/hrflow/actions.py:37/53), batched and parallelized
     * across partitions instead of a per-record driver loop:

@@ -240,6 +240,29 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx.stop()
   }
 
+  test("fetchByIds hydrates distinct ids in batched id__in requests") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey")
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl)
+      // duplicated, differently-named id column (the events-frame shape)
+      val ids = spark.range(1, 301).select((col("id") % 150 + 1).as("user_id"))
+      val out = wh.fetchByIds(ids, "customer", "c_custkey",
+        Some(customer.schema), batchSize = 40)
+      val present = customer.where(col("c_custkey").between(1, 150)).count()
+      assert(out.count() == present, "each distinct present id hydrates once")
+      assert(fx.servedRows.get() == present, "origin serves each id exactly once")
+      // 150 distinct ids at 40/batch = 4 requests, all id__in + single page
+      assert(fx.requestLog.size == 4)
+      assert(fx.requestLog.forall(r =>
+        r.contains("c_custkey__in=") && r.contains("limit=40")))
+      // missing ids just don't come back
+      val sparse = wh.fetchByIds(
+        spark.range(0, 5).select((col("id") * 100000 + 1000007).as("user_id")),
+        "customer", "c_custkey", Some(customer.schema))
+      assert(sparse.count() == 0)
+    } finally fx.stop()
+  }
+
   test("update PUTs id-addressed batches; Overwrite routes there via updateIdField") {
     val fx = RestFixture.serve(customer.limit(0), "customer_sink", "c_custkey")
     try {
