@@ -21,6 +21,11 @@ import java.util.concurrent.Executors
   *
   *   GET  /warehouses            registered warehouse metas (/connectors)
   *   GET  /schema/{resource}     UI field catalogue (/schema/{c}/{r})
+  *   GET  /schema/unified/{r}    unified job|profile model fields
+  *                               (/schema/unified/{resource}), with
+  *                               ?only_prefilterable=true
+  *   GET  /schema/auth/{w}       warehouse auth scheme + param names
+  *                               (/schema/auth/{connector_name})
   *   POST /formatters/{id}       store a mapping-formatter spec
   *   GET  /formatters/{id}       read it back (/formatters endpoints)
   *   POST /run/pull              run a pull config, JSON result line
@@ -64,14 +69,32 @@ object ApiServer {
     def handle(ex: HttpExchange): Unit = {
       val path = ex.getRequestURI.getPath
       val method = ex.getRequestMethod
+      respondedFlag.set(false)
       try {
+        // constant-time compare: a '==' on strings leaks the matching
+        // prefix length through timing
         val authorized = apiKey.forall(k =>
-          Option(ex.getRequestHeaders.getFirst("X-API-Key")).contains(k))
+          Option(ex.getRequestHeaders.getFirst("X-API-Key")).exists(h =>
+            java.security.MessageDigest.isEqual(
+              h.getBytes(UTF_8), k.getBytes(UTF_8))))
         if (!authorized) respond(ex, 401, """{"error":"unauthorized"}""")
         else route(ex, method, path)
       } catch {
+        // post-response failures can't be reported to this client — a
+        // second respond() would throw out of the handler and mask the
+        // cause. Log and drop.
+        case e: Exception if respondedFlag.get() =>
+          System.err.println(s"[graft-api] post-response failure on $method $path: $e")
         case e: Exception =>
-          respond(ex, 400, JsonMethods.compact(JsonMethods.render(
+          // caller errors (bad config, unknown names, unparsable JSON)
+          // are 4xx; anything else is a server fault and says so
+          val status = e match {
+            case _: IllegalArgumentException | _: MappingException |
+                 _: com.fasterxml.jackson.core.JsonProcessingException => 400
+            case _: NoSuchElementException => 404
+            case _ => 500
+          }
+          respond(ex, status, JsonMethods.compact(JsonMethods.render(
             "error" -> String.valueOf(e.getMessage))))
       }
     }
@@ -84,6 +107,22 @@ object ApiServer {
               ("type" -> m.warehouseType) ~ ("format" -> m.format)
           }
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JArray(metas.toList))))
+
+        case ("GET", List("schema", "unified", resource)) =>
+          val only = Option(ex.getRequestURI.getRawQuery)
+            .exists(_.contains("only_prefilterable=true"))
+          unifiedFieldsJson(resource, only) match {
+            case Some(json) => respond(ex, 200, json)
+            case scala.None => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
+              "error" -> s"unknown unified resource '$resource' (job|profile)")))
+          }
+
+        case ("GET", List("schema", "auth", whName)) =>
+          authSchemaJson(whName) match {
+            case Some(json) => respond(ex, 200, json)
+            case scala.None => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
+              "error" -> s"unknown warehouse '$whName'")))
+          }
 
         case ("GET", List("schema", resource)) =>
           schemas.get(resource) match {
@@ -161,11 +200,102 @@ object ApiServer {
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
+  /** Marks the current exchange answered: a later exception must NOT
+    * respond again (sendResponseHeaders would throw and mask the real
+    * error). Thread-local, NOT HttpExchange.setAttribute — exchange
+    * attributes live on the shared HttpContext, so one response would
+    * mark every subsequent request as answered. Each exchange is handled
+    * synchronously on one pool thread, which makes the thread-local
+    * per-request; handle() resets it on entry. */
+  private val respondedFlag = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+
   private def respond(ex: HttpExchange, status: Int, payload: String): Unit = {
     val bytes = payload.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
+    respondedFlag.set(true)
     ex.close()
   }
+
+  /** Reference prefilter metadata on the unified models
+    * (core/models.py json_schema_extra blocks): field → allowed origin-side
+    * operators. */
+  private val jobPrefilter: Map[String, List[String]] = Map(
+    "key" -> List("eq"), "reference" -> List("eq"), "board_key" -> List("in"),
+    "created_at" -> List("gte", "lte"), "updated_at" -> List("gte", "lte"),
+    "name" -> List("contains"), "tags" -> List("in"))
+  private val profilePrefilter: Map[String, List[String]] = Map(
+    "key" -> List("eq"), "reference" -> List("eq"), "source_key" -> List("in"),
+    "created_at" -> List("gte", "lte"), "updated_at" -> List("gte", "lte"),
+    "full_name" -> List("eq", "contains"), "text" -> List("contains"),
+    "tags" -> List("in"))
+
+  /** GET /schema/unified/{job|profile} (reference app/api.py:77
+    * `unified_fields`): the unified model's fields straight off the
+    * case-class Encoder schema — name, Spark SQL type, and the
+    * reference's prefilter operator sets. */
+  private def unifiedFieldsJson(
+      resource: String, onlyPrefilterable: Boolean): Option[String] = {
+    import org.apache.spark.sql.Encoders
+    val spec = resource match {
+      case "job"     => Some((Encoders.product[models.UnifiedJob].schema, jobPrefilter))
+      case "profile" => Some((Encoders.product[models.UnifiedProfile].schema, profilePrefilter))
+      case _         => scala.None
+    }
+    spec.map { case (schema, pre) =>
+      val fields = schema.fields.toList
+        .filter(f => !onlyPrefilterable || pre.contains(f.name))
+        .map { f =>
+          val base: JObject =
+            ("name" -> f.name) ~ ("type" -> f.dataType.simpleString)
+          pre.get(f.name).fold(base)(ops =>
+            base ~ ("prefilter" -> ("operators" -> ops)))
+        }
+      JsonMethods.compact(JsonMethods.render(JArray(fields.map(identity[JValue]))))
+    }
+  }
+
+  /** GET /schema/auth/{warehouse} (reference app/api.py:97
+    * `connector_auth_schema`): which auth scheme the warehouse uses and
+    * the parameters a client must render — names only, never values
+    * (`secret` marks fields a UI should mask). */
+  private def authSchemaJson(whName: String): Option[String] =
+    WarehouseRegistry.list().get(whName).map { _ =>
+      import graft.sources.{Auth, HttpAuth, RestWarehouse}
+      val (scheme, fields) = WarehouseRegistry.instance(whName) match {
+        case r: RestWarehouse => r.httpAuth match {
+          case _: HttpAuth.NoAuth => ("none", Nil)
+          case _: HttpAuth.ApiKey =>
+            ("api_key", List("header_name" -> false, "key" -> true))
+          case _: HttpAuth.Bearer => ("bearer", List("token" -> true))
+          case _: HttpAuth.Token =>
+            ("token", List("scheme" -> false, "token" -> true))
+          case _: HttpAuth.OAuth2 =>
+            ("oauth2_client_credentials", List("token_url" -> false,
+              "client_id" -> false, "client_secret" -> true, "scope" -> false))
+          case _: HttpAuth.OAuth1 =>
+            ("oauth1", List("consumer_key" -> false, "consumer_secret" -> true,
+              "token" -> false, "token_secret" -> true))
+          case _: HttpAuth.Login =>
+            ("login", List("login_url" -> false, "username" -> false,
+              "password" -> true))
+        }
+        case wh => wh.auth match {
+          case Auth.None => ("none", Nil)
+          case _: Auth.ApiKey =>
+            ("api_key", List("option_name" -> false, "key" -> true))
+          case _: Auth.Token =>
+            ("token", List("option_name" -> false, "scheme" -> false,
+              "token" -> true))
+          case _: Auth.Expiring => ("expiring_token", List("token" -> true))
+          case _: Auth.Options => ("options", List("options" -> true))
+        }
+      }
+      val arr = fields.map { case (n, secret) =>
+        (("name" -> n) ~ ("secret" -> secret)): JValue
+      }
+      JsonMethods.compact(JsonMethods.render(
+        ("scheme" -> scheme) ~ ("fields" -> JArray(arr))))
+    }
 }

@@ -75,4 +75,59 @@ class ApiServerSpec extends SparkSpecBase {
       }.status == 400)
     } finally api.stop()
   }
+
+  test("unified-fields and auth-schema endpoints; fault statuses split 4xx/5xx") {
+    WarehouseRegistry.clear()
+    WarehouseRegistry.register(
+      WarehouseMeta("plain", "Plain lake", "lake", "parquet"),
+      () => ParquetWarehouse("plain", sf0001))
+    WarehouseRegistry.register(
+      WarehouseMeta("restish", "REST origin", "rest", "json"),
+      () => graft.sources.RestWarehouse("restish", "http://127.0.0.1:1/api",
+        httpAuth = new graft.sources.HttpAuth.Login(
+          "http://127.0.0.1:1/login", "u", "p")))
+    // a factory that explodes = a server fault, not a client error
+    WarehouseRegistry.register(
+      WarehouseMeta("broken", "Broken", "lake", "parquet"),
+      () => throw new IllegalStateException("factory exploded"))
+
+    val api = ApiServer.start(spark, apiKey = Some("k2"))
+    val h = Map("X-API-Key" -> "k2")
+    try {
+      // unified job fields straight off the Encoder schema
+      val jf = Http.get(s"${api.baseUrl}/schema/unified/job", h)
+      assert(jf.contains("\"name\":\"ranges_float\"") &&
+        jf.contains("value_min:double"))
+      assert(jf.contains("\"name\":\"board_key\"") &&
+        jf.contains("\"operators\":[\"in\"]"))
+      // prefilterable subset only
+      val pf = Http.get(s"${api.baseUrl}/schema/unified/job?only_prefilterable=true", h)
+      assert(pf.contains("\"key\"") && !pf.contains("ranges_float"))
+      val prof = Http.get(s"${api.baseUrl}/schema/unified/profile", h)
+      assert(prof.contains("\"name\":\"attachments\"") &&
+        prof.contains("\"name\":\"urls\""))
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/schema/unified/widget", h)
+      }.status == 404)
+
+      // auth schema: scheme + parameter names, never values
+      val none = Http.get(s"${api.baseUrl}/schema/auth/plain", h)
+      assert(none.contains("\"scheme\":\"none\""))
+      val login = Http.get(s"${api.baseUrl}/schema/auth/restish", h)
+      assert(login.contains("\"scheme\":\"login\"") &&
+        login.contains("\"name\":\"password\"") &&
+        login.contains("\"secret\":true") && !login.contains("\"p\""))
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/schema/auth/ghost", h)
+      }.status == 404)
+
+      // a server-side fault is a 500, not a 400 blamed on the caller
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/schema/auth/broken", h, maxAttempts = 1)
+      }.status == 500)
+    } finally {
+      api.stop()
+      WarehouseRegistry.clear()
+    }
+  }
 }
