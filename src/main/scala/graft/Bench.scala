@@ -50,8 +50,10 @@ object Bench {
     }
     // outlier self-defense: a query far above the pack is usually transient
     // machine contention, not plan cost — re-time it once and keep the
-    // BEST of the two (the minimum is the less-contended measurement; real
-    // regressions reproduce, noise doesn't)
+    // BEST of the two as the headline (the minimum is the less-contended
+    // measurement; real regressions reproduce, noise doesn't). BOTH
+    // timings land in the artifact (`retimings`) so a bimodal regression
+    // is visible, not masked by the min.
     val okTimes = firstPass.filter(_._4).map(_._3).sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val results = firstPass.map { case (name, fn, dt, ok) =>
@@ -61,9 +63,9 @@ object Bench {
         // a FAILED re-run of a query that just succeeded is a
         // reproducibility problem — record the query as failed rather
         // than quietly keeping the first-pass success
-        if (ok2) (name, math.min(dt, dt2), true, true)
-        else (name, dt, false, true)
-      } else (name, dt, ok, false)
+        if (ok2) (name, math.min(dt, dt2), true, Some(dt -> dt2))
+        else (name, dt, false, Some(dt -> dt2))
+      } else (name, dt, ok, None)
     }
     val qs = results.map { case (k, v, ok, _) =>
       // failed queries are marked with a negative duration so a consumer
@@ -71,10 +73,12 @@ object Bench {
       s"\"" + k + "\":" + (if (ok) v else -v)
     }.mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val retimed = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val retimings = results.collect { case (k, _, _, Some((a, b))) =>
+      s"\"" + k + "\":[" + a + "," + b + "]"
+    }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-      s""""retimed":$retimed,"load_before":$loadBefore,"load_after":${loadAvg()},"sf":"$sfDir"}""")
+      s""""retimings":$retimings,"load_before":$loadBefore,"load_after":${loadAvg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

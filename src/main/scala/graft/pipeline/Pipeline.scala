@@ -210,27 +210,30 @@ object Pipeline {
   }
 
   /** [[pushResourcesResult]] plus the frames it counted: (counters,
-    * valid-to-push, error side-channel or null) — callers that both WRITE
+    * valid-to-push, error side-channel — None when no required columns
+    * were declared, so nothing can land there) — callers that both WRITE
     * the valid rows and REPORT the counters build the split once, so the
     * two can never desynchronize. */
   def pushResourcesResultWithOutput(
       resources: DataFrame,
       having: Seq[Condition] = Nil,
       format: DataFrame => DataFrame = identity,
-      requiredCols: Seq[String] = Nil): (DataFrame, DataFrame, DataFrame) = {
+      requiredCols: Seq[String] = Nil): (DataFrame, DataFrame, Option[DataFrame]) = {
     // null-safe HAVING — same accounting rule as pushEventsResult
     val passes = coalesce(Conditions.all(having), lit(false))
     val source = resources.agg(
       count(lit(1)).as("total_resources_fetched"),
       count(when(!passes, 1)).as("skipped_having"))
     val (valid, errors) = requiredCols match {
-      case Nil => (format(resources.where(passes)), null)
-      case req => safeFormat(resources.where(passes), format, req)
+      case Nil => (format(resources.where(passes)), None)
+      case req =>
+        val (v, e) = safeFormat(resources.where(passes), format, req)
+        (v, Some(e))
     }
     val pushed = valid.agg(count(lit(1)).as("total_resources_pushed"))
-    val errs =
-      if (errors == null) pushed.sparkSession.range(1).select(lit(0L).as("errors"))
-      else errors.agg(count(lit(1)).as("errors"))
+    val errs = errors.fold(
+      pushed.sparkSession.range(1).select(lit(0L).as("errors")))(
+      _.agg(count(lit(1)).as("errors")))
     (source.crossJoin(pushed).crossJoin(errs), valid, errors)
   }
 
