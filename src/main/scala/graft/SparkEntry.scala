@@ -866,24 +866,11 @@ object SparkEntry {
     }),
 
     "ss7_nnd_recall" -> ((s, dir) => {
-      // NN-Descent under the gate, on a metrically structured corpus
-      // built DETERMINISTICALLY from the embeddings table: node i =
-      // anchor(i%8) + 0.04·(i/8)·dir(i%8) with anchors/dirs fixed corpus
-      // rows — 8 line manifolds, the regime graph-ANN methods are built
-      // for. (Uniform random vectors have no neighbor structure any
-      // few-round graph method can recover; NNDescentSpec pins that
-      // separately.) Gate: mean recall@5 ≥ 0.90 vs brute truth.
-      val emb = Tables(s, dir, "embeddings")
-      def grouped(lo: Long, name: String) = broadcast(
-        emb.where(col("vec_id").between(lo, lo + 7))
-          .select(pmod(col("vec_id"), lit(8)).as("g"),
-            col("embedding").cast("array<double>").as(name)))
-      val nodes = emb.where(col("vec_id") < 480)
-        .select(col("vec_id"), pmod(col("vec_id"), lit(8)).as("g"),
-          floor(col("vec_id") / 8).cast("double").as("t"))
-        .join(grouped(100, "avec"), "g").join(grouped(200, "dvec"), "g")
-        .select(col("vec_id"), zip_with(col("avec"), col("dvec"),
-          (a, d) => a + col("t") * lit(0.04) * d).as("embedding"))
+      // NN-Descent under the gate, on the structured manifold corpus
+      // (see [[manifoldNodes]] — uniform random vectors have no neighbor
+      // structure any few-round graph method can recover; NNDescentSpec
+      // pins that separately). Gate: mean recall@5 ≥ 0.90 vs brute truth.
+      val nodes = manifoldNodes(s, dir)
       val truth = operators.similarity.Similarity.knnBrute(
         nodes, nodes, "vec_id", "embedding", k = 5)
       val approx = operators.similarity.NNDescent.knnGraph(
@@ -891,6 +878,26 @@ object SparkEntry {
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
       operators.similarity.Similarity.recallGate(approx, truth, 0.90)
       truth // the node construction + brute truth ARE DuckDB-reproducible; gate already enforced recall
+    }),
+
+    "ss8_graph_search" -> ((s, dir) => {
+      // the query-time half of graph ANN: NN-Descent builds the navigable
+      // k-NN graph, GraphSearch walks it with multi-start greedy beam
+      // search (HNSW base-layer procedure) for EVERY node as a query.
+      // Gate: mean recall@5 ≥ 0.90 vs the exact brute truth — at a
+      // bounded scan fraction (entries + hops·beam·degree per query), vs
+      // brute force's full corpus per query. Same corpus and same
+      // emitted-truth oracle shape as ss7.
+      val nodes = manifoldNodes(s, dir)
+      val truth = operators.similarity.Similarity.knnBrute(
+        nodes, nodes, "vec_id", "embedding", k = 5)
+      val graph = operators.similarity.NNDescent.knnGraph(
+        nodes, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
+      val approx = operators.similarity.GraphSearch.search(
+        nodes, graph, nodes, "vec_id", "embedding", k = 5,
+        beamWidth = 8, maxRounds = 16, entryMod = 16)
+      operators.similarity.Similarity.recallGate(approx, truth, 0.90)
+      truth
     }),
 
     "ss4_knn_ivf" -> ((s, dir) => {
@@ -1091,6 +1098,50 @@ object SparkEntry {
   private val normSql = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
   private val toksSql = s"string_split($normSql,' ')"
 
+  /** Metrically structured ANN test corpus, built DETERMINISTICALLY from
+    * the embeddings table: node i (i < 480) = anchor(i%8) +
+    * 0.04·floor(i/8)·dir(i%8), with anchors/dirs fixed corpus rows
+    * (vec_id 100..107 / 200..207, g = vec_id % 8) — 8 line manifolds,
+    * the regime graph-ANN methods are built for. Shared by ss7/ss8; the
+    * construction is DuckDB-reproducible, so both emit exact truth under
+    * the hard oracle. */
+  private def manifoldNodes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    def grouped(lo: Long, name: String) = broadcast(
+      emb.where(col("vec_id").between(lo, lo + 7))
+        .select(pmod(col("vec_id"), lit(8)).as("g"),
+          col("embedding").cast("array<double>").as(name)))
+    emb.where(col("vec_id") < 480)
+      .select(col("vec_id"), pmod(col("vec_id"), lit(8)).as("g"),
+        floor(col("vec_id") / 8).cast("double").as("t"))
+      .join(grouped(100, "avec"), "g").join(grouped(200, "dvec"), "g")
+      .select(col("vec_id"), zip_with(col("avec"), col("dvec"),
+        (a, d) => a + col("t") * lit(0.04) * d).as("embedding"))
+  }
+
+  /** Exact brute-force top-5 over the [[manifoldNodes]] corpus — the
+    * truth frame ss7/ss8 emit behind their recall gates. */
+  private val manifoldTruthOracle =
+    """WITH av AS (SELECT vec_id % 8 AS g, CAST(embedding AS DOUBLE[]) AS avec
+                   FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+       dv AS (SELECT vec_id % 8 AS g, CAST(embedding AS DOUBLE[]) AS dvec
+              FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
+       nodes AS (
+         SELECT e.vec_id,
+           list_transform(generate_series(1, len(av.avec)),
+             i -> av.avec[i] + CAST(e.vec_id // 8 AS DOUBLE) * 0.04 * dv.dvec[i]) AS v
+         FROM embeddings e
+         JOIN av ON e.vec_id % 8 = av.g
+         JOIN dv ON e.vec_id % 8 = dv.g
+         WHERE e.vec_id < 480),
+       s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+             FROM nodes q JOIN nodes c ON q.vec_id != c.vec_id)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT qid AS query_id, nid AS neighbor_id, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
+       WHERE rk <= 5"""
+
   /** Exact brute-force top-5 over the fixed 5000-vector slice — the truth
     * frame ss5/ss6 emit behind their recall gates (ss1's oracle shape). */
   private val brute5000Oracle =
@@ -1202,31 +1253,13 @@ object SparkEntry {
     // the emitted rows are exact and hash-checkable here.
     "ss5_pq_recall" -> brute5000Oracle,
     "ss6_ivfpq_recall" -> brute5000Oracle,
-    // ss7's corpus is built deterministically from fixed embeddings rows:
-    // node i (i<480) = anchor(i%8) + 0.04·floor(i/8)·dir(i%8), anchors =
-    // vec_id 100..107, dirs = 200..207 (g = vec_id % 8). The oracle
-    // rebuilds the nodes with the same left-associated double arithmetic
-    // and takes the exact top-5 — identical to the Spark truth frame.
-    "ss7_nnd_recall" ->
-      """WITH av AS (SELECT vec_id % 8 AS g, CAST(embedding AS DOUBLE[]) AS avec
-                     FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
-         dv AS (SELECT vec_id % 8 AS g, CAST(embedding AS DOUBLE[]) AS dvec
-                FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
-         nodes AS (
-           SELECT e.vec_id,
-             list_transform(generate_series(1, len(av.avec)),
-               i -> av.avec[i] + CAST(e.vec_id // 8 AS DOUBLE) * 0.04 * dv.dvec[i]) AS v
-           FROM embeddings e
-           JOIN av ON e.vec_id % 8 = av.g
-           JOIN dv ON e.vec_id % 8 = dv.g
-           WHERE e.vec_id < 480),
-         s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 round(list_cosine_similarity(q.v, c.v), 6) AS cosine
-               FROM nodes q JOIN nodes c ON q.vec_id != c.vec_id)
-         SELECT query_id, neighbor_id, cosine, rk FROM (
-           SELECT qid AS query_id, nid AS neighbor_id, cosine,
-             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
-         WHERE rk <= 5""",
+    // ss7/ss8 emit the exact truth over the manifold corpus (see
+    // [[manifoldNodes]]): the oracle rebuilds the nodes with the same
+    // left-associated double arithmetic and takes the exact top-5 —
+    // identical to the Spark truth frame. ss7 gates NN-Descent (graph
+    // BUILD recall), ss8 gates GraphSearch (query-time beam search).
+    "ss7_nnd_recall" -> manifoldTruthOracle,
+    "ss8_graph_search" -> manifoldTruthOracle,
     "ss3_centroid" ->
       """SELECT label, pos - 1 AS pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)

@@ -1,0 +1,126 @@
+package graft.operators.similarity
+
+import graft.functions.VectorFunctions.{dot, toDouble}
+import graft.operators.IndexScope
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-time half of graph ANN: greedy best-first BEAM search over a
+  * prebuilt k-NN graph (the search procedure of HNSW's base layer —
+  * Malkov & Yashunin, "Efficient and robust approximate nearest neighbor
+  * search using Hierarchical Navigable Small World graphs", TPAMI 2018,
+  * Algorithm 2 — [[NNDescent.knnGraph]] builds the navigable graph it
+  * walks).
+  *
+  * Classic graph search advances ONE query through a mutable
+  * visited/candidate heap — inherently sequential and driver-hostile.
+  * Spark-first, ALL queries advance together and a search round is a
+  * constant number of bounded set operations, independent of query count:
+  *
+  *  1. frontier: current beams ⨝ adjacency (shuffle hash join, fan-out ≤
+  *     |queries|·beamWidth·degree);
+  *  2. fresh = frontier ∖ visited (left-anti join — each (query, node)
+  *     pair is scored at most ONCE over the whole search);
+  *  3. score fresh pairs with one codegen'd dot product each
+  *     ([[graft.plans.DotProduct]], vectors unit-normalized once);
+  *  4. re-select each query's top-`beamWidth` beam from its visited set.
+  *
+  * The loop runs on the driver with ONE materializing action per round
+  * (the fresh-pair count doubles as the convergence test: an empty
+  * frontier means every beam is closed under adjacency — the multi-query
+  * analogue of HNSW's "no candidate improves the worst result" stop);
+  * superseded rounds' checkpoints are released, the survivor is adopted
+  * by the scope. Entry points are a deterministic hash-scatter of the
+  * corpus (~n/entryMod nodes), the multi-start that makes greedy search
+  * robust on clustered data; per query the scan fraction is
+  * O(entries + rounds·beamWidth·degree) / n — the graph-ANN trade: the
+  * search touches a neighborhood cone, never the corpus.
+  */
+object GraphSearch extends Logging {
+
+  /** @param graph     (src, dst, ...) k-NN edges ([[NNDescent.knnGraph]]
+    *                   output shape); symmetrized internally
+    * @param k          neighbors to emit per query
+    * @param beamWidth  candidates kept per query between rounds (≥ k;
+    *                   the recall/scan-fraction lever, HNSW's `ef`)
+    * @param maxRounds  hop budget (searches usually close in far fewer —
+    *                   the frontier empties)
+    * @param entryMod   1-in-entryMod nodes seed every query's search
+    * @return (query_id, neighbor_id, cosine, rk) — rk 1..k by descending
+    *         rounded cosine, neighbor id tiebreak ([[Similarity.knnBrute]]
+    *         shape, directly comparable against exact truth) */
+  def search(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
+      maxRounds: Int = 16, entryMod: Int = 16): DataFrame =
+    IndexScope.scoped { sc =>
+      require(k > 0 && beamWidth >= k && maxRounds > 0 && entryMod > 0)
+      def unit(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
+        .select(col(idCol).as(idAs), toDouble(col(vecCol)).as("__v"))
+        .select(col(idAs), col("__v"), sqrt(dot(col("__v"), col("__v"))).as("__n"))
+        .select(col(idAs), transform(col("__v"), x => x / col("__n")).as(vecAs))
+      val c = sc.index(unit(corpus, "nid", "nv"))
+      val q = sc.index(unit(queries, "query_id", "qv"))
+      val edges = sc.index(graph.select(col("src"), col("dst"))
+        .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+
+      // (query_id, nid) → + cosine, one codegen'd dot per pair
+      def score(cands: DataFrame): DataFrame = cands
+        .join(c, "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"), dot(col("qv"), col("nv")).as("cosine"))
+
+      // deterministic hash-scattered entry points, every query starts on
+      // all of them — a genuine all-pairs seeding, but of ids only: the
+      // entry list is O(n/entryMod) ids and broadcast, so the product is
+      // per-query metadata fan-out, never a shuffled Cartesian of data
+      val entries = c.select(col("nid"))
+        .where(pmod(xxhash64(col("nid")), lit(entryMod)) === 0)
+      var visited = score(
+        q.select(col("query_id")).crossJoin(broadcast(entries))
+          .where(col("query_id") =!= col("nid")))
+        .localCheckpoint()
+
+      def beamOf(v: DataFrame): DataFrame = v
+        .withColumn("__r", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nid"))))
+        .where(col("__r") <= beamWidth)
+        .select(col("query_id"), col("nid"))
+
+      var nVisited = visited.count()
+      var hop = 0
+      var done = false
+      while (hop < maxRounds && !done) {
+        val frontier = beamOf(visited)
+          .withColumnRenamed("nid", "src")
+          .join(edges, "src")
+          .select(col("query_id"), col("dst").as("nid"))
+          .distinct()
+          .where(col("query_id") =!= col("nid"))
+        val fresh = score(frontier.join(
+          visited.select(col("query_id"), col("nid")),
+          Seq("query_id", "nid"), "left_anti"))
+        val merged = visited.unionAll(fresh).localCheckpoint(false)
+        // one action per round: counts the merged set (fresh = delta) AND
+        // materializes its checkpoint
+        val total = merged.count()
+        val nFresh = total - nVisited
+        nVisited = total
+        IndexScope.release(visited)
+        visited = merged
+        hop += 1
+        done = nFresh == 0
+        logInfo(s"graph-search round $hop: $nFresh fresh candidates")
+      }
+      sc.own(visited)
+      visited
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nid"))))
+        .where(col("rk") <= k)
+        .select(col("query_id"), col("nid").as("neighbor_id"),
+          col("cosine"), col("rk"))
+    }
+}

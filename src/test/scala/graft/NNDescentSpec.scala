@@ -69,6 +69,49 @@ class NNDescentSpec extends SparkSpecBase {
     assert((ctx.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("GraphSearch beam search recovers near-exact top-k over the built graph") {
+    import graft.operators.similarity.GraphSearch
+    val truth = bruteGraph(clustered, 5)
+    val graph = NNDescent.knnGraph(clustered, "vec_id", "embedding", k = 5,
+      maxRounds = 6, bucketSize = 96)
+    val found = GraphSearch.search(clustered, graph, clustered,
+        "vec_id", "embedding", k = 5, beamWidth = 8, maxRounds = 16, entryMod = 16)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toSet
+    val recall = (found & truth).size.toDouble / truth.size
+    info(f"graph-search recall@5 (clustered) = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+    // ranked output shape: exactly k rows per query, rk 1..k
+    val g2 = GraphSearch.search(clustered, graph, clustered,
+      "vec_id", "embedding", k = 5, beamWidth = 8)
+    val perQ = g2.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rk").as("mr"))
+      .as[(Long, Long, Int)].collect()
+    assert(perQ.length == 480 && perQ.forall(r => r._2 == 5 && r._3 == 5))
+    // deterministic: the walk has no randomness, two runs agree exactly
+    assert(g2.select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+      .collect().toSet ==
+      GraphSearch.search(clustered, graph, clustered, "vec_id", "embedding",
+        k = 5, beamWidth = 8)
+        .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+        .collect().toSet)
+  }
+
+  test("GraphSearch releases its round checkpoints; only the result survives") {
+    import graft.operators.similarity.GraphSearch
+    val graph = NNDescent.knnGraph(clustered, "vec_id", "embedding", k = 3,
+      maxRounds = 2, bucketSize = 96)
+    val ctx = spark.sparkContext
+    val before = ctx.getPersistentRDDs.keySet
+    val r = GraphSearch.search(clustered, graph, clustered.limit(40),
+      "vec_id", "embedding", k = 3, beamWidth = 4, maxRounds = 6)
+    val leaked = ctx.getPersistentRDDs.keySet -- before
+    assert(leaked.size == 1,
+      s"expected only the result checkpoint to survive, found ${leaked.size}")
+    graft.operators.IndexScope.release(r)
+    assert((ctx.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("descent rounds monotonically improve even on structureless data") {
     val emb = Tables(spark, sf0001, "embeddings")
     val truth = bruteGraph(emb, 5)
