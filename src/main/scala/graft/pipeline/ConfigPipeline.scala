@@ -133,7 +133,14 @@ object ConfigPipeline {
       having: Seq[Condition],
       mapping: Seq[FieldMap],
       required: Seq[String],
-      dryRun: Boolean)
+      dryRun: Boolean,
+      // events often land in a lake while the resources live in the SaaS
+      // origin — None means the events come from `origin` itself
+      eventsOrigin: Option[String] = None,
+      // target SaveMode: "overwrite" (default) or "append" — for a REST
+      // target with updateIdField configured, overwrite routes through
+      // the PUT-update verb and append through POST-create
+      saveMode: String = "overwrite")
 
   private def parseStrings(v: JValue, what: String): Seq[String] = v match {
     case JArray(items) => items.map {
@@ -158,14 +165,15 @@ object ConfigPipeline {
       having = parseConditions(j \ "having"),
       mapping = parseMapping(j \ "mapping"),
       required = parseStrings(j \ "required", "required"),
-      dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false })
+      dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false },
+      eventsOrigin = opt(j \ "events_origin"),
+      saveMode = opt(j \ "save_mode").getOrElse("overwrite"))
   }
 
   def runPush(spark: SparkSession, cfg: PushConfig): (DataFrame, Option[DataFrame]) = {
     val origin = WarehouseRegistry.instance(cfg.origin)
     val format =
       if (cfg.mapping.nonEmpty) Formatters.mapping(cfg.mapping) else Formatters.identity
-    val resources = origin.read(spark, cfg.resource)
     val (out, counters) = cfg.mode match {
       case "events" =>
         val eventsRes = cfg.eventsResource.getOrElse(
@@ -174,20 +182,37 @@ object ConfigPipeline {
           throw new IllegalArgumentException("push mode 'events' needs event_id_col"))
         val resIdCol = cfg.resourceIdCol.getOrElse(
           throw new IllegalArgumentException("push mode 'events' needs resource_id_col"))
-        val events = origin.read(spark, eventsRes)
+        val events = WarehouseRegistry
+          .instance(cfg.eventsOrigin.getOrElse(cfg.origin))
+          .read(spark, eventsRes)
+        // a REST origin hydrates ONLY the ids the events name (the
+        // reference's fetch-by-id, actions.py:69) — an events push must
+        // never pull the origin's whole table
+        val resources = origin match {
+          case r: graft.sources.RestWarehouse =>
+            r.fetchByIds(events.select(org.apache.spark.sql.functions.col(evIdCol)),
+              cfg.resource, resIdCol)
+          case _ => origin.read(spark, cfg.resource)
+        }
         (Pipeline.pushEvents(events, evIdCol, resources, resIdCol, cfg.having, format),
           Some(Pipeline.pushEventsResult(events, evIdCol, resources, resIdCol, cfg.having)))
       case "resources" =>
         // one split builds both the written rows and the counters that
         // describe them — they cannot desynchronize
         val (counters, pushed, _) = Pipeline.pushResourcesResultWithOutput(
-          resources, cfg.having, format, cfg.required)
+          origin.read(spark, cfg.resource), cfg.having, format, cfg.required)
         (pushed, Some(counters))
       case other =>
         throw new IllegalArgumentException(s"unknown push mode: $other")
     }
+    val mode = cfg.saveMode match {
+      case "overwrite" => SaveMode.Overwrite
+      case "append"    => SaveMode.Append
+      case other => throw new IllegalArgumentException(
+        s"unknown save_mode: $other (overwrite|append)")
+    }
     if (!cfg.dryRun)
-      WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Overwrite)
+      WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, mode)
     (out, counters)
   }
 

@@ -513,11 +513,9 @@ final case class RestWarehouse(
       .na.drop().distinct().as[String]
     val json = idStrs.mapPartitions { it =>
       var hdrs = headers0
-      def fetch(batch: Seq[String]): Iterator[String] = {
-        // limit = batch size: ids are distinct, so one page always holds
-        // every match — no pagination round-trip per batch
+      def fetchPage(batch: Seq[String], page: Long): Seq[String] = {
         val pp = Seq(s"${idField}__in" -> batch.mkString(","),
-          pageP -> "1", limitP -> bs.toString)
+          pageP -> page.toString, limitP -> bs.toString)
         def go(h: Map[String, String]) = Http.mapper.readTree(
           Http.get(Http.withQuery(url, pp), h ++ auth.signRequest("GET", url, pp)))
         val node =
@@ -532,7 +530,24 @@ final case class RestWarehouse(
         require(data != null && data.isArray,
           s"by-id fetch from $url has no '$dataF' array")
         val els = data.elements()
-        Iterator.continually(els).takeWhile(_.hasNext).map(_.next().toString)
+        Iterator.continually(els).takeWhile(_.hasNext)
+          .map(_.next().toString).toSeq
+      }
+      def fetch(batch: Seq[String]): Iterator[String] = {
+        // usually ONE request: ids are distinct, so a page of batchSize
+        // holds every match — but an origin may keep several records per
+        // id (version history), so a full first page reads on until the
+        // short page rather than silently truncating
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var page = 1L
+        var n = bs
+        while (n == bs) {
+          val rows = fetchPage(batch, page)
+          n = rows.size
+          out ++= rows
+          page += 1
+        }
+        out.iterator
       }
       it.grouped(bs).flatMap(fetch)
     }.localCheckpoint()

@@ -99,6 +99,47 @@ class SourcesConfigSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$outDir/customer").count() == out.count())
   }
 
+  test("config events push against a REST origin hydrates by id, never the table") {
+    WarehouseRegistry.clear()
+    val customer = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val fx = RestFixture.serve(customer, "customer", "c_custkey")
+    try {
+      val outDir = Files.createTempDirectory("graft-rest-push-").toString
+      WarehouseRegistry.register(
+        WarehouseMeta("restsrc", "REST origin", "rest", "json"),
+        () => RestWarehouse("restsrc", fx.baseUrl))
+      WarehouseRegistry.register(
+        WarehouseMeta("evlake", "Events lake", "lake", "parquet"),
+        () => ParquetWarehouse("evlake", sf0001))
+      WarehouseRegistry.register(
+        WarehouseMeta("pdst2", "Target", "lake", "parquet"),
+        () => ParquetWarehouse("pdst2", outDir, ext = ""))
+      val (out, counters) = ConfigPipeline.runPush(spark, """{
+        "resource": "customer", "origin": "restsrc", "target": "pdst2",
+        "mode": "events", "events_origin": "evlake",
+        "events_resource": "events",
+        "event_id_col": "user_id", "resource_id_col": "c_custkey",
+        "having": [{"field": "c_acctbal", "op": "gt", "value": 0}],
+        "mapping": [{"from": "event_id", "to": "event_id"}, {"from": "c_name", "to": "name"}]
+      }""")
+      assert(out.count() > 0 && counters.isDefined)
+      // the origin served only the ids the events name — by-id batches,
+      // not a full-table pull; the hydrated frame is pinned once and
+      // shared by the push and its counters
+      val distinctIds = Tables(spark, sf0001, "events")
+        .select(col("user_id")).distinct().count()
+      assert(fx.servedRows.get() <= distinctIds,
+        s"origin served ${fx.servedRows.get()} rows for $distinctIds distinct ids")
+      assert(fx.requestLog.forall(_.contains("c_custkey__in=")),
+        "every origin request must be an id__in hydration")
+      assert(spark.read.parquet(s"$outDir/customer").count() == out.count())
+    } finally {
+      fx.stop()
+      WarehouseRegistry.clear()
+    }
+  }
+
   test("CLI push command runs end-to-end and prints PushResult counters") {
     WarehouseRegistry.clear()
     val outDir = Files.createTempDirectory("graft-cli-push-").toString
