@@ -664,6 +664,18 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q49_bloom_join" -> ((s, dir) => {
+      // explicit runtime-filter join: bloom sketch of the selective dim's
+      // keys prunes the fact side BEFORE its exchange (exact — false
+      // positives die in the join); the 100 TB semi-join-reduction lever
+      val dim = Tables(s, dir, "part").where(col("p_size") <= 5)
+      val fact = Tables(s, dir, "lineitem")
+      operators.BloomPrune
+        .prunedJoin(fact, dim, "l_partkey", "p_partkey", expectedItems = 1L << 16)
+        .groupBy("p_brand")
+        .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+    }),
+
     "q14_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1036,6 +1048,13 @@ object SparkEntry {
             .otherwise(lit(""))))
       operators.textual.TextStats.lineFilter(docs, "doc_id", "text")
     }),
+
+    "tx14_perplexity" -> ((s, dir) =>
+      // CCNet-style LM perplexity gate: interpolated bigram LM trained on
+      // the doc_id%10==0 "reference" slice, every doc scored against it
+      operators.textual.Perplexity.scoreFilter(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        trainPred = col("doc_id") % 10 === 0, maxPpl = 32.0)),
 
     "mm1_binary_meta" -> ((s, dir) => {
       // REAL header decode over a mixed binary corpus: payloads are
@@ -1477,6 +1496,36 @@ object SparkEntry {
            round(CAST(len(kept) AS DOUBLE) / len(lines), 6) AS kept_frac,
            CAST(len(kept) AS DOUBLE) / len(lines) >= 0.5 AS keep
          FROM k""",
+    // mirrors operators/textual/Perplexity.scala arithmetic exactly:
+    // λ=0.75 (binary-exact), add-one unigram, per-position log2 rounded
+    // to 8 decimals and summed as DECIMAL (order-independent)
+    "tx14_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         grams AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+           FROM tt, LATERAL (SELECT unnest(generate_series(0, len(toks)-2)) AS i)),
+         bi AS (SELECT g, count(*) AS cb FROM grams WHERE doc_id % 10 = 0 GROUP BY g),
+         biw AS (SELECT g, cb, split_part(g, ' ', 1) AS w1 FROM bi),
+         ctx AS (SELECT w1, sum(cb) AS cw1 FROM biw GROUP BY w1),
+         rate AS (SELECT g, CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE) AS rate
+                  FROM biw JOIN ctx USING (w1)),
+         uni AS (SELECT w, count(*) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM tt WHERE doc_id % 10 = 0)
+                 GROUP BY w),
+         consts AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok, count(*) AS v FROM uni),
+         pos AS (SELECT doc_id, g, split_part(g, ' ', 2) AS w2 FROM grams),
+         sc AS (SELECT p.doc_id,
+             CAST(round(log2(0.75 * coalesce(r.rate, 0.0)
+               + 0.25 * (CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+                         / CAST(c.n_tok + c.v + 1 AS DOUBLE))), 8)
+               AS DECIMAL(27,8)) AS lp
+           FROM pos p LEFT JOIN rate r ON p.g = r.g
+             LEFT JOIN uni u ON p.w2 = u.w
+             CROSS JOIN consts c)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) AS ppl,
+           round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) <= 32.0 AS keep
+         FROM sc GROUP BY doc_id""",
     "mm3_wav_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 11 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
@@ -1601,6 +1650,14 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+    // the bloom prune is cost-only: the oracle is the plain join
+    "q49_bloom_join" ->
+      """SELECT p_brand,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 5
+         GROUP BY p_brand""",
     "q2_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
          FROM orders WHERE o_orderstatus = 'F'""",

@@ -1,0 +1,86 @@
+package graft.operators.textual
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Language-model perplexity filtering — the CCNet/Gopher-style quality
+  * gate (Wenzek et al. 2020 train a KenLM on a reference corpus and drop
+  * high-perplexity crawl documents). No external model artifact is
+  * available here, so the model is an interpolated bigram LM trained on a
+  * designated slice of the corpus itself (the "reference" slice standing
+  * in for Wikipedia); every document is then scored against it.
+  *
+  * Model (all engine-portable arithmetic, mirrored in the DuckDB oracle):
+  *  - unigram: p_u(w) = (c(w)+1) / (N+V+1) — add-one smoothed, so OOV
+  *    tokens get mass 1/(N+V+1);
+  *  - bigram ML rate: r(w1,w2) = c(w1,w2) / c(w1·) over the train slice
+  *    (context counts from the bigram table itself, so the model is
+  *    self-consistent at document edges);
+  *  - interpolation with EXACT binary λ: p = 0.75·r + 0.25·p_u (λ chosen
+  *    representable so the Spark and SQL literals are the same double).
+  *
+  * Score: per-position log2 p is rounded to 8 decimals and summed as
+  * DECIMAL — exact, order-independent — then ppl = 2^(−Σ/n) rounded to 4
+  * (the decimal trick makes the only FP-order-sensitive step a per-row
+  * scalar, same as the suite's other float aggregates).
+  *
+  * Scale: the trained tables (bigram rates, unigram probs) ARE the model
+  * artifact — at 100 TB you train on a bounded reference sample, so they
+  * stay broadcastable and the scoring pass is a map-side join over the
+  * corpus (AQE already picks broadcast here); the only shuffle is the
+  * final per-doc aggregation.
+  */
+object Perplexity {
+
+  private val dec = DecimalType(27, 8)
+
+  /** Train on `trainPred` docs, score ALL docs (train docs included, as in
+    * CCNet where the reference corpus is also scored). Docs with fewer
+    * than 2 tokens have no bigram evidence and are excluded. Output:
+    * (doc_id, n_bigrams, ppl, keep = ppl <= maxPpl). */
+  def scoreFilter(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column, maxPpl: Double): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), trainPred.as("__is_train"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+
+    // every bigram position of every doc, with multiplicity
+    val grams = toks.select(col("doc_id"), col("__is_train"),
+      explode(TextFunctions.shinglesAll(col("__toks"), 2)).as("g"))
+
+    // --- model tables (train slice only) ---
+    val bi = grams.where(col("__is_train"))
+      .groupBy("g").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val ctx = bi.groupBy("w1").agg(sum("cb").as("cw1"))
+    // pre-divide into a (g, rate) model table: one scoring join on g
+    // instead of separate bigram-count and context-count joins
+    val rate = bi.join(ctx, "w1")
+      .select(col("g"), (col("cb").cast("double") / col("cw1").cast("double")).as("rate"))
+    val uni = toks.where(col("__is_train"))
+      .select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val consts = uni.agg(sum("cu").as("n_tok"), count(lit(1)).as("v"))
+
+    // --- scoring pass: all docs ---
+    val pos = grams.select(col("doc_id"), col("g"),
+      substring_index(col("g"), " ", -1).as("w2"))
+    val scored = pos
+      .join(rate, Seq("g"), "left")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(consts))
+    val pUni = (coalesce(col("cu2"), lit(0L)) + 1).cast("double") /
+      (col("n_tok") + col("v") + 1).cast("double")
+    val p = lit(0.75) * coalesce(col("rate"), lit(0.0)) + lit(0.25) * pUni
+    val lp = round(log2(p), 8).cast(dec)
+    val ppl = round(pow(lit(2.0), (-col("__slp")).cast("double") / col("n_bigrams")), 4)
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("__slp"))
+      .select(col("doc_id"), col("n_bigrams"), ppl.as("ppl"),
+        (ppl <= maxPpl).as("keep"))
+  }
+}
