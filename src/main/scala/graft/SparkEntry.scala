@@ -959,6 +959,17 @@ object SparkEntry {
       operators.dedup.SegmentDedup.dedupSegments(
         Tables(s, dir, "documents"), "doc_id", "text", segTokens = 10)),
 
+    "dd12_incremental" -> ((s, dir) => {
+      // ingest-time dedup: the doc_id%5==0 slice plays the incoming batch,
+      // the rest the existing corpus; candidates are incoming×existing
+      // only, under the existing index's frequency order
+      val docs = Tables(s, dir, "documents")
+      operators.dedup.IncrementalDedup.newDuplicates(
+        existing = docs.where(col("doc_id") % 5 =!= 0),
+        incoming = docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 3, threshold = 0.8)
+    }),
+
     "tx10_repetition" -> ((s, dir) =>
       // Gopher repetition filters: top-unigram / top-bigram coverage and
       // duplicated-5-gram fraction, with the keep rule applied
@@ -1402,6 +1413,21 @@ object SparkEntry {
            md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), ''))
              AS kept_md5
          FROM k GROUP BY doc_id""",
+    "dd12_incremental" ->
+      s"""WITH d AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         s AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+         i AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id, count(*) AS i
+           FROM s a JOIN s b ON a.shingle = b.shingle
+           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+           GROUP BY 1, 2),
+         z AS (SELECT doc_id, len(sh) AS n FROM d)
+         SELECT in_id, ex_id, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+         FROM i JOIN z x ON in_id = x.doc_id JOIN z y ON ex_id = y.doc_id
+         WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8""",
     "tx10_repetition" ->
       s"""WITH t AS (SELECT doc_id, toks
            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
