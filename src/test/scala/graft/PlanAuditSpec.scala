@@ -52,6 +52,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tx14 perplexity: model-table joins; only the 1-row consts attach is a NLJ") {
+    val p = planOf("tx14_perplexity")
+    assert(!p.contains("CartesianProduct"))
+    // the scalar (n_tok, v) frame rides a broadcast cross join — 1 row by
+    // construction; the model-table joins themselves must be hash joins
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlj <= 1, s"$nlj nested-loop joins in tx14 plan")
+  }
+
+  test("q49 bloom prune: might_contain filters the fact side before its join") {
+    val p = planOf("q49_bloom_join")
+    assert(p.contains("might_contain"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dd12 incremental dedup: hash joins only") {
+    val p = planOf("dd12_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   // ss2's join shape and q42's origin-side filtering are pinned in
   // SimilarityTextSpec (multi-probe recall/monotonicity) and
   // RestWarehouseSpec (served-rows == slice + probe) respectively — their
