@@ -77,7 +77,13 @@ object ApiServer {
           Option(ex.getRequestHeaders.getFirst("X-API-Key")).exists(h =>
             java.security.MessageDigest.isEqual(
               h.getBytes(UTF_8), k.getBytes(UTF_8))))
-        if (!authorized) respond(ex, 401, """{"error":"unauthorized"}""")
+        // the playground page is static markup with no data — servable
+        // without the key (browsers can't set headers on navigation); its
+        // JS passes ?key= as X-API-Key to every gated JSON call
+        val isPlayground = method == "GET" &&
+          (path == "/" || path.stripSuffix("/") == "/playground")
+        if (!authorized && !isPlayground)
+          respond(ex, 401, """{"error":"unauthorized"}""")
         else route(ex, method, path)
       } catch {
         // post-response failures can't be reported to this client — a
@@ -101,6 +107,9 @@ object ApiServer {
 
     def route(ex: HttpExchange, method: String, path: String): Unit =
       (method, path.stripSuffix("/").split("/").toList.drop(1)) match {
+        case ("GET", Nil) | ("GET", List("playground")) =>
+          respond(ex, 200, playgroundHtml, contentType = "text/html; charset=utf-8")
+
         case ("GET", List("warehouses")) =>
           val metas = WarehouseRegistry.list().values.toSeq.sortBy(_.name).map { m =>
             ("name" -> m.name) ~ ("label" -> m.label) ~
@@ -209,14 +218,54 @@ object ApiServer {
     * per-request; handle() resets it on entry. */
   private val respondedFlag = ThreadLocal.withInitial[java.lang.Boolean](() => false)
 
-  private def respond(ex: HttpExchange, status: Int, payload: String): Unit = {
+  private def respond(ex: HttpExchange, status: Int, payload: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = payload.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     respondedFlag.set(true)
     ex.close()
   }
+
+  /** Playground page (reference app/main.py + templates/): a static
+    * single-file UI over the JSON API — warehouse catalogue, config
+    * editor wired to /run/pull and /run/push, and the param-compilation
+    * debug view. No assets, no framework: the operational surface stays
+    * the JSON API; this is the human window onto it. */
+  private[graft] val playgroundHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft playground</title>
+      |<style>
+      | body{font-family:sans-serif;margin:2em;max-width:60em}
+      | textarea{width:100%;height:14em;font-family:monospace}
+      | pre{background:#f4f4f4;padding:1em;overflow:auto}
+      | button{margin-right:.5em}
+      |</style></head><body>
+      |<h1>graft playground</h1>
+      |<h2>Warehouses</h2><pre id="wh">loading…</pre>
+      |<h2>Run a config</h2>
+      |<textarea id="cfg">{
+      |  "origin": {"warehouse": "", "resource": ""},
+      |  "target": {"warehouse": "", "resource": ""}
+      |}</textarea><br>
+      |<button onclick="run('pull')">Run pull</button>
+      |<button onclick="run('push')">Run push</button>
+      |<button onclick="post('/debug/params')">Compile params</button>
+      |<h2>Result</h2><pre id="out">—</pre>
+      |<script>
+      |const hdrs = {'Content-Type':'application/json'};
+      |const key = new URLSearchParams(location.search).get('key');
+      |if (key) hdrs['X-API-Key'] = key;
+      |fetch('/warehouses',{headers:hdrs}).then(r=>r.text()).then(t=>{
+      |  document.getElementById('wh').textContent=t;});
+      |function post(path){
+      |  fetch(path,{method:'POST',headers:hdrs,
+      |    body:document.getElementById('cfg').value})
+      |  .then(r=>r.text()).then(t=>{
+      |    document.getElementById('out').textContent=t;});}
+      |function run(cmd){post('/run/'+cmd);}
+      |</script></body></html>""".stripMargin
 
   /** Reference prefilter metadata on the unified models
     * (core/models.py json_schema_extra blocks): field → allowed origin-side

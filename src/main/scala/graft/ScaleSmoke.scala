@@ -79,6 +79,21 @@ object ScaleSmoke {
     time("dd5 simhash 50k docs")(
       operators.dedup.SimHash.nearDupPairs(docs10, "doc_id", "text", 3, 4).count())
 
+    time("tx14 perplexity 50k docs")(
+      operators.textual.Perplexity.scoreFilter(
+        docs10, "doc_id", "text",
+        trainPred = col("doc_id") % 10 === 0, maxPpl = 32.0).count())
+    time("dd12 incremental 45k ex / 5k in")(
+      operators.dedup.IncrementalDedup.newDuplicates(
+        existing = docs10.where(col("doc_id") % 10 =!= 0),
+        incoming = docs10.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", 3, 0.8).count())
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+      .where(col("p_size") <= 5)
+    time("q49 bloom-pruned join 600k fact")(
+      operators.BloomPrune.prunedJoin(li, dim, "l_partkey", "p_partkey").count())
+
     spark.stop()
   }
 }

@@ -31,6 +31,13 @@ class ApiServerSpec extends SparkSpecBase {
       }
       assert(denied.status == 401)
 
+      // the playground page is static HTML and serves WITHOUT the key
+      // (browsers can't add headers to a navigation); data stays gated
+      val page = Http.get(s"${api.baseUrl}/", Map.empty)
+      assert(page.contains("<title>graft playground</title>") &&
+        page.contains("/run/") && page.contains("X-API-Key"))
+      assert(Http.get(s"${api.baseUrl}/playground", Map.empty) == page)
+
       val whs = Http.get(s"${api.baseUrl}/warehouses", h)
       assert(whs.contains("\"apisrc\"") && whs.contains("\"apidst\""))
 
