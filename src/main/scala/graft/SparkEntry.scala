@@ -907,7 +907,7 @@ object SparkEntry {
         nodes, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
       val approx = operators.similarity.GraphSearch.search(
         nodes, graph, nodes, "vec_id", "embedding", k = 5,
-        beamWidth = 8, maxRounds = 16, entryMod = 16)
+        beamWidth = 8, maxRounds = 6, entryMod = 8, hopExpansion = 2)
       operators.similarity.Similarity.recallGate(approx, truth, 0.90)
       truth
     }),

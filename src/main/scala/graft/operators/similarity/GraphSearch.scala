@@ -48,23 +48,41 @@ object GraphSearch extends Logging {
     * @param maxRounds  hop budget (searches usually close in far fewer —
     *                   the frontier empties)
     * @param entryMod   1-in-entryMod nodes seed every query's search
+    * @param hopExpansion 1 = walk the graph's own edges; 2 = walk the
+    *                   2-hop closure (adjacency pre-squared once into the
+    *                   scope). Each round then advances two hops, halving
+    *                   the number of driver-synchronized rounds — the
+    *                   query-time twin of NN-Descent's neighbor-of-
+    *                   neighbor local join. Total scored pairs stay
+    *                   comparable (same cone, bigger steps); the cost is
+    *                   a degree²-bounded edge table, so keep it for
+    *                   small/medium graphs or degree-capped ones.
     * @return (query_id, neighbor_id, cosine, rk) — rk 1..k by descending
     *         rounded cosine, neighbor id tiebreak ([[Similarity.knnBrute]]
     *         shape, directly comparable against exact truth) */
   def search(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
-      maxRounds: Int = 16, entryMod: Int = 16): DataFrame =
+      maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1): DataFrame =
     IndexScope.scoped { sc =>
       require(k > 0 && beamWidth >= k && maxRounds > 0 && entryMod > 0)
+      require(hopExpansion == 1 || hopExpansion == 2, "hopExpansion must be 1 or 2")
       def unit(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
         .select(col(idCol).as(idAs), toDouble(col(vecCol)).as("__v"))
         .select(col(idAs), col("__v"), sqrt(dot(col("__v"), col("__v"))).as("__n"))
         .select(col(idAs), transform(col("__v"), x => x / col("__n")).as(vecAs))
       val c = sc.index(unit(corpus, "nid", "nv"))
       val q = sc.index(unit(queries, "query_id", "qv"))
-      val edges = sc.index(graph.select(col("src"), col("dst"))
+      val edges1 = graph.select(col("src"), col("dst"))
         .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .distinct()
+      val edges = sc.index(
+        if (hopExpansion == 1) edges1
+        else edges1.unionAll(
+            edges1.select(col("src"), col("dst").as("__mid"))
+              .join(edges1.select(col("src").as("__mid"), col("dst")), "__mid")
+              .select(col("src"), col("dst")))
+          .where(col("src") =!= col("dst"))
+          .distinct())
 
       // (query_id, nid) → + cosine, one codegen'd dot per pair
       def score(cands: DataFrame): DataFrame = cands

@@ -97,6 +97,26 @@ class NNDescentSpec extends SparkSpecBase {
         .collect().toSet)
   }
 
+  test("GraphSearch 2-hop expansion reaches 1-hop recall in half the rounds") {
+    import graft.operators.similarity.GraphSearch
+    val truth = bruteGraph(clustered, 5)
+    val graph = NNDescent.knnGraph(clustered, "vec_id", "embedding", k = 5,
+      maxRounds = 6, bucketSize = 96)
+    def recallAt(hops: Int, rounds: Int): Double = {
+      val found = GraphSearch.search(clustered, graph, clustered,
+          "vec_id", "embedding", k = 5, beamWidth = 8, maxRounds = rounds,
+          entryMod = 16, hopExpansion = hops)
+        .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+        .collect().toSet
+      (found & truth).size.toDouble / truth.size
+    }
+    val r2 = recallAt(hops = 2, rounds = 8)
+    val r1 = recallAt(hops = 1, rounds = 16)
+    info(f"2-hop/8-round recall = $r2%.3f vs 1-hop/16-round = $r1%.3f")
+    assert(r2 >= 0.9 && r2 >= r1 - 0.02,
+      f"2-hop recall $r2%.3f fell behind 1-hop $r1%.3f")
+  }
+
   test("GraphSearch releases its round checkpoints; only the result survives") {
     import graft.operators.similarity.GraphSearch
     val graph = NNDescent.knnGraph(clustered, "vec_id", "embedding", k = 3,
