@@ -676,6 +676,23 @@ object SparkEntry {
         .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
     }),
 
+    "q50_snapshot_diff" -> ((s, dir) => {
+      // post-sync reconciliation: diff two deterministic snapshot slices
+      // of orders — %11 drops simulate rows the old sync missed (added),
+      // %7 drops rows deleted since (removed), %5/%13 mutate price/status
+      // (changed, with column attribution)
+      val orders = Tables(s, dir, "orders")
+      val oldSnap = orders.where(col("o_orderkey") % 11 =!= 0)
+      val newSnap = orders.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      operators.SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     "q14_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1684,6 +1701,25 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size <= 5
          GROUP BY p_brand""",
+    "q50_snapshot_diff" ->
+      """WITH olds AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 11 != 0),
+         news AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 7 != 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NULL AS added, n.o_orderkey IS NULL AS removed,
+             concat_ws(',',
+               CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) THEN 'o_orderstatus' END,
+               CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) THEN 'o_totalprice' END) AS cc
+           FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey)
+         SELECT o_orderkey,
+           CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+                WHEN cc != '' THEN 'changed' ELSE 'unchanged' END AS change_type,
+           CASE WHEN added OR removed THEN '' ELSE cc END AS changed_cols
+         FROM j
+         WHERE NOT (NOT added AND NOT removed AND cc = '')""",
     "q2_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
          FROM orders WHERE o_orderstatus = 'F'""",
