@@ -604,6 +604,34 @@ object SparkEntry {
       out
     }),
 
+    "q52_stream_interval" -> ((s, dir) => {
+      // STREAM-STREAM interval join under the gate: q37's attribution
+      // computed by the streaming self-join (two filtered branches of one
+      // file stream). One AvailableNow micro-batch holds both sides, so
+      // the inner join emits every match regardless of watermark state
+      // expiry — the batch aggregation over the append-mode sink then
+      // equals q37 at event_time's micros precision, which is what the
+      // oracle reproduces (epoch_ns // 1000).
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s, dir, schema,
+        globFilter = Some("events.parquet"))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"),
+        keyCol = "user_id", maxFollow = "1 hour")
+      val sink = s"q52_stream_${System.nanoTime()}"
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val out = s.table(sink).localCheckpoint() // pin: the sink is transient
+      s.catalog.dropTempView(sink)
+      out.groupBy(col("l_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          decSum(col("r_value")).as("attributed_value"),
+          min(col("l_event_id")).as("first_click"))
+    }),
+
     "q46_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup under the gate: one AvailableNow batch means
       // every duplicate key collapses against in-batch state, so the
@@ -691,6 +719,23 @@ object SparkEntry {
           when(col("o_orderkey") % 13 === 0, lit("X")).otherwise(col("o_orderstatus")))
       operators.SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey",
         Seq("o_orderstatus", "o_totalprice"))
+    }),
+
+    "q51_dq_profile" -> ((s, dir) => {
+      // batch-validation profile: one scan → per-column nulls / exact
+      // distincts / min-max; a null-injected twin column exercises the
+      // null accounting (the raw table has none)
+      import operators.Profile.ColSpec
+      val orders = Tables(s, dir, "orders")
+        .withColumn("o_status_opt",
+          when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+      operators.Profile.profile(orders, Seq(
+        ColSpec("o_orderstatus"),
+        ColSpec("o_status_opt"),
+        ColSpec.decimal("o_totalprice"),
+        ColSpec.date("o_orderdate"),
+        ColSpec("o_custkey")))
     }),
 
     "q14_window" -> ((s, dir) => {
@@ -1720,6 +1765,37 @@ object SparkEntry {
            CASE WHEN added OR removed THEN '' ELSE cc END AS changed_cols
          FROM j
          WHERE NOT (NOT added AND NOT removed AND cc = '')""",
+    "q51_dq_profile" ->
+      """WITH t AS (SELECT *,
+           CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS o_status_opt
+         FROM orders)
+         SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_null,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+           CAST(max(o_orderstatus) AS VARCHAR) AS max_val FROM t
+         UNION ALL
+         SELECT 'o_status_opt', count(*),
+           count(*) - count(o_status_opt),
+           count(DISTINCT o_status_opt),
+           CAST(min(o_status_opt) AS VARCHAR), CAST(max(o_status_opt) AS VARCHAR) FROM t
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+           count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR) FROM t
+         UNION ALL
+         SELECT 'o_orderdate', count(*),
+           count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) FROM t
+         UNION ALL
+         SELECT 'o_custkey', count(*),
+           count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM t""",
     "q2_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
          FROM orders WHERE o_orderstatus = 'F'""",
@@ -1877,6 +1953,17 @@ object SparkEntry {
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          AND epoch_ns(p.ts) >= epoch_ns(c.ts)
          AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000
+         GROUP BY c.user_id""",
+    // q37 at event_time's MICROS precision (the streaming join compares
+    // timestamp_micros values, so the oracle truncates nanos identically)
+    "q52_stream_interval" ->
+      """SELECT c.user_id, count(*) AS n_attributed,
+         CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value,
+         min(c.event_id) AS first_click
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
          GROUP BY c.user_id""",
     "q36_cursor_source" ->
       """SELECT lang, source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
