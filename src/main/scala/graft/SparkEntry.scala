@@ -738,6 +738,35 @@ object SparkEntry {
         ColSpec("o_custkey")))
     }),
 
+    "q53_multi_origin" -> ((s, dir) => {
+      // multi-warehouse consolidation under the gate: the same logical
+      // resource lives in a LEGACY csv system (keys %3!=0) and an API
+      // json system (keys %2==0, higher priority); round-trip both
+      // through their FileWarehouses, union with provenance, keep the
+      // highest-priority row per key. Exercises Csv/Json warehouse IO in
+      // the driver's correctness gate (they were spec-only). Prices are
+      // decimal-normalized so text-format round-trips stay hash-exact.
+      import graft.sources.{CsvWarehouse, JsonWarehouse}
+      val base = java.nio.file.Files.createTempDirectory("graft-q53-").toString
+      val csvWh = CsvWarehouse("legacy", s"$base/csv")
+      val jsonWh = JsonWarehouse("api", s"$base/json")
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      csvWh.write(orders.where(col("o_orderkey") % 3 =!= 0), "orders")
+      jsonWh.write(orders.where(col("o_orderkey") % 2 === 0), "orders")
+      def normalize(df: DataFrame, src: String, prio: Int): DataFrame = df.select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("o_totalprice").cast(dec).cast("double").as("price"),
+        lit(src).as("src"), lit(prio).as("__prio"))
+      val u = normalize(csvWh.read(s, "orders"), "legacy", 1)
+        .unionByName(normalize(jsonWh.read(s, "orders"), "api", 2))
+      u.withColumn("__rk", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("__prio").desc)))
+        .where(col("__rk") === 1)
+        .select("o_orderkey", "src", "o_orderstatus", "price")
+    }),
+
     "q14_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1796,6 +1825,18 @@ object SparkEntry {
            count(*) - count(o_custkey),
            count(DISTINCT o_custkey),
            CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM t""",
+    "q53_multi_origin" ->
+      """WITH a AS (SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+             'legacy' AS src, 1 AS prio
+           FROM orders WHERE o_orderkey % 3 != 0),
+         b AS (SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+             'api' AS src, 2 AS prio
+           FROM orders WHERE o_orderkey % 2 = 0),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prio DESC) AS rk FROM u)
+         SELECT o_orderkey, src, o_orderstatus, price FROM r WHERE rk = 1""",
     "q2_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
          FROM orders WHERE o_orderstatus = 'F'""",
