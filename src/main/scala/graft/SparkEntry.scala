@@ -767,6 +767,16 @@ object SparkEntry {
         .select("o_orderkey", "src", "o_orderstatus", "price")
     }),
 
+    "q54_weighted_mix" -> ((s, dir) =>
+      // training-mix curation: upsample en to 1.5 epochs, keep zh at 0.2,
+      // everything else at 0.5 — copies are a pure integer function of
+      // (doc_id, lang), reproducible on any engine
+      operators.Sampling.weightedMix(
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        ppmWeights = Map("en" -> 1500000L, "zh" -> 200000L),
+        defaultPpm = 500000L)),
+
     "q14_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1837,6 +1847,17 @@ object SparkEntry {
          u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
          r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prio DESC) AS rk FROM u)
          SELECT o_orderkey, src, o_orderstatus, price FROM r WHERE rk = 1""",
+    "q54_weighted_mix" ->
+      """WITH w AS (SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 1500000 WHEN 'zh' THEN 200000 ELSE 500000 END AS ppm,
+           (doc_id * 2654435761) % 4294967296 % 1000000 AS h
+         FROM documents),
+         c AS (SELECT doc_id, lang,
+           ppm // 1000000 + CASE WHEN h < ppm % 1000000 THEN 1 ELSE 0 END AS copies
+         FROM w)
+         SELECT doc_id, lang,
+           CAST(unnest(generate_series(1, CAST(copies AS BIGINT))) AS BIGINT) AS copy_idx
+         FROM c WHERE copies > 0""",
     "q2_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
          FROM orders WHERE o_orderstatus = 'F'""",

@@ -36,6 +36,30 @@ object Sampling {
     df.withColumn("split", assignment)
   }
 
+  /** Deterministic source-weighted training mix — the data-mix curation
+    * step of corpus assembly (downsample noisy sources, upsample scarce
+    * high-quality ones for multiple epochs), as a pure function of
+    * (id, key): each row is emitted `floor(ppm/1e6)` times, plus one more
+    * when its million-bucket Knuth hash falls under `ppm mod 1e6`.
+    * Weights are integer PARTS-PER-MILLION, so every comparison is
+    * integer-exact and engine-portable (no float-weight boundary drift).
+    * Output adds `copy_idx` (1..copies); rows with zero copies drop.
+    * No shuffle — one projection + bounded explode. */
+  def weightedMix(df: DataFrame, idCol: String, keyCol: String,
+      ppmWeights: Map[String, Long], defaultPpm: Long = 1000000L): DataFrame = {
+    require((defaultPpm +: ppmWeights.values.toSeq).forall(_ >= 0))
+    val ppm = ppmWeights.toSeq.sortBy(_._1).foldLeft(lit(defaultPpm)) {
+      case (els, (k, v)) => when(col(keyCol) === k, lit(v)).otherwise(els)
+    }
+    val h = knuthBucket(col(idCol), 1000000)
+    df.withColumn("__copies",
+        (ppm.cast("long") / lit(1000000L)).cast("long") +
+          when(h < ppm % 1000000L, 1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Deterministic stratified sample targeting ~`target` rows PER STRATUM
     * (balanced eval-set construction: small strata are kept whole, large
     * strata are down-sampled to the target).

@@ -135,6 +135,30 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("weightedMix: upsampled keys repeat, downsampled keys thin, exact integer rule") {
+    val d = (1L to 1000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
+      .toDF("id", "key")
+    val r = Sampling.weightedMix(d, "id", "key",
+      ppmWeights = Map("hi" -> 2500000L, "lo" -> 300000L))
+      .groupBy("key").agg(count(lit(1)).as("n"),
+        max("copy_idx").as("maxc"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, m) => k -> (n, m) }.toMap
+    // hi: every row gets 2 copies + ~half a third → n in [1000, 1500]
+    val (nHi, maxHi) = r("hi")
+    assert(maxHi == 3 && nHi > 1000 && nHi < 1500, s"hi=$nHi/$maxHi")
+    // lo: ~30% of rows, single copies
+    val (nLo, maxLo) = r("lo")
+    assert(maxLo == 1 && nLo > 100 && nLo < 200, s"lo=$nLo/$maxLo")
+    // deterministic under repartitioning
+    val a = Sampling.weightedMix(d, "id", "key", Map("hi" -> 2500000L, "lo" -> 300000L))
+      .select("id", "copy_idx").as[(Long, Long)].collect().toSet
+    val b = Sampling.weightedMix(d.repartition(7), "id", "key",
+        Map("hi" -> 2500000L, "lo" -> 300000L))
+      .select("id", "copy_idx").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("stratifiedSample keeps small strata whole and bounds large ones") {
     val d = (1L to 2000L).map(i => (i, if (i <= 30) "small" else "big"))
       .toDF("id", "stratum")
