@@ -1071,6 +1071,18 @@ object SparkEntry {
         "doc_id", "text", k = 3, threshold = 0.8)
     }),
 
+    "dd13_domain_cap" -> ((s, dir) => {
+      // per-domain caps (RefinedWeb/Dolma host diversity stage): URLs
+      // synthesized deterministically (37 hosts), quality = token count,
+      // keep top 3 per host
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url", concat(lit("https://site"), col("doc_id") % 37,
+          lit(".example.com/"), col("doc_id")))
+        .withColumn("n_toks",
+          size(graft.functions.TextFunctions.tokens(col("text"))))
+      operators.dedup.DomainCap.capPerHost(docs, "doc_id", "url", "n_toks", cap = 3)
+    }),
+
     "tx10_repetition" -> ((s, dir) =>
       // Gopher repetition filters: top-unigram / top-bigram coverage and
       // duplicated-5-gram fraction, with the keep rule applied
@@ -1529,6 +1541,17 @@ object SparkEntry {
          SELECT in_id, ex_id, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
          FROM i JOIN z x ON in_id = x.doc_id JOIN z y ON ex_id = y.doc_id
          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8""",
+    "dd13_domain_cap" ->
+      s"""WITH d AS (SELECT doc_id,
+           'https://site' || (doc_id % 37) || '.example.com/' || doc_id AS url,
+           len($toksSql) AS n_toks
+         FROM documents),
+         h AS (SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host, n_toks FROM d),
+         r AS (SELECT doc_id, host,
+           row_number() OVER (PARTITION BY host ORDER BY n_toks DESC, doc_id) AS rk
+         FROM h)
+         SELECT doc_id, host, rk FROM r WHERE rk <= 3""",
     "tx10_repetition" ->
       s"""WITH t AS (SELECT doc_id, toks
            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
