@@ -40,6 +40,40 @@ import org.apache.spark.sql.functions._
   */
 object GraphSearch extends Logging {
 
+  /** Incremental graph insert — HNSW's insert procedure (search for the
+    * new point's neighbors, connect, patch reverse edges) batched for an
+    * ingest pipeline: beam-[[search]] the EXISTING graph for each new
+    * node's approximate k-NN among the indexed corpus (per-insert cost is
+    * the search cone, independent of corpus size — the whole point of not
+    * rebuilding), link BOTH directions (the reverse edges are how old
+    * nodes discover that a new node displaced one of their neighbors),
+    * brute-link the ingest batch internally (batch² bounded, exact), and
+    * re-select every touched node's top-k.
+    *
+    * Returns the merged graph in [[NNDescent.knnGraph]]'s
+    * (src, dst, sim, rank) shape, ready for the next search or insert. */
+  def insert(corpus: DataFrame, graph: DataFrame, newNodes: DataFrame,
+      idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
+      maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1): DataFrame = {
+    val searched = search(corpus, graph, newNodes, idCol, vecCol, k = k,
+        beamWidth = beamWidth, maxRounds = maxRounds, entryMod = entryMod,
+        hopExpansion = hopExpansion)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cosine").as("sim"))
+    val inner = Similarity.knnBrute(newNodes, newNodes, idCol, vecCol, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cosine").as("sim"))
+    graph.select("src", "dst", "sim")
+      .unionAll(searched)
+      .unionAll(searched.select(col("dst").as("src"), col("src").as("dst"),
+        col("sim")))
+      .unionAll(inner)
+      .groupBy("src", "dst").agg(max("sim").as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))))
+      .where(col("rank") <= k)
+  }
+
   /** @param graph     (src, dst, ...) k-NN edges ([[NNDescent.knnGraph]]
     *                   output shape); symmetrized internally
     * @param k          neighbors to emit per query

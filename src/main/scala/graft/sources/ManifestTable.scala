@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** Minimal transactional table format — the commit-protocol half of
+  * Delta/Iceberg, built from primitives this container has (the format
+  * jars are absent; the PROTOCOL is the transferable part):
+  *
+  *  - data files land under `data/` with unique names and are INVISIBLE
+  *    until a manifest names them;
+  *  - a commit is the atomic creation of `_manifests/v<N>.json` naming
+  *    the table's complete current file set — readers resolve one
+  *    manifest and see exactly one version, never a mix, never
+  *    uncommitted files;
+  *  - `Files.createFile` on the next version is the optimistic
+  *    concurrency check (it throws if the version exists): a losing
+  *    writer re-reads the new latest and retries on top — Delta's
+  *    mutual-exclusion-on-log-entry, verbatim;
+  *  - commits carry an optional `commitId`; re-committing an id that
+  *    already landed is a NO-OP returning the original version — the
+  *    exactly-once contract for replayed streaming micro-batches
+  *    (StreamSync's idempotence generalized beyond partition overwrite);
+  *  - old manifests stay → time travel by version; `vacuum` deletes
+  *    data files no surviving manifest references.
+  *
+  * Single-filesystem scope: atomicity comes from POSIX create/rename. On
+  * an object store the same protocol rides a conditional PUT — the
+  * structure of commit/read/retry is unchanged. */
+object ManifestTable {
+
+  private def manifestDir(path: String): Path = Paths.get(path, "_manifests")
+  private def dataDir(path: String): Path = Paths.get(path, "data")
+
+  final case class Manifest(version: Long, files: Seq[String],
+      commitId: Option[String], parent: Long)
+
+  private def render(m: Manifest): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"version":${m.version},"parent":${m.parent},""" +
+      s""""commit_id":${m.commitId.map(q).getOrElse("null")},""" +
+      s""""files":[${m.files.map(q).mkString(",")}]}"""
+  }
+
+  private def parse(p: Path): Manifest = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(Files.readString(p))
+    Manifest(
+      (j \ "version").extract[Long],
+      (j \ "files").extract[Seq[String]],
+      (j \ "commit_id").extractOpt[String],
+      (j \ "parent").extract[Long])
+  }
+
+  /** All committed versions, ascending; empty for a fresh/absent table. */
+  def versions(path: String): Seq[Long] = {
+    val md = manifestDir(path)
+    if (!Files.isDirectory(md)) Seq.empty
+    else Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  private def manifestAt(path: String, version: Long): Manifest =
+    parse(manifestDir(path).resolve(f"v$version%08d.json"))
+
+  private def latest(path: String): Option[Manifest] =
+    versions(path).lastOption.map(manifestAt(path, _))
+
+  /** Read one committed version (default: latest). Reads FAIL on an
+    * empty table rather than inventing an empty frame with no schema. */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    require(m.files.nonEmpty, s"version ${m.version} names no data files")
+    spark.read.parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
+  }
+
+  /** Stage df's rows as new data files (invisible until committed);
+    * returns their table-relative names. */
+  private def stage(df: DataFrame, path: String): Seq[String] = {
+    Files.createDirectories(dataDir(path))
+    val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val named = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, dataDir(path).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    named
+  }
+
+  private def commit(path: String, newFiles: Seq[String], replace: Boolean,
+      commitId: Option[String]): Long = {
+    Files.createDirectories(manifestDir(path))
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val cur = latest(path)
+      // idempotent replay: an already-landed commit id wins immediately
+      val replayed = commitId.flatMap(id =>
+        versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
+      if (replayed.isDefined) return replayed.get.version
+      val next = cur.map(_.version + 1).getOrElse(1L)
+      val files = if (replace) newFiles
+        else cur.map(_.files).getOrElse(Seq.empty) ++ newFiles
+      val m = Manifest(next, files, commitId, cur.map(_.version).getOrElse(0L))
+      val target = manifestDir(path).resolve(f"v$next%08d.json")
+      try {
+        // createFile is the optimistic lock: exactly one writer can
+        // create v<next>; losers re-read latest and retry on top
+        Files.createFile(target)
+        Files.writeString(target, render(m))
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race
+      }
+    }
+    throw new IllegalStateException(s"commit contention: gave up after $attempts attempts")
+  }
+
+  /** Append-commit: new version = old files + df's files. */
+  def append(df: DataFrame, path: String, commitId: Option[String] = None): Long = {
+    if (commitId.exists(id =>
+        versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
+      return commit(path, Seq.empty, replace = false, commitId) // replay fast-path
+    commit(path, stage(df, path), replace = false, commitId)
+  }
+
+  /** Overwrite-commit: new version = exactly df's files. */
+  def overwrite(df: DataFrame, path: String, commitId: Option[String] = None): Long = {
+    if (commitId.exists(id =>
+        versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
+      return commit(path, Seq.empty, replace = true, commitId)
+    commit(path, stage(df, path), replace = true, commitId)
+  }
+
+  /** Delete data files referenced by NO committed manifest (crash-leaked
+    * staging output, files whose commit lost the race and was never
+    * retried). Returns the deleted names. */
+  def vacuum(path: String): Seq[String] = {
+    val live = versions(path).flatMap(v => manifestAt(path, v).files).toSet
+    if (!Files.isDirectory(dataDir(path))) return Seq.empty
+    val orphans = Files.list(dataDir(path)).iterator().asScala
+      .filter(p => !live.contains(p.getFileName.toString)).toSeq
+    orphans.foreach(Files.delete)
+    orphans.map(_.getFileName.toString)
+  }
+}

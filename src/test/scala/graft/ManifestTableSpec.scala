@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.ManifestTable
+import java.nio.file.{Files, Paths}
+
+/** Commit-protocol behavior of the minimal table format: versioned
+  * atomic commits, snapshot isolation from uncommitted files, time
+  * travel, idempotent replay, optimistic-conflict retry, vacuum. */
+class ManifestTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def table() = Files.createTempDirectory("graft-mt-").toString + "/t"
+
+  test("append and overwrite commits; reads see exactly one version") {
+    val t = table()
+    val v1 = ManifestTable.append(Seq(1, 2, 3).toDF("x"), t)
+    val v2 = ManifestTable.append(Seq(4, 5).toDF("x"), t)
+    assert(v1 == 1 && v2 == 2)
+    assert(ManifestTable.read(spark, t).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // time travel
+    assert(ManifestTable.read(spark, t, Some(1L)).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    val v3 = ManifestTable.overwrite(Seq(9).toDF("x"), t)
+    assert(v3 == 3)
+    assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(9))
+    assert(ManifestTable.versions(t) == Seq(1L, 2L, 3L))
+  }
+
+  test("uncommitted data files are invisible to readers") {
+    val t = table()
+    ManifestTable.append(Seq(1).toDF("x"), t)
+    // simulate a crashed writer: a stray parquet lands in data/ with no
+    // manifest naming it
+    Seq(99).toDF("x").write.parquet(t + "/stray")
+    val part = Files.list(Paths.get(t, "stray")).iterator()
+    var straycopied = false
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.copy(p, Paths.get(t, "data", "deadbeef-crashed.parquet"))
+        straycopied = true
+      }
+    }
+    assert(straycopied)
+    assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(1))
+    // ... and vacuum removes it
+    val removed = ManifestTable.vacuum(t)
+    assert(removed == Seq("deadbeef-crashed.parquet"))
+    assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("replayed commit id is a no-op returning the original version") {
+    val t = table()
+    val v1 = ManifestTable.append(Seq(1, 2).toDF("x"), t, commitId = Some("batch-7"))
+    val v1b = ManifestTable.append(Seq(1, 2).toDF("x"), t, commitId = Some("batch-7"))
+    assert(v1 == 1 && v1b == 1, "replay must return the landed version")
+    assert(ManifestTable.read(spark, t).count() == 2, "replay must not duplicate rows")
+    // a DIFFERENT commit id still lands
+    assert(ManifestTable.append(Seq(3).toDF("x"), t, commitId = Some("batch-8")) == 2)
+    assert(ManifestTable.read(spark, t).count() == 3)
+  }
+
+  test("losing the version race retries on top of the winner") {
+    val t = table()
+    ManifestTable.append(Seq(1).toDF("x"), t)
+    // occupy v2 manually — the next commit must land at v3 on top of v2
+    val v2 = Paths.get(t, "_manifests", "v00000002.json")
+    Files.writeString(v2,
+      """{"version":2,"parent":1,"commit_id":null,"files":[]}""")
+    // v2 names no files; reading it is invalid but committing on top works
+    val v = ManifestTable.append(Seq(2).toDF("x"), t)
+    assert(v == 3, s"expected to land at v3, landed at $v")
+    // latest = v2's (empty) files + new ones
+    assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(2))
+  }
+}

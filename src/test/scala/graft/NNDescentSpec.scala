@@ -117,6 +117,35 @@ class NNDescentSpec extends SparkSpecBase {
       f"2-hop recall $r2%.3f fell behind 1-hop $r1%.3f")
   }
 
+  test("insert links a new batch into an existing graph without a rebuild") {
+    import graft.operators.similarity.GraphSearch
+    val old = clustered.where(col("vec_id") % 12 =!= 0)
+    val batch = clustered.where(col("vec_id") % 12 === 0)
+    val g = NNDescent.knnGraph(old, "vec_id", "embedding", k = 5,
+      maxRounds = 6, bucketSize = 96)
+    val merged = GraphSearch.insert(old, g, batch, "vec_id", "embedding",
+      k = 5, entryMod = 8)
+    // shape: ≤ k ranked edges per node, every node present
+    val perSrc = merged.groupBy("src").agg(count(lit(1)).as("n"))
+    assert(perSrc.count() == 480)
+    assert(perSrc.where(col("n") > 5).count() == 0)
+    // recall of the merged graph vs the full-corpus brute truth: the
+    // inserted nodes found their neighbors through the old graph, and the
+    // reverse links let old nodes adopt new neighbors
+    val truth = bruteGraph(clustered, 5)
+    val found = merged.select(col("src"), col("dst")).as[(Long, Long)]
+      .collect().toSet
+    val recall = (found & truth).size.toDouble / truth.size
+    info(f"post-insert graph recall@5 = $recall%.3f")
+    assert(recall >= 0.85, f"recall $recall%.3f below 0.85")
+    // deterministic
+    val again = GraphSearch.insert(old, g, batch, "vec_id", "embedding",
+      k = 5, entryMod = 8)
+      .select("src", "dst", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(again == merged.select("src", "dst", "rank")
+      .as[(Long, Long, Int)].collect().toSet)
+  }
+
   test("GraphSearch releases its round checkpoints; only the result survives") {
     import graft.operators.similarity.GraphSearch
     val graph = NNDescent.knnGraph(clustered, "vec_id", "embedding", k = 3,
