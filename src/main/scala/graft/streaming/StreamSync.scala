@@ -68,4 +68,27 @@ object StreamSync {
         }
       }
       .start()
+
+  /** Streaming sink over [[graft.sources.ManifestTable]]: each
+    * micro-batch is one append COMMIT with `commitId = "batch-<id>"`, so
+    * a foreachBatch replay is a manifest-level no-op (the table format's
+    * idempotence instead of partition-overwrite idempotence), readers
+    * get snapshot isolation mid-stream, and the version history doubles
+    * as a per-batch audit log. */
+  def startToTable(
+      stream: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.ManifestTable.append(
+            batch.toDF(), tablePath, commitId = Some(s"batch-$batchId"))
+          ()
+        }
+      }
+      .start()
 }

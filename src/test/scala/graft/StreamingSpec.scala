@@ -179,6 +179,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("StreamSync.startToTable: micro-batches become idempotent manifest commits") {
+    import graft.sources.ManifestTable
+    val srcDir = Files.createTempDirectory("graft-mts-src-").toString
+    val tbl = Files.createTempDirectory("graft-mts-tbl-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-mts-ckpt-").toString
+    val all = spark.read.parquet(s"$sf0001/events.parquet")
+    all.where(col("event_id") < 300).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      graft.streaming.StreamSync.startToTable(stream, tbl, ckpt)
+        .awaitTermination(120000)
+    }
+    runOnce()
+    val v = ManifestTable.versions(tbl)
+    assert(v.nonEmpty)
+    assert(ManifestTable.read(spark, tbl).count() == 300)
+    // same checkpoint: no new batch → no new version, no duplicates;
+    // then a MANUAL replay of the same batch id is a manifest no-op
+    runOnce()
+    assert(ManifestTable.versions(tbl) == v)
+    val replayV = ManifestTable.append(
+      all.where(col("event_id") < 300), tbl, commitId = Some("batch-0"))
+    assert(replayV == v.head, "replayed batch id must return the landed version")
+    assert(ManifestTable.read(spark, tbl).count() == 300)
+  }
+
   test("StreamSync: exactly-once warehouse sink with durable cursor") {
     import graft.cursor.{CursorMode, CursorStore}
     import graft.sources.ParquetWarehouse
