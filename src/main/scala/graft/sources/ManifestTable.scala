@@ -29,6 +29,25 @@ import scala.jdk.CollectionConverters._
   * Single-filesystem scope: atomicity comes from POSIX create/rename. On
   * an object store the same protocol rides a conditional PUT — the
   * structure of commit/read/retry is unchanged. */
+/** [[ManifestTable]] as a [[Warehouse]]: resources are transactional
+  * tables under `baseDir/<resource>`, so the SAME pull/push configs that
+  * target parquet/csv/json warehouses get versioned atomic commits —
+  * `SaveMode.Append` is an append commit, anything else an overwrite
+  * commit. */
+final case class ManifestWarehouse(name: String, baseDir: String,
+    auth: Auth = Auth.None) extends Warehouse {
+  private def path(resource: String) = s"$baseDir/$resource"
+  override def read(spark: SparkSession, resource: String): DataFrame =
+    ManifestTable.read(spark, path(resource))
+  override def write(df: DataFrame, resource: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      ManifestTable.append(df, path(resource))
+    else ManifestTable.overwrite(df, path(resource))
+    ()
+  }
+}
+
 object ManifestTable {
 
   private def manifestDir(path: String): Path = Paths.get(path, "_manifests")

@@ -59,6 +59,19 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t).count() == 3)
   }
 
+  test("ManifestWarehouse: the same pipeline surface, versioned commits") {
+    import graft.sources.ManifestWarehouse
+    import org.apache.spark.sql.SaveMode
+    val wh = ManifestWarehouse("tx-lake", Files.createTempDirectory("graft-mwh-").toString)
+    wh.write(Seq((1L, "a")).toDF("id", "v"), "items", SaveMode.Overwrite)
+    wh.write(Seq((2L, "b")).toDF("id", "v"), "items", SaveMode.Append)
+    assert(wh.read(spark, "items").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    wh.write(Seq((9L, "z")).toDF("id", "v"), "items", SaveMode.Overwrite)
+    assert(wh.read(spark, "items").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(ManifestTable.versions(wh.baseDir + "/items") == Seq(1L, 2L, 3L))
+  }
+
   test("losing the version race retries on top of the winner") {
     val t = table()
     ManifestTable.append(Seq(1).toDF("x"), t)
