@@ -1013,6 +1013,27 @@ object SparkEntry {
       truth
     }),
 
+    "ss9_graph_insert" -> ((s, dir) => {
+      // incremental ANN maintenance under the gate: build the graph on
+      // 11/12 of the manifold corpus, batch-insert the rest (HNSW insert:
+      // search-then-link through the EXISTING graph, reverse-edge
+      // patching), then gate the MERGED graph's edges as approximate
+      // k-NN of the full corpus. Same emitted-truth oracle as ss7/ss8.
+      val nodes = manifoldNodes(s, dir)
+      val old = nodes.where(col("vec_id") % 12 =!= 0)
+      val batch = nodes.where(col("vec_id") % 12 === 0)
+      val truth = operators.similarity.Similarity.knnBrute(
+        nodes, nodes, "vec_id", "embedding", k = 5)
+      val graph = operators.similarity.NNDescent.knnGraph(
+        old, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
+      val merged = operators.similarity.GraphSearch.insert(
+        old, graph, batch, "vec_id", "embedding", k = 5,
+        entryMod = 8, hopExpansion = 2, maxRounds = 6)
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+      operators.similarity.Similarity.recallGate(merged, truth, 0.85)
+      truth
+    }),
+
     "ss4_knn_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       operators.similarity.Similarity.knnIvf(
@@ -1403,6 +1424,7 @@ object SparkEntry {
     // BUILD recall), ss8 gates GraphSearch (query-time beam search).
     "ss7_nnd_recall" -> manifoldTruthOracle,
     "ss8_graph_search" -> manifoldTruthOracle,
+    "ss9_graph_insert" -> manifoldTruthOracle,
     "ss3_centroid" ->
       """SELECT label, pos - 1 AS pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
