@@ -39,17 +39,34 @@ object Main {
       (j \ field) match { case JString(s) => Some(s); case _ => None }
     def nameOf(field: String, dflt: String): String =
       (j \ field) match { case JString(s) => s; case _ => dflt }
+    // origin_format / target_format pick the warehouse family
+    // (parquet | csv | json | orc | manifest); single-file extensions
+    // apply to origins, targets write directories
+    def makeWh(n: String, d: String, fmt: String, isTarget: Boolean): sources.Warehouse = {
+      def e(x: String) = if (isTarget) "" else x
+      fmt match {
+        case "parquet"  => sources.ParquetWarehouse(n, d, ext = e(".parquet"))
+        case "csv"      => sources.CsvWarehouse(n, d, ext = e(".csv"))
+        case "json"     => sources.JsonWarehouse(n, d, ext = e(".json"))
+        case "orc"      => sources.OrcWarehouse(n, d, ext = e(".orc"))
+        case "manifest" => sources.ManifestWarehouse(n, d)
+        case other => throw new IllegalArgumentException(
+          s"unknown warehouse format '$other' (parquet|csv|json|orc|manifest)")
+      }
+    }
     dirOf("origin_dir").foreach { d =>
       val n = nameOf("origin", "origin")
+      val f = nameOf("origin_format", "parquet")
       sources.WarehouseRegistry.register(
-        sources.WarehouseMeta(n, "cli origin", "lake", "parquet"),
-        () => sources.ParquetWarehouse(n, d))
+        sources.WarehouseMeta(n, "cli origin", "lake", f),
+        () => makeWh(n, d, f, isTarget = false))
     }
     dirOf("target_dir").foreach { d =>
       val n = nameOf("target", "target")
+      val f = nameOf("target_format", "parquet")
       sources.WarehouseRegistry.register(
-        sources.WarehouseMeta(n, "cli target", "lake", "parquet"),
-        () => sources.ParquetWarehouse(n, d, ext = ""))
+        sources.WarehouseMeta(n, "cli target", "lake", f),
+        () => makeWh(n, d, f, isTarget = true))
     }
     command match {
       case "pull" =>

@@ -140,6 +140,29 @@ class SourcesConfigSpec extends SparkSpecBase {
     }
   }
 
+  test("CLI pull into a manifest-format target: versioned transactional commits") {
+    WarehouseRegistry.clear()
+    val tbl = Files.createTempDirectory("graft-cli-mt-").toString
+    def pullOnce(): String = { WarehouseRegistry.clear(); Main.run(spark, "pull", s"""{
+      "resource": "orders",
+      "origin": "src", "origin_dir": "$sf0001",
+      "target": "mt", "target_dir": "$tbl", "target_format": "manifest",
+      "cursor": {"mode": "created_at", "field": "o_orderdate", "start": "1992-01-01"},
+      "where": [{"field": "o_orderstatus", "op": "eq", "value": "F"}],
+      "mapping": [{"from": "o_orderkey", "to": "id"}]
+    }""") }
+    val line = pullOnce()
+    assert(line.contains("\"rows\":"))
+    import graft.sources.ManifestTable
+    assert(ManifestTable.versions(s"$tbl/orders") == Seq(1L))
+    val v1Rows = ManifestTable.read(spark, s"$tbl/orders").count()
+    assert(v1Rows > 0)
+    // a second pull lands as version 2 (overwrite commit), same rows
+    pullOnce()
+    assert(ManifestTable.versions(s"$tbl/orders") == Seq(1L, 2L))
+    assert(ManifestTable.read(spark, s"$tbl/orders").count() == v1Rows)
+  }
+
   test("CLI push command runs end-to-end and prints PushResult counters") {
     WarehouseRegistry.clear()
     val outDir = Files.createTempDirectory("graft-cli-push-").toString
