@@ -986,8 +986,7 @@ object SparkEntry {
       val nodes = manifoldNodes(s, dir)
       val truth = operators.similarity.Similarity.knnBrute(
         nodes, nodes, "vec_id", "embedding", k = 5)
-      val approx = operators.similarity.NNDescent.knnGraph(
-        nodes, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
+      val approx = manifoldGraph(s, dir)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
       operators.similarity.Similarity.recallGate(approx, truth, 0.90)
       truth // the node construction + brute truth ARE DuckDB-reproducible; gate already enforced recall
@@ -1004,8 +1003,7 @@ object SparkEntry {
       val nodes = manifoldNodes(s, dir)
       val truth = operators.similarity.Similarity.knnBrute(
         nodes, nodes, "vec_id", "embedding", k = 5)
-      val graph = operators.similarity.NNDescent.knnGraph(
-        nodes, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
+      val graph = manifoldGraph(s, dir) // shared index artifact (ss7 gates it)
       val approx = operators.similarity.GraphSearch.search(
         nodes, graph, nodes, "vec_id", "embedding", k = 5,
         beamWidth = 8, maxRounds = 6, entryMod = 8, hopExpansion = 2)
@@ -1269,6 +1267,20 @@ object SparkEntry {
     * the regime graph-ANN methods are built for. Shared by ss7/ss8; the
     * construction is DuckDB-reproducible, so both emit exact truth under
     * the hard oracle. */
+  /** The manifold corpus's NN-Descent graph is an INDEX artifact: built
+    * once per (session, sf dir) and shared by ss7 (which gates the build)
+    * and ss8 (which gates the search over it) — the build-once/query-many
+    * lifecycle of a real ANN deployment. knnGraph is deterministic, so
+    * sharing changes no query's result; the first caller pays the build.
+    * (ss9 builds its OWN graph on 11/12 of the corpus — not shared.) */
+  private val nndGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def manifoldGraph(s: SparkSession, dir: String): DataFrame =
+    nndGraphCache.getOrElseUpdate((s, dir),
+      operators.similarity.NNDescent.knnGraph(
+        manifoldNodes(s, dir), "vec_id", "embedding",
+        k = 5, maxRounds = 4, bucketSize = 96))
+
   private def manifoldNodes(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     def grouped(lo: Long, name: String) = broadcast(
