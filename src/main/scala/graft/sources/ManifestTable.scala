@@ -98,7 +98,10 @@ object ManifestTable {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
     require(m.files.nonEmpty, s"version ${m.version} names no data files")
-    spark.read.parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
+    // mergeSchema: a version's files may span commits with evolved
+    // schemas; picking one footer at random would silently drop columns
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
   }
 
   /** Stage df's rows as new data files (invisible until committed);
@@ -162,6 +165,38 @@ object ManifestTable {
         versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
       return commit(path, Seq.empty, replace = true, commitId)
     commit(path, stage(df, path), replace = true, commitId)
+  }
+
+  /** OPTIMIZE: rewrite the CURRENT version's rows into ~targetBytes
+    * files and commit the compacted file set as a new version — old
+    * versions keep their files, so time travel is intact (vacuum after
+    * retention reclaims them). Conflict-checked: if any commit lands
+    * between reading the base version and publishing, this THROWS rather
+    * than silently dropping the concurrent writer's files — the caller
+    * retries (Delta's OPTIMIZE conflict rule). */
+  def compactCommit(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val base = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val df = read(spark, path, Some(base.version))
+    val bytes = base.files
+      .map(f => Files.size(dataDir(path).resolve(f))).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staged = stage(df.repartition(nFiles), path)
+    val next = base.version + 1
+    val target = manifestDir(path).resolve(f"v$next%08d.json")
+    try {
+      Files.createFile(target)
+      Files.writeString(target, render(
+        Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version)))
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a concurrent commit won v<next>: abandon our staged files
+        // (vacuum reclaims them) instead of clobbering the winner's rows
+        throw new IllegalStateException(
+          s"concurrent commit during compaction of v${base.version}; retry")
+    }
   }
 
   /** Delete data files referenced by NO committed manifest (crash-leaked

@@ -72,6 +72,31 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.versions(wh.baseDir + "/items") == Seq(1L, 2L, 3L))
   }
 
+  test("compactCommit rewrites the current version; conflicts throw") {
+    val t = table()
+    // many tiny commits → many small files
+    (1 to 6).foreach(i => ManifestTable.append(Seq(i).toDF("x"), t))
+    val before = ManifestTable.read(spark, t).as[Int].collect().sorted.toSeq
+    val v = ManifestTable.compactCommit(spark, t)
+    assert(v == 7)
+    val m = Files.readString(Paths.get(t, "_manifests", "v00000007.json"))
+    assert(m.contains("\"compact-of-v6\""), m)
+    assert(ManifestTable.read(spark, t).as[Int].collect().sorted.toSeq == before)
+    // fewer data files in the compacted version than across the 6 commits
+    val filesBefore = (1L to 6L)
+      .flatMap(i => """[a-f0-9-]+\.parquet""".r.findAllIn(
+        Files.readString(Paths.get(t, "_manifests", f"v$i%08d.json"))).toSeq)
+      .distinct
+    val filesAfter = """[a-f0-9-]+\.parquet""".r.findAllIn(m).toSeq.distinct
+    assert(filesAfter.size < filesBefore.size,
+      s"${filesAfter.size} vs ${filesBefore.size}")
+    // time travel to a pre-compaction version still works
+    assert(ManifestTable.read(spark, t, Some(3L)).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3))
+    // vacuum keeps everything (all versions still reference their files)
+    assert(ManifestTable.vacuum(t).isEmpty)
+  }
+
   test("losing the version race retries on top of the winner") {
     val t = table()
     ManifestTable.append(Seq(1).toDF("x"), t)
