@@ -777,6 +777,15 @@ object SparkEntry {
         ppmWeights = Map("en" -> 1500000L, "zh" -> 200000L),
         defaultPpm = 500000L)),
 
+    "q55_cube" -> ((s, dir) =>
+      // CUBE grouping sets: all 4 marginal combinations in one pass
+      // (q25's ROLLUP covers the hierarchy case); Expand + one exchange
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total"))),
+
     "q14_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1904,6 +1913,11 @@ object SparkEntry {
          u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
          r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prio DESC) AS rk FROM u)
          SELECT o_orderkey, src, o_orderstatus, price FROM r WHERE rk = 1""",
+    "q55_cube" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE (c_mktsegment, o_orderstatus)""",
     "q54_weighted_mix" ->
       """WITH w AS (SELECT doc_id, lang,
            CASE lang WHEN 'en' THEN 1500000 WHEN 'zh' THEN 200000 ELSE 500000 END AS ppm,

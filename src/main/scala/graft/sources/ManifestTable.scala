@@ -199,6 +199,18 @@ object ManifestTable {
     }
   }
 
+  /** Retention: drop all but the newest `keepLast` manifests (time
+    * travel horizon), then [[vacuum]] the data files only the dropped
+    * versions referenced. The latest version is always kept. Returns
+    * (expired versions, deleted data files). */
+  def expire(path: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val vs = versions(path)
+    val dropped = vs.dropRight(keepLast)
+    dropped.foreach(v => Files.delete(manifestDir(path).resolve(f"v$v%08d.json")))
+    (dropped, vacuum(path))
+  }
+
   /** Delete data files referenced by NO committed manifest (crash-leaked
     * staging output, files whose commit lost the race and was never
     * retried). Returns the deleted names. */

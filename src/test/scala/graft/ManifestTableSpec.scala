@@ -95,6 +95,13 @@ class ManifestTableSpec extends SparkSpecBase {
       == Seq(1, 2, 3))
     // vacuum keeps everything (all versions still reference their files)
     assert(ManifestTable.vacuum(t).isEmpty)
+    // retention: keep only the compacted version; the six small commits'
+    // files become unreferenced and are reclaimed
+    val (expired, freed) = ManifestTable.expire(t, keepLast = 1)
+    assert(expired == (1L to 6L))
+    assert(freed.nonEmpty)
+    assert(ManifestTable.versions(t) == Seq(7L))
+    assert(ManifestTable.read(spark, t).as[Int].collect().sorted.toSeq == before)
   }
 
   test("losing the version race retries on top of the winner") {
