@@ -347,7 +347,16 @@ final case class RestWarehouse(
     // configuring the id field opts SaveMode.Overwrite pushes into the
     // PUT-update path; unset, every write verbs as POST-create (the
     // reference's create-as-upsert default)
-    updateIdField: Option[String] = None) extends Warehouse {
+    updateIdField: Option[String] = None,
+    // KEYSET pagination: set to the envelope field carrying the origin's
+    // continuation token (e.g. "next_cursor") and reads follow the token
+    // chain instead of page numbers — the modern-API shape, and the only
+    // correct one when the collection shifts under offset pagination.
+    // Inherently sequential (each token depends on the previous
+    // response), so it runs the driver loop; prefer offset/total mode
+    // when the origin offers it (distributed page fan-out).
+    nextCursorField: Option[String] = None,
+    cursorTokenParam: String = "cursor") extends Warehouse {
 
   require(pageSize > 0 && maxParallelFetch > 0 && writeBatchSize > 0)
 
@@ -393,15 +402,17 @@ final case class RestWarehouse(
     val (limitP, pageP, dataF, totalF, limit) =
       (limitParam, pageParam, dataField, totalField, pageSize)
 
-    def fetchPageWith(page: Long, lim: Int,
+    def fetchWith(pp: Seq[(String, String)],
         hdrs: Map[String, String]): JsonNode = {
-      val pp = params ++ Seq(pageP -> page.toString, limitP -> lim.toString)
       val node = Http.mapper.readTree(Http.get(Http.withQuery(url, pp),
         hdrs ++ auth.signRequest("GET", url, pp)))
       require(node.get(dataF) != null && node.get(dataF).isArray,
-        s"page $page from $url has no '$dataF' array")
+        s"response from $url has no '$dataF' array")
       node
     }
+    def fetchPageWith(page: Long, lim: Int,
+        hdrs: Map[String, String]): JsonNode =
+      fetchWith(params ++ Seq(pageP -> page.toString, limitP -> lim.toString), hdrs)
     // driver-side fetch with one 401-triggered re-resolve: a token cached
     // from a PREVIOUS read may have expired/been revoked since
     var headers = auth.buildHeaders()
@@ -413,6 +424,41 @@ final case class RestWarehouse(
           headers = auth.buildHeaders()
           fetchPageWith(page, lim, headers)
       }
+
+    // KEYSET origins: follow the continuation-token chain. Sequential by
+    // construction — token N+1 only exists in response N — so this is
+    // the driver loop with the same 401-refresh contract; the fetched
+    // slice is pinned by the same single-shot rule below.
+    val keysetResult: Option[DataFrame] = nextCursorField.map { nextF =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var token: Option[String] = None
+      var done = false
+      while (!done) {
+        val pp = params ++ Seq(limitP -> limit.toString) ++
+          token.map(cursorTokenParam -> _).toSeq
+        val node =
+          try fetchWith(pp, headers)
+          catch {
+            case RestHttpError(401, _, _) =>
+              auth.invalidate()
+              headers = auth.buildHeaders()
+              fetchWith(pp, headers)
+          }
+        val it = node.get(dataF).elements()
+        while (it.hasNext) buf += it.next().toString
+        val nt = Option(node.get(nextF)).filterNot(_.isNull)
+          .map(_.asText).filter(_.nonEmpty)
+        token = nt
+        done = nt.isEmpty
+      }
+      import spark.implicits._
+      val ds = spark.createDataset(buf.toSeq)
+      schema match {
+        case Some(st) => spark.read.schema(st).json(ds)
+        case None     => spark.read.json(ds)
+      }
+    }
+    if (keysetResult.isDefined) return keysetResult.get
 
     // driver probe: a 1-row request just to read the filtered total — the
     // driver never holds page data, executors fetch every real page.

@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
 final class RestFixture private (
     server: HttpServer,
     pool: java.util.concurrent.ExecutorService,
-    val resource: String) {
+    val resource: String,
+    private[sources] val keyset: Boolean) {
 
   val requests = new ConcurrentLinkedQueue[String]()
   val servedRows = new AtomicLong(0)
@@ -72,10 +73,15 @@ object RestFixture {
     *                       query) — a client that signs anything other
     *                       than what it sends gets 401
     */
+  /** `keyset = true` switches the GET envelope to token pagination: no
+    * `total`, a `next_cursor` continuation token (opaque base64) while
+    * rows remain, `cursor=<token>` resumes — the modern-API shape whose
+    * client half is RestWarehouse's keyset mode. */
   def serve(df: DataFrame, resource: String, cursorField: String,
       requiredHeader: Option[(String, String)] = None,
       issueBearer: Boolean = false,
-      oauth1: Option[OAuth1Secrets] = None): RestFixture = {
+      oauth1: Option[OAuth1Secrets] = None,
+      keyset: Boolean = false): RestFixture = {
     val names = df.columns.toSeq
     val collected = df
       .select(to_json(struct(names.map(col): _*)).as("__json") +: names.map(col): _*)
@@ -95,7 +101,7 @@ object RestFixture {
       t
     })
     server.setExecutor(pool)
-    val fx = new RestFixture(server, pool, resource)
+    val fx = new RestFixture(server, pool, resource, keyset)
     val validTokens = fx.validTokens
 
     def authorized(ex: HttpExchange): Boolean = {
@@ -135,6 +141,27 @@ object RestFixture {
             fx.putBatches.incrementAndGet()
             respond(ex, 200, s"""{"updated":${arr.size()}}""")
           }
+        } else if (fx.keyset) {
+          // token pagination: an opaque base64 offset token, no total
+          val params = parseQuery(query)
+          val limit = params.collectFirst { case ("limit", v) => v.toInt }.getOrElse(100)
+          val off = params.collectFirst { case ("cursor", v) => v }
+            .map(t => new String(java.util.Base64.getUrlDecoder.decode(t), UTF_8).toLong)
+            .getOrElse(0L)
+          val filters = params.filterNot { case (k, _) =>
+            k == "cursor" || k == "limit" || k == "sort_by" || k == "page"
+          }
+          val matched = recs.filter(r => filters.forall(f => eval(r.fields, cursorField, f)))
+          val slice = matched.slice(off.toInt, off.toInt + limit)
+          fx.servedRows.addAndGet(slice.length.toLong)
+          val nextOff = off + slice.length
+          val next =
+            if (nextOff < matched.length)
+              s""","next_cursor":"${java.util.Base64.getUrlEncoder.withoutPadding
+                .encodeToString(nextOff.toString.getBytes(UTF_8))}""""
+            else ""
+          respond(ex, 200, slice.map(_.json).mkString(
+            """{"data":[""", ",", s"]$next}"))
         } else {
           val params = parseQuery(query)
           val sortDesc = params.collectFirst { case ("sort_by", v) => v }.contains("desc")

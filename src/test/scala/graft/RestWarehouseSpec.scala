@@ -64,6 +64,30 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx.stop()
   }
 
+  test("keyset pagination follows the continuation-token chain to exhaustion") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey", keyset = true)
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 16,
+        nextCursorField = Some("next_cursor"))
+      val out = wh.readSlice(spark, "customer",
+        conditions = Seq(Condition("c_mktsegment", Op.Eq, "BUILDING")),
+        schema = Some(customer.schema)).localCheckpoint()
+      val expected = customer.where(col("c_mktsegment") === "BUILDING")
+      assert(out.count() == expected.count() && out.count() > 16,
+        "slice must span multiple token hops")
+      assert(out.except(expected).isEmpty && expected.except(out).isEmpty)
+      // origin-side filtering in keyset mode too: exactly the slice served
+      assert(fx.servedRows.get() == out.count())
+      assert(fx.requestLog.forall(_.contains("c_mktsegment=BUILDING")))
+      // the chain: ceil(total/16) requests, all but the first carrying a
+      // cursor token, none carrying page numbers
+      val total = expected.count()
+      assert(fx.requestLog.size.toLong == (total + 15) / 16)
+      assert(fx.requestLog.count(_.contains("cursor=")) == fx.requestLog.size - 1)
+      assert(!fx.requestLog.exists(_.contains("page=")))
+    } finally fx.stop()
+  }
+
   test("read without schema infers and returns the full resource") {
     val fx = RestFixture.serve(customer, "customer", "c_custkey")
     try {
