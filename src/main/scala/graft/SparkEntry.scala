@@ -604,6 +604,26 @@ object SparkEntry {
       out
     }),
 
+    "q56_stream_table" -> ((s, dir) => {
+      // the full sink lifecycle under one gate: file stream → idempotent
+      // ManifestTable commits (StreamSync.startToTable) → OPTIMIZE-style
+      // compactCommit → snapshot read of the compacted version → agg.
+      // Content must survive commit + rewrite bit-for-bit, which is
+      // exactly what the batch-SQL oracle checks.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s, dir, schema,
+        globFilter = Some("events.parquet"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q56-").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q56-ck-").toString
+      graft.streaming.StreamSync.startToTable(src, base, ckpt)
+        .awaitTermination()
+      graft.sources.ManifestTable.compactCommit(s, base)
+      graft.sources.ManifestTable.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+    }),
+
     "q52_stream_interval" -> ((s, dir) => {
       // STREAM-STREAM interval join under the gate: q37's attribution
       // computed by the streaming self-join (two filtered branches of one
@@ -2098,6 +2118,10 @@ object SparkEntry {
          AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
          AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
          GROUP BY c.user_id""",
+    "q56_stream_table" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type""",
     "q36_cursor_source" ->
       """SELECT lang, source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents WHERE doc_id BETWEEN 100 AND 399 AND lang <> 'zh'
