@@ -203,22 +203,30 @@ object ManifestTable {
     * travel horizon), then [[vacuum]] the data files only the dropped
     * versions referenced. The latest version is always kept. Returns
     * (expired versions, deleted data files). */
-  def expire(path: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+  def expire(path: String, keepLast: Int,
+      vacuumMinAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
     val dropped = vs.dropRight(keepLast)
     dropped.foreach(v => Files.delete(manifestDir(path).resolve(f"v$v%08d.json")))
-    (dropped, vacuum(path))
+    (dropped, vacuum(path, vacuumMinAgeMs))
   }
 
   /** Delete data files referenced by NO committed manifest (crash-leaked
     * staging output, files whose commit lost the race and was never
-    * retried). Returns the deleted names. */
-  def vacuum(path: String): Seq[String] = {
+    * retried). `minAgeMs` is the concurrency guard every real table
+    * format's vacuum carries: a file staged by an IN-FLIGHT commit is
+    * unreferenced until its manifest publishes, so only files older than
+    * the window are eligible (pass 0 only when no writer can be active).
+    * Returns the deleted names. */
+  def vacuum(path: String, minAgeMs: Long = 3600000L): Seq[String] = {
     val live = versions(path).flatMap(v => manifestAt(path, v).files).toSet
     if (!Files.isDirectory(dataDir(path))) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = Files.list(dataDir(path)).iterator().asScala
-      .filter(p => !live.contains(p.getFileName.toString)).toSeq
+      .filter(p => !live.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .toSeq
     orphans.foreach(Files.delete)
     orphans.map(_.getFileName.toString)
   }

@@ -42,8 +42,11 @@ class ManifestTableSpec extends SparkSpecBase {
     }
     assert(straycopied)
     assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(1))
-    // ... and vacuum removes it
-    val removed = ManifestTable.vacuum(t)
+    // the default min-age window protects files an in-flight commit may
+    // have staged — the fresh stray is NOT eligible yet...
+    assert(ManifestTable.vacuum(t).isEmpty)
+    // ...and is reclaimed once the caller asserts no writer is active
+    val removed = ManifestTable.vacuum(t, minAgeMs = 0L)
     assert(removed == Seq("deadbeef-crashed.parquet"))
     assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(1))
   }
@@ -94,10 +97,10 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t, Some(3L)).as[Int].collect().sorted.toSeq
       == Seq(1, 2, 3))
     // vacuum keeps everything (all versions still reference their files)
-    assert(ManifestTable.vacuum(t).isEmpty)
+    assert(ManifestTable.vacuum(t, minAgeMs = 0L).isEmpty)
     // retention: keep only the compacted version; the six small commits'
     // files become unreferenced and are reclaimed
-    val (expired, freed) = ManifestTable.expire(t, keepLast = 1)
+    val (expired, freed) = ManifestTable.expire(t, keepLast = 1, vacuumMinAgeMs = 0L)
     assert(expired == (1L to 6L))
     assert(freed.nonEmpty)
     assert(ManifestTable.versions(t) == Seq(7L))
