@@ -94,6 +94,21 @@ object ScaleSmoke {
     time("q49 bloom-pruned join 600k fact")(
       operators.BloomPrune.prunedJoin(li, dim, "l_partkey", "p_partkey").count())
 
+    // transactional-table lifecycle at volume: 20 micro-commits of
+    // 600k-row slices, snapshot read, OPTIMIZE, retention
+    val tbl = java.nio.file.Files.createTempDirectory("graft-smoke-mt-")
+      .toString + "/t"
+    time("ManifestTable 20 append commits")(
+      (0 until 20).foreach(i => graft.sources.ManifestTable.append(
+        li.where(col("l_orderkey") % 20 === i), tbl)))
+    time("ManifestTable snapshot read (count)")(
+      graft.sources.ManifestTable.read(spark, tbl).count())
+    time("ManifestTable compactCommit")(
+      graft.sources.ManifestTable.compactCommit(spark, tbl))
+    time("ManifestTable expire+vacuum")(
+      graft.sources.ManifestTable.expire(tbl, keepLast = 1, vacuumMinAgeMs = 0L)
+        ._2.size)
+
     spark.stop()
   }
 }
