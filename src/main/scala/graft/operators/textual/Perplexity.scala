@@ -63,7 +63,13 @@ object Perplexity {
     val uni = toks.where(col("__is_train"))
       .select(explode(col("__toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
-    val consts = uni.agg(sum("cu").as("n_tok"), count(lit(1)).as("v"))
+    // the (N, V) normalizer is one row of metadata: collect it instead of
+    // cross-joining a scalar frame (an untrained model must FAIL loudly —
+    // with no reference slice every score would silently go null)
+    val constsRow = uni.agg(sum("cu"), count(lit(1))).head()
+    require(!constsRow.isNullAt(0) && constsRow.getLong(0) > 0,
+      "perplexity train slice is empty: trainPred selected no scorable docs")
+    val denom = constsRow.getLong(0) + constsRow.getLong(1) + 1
 
     // --- scoring pass: all docs ---
     val pos = grams.select(col("doc_id"), col("g"),
@@ -72,9 +78,8 @@ object Perplexity {
       .join(rate, Seq("g"), "left")
       .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"),
         Seq("w2"), "left")
-      .crossJoin(broadcast(consts))
     val pUni = (coalesce(col("cu2"), lit(0L)) + 1).cast("double") /
-      (col("n_tok") + col("v") + 1).cast("double")
+      lit(denom).cast("double")
     val p = lit(0.75) * coalesce(col("rate"), lit(0.0)) + lit(0.25) * pUni
     val lp = round(log2(p), 8).cast(dec)
     val ppl = round(pow(lit(2.0), (-col("__slp")).cast("double") / col("n_bigrams")), 4)

@@ -39,6 +39,14 @@ class PerplexitySpec extends SparkSpecBase {
     assert(r(0)._3 < r(2)._3 && r(0)._4)
   }
 
+  test("an empty train slice fails loudly, not with null scores") {
+    val e = intercept[IllegalArgumentException] {
+      Perplexity.scoreFilter(corpus, "doc_id", "text",
+        trainPred = col("doc_id") < 0, maxPpl = 2.0).count()
+    }
+    assert(e.getMessage.contains("train slice is empty"))
+  }
+
   test("deterministic across runs") {
     val a = run().orderBy("doc_id").collect().toSeq
     val b = run().orderBy("doc_id").collect().toSeq
