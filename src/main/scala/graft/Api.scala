@@ -170,6 +170,38 @@ object ApiServer {
         case ("POST", List("run", cmd)) if cmd == "pull" || cmd == "push" =>
           respond(ex, 200, Main.run(spark, cmd, body(ex)))
 
+        // table maintenance over registered ManifestWarehouses only —
+        // the service never touches arbitrary filesystem paths
+        case (m, "table" :: whName :: resource :: rest)
+            if m == "GET" || m == "POST" =>
+          val wh = WarehouseRegistry.instance(whName) match {
+            case mw: graft.sources.ManifestWarehouse => mw
+            case _ => throw new IllegalArgumentException(
+              s"'$whName' is not a manifest warehouse")
+          }
+          val tablePath = s"${wh.baseDir}/$resource"
+          (m, rest) match {
+            case ("GET", List("versions")) =>
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("warehouse" -> whName) ~ ("resource" -> resource) ~
+                  ("versions" -> graft.sources.ManifestTable.versions(tablePath)))))
+            case ("POST", List("compact")) =>
+              val v = graft.sources.ManifestTable.compactCommit(spark, tablePath)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("compacted_version" -> v))))
+            case ("POST", List("expire")) =>
+              val keep = Option(ex.getRequestURI.getRawQuery)
+                .flatMap(_.split("&").collectFirst {
+                  case kv if kv.startsWith("keep=") => kv.stripPrefix("keep=").toInt
+                }).getOrElse(1)
+              val (dropped, freed) =
+                graft.sources.ManifestTable.expire(tablePath, keepLast = keep)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("expired_versions" -> dropped) ~ ("freed_files" -> freed.length))))
+            case _ => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
+              "error" -> s"no table route: $m /${rest.mkString("/")}")))
+          }
+
         case ("POST", List("debug", "params")) =>
           // build_connector_params debug surface: show BOTH origin-side
           // compilations of the same logical filter

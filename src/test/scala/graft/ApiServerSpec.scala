@@ -83,6 +83,40 @@ class ApiServerSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("table maintenance endpoints: versions, compact, expire") {
+    import graft.sources.{ManifestTable, ManifestWarehouse}
+    import spark.implicits._
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-api-mt-").toString
+    val wh = ManifestWarehouse("txlake", base)
+    WarehouseRegistry.register(
+      WarehouseMeta("txlake", "tx lake", "lake", "manifest"), () => wh)
+    WarehouseRegistry.register(
+      WarehouseMeta("plain", "plain lake", "lake", "parquet"),
+      () => ParquetWarehouse("plain", base))
+    ManifestTable.append(Seq(1, 2).toDF("x"), s"$base/items")
+    ManifestTable.append(Seq(3).toDF("x"), s"$base/items")
+
+    val api = ApiServer.start(spark)
+    try {
+      val vs = Http.get(s"${api.baseUrl}/table/txlake/items/versions", Map.empty)
+      assert(vs.contains("\"versions\":[1,2]"), vs)
+      val c = Http.post(s"${api.baseUrl}/table/txlake/items/compact",
+        Map.empty, "", "application/json")
+      assert(c.contains("\"compacted_version\":3"), c)
+      val e = Http.post(s"${api.baseUrl}/table/txlake/items/expire?keep=1",
+        Map.empty, "", "application/json")
+      assert(e.contains("\"expired_versions\":[1,2]"), e)
+      assert(ManifestTable.versions(s"$base/items") == Seq(3L))
+      assert(ManifestTable.read(spark, s"$base/items")
+        .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+      // a non-manifest warehouse is refused
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/table/plain/items/versions", Map.empty)
+      }.status == 400)
+    } finally api.stop()
+  }
+
   test("unified-fields and auth-schema endpoints; fault statuses split 4xx/5xx") {
     WarehouseRegistry.clear()
     WarehouseRegistry.register(
