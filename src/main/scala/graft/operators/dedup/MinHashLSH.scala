@@ -53,6 +53,32 @@ object MinHashLSH {
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — same contract as
     * [[SetSimJoin.jaccardJoin]], approximate candidate generation with
     * exact verification. */
+  /** Pick (numBands, rowsPerBand) for a Jaccard `threshold` at a signature
+    * budget of `numPerms` hashes. A missed true pair is PERMANENT while a
+    * false candidate only costs one exact-Jaccard verification, so the
+    * rule is constraint-form, not a weighted sum: among the divisor
+    * splits b·r = numPerms, keep those whose S-curve miss rate
+    * 1 − (1 − (1−s^r)^b) at s = threshold is ≤ `maxMiss`, and of those
+    * take the one with the LOWEST candidate rate at s =
+    * `farBelow`·threshold (the verification-cost proxy). Falls back to
+    * the minimum-miss split if nothing meets the bound. Returns
+    * (bands, rows); for t=0.8 at 128 perms this yields (32, 4) — the
+    * suite's hand-picked dd4 configuration. */
+  def tuneBands(threshold: Double, numPerms: Int = 128,
+      maxMiss: Double = 1e-6, farBelow: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && numPerms > 1)
+    def curve(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val splits = (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b, numPerms / b))
+    val qualifying = splits.filter { case (b, r) =>
+      1.0 - curve(threshold, b, r) <= maxMiss
+    }
+    if (qualifying.nonEmpty)
+      qualifying.minBy { case (b, r) => curve(threshold * farBelow, b, r) }
+    else splits.minBy { case (b, r) => 1.0 - curve(threshold, b, r) }
+  }
+
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,

@@ -44,6 +44,18 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact)
   }
 
+  test("tuneBands: recall-constrained band selection recovers known configs") {
+    // t=0.8 at 128 perms → the suite's hand-picked (32, 4); lower
+    // thresholds need longer bands' complement — more, shorter bands
+    assert(MinHashLSH.tuneBands(0.8) == (32, 4))
+    assert(MinHashLSH.tuneBands(0.5) == (64, 2))
+    // the split always spends the whole budget
+    val (b, r) = MinHashLSH.tuneBands(0.73, numPerms = 96)
+    assert(b * r == 96)
+    // infeasible bound falls back to the minimum-miss split
+    assert(MinHashLSH.tuneBands(0.5, numPerms = 2) == (2, 1))
+  }
+
   test("cluster assignment: transitive closure with min-id labels") {
     // chain 1-2, 2-3 plus isolated pair 7-9: clusters {1,2,3} and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
