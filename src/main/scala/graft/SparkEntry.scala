@@ -1119,6 +1119,33 @@ object SparkEntry {
         "doc_id", "text", k = 3, threshold = 0.8)
     }),
 
+    "q57_clean_pipeline" -> ((s, dir) => {
+      // the COMPOSED cleaning pass a real corpus run executes — quality
+      // score, Gopher repetition, LM perplexity, and exact-dedup
+      // canonicalization joined into one per-doc verdict with reasons;
+      // every signal is individually oracle-gated elsewhere, this gates
+      // their composition
+      val docs = Tables(s, dir, "documents")
+      val q = operators.textual.TextStats.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val rep = operators.textual.TextStats.repetition(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("keep_rep"))
+      val ppl = operators.textual.Perplexity.scoreFilter(docs, "doc_id", "text",
+          trainPred = col("doc_id") % 10 === 0, maxPpl = 32.0)
+        .select(col("doc_id"), col("keep").as("keep_ppl"))
+      val canon = docs
+        .select(col("doc_id"), md5(col("text")).as("__h"))
+        .withColumn("__minid",
+          min("doc_id").over(Window.partitionBy("__h")))
+        .select(col("doc_id"), (col("doc_id") === col("__minid")).as("is_canonical"))
+      val keepPpl = coalesce(col("keep_ppl"), lit(false))
+      q.join(rep, "doc_id").join(ppl, Seq("doc_id"), "left").join(canon, "doc_id")
+        .select(col("doc_id"), col("quality_score"), col("keep_rep"),
+          keepPpl.as("keep_ppl"), col("is_canonical"),
+          (col("quality_score") >= 0.5 && col("keep_rep") && keepPpl &&
+            col("is_canonical")).as("kept"))
+    }),
+
     "dd13_domain_cap" -> ((s, dir) => {
       // per-domain caps (RefinedWeb/Dolma host diversity stage): URLs
       // synthesized deterministically (37 hosts), quality = token count,
@@ -1604,6 +1631,77 @@ object SparkEntry {
          SELECT in_id, ex_id, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
          FROM i JOIN z x ON in_id = x.doc_id JOIN z y ON ex_id = y.doc_id
          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8""",
+    // composition of the tx2 / tx10 / tx14 / dd1 oracle fragments — each
+    // chain is the individually-validated oracle with renamed CTEs
+    "q57_clean_pipeline" ->
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         qt AS (SELECT doc_id, text, toks,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+           FROM base),
+         qr AS (SELECT doc_id, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks) AS stop_ratio,
+             (CAST(length(text) AS DOUBLE) - n_alpha - n_digit - n_space) / length(text) AS punct_ratio
+           FROM qt),
+         quality AS (SELECT doc_id,
+             round(0.4 * stop_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) + 0.3 * (1.0 - punct_ratio), 6) AS quality_score
+           FROM qr),
+         rt AS (SELECT doc_id, toks FROM base WHERE len(toks) > 0),
+         ru AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS g FROM rt) GROUP BY 1, 2),
+         ra1 AS (SELECT doc_id, sum(c) AS n1, max(c) AS top1 FROM ru GROUP BY 1),
+         rb AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g FROM rt) GROUP BY 1, 2),
+         ra2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM rb GROUP BY 1),
+         rf AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4])) AS g FROM rt) GROUP BY 1, 2),
+         ra5 AS (SELECT doc_id, sum(c) AS n5, count(*) AS d5 FROM rf GROUP BY 1),
+         rep AS (SELECT doc_id,
+             (round(CAST(top1 AS DOUBLE) / n1, 6) <= 0.14
+              AND coalesce(round(CAST(top2 AS DOUBLE) / n2, 6), 0.0) <= 0.08
+              AND coalesce(round(1.0 - CAST(d5 AS DOUBLE) / n5, 6), 0.0) <= 0.30) AS keep_rep
+           FROM ra1 LEFT JOIN ra2 USING (doc_id) LEFT JOIN ra5 USING (doc_id)),
+         ptt AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
+         pgrams AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+           FROM ptt, LATERAL (SELECT unnest(generate_series(0, len(toks)-2)) AS i)),
+         pbi AS (SELECT g, count(*) AS cb FROM pgrams WHERE doc_id % 10 = 0 GROUP BY g),
+         pbiw AS (SELECT g, cb, split_part(g, ' ', 1) AS w1 FROM pbi),
+         pctx AS (SELECT w1, sum(cb) AS cw1 FROM pbiw GROUP BY w1),
+         prate AS (SELECT g, CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE) AS rate
+                  FROM pbiw JOIN pctx USING (w1)),
+         puni AS (SELECT w, count(*) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM ptt WHERE doc_id % 10 = 0)
+                 GROUP BY w),
+         pconsts AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok, count(*) AS v FROM puni),
+         ppos AS (SELECT doc_id, g, split_part(g, ' ', 2) AS w2 FROM pgrams),
+         psc AS (SELECT p.doc_id,
+             CAST(round(log2(0.75 * coalesce(r.rate, 0.0)
+               + 0.25 * (CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+                         / CAST(c.n_tok + c.v + 1 AS DOUBLE))), 8)
+               AS DECIMAL(27,8)) AS lp
+           FROM ppos p LEFT JOIN prate r ON p.g = r.g
+             LEFT JOIN puni u ON p.w2 = u.w
+             CROSS JOIN pconsts c),
+         ppl AS (SELECT doc_id,
+             round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) <= 32.0 AS keep_ppl
+           FROM psc GROUP BY doc_id),
+         canon AS (SELECT doc_id,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+           FROM documents)
+         SELECT q.doc_id, q.quality_score, r.keep_rep,
+           coalesce(p.keep_ppl, false) AS keep_ppl, c.is_canonical,
+           (q.quality_score >= 0.5 AND r.keep_rep
+             AND coalesce(p.keep_ppl, false) AND c.is_canonical) AS kept
+         FROM quality q
+         JOIN rep r ON q.doc_id = r.doc_id
+         LEFT JOIN ppl p ON q.doc_id = p.doc_id
+         JOIN canon c ON q.doc_id = c.doc_id""",
     "dd13_domain_cap" ->
       s"""WITH d AS (SELECT doc_id,
            'https://site' || (doc_id % 37) || '.example.com/' || doc_id AS url,
