@@ -20,10 +20,24 @@ object SnapshotDiff {
     * added|removed|changed, changed_cols = comma-joined attribution,
     * empty for added/removed). Unchanged rows are dropped — at scale the
     * diff is the small output; emitting the agreement would re-emit the
-    * corpus. */
+    * corpus.
+    *
+    * CONTRACT: both snapshots are keyed (unique on `keyCol`) — a
+    * duplicated key silently fans out the full-outer join and the diff
+    * stops meaning anything. `assertUniqueKeys = true` buys a loud
+    * failure for one extra aggregation pass per side; leave it off when
+    * the snapshots come from a keyed store that already guarantees it. */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
-      compareCols: Seq[String]): DataFrame = {
+      compareCols: Seq[String], assertUniqueKeys: Boolean = false): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must name at least one column")
+    if (assertUniqueKeys) Seq("old" -> oldSnap, "new" -> newSnap).foreach {
+      case (side, df) =>
+        val dup = df.groupBy(col(keyCol)).count().where(col("count") > 1).limit(1)
+          .collect()
+        require(dup.isEmpty,
+          s"$side snapshot has duplicate key ${dup.head.get(0)} — " +
+            s"snapshots must be unique on '$keyCol'")
+    }
     val o = oldSnap.select(col(keyCol).as("__ko"),
       struct(compareCols.map(col): _*).as("__o"))
     val n = newSnap.select(col(keyCol).as("__kn"),

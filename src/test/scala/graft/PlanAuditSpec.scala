@@ -68,6 +68,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q57 composed cleaning pass: hash joins only, no corpus blowup") {
+    val p = planOf("q57_clean_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q50 snapshot diff: one full-outer key join") {
+    val p = planOf("q50_snapshot_diff")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   // ss2's join shape and q42's origin-side filtering are pinned in
   // SimilarityTextSpec (multi-probe recall/monotonicity) and
   // RestWarehouseSpec (served-rows == slice + probe) respectively — their

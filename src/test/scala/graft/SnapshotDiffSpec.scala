@@ -33,6 +33,18 @@ class SnapshotDiffSpec extends SparkSpecBase {
       (6L, "added", "")))
   }
 
+  test("assertUniqueKeys rejects a snapshot with a duplicated key") {
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "c")
+    val ok = Seq((1L, "a"), (2L, "c")).toDF("k", "c")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(dup, ok, "k", Seq("c"), assertUniqueKeys = true)
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    // with the check on and unique inputs, the diff still works
+    assert(SnapshotDiff.diff(ok, ok, "k", Seq("c"), assertUniqueKeys = true)
+      .count() == 0)
+  }
+
   test("null-to-value and value-to-null count as changes; null==null does not") {
     val oldSnap = Seq((1L, Option.empty[String]), (2L, Some("v")), (3L, Option.empty[String]))
       .toDF("k", "c")
