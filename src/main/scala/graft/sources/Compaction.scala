@@ -41,6 +41,7 @@ object Compaction {
       partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Report = {
     require(targetBytes > 0)
     val root = Paths.get(path)
+    require(Files.isDirectory(root), s"no dataset directory at $path")
     val before = dataFiles(root, ext)
     val bytesBefore = before.map(Files.size).sum
     val df = spark.read.format(format).load(path)
