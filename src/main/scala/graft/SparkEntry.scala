@@ -604,6 +604,22 @@ object SparkEntry {
       out
     }),
 
+    "q58_time_travel" -> ((s, dir) => {
+      // snapshot isolation + time travel under the gate: v1 = the F
+      // slice, v2 OVERWRITES with the O slice; reading version 1 must
+      // still see exactly the F rows (the oracle), untouched by v2
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q58-").toString + "/t"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ManifestTable.overwrite(orders.where(col("o_orderstatus") === "F"), base)
+      ManifestTable.overwrite(orders.where(col("o_orderstatus") === "O"), base)
+      ManifestTable.read(s, base, version = Some(1L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total"))
+    }),
+
     "q56_stream_table" -> ((s, dir) => {
       // the full sink lifecycle under one gate: file stream → idempotent
       // ManifestTable commits (StreamSync.startToTable) → OPTIMIZE-style
@@ -2216,6 +2232,11 @@ object SparkEntry {
          AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
          AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
          GROUP BY c.user_id""",
+    "q58_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderstatus""",
     "q56_stream_table" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
