@@ -604,6 +604,30 @@ object SparkEntry {
       out
     }),
 
+    "q59_bucketed_join" -> ((s, dir) => {
+      // the co-bucketing layout lever under the gate: both sides written
+      // bucketed+sorted on the join key into external tables, joined
+      // WITHOUT an exchange (LayoutSpec pins the shuffle-free plan; here
+      // the driver hash-checks the result equals the plain join)
+      val db = "graft_q59"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+      s.sql(s"DROP TABLE IF EXISTS $db.customer_b")
+      val base = java.nio.file.Files.createTempDirectory("graft-q59-").toString
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/o").saveAsTable(s"$db.orders_b")
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/c").saveAsTable(s"$db.customer_b")
+      s.table(s"$db.orders_b")
+        .join(s.table(s"$db.customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
+    }),
+
     "q58_time_travel" -> ((s, dir) => {
       // snapshot isolation + time travel under the gate: v1 = the F
       // slice, v2 OVERWRITES with the O slice; reading version 1 must
@@ -2232,6 +2256,11 @@ object SparkEntry {
          AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
          AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
          GROUP BY c.user_id""",
+    "q59_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "q58_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
