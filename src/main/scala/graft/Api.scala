@@ -275,6 +275,9 @@ object ApiServer {
       | button{margin-right:.5em}
       |</style></head><body>
       |<h1>graft playground</h1>
+      |<p>API key: <input id="key" type="password" size="24">
+      |<button onclick="setKey()">Use key</button>
+      |<span id="keystate"></span></p>
       |<h2>Warehouses</h2><pre id="wh">loading…</pre>
       |<h2>Run a config</h2>
       |<textarea id="cfg">{
@@ -286,11 +289,32 @@ object ApiServer {
       |<button onclick="post('/debug/params')">Compile params</button>
       |<h2>Result</h2><pre id="out">—</pre>
       |<script>
+      |// The key never rides the URL: a ?key= query param lands in browser
+      |// history, referers and access logs. It lives in sessionStorage and
+      |// is entered in-page; a legacy ?key= link is honored once, then
+      |// scrubbed from the address bar before any request is made.
       |const hdrs = {'Content-Type':'application/json'};
-      |const key = new URLSearchParams(location.search).get('key');
-      |if (key) hdrs['X-API-Key'] = key;
-      |fetch('/warehouses',{headers:hdrs}).then(r=>r.text()).then(t=>{
-      |  document.getElementById('wh').textContent=t;});
+      |const legacy = new URLSearchParams(location.search).get('key');
+      |if (legacy) {
+      |  sessionStorage.setItem('graft_api_key', legacy);
+      |  history.replaceState(null, '', location.pathname);
+      |}
+      |function applyKey(){
+      |  const k = sessionStorage.getItem('graft_api_key');
+      |  if (k) hdrs['X-API-Key'] = k; else delete hdrs['X-API-Key'];
+      |  document.getElementById('keystate').textContent = k ? 'key set' : 'no key';
+      |}
+      |function setKey(){
+      |  sessionStorage.setItem('graft_api_key',
+      |    document.getElementById('key').value);
+      |  document.getElementById('key').value='';
+      |  applyKey(); load();
+      |}
+      |applyKey();
+      |function load(){
+      |  fetch('/warehouses',{headers:hdrs}).then(r=>r.text()).then(t=>{
+      |    document.getElementById('wh').textContent=t;});}
+      |load();
       |function post(path){
       |  fetch(path,{method:'POST',headers:hdrs,
       |    body:document.getElementById('cfg').value})

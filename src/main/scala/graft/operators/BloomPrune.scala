@@ -28,18 +28,28 @@ import org.apache.spark.sql.types.BinaryType
   * runtime-filter semantics. */
 object BloomPrune {
 
-  /** Serialized bloom sketch over `build`'s key column. `expectedItems`
-    * sizes the filter (default fpp from BloomFilterAggregate). */
-  def buildFilter(build: DataFrame, keyCol: String,
-      expectedItems: Long = 1L << 20): Array[Byte] = {
+  /** Serialized bloom sketch over `build`'s key column, or None when the
+    * build side has no rows (BloomFilterAggregate returns null then —
+    * there is no sketch to probe, and for an inner join an empty build
+    * side means an empty result). `expectedItems` sizes the filter
+    * (default fpp from BloomFilterAggregate). */
+  def tryBuildFilter(build: DataFrame, keyCol: String,
+      expectedItems: Long = 1L << 20): Option[Array[Byte]] = {
     val key = ColumnBridge.expression(col(keyCol))
     val agg = new BloomFilterAggregate(new XxHash64(Seq(key)), expectedItems)
-    val bytes = build
+    Option(build
       .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    require(bytes != null, s"empty build side: bloom over $keyCol is null")
-    bytes
+      .head().getAs[Array[Byte]](0))
   }
+
+  /** Serialized bloom sketch over `build`'s key column; throws on an
+    * empty build side — use [[tryBuildFilter]] when emptiness is a
+    * legitimate outcome. */
+  def buildFilter(build: DataFrame, keyCol: String,
+      expectedItems: Long = 1L << 20): Array[Byte] =
+    tryBuildFilter(build, keyCol, expectedItems).getOrElse(
+      throw new IllegalArgumentException(
+        s"empty build side: bloom over $keyCol is null"))
 
   /** Membership predicate for a probe column against a built sketch. */
   def mightContain(sketch: Array[Byte], probe: Column): Column =
@@ -49,11 +59,17 @@ object BloomPrune {
 
   /** Bloom-pruned inner equi-join: prune `fact` by a sketch of `dim`'s
     * keys, then join. Exact (false positives die in the join); the win is
-    * the fact rows that never reach the exchange. */
+    * the fact rows that never reach the exchange. An EMPTY dim side is a
+    * legitimate input (a selective dim filter matching nothing) and
+    * yields the inner join's correct empty result — the maximal prune,
+    * not a crash. */
   def prunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, expectedItems: Long = 1L << 20): DataFrame = {
-    val sketch = buildFilter(dim, dimKey, expectedItems)
-    fact.where(mightContain(sketch, col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
-  }
+      dimKey: String, expectedItems: Long = 1L << 20): DataFrame =
+    tryBuildFilter(dim, dimKey, expectedItems) match {
+      case Some(sketch) =>
+        fact.where(mightContain(sketch, col(factKey)))
+          .join(dim, col(factKey) === col(dimKey))
+      case scala.None =>
+        fact.where(lit(false)).join(dim, col(factKey) === col(dimKey))
+    }
 }

@@ -25,12 +25,14 @@ object Compaction {
       bytesBefore: Long, bytesAfter: Long, rows: Long)
 
   private def dataFiles(root: Path, ext: String): Seq[Path] =
-    Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(ext) && !n.startsWith("_") && !n.startsWith(".")
-      }.toSeq
+    scala.util.Using.resource(Files.walk(root)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(ext) && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+    }
 
   /** Compact the dataset at `path` into ~`targetBytes` files. For a
     * partitioned dataset pass its `partitionCols` (layout is preserved and
@@ -72,7 +74,9 @@ object Compaction {
       .save(tmp)
     // atomic-enough swap on a posix fs: two renames, then cleanup
     def delete(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     delete(Paths.get(trash))
     require(new File(path).renameTo(new File(trash)), s"cannot stage $path aside")
     require(new File(tmp).renameTo(new File(path)),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Minimal transactional table format — the commit-protocol half of
   * Delta/Iceberg, built from primitives this container has (the format
@@ -63,27 +64,42 @@ object ManifestTable {
       s""""files":[${m.files.map(q).mkString(",")}]}"""
   }
 
+  // Manifests are immutable once published (atomic link/rename, never
+  // rewritten), so parsed forms are cached by absolute path — the commit
+  // replay check scans N manifests per commit, and without the cache an
+  // N-batch stream pays O(N^2) JSON parses.
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
   private def parse(p: Path): Manifest = {
+    val key = p.toAbsolutePath.toString
+    val hit = parseCache.get(key)
+    if (hit != null) return hit
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(Files.readString(p))
-    Manifest(
+    val m = Manifest(
       (j \ "version").extract[Long],
       (j \ "files").extract[Seq[String]],
       (j \ "commit_id").extractOpt[String],
       (j \ "parent").extract[Long])
+    if (parseCache.size > 65536) parseCache.clear()
+    parseCache.put(key, m)
+    m
   }
 
   /** All committed versions, ascending; empty for a fresh/absent table. */
   def versions(path: String): Seq[Long] = {
     val md = manifestDir(path)
     if (!Files.isDirectory(md)) Seq.empty
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    else Using.resource(Files.list(md)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
   }
 
   private def manifestAt(path: String, version: Long): Manifest =
@@ -110,16 +126,40 @@ object ManifestTable {
     Files.createDirectories(dataDir(path))
     val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val parts = Using.resource(Files.list(staging)) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
     val named = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir(path).resolve(name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Using.resource(Files.walk(staging)) { st =>
+      st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
     named
+  }
+
+  /** Atomic manifest publication with mutual exclusion. The JSON is
+    * rendered to a hidden temp file, then HARD-LINKED to the version
+    * name: link(2) fails with EEXIST atomically if the version already
+    * landed (the optimistic lock, same as createFile), and the target
+    * appears with its complete content — a concurrent reader can never
+    * observe an empty/partial manifest, and a writer crash between the
+    * two steps of create-then-write can no longer strand a permanently
+    * empty version. Falls back to ATOMIC_MOVE where the filesystem has
+    * no hard links (content atomicity kept; exclusion then rides the
+    * non-atomic exists check inside Files.move). */
+  private def publish(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, content)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
@@ -139,10 +179,9 @@ object ManifestTable {
       val m = Manifest(next, files, commitId, cur.map(_.version).getOrElse(0L))
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
-        // createFile is the optimistic lock: exactly one writer can
-        // create v<next>; losers re-read latest and retry on top
-        Files.createFile(target)
-        Files.writeString(target, render(m))
+        // publish is the optimistic lock: exactly one writer can link
+        // v<next>; losers re-read latest and retry on top
+        publish(target, render(m))
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => () // lost the race
@@ -186,8 +225,7 @@ object ManifestTable {
     val next = base.version + 1
     val target = manifestDir(path).resolve(f"v$next%08d.json")
     try {
-      Files.createFile(target)
-      Files.writeString(target, render(
+      publish(target, render(
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version)))
       next
     } catch {
@@ -208,7 +246,11 @@ object ManifestTable {
     require(keepLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
     val dropped = vs.dropRight(keepLast)
-    dropped.foreach(v => Files.delete(manifestDir(path).resolve(f"v$v%08d.json")))
+    dropped.foreach { v =>
+      val p = manifestDir(path).resolve(f"v$v%08d.json")
+      parseCache.remove(p.toAbsolutePath.toString)
+      Files.delete(p)
+    }
     (dropped, vacuum(path, vacuumMinAgeMs))
   }
 
@@ -223,10 +265,12 @@ object ManifestTable {
     val live = versions(path).flatMap(v => manifestAt(path, v).files).toSet
     if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val orphans = Files.list(dataDir(path)).iterator().asScala
-      .filter(p => !live.contains(p.getFileName.toString))
-      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .toSeq
+    val orphans = Using.resource(Files.list(dataDir(path))) { st =>
+      st.iterator().asScala
+        .filter(p => !live.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toSeq
+    }
     orphans.foreach(Files.delete)
     orphans.map(_.getFileName.toString)
   }

@@ -356,7 +356,11 @@ final case class RestWarehouse(
     // response), so it runs the driver loop; prefer offset/total mode
     // when the origin offers it (distributed page fan-out).
     nextCursorField: Option[String] = None,
-    cursorTokenParam: String = "cursor") extends Warehouse {
+    cursorTokenParam: String = "cursor",
+    // safety cap on the keyset token chain: a buggy origin that keeps
+    // emitting tokens would otherwise spin the driver forever while the
+    // buffered collection grows without bound
+    maxKeysetPages: Int = 100000) extends Warehouse {
 
   require(pageSize > 0 && maxParallelFetch > 0 && writeBatchSize > 0)
 
@@ -433,7 +437,12 @@ final case class RestWarehouse(
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       var token: Option[String] = None
       var done = false
+      var pages = 0
       while (!done) {
+        pages += 1
+        if (pages > maxKeysetPages) throw new IllegalStateException(
+          s"keyset pagination from $url exceeded maxKeysetPages=" +
+            s"$maxKeysetPages without exhausting the token chain")
         val pp = params ++ Seq(limitP -> limit.toString) ++
           token.map(cursorTokenParam -> _).toSeq
         val node =
@@ -444,10 +453,19 @@ final case class RestWarehouse(
               headers = auth.buildHeaders()
               fetchWith(pp, headers)
           }
+        var pageRows = 0
         val it = node.get(dataF).elements()
-        while (it.hasNext) buf += it.next().toString
+        while (it.hasNext) { buf += it.next().toString; pageRows += 1 }
         val nt = Option(node.get(nextF)).filterNot(_.isNull)
           .map(_.asText).filter(_.nonEmpty)
+        // a non-progressing origin (echoed token, or a token alongside an
+        // empty page) would loop forever — fail loudly instead
+        if (nt.isDefined && nt == token) throw new IllegalStateException(
+          s"keyset pagination from $url returned the same continuation " +
+            s"token twice ('${nt.get}'): origin is not advancing")
+        if (nt.isDefined && pageRows == 0) throw new IllegalStateException(
+          s"keyset pagination from $url returned an empty page with a " +
+            "continuation token: origin is not advancing")
         token = nt
         done = nt.isEmpty
       }

@@ -32,7 +32,8 @@ final class RestFixture private (
     server: HttpServer,
     pool: java.util.concurrent.ExecutorService,
     val resource: String,
-    private[sources] val keyset: Boolean) {
+    private[sources] val keyset: Boolean,
+    private[sources] val keysetStuck: Boolean) {
 
   val requests = new ConcurrentLinkedQueue[String]()
   val servedRows = new AtomicLong(0)
@@ -81,7 +82,11 @@ object RestFixture {
       requiredHeader: Option[(String, String)] = None,
       issueBearer: Boolean = false,
       oauth1: Option[OAuth1Secrets] = None,
-      keyset: Boolean = false): RestFixture = {
+      keyset: Boolean = false,
+      // simulate a broken origin that never advances: every keyset page
+      // re-serves offset 0 and re-issues the same continuation token —
+      // lets specs pin the client's infinite-loop guard
+      keysetStuck: Boolean = false): RestFixture = {
     val names = df.columns.toSeq
     val collected = df
       .select(to_json(struct(names.map(col): _*)).as("__json") +: names.map(col): _*)
@@ -101,7 +106,7 @@ object RestFixture {
       t
     })
     server.setExecutor(pool)
-    val fx = new RestFixture(server, pool, resource, keyset)
+    val fx = new RestFixture(server, pool, resource, keyset, keysetStuck)
     val validTokens = fx.validTokens
 
     def authorized(ex: HttpExchange): Boolean = {
@@ -152,11 +157,12 @@ object RestFixture {
             k == "cursor" || k == "limit" || k == "sort_by" || k == "page"
           }
           val matched = recs.filter(r => filters.forall(f => eval(r.fields, cursorField, f)))
-          val slice = matched.slice(off.toInt, off.toInt + limit)
+          val effOff = if (fx.keysetStuck) 0L else off
+          val slice = matched.slice(effOff.toInt, effOff.toInt + limit)
           fx.servedRows.addAndGet(slice.length.toLong)
-          val nextOff = off + slice.length
+          val nextOff = if (fx.keysetStuck) 0L else off + slice.length
           val next =
-            if (nextOff < matched.length)
+            if (fx.keysetStuck || nextOff < matched.length)
               s""","next_cursor":"${java.util.Base64.getUrlEncoder.withoutPadding
                 .encodeToString(nextOff.toString.getBytes(UTF_8))}""""
             else ""

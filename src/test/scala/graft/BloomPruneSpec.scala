@@ -36,6 +36,14 @@ class BloomPruneSpec extends SparkSpecBase {
     assert(plan.contains("might_contain"), plan.take(2000))
   }
 
+  test("empty dim side yields the inner join's empty result, not a crash") {
+    val dim = Tables(spark, sf0001, "part").where(col("p_size") < 0) // matches nothing
+    val fact = Tables(spark, sf0001, "lineitem")
+    val out = BloomPrune.prunedJoin(fact, dim, "l_partkey", "p_partkey")
+    assert(out.count() == 0)
+    assert(BloomPrune.tryBuildFilter(dim, "p_partkey").isEmpty)
+  }
+
   test("string keys round-trip through the sketch") {
     val dim = Seq("alpha", "beta").toDF("k")
     val fact = Seq("alpha", "beta", "gamma", "delta").toDF("fk")

@@ -107,6 +107,35 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t).as[Int].collect().sorted.toSeq == before)
   }
 
+  test("manifest publication is atomic: concurrent committers never " +
+      "expose a partial manifest and leave no temp files") {
+    val t = table()
+    // racing writers: every commit must land a COMPLETE manifest (the
+    // old create-then-write window could strand an empty v<N>.json that
+    // poisoned every later read and commit)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 12).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = ManifestTable.append(Seq(i).toDF("x"), t)
+      })
+    }
+    val landed = futures.map(_.get()).sorted
+    pool.shutdown()
+    assert(landed == (1L to 12L), s"versions not contiguous: $landed")
+    val md = Paths.get(t, "_manifests")
+    val entries = scala.util.Using.resource(Files.list(md)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString).toSeq
+    }
+    assert(!entries.exists(_.startsWith(".tmp")), s"leaked temp: $entries")
+    // every manifest parses and names at least one file — none is empty
+    ManifestTable.versions(t).foreach { v =>
+      val content = Files.readString(md.resolve(f"v$v%08d.json"))
+      assert(content.nonEmpty && content.contains("\"files\":["), s"v$v: '$content'")
+    }
+    assert(ManifestTable.read(spark, t).as[Int].collect().sorted.toSeq == (1 to 12))
+  }
+
   test("losing the version race retries on top of the winner") {
     val t = table()
     ManifestTable.append(Seq(1).toDF("x"), t)

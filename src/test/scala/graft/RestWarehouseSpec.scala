@@ -88,6 +88,35 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx.stop()
   }
 
+  test("keyset pagination fails loudly on a non-progressing origin") {
+    // a broken origin that re-issues the same continuation token forever
+    // must error, not spin the driver / buffer unboundedly
+    val fx = RestFixture.serve(customer, "customer", "c_custkey",
+      keyset = true, keysetStuck = true)
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 16,
+        nextCursorField = Some("next_cursor"))
+      val e = intercept[IllegalStateException] {
+        wh.readSlice(spark, "customer", schema = Some(customer.schema))
+      }
+      assert(e.getMessage.contains("same continuation token"), e.getMessage)
+      // detected at the echo, not after grinding through a page cap
+      assert(fx.requestLog.size <= 3, fx.requestLog.size.toString)
+    } finally fx.stop()
+  }
+
+  test("keyset pagination enforces the maxKeysetPages cap") {
+    val fx = RestFixture.serve(customer, "customer", "c_custkey", keyset = true)
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 4,
+        nextCursorField = Some("next_cursor"), maxKeysetPages = 2)
+      val e = intercept[IllegalStateException] {
+        wh.readSlice(spark, "customer", schema = Some(customer.schema))
+      }
+      assert(e.getMessage.contains("maxKeysetPages"), e.getMessage)
+    } finally fx.stop()
+  }
+
   test("read without schema infers and returns the full resource") {
     val fx = RestFixture.serve(customer, "customer", "c_custkey")
     try {
