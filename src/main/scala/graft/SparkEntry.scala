@@ -628,6 +628,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
     }),
 
+    "q60_merge" -> ((s, dir) => {
+      // MERGE INTO under the gate: customer committed as a versioned
+      // table, then one merge applies updates (key%7==0, balance+1000,
+      // upper name), inserts (key%11==3 re-keyed +10M), and tombstones
+      // (key%13==0) — disjoint sets so the source stays keyed. The
+      // oracle recomputes the merged table in SQL; hash equality proves
+      // BOTH the merge semantics and that copy-on-write carried every
+      // untouched row through unchanged.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q60-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, base, updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D"))
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
+    "q61_table_cdf" -> ((s, dir) => {
+      // change data feed between table versions: v1 = customer, v2 =
+      // the q60 merge; changes() emits the keyed row-level diff with
+      // column attribution — the incremental-consumer read path. The
+      // oracle derives the same adds/removes/changes from the rule sets.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q61-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, base, updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D"))
+      ManifestTable.changes(s, base, 1L, 2L, "c_custkey")
+    }),
+
     "q58_time_travel" -> ((s, dir) => {
       // snapshot isolation + time travel under the gate: v1 = the F
       // slice, v2 OVERWRITES with the O slice; reading version 1 must
@@ -2261,6 +2313,38 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    // q60: the merged table recomputed in SQL — keeps = neither updated
+    // nor deleted, updates transformed, inserts re-keyed
+    "q60_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+                c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+         UNION ALL
+         SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 11 = 3""",
+    // q61: the same merge's change feed — adds/removes from the rule
+    // sets, changes with per-column attribution (CASE→NULL rows drop out
+    // of concat_ws exactly like the Spark when() without otherwise)
+    "q61_table_cdf" ->
+      """SELECT c_custkey + 10000000 AS c_custkey, 'added' AS change_type,
+                '' AS changed_cols
+         FROM customer WHERE c_custkey % 11 = 3
+         UNION ALL
+         SELECT c_custkey, 'removed' AS change_type, '' AS changed_cols
+         FROM customer WHERE c_custkey % 13 = 0
+         UNION ALL
+         SELECT c_custkey, 'changed' AS change_type,
+           concat_ws(',',
+             CASE WHEN upper(c_name) <> c_name THEN 'c_name' END,
+             CASE WHEN c_acctbal + 1000.0 <> c_acctbal THEN 'c_acctbal' END)
+             AS changed_cols
+         FROM customer
+         WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+           AND (upper(c_name) <> c_name OR c_acctbal + 1000.0 <> c_acctbal)""",
     "q58_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total

@@ -237,6 +237,118 @@ object ManifestTable {
     }
   }
 
+  /** MERGE INTO — the upsert/delete commit every sync loop needs once a
+    * target is a versioned table, with Delta/Iceberg's copy-on-write
+    * cost model at FILE granularity: only data files that CONTAIN a
+    * source key are rewritten; every other file is carried into the new
+    * manifest untouched. At 100 TB a merge touching 0.1% of keys
+    * rewrites ~0.1% of files — the file-pruning semi-join below is the
+    * whole reason MERGE scales.
+    *
+    * Semantics (keyed upsert, reference core/pipeline.py push-as-upsert
+    * generalized):
+    *  - source row matches a target row on `keyCols` → target row is
+    *    REPLACED by the source row (whole-row update);
+    *  - source row matches nothing → INSERT;
+    *  - source row satisfying `deleteWhen` is a tombstone: its match is
+    *    DELETED from the target, and it never inserts.
+    * The source must be unique on `keyCols` after the tombstone split —
+    * a duplicate key would make "the" update ambiguous (checked, loud).
+    *
+    * Steps: (1) semi-join target×source finds touched files — only file
+    * NAMES reach the driver; (2) touched files are re-read (a scan of
+    * just those files), tombstone keys anti-joined away, upserts
+    * left-joined in (source wins); (3) inserts = source rows matching no
+    * touched row — by construction untouched files hold no source key,
+    * so this equals an anti-join against the whole target; (4) rewritten
+    * + inserted rows stage as new files; the new manifest = untouched
+    * files + staged files, published with the same optimistic lock
+    * (conflict ⇒ throw, staged files become vacuum-able orphans).
+    *
+    * Returns the new version. */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val base = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val target = read(spark, path, Some(base.version))
+    val cols = target.columns.toSeq
+    require(keyCols.forall(cols.contains), s"key not in target: $keyCols")
+    require(cols.forall(source.columns.contains),
+      s"source is missing target columns: ${cols.diff(source.columns.toSeq)}")
+    // the tombstone split runs on the RAW source — deleteWhen may
+    // reference columns (an op marker) that are not part of the table
+    val raw = source.localCheckpoint()
+    val dup = raw.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"source has duplicate merge key ${dup.headOption.map(_.get(0))}")
+    val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
+      .select(cols.map(col): _*)
+    val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
+      .getOrElse(raw).select(cols.map(col): _*)
+    val src = raw.select(cols.map(col): _*)
+
+    // (1) which files contain a source key? (file names only — the
+    // driver never holds data rows)
+    val withFile = spark.read.option("mergeSchema", "true")
+      .parquet(base.files.map(f => dataDir(path).resolve(f).toString): _*)
+      .withColumn("__file", input_file_name())
+    val touched = withFile
+      .join(src.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(col("__file")).distinct().collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .toSet
+    val untouchedFiles = base.files.filterNot(touched)
+
+    // (2) rewrite ONLY the touched files
+    val touchedRows =
+      if (touched.isEmpty) target.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(base.files.filter(touched)
+          .map(f => dataDir(path).resolve(f).toString): _*)
+        .select(cols.map(col): _*)
+    val afterDelete = touchedRows.join(
+      tombstones.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val u = upserts.select(
+      keyCols.map(col) :+ struct(cols.map(col): _*).as("__u"): _*)
+    val rewritten = afterDelete.join(u, keyCols, "left_outer")
+      .select(cols.map(c =>
+        when(col("__u").isNotNull, col(s"__u.$c")).otherwise(col(c)).as(c)): _*)
+
+    // (3) inserts: source keys matching no target row
+    val inserts = upserts.join(
+      touchedRows.select(keyCols.map(col): _*), keyCols, "left_anti")
+
+    // (4) stage + publish (optimistic, conflict-checked like compactCommit)
+    val staged = stage(rewritten.unionByName(inserts), path)
+    val next = base.version + 1
+    val m = Manifest(next, untouchedFiles ++ staged, scala.None, base.version)
+    try {
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit during merge onto v${base.version}; retry")
+    }
+  }
+
+  /** Change data feed between two committed versions: keyed row-level
+    * diff (added / removed / changed + column attribution) computed from
+    * the two snapshots — what a downstream incremental consumer reads
+    * instead of re-scanning the table. One full-outer join on the key
+    * ([[graft.operators.SnapshotDiff]]); the output is the small diff. */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keyCol: String): DataFrame = {
+    val before = read(spark, path, Some(fromVersion))
+    val after = read(spark, path, Some(toVersion))
+    graft.operators.SnapshotDiff.diff(before, after, keyCol,
+      before.columns.toSeq.filterNot(_ == keyCol))
+  }
+
   /** Retention: drop all but the newest `keepLast` manifests (time
     * travel horizon), then [[vacuum]] the data files only the dropped
     * versions referenced. The latest version is always kept. Returns

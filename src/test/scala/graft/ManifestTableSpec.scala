@@ -107,6 +107,70 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t).as[Int].collect().sorted.toSeq == before)
   }
 
+  test("merge: upsert + insert + tombstone semantics, keyed and exact") {
+    val t = table()
+    val target = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40))
+      .toDF("k", "name", "v")
+    ManifestTable.overwrite(target, t)
+    // source: update k=2, insert k=9, delete k=3 (op column drives the
+    // tombstone split), k=4 untouched
+    val source = Seq((2, "B2", 200, "U"), (9, "i", 90, "U"), (3, "c", 30, "D"))
+      .toDF("k", "name", "v", "op")
+    val v = ManifestTable.merge(spark, t, source, Seq("k"),
+      deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    assert(v == 2)
+    val out = ManifestTable.read(spark, t).select("k", "name", "v")
+      .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "a", 10), (2, "B2", 200), (4, "d", 40), (9, "i", 90)))
+    // time travel intact: v1 is the pre-merge table
+    assert(ManifestTable.read(spark, t, Some(1L)).count() == 4)
+    // duplicate source keys are rejected loudly
+    val dup = Seq((5, "x", 1, "U"), (5, "y", 2, "U")).toDF("k", "name", "v", "op")
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, t, dup, Seq("k"))
+    }
+  }
+
+  test("merge is copy-on-write at file granularity: untouched files survive") {
+    val t = table()
+    // three commits → at least three distinct data files with known keys
+    ManifestTable.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v").coalesce(1), t)
+    ManifestTable.append(Seq((3, 30), (4, 40)).toDF("k", "v").coalesce(1), t)
+    ManifestTable.append(Seq((5, 50), (6, 60)).toDF("k", "v").coalesce(1), t)
+    val before = ManifestTable.versions(t).map(v =>
+      v -> spark.read.parquet(s"$t/data").count()).toMap
+    assert(before(3L) == 6)
+    def filesOf(v: Long): Set[String] = {
+      // the manifest's file list via a version read is opaque; parse it
+      val content = Files.readString(
+        Paths.get(t, "_manifests", f"v$v%08d.json"))
+      """[0-9a-f-]+\.parquet""".r.findAllIn(content).toSet
+    }
+    val v3files = filesOf(3L)
+    // merge touches ONLY key 3 (second file): update it
+    val src = Seq((3, 333)).toDF("k", "v")
+    val v4 = ManifestTable.merge(spark, t, src, Seq("k"))
+    val v4files = filesOf(v4)
+    // the two files not containing k=3 are carried over byte-identical
+    val carried = v3files.intersect(v4files)
+    assert(carried.size == 2, s"expected 2 carried files, got $carried")
+    assert((v4files -- v3files).nonEmpty) // the rewrite landed as new file(s)
+    val out = ManifestTable.read(spark, t).as[(Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 10), (2, 20), (3, 333), (4, 40), (5, 50), (6, 60)))
+  }
+
+  test("changes: version-to-version change data feed") {
+    val t = table()
+    ManifestTable.overwrite(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), t)
+    ManifestTable.merge(spark, t,
+      Seq((2, "B", "U"), (7, "g", "U"), (3, "c", "D")).toDF("k", "s", "op"),
+      Seq("k"), deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    val diff = ManifestTable.changes(spark, t, 1L, 2L, "k")
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(diff == Seq((2, "changed", "s"), (3, "removed", ""), (7, "added", "")))
+  }
+
   test("manifest publication is atomic: concurrent committers never " +
       "expose a partial manifest and leave no temp files") {
     val t = table()
