@@ -1194,6 +1194,51 @@ object SparkEntry {
       operators.dedup.Winnowing.fingerprints(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)),
 
+    "dd14_url_dedup" -> ((s, dir) => {
+      // URL canonicalization dedup (RefinedWeb's pre-content stage):
+      // four deterministic variants per page group — plain, http+UPPER
+      // host+trailing slash, www+utm param, fragment — all collapsing
+      // to one canonical form; keep-first per canonical URL
+      val docs = Tables(s, dir, "documents")
+      val g = col("doc_id") % 120
+      val v = col("doc_id") % 4
+      val url = when(v === 0,
+          concat(lit("https://site"), g, lit(".example.com/p/"), g))
+        .when(v === 1,
+          concat(lit("http://SITE"), g, lit(".EXAMPLE.COM/p/"), g, lit("/")))
+        .when(v === 2,
+          concat(lit("https://www.site"), g, lit(".example.com/p/"), g,
+            lit("?utm_source=x")))
+        .otherwise(
+          concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("#frag")))
+      operators.dedup.UrlDedup.dedupByUrl(
+        docs.withColumn("url", url), "doc_id", "url")
+    }),
+
+    "q62_linkage" -> ((s, dir) => {
+      // Fellegi-Sunter probabilistic record linkage: customer vs a
+      // deterministically perturbed copy (case noise on name, rounded
+      // balances, nulled segments), blocked on nation, integer
+      // milli-bit weights → exact BIGINT scores; threshold keeps the
+      // true matches (diagonal) and the oracle recomputes every score
+      import operators.Linkage
+      val a = Tables(s, dir, "customer")
+      val b = a.select(
+        col("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 4 === 0, round(col("c_acctbal")))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Linkage.linkPairs(a, b, Seq("c_nationkey"), "c_custkey", "c_custkey",
+        Seq(
+          Linkage.eqLowerRule("c_name", 2200L, -800L),
+          Linkage.withinRule("c_acctbal", 1.0, 1500L, -500L),
+          Linkage.eqRule("c_mktsegment", 300L, -300L)),
+        threshold = 3000L)
+    }),
+
     "dd11_seg_dedup" -> ((s, dir) =>
       // paragraph-dedup analogue: corpus-wide keep-first over 10-token
       // segments, reassembled per doc (CCNet/Dolma exact-paragraph stage)
@@ -1794,6 +1839,43 @@ object SparkEntry {
          JOIN rep r ON q.doc_id = r.doc_id
          LEFT JOIN ppl p ON q.doc_id = p.doc_id
          JOIN canon c ON q.doc_id = c.doc_id""",
+    // dd14: the same canonicalization chain, regexes shared verbatim
+    // (RE2-safe); DuckDB's first-match regexp_replace suffices — every
+    // pattern is anchored or single-occurrence by construction
+    "dd14_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'https://site' || (doc_id % 120) || '.example.com/p/' || (doc_id % 120)
+             WHEN 1 THEN 'http://SITE' || (doc_id % 120) || '.EXAMPLE.COM/p/' || (doc_id % 120) || '/'
+             WHEN 2 THEN 'https://www.site' || (doc_id % 120) || '.example.com/p/' || (doc_id % 120) || '?utm_source=x'
+             ELSE 'https://site' || (doc_id % 120) || '.example.com/p/' || (doc_id % 120) || '#frag'
+           END AS url FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS url FROM u),
+         s2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             url, '[?&](utm_[a-z]+|fbclid|ref)=[^&#]*', ''),
+             '\?&', '?'), '[?&]$', '') AS url FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(url, '^http://', 'https://') AS url FROM s2),
+         s4 AS (SELECT doc_id,
+           'https://' ||
+           regexp_replace(lower(regexp_extract(url, '^https://([^/?#]*)', 1)), '^www\.', '') ||
+           regexp_replace(url, '^https://([^/?#]*)', '') AS url FROM s3),
+         s5 AS (SELECT doc_id, regexp_replace(url, '/$', '') AS url FROM s4)
+         SELECT url, min(doc_id) AS doc_id, count(*) AS n_variants
+         FROM s5 GROUP BY url""",
+    // q62: every pair's score recomputed — integer weights make the sum
+    // exact; the blocked join is restated as the nation equi-join
+    "q62_linkage" ->
+      """WITH b AS (SELECT c_custkey AS b_key, c_nationkey,
+           CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS b_name,
+           CASE WHEN c_custkey % 4 = 0 THEN round(c_acctbal) ELSE c_acctbal END AS b_acctbal,
+           CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS b_seg
+         FROM customer),
+         p AS (SELECT a.c_custkey AS a_id, b.b_key AS b_id,
+           CAST(CASE WHEN lower(a.c_name) = lower(b.b_name) THEN 2200 ELSE -800 END
+             + CASE WHEN abs(a.c_acctbal - b.b_acctbal) <= 1.0 THEN 1500 ELSE -500 END
+             + CASE WHEN a.c_mktsegment = b.b_seg THEN 300 ELSE -300 END AS BIGINT) AS score
+         FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey)
+         SELECT a_id, b_id, score FROM p WHERE score >= 3000""",
     "dd13_domain_cap" ->
       s"""WITH d AS (SELECT doc_id,
            'https://site' || (doc_id % 37) || '.example.com/' || doc_id AS url,
