@@ -1082,6 +1082,23 @@ object SparkEntry {
       truth
     }),
 
+    "ss10_sq8" -> ((s, dir) => {
+      // int8 scalar quantization under the gate (same fixed-slice /
+      // gate-then-emit-truth shape as ss5): per-dimension calibration
+      // isn't SQL-reproducible bit-for-bit, so the gate throws below
+      // mean recall@5 of 0.80 (SQ8's recall trade is far milder than
+      // PQ's — 8 bits/dim vs 8 bits per 8-dim block) and the emitted
+      // rows are the exact truth
+      val emb = Tables(s, dir, "embeddings").where(col("vec_id") < 5000)
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = operators.similarity.Similarity.knnBrute(
+        emb, queries, "vec_id", "embedding", k = 5)
+      val approx = operators.similarity.ScalarQuantization.knnSq8(
+        emb, queries, "vec_id", "embedding", k = 5, rerank = 50)
+      operators.similarity.Similarity.recallGate(approx, truth, 0.80)
+      truth
+    }),
+
     "ss6_ivfpq_recall" -> ((s, dir) => {
       // IVF-PQ (coarse inverted file + residual PQ), same self-gate shape
       // and the same fixed-size corpus slice rationale as ss5
@@ -1622,6 +1639,7 @@ object SparkEntry {
     // the emitted rows are exact and hash-checkable here.
     "ss5_pq_recall" -> brute5000Oracle,
     "ss6_ivfpq_recall" -> brute5000Oracle,
+    "ss10_sq8" -> brute5000Oracle,
     // ss7/ss8 emit the exact truth over the manifold corpus (see
     // [[manifoldNodes]]): the oracle rebuilds the nodes with the same
     // left-associated double arithmetic and takes the exact top-5 —

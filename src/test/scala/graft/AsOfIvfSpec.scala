@@ -22,6 +22,23 @@ class AsOfIvfSpec extends SparkSpecBase {
     assert(r(3L).isEmpty)        // no quote at or before 50
   }
 
+  test("sq8: full-rerank equals brute force; tight rerank keeps high recall") {
+    import graft.operators.similarity.{ScalarQuantization, Similarity}
+    val emb = Tables(spark, sf0001, "embeddings").where(col("vec_id") < 500)
+    val queries = emb.where(col("vec_id") < 10)
+    val truth = Similarity.knnBrute(emb, queries, "vec_id", "embedding", k = 5)
+    // rerank = corpus: the exact pass re-ranks everything → identical to
+    // brute force (scores AND ids), quantization error fully recovered
+    val full = ScalarQuantization.knnSq8(emb, queries, "vec_id", "embedding",
+      k = 5, rerank = 500)
+    assert(full.exceptAll(truth).isEmpty && truth.exceptAll(full).isEmpty)
+    // a tight shortlist still clears 0.9 mean recall@5 — 8 bits/dim
+    // ranks candidates nearly as well as float
+    val tight = ScalarQuantization.knnSq8(emb, queries, "vec_id", "embedding",
+      k = 5, rerank = 25)
+    Similarity.recallGate(tight, truth, 0.90)
+  }
+
   test("kmeans-trained ivf: subset of brute force, full recall probing all lists") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.where(col("vec_id") < 5)
