@@ -85,17 +85,16 @@ object IvfPq {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 8, m: Int = 8, nCodes: Int = 16,
       seed: Long = 42L): Index = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val base = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .localCheckpoint()
     val dim = base.select(size(col("v"))).head().getInt(0)
 
-    // coarse quantizer over full vectors
-    val coarse = new KMeans().setK(nLists).setMaxIter(8).setSeed(seed).setFeaturesCol("__f")
-      .fit(base.select(array_to_vector(col("v")).as("__f")))
-      .clusterCenters.map(_.toArray)
+    // coarse quantizer over full vectors — trained on a bounded driver
+    // sample ([[LocalKMeans]]); assignment below stays distributed
+    val coarse = LocalKMeans.fit(
+      base.select(col("v")).limit(ProductQuantization.MaxTrainSample)
+        .collect().map(_.getSeq[Double](0).toArray),
+      nLists, iters = 8, seed = seed)
     def coarseLit(l: Int): Column =
       array(coarse(l).toIndexedSeq.map(lit): _*).cast("array<double>")
 

@@ -38,21 +38,25 @@ import org.apache.spark.sql.functions._
   * changes nothing structurally. */
 object ProductQuantization {
 
+  /** Bounded training sample cap: FAISS-style — quantizers are trained
+    * on a sample, never the corpus (see [[LocalKMeans]]). */
+  private[similarity] val MaxTrainSample = 16384
+
   private[similarity] def trainSubQuantizers(
       vecs: DataFrame, vecCol: String, dim: Int, m: Int, nCodes: Int,
       seed: Long): SubQuantizer = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
+    // ONE bounded collect feeds all m block trainers (driver Lloyd's,
+    // [[LocalKMeans]]) — was m sequential spark.ml jobs whose scheduler
+    // overhead dwarfed the math on a training sample
+    val sample = vecs.select(col(vecCol).cast("array<double>"))
+      .limit(MaxTrainSample).collect()
+      .map(_.getSeq[Double](0).toArray)
     val centers: Array[Array[Array[Double]]] = (0 until m).map { i =>
-      // low-dim (d/m) blocks converge in a handful of Lloyd iterations;
-      // the spark.ml default (20) mostly buys scheduler overhead here —
-      // measured: no recall change at 8 iters, ~40% faster index build
-      new KMeans().setK(nCodes).setMaxIter(8).setSeed(seed + i).setFeaturesCol("__f")
-        .fit(vecs.select(array_to_vector(
-          slice(col(vecCol), i * subDim + 1, subDim)).as("__f")))
-        .clusterCenters.map(_.toArray)
+      val block = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, i * subDim, (i + 1) * subDim))
+      LocalKMeans.fit(block, nCodes, iters = 8, seed = seed + i)
     }.toArray
     SubQuantizer(centers, subDim)
   }
