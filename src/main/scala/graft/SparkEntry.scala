@@ -24,6 +24,21 @@ object SparkEntry {
   private val dec = DecimalType(18, 4)
   private def decSum(c: Column): Column = sum(c.cast(dec)).cast("double")
 
+  /** Streaming gate queries run on a cloned session with few shuffle
+    * partitions: every stateful streaming operator opens one state store
+    * PER partition PER micro-batch (a stream-stream join opens four), so
+    * at gate scale the fixed store setup dominates — 32 partitions buy
+    * pure overhead for a single AvailableNow batch. Batch queries keep
+    * the session default; on a real cluster this knob is sized to the
+    * stream's actual key cardinality, not the batch parallelism.
+    * `newSession` shares the SparkContext (and its builder-set confs —
+    * nanosAsLong, timezone); only the SQLConf override below differs. */
+  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -585,8 +600,9 @@ object SparkEntry {
       // the batch groupBy — which is what lets DuckDB oracle a STREAMING
       // query exactly. Sums go through the decimal-cast convention.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = graft.streaming.EventStream.source(s, dir, schema,
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s2, dir, schema,
         globFilter = Some("events.parquet"))
       val agg = src.withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 day"), col("event_type"))
@@ -599,8 +615,8 @@ object SparkEntry {
       val query = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-      val out = s.table(sink).localCheckpoint() // pin: the sink is transient
-      s.catalog.dropTempView(sink) // ... and must not outlive the query
+      val out = s2.table(sink).localCheckpoint() // pin: the sink is transient
+      s2.catalog.dropTempView(sink) // ... and must not outlive the query
       out
     }),
 
@@ -703,8 +719,9 @@ object SparkEntry {
       // Content must survive commit + rewrite bit-for-bit, which is
       // exactly what the batch-SQL oracle checks.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = graft.streaming.EventStream.source(s, dir, schema,
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s2, dir, schema,
         globFilter = Some("events.parquet"))
       val base = java.nio.file.Files.createTempDirectory("graft-q56-").toString + "/t"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-q56-ck-").toString
@@ -725,8 +742,9 @@ object SparkEntry {
       // equals q37 at event_time's micros precision, which is what the
       // oracle reproduces (epoch_ns // 1000).
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = graft.streaming.EventStream.source(s, dir, schema,
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s2, dir, schema,
         globFilter = Some("events.parquet"))
       val joined = graft.streaming.EventStream.intervalJoin(
         src.where(col("event_type") === "click"),
@@ -736,8 +754,8 @@ object SparkEntry {
       val query = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-      val out = s.table(sink).localCheckpoint() // pin: the sink is transient
-      s.catalog.dropTempView(sink)
+      val out = s2.table(sink).localCheckpoint() // pin: the sink is transient
+      s2.catalog.dropTempView(sink)
       out.groupBy(col("l_user_id").as("user_id"))
         .agg(count(lit(1)).as("n_attributed"),
           decSum(col("r_value")).as("attributed_value"),
@@ -749,8 +767,9 @@ object SparkEntry {
       // every duplicate key collapses against in-batch state, so the
       // emitted first-seen key set equals batch DISTINCT — oracle-able
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = graft.streaming.EventStream.source(s, dir, schema,
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s2, dir, schema,
         globFilter = Some("events.parquet"))
       val deduped = graft.streaming.EventStream
         .dedup(src, Seq("user_id", "event_type"), "1 hour")
@@ -759,8 +778,8 @@ object SparkEntry {
       val query = deduped.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-      val out = s.table(sink).localCheckpoint()
-      s.catalog.dropTempView(sink)
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
       out
     }),
 
@@ -773,8 +792,9 @@ object SparkEntry {
       // engines, and the closed set equals q16's sessions minus each
       // user's final one.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = graft.streaming.EventStream.source(s, dir, schema,
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s2, dir, schema,
         globFilter = Some("events.parquet"))
       val sessions = graft.streaming.Sessionize(src,
         gapMs = 1800000L, watermark = "3650 days").toDF()
@@ -782,8 +802,8 @@ object SparkEntry {
       val query = sessions.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-      val out = s.table(sink).localCheckpoint()
-      s.catalog.dropTempView(sink)
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
       out
     }),
 
