@@ -733,6 +733,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
     }),
 
+    "q63_stream_push" -> ((s, dir) => {
+      // STREAM-STATIC push join under the gate (the FIFTH streaming
+      // family): continuous events-mode push — event stream inner-joined
+      // to a broadcast static resource table (re-read per micro-batch),
+      // same Condition algebra / formatter as the batch push. One
+      // AvailableNow batch ⇒ the sink equals the batch join, so the
+      // oracle is exact.
+      import org.apache.spark.sql.streaming.Trigger
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s2, dir, schema,
+        globFilter = Some("events.parquet"))
+      val resources = broadcast(
+        Tables(s2, dir, "customer").where(col("c_acctbal") > 0))
+      val pushed = graft.streaming.EventStream.pushEvents(
+        src, "user_id", resources, "c_custkey",
+        format = df => df.select(col("event_id"), col("user_id"),
+          col("c_name").as("resource_name"),
+          col("c_mktsegment").as("segment"), col("event_type")))
+      val sink = s"q63_stream_${System.nanoTime()}"
+      val query = pushed.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      out
+    }),
+
     "q52_stream_interval" -> ((s, dir) => {
       // STREAM-STREAM interval join under the gate: q37's attribution
       // computed by the streaming self-join (two filtered branches of one
@@ -1476,6 +1504,31 @@ object SparkEntry {
       AudioHeaders.extract(s, payloads, "doc_id", "payload").toDF()
     }),
 
+    "mm4_mp4_meta" -> ((s, dir) => {
+      // video twin of mm1/mm3: synthesize real ISO-BMFF headers
+      // (ftyp + moov/mvhd + mdat) with id-derived brand/timescale/
+      // duration (every 13th doc stays raw text for the unknown path),
+      // parse them back with the codec-free box walk, oracle predicts
+      // every field arithmetically
+      import s.implicits._
+      import operators.multimodal.Mp4Headers
+      val brands = Array("isom", "mp42", "avc1")
+      val scales = Array(600, 1000, 90000)
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 13 == 0) text.getBytes("UTF-8")
+            else Mp4Headers.synthMp4(
+              brand = brands((id % 3).toInt),
+              timescale = scales((id % 3).toInt),
+              duration = (100 + id % 400) * 10,
+              mdatBytes = (id % 50).toInt)
+          (id, payload)
+        }.toDF("doc_id", "payload")
+      Mp4Headers.extract(s, payloads, "doc_id", "payload").toDF()
+    }),
+
     "mm2_frame_sample" -> ((s, dir) =>
       // keyframe-sampling plumbing: 32-byte frames, every 4th kept
       operators.multimodal.BinaryMeta.frameSample(
@@ -2049,6 +2102,24 @@ object SparkEntry {
            round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) AS ppl,
            round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) <= 32.0 AS keep
          FROM sc GROUP BY doc_id""",
+    // mm4: every field predicted arithmetically from the synth params
+    // (byte_len = 16 ftyp + 116 moov/mvhd + 8 mdat header + filler)
+    "mm4_mp4_meta" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
+              ELSE CAST(140 + doc_id % 50 AS BIGINT) END AS byte_len,
+         CASE WHEN doc_id % 13 = 0 THEN 'unknown' ELSE 'mp4' END AS format,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                   ELSE 'avc1' END END AS brand,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        ELSE 90000 END AS BIGINT) END AS timescale,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(((100 + doc_id % 400) * 10) * 1000 //
+                   (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                    ELSE 90000 END) AS BIGINT) END AS duration_ms
+         FROM documents""",
     "mm3_wav_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 11 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
@@ -2470,6 +2541,11 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_orderstatus""",
+    "q63_stream_push" ->
+      """SELECT event_id, user_id, c_name AS resource_name,
+         c_mktsegment AS segment, event_type
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE c_acctbal > 0""",
     "q56_stream_table" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

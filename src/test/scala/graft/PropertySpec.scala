@@ -79,16 +79,17 @@ class PropertySpec extends SparkSpecBase {
   }
 
   test("header parsers never throw on fuzzed bytes (malformed != job-fatal)") {
-    import graft.operators.multimodal.{AudioHeaders, ImageHeaders}
+    import graft.operators.multimodal.{AudioHeaders, ImageHeaders, Mp4Headers}
     val rnd = new scala.util.Random(4242)
-    def fuzzed: Iterator[Array[Byte]] = Iterator.tabulate(400) { i =>
-      if (i % 4 == 0) { // random garbage of assorted sizes
+    def fuzzed: Iterator[Array[Byte]] = Iterator.tabulate(500) { i =>
+      if (i % 5 == 0) { // random garbage of assorted sizes
         val a = new Array[Byte](rnd.nextInt(96)); rnd.nextBytes(a); a
       } else { // a VALID header with a few corrupted bytes (worst case:
                // plausible signatures with broken sizes/offsets)
-        val base = (i % 4) match {
+        val base = (i % 5) match {
           case 1 => ImageHeaders.synthPng(64, 48, rnd.nextInt(20))
           case 2 => ImageHeaders.synthJpeg(64, 48, rnd.nextInt(20))
+          case 3 => Mp4Headers.synthMp4("isom", 600, 6000L, rnd.nextInt(40))
           case _ => AudioHeaders.synthWav(16000, 1, 16, rnd.nextInt(50) + 1)
         }
         (0 until 3).foreach { _ =>
@@ -101,7 +102,38 @@ class PropertySpec extends SparkSpecBase {
       // must return (possibly None/garbage-dims) without throwing/looping
       ImageHeaders.parse(payload)
       AudioHeaders.parseWav(payload)
+      Mp4Headers.parseMp4(payload)
     }
+  }
+
+  test("mp4 box walk round-trips synth headers incl. v1/largesize/to-EOF") {
+    import graft.operators.multimodal.Mp4Headers
+    val m = Mp4Headers.parseMp4(Mp4Headers.synthMp4("mp42", 90000, 450000L, 12))
+    assert(m.contains(Mp4Headers.Mp4("mp42", 90000L, 5000L)))
+    // version-1 mvhd (64-bit creation/modification/duration)
+    val mvhd1 = java.nio.ByteBuffer.allocate(8 + 112)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    mvhd1.putInt(8 + 112).put("mvhd".getBytes("US-ASCII"))
+    mvhd1.putInt(0x01000000) // version 1
+    mvhd1.putLong(0L).putLong(0L) // creation, modification
+    mvhd1.putInt(1000) // timescale
+    mvhd1.putLong(2500L) // duration
+    mvhd1.put(new Array[Byte](112 - 32)) // rest zeroed
+    val moov = java.nio.ByteBuffer.allocate(8 + 8 + 112)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    moov.putInt(8 + 8 + 112).put("moov".getBytes("US-ASCII")).put(mvhd1.array())
+    val ftyp = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.BIG_ENDIAN)
+    ftyp.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("avc1".getBytes("US-ASCII")).putInt(0)
+    // trailing mdat declared with size 0 = extends to EOF
+    val mdat = java.nio.ByteBuffer.allocate(8 + 5).order(java.nio.ByteOrder.BIG_ENDIAN)
+    mdat.putInt(0).put("mdat".getBytes("US-ASCII")).put(new Array[Byte](5))
+    val v1 = ftyp.array() ++ moov.array() ++ mdat.array()
+    assert(Mp4Headers.parseMp4(v1).contains(Mp4Headers.Mp4("avc1", 1000L, 2500L)))
+    // truncated moov (declared size beyond the payload) must parse to None
+    val truncated = v1.take(20)
+    assert(Mp4Headers.parseMp4(truncated).isEmpty)
+    assert(Mp4Headers.parseMp4("not a video".getBytes("UTF-8")).isEmpty)
   }
 
   test("fingerprint is invariant under case/punctuation/whitespace noise") {
