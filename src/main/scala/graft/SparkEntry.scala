@@ -733,6 +733,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
     }),
 
+    "q64_orc_roundtrip" -> ((s, dir) => {
+      // ORC warehouse under the gate (q53 gates Csv/Json): customer
+      // round-trips through an OrcWarehouse, then a filtered cursor
+      // slice reads back with the predicates pushed to the ORC scan
+      // (same PushedFilters story as parquet — LayoutSpec pins it);
+      // binary columnar round-trip keeps doubles bit-exact, so the
+      // oracle is the plain SQL slice
+      val base = java.nio.file.Files.createTempDirectory("graft-q64-").toString
+      val wh = graft.sources.OrcWarehouse("lake", base)
+      wh.write(Tables(s, dir, "customer"), "customer",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      wh.read(s, "customer")
+        .where(col("c_mktsegment") === "MACHINERY" &&
+          col("c_custkey").between(100, 1100))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
     "q63_stream_push" -> ((s, dir) => {
       // STREAM-STATIC push join under the gate (the FIFTH streaming
       // family): continuous events-mode push — event stream inner-joined
@@ -2541,6 +2558,10 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_orderstatus""",
+    "q64_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer
+         WHERE c_mktsegment = 'MACHINERY' AND c_custkey BETWEEN 100 AND 1100""",
     "q63_stream_push" ->
       """SELECT event_id, user_id, c_name AS resource_name,
          c_mktsegment AS segment, event_type
