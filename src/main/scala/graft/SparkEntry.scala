@@ -1276,6 +1276,19 @@ object SparkEntry {
       operators.dedup.Winnowing.fingerprints(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)),
 
+    "dd15_bloom_dedup" -> ((s, dir) => {
+      // ingest-time exact dedup with the Bloom prefilter: incoming =
+      // doc_id%5==0 slice, existing = the rest; the sketch of existing
+      // fingerprints splits incoming before any shuffle, the anti-join
+      // verifies only the candidate slice — result identical to the
+      // plain anti-join, which is exactly what the oracle computes
+      val docs = Tables(s, dir, "documents")
+      operators.dedup.BloomDedup.newDocs(
+        incoming = docs.where(col("doc_id") % 5 === 0),
+        existing = docs.where(col("doc_id") % 5 =!= 0),
+        idCol = "doc_id", textCol = "text", expectedItems = 1L << 16)
+    }),
+
     "dd14_url_dedup" -> ((s, dir) => {
       // URL canonicalization dedup (RefinedWeb's pre-content stage):
       // four deterministic variants per page group — plain, http+UPPER
@@ -1638,6 +1651,12 @@ object SparkEntry {
     "dd2_fingerprint" ->
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
+    // dd15: the plain anti-join — the Bloom split must compose back to it
+    "dd15_bloom_dedup" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents)
+         SELECT doc_id, fingerprint FROM f
+         WHERE doc_id % 5 = 0 AND fingerprint NOT IN
+           (SELECT fingerprint FROM f WHERE doc_id % 5 <> 0)""",
     "dd3_ngram_jaccard" -> jaccardOracle,
     "dd8_dedup_apply" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),

@@ -87,6 +87,30 @@ class DedupSpec extends SparkSpecBase {
     assert(Seq(50L, 60L, 70L, 100L).forall(c(_) == 50L))
   }
 
+  test("bloom anti-join equals the plain anti-join and splits before the shuffle") {
+    import graft.operators.dedup.BloomDedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf0001, "documents")
+    val incoming = docs.where(col("doc_id") % 5 === 0)
+    val existing = docs.where(col("doc_id") % 5 =!= 0)
+    val bloom = BloomDedup.newDocs(incoming, existing, "doc_id", "text")
+    val plain = incoming
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .join(existing.select(graft.functions.TextFunctions
+          .fingerprint(col("text")).as("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .select("doc_id", "fingerprint")
+    assert(bloom.count() == plain.count())
+    assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
+    // the prefilter is really in the plan (candidate split, not a rename)
+    val planStr = bloom.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), planStr.take(1500))
+    // empty corpus: everything is new, no sketch built
+    val all = BloomDedup.newDocs(incoming, existing.limit(0), "doc_id", "text")
+    assert(all.count() == incoming.count())
+  }
+
   test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
     val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
       .as[(Long, Long, Int)].collect()
