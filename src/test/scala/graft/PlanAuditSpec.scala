@@ -79,8 +79,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q62 linkage: blocked equi-join, never a cross join") {
+    val p = planOf("q62_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "an unblocked linkage is a cross join — the block key must drive an equi-join")
+  }
+
+  test("dd14 url dedup: one hash aggregation, no join, no explode") {
+    val p = planOf("dd14_url_dedup")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join"), "canonical-url dedup is a groupBy, not a join")
+    assert(!p.contains("Generate"), "no explode — the projection is per-row")
+  }
+
+  test("dd15 bloom dedup: the candidate split carries might_contain") {
+    val p = planOf("dd15_bloom_dedup")
+    assert(p.contains("might_contain"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q64 orc round-trip: predicates reach the ORC scan") {
+    val p = planOf("q64_orc_roundtrip")
+    assert(p.contains("PushedFilters: ["), p.take(1200))
+    assert(p.contains("c_mktsegment") && p.contains("c_custkey"))
+    assert(p.contains("Format: orc") || p.contains("orc"), "must scan ORC, not parquet")
+  }
+
   // ss2's join shape and q42's origin-side filtering are pinned in
   // SimilarityTextSpec (multi-probe recall/monotonicity) and
   // RestWarehouseSpec (served-rows == slice + probe) respectively — their
   // final plans are scope/checkpoint scans, opaque to a string audit here.
+  // q60/q61 run through ManifestTable commits whose final read is a fresh
+  // parquet scan (plan shape pinned structurally in ManifestTableSpec's
+  // file-granularity CoW test); q63's stream plan is pinned by the gate.
 }
