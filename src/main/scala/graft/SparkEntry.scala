@@ -733,6 +733,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
     }),
 
+    "q65_sync_to_table" -> ((s, dir) => {
+      // the composed LAKEHOUSE SYNC LOOP under one gate: day-1 pull →
+      // overwrite-commit v1; day-2 pull of an OVERLAPPING cursor window
+      // (at-least-once replay) carrying origin-side updates (key%9==0
+      // rows changed) → MERGE commit v2; the version-to-version change
+      // feed is self-gated (adds = the new window, changes = only rows
+      // the update really touched, replayed-unchanged rows produce NO
+      // feed entry — that is what makes at-least-once replay safe), then
+      // the final table goes under the hard oracle.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q65-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      val day1 = customer.where(col("c_custkey").between(1, 800))
+      ManifestTable.overwrite(day1, base, commitId = Some("day1"))
+      val day2 = customer.where(col("c_custkey").between(600, 1500))
+        .withColumn("c_name", when(col("c_custkey") % 9 === 0,
+          upper(col("c_name"))).otherwise(col("c_name")))
+        .withColumn("c_acctbal", when(col("c_custkey") % 9 === 0,
+          col("c_acctbal") + 500.0).otherwise(col("c_acctbal")))
+      ManifestTable.merge(s, base, day2, Seq("c_custkey"))
+      val feed = ManifestTable.changes(s, base, 1L, 2L, "c_custkey")
+        .groupBy("change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expAdd = customer
+        .where(col("c_custkey") > 800 && col("c_custkey") <= 1500).count()
+      val expChg = customer
+        .where(col("c_custkey").between(600, 800) && col("c_custkey") % 9 === 0)
+        .count()
+      require(feed.getOrElse("added", 0L) == expAdd,
+        s"change feed adds ${feed.get("added")} != window $expAdd")
+      require(feed.getOrElse("changed", 0L) == expChg,
+        s"change feed changes ${feed.get("changed")} != updated rows $expChg")
+      require(!feed.contains("removed"), "sync loop must never remove")
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
     "q64_orc_roundtrip" -> ((s, dir) => {
       // ORC warehouse under the gate (q53 gates Csv/Json): customer
       // round-trips through an OrcWarehouse, then a filtered cursor
@@ -2577,6 +2614,17 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_orderstatus""",
+    // q65: the synced table recomputed — day-2 window rows carry the
+    // update where it applied, day-1-only rows keep original values
+    "q65_sync_to_table" ->
+      """SELECT c_custkey,
+         CASE WHEN c_custkey BETWEEN 600 AND 1500 AND c_custkey % 9 = 0
+              THEN upper(c_name) ELSE c_name END AS c_name,
+         c_nationkey,
+         CASE WHEN c_custkey BETWEEN 600 AND 1500 AND c_custkey % 9 = 0
+              THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+         FROM customer WHERE c_custkey BETWEEN 1 AND 1500""",
     "q64_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer
