@@ -103,11 +103,44 @@ object ScaleSmoke {
         li.where(col("l_orderkey") % 20 === i), tbl)))
     time("ManifestTable snapshot read (count)")(
       graft.sources.ManifestTable.read(spark, tbl).count())
+    // copy-on-write MERGE touching ~1/400 of the keys: the win to verify
+    // is that only the files CONTAINING touched keys rewrite — commit
+    // time must track the touched slice, not the table size
+    time("ManifestTable merge 0.25% of keys") {
+      val src = graft.sources.ManifestTable.read(spark, tbl)
+        .where(col("l_orderkey") % 400 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .dropDuplicates("l_orderkey", "l_linenumber")
+      graft.sources.ManifestTable.merge(spark, tbl, src,
+        Seq("l_orderkey", "l_linenumber"))
+    }
     time("ManifestTable compactCommit")(
       graft.sources.ManifestTable.compactCommit(spark, tbl))
     time("ManifestTable expire+vacuum")(
       graft.sources.ManifestTable.expire(tbl, keepLast = 1, vacuumMinAgeMs = 0L)
         ._2.size)
+
+    // ingest-time bloom dedup at volume: the steady-state path where
+    // almost everything is new must not shuffle the whole batch
+    time("dd15 bloom dedup 45k ex / 5k in")(
+      operators.dedup.BloomDedup.newDocs(
+        incoming = docs10.where(col("doc_id") % 10 === 0),
+        existing = docs10.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", expectedItems = 1L << 17).count())
+    // blocked linkage at volume: 150k x 150k candidates bounded by the
+    // (nation, segment) blocks — pairs never materialize beyond a block
+    val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    time("q62 linkage 15k x 15k blocked")(
+      operators.Linkage.linkPairs(cust, cust,
+        Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_custkey",
+        Seq(operators.Linkage.eqLowerRule("c_name", 2200L, -800L),
+          operators.Linkage.withinRule("c_acctbal", 1.0, 1500L, -500L)),
+        threshold = 3000L).count())
+    time("dd14 url dedup 50k docs")(
+      operators.dedup.UrlDedup.dedupByUrl(
+        docs10.withColumn("url", concat(lit("https://site"),
+          col("doc_id") % 997, lit(".example.com/p/"), col("doc_id") % 5000)),
+        "doc_id", "url").count())
 
     spark.stop()
   }
