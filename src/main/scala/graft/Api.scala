@@ -198,6 +198,48 @@ object ApiServer {
                 graft.sources.ManifestTable.expire(tablePath, keepLast = keep)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("expired_versions" -> dropped) ~ ("freed_files" -> freed.length))))
+            case ("POST", List("merge")) =>
+              // MERGE INTO the table from a registered origin resource;
+              // the optional tombstone rule is a (column, value) equality
+              // — a declarative form, never an evaluated expression string
+              implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+              val j = JsonMethods.parse(body(ex))
+              val srcWh = WarehouseRegistry.instance(
+                (j \ "origin" \ "warehouse").extract[String])
+              val srcDf = srcWh.read(spark, (j \ "origin" \ "resource").extract[String])
+              val keys = (j \ "keys").extract[List[String]]
+              val deleteWhen = for {
+                c <- (j \ "delete_when" \ "column").extractOpt[String]
+                v <- (j \ "delete_when" \ "value").extractOpt[String]
+              } yield org.apache.spark.sql.functions.col(c) === v
+              val v = graft.sources.ManifestTable.merge(
+                spark, tablePath, srcDf, keys, deleteWhen)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("merged_version" -> v))))
+            case ("GET", List("changes")) =>
+              // bounded summary of the version-to-version change feed —
+              // the row-level feed is data-sized and flows through pull
+              // configs, not a JSON response
+              val qp = Option(ex.getRequestURI.getRawQuery)
+                .map(_.split("&").flatMap(_.split("=", 2) match {
+                  case Array(k, v) => Some(k -> v)
+                  case _ => scala.None
+                }).toMap).getOrElse(Map.empty)
+              val from = qp.getOrElse("from",
+                throw new IllegalArgumentException("missing 'from'")).toLong
+              val to = qp.getOrElse("to",
+                throw new IllegalArgumentException("missing 'to'")).toLong
+              val key = qp.getOrElse("key",
+                throw new IllegalArgumentException("missing 'key'"))
+              val counts = graft.sources.ManifestTable
+                .changes(spark, tablePath, from, to, key)
+                .groupBy("change_type").count().collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("from" -> from) ~ ("to" -> to) ~
+                  ("added" -> counts.getOrElse("added", 0L)) ~
+                  ("removed" -> counts.getOrElse("removed", 0L)) ~
+                  ("changed" -> counts.getOrElse("changed", 0L)))))
             case _ => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
               "error" -> s"no table route: $m /${rest.mkString("/")}")))
           }

@@ -117,6 +117,45 @@ class ApiServerSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("table merge and change-feed endpoints") {
+    import graft.sources.{ManifestTable, ManifestWarehouse}
+    import spark.implicits._
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-api-merge-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("txlake", "tx lake", "lake", "manifest"),
+      () => ManifestWarehouse("txlake", base))
+    // source rows land in a plain parquet warehouse resource
+    WarehouseRegistry.register(
+      WarehouseMeta("stage", "staging", "lake", "parquet"),
+      () => ParquetWarehouse("stage", base))
+    ManifestTable.overwrite(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), s"$base/items")
+    Seq((2, "B", "U"), (9, "i", "U"), (3, "c", "D")).toDF("k", "s", "op")
+      .write.parquet(s"$base/updates.parquet")
+
+    val api = ApiServer.start(spark)
+    try {
+      val m = Http.post(s"${api.baseUrl}/table/txlake/items/merge", Map.empty,
+        """{"origin": {"warehouse": "stage", "resource": "updates"},
+           "keys": ["k"],
+           "delete_when": {"column": "op", "value": "D"}}""",
+        "application/json")
+      assert(m.contains("\"merged_version\":2"), m)
+      assert(ManifestTable.read(spark, s"$base/items")
+        .select("k", "s").as[(Int, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1, "a"), (2, "B"), (9, "i")))
+      val ch = Http.get(
+        s"${api.baseUrl}/table/txlake/items/changes?from=1&to=2&key=k", Map.empty)
+      assert(ch.contains("\"added\":1") && ch.contains("\"removed\":1") &&
+        ch.contains("\"changed\":1"), ch)
+      // missing params are a client error
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/table/txlake/items/changes?from=1", Map.empty)
+      }.status == 400)
+    } finally api.stop()
+  }
+
   test("unified-fields and auth-schema endpoints; fault statuses split 4xx/5xx") {
     WarehouseRegistry.clear()
     WarehouseRegistry.register(
