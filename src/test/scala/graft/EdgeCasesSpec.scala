@@ -90,6 +90,30 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(scan.inputRDDs().head.getNumPartitions == 0)
   }
 
+  test("merge edge cases: empty source, delete-only, missing table/columns") {
+    import graft.sources.ManifestTable
+    val t = java.nio.file.Files.createTempDirectory("graft-edge-mt-").toString + "/t"
+    ManifestTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "s"), t)
+    // empty source: a valid no-op commit — same content, new version
+    val v2 = ManifestTable.merge(spark, t, Seq.empty[(Int, String)].toDF("k", "s"), Seq("k"))
+    assert(v2 == 2)
+    assert(ManifestTable.read(spark, t).count() == 2)
+    // delete-only merge
+    val v3 = ManifestTable.merge(spark, t,
+      Seq((1, "a", "D")).toDF("k", "s", "op"), Seq("k"),
+      deleteWhen = Some(col("op") === "D"))
+    assert(v3 == 3)
+    assert(ManifestTable.read(spark, t).select("k").as[Int].collect().toSeq == Seq(2))
+    // merging into a never-committed table fails loudly
+    intercept[IllegalStateException] {
+      ManifestTable.merge(spark, t + "-absent", Seq((1, "x")).toDF("k", "s"), Seq("k"))
+    }
+    // a source missing a target column fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, t, Seq(1).toDF("k"), Seq("k"))
+    }
+  }
+
   test("PQ on queries absent from the corpus still ranks deterministically") {
     import spark.implicits._
     val corpus = Tables(spark, sf0001, "embeddings").where(col("vec_id") >= 100)
