@@ -279,8 +279,12 @@ object ManifestTable {
     require(cols.forall(source.columns.contains),
       s"source is missing target columns: ${cols.diff(source.columns.toSeq)}")
     // the tombstone split runs on the RAW source — deleteWhen may
-    // reference columns (an op marker) that are not part of the table
+    // reference columns (an op marker) that are not part of the table.
+    // The checkpoint pins the source for its several consumers below and
+    // is RELEASED before returning (a long-running service doing many
+    // merges must not accumulate checkpoint blocks until GC).
     val raw = source.localCheckpoint()
+    try {
     val dup = raw.groupBy(keyCols.map(col): _*).count()
       .where(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -334,6 +338,7 @@ object ManifestTable {
         throw new IllegalStateException(
           s"concurrent commit during merge onto v${base.version}; retry")
     }
+    } finally graft.operators.IndexScope.release(raw)
   }
 
   /** Change data feed between two committed versions: keyed row-level
