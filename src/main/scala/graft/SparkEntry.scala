@@ -1201,6 +1201,21 @@ object SparkEntry {
       truth
     }),
 
+    "ss11_binary" -> ((s, dir) => {
+      // sign-bit binary embeddings under the gate (ss5's shape): 64-dim
+      // floats become ONE 64-bit word, the scan is popcount(xor) per
+      // pair — the cheapest quantized first stage; exact re-rank of the
+      // top 150, gate ≥ 0.60 mean recall@5, emit truth
+      val emb = Tables(s, dir, "embeddings").where(col("vec_id") < 5000)
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = operators.similarity.Similarity.knnBrute(
+        emb, queries, "vec_id", "embedding", k = 5)
+      val approx = operators.similarity.BinaryHash.knnBinary(
+        emb, queries, "vec_id", "embedding", k = 5, rerank = 150)
+      operators.similarity.Similarity.recallGate(approx, truth, 0.60)
+      truth
+    }),
+
     "ss6_ivfpq_recall" -> ((s, dir) => {
       // IVF-PQ (coarse inverted file + residual PQ), same self-gate shape
       // and the same fixed-size corpus slice rationale as ss5
@@ -1786,6 +1801,7 @@ object SparkEntry {
     "ss5_pq_recall" -> brute5000Oracle,
     "ss6_ivfpq_recall" -> brute5000Oracle,
     "ss10_sq8" -> brute5000Oracle,
+    "ss11_binary" -> brute5000Oracle,
     // ss7/ss8 emit the exact truth over the manifold corpus (see
     // [[manifoldNodes]]): the oracle rebuilds the nodes with the same
     // left-associated double arithmetic and takes the exact top-5 —

@@ -39,6 +39,22 @@ class AsOfIvfSpec extends SparkSpecBase {
     Similarity.recallGate(tight, truth, 0.90)
   }
 
+  test("binary hamming: full-rerank equals brute force; measured recall at tight rerank") {
+    import graft.operators.similarity.{BinaryHash, Similarity}
+    val emb = Tables(spark, sf0001, "embeddings").where(col("vec_id") < 500)
+    val queries = emb.where(col("vec_id") < 10)
+    val truth = Similarity.knnBrute(emb, queries, "vec_id", "embedding", k = 5)
+    val full = BinaryHash.knnBinary(emb, queries, "vec_id", "embedding",
+      k = 5, rerank = 500)
+    assert(full.exceptAll(truth).isEmpty && truth.exceptAll(full).isEmpty)
+    val tight = BinaryHash.knnBinary(emb, queries, "vec_id", "embedding",
+      k = 5, rerank = 50)
+    val per = Similarity.recallGate(tight, truth, 0.0)
+    val mean = per.agg(avg(col("recall"))).head().getDouble(0)
+    info(f"binary-hamming recall@5 at rerank=50/500: $mean%.3f")
+    assert(mean >= 0.5, f"sign-bit rank must beat random: $mean%.3f")
+  }
+
   test("kmeans-trained ivf: subset of brute force, full recall probing all lists") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.where(col("vec_id") < 5)
