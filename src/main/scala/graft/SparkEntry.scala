@@ -770,6 +770,32 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
 
+    "q66_partition_prune" -> ((s, dir) => {
+      // the cursor-date partition-layout lever under the gate: events
+      // written partitioned by event day, an incremental day-window
+      // read back — the scan must touch only the window's partitions
+      // (asserted in-query: files read < files written), and the agg
+      // goes under the oracle. At 100 TB this layout decides whether an
+      // incremental pull scans a day or the archive.
+      val base = java.nio.file.Files.createTempDirectory("graft-q66-").toString
+      val events = Tables(s, dir, "events")
+        .withColumn("event_day", to_date(timestamp_micros(expr("ts div 1000"))))
+      val wh = graft.sources.ParquetWarehouse("lake", base)
+      wh.writePartitioned(events, "events", Seq("event_day"))
+      val slice = wh.read(s, "events")
+        .where(col("event_day").between("2024-01-03", "2024-01-05"))
+      // partition pruning is live: the pruned scan READS fewer files
+      // (input_file_name over the filtered frame = files actually
+      // touched; DataFrame.inputFiles ignores partition filters)
+      val allFiles = wh.read(s, "events")
+        .select(input_file_name()).distinct().count()
+      val prunedFiles = slice.select(input_file_name()).distinct().count()
+      require(prunedFiles < allFiles,
+        s"no pruning: $prunedFiles of $allFiles files")
+      slice.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+    }),
+
     "q64_orc_roundtrip" -> ((s, dir) => {
       // ORC warehouse under the gate (q53 gates Csv/Json): customer
       // round-trips through an OrcWarehouse, then a filtered cursor
@@ -2641,6 +2667,12 @@ object SparkEntry {
               THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal,
          c_mktsegment
          FROM customer WHERE c_custkey BETWEEN 1 AND 1500""",
+    "q66_partition_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+         GROUP BY event_type""",
     "q64_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer
