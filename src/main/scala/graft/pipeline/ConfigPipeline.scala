@@ -137,10 +137,18 @@ object ConfigPipeline {
       // events often land in a lake while the resources live in the SaaS
       // origin — None means the events come from `origin` itself
       eventsOrigin: Option[String] = None,
-      // target SaveMode: "overwrite" (default) or "append" — for a REST
-      // target with updateIdField configured, overwrite routes through
-      // the PUT-update verb and append through POST-create
-      saveMode: String = "overwrite")
+      // target SaveMode: "overwrite" (default), "append", or "merge" —
+      // for a REST target with updateIdField configured, overwrite
+      // routes through the PUT-update verb and append through
+      // POST-create; "merge" requires a manifest (transactional) target
+      // and `merge_keys`, and runs the copy-on-write MERGE INTO commit
+      // (push-as-upsert onto a versioned sink)
+      saveMode: String = "overwrite",
+      mergeKeys: Seq[String] = Nil,
+      // declarative tombstone rule for merge: rows where column == value
+      // DELETE their match instead of upserting
+      deleteWhenColumn: Option[String] = None,
+      deleteWhenValue: Option[String] = None)
 
   private def parseStrings(v: JValue, what: String): Seq[String] = v match {
     case JArray(items) => items.map {
@@ -167,7 +175,10 @@ object ConfigPipeline {
       required = parseStrings(j \ "required", "required"),
       dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false },
       eventsOrigin = opt(j \ "events_origin"),
-      saveMode = opt(j \ "save_mode").getOrElse("overwrite"))
+      saveMode = opt(j \ "save_mode").getOrElse("overwrite"),
+      mergeKeys = parseStrings(j \ "merge_keys", "merge_keys"),
+      deleteWhenColumn = opt(j \ "delete_when" \ "column"),
+      deleteWhenValue = opt(j \ "delete_when" \ "value"))
   }
 
   def runPush(spark: SparkSession, cfg: PushConfig): (DataFrame, Option[DataFrame]) = {
@@ -205,14 +216,27 @@ object ConfigPipeline {
       case other =>
         throw new IllegalArgumentException(s"unknown push mode: $other")
     }
-    val mode = cfg.saveMode match {
-      case "overwrite" => SaveMode.Overwrite
-      case "append"    => SaveMode.Append
+    if (!cfg.dryRun) cfg.saveMode match {
+      case "overwrite" =>
+        WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Overwrite)
+      case "append" =>
+        WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Append)
+      case "merge" =>
+        val mw = WarehouseRegistry.instance(cfg.target) match {
+          case m: graft.sources.ManifestWarehouse => m
+          case other => throw new IllegalArgumentException(
+            s"save_mode 'merge' needs a manifest target, got '${other.name}'")
+        }
+        if (cfg.mergeKeys.isEmpty) throw new IllegalArgumentException(
+          "save_mode 'merge' needs merge_keys")
+        val deleteWhen = for {
+          c <- cfg.deleteWhenColumn; v <- cfg.deleteWhenValue
+        } yield org.apache.spark.sql.functions.col(c) === v
+        graft.sources.ManifestTable.merge(spark,
+          s"${mw.baseDir}/${cfg.resource}", out, cfg.mergeKeys, deleteWhen)
       case other => throw new IllegalArgumentException(
-        s"unknown save_mode: $other (overwrite|append)")
+        s"unknown save_mode: $other (overwrite|append|merge)")
     }
-    if (!cfg.dryRun)
-      WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, mode)
     (out, counters)
   }
 

@@ -163,6 +163,47 @@ class SourcesConfigSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, s"$tbl/orders").count() == v1Rows)
   }
 
+  test("config push with save_mode merge upserts into a manifest target") {
+    import graft.sources.{ManifestTable, ManifestWarehouse}
+    import spark.implicits._
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-cfg-merge-").toString
+    // seed the versioned target and a staging origin with updates
+    ManifestTable.overwrite(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), s"$base/items")
+    Seq((2, "B", "U"), (9, "i", "U"), (3, "c", "D")).toDF("k", "s", "op")
+      .write.parquet(s"$base/items.parquet")
+    WarehouseRegistry.register(
+      WarehouseMeta("stage", "staging", "lake", "parquet"),
+      () => ParquetWarehouse("stage", base))
+    WarehouseRegistry.register(
+      WarehouseMeta("txlake", "tx lake", "lake", "manifest"),
+      () => ManifestWarehouse("txlake", base))
+    val (_, counters) = ConfigPipeline.runPush(spark, s"""{
+      "resource": "items",
+      "origin": "stage", "target": "txlake",
+      "mode": "resources", "save_mode": "merge",
+      "merge_keys": ["k"],
+      "delete_when": {"column": "op", "value": "D"}
+    }""")
+    assert(counters.isDefined)
+    assert(ManifestTable.versions(s"$base/items") == Seq(1L, 2L))
+    assert(ManifestTable.read(spark, s"$base/items")
+      .select("k", "s").as[(Int, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "B"), (9, "i")))
+    // merge without keys / onto a non-manifest target fails loudly
+    intercept[IllegalArgumentException] {
+      ConfigPipeline.runPush(spark, s"""{
+        "resource": "items", "origin": "stage", "target": "txlake",
+        "mode": "resources", "save_mode": "merge"}""")
+    }
+    intercept[IllegalArgumentException] {
+      ConfigPipeline.runPush(spark, s"""{
+        "resource": "items", "origin": "stage", "target": "stage",
+        "mode": "resources", "save_mode": "merge", "merge_keys": ["k"]}""")
+    }
+  }
+
   test("CLI push command runs end-to-end and prints PushResult counters") {
     WarehouseRegistry.clear()
     val outDir = Files.createTempDirectory("graft-cli-push-").toString
