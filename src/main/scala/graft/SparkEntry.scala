@@ -552,6 +552,30 @@ object SparkEntry {
       } finally fx.stop()
     }),
 
+    "q67_rest_sync" -> ((s, dir) => {
+      // the REST WRITE path under the gate: the origin starts EMPTY, a
+      // filtered slice pushes through the batched POST path (executors
+      // write), then the SAME origin serves it back with origin-side
+      // filtering — the full sync loop through a live HTTP collection
+      // endpoint; the oracle recomputes the round-trip from the source
+      // table
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+      val fx = graft.sources.RestFixture.serve(
+        customer.limit(0), "customer", "c_custkey", writable = true)
+      try {
+        val wh = graft.sources.RestWarehouse("fixture", fx.baseUrl,
+          pageSize = 64, writeBatchSize = 100)
+        wh.write(customer.where(col("c_mktsegment") === "FURNITURE" &&
+            col("c_custkey").between(50, 1000)), "customer",
+          org.apache.spark.sql.SaveMode.Append)
+        wh.readSlice(s, "customer",
+          conditions = Seq(Condition("c_nationkey", Op.In, Seq(0, 1, 2, 3, 4, 5, 6, 7))),
+          schema = Some(customer.schema)).localCheckpoint()
+      } finally fx.stop()
+    }),
+
     "q48_rest_push_events" -> ((s, dir) => {
       // EVENTS-mode push against a LIVE origin (the reference's full
       // event push: fetch natives BY ID over HTTP, then format + filter
@@ -2698,6 +2722,11 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
          FROM customer
          WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey BETWEEN 150 AND 1200""",
+    "q67_rest_sync" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+         FROM customer
+         WHERE c_mktsegment = 'FURNITURE' AND c_custkey BETWEEN 50 AND 1000
+           AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7)""",
     "q45_incremental" ->
       """WITH f AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),

@@ -42,6 +42,9 @@ final class RestFixture private (
   val postedBatches = new AtomicLong(0)
   val putRows = new ConcurrentLinkedQueue[String]()
   val putBatches = new AtomicLong(0)
+  // writable mode: POSTed records parsed into servable (json, fields)
+  private[sources] val postedRecs =
+    new ConcurrentLinkedQueue[(String, Map[String, Any])]()
   private[sources] val validTokens = new ConcurrentLinkedQueue[String]()
 
   /** Revoke every bearer issued so far: the next data request carrying one
@@ -86,7 +89,11 @@ object RestFixture {
       // simulate a broken origin that never advances: every keyset page
       // re-serves offset 0 and re-issues the same continuation token —
       // lets specs pin the client's infinite-loop guard
-      keysetStuck: Boolean = false): RestFixture = {
+      keysetStuck: Boolean = false,
+      // writable origins SERVE what clients POST (a real collection
+      // endpoint, not a write-only sink) — lets gates round-trip the
+      // write path: push a slice, pull it back, oracle the result
+      writable: Boolean = false): RestFixture = {
     val names = df.columns.toSeq
     val collected = df
       .select(to_json(struct(names.map(col): _*)).as("__json") +: names.map(col): _*)
@@ -108,6 +115,13 @@ object RestFixture {
     server.setExecutor(pool)
     val fx = new RestFixture(server, pool, resource, keyset, keysetStuck)
     val validTokens = fx.validTokens
+    // writable origins merge POSTed records into the served collection
+    def liveRecs: Seq[Rec] = {
+      val extra = fx.postedRecs.asScala.map { case (j, f) => Rec(j, f) }.toSeq
+      if (extra.isEmpty) recs.toSeq
+      else (recs.toSeq ++ extra).sortWith((a, b) =>
+        cmpAny(a.fields(cursorField), b.fields(cursorField)) < 0)
+    }
 
     def authorized(ex: HttpExchange): Boolean = {
       val ok1 = requiredHeader.forall { case (k, v) =>
@@ -128,7 +142,20 @@ object RestFixture {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val arr = Http.mapper.readTree(body)
           require(arr.isArray, "POST body must be a JSON array")
-          arr.elements().asScala.foreach(n => fx.postedRows.add(n.toString))
+          arr.elements().asScala.foreach { n =>
+            fx.postedRows.add(n.toString)
+            if (writable) {
+              def v(x: com.fasterxml.jackson.databind.JsonNode): Any =
+                if (x.isIntegralNumber) x.asLong
+                else if (x.isNumber) x.asDouble
+                else if (x.isNull) null
+                else if (x.isBoolean) x.asBoolean
+                else x.asText
+              val fields = n.properties().asScala
+                .map(e => e.getKey -> v(e.getValue)).toMap
+              fx.postedRecs.add(n.toString -> fields)
+            }
+          }
           fx.postedBatches.incrementAndGet()
           respond(ex, 200, s"""{"accepted":${arr.size()}}""")
         } else if (ex.getRequestMethod == "PUT") {
@@ -176,7 +203,7 @@ object RestFixture {
           val filters = params.filterNot { case (k, _) =>
             k == "page" || k == "limit" || k == "sort_by"
           }
-          val matched = recs.filter(r => filters.forall(f => eval(r.fields, cursorField, f)))
+          val matched = liveRecs.filter(r => filters.forall(f => eval(r.fields, cursorField, f)))
           val ordered = if (sortDesc) matched.reverse else matched
           val slice = ordered.slice(((page - 1) * limit).toInt, (page * limit).toInt)
           fx.servedRows.addAndGet(slice.length.toLong)

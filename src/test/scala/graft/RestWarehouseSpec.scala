@@ -117,6 +117,29 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx.stop()
   }
 
+  test("writable origin serves pushed rows back: write → read round-trip") {
+    val fx = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
+      writable = true)
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 32,
+        writeBatchSize = 50)
+      val slice = customer.where(col("c_nationkey") < 5)
+      wh.write(slice, "customer", SaveMode.Append)
+      assert(fx.postedRows.size() == slice.count())
+      val back = wh.readSlice(spark, "customer",
+        schema = Some(customer.schema)).localCheckpoint()
+      assert(back.count() == slice.count())
+      assert(back.except(slice).isEmpty && slice.except(back).isEmpty)
+      // origin-side filtering works over POSTED records too
+      val filtered = wh.readSlice(spark, "customer",
+        conditions = Seq(Condition("c_mktsegment", Op.Eq, "BUILDING")),
+        schema = Some(customer.schema)).localCheckpoint()
+      val expected = slice.where(col("c_mktsegment") === "BUILDING")
+      assert(filtered.count() == expected.count())
+      assert(filtered.except(expected).isEmpty)
+    } finally fx.stop()
+  }
+
   test("read without schema infers and returns the full resource") {
     val fx = RestFixture.serve(customer, "customer", "c_custkey")
     try {
