@@ -985,6 +985,21 @@ object SparkEntry {
         Seq("o_orderstatus", "o_totalprice"))
     }),
 
+    "q68_outliers" -> ((s, dir) =>
+      // distributional DQ after q51's structural profile: per-priority
+      // order totals more than 3 sample-σ from their group mean. The
+      // raw table is near-uniform (max |z| ≈ 1.8 — nothing to flag), so
+      // a corrupted-sync twin column injects 25× anomalies on 0.1% of
+      // keys; the flag must catch EXACTLY those. Exact decimal
+      // (n, Σx, Σx²) per group + a fixed double test expression ⇒ the
+      // oracle reproduces the flags bit-for-bit.
+      operators.Outliers.flag(
+        Tables(s, dir, "orders").withColumn("o_total_syncd",
+          when(col("o_orderkey") % 997 === 0, col("o_totalprice") * 25.0)
+            .otherwise(col("o_totalprice"))),
+        groupCols = Seq("o_orderpriority"), valueCol = "o_total_syncd",
+        z = 3.0, keep = Seq("o_orderkey", "o_total_syncd"))),
+
     "q51_dq_profile" -> ((s, dir) => {
       // batch-validation profile: one scan → per-column nulls / exact
       // distincts / min-max; a null-injected twin column exercises the
@@ -2410,6 +2425,27 @@ object SparkEntry {
            CASE WHEN added OR removed THEN '' ELSE cc END AS changed_cols
          FROM j
          WHERE NOT (NOT added AND NOT removed AND cc = '')""",
+    // q68: same exact-decimal-sums-then-fixed-double-test shape
+    "q68_outliers" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 25.0
+                  ELSE o_totalprice END AS o_total_syncd
+           FROM orders),
+         st AS (
+           SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(o_total_syncd AS DECIMAL(19,2))) AS s,
+             sum(CAST(o_total_syncd AS DECIMAL(19,2)) *
+                 CAST(o_total_syncd AS DECIMAL(19,2))) AS s2
+           FROM o GROUP BY o_orderpriority)
+         SELECT o.o_orderkey, o.o_total_syncd, o.o_orderpriority,
+                CAST(st.n AS BIGINT) AS n
+         FROM o JOIN st ON o.o_orderpriority = st.o_orderpriority
+         WHERE st.n >= 2 AND
+           (CAST(o.o_total_syncd AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+           * (CAST(o.o_total_syncd AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+           > 9.0 * ((CAST(st.s2 AS DOUBLE) - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                     / CAST(st.n AS DOUBLE)) / (CAST(st.n AS DOUBLE) - 1.0))""",
     "q51_dq_profile" ->
       """WITH t AS (SELECT *,
            CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS o_status_opt
