@@ -837,6 +837,35 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
 
+    "q69_stream_session_window" -> ((s, dir) => {
+      // the SIXTH streaming family under the gate: Spark's NATIVE
+      // session_window aggregation (merge-on-overlap session state —
+      // the built-in complement of q47's custom flatMapGroupsWithState
+      // sessionizer). Complete mode + one AvailableNow batch ⇒ every
+      // session emits; the oracle reproduces Spark's merge rule (a gap
+      // EXACTLY equal to the threshold starts a NEW session: merge only
+      // when next < end) at micros precision.
+      import org.apache.spark.sql.streaming.Trigger
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.streaming.EventStream.source(s2, dir, schema,
+        globFilter = Some("events.parquet"))
+      val agg = src.withWatermark("event_time", "1 hour")
+        .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+        .select(unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("user_id"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+      val sink = s"q69_stream_${System.nanoTime()}"
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      out
+    }),
+
     "q63_stream_push" -> ((s, dir) => {
       // STREAM-STATIC push join under the gate (the FIFTH streaming
       // family): continuous events-mode push — event stream inner-joined
@@ -2737,6 +2766,26 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer
          WHERE c_mktsegment = 'MACHINERY' AND c_custkey BETWEEN 100 AND 1100""",
+    // q69: Spark's session merge rule is "merge only when next < end",
+    // so a gap of exactly 30min starts a new session (>= in the oracle);
+    // event_time is ts truncated to micros
+    "q69_stream_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us,
+             CAST(value AS DECIMAL(18,4)) AS v FROM events),
+         g AS (
+           SELECT user_id, event_id, ts, us, v,
+             CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, us, v,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT min(us) AS start_us, max(us) + 1800000000 AS end_us, user_id,
+           count(*) AS n_events, round(CAST(sum(v) AS DOUBLE), 4) AS sum_value
+         FROM s GROUP BY user_id, sid""",
     "q63_stream_push" ->
       """SELECT event_id, user_id, c_name AS resource_name,
          c_mktsegment AS segment, event_type
