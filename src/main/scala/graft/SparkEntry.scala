@@ -2126,8 +2126,9 @@ object SparkEntry {
            END AS url FROM documents),
          s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS url FROM u),
          s2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-             url, '[?&](utm_[a-z]+|fbclid|ref)=[^&#]*', ''),
-             '\?&', '?'), '[?&]$', '') AS url FROM s1),
+             url, '\?', '&'),
+             '&(utm_[a-z]+|fbclid|ref)=[^&#]*', '', 'g'),
+             '^([^&]*)&', '\1?') AS url FROM s1),
          s3 AS (SELECT doc_id, regexp_replace(url, '^http://', 'https://') AS url FROM s2),
          s4 AS (SELECT doc_id,
            'https://' ||

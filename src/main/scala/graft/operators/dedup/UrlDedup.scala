@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   * drops every other column at the scan. */
 object UrlDedup {
 
-  // shared with the oracle: RE2-safe, no backrefs/lookarounds
+  // shared with the oracle: RE2-safe, no backrefs/lookarounds. The
+  // tracking strip normalizes '?' to '&' FIRST so every param match has
+  // the same '&'-prefixed shape (a position-dependent '?p=v&' repair
+  // cannot be expressed in one RE2 pass without lookarounds), then
+  // restores '?' on the first surviving separator via an ANCHORED
+  // replace (^ matches once even under replace-all semantics).
   val FragmentRe = "#.*"
-  val TrackingRe = "[?&](utm_[a-z]+|fbclid|ref)=[^&#]*"
-  val DanglingAmpRe = "\\?&"
-  val TrailingSepRe = "[?&]$"
+  val QueryStartRe = "\\?"
+  val TrackingRe = "&(utm_[a-z]+|fbclid|ref)=[^&#]*"
+  val RestoreQueryRe = "^([^&]*)&"
   val SchemeRe = "^http://"
   val AuthorityRe = "^https://([^/?#]*)"
   val WwwRe = "^www\\."
@@ -40,9 +45,9 @@ object UrlDedup {
     val noFrag = regexp_replace(u, FragmentRe, "")
     val noTrack = regexp_replace(
       regexp_replace(
-        regexp_replace(noFrag, TrackingRe, ""),
-        DanglingAmpRe, "?"),
-      TrailingSepRe, "")
+        regexp_replace(noFrag, QueryStartRe, "&"),
+        TrackingRe, ""),
+      RestoreQueryRe, "$1?")
     val https = regexp_replace(noTrack, SchemeRe, "https://")
     val host = regexp_replace(
       lower(regexp_extract(https, AuthorityRe, 1)), WwwRe, "")

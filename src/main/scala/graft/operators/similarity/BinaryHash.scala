@@ -26,11 +26,7 @@ object BinaryHash {
 
   private def unit(df: DataFrame, idCol: String, vecCol: String,
       idAlias: String, vecAlias: String): DataFrame =
-    df.select(col(idCol).as(idAlias), toDouble(col(vecCol)).as("__v"))
-      .select(col(idAlias), col("__v"),
-        sqrt(dot(col("__v"), col("__v"))).as("__n"))
-      .select(col(idAlias),
-        transform(col("__v"), x => x / col("__n")).as(vecAlias))
+    PqCommon.unitTable(df, idCol, toDouble(col(vecCol)), idAlias, vecAlias)
 
   /** Sign-bit codes: one BIGINT per 64 dimensions (array for d > 64). */
   private def codeExpr(vecCol: String, dim: Int): org.apache.spark.sql.Column = {

@@ -34,11 +34,7 @@ object ScalarQuantization {
 
   private def unit(df: DataFrame, idCol: String, vecCol: String,
       idAlias: String, vecAlias: String): DataFrame =
-    df.select(col(idCol).as(idAlias), toDouble(col(vecCol)).as("__v"))
-      .select(col(idAlias), col("__v"),
-        sqrt(dot(col("__v"), col("__v"))).as("__n"))
-      .select(col(idAlias),
-        transform(col("__v"), x => x / col("__n")).as(vecAlias))
+    PqCommon.unitTable(df, idCol, toDouble(col(vecCol)), idAlias, vecAlias)
 
   def knnSq8(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, rerank: Int = 50): DataFrame =

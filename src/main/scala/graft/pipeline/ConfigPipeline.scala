@@ -216,10 +216,14 @@ object ConfigPipeline {
       case other =>
         throw new IllegalArgumentException(s"unknown push mode: $other")
     }
-    if (!cfg.dryRun) cfg.saveMode match {
-      case "overwrite" =>
+    // the write ACTION resolves and validates even under dry_run — a dry
+    // run exists to catch config errors (unknown save_mode, merge onto a
+    // non-manifest target, missing merge_keys) BEFORE a real deploy; only
+    // the side effect is skipped
+    val write: () => Unit = cfg.saveMode match {
+      case "overwrite" => () =>
         WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Overwrite)
-      case "append" =>
+      case "append" => () =>
         WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Append)
       case "merge" =>
         val mw = WarehouseRegistry.instance(cfg.target) match {
@@ -232,11 +236,12 @@ object ConfigPipeline {
         val deleteWhen = for {
           c <- cfg.deleteWhenColumn; v <- cfg.deleteWhenValue
         } yield org.apache.spark.sql.functions.col(c) === v
-        graft.sources.ManifestTable.merge(spark,
-          s"${mw.baseDir}/${cfg.resource}", out, cfg.mergeKeys, deleteWhen)
+        () => { graft.sources.ManifestTable.merge(spark,
+          s"${mw.baseDir}/${cfg.resource}", out, cfg.mergeKeys, deleteWhen); () }
       case other => throw new IllegalArgumentException(
         s"unknown save_mode: $other (overwrite|append|merge)")
     }
+    if (!cfg.dryRun) write()
     (out, counters)
   }
 

@@ -65,14 +65,22 @@ object ManifestTable {
   }
 
   // Manifests are immutable once published (atomic link/rename, never
-  // rewritten), so parsed forms are cached by absolute path — the commit
-  // replay check scans N manifests per commit, and without the cache an
-  // N-batch stream pays O(N^2) JSON parses.
+  // rewritten), so parsed forms are cached — the commit replay check
+  // scans N manifests per commit, and without the cache an N-batch
+  // stream pays O(N^2) JSON parses. The key carries size+mtime so a
+  // table dropped OUT-OF-BAND (rm -rf) and re-created at the same path
+  // never serves a stale manifest to a long-running service: the
+  // re-created v<N>.json has a different mtime and misses the cache.
   private val parseCache =
     new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
 
+  private def cacheKey(p: Path): String = {
+    val abs = p.toAbsolutePath.toString
+    s"$abs:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+  }
+
   private def parse(p: Path): Manifest = {
-    val key = p.toAbsolutePath.toString
+    val key = cacheKey(p)
     val hit = parseCache.get(key)
     if (hit != null) return hit
     import org.json4s._
@@ -285,14 +293,21 @@ object ManifestTable {
     // merges must not accumulate checkpoint blocks until GC).
     val raw = source.localCheckpoint()
     try {
-    val dup = raw.groupBy(keyCols.map(col): _*).count()
-      .where(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"source has duplicate merge key ${dup.headOption.map(_.get(0))}")
     val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
       .select(cols.map(col): _*)
     val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
       .getOrElse(raw).select(cols.map(col): _*)
+    // the keyed contract holds AFTER the tombstone split: a delete and a
+    // re-insert of the same key in one batch is the legitimate CDC shape
+    // and processes unambiguously (delete first, then upsert-as-insert);
+    // a duplicate WITHIN either split would make "the" update ambiguous
+    Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
+      case (side, df) =>
+        val dup = df.groupBy(keyCols.map(col): _*).count()
+          .where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"source has duplicate $side merge key ${dup.headOption.map(_.get(0))}")
+    }
     val src = raw.select(cols.map(col): _*)
 
     // (1) which files contain a source key? (file names only — the
@@ -322,9 +337,12 @@ object ManifestTable {
       .select(cols.map(c =>
         when(col("__u").isNotNull, col(s"__u.$c")).otherwise(col(c)).as(c)): _*)
 
-    // (3) inserts: source keys matching no target row
+    // (3) inserts: upsert keys matching no SURVIVING target row — the
+    // anti-join runs against afterDelete, not touchedRows, so a key
+    // deleted and re-inserted in the same batch really re-inserts
+    // (untouched files hold no source key by construction of `touched`)
     val inserts = upserts.join(
-      touchedRows.select(keyCols.map(col): _*), keyCols, "left_anti")
+      afterDelete.select(keyCols.map(col): _*), keyCols, "left_anti")
 
     // (4) stage + publish (optimistic, conflict-checked like compactCommit)
     val staged = stage(rewritten.unionByName(inserts), path)
@@ -365,7 +383,7 @@ object ManifestTable {
     val dropped = vs.dropRight(keepLast)
     dropped.foreach { v =>
       val p = manifestDir(path).resolve(f"v$v%08d.json")
-      parseCache.remove(p.toAbsolutePath.toString)
+      parseCache.remove(cacheKey(p))
       Files.delete(p)
     }
     (dropped, vacuum(path, vacuumMinAgeMs))

@@ -183,7 +183,7 @@ object RestFixture {
           val filters = params.filterNot { case (k, _) =>
             k == "cursor" || k == "limit" || k == "sort_by" || k == "page"
           }
-          val matched = recs.filter(r => filters.forall(f => eval(r.fields, cursorField, f)))
+          val matched = liveRecs.filter(r => filters.forall(f => eval(r.fields, cursorField, f)))
           val effOff = if (fx.keysetStuck) 0L else off
           val slice = matched.slice(effOff.toInt, effOff.toInt + limit)
           fx.servedRows.addAndGet(slice.length.toLong)

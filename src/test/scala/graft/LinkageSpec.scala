@@ -58,13 +58,20 @@ class LinkageSpec extends SparkSpecBase {
       "https://www.site1.example.com/p/1?utm_source=x",
       "https://site1.example.com/p/1#frag",
       "https://site1.example.com/p/1?a=1&utm_campaign=z&b=2",
-      "https://other.com/q").toDF("u")
+      "https://other.com/q",
+      "https://site1.example.com/p/1?utm_source=x&a=1&b=2",
+      "https://site1.example.com/p/1?utm_a=1&utm_b=2&a=1").toDF("u")
     val out = urls.select(UrlDedup.canonicalize(col("u")).as("c"))
       .as[String].collect().toSeq
     assert(out.take(4).toSet == Set("https://site1.example.com/p/1"))
     // a tracking param BETWEEN real params: separators repaired
     assert(out(4) == "https://site1.example.com/p/1?a=1&b=2")
     assert(out(5) == "https://other.com/q")
+    // tracking param FIRST, real params after: '?' is restored onto the
+    // first surviving separator, never left dangling or malformed
+    assert(out(6) == "https://site1.example.com/p/1?a=1&b=2")
+    // several consecutive tracking params, all first
+    assert(out(7) == "https://site1.example.com/p/1?a=1")
   }
 
   test("dedupByUrl keeps the smallest id per canonical URL") {

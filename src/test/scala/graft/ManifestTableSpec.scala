@@ -131,6 +131,25 @@ class ManifestTableSpec extends SparkSpecBase {
     }
   }
 
+  test("merge: delete-then-reinsert of one key in a single batch") {
+    val t = table()
+    ManifestTable.overwrite(Seq((1, "old"), (2, "keep")).toDF("k", "s"), t)
+    // the legitimate CDC shape: tombstone k=1 AND re-insert it with new
+    // values in one commit — unique per key within each split
+    val src = Seq((1, "old", "D"), (1, "new", "U")).toDF("k", "s", "op")
+    ManifestTable.merge(spark, t, src, Seq("k"),
+      deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    val out = ManifestTable.read(spark, t)
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "new"), (2, "keep")))
+    // duplicates WITHIN a split stay rejected
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, t,
+        Seq((5, "x", "U"), (5, "y", "U")).toDF("k", "s", "op"), Seq("k"),
+        deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    }
+  }
+
   test("merge is copy-on-write at file granularity: untouched files survive") {
     val t = table()
     // three commits → at least three distinct data files with known keys

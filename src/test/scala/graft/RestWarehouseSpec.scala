@@ -140,6 +140,22 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx.stop()
   }
 
+  test("writable origin serves pushed rows through KEYSET pagination too") {
+    val fx = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
+      keyset = true, writable = true)
+    try {
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 16,
+        writeBatchSize = 50, nextCursorField = Some("next_cursor"))
+      val slice = customer.where(col("c_nationkey") < 4)
+      wh.write(slice, "customer", SaveMode.Append)
+      val back = wh.readSlice(spark, "customer",
+        schema = Some(customer.schema)).localCheckpoint()
+      assert(back.count() == slice.count() && back.count() > 16,
+        "round-trip must span multiple token hops")
+      assert(back.except(slice).isEmpty && slice.except(back).isEmpty)
+    } finally fx.stop()
+  }
+
   test("read without schema infers and returns the full resource") {
     val fx = RestFixture.serve(customer, "customer", "c_custkey")
     try {
