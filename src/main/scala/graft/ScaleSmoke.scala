@@ -120,6 +120,48 @@ object ScaleSmoke {
       graft.sources.ManifestTable.expire(tbl, keepLast = 1, vacuumMinAgeMs = 0L)
         ._2.size)
 
+    // file-stats DATA SKIPPING at volume: a keyed slice over a
+    // range-laid-out 600k-row table must OPEN a few files, not the
+    // table — the decision is made in manifest metadata before any scan
+    val dsTbl = java.nio.file.Files.createTempDirectory("graft-smoke-ds-")
+      .toString + "/t"
+    time("ManifestTable range-layout 600k")(
+      graft.sources.ManifestTable.overwrite(
+        li.repartitionByRange(64, col("l_orderkey")), dsTbl))
+    time("q70 data-skipped slice read") {
+      import graft.conditions.{Condition, Op}
+      val conds = Seq(Condition("l_orderkey", Op.Gte, 100000L),
+        Condition("l_orderkey", Op.Lte, 110000L))
+      val (sc, tot) = graft.sources.ManifestTable.pruneCount(dsTbl, conds)
+      require(sc * 4 < tot, s"weak pruning: $sc of $tot files survive")
+      val n = graft.sources.ManifestTable.readWhere(spark, dsTbl, conds).count()
+      s"$n rows from $sc/$tot files"
+    }
+    // incremental MV maintenance at volume: refresh cost rides the
+    // 0.25% merge delta (file-pruned change feed), never the table
+    time("q71 incremental MV from 0.25% merge") {
+      val src = graft.sources.ManifestTable.read(spark, dsTbl)
+        .where(col("l_orderkey") % 400 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .withColumn("l_extendedprice", col("l_extendedprice") * 2)
+        .dropDuplicates("l_orderkey", "l_linenumber")
+      graft.sources.ManifestTable.merge(spark,
+        dsTbl, src, Seq("l_orderkey", "l_linenumber"))
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val mv1 = operators.IncrementalAgg.materialize(
+        graft.sources.ManifestTable.read(spark, dsTbl, Some(1L)), dims, ms)
+      // the feed reads only the files the merge touched (file-pruned)
+      val feed = graft.sources.ManifestTable.changesWithValues(
+        spark, dsTbl, 1L, 2L, Seq("l_orderkey", "l_linenumber"))
+      val mv2 = operators.IncrementalAgg.applyDelta(mv1, feed, dims, ms)
+      val full = operators.IncrementalAgg.materialize(
+        graft.sources.ManifestTable.read(spark, dsTbl, Some(2L)), dims, ms)
+      val drift = mv2.exceptAll(full).count() + full.exceptAll(mv2).count()
+      require(drift == 0, s"MV drifted: $drift")
+      s"${mv2.count()} groups, drift 0"
+    }
+
     // ingest-time bloom dedup at volume: the steady-state path where
     // almost everything is new must not shuffle the whole batch
     time("dd15 bloom dedup 45k ex / 5k in")(

@@ -820,6 +820,156 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
     }),
 
+    "q70_data_skipping" -> ((s, dir) => {
+      // file-level min/max DATA SKIPPING under the gate — the
+      // Delta/Iceberg stats-pruning read: orders committed
+      // range-partitioned on o_orderkey, so each data file carries a
+      // tight key range in its manifest stats (harvested from the
+      // parquet footers the write already produced); a selective
+      // key-window readWhere must OPEN fewer files than the table holds
+      // — asserted from manifest metadata BEFORE any scan plans — and
+      // the agg goes under the oracle. q66 prunes on the partition
+      // DIRECTORY layout; this prunes on per-file stats, which also
+      // works for columns the table is not partitioned by. At 100 TB
+      // the two together decide whether a keyed pull reads files or
+      // the archive.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q70-").toString + "/t"
+      val orders = Tables(s, dir, "orders")
+      ManifestTable.overwrite(
+        orders.repartitionByRange(16, col("o_orderkey")), base)
+      val conds = Seq(
+        Condition("o_orderkey", Op.Gte, 1000L),
+        Condition("o_orderkey", Op.Lte, 4000L))
+      val (scanned, total) = ManifestTable.pruneCount(base, conds)
+      require(scanned < total, s"no data skipping: $scanned of $total files")
+      ManifestTable.readWhere(s, base, conds)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
+    }),
+
+    "q71_incr_mv" -> ((s, dir) => {
+      // incremental materialized-view maintenance under the gate: MV1
+      // aggregates table v1; the q60-shaped merge commits v2; the MV
+      // refreshes by applying the FILE-PRUNED value-carrying change
+      // feed as signed deltas (IncrementalAgg.applyDelta) — it never
+      // rescans v2 (the feed reads only files the merge touched). The
+      // in-query gate proves the refreshed MV row-for-row equals the
+      // full recompute, then the refreshed MV goes under the oracle.
+      // At 100 TB this is how rollups stay fresh after a 0.1% merge.
+      import graft.sources.ManifestTable
+      import graft.operators.IncrementalAgg
+      val base = java.nio.file.Files.createTempDirectory("graft-q71-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, base, updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D"))
+      val dims = Seq("c_mktsegment")
+      val measures = Seq("c_acctbal")
+      val mv1 = IncrementalAgg.materialize(
+        ManifestTable.read(s, base, Some(1L)), dims, measures)
+      val feed = ManifestTable.changesWithValues(s, base, 1L, 2L, "c_custkey")
+      val mv2 = IncrementalAgg.applyDelta(mv1, feed, dims, measures)
+        .localCheckpoint()
+      val full = IncrementalAgg.materialize(
+        ManifestTable.read(s, base, Some(2L)), dims, measures)
+      val drift = mv2.exceptAll(full).count() + full.exceptAll(mv2).count()
+      require(drift == 0, s"incremental refresh drifted from recompute: $drift rows")
+      mv2.select(col("c_mktsegment"), col("n").as("n_cust"),
+        col("sum_c_acctbal").cast("double").as("bal"))
+    }),
+
+    "q72_stream_merge" -> ((s, dir) => {
+      // SEVENTH hard-gated streaming family — streaming CDC UPSERT (the
+      // MERGE-in-foreachBatch pattern of every production Delta/Iceberg
+      // CDC sink): customer committed as v1, the q60 change batch
+      // written as a file-stream source, each micro-batch merged into
+      // the versioned table with an idempotent commit id
+      // (StreamSync.startMergeToTable). One AvailableNow batch ⇒ one
+      // merge ⇒ the table equals the batch merge, so q60's oracle
+      // checks the streaming path exactly.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q72-").toString
+      val base = s"$tmp/t"
+      val cdcDir = s"$tmp/cdc"
+      val ckpt = s"$tmp/ckpt"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      updates.unionByName(inserts).unionByName(deletes).write.parquet(cdcDir)
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(cdcDir).schema
+      val src = s2.readStream.schema(schema).parquet(cdcDir)
+      graft.streaming.StreamSync.startMergeToTable(
+        src, base, Seq("c_custkey"), ckpt,
+        deleteWhen = Some(col("op") === "D"),
+        trigger = Trigger.AvailableNow()).awaitTermination()
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
+    "q73_sketches" -> ((s, dir) => {
+      // the SKETCH path for 100 TB profiling under the gate: HLL++
+      // approx_count_distinct and quantile-sketch approx_percentile are
+      // the shapes that survive a 1000-executor distinct/quantile —
+      // fixed-size mergeable partial state instead of shuffling every
+      // distinct value — and q27/q26 already hold the exact twins. The
+      // in-query gate proves each group's sketch lands inside its
+      // published error bound against the exact answer (HLL: 5·rsd
+      // relative; percentile: rank error ≤ n/accuracy), then the EXACT
+      // values emit under the oracle — gate-then-emit-truth, the ANN
+      // families' idiom.
+      val orders = Tables(s, dir, "orders")
+      val rsd = 0.02
+      val acc = 10000
+      val sk = orders.groupBy("o_orderpriority").agg(
+        approx_count_distinct(col("o_custkey"), rsd).as("ad"),
+        expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("ap"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n"))
+      val checks = orders.join(broadcast(sk), "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("ad"), col("ap"),
+          col("n_custs"), col("n"))
+        .agg(
+          sum(when(col("o_totalprice") < col("ap"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("o_totalprice") <= col("ap"), 1L).otherwise(0L)).as("at_or_below"))
+        .collect()
+      checks.foreach { r =>
+        val (ad, n_custs) = (r.getAs[Long]("ad"), r.getAs[Long]("n_custs"))
+        val (n, below, atOrBelow) =
+          (r.getAs[Long]("n"), r.getAs[Long]("below"), r.getAs[Long]("at_or_below"))
+        require(math.abs(ad - n_custs) <= 5 * rsd * n_custs + 1,
+          s"HLL out of bound: $ad vs exact $n_custs")
+        val rankSlack = n.toDouble / acc + 1
+        require(below <= n / 2.0 + rankSlack && atOrBelow >= n / 2.0 - rankSlack,
+          s"approx median rank drift: $below/$atOrBelow of $n")
+      }
+      orders.groupBy("o_orderpriority").agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        count(lit(1)).as("n_orders"))
+    }),
+
     "q64_orc_roundtrip" -> ((s, dir) => {
       // ORC warehouse under the gate (q53 gates Csv/Json): customer
       // round-trips through an OrcWarehouse, then a filtered cursor
@@ -2763,6 +2913,44 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
          GROUP BY event_type""",
+    "q70_data_skipping" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
+         GROUP BY o_orderpriority""",
+    // q71: the q60-merged table, aggregated — the MV the incremental
+    // refresh must land on exactly
+    "q71_incr_mv" ->
+      """WITH merged AS (
+           SELECT c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 11 = 3)
+         SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+         FROM merged GROUP BY c_mktsegment""",
+    // q72: identical semantics to q60 — the streaming path must land on
+    // the same merged table
+    "q72_stream_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+                c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+         UNION ALL
+         SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 11 = 3""",
+    "q73_sketches" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority""",
     "q64_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer

@@ -56,4 +56,44 @@ object SnapshotDiff {
           .otherwise(lit("")).as("changed_cols"))
       .where(col("change_type") =!= "unchanged")
   }
+
+  /** [[diff]] carrying the row VALUES: `before`/`after` structs of
+    * `compareCols` (null on the added/removed side respectively). This is
+    * the feed shape an incremental consumer needs to APPLY the change —
+    * e.g. maintaining a downstream aggregate by signed deltas
+    * ([[IncrementalAgg]]) — not merely to know which keys moved. */
+  def diffWithValues(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame =
+    diffWithValues(oldSnap, newSnap, Seq(keyCol), compareCols)
+
+  /** Composite-key [[diffWithValues]] (a lineitem-style table is keyed
+    * on (orderkey, linenumber) — single-column keys are the special
+    * case). Null-safe key equality: a null key component matches a null
+    * component, never a value. */
+  def diffWithValues(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "compareCols must name at least one column")
+    val o = oldSnap.select(
+      keyCols.map(k => col(k).as(s"__ko_$k")) :+
+        struct(compareCols.map(col): _*).as("before"): _*)
+    val n = newSnap.select(
+      keyCols.map(k => col(k).as(s"__kn_$k")) :+
+        struct(compareCols.map(col): _*).as("after"): _*)
+    val changedCols: Column = concat_ws(",", compareCols.map { c =>
+      when(!(col(s"before.$c") <=> col(s"after.$c")), lit(c))
+    }: _*)
+    o.join(n,
+        keyCols.map(k => col(s"__ko_$k") <=> col(s"__kn_$k")).reduce(_ && _),
+        "full_outer")
+      .select(
+        keyCols.map(k => coalesce(col(s"__ko_$k"), col(s"__kn_$k")).as(k)) ++
+          Seq(
+            when(col("before").isNull, "added")
+              .when(col("after").isNull, "removed")
+              .when(changedCols =!= "", "changed")
+              .otherwise("unchanged").as("change_type"),
+            col("before"), col("after")): _*)
+      .where(col("change_type") =!= "unchanged")
+  }
 }

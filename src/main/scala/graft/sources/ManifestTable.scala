@@ -54,14 +54,27 @@ object ManifestTable {
   private def manifestDir(path: String): Path = Paths.get(path, "_manifests")
   private def dataDir(path: String): Path = Paths.get(path, "data")
 
+  /** Per-file per-column min/max, harvested from the parquet FOOTER the
+    * file was written with (metadata-only — no data re-read). `numeric`
+    * marks values that compare as numbers; strings compare
+    * lexicographically, which matches parquet's UTF8 stat ordering. */
+  final case class ColStats(min: String, max: String, numeric: Boolean)
+
   final case class Manifest(version: Long, files: Seq[String],
-      commitId: Option[String], parent: Long)
+      commitId: Option[String], parent: Long,
+      stats: Map[String, Map[String, ColStats]] = Map.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val statsJson = m.files.flatMap(f => m.stats.get(f).map { cols =>
+      q(f) + ":{" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
+        q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}]"
+      }.mkString(",") + "}"
+    }).mkString(",")
     s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""commit_id":${m.commitId.map(q).getOrElse("null")},""" +
-      s""""files":[${m.files.map(q).mkString(",")}]}"""
+      s""""files":[${m.files.map(q).mkString(",")}],""" +
+      s""""stats":{$statsJson}}"""
   }
 
   // Manifests are immutable once published (atomic link/rename, never
@@ -87,11 +100,27 @@ object ManifestTable {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(Files.readString(p))
+    // stats absent in pre-skipping manifests → empty map, reads stay
+    // conservative (every file scanned) — old tables keep working
+    val stats = (j \ "stats") match {
+      case JObject(files) => files.map { case (f, cols) =>
+        f -> (cols match {
+          case JObject(cs) => cs.collect {
+            case (c, JArray(List(mn, mx, num))) =>
+              c -> ColStats(mn.extract[String], mx.extract[String],
+                num.extract[Boolean])
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        })
+      }.toMap
+      case _ => Map.empty[String, Map[String, ColStats]]
+    }
     val m = Manifest(
       (j \ "version").extract[Long],
       (j \ "files").extract[Seq[String]],
       (j \ "commit_id").extractOpt[String],
-      (j \ "parent").extract[Long])
+      (j \ "parent").extract[Long],
+      stats)
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -128,6 +157,86 @@ object ManifestTable {
       .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
   }
 
+  /** DATA SKIPPING — the stats-pruned read (Delta/Iceberg's file-level
+    * min/max skipping): files whose manifest stats PROVE no row can
+    * match `conds` are never opened; survivors are scanned with the full
+    * predicate applied (pruning is file-granular, the residual filter
+    * restores row-level exactness — result is identical to
+    * `read().where(conds)` by construction). On a 100 TB table laid out
+    * so files carry tight key/date ranges (repartitionByRange before
+    * commit, or Compaction's in-file sort), a selective predicate reads
+    * a handful of files instead of the table — the scan-cost decision
+    * happens in manifest METADATA before Spark plans anything. */
+  def readWhere(spark: SparkSession, path: String,
+      conds: Seq[graft.conditions.Condition],
+      version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    val survivors = m.files.filter(f => fileMightMatch(m.stats.get(f), conds))
+    val residual = graft.conditions.Conditions.all(conds)
+    if (survivors.isEmpty)
+      read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(survivors.map(f => dataDir(path).resolve(f).toString): _*)
+      .where(residual)
+  }
+
+  /** (files a readWhere would scan, total files) at a version — the
+    * observable the data-skipping gate asserts on. */
+  def pruneCount(path: String, conds: Seq[graft.conditions.Condition],
+      version: Option[Long] = None): (Int, Int) = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    (m.files.count(f => fileMightMatch(m.stats.get(f), conds)), m.files.size)
+  }
+
+  /** Conservative per-file test: prune ONLY when stats prove emptiness.
+    * A file with no stats for the column (unsupported type, pre-stats
+    * manifest, stats missing from some row group) always survives. */
+  private def fileMightMatch(stats: Option[Map[String, ColStats]],
+      conds: Seq[graft.conditions.Condition]): Boolean = conds.forall { c =>
+    stats.flatMap(_.get(c.field)).forall { st =>
+      def cv(v: Any): Option[Any] =
+        if (st.numeric) v match {
+          case n: Number => Some(n)
+          case s: String => s.toDoubleOption.map(d => d: Number)
+          case _ => None
+        } else v match {
+          case s: String => Some(s)
+          case _ => None
+        }
+      def lo(v: Any) = cmpStat(st.min, v, st.numeric)
+      def hi(v: Any) = cmpStat(st.max, v, st.numeric)
+      import graft.conditions.Op
+      c.op match {
+        case Op.Eq  => cv(c.value).forall(v => lo(v) <= 0 && hi(v) >= 0)
+        case Op.Gt  => cv(c.value).forall(v => hi(v) > 0)
+        case Op.Gte => cv(c.value).forall(v => hi(v) >= 0)
+        case Op.Lt  => cv(c.value).forall(v => lo(v) < 0)
+        case Op.Lte => cv(c.value).forall(v => lo(v) <= 0)
+        case Op.In => c.value match {
+          case xs: Iterable[_] =>
+            xs.exists(x => cv(x).forall(v => lo(v) <= 0 && hi(v) >= 0))
+          case x => cv(x).forall(v => lo(v) <= 0 && hi(v) >= 0)
+        }
+        case _ => true // contains / null tests: no min-max pruning
+      }
+    }
+  }
+
+  /** compare a stored stat bound against a predicate value: <0 means
+    * stat < value. Unparseable numerics stay conservative (0 = overlap). */
+  private def cmpStat(stat: String, value: Any, numeric: Boolean): Int =
+    if (numeric) (stat.toDoubleOption, value match {
+      case n: Number => Some(n.doubleValue())
+      case s: String => s.toDoubleOption
+      case _ => None
+    }) match {
+      case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+      case _ => 0
+    }
+    else stat.compareTo(value.toString)
+
   /** Stage df's rows as new data files (invisible until committed);
     * returns their table-relative names. */
   private def stage(df: DataFrame, path: String): Seq[String] = {
@@ -148,6 +257,88 @@ object ManifestTable {
       st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
     named
+  }
+
+  /** Per-file column stats from the parquet footers of freshly staged
+    * files — the Delta/Iceberg add-file stats, harvested from metadata
+    * the write already produced (no data re-read; one footer open per
+    * file, driver-side, KBs each). Only types whose footer stats compare
+    * faithfully are recorded: plain int32/int64, float/double, and
+    * UTF8-annotated binary. Annotated physical types (decimal-as-binary,
+    * date, timestamp) are SKIPPED — a missing stat means "never prune",
+    * so unsupported columns cost selectivity, not correctness. */
+  private def footerStats(path: String,
+      files: Seq[String]): Map[String, Map[String, ColStats]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map { name =>
+      val p = new org.apache.hadoop.fs.Path(dataDir(path).resolve(name).toUri)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val eligible: Map[String, Boolean] = schema.getFields.asScala.collect {
+          case f if f.isPrimitive =>
+            val pt = f.asPrimitiveType()
+            val ann = pt.getLogicalTypeAnnotation
+            val prim = pt.getPrimitiveTypeName
+            import PrimitiveType.PrimitiveTypeName._
+            val numericOk = (prim == INT32 || prim == INT64 ||
+              prim == FLOAT || prim == DOUBLE) &&
+              (ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+            val stringOk = prim == BINARY &&
+              ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            if (numericOk) Some(f.getName -> true)
+            else if (stringOk) Some(f.getName -> false)
+            else None
+        }.flatten.toMap
+        // fold row-group chunk stats into one per-column file min/max
+        val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+        var complete = Set.empty[String] // columns with stats in EVERY group
+        var first = true
+        r.getFooter.getBlocks.asScala.foreach { block =>
+          val present = scala.collection.mutable.Set[String]()
+          block.getColumns.asScala.foreach { chunk =>
+            val cname = chunk.getPath.toDotString
+            if (eligible.contains(cname)) {
+              val st = chunk.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                present += cname
+                val mn = statValue(st.genericGetMin)
+                val mx = statValue(st.genericGetMax)
+                acc.get(cname) match {
+                  case Some((curMn, curMx)) =>
+                    acc(cname) = (
+                      if (cmpVals(mn, curMn) < 0) mn else curMn,
+                      if (cmpVals(mx, curMx) > 0) mx else curMx)
+                  case None => acc(cname) = (mn, mx)
+                }
+              }
+            }
+          }
+          complete = if (first) present.toSet else complete.intersect(present.toSet)
+          first = false
+        }
+        name -> complete.map { c =>
+          val (mn, mx) = acc(c)
+          c -> ColStats(mn.toString, mx.toString, eligible(c))
+        }.toMap
+      } finally r.close()
+    }.toMap
+  }
+
+  private def statValue(v: Any): Any = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other
+  }
+
+  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      java.math.BigDecimal.valueOf(x.doubleValue())
+        .compareTo(java.math.BigDecimal.valueOf(y.doubleValue()))
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
   }
 
   /** Atomic manifest publication with mutual exclusion. The JSON is
@@ -173,6 +364,7 @@ object ManifestTable {
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
       commitId: Option[String]): Long = {
     Files.createDirectories(manifestDir(path))
+    val newStats = footerStats(path, newFiles)
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
@@ -184,7 +376,10 @@ object ManifestTable {
       val next = cur.map(_.version + 1).getOrElse(1L)
       val files = if (replace) newFiles
         else cur.map(_.files).getOrElse(Seq.empty) ++ newFiles
-      val m = Manifest(next, files, commitId, cur.map(_.version).getOrElse(0L))
+      val stats = if (replace) newStats
+        else cur.map(_.stats).getOrElse(Map.empty) ++ newStats
+      val m = Manifest(next, files, commitId,
+        cur.map(_.version).getOrElse(0L), stats)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -234,7 +429,8 @@ object ManifestTable {
     val target = manifestDir(path).resolve(f"v$next%08d.json")
     try {
       publish(target, render(
-        Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version)))
+        Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
+          footerStats(path, staged))))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -276,9 +472,17 @@ object ManifestTable {
     * Returns the new version. */
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      commitId: Option[String] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    // idempotent replay (same contract as append/overwrite): a replayed
+    // streaming micro-batch must not re-run the merge — re-merging is
+    // semantically idempotent for pure upserts but NOT for a
+    // delete-then-reinsert batch, and every re-run burns a version
+    val landed = commitId.flatMap(id =>
+      versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
+    if (landed.isDefined) return landed.get.version
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val target = read(spark, path, Some(base.version))
@@ -347,7 +551,10 @@ object ManifestTable {
     // (4) stage + publish (optimistic, conflict-checked like compactCommit)
     val staged = stage(rewritten.unionByName(inserts), path)
     val next = base.version + 1
-    val m = Manifest(next, untouchedFiles ++ staged, scala.None, base.version)
+    // untouched files CARRY their stats; only rewritten files re-harvest
+    val m = Manifest(next, untouchedFiles ++ staged, commitId, base.version,
+      untouchedFiles.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
+        footerStats(path, staged))
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -359,17 +566,58 @@ object ManifestTable {
     } finally graft.operators.IndexScope.release(raw)
   }
 
+  /** The two versions' rows restricted to files that DIFFER between the
+    * manifests. Data files are immutable and uniquely named, so a file
+    * present in both versions holds identical rows in both — those rows
+    * cancel out of any keyed diff and are never read. With file-granular
+    * copy-on-write (merge), the feed between adjacent versions scans the
+    * files the commit touched, not the table: at 100 TB a merge of 0.1%
+    * of keys yields a change feed that reads ~0.2% of the data.
+    * Keyed-table contract (same as [[merge]]): a key lives in one row;
+    * append-created duplicate keys make any keyed diff meaningless. */
+  private def differingSlices(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
+    val mf = manifestAt(path, fromVersion)
+    val mt = manifestAt(path, toVersion)
+    val shared = mf.files.toSet.intersect(mt.files.toSet)
+    def slice(m: Manifest): DataFrame = {
+      val own = m.files.filterNot(shared)
+      if (own.isEmpty)
+        read(spark, path, Some(m.version))
+          .where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(own.map(f => dataDir(path).resolve(f).toString): _*)
+    }
+    (slice(mf), slice(mt))
+  }
+
   /** Change data feed between two committed versions: keyed row-level
     * diff (added / removed / changed + column attribution) computed from
-    * the two snapshots — what a downstream incremental consumer reads
-    * instead of re-scanning the table. One full-outer join on the key
+    * the versions' DIFFERING files only ([[differingSlices]]) — what a
+    * downstream incremental consumer reads instead of re-scanning the
+    * table. One full-outer join on the key
     * ([[graft.operators.SnapshotDiff]]); the output is the small diff. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long, keyCol: String): DataFrame = {
-    val before = read(spark, path, Some(fromVersion))
-    val after = read(spark, path, Some(toVersion))
+    val (before, after) = differingSlices(spark, path, fromVersion, toVersion)
     graft.operators.SnapshotDiff.diff(before, after, keyCol,
       before.columns.toSeq.filterNot(_ == keyCol))
+  }
+
+  /** [[changes]] carrying row values (`before`/`after` structs) — the
+    * feed shape that lets a consumer APPLY the change downstream, e.g.
+    * incremental materialized-view maintenance
+    * ([[graft.operators.IncrementalAgg]]). */
+  def changesWithValues(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keyCol: String): DataFrame =
+    changesWithValues(spark, path, fromVersion, toVersion, Seq(keyCol))
+
+  /** Composite-key [[changesWithValues]]. */
+  def changesWithValues(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    val (before, after) = differingSlices(spark, path, fromVersion, toVersion)
+    graft.operators.SnapshotDiff.diffWithValues(before, after, keyCols,
+      before.columns.toSeq.filterNot(keyCols.contains))
   }
 
   /** Retention: drop all but the newest `keepLast` manifests (time

@@ -91,4 +91,40 @@ object StreamSync {
         }
       }
       .start()
+
+  /** Streaming CDC UPSERT into a [[graft.sources.ManifestTable]] — the
+    * `MERGE`-in-`foreachBatch` pattern every Delta/Iceberg CDC sink
+    * runs in production: each micro-batch of keyed change records is
+    * one merge COMMIT (update-on-match / insert-on-miss /
+    * delete-on-`deleteWhen`), with `commitId = "merge-batch-<id>"` so a
+    * replayed batch is a manifest-level no-op — exactly-once upserts on
+    * an at-least-once foreachBatch. Copy-on-write keeps the per-batch
+    * cost proportional to the files the batch's keys touch, not the
+    * table: the always-on version of the reference's push-as-upsert
+    * loop (core/pipeline.py:83) against a versioned sink.
+    *
+    * Contract: each micro-batch must be keyed (unique on `keyCols`
+    * after the tombstone split) — merge enforces it loudly. A CDC
+    * source replaying multiple states of one key within a single batch
+    * must be pre-collapsed to latest-state (Pipeline.applyEvents'
+    * resolution step). */
+  def startMergeToTable(
+      stream: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      checkpointDir: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.ManifestTable.merge(
+            batch.sparkSession, tablePath, batch.toDF(), keyCols,
+            deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+          ()
+        }
+      }
+      .start()
 }

@@ -232,4 +232,99 @@ class ManifestTableSpec extends SparkSpecBase {
     // latest = v2's (empty) files + new ones
     assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(2))
   }
+
+  test("data skipping: stats prune files, readWhere stays exact") {
+    import graft.conditions.{Condition, Op}
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // range layout on k → tight per-file min/max in the manifest
+    val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v",
+      "concat('s', lpad(CAST(id AS STRING), 4, '0')) AS name")
+    ManifestTable.overwrite(df.repartitionByRange(8, col("k")), t)
+    val conds = Seq(Condition("k", Op.Gte, 100L), Condition("k", Op.Lte, 220L))
+    val (scanned, total) = ManifestTable.pruneCount(t, conds)
+    assert(total == 8 && scanned < total, s"no pruning: $scanned of $total")
+    // pruned read ≡ plain read + filter
+    val got = ManifestTable.readWhere(spark, t, conds)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == (100L to 220L))
+    // string stats prune lexicographically too
+    val sconds = Seq(Condition("name", Op.Gte, "s0100"), Condition("name", Op.Lt, "s0200"))
+    val (s2, _) = ManifestTable.pruneCount(t, sconds)
+    assert(s2 < total, s"string stats did not prune: $s2")
+    assert(ManifestTable.readWhere(spark, t, sconds).count() == 100)
+    // an Eq miss outside every file's range prunes everything, and the
+    // empty-survivor read still returns a well-schemed empty frame
+    val none = Seq(Condition("k", Op.Eq, 5000L))
+    assert(ManifestTable.pruneCount(t, none)._1 == 0)
+    val empty = ManifestTable.readWhere(spark, t, none)
+    assert(empty.columns.toSeq == Seq("k", "v", "name") && empty.count() == 0)
+    // contains has no min/max semantics: never prunes, still filters
+    val cc = Seq(Condition("name", Op.Contains, "s0042"))
+    assert(ManifestTable.pruneCount(t, cc)._1 == total)
+    assert(ManifestTable.readWhere(spark, t, cc).count() == 1)
+  }
+
+  test("data skipping: pre-stats manifests read conservatively; merge carries stats") {
+    import graft.conditions.{Condition, Op}
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    val df = spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    ManifestTable.overwrite(df.repartitionByRange(4, col("k")), t)
+    // strip the stats from v1's manifest (a table written before data
+    // skipping existed): every file must survive pruning, reads stay exact
+    val mp = Paths.get(t, "_manifests", "v00000001.json")
+    val noStats = Files.readString(mp).replaceAll(""","stats":\{.*\}\}$""", "}")
+    Files.writeString(mp, noStats)
+    val conds = Seq(Condition("k", Op.Lt, 100L))
+    val (scanned, total) = ManifestTable.pruneCount(t, conds)
+    assert(scanned == total, "stats-free manifest must not prune")
+    assert(ManifestTable.readWhere(spark, t, conds).count() == 100)
+    // a merge rewrites only touched files but re-harvests their stats and
+    // CARRIES untouched files' stats (fresh table this time)
+    val t2 = table()
+    ManifestTable.overwrite(df.repartitionByRange(4, col("k")), t2)
+    val src = spark.range(0, 10).selectExpr("id AS k", "CAST(-1 AS DOUBLE) AS v")
+    ManifestTable.merge(spark, t2, src, Seq("k"))
+    val (s2, tot2) = ManifestTable.pruneCount(t2, Seq(Condition("k", Op.Gte, 300L)))
+    assert(s2 < tot2, s"post-merge stats lost: $s2 of $tot2")
+    assert(ManifestTable.readWhere(spark, t2,
+      Seq(Condition("k", Op.Lt, 10L), Condition("v", Op.Lt, 0.0))).count() == 10)
+  }
+
+  test("merge commitId: replay is a manifest no-op returning the landed version") {
+    val t = table()
+    ManifestTable.overwrite(spark.range(0, 50).selectExpr("id AS k", "id AS v"), t)
+    val src = spark.range(0, 5).selectExpr("id AS k", "id + 100 AS v")
+    val v2 = ManifestTable.merge(spark, t, src, Seq("k"), commitId = Some("m1"))
+    val replay = ManifestTable.merge(spark, t,
+      spark.range(0, 5).selectExpr("id AS k", "id + 999 AS v"), // even a DIFFERENT payload
+      Seq("k"), commitId = Some("m1"))
+    assert(v2 == 2 && replay == 2 && ManifestTable.versions(t) == Seq(1L, 2L))
+    // the first merge's payload won; the replay never ran
+    assert(ManifestTable.read(spark, t).where("k < 5").selectExpr("sum(v)")
+      .as[Long].head() == (100L + 101 + 102 + 103 + 104))
+  }
+
+  test("changes() reads only differing files and equals the full-snapshot diff") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    val df = spark.range(0, 800).selectExpr("id AS k", "id AS v")
+    ManifestTable.overwrite(df.repartitionByRange(8, col("k")), t)
+    // merge touches a 3% key slice → most files carry over
+    val src = spark.range(0, 25).selectExpr("id AS k", "id + 1000 AS v")
+    ManifestTable.merge(spark, t, src, Seq("k"))
+    val feed = ManifestTable.changes(spark, t, 1L, 2L, "k")
+    val full = graft.operators.SnapshotDiff.diff(
+      ManifestTable.read(spark, t, Some(1L)),
+      ManifestTable.read(spark, t, Some(2L)), "k", Seq("v"))
+    assert(feed.exceptAll(full).count() == 0 && full.exceptAll(feed).count() == 0)
+    assert(feed.count() == 25)
+    // value-carrying feed exposes before/after images
+    val wv = ManifestTable.changesWithValues(spark, t, 1L, 2L, "k")
+    val row = wv.where("k = 3").head()
+    assert(row.getAs[String]("change_type") == "changed")
+    assert(row.getAs[org.apache.spark.sql.Row]("before").getAs[Long]("v") == 3L)
+    assert(row.getAs[org.apache.spark.sql.Row]("after").getAs[Long]("v") == 1003L)
+  }
 }

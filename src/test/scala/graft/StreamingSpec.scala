@@ -208,6 +208,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, tbl).count() == 300)
   }
 
+  test("StreamSync.startMergeToTable: streaming CDC upsert with idempotent merge commits") {
+    import graft.sources.ManifestTable
+    val srcDir = Files.createTempDirectory("graft-smm-src-").toString
+    val tbl = Files.createTempDirectory("graft-smm-tbl-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-smm-ckpt-").toString
+    import spark.implicits._
+    ManifestTable.overwrite(
+      (1L to 100L).map(k => (k, s"name$k", k * 1.0)).toDF("k", "name", "bal"), tbl)
+    // CDC batch: update 1-10, delete 90-100, insert 200-205
+    val cdc =
+      (1L to 10L).map(k => (k, s"upd$k", k + 1000.0, "U")) ++
+      (90L to 100L).map(k => (k, "", 0.0, "D")) ++
+      (200L to 205L).map(k => (k, s"new$k", 5.0, "U"))
+    cdc.toDF("k", "name", "bal", "op").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      graft.streaming.StreamSync.startMergeToTable(
+        stream, tbl, Seq("k"), ckpt, deleteWhen = Some(col("op") === "D"))
+        .awaitTermination(120000)
+    }
+    runOnce()
+    val vs = ManifestTable.versions(tbl)
+    assert(vs == Seq(1L, 2L), s"one merge commit expected: $vs")
+    val t = ManifestTable.read(spark, tbl)
+    assert(t.count() == 100 - 11 + 6)
+    assert(t.where("k <= 10 AND name NOT LIKE 'upd%'").count() == 0)
+    assert(t.where("k >= 90 AND k <= 100").count() == 0)
+    assert(t.where("k >= 200").count() == 6)
+    // restart on the same checkpoint: no new data → no batch → no version;
+    // a manual replay of the batch's commit id is a manifest no-op
+    runOnce()
+    assert(ManifestTable.versions(tbl) == vs)
+    val replay = ManifestTable.merge(spark, tbl,
+      Seq((1L, "other", 0.0, "U")).toDF("k", "name", "bal", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"),
+      commitId = Some("merge-batch-0"))
+    assert(replay == 2L && ManifestTable.versions(tbl) == vs)
+    assert(ManifestTable.read(spark, tbl).where("k = 1").select("name")
+      .as[String].head() == "upd1")
+  }
+
   test("StreamSync: exactly-once warehouse sink with durable cursor") {
     import graft.cursor.{CursorMode, CursorStore}
     import graft.sources.ParquetWarehouse
