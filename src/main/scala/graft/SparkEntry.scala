@@ -970,6 +970,53 @@ object SparkEntry {
         count(lit(1)).as("n_orders"))
     }),
 
+    "q74_zorder" -> ((s, dir) => {
+      // Z-ORDER layout under the gate (Delta's OPTIMIZE ZORDER BY):
+      // orders re-laid along the Morton curve of (o_custkey,
+      // o_totalprice), so every data file covers a small rectangle of
+      // the 2-d key space and the SAME stats-pruned read skips files
+      // for predicates on EITHER column — asserted separately for each
+      // dimension before the 2-d slice goes under the oracle. q70's
+      // range layout buys one access path; this buys all z-ordered ones.
+      import graft.sources.ManifestTable
+      import graft.operators.ZOrder
+      val base = java.nio.file.Files.createTempDirectory("graft-q74-").toString + "/t"
+      val orders = Tables(s, dir, "orders")
+      ManifestTable.overwrite(
+        ZOrder.layout(orders, Seq("o_custkey", "o_totalprice"), nFiles = 32), base)
+      val byKey = Seq(Condition("o_custkey", Op.Gte, 100L),
+        Condition("o_custkey", Op.Lte, 500L))
+      val byPrice = Seq(Condition("o_totalprice", Op.Lte, 20000.0))
+      val (kScan, total) = ManifestTable.pruneCount(base, byKey)
+      val (pScan, _) = ManifestTable.pruneCount(base, byPrice)
+      require(kScan < total, s"no key-dim skipping: $kScan of $total")
+      require(pScan < total, s"no price-dim skipping: $pScan of $total")
+      ManifestTable.readWhere(s, base, byKey ++ byPrice)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
+    }),
+
+    "q75_schema_evolution" -> ((s, dir) => {
+      // schema evolution across commits under the gate: v1 lands the
+      // legacy shape (no c_mktsegment), a later append carries the
+      // evolved shape with the new column; the snapshot read resolves
+      // the UNION schema (old rows read as NULL) — the lakehouse
+      // behavior that lets an upstream add a field without rewriting
+      // history. The agg buckets legacy rows under a sentinel.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q75-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(
+        customer.where(col("c_custkey") <= 700)
+          .select("c_custkey", "c_name", "c_acctbal"), base)
+      ManifestTable.append(
+        customer.where(col("c_custkey") > 700 && col("c_custkey") <= 1400)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"), base)
+      ManifestTable.read(s, base)
+        .groupBy(coalesce(col("c_mktsegment"), lit("legacy")).as("segment"))
+        .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("bal"))
+    }),
+
     "q64_orc_roundtrip" -> ((s, dir) => {
       // ORC warehouse under the gate (q53 gates Csv/Json): customer
       // round-trips through an OrcWarehouse, then a filtered cursor
@@ -2951,6 +2998,19 @@ object SparkEntry {
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
          count(*) AS n_orders
          FROM orders GROUP BY o_orderpriority""",
+    "q74_zorder" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_custkey BETWEEN 100 AND 500 AND o_totalprice <= 20000
+         GROUP BY o_orderpriority""",
+    "q75_schema_evolution" ->
+      """SELECT CASE WHEN c_custkey <= 700 THEN 'legacy' ELSE c_mktsegment END
+           AS segment,
+         count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+         FROM customer WHERE c_custkey <= 1400
+         GROUP BY 1""",
     "q64_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer

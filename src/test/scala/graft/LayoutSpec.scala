@@ -38,4 +38,38 @@ class LayoutSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("z-order layout: stats prune on EVERY z-dimension; linear layout on one") {
+    import graft.conditions.{Condition, Op}
+    import graft.operators.ZOrder
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    // two independent uniform dims — the case where a single-dim sort
+    // leaves the other dim scattered across every file
+    val df = spark.range(0, 20000).selectExpr(
+      "id AS k",
+      "CAST((id * 7919) % 20011 AS DOUBLE) AS x",
+      "CAST((id * 104729) % 19997 AS DOUBLE) AS y")
+    val zTbl = s"$dir/z"
+    val linTbl = s"$dir/lin"
+    ManifestTable.overwrite(ZOrder.layout(df, Seq("x", "y"), nFiles = 16), zTbl)
+    ManifestTable.overwrite(
+      df.repartitionByRange(16, col("x")).sortWithinPartitions("x"), linTbl)
+    val byX = Seq(Condition("x", Op.Lte, 1200.0))
+    val byY = Seq(Condition("y", Op.Gte, 18500.0))
+    val (zx, zTot) = ManifestTable.pruneCount(zTbl, byX)
+    val (zy, _) = ManifestTable.pruneCount(zTbl, byY)
+    val (lx, lTot) = ManifestTable.pruneCount(linTbl, byX)
+    val (ly, _) = ManifestTable.pruneCount(linTbl, byY)
+    assert(zx < zTot && zy < zTot,
+      s"z-order must prune on both dims: x $zx, y $zy of $zTot")
+    assert(lx < lTot, s"linear layout must prune on its sort dim: $lx of $lTot")
+    assert(ly == lTot,
+      s"linear layout cannot prune the unsorted dim (got $ly of $lTot)")
+    // pruned reads stay exact on the 2-d slice
+    val conds = byX ++ byY
+    val exact = df.where(col("x") <= 1200.0 && col("y") >= 18500.0).count()
+    assert(ManifestTable.readWhere(spark, zTbl, conds).count() == exact)
+    assert(ManifestTable.readWhere(spark, linTbl, conds).count() == exact)
+  }
 }

@@ -112,4 +112,29 @@ class PlanAuditSpec extends SparkSpecBase {
   // q60/q61 run through ManifestTable commits whose final read is a fresh
   // parquet scan (plan shape pinned structurally in ManifestTableSpec's
   // file-granularity CoW test); q63's stream plan is pinned by the gate.
+
+  test("q73 sketch gate: exact emit is one hash aggregation, no join") {
+    val p = planOf("q73_sketches")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate")
+      || p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("incremental MV delta merge: full-outer key join, no nested loop") {
+    // q71's gate output is checkpoint-pinned (opaque to a string audit),
+    // so the operator's plan is pinned directly
+    import org.apache.spark.sql.functions.col
+    val base = spark.range(0, 1000).selectExpr("id AS k",
+      "CAST(id % 7 AS STRING) AS seg", "CAST(id AS DOUBLE) AS amt")
+    val next = base.withColumn("amt",
+      org.apache.spark.sql.functions.when(col("k") % 11 === 0, col("amt") + 1)
+        .otherwise(col("amt")))
+    val mv = graft.operators.IncrementalAgg.materialize(base, Seq("seg"), Seq("amt"))
+    val feed = graft.operators.SnapshotDiff.diffWithValues(
+      base, next, "k", Seq("seg", "amt"))
+    val p = graft.operators.IncrementalAgg.applyDelta(mv, feed, Seq("seg"), Seq("amt"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
