@@ -186,9 +186,19 @@ object ApiServer {
                 ("warehouse" -> whName) ~ ("resource" -> resource) ~
                   ("versions" -> graft.sources.ManifestTable.versions(tablePath)))))
             case ("POST", List("compact")) =>
-              val v = graft.sources.ManifestTable.compactCommit(spark, tablePath)
+              // ?zorder=colA,colB re-clusters along the z-curve during
+              // the rewrite (OPTIMIZE ... ZORDER BY) so the fresh file
+              // stats prune on every listed column
+              val zcols = Option(ex.getRequestURI.getRawQuery)
+                .flatMap(_.split("&").collectFirst {
+                  case kv if kv.startsWith("zorder=") =>
+                    kv.stripPrefix("zorder=").split(",").map(_.trim)
+                      .filter(_.nonEmpty).toSeq
+                }).getOrElse(Seq.empty)
+              val v = graft.sources.ManifestTable.compactCommit(
+                spark, tablePath, zorderBy = zcols)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
-                ("compacted_version" -> v))))
+                ("compacted_version" -> v) ~ ("zorder" -> zcols.toList))))
             case ("POST", List("expire")) =>
               val keep = Option(ex.getRequestURI.getRawQuery)
                 .flatMap(_.split("&").collectFirst {

@@ -44,6 +44,18 @@ final case class Cursor(
     bounds.reduceOption(_ && _).getOrElse(lit(true))
   }
 
+  /** The slice as [[graft.conditions.Condition]] values keyed on the
+    * physical cursor column — what a metadata/stats-pruning SOURCE
+    * consumes (the analogue of the reference's cursor → query-param
+    * compilation, core/utils.py:195-286, pointed at a lake table's
+    * manifest stats instead of an HTTP origin). */
+  def conditions(field: String): Seq[graft.conditions.Condition] = {
+    import graft.conditions.{Condition, Op}
+    val (lo, hi) = if (ascending) (start, end) else (end, start)
+    lo.map(v => Condition(field, Op.Gte, v)).toSeq ++
+      hi.map(v => Condition(field, Op.Lte, v)).toSeq
+  }
+
   /** Advance: compute the new `end` from the data actually selected.
     * Equivalent to "cursor value of the last row read in sort order". */
   def advance(df: DataFrame, cursorCol: Column): Cursor = {

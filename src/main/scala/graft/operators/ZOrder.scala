@@ -51,7 +51,9 @@ object ZOrder {
     * hand to a table commit/overwrite; schema is unchanged. */
   def layout(df: DataFrame, cols: Seq[String], nFiles: Int,
       bitsPerDim: Int = 4): DataFrame = {
-    require(cols.size >= 2, "z-order needs at least two dimensions")
+    require(cols.nonEmpty, "z-order needs at least one dimension")
+    // one dimension degenerates to a plain range-cluster sort — valid,
+    // it is what OPTIMIZE ZORDER BY (single col) means
     require(bitsPerDim >= 1 && bitsPerDim * cols.size <= 30,
       s"bit budget out of range: $bitsPerDim × ${cols.size} dims")
     val nBuckets = 1 << bitsPerDim

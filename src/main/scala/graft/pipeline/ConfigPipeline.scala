@@ -102,8 +102,18 @@ object ConfigPipeline {
     val cursor = Cursor(cfg.cursorMode, cfg.cursorStart, cfg.cursorEnd, cfg.ascending)
     val format =
       if (cfg.mapping.nonEmpty) Formatters.mapping(cfg.mapping) else Formatters.identity
+    // a stats/metadata-pruning origin gets the cursor window + WHERE
+    // handed down so it can skip files before Spark plans the scan; the
+    // pipeline still applies the same predicates row-level (idempotent),
+    // so the result is identical either way — only the scan cost moves
+    val source = origin match {
+      case pr: graft.sources.PrunedReads =>
+        pr.readWhere(spark, cfg.resource,
+          cursor.conditions(cfg.cursorField) ++ cfg.where)
+      case _ => origin.read(spark, cfg.resource)
+    }
     val (out, advanced) = Pipeline.pullWithCursor(
-      origin.read(spark, cfg.resource), cfg.cursorField, cursor,
+      source, cfg.cursorField, cursor,
       cfg.where, cfg.having, format)
     if (!cfg.dryRun)
       WarehouseRegistry.instance(cfg.target).write(out, cfg.resource, SaveMode.Overwrite)

@@ -36,10 +36,13 @@ import scala.util.Using
   * `SaveMode.Append` is an append commit, anything else an overwrite
   * commit. */
 final case class ManifestWarehouse(name: String, baseDir: String,
-    auth: Auth = Auth.None) extends Warehouse {
+    auth: Auth = Auth.None) extends Warehouse with PrunedReads {
   private def path(resource: String) = s"$baseDir/$resource"
   override def read(spark: SparkSession, resource: String): DataFrame =
     ManifestTable.read(spark, path(resource))
+  override def readWhere(spark: SparkSession, resource: String,
+      conds: Seq[graft.conditions.Condition]): DataFrame =
+    ManifestTable.readWhere(spark, path(resource), conds)
   override def write(df: DataFrame, resource: String,
       mode: org.apache.spark.sql.SaveMode): Unit = {
     if (mode == org.apache.spark.sql.SaveMode.Append)
@@ -417,14 +420,21 @@ object ManifestTable {
     * than silently dropping the concurrent writer's files — the caller
     * retries (Delta's OPTIMIZE conflict rule). */
   def compactCommit(spark: SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Long = {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val df = read(spark, path, Some(base.version))
     val bytes = base.files
       .map(f => Files.size(dataDir(path).resolve(f))).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val staged = stage(df.repartition(nFiles), path)
+    // OPTIMIZE ... ZORDER BY: the rewrite doubles as a re-clustering
+    // pass — freshly harvested per-file stats become selective on every
+    // z-ordered column (Delta's OPTIMIZE ZORDER, on this manifest format)
+    val arranged =
+      if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(df, zorderBy, nFiles)
+      else df.repartition(nFiles)
+    val staged = stage(arranged, path)
     val next = base.version + 1
     val target = manifestDir(path).resolve(f"v$next%08d.json")
     try {

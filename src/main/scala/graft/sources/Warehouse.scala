@@ -60,6 +60,19 @@ trait Warehouse {
   def write(df: DataFrame, resource: String, mode: SaveMode = SaveMode.Overwrite): Unit
 }
 
+/** A warehouse that can serve a METADATA-PRUNED read for a condition
+  * set: the pull pipeline hands its cursor window + WHERE conditions to
+  * the source, which skips whole files/partitions before Spark plans a
+  * scan (manifest min/max stats, partition directories, …). The result
+  * must equal `read().where(conds)` — pruning cuts cost, never rows.
+  * The lake-side analogue of the reference compiling its filter into
+  * origin query params (core/utils.py:195-652): same logical filter,
+  * pushed to whatever the origin can evaluate cheaply. */
+trait PrunedReads { self: Warehouse =>
+  def readWhere(spark: SparkSession, resource: String,
+      conds: Seq[graft.conditions.Condition]): DataFrame
+}
+
 /** Directory-per-warehouse, file-per-resource layout. `ext` is the file
   * suffix of existing resources (the driver's testdata uses
   * `<resource>.parquet`); written resources become directories. */

@@ -101,9 +101,10 @@ class ApiServerSpec extends SparkSpecBase {
     try {
       val vs = Http.get(s"${api.baseUrl}/table/txlake/items/versions", Map.empty)
       assert(vs.contains("\"versions\":[1,2]"), vs)
-      val c = Http.post(s"${api.baseUrl}/table/txlake/items/compact",
+      val c = Http.post(s"${api.baseUrl}/table/txlake/items/compact?zorder=x",
         Map.empty, "", "application/json")
-      assert(c.contains("\"compacted_version\":3"), c)
+      assert(c.contains("\"compacted_version\":3") &&
+        c.contains("\"zorder\":[\"x\"]"), c)
       val e = Http.post(s"${api.baseUrl}/table/txlake/items/expire?keep=1",
         Map.empty, "", "application/json")
       assert(e.contains("\"expired_versions\":[1,2]"), e)

@@ -306,6 +306,31 @@ class ManifestTableSpec extends SparkSpecBase {
       .as[Long].head() == (100L + 101 + 102 + 103 + 104))
   }
 
+  test("compactCommit zorderBy: the rewrite re-clusters so stats prune on every listed dim") {
+    import graft.conditions.{Condition, Op}
+    val t = table()
+    // committed unordered: no dimension prunes
+    val df = spark.range(0, 20000).selectExpr("id AS k",
+      "CAST((id * 7919) % 20011 AS DOUBLE) AS x",
+      "CAST((id * 104729) % 19997 AS DOUBLE) AS y")
+    ManifestTable.overwrite(df.repartition(16), t)
+    val byX = Seq(Condition("x", Op.Lte, 1200.0))
+    val byY = Seq(Condition("y", Op.Gte, 18500.0))
+    val (x0, tot0) = ManifestTable.pruneCount(t, byX)
+    assert(x0 == tot0, "unordered layout should not prune")
+    // OPTIMIZE ZORDER BY (x, y): small target size keeps several files
+    ManifestTable.compactCommit(spark, t, targetBytes = 64 * 1024,
+      zorderBy = Seq("x", "y"))
+    val (x1, tot1) = ManifestTable.pruneCount(t, byX)
+    val (y1, _) = ManifestTable.pruneCount(t, byY)
+    assert(tot1 > 1 && x1 < tot1 && y1 < tot1,
+      s"optimize zorder must prune both dims: x $x1, y $y1 of $tot1")
+    // content identical through the rewrite
+    assert(ManifestTable.read(spark, t).count() == 20000)
+    assert(ManifestTable.readWhere(spark, t, byX ++ byY).count() ==
+      df.where("x <= 1200.0 AND y >= 18500.0").count())
+  }
+
   test("changes() reads only differing files and equals the full-snapshot diff") {
     import org.apache.spark.sql.functions.col
     val t = table()

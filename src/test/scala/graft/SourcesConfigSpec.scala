@@ -163,6 +163,40 @@ class SourcesConfigSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, s"$tbl/orders").count() == v1Rows)
   }
 
+  test("config pull from a manifest origin opens only stats-surviving files") {
+    import graft.sources.{ManifestTable, ManifestWarehouse}
+    import org.apache.spark.sql.functions.col
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-cfg-skip-").toString
+    val outDir = Files.createTempDirectory("graft-cfg-skip-out-").toString
+    // range layout on the cursor column → tight per-file key ranges
+    ManifestTable.overwrite(
+      spark.read.parquet(s"$sf0001/orders.parquet")
+        .repartitionByRange(8, col("o_orderkey")), s"$base/orders")
+    WarehouseRegistry.register(
+      WarehouseMeta("txorigin", "tx origin", "lake", "manifest"),
+      () => ManifestWarehouse("txorigin", base))
+    WarehouseRegistry.register(
+      WarehouseMeta("sink", "sink", "lake", "parquet"),
+      () => ParquetWarehouse("sink", outDir))
+    val (out, advanced) = ConfigPipeline.runPull(spark, s"""{
+      "resource": "orders",
+      "origin": "txorigin", "target": "sink",
+      "cursor": {"mode": "uid", "field": "o_orderkey",
+                 "start": "100", "end": "700"},
+      "where": [{"field": "o_orderstatus", "op": "eq", "value": "F"}]
+    }""")
+    val total = ManifestTable.read(spark, s"$base/orders").inputFiles.length
+    val opened = out.inputFiles.length
+    assert(opened < total, s"pull opened $opened of $total files — no skipping")
+    // pruning never changes rows: equals the plain filtered read
+    val expect = spark.read.parquet(s"$sf0001/orders.parquet")
+      .where(col("o_orderkey").between(100, 700) && col("o_orderstatus") === "F")
+      .count()
+    assert(out.count() == expect && expect > 0)
+    assert(advanced.end.exists(_.toLong <= 700))
+  }
+
   test("config push with save_mode merge upserts into a manifest target") {
     import graft.sources.{ManifestTable, ManifestWarehouse}
     import spark.implicits._
