@@ -105,6 +105,21 @@ object ApiServer {
       }
     }
 
+    // one shared query-param parse for every route: split on '&'/'=' on
+    // the RAW query, then percent-decode each key and value — a literal
+    // '&'/'=' inside a value arrives escaped and must not split, while
+    // zorder=a%2Cb has to reach the route as the decoded "a,b"
+    def queryParams(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getRawQuery)
+        .map(_.split("&").toSeq.flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(dec(k) -> dec(v))
+          case Array(k) if k.nonEmpty => Some(dec(k) -> "")
+          case _ => scala.None
+        }).toMap).getOrElse(Map.empty)
+
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
     def route(ex: HttpExchange, method: String, path: String): Unit =
       (method, path.stripSuffix("/").split("/").toList.drop(1)) match {
         case ("GET", Nil) | ("GET", List("playground")) =>
@@ -118,8 +133,7 @@ object ApiServer {
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JArray(metas.toList))))
 
         case ("GET", List("schema", "unified", resource)) =>
-          val only = Option(ex.getRequestURI.getRawQuery)
-            .exists(_.contains("only_prefilterable=true"))
+          val only = queryParams(ex).get("only_prefilterable").contains("true")
           unifiedFieldsJson(resource, only) match {
             case Some(json) => respond(ex, 200, json)
             case scala.None => respond(ex, 404, JsonMethods.compact(JsonMethods.render(
@@ -189,21 +203,15 @@ object ApiServer {
               // ?zorder=colA,colB re-clusters along the z-curve during
               // the rewrite (OPTIMIZE ... ZORDER BY) so the fresh file
               // stats prune on every listed column
-              val zcols = Option(ex.getRequestURI.getRawQuery)
-                .flatMap(_.split("&").collectFirst {
-                  case kv if kv.startsWith("zorder=") =>
-                    kv.stripPrefix("zorder=").split(",").map(_.trim)
-                      .filter(_.nonEmpty).toSeq
-                }).getOrElse(Seq.empty)
+              val zcols = queryParams(ex).get("zorder")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq.empty)
               val v = graft.sources.ManifestTable.compactCommit(
                 spark, tablePath, zorderBy = zcols)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("compacted_version" -> v) ~ ("zorder" -> zcols.toList))))
             case ("POST", List("expire")) =>
-              val keep = Option(ex.getRequestURI.getRawQuery)
-                .flatMap(_.split("&").collectFirst {
-                  case kv if kv.startsWith("keep=") => kv.stripPrefix("keep=").toInt
-                }).getOrElse(1)
+              val keep = queryParams(ex).get("keep").map(_.toInt).getOrElse(1)
               val (dropped, freed) =
                 graft.sources.ManifestTable.expire(tablePath, keepLast = keep)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
@@ -230,11 +238,7 @@ object ApiServer {
               // bounded summary of the version-to-version change feed —
               // the row-level feed is data-sized and flows through pull
               // configs, not a JSON response
-              val qp = Option(ex.getRequestURI.getRawQuery)
-                .map(_.split("&").flatMap(_.split("=", 2) match {
-                  case Array(k, v) => Some(k -> v)
-                  case _ => scala.None
-                }).toMap).getOrElse(Map.empty)
+              val qp = queryParams(ex)
               val from = qp.getOrElse("from",
                 throw new IllegalArgumentException("missing 'from'")).toLong
               val to = qp.getOrElse("to",

@@ -1634,12 +1634,17 @@ object SparkEntry {
 
     "dd14_url_dedup" -> ((s, dir) => {
       // URL canonicalization dedup (RefinedWeb's pre-content stage):
-      // four deterministic variants per page group — plain, http+UPPER
-      // host+trailing slash, www+utm param, fragment — all collapsing
-      // to one canonical form; keep-first per canonical URL
+      // six deterministic variants per page group — plain, http+UPPER
+      // host+trailing slash, www+utm param, fragment (all collapsing to
+      // one canonical form), plus a second family exercising the hard
+      // separators: a literal '&' in the PATH and a literal '?' inside
+      // the QUERY, with tracking params mixed in — variants 4/5 must
+      // collapse together WITHOUT corrupting either literal. The group
+      // key is doc_id/6 so every group MIXES variants (doc_id%6 and
+      // doc_id%120 would be correlated and never collapse cross-variant).
       val docs = Tables(s, dir, "documents")
-      val g = col("doc_id") % 120
-      val v = col("doc_id") % 4
+      val g = floor(col("doc_id") / 6).cast("long") % 20
+      val v = col("doc_id") % 6
       val url = when(v === 0,
           concat(lit("https://site"), g, lit(".example.com/p/"), g))
         .when(v === 1,
@@ -1647,8 +1652,14 @@ object SparkEntry {
         .when(v === 2,
           concat(lit("https://www.site"), g, lit(".example.com/p/"), g,
             lit("?utm_source=x")))
-        .otherwise(
+        .when(v === 3,
           concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("#frag")))
+        .when(v === 4,
+          concat(lit("https://site"), g, lit(".example.com/x&y/"), g,
+            lit("?keep=1?z=2&utm_source=a")))
+        .otherwise(
+          concat(lit("http://WWW.site"), g, lit(".example.com/x&y/"), g,
+            lit("?keep=1?z=2&fbclid=abc")))
       operators.dedup.UrlDedup.dedupByUrl(
         docs.withColumn("url", url), "doc_id", "url")
     }),
@@ -2311,29 +2322,37 @@ object SparkEntry {
          LEFT JOIN ppl p ON q.doc_id = p.doc_id
          JOIN canon c ON q.doc_id = c.doc_id""",
     // dd14: the same canonicalization chain, regexes shared verbatim
-    // (RE2-safe); DuckDB's first-match regexp_replace suffices — every
-    // pattern is anchored or single-occurrence by construction
+    // (RE2-safe): split at the first '?' BEFORE separator surgery, strip
+    // tracking inside the extracted query only, re-attach '?' only when
+    // a param survived — a literal '&' in the path or '?' in the query
+    // passes through untouched
     "dd14_url_dedup" ->
       """WITH u AS (SELECT doc_id,
-           CASE doc_id % 4
-             WHEN 0 THEN 'https://site' || (doc_id % 120) || '.example.com/p/' || (doc_id % 120)
-             WHEN 1 THEN 'http://SITE' || (doc_id % 120) || '.EXAMPLE.COM/p/' || (doc_id % 120) || '/'
-             WHEN 2 THEN 'https://www.site' || (doc_id % 120) || '.example.com/p/' || (doc_id % 120) || '?utm_source=x'
-             ELSE 'https://site' || (doc_id % 120) || '.example.com/p/' || (doc_id % 120) || '#frag'
+           CASE doc_id % 6
+             WHEN 0 THEN 'https://site' || ((doc_id // 6) % 20) || '.example.com/p/' || ((doc_id // 6) % 20)
+             WHEN 1 THEN 'http://SITE' || ((doc_id // 6) % 20) || '.EXAMPLE.COM/p/' || ((doc_id // 6) % 20) || '/'
+             WHEN 2 THEN 'https://www.site' || ((doc_id // 6) % 20) || '.example.com/p/' || ((doc_id // 6) % 20) || '?utm_source=x'
+             WHEN 3 THEN 'https://site' || ((doc_id // 6) % 20) || '.example.com/p/' || ((doc_id // 6) % 20) || '#frag'
+             WHEN 4 THEN 'https://site' || ((doc_id // 6) % 20) || '.example.com/x&y/' || ((doc_id // 6) % 20) || '?keep=1?z=2&utm_source=a'
+             ELSE 'http://WWW.site' || ((doc_id // 6) % 20) || '.example.com/x&y/' || ((doc_id // 6) % 20) || '?keep=1?z=2&fbclid=abc'
            END AS url FROM documents),
          s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS url FROM u),
-         s2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-             url, '\?', '&'),
-             '&(utm_[a-z]+|fbclid|ref)=[^&#]*', '', 'g'),
-             '^([^&]*)&', '\1?') AS url FROM s1),
-         s3 AS (SELECT doc_id, regexp_replace(url, '^http://', 'https://') AS url FROM s2),
-         s4 AS (SELECT doc_id,
+         s2 AS (SELECT doc_id,
+           regexp_extract(url, '^([^?]*)', 1) AS pre,
+           regexp_replace(regexp_replace(
+             '&' || regexp_extract(url, '^[^?]*\?(.*)$', 1),
+             '&(utm_[a-z]+|fbclid|ref)=[^&]*', '', 'g'),
+             '^&', '') AS q FROM s1),
+         s3 AS (SELECT doc_id,
+           pre || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(url, '^http://', 'https://') AS url FROM s3),
+         s5 AS (SELECT doc_id,
            'https://' ||
            regexp_replace(lower(regexp_extract(url, '^https://([^/?#]*)', 1)), '^www\.', '') ||
-           regexp_replace(url, '^https://([^/?#]*)', '') AS url FROM s3),
-         s5 AS (SELECT doc_id, regexp_replace(url, '/$', '') AS url FROM s4)
+           regexp_replace(url, '^https://([^/?#]*)', '') AS url FROM s4),
+         s6 AS (SELECT doc_id, regexp_replace(url, '/$', '') AS url FROM s5)
          SELECT url, min(doc_id) AS doc_id, count(*) AS n_variants
-         FROM s5 GROUP BY url""",
+         FROM s6 GROUP BY url""",
     // q62: every pair's score recomputed — integer weights make the sum
     // exact; the blocked join is restated as the nation equi-join
     "q62_linkage" ->

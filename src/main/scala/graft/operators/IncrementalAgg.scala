@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.DecimalType
   * previous aggregate by full-outer join; groups whose count reaches 0
   * drop out.
   *
-  * Sums run as DECIMAL(18,4) end to end — exact, order-independent,
-  * and mergeable, so `applyDelta(applyDelta(mv, f1), f2)` equals one
+  * Measures are read as DECIMAL(18,4) but the SUMS are carried at the
+  * WIDENED DECIMAL(28,4) end to end — Spark's own sum-over-decimal
+  * result type. Re-casting a merged sum down to (18,4) would, under
+  * default non-ANSI semantics, turn an overflow into a silent NULL in
+  * the maintained state at large scale. Exact, order-independent, and
+  * mergeable, so `applyDelta(applyDelta(mv, f1), f2)` equals one
   * refresh over the concatenated feeds. Only distributive measures
   * (count, sum) maintain this way; algebraic ones (avg) derive from
   * them; holistic ones (exact percentile) need the base table.
@@ -31,6 +35,10 @@ import org.apache.spark.sql.types.DecimalType
 object IncrementalAgg {
 
   private val dec = DecimalType(18, 4)
+  // sum(DECIMAL(18,4)) in Spark is DECIMAL(28,4); the maintained state
+  // keeps that type so the incremental MV never narrows what a full
+  // recompute would produce
+  private val sumDec = DecimalType(28, 4)
 
   /** Build the MV in the maintainable shape: dims, `n` = row count, and
     * `sum_<m>` = exact decimal sum per measure. */
@@ -61,7 +69,7 @@ object IncrementalAgg {
     val delta = side("before", -1).unionByName(side("after", 1))
       .groupBy(dims.map(col): _*)
       .agg(sum(col("__dn")).as("__dn"),
-        measures.map(m => sum(col(s"__d_$m")).cast(dec).as(s"__d_$m")): _*)
+        measures.map(m => sum(col(s"__d_$m")).cast(sumDec).as(s"__d_$m")): _*)
     // merge: full-outer on dims (null-safe — a dim value may be null),
     // coalesce both sides, drop emptied groups
     val joined = mv.join(delta,
@@ -70,8 +78,8 @@ object IncrementalAgg {
       dims.map(d => coalesce(mv(d), delta(d)).as(d)) ++
         (coalesce(mv("n"), lit(0L)).plus(coalesce(delta("__dn"), lit(0L))).as("n") +:
           measures.map(m =>
-            (coalesce(mv(s"sum_$m"), lit(0).cast(dec)) +
-              coalesce(delta(s"__d_$m"), lit(0).cast(dec))).cast(dec)
+            (coalesce(mv(s"sum_$m"), lit(0).cast(sumDec)) +
+              coalesce(delta(s"__d_$m"), lit(0).cast(sumDec))).cast(sumDec)
               .as(s"sum_$m"))): _*)
       .where(col("n") > 0)
   }

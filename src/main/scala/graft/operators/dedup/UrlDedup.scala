@@ -25,16 +25,19 @@ import org.apache.spark.sql.functions._
   * drops every other column at the scan. */
 object UrlDedup {
 
-  // shared with the oracle: RE2-safe, no backrefs/lookarounds. The
-  // tracking strip normalizes '?' to '&' FIRST so every param match has
-  // the same '&'-prefixed shape (a position-dependent '?p=v&' repair
-  // cannot be expressed in one RE2 pass without lookarounds), then
-  // restores '?' on the first surviving separator via an ANCHORED
-  // replace (^ matches once even under replace-all semantics).
+  // shared with the oracle: RE2-safe, no backrefs/lookarounds. The URL
+  // is SPLIT at the first '?' before any separator surgery — rewriting
+  // separators on the whole string would corrupt a literal '&' in the
+  // path or a second literal '?' inside the query (both legal). Inside
+  // the extracted query every param is given the uniform '&'-prefixed
+  // shape (prepend one '&'), tracking params are stripped replace-all,
+  // and the one synthetic leading '&' is removed again; the '?' is
+  // re-attached only when any param survived.
   val FragmentRe = "#.*"
-  val QueryStartRe = "\\?"
-  val TrackingRe = "&(utm_[a-z]+|fbclid|ref)=[^&#]*"
-  val RestoreQueryRe = "^([^&]*)&"
+  val PreQueryRe = "^([^?]*)" // scheme+authority+path: before the 1st '?'
+  val QueryRe = "^[^?]*\\?(.*)$" // query: after the 1st '?' (may hold '?')
+  val TrackingRe = "&(utm_[a-z]+|fbclid|ref)=[^&]*"
+  val LeadAmpRe = "^&"
   val SchemeRe = "^http://"
   val AuthorityRe = "^https://([^/?#]*)"
   val WwwRe = "^www\\."
@@ -43,12 +46,14 @@ object UrlDedup {
   /** Canonical form of a URL column (pure codegen projection). */
   def canonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, FragmentRe, "")
-    val noTrack = regexp_replace(
-      regexp_replace(
-        regexp_replace(noFrag, QueryStartRe, "&"),
-        TrackingRe, ""),
-      RestoreQueryRe, "$1?")
-    val https = regexp_replace(noTrack, SchemeRe, "https://")
+    val pre = regexp_extract(noFrag, PreQueryRe, 1)
+    val qry = regexp_extract(noFrag, QueryRe, 1) // "" when no '?'
+    val cleanQry = regexp_replace(
+      regexp_replace(concat(lit("&"), qry), TrackingRe, ""),
+      LeadAmpRe, "")
+    val joined = when(cleanQry === "", pre)
+      .otherwise(concat(pre, lit("?"), cleanQry))
+    val https = regexp_replace(joined, SchemeRe, "https://")
     val host = regexp_replace(
       lower(regexp_extract(https, AuthorityRe, 1)), WwwRe, "")
     val rest = regexp_replace(https, AuthorityRe, "")

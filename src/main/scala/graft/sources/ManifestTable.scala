@@ -96,6 +96,11 @@ object ManifestTable {
   }
 
   private def parse(p: Path): Manifest = {
+    // a no-hardlink publish claims the version with an empty placeholder
+    // before the atomic content rename ([[publish]] fallback) — a reader
+    // landing in that microsecond window waits it out instead of failing
+    var spins = 0
+    while (Files.size(p) == 0 && spins < 200) { Thread.sleep(5); spins += 1 }
     val key = cacheKey(p)
     val hit = parseCache.get(key)
     if (hit != null) return hit
@@ -227,6 +232,17 @@ object ManifestTable {
     }
   }
 
+  /** Parquet UTF8 footer min/max are ordered by UNSIGNED UTF-8 bytes
+    * (code-point order); Java's String.compareTo is UTF-16 code-unit
+    * order, and the two diverge once supplementary-plane characters mix
+    * with U+E000–U+FFFF — comparing stats with the wrong order can prune
+    * a file that actually matches. All string stat comparisons therefore
+    * go through the bytes. */
+  private def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** compare a stored stat bound against a predicate value: <0 means
     * stat < value. Unparseable numerics stay conservative (0 = overlap). */
   private def cmpStat(stat: String, value: Any, numeric: Boolean): Int =
@@ -238,7 +254,7 @@ object ManifestTable {
       case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
       case _ => 0
     }
-    else stat.compareTo(value.toString)
+    else cmpUtf8(stat, value.toString)
 
   /** Stage df's rows as new data files (invisible until committed);
     * returns their table-relative names. */
@@ -340,7 +356,7 @@ object ManifestTable {
     case (x: Number, y: Number) =>
       java.math.BigDecimal.valueOf(x.doubleValue())
         .compareTo(java.math.BigDecimal.valueOf(y.doubleValue()))
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => cmpUtf8(x, y)
     case _ => 0
   }
 
@@ -351,16 +367,27 @@ object ManifestTable {
     * appears with its complete content — a concurrent reader can never
     * observe an empty/partial manifest, and a writer crash between the
     * two steps of create-then-write can no longer strand a permanently
-    * empty version. Falls back to ATOMIC_MOVE where the filesystem has
-    * no hard links (content atomicity kept; exclusion then rides the
-    * non-atomic exists check inside Files.move). */
+    * empty version. Where the filesystem has no hard links, exclusion
+    * must be its own primitive: `Files.createFile(target)` claims the
+    * version atomically (EEXIST ⇒ lost the race), and only the claim
+    * winner replaces the placeholder with the rendered content via an
+    * atomic rename — a bare ATOMIC_MOVE here would be rename(2), which
+    * on POSIX silently REPLACES an existing target and lets two racing
+    * committers both "win" the same version. Readers tolerate the
+    * claim-to-content window via the empty-manifest retry in [[parse]]. */
   private def publish(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}.json")
     Files.writeString(tmp, content)
     try Files.createLink(target, tmp)
     catch {
       case _: UnsupportedOperationException =>
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        Files.createFile(target) // the lock: throws FileAlreadyExistsException
+        try Files.move(tmp, target,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+        }
     } finally Files.deleteIfExists(tmp)
   }
 

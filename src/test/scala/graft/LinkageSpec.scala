@@ -74,6 +74,33 @@ class LinkageSpec extends SparkSpecBase {
     assert(out(7) == "https://site1.example.com/p/1?a=1")
   }
 
+  test("literal '&' in the path and literal '?' in the query survive") {
+    val urls = Seq(
+      // '&' in the PATH (no query at all): must pass through untouched,
+      // never be mistaken for a separator and rewritten to '?'
+      "https://x.com/a&b",
+      // multiple literal '&' in the path
+      "https://x.com/a&b&c/d",
+      // second literal '?' INSIDE the query: split happens at the first
+      // '?' only; the rest of the query is opaque
+      "https://x.com/p?keep=1?z=2",
+      // tracking param mixed into the hard shapes
+      "https://x.com/a&b?keep=1?z=2&utm_source=a",
+      // query that is ONLY tracking params, on an '&'-path: the '?'
+      // disappears, the path '&' stays
+      "https://x.com/a&b?utm_source=a",
+      // empty query ('?' with nothing after): dangling '?' dropped
+      "https://x.com/p?").toDF("u")
+    val out = urls.select(UrlDedup.canonicalize(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(out(0) == "https://x.com/a&b")
+    assert(out(1) == "https://x.com/a&b&c/d")
+    assert(out(2) == "https://x.com/p?keep=1?z=2")
+    assert(out(3) == "https://x.com/a&b?keep=1?z=2")
+    assert(out(4) == "https://x.com/a&b")
+    assert(out(5) == "https://x.com/p")
+  }
+
   test("dedupByUrl keeps the smallest id per canonical URL") {
     val df = Seq(
       (7, "https://a.com/x"), (3, "http://A.COM/x/"),

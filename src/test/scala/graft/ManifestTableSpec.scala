@@ -265,6 +265,24 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.readWhere(spark, t, cc).count() == 1)
   }
 
+  test("string stat pruning compares unsigned UTF-8 bytes, not UTF-16 units") {
+    import graft.conditions.{Condition, Op}
+    // Parquet UTF8 footer min/max are ordered by unsigned UTF-8 bytes:
+    // U+1F600 (F0 9F 98 80) sorts ABOVE U+E000 (EE 80 80) there, while
+    // Java's String.compareTo puts the surrogate pair (D83D DE00) BELOW
+    // E000 — a UTF-16 comparison would prune the file holding the
+    // supplementary-plane max and silently lose the U+E000 row.
+    val t = table()
+    ManifestTable.overwrite(Seq("a", "", "😀").toDF("s"), t)
+    val conds = Seq(Condition("s", Op.Eq, ""))
+    val (scanned, _) = ManifestTable.pruneCount(t, conds)
+    assert(scanned >= 1, "UTF-16 ordering wrongly pruned the file")
+    assert(ManifestTable.readWhere(spark, t, conds).count() == 1)
+    // and ranges spanning the private-use/supplementary boundary stay exact
+    val range = Seq(Condition("s", Op.Gte, ""))
+    assert(ManifestTable.readWhere(spark, t, range).count() == 2)
+  }
+
   test("data skipping: pre-stats manifests read conservatively; merge carries stats") {
     import graft.conditions.{Condition, Op}
     import org.apache.spark.sql.functions.col
