@@ -205,7 +205,7 @@ object SparkEntry {
 
     "q30_retention" -> ((s, dir) => {
       // cohort retention: users active at day offsets from their first day
-      val withDay = Tables(s, dir, "events")
+      val withDay = Tables.eventsNanos(s, dir)
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       val firstDay = withDay.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
       withDay.join(firstDay, "user_id")
@@ -400,7 +400,7 @@ object SparkEntry {
       // (batch twin of streaming.EventStream.intervalJoin); the non-equi
       // time range rides on the user_id equi-join, so the plan is a hash/
       // sort-merge join on the key with the range as a join-level filter
-      val e = Tables(s, dir, "events")
+      val e = Tables.eventsNanos(s, dir)
       val clicks = e.where(col("event_type") === "click")
         .select(col("user_id").as("u"), col("event_id").as("click_id"),
           col("ts").as("ct"))
@@ -441,7 +441,7 @@ object SparkEntry {
       // engines order and emit the truncated value.
       val byTime = Window.partitionBy("user_id")
         .orderBy(col("valid_from_us"), col("event_id"))
-      Tables(s, dir, "events")
+      Tables.eventsNanos(s, dir)
         .withColumn("valid_from_us", expr("ts div 1000"))
         .withColumn("__prev", lag(col("event_type"), 1).over(byTime))
         .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
@@ -802,7 +802,7 @@ object SparkEntry {
       // goes under the oracle. At 100 TB this layout decides whether an
       // incremental pull scans a day or the archive.
       val base = java.nio.file.Files.createTempDirectory("graft-q66-").toString
-      val events = Tables(s, dir, "events")
+      val events = Tables.eventsNanos(s, dir)
         .withColumn("event_day", to_date(timestamp_micros(expr("ts div 1000"))))
       val wh = graft.sources.ParquetWarehouse("lake", base)
       wh.writePartitioned(events, "events", Seq("event_day"))
@@ -1317,7 +1317,7 @@ object SparkEntry {
       // ts is long nanos (nanosAsLong): exact integer ordering + arithmetic
       val byTime  = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "events")
+      Tables.eventsNanos(s, dir)
         .withColumn("ms", expr("ts div 1000000"))
         .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(byTime))
         .withColumn("new_sess",
@@ -1332,7 +1332,7 @@ object SparkEntry {
       // as-of join: one sort-merge pass over (key, time), no per-row
       // lookups — see operators.AsOfJoin
       operators.AsOfJoin.backward(
-        left = Tables(s, dir, "events").select("event_id", "user_id", "ts"),
+        left = Tables.eventsNanos(s, dir).select("event_id", "user_id", "ts"),
         right = Tables(s, dir, "orders"),
         leftKey = col("user_id"), rightKey = col("o_custkey"),
         leftTime = col("ts"),

@@ -1,9 +1,33 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Test-table loader: `$dir/<name>.parquet` per TESTDATA.md. */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts vintage shim. The driver's events table has shipped `ts`
+    * both as parquet TIMESTAMP(NANOS) — which Spark reads as a plain long
+    * of epoch nanos under `spark.sql.legacy.parquet.nanosAsLong` — and as
+    * TIMESTAMP(MICROS), which reads as a real timestamp regardless of that
+    * flag. All long-nanos time arithmetic (sessionize gaps, interval-join
+    * bounds, day bucketing) goes through here so either vintage yields the
+    * same long-nanos column. Exact: micros → nanos is `* 1000`, no
+    * floating point. */
+  def tsAsNanos(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        // NTZ wall-clock → epoch under the UTC session timezone (all
+        // entrypoints pin spark.sql.session.timeZone=UTC), matching
+        // DuckDB's epoch_ns() on the same column
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+
+  /** The events table with `ts` normalized to long epoch nanos. */
+  def eventsNanos(spark: SparkSession, dir: String): DataFrame =
+    tsAsNanos(apply(spark, dir, "events"))
 }

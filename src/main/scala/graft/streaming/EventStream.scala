@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.StructType
   * windows for aggregation (reference's event push pipeline,
   * core/pipeline.py:121-178, re-expressed as a continuous query).
   *
-  * `ts` arrives as long epoch nanos (parquet TIMESTAMP(NANOS) read with
-  * nanosAsLong — see Verify); event-time is derived micros-precision.
+  * `ts` is normalized to long epoch nanos at the source whatever the
+  * parquet vintage (TIMESTAMP(NANOS) read with nanosAsLong, or
+  * TIMESTAMP(MICROS) read as a timestamp — see Tables.tsAsNanos);
+  * event-time is micros-precision.
   */
 object EventStream {
 
@@ -23,8 +25,18 @@ object EventStream {
       globFilter: Option[String] = None): DataFrame = {
     val reader = spark.readStream.schema(schema)
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
-    reader.parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(dir)
+    // ts vintage shim (see Tables.tsAsNanos): TIMESTAMP(MICROS) data
+    // arrives as a real timestamp — keep it as event_time and normalize
+    // ts to the long-nanos convention every downstream transform uses.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("event_time", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ =>
+        raw.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   /** Watermarked tumbling-window counts per event type: the streaming

@@ -15,10 +15,16 @@ class StreamingSpec extends SparkSpecBase {
     dir
   }
 
+  // the RAW on-disk schema for readStream (EventStream.source normalizes
+  // ts itself; passing the shimmed long schema against a timestamp file
+  // would corrupt the stream read)
+  private def rawEventsSchema(dir: String) =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
   test("streaming windowed counts equal the batch equivalent") {
     val dir = stageEventsDir()
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val schema = batch.schema
+    val batch = Tables.tsAsNanos(spark.read.parquet(s"$dir/events.parquet"))
+    val schema = rawEventsSchema(dir)
     val out = Files.createTempDirectory("graft-sink-").toString
 
     val stream = EventStream.windowedCounts(EventStream.source(spark, dir, schema))
@@ -44,10 +50,10 @@ class StreamingSpec extends SparkSpecBase {
 
   test("stateful sessionization matches batch sessions (closed prefix)") {
     val dir = stageEventsDir()
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = Tables.tsAsNanos(spark.read.parquet(s"$dir/events.parquet"))
 
     val stream = graft.streaming.Sessionize(
-      graft.streaming.EventStream.source(spark, dir, batch.schema), gapMs = 1800000L)
+      graft.streaming.EventStream.source(spark, dir, rawEventsSchema(dir)), gapMs = 1800000L)
     val q = stream.writeStream
       .format("memory").queryName("sessions").outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
@@ -110,12 +116,12 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming events push equals batch pushEvents") {
     val dir = stageEventsDir()
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = Tables.tsAsNanos(spark.read.parquet(s"$dir/events.parquet"))
     val customers = spark.read.parquet(s"$sf0001/customer.parquet")
     val having = Seq(graft.conditions.Condition("c_acctbal", graft.conditions.Op.Gt, 0))
 
     val stream = EventStream.pushEvents(
-      EventStream.source(spark, dir, batch.schema), "user_id",
+      EventStream.source(spark, dir, rawEventsSchema(dir)), "user_id",
       broadcast(customers), "c_custkey", having,
       df => df.select("event_id", "user_id", "c_name"))
     val q = stream.writeStream
@@ -137,10 +143,10 @@ class StreamingSpec extends SparkSpecBase {
     // stage the same file twice: every event is duplicated
     Files.copy(Paths.get(s"$sf0001/events.parquet"),
       Paths.get(s"$dir/events_copy.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+    val batch = Tables.tsAsNanos(spark.read.parquet(s"$sf0001/events.parquet"))
 
     val stream = EventStream.dedup(
-      EventStream.source(spark, dir, batch.schema), Seq("event_id"), "1 hour")
+      EventStream.source(spark, dir, rawEventsSchema(dir)), Seq("event_id"), "1 hour")
       .select("event_id")
     val q = stream.writeStream
       .format("memory").queryName("deduped").outputMode("append")
@@ -152,8 +158,8 @@ class StreamingSpec extends SparkSpecBase {
 
   test("stream-stream interval join equals the batch twin") {
     val dir = stageEventsDir()
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val schema = batch.schema
+    val batch = Tables.tsAsNanos(spark.read.parquet(s"$dir/events.parquet"))
+    val schema = rawEventsSchema(dir)
 
     val clicks = EventStream.source(spark, dir, schema).where(col("event_type") === "click")
     val purchases = EventStream.source(spark, dir, schema).where(col("event_type") === "purchase")
@@ -184,7 +190,7 @@ class StreamingSpec extends SparkSpecBase {
     val srcDir = Files.createTempDirectory("graft-mts-src-").toString
     val tbl = Files.createTempDirectory("graft-mts-tbl-").toString + "/t"
     val ckpt = Files.createTempDirectory("graft-mts-ckpt-").toString
-    val all = spark.read.parquet(s"$sf0001/events.parquet")
+    val all = Tables.tsAsNanos(spark.read.parquet(s"$sf0001/events.parquet"))
     all.where(col("event_id") < 300).coalesce(1)
       .write.mode("overwrite").parquet(srcDir)
 
@@ -262,7 +268,7 @@ class StreamingSpec extends SparkSpecBase {
     val store = new CursorStore(spark, storeDir)
     val target = ParquetWarehouse("sink", tgtDir, ext = "")
 
-    val all = spark.read.parquet(s"$sf0001/events.parquet")
+    val all = Tables.tsAsNanos(spark.read.parquet(s"$sf0001/events.parquet"))
     val schema = all.schema
     // day 1: first half of the stream lands
     val half = all.where(col("event_id") < 500)
@@ -323,11 +329,11 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming pull applies the same Condition algebra as batch") {
     val dir = stageEventsDir()
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = Tables.tsAsNanos(spark.read.parquet(s"$dir/events.parquet"))
     val where = Seq(Condition("event_type", Op.In, Seq("purchase", "signup")))
 
     val stream = EventStream.pull(
-      EventStream.source(spark, dir, batch.schema), where,
+      EventStream.source(spark, dir, rawEventsSchema(dir)), where,
       df => df.select("event_id", "event_type"))
     val q = stream.writeStream
       .format("memory").queryName("pulled").outputMode("append")
