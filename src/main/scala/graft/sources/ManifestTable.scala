@@ -63,9 +63,18 @@ object ManifestTable {
     * lexicographically, which matches parquet's UTF8 stat ordering. */
   final case class ColStats(min: String, max: String, numeric: Boolean)
 
+  /** `seqs`: the commit sequence (= manifest version) each data file was
+    * ADDED at; absent (legacy manifests) means 0. `deletes`: merge-on-read
+    * delete files — each a small parquet of merge keys staged at commit
+    * seq s, hiding matching rows in every data file with seq < s. The
+    * pair is the Iceberg equality-delete model: a k-row merge commits
+    * O(k) delete bytes and zero rewritten data files; reads reconcile;
+    * compaction folds the deletes back into data. */
   final case class Manifest(version: Long, files: Seq[String],
       commitId: Option[String], parent: Long,
-      stats: Map[String, Map[String, ColStats]] = Map.empty)
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      seqs: Map[String, Long] = Map.empty,
+      deletes: Seq[(String, Long)] = Seq.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -74,10 +83,13 @@ object ManifestTable {
         q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}]"
       }.mkString(",") + "}"
     }).mkString(",")
+    val seqsJson = m.files.flatMap(f => m.seqs.get(f).map(s => q(f) + s":$s"))
+      .mkString(",")
+    val delJson = m.deletes.map { case (f, s) => s"[${q(f)},$s]" }.mkString(",")
     s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""commit_id":${m.commitId.map(q).getOrElse("null")},""" +
       s""""files":[${m.files.map(q).mkString(",")}],""" +
-      s""""stats":{$statsJson}}"""
+      s""""stats":{$statsJson},"seqs":{$seqsJson},"deletes":[$delJson]}"""
   }
 
   // Manifests are immutable once published (atomic link/rename, never
@@ -123,12 +135,24 @@ object ManifestTable {
       }.toMap
       case _ => Map.empty[String, Map[String, ColStats]]
     }
+    // seqs/deletes absent in pre-MoR manifests → empty: every file reads
+    // as seq 0 with no delete files, exactly the old behavior
+    val seqs = (j \ "seqs") match {
+      case JObject(fs) => fs.collect { case (f, JInt(s)) => f -> s.toLong }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    val deletes = (j \ "deletes") match {
+      case JArray(ds) => ds.collect {
+        case JArray(List(JString(f), JInt(s))) => (f, s.toLong)
+      }
+      case _ => Seq.empty[(String, Long)]
+    }
     val m = Manifest(
       (j \ "version").extract[Long],
       (j \ "files").extract[Seq[String]],
       (j \ "commit_id").extractOpt[String],
       (j \ "parent").extract[Long],
-      stats)
+      stats, seqs, deletes)
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -161,8 +185,46 @@ object ManifestTable {
     require(m.files.nonEmpty, s"version ${m.version} names no data files")
     // mergeSchema: a version's files may span commits with evolved
     // schemas; picking one footer at random would silently drop columns
-    spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
+    reconcile(spark, path, m,
+      spark.read.option("mergeSchema", "true")
+        .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*))
+  }
+
+  /** MERGE-ON-READ reconciliation: drop every row whose merge key appears
+    * in a delete file committed AFTER the row's data file. Each delete
+    * file is O(merge size) and broadcast — the anti-join adds no shuffle
+    * to the scan, so a 100 TB read with a handful of recent MoR merges
+    * costs the scan plus k broadcast probes per row. `df` must be a scan
+    * of (a subset of) `m.files` so `input_file_name()` resolves the
+    * per-row commit seq. Output schema equals `df`'s. */
+  private def reconcile(spark: SparkSession, path: String, m: Manifest,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (m.deletes.isEmpty) return df
+    // per-row seq = the file's commit seq, via a manifest-sized literal
+    // map (driver already holds the manifest; file NAMES, not data)
+    val seqByFile: Map[String, Long] =
+      m.files.map(f => f -> m.seqs.getOrElse(f, 0L)).toMap
+    val withSeq = df.withColumn("__graft_seq",
+      coalesce(element_at(typedLit(seqByFile),
+        element_at(split(input_file_name(), "/"), -1)), lit(0L)))
+    // delete files may carry different key sets across merges: group by
+    // key schema (a driver-side footer read per delete file, KBs each)
+    // and apply one broadcast anti-join per group
+    val groups = m.deletes.groupBy { case (f, _) =>
+      spark.read.parquet(dataDir(path).resolve(f).toString).columns.toSeq.sorted
+    }
+    val out = groups.values.foldLeft(withSeq) { case (cur, dels) =>
+      val delDf = dels.map { case (f, seq) =>
+        spark.read.parquet(dataDir(path).resolve(f).toString)
+          .withColumn("__graft_dseq", lit(seq))
+      }.reduce(_.unionByName(_))
+      val keys = delDf.columns.filterNot(_ == "__graft_dseq")
+      val cond = keys.map(k => cur(k) === delDf(k)).reduce(_ && _) &&
+        delDf("__graft_dseq") > cur("__graft_seq")
+      cur.join(broadcast(delDf), cond, "left_anti")
+    }
+    out.drop("__graft_seq")
   }
 
   /** DATA SKIPPING — the stats-pruned read (Delta/Iceberg's file-level
@@ -184,8 +246,11 @@ object ManifestTable {
     val residual = graft.conditions.Conditions.all(conds)
     if (survivors.isEmpty)
       read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(survivors.map(f => dataDir(path).resolve(f).toString): _*)
+    // deletes only REMOVE rows, so stats pruning stays sound under MoR;
+    // reconcile before the residual filter so hidden rows never surface
+    else reconcile(spark, path, m,
+      spark.read.option("mergeSchema", "true")
+        .parquet(survivors.map(f => dataDir(path).resolve(f).toString): _*))
       .where(residual)
   }
 
@@ -408,8 +473,14 @@ object ManifestTable {
         else cur.map(_.files).getOrElse(Seq.empty) ++ newFiles
       val stats = if (replace) newStats
         else cur.map(_.stats).getOrElse(Map.empty) ++ newStats
+      // append: carried files keep their seq and the MoR delete files
+      // still apply to them; overwrite replaces everything, deletes too
+      val seqs = (if (replace) Map.empty[String, Long]
+        else cur.map(_.seqs).getOrElse(Map.empty)) ++ newFiles.map(_ -> next)
+      val deletes = if (replace) Seq.empty[(String, Long)]
+        else cur.map(_.deletes).getOrElse(Seq.empty)
       val m = Manifest(next, files, commitId,
-        cur.map(_.version).getOrElse(0L), stats)
+        cur.map(_.version).getOrElse(0L), stats, seqs, deletes)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -465,9 +536,11 @@ object ManifestTable {
     val next = base.version + 1
     val target = manifestDir(path).resolve(f"v$next%08d.json")
     try {
+      // the rewrite read was MoR-reconciled, so the compacted files carry
+      // the deletes' effect in data — the new manifest folds them away
       publish(target, render(
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
-          footerStats(path, staged))))
+          footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -564,11 +637,14 @@ object ManifestTable {
     val untouchedFiles = base.files.filterNot(touched)
 
     // (2) rewrite ONLY the touched files
+    // reconcile: a DV-hidden row in a touched file must not resurrect
+    // through the rewrite
     val touchedRows =
       if (touched.isEmpty) target.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(base.files.filter(touched)
-          .map(f => dataDir(path).resolve(f).toString): _*)
+      else reconcile(spark, path, base,
+        spark.read.option("mergeSchema", "true")
+          .parquet(base.files.filter(touched)
+            .map(f => dataDir(path).resolve(f).toString): _*))
         .select(cols.map(col): _*)
     val afterDelete = touchedRows.join(
       tombstones.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -588,10 +664,15 @@ object ManifestTable {
     // (4) stage + publish (optimistic, conflict-checked like compactCommit)
     val staged = stage(rewritten.unionByName(inserts), path)
     val next = base.version + 1
-    // untouched files CARRY their stats; only rewritten files re-harvest
+    // untouched files CARRY their stats, seqs, and any delete files that
+    // apply to them; rewritten files sit at seq `next`, above every
+    // existing delete, so old deletes can never re-hide rewritten rows
     val m = Manifest(next, untouchedFiles ++ staged, commitId, base.version,
       untouchedFiles.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
-        footerStats(path, staged))
+        footerStats(path, staged),
+      untouchedFiles.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
+        staged.map(_ -> next),
+      base.deletes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -602,6 +683,108 @@ object ManifestTable {
     }
     } finally graft.operators.IndexScope.release(raw)
   }
+
+  /** MERGE-ON-READ MERGE — same semantics as [[merge]] (keyed upsert +
+    * tombstones, source wins), different cost model: instead of
+    * rewriting every data file containing a touched key, the commit
+    * writes (a) the upsert rows as NEW data files and (b) one small
+    * DELETE file holding every source key. Reads hide a key's old rows
+    * because the delete file's seq exceeds their data files' seq
+    * ([[reconcile]]); the fresh upsert rows sit at the same seq as the
+    * delete and survive. A k-row merge therefore writes O(k) bytes and
+    * rewrites ZERO data files — the write-amplification fix for a
+    * frequent push-as-upsert loop against a 100 TB sink (reference
+    * core/pipeline.py:83), exactly Iceberg's equality-delete shape.
+    * Read cost grows with accumulated delete files; [[compactCommit]]
+    * folds them back into data and resets the ledger.
+    *
+    * Returns the new version. */
+  def mergeMoR(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      commitId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val landed = commitId.flatMap(id =>
+      versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
+    if (landed.isDefined) return landed.get.version
+    val base = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val target = read(spark, path, Some(base.version))
+    val cols = target.columns.toSeq
+    require(keyCols.forall(cols.contains), s"key not in target: $keyCols")
+    require(cols.forall(source.columns.contains),
+      s"source is missing target columns: ${cols.diff(source.columns.toSeq)}")
+    val raw = source.localCheckpoint()
+    try {
+      val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
+        .select(cols.map(col): _*)
+      val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
+        .getOrElse(raw).select(cols.map(col): _*)
+      Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
+        case (side, df) =>
+          val dup = df.groupBy(keyCols.map(col): _*).count()
+            .where(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"source has duplicate $side merge key ${dup.headOption.map(_.get(0))}")
+      }
+      // ONE delete file: every source key (upsert keys delete their old
+      // row before the new one lands; a key absent from the table deletes
+      // nothing — the anti-join just misses). distinct: a
+      // delete-then-reinsert batch repeats its key across the two splits.
+      val delKeys = tombstones.select(keyCols.map(col): _*)
+        .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
+      val next = base.version + 1
+      val delFiles = stageDeletes(delKeys, path)
+      val staged = stage(upserts, path)
+      val m = Manifest(next, base.files ++ staged, commitId, base.version,
+        base.stats ++ footerStats(path, staged),
+        base.seqs ++ (base.files.filterNot(base.seqs.contains).map(_ -> 0L)) ++
+          staged.map(_ -> next),
+        base.deletes ++ delFiles.map(_ -> next))
+      try {
+        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+        next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"concurrent commit during merge onto v${base.version}; retry")
+      }
+    } finally graft.operators.IndexScope.release(raw)
+  }
+
+  /** Stage merge keys as delete files (named `del-*` so a listing reads
+    * as intent, but tracked ONLY via the manifest like any data file).
+    * Coalesced to one part — a delete file is O(merge batch), KBs to MBs. */
+  private def stageDeletes(keys: DataFrame, path: String): Seq[String] = {
+    Files.createDirectories(dataDir(path))
+    val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
+    keys.coalesce(1).write.parquet(staging.toString)
+    val parts = Using.resource(Files.list(staging)) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+    val named = parts.map { p =>
+      val name = s"del-${UUID.randomUUID()}.parquet"
+      Files.move(p, dataDir(path).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    Using.resource(Files.walk(staging)) { st =>
+      st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    named
+  }
+
+  /** Data / delete file names at a version — the observable the MoR gate
+    * asserts on (q76: a merge must ADD files, never drop or rewrite one). */
+  def dataFiles(path: String, version: Option[Long] = None): Seq[String] =
+    version.map(manifestAt(path, _)).orElse(latest(path))
+      .map(_.files).getOrElse(Seq.empty)
+
+  def deleteFiles(path: String, version: Option[Long] = None): Seq[String] =
+    version.map(manifestAt(path, _)).orElse(latest(path))
+      .map(_.deletes.map(_._1)).getOrElse(Seq.empty)
 
   /** The two versions' rows restricted to files that DIFFER between the
     * manifests. Data files are immutable and uniquely named, so a file
@@ -614,18 +797,72 @@ object ManifestTable {
     * append-created duplicate keys make any keyed diff meaningless. */
   private def differingSlices(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
     val mf = manifestAt(path, fromVersion)
     val mt = manifestAt(path, toVersion)
     val shared = mf.files.toSet.intersect(mt.files.toSet)
+    // reconcile each slice against ITS manifest: rows DV-hidden at a
+    // version must not surface in that version's side of the diff
     def slice(m: Manifest): DataFrame = {
       val own = m.files.filterNot(shared)
       if (own.isEmpty)
         read(spark, path, Some(m.version))
           .where(org.apache.spark.sql.functions.lit(false))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(own.map(f => dataDir(path).resolve(f).toString): _*)
+      else reconcile(spark, path, m,
+        spark.read.option("mergeSchema", "true")
+          .parquet(own.map(f => dataDir(path).resolve(f).toString): _*))
     }
-    (slice(mf), slice(mt))
+    val before = slice(mf)
+    // MoR: a delete file landed in (from, to] hides rows in SHARED files
+    // — those rows left the table without any file changing. Surface
+    // them on the before side by scanning shared files (stats-pruned to
+    // the delete keys' range) and keeping rows matching a new delete
+    // key. Every shared file has seq <= fromVersion < the new delete's
+    // seq, so key match alone decides. The after side needs nothing:
+    // re-inserted keys live in `to`-only files, already in slice(mt).
+    val newDeletes = mt.deletes.filterNot(mf.deletes.toSet)
+    if (newDeletes.isEmpty || shared.isEmpty) (before, slice(mt))
+    else {
+      val groups = newDeletes.groupBy { case (f, _) =>
+        spark.read.parquet(dataDir(path).resolve(f).toString).columns.toSeq.sorted
+      }.values.toSeq
+      // per key-schema group: semi-join shared rows on the group's keys,
+      // anti-joining away earlier groups' matches so a row hidden under
+      // two key schemas is surfaced exactly once
+      val extras = groups.zipWithIndex.map { case (dels, gi) =>
+        val keysDf = dels.map { case (f, _) =>
+          spark.read.parquet(dataDir(path).resolve(f).toString)
+        }.reduce(_.unionByName(_)).distinct()
+        val keyCols = keysDf.columns.toSeq
+        // prune shared files by the delete keys' [min,max] on the first
+        // key column — one tiny agg, then metadata-only file skipping
+        val k0 = keyCols.head
+        val mm = keysDf.agg(min(col(k0)), max(col(k0))).collect()(0)
+        val scanFiles =
+          if (mm.isNullAt(0)) Seq.empty
+          else {
+            import graft.conditions.{Condition, Op}
+            val range = Seq(Condition(k0, Op.Gte, mm.get(0)),
+              Condition(k0, Op.Lte, mm.get(1)))
+            mf.files.filter(shared)
+              .filter(f => fileMightMatch(mf.stats.get(f), range))
+          }
+        if (scanFiles.isEmpty) before.limit(0)
+        else {
+          val cand = reconcile(spark, path, mf,
+            spark.read.option("mergeSchema", "true")
+              .parquet(scanFiles.map(f => dataDir(path).resolve(f).toString): _*))
+          val hit = cand.join(broadcast(keysDf), keyCols, "left_semi")
+          groups.take(gi).foldLeft(hit) { (acc, prev) =>
+            val prevKeys = prev.map { case (f, _) =>
+              spark.read.parquet(dataDir(path).resolve(f).toString)
+            }.reduce(_.unionByName(_)).distinct()
+            acc.join(broadcast(prevKeys), prevKeys.columns.toSeq, "left_anti")
+          }
+        }
+      }
+      (extras.foldLeft(before)(_.unionByName(_)), slice(mt))
+    }
   }
 
   /** Change data feed between two committed versions: keyed row-level
@@ -682,7 +919,9 @@ object ManifestTable {
     * the window are eligible (pass 0 only when no writer can be active).
     * Returns the deleted names. */
   def vacuum(path: String, minAgeMs: Long = 3600000L): Seq[String] = {
-    val live = versions(path).flatMap(v => manifestAt(path, v).files).toSet
+    // delete files are manifest-referenced state exactly like data files
+    val live = versions(path).map(manifestAt(path, _))
+      .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet
     if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = Using.resource(Files.list(dataDir(path))) { st =>

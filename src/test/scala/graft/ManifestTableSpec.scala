@@ -289,10 +289,12 @@ class ManifestTableSpec extends SparkSpecBase {
     val t = table()
     val df = spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
     ManifestTable.overwrite(df.repartitionByRange(4, col("k")), t)
-    // strip the stats from v1's manifest (a table written before data
-    // skipping existed): every file must survive pruning, reads stay exact
+    // strip stats AND the MoR fields from v1's manifest (a table written
+    // before data skipping / deletion vectors existed): every file must
+    // survive pruning, reads stay exact
     val mp = Paths.get(t, "_manifests", "v00000001.json")
-    val noStats = Files.readString(mp).replaceAll(""","stats":\{.*\}\}$""", "}")
+    val noStats = Files.readString(mp).replaceAll(""","stats":\{.*$""", "}")
+    assert(!noStats.contains("\"stats\"") && !noStats.contains("\"seqs\""))
     Files.writeString(mp, noStats)
     val conds = Seq(Condition("k", Op.Lt, 100L))
     val (scanned, total) = ManifestTable.pruneCount(t, conds)
@@ -369,5 +371,105 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(row.getAs[String]("change_type") == "changed")
     assert(row.getAs[org.apache.spark.sql.Row]("before").getAs[Long]("v") == 3L)
     assert(row.getAs[org.apache.spark.sql.Row]("after").getAs[Long]("v") == 1003L)
+  }
+
+  test("mergeMoR: merge semantics with ZERO rewritten data files") {
+    val t = table()
+    val target = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40))
+      .toDF("k", "name", "v")
+    ManifestTable.overwrite(target, t)
+    val filesBefore = ManifestTable.dataFiles(t).toSet
+    val source = Seq((2, "B2", 200, "U"), (9, "i", 90, "U"), (3, "c", 30, "D"))
+      .toDF("k", "name", "v", "op")
+    val v = ManifestTable.mergeMoR(spark, t, source, Seq("k"),
+      deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    assert(v == 2)
+    // the MoR contract: every pre-merge data file survives untouched,
+    // new files only ADD, and exactly one delete file landed
+    val filesAfter = ManifestTable.dataFiles(t).toSet
+    assert(filesBefore.subsetOf(filesAfter), "a data file was dropped/rewritten")
+    assert(ManifestTable.deleteFiles(t).size == 1)
+    val out = ManifestTable.read(spark, t).select("k", "name", "v")
+      .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "a", 10), (2, "B2", 200), (4, "d", 40), (9, "i", 90)))
+    // time travel: v1 still reads the pre-merge rows, DVs notwithstanding
+    assert(ManifestTable.read(spark, t, Some(1L)).count() == 4)
+    // readWhere must not surface a DV-hidden row either
+    import graft.conditions.{Condition, Op}
+    assert(ManifestTable.readWhere(spark, t, Seq(Condition("k", Op.Eq, 3)))
+      .count() == 0)
+    assert(ManifestTable.readWhere(spark, t, Seq(Condition("k", Op.Eq, 2)))
+      .select("v").as[Int].collect().toSeq == Seq(200))
+    // duplicate source keys stay rejected
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeMoR(spark, t,
+        Seq((5, "x", 1, "U"), (5, "y", 2, "U")).toDF("k", "name", "v", "op"),
+        Seq("k"))
+    }
+  }
+
+  test("mergeMoR: stacked merges — newest delete wins, replay idempotent") {
+    val t = table()
+    ManifestTable.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"), t)
+    // merge 1 updates k=1; merge 2 updates it AGAIN — the second delete
+    // file must hide merge 1's row (seq ordering, not just presence)
+    ManifestTable.mergeMoR(spark, t, Seq((1, 11)).toDF("k", "v"), Seq("k"),
+      commitId = Some("m1"))
+    val v3 = ManifestTable.mergeMoR(spark, t, Seq((1, 12)).toDF("k", "v"),
+      Seq("k"), commitId = Some("m2"))
+    assert(v3 == 3)
+    assert(ManifestTable.read(spark, t).as[(Int, Int)].collect().sortBy(_._1)
+      .toSeq == Seq((1, 12), (2, 20)))
+    // delete-then-reinsert in one batch re-inserts
+    ManifestTable.mergeMoR(spark, t,
+      Seq((2, 20, "D"), (2, 99, "U")).toDF("k", "v", "op"), Seq("k"),
+      deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    assert(ManifestTable.read(spark, t).as[(Int, Int)].collect().sortBy(_._1)
+      .toSeq == Seq((1, 12), (2, 99)))
+    // replayed commit id: no new version, no double-apply
+    val replay = ManifestTable.mergeMoR(spark, t,
+      Seq((1, 999)).toDF("k", "v"), Seq("k"), commitId = Some("m2"))
+    assert(replay == 3)
+    assert(ManifestTable.read(spark, t).where("k = 1").as[(Int, Int)]
+      .head()._2 == 12)
+  }
+
+  test("mergeMoR: change feed surfaces DV-hidden rows; compaction folds DVs") {
+    val t = table()
+    ManifestTable.overwrite(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), t)
+    ManifestTable.mergeMoR(spark, t,
+      Seq((2, "B", "U"), (7, "g", "U"), (3, "c", "D")).toDF("k", "s", "op"),
+      Seq("k"), deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    // identical feed to the CoW merge test: the cost model changed, the
+    // observable diff must not
+    val diff = ManifestTable.changes(spark, t, 1L, 2L, "k")
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(diff == Seq((2, "changed", "s"), (3, "removed", ""), (7, "added", "")))
+    // OPTIMIZE folds the delete files back into data: ledger empties,
+    // rows unchanged, and time travel to the DV version still reconciles
+    val vc = ManifestTable.compactCommit(spark, t)
+    assert(ManifestTable.deleteFiles(t).isEmpty)
+    assert(ManifestTable.read(spark, t).select("k", "s").as[(Int, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1, "a"), (2, "B"), (7, "g")))
+    assert(ManifestTable.read(spark, t, Some(2L)).where("k = 3").count() == 0)
+    // vacuum after expiring pre-compaction versions reclaims the delete
+    // files along with orphaned data files
+    val (_, deleted) = ManifestTable.expire(t, keepLast = 1, vacuumMinAgeMs = 0L)
+    assert(deleted.exists(_.startsWith("del-")), s"delete file not vacuumed: $deleted")
+    assert(ManifestTable.read(spark, t, Some(vc)).count() == 3)
+  }
+
+  test("CoW merge on a table carrying DVs neither resurrects nor drops rows") {
+    val t = table()
+    ManifestTable.overwrite(
+      Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v").coalesce(1), t)
+    // MoR-delete k=2, then a CoW merge that touches the same FILE (k=1):
+    // the rewrite must not bring k=2 back (reconcile-before-rewrite)
+    ManifestTable.mergeMoR(spark, t, Seq((2, 20, "D")).toDF("k", "v", "op"),
+      Seq("k"), deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+    ManifestTable.merge(spark, t, Seq((1, 111)).toDF("k", "v"), Seq("k"))
+    assert(ManifestTable.read(spark, t).as[(Int, Int)].collect().sortBy(_._1)
+      .toSeq == Seq((1, 111), (3, 30)))
   }
 }
