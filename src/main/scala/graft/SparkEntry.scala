@@ -1572,9 +1572,7 @@ object SparkEntry {
       // (see [[manifoldNodes]] — uniform random vectors have no neighbor
       // structure any few-round graph method can recover; NNDescentSpec
       // pins that separately). Gate: mean recall@5 ≥ 0.90 vs brute truth.
-      val nodes = manifoldNodes(s, dir)
-      val truth = operators.similarity.Similarity.knnBrute(
-        nodes, nodes, "vec_id", "embedding", k = 5)
+      val truth = manifoldTruth(s, dir)
       val approx = manifoldGraph(s, dir)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
       operators.similarity.Similarity.recallGate(approx, truth, 0.90)
@@ -1590,8 +1588,7 @@ object SparkEntry {
       // brute force's full corpus per query. Same corpus and same
       // emitted-truth oracle shape as ss7.
       val nodes = manifoldNodes(s, dir)
-      val truth = operators.similarity.Similarity.knnBrute(
-        nodes, nodes, "vec_id", "embedding", k = 5)
+      val truth = manifoldTruth(s, dir)
       val graph = manifoldGraph(s, dir) // shared index artifact (ss7 gates it)
       val approx = operators.similarity.GraphSearch.search(
         nodes, graph, nodes, "vec_id", "embedding", k = 5,
@@ -1609,8 +1606,15 @@ object SparkEntry {
       val nodes = manifoldNodes(s, dir)
       val old = nodes.where(col("vec_id") % 12 =!= 0)
       val batch = nodes.where(col("vec_id") % 12 === 0)
-      val truth = operators.similarity.Similarity.knnBrute(
-        nodes, nodes, "vec_id", "embedding", k = 5)
+      val truth = manifoldTruth(s, dir)
+      // maxRounds=4 is the measured floor on this corpus, not slack: the
+      // round-12 profile shows NN-Descent churning 30% of edges in round
+      // 4 (never reaching the 1% convergence exit the pre-regeneration
+      // data hit early — the cause of the r10/r11 wall-time doubling),
+      // and a 3-round build drops merged recall@5 to 0.73, under the
+      // 0.85 gate. The build on 11/12 of the corpus is ss9's own by
+      // design — an insert benchmark must not start from a graph that
+      // already saw the batch.
       val graph = operators.similarity.NNDescent.knnGraph(
         old, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
       val merged = operators.similarity.GraphSearch.insert(
@@ -1990,6 +1994,20 @@ object SparkEntry {
       operators.similarity.NNDescent.knnGraph(
         manifoldNodes(s, dir), "vec_id", "embedding",
         k = 5, maxRounds = 4, bucketSize = 96))
+
+  /** Exact brute-force truth over the manifold corpus, shared by
+    * ss7/ss8/ss9 the same way [[manifoldGraph]] is: knnBrute is
+    * deterministic, all three gate against (and emit) the identical
+    * frame, and the first caller pays the one O(480²) pass. Pinned so
+    * later queries read storage blocks, not a recomputed cross join. */
+  private val manifoldTruthCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def manifoldTruth(s: SparkSession, dir: String): DataFrame =
+    manifoldTruthCache.getOrElseUpdate((s, dir), {
+      val nodes = manifoldNodes(s, dir)
+      operators.similarity.Similarity.knnBrute(
+        nodes, nodes, "vec_id", "embedding", k = 5).localCheckpoint()
+    })
 
   private def manifoldNodes(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
