@@ -962,6 +962,78 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
 
+    "q77_stream_multibatch" -> ((s, dir) => {
+      // MULTI-micro-batch streaming CDC under the gate — every other
+      // streaming family processes exactly one AvailableNow batch, so
+      // cross-batch state and replay idempotence never faced the oracle
+      // until here. The q60 change set is staged as THREE files and
+      // consumed with maxFilesPerTrigger=1 → three separate micro-batch
+      // MERGE commits against ONE checkpoint (the three stages are
+      // key-disjoint, so sequential merges ≡ the single batch merge and
+      // q60's oracle checks the result exactly). Merges are
+      // MERGE-ON-READ: the gate asserts three versions landed, zero
+      // data files were rewritten across all three, and a full REPLAY
+      // of the feed from a fresh checkpoint (same commit ids) is a
+      // manifest-level no-op.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val tmp = JFiles.createTempDirectory("graft-q77-").toString
+      val base = s"$tmp/t"
+      val cdcDir = s"$tmp/cdc"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      JFiles.createDirectories(JPaths.get(cdcDir))
+      Seq("u" -> updates, "i" -> inserts, "d" -> deletes).foreach {
+        case (nm, df) =>
+          val st = s"$tmp/stage-$nm"
+          df.coalesce(1).write.parquet(st)
+          val parts = JFiles.list(JPaths.get(st)).iterator()
+          var moved = false
+          while (parts.hasNext && !moved) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              JFiles.move(p, JPaths.get(cdcDir, s"$nm.parquet"))
+              moved = true
+            }
+          }
+          require(moved, s"no parquet part staged for $nm")
+      }
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(cdcDir).schema
+      val dataBefore = ManifestTable.dataFiles(base, Some(1L)).toSet
+      def run(ck: String): Unit =
+        graft.streaming.StreamSync.startMergeToTable(
+          s2.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(cdcDir),
+          base, Seq("c_custkey"), ck,
+          deleteWhen = Some(col("op") === "D"),
+          trigger = Trigger.AvailableNow(), mor = true).awaitTermination()
+      run(s"$tmp/ckpt")
+      val versions = ManifestTable.versions(base)
+      require(versions.size == 4,
+        s"expected 3 micro-batch merge commits on v1, got versions $versions")
+      require(dataBefore.subsetOf(ManifestTable.dataFiles(base).toSet),
+        "MoR stream merge rewrote/dropped a base data file")
+      // replay the whole feed from a FRESH checkpoint: batch ids (and so
+      // commit ids) repeat, every merge must no-op at the manifest level
+      run(s"$tmp/ckpt-replay")
+      require(ManifestTable.versions(base).size == 4,
+        "replayed micro-batches re-committed instead of no-op'ing")
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
     "q73_sketches" -> ((s, dir) => {
       // the SKETCH path for 100 TB profiling under the gate: HLL++
       // approx_count_distinct and quantile-sketch approx_percentile are
@@ -3077,6 +3149,20 @@ object SparkEntry {
     // q72: identical semantics to q60 — the streaming path must land on
     // the same merged table
     "q72_stream_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+                c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+         UNION ALL
+         SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 11 = 3""",
+    // q77: three key-disjoint micro-batch MoR merges ≡ the single q60
+    // merge — same oracle; batch count, zero-rewrite, and replay
+    // idempotence are asserted by the in-query gate
+    "q77_stream_multibatch" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
          UNION ALL

@@ -114,13 +114,21 @@ object StreamSync {
       keyCols: Seq[String],
       checkpointDir: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      // merge-on-read: each batch commits O(batch) delete+upsert bytes
+      // and rewrites nothing ([[graft.sources.ManifestTable.mergeMoR]])
+      // — the right cost model for a high-frequency CDC feed against a
+      // large sink; schedule compactCommit to fold the delete ledger.
+      mor: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.sources.ManifestTable.merge(
+          if (mor) graft.sources.ManifestTable.mergeMoR(
+            batch.sparkSession, tablePath, batch.toDF(), keyCols,
+            deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+          else graft.sources.ManifestTable.merge(
             batch.sparkSession, tablePath, batch.toDF(), keyCols,
             deleteWhen, commitId = Some(s"merge-batch-$batchId"))
           ()

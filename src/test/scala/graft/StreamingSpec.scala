@@ -258,6 +258,62 @@ class StreamingSpec extends SparkSpecBase {
       .as[String].head() == "upd1")
   }
 
+  test("StreamSync multi-micro-batch MoR merge: >1 executed batch, " +
+      "cross-batch state, idempotent full replay") {
+    import graft.sources.ManifestTable
+    val tmp = Files.createTempDirectory("graft-smb-").toString
+    val tbl = s"$tmp/t"
+    val srcDir = s"$tmp/cdc"
+    import spark.implicits._
+    ManifestTable.overwrite(
+      (1L to 50L).map(k => (k, s"name$k", k * 1.0)).toDF("k", "name", "bal"), tbl)
+    // three stage files; the SAME key (k=7) is updated in stage 1 and
+    // again in stage 3, so the final state depends on cross-batch merge
+    // ordering by commit seq, not just single-batch semantics. File
+    // sources order micro-batches by modification time — stamp them.
+    Files.createDirectories(Paths.get(srcDir))
+    def stageFile(nm: String, rows: Seq[(Long, String, Double, String)],
+        mtime: Long): Unit = {
+      val st = s"$tmp/stage-$nm"
+      rows.toDF("k", "name", "bal", "op").coalesce(1).write.parquet(st)
+      val part = Files.list(Paths.get(st)).filter(
+        _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val target = Paths.get(srcDir, s"$nm.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stageFile("a", Seq((7L, "first", 1.0, "U"), (40L, "", 0.0, "D")), t0)
+    stageFile("b", Seq((200L, "ins", 2.0, "U")), t0 + 10000)
+    stageFile("c", Seq((7L, "second", 3.0, "U")), t0 + 20000)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(ck: String): Unit =
+      graft.streaming.StreamSync.startMergeToTable(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir),
+        tbl, Seq("k"), ck, deleteWhen = Some(col("op") === "D"),
+        mor = true).awaitTermination(120000)
+    run(s"$tmp/ckpt")
+    // three micro-batches → three MoR merge commits on top of v1
+    assert(ManifestTable.versions(tbl) == Seq(1L, 2L, 3L, 4L))
+    // zero rewritten data files across all three merges
+    assert(ManifestTable.dataFiles(tbl, Some(1L)).toSet
+      .subsetOf(ManifestTable.dataFiles(tbl).toSet))
+    val out = ManifestTable.read(spark, tbl)
+    assert(out.count() == 50 - 1 + 1)
+    // cross-batch: the LAST batch's update of k=7 wins
+    assert(out.where("k = 7").select("name").as[String].head() == "second")
+    assert(out.where("k = 40").count() == 0)
+    assert(out.where("k = 200").count() == 1)
+    // full replay from a fresh checkpoint re-issues batches 0..2 with the
+    // same commit ids: every merge must no-op at the manifest level
+    run(s"$tmp/ckpt2")
+    assert(ManifestTable.versions(tbl) == Seq(1L, 2L, 3L, 4L))
+    assert(ManifestTable.read(spark, tbl).where("k = 7").select("name")
+      .as[String].head() == "second")
+  }
+
   test("StreamSync: exactly-once warehouse sink with durable cursor") {
     import graft.cursor.{CursorMode, CursorStore}
     import graft.sources.ParquetWarehouse
