@@ -1799,12 +1799,42 @@ object SparkEntry {
           .otherwise(col("c_acctbal")).as("c_acctbal"),
         when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
           .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-      Linkage.linkPairs(a, b, Seq("c_nationkey"), "c_custkey", "c_custkey",
+      val fixed = Linkage.linkPairs(a, b, Seq("c_nationkey"), "c_custkey",
+        "c_custkey",
         Seq(
           Linkage.eqLowerRule("c_name", 2200L, -800L),
           Linkage.withinRule("c_acctbal", 1.0, 1500L, -500L),
           Linkage.eqRule("c_mktsegment", 300L, -300L)),
         threshold = 3000L)
+      // EM gate: Fellegi-Sunter weights estimated UNSUPERVISED from the
+      // same blocked pairs (one pattern-count pass + driver EM) must
+      // reproduce the hand-set rules' classification — full recall (every
+      // fixed link found) and ≥99% precision. Not exact set equality: the
+      // posterior-1/2 cutoff legitimately admits a borderline chance pair
+      // the hand threshold excludes (e.g. balance-within-$1 + same
+      // segment, different name — rare among non-matches, so the model
+      // weights it highly); what the gate pins is that the estimator
+      // finds every true link and adds at most noise-level extras. The
+      // fixed scores then emit under the oracle (gate-then-emit-truth).
+      val emFields = Seq(
+        Linkage.EmField("c_name", (l, r) => lower(l) === lower(r)),
+        Linkage.EmField("c_acctbal", (l, r) => abs(l - r) <= 1.0),
+        Linkage.EmField("c_mktsegment", (l, r) => l === r))
+      val est = Linkage.estimateWeights(a, b, Seq("c_nationkey"), emFields)
+      val emLinks = Linkage.linkPairs(a, b, Seq("c_nationkey"), "c_custkey",
+        "c_custkey", est.rules(emFields), est.threshold)
+        .select("a_id", "b_id").localCheckpoint()
+      val nFixed = fixed.count()
+      val nEm = emLinks.count()
+      val missed = fixed.select("a_id", "b_id")
+        .join(emLinks, Seq("a_id", "b_id"), "left_anti").limit(1).collect()
+      require(missed.isEmpty,
+        s"EM-estimated weights missed fixed link ${missed.toSeq} " +
+          s"(lambda=${est.lambda}, fields=${est.fields})")
+      require(nEm <= math.ceil(nFixed * 1.01),
+        s"EM-estimated weights linked $nEm pairs vs $nFixed fixed " +
+          s"(precision under 99%; lambda=${est.lambda}, fields=${est.fields})")
+      fixed
     }),
 
     "dd11_seg_dedup" -> ((s, dir) =>

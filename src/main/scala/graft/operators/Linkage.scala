@@ -70,4 +70,131 @@ object Linkage {
       .select(col("a_id"), col("b_id"), score.as("score"))
       .where(col("score") >= threshold)
   }
+
+  // ------------------------------------------------------- EM estimation
+
+  /** A comparison field for EM estimation: name + agreement predicate,
+    * no weights yet (estimation produces them). */
+  final case class EmField(name: String, agree: (Column, Column) => Column)
+
+  final case class FieldEstimate(name: String, m: Double, u: Double,
+      agreeWeight: Long, disagreeWeight: Long)
+
+  /** EM-estimated Fellegi-Sunter parameters. `threshold` is the integer
+    * score at which the posterior match probability crosses 1/2
+    * (score >= scale·log2((1-λ)/λ)) — the natural link cutoff for
+    * [[linkPairs]] with the estimated rules. */
+  final case class EmEstimate(lambda: Double, scale: Long,
+      fields: Seq[FieldEstimate]) {
+    def threshold: Long =
+      math.ceil(scale * math.log((1 - lambda) / lambda) / math.log(2.0)).toLong
+    def rules(emFields: Seq[EmField]): Seq[FieldRule] = {
+      require(emFields.map(_.name) == fields.map(_.name),
+        "field list must match the one estimation ran on")
+      emFields.zip(fields).map { case (f, e) =>
+        FieldRule(f.name, f.agree, e.agreeWeight, e.disagreeWeight) }
+    }
+  }
+
+  /** Fellegi-Sunter EM over blocked candidate pairs (the classic
+    * unsupervised estimator, Winkler 1988 / the Splink lineage): learns
+    * λ = P(pair is a match), m_f = P(field f agrees | match), u_f =
+    * P(agrees | non-match) from the agreement-PATTERN distribution, then
+    * converts to the integer weights [[linkPairs]] consumes
+    * (round(scale·log2(m/u)) / round(scale·log2((1-m)/(1-u)))).
+    *
+    * Scale shape: the ONLY distributed work is one blocked join that
+    * collapses pairs to at most 2^K pattern counts (groupBy on K bits —
+    * map-side combinable, fixed-size state); EM then iterates on the
+    * driver over those ≤2^K numbers. At 100 TB, run it on a blocked
+    * SAMPLE of a/b — the estimator needs pattern frequencies, not the
+    * corpus (sample first; the pattern pass costs one shuffle of the
+    * sampled pairs). Deterministic: no RNG anywhere — init is m=0.9,
+    * u = the observed marginal agreement rate (pairs are overwhelmingly
+    * non-matches, so the marginal is a good u seed and puts the m/u
+    * labels the right way around). */
+  def estimateWeights(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+      fields: Seq[EmField], scale: Long = 1000, lambdaInit: Double = 0.1,
+      maxIters: Int = 100, tol: Double = 1e-10): EmEstimate = {
+    require(blockCols.nonEmpty && fields.nonEmpty)
+    require(fields.size <= 20, "2^K pattern state: keep K small")
+    val l = a.select(
+      blockCols.map(col) ++
+        fields.map(f => col(f.name).as(s"__la_${f.name}")): _*)
+    val r = b.select(
+      blockCols.map(col) ++
+        fields.map(f => col(f.name).as(s"__rb_${f.name}")): _*)
+    val bits = fields.map(f =>
+      when(f.agree(col(s"__la_${f.name}"), col(s"__rb_${f.name}")), 1)
+        .otherwise(0).as(s"__g_${f.name}"))
+    val patterns = l.join(r, blockCols)
+      .select(bits: _*)
+      .groupBy(fields.map(f => col(s"__g_${f.name}")): _*)
+      .count()
+      .collect()
+      .map(row => (fields.indices.map(row.getInt).toVector,
+        row.getLong(fields.size)))
+      .toSeq
+    emOnPatterns(patterns, fields.map(_.name), scale, lambdaInit,
+      maxIters, tol)
+  }
+
+  /** Driver-side EM on agreement-pattern counts (exposed for specs:
+    * feeding exact expected counts recovers the generating parameters). */
+  private[graft] def emOnPatterns(patterns: Seq[(Vector[Int], Long)],
+      names: Seq[String], scale: Long, lambdaInit: Double,
+      maxIters: Int, tol: Double): EmEstimate = {
+    val k = names.size
+    val total = patterns.map(_._2).sum.toDouble
+    require(total > 0, "no candidate pairs to estimate from")
+    def clamp(x: Double) = math.min(1 - 1e-6, math.max(1e-6, x))
+    var lambda = clamp(lambdaInit)
+    val m = Array.fill(k)(0.9)
+    val u = Array.tabulate(k)(f =>
+      clamp(patterns.collect { case (g, c) if g(f) == 1 => c }.sum / total))
+    var prevLl = Double.NegativeInfinity
+    var iter = 0
+    var done = false
+    while (iter < maxIters && !done) {
+      val sumWg = Array.fill(k)(0.0)
+      val sumUg = Array.fill(k)(0.0)
+      var sumW = 0.0
+      var ll = 0.0
+      patterns.foreach { case (g, c) =>
+        var pm = lambda
+        var pu = 1 - lambda
+        var f = 0
+        while (f < k) {
+          pm *= (if (g(f) == 1) m(f) else 1 - m(f))
+          pu *= (if (g(f) == 1) u(f) else 1 - u(f))
+          f += 1
+        }
+        val w = pm / (pm + pu)
+        sumW += w * c
+        ll += c * math.log(pm + pu)
+        f = 0
+        while (f < k) {
+          if (g(f) == 1) { sumWg(f) += w * c; sumUg(f) += (1 - w) * c }
+          f += 1
+        }
+      }
+      lambda = clamp(sumW / total)
+      var f = 0
+      while (f < k) {
+        m(f) = clamp(sumWg(f) / math.max(sumW, 1e-12))
+        u(f) = clamp(sumUg(f) / math.max(total - sumW, 1e-12))
+        f += 1
+      }
+      iter += 1
+      done = prevLl != Double.NegativeInfinity &&
+        math.abs(ll - prevLl) <= tol * math.abs(prevLl)
+      prevLl = ll
+    }
+    def bits(x: Double) = math.log(x) / math.log(2.0)
+    EmEstimate(lambda, scale, names.indices.map { f =>
+      FieldEstimate(names(f), m(f), u(f),
+        math.round(scale * bits(m(f) / u(f))),
+        math.round(scale * bits((1 - m(f)) / (1 - u(f)))))
+    })
+  }
 }

@@ -110,4 +110,68 @@ class LinkageSpec extends SparkSpecBase {
       .as[(String, Int, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(("https://a.com/x", 3, 3L), ("https://b.com/y", 5, 1L)))
   }
+
+  test("EM on exact expected pattern counts recovers planted lambda/m/u") {
+    // plant Fellegi-Sunter parameters, hand EM the EXACT expected count
+    // of every agreement pattern (no sampling noise): the estimator must
+    // walk back to the generating parameters. K=3 binary fields is
+    // identifiable (Fellegi-Sunter 1969 closed form exists at K=3).
+    val lambda = 0.05
+    val m = Vector(0.95, 0.90, 0.80)
+    val u = Vector(0.02, 0.30, 0.15)
+    val n = 10000000L
+    val patterns = (0 until 8).map { p =>
+      val g = Vector((p >> 2) & 1, (p >> 1) & 1, p & 1)
+      def prod(probs: Vector[Double]) =
+        g.zip(probs).map { case (b, q) => if (b == 1) q else 1 - q }.product
+      (g, math.round(n * (lambda * prod(m) + (1 - lambda) * prod(u))))
+    }
+    val est = graft.operators.Linkage.emOnPatterns(patterns,
+      Seq("f1", "f2", "f3"), scale = 1000, lambdaInit = 0.1,
+      maxIters = 500, tol = 1e-13)
+    assert(math.abs(est.lambda - lambda) < 0.005, s"lambda=${est.lambda}")
+    est.fields.zipWithIndex.foreach { case (f, i) =>
+      assert(math.abs(f.m - m(i)) < 0.01, s"m($i)=${f.m}")
+      assert(math.abs(f.u - u(i)) < 0.01, s"u($i)=${f.u}")
+    }
+    // weights follow the log2 ratios at the planted values, e.g. field 1:
+    // log2(.95/.02) ≈ 5.57 bits agree, log2(.05/.98) ≈ -4.29 disagree
+    val f1 = est.fields.head
+    assert(f1.agreeWeight > 5000 && f1.agreeWeight < 6200, f1.toString)
+    assert(f1.disagreeWeight < -3800 && f1.disagreeWeight > -4800, f1.toString)
+  }
+
+  test("estimateWeights end-to-end: unsupervised weights link the planted diagonal") {
+    import graft.operators.Linkage
+    import org.apache.spark.sql.functions.{abs => cAbs, col, lower}
+    // 400 records in 8 blocks; b = perturbed copy of a (the planted
+    // matches are the diagonal). Name survives perturbation, balance
+    // jitters within tolerance, segment is dropped for every 5th record.
+    val a = spark.range(0, 400).selectExpr("id AS k", "id % 8 AS blk",
+      "concat('person-', id) AS name", "CAST(id * 7 % 997 AS DOUBLE) AS bal",
+      "concat('seg', id % 4) AS seg")
+    val b = spark.range(0, 400).selectExpr("id AS k", "id % 8 AS blk",
+      "concat('PERSON-', id) AS name",
+      "CAST(id * 7 % 997 AS DOUBLE) + 0.4 AS bal",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('seg', id % 4) END AS seg")
+    val fields = Seq(
+      Linkage.EmField("name", (l, r) => lower(l) === lower(r)),
+      Linkage.EmField("bal", (l, r) => cAbs(l - r) <= 1.0),
+      Linkage.EmField("seg", (l, r) => l === r))
+    val est = Linkage.estimateWeights(a, b, Seq("blk"), fields)
+    // the planted structure: matches always agree on name+bal (m ≈ 1),
+    // non-matches essentially never do (u ≈ 0); λ = 1/50 (50 rows/block)
+    assert(est.lambda > 0.01 && est.lambda < 0.04, s"lambda=${est.lambda}")
+    val byName = est.fields.map(f => f.name -> f).toMap
+    assert(byName("name").m > 0.95 && byName("name").u < 0.05)
+    assert(byName("bal").m > 0.95 && byName("bal").u < 0.1)
+    // estimated rules at the posterior-1/2 threshold recover exactly the
+    // 400 planted pairs
+    val links = Linkage.linkPairs(a, b, Seq("blk"), "k", "k",
+      est.rules(fields), est.threshold)
+    import spark.implicits._
+    val got = links.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == (0L until 400L).map(i => (i, i)).toSet,
+      s"linked ${got.size} pairs, diagonal misses: ${(0L until 400L).map(i => (i, i)).toSet.diff(got).take(5)}")
+  }
 }
