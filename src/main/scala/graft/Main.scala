@@ -68,10 +68,31 @@ object Main {
         sources.WarehouseMeta(n, "cli target", "lake", f),
         () => makeWh(n, d, f, isTarget = true))
     }
+    // request-level observability in the run report (reference
+    // core/actions.py:21-40 request/retry counts surfaced per run): when
+    // a REST warehouse in the run carries RequestMetrics, report the
+    // counter DELTA this run produced. Registered factories that share
+    // one warehouse instance (the normal pattern) share its accumulators.
+    def restStats(whName: String): Option[(String, sources.RequestMetrics)] =
+      scala.util.Try(sources.WarehouseRegistry.instance(whName)).toOption
+        .collect { case r: sources.RestWarehouse if r.metrics.isDefined =>
+          whName -> r.metrics.get }
+    val watched = Seq(nameOf("origin", "origin"), nameOf("target", "target"))
+      .distinct.flatMap(restStats)
+    val beforeStats = watched.map { case (n, m) => n -> m.snapshot }.toMap
+    def httpJson: String = {
+      val deltas = watched.map { case (n, m) =>
+        val d = m.snapshot - beforeStats(n)
+        s""""$n":{"requests":${d.requests},"retries":${d.retries},""" +
+          s""""http_4xx":${d.http4xx},"http_5xx":${d.http5xx}}"""
+      }
+      if (deltas.isEmpty) "" else s""","http":{${deltas.mkString(",")}}"""
+    }
     command match {
       case "pull" =>
         val (out, cursor) = ConfigPipeline.runPull(spark, json)
-        s"""{"rows":${out.count()},"cursor_end":${cursor.end.map("\"" + _ + "\"").getOrElse("null")}}"""
+        val n = out.count() // count first: the fetch drives the counters
+        s"""{"rows":$n,"cursor_end":${cursor.end.map("\"" + _ + "\"").getOrElse("null")}$httpJson}"""
       case "push" =>
         val (out, counters) = ConfigPipeline.runPush(spark, json)
         val result = counters match {
@@ -85,7 +106,8 @@ object Main {
             s""","push_result":{$fields}"""
           case None => ""
         }
-        s"""{"rows":${out.count()}$result}"""
+        val n = out.count()
+        s"""{"rows":$n$result$httpJson}"""
     }
   }
 }

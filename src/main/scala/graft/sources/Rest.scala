@@ -216,20 +216,23 @@ private[graft] object Http {
 
   def jsonString(s: String): String = mapper.writeValueAsString(s)
 
-  def get(url: String, headers: Map[String, String], maxAttempts: Int = 4): String =
-    send(builder(url, headers).GET().build(), url, maxAttempts)
+  def get(url: String, headers: Map[String, String], maxAttempts: Int = 4,
+      metrics: Option[RequestMetrics] = None): String =
+    send(builder(url, headers).GET().build(), url, maxAttempts, metrics)
 
   def post(url: String, headers: Map[String, String], body: String,
-      contentType: String, maxAttempts: Int = 4): String =
+      contentType: String, maxAttempts: Int = 4,
+      metrics: Option[RequestMetrics] = None): String =
     send(builder(url, headers).header("Content-Type", contentType)
       .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
-      url, maxAttempts)
+      url, maxAttempts, metrics)
 
   def put(url: String, headers: Map[String, String], body: String,
-      contentType: String, maxAttempts: Int = 4): String =
+      contentType: String, maxAttempts: Int = 4,
+      metrics: Option[RequestMetrics] = None): String =
     send(builder(url, headers).header("Content-Type", contentType)
       .PUT(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
-      url, maxAttempts)
+      url, maxAttempts, metrics)
 
   private def builder(url: String, headers: Map[String, String]) = {
     val b = HttpRequest.newBuilder(URI.create(url)).timeout(Duration.ofMinutes(2))
@@ -237,21 +240,30 @@ private[graft] object Http {
     b
   }
 
-  private def send(req: HttpRequest, url: String, maxAttempts: Int): String = {
+  private def send(req: HttpRequest, url: String, maxAttempts: Int,
+      metrics: Option[RequestMetrics] = None): String = {
     var attempt = 0
     var lastError: Throwable = null
     while (attempt < maxAttempts) {
-      if (attempt > 0) Thread.sleep(100L << (attempt - 1))
+      if (attempt > 0) {
+        Thread.sleep(100L << (attempt - 1))
+        metrics.foreach(_.retries.add(1))
+      }
       attempt += 1
+      metrics.foreach(_.requests.add(1))
       try {
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
         val code = resp.statusCode()
         if (code / 100 == 2) return resp.body()
+        if (code / 100 == 4) metrics.foreach(_.http4xx.add(1))
+        else if (code / 100 == 5) metrics.foreach(_.http5xx.add(1))
         val err = RestHttpError(code, url, resp.body())
         if (code != 429 && code / 100 != 5) throw err // 4xx: fail fast
         lastError = err
       } catch {
-        case e: java.io.IOException => lastError = e
+        case e: java.io.IOException =>
+          metrics.foreach(_.ioErrors.add(1))
+          lastError = e
       }
     }
     throw lastError
@@ -360,13 +372,21 @@ final case class RestWarehouse(
     // safety cap on the keyset token chain: a buggy origin that keeps
     // emitting tokens would otherwise spin the driver forever while the
     // buffered collection grows without bound
-    maxKeysetPages: Int = 100000) extends Warehouse {
+    maxKeysetPages: Int = 100000,
+    // request-level observability (reference core/actions.py:21-40):
+    // attach RequestMetrics(spark) and every request this warehouse
+    // issues — driver probes AND executor page fetches — counts into
+    // the same accumulators; read via requestStats / RestWriteReport
+    metrics: Option[RequestMetrics] = None) extends Warehouse {
 
   require(pageSize > 0 && maxParallelFetch > 0 && writeBatchSize > 0)
 
   /** Warehouse-trait auth is reader-option based; REST auth is header
     * based and rides [[httpAuth]] instead. */
   def auth: Auth = Auth.None
+
+  /** Cumulative request counters (None when no metrics attached). */
+  def requestStats: Option[RequestStats] = metrics.map(_.snapshot)
 
   private def endpoint(resource: String): String = {
     require(!resource.contains("/") && !resource.contains(".."),
@@ -403,13 +423,14 @@ final case class RestWarehouse(
     // invalidate + re-resolve ONCE instead of failing the job
     val auth = httpAuth
     val url = endpoint(resource)
+    val mx = metrics // local capture: closures must not drag `this`
     val (limitP, pageP, dataF, totalF, limit) =
       (limitParam, pageParam, dataField, totalField, pageSize)
 
     def fetchWith(pp: Seq[(String, String)],
         hdrs: Map[String, String]): JsonNode = {
       val node = Http.mapper.readTree(Http.get(Http.withQuery(url, pp),
-        hdrs ++ auth.signRequest("GET", url, pp)))
+        hdrs ++ auth.signRequest("GET", url, pp), metrics = mx))
       require(node.get(dataF) != null && node.get(dataF).isArray,
         s"response from $url has no '$dataF' array")
       node
@@ -571,6 +592,7 @@ final case class RestWarehouse(
     val auth = httpAuth
     val headers0 = httpAuth.buildHeaders()
     val url = endpoint(resource)
+    val mx = metrics
     val (limitP, pageP, dataF, bs) = (limitParam, pageParam, dataField, batchSize)
     import spark.implicits._
     val idStrs = ids.select(ids(ids.columns.head).cast("string"))
@@ -581,7 +603,8 @@ final case class RestWarehouse(
         val pp = Seq(s"${idField}__in" -> batch.mkString(","),
           pageP -> page.toString, limitP -> bs.toString)
         def go(h: Map[String, String]) = Http.mapper.readTree(
-          Http.get(Http.withQuery(url, pp), h ++ auth.signRequest("GET", url, pp)))
+          Http.get(Http.withQuery(url, pp), h ++ auth.signRequest("GET", url, pp),
+            metrics = mx))
         val node =
           try go(hdrs)
           catch {
@@ -666,6 +689,8 @@ final case class RestWarehouse(
     val headers0 = httpAuth.buildHeaders()
     val auth = httpAuth
     val url = endpoint(resource)
+    val mx = metrics
+    val before = mx.map(_.snapshot)
     val bs = writeBatchSize
     val spark = df.sparkSession
     import spark.implicits._
@@ -679,8 +704,9 @@ final case class RestWarehouse(
         // same contract as the read path.
         def go(h: Map[String, String]): Unit = {
           val signed = h ++ auth.signRequest(verb, url, Nil)
-          if (verb == "PUT") Http.put(url, signed, body, "application/json")
-          else Http.post(url, signed, body, "application/json")
+          if (verb == "PUT") Http.put(url, signed, body, "application/json",
+            metrics = mx)
+          else Http.post(url, signed, body, "application/json", metrics = mx)
           ()
         }
         try go(hdrs)
@@ -710,10 +736,21 @@ final case class RestWarehouse(
       }
       Iterator((ok, bad))
     }.collect()
-    RestWriteReport(counts.map(_._1).sum, counts.map(_._2).sum)
+    // per-run HTTP counters: accumulator delta across the push job (the
+    // reference's per-action request/retry counts, core/actions.py:21-40)
+    val stats = (before, mx.map(_.snapshot)) match {
+      case (Some(b), Some(a)) => a - b
+      case _ => RequestStats(0, 0, 0, 0, 0)
+    }
+    RestWriteReport(counts.map(_._1).sum, counts.map(_._2).sum,
+      stats.requests, stats.retries, stats.http4xx, stats.http5xx)
   }
 }
 
 /** Outcome of a REST push: `written` records accepted by the origin,
-  * `failed` records it rejected (4xx) after per-record isolation. */
-final case class RestWriteReport(written: Long, failed: Long)
+  * `failed` records it rejected (4xx) after per-record isolation; the
+  * remaining fields are the run's HTTP counter deltas (zero when the
+  * warehouse has no [[RequestMetrics]] attached). */
+final case class RestWriteReport(written: Long, failed: Long,
+    requests: Long = 0, retries: Long = 0, http4xx: Long = 0,
+    http5xx: Long = 0)

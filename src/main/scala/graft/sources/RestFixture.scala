@@ -36,6 +36,9 @@ final class RestFixture private (
     private[sources] val keysetStuck: Boolean) {
 
   val requests = new ConcurrentLinkedQueue[String]()
+  // countdown of data requests to answer 429 before serving (rate-limit
+  // simulation: lets specs pin the client's retry/backoff counters)
+  private[sources] val flaky429Remaining = new AtomicInteger(0)
   val servedRows = new AtomicLong(0)
   val tokensIssued = new AtomicInteger(0)
   val postedRows = new ConcurrentLinkedQueue[String]()
@@ -93,7 +96,10 @@ object RestFixture {
       // writable origins SERVE what clients POST (a real collection
       // endpoint, not a write-only sink) — lets gates round-trip the
       // write path: push a slice, pull it back, oracle the result
-      writable: Boolean = false): RestFixture = {
+      writable: Boolean = false,
+      // answer 429 to the first N data requests (then serve normally):
+      // the rate-limited-origin simulation behind retry-counter specs
+      flaky429: Int = 0): RestFixture = {
     val names = df.columns.toSeq
     val collected = df
       .select(to_json(struct(names.map(col): _*)).as("__json") +: names.map(col): _*)
@@ -114,6 +120,7 @@ object RestFixture {
     })
     server.setExecutor(pool)
     val fx = new RestFixture(server, pool, resource, keyset, keysetStuck)
+    fx.flaky429Remaining.set(flaky429)
     val validTokens = fx.validTokens
     // writable origins merge POSTed records into the served collection
     def liveRecs: Seq[Rec] = {
@@ -137,7 +144,9 @@ object RestFixture {
       try {
         val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         fx.requests.add(s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}?$query")
-        if (!authorized(ex)) respond(ex, 401, """{"error":"unauthorized"}""")
+        if (fx.flaky429Remaining.getAndUpdate(n => math.max(0, n - 1)) > 0)
+          respond(ex, 429, """{"error":"rate limited"}""")
+        else if (!authorized(ex)) respond(ex, 401, """{"error":"unauthorized"}""")
         else if (ex.getRequestMethod == "POST") {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val arr = Http.mapper.readTree(body)

@@ -83,6 +83,40 @@ class ApiServerSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("/run/pull reports per-run HTTP request/retry counters for a REST origin") {
+    import graft.sources.{RequestMetrics, RestFixture, RestWarehouse}
+    WarehouseRegistry.clear()
+    val outDir = Files.createTempDirectory("graft-api-http-").toString
+    val rows = Tables(spark, sf0001, "customer")
+      .select("c_custkey", "c_name").limit(80)
+    // first data request (the driver probe) is 429'd → one retry
+    val fx = RestFixture.serve(rows, "customer", "c_custkey", flaky429 = 1)
+    try {
+      val wh = RestWarehouse("resto", fx.baseUrl, pageSize = 40,
+        metrics = Some(RequestMetrics(spark)))
+      // one shared instance: the factory must return the SAME warehouse
+      // so run-report deltas read the accumulators the fetches hit
+      WarehouseRegistry.register(
+        WarehouseMeta("resto", "rest origin", "api", "rest"), () => wh)
+      WarehouseRegistry.register(
+        WarehouseMeta("apidst2", "target", "lake", "parquet"),
+        () => ParquetWarehouse("apidst2", outDir, ext = ""))
+      val api = ApiServer.start(spark, apiKey = Some("k2"))
+      val h = Map("X-API-Key" -> "k2")
+      try {
+        val res = Http.post(s"${api.baseUrl}/run/pull", h,
+          """{"resource": "customer", "origin": "resto", "target": "apidst2",
+             "cursor": {"mode": "uid", "field": "c_custkey", "start": "0"}}""",
+          "application/json")
+        assert(res.contains("\"rows\":80"), res)
+        // probe (429 + retry) + 2 pages = 4 requests, 1 retry, 1 4xx
+        assert(res.contains(
+          """"http":{"resto":{"requests":4,"retries":1,"http_4xx":1,"http_5xx":0}}"""),
+          res)
+      } finally api.stop()
+    } finally fx.stop()
+  }
+
   test("table maintenance endpoints: versions, compact, expire") {
     import graft.sources.{ManifestTable, ManifestWarehouse}
     import spark.implicits._

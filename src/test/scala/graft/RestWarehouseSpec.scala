@@ -402,4 +402,56 @@ class RestWarehouseSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { wh.read(spark, "../admin") }
     intercept[IllegalArgumentException] { wh.read(spark, "a/b") }
   }
+
+  test("request/retry counters: exact read counts including a retried 429") {
+    import graft.sources.RequestMetrics
+    val rows = customer.limit(100)
+    // the FIRST data request (the driver probe) gets a 429, then the
+    // origin serves normally — the client must retry it and count both
+    val fx = RestFixture.serve(rows, "customer", "c_custkey", flaky429 = 1)
+    try {
+      val mx = RequestMetrics(spark)
+      val wh = RestWarehouse("fixture", fx.baseUrl, pageSize = 40,
+        metrics = Some(mx))
+      val out = wh.readSlice(spark, "customer",
+        schema = Some(rows.schema)).localCheckpoint()
+      assert(out.count() == 100)
+      val s = wh.requestStats.get
+      // probe issued twice (429 + retry) + ceil(100/40)=3 page fetches
+      assert(s.requests == 5, s"requests: $s")
+      assert(s.retries == 1, s"retries: $s")
+      assert(s.http4xx == 1, s"the 429 counts as the 4xx class: $s")
+      assert(s.http5xx == 0 && s.ioErrors == 0, s.toString)
+      // fixture saw 5 HTTP hits too — client and origin agree
+      assert(fx.requestLog.size == 5)
+    } finally fx.stop()
+  }
+
+  test("request/retry counters: write report carries per-run HTTP deltas") {
+    import graft.sources.RequestMetrics
+    val fx = RestFixture.serve(customer.limit(0), "sink", "c_custkey")
+    try {
+      val mx = RequestMetrics(spark)
+      val wh = RestWarehouse("fixture", fx.baseUrl, writeBatchSize = 50,
+        metrics = Some(mx))
+      // 120 rows, one poison (null key) → 3 batches; the poison batch is
+      // 400-rejected whole, then isolated per record: 49 singles land,
+      // 1 single fails. Requests: 3 batch PUTs + 50 singles = 53; 4xx:
+      // the rejected batch + the rejected single = 2; no retries (4xx
+      // fails fast).
+      val poisoned = customer.limit(120).withColumn("c_custkey",
+        when(col("c_custkey") === 5, lit(null)).otherwise(col("c_custkey")))
+      val report = wh.update(poisoned.coalesce(1), "sink", "c_custkey")
+      assert(report.written == 119 && report.failed == 1)
+      assert(report.requests == 53, report.toString)
+      assert(report.http4xx == 2, report.toString)
+      assert(report.retries == 0 && report.http5xx == 0, report.toString)
+      // a second run's report is its own delta, not the cumulative total
+      val clean = customer.limit(40)
+      val r2 = wh.update(clean.coalesce(1), "sink", "c_custkey")
+      assert(r2.written == 40 && r2.requests == 1 && r2.http4xx == 0,
+        r2.toString)
+      assert(wh.requestStats.get.requests == 54, "cumulative keeps counting")
+    } finally fx.stop()
+  }
 }
