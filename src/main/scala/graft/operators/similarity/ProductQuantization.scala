@@ -95,7 +95,9 @@ object ProductQuantization {
   * and unit-vector tables. `search` may run any number of query batches;
   * `close()` releases the materialized storage. */
 final class PqIndex private[similarity] (
-    sq: SubQuantizer, encoded: DataFrame, unit: DataFrame) {
+    private[similarity] val sq: SubQuantizer,
+    private[similarity] val encoded: DataFrame,
+    private[similarity] val unit: DataFrame) {
 
   /** ADC search + exact re-rank.
     * Output: (query_id, neighbor_id, cosine, rk). */
