@@ -206,8 +206,14 @@ object ApiServer {
               val zcols = queryParams(ex).get("zorder")
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
                 .getOrElse(Seq.empty)
-              val v = graft.sources.ManifestTable.compactCommit(
-                spark, tablePath, zorderBy = zcols)
+              // ?mode=incremental folds only under-filled files and
+              // carries compacted ones — the nightly-maintenance shape
+              val v =
+                if (queryParams(ex).get("mode").contains("incremental"))
+                  graft.sources.ManifestTable.compactIncremental(
+                    spark, tablePath, zorderBy = zcols)
+                else graft.sources.ManifestTable.compactCommit(
+                  spark, tablePath, zorderBy = zcols)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("compacted_version" -> v) ~ ("zorder" -> zcols.toList))))
             case ("POST", List("expire")) =>

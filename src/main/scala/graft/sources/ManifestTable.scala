@@ -551,6 +551,57 @@ object ManifestTable {
     }
   }
 
+  /** INCREMENTAL OPTIMIZE: fold only the files that need it — files
+    * under `minFill · targetBytes` (appended since the last optimize, or
+    * leftovers of small commits) are bin-packed into ~targetBytes files;
+    * every file already at target size is CARRIED untouched. A second
+    * OPTIMIZE after a small append therefore rewrites O(append), not the
+    * table — the difference between a nightly maintenance job that costs
+    * minutes and one that rewrites 100 TB. With `zorderBy`, the rewritten
+    * subset is laid along the curve (fresh stats prune on those dims);
+    * already-compacted files keep their existing clustering and stats.
+    * MoR delete files are folded INTO the rewritten rows (they re-land at
+    * the new commit seq, above every delete) and stay in force for the
+    * carried files. Returns the new version, or the current one when
+    * fewer than two files qualify (idempotence: re-running is a no-op). */
+  def compactIncremental(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty,
+      minFill: Double = 0.5): Long = {
+    val base = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val sized = base.files.map(f => f -> Files.size(dataDir(path).resolve(f)))
+    val small = sized.filter(_._2 < (targetBytes * minFill).toLong).map(_._1)
+    if (small.size <= 1) return base.version // nothing worth folding
+    val carried = base.files.filterNot(small.toSet)
+    val df = reconcile(spark, path, base,
+      spark.read.option("mergeSchema", "true")
+        .parquet(small.map(f => dataDir(path).resolve(f).toString): _*))
+    val bytes = sized.filter(p => small.contains(p._1)).map(_._2).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val arranged =
+      if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(df, zorderBy, nFiles)
+      else df.repartition(nFiles)
+    val staged = stage(arranged, path)
+    val next = base.version + 1
+    val m = Manifest(next, carried ++ staged,
+      Some(s"compact-incr-of-v${base.version}"), base.version,
+      carried.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
+        footerStats(path, staged),
+      carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
+        staged.map(_ -> next),
+      base.deletes)
+    try {
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit during incremental compaction of " +
+            s"v${base.version}; retry")
+    }
+  }
+
   /** MERGE INTO — the upsert/delete commit every sync loop needs once a
     * target is a versioned table, with Delta/Iceberg's copy-on-write
     * cost model at FILE granularity: only data files that CONTAIN a

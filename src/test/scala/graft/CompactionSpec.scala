@@ -39,4 +39,57 @@ class CompactionSpec extends SparkSpecBase {
     // partition dirs exist on disk
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("status=")))
   }
+
+  test("incremental OPTIMIZE folds only small files; compacted files carry") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-ic-").toString + "/t"
+    // six small commits → six+ small files
+    (0 until 6).foreach(i => ManifestTable.append(
+      spark.range(i * 100, (i + 1) * 100).selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1), t))
+    val before = ManifestTable.dataFiles(t).size
+    assert(before >= 6)
+    // first incremental pass folds everything (all files are small)
+    val v1 = ManifestTable.compactIncremental(spark, t, targetBytes = 1L << 20)
+    val afterFirst = ManifestTable.dataFiles(t)
+    assert(afterFirst.size < before, s"$before -> ${afterFirst.size}")
+    assert(ManifestTable.read(spark, t).count() == 600)
+    // re-run with nothing new: idempotent no-op, same version
+    assert(ManifestTable.compactIncremental(spark, t,
+      targetBytes = 1L << 20) == v1)
+    // a small append, then incremental OPTIMIZE again: the compacted
+    // file(s) from pass one must CARRY (same names), only the new small
+    // files fold — that the append + its fold is O(append) is the point.
+    // Target sized off the measured compacted file: threshold (=half the
+    // target) lands exactly at the compacted size, so the compacted file
+    // is not-small and the 12x-smaller appends are.
+    val compactedSize = afterFirst.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, "data", f))).min
+    ManifestTable.append(
+      spark.range(600, 650).selectExpr("id AS k", "id * 2 AS v").coalesce(1), t)
+    ManifestTable.append(
+      spark.range(650, 700).selectExpr("id AS k", "id * 2 AS v").coalesce(1), t)
+    val v2 = ManifestTable.compactIncremental(spark, t,
+      targetBytes = compactedSize * 2)
+    assert(v2 > v1)
+    val afterSecond = ManifestTable.dataFiles(t).toSet
+    assert(afterFirst.toSet.subsetOf(afterSecond),
+      "pass-one compacted files must survive pass two untouched")
+    assert(ManifestTable.read(spark, t).count() == 700)
+    assert(ManifestTable.read(spark, t).agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 700L).map(_ * 2).sum)
+    // MoR deletes stay in force for carried files and fold into rewrites
+    ManifestTable.mergeMoR(spark, t,
+      Seq((3L, 0L, "D"), (660L, 0L, "D")).toDF("k", "v", "op"), Seq("k"),
+      deleteWhen = Some(col("op") === "D"))
+    ManifestTable.append(
+      spark.range(700, 720).selectExpr("id AS k", "id * 2 AS v").coalesce(1), t)
+    ManifestTable.compactIncremental(spark, t, targetBytes = compactedSize * 2)
+    assert(afterFirst.toSet.subsetOf(ManifestTable.dataFiles(t).toSet),
+      "k=3's carrier file stays; its row is hidden by the carried DV")
+    val out = ManifestTable.read(spark, t)
+    assert(out.count() == 718)
+    assert(out.where("k = 3 OR k = 660").count() == 0)
+  }
 }
