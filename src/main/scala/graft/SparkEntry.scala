@@ -190,7 +190,7 @@ object SparkEntry {
     "q29_funnel" -> ((s, dir) => {
       // conversion funnel: first signup -> first click -> first purchase
       // per user, one conditional-agg pass (ts is long nanos: exact order)
-      val firsts = Tables(s, dir, "events")
+      val firsts = Tables.eventsNanos(s, dir)
         .groupBy("user_id")
         .agg(
           min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
@@ -247,7 +247,7 @@ object SparkEntry {
 
     "q23_json_extract" -> ((s, dir) => {
       // semi-structured payload processing: events.props is a JSON string
-      Tables(s, dir, "events")
+      Tables.eventsNanos(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("total_k"), count(lit(1)).as("n"),
@@ -331,7 +331,7 @@ object SparkEntry {
 
     "q10_push_events" -> ((s, dir) => {
       Pipeline.pushEvents(
-        events = Tables(s, dir, "events"),
+        events = Tables.eventsNanos(s, dir),
         eventResourceIdCol = "user_id",
         resources = broadcast(Tables(s, dir, "customer")),
         resourceIdCol = "c_custkey",
@@ -344,7 +344,7 @@ object SparkEntry {
 
     "q11_push_result" -> ((s, dir) => {
       Pipeline.pushEventsResult(
-        events = Tables(s, dir, "events"),
+        events = Tables.eventsNanos(s, dir),
         eventResourceIdCol = "user_id",
         resources = broadcast(Tables(s, dir, "customer")),
         resourceIdCol = "c_custkey",
@@ -357,7 +357,7 @@ object SparkEntry {
       // corrupted; the formatter's required output comes back null for
       // those rows, which count as `errors` and are skipped — never
       // job-fatal. Counters land in one single-row frame.
-      val src = Tables(s, dir, "events").withColumn("props",
+      val src = Tables.eventsNanos(s, dir).withColumn("props",
         when(col("event_id") % 37 === 0, expr("substring(props, 1, 3)"))
           .otherwise(col("props")))
       Pipeline.pushResourcesResult(src,
@@ -371,7 +371,7 @@ object SparkEntry {
     "q12_event_latest" -> ((s, dir) => {
       // upserted → latest-state resolution
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-      Tables(s, dir, "events")
+      Tables.eventsNanos(s, dir)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select("user_id", "event_id", "event_type", "value")
@@ -386,7 +386,7 @@ object SparkEntry {
         target = Tables(s, dir, "customer")
           .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
         targetKey = "c_custkey",
-        events = Tables(s, dir, "events"),
+        events = Tables.eventsNanos(s, dir),
         eventKey = "user_id", typeCol = "event_type",
         tsCol = "ts", tieCol = "event_id",
         tombstones = Set("error"),
@@ -592,7 +592,7 @@ object SparkEntry {
       val fx = graft.sources.RestFixture.serve(served, "customer", "c_custkey")
       try {
         val wh = graft.sources.RestWarehouse("fixture", fx.baseUrl)
-        val events = Tables(s, dir, "events")
+        val events = Tables.eventsNanos(s, dir)
         val resources = wh.fetchByIds(events.select(col("user_id")),
           "customer", "c_custkey", Some(customer.schema), batchSize = 256)
         val out = Pipeline.pushEvents(

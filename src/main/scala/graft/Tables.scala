@@ -20,12 +20,24 @@ object Tables {
   def tsAsNanos(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts") match {
       case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
-        // NTZ wall-clock → epoch under the UTC session timezone (all
-        // entrypoints pin spark.sql.session.timeZone=UTC), matching
-        // DuckDB's epoch_ns() on the same column
+        // NTZ wall-clock → epoch under the UTC session timezone, matching
+        // DuckDB's epoch_ns() on the same column. FAIL LOUDLY if the
+        // session isn't UTC-pinned: the NTZ→TZ cast uses the session
+        // timezone, and a session built elsewhere (library use, a future
+        // entrypoint missing the config line) would otherwise produce
+        // machine-timezone-shifted epochs with no error anywhere.
+        requireUtc(df.sparkSession)
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case _ => df
     }
+
+  /** The long-nanos convention is only exact under a UTC session. */
+  def requireUtc(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events.ts normalization needs spark.sql.session.timeZone=UTC " +
+        s"(session has '$tz'): a non-UTC NTZ cast silently shifts epochs")
+  }
 
   /** The events table with `ts` normalized to long epoch nanos. */
   def eventsNanos(spark: SparkSession, dir: String): DataFrame =

@@ -71,6 +71,24 @@ object ConfigPipeline {
     case _ => throw new IllegalArgumentException(s"$what must be a string")
   }
 
+  /** `formatter_id` resolves a REGISTERED mapping from FormatterRegistry
+    * so one run call carries the formatter by reference — the reference's
+    * run_pull_with_formatter / run_push_with_formatter (app/api.py:226,
+    * 277) folded into the ordinary run config. Mutually exclusive with an
+    * inline `mapping` (ambiguous otherwise); unknown ids fail loudly
+    * (the reference 404s). */
+  private def resolveMapping(j: JValue): Seq[graft.format.FieldMap] = {
+    val inline = parseMapping(j \ "mapping")
+    (j \ "formatter_id") match {
+      case JString(id) =>
+        require(inline.isEmpty,
+          "config carries both 'mapping' and 'formatter_id' — pick one")
+        graft.format.FormatterRegistry.specs(id).getOrElse(
+          throw new NoSuchElementException(s"no formatter '$id' registered"))
+      case _ => inline
+    }
+  }
+
   def parsePull(json: String): PullConfig = {
     val j = JsonMethods.parse(json)
     val modeName = (j \ "cursor" \ "mode") match {
@@ -90,7 +108,7 @@ object ConfigPipeline {
       ascending = (j \ "cursor" \ "sort_by") match { case JString("desc") => false; case _ => true },
       where = parseConditions(j \ "where"),
       having = parseConditions(j \ "having"),
-      mapping = parseMapping(j \ "mapping"),
+      mapping = resolveMapping(j),
       dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false })
   }
 
@@ -181,7 +199,7 @@ object ConfigPipeline {
       eventIdCol = opt(j \ "event_id_col"),
       resourceIdCol = opt(j \ "resource_id_col"),
       having = parseConditions(j \ "having"),
-      mapping = parseMapping(j \ "mapping"),
+      mapping = resolveMapping(j),
       required = parseStrings(j \ "required", "required"),
       dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false },
       eventsOrigin = opt(j \ "events_origin"),

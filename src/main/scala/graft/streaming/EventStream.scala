@@ -32,6 +32,9 @@ object EventStream {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case TimestampType | TimestampNTZType =>
+        // NTZ→TZ cast depends on the session timezone — same loud guard
+        // as the batch shim (Tables.requireUtc)
+        graft.Tables.requireUtc(spark)
         raw.withColumn("event_time", col("ts").cast(TimestampType))
           .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case _ =>

@@ -65,6 +65,34 @@ class ApiServerSpec extends SparkSpecBase {
       assert(res.contains("\"rows\":") && res.contains("\"cursor_end\":"))
       assert(spark.read.parquet(s"$outDir/orders").count() > 0)
 
+      // formatter + run in ONE call (reference run_pull_with_formatter,
+      // app/api.py:226): the run config references the registered f1 by
+      // id instead of carrying the mapping inline
+      val resFmt = Http.post(s"${api.baseUrl}/run/pull", h, s"""{
+        "resource": "orders", "origin": "apisrc", "target": "apidst",
+        "cursor": {"mode": "created_at", "field": "o_orderdate", "start": "1996-01-01"},
+        "formatter_id": "f1"
+      }""", "application/json")
+      assert(resFmt.contains("\"rows\":"))
+      val cols = spark.read.parquet(s"$outDir/orders").columns.toSet
+      assert(cols == Set("id", "total"), s"f1 mapping must apply: $cols")
+      // unknown id fails loudly; mapping+formatter_id together is ambiguous
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.post(s"${api.baseUrl}/run/pull", h, s"""{
+          "resource": "orders", "origin": "apisrc", "target": "apidst",
+          "cursor": {"mode": "created_at", "field": "o_orderdate"},
+          "formatter_id": "nope"
+        }""", "application/json")
+      }.status / 100 == 4)
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.post(s"${api.baseUrl}/run/pull", h, s"""{
+          "resource": "orders", "origin": "apisrc", "target": "apidst",
+          "cursor": {"mode": "created_at", "field": "o_orderdate"},
+          "formatter_id": "f1",
+          "mapping": [{"from": "o_orderkey", "to": "id"}]
+        }""", "application/json")
+      }.status / 100 == 4)
+
       // debug param compilation: both origin renderings of one filter
       val dbg = Http.post(s"${api.baseUrl}/debug/params", h, """{
         "conditions": [{"field": "segment", "op": "eq", "value": "GOLD"},

@@ -113,10 +113,18 @@ class PlanAuditSpec extends SparkSpecBase {
   // parquet scan (plan shape pinned structurally in ManifestTableSpec's
   // file-granularity CoW test); q63's stream plan is pinned by the gate.
 
-  test("q73 sketch gate: exact emit is one hash aggregation, no join") {
+  test("q73 sketch gate: emit is a projection of the pinned one-pass profile") {
+    // round-12 shape: the exact twins are computed ONCE alongside the
+    // sketches and checkpointed; the emission must be a plain Project
+    // over that profile — zero additional aggregations, joins, or
+    // orders scans at emit time (was: a third scan recomputing the
+    // exact holistic aggs)
     val p = planOf("q73_sketches")
-    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate")
-      || p.contains("SortAggregate"))
+    assert(p.contains("Project"), p.take(800))
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate")
+      && !p.contains("SortAggregate"),
+      "emit must reuse the cached profile, not re-aggregate")
+    assert(!p.contains("FileScan"), "emit must not rescan orders")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
