@@ -1048,17 +1048,27 @@ object SparkEntry {
       val orders = Tables(s, dir, "orders")
       val rsd = 0.02
       val acc = 10000
-      // ONE pass computes the sketches AND their exact twins — the twins
-      // were previously recomputed by the gate and again by the emission
-      // (three scans of orders, the worst bench cell two rounds running).
-      // The per-group profile is a handful of rows; localCheckpoint pins
-      // it so the gate and the emission read it for free.
-      val prof = orders.groupBy("o_orderpriority").agg(
+      // The exact twins are computed ONCE and shared by the gate and the
+      // emission (was: recomputed by both — three scans of orders, the
+      // worst bench cell two rounds running). The narrow projection is
+      // pinned once and feeds three SIMPLE aggregations — mixing
+      // countDistinct (Expand) with the holistic percentile in one agg
+      // forces a sort-based plan over doubled rows, measurably slower
+      // than three clean passes over pinned columns. Cluster equivalent
+      // of the pin: persist(DISK) of a 3-column projection.
+      val narrow = orders
+        .select("o_orderpriority", "o_custkey", "o_totalprice")
+        .localCheckpoint()
+      val sk = narrow.groupBy("o_orderpriority").agg(
         approx_count_distinct(col("o_custkey"), rsd).as("ad"),
         expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("ap"),
-        countDistinct(col("o_custkey")).as("n_custs"),
-        expr("percentile(o_totalprice, 0.5)").as("p50x"),
-        count(lit(1)).as("n")).localCheckpoint()
+        count(lit(1)).as("n"))
+      val exactDistinct = narrow.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"))
+      val exactP50 = narrow.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50x"))
+      val prof = sk.join(exactDistinct, "o_orderpriority")
+        .join(exactP50, "o_orderpriority").localCheckpoint()
       // HLL bound: sketch vs exact twin — zero extra scans
       prof.select("ad", "n_custs").collect().foreach { r =>
         val (ad, nc) = (r.getAs[Long]("ad"), r.getAs[Long]("n_custs"))
@@ -1066,9 +1076,9 @@ object SparkEntry {
           s"HLL out of bound: $ad vs exact $nc")
       }
       // percentile rank bound needs the data's rank of `ap`: ONE
-      // rank-check scan (the only second pass), broadcast-joined against
-      // the tiny profile
-      orders.join(broadcast(prof.select("o_orderpriority", "ap", "n")),
+      // rank-check pass over the pinned projection, broadcast-joined
+      // against the tiny profile
+      narrow.join(broadcast(prof.select("o_orderpriority", "ap", "n")),
           "o_orderpriority")
         .groupBy(col("o_orderpriority"), col("n"))
         .agg(
@@ -1081,6 +1091,9 @@ object SparkEntry {
           require(below <= n / 2.0 + rankSlack && atOrBelow >= n / 2.0 - rankSlack,
             s"approx median rank drift: $below/$atOrBelow of $n")
         }
+      // every consumer of the pinned projection has materialized (prof
+      // is checkpointed, the checks collected) — release its blocks
+      graft.operators.IndexScope.release(narrow)
       prof.select(col("o_orderpriority"), col("n_custs"),
         round(col("p50x"), 4).as("p50"), col("n").as("n_orders"))
     }),
@@ -1799,34 +1812,46 @@ object SparkEntry {
           .otherwise(col("c_acctbal")).as("c_acctbal"),
         when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
           .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      // pinned: the gate reads it twice (sample filter + emission)
       val fixed = Linkage.linkPairs(a, b, Seq("c_nationkey"), "c_custkey",
         "c_custkey",
         Seq(
           Linkage.eqLowerRule("c_name", 2200L, -800L),
           Linkage.withinRule("c_acctbal", 1.0, 1500L, -500L),
           Linkage.eqRule("c_mktsegment", 300L, -300L)),
-        threshold = 3000L)
-      // EM gate: Fellegi-Sunter weights estimated UNSUPERVISED from the
-      // same blocked pairs (one pattern-count pass + driver EM) must
-      // reproduce the hand-set rules' classification — full recall (every
-      // fixed link found) and ≥99% precision. Not exact set equality: the
-      // posterior-1/2 cutoff legitimately admits a borderline chance pair
-      // the hand threshold excludes (e.g. balance-within-$1 + same
-      // segment, different name — rare among non-matches, so the model
-      // weights it highly); what the gate pins is that the estimator
-      // finds every true link and adds at most noise-level extras. The
-      // fixed scores then emit under the oracle (gate-then-emit-truth).
+        threshold = 3000L).localCheckpoint()
+      // EM gate: Fellegi-Sunter weights estimated UNSUPERVISED (one
+      // pattern-count pass + driver EM) must reproduce the hand-set
+      // rules' classification — full recall (every fixed link found) and
+      // ≥99% precision. Not exact set equality: the posterior-1/2 cutoff
+      // legitimately admits a borderline chance pair the hand threshold
+      // excludes. Estimation AND gate run on a DETERMINISTIC 1-in-3 key
+      // sample of both sides — the estimator consumes pattern
+      // FREQUENCIES, so a sample is the production shape at any scale
+      // (the blocked pair space shrinks 9x; the planted diagonal
+      // survives because both sides sample the same keys). The full
+      // fixed links then emit under the oracle, computed exactly once.
       val emFields = Seq(
         Linkage.EmField("c_name", (l, r) => lower(l) === lower(r)),
         Linkage.EmField("c_acctbal", (l, r) => abs(l - r) <= 1.0),
         Linkage.EmField("c_mktsegment", (l, r) => l === r))
-      val est = Linkage.estimateWeights(a, b, Seq("c_nationkey"), emFields)
-      val emLinks = Linkage.linkPairs(a, b, Seq("c_nationkey"), "c_custkey",
+      val sa = a.where(col("c_custkey") % 3 === 0)
+      val sb = b.where(col("c_custkey") % 3 === 0)
+      val est = Linkage.estimateWeights(sa, sb, Seq("c_nationkey"), emFields)
+      // the sample's fixed links are EXACTLY the full links with both
+      // endpoints in the sample (same scoring, same threshold, subset of
+      // the pair space) — a filter over the pinned frame, not a second
+      // scoring pass
+      val fixedS = fixed
+        .where(col("a_id") % 3 === 0 && col("b_id") % 3 === 0)
+        .select("a_id", "b_id").localCheckpoint()
+      val emLinks = Linkage.linkPairs(sa, sb, Seq("c_nationkey"), "c_custkey",
         "c_custkey", est.rules(emFields), est.threshold)
         .select("a_id", "b_id").localCheckpoint()
-      val nFixed = fixed.count()
+      val nFixed = fixedS.count()
       val nEm = emLinks.count()
-      val missed = fixed.select("a_id", "b_id")
+      require(nFixed > 0, "empty sample gate")
+      val missed = fixedS
         .join(emLinks, Seq("a_id", "b_id"), "left_anti").limit(1).collect()
       require(missed.isEmpty,
         s"EM-estimated weights missed fixed link ${missed.toSeq} " +

@@ -66,7 +66,18 @@ object Linkage {
       when(ru.agree(col(s"__la_${ru.name}"), col(s"__rb_${ru.name}")),
         lit(ru.agreeWeight)).otherwise(lit(ru.disagreeWeight))
     }.reduce(_ + _)
-    l.join(r, blockCols)
+    // hash-partition the probe side on the block keys BEFORE the join:
+    // when the right side broadcasts (small dim), the pair scoring
+    // inherits the left's file partitioning — a single-file input would
+    // score every block's pair fan-out in ONE task. The partition count
+    // is EXPLICIT because the exchange must survive AQE: the pre-join
+    // row count is tiny (AQE would coalesce to one partition), while the
+    // post-join fan-out is blocksize² per block — invisible to AQE's
+    // input-size estimate.
+    val shufflePartitions =
+      a.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    l.repartition(shufflePartitions, blockCols.map(col): _*)
+      .join(r, blockCols)
       .select(col("a_id"), col("b_id"), score.as("score"))
       .where(col("score") >= threshold)
   }
@@ -127,7 +138,8 @@ object Linkage {
     val bits = fields.map(f =>
       when(f.agree(col(s"__la_${f.name}"), col(s"__rb_${f.name}")), 1)
         .otherwise(0).as(s"__g_${f.name}"))
-    val patterns = l.join(r, blockCols)
+    // same block-parallelism shuffle as linkPairs (see comment there)
+    val patterns = l.repartition(blockCols.map(col): _*).join(r, blockCols)
       .select(bits: _*)
       .groupBy(fields.map(f => col(s"__g_${f.name}")): _*)
       .count()

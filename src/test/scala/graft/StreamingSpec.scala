@@ -314,6 +314,73 @@ class StreamingSpec extends SparkSpecBase {
       .as[String].head() == "second")
   }
 
+  test("watermark eviction across micro-batches: late data beyond the " +
+      "watermark is dropped, finalized windows emit once") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wm-").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(Paths.get(srcDir))
+    def ts(s: String) = Timestamp.valueOf(s)
+    def stageFile(nm: String, rows: Seq[(Timestamp, String, Double)],
+        mtime: Long): Unit = {
+      val st = s"$tmp/stage-$nm"
+      rows.toDF("event_time", "event_type", "value").coalesce(1)
+        .write.parquet(st)
+      val part = Files.list(Paths.get(st)).filter(
+        _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val target = Paths.get(srcDir, s"$nm.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    // batch 0: two on-time clicks in window [00:00, 01:00) plus a probe
+    // 3h later — AFTER this batch the watermark is 02:00, past the click
+    // window's end
+    stageFile("a", Seq(
+      (ts("2024-01-01 00:05:00"), "click", 1.0),
+      (ts("2024-01-01 00:20:00"), "click", 2.0),
+      (ts("2024-01-01 03:00:00"), "probe", 9.0)), t0)
+    // batch 1 (watermark now 02:00): finalizes + EVICTS the click window
+    // — append mode emits (2, 3.0) here
+    stageFile("b", Seq((ts("2024-01-01 03:30:00"), "probe", 9.0)),
+      t0 + 20000)
+    // batch 2 (watermark 02:30): a LATE click at 00:10, far behind the
+    // watermark — must be DROPPED, not open fresh state for the evicted
+    // window
+    stageFile("c", Seq((ts("2024-01-01 00:10:00"), "click", 4.0)),
+      t0 + 40000)
+    // batch 3 (watermark 03:00): advances the watermark again — if the
+    // late row HAD been accepted, its resurrected window would finalize
+    // and emit a DUPLICATE click row here
+    stageFile("d", Seq((ts("2024-01-01 04:00:00"), "probe", 9.0)),
+      t0 + 60000)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = EventStream.windowedCounts(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir))
+    val sink = s"wm_sink_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // really multi-batch: four files, four micro-batches
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}").mkString(","))
+    val clickRows = spark.table(sink)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+      .filter(_._2 == "click")
+    // exactly ONE click emission: the finalized window with the two
+    // on-time events. A (3, 7.0) row would mean the late event entered
+    // state before finalization; a SECOND click row would mean it
+    // resurrected the evicted window afterwards.
+    assert(clickRows == Seq((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)),
+      s"late event leaked into windowed state: $clickRows")
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+  }
+
   test("StreamSync: exactly-once warehouse sink with durable cursor") {
     import graft.cursor.{CursorMode, CursorStore}
     import graft.sources.ParquetWarehouse
