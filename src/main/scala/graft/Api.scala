@@ -236,8 +236,16 @@ object ApiServer {
                 c <- (j \ "delete_when" \ "column").extractOpt[String]
                 v <- (j \ "delete_when" \ "value").extractOpt[String]
               } yield org.apache.spark.sql.functions.col(c) === v
-              val v = graft.sources.ManifestTable.merge(
-                spark, tablePath, srcDf, keys, deleteWhen)
+              // "strategy": "mor" commits delete files instead of
+              // rewriting touched data files (merge-on-read)
+              val v = (j \ "strategy").extractOpt[String] match {
+                case Some("mor") => graft.sources.ManifestTable.mergeMoR(
+                  spark, tablePath, srcDf, keys, deleteWhen)
+                case Some("cow") | None => graft.sources.ManifestTable.merge(
+                  spark, tablePath, srcDf, keys, deleteWhen)
+                case Some(other) => throw new IllegalArgumentException(
+                  s"unknown merge strategy: $other (cow|mor)")
+              }
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("merged_version" -> v))))
             case ("GET", List("changes")) =>

@@ -176,7 +176,12 @@ object ConfigPipeline {
       // declarative tombstone rule for merge: rows where column == value
       // DELETE their match instead of upserting
       deleteWhenColumn: Option[String] = None,
-      deleteWhenValue: Option[String] = None)
+      deleteWhenValue: Option[String] = None,
+      // "cow" (default) rewrites the files a batch's keys touch;
+      // "mor" commits O(batch) delete+upsert bytes and rewrites nothing
+      // (ManifestTable.mergeMoR) — the high-frequency-sync cost model;
+      // fold the delete ledger with compaction
+      mergeStrategy: String = "cow")
 
   private def parseStrings(v: JValue, what: String): Seq[String] = v match {
     case JArray(items) => items.map {
@@ -206,7 +211,8 @@ object ConfigPipeline {
       saveMode = opt(j \ "save_mode").getOrElse("overwrite"),
       mergeKeys = parseStrings(j \ "merge_keys", "merge_keys"),
       deleteWhenColumn = opt(j \ "delete_when" \ "column"),
-      deleteWhenValue = opt(j \ "delete_when" \ "value"))
+      deleteWhenValue = opt(j \ "delete_when" \ "value"),
+      mergeStrategy = opt(j \ "merge_strategy").getOrElse("cow"))
   }
 
   def runPush(spark: SparkSession, cfg: PushConfig): (DataFrame, Option[DataFrame]) = {
@@ -261,11 +267,23 @@ object ConfigPipeline {
         }
         if (cfg.mergeKeys.isEmpty) throw new IllegalArgumentException(
           "save_mode 'merge' needs merge_keys")
+        val mor = cfg.mergeStrategy match {
+          case "mor" => true
+          case "cow" => false
+          case other => throw new IllegalArgumentException(
+            s"unknown merge_strategy: $other (cow|mor)")
+        }
         val deleteWhen = for {
           c <- cfg.deleteWhenColumn; v <- cfg.deleteWhenValue
         } yield org.apache.spark.sql.functions.col(c) === v
-        () => { graft.sources.ManifestTable.merge(spark,
-          s"${mw.baseDir}/${cfg.resource}", out, cfg.mergeKeys, deleteWhen); () }
+        () => {
+          val path = s"${mw.baseDir}/${cfg.resource}"
+          if (mor) graft.sources.ManifestTable.mergeMoR(
+            spark, path, out, cfg.mergeKeys, deleteWhen)
+          else graft.sources.ManifestTable.merge(
+            spark, path, out, cfg.mergeKeys, deleteWhen)
+          ()
+        }
       case other => throw new IllegalArgumentException(
         s"unknown save_mode: $other (overwrite|append|merge)")
     }

@@ -225,7 +225,26 @@ class SourcesConfigSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, s"$base/items")
       .select("k", "s").as[(Int, String)].collect().sortBy(_._1).toSeq ==
       Seq((1, "a"), (2, "B"), (9, "i")))
-    // merge without keys / onto a non-manifest target fails loudly
+    // merge_strategy "mor": same semantics, zero rewritten data files —
+    // the new version only ADDS files (upserts + a delete file)
+    val filesBefore = ManifestTable.dataFiles(s"$base/items").toSet
+    ConfigPipeline.runPush(spark, s"""{
+      "resource": "items",
+      "origin": "stage", "target": "txlake",
+      "mode": "resources", "save_mode": "merge",
+      "merge_strategy": "mor",
+      "merge_keys": ["k"],
+      "delete_when": {"column": "op", "value": "D"}
+    }""")
+    assert(ManifestTable.versions(s"$base/items") == Seq(1L, 2L, 3L))
+    assert(filesBefore.subsetOf(ManifestTable.dataFiles(s"$base/items").toSet))
+    assert(ManifestTable.deleteFiles(s"$base/items").nonEmpty)
+    // idempotent on the same change set: state unchanged
+    assert(ManifestTable.read(spark, s"$base/items")
+      .select("k", "s").as[(Int, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "B"), (9, "i")))
+    // merge without keys / onto a non-manifest target / unknown strategy
+    // fails loudly
     intercept[IllegalArgumentException] {
       ConfigPipeline.runPush(spark, s"""{
         "resource": "items", "origin": "stage", "target": "txlake",
@@ -235,6 +254,12 @@ class SourcesConfigSpec extends SparkSpecBase {
       ConfigPipeline.runPush(spark, s"""{
         "resource": "items", "origin": "stage", "target": "stage",
         "mode": "resources", "save_mode": "merge", "merge_keys": ["k"]}""")
+    }
+    intercept[IllegalArgumentException] {
+      ConfigPipeline.runPush(spark, s"""{
+        "resource": "items", "origin": "stage", "target": "txlake",
+        "mode": "resources", "save_mode": "merge", "merge_keys": ["k"],
+        "merge_strategy": "nope"}""")
     }
   }
 
