@@ -567,17 +567,48 @@ object ManifestTable {
   def compactIncremental(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty,
-      minFill: Double = 0.5): Long = {
+      minFill: Double = 0.5,
+      maxOverlap: Int = 4): Long = {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val sized = base.files.map(f => f -> Files.size(dataDir(path).resolve(f)))
     val small = sized.filter(_._2 < (targetBytes * minFill).toLong).map(_._1)
-    if (small.size <= 1) return base.version // nothing worth folding
-    val carried = base.files.filterNot(small.toSet)
+    // curve-violation selection: with a zorder spec, a file whose stats
+    // BOX overlaps more than `maxOverlap` other files on the z-dims has
+    // lost its clustering (a well-laid file overlaps a handful of curve
+    // neighbors; a fresh full-range append overlaps everything) — fold
+    // it back onto the curve even if it is size-compliant. Driver-side
+    // O(F²) over manifest metadata; at very large file counts plan per
+    // partition or sample, the manifest is already driver-held either way.
+    val violating: Seq[String] =
+      if (zorderBy.isEmpty || base.files.size < 2) Seq.empty
+      else {
+        def box(f: String): Option[Seq[(String, ColStats)]] = {
+          val st = base.stats.getOrElse(f, Map.empty)
+          val dims = zorderBy.flatMap(c => st.get(c).map(c -> _))
+          if (dims.size == zorderBy.size) Some(dims) else None
+        }
+        val boxes = base.files.flatMap(f => box(f).map(f -> _))
+        def overlaps(a: Seq[(String, ColStats)],
+            b: Seq[(String, ColStats)]): Boolean =
+          a.zip(b).forall { case ((_, x), (_, y)) =>
+            cmpStat(x.min, y.max, x.numeric) <= 0 &&
+              cmpStat(x.max, y.min, x.numeric) >= 0 }
+        boxes.filter { case (f, bx) =>
+          boxes.count { case (g, by) => g != f && overlaps(bx, by) } > maxOverlap
+        }.map(_._1)
+      }
+    val toFold = (small ++ violating).distinct
+    // a lone small file is not worth a commit; a lone VIOLATING file is —
+    // re-laying it along the curve splits it into z-range pieces whose
+    // boxes are small, restoring pruning without touching its neighbors
+    if (toFold.size <= 1 && violating.isEmpty)
+      return base.version // nothing worth folding
+    val carried = base.files.filterNot(toFold.toSet)
     val df = reconcile(spark, path, base,
       spark.read.option("mergeSchema", "true")
-        .parquet(small.map(f => dataDir(path).resolve(f).toString): _*))
-    val bytes = sized.filter(p => small.contains(p._1)).map(_._2).sum
+        .parquet(toFold.map(f => dataDir(path).resolve(f).toString): _*))
+    val bytes = sized.filter(p => toFold.contains(p._1)).map(_._2).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val arranged =
       if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(df, zorderBy, nFiles)

@@ -92,4 +92,38 @@ class CompactionSpec extends SparkSpecBase {
     assert(out.count() == 718)
     assert(out.where("k = 3 OR k = 660").count() == 0)
   }
+
+  test("incremental OPTIMIZE ZORDER folds curve-violating files, carries clustered ones") {
+    import graft.sources.ManifestTable
+    val t = java.nio.file.Files.createTempDirectory("graft-icz-").toString + "/t"
+    val df = spark.range(0, 12000)
+      .selectExpr("id AS k", "(id * 7919) % 12000 AS v")
+    ManifestTable.overwrite(df, t)
+    ManifestTable.compactCommit(spark, t, targetBytes = 8 * 1024,
+      zorderBy = Seq("k", "v"))
+    val zFiles = ManifestTable.dataFiles(t).toSet
+    assert(zFiles.size >= 4, s"want several z-files, got ${zFiles.size}")
+    // append a SIZE-COMPLIANT but unclustered file spanning the full
+    // (k, v) range — only the curve-violation rule can select it
+    ManifestTable.append(spark.range(0, 12000).where("id % 4 = 0")
+      .selectExpr("id AS k", "(id * 6007) % 12000 AS v")
+      .coalesce(1), t)
+    val appended = (ManifestTable.dataFiles(t).toSet -- zFiles).head
+    // target sized so NOTHING is "small" (threshold = the smallest
+    // existing file): the curve-violation rule must do the selecting
+    val minSize = ManifestTable.dataFiles(t)
+      .map(f => java.nio.file.Files.size(
+        java.nio.file.Paths.get(t, "data", f))).min
+    val v = ManifestTable.compactIncremental(spark, t,
+      targetBytes = minSize * 2, zorderBy = Seq("k", "v"),
+      maxOverlap = zFiles.size - 2)
+    val after = ManifestTable.dataFiles(t).toSet
+    assert(!after.contains(appended), "full-range file must fold onto the curve")
+    assert(ManifestTable.read(spark, t).count() == 15000)
+    // clustered files with bounded overlap carry; at minimum, most of the
+    // z-laid set survives untouched (the violation rule is selective)
+    assert(zFiles.intersect(after).size >= zFiles.size - 2,
+      s"over-eager violation selection: kept ${zFiles.intersect(after).size} of ${zFiles.size}")
+    assert(v > 2)
+  }
 }

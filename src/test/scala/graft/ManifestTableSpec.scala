@@ -460,6 +460,23 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t, Some(vc)).count() == 3)
   }
 
+  test("MoR reconcile plan: delete files broadcast, data side never shuffles") {
+    val t = table()
+    ManifestTable.overwrite(spark.range(0, 5000)
+      .selectExpr("id AS k", "id * 3 AS v"), t)
+    ManifestTable.mergeMoR(spark, t,
+      spark.range(0, 40).selectExpr("id * 100 AS k", "id AS v"), Seq("k"))
+    val plan = ManifestTable.read(spark, t)
+      .queryExecution.executedPlan.toString
+    // the anti-join against the O(merge) delete file must broadcast —
+    // a sort-merge anti would shuffle the whole table per delete group
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    // and the reconciled read matches the merge semantics
+    assert(ManifestTable.read(spark, t).count() == 5000 + 40 - 40)
+  }
+
   test("CoW merge on a table carrying DVs neither resurrects nor drops rows") {
     val t = table()
     ManifestTable.overwrite(
