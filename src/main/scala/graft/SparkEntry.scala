@@ -962,6 +962,58 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
 
+    "q78_stream_agg_multibatch" -> ((s, dir) => {
+      // cross-batch AGGREGATION state under the gate: q44's windowed agg,
+      // but the events table split into THREE files consumed one per
+      // micro-batch — the same (window, type) groups receive rows in
+      // every batch, so the final table is correct only if streaming
+      // state MERGES across batches (q44's single batch never exercises
+      // that). Complete mode retains all state; the finished table must
+      // equal the batch groupBy, so q44's oracle checks it exactly. The
+      // in-query gate asserts the run really executed 3+ micro-batches.
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val s2 = streamSession(s)
+      val tmp = JFiles.createTempDirectory("graft-q78-").toString
+      val srcDir = s"$tmp/src"
+      JFiles.createDirectories(JPaths.get(srcDir))
+      val raw = s2.read.parquet(s"$dir/events.parquet")
+      (0 until 3).foreach { i =>
+        val st = s"$tmp/stage-$i"
+        raw.where(col("event_id") % 3 === i).coalesce(1).write.parquet(st)
+        val parts = JFiles.list(JPaths.get(st)).iterator()
+        var moved = false
+        while (parts.hasNext && !moved) {
+          val p = parts.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            JFiles.move(p, JPaths.get(srcDir, s"part-$i.parquet"))
+            moved = true
+          }
+        }
+        require(moved, s"no parquet part staged for slice $i")
+      }
+      val schema = s2.read.parquet(srcDir).schema
+      val src = graft.streaming.EventStream.source(s2, srcDir, schema,
+        maxFilesPerTrigger = Some(1))
+      val agg = src.withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          decSum(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+      val sink = s"q78_stream_${System.nanoTime()}"
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val batches = query.recentProgress.map(_.batchId).distinct.length
+      require(batches >= 3,
+        s"expected 3+ micro-batches, got $batches — cross-batch state untested")
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      out
+    }),
+
     "q77_stream_multibatch" -> ((s, dir) => {
       // MULTI-micro-batch streaming CDC under the gate — every other
       // streaming family processes exactly one AvailableNow batch, so
@@ -3335,6 +3387,13 @@ object SparkEntry {
          WHERE session_id < (SELECT max(a2.session_id) FROM agg a2
                              WHERE a2.user_id = agg.user_id)""",
     "q44_stream_agg" ->
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
+         event_type, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // q78: three micro-batches of the same windows must merge to the
+    // identical batch aggregation — q44's oracle verbatim
+    "q78_stream_agg_multibatch" ->
       """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
          event_type, count(*) AS n_events,
          round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value

@@ -22,9 +22,12 @@ object EventStream {
     * requires a directory basePath, so a single-file table is streamed as
     * its parent directory plus a filename filter. */
   def source(spark: SparkSession, dir: String, schema: StructType,
-      globFilter: Option[String] = None): DataFrame = {
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val reader = spark.readStream.schema(schema)
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
     val raw = reader.parquet(dir)
     // ts vintage shim (see Tables.tsAsNanos): TIMESTAMP(MICROS) data
     // arrives as a real timestamp — keep it as event_time and normalize
