@@ -216,6 +216,14 @@ object ApiServer {
                   spark, tablePath, zorderBy = zcols)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("compacted_version" -> v) ~ ("zorder" -> zcols.toList))))
+            case ("POST", List("fold_deletes")) =>
+              // targeted MoR maintenance: fold the delete ledger
+              // rewriting only stats-affected files (ManifestTable
+              // .compactDeletes)
+              val v = graft.sources.ManifestTable.compactDeletes(
+                spark, tablePath)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("folded_version" -> v))))
             case ("POST", List("expire")) =>
               val keep = queryParams(ex).get("keep").map(_.toInt).getOrElse(1)
               val (dropped, freed) =

@@ -633,6 +633,63 @@ object ManifestTable {
     }
   }
 
+  /** Fold the MoR delete ledger WITHOUT a full rewrite: rewrite only the
+    * data files that can actually hold a DV-hidden row — files whose
+    * commit seq precedes a delete file's AND whose stats overlap that
+    * delete's key range (metadata-only pruning, same conservatism as
+    * data skipping: a file without stats on a key column must rewrite).
+    * Every other file carries; the new manifest's ledger is EMPTY. This
+    * is the targeted half of DV maintenance — a merge loop that touched
+    * 0.1% of the keyspace folds ~0.1% of files, where [[compactCommit]]
+    * would rewrite the table. Returns the new version (unchanged when
+    * the ledger is already empty). */
+  def compactDeletes(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions._
+    val base = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    if (base.deletes.isEmpty) return base.version
+    // per delete-file key-range (first key column) for stats pruning
+    val ranges = base.deletes.map { case (f, seq) =>
+      val df = spark.read.parquet(dataDir(path).resolve(f).toString)
+      val k0 = df.columns.head
+      val mm = df.agg(min(col(k0)), max(col(k0))).collect()(0)
+      (seq, k0, if (mm.isNullAt(0)) None else Some((mm.get(0), mm.get(1))))
+    }
+    val affected = base.files.filter { f =>
+      val fseq = base.seqs.getOrElse(f, 0L)
+      ranges.exists { case (dseq, k0, mm) =>
+        fseq < dseq && mm.forall { case (lo, hi) =>
+          import graft.conditions.{Condition, Op}
+          fileMightMatch(base.stats.get(f),
+            Seq(Condition(k0, Op.Gte, lo), Condition(k0, Op.Lte, hi)))
+        }
+      }
+    }
+    val carried = base.files.filterNot(affected.toSet)
+    val staged =
+      if (affected.isEmpty) Seq.empty
+      else stage(reconcile(spark, path, base,
+        spark.read.option("mergeSchema", "true")
+          .parquet(affected.map(f => dataDir(path).resolve(f).toString): _*)),
+        path)
+    val next = base.version + 1
+    val m = Manifest(next, carried ++ staged,
+      Some(s"fold-deletes-of-v${base.version}"), base.version,
+      carried.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
+        footerStats(path, staged),
+      carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
+        staged.map(_ -> next),
+      Seq.empty)
+    try {
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit during delete-fold of v${base.version}; retry")
+    }
+  }
+
   /** MERGE INTO — the upsert/delete commit every sync loop needs once a
     * target is a versioned table, with Delta/Iceberg's copy-on-write
     * cost model at FILE granularity: only data files that CONTAIN a

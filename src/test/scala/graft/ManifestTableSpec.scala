@@ -477,6 +477,61 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t).count() == 5000 + 40 - 40)
   }
 
+  test("compactDeletes folds the DV ledger rewriting only stats-affected files") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // 8 range-laid files with tight key stats
+    ManifestTable.overwrite(
+      spark.range(0, 8000).selectExpr("id AS k", "id * 3 AS v")
+        .repartitionByRange(8, col("k")), t)
+    val before = ManifestTable.dataFiles(t).toSet
+    assert(before.size == 8)
+    // MoR-delete a NARROW key band (lives in one or two range files) and
+    // upsert one row far away
+    ManifestTable.mergeMoR(spark, t,
+      Seq((100L, 0L, "D"), (110L, 0L, "D"), (7500L, 999L, "U"))
+        .toDF("k", "v", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    assert(ManifestTable.deleteFiles(t).nonEmpty)
+    val v = ManifestTable.compactDeletes(spark, t)
+    // ledger folded; only files whose stats overlap [100, 7500] AND
+    // predate the delete could rewrite — range files outside the band
+    // carry untouched
+    assert(ManifestTable.deleteFiles(t).isEmpty)
+    // the delete file's key range spans [100, 7500] (upsert keys delete
+    // their old row, so they are in the ledger too) — wide enough to
+    // overlap every range file, so no carry is expected HERE; the
+    // tight-band test below pins the pruning. Assert the semantic
+    // contract: rows identical to the pre-fold reconciled read,
+    // idempotent re-fold, and time travel still reconciles.
+    assert(ManifestTable.read(spark, t).count() == 8000 - 2 + 0)
+    assert(ManifestTable.read(spark, t).where("k IN (100, 110)").count() == 0)
+    assert(ManifestTable.read(spark, t).where("k = 7500").select("v")
+      .head().getLong(0) == 999L)
+    assert(ManifestTable.compactDeletes(spark, t) == v, "idempotent when empty")
+    assert(ManifestTable.read(spark, t, Some(1L)).count() == 8000)
+  }
+
+  test("compactDeletes with a tight delete band carries out-of-band files") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    ManifestTable.overwrite(
+      spark.range(0, 8000).selectExpr("id AS k", "id * 3 AS v")
+        .repartitionByRange(8, col("k")), t)
+    val before = ManifestTable.dataFiles(t).toSet
+    // tombstones only, all inside one narrow band
+    ManifestTable.mergeMoR(spark, t,
+      Seq((100L, 0L, "D"), (110L, 0L, "D")).toDF("k", "v", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    ManifestTable.compactDeletes(spark, t)
+    val after = ManifestTable.dataFiles(t).toSet
+    // stats pruning: at most one ~1000-key range file overlaps [100,110]
+    assert(before.intersect(after).size >= before.size - 1,
+      s"folded ${before.size - before.intersect(after).size} files for a one-file band")
+    assert(ManifestTable.read(spark, t).count() == 7998)
+    assert(ManifestTable.deleteFiles(t).isEmpty)
+  }
+
   test("CoW merge on a table carrying DVs neither resurrects nor drops rows") {
     val t = table()
     ManifestTable.overwrite(
