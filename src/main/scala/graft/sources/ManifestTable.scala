@@ -201,13 +201,9 @@ object ManifestTable {
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     if (m.deletes.isEmpty) return df
-    // per-row seq = the file's commit seq, via a manifest-sized literal
-    // map (driver already holds the manifest; file NAMES, not data)
     val seqByFile: Map[String, Long] =
       m.files.map(f => f -> m.seqs.getOrElse(f, 0L)).toMap
-    val withSeq = df.withColumn("__graft_seq",
-      coalesce(element_at(typedLit(seqByFile),
-        element_at(split(input_file_name(), "/"), -1)), lit(0L)))
+    val withSeq = attachSeq(df, seqByFile)
     // delete files may carry different key sets across merges: group by
     // key schema (a driver-side footer read per delete file, KBs each)
     // and apply one broadcast anti-join per group
@@ -225,6 +221,32 @@ object ManifestTable {
       cur.join(broadcast(delDf), cond, "left_anti")
     }
     out.drop("__graft_seq")
+  }
+
+  /** Attach each row's data-file commit seq as `__graft_seq`. Small
+    * manifests inline a literal map (zero joins, codegen-friendly); past
+    * `AttachSeqLiteralMax` files the literal would bloat the generated
+    * code quadratically, so the mapping ships as a broadcast join on the
+    * file basename instead — the manifest is driver-held either way, the
+    * difference is only how it reaches the executors. */
+  private[graft] val AttachSeqLiteralMax = 4096
+
+  private[graft] def attachSeq(df: DataFrame,
+      seqByFile: Map[String, Long], forceJoin: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val basename = element_at(split(input_file_name(), "/"), -1)
+    if (!forceJoin && seqByFile.size <= AttachSeqLiteralMax)
+      df.withColumn("__graft_seq",
+        coalesce(element_at(typedLit(seqByFile), basename), lit(0L)))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val mapDf = seqByFile.toSeq.toDF("__graft_file", "__graft_seq_m")
+      df.withColumn("__graft_file", basename)
+        .join(broadcast(mapDf), Seq("__graft_file"), "left")
+        .withColumn("__graft_seq", coalesce(col("__graft_seq_m"), lit(0L)))
+        .drop("__graft_file", "__graft_seq_m")
+    }
   }
 
   /** DATA SKIPPING — the stats-pruned read (Delta/Iceberg's file-level

@@ -460,6 +460,27 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t, Some(vc)).count() == 3)
   }
 
+  test("attachSeq broadcast-join fallback agrees with the literal-map path") {
+    // beyond AttachSeqLiteralMax files the seq mapping ships as a
+    // broadcast join instead of a codegen literal; both paths must
+    // resolve identical per-row seqs (forceJoin exercises the join path
+    // on a small table)
+    val t = table()
+    ManifestTable.overwrite(Seq(1, 2).toDF("x").coalesce(1), t)
+    ManifestTable.append(Seq(3, 4).toDF("x").coalesce(1), t)
+    val files = ManifestTable.dataFiles(t)
+    val seqs = files.zipWithIndex.map { case (f, i) => f -> (i + 1).toLong }.toMap
+    val scan = spark.read.parquet(files.map(f =>
+      java.nio.file.Paths.get(t, "data", f).toString): _*)
+    def rows(forceJoin: Boolean) =
+      ManifestTable.attachSeq(scan, seqs, forceJoin = forceJoin)
+        .select("x", "__graft_seq").as[(Int, Long)].collect().toSet
+    val lit = rows(forceJoin = false)
+    val join = rows(forceJoin = true)
+    assert(lit == join, s"paths diverge: $lit vs $join")
+    assert(lit.map(_._2) == Set(1L, 2L), s"unexpected seqs: $lit")
+  }
+
   test("MoR reconcile plan: delete files broadcast, data side never shuffles") {
     val t = table()
     ManifestTable.overwrite(spark.range(0, 5000)
