@@ -205,10 +205,9 @@ object ManifestTable {
       m.files.map(f => f -> m.seqs.getOrElse(f, 0L)).toMap
     val withSeq = attachSeq(df, seqByFile)
     // delete files may carry different key sets across merges: group by
-    // key schema (a driver-side footer read per delete file, KBs each)
-    // and apply one broadcast anti-join per group
+    // key schema and apply one broadcast anti-join per group
     val groups = m.deletes.groupBy { case (f, _) =>
-      spark.read.parquet(dataDir(path).resolve(f).toString).columns.toSeq.sorted
+      deleteKeyCols(spark, path, f)
     }
     val out = groups.values.foldLeft(withSeq) { case (cur, dels) =>
       val delDf = dels.map { case (f, seq) =>
@@ -221,6 +220,24 @@ object ManifestTable {
       cur.join(broadcast(delDf), cond, "left_anti")
     }
     out.drop("__graft_seq")
+  }
+
+  /** Delete files are immutable once committed, so their key schema is
+    * probed (a driver-side footer read) at most once per JVM — a table
+    * accumulating hundreds of MoR deletes must not pay a probe per
+    * delete file per READ. */
+  private val deleteSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def deleteKeyCols(spark: SparkSession, path: String,
+      file: String): Seq[String] = {
+    val abs = dataDir(path).resolve(file).toAbsolutePath.toString
+    val hit = deleteSchemaCache.get(abs)
+    if (hit != null) return hit
+    val cols = spark.read.parquet(abs).columns.toSeq.sorted
+    if (deleteSchemaCache.size > 65536) deleteSchemaCache.clear()
+    deleteSchemaCache.put(abs, cols)
+    cols
   }
 
   /** Attach each row's data-file commit seq as `__graft_seq`. Small
@@ -985,7 +1002,7 @@ object ManifestTable {
     if (newDeletes.isEmpty || shared.isEmpty) (before, slice(mt))
     else {
       val groups = newDeletes.groupBy { case (f, _) =>
-        spark.read.parquet(dataDir(path).resolve(f).toString).columns.toSeq.sorted
+        deleteKeyCols(spark, path, f)
       }.values.toSeq
       // per key-schema group: semi-join shared rows on the group's keys,
       // anti-joining away earlier groups' matches so a row hidden under
