@@ -1345,6 +1345,80 @@ object SparkEntry {
       out
     }),
 
+    "q79_stream_sessions_multibatch" -> ((s, dir) => {
+      // cross-batch STATEFUL session state under the gate: the events
+      // table split at a time cut into two files consumed one per
+      // micro-batch — sessions spanning the cut are held OPEN in
+      // flatMapGroupsWithState state across the batch boundary and must
+      // close with events from BOTH batches counted (q47's single batch
+      // never exercises continuation). Emitted set = q47's exactly
+      // (sessions closed by a later event = all minus each user's last),
+      // so q47's oracle checks the merged state byte-for-byte. Gates:
+      // 2+ executed batches AND at least one emitted session really
+      // spans the cut (else the continuation claim is vacuous).
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val s2 = streamSession(s)
+      val tmp = JFiles.createTempDirectory("graft-q79-").toString
+      val srcDir = s"$tmp/src"
+      JFiles.createDirectories(JPaths.get(srcDir))
+      // normalized long-nanos ts (either parquet vintage) so the split
+      // predicate and the re-staged files are deterministic
+      val nanos = Tables.eventsNanos(s2, dir)
+      // the cut must land INSIDE some session or the continuation gate is
+      // vacuous: among events whose same-user successor follows within
+      // the 30-min gap, take the median-ts one and cut just after it —
+      // deterministic, and the chosen event's session provably spans
+      val wNext = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cand = nanos
+        .withColumn("__nxt", lead(col("ts"), 1).over(wNext))
+        .where(col("__nxt").isNotNull &&
+          col("__nxt") - col("ts") <= 1800000L * 1000000L)
+        .select(col("ts"))
+      val med = cand.agg(expr("approx_percentile(ts, 0.5, 1000)")).head().getLong(0)
+      val cutNs = cand.where(col("ts") >= med).agg(min(col("ts")))
+        .head().getLong(0) + 1L
+      val t0 = System.currentTimeMillis() - 60000
+      Seq(("a", nanos.where(col("ts") < cutNs), t0),
+          ("b", nanos.where(col("ts") >= cutNs), t0 + 10000)).foreach {
+        case (nm, df, mtime) =>
+          val st = s"$tmp/stage-$nm"
+          df.coalesce(1).write.parquet(st)
+          val parts = JFiles.list(JPaths.get(st)).iterator()
+          var moved = false
+          while (parts.hasNext && !moved) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val target = JPaths.get(srcDir, s"$nm.parquet")
+              JFiles.move(p, target)
+              JFiles.setLastModifiedTime(target,
+                java.nio.file.attribute.FileTime.fromMillis(mtime))
+              moved = true
+            }
+          }
+          require(moved, s"no parquet part staged for half $nm")
+      }
+      val schema = s2.read.parquet(srcDir).schema
+      val src = graft.streaming.EventStream.source(s2, srcDir, schema,
+        maxFilesPerTrigger = Some(1))
+      val sessions = graft.streaming.Sessionize(src,
+        gapMs = 1800000L, watermark = "3650 days").toDF()
+      val sink = s"q79_stream_${System.nanoTime()}"
+      val query = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val batches = query.recentProgress.map(_.batchId).distinct.length
+      require(batches >= 2,
+        s"expected 2+ micro-batches, got $batches")
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      val cutMs = cutNs / 1000000L
+      require(out.where(col("session_start_ms") < cutMs &&
+          col("session_end_ms") >= cutMs).limit(1).count() == 1,
+        "no emitted session spans the batch cut — continuation untested")
+      out
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -3367,6 +3441,28 @@ object SparkEntry {
     "q46_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
     "q47_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
+         g AS (
+           SELECT user_id, event_id, ts, ms,
+             CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g),
+         agg AS (
+           SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+             min(ms) AS session_start_ms, max(ms) AS session_end_ms
+           FROM s GROUP BY user_id, session_id)
+         SELECT user_id, session_id, n_events, session_start_ms, session_end_ms
+         FROM agg
+         WHERE session_id < (SELECT max(a2.session_id) FROM agg a2
+                             WHERE a2.user_id = agg.user_id)""",
+    // q79: sessions folded across two micro-batches must equal the
+    // single-batch closed set — q47's oracle verbatim
+    "q79_stream_sessions_multibatch" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
          g AS (
