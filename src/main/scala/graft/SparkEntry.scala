@@ -1419,6 +1419,64 @@ object SparkEntry {
       out
     }),
 
+    "q80_stream_dedup_multibatch" -> ((s, dir) => {
+      // cross-batch DEDUP state under the gate: events split by id parity
+      // into two micro-batches, so a key's duplicate routinely arrives in
+      // a LATER batch than its first occurrence — it is dropped only if
+      // the dedup state survives the batch boundary (q46's single batch
+      // never tests that). Long watermark delay keeps every key in state
+      // for the whole run; emitted set must equal batch DISTINCT (q46's
+      // oracle). Gates: 2+ batches AND the halves genuinely share keys.
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val s2 = streamSession(s)
+      val tmp = JFiles.createTempDirectory("graft-q80-").toString
+      val srcDir = s"$tmp/src"
+      JFiles.createDirectories(JPaths.get(srcDir))
+      val nanos = Tables.eventsNanos(s2, dir)
+      val t0 = System.currentTimeMillis() - 60000
+      Seq(("a", nanos.where(col("event_id") % 2 === 0), t0),
+          ("b", nanos.where(col("event_id") % 2 === 1), t0 + 10000)).foreach {
+        case (nm, df, mtime) =>
+          val st = s"$tmp/stage-$nm"
+          df.coalesce(1).write.parquet(st)
+          val parts = JFiles.list(JPaths.get(st)).iterator()
+          var moved = false
+          while (parts.hasNext && !moved) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val target = JPaths.get(srcDir, s"$nm.parquet")
+              JFiles.move(p, target)
+              JFiles.setLastModifiedTime(target,
+                java.nio.file.attribute.FileTime.fromMillis(mtime))
+              moved = true
+            }
+          }
+          require(moved, s"no parquet part staged for half $nm")
+      }
+      val shared = s2.read.parquet(s"$srcDir/a.parquet")
+        .select("user_id", "event_type")
+        .intersect(s2.read.parquet(s"$srcDir/b.parquet")
+          .select("user_id", "event_type"))
+        .limit(1).count()
+      require(shared == 1, "halves share no key — cross-batch dedup untested")
+      val schema = s2.read.parquet(srcDir).schema
+      val src = graft.streaming.EventStream.source(s2, srcDir, schema,
+        maxFilesPerTrigger = Some(1))
+      val deduped = graft.streaming.EventStream
+        .dedup(src, Seq("user_id", "event_type"), "3650 days")
+        .select(col("user_id"), col("event_type"))
+      val sink = s"q80_stream_${System.nanoTime()}"
+      val query = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      require(query.recentProgress.map(_.batchId).distinct.length >= 2,
+        "expected 2+ micro-batches")
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      out
+    }),
+
     "q13_star_join" -> ((s, dir) => {
       val region   = broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA"))
       val nation   = broadcast(Tables(s, dir, "nation"))
@@ -3439,6 +3497,10 @@ object SparkEntry {
          FROM events JOIN customer ON user_id = c_custkey
          WHERE c_custkey % 3 <> 0 AND c_acctbal > 0""",
     "q46_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
+    // q80: duplicates arriving in a later micro-batch must still drop —
+    // the result is batch DISTINCT, q46's oracle verbatim
+    "q80_stream_dedup_multibatch" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
     "q47_stream_sessions" ->
       """WITH e AS (
