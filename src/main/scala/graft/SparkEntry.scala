@@ -1926,6 +1926,34 @@ object SparkEntry {
     "tx5_tfidf" -> ((s, dir) =>
       operators.textual.TextStats.tfidfTop(Tables(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    "tx15_bm25" -> ((s, dir) =>
+      // sparse retrieval: Okapi BM25 term scoring (rational idf — see
+      // Bm25.scala for the engine-portability rationale), top-10 docs
+      // per query term under the hard oracle
+      operators.textual.Bm25.scoreTerms(Tables(s, dir, "documents"),
+        "doc_id", "text",
+        Seq("spark", "join", "filter", "hash", "window"), k = 10)),
+
+    "ss12_hybrid_rrf" -> ((s, dir) => {
+      // HYBRID retrieval under the gate: dense top-50 (exact cosine,
+      // ss1's machinery) fused with sparse top-50 (token-set Jaccard)
+      // by Reciprocal Rank Fusion — the production default for
+      // combining incomparable score spaces, and pure rank/rational
+      // arithmetic so DuckDB recomputes the fused list exactly.
+      // documents.doc_id and embeddings.vec_id align by construction
+      // (TESTDATA), giving each doc both a text and an embedding.
+      val emb = Tables(s, dir, "embeddings")
+      val docs = Tables(s, dir, "documents")
+      val dense = operators.similarity.Similarity.knnBrute(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 50)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rk").as("rank"))
+      val sparse = operators.similarity.Hybrid.jaccardRank(
+        docs, "doc_id", "text", (0L until 10L).toSeq, k = 50)
+        .select("query_id", "doc_id", "rank")
+      operators.similarity.Hybrid.rrf(dense, sparse, k = 10)
+    }),
+
     "tx6_chunk" -> ((s, dir) =>
       operators.textual.TextStats.chunk(Tables(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 16)),
@@ -2576,6 +2604,75 @@ object SparkEntry {
                ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6) DESC, tf.term) AS rk
            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
          WHERE rk <= 3""",
+    // tx15: BM25 with RATIONAL idf — only +,·,/ double arithmetic, in
+    // the same association as the Spark expression, so scores hash-match
+    "tx15_bm25" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS dl,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         post AS (SELECT term, doc_id, dl, count(*) AS tf FROM t
+           WHERE term IN ('spark','join','filter','hash','window')
+           GROUP BY 1, 2, 3),
+         dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+               / count(*) AS avgdl
+           FROM documents),
+         sc AS (SELECT term, doc_id, tf,
+             round(((st.n - df + 0.5) / (df + 0.5))
+               * (tf * (CAST(1.2 AS DOUBLE) + 1))
+               / (tf + CAST(1.2 AS DOUBLE)
+                   * (1.0 - 0.75 + CAST(0.75 AS DOUBLE) * dl / st.avgdl)),
+               6) AS score
+           FROM post JOIN dfs USING (term) CROSS JOIN st)
+         SELECT term, doc_id, tf, score, rank FROM (
+           SELECT term, doc_id, tf, score,
+             row_number() OVER (PARTITION BY term
+               ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         WHERE rank <= 10""",
+    // ss12: dense cosine ranks + sparse Jaccard ranks fused by RRF —
+    // rank-only fusion keeps every number rational and engine-exact
+    "ss12_hybrid_rrf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         den0 AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e q JOIN e c ON q.vec_id != c.vec_id WHERE q.vec_id < 10),
+         denr AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, doc_id) AS r
+           FROM den0),
+         dn AS (SELECT query_id, doc_id,
+             CAST(1 AS DOUBLE) / (60 + r) AS contrib FROM denr WHERE r <= 50),
+         toks AS (SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+           FROM documents),
+         dsz AS (SELECT doc_id, len(tk) AS nd FROM toks),
+         dterm AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         q AS (SELECT doc_id AS query_id, term FROM dterm WHERE doc_id < 10),
+         qsz AS (SELECT doc_id AS query_id, nd AS nq FROM dsz WHERE doc_id < 10),
+         inter AS (SELECT query_id, d.doc_id, count(*) AS i
+           FROM q JOIN dterm d USING (term)
+           WHERE query_id != d.doc_id GROUP BY query_id, d.doc_id),
+         jac AS (SELECT query_id, doc_id,
+             round(CAST(i AS DOUBLE) / (nq + nd - i), 6) AS j
+           FROM inter JOIN qsz USING (query_id) JOIN dsz USING (doc_id)),
+         spr AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY j DESC, doc_id) AS r
+           FROM jac),
+         sp AS (SELECT query_id, doc_id,
+             CAST(1 AS DOUBLE) / (60 + r) AS contrib FROM spr WHERE r <= 50),
+         f AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+           FROM (SELECT * FROM dn UNION ALL SELECT * FROM sp)
+           GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id, rrf, rank FROM (
+           SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS rank
+           FROM f)
+         WHERE rank <= 10""",
     "tx6_chunk" ->
       s"""SELECT doc_id, i AS chunk_idx,
            array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk_text

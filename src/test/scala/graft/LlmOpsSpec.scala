@@ -169,4 +169,37 @@ class LlmOpsSpec extends SparkSpecBase {
     // hash threshold is rate-accurate, not exact-count: allow 35% slack
     assert(r("big") > 65 && r("big") < 135, s"big stratum sampled ${r("big")}")
   }
+
+  test("BM25: tf saturation, rarity weighting, length normalization") {
+    import graft.operators.textual.Bm25
+    val d = docs(
+      (0L, "cat cat cat dog"),   // tf(cat)=3, dl=4
+      (1L, "cat dog dog dog"),   // tf(cat)=1, dl=4
+      (2L, "cat fish"),          // tf(cat)=1, dl=2 (shorter doc)
+      (3L, "fish fish fish fish"))
+    val out = Bm25.scoreTerms(d, "doc_id", "text", Seq("cat", "fish"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // higher tf outranks lower tf at equal length
+    assert(out(("cat", 0L))._3 < out(("cat", 1L))._3)
+    // shorter doc outranks equal-tf longer doc (length normalization)
+    assert(out(("cat", 2L))._3 < out(("cat", 1L))._3)
+    // rarer term (fish: df 2 of 4) scores higher than common (cat: df 3)
+    // at comparable tf/dl — compare doc 2's single occurrence of each
+    assert(out(("fish", 2L))._2 > out(("cat", 2L))._2)
+    // absent (term, doc) pairs never emit
+    assert(!out.contains(("fish", 0L)) && !out.contains(("cat", 3L)))
+  }
+
+  test("RRF: both-sides docs outrank one-sided at equal ranks; exact values") {
+    import graft.operators.similarity.Hybrid
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Hybrid.rrf(a, b, k = 10).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+    // doc 10: 1/61 + 1/62; doc 12: 1/61; doc 11: 1/62 — exact to 6 dp
+    assert(out(10L)._1 == BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(10L)._2 == 1 && out(12L)._2 == 2 && out(11L)._2 == 3)
+  }
 }
