@@ -45,6 +45,17 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("tx15 BM25: df broadcasts, postings never nested-loop") {
+    val p = planOf("tx15_bm25")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("ss12 hybrid RRF: token join + fusion stay nested-loop free") {
+    val p = planOf("ss12_hybrid_rrf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q43 error-isolated counters: two scans, no join of the corpus to itself") {
     val p = planOf("q43_push_errors")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
