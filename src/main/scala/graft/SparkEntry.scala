@@ -1365,15 +1365,22 @@ object SparkEntry {
       // normalized long-nanos ts (either parquet vintage) so the split
       // predicate and the re-staged files are deterministic
       val nanos = Tables.eventsNanos(s2, dir)
-      // the cut must land INSIDE some session or the continuation gate is
-      // vacuous: among events whose same-user successor follows within
-      // the 30-min gap, take the median-ts one and cut just after it —
-      // deterministic, and the chosen event's session provably spans
+      // the cut must land INSIDE some session that eventually CLOSES, or
+      // the continuation gate is vacuous: pick an event whose same-user
+      // successor follows within the 30-min gap (the session spans the
+      // cut) AND whose user has a LATER gap break (the session closes →
+      // it is emitted); take the median-ts such event, cut just after it
+      val gapNs = 1800000L * 1000000L
       val wNext = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wAfter = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val cand = nanos
         .withColumn("__nxt", lead(col("ts"), 1).over(wNext))
+        .withColumn("__break_after",
+          max(when(col("__nxt").isNotNull &&
+            col("__nxt") - col("ts") > gapNs, 1).otherwise(0)).over(wAfter))
         .where(col("__nxt").isNotNull &&
-          col("__nxt") - col("ts") <= 1800000L * 1000000L)
+          col("__nxt") - col("ts") <= gapNs && col("__break_after") === 1)
         .select(col("ts"))
       val med = cand.agg(expr("approx_percentile(ts, 0.5, 1000)")).head().getLong(0)
       val cutNs = cand.where(col("ts") >= med).agg(min(col("ts")))
@@ -1412,8 +1419,12 @@ object SparkEntry {
         s"expected 2+ micro-batches, got $batches")
       val out = s2.table(sink).localCheckpoint()
       s2.catalog.dropTempView(sink)
+      // <= on start: the chosen event may OPEN its session, and the +1ns
+      // cut floors back to its millisecond — the structural guarantee is
+      // (chosen event in batch 0, its successor in batch 1, same session,
+      // session closes); this require is the sanity check over the output
       val cutMs = cutNs / 1000000L
-      require(out.where(col("session_start_ms") < cutMs &&
+      require(out.where(col("session_start_ms") <= cutMs &&
           col("session_end_ms") >= cutMs).limit(1).count() == 1,
         "no emitted session spans the batch cut — continuation untested")
       out
