@@ -1014,6 +1014,194 @@ object SparkEntry {
       out
     }),
 
+    "q81_stream_late_drop" -> ((s, dir) => {
+      // WATERMARK EVICTION under the gate: every other streaming family
+      // (including the q77-q80 multi-batch gates) feeds only in-order
+      // data, so the watermark never actually DROPS a row on the oracle
+      // path. Three staged files, one per micro-batch:
+      //   batch 0 — the whole events table (after it the watermark sits
+      //     at max(ts)-1h);
+      //   batch 1 — one far-future midnight sentinel. Its EVICTION pass
+      //     runs at max(ts)-1h, emitting every original window exactly
+      //     once; the sentinel's own window never closes (the watermark
+      //     stops 1h short of it), so it cannot leak into the output,
+      //     but it pushes the watermark past every original window.
+      //   batch 2 — LATE clones (ts <= max-2h). Spark's dual-watermark
+      //     policy filters late events with the PREVIOUS batch's
+      //     watermark (which is why they must arrive a batch after the
+      //     advance, and why the clones-with-sentinel single-file
+      //     variant measurably leaks): every clone is now behind it and
+      //     must be dropped, not resurrect its evicted window.
+      // Append mode then emits exactly the batch groupBy over the
+      // ORIGINAL events — q44's oracle checks it. A leaked clone either
+      // inflates a count before finalization (hash mismatch) or re-opens
+      // closed state (duplicate window row): both oracle-visible, and
+      // the in-query gate pins the emitted-event total too.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      import java.nio.file.attribute.FileTime
+      val s2 = streamSession(s)
+      val tmp = JFiles.createTempDirectory("graft-q81-").toString
+      val srcDir = s"$tmp/src"
+      JFiles.createDirectories(JPaths.get(srcDir))
+      val raw = s2.read.parquet(s"$dir/events.parquet")
+      val tsType = raw.schema("ts").dataType
+      val tsIsTimestamp = tsType == TimestampType || tsType == TimestampNTZType
+      if (tsIsTimestamp) graft.Tables.requireUtc(s2)
+      // stage-building works in the micros domain whatever the vintage
+      val tsMicros: Column =
+        if (tsIsTimestamp) unix_micros(col("ts").cast(TimestampType))
+        else expr("ts div 1000")
+      val maxMicros = raw.agg(max(tsMicros)).head.getLong(0)
+      val dayUs = 86400L * 1000000L
+      val hourUs = 3600L * 1000000L
+      val sentinelMicros = (maxMicros / dayUs) * dayUs + 3 * dayUs
+      def microsAsTs(us: Long): Column =
+        if (tsIsTimestamp) timestamp_micros(lit(us)).cast(tsType)
+        else lit(us * 1000L)
+      val idType = raw.schema("event_id").dataType
+      // Lateness in a streaming aggregation is WINDOW-level, not
+      // row-level: a behind-watermark row whose window is still open is
+      // accepted into that open state (measured — a clone in the last,
+      // unfinalized day leaks straight into its count). So the staged
+      // clones come only from windows already CLOSED at the
+      // first-advance watermark: day end ≤ max(ts) − 1h.
+      val dayStart = tsMicros - pmod(tsMicros, lit(dayUs))
+      val late = raw
+        .where(col("event_id") % 97 === 0 &&
+          dayStart + lit(dayUs) <= lit(maxMicros - hourUs))
+        .withColumn("event_id",
+          (col("event_id") + lit(900000000L)).cast(idType))
+      val nLate = late.count()
+      require(nLate > 0, "no late rows staged - eviction untestable")
+      val sentinel = raw.orderBy(col("event_id")).limit(1)
+        .withColumn("event_id", lit(999999999L).cast(idType))
+        .withColumn("ts", microsAsTs(sentinelMicros))
+      Seq("0" -> raw, "1" -> sentinel, "2" -> late).zipWithIndex.foreach {
+        case ((nm, df), i) =>
+          val st = s"$tmp/stage-$nm"
+          df.coalesce(1).write.parquet(st)
+          val parts = JFiles.list(JPaths.get(st)).iterator()
+          var moved = false
+          while (parts.hasNext && !moved) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dst = JPaths.get(srcDir, s"part-$nm.parquet")
+              JFiles.move(p, dst)
+              // mtime orders micro-batches: table, sentinel, then clones
+              JFiles.setLastModifiedTime(dst, FileTime.fromMillis(
+                System.currentTimeMillis() - 60000L + i * 10000L))
+              moved = true
+            }
+          }
+          require(moved, s"no parquet part staged for slice $nm")
+      }
+      val schema = s2.read.parquet(srcDir).schema
+      val src = graft.streaming.EventStream.source(s2, srcDir, schema,
+        maxFilesPerTrigger = Some(1))
+      val agg = src.withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          decSum(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+      val nOrig = raw.count()
+      val sink = s"q81_stream_${System.nanoTime()}"
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val progress = query.recentProgress
+      val batches = progress.map(_.batchId).distinct.length
+      require(batches >= 3,
+        s"expected 3+ micro-batches, got $batches - late batch never ran")
+      // the late file really entered the pipeline as its own batch (for
+      // aggregations the late filter runs BEFORE the state operator, so
+      // numRowsDroppedByWatermark stays 0 — input counts + output
+      // totals pin the drop instead)
+      require(progress.exists(_.numInputRows == nLate),
+        s"no micro-batch carried the $nLate staged late clones " +
+          s"(batches: ${progress.map(_.numInputRows).mkString(",")})")
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      // drop proof: emitted windows account for exactly the ORIGINAL
+      // rows — a leaked late clone inflates a count; a leaked sentinel
+      // adds its far-future window
+      val emitted =
+        out.agg(coalesce(sum(col("n_events")), lit(0L))).head.getLong(0)
+      require(emitted == nOrig,
+        s"emitted $emitted events vs $nOrig originals - late rows " +
+          "leaked into closed windows or rows went missing")
+      require(out.where(col("window_start_us") >= lit(sentinelMicros))
+        .isEmpty, "sentinel's unclosed window must not emit")
+      out
+    }),
+
+    "q82_stream_join_multibatch" -> ((s, dir) => {
+      // CROSS-BATCH stream-stream join state under the gate: q52 holds
+      // both sides in ONE micro-batch, so its state store never carries a
+      // pending match across a batch boundary. Here the clicks are staged
+      // as file 0 and the purchases as file 1 (maxFilesPerTrigger=1), so
+      // EVERY attribution requires the click buffered in batch-1 join
+      // state to meet its purchase in batch 2. The watermark is set past
+      // the data's whole span — the retain-everything configuration —
+      // so the inner interval join must emit exactly q37's batch result
+      // (q52's oracle verbatim); any cross-batch state loss is a hash
+      // mismatch, and the gate asserts 2+ batches actually ran.
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      import java.nio.file.attribute.FileTime
+      val s2 = streamSession(s)
+      val tmp = JFiles.createTempDirectory("graft-q82-").toString
+      val srcDir = s"$tmp/src"
+      JFiles.createDirectories(JPaths.get(srcDir))
+      val raw = s2.read.parquet(s"$dir/events.parquet")
+      Seq("0" -> raw.where(col("event_type") === "click"),
+          "1" -> raw.where(col("event_type") === "purchase")).foreach {
+        case (nm, df) =>
+          require(df.limit(1).count() == 1, s"slice $nm empty - gate vacuous")
+          val st = s"$tmp/stage-$nm"
+          df.coalesce(1).write.parquet(st)
+          val parts = JFiles.list(JPaths.get(st)).iterator()
+          var moved = false
+          while (parts.hasNext && !moved) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dst = JPaths.get(srcDir, s"part-$nm.parquet")
+              JFiles.move(p, dst)
+              // mtime orders micro-batches: all clicks strictly first
+              JFiles.setLastModifiedTime(dst, FileTime.fromMillis(
+                System.currentTimeMillis() - (if (nm == "0") 60000L else 0L)))
+              moved = true
+            }
+          }
+          require(moved, s"no parquet part staged for slice $nm")
+      }
+      val schema = s2.read.parquet(srcDir).schema
+      val src = graft.streaming.EventStream.source(s2, srcDir, schema,
+        maxFilesPerTrigger = Some(1))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"),
+        keyCol = "user_id", maxFollow = "1 hour",
+        watermark = "3650 days")
+      val sink = s"q82_stream_${System.nanoTime()}"
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val batches = query.recentProgress.map(_.batchId).distinct.length
+      require(batches >= 2,
+        s"expected 2+ micro-batches, got $batches - cross-batch join " +
+          "state untested")
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      out.groupBy(col("l_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          decSum(col("r_value")).as("attributed_value"),
+          min(col("l_event_id")).as("first_click"))
+    }),
+
     "q77_stream_multibatch" -> ((s, dir) => {
       // MULTI-micro-batch streaming CDC under the gate — every other
       // streaming family processes exactly one AvailableNow batch, so
@@ -1755,6 +1943,36 @@ object SparkEntry {
       operators.dedup.DedupClusters.applyDedup(emb, "vec_id", pairs)
         .select(col("vec_id").as("kept_id"), col("label"))
     }),
+    "dd16_semdedup" -> ((s, dir) => {
+      // SemDeDup (k-means-bucketed semantic dedup) under the
+      // gate-then-emit-truth pattern: the clustered pair stage
+      // (Similarity.clusteredCosinePairs — intra-cluster-only exact
+      // cosine, Σ n_c² work instead of N², the 100 TB path) must recover
+      // enough of the exact blocked pairs; the EMITTED rows are the exact
+      // dedup (dd9's output), DuckDB-reproducible. The corpus's
+      // qualifying cosines sit right against the 0.4 threshold (no
+      // planted high-cosine mass — the hardest case for cluster
+      // blocking), so the gate pins the measured floor rather than a
+      // planted-duplicate ideal.
+      import operators.similarity.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.cosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.4).select(col("id_a"), col("id_b")).localCheckpoint()
+      val approx = Similarity.clusteredCosinePairs(emb, "vec_id",
+        "embedding", threshold = 0.4, k = 8)
+        .select(col("id_a"), col("id_b"))
+      val nExact = exact.count()
+      require(nExact > 0, "no qualifying pairs - semdedup gate vacuous")
+      val hit = exact.join(approx, Seq("id_a", "id_b"), "left_semi").count()
+      val recall = hit.toDouble / nExact
+      require(recall >= 0.5,
+        f"semdedup pair recall $recall%.3f < 0.5 - cluster blocking lost " +
+          "too many near-dup pairs")
+      val pairs = exact
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      operators.dedup.DedupClusters.applyDedup(emb, "vec_id", pairs)
+        .select(col("vec_id").as("kept_id"), col("label"))
+    }),
 
     "ss1_knn_brute" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -1932,6 +2150,23 @@ object SparkEntry {
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    }),
+
+    "tx16_token_budget" -> ((s, dir) => {
+      // token-budget mixture sampling (Sampling.tokenBudget): each lang
+      // is filled to HALF its total whitespace tokens in Knuth-hash
+      // admission order — the corpus-assembly step that meets a
+      // per-source token target, computed as a distributed prefix sum
+      // (no one-task-per-source window). Budget = div-2 of the exact
+      // total, so the cut boundary is integer-exact on any engine.
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      val budgets = docs.groupBy("lang")
+        .agg(expr("sum(n_tok) div 2").as("budget"))
+      operators.Sampling.tokenBudget(
+          docs, "doc_id", "lang", "n_tok", budgets)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tokens"))
     }),
 
     "tx5_tfidf" -> ((s, dir) =>
@@ -2498,6 +2733,25 @@ object SparkEntry {
          SELECT d.vec_id AS kept_id, d.label
          FROM embeddings d LEFT JOIN cc ON d.vec_id = cc.id
          WHERE cc.id IS NULL OR cc.cluster_id = d.vec_id""",
+    // dd16: the k-means-bucketed pair stage is enforced by the in-query
+    // recall gate; the emitted rows are the exact semantic dedup — dd9's
+    // oracle verbatim
+    "dd16_semdedup" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.vec_id AS kept_id, d.label
+         FROM embeddings d LEFT JOIN cc ON d.vec_id = cc.id
+         WHERE cc.id IS NULL OR cc.cluster_id = d.vec_id""",
     "ss1_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
@@ -2603,6 +2857,24 @@ object SparkEntry {
            FROM documents)
          SELECT split, lang, count(*) AS n, min(doc_id) AS min_id
          FROM s GROUP BY split, lang""",
+    // tx16: same Knuth-hash admission order, same div-2 integer budget —
+    // the oracle's single window per lang is the semantics; the Spark
+    // side computes the identical total order via the bucketed prefix sum
+    "tx16_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             (doc_id * 2654435761) % 4294967296 % 64 AS b,
+             (doc_id * 2654435761) % 4294967296 % 1000000 AS h
+           FROM documents),
+         bud AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) // 2 AS budget
+                 FROM t GROUP BY lang),
+         c AS (SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY b, h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT c.doc_id, c.lang, c.n_tok, CAST(c.cum AS BIGINT) AS cum_tokens
+         FROM c JOIN bud USING (lang) WHERE c.cum <= bud.budget""",
     "tx5_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
@@ -3400,6 +3672,18 @@ object SparkEntry {
          AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
          AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
          GROUP BY c.user_id""",
+    // q82: clicks and purchases arrive in DIFFERENT micro-batches, so
+    // every attribution crosses the batch boundary through join state —
+    // the result must still equal the batch interval join (q52's oracle)
+    "q82_stream_join_multibatch" ->
+      """SELECT c.user_id, count(*) AS n_attributed,
+         CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value,
+         min(c.event_id) AS first_click
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
+         GROUP BY c.user_id""",
     "q59_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
@@ -3660,6 +3944,14 @@ object SparkEntry {
     // q78: three micro-batches of the same windows must merge to the
     // identical batch aggregation — q44's oracle verbatim
     "q78_stream_agg_multibatch" ->
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
+         event_type, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // q81: the late clones must be DROPPED by the watermark and the
+    // sentinel's window must never close — append output over the staged
+    // two-batch feed equals the batch groupBy on the original table
+    "q81_stream_late_drop" ->
       """SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_start_us,
          event_type, count(*) AS n_events,
          round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value

@@ -60,6 +60,53 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Deterministic TOKEN-BUDGET sampling per source: admit documents in
+    * pseudo-random (Knuth-hash) order until each source's running token
+    * total reaches its budget — the corpus-assembly step that fills a
+    * training mix to a per-source TOKEN target rather than a row count
+    * (sources differ wildly in tokens/doc, so row sampling misses the
+    * budget). A document is kept while its cumulative tokens ≤ budget;
+    * the first over-budget document is cut — the boundary rule any
+    * engine reproduces exactly. Membership is a pure function of
+    * (id, token counts, budgets).
+    *
+    * The running total is a DISTRIBUTED PREFIX SUM, not one window
+    * partition per source (which would serialize each source through a
+    * single task — the scale cliff at 100 TB, where one source can be
+    * most of the corpus): rows hash into `buckets` ranges forming the
+    * major sort key, per-(source, bucket) token partials aggregate
+    * map-side-combined to an O(sources × buckets) frame, cross-bucket
+    * offsets are computed on that tiny frame and broadcast back, and the
+    * within-bucket cumsum runs as a window over (source, bucket) —
+    * parallelism = sources × buckets, one data shuffle total.
+    *
+    * @param budgets (sourceCol, budget) — token budget per source value.
+    * @return kept rows plus `cum_tokens` (running total along the
+    *         admission order, ≤ that source's budget). */
+  def tokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, budgets: DataFrame, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__b", knuthBucket(col(idCol), buckets).cast("int"))
+      .withColumn("__h", knuthBucket(col(idCol), 1000000))
+    val partials = base.groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col(tokensCol)).as("__part"))
+    val offW = Window.partitionBy(sourceCol).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials.withColumn("__off",
+      coalesce(sum(col("__part")).over(offW), lit(0L))).drop("__part")
+    val inW = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .withColumn("cum_tokens",
+        col("__off") + sum(col(tokensCol)).over(inW))
+      .join(broadcast(budgets), Seq(sourceCol))
+      .where(col("cum_tokens") <= col("budget"))
+      .drop("__b", "__h", "__off", "budget")
+  }
+
   /** Deterministic stratified sample targeting ~`target` rows PER STRATUM
     * (balanced eval-set construction: small strata are kept whole, large
     * strata are down-sampled to the target).

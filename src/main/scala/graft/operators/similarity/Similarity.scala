@@ -75,6 +75,55 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup pair stage (Abbas et al. 2023, arXiv:2303.09540): k-means
+    * bucket the unit-normalized corpus, then compute exact cosine pairs
+    * ONLY within each cluster. Per-cluster all-pairs costs Σ n_c² dot
+    * products instead of N² — with k grown ∝ N / targetClusterSize the
+    * per-cluster work stays bounded and the pair stage is a plain
+    * shuffle-hash self-join on the cluster id (at 100 TB: k ~ 10⁵ FAISS-
+    * style, trained on the same bounded sample; skewed clusters split by
+    * a secondary hash). Cross-cluster near-dups are the method's
+    * documented miss class — callers gate pair recall against the exact
+    * [[cosinePairs]] (dd16's in-query gate does exactly that).
+    *
+    * Centroids are trained driver-local on a bounded sample
+    * ([[LocalKMeans]], the FAISS model) and broadcast as literals;
+    * assignment is a codegen argmax projection — no ML-pipeline fit jobs
+    * on the corpus, no shuffle before the cluster-id join. */
+  def clusteredCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 8, nProbe: Int = 2,
+      seed: Long = 42L): DataFrame =
+    IndexScope.scoped { sc =>
+      val u = sc.index(unitVectors(emb, idCol, vecCol, "id", "v", sc))
+      val cents = LocalKMeans.fit(
+        u.select(col("v")).limit(ProductQuantization.MaxTrainSample)
+          .collect().map(_.getSeq[Double](0).toArray),
+        k, iters = 8, seed = seed)
+      def centLit(l: Int): Column =
+        array(cents(l).toIndexedSeq.map(lit): _*).cast("array<double>")
+      // MULTI-probe assignment: each vector goes to its nProbe nearest
+      // centroids (argmax_l v·c_l − ½‖c_l‖² ranking, native dots) — the
+      // boundary pairs a single assignment splits across two adjacent
+      // clusters meet in the shared probe bucket, the same recall lever
+      // as IVF nProbe. Replication is ×nProbe (bounded, documented); a
+      // pair sharing several buckets dedups below.
+      val scored = array((0 until k).map(l => struct(
+        (dot(col("v"), centLit(l)) -
+          lit(0.5 * cents(l).map(x => x * x).sum)).as("s"),
+        lit(l).as("l"))): _*)
+      val probes = transform(
+        slice(reverse(array_sort(scored)), 1, math.min(nProbe, k)),
+        x => x.getField("l"))
+      val assigned = sc.index(u.withColumn("c", explode(probes)))
+      val a = assigned.select(col("c"), col("id").as("id_a"), col("v").as("v_a"))
+      val b = assigned.select(col("c"), col("id").as("id_b"), col("v").as("v_b"))
+      a.join(b, Seq("c")).where(col("id_a") < col("id_b"))
+        .withColumn("cosine", dot(col("v_a"), col("v_b")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .dropDuplicates("id_a", "id_b")
+    }
+
   /** Exact top-k cosine neighbors for each query row (brute force).
     * `queries` should be small (it is broadcast). Ranking uses the cosine
     * rounded to 6 decimals with the neighbor id as tiebreak, so results

@@ -159,6 +159,39 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("tokenBudget: bucketed prefix sum equals the single-window " +
+      "reference, budget is a hard cap, stable under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b", (i % 17) + 1))
+      .toDF("id", "src", "n_tok")
+    val budgets = Seq(("a", 300L), ("b", 500L)).toDF("src", "budget")
+    val got = Sampling.tokenBudget(d, "id", "src", "n_tok", budgets)
+      .select(col("id"), col("cum_tokens")).as[(Long, Long)].collect().toMap
+    // reference: one window per source over the same admission order
+    val w = Window.partitionBy("src")
+      .orderBy(Sampling.knuthBucket(col("id"), 64),
+        Sampling.knuthBucket(col("id"), 1000000), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = d.withColumn("cum", sum("n_tok").over(w))
+      .join(budgets, "src").where(col("cum") <= col("budget"))
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == ref)
+    // kept tokens never exceed the budget; the cut actually bit
+    val tot = Sampling.tokenBudget(d, "id", "src", "n_tok", budgets)
+      .groupBy("src").agg(sum("n_tok").as("t")).as[(String, Long)]
+      .collect().toMap
+    assert(tot("a") <= 300L && tot("b") <= 500L)
+    val full = d.groupBy("src").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(full("a") > 300L && full("b") > 500L,
+      "fixture must exceed its budgets or the cap is untested")
+    // membership is a pure function of (id, counts, budgets)
+    val again = Sampling.tokenBudget(d.repartition(7), "id", "src", "n_tok",
+        budgets)
+      .select(col("id"), col("cum_tokens")).as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("stratifiedSample keeps small strata whole and bounds large ones") {
     val d = (1L to 2000L).map(i => (i, if (i <= 30) "small" else "big"))
       .toDF("id", "stratum")

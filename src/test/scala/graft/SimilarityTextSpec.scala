@@ -49,6 +49,40 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("clusteredCosinePairs: exact within clusters (subset of the full " +
+      "pair set), full recall on separated clusters, hash join plan") {
+    // two tight clusters far apart: every near-dup pair is intra-cluster,
+    // so SemDeDup blocking with k=2 must recover ALL of them
+    val sep = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 0f) else Array(0f, 10f, 0f)
+      (i, Array(base(0) + (i % 5) * 0.01f, base(1) + (i % 7) * 0.01f, base(2)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val exactSep = Similarity.cosinePairs(sep, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val clusSep = Similarity.clusteredCosinePairs(sep, "vec_id", "embedding",
+        0.9, k = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactSep.nonEmpty && clusSep == exactSep,
+      s"separated-cluster recall must be 1.0: ${clusSep.size}/${exactSep.size}")
+    // corpus table: intra-cluster pairs are computed exactly, so the
+    // result is a SUBSET of the exact pair set with usable recall even on
+    // the hardest (threshold-hugging) distribution
+    val e = Tables(spark, sf0001, "embeddings")
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val clustered = Similarity.clusteredCosinePairs(e, "vec_id", "embedding",
+        0.4, k = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(clustered.subsetOf(exact), "intra-cluster cosine must be exact")
+    assert(exact.nonEmpty)
+    val recall = clustered.size.toDouble / exact.size
+    assert(recall >= 0.5, s"pair recall $recall below dd16's gate floor")
+    val plan = Similarity.clusteredCosinePairs(e, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("centroids emit per-label per-position means") {
     val c = Similarity.centroids(emb, "label", "embedding")
       .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
