@@ -216,6 +216,23 @@ object ApiServer {
                   spark, tablePath, zorderBy = zcols)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("compacted_version" -> v) ~ ("zorder" -> zcols.toList))))
+            case ("GET", List("constraints")) =>
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("warehouse" -> whName) ~ ("resource" -> resource) ~
+                  ("constraints" ->
+                    graft.sources.ManifestTable.constraints(tablePath).toList))))
+            case ("POST", List("constraints")) =>
+              // declare table CHECK constraints (Delta invariants):
+              // validates existing rows first, then every subsequent
+              // write through any surface enforces them in-scan; an
+              // empty list drops all constraints
+              implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+              val cons = (JsonMethods.parse(body(ex)) \ "constraints")
+                .extract[List[String]]
+              val v = graft.sources.ManifestTable.setConstraints(
+                spark, tablePath, cons)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("constraints_version" -> v) ~ ("constraints" -> cons))))
             case ("POST", List("fold_deletes")) =>
               // targeted MoR maintenance: fold the delete ledger
               // rewriting only stats-affected files (ManifestTable

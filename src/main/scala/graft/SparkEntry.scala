@@ -730,6 +730,51 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
 
+    "q83_constraints" -> ((s, dir) => {
+      // Table CHECK constraints (the Delta invariants model) under the
+      // gate: constraints are table METADATA in the manifest — declared
+      // once (validating existing rows first), enforced inside every
+      // subsequent write's scan via assert_true (fail-fast, zero extra
+      // passes), surviving append/overwrite/merge/compaction. The gate
+      // asserts the contract: declaring a constraint existing data
+      // violates THROWS; a violating append THROWS the constraint text
+      // and commits NOTHING (version unchanged); a valid enforced append
+      // lands. Emitted rows are the final table, oracle-recomputed.
+      import graft.sources.ManifestTable
+      def chain(e: Throwable): Seq[String] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      val base =
+        java.nio.file.Files.createTempDirectory("graft-q83-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val badDecl =
+        try { ManifestTable.setConstraints(s, base,
+          Seq("c_acctbal > 100000")); false }
+        catch { case e: Throwable =>
+          chain(e).exists(_.contains("CHECK constraint violated")) }
+      require(badDecl,
+        "declaring a constraint existing rows violate must throw it")
+      ManifestTable.setConstraints(s, base,
+        Seq("c_custkey >= 0", "c_mktsegment IS NOT NULL"))
+      val vDeclared = ManifestTable.versions(base).max
+      val bad = customer.limit(5)
+        .withColumn("c_custkey", lit(-1L))
+      val badWrite =
+        try { ManifestTable.append(bad, base); false }
+        catch { case e: Throwable =>
+          chain(e).exists(_.contains("CHECK constraint violated")) }
+      require(badWrite, "a violating append must throw the constraint")
+      require(ManifestTable.versions(base).max == vDeclared,
+        "an aborted write must commit nothing")
+      val extra = customer.where(col("c_custkey") % 10 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L)
+      ManifestTable.append(extra, base)
+      ManifestTable.read(s, base)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), decSum(col("c_acctbal")).as("bal"))
+    }),
+
     "q61_table_cdf" -> ((s, dir) => {
       // change data feed between table versions: v1 = customer, v2 =
       // the q60 merge; changes() emits the keyed row-level diff with
@@ -3716,6 +3761,18 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q83: constraint declaration/enforcement is gated in-query (throws
+    // are asserted there); the oracle recomputes the surviving table —
+    // base rows plus the one VALID append
+    "q83_constraints" ->
+      """WITH t AS (
+           SELECT c_mktsegment, c_acctbal FROM customer
+           UNION ALL
+           SELECT c_mktsegment, c_acctbal FROM customer
+           WHERE c_custkey % 10 = 3)
+         SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+         FROM t GROUP BY c_mktsegment""",
     // q61: the same merge's change feed — adds/removes from the rule
     // sets, changes with per-column attribution (CASE→NULL rows drop out
     // of concat_ws exactly like the Spark when() without otherwise)

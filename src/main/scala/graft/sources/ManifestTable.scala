@@ -70,11 +70,15 @@ object ManifestTable {
     * pair is the Iceberg equality-delete model: a k-row merge commits
     * O(k) delete bytes and zero rewritten data files; reads reconcile;
     * compaction folds the deletes back into data. */
+  /** `constraints`: table-level CHECK expressions (SQL strings) every
+    * written row must satisfy — the Delta invariants model. Metadata
+    * carried manifest-to-manifest; absent in older manifests = none. */
   final case class Manifest(version: Long, files: Seq[String],
       commitId: Option[String], parent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       seqs: Map[String, Long] = Map.empty,
-      deletes: Seq[(String, Long)] = Seq.empty)
+      deletes: Seq[(String, Long)] = Seq.empty,
+      constraints: Seq[String] = Seq.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -89,7 +93,8 @@ object ManifestTable {
     s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""commit_id":${m.commitId.map(q).getOrElse("null")},""" +
       s""""files":[${m.files.map(q).mkString(",")}],""" +
-      s""""stats":{$statsJson},"seqs":{$seqsJson},"deletes":[$delJson]}"""
+      s""""stats":{$statsJson},"seqs":{$seqsJson},"deletes":[$delJson],""" +
+      s""""constraints":[${m.constraints.map(q).mkString(",")}]}"""
   }
 
   // Manifests are immutable once published (atomic link/rename, never
@@ -147,12 +152,18 @@ object ManifestTable {
       }
       case _ => Seq.empty[(String, Long)]
     }
+    // constraints absent in pre-invariant manifests → none enforced,
+    // exactly the old behavior
+    val constraints = (j \ "constraints") match {
+      case JArray(cs) => cs.collect { case JString(c) => c }
+      case _ => Seq.empty[String]
+    }
     val m = Manifest(
       (j \ "version").extract[Long],
       (j \ "files").extract[Seq[String]],
       (j \ "commit_id").extractOpt[String],
       (j \ "parent").extract[Long],
-      stats, seqs, deletes)
+      stats, seqs, deletes, constraints)
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -362,10 +373,52 @@ object ManifestTable {
 
   /** Stage df's rows as new data files (invisible until committed);
     * returns their table-relative names. */
+  /** CHECK-constraint enforcement FUSED into the write scan (the Delta
+    * invariants model): every row evaluates `assert_true(expr)` inside
+    * the writing plan, so a violating row aborts the write mid-scan with
+    * the constraint text — zero extra passes, codegen'd, and nothing
+    * lands (staged files of an aborted write are never committed; vacuum
+    * reclaims them). */
+  private def enforceConstraints(df: DataFrame,
+      cons: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, expr, lit}
+    cons.foldLeft(df) { (d, c) =>
+      d.where(assert_true(expr(c),
+        lit(s"CHECK constraint violated: $c")).isNull)
+    }
+  }
+
+  /** The table's declared CHECK constraints (empty if none/absent). */
+  def constraints(path: String): Seq[String] =
+    latest(path).map(_.constraints).getOrElse(Seq.empty)
+
+  /** Declare table CHECK constraints — a metadata-only commit (same
+    * files, stats, seqs, deletes). Existing rows validate FIRST (one
+    * fail-fast scan — the ALTER TABLE ADD CONSTRAINT rule); every
+    * subsequent append/overwrite/merge enforces in-scan. Replaces the
+    * previous constraint set; pass Seq.empty to drop all constraints. */
+  def setConstraints(spark: SparkSession, path: String,
+      cons: Seq[String]): Long = {
+    require(latest(path).isDefined, s"no table at $path")
+    if (cons.nonEmpty) enforceConstraints(read(spark, path), cons).count()
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val base = latest(path).get
+      val m = base.copy(version = base.version + 1, parent = base.version,
+        commitId = None, constraints = cons)
+      val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
+      try { publish(target, render(m)); return m.version }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    throw new IllegalStateException(
+      s"commit contention in setConstraints: gave up after $attempts attempts")
+  }
+
   private def stage(df: DataFrame, path: String): Seq[String] = {
     Files.createDirectories(dataDir(path))
     val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
+    enforceConstraints(df, constraints(path)).write.parquet(staging.toString)
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -518,8 +571,11 @@ object ManifestTable {
         else cur.map(_.seqs).getOrElse(Map.empty)) ++ newFiles.map(_ -> next)
       val deletes = if (replace) Seq.empty[(String, Long)]
         else cur.map(_.deletes).getOrElse(Seq.empty)
+      // constraints are TABLE metadata: they survive overwrite (the data
+      // is replaced, the table's contract is not)
+      val cons = cur.map(_.constraints).getOrElse(Seq.empty)
       val m = Manifest(next, files, commitId,
-        cur.map(_.version).getOrElse(0L), stats, seqs, deletes)
+        cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -579,7 +635,8 @@ object ManifestTable {
       // the deletes' effect in data — the new manifest folds them away
       publish(target, render(
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
-          footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty)))
+          footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
+          base.constraints)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -660,7 +717,7 @@ object ManifestTable {
         footerStats(path, staged),
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      base.deletes)
+      base.deletes, base.constraints)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -718,7 +775,7 @@ object ManifestTable {
         footerStats(path, staged),
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      Seq.empty)
+      Seq.empty, base.constraints)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -850,7 +907,7 @@ object ManifestTable {
         footerStats(path, staged),
       untouchedFiles.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      base.deletes)
+      base.deletes, base.constraints)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -919,7 +976,7 @@ object ManifestTable {
         base.stats ++ footerStats(path, staged),
         base.seqs ++ (base.files.filterNot(base.seqs.contains).map(_ -> 0L)) ++
           staged.map(_ -> next),
-        base.deletes ++ delFiles.map(_ -> next))
+        base.deletes ++ delFiles.map(_ -> next), base.constraints)
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next

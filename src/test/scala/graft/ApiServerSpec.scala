@@ -177,6 +177,22 @@ class ApiServerSpec extends SparkSpecBase {
       assert(intercept[graft.sources.RestHttpError] {
         Http.get(s"${api.baseUrl}/table/plain/items/versions", Map.empty)
       }.status == 400)
+      // CHECK constraints: declare, read back, see a violating append
+      // refused through the warehouse write path, drop again
+      val cset = Http.post(s"${api.baseUrl}/table/txlake/items/constraints",
+        Map.empty, """{"constraints":["x > 0"]}""", "application/json")
+      assert(cset.contains("\"constraints\":[\"x > 0\"]"), cset)
+      val cget = Http.get(s"${api.baseUrl}/table/txlake/items/constraints",
+        Map.empty)
+      assert(cget.contains("\"constraints\":[\"x > 0\"]"), cget)
+      val vBefore = ManifestTable.versions(s"$base/items").max
+      intercept[Throwable] {
+        wh.write(Seq(-1).toDF("x"), "items", org.apache.spark.sql.SaveMode.Append)
+      }
+      assert(ManifestTable.versions(s"$base/items").max == vBefore)
+      val cdrop = Http.post(s"${api.baseUrl}/table/txlake/items/constraints",
+        Map.empty, """{"constraints":[]}""", "application/json")
+      assert(cdrop.contains("\"constraints\":[]"), cdrop)
     } finally api.stop()
   }
 

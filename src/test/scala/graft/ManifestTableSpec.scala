@@ -565,4 +565,46 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t).as[(Int, Int)].collect().sortBy(_._1)
       .toSeq == Seq((1, 111), (3, 30)))
   }
+
+  test("CHECK constraints: declared once, enforced in-scan on every " +
+      "write path, carried across commits, and droppable") {
+    def leaves(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    val t = table()
+    ManifestTable.overwrite(
+      Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"), t)
+    // declaring a constraint existing rows violate throws it
+    val badDecl = intercept[Throwable](
+      ManifestTable.setConstraints(spark, t, Seq("v > 15")))
+    assert(leaves(badDecl).exists(_.contains("CHECK constraint violated")))
+    ManifestTable.setConstraints(spark, t, Seq("v > 0", "k IS NOT NULL"))
+    assert(ManifestTable.constraints(t) == Seq("v > 0", "k IS NOT NULL"))
+    // violating append aborts with nothing committed
+    val vBefore = ManifestTable.versions(t).max
+    val badAppend = intercept[Throwable](
+      ManifestTable.append(Seq((4, -1)).toDF("k", "v"), t))
+    assert(leaves(badAppend).exists(_.contains("CHECK constraint violated")))
+    assert(ManifestTable.versions(t).max == vBefore)
+    // violating MERGE (CoW and MoR both write through stage) aborts too
+    val badMerge = intercept[Throwable](
+      ManifestTable.mergeMoR(spark, t, Seq((2, -5)).toDF("k", "v"), Seq("k")))
+    assert(leaves(badMerge).exists(_.contains("CHECK constraint violated")))
+    assert(ManifestTable.read(spark, t).as[(Int, Int)].collect().sortBy(_._1)
+      .toSeq == Seq((1, 10), (2, 20), (3, 30)))
+    // valid writes pass; constraints survive append, overwrite, merge,
+    // and compaction commits
+    ManifestTable.append(Seq((4, 40)).toDF("k", "v"), t)
+    ManifestTable.merge(spark, t, Seq((2, 22)).toDF("k", "v"), Seq("k"))
+    ManifestTable.compactCommit(spark, t)
+    ManifestTable.overwrite(Seq((9, 90)).toDF("k", "v"), t)
+    assert(ManifestTable.constraints(t) == Seq("v > 0", "k IS NOT NULL"))
+    val stillBad = intercept[Throwable](
+      ManifestTable.append(Seq((10, 0)).toDF("k", "v"), t))
+    assert(leaves(stillBad).exists(_.contains("CHECK constraint violated")))
+    // dropping constraints re-opens the gate
+    ManifestTable.setConstraints(spark, t, Seq.empty)
+    ManifestTable.append(Seq((10, 0)).toDF("k", "v"), t)
+    assert(ManifestTable.read(spark, t).count() == 2)
+  }
 }
