@@ -2518,6 +2518,30 @@ object SparkEntry {
         Tables(s, dir, "documents"), "doc_id", "text",
         trainPred = col("doc_id") % 10 === 0, maxPpl = 32.0)),
 
+    "tx17_lm_persist" -> ((s, dir) => {
+      // the LM as a PERSISTED artifact (train once / score many — the
+      // CCNet production shape where the KenLM model is a file, not an
+      // inline computation): train tx14's bigram LM, save it as
+      // transactional tables, LOAD it back, and score the corpus with
+      // the loaded model. The gate asserts the artifact round-trips
+      // losslessly; the scores must equal the inline model's — tx14's
+      // oracle verbatim.
+      import operators.textual.Perplexity
+      val docs = Tables(s, dir, "documents")
+      val trained = Perplexity.train(docs, "doc_id", "text",
+        trainPred = col("doc_id") % 10 === 0)
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft-tx17-").toString
+      Perplexity.save(trained, tmp)
+      val loaded = Perplexity.load(s, tmp)
+      require(loaded.denom == trained.denom,
+        s"LM meta drifted through persistence: ${loaded.denom} vs ${trained.denom}")
+      require(loaded.rate.count() == trained.rate.count() &&
+        loaded.uni.count() == trained.uni.count(),
+        "LM tables drifted through persistence")
+      Perplexity.score(docs, "doc_id", "text", loaded, maxPpl = 32.0)
+    }),
+
     "mm1_binary_meta" -> ((s, dir) => {
       // REAL header decode over a mixed binary corpus: payloads are
       // synthesized deterministically from doc_id — PNG for even ids,
@@ -2686,6 +2710,36 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id, cosine,
            row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM s)
        WHERE rk <= 5"""
+
+  /** tx14's full interpolated-bigram-LM oracle — shared verbatim with
+    * tx17 (a losslessly persisted model must score identically). */
+  private val perplexityOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         grams AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+           FROM tt, LATERAL (SELECT unnest(generate_series(0, len(toks)-2)) AS i)),
+         bi AS (SELECT g, count(*) AS cb FROM grams WHERE doc_id % 10 = 0 GROUP BY g),
+         biw AS (SELECT g, cb, split_part(g, ' ', 1) AS w1 FROM bi),
+         ctx AS (SELECT w1, sum(cb) AS cw1 FROM biw GROUP BY w1),
+         rate AS (SELECT g, CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE) AS rate
+                  FROM biw JOIN ctx USING (w1)),
+         uni AS (SELECT w, count(*) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM tt WHERE doc_id % 10 = 0)
+                 GROUP BY w),
+         consts AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok, count(*) AS v FROM uni),
+         pos AS (SELECT doc_id, g, split_part(g, ' ', 2) AS w2 FROM grams),
+         sc AS (SELECT p.doc_id,
+             CAST(round(log2(0.75 * coalesce(r.rate, 0.0)
+               + 0.25 * (CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+                         / CAST(c.n_tok + c.v + 1 AS DOUBLE))), 8)
+               AS DECIMAL(27,8)) AS lp
+           FROM pos p LEFT JOIN rate r ON p.g = r.g
+             LEFT JOIN uni u ON p.w2 = u.w
+             CROSS JOIN consts c)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) AS ppl,
+           round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) <= 32.0 AS keep
+         FROM sc GROUP BY doc_id"""
 
   def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
 
@@ -3272,33 +3326,10 @@ object SparkEntry {
     // mirrors operators/textual/Perplexity.scala arithmetic exactly:
     // λ=0.75 (binary-exact), add-one unigram, per-position log2 rounded
     // to 8 decimals and summed as DECIMAL (order-independent)
-    "tx14_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
-         grams AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
-           FROM tt, LATERAL (SELECT unnest(generate_series(0, len(toks)-2)) AS i)),
-         bi AS (SELECT g, count(*) AS cb FROM grams WHERE doc_id % 10 = 0 GROUP BY g),
-         biw AS (SELECT g, cb, split_part(g, ' ', 1) AS w1 FROM bi),
-         ctx AS (SELECT w1, sum(cb) AS cw1 FROM biw GROUP BY w1),
-         rate AS (SELECT g, CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE) AS rate
-                  FROM biw JOIN ctx USING (w1)),
-         uni AS (SELECT w, count(*) AS cu
-                 FROM (SELECT unnest(toks) AS w FROM tt WHERE doc_id % 10 = 0)
-                 GROUP BY w),
-         consts AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok, count(*) AS v FROM uni),
-         pos AS (SELECT doc_id, g, split_part(g, ' ', 2) AS w2 FROM grams),
-         sc AS (SELECT p.doc_id,
-             CAST(round(log2(0.75 * coalesce(r.rate, 0.0)
-               + 0.25 * (CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
-                         / CAST(c.n_tok + c.v + 1 AS DOUBLE))), 8)
-               AS DECIMAL(27,8)) AS lp
-           FROM pos p LEFT JOIN rate r ON p.g = r.g
-             LEFT JOIN uni u ON p.w2 = u.w
-             CROSS JOIN consts c)
-         SELECT doc_id, count(*) AS n_bigrams,
-           round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) AS ppl,
-           round(pow(2.0, CAST(-sum(lp) AS DOUBLE) / count(*)), 4) <= 32.0 AS keep
-         FROM sc GROUP BY doc_id""",
+    "tx14_perplexity" -> perplexityOracle,
+    // tx17: persistence must be lossless, so the loaded-model scores are
+    // tx14's — same oracle; the round-trip is gated in-query
+    "tx17_lm_persist" -> perplexityOracle,
     // mm4: every field predicted arithmetically from the synth params
     // (byte_len = 16 ftyp + 116 moov/mvhd + 8 mdat header + filler)
     "mm4_mp4_meta" ->

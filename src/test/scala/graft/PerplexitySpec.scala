@@ -52,4 +52,26 @@ class PerplexitySpec extends SparkSpecBase {
     val b = run().orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("saved model loads in a fresh session and scores identically") {
+    val model = Perplexity.train(corpus, "doc_id", "text",
+      trainPred = col("doc_id") === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ppl-").toString
+    Perplexity.save(model, dir)
+    val s2 = spark.newSession()
+    val loaded = Perplexity.load(s2, dir)
+    assert(loaded.denom == model.denom)
+    val inline = Perplexity
+      .score(corpus, "doc_id", "text", model, maxPpl = 2.0)
+      .orderBy("doc_id").collect().toSeq
+    val viaArtifact = Perplexity
+      .score(corpus.as("c"), "doc_id", "text", loaded, maxPpl = 2.0)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaArtifact == inline)
+    // a missing/corrupt artifact fails loudly, not with null scores
+    intercept[Throwable] {
+      Perplexity.load(s2, dir + "/rate") // wrong path: rate has no meta
+    }
+  }
 }
