@@ -775,6 +775,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decSum(col("c_acctbal")).as("bal"))
     }),
 
+    "q84_resample" -> ((s, dir) => {
+      // time-series regularization (operators/Resample): per-user daily
+      // activity resampled onto a DENSE day grid — gap days appear with
+      // zero count/value and the last-seen event type forward-filled.
+      // The prep step before rolling features; three exchanges total
+      // (per-day agg, span, ffill window), nothing driver-side. Days are
+      // integer epoch-days (nanos div), so the grid and the oracle's
+      // generate_series are the same integers.
+      val dayNs = 86400L * 1000000000L
+      val ev = Tables.eventsNanos(s, dir)
+        .withColumn("day", expr(s"ts div $dayNs"))
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val lastType = ev.withColumn("__rn", row_number().over(wLast))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("day"),
+          col("event_type").as("day_last_type"))
+      val perDay = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          round(decSum(col("value")), 4).as("day_value"))
+        .join(lastType, Seq("user_id", "day"))
+      val dense = operators.Resample.denseGrid(perDay, "user_id", "day")
+      val zeroed = operators.Resample.zeroFill(dense, Map(
+        "n_events" -> lit(0L), "day_value" -> lit(0.0)))
+      operators.Resample.ffill(zeroed, "user_id", "day",
+          Seq("day_last_type"))
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("day_value"), col("day_last_type").as("last_type"))
+    }),
+
+    "q85_rolling" -> ((s, dir) => {
+      // rolling CALENDAR-window features over the resampled grid — the
+      // payoff of q84's densification: on the dense grid a 7-ROW
+      // trailing window IS a 7-day window (on raw irregular events it
+      // silently isn't). Count sums are integer-exact; value sums run
+      // as DECIMAL inside the window so the 7-term accumulation is
+      // order-independent and engine-exact.
+      val dayNs = 86400L * 1000000000L
+      val ev = Tables.eventsNanos(s, dir)
+        .withColumn("day", expr(s"ts div $dayNs"))
+      val perDay = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          round(decSum(col("value")), 4).as("day_value"))
+      val dense = operators.Resample.zeroFill(
+        operators.Resample.denseGrid(perDay, "user_id", "day"),
+        Map("n_events" -> lit(0L), "day_value" -> lit(0.0)))
+      val w7 = Window.partitionBy("user_id").orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      dense.select(col("user_id"), col("day"), col("n_events"),
+        sum(col("n_events")).over(w7).as("n_7d"),
+        sum(col("day_value").cast(dec)).over(w7).cast("double").as("v_7d"))
+    }),
+
     "q61_table_cdf" -> ((s, dir) => {
       // change data feed between table versions: v1 = customer, v2 =
       // the q60 merge; changes() emits the keyed row-level diff with
@@ -3804,6 +3857,62 @@ object SparkEntry {
          SELECT c_mktsegment, count(*) AS n,
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
          FROM t GROUP BY c_mktsegment""",
+    "q84_resample" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+             epoch_ns(ts) // 86400000000000 AS day, epoch_ns(ts) AS tsn
+           FROM events),
+         lastt AS (
+           SELECT user_id, day, event_type AS day_last_type FROM (
+             SELECT user_id, day, event_type,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY tsn DESC, event_id DESC) AS rn
+             FROM e) WHERE rn = 1),
+         pd AS (
+           SELECT user_id, day, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS v
+           FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM pd GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                  FROM span),
+         j AS (
+           SELECT g.user_id, g.day,
+             coalesce(pd.n, 0) AS n_events,
+             coalesce(pd.v, 0.0) AS day_value,
+             lastt.day_last_type
+           FROM grid g
+           LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day
+           LEFT JOIN lastt ON g.user_id = lastt.user_id AND g.day = lastt.day)
+         SELECT user_id, day, n_events, day_value,
+           last_value(day_last_type IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS last_type
+         FROM j""",
+    "q85_rolling" ->
+      """WITH e AS (
+           SELECT user_id, value, epoch_ns(ts) // 86400000000000 AS day
+           FROM events),
+         pd AS (
+           SELECT user_id, day, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS v
+           FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM pd GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                  FROM span),
+         dense AS (
+           SELECT g.user_id, g.day,
+             coalesce(pd.n, 0) AS n_events,
+             coalesce(pd.v, 0.0) AS day_value
+           FROM grid g
+           LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day)
+         SELECT user_id, day, n_events,
+           CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(day_value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v_7d
+         FROM dense
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     // q61: the same merge's change feed — adds/removes from the rule
     // sets, changes with per-column attribution (CASE→NULL rows drop out
     // of concat_ws exactly like the Spark when() without otherwise)
