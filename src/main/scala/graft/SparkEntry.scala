@@ -828,6 +828,40 @@ object SparkEntry {
         sum(col("day_value").cast(dec)).over(w7).cast("double").as("v_7d"))
     }),
 
+    "q86_scd2_snapshot" -> ((s, dir) => {
+      // daily SNAPSHOT of the SCD2 dimension (q39's state episodes):
+      // for every user and every day in their active span, the state
+      // valid at END of day — the point-in-time dimension table a
+      // warehouse materializes for as-of reporting. Composed from the
+      // library's own pieces: Resample.denseGrid for the probe days and
+      // AsOfJoin.backward (ONE sort-merge pass over (user, time), no
+      // per-row interval lookups) to resolve each probe against the
+      // state timeline — the plan that survives 100 TB.
+      val dayNs = 86400L * 1000000000L
+      val ev = Tables.eventsNanos(s, dir)
+        .withColumn("day", expr(s"ts div $dayNs"))
+      val byTime = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      val states = ev
+        .withColumn("valid_from_us", expr("ts div 1000"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(byTime))
+        .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"))
+      val probes = operators.Resample.denseGrid(
+          ev.groupBy("user_id", "day").agg(count(lit(1)).as("__n"))
+            .drop("__n"),
+          "user_id", "day")
+        .withColumn("probe_us",
+          (col("day") + 1) * lit(86400000000L) - 1)
+      operators.AsOfJoin.backward(probes, states,
+          col("user_id"), col("user_id"),
+          col("probe_us"), col("valid_from_us"),
+          carry = Seq("state" -> col("state"),
+            "since_us" -> col("valid_from_us")))
+        .select(col("user_id"), col("day"), col("state"), col("since_us"))
+    }),
+
     "q61_table_cdf" -> ((s, dir) => {
       // change data feed between table versions: v1 = customer, v2 =
       // the q60 merge; changes() emits the keyed row-level diff with
@@ -2278,6 +2312,31 @@ object SparkEntry {
         "doc_id", "text",
         Seq("spark", "join", "filter", "hash", "window"), k = 10)),
 
+    "ss13_range_search" -> ((s, dir) => {
+      // RADIUS search (find-all-within-cosine, the ANN family's range
+      // twin of top-k) under gate-then-emit-truth: the IVF-probed path
+      // (corpus k-means-bucketed once, each query exact-checks only its
+      // nProbe nearest lists — scan fraction ≈ nProbe/nLists) must
+      // recover enough of the exact result; emitted rows are the exact
+      // brute radius join, DuckDB-reproducible.
+      import operators.similarity.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = Similarity.rangeBrute(emb, queries, "vec_id",
+        "embedding", radius = 0.3).localCheckpoint()
+      val nTruth = truth.count()
+      require(nTruth > 0, "no in-radius neighbors - range gate vacuous")
+      val approx = Similarity.rangeIvf(emb, queries, "vec_id",
+        "embedding", radius = 0.3, nProbe = 3)
+      val hit = truth.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      val recall = hit.toDouble / nTruth
+      require(recall >= 0.5,
+        f"range-search recall $recall%.3f < 0.5 - IVF probing lost too " +
+          "many in-radius neighbors")
+      truth
+    }),
+
     "ss12_hybrid_rrf" -> ((s, dir) => {
       // HYBRID retrieval under the gate: dense top-50 (exact cosine,
       // ss1's machinery) fused with sparse top-50 (token-set Jaccard)
@@ -3067,6 +3126,17 @@ object SparkEntry {
                ORDER BY score DESC, doc_id) AS rank
            FROM sc)
          WHERE rank <= 10""",
+    // ss13: the IVF-probed path is enforced by the in-query recall gate;
+    // the emitted rows are the exact radius join
+    "ss13_range_search" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings)
+         SELECT qid AS query_id, nid AS neighbor_id,
+           round(list_cosine_similarity(qv, nv), 6) AS cosine
+         FROM q JOIN c ON qid != nid
+         WHERE round(list_cosine_similarity(qv, nv), 6) >= 0.3""",
     // ss12: dense cosine ranks + sparse Jaccard ranks fused by RRF —
     // rank-only fusion keeps every number rational and engine-exact
     "ss12_hybrid_rrf" ->
@@ -3913,6 +3983,32 @@ object SparkEntry {
          FROM dense
          WINDOW w AS (PARTITION BY user_id ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    // q86: the end-of-day probe resolves to the LATEST state episode at
+    // or before it (ties on valid_from break by max state — the as-of
+    // join's carried-struct rule, mirrored in the ORDER BY)
+    "q86_scd2_snapshot" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev,
+             epoch_ns(ts) // 86400000000000 AS day
+           FROM events),
+         st AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us
+                FROM e WHERE prev IS NULL OR prev <> event_type),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM e GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                  FROM span),
+         probe AS (SELECT user_id, day,
+             (day + 1) * 86400000000 - 1 AS p_us FROM grid),
+         j AS (
+           SELECT p.user_id, p.day, s.state, s.valid_from_us,
+             row_number() OVER (PARTITION BY p.user_id, p.day
+               ORDER BY s.valid_from_us DESC, s.state DESC) AS rn
+           FROM probe p JOIN st s ON p.user_id = s.user_id
+             AND s.valid_from_us <= p.p_us)
+         SELECT user_id, day, state, valid_from_us AS since_us
+         FROM j WHERE rn = 1""",
     // q61: the same merge's change feed — adds/removes from the rule
     // sets, changes with per-column attribution (CASE→NULL rows drop out
     // of concat_ws exactly like the Spark when() without otherwise)

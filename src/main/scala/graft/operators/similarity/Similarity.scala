@@ -90,31 +90,44 @@ object Similarity {
     * ([[LocalKMeans]], the FAISS model) and broadcast as literals;
     * assignment is a codegen argmax projection — no ML-pipeline fit jobs
     * on the corpus, no shuffle before the cluster-id join. */
+  /** Driver-trained k-means centroids over a bounded sample of unit
+    * vectors in column `v` (the FAISS coarse-quantizer model). */
+  private def trainCentroids(u: DataFrame, k: Int,
+      seed: Long): Array[Array[Double]] =
+    LocalKMeans.fit(
+      u.select(col("v")).limit(ProductQuantization.MaxTrainSample)
+        .collect().map(_.getSeq[Double](0).toArray),
+      k, iters = 8, seed = seed)
+
+  /** The `nProbe` nearest centroid ids for `vec` (argmax_l v·c_l −
+    * ½‖c_l‖² ranking) as a codegen array expression — centroids are
+    * literals, no join, no shuffle. */
+  private def probeLists(cents: Array[Array[Double]], vec: Column,
+      nProbe: Int): Column = {
+    def centLit(l: Int): Column =
+      array(cents(l).toIndexedSeq.map(lit): _*).cast("array<double>")
+    val scored = array(cents.indices.map(l => struct(
+      (dot(vec, centLit(l)) -
+        lit(0.5 * cents(l).map(x => x * x).sum)).as("s"),
+      lit(l).as("l"))): _*)
+    transform(
+      slice(reverse(array_sort(scored)), 1, math.min(nProbe, cents.length)),
+      x => x.getField("l"))
+  }
+
   def clusteredCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int = 8, nProbe: Int = 2,
       seed: Long = 42L): DataFrame =
     IndexScope.scoped { sc =>
       val u = sc.index(unitVectors(emb, idCol, vecCol, "id", "v", sc))
-      val cents = LocalKMeans.fit(
-        u.select(col("v")).limit(ProductQuantization.MaxTrainSample)
-          .collect().map(_.getSeq[Double](0).toArray),
-        k, iters = 8, seed = seed)
-      def centLit(l: Int): Column =
-        array(cents(l).toIndexedSeq.map(lit): _*).cast("array<double>")
+      val cents = trainCentroids(u, k, seed)
       // MULTI-probe assignment: each vector goes to its nProbe nearest
-      // centroids (argmax_l v·c_l − ½‖c_l‖² ranking, native dots) — the
-      // boundary pairs a single assignment splits across two adjacent
-      // clusters meet in the shared probe bucket, the same recall lever
-      // as IVF nProbe. Replication is ×nProbe (bounded, documented); a
-      // pair sharing several buckets dedups below.
-      val scored = array((0 until k).map(l => struct(
-        (dot(col("v"), centLit(l)) -
-          lit(0.5 * cents(l).map(x => x * x).sum)).as("s"),
-        lit(l).as("l"))): _*)
-      val probes = transform(
-        slice(reverse(array_sort(scored)), 1, math.min(nProbe, k)),
-        x => x.getField("l"))
-      val assigned = sc.index(u.withColumn("c", explode(probes)))
+      // centroids — the boundary pairs a single assignment splits across
+      // two adjacent clusters meet in the shared probe bucket, the same
+      // recall lever as IVF nProbe. Replication is ×nProbe (bounded,
+      // documented); a pair sharing several buckets dedups below.
+      val assigned = sc.index(u.withColumn("c",
+        explode(probeLists(cents, col("v"), nProbe))))
       val a = assigned.select(col("c"), col("id").as("id_a"), col("v").as("v_a"))
       val b = assigned.select(col("c"), col("id").as("id_b"), col("v").as("v_b"))
       a.join(b, Seq("c")).where(col("id_a") < col("id_b"))
@@ -123,6 +136,44 @@ object Similarity {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .dropDuplicates("id_a", "id_b")
     }
+
+  /** Exact RADIUS search: every corpus vector with cosine ≥ radius of
+    * each query (queries broadcast — one corpus scan, no shuffle). The
+    * truth twin of [[rangeIvf]] and the emission behind ss13's gate. */
+  def rangeBrute(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, radius: Double): DataFrame =
+    IndexScope.scoped { sc =>
+      val q = broadcast(
+        unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc))
+      val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+        .where(col("cosine") >= radius)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    }
+
+  /** IVF-probed radius search: the corpus is k-means-bucketed once
+    * (single assignment), each query exact-checks only its nProbe
+    * nearest lists — scan fraction ≈ nProbe/nLists; boundary misses are
+    * the recall cost callers gate (ss13). Candidates are exact-checked,
+    * so the result is a strict SUBSET of [[rangeBrute]]'s. */
+  def rangeIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, radius: Double, nLists: Int = 8, nProbe: Int = 2,
+      seed: Long = 42L): DataFrame = IndexScope.scoped { sc =>
+    val c = sc.index(
+      unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc))
+    val cents = trainCentroids(c.select(col("n_vec").as("v")), nLists, seed)
+    val assigned = c.withColumn("c",
+      explode(probeLists(cents, col("n_vec"), 1)))
+    val q = broadcast(
+      unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc)
+        .withColumn("c", explode(probeLists(cents, col("q_vec"), nProbe))))
+    q.join(assigned, Seq("c"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+      .where(col("cosine") >= radius)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
 
   /** Exact top-k cosine neighbors for each query row (brute force).
     * `queries` should be small (it is broadcast). Ranking uses the cosine
