@@ -1334,6 +1334,60 @@ object SparkEntry {
           min(col("l_event_id")).as("first_click"))
     }),
 
+    "q87_stream_dlq" -> ((s, dir) => {
+      // streaming DEAD-LETTER path under the gate: q43's error-isolated
+      // push as a continuous query — each micro-batch splits formatted
+      // rows from corrupt ones (required field parses null) and commits
+      // BOTH to transactional sinks with the same batch commit id, so
+      // the good table, the DLQ, and a replayed feed are all
+      // exactly-once together. Gates: the DLQ really caught rows, and a
+      // full replay from a fresh checkpoint is a manifest-level no-op on
+      // BOTH sinks. Emitted rows are the good table, oracle-recomputed.
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sources.ManifestTable
+      val s2 = streamSession(s)
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft-q87-").toString
+      val main = s"$tmp/main"
+      val dlq = s"$tmp/dlq"
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      def run(ck: String): Unit = {
+        val src = graft.streaming.EventStream.source(s2, dir, schema,
+          globFilter = Some("events.parquet"))
+        val q = src.writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              val staged = batch
+                .withColumn("props", when(col("event_id") % 37 === 0,
+                  expr("substring(props, 1, 3)")).otherwise(col("props")))
+                .where(col("value") >= 50.0)
+                .withColumn("k",
+                  get_json_object(col("props"), "$.k").cast("bigint"))
+                .select(col("event_id"), col("k"), col("value"))
+                .localCheckpoint() // split both sinks off one evaluation
+              ManifestTable.append(staged.where(col("k").isNotNull),
+                main, Some(s"batch-$batchId"))
+              ManifestTable.append(
+                staged.where(col("k").isNull).select("event_id", "value"),
+                dlq, Some(s"batch-$batchId"))
+              ()
+          }.start()
+        q.awaitTermination()
+      }
+      run(s"$tmp/ck1")
+      val vMain = ManifestTable.versions(main)
+      val vDlq = ManifestTable.versions(dlq)
+      require(ManifestTable.read(s2, dlq).limit(1).count() == 1,
+        "dead-letter table empty - error path untested")
+      run(s"$tmp/ck2") // full replay, fresh checkpoint, same commit ids
+      require(ManifestTable.versions(main) == vMain &&
+        ManifestTable.versions(dlq) == vDlq,
+        "replay committed new versions - DLQ path not exactly-once")
+      ManifestTable.read(s, main).select("event_id", "k", "value")
+    }),
+
     "q77_stream_multibatch" -> ((s, dir) => {
       // MULTI-micro-batch streaming CDC under the gate — every other
       // streaming family processes exactly one AvailableNow batch, so
@@ -2378,6 +2432,36 @@ object SparkEntry {
         existing = docs.where(col("doc_id") % 5 =!= 0),
         idCol = "doc_id", textCol = "text", expectedItems = 1L << 16)
     }),
+    "dd17_persistent_index" -> ((s, dir) => {
+      // the ingest-dedup INDEX as a persisted artifact: at 100 TB the
+      // existing-corpus fingerprint set is a maintained TABLE (appended
+      // per ingest batch), never recomputed from the corpus per run.
+      // Build it once, persist through the table format, LOAD it in a
+      // fresh session, and dedup the incoming batch against the loaded
+      // index with the Bloom-prefiltered anti-join — the result must be
+      // identical to the plain anti-join (dd15's oracle verbatim), and
+      // the gate pins the artifact round-trip lossless.
+      import graft.sources.ManifestTable
+      import graft.functions.TextFunctions
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft-dd17-").toString
+      val docs = Tables(s, dir, "documents")
+      val index = docs.where(col("doc_id") % 5 =!= 0)
+        .select(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .distinct()
+      val nBuilt = index.count()
+      ManifestTable.overwrite(index, s"$tmp/fingerprints")
+      val s2 = s.newSession()
+      val loaded = ManifestTable.read(s2, s"$tmp/fingerprints")
+      require(loaded.count() == nBuilt,
+        "fingerprint index drifted through persistence")
+      val incoming = Tables(s2, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      operators.dedup.BloomDedup.antiJoin(incoming, loaded,
+        "fingerprint", "fingerprint", expectedItems = 1L << 16)
+    }),
 
     "dd14_url_dedup" -> ((s, dir) => {
       // URL canonicalization dedup (RefinedWeb's pre-content stage):
@@ -2864,6 +2948,13 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     // dd15: the plain anti-join — the Bloom split must compose back to it
     "dd15_bloom_dedup" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents)
+         SELECT doc_id, fingerprint FROM f
+         WHERE doc_id % 5 = 0 AND fingerprint NOT IN
+           (SELECT fingerprint FROM f WHERE doc_id % 5 <> 0)""",
+    // dd17: dedup against the LOADED index must equal the plain
+    // anti-join — dd15's oracle verbatim; persistence is gated in-query
+    "dd17_persistent_index" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents)
          SELECT doc_id, fingerprint FROM f
          WHERE doc_id % 5 = 0 AND fingerprint NOT IN
@@ -3871,6 +3962,13 @@ object SparkEntry {
          AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
          AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
          GROUP BY c.user_id""",
+    // q87: the good-table content — intact, having-passing rows with the
+    // parsed required field; corrupt payloads (%37) land in the DLQ
+    // (gated in-query), never here
+    "q87_stream_dlq" ->
+      """SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS k, value
+         FROM events
+         WHERE value >= 50.0 AND event_id % 37 <> 0""",
     // q82: clicks and purchases arrive in DIFFERENT micro-batches, so
     // every attribution crosses the batch boundary through join state —
     // the result must still equal the batch interval join (q52's oracle)
