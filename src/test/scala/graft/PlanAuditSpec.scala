@@ -156,4 +156,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("FullOuter"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q84/q85 resample: grid join + windows, no nested loop") {
+    Seq("q84_resample", "q85_rolling").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested loop")
+      assert(p.contains("Window"), s"$q lost its window pass")
+    }
+  }
+
+  test("q86 SCD2 snapshot: as-of resolves via union+window, not a range join") {
+    val p = planOf("q86_scd2_snapshot")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "as-of must be the one-pass window form")
+  }
+
+  test("tx16 token budget: offsets and budgets broadcast back") {
+    val p = planOf("tx16_token_budget")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
