@@ -775,6 +775,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decSum(col("c_acctbal")).as("bal"))
     }),
 
+    "q88_hard_delete" -> ((s, dir) => {
+      // right-to-be-forgotten on the transactional table: MoR-delete the
+      // keys (an O(k) commit), FOLD the delete ledger (compactDeletes
+      // rewrites only stats-affected files), EXPIRE superseded versions,
+      // VACUUM — then prove the deleted keys are PHYSICALLY gone by
+      // raw-reading every surviving byte under data/ with no manifest
+      // and no reconcile. Logical deletion (a DV hiding rows) is NOT
+      // enough for a deletion request; this gate pins the full
+      // erasure path end-to-end.
+      import graft.sources.ManifestTable
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      import scala.jdk.CollectionConverters._
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft-q88-").toString
+      val base = s"$tmp/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val del = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.mergeMoR(s, base, del, Seq("c_custkey"),
+        deleteWhen = Some(col("op") === "D"))
+      // the DV only HIDES rows: the raw bytes still hold them
+      ManifestTable.compactDeletes(s, base)
+      val (droppedVs, freed) = ManifestTable.expire(base, keepLast = 1,
+        vacuumMinAgeMs = 0L)
+      require(droppedVs.nonEmpty && freed.nonEmpty,
+        "erasure pipeline freed nothing - gate vacuous")
+      val rawFiles = JFiles.list(JPaths.get(base, "data")).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      require(rawFiles.nonEmpty, "no surviving data files")
+      val raw = s.read.parquet(rawFiles: _*)
+      require(raw.where(col("c_custkey") % 13 === 0).isEmpty,
+        "deleted keys still physically present in surviving files")
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+    }),
+
     "q84_resample" -> ((s, dir) => {
       // time-series regularization (operators/Resample): per-user daily
       // activity resampled onto a DENSE day grid — gap days appear with
@@ -4025,6 +4063,11 @@ object SparkEntry {
          SELECT c_mktsegment, count(*) AS n,
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
          FROM t GROUP BY c_mktsegment""",
+    // q88: after the erasure pipeline the table is the base rows minus
+    // the deleted keys; physical absence is gated in-query
+    "q88_hard_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 <> 0""",
     "q84_resample" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, value,

@@ -206,4 +206,78 @@ class PropertySpec extends SparkSpecBase {
     assert(got == brute, s"sizes: got=${got.size} brute=${brute.size}")
     assert(brute.nonEmpty) // mutations guarantee close pairs exist
   }
+
+  test("tokenBudget invariants on random data: hard cap, maximal prefix, " +
+      "reference equality") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val rows = samples(
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(1L, 40L)), 300)
+      .zipWithIndex.map { case ((src, n), i) => (i.toLong + 1, src, n) }
+    val df = rows.toDF("id", "src", "n")
+    val budgets = Seq(("a", 250L), ("b", 400L), ("c", 90L))
+      .toDF("src", "budget")
+    val kept = Sampling.tokenBudget(df, "id", "src", "n", budgets)
+      .select("id", "src", "n", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    val budgetMap = Map("a" -> 250L, "b" -> 400L, "c" -> 90L)
+    // hard cap per source
+    kept.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= budgetMap(src), s"$src over budget")
+    }
+    // reference: single window over the identical admission order
+    val w = Window.partitionBy("src")
+      .orderBy(Sampling.knuthBucket(col("id"), 64),
+        Sampling.knuthBucket(col("id"), 1000000), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("cum", sum("n").over(w))
+      .join(budgets, "src").where(col("cum") <= col("budget"))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(kept.map(r => r._1 -> r._4).toMap == ref)
+    // maximal prefix: the next doc in admission order would overflow
+    val admitted = kept.map(_._1).toSet
+    val ordered = df
+      .withColumn("b", Sampling.knuthBucket(col("id"), 64))
+      .withColumn("h", Sampling.knuthBucket(col("id"), 1000000))
+      .orderBy("src", "b", "h", "id")
+      .select("id", "src", "n").as[(Long, String, Long)].collect()
+    ordered.groupBy(_._2).foreach { case (src, rs) =>
+      val cut = rs.indexWhere(r => !admitted.contains(r._1))
+      if (cut >= 0) {
+        val keptSum = rs.take(cut).map(_._3).sum
+        assert(keptSum + rs(cut)._3 > budgetMap(src),
+          s"$src cut too early: $keptSum + ${rs(cut)._3}")
+      }
+    }
+  }
+
+  test("denseGrid+ffill invariants on random series: contiguous spans, " +
+      "observations preserved, fill equals last observation") {
+    import graft.operators.Resample
+    val obs = samples(
+      Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 30L)), 40)
+      .distinct.zipWithIndex
+      .map { case ((k, d), i) => (k, d, s"v$i") }
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // one obs per (k,day)
+    val df = obs.toDF("k", "day", "v")
+    val filled = Resample.ffill(
+      Resample.denseGrid(df, "k", "day"), "k", "day", Seq("v"))
+      .select("k", "day", "v").as[(String, Long, String)].collect()
+    obs.map(_._1).distinct.foreach { k =>
+      val mine = filled.filter(_._1 == k).sortBy(_._2)
+      val days = mine.map(_._2)
+      val o = obs.filter(_._1 == k)
+      // exactly the span, contiguous
+      assert(days.toSeq == (o.map(_._2).min to o.map(_._2).max).toSeq)
+      // observed days keep their value; gaps carry the last observation
+      val byDay = o.map(r => r._2 -> r._3).toMap
+      var lastSeen: String = null
+      mine.foreach { case (_, d, v) =>
+        byDay.get(d) match {
+          case Some(exp) => assert(v == exp); lastSeen = exp
+          case None => assert(v == lastSeen, s"gap day $d wrong fill")
+        }
+      }
+    }
+  }
 }
