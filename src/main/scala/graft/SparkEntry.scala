@@ -2752,6 +2752,40 @@ object SparkEntry {
         Tables(s, dir, "documents"), "doc_id", "text",
         trainPred = col("doc_id") % 10 === 0, maxPpl = 32.0)),
 
+    "tx18_quality_classifier" -> ((s, dir) => {
+      // model-based quality filtering under the gate: a logistic
+      // classifier over tx2's engine-exact feature ratios, trained
+      // driver-side on the even-id half against a PLANTED linear rule,
+      // must recover that rule on the held-out half (accuracy gate) —
+      // the sample-train / broadcast-score lifecycle of a corpus
+      // quality classifier. The emitted rows are the features + the
+      // planted labels, which the oracle recomputes exactly (the rule
+      // is arithmetic over the ROUNDED ratios, identical IEEE ops on
+      // both engines); the trained model is enforced by the gate, not
+      // the hash.
+      import operators.textual.{QualityClassifier, TextStats}
+      val feat = TextStats.quality(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .withColumn("label",
+          lit(2.0) * col("stopword_ratio") - col("punct_ratio") -
+            col("digit_ratio") >= 0.12)
+        .localCheckpoint()
+      val nPos = feat.where(col("label")).count()
+      val nTot = feat.count()
+      require(nPos * 5 > nTot && (nTot - nPos) * 5 > nTot,
+        s"degenerate label balance $nPos/$nTot - gate vacuous")
+      val model = QualityClassifier.train(
+        feat.where(col("doc_id") % 2 === 0), "doc_id",
+        Seq("stopword_ratio", "punct_ratio", "digit_ratio"), "label")
+      val acc = QualityClassifier.accuracy(
+        QualityClassifier.score(feat.where(col("doc_id") % 2 =!= 0),
+          model), "label")
+      require(acc >= 0.9,
+        f"classifier held-out accuracy $acc%.3f < 0.9")
+      feat.select(col("doc_id"), col("stopword_ratio"),
+        col("punct_ratio"), col("digit_ratio"), col("label"))
+    }),
+
     "tx17_lm_persist" -> ((s, dir) => {
       // the LM as a PERSISTED artifact (train once / score many — the
       // CCNet production shape where the KenLM model is a file, not an
@@ -3578,6 +3612,25 @@ object SparkEntry {
     // mirrors operators/textual/Perplexity.scala arithmetic exactly:
     // λ=0.75 (binary-exact), add-one unigram, per-position log2 rounded
     // to 8 decimals and summed as DECIMAL (order-independent)
+    // tx18: the trained model is gated in-query; the emission is the
+    // feature frame + the planted linear rule over the ROUNDED ratios
+    "tx18_quality_classifier" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, $toksSql AS toks,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks) AS sr,
+             (CAST(length(text) AS DOUBLE) - n_alpha - n_digit - n_space) / length(text) AS pr,
+             CAST(n_digit AS DOUBLE) / length(text) AS dr
+           FROM t)
+         SELECT doc_id, round(sr, 6) AS stopword_ratio,
+           round(pr, 6) AS punct_ratio, round(dr, 6) AS digit_ratio,
+           (2.0 * round(sr, 6) - round(pr, 6) - round(dr, 6)) >= 0.12 AS label
+         FROM r""",
     "tx14_perplexity" -> perplexityOracle,
     // tx17: persistence must be lossless, so the loaded-model scores are
     // tx14's — same oracle; the round-trip is gated in-query

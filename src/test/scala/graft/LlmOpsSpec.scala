@@ -192,6 +192,32 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(again == got)
   }
 
+  test("QualityClassifier recovers a planted linear rule, deterministic, " +
+      "loud on single-class slices") {
+    import graft.operators.textual.QualityClassifier
+    val rows = (1L to 400L).map { i =>
+      val a = (i % 20) / 20.0
+      val b = ((i * 7) % 20) / 20.0
+      (i, a, b, a - b >= 0.0)
+    }
+    val df = rows.toDF("id", "a", "b", "y")
+    val m = QualityClassifier.train(
+      df.where(col("id") % 2 === 0), "id", Seq("a", "b"), "y")
+    val acc = QualityClassifier.accuracy(
+      QualityClassifier.score(df.where(col("id") % 2 =!= 0), m), "y")
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // learned direction matches the rule a - b >= 0
+    assert(m.weights(0) > 0 && m.weights(1) < 0, m.weights.toSeq)
+    // deterministic retrain
+    val m2 = QualityClassifier.train(
+      df.where(col("id") % 2 === 0), "id", Seq("a", "b"), "y")
+    assert(m.weights.toSeq == m2.weights.toSeq && m.bias == m2.bias)
+    // a single-class train slice cannot silently "learn"
+    intercept[IllegalArgumentException] {
+      QualityClassifier.train(df.where(col("y")), "id", Seq("a", "b"), "y")
+    }
+  }
+
   test("stratifiedSample keeps small strata whole and bounds large ones") {
     val d = (1L to 2000L).map(i => (i, if (i <= 30) "small" else "big"))
       .toDF("id", "stratum")
