@@ -813,6 +813,76 @@ object SparkEntry {
           "c_mktsegment")
     }),
 
+    "q89_mv_rewrite" -> ((s, dir) => {
+      // transparent materialized-view rewrite (plans/MvRewrite.scala):
+      // a rollup of orders is materialized once; the Catalyst rule then
+      // redirects a dashboard aggregate WRITTEN AGAINST THE BASE TABLE
+      // onto the rollup. The in-query gate proves the redirect actually
+      // happened (optimized plan scans the MV path and NOT the fact
+      // table) before the result goes under the raw-SQL oracle — i.e.
+      // the oracle checks the rewrite changed the access path without
+      // changing one value. At 100 TB this is the read-side payoff of
+      // q71's incremental maintenance: the report scans MBs, not TBs.
+      import graft.operators.IncrementalAgg
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      // rule installed on a clone so no other query's planning changes
+      val s2 = s.newSession()
+      val basePath = s"$dir/orders.parquet"
+      val mvDir =
+        java.nio.file.Files.createTempDirectory("graft-q89-").toString + "/mv"
+      val dims = Seq("o_orderstatus", "o_orderpriority")
+      val measures = Seq("o_totalprice")
+      IncrementalAgg.materialize(s2.read.parquet(basePath), dims, measures)
+        .write.parquet(mvDir)
+      MvRewrite.register(s2, basePath, s2.read.parquet(mvDir), dims, measures)
+      // nothing below names the MV — the rule alone reroutes the scan
+      val q = s2.read.parquet(basePath)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+      require(scanned.exists(_.contains("graft-q89-")),
+        s"MV rewrite did not fire - plan scans $scanned")
+      require(!scanned.exists(_.contains("orders.parquet")),
+        "rewritten plan still scans the base table")
+      q
+    }),
+
+    "q90_dpp" -> ((s, dir) => {
+      // DYNAMIC partition pruning under the gate: the fact table is
+      // written partitioned by priority; the dim side's filter is only
+      // known at run time (it arrives through a join, not a literal
+      // WHERE on the fact), so static pruning can't help — Spark must
+      // inject the dim's build-side values as a runtime partition
+      // filter on the fact scan (reusing the broadcast exchange). The
+      // in-query gate asserts the dynamicpruning expression is actually
+      // ON the fact scan. At 100 TB star-join scale this is the
+      // difference between scanning 2/5 of the fact partitions and all
+      // of them — the optimization TPC-DS plans live on.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q90-").toString
+      val factDir = s"$tmp/fact"
+      Tables(s, dir, "orders").write.partitionBy("o_orderpriority")
+        .parquet(factDir)
+      val dim = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("p")).distinct()
+        .where(col("p").isin("1-URGENT", "2-HIGH"))
+      val fact = s.read.parquet(factDir)
+      val q = fact.join(dim, fact("o_orderpriority") === dim("p"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        "fact scan carries no dynamic partition-pruning filter")
+      q
+    }),
+
     "q84_resample" -> ((s, dir) => {
       // time-series regularization (operators/Resample): per-user daily
       // activity resampled onto a DENSE day grid — gap days appear with
@@ -2429,6 +2499,26 @@ object SparkEntry {
       truth
     }),
 
+    "ss14_filtered_knn" -> ((s, dir) => {
+      // FILTERED vector search (top-k restricted to neighbors sharing
+      // the query's label) under gate-then-emit-truth: the PRE-FILTER
+      // IVF path — bucket join keyed on (list, label), so the predicate
+      // prunes before any distance math, scan fraction ≈ selectivity ×
+      // nProbe/nLists — must recover the filtered exact top-k; emitted
+      // rows are the exact filtered brute force, whose attribute
+      // equality is itself a join key (co-located, never a post-filter),
+      // DuckDB-reproducible.
+      import operators.similarity.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = Similarity.knnBruteFiltered(emb, queries, "vec_id",
+        "embedding", "label", k = 5).localCheckpoint()
+      val approx = Similarity.knnIvfFiltered(emb, queries, "vec_id",
+        "embedding", "label", k = 5, nLists = 8, nProbe = 4)
+      Similarity.recallGate(approx, truth, minMeanRecall = 0.6)
+      truth
+    }),
+
     "ss12_hybrid_rrf" -> ((s, dir) => {
       // HYBRID retrieval under the gate: dense top-50 (exact cosine,
       // ss1's machinery) fused with sparse top-50 (token-set Jaccard)
@@ -3300,6 +3390,25 @@ object SparkEntry {
            round(list_cosine_similarity(qv, nv), 6) AS cosine
          FROM q JOIN c ON qid != nid
          WHERE round(list_cosine_similarity(qv, nv), 6) >= 0.3""",
+    // ss14: the pre-filter IVF path is enforced by the in-query recall
+    // gate; the emitted rows are the exact label-filtered top-k (the
+    // attribute predicate is part of the join, mirrored here)
+    "ss14_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql,
+                      CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, label AS nl,
+                 CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings),
+         s AS (SELECT qid, nid, nl,
+                 round(list_cosine_similarity(qv, nv), 6) AS cosine
+               FROM q JOIN c ON qid != nid AND ql = nl)
+         SELECT query_id, neighbor_id, label, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, nl AS label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid) AS rk
+           FROM s)
+         WHERE rk <= 5""",
     // ss12: dense cosine ranks + sparse Jaccard ranks fused by RRF —
     // rank-only fusion keeps every number rational and engine-exact
     "ss12_hybrid_rrf" ->
@@ -4121,6 +4230,22 @@ object SparkEntry {
     "q88_hard_delete" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 13 <> 0""",
+    // q89: the MV rewrite may only change the ACCESS PATH (gated
+    // in-query: plan scans the rollup, not the fact table) — the values
+    // must equal the raw base-table aggregate bit-for-bit
+    "q89_mv_rewrite" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1, 2""",
+    // q90: dynamic partition pruning changes the fact SCAN (gated
+    // in-query), never the values — the join to the filtered dim is a
+    // plain IN over the partition column
+    "q90_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY 1""",
     "q84_resample" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, value,

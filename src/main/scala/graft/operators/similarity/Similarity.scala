@@ -192,6 +192,74 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  /** FILTERED exact top-k — every vector DB's "filtered vector search":
+    * neighbors must share the query's `attrCol` value (language, tenant,
+    * license class …). The predicate is applied as the JOIN KEY, not as
+    * a post-filter on scored pairs: the filtered brute force is an
+    * equi-join on the attribute, so query and corpus co-locate by
+    * attribute and the scan fraction is the attribute's selectivity —
+    * STRICTLY cheaper than unfiltered brute force, and never the
+    * post-filter trap (score k, filter, come up short). Truth twin of
+    * [[knnIvfFiltered]] and the emission behind its gate. */
+  def knnBruteFiltered(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, attrCol: String, k: Int): DataFrame =
+    IndexScope.scoped { sc =>
+      val q = broadcast(
+        queries.select(col(idCol).as("query_id"), col(attrCol).as("__attr"))
+          .join(unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc),
+            "query_id"))
+      val c = corpus.select(col(idCol).as("neighbor_id"), col(attrCol).as("__attr"))
+        .join(unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc),
+          "neighbor_id")
+      val scored = q.join(c, Seq("__attr"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("__attr").as(attrCol), col("cosine"), col("rk"))
+    }
+
+  /** PRE-FILTER IVF: the scale path for filtered search. The corpus is
+    * coarse-quantized once (driver-local k-means++ on a bounded sample,
+    * centroids broadcast as codegen literals — [[probeLists]]); each
+    * query probes its `nProbe` nearest lists, and the bucket join key is
+    * `(list, attr)` — the filter prunes candidates BEFORE any distance
+    * math, the pre-filter architecture every production vector store
+    * uses for selective predicates (post-filtering an attribute that
+    * keeps 1% of rows would scan 100× the needed candidates and still
+    * return short lists). Scan fraction ≈ selectivity × nProbe/nLists.
+    * Recall < 1 by construction; gate with [[recallGate]] against
+    * [[knnBruteFiltered]]. */
+  def knnIvfFiltered(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, attrCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, seed: Long = 42L): DataFrame =
+    IndexScope.scoped { sc =>
+      val c0 = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
+      val cents = trainCentroids(c0.select(col("n_vec").as("v")), nLists, seed)
+      val assigned = sc.index(
+        corpus.select(col(idCol).as("neighbor_id"), col(attrCol).as("__attr"))
+          .join(c0, "neighbor_id")
+          .withColumn("list",
+            probeLists(cents, col("n_vec"), 1).getItem(0)))
+      val probes = broadcast(
+        queries.select(col(idCol).as("query_id"), col(attrCol).as("__attr"))
+          .join(unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc),
+            "query_id")
+          .withColumn("list", explode(probeLists(cents, col("q_vec"), nProbe))))
+      val scored = probes.join(assigned, Seq("list", "__attr"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("__attr").as(attrCol), col("cosine"), col("rk"))
+    }
+
   /** Per-label centroid, emitted flat as (label, pos, c): the coarse
     * quantizer step of an IVF index. One shuffle keyed by (label, pos). */
   def centroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =

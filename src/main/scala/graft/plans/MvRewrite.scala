@@ -1,0 +1,208 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Transparent materialized-view query rewrite — a Catalyst optimizer
+  * rule that redirects `base.groupBy(dims).agg(count/sum)` plans onto a
+  * registered rollup of the base table, without the query author
+  * changing a line. This is the read-side half of incremental-MV
+  * maintenance ([[graft.operators.IncrementalAgg]] keeps the rollup
+  * fresh from a change feed; this rule makes queries USE it): at
+  * 100 TB the rewritten dashboard aggregate scans the few-MB rollup
+  * instead of the fact table, while un-rewritable shapes (holistic
+  * aggs, filters, non-dim groupings) fall through to the base scan
+  * untouched.
+  *
+  * The rewrite is the standard distributive roll-up rule (same algebra
+  * Delta/BigQuery MV rewrites use):
+  *   - `count(1)` over the base  → `sum(n)` over the MV
+  *   - `sum(cast(m as dec(18,4)))` → `sum(sum_m)` cast back to the
+  *     original result type (exact — the MV carries exact decimal sums
+  *     in [[graft.operators.IncrementalAgg]]'s maintained shape)
+  *   - grouping by any SUBSET of the MV dims rolls the MV up further.
+  * Anything else — distinct aggs, FILTER clauses, measures or dims the
+  * MV lacks, a Filter between scan and aggregate — bails to the
+  * original plan, so the rule can never change a result, only its
+  * access path (spec-pinned: rewritten == raw on every shape).
+  *
+  * Scoping: the rule is installed per-session (via
+  * `spark.experimental.extraOptimizations`, the public hook for
+  * post-optimization batches; cluster deployments can equivalently
+  * inject it through `SparkSessionExtensions.injectOptimizerRule`) and
+  * only fires on scans whose root path is explicitly registered, so an
+  * un-opted-in session plans exactly as before. Reference analogy: the
+  * reference recomputes every pull from the origin warehouse
+  * (core/pipeline.py:18); a maintained rollup + rewrite is how the same
+  * report stays interactive when the origin is 100 TB.
+  */
+object MvRewrite {
+
+  /** A registered view: where the base lives, the analyzed MV scan, and
+    * the dims/measures the MV was materialized with. */
+  final case class MvDef(basePath: String, mvPlan: LogicalRelation,
+      dims: Set[String], measures: Set[String])
+
+  // keyed by normalized base-table root path; object-level so the
+  // definition survives across QueryExecutions of the same session.
+  // Only sessions where install() ran consult it at all.
+  private val registry = new ConcurrentHashMap[String, MvDef]()
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Register `mv` (the [[graft.operators.IncrementalAgg.materialize]]
+    * shape: dims, `n`, `sum_<m>`) as the rollup of `basePath`, and
+    * install the rewrite rule into `spark`'s optimizer. */
+  def register(spark: SparkSession, basePath: String, mv: DataFrame,
+      dims: Seq[String], measures: Seq[String]): Unit = {
+    val plan = mv.queryExecution.analyzed match {
+      case lr: LogicalRelation => lr
+      case other => throw new IllegalArgumentException(
+        s"MV must be a plain file scan (got ${other.nodeName}); " +
+          "write the rollup out and register the read of it")
+    }
+    val missing = ("n" +: measures.map(m => s"sum_$m")) ++ dims
+    val have = plan.output.map(_.name).toSet
+    require(missing.forall(have), s"MV lacks columns ${missing.filterNot(have).mkString(", ")}")
+    registry.put(norm(basePath), MvDef(norm(basePath), plan, dims.toSet, measures.toSet))
+    install(spark)
+  }
+
+  def deregister(basePath: String): Unit = registry.remove(norm(basePath))
+
+  /** Idempotently add the rule to this session's optimizer. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations = cur :+ new MvRewriteRule
+  }
+
+  private[plans] def lookup(path: String): Option[MvDef] =
+    Option(registry.get(path))
+}
+
+/** The rule proper. Runs in the post-optimization user batch, i.e.
+  * after predicate pushdown / column pruning have shaped the base scan,
+  * which is why the matcher accepts `Aggregate → [Project] → Relation`.
+  * The rewritten subtree carries its own minimal Project so the MV scan
+  * is column-pruned even though the main pruning batch already ran. */
+class MvRewriteRule extends Rule[LogicalPlan] {
+
+  private val dec18 = DecimalType(18, 4)
+  private val dec28 = DecimalType(28, 4)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate =>
+      baseScanPath(agg.child)
+        .flatMap(MvRewrite.lookup)
+        .flatMap(tryRewrite(agg, _))
+        .getOrElse(agg)
+  }
+
+  /** The aggregate child must be exactly the registered base scan —
+    * optionally behind a pure-attribute Project (column pruning). Any
+    * Filter/computed column means the MV can't answer it: bail. */
+  private def baseScanPath(plan: LogicalPlan): Option[String] = plan match {
+    case lr: LogicalRelation => relPath(lr)
+    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      p.child match {
+        case lr: LogicalRelation => relPath(lr)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def relPath(lr: LogicalRelation): Option[String] = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.headOption.map(_.toUri.getPath)
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate, mv: MvRewrite.MvDef): Option[LogicalPlan] = {
+    // fresh exprIds per use so two rewrites in one query tree (e.g. a
+    // self-join of two rollups) can't collide
+    val fresh = mv.mvPlan.newInstance()
+    val mvAttr: Map[String, Attribute] = fresh.output.map(a => a.name -> a).toMap
+    val nAttr = mvAttr.getOrElse("n", return None)
+
+    // grouping must be plain base attributes over registered dims
+    // (subset grouping is fine — sum(n)/sum(sum_m) roll up exactly)
+    val groupPairs: Seq[(AttributeReference, Attribute)] =
+      agg.groupingExpressions.map {
+        case a: AttributeReference if mv.dims(a.name) && mvAttr.contains(a.name) &&
+            mvAttr(a.name).dataType == a.dataType =>
+          a -> mvAttr(a.name)
+        case _ => return None
+      }
+    val dimIds = groupPairs.map(_._1.exprId).toSet
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        // count(1)/count(*): every MV row stands for n base rows.
+        // Coalesce keeps the output non-nullable, like Count was.
+        case Count(Seq(Literal(_, _))) =>
+          Some(Coalesce(Seq(
+            AggregateExpression(Sum(nAttr), Complete, isDistinct = false),
+            Literal(0L, LongType))))
+        // sum(cast(m as dec(18,4))) — the exact shape materialize()
+        // stores — re-sums the carried dec(28,4) partials; cast back to
+        // the original dec(28,4) result type (sum-of-sums widens to 38,4)
+        case Sum(c: Cast, _) => c.child match {
+          case m: AttributeReference
+              if mv.measures(m.name) && c.dataType == dec18 &&
+                mvAttr.contains(s"sum_${m.name}") =>
+            Some(Cast(
+              AggregateExpression(Sum(mvAttr(s"sum_${m.name}")), Complete,
+                isDistinct = false),
+              dec28))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    // explicit recursion (not transformUp/Down) so already-rewritten
+    // subtrees are never revisited by the matcher
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAgg(ae)
+      case a: AttributeReference =>
+        if (dimIds(a.exprId)) Some(mvAttr(a.name)) else None
+      case other if other.children.isEmpty => Some(other)
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    // result expressions keep their original names AND exprIds so the
+    // parent plan's references resolve against the rewritten aggregate
+    val newResults: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        rewriteExpr(a) match {
+          case Some(r) => Alias(r, a.name)(exprId = a.exprId)
+          case None => return None
+        }
+      case al: Alias =>
+        rewriteExpr(al.child) match {
+          case Some(c) => Alias(c, al.name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+
+    val needed = {
+      val refs = AttributeSet(newResults.flatMap(_.references) ++ groupPairs.map(_._2))
+      fresh.output.filter(refs.contains)
+    }
+    Some(Aggregate(groupPairs.map(_._2), newResults, Project(needed, fresh)))
+  }
+}

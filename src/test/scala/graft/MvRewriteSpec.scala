@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.IncrementalAgg
+import graft.plans.MvRewrite
+
+/** The MV rewrite may change the ACCESS PATH of a matching aggregate,
+  * never its values — and must leave every non-matching shape alone. */
+class MvRewriteSpec extends SparkSpecBase {
+
+  private val dec = DecimalType(18, 4)
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(dec)).cast("double")
+
+  // each test registers against its own session clone so rule
+  // installation never leaks into other suites' planning
+  private def freshMv(): (org.apache.spark.sql.SparkSession, String) = {
+    val s2 = spark.newSession()
+    val basePath = s"$sf0001/orders.parquet"
+    val mvDir =
+      java.nio.file.Files.createTempDirectory("graft-mvspec-").toString + "/mv"
+    IncrementalAgg.materialize(s2.read.parquet(basePath),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+      .write.parquet(mvDir)
+    MvRewrite.register(s2, basePath, s2.read.parquet(mvDir),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+    (s2, basePath)
+  }
+
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def hitsMv(df: DataFrame): Boolean = {
+    val p = scannedPaths(df)
+    p.exists(_.contains("graft-mvspec-")) && !p.exists(_.contains("orders.parquet"))
+  }
+
+  test("exact-dims aggregate rewrites to the MV and matches the raw result") {
+    val (s2, basePath) = freshMv()
+    def q(s: org.apache.spark.sql.SparkSession) = s.read.parquet(basePath)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+    val rewritten = q(s2)
+    assert(hitsMv(rewritten), s"expected MV scan, got ${scannedPaths(rewritten)}")
+    val raw = q(spark) // plain session: no rule installed
+    assert(!hitsMv(raw))
+    assert(rewritten.exceptAll(raw).isEmpty && raw.exceptAll(rewritten).isEmpty)
+  }
+
+  test("subset grouping rolls the MV up further, still exact") {
+    val (s2, basePath) = freshMv()
+    def q(s: org.apache.spark.sql.SparkSession) = s.read.parquet(basePath)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+    val rewritten = q(s2)
+    assert(hitsMv(rewritten))
+    val raw = q(spark)
+    assert(rewritten.exceptAll(raw).isEmpty && raw.exceptAll(rewritten).isEmpty)
+  }
+
+  test("unsupported shapes bail to the base scan") {
+    val (s2, basePath) = freshMv()
+    val base = s2.read.parquet(basePath)
+    // holistic agg the MV cannot answer
+    val qMax = base.groupBy("o_orderstatus").agg(max("o_totalprice"))
+    assert(!hitsMv(qMax))
+    // distinct agg
+    val qDistinct = base.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey"))
+    assert(!hitsMv(qDistinct))
+    // filter between scan and aggregate changes which base rows count
+    val qFiltered = base.where(col("o_totalprice") > 1000.0)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!hitsMv(qFiltered))
+    // grouping by a non-dim column
+    val qNonDim = base.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(!hitsMv(qNonDim))
+    // measure the MV lacks
+    val qOtherMeasure = base.groupBy("o_orderstatus")
+      .agg(decSum(col("o_custkey")).as("sp"))
+    assert(!hitsMv(qOtherMeasure))
+    // unregistered table is never touched
+    val qOther = s2.read.parquet(s"$sf0001/customer.parquet")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(!hitsMv(qOther))
+  }
+
+  test("rewrite fires after an incremental refresh keeps the MV fresh") {
+    // maintenance + rewrite compose: apply a delta feed shaped like
+    // SnapshotDiff.diffWithValues, re-register the refreshed MV, and
+    // the rewritten answer tracks the new base state
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec2-")
+    val basePath = s"$tmp/base"
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    orders.write.parquet(basePath)
+    val dims = Seq("o_orderstatus", "o_orderpriority")
+    val mv1 = IncrementalAgg.materialize(s2.read.parquet(basePath), dims,
+      Seq("o_totalprice"))
+    // delta: drop every 10th order (before image only)
+    val feed = orders.where(col("o_orderkey") % 10 === 0)
+      .select(struct(dims.map(col) :+ col("o_totalprice"): _*).as("before"),
+        lit(null).cast(
+          new org.apache.spark.sql.types.StructType()
+            .add("o_orderstatus", "string").add("o_orderpriority", "string")
+            .add("o_totalprice", "double")).as("after"))
+    val mv2 = IncrementalAgg.applyDelta(mv1, feed, dims, Seq("o_totalprice"))
+    val newBasePath = s"$tmp/base2"
+    orders.where(col("o_orderkey") % 10 =!= 0).write.parquet(newBasePath)
+    val mvDir = s"$tmp/mv2"
+    mv2.write.parquet(mvDir)
+    MvRewrite.register(s2, newBasePath, s2.read.parquet(mvDir), dims,
+      Seq("o_totalprice"))
+    val q = s2.read.parquet(newBasePath)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+    val paths = scannedPaths(q)
+    assert(paths.exists(_.contains("mv2")) && !paths.exists(_.contains("base2")),
+      s"expected refreshed-MV scan, got $paths")
+    val raw = spark.read.parquet(newBasePath)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+    assert(q.exceptAll(raw).isEmpty && raw.exceptAll(q).isEmpty)
+  }
+}
