@@ -883,6 +883,80 @@ object SparkEntry {
       q
     }),
 
+    "q91_grouping_sets" -> ((s, dir) => {
+      // arbitrary GROUPING SETS (the general form behind q25's rollup /
+      // q55's cube): one aggregation pass expands each input row into
+      // its grouping-set combinations — one shuffle, not one scan per
+      // set, which is the whole point at fact-table scale. grouping()
+      // flags (cast to int for engine-portable types) disambiguate a
+      // NULL dim value from a rolled-up dim.
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q91_li")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          count(1) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM graft_q91_li
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())""")
+    }),
+
+    "q92_jsonl_source" -> ((s, dir) => {
+      // semi-structured JSONL ingestion with CORRUPT-RECORD isolation:
+      // PERMISSIVE mode routes unparseable lines into a dead-letter
+      // column instead of failing the job or silently dropping them —
+      // the batch twin of q87's streaming DLQ, and the standard posture
+      // for 100 TB web-crawl ingest where some malformed lines are a
+      // certainty. The gate pins exactly the 3 planted corrupt lines
+      // caught; the clean rows go under the oracle (content identical
+      // to the source table ⇒ nothing was lost or mangled in transit).
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q92-").toString
+      val jsonDir = s"$tmp/json"
+      Tables(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(1).write.json(jsonDir)
+      val parts = JFiles.list(JPaths.get(jsonDir)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".json")).toSeq.sorted
+      val clean = parts.map(p =>
+        new String(JFiles.readAllBytes(JPaths.get(p)), "UTF-8")).mkString
+      val path = s"$tmp/docs.jsonl"
+      JFiles.writeString(JPaths.get(path),
+        clean + "{broken\nnot json at all\n{\"doc_id\": 1,\n")
+      val df = s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, " +
+          "n_chars BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .localCheckpoint() // corrupt-column queries need a materialized frame
+      val bad = df.where(col("_corrupt_record").isNotNull).count()
+      require(bad == 3, s"corrupt-record isolation caught $bad of 3 planted lines")
+      df.where(col("_corrupt_record").isNull)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    "q93_recursive" -> ((s, dir) => {
+      // RECURSIVE CTE (hierarchy walk — org charts, BOM explosions,
+      // referral chains): each order key under 32 walks its synthetic
+      // parent chain k → k div 2 up to the root. Spark 4's native
+      // WITH RECURSIVE iterates a distributed UnionLoop — each step is
+      // a full Spark job over the frontier, so a 100 TB hierarchy walks
+      // level-by-level instead of row-at-a-time on a driver.
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_q93_orders")
+      s.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT o_orderkey AS start_key, o_orderkey AS node, 0 AS depth
+          FROM graft_q93_orders WHERE o_orderkey < 32
+          UNION ALL
+          SELECT start_key, node DIV 2 AS node, depth + 1
+          FROM anc WHERE node > 1
+        )
+        SELECT start_key, node, depth FROM anc""")
+    }),
+
     "q84_resample" -> ((s, dir) => {
       // time-series regularization (operators/Resample): per-user daily
       // activity resampled onto a DENSE day grid — gap days appear with
@@ -4246,6 +4320,28 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    "q91_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
+    // q92: the 3 planted corrupt lines are gated in-query; the clean
+    // rows must be the source table, bit-for-bit
+    "q92_jsonl_source" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents""",
+    "q93_recursive" ->
+      """WITH RECURSIVE anc AS (
+           SELECT o_orderkey AS start_key, o_orderkey AS node, 0 AS depth
+           FROM orders WHERE o_orderkey < 32
+           UNION ALL
+           SELECT start_key, node // 2 AS node, depth + 1
+           FROM anc WHERE node > 1
+         )
+         SELECT start_key, node, depth FROM anc""",
     "q84_resample" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, value,
