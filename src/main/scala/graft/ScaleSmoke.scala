@@ -258,6 +258,58 @@ object ScaleSmoke {
     time("ManifestTable compactDeletes")(
       graft.sources.ManifestTable.compactDeletes(spark, morTbl))
 
+    // round-12 tail operators at volume —
+    // filtered ANN: the (list, label) bucket join's candidate set must
+    // ride selectivity × nProbe/nLists, not the corpus
+    time("ss14 filtered IVF 200q x 20k")(
+      operators.similarity.Similarity.knnIvfFiltered(
+        emb10, q, "vec_id", "embedding", "label", k = 5,
+        nLists = 16, nProbe = 3).count())
+    // MV rewrite: the rewritten dashboard aggregate must scan the
+    // few-KB rollup, never the 600k-row fact
+    time("q89 MV rewrite over 600k fact") {
+      val s2 = spark.newSession()
+      val basePath = "/root/testdata/sf0.1/lineitem.parquet"
+      val mvDir = java.nio.file.Files
+        .createTempDirectory("graft-smoke-mv-").toString + "/mv"
+      operators.IncrementalAgg.materialize(s2.read.parquet(basePath),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        .write.parquet(mvDir)
+      graft.plans.MvRewrite.register(s2, basePath, s2.read.parquet(mvDir),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      val agg = s2.read.parquet(basePath).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("qty"))
+      // LogicalRelation.simpleString omits the location — collect the
+      // scan root paths, as the q89 gate does
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+      require(scanned.exists(_.contains("graft-smoke-mv-")),
+        s"MV rewrite did not fire at volume - plan scans $scanned")
+      agg.count()
+    }
+    // recursive CTE: a full-table hierarchy walk is level-by-level
+    // distributed jobs — depth ~log2(maxKey) iterations, never a
+    // driver-side loop over rows
+    time("q93 recursive walk 600k orders") {
+      // ~600k keys × ~20 levels ≈ 12M frontier rows — lift the default
+      // 1M safety valve for this deliberately-at-volume walk
+      spark.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
+      spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .createOrReplaceTempView("graft_smoke_orders")
+      spark.sql("""WITH RECURSIVE anc AS (
+          SELECT o_orderkey AS k, o_orderkey AS node, 0 AS depth
+          FROM graft_smoke_orders
+          UNION ALL
+          SELECT k, node DIV 2 AS node, depth + 1 FROM anc WHERE node > 1)
+        SELECT count(*) FROM anc""").head().getLong(0)
+    }
+
     spark.stop()
   }
 }

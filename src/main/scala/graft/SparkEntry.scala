@@ -957,6 +957,41 @@ object SparkEntry {
         SELECT start_key, node, depth FROM anc""")
     }),
 
+    "q94_unpivot" -> ((s, dir) => {
+      // UNPIVOT / melt (inverse of q24's pivot): wide metric columns →
+      // long (id, metric, value) rows — the normalization step before
+      // generic per-metric aggregation or feature-store writes. Native
+      // unpivot is a zero-shuffle row-local expand (each input row emits
+      // one row per value column), so at 100 TB it's a map-only stage.
+      Tables(s, dir, "customer").unpivot(
+        Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey").cast("double").as("c_nationkey")),
+        "metric", "value")
+    }),
+
+    "q95_csv_roundtrip" -> ((s, dir) => {
+      // CSV round-trip under the gate: documents (free text with
+      // quotes/commas/newline structure) written as quoted CSV and read
+      // back with multiLine parsing must reproduce the table
+      // BIT-FOR-BIT (exceptAll both ways in-query) — the interchange
+      // path every external-partner feed still runs on, where a quoting
+      // bug silently corrupts text corpora. Emission carries md5(text)
+      // so the oracle hash-checks content without raw-text compare
+      // noise.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q95-").toString
+      val csvDir = s"$tmp/csv"
+      val docs = Tables(s, dir, "documents")
+      docs.write.option("header", "true").option("escape", "\"").csv(csvDir)
+      val back = s.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv(csvDir)
+        .localCheckpoint()
+      val drift = back.exceptAll(docs).count() + docs.exceptAll(back).count()
+      require(drift == 0, s"CSV roundtrip drifted by $drift rows")
+      back.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
     "q84_resample" -> ((s, dir) => {
       // time-series regularization (operators/Resample): per-user daily
       // activity resampled onto a DENSE day grid — gap days appear with
@@ -4342,6 +4377,17 @@ object SparkEntry {
            FROM anc WHERE node > 1
          )
          SELECT start_key, node, depth FROM anc""",
+    "q94_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE)
+         FROM customer""",
+    // q95: the bit-for-bit roundtrip is gated in-query; the oracle
+    // checks the emitted content digest against the source table
+    "q95_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+         FROM documents""",
     "q84_resample" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, value,
