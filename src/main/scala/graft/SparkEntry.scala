@@ -1605,6 +1605,88 @@ object SparkEntry {
       ManifestTable.read(s, main).select("event_id", "k", "value")
     }),
 
+    "q96_stream_mv" -> ((s, dir) => {
+      // STREAMING incremental-MV maintenance (StreamSync.startMergeWithMv)
+      // under the gate: the q60 change set staged as THREE key-disjoint
+      // files, consumed with maxFilesPerTrigger=1 against one checkpoint
+      // — each micro-batch MERGEs into the base table AND folds that
+      // merge's file-pruned change feed into the maintained rollup, so
+      // the rollup is fresh within one batch at delta cost (it never
+      // rescans the table). Gates: one MV fold per batch landed, a full
+      // replay from a fresh checkpoint is a manifest-level no-op on BOTH
+      // tables (exactly-once), and the final MV row-for-row equals the
+      // full recompute. The emitted rollup goes under q71's oracle. With
+      // plans/MvRewrite this closes the loop: the stream keeps the
+      // rollup fresh, the rewrite makes dashboards use it transparently.
+      import graft.operators.IncrementalAgg
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val tmp = JFiles.createTempDirectory("graft-q96-").toString
+      val base = s"$tmp/t"
+      val mvPath = s"$tmp/mv"
+      val cdcDir = s"$tmp/cdc"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val dims = Seq("c_mktsegment")
+      val measures = Seq("c_acctbal")
+      ManifestTable.overwrite(
+        IncrementalAgg.materialize(customer, dims, measures), mvPath)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      JFiles.createDirectories(JPaths.get(cdcDir))
+      Seq("u" -> updates, "i" -> inserts, "d" -> deletes).foreach {
+        case (nm, df) =>
+          val st = s"$tmp/stage-$nm"
+          df.coalesce(1).write.parquet(st)
+          val parts = JFiles.list(JPaths.get(st)).iterator()
+          var moved = false
+          while (parts.hasNext && !moved) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              JFiles.move(p, JPaths.get(cdcDir, s"$nm.parquet"))
+              moved = true
+            }
+          }
+          require(moved, s"no parquet part staged for $nm")
+      }
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(cdcDir).schema
+      def run(ck: String): Unit =
+        graft.streaming.StreamSync.startMergeWithMv(
+          s2.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(cdcDir),
+          base, Seq("c_custkey"), mvPath, dims, measures, ck,
+          deleteWhen = Some(col("op") === "D"),
+          trigger = Trigger.AvailableNow()).awaitTermination()
+      run(s"$tmp/ckpt")
+      require(ManifestTable.versions(base).size == 4,
+        "expected 3 micro-batch merge commits on v1")
+      require(ManifestTable.versions(mvPath).size == 4,
+        "expected one MV fold commit per micro-batch")
+      // replay the whole feed from a fresh checkpoint: same commit ids
+      // ⇒ a manifest-level no-op on both tables
+      run(s"$tmp/ckpt2")
+      require(ManifestTable.versions(base).size == 4 &&
+          ManifestTable.versions(mvPath).size == 4,
+        "replayed feed produced new commits - exactly-once broken")
+      val mv = ManifestTable.read(s, mvPath).localCheckpoint()
+      val full = IncrementalAgg.materialize(
+        ManifestTable.read(s, base), dims, measures)
+      val drift = mv.exceptAll(full).count() + full.exceptAll(mv).count()
+      require(drift == 0, s"streamed MV drifted from recompute: $drift rows")
+      mv.select(col("c_mktsegment"), col("n").as("n_cust"),
+        col("sum_c_acctbal").cast("double").as("bal"))
+    }),
+
     "q77_stream_multibatch" -> ((s, dir) => {
       // MULTI-micro-batch streaming CDC under the gate — every other
       // streaming family processes exactly one AvailableNow batch, so
@@ -4519,6 +4601,21 @@ object SparkEntry {
     // q71: the q60-merged table, aggregated — the MV the incremental
     // refresh must land on exactly
     "q71_incr_mv" ->
+      """WITH merged AS (
+           SELECT c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 11 = 3)
+         SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+         FROM merged GROUP BY c_mktsegment""",
+    // q96: the streamed, batch-at-a-time-maintained rollup must equal
+    // the aggregate of the fully merged table — q71's oracle verbatim
+    "q96_stream_mv" ->
       """WITH merged AS (
            SELECT c_acctbal, c_mktsegment
            FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0

@@ -135,4 +135,52 @@ object StreamSync {
         }
       }
       .start()
+
+  /** CDC merge with STREAMING incremental-MV maintenance: each
+    * micro-batch (1) MERGEs into the base table and (2) folds that
+    * merge's value-carrying change feed into a maintained rollup
+    * ([[graft.operators.IncrementalAgg.applyDelta]]) committed to its
+    * own ManifestTable — so the dashboard aggregate is fresh within one
+    * batch of the base table, at delta cost, forever (the refresh reads
+    * only the files the merge touched, never the table). Together with
+    * [[graft.plans.MvRewrite]] this closes the loop: stream keeps the
+    * rollup fresh, the rewrite makes queries use it transparently.
+    *
+    * Exactly-once on BOTH tables under an at-least-once foreachBatch:
+    * the merge and the MV overwrite each carry a batch-derived commit
+    * id. A replayed batch's merge returns the already-landed version
+    * (no new commit), the feed window `[v−1, v]` re-derives that SAME
+    * batch's delta (each batch lands exactly one version), and the MV
+    * overwrite no-ops on its landed commit id — the recomputed frame is
+    * discarded, so a replay can neither skip nor double-fold a delta. */
+  def startMergeWithMv(
+      stream: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      mvPath: String,
+      dims: Seq[String],
+      measures: Seq[String],
+      checkpointDir: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val vm = graft.sources.ManifestTable.merge(
+            s, tablePath, batch.toDF(), keyCols,
+            deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+          val feed = graft.sources.ManifestTable.changesWithValues(
+            s, tablePath, vm - 1, vm, keyCols)
+          val mv1 = graft.operators.IncrementalAgg.applyDelta(
+            graft.sources.ManifestTable.read(s, mvPath), feed, dims, measures)
+            .localCheckpoint()
+          graft.sources.ManifestTable.overwrite(mv1, mvPath,
+            commitId = Some(s"mv-batch-$batchId"))
+          ()
+        }
+      }
+      .start()
 }

@@ -179,4 +179,41 @@ class PlanAuditSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("ss14 filtered knn: attribute predicate is a join key, never a loop") {
+    // IndexScope pre-materializes operator results, so the outer plan is
+    // a block scan — assert loop-absence here (the equi-join-on-attr
+    // SHAPE is what makes a loop impossible; behavioral invariants live
+    // in SimilarityTextSpec)
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    Seq(
+      graft.operators.similarity.Similarity.knnBruteFiltered(
+        emb, q, "vec_id", "embedding", "label", k = 5),
+      graft.operators.similarity.Similarity.knnIvfFiltered(
+        emb, q, "vec_id", "embedding", "label", k = 5)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("q91 grouping sets: one scan expanded, not one scan per set") {
+    val p = planOf("q91_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must plan as a row expand")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "each grouping set re-scanned the table")
+  }
+
+  test("q94 unpivot: map-only expand, zero exchanges") {
+    val p = planOf("q94_unpivot")
+    assert(p.contains("Expand"), "unpivot must plan as a row-local expand")
+    assert(!p.contains("Exchange"), "melt must not shuffle")
+  }
+
+  test("q93 recursive CTE: distributed loop, no nested-loop join") {
+    val p = planOf("q93_recursive")
+    assert(p.contains("UnionLoop"), "recursion must run as a UnionLoop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -314,4 +314,38 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(AudioHeaders.parseWav("not audio at all, just text".getBytes("UTF-8")).isEmpty)
     assert(AudioHeaders.parseWav(AudioHeaders.synthWav(8000, 1, 16, 10).take(30)).isEmpty)
   }
+
+  test("filtered knn: every neighbor shares the query's label; brute equals " +
+      "per-label exact; IVF path is a recall-bounded subset") {
+    // on the tiny fixture: query 0 (label 0) may only see neighbor 1;
+    // query 2 (label 1) only neighbor 3 — cross-label candidates never
+    // appear however high their cosine
+    val r = Similarity.knnBruteFiltered(emb, emb, "vec_id", "embedding",
+        "label", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(r == Set((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)))
+    // corpus scale: filtered brute == unfiltered brute re-ranked within
+    // the label (the reference semantics of pre-filtering)
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val byLabel = e.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val filtered = Similarity.knnBruteFiltered(e, q, "vec_id", "embedding",
+        "label", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (qid, nid) =>
+      assert(byLabel(qid) == byLabel(nid),
+        s"neighbor $nid label ${byLabel(nid)} leaked into query $qid's " +
+          s"label-${byLabel(qid)} result")
+    }
+    // the IVF path emits only (query, neighbor) pairs the exact filtered
+    // set contains for fully-probed lists; globally it is a subset of
+    // per-label candidates with bounded recall (gated in ss14)
+    val approx = Similarity.knnIvfFiltered(e, q, "vec_id", "embedding",
+        "label", k = 5, nLists = 8, nProbe = 8) // probe ALL lists ⇒ exact
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx == filtered.toSet,
+      "probing every list must recover the exact filtered top-k")
+  }
 }
