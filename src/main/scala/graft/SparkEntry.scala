@@ -957,6 +957,33 @@ object SparkEntry {
         SELECT start_key, node, depth FROM anc""")
     }),
 
+    "q97_variant" -> ((s, dir) => {
+      // OPEN semi-structured columns via Spark 4's VARIANT type (the
+      // Delta/Iceberg "variant shredding" story): JSON payloads parse
+      // once into a binary-encoded variant — O(1) typed path extraction,
+      // no per-query re-tokenization, no rigid struct schema to migrate
+      // when producers add fields. The gate pins the column's type to
+      // VariantType (a string round-trip would silently fall back to
+      // per-access JSON parsing — the 100 TB cost trap this type
+      // exists to avoid); extraction results go under the oracle.
+      val o = Tables(s, dir, "orders")
+        .withColumn("payload", to_json(struct(
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total"),
+          col("o_orderpriority").as("prio"))))
+        .select(col("o_orderkey"), parse_json(col("payload")).as("v"))
+      require(o.schema("v").dataType ==
+          org.apache.spark.sql.types.VariantType,
+        s"payload must parse to VARIANT, got ${o.schema("v").dataType}")
+      o.select(col("o_orderkey"),
+          expr("variant_get(v, '$.status', 'string')").as("status"),
+          expr("variant_get(v, '$.prio', 'string')").as("prio"),
+          expr("variant_get(v, '$.total', 'double')").as("total"))
+        .groupBy("status", "prio")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("total")).as("revenue"))
+    }),
+
     "q94_unpivot" -> ((s, dir) => {
       // UNPIVOT / melt (inverse of q24's pivot): wide metric columns →
       // long (id, metric, value) rows — the normalization step before
@@ -3115,6 +3142,37 @@ object SparkEntry {
       operators.multimodal.BinaryMeta.extract(s, payloads, "doc_id", "payload").toDF()
     }),
 
+    "mm5_gif_webp" -> ((s, dir) => {
+      // mm1's little-endian siblings: GIF (logical screen descriptor)
+      // and WebP in both VP8-lossy (sync-code + 14-bit dims) and
+      // VP8L-lossless (LSB-first packed dims) container layouts —
+      // id-derived parameters, every 13th doc raw text for the
+      // unknown-format path. The Spark side walks the real RIFF/LSD
+      // bytes (ImageHeaders.parseAny); the oracle predicts every field
+      // arithmetically.
+      import s.implicits._
+      import operators.multimodal.ImageHeaders
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val w = (16 + id % 624).toInt
+          val h = (16 + (id * 7) % 464).toInt
+          val filler = (id % 100).toInt
+          val payload =
+            if (id % 13 == 0) text.getBytes("UTF-8")
+            else (id % 3) match {
+              case 0 => ImageHeaders.synthGif(w, h, filler)
+              case 1 => ImageHeaders.synthWebpLossy(w, h, filler)
+              case _ => ImageHeaders.synthWebpLossless(w, h, filler)
+            }
+          val dims = ImageHeaders.parseAny(payload)
+          (id, payload.length.toLong,
+            dims.map(_.format).getOrElse("unknown"),
+            dims.map(_.width), dims.map(_.height))
+        }
+        .toDF("doc_id", "byte_len", "format", "width", "height")
+    }),
+
     "mm3_wav_meta" -> ((s, dir) => {
       // audio twin of mm1: synthesize real RIFF/WAVE headers with
       // id-derived parameters (every 11th doc stays raw text for the
@@ -3984,6 +4042,23 @@ object SparkEntry {
               ELSE CAST(16 + doc_id % 624 AS INTEGER) END AS width,
          CASE WHEN doc_id % 13 = 0 THEN NULL
               ELSE CAST(16 + (doc_id * 7) % 464 AS INTEGER) END AS height
+         FROM documents""",
+    // mm5: synthesized GIF/WebP byte lengths and dims are id-arithmetic
+    // (synthGif = 14+filler, lossy = 30+filler, lossless = 25+filler)
+    "mm5_gif_webp" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
+              WHEN doc_id % 3 = 0 THEN CAST(14 + doc_id % 100 AS BIGINT)
+              WHEN doc_id % 3 = 1 THEN CAST(30 + doc_id % 100 AS BIGINT)
+              ELSE CAST(25 + doc_id % 100 AS BIGINT) END AS byte_len,
+         CASE WHEN doc_id % 13 = 0 THEN 'unknown'
+              WHEN doc_id % 3 = 0 THEN 'gif'
+              WHEN doc_id % 3 = 1 THEN 'webp'
+              ELSE 'webp-lossless' END AS format,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(16 + doc_id % 624 AS INTEGER) END AS width,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(16 + (doc_id * 7) % 464 AS INTEGER) END AS height
          FROM documents"""
   )
 
@@ -4459,6 +4534,14 @@ object SparkEntry {
            FROM anc WHERE node > 1
          )
          SELECT start_key, node, depth FROM anc""",
+    // q97: the variant path may only change the ENCODING of the payload
+    // (gated in-query: the column is VariantType) — typed extraction
+    // must recover the source values exactly
+    "q97_variant" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1, 2""",
     "q94_unpivot" ->
       """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value
          FROM customer

@@ -119,4 +119,118 @@ object ImageHeaders {
   private def writeBe16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
     out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
   }
+
+  // ------------------------------------------------ GIF / WebP (little-endian)
+
+  private def le16(p: Array[Byte], off: Int): Int = u8(p(off)) | (u8(p(off + 1)) << 8)
+  private def le24(p: Array[Byte], off: Int): Int =
+    u8(p(off)) | (u8(p(off + 1)) << 8) | (u8(p(off + 2)) << 16)
+
+  /** Every format this module knows: PNG, JPEG, GIF, WebP. Kept separate
+    * from [[parse]] so existing callers' format universe (and their
+    * oracles) is unchanged. */
+  def parseAny(payload: Array[Byte]): Option[ImageDims] =
+    parse(payload).orElse(parseGif(payload)).orElse(parseWebp(payload))
+
+  /** GIF87a/89a: 6-byte signature, then the Logical Screen Descriptor's
+    * width/height as LITTLE-endian uint16 at offsets 6/8 (GIF89a spec
+    * §18) — the one mainstream image format that predates network byte
+    * order conventions. */
+  def parseGif(p: Array[Byte]): Option[ImageDims] = {
+    if (p.length < 13) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(p, 6)
+    val h = le16(p, 8)
+    if (w > 0 && h > 0) Some(ImageDims("gif", w, h)) else None
+  }
+
+  /** WebP (RIFF container, all little-endian): "RIFF"[size]"WEBP", then
+    * one of three first chunks —
+    *  - "VP8 " lossy: 3-byte frame tag, sync 9D 01 2A, then 14-bit
+    *    width/height in two LE uint16s (VP8 spec / RFC 6386 §9.1);
+    *  - "VP8L" lossless: 0x2F signature, then 14-bit width−1/height−1
+    *    packed LSB-first in 4 bytes;
+    *  - "VP8X" extended: 24-bit LE canvas width−1/height−1 at 24/27. */
+  def parseWebp(p: Array[Byte]): Option[ImageDims] = {
+    if (p.length < 25) return None
+    if (new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(p, 8, 4, "US-ASCII") != "WEBP") return None
+    new String(p, 12, 4, "US-ASCII") match {
+      case "VP8 " if p.length >= 30 =>
+        if (u8(p(23)) != 0x9D || u8(p(24)) != 0x01 || u8(p(25)) != 0x2A) None
+        else {
+          val w = le16(p, 26) & 0x3FFF
+          val h = le16(p, 28) & 0x3FFF
+          if (w > 0 && h > 0) Some(ImageDims("webp", w, h)) else None
+        }
+      case "VP8L" if u8(p(20)) == 0x2F =>
+        val b0 = u8(p(21)); val b1 = u8(p(22)); val b2 = u8(p(23)); val b3 = u8(p(24))
+        val w = 1 + (((b1 & 0x3F) << 8) | b0)
+        val h = 1 + (((b3 & 0xF) << 10) | (b2 << 2) | ((b1 >> 6) & 0x3))
+        Some(ImageDims("webp-lossless", w, h))
+      case "VP8X" if p.length >= 30 =>
+        val w = le24(p, 24) + 1
+        val h = le24(p, 27) + 1
+        Some(ImageDims("webp", w, h))
+      case _ => None
+    }
+  }
+
+  /** GIF89a header + LSD + `filler` zero bytes + trailer — 14 + filler
+    * bytes total. */
+  def synthGif(width: Int, height: Int, filler: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(14 + filler)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    writeLe16(out, width)
+    writeLe16(out, height)
+    out.write(new Array[Byte](3), 0, 3) // flags, bg color, aspect
+    out.write(new Array[Byte](filler), 0, filler)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Lossy WebP: RIFF + "VP8 " chunk (frame tag, sync, 14-bit dims) +
+    * `filler` — 30 + filler bytes total. */
+  def synthWebpLossy(width: Int, height: Int, filler: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(30 + filler)
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    writeLe32(out, 22 + filler) // file size - 8
+    out.write("WEBP".getBytes("US-ASCII"), 0, 4)
+    out.write("VP8 ".getBytes("US-ASCII"), 0, 4)
+    writeLe32(out, 10 + filler) // chunk payload size
+    out.write(new Array[Byte](3), 0, 3) // frame tag (keyframe)
+    out.write(0x9D); out.write(0x01); out.write(0x2A) // sync code
+    writeLe16(out, width & 0x3FFF)
+    writeLe16(out, height & 0x3FFF)
+    out.write(new Array[Byte](filler), 0, filler)
+    out.toByteArray
+  }
+
+  /** Lossless WebP: RIFF + "VP8L" chunk (0x2F + packed 14-bit dims) +
+    * `filler` — 25 + filler bytes total. */
+  def synthWebpLossless(width: Int, height: Int, filler: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(25 + filler)
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    writeLe32(out, 17 + filler)
+    out.write("WEBP".getBytes("US-ASCII"), 0, 4)
+    out.write("VP8L".getBytes("US-ASCII"), 0, 4)
+    writeLe32(out, 5 + filler)
+    out.write(0x2F)
+    val wm1 = width - 1; val hm1 = height - 1
+    out.write(wm1 & 0xFF)
+    out.write(((wm1 >> 8) & 0x3F) | ((hm1 & 0x3) << 6))
+    out.write((hm1 >> 2) & 0xFF)
+    out.write((hm1 >> 10) & 0xF) // alpha/version bits zero
+    out.write(new Array[Byte](filler), 0, filler)
+    out.toByteArray
+  }
+
+  private def writeLe16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+  }
+  private def writeLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
 }

@@ -315,6 +315,36 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(AudioHeaders.parseWav(AudioHeaders.synthWav(8000, 1, 16, 10).take(30)).isEmpty)
   }
 
+  test("GIF/WebP header parse round-trips synthesis; garbage falls through") {
+    import graft.operators.multimodal.ImageHeaders
+    import ImageHeaders.ImageDims
+    for (w <- Seq(1, 16, 640, 16383); h <- Seq(1, 16, 464, 16383)) {
+      assert(ImageHeaders.parseGif(ImageHeaders.synthGif(w, h, 5))
+        .contains(ImageDims("gif", w, h)))
+      assert(ImageHeaders.parseWebp(ImageHeaders.synthWebpLossy(w, h, 5))
+        .contains(ImageDims("webp", w, h)))
+      assert(ImageHeaders.parseWebp(ImageHeaders.synthWebpLossless(w, h, 5))
+        .contains(ImageDims("webp-lossless", w, h)))
+    }
+    // parseAny dispatches across all four formats
+    assert(ImageHeaders.parseAny(ImageHeaders.synthGif(20, 30, 0))
+      .contains(ImageDims("gif", 20, 30)))
+    assert(ImageHeaders.parseAny(ImageHeaders.synthPng(20, 30, 0))
+      .contains(ImageDims("png", 20, 30)))
+    // truncation and garbage fall through, never throw
+    assert(ImageHeaders.parseGif("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(ImageHeaders.parseWebp(
+      ImageHeaders.synthWebpLossy(100, 100, 0).take(22)).isEmpty)
+    assert(ImageHeaders.parseWebp(
+      ImageHeaders.synthWebpLossless(100, 100, 0).take(20)).isEmpty)
+    assert(ImageHeaders.parseAny("RIFFxxxxWAVE not an image".getBytes("US-ASCII")).isEmpty)
+    assert(ImageHeaders.parseAny("plain text document body".getBytes("US-ASCII")).isEmpty)
+    // a lossy chunk with a corrupted sync code is rejected
+    val badSync = ImageHeaders.synthWebpLossy(100, 100, 0)
+    badSync(23) = 0x00
+    assert(ImageHeaders.parseWebp(badSync).isEmpty)
+  }
+
   test("filtered knn: every neighbor shares the query's label; brute equals " +
       "per-label exact; IVF path is a recall-bounded subset") {
     // on the tiny fixture: query 0 (label 0) may only see neighbor 1;
