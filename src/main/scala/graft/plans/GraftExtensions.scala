@@ -13,10 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SELECT graft_dot(a, b)` works from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // cluster path for the MV rewrite (same rule MvRewrite.install puts
+    // into experimental.extraOptimizations on an already-built session):
+    // fires only on scans whose root path is registered, so sessions
+    // with no registered MV plan exactly as before
+    ext.injectOptimizerRule(_ => new MvRewriteRule)
+  }
 }
 
 object GraftExtensions {

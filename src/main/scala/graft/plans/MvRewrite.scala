@@ -35,13 +35,24 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *
   * Scoping: the rule is installed per-session (via
   * `spark.experimental.extraOptimizations`, the public hook for
-  * post-optimization batches; cluster deployments can equivalently
-  * inject it through `SparkSessionExtensions.injectOptimizerRule`) and
-  * only fires on scans whose root path is explicitly registered, so an
-  * un-opted-in session plans exactly as before. Reference analogy: the
-  * reference recomputes every pull from the origin warehouse
-  * (core/pipeline.py:18); a maintained rollup + rewrite is how the same
-  * report stays interactive when the origin is 100 TB.
+  * post-optimization batches; [[GraftExtensions]] also injects it
+  * through `SparkSessionExtensions.injectOptimizerRule` for
+  * config-built cluster sessions) and only fires on scans whose root
+  * path is explicitly registered, so an un-opted-in session plans
+  * exactly as before. Reference analogy: the reference recomputes every
+  * pull from the origin warehouse (core/pipeline.py:18); a maintained
+  * rollup + rewrite is how the same report stays interactive when the
+  * origin is 100 TB.
+  *
+  * STALENESS CONTRACT: registration asserts "this rollup IS the
+  * aggregate of that path" — the rule trusts it (checking would cost a
+  * listing per optimization). The registrant owns freshness: refresh
+  * through [[graft.operators.IncrementalAgg.applyDelta]] on the change
+  * feed (q71), or continuously via
+  * [[graft.streaming.StreamSync.startMergeWithMv]] (q96), and
+  * re-register after any out-of-band rewrite of the base. Same contract
+  * as every production MV rewrite (Delta, BigQuery): the rewrite layer
+  * redirects, the maintenance layer guarantees.
   */
 object MvRewrite {
 

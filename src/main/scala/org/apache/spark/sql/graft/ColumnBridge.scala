@@ -42,4 +42,13 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Materialize the optimizer rules an extensions object would inject at
+    * session build (buildOptimizerRules is private[sql]) — lets specs
+    * assert the injection without constructing a whole new session. */
+  def builtOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[
+      org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

@@ -19,7 +19,14 @@ class ExtensionsSpec extends SparkSpecBase {
   }
 
   test("extensions class injects without error (session-build path)") {
-    new GraftExtensions().apply(new SparkSessionExtensions)
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // the optimizer-rule injection is part of the same extension point:
+    // building a rule instance through the injected builder must work
+    val rules = org.apache.spark.sql.graft.ColumnBridge
+      .builtOptimizerRules(ext, spark)
+    assert(rules.exists(_.isInstanceOf[graft.plans.MvRewriteRule]),
+      "MV rewrite rule missing from injected optimizer rules")
   }
 
   test("graft_intersect_size equals size(array_intersect) on distinct sets") {

@@ -94,6 +94,22 @@ class MvRewriteSpec extends SparkSpecBase {
     assert(!hitsMv(qOther))
   }
 
+  test("SQL-path queries over the same scan rewrite too") {
+    // a dashboard issuing plain SQL against the file path goes through
+    // the same LogicalRelation, so the rule fires identically
+    val (s2, basePath) = freshMv()
+    val q = s2.sql(
+      s"""SELECT o_orderstatus, count(1) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+          FROM parquet.`$basePath` GROUP BY o_orderstatus""")
+    assert(hitsMv(q), s"SQL path not rewritten: ${scannedPaths(q)}")
+    val raw = spark.sql(
+      s"""SELECT o_orderstatus, count(1) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+          FROM parquet.`$basePath` GROUP BY o_orderstatus""")
+    assert(q.exceptAll(raw).isEmpty && raw.exceptAll(q).isEmpty)
+  }
+
   test("rewrite fires after an incremental refresh keeps the MV fresh") {
     // maintenance + rewrite compose: apply a delta feed shaped like
     // SnapshotDiff.diffWithValues, re-register the refreshed MV, and
