@@ -957,6 +957,26 @@ object SparkEntry {
         SELECT start_key, node, depth FROM anc""")
     }),
 
+    "q98_pagerank" -> ((s, dir) => {
+      // GRAPH ANALYTICS under the hard oracle: 3 level-synchronous
+      // PageRank rounds (operators/graph/PageRank.scala) over a
+      // deterministic 2-out-degree link graph derived from doc ids.
+      // The INTEGER-exact formulation (rank units of 1e-12, damping
+      // 85/100 via integer div) is what makes a distributed iterative
+      // graph job hash-checkable by an SQL engine: DuckDB unrolls the
+      // same three rounds and must land on identical longs. Each round
+      // is one equi-join + one keyed aggregation — the BSP shuffle
+      // pattern that scales to billion-edge graphs.
+      val docs = Tables(s, dir, "documents")
+      val n0 = docs.agg(count(lit(1))).head().getLong(0)
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n0).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n0).as("dst")))
+        .where(col("src") =!= col("dst"))
+      operators.graph.PageRank.iterate(e, "src", "dst", iters = 3)
+    }),
+
     "q97_variant" -> ((s, dir) => {
       // OPEN semi-structured columns via Spark 4's VARIANT type (the
       // Delta/Iceberg "variant shredding" story): JSON payloads parse
@@ -4534,6 +4554,39 @@ object SparkEntry {
            FROM anc WHERE node > 1
          )
          SELECT start_key, node, depth FROM anc""",
+    // q98: DuckDB unrolls the same three integer-exact rounds — the
+    // distributed iterative job must land on identical longs
+    "q98_pagerank" ->
+      """WITH cnt AS (SELECT count(*) AS n FROM documents),
+         e0 AS (
+           SELECT doc_id AS src,
+             (doc_id * 7 + 1) % (SELECT n FROM cnt) AS dst FROM documents
+           UNION ALL
+           SELECT doc_id AS src,
+             (doc_id * 13 + 5) % (SELECT n FROM cnt) AS dst FROM documents),
+         e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         it0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+         s1 AS (SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+                FROM e JOIN it0 p ON e.src = p.node
+                       JOIN deg d ON e.src = d.node GROUP BY 1),
+         it1 AS (SELECT nd.node,
+                   150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+                 FROM nodes nd LEFT JOIN s1 ON nd.node = s1.node),
+         s2 AS (SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+                FROM e JOIN it1 p ON e.src = p.node
+                       JOIN deg d ON e.src = d.node GROUP BY 1),
+         it2 AS (SELECT nd.node,
+                   150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+                 FROM nodes nd LEFT JOIN s2 ON nd.node = s2.node),
+         s3 AS (SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+                FROM e JOIN it2 p ON e.src = p.node
+                       JOIN deg d ON e.src = d.node GROUP BY 1),
+         it3 AS (SELECT nd.node,
+                   150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS pr
+                 FROM nodes nd LEFT JOIN s3 ON nd.node = s3.node)
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
     // q97: the variant path may only change the ENCODING of the payload
     // (gated in-query: the column is VariantType) — typed extraction
     // must recover the source values exactly

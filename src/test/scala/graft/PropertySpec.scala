@@ -280,4 +280,73 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("PageRank: one hand-computed round; ranks conserve determinism " +
+      "across repartitioning") {
+    import graft.operators.graph.PageRank
+    // 1→2, 1→3, 2→3, 3→1 : deg(1)=2, deg(2)=deg(3)=1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = PageRank.iterate(e, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // base 150e9; in(1)=pr3=U → 1000e9; in(2)=U div 2 → 425e9+150e9;
+    // in(3)=U div 2 + U → 1275e9+150e9
+    assert(r1 == Map(1L -> 1000000000000L, 2L -> 575000000000L,
+      3L -> 1425000000000L))
+    // partitioning must not change a single unit (integer algebra is
+    // order-independent: sums of longs, no floats anywhere)
+    val r3a = PageRank.iterate(e, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val r3b = PageRank.iterate(e.repartition(7), "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3a == r3b)
+  }
+
+  test("incremental MV algebra: delta fold equals recompute, composes " +
+      "across sequential feeds, null dims and dim moves included") {
+    // the invariant q71/q96 (and, via registration, the q89 rewrite)
+    // stand on: folding a real change feed into a rollup must land
+    // EXACTLY where recomputing the rollup lands — on randomized
+    // delete/update/insert mixes, including NULL dimension values and
+    // updates that MOVE a row between dimensions (the −1/+1 split).
+    import graft.operators.{IncrementalAgg, SnapshotDiff}
+    val segs = Seq("A", "B", "C", null)
+    val baseRows = samples(Gen.zip(Gen.choose(0, 3), Gen.choose(-10000, 10000)), 120)
+      .zipWithIndex.map { case ((si, amt), i) => (i.toLong, segs(si), amt / 10.0) }
+    val updated = baseRows.filter(_._1 % 7 != 0).map { case (k, seg, amt) =>
+      if (k % 5 == 0) {
+        val nseg = if (k % 10 == 0) segs(((k + 1) % 4).toInt) else seg
+        (k, nseg, amt + 100.0)
+      } else (k, seg, amt)
+    }
+    val afterRows = updated ++
+      (1000L until 1020L).map(k => (k, segs((k % 4).toInt), k / 3.0))
+    val before = baseRows.toDF("k", "seg", "amt")
+    val after = afterRows.toDF("k", "seg", "amt")
+    val dims = Seq("seg"); val ms = Seq("amt")
+    def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+        what: String): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$what drifted")
+
+    val mv0 = IncrementalAgg.materialize(before, dims, ms)
+    val full = IncrementalAgg.materialize(after, dims, ms)
+    val feed = SnapshotDiff.diffWithValues(before, after, Seq("k"), Seq("seg", "amt"))
+    eq(IncrementalAgg.applyDelta(mv0, feed, dims, ms), full, "one-shot fold")
+
+    // composition: two sequential feeds ≡ the concatenated change
+    val mid = updated.toDF("k", "seg", "amt") // deletes+updates, no inserts yet
+    val feed1 = SnapshotDiff.diffWithValues(before, mid, Seq("k"), Seq("seg", "amt"))
+    val feed2 = SnapshotDiff.diffWithValues(mid, after, Seq("k"), Seq("seg", "amt"))
+    eq(IncrementalAgg.applyDelta(
+        IncrementalAgg.applyDelta(mv0, feed1, dims, ms), feed2, dims, ms),
+      full, "composed fold")
+
+    // groups whose last row departs must VANISH, not linger at n=0
+    val gone = IncrementalAgg.applyDelta(
+      IncrementalAgg.materialize(before.where(col("seg") === "A"), dims, ms),
+      SnapshotDiff.diffWithValues(
+        before.where(col("seg") === "A"),
+        before.where(lit(false)), Seq("k"), Seq("seg", "amt")),
+      dims, ms)
+    assert(gone.isEmpty, "emptied dimension group survived the fold")
+  }
 }
