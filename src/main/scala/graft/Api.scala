@@ -196,9 +196,14 @@ object ApiServer {
           val tablePath = s"${wh.baseDir}/$resource"
           (m, rest) match {
             case ("GET", List("versions")) =>
+              // each version with its commit wall-time so clients can
+              // drive TIMESTAMP-AS-OF reads (ManifestTable.readAsOf)
+              val vs = graft.sources.ManifestTable.versions(tablePath)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("warehouse" -> whName) ~ ("resource" -> resource) ~
-                  ("versions" -> graft.sources.ManifestTable.versions(tablePath)))))
+                  ("versions" -> vs) ~
+                  ("commit_ts" -> vs.map(v => graft.sources.ManifestTable
+                    .commitTimeMillis(tablePath, v))))))
             case ("POST", List("compact")) =>
               // ?zorder=colA,colB re-clusters along the z-curve during
               // the rewrite (OPTIMIZE ... ZORDER BY) so the fresh file

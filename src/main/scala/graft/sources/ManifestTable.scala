@@ -190,6 +190,36 @@ object ManifestTable {
 
   /** Read one committed version (default: latest). Reads FAIL on an
     * empty table rather than inventing an empty frame with no schema. */
+  /** Time travel by TIMESTAMP (Delta's `TIMESTAMP AS OF`): the newest
+    * version whose commit landed at or before `asOfMillis`. Commit time
+    * is the manifest file's mtime — the commit IS the atomic appearance
+    * of that file, so its filesystem timestamp is the authoritative
+    * record (the same source Delta's timestamp resolution reads); no
+    * format change, and legacy tables resolve too. Fails loudly when
+    * the timestamp predates the first commit — silently returning the
+    * oldest version would fabricate history. */
+  def versionAt(path: String, asOfMillis: Long): Long = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    val stamped = vs.map(v => v ->
+      Files.getLastModifiedTime(
+        manifestDir(path).resolve(f"v$v%08d.json")).toMillis)
+    val eligible = stamped.filter(_._2 <= asOfMillis)
+    require(eligible.nonEmpty,
+      s"no version at or before $asOfMillis (earliest commit is " +
+        s"${stamped.map(_._2).min})")
+    eligible.maxBy(v => (v._2, v._1))._1
+  }
+
+  /** [[read]] at the version [[versionAt]] resolves for `asOfMillis`. */
+  def readAsOf(spark: SparkSession, path: String, asOfMillis: Long): DataFrame =
+    read(spark, path, Some(versionAt(path, asOfMillis)))
+
+  /** Commit wall-time of a version (manifest mtime — see [[versionAt]]). */
+  def commitTimeMillis(path: String, version: Long): Long =
+    Files.getLastModifiedTime(
+      manifestDir(path).resolve(f"v$version%08d.json")).toMillis
+
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))

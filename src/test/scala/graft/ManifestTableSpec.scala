@@ -25,6 +25,25 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.versions(t) == Seq(1L, 2L, 3L))
   }
 
+  test("timestamp time travel resolves the newest commit at-or-before") {
+    val t = table()
+    ManifestTable.append(Seq(1, 2).toDF("x"), t)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20) // separate the commit mtimes
+    ManifestTable.append(Seq(3).toDF("x"), t)
+    // between the commits → v1; now → v2
+    assert(ManifestTable.versionAt(t, afterV1) == 1L)
+    assert(ManifestTable.readAsOf(spark, t, afterV1)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(ManifestTable.versionAt(t, System.currentTimeMillis()) == 2L)
+    assert(ManifestTable.readAsOf(spark, t, System.currentTimeMillis())
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // predating the first commit must throw, not fabricate history
+    val err = intercept[IllegalArgumentException](
+      ManifestTable.versionAt(t, 1000L))
+    assert(err.getMessage.contains("no version at or before"))
+  }
+
   test("uncommitted data files are invisible to readers") {
     val t = table()
     ManifestTable.append(Seq(1).toDF("x"), t)
