@@ -1598,6 +1598,102 @@ object SparkEntry {
           min(col("l_event_id")).as("first_click"))
     }),
 
+    "q99_stream_outer_join" -> ((s, dir) => {
+      // stream-stream LEFT OUTER interval join — the last untested join
+      // surface: unmatched clicks must emit with null purchase columns,
+      // and only AFTER the watermark passes their join window (outer
+      // emission is watermark-driven state eviction, not a batch-end
+      // default). Staging: clicks (batch 0), purchases (batch 1), then
+      // TWO sentinel batches of far-future click+purchase pairs — the
+      // first advances both sides' watermarks past every real window,
+      // the second runs a batch whose START watermark reflects that
+      // advance, flushing the unmatched rows (the dual-watermark rule
+      // q81 pinned, now on join state). Gates: 4+ batches, >0 unmatched
+      // real rows emitted, and the LAST sentinel never emits — no later
+      // watermark ever passes its window, so its presence would mean
+      // the join flushed state early. (The first sentinel legitimately
+      // flushes as unmatched once the second advances the watermark —
+      // observed, and itself proof of watermark-driven eviction.) The
+      // oracle is the batch LEFT JOIN with the filter in the ON clause.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      import java.nio.file.attribute.FileTime
+      val s2 = streamSession(s)
+      val tmp = JFiles.createTempDirectory("graft-q99-").toString
+      val srcDir = s"$tmp/src"
+      JFiles.createDirectories(JPaths.get(srcDir))
+      val raw = s2.read.parquet(s"$dir/events.parquet")
+      val tsIsTimestamp = raw.schema("ts").dataType match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      def sentinels(offsetDays: Int, idBase: Long) = {
+        val one = raw.orderBy(col("ts").desc).limit(1)
+        val bumped =
+          if (tsIsTimestamp)
+            one.withColumn("ts", col("ts") + expr(s"INTERVAL $offsetDays DAYS"))
+          else one.withColumn("ts",
+            col("ts") + lit(offsetDays.toLong * 86400L * 1000000000L))
+        bumped.withColumn("event_type", lit("click"))
+          .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(idBase))
+          .unionByName(bumped.withColumn("event_type", lit("purchase"))
+            .withColumn("user_id", lit(-2L))
+            .withColumn("event_id", lit(idBase + 1)))
+      }
+      val stages = Seq(
+        "0" -> raw.where(col("event_type") === "click"),
+        "1" -> raw.where(col("event_type") === "purchase"),
+        "2" -> sentinels(3650, -100L),
+        "3" -> sentinels(3660, -200L))
+      stages.foreach { case (nm, df) =>
+        require(df.limit(1).count() == 1, s"slice $nm empty - gate vacuous")
+        val st = s"$tmp/stage-$nm"
+        df.coalesce(1).write.parquet(st)
+        val parts = JFiles.list(JPaths.get(st)).iterator()
+        var moved = false
+        while (parts.hasNext && !moved) {
+          val p = parts.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val dst = JPaths.get(srcDir, s"part-$nm.parquet")
+            JFiles.move(p, dst)
+            // mtime orders micro-batches strictly
+            JFiles.setLastModifiedTime(dst, FileTime.fromMillis(
+              System.currentTimeMillis() - (3 - nm.toLong) * 60000L))
+            moved = true
+          }
+        }
+        require(moved, s"no parquet part staged for slice $nm")
+      }
+      val schema = s2.read.parquet(srcDir).schema
+      val src = graft.streaming.EventStream.source(s2, srcDir, schema,
+        maxFilesPerTrigger = Some(1))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"),
+        keyCol = "user_id", maxFollow = "1 hour",
+        watermark = "1 minute", joinType = "left_outer")
+      val sink = s"q99_stream_${System.nanoTime()}"
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val batches = query.recentProgress.map(_.batchId).distinct.length
+      require(batches >= 4,
+        s"expected 4+ micro-batches, got $batches - outer flush untested")
+      val out = s2.table(sink).localCheckpoint()
+      s2.catalog.dropTempView(sink)
+      require(out.where(col("l_event_id") === -200L).isEmpty,
+        "the final sentinel emitted - join state flushed ahead of the watermark")
+      require(out.where(col("l_user_id") >= 0 && col("r_event_id").isNull)
+          .limit(1).count() == 1,
+        "no unmatched click emitted - the outer path went untested")
+      out.where(col("l_user_id") >= 0)
+        .select(col("l_user_id").as("user_id"),
+        col("l_event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"),
+        coalesce(col("r_value"), lit(0.0)).as("purchase_value"))
+    }),
+
     "q87_stream_dlq" -> ((s, dir) => {
       // streaming DEAD-LETTER path under the gate: q43's error-isolated
       // push as a continuous query — each micro-batch splits formatted
@@ -4455,6 +4551,17 @@ object SparkEntry {
       """SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS k, value
          FROM events
          WHERE value >= 50.0 AND event_id % 37 <> 0""",
+    // q99: unmatched clicks flush with null purchase columns once the
+    // watermark passes their window — the batch LEFT JOIN (type filter
+    // in the ON clause) is the exact semantics
+    "q99_stream_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(coalesce(p.value, 0.0) AS DOUBLE) AS purchase_value
+         FROM events c LEFT JOIN events p ON c.user_id = p.user_id
+           AND p.event_type = 'purchase'
+           AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+           AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
+         WHERE c.event_type = 'click'""",
     // q82: clicks and purchases arrive in DIFFERENT micro-batches, so
     // every attribution crosses the batch boundary through join state —
     // the result must still equal the batch interval join (q52's oracle)

@@ -95,7 +95,14 @@ object EventStream {
     * State is O(events inside the watermark horizon), not O(stream). */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyCol: String, maxFollow: String, watermark: String = "1 hour",
-      carry: Seq[String] = Seq("event_id", "event_type", "value")): DataFrame = {
+      carry: Seq[String] = Seq("event_id", "event_type", "value"),
+      // "left_outer": unmatched left rows emit with null right columns
+      // once the watermark passes their join window — the attribution
+      // shape that must also report the clicks that DIDN'T convert.
+      // Emission is watermark-driven, so an outer result only flushes in
+      // a batch whose START watermark has passed the window (q99 stages
+      // sentinel batches to force that).
+      joinType: String = "inner"): DataFrame = {
     def side(df: DataFrame, p: String) = df
       .withWatermark("event_time", watermark)
       .select((s"$keyCol" +: carry :+ "event_time").map(c => col(c).as(s"$p$c")): _*)
@@ -104,6 +111,7 @@ object EventStream {
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col("r_event_time") >= col("l_event_time") &&
-        col("r_event_time") <= col("l_event_time") + expr(s"INTERVAL $maxFollow"))
+        col("r_event_time") <= col("l_event_time") + expr(s"INTERVAL $maxFollow"),
+      joinType)
   }
 }
