@@ -2539,6 +2539,19 @@ object SparkEntry {
       operators.dedup.DedupClusters.clusters(pairs)
     }),
 
+    "dd18_softdedup" -> ((s, dir) => {
+      // SOFT dedup (down-weighting instead of dropping): every doc kept
+      // with weight 1e6 div cluster_size ppm — each near-dup cluster
+      // contributes ~one document's worth to a weighted sample, without
+      // hard dedup's bias of discarding whichever copies happened to
+      // lose the representative tiebreak. Integer ppm via div keeps the
+      // weights engine-exact under the hard oracle.
+      val docs = Tables(s, dir, "documents")
+      val pairs = operators.dedup.MinHashLSH.nearDupPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.8)
+      operators.dedup.DedupClusters.softWeights(docs, "doc_id", pairs)
+    }),
+
     "dd8_dedup_apply" -> ((s, dir) => {
       // end-to-end dedup: near-dup pairs -> clusters -> retained corpus
       val docs = Tables(s, dir, "documents")
@@ -3510,6 +3523,25 @@ object SparkEntry {
            UNION
            SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+    // dd18: dd7's components sized, joined back to the full corpus;
+    // singletons weigh a full 1e6 ppm
+    "dd18_softdedup" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // coalesce(sz.n, 1) AS BIGINT) AS weight_ppm
+         FROM documents d
+         LEFT JOIN cl ON d.doc_id = cl.doc_id
+         LEFT JOIN sz ON cl.cluster_id = sz.cluster_id""",
     // MinHash-LSH is exact-verified with (b=32,r=4) ⇒ miss probability
     // ~6e-8 per true pair at t=0.8: same oracle as the exact join.
     "dd4_minhash_lsh" -> jaccardOracle,

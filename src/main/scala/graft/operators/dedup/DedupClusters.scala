@@ -136,4 +136,25 @@ object DedupClusters extends Logging {
       .where(col("cluster_id").isNull || col("cluster_id") === docs(idCol))
       .drop("__cc_id", "cluster_id")
   }
+
+  /** SOFT dedup: keep every document but weight it 1e6 div cluster_size
+    * ppm (singletons 1e6) — hard dedup's down-weighting alternative.
+    * Dropping all-but-one of a near-dup cluster ([[applyDedup]]) throws
+    * away whichever copy had the best formatting/metadata and biases
+    * against content that is popular BECAUSE it is good; weighting keeps
+    * the corpus intact while neutralizing duplicated mass in expectation
+    * (each cluster contributes ~1 document's worth to any weighted
+    * sample). Integer ppm via `div` keeps the weights engine-exact. Cost
+    * over [[clusters]]: one count per cluster id + a broadcast-sized
+    * left join back to the corpus. */
+  def softWeights(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val assign = clusters(pairs).withColumnRenamed("doc_id", "__cc_id")
+    val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(assign, docs(idCol) === assign("__cc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(__n, 1)").as("weight_ppm"))
+  }
 }

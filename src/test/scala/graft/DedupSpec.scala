@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpecBase {
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("softWeights: ppm weights neutralize duplicated mass, singletons keep 1e6") {
+    // clusters {1,2,3} (size 3) and {7,9} (size 2); 5 and 6 are singletons
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val w = graft.operators.dedup.DedupClusters.softWeights(docs, "doc_id", pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w == Map(
+      1L -> (3L, 333333L), 2L -> (3L, 333333L), 3L -> (3L, 333333L),
+      5L -> (1L, 1000000L), 6L -> (1L, 1000000L),
+      7L -> (2L, 500000L), 9L -> (2L, 500000L)))
+    // every document is retained — soft dedup never drops
+    assert(w.size == 7)
+  }
+
   test("cluster assignment: 50-node chain converges in O(log n) star rounds") {
     // a path graph is the worst case for plain min-label propagation
     // (O(diameter) = 49 rounds); large-star/small-star must close it in
