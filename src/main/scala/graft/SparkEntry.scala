@@ -39,6 +39,32 @@ object SparkEntry {
     s2
   }
 
+  /** Stage `df` as ONE parquet part at `srcDir/<name>.parquet`, with an
+    * optional explicit mtime (the file stream orders micro-batches by
+    * mtime). Shared by every multi-micro-batch streaming gate — the
+    * listing/move/mtime logic must not drift between them. */
+  private def stagePart(df: DataFrame, tmp: String, srcDir: String,
+      name: String, mtimeMillis: Option[Long] = None): Unit = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import java.nio.file.attribute.FileTime
+    JFiles.createDirectories(JPaths.get(srcDir))
+    val st = s"$tmp/stage-$name"
+    df.coalesce(1).write.parquet(st)
+    val parts = JFiles.list(JPaths.get(st)).iterator()
+    var moved = false
+    while (parts.hasNext && !moved) {
+      val p = parts.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        val dst = JPaths.get(srcDir, s"$name.parquet")
+        JFiles.move(p, dst)
+        mtimeMillis.foreach(ms =>
+          JFiles.setLastModifiedTime(dst, FileTime.fromMillis(ms)))
+        moved = true
+      }
+    }
+    require(moved, s"no parquet part staged for $name")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1557,22 +1583,9 @@ object SparkEntry {
           "1" -> raw.where(col("event_type") === "purchase")).foreach {
         case (nm, df) =>
           require(df.limit(1).count() == 1, s"slice $nm empty - gate vacuous")
-          val st = s"$tmp/stage-$nm"
-          df.coalesce(1).write.parquet(st)
-          val parts = JFiles.list(JPaths.get(st)).iterator()
-          var moved = false
-          while (parts.hasNext && !moved) {
-            val p = parts.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val dst = JPaths.get(srcDir, s"part-$nm.parquet")
-              JFiles.move(p, dst)
-              // mtime orders micro-batches: all clicks strictly first
-              JFiles.setLastModifiedTime(dst, FileTime.fromMillis(
-                System.currentTimeMillis() - (if (nm == "0") 60000L else 0L)))
-              moved = true
-            }
-          }
-          require(moved, s"no parquet part staged for slice $nm")
+          // mtime orders micro-batches: all clicks strictly first
+          stagePart(df, tmp, srcDir, s"part-$nm", Some(
+            System.currentTimeMillis() - (if (nm == "0") 60000L else 0L)))
       }
       val schema = s2.read.parquet(srcDir).schema
       val src = graft.streaming.EventStream.source(s2, srcDir, schema,
@@ -1648,22 +1661,9 @@ object SparkEntry {
         "3" -> sentinels(3660, -200L))
       stages.foreach { case (nm, df) =>
         require(df.limit(1).count() == 1, s"slice $nm empty - gate vacuous")
-        val st = s"$tmp/stage-$nm"
-        df.coalesce(1).write.parquet(st)
-        val parts = JFiles.list(JPaths.get(st)).iterator()
-        var moved = false
-        while (parts.hasNext && !moved) {
-          val p = parts.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            val dst = JPaths.get(srcDir, s"part-$nm.parquet")
-            JFiles.move(p, dst)
-            // mtime orders micro-batches strictly
-            JFiles.setLastModifiedTime(dst, FileTime.fromMillis(
-              System.currentTimeMillis() - (3 - nm.toLong) * 60000L))
-            moved = true
-          }
-        }
-        require(moved, s"no parquet part staged for slice $nm")
+        // mtime orders micro-batches strictly
+        stagePart(df, tmp, srcDir, s"part-$nm", Some(
+          System.currentTimeMillis() - (3 - nm.toLong) * 60000L))
       }
       val schema = s2.read.parquet(srcDir).schema
       val src = graft.streaming.EventStream.source(s2, srcDir, schema,
@@ -1785,21 +1785,8 @@ object SparkEntry {
         .withColumn("op", lit("U"))
       val deletes = customer.where(col("c_custkey") % 13 === 0)
         .withColumn("op", lit("D"))
-      JFiles.createDirectories(JPaths.get(cdcDir))
       Seq("u" -> updates, "i" -> inserts, "d" -> deletes).foreach {
-        case (nm, df) =>
-          val st = s"$tmp/stage-$nm"
-          df.coalesce(1).write.parquet(st)
-          val parts = JFiles.list(JPaths.get(st)).iterator()
-          var moved = false
-          while (parts.hasNext && !moved) {
-            val p = parts.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              JFiles.move(p, JPaths.get(cdcDir, s"$nm.parquet"))
-              moved = true
-            }
-          }
-          require(moved, s"no parquet part staged for $nm")
+        case (nm, df) => stagePart(df, tmp, cdcDir, nm)
       }
       val s2 = streamSession(s)
       val schema = s2.read.parquet(cdcDir).schema
@@ -1861,21 +1848,8 @@ object SparkEntry {
         .withColumn("op", lit("U"))
       val deletes = customer.where(col("c_custkey") % 13 === 0)
         .withColumn("op", lit("D"))
-      JFiles.createDirectories(JPaths.get(cdcDir))
       Seq("u" -> updates, "i" -> inserts, "d" -> deletes).foreach {
-        case (nm, df) =>
-          val st = s"$tmp/stage-$nm"
-          df.coalesce(1).write.parquet(st)
-          val parts = JFiles.list(JPaths.get(st)).iterator()
-          var moved = false
-          while (parts.hasNext && !moved) {
-            val p = parts.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              JFiles.move(p, JPaths.get(cdcDir, s"$nm.parquet"))
-              moved = true
-            }
-          }
-          require(moved, s"no parquet part staged for $nm")
+        case (nm, df) => stagePart(df, tmp, cdcDir, nm)
       }
       val s2 = streamSession(s)
       val schema = s2.read.parquet(cdcDir).schema

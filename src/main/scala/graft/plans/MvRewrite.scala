@@ -61,17 +61,30 @@ object MvRewrite {
   final case class MvDef(basePath: String, mvPlan: LogicalRelation,
       dims: Set[String], measures: Set[String])
 
-  // keyed by normalized base-table root path; object-level so the
-  // definition survives across QueryExecutions of the same session.
-  // Only sessions where install() ran consult it at all.
+  // keyed by (session UUID, fully-qualified base root URI); the object
+  // is JVM-global, so SESSION scoping in the key is what keeps one
+  // user's registration from redirecting another session's scans in a
+  // shared-JVM deployment (Thrift server, Connect) where the rule is
+  // extension-injected into every session.
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
-  private def norm(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Fully-qualified URI form (scheme + authority + path): dropping the
+    * scheme would collide file:/warehouse/t with s3a://bucket/warehouse/t
+    * and rewrite one table's aggregate onto the other's rollup. Paths
+    * with no scheme are local-filesystem by construction here. */
+  private def norm(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
+
+  private def uuidOf(spark: SparkSession): String =
+    org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
 
   /** Register `mv` (the [[graft.operators.IncrementalAgg.materialize]]
-    * shape: dims, `n`, `sum_<m>`) as the rollup of `basePath`, and
-    * install the rewrite rule into `spark`'s optimizer. */
+    * shape: dims, `n`, `sum_<m>`) as the rollup of `basePath` FOR THIS
+    * SESSION, and install the rewrite rule into its optimizer. */
   def register(spark: SparkSession, basePath: String, mv: DataFrame,
       dims: Seq[String], measures: Seq[String]): Unit = {
     val plan = mv.queryExecution.analyzed match {
@@ -83,11 +96,13 @@ object MvRewrite {
     val missing = ("n" +: measures.map(m => s"sum_$m")) ++ dims
     val have = plan.output.map(_.name).toSet
     require(missing.forall(have), s"MV lacks columns ${missing.filterNot(have).mkString(", ")}")
-    registry.put(norm(basePath), MvDef(norm(basePath), plan, dims.toSet, measures.toSet))
+    registry.put(s"${uuidOf(spark)}|${norm(basePath)}",
+      MvDef(norm(basePath), plan, dims.toSet, measures.toSet))
     install(spark)
   }
 
-  def deregister(basePath: String): Unit = registry.remove(norm(basePath))
+  def deregister(spark: SparkSession, basePath: String): Unit =
+    registry.remove(s"${uuidOf(spark)}|${norm(basePath)}")
 
   /** Idempotently add the rule to this session's optimizer. */
   def install(spark: SparkSession): Unit = {
@@ -96,8 +111,11 @@ object MvRewrite {
       spark.experimental.extraOptimizations = cur :+ new MvRewriteRule
   }
 
+  /** Resolved against the ACTIVE session: a rule instance may be shared
+    * (extension injection), but a registration never crosses sessions. */
   private[plans] def lookup(path: String): Option[MvDef] =
-    Option(registry.get(path))
+    SparkSession.getActiveSession.flatMap(s =>
+      Option(registry.get(s"${uuidOf(s)}|$path")))
 }
 
 /** The rule proper. Runs in the post-optimization user batch, i.e.
@@ -131,9 +149,24 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // options that narrow which FILES a scan of the registered root reads
+  // — an MV of the whole root cannot answer a narrowed scan
+  private val fileNarrowingOptions =
+    Set("pathglobfilter", "recursivefilelookup", "modifiedbefore", "modifiedafter")
+
   private def relPath(lr: LogicalRelation): Option[String] = lr.relation match {
-    case fs: HadoopFsRelation =>
-      fs.location.rootPaths.headOption.map(_.toUri.getPath)
+    // exactly ONE root: a multi-path scan (read.parquet(a, b)) whose
+    // first root is registered must NOT be rewritten to a's MV — the
+    // other paths' rows would silently vanish from the result
+    case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 &&
+        !fs.options.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+          .exists(fileNarrowingOptions) =>
+      fs.location.rootPaths.headOption.map { p =>
+        val u = p.toUri
+        val scheme = Option(u.getScheme).getOrElse("file")
+        val auth = Option(u.getAuthority).getOrElse("")
+        s"$scheme://$auth${u.getPath}"
+      }
     case _ => None
   }
 
@@ -159,8 +192,10 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
         // count(1)/count(*): every MV row stands for n base rows.
-        // Coalesce keeps the output non-nullable, like Count was.
-        case Count(Seq(Literal(_, _))) =>
+        // Coalesce keeps the output non-nullable, like Count was. The
+        // literal must be NON-NULL: count(NULL) is 0 per group, not the
+        // group's row count — rewriting it would change a value.
+        case Count(Seq(Literal(v, _))) if v != null =>
           Some(Coalesce(Seq(
             AggregateExpression(Sum(nAttr), Complete, isDistinct = false),
             Literal(0L, LongType))))

@@ -73,12 +73,17 @@ object ManifestTable {
   /** `constraints`: table-level CHECK expressions (SQL strings) every
     * written row must satisfy — the Delta invariants model. Metadata
     * carried manifest-to-manifest; absent in older manifests = none. */
+  /** `commitTs`: commit wall-time, stamped into the manifest at render
+    * so it survives copy/restore/rsync (file mtimes do not — the reason
+    * Delta records commit times in-file); absent in legacy manifests →
+    * timestamp time travel falls back to the file mtime. */
   final case class Manifest(version: Long, files: Seq[String],
       commitId: Option[String], parent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       seqs: Map[String, Long] = Map.empty,
       deletes: Seq[(String, Long)] = Seq.empty,
-      constraints: Seq[String] = Seq.empty)
+      constraints: Seq[String] = Seq.empty,
+      commitTs: Option[Long] = None)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -91,6 +96,7 @@ object ManifestTable {
       .mkString(",")
     val delJson = m.deletes.map { case (f, s) => s"[${q(f)},$s]" }.mkString(",")
     s"""{"version":${m.version},"parent":${m.parent},""" +
+      s""""commit_ts":${m.commitTs.getOrElse(System.currentTimeMillis())},""" +
       s""""commit_id":${m.commitId.map(q).getOrElse("null")},""" +
       s""""files":[${m.files.map(q).mkString(",")}],""" +
       s""""stats":{$statsJson},"seqs":{$seqsJson},"deletes":[$delJson],""" +
@@ -163,7 +169,8 @@ object ManifestTable {
       (j \ "files").extract[Seq[String]],
       (j \ "commit_id").extractOpt[String],
       (j \ "parent").extract[Long],
-      stats, seqs, deletes, constraints)
+      stats, seqs, deletes, constraints,
+      (j \ "commit_ts").extractOpt[Long])
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -191,34 +198,37 @@ object ManifestTable {
   /** Read one committed version (default: latest). Reads FAIL on an
     * empty table rather than inventing an empty frame with no schema. */
   /** Time travel by TIMESTAMP (Delta's `TIMESTAMP AS OF`): the newest
-    * version whose commit landed at or before `asOfMillis`. Commit time
-    * is the manifest file's mtime — the commit IS the atomic appearance
-    * of that file, so its filesystem timestamp is the authoritative
-    * record (the same source Delta's timestamp resolution reads); no
-    * format change, and legacy tables resolve too. Fails loudly when
-    * the timestamp predates the first commit — silently returning the
-    * oldest version would fabricate history. */
+    * VERSION whose commit landed at or before `asOfMillis`. Commit time
+    * is the `commit_ts` stamped inside the manifest at commit (survives
+    * copy/restore/rsync, which rewrite file mtimes — the reason Delta
+    * records commit times in-file); legacy manifests without the field
+    * fall back to the manifest file's mtime. Eligibility selects by
+    * MAX VERSION, not max timestamp: the version chain is the authority
+    * on table history, and a wall-clock step between commits must not
+    * resolve a superseded snapshot. Fails loudly when the timestamp
+    * predates the first commit — silently returning the oldest version
+    * would fabricate history. */
   def versionAt(path: String, asOfMillis: Long): Long = {
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed version at $path")
-    val stamped = vs.map(v => v ->
-      Files.getLastModifiedTime(
-        manifestDir(path).resolve(f"v$v%08d.json")).toMillis)
+    val stamped = vs.map(v => v -> commitTimeMillis(path, v))
     val eligible = stamped.filter(_._2 <= asOfMillis)
     require(eligible.nonEmpty,
       s"no version at or before $asOfMillis (earliest commit is " +
         s"${stamped.map(_._2).min})")
-    eligible.maxBy(v => (v._2, v._1))._1
+    eligible.map(_._1).max
   }
 
   /** [[read]] at the version [[versionAt]] resolves for `asOfMillis`. */
   def readAsOf(spark: SparkSession, path: String, asOfMillis: Long): DataFrame =
     read(spark, path, Some(versionAt(path, asOfMillis)))
 
-  /** Commit wall-time of a version (manifest mtime — see [[versionAt]]). */
+  /** Commit wall-time of a version: in-manifest `commit_ts`, falling
+    * back to the manifest file's mtime for legacy manifests. */
   def commitTimeMillis(path: String, version: Long): Long =
-    Files.getLastModifiedTime(
-      manifestDir(path).resolve(f"v$version%08d.json")).toMillis
+    manifestAt(path, version).commitTs.getOrElse(
+      Files.getLastModifiedTime(
+        manifestDir(path).resolve(f"v$version%08d.json")).toMillis)
 
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))

@@ -43,6 +43,11 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Stable per-session identity (sessionUUID is private[sql]) — keys
+    * session-scoped registries like the MV rewrite's. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Materialize the optimizer rules an extensions object would inject at
     * session build (buildOptimizerRules is private[sql]) — lets specs
     * assert the injection without constructing a whole new session. */

@@ -92,6 +92,38 @@ class MvRewriteSpec extends SparkSpecBase {
     val qOther = s2.read.parquet(s"$sf0001/customer.parquet")
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
     assert(!hitsMv(qOther))
+    // count(NULL) is 0 per group, not the row count. Spark's
+    // NullPropagation folds it to literal 0 before the rule runs (so a
+    // rewrite legally keeps the folded constant); whatever the plan,
+    // the VALUES must stay 0 — the rule's null-literal guard is the
+    // backstop for any path that reaches it unfolded.
+    val qCountNull = base.groupBy("o_orderstatus")
+      .agg(count(lit(null)).as("n"))
+    val rawCountNull = spark.read.parquet(basePath)
+      .groupBy("o_orderstatus").agg(count(lit(null)).as("n"))
+    assert(qCountNull.exceptAll(rawCountNull).isEmpty &&
+      rawCountNull.exceptAll(qCountNull).isEmpty)
+    // a multi-path scan whose FIRST root is registered must not be
+    // collapsed onto one path's MV (the other paths' rows would vanish)
+    val qMulti = s2.read.parquet(basePath, basePath)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!hitsMv(qMulti))
+    // a file-narrowed scan of the registered root reads fewer rows than
+    // the MV summarizes — must not rewrite
+    val qGlob = s2.read.option("pathGlobFilter", "*.parquet")
+      .parquet(basePath)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!hitsMv(qGlob))
+  }
+
+  test("registrations are session-scoped: an uninvolved session with the " +
+      "rule installed never rewrites") {
+    val (_, basePath) = freshMv() // registers on ITS OWN clone
+    val bystander = spark.newSession()
+    MvRewrite.install(bystander) // rule present, nothing registered here
+    val q = bystander.read.parquet(basePath)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!hitsMv(q), "another session's registration leaked into this one")
   }
 
   test("SQL-path queries over the same scan rewrite too") {
