@@ -1400,20 +1400,8 @@ object SparkEntry {
       val srcDir = s"$tmp/src"
       JFiles.createDirectories(JPaths.get(srcDir))
       val raw = s2.read.parquet(s"$dir/events.parquet")
-      (0 until 3).foreach { i =>
-        val st = s"$tmp/stage-$i"
-        raw.where(col("event_id") % 3 === i).coalesce(1).write.parquet(st)
-        val parts = JFiles.list(JPaths.get(st)).iterator()
-        var moved = false
-        while (parts.hasNext && !moved) {
-          val p = parts.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            JFiles.move(p, JPaths.get(srcDir, s"part-$i.parquet"))
-            moved = true
-          }
-        }
-        require(moved, s"no parquet part staged for slice $i")
-      }
+      (0 until 3).foreach(i =>
+        stagePart(raw.where(col("event_id") % 3 === i), tmp, srcDir, s"part-$i"))
       val schema = s2.read.parquet(srcDir).schema
       val src = graft.streaming.EventStream.source(s2, srcDir, schema,
         maxFilesPerTrigger = Some(1))
@@ -1502,22 +1490,9 @@ object SparkEntry {
         .withColumn("ts", microsAsTs(sentinelMicros))
       Seq("0" -> raw, "1" -> sentinel, "2" -> late).zipWithIndex.foreach {
         case ((nm, df), i) =>
-          val st = s"$tmp/stage-$nm"
-          df.coalesce(1).write.parquet(st)
-          val parts = JFiles.list(JPaths.get(st)).iterator()
-          var moved = false
-          while (parts.hasNext && !moved) {
-            val p = parts.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val dst = JPaths.get(srcDir, s"part-$nm.parquet")
-              JFiles.move(p, dst)
-              // mtime orders micro-batches: table, sentinel, then clones
-              JFiles.setLastModifiedTime(dst, FileTime.fromMillis(
-                System.currentTimeMillis() - 60000L + i * 10000L))
-              moved = true
-            }
-          }
-          require(moved, s"no parquet part staged for slice $nm")
+          // mtime orders micro-batches: table, sentinel, then clones
+          stagePart(df, tmp, srcDir, s"part-$nm", Some(
+            System.currentTimeMillis() - 60000L + i * 10000L))
       }
       val schema = s2.read.parquet(srcDir).schema
       val src = graft.streaming.EventStream.source(s2, srcDir, schema,
@@ -2178,22 +2153,7 @@ object SparkEntry {
       val t0 = System.currentTimeMillis() - 60000
       Seq(("a", nanos.where(col("ts") < cutNs), t0),
           ("b", nanos.where(col("ts") >= cutNs), t0 + 10000)).foreach {
-        case (nm, df, mtime) =>
-          val st = s"$tmp/stage-$nm"
-          df.coalesce(1).write.parquet(st)
-          val parts = JFiles.list(JPaths.get(st)).iterator()
-          var moved = false
-          while (parts.hasNext && !moved) {
-            val p = parts.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val target = JPaths.get(srcDir, s"$nm.parquet")
-              JFiles.move(p, target)
-              JFiles.setLastModifiedTime(target,
-                java.nio.file.attribute.FileTime.fromMillis(mtime))
-              moved = true
-            }
-          }
-          require(moved, s"no parquet part staged for half $nm")
+        case (nm, df, mtime) => stagePart(df, tmp, srcDir, nm, Some(mtime))
       }
       val schema = s2.read.parquet(srcDir).schema
       val src = graft.streaming.EventStream.source(s2, srcDir, schema,
@@ -2238,22 +2198,7 @@ object SparkEntry {
       val t0 = System.currentTimeMillis() - 60000
       Seq(("a", nanos.where(col("event_id") % 2 === 0), t0),
           ("b", nanos.where(col("event_id") % 2 === 1), t0 + 10000)).foreach {
-        case (nm, df, mtime) =>
-          val st = s"$tmp/stage-$nm"
-          df.coalesce(1).write.parquet(st)
-          val parts = JFiles.list(JPaths.get(st)).iterator()
-          var moved = false
-          while (parts.hasNext && !moved) {
-            val p = parts.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val target = JPaths.get(srcDir, s"$nm.parquet")
-              JFiles.move(p, target)
-              JFiles.setLastModifiedTime(target,
-                java.nio.file.attribute.FileTime.fromMillis(mtime))
-              moved = true
-            }
-          }
-          require(moved, s"no parquet part staged for half $nm")
+        case (nm, df, mtime) => stagePart(df, tmp, srcDir, nm, Some(mtime))
       }
       val shared = s2.read.parquet(s"$srcDir/a.parquet")
         .select("user_id", "event_type")
@@ -3368,6 +3313,17 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def manifoldTruth(s: SparkSession, dir: String): DataFrame =
     manifoldTruthCache.getOrElseUpdate((s, dir), {
+      // bounded: sessions come and go (streamSession clones), and every
+      // entry pins localCheckpoint blocks in the SHARED SparkContext's
+      // block manager — evict-and-release instead of accumulating for
+      // the JVM lifetime (the "checkpoint without a release leaks"
+      // failure IndexScope documents)
+      if (manifoldTruthCache.size >= 4) {
+        manifoldTruthCache.keys.toSeq.foreach { k =>
+          manifoldTruthCache.remove(k).foreach(
+            org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)
+        }
+      }
       val nodes = manifoldNodes(s, dir)
       operators.similarity.Similarity.knnBrute(
         nodes, nodes, "vec_id", "embedding", k = 5).localCheckpoint()

@@ -138,8 +138,14 @@ object Linkage {
     val bits = fields.map(f =>
       when(f.agree(col(s"__la_${f.name}"), col(s"__rb_${f.name}")), 1)
         .otherwise(0).as(s"__g_${f.name}"))
-    // same block-parallelism shuffle as linkPairs (see comment there)
-    val patterns = l.repartition(blockCols.map(col): _*).join(r, blockCols)
+    // same block-parallelism shuffle as linkPairs — the partition count
+    // is EXPLICIT for the same reason (the pre-join sample is tiny, so
+    // AQE would coalesce the exchange to one task and the blocksize²
+    // pattern fan-out would serialize through it)
+    val emPartitions =
+      a.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val patterns = l.repartition(emPartitions, blockCols.map(col): _*)
+      .join(r, blockCols)
       .select(bits: _*)
       .groupBy(fields.map(f => col(s"__g_${f.name}")): _*)
       .count()

@@ -27,10 +27,13 @@ object Hybrid {
     * Output: (query_id, doc_id, jaccard, rank), rank 1..k per query by
     * jaccard desc then doc id. */
   def jaccardRank(docs: DataFrame, idCol: String, textCol: String,
-      queryIds: Seq[Long], k: Int): DataFrame = {
+      queryIds: Seq[Long], k: Int): DataFrame = graft.operators.IndexScope.scoped { sc =>
     require(queryIds.nonEmpty && k > 0)
-    val terms = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("term"))
+    // pinned: terms feeds sizes, the query slice, AND the probe join —
+    // unpinned, the corpus tokenize+explode lineage would execute three
+    // times (Catalyst does not CSE distinct subtrees)
+    val terms = sc.index(docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("term")))
     val sizes = terms.groupBy("doc_id").agg(count(lit(1)).as("nd"))
     val q = terms.where(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("term"))

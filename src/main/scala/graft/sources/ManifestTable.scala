@@ -440,11 +440,20 @@ object ManifestTable {
   def setConstraints(spark: SparkSession, path: String,
       cons: Seq[String]): Long = {
     require(latest(path).isDefined, s"no table at $path")
-    if (cons.nonEmpty) enforceConstraints(read(spark, path), cons).count()
     var attempts = 0
+    // existing rows validate against the EXACT version the constraint
+    // commit lands on: a lost publish race means a concurrent write
+    // slipped in between, and its rows must be scanned too — otherwise
+    // the table would assert an invariant its data was never checked
+    // against (the ALTER TABLE ADD CONSTRAINT race)
+    var validatedVersion = -1L
     while (attempts < 64) {
       attempts += 1
       val base = latest(path).get
+      if (cons.nonEmpty && base.version != validatedVersion) {
+        enforceConstraints(read(spark, path, Some(base.version)), cons).count()
+        validatedVersion = base.version
+      }
       val m = base.copy(version = base.version + 1, parent = base.version,
         commitId = None, constraints = cons)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
@@ -784,13 +793,41 @@ object ManifestTable {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     if (base.deletes.isEmpty) return base.version
-    // per delete-file key-range (first key column) for stats pruning
-    val ranges = base.deletes.map { case (f, seq) =>
-      val df = spark.read.parquet(dataDir(path).resolve(f).toString)
-      val k0 = df.columns.head
-      val mm = df.agg(min(col(k0)), max(col(k0))).collect()(0)
-      (seq, k0, if (mm.isNullAt(0)) None else Some((mm.get(0), mm.get(1))))
+    // per delete-file key-range (first key column) for stats pruning.
+    // The key column comes from the parquet FOOTER (driver-side, one
+    // KB-scale metadata open per file — no job), and the min/max for ALL
+    // files of a key schema come from ONE Spark job keyed by
+    // input_file_name — a ledger of hundreds of delete files plans in
+    // O(schemas) jobs, not O(files) sequential driver-blocking jobs.
+    val firstColOf: Map[String, String] = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = new org.apache.hadoop.conf.Configuration()
+      base.deletes.map { case (f, _) =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dataDir(path).resolve(f).toUri), conf))
+        try f -> r.getFooter.getFileMetaData.getSchema.getFields.get(0).getName
+        finally r.close()
+      }.toMap
     }
+    val ranges: Seq[(Long, String, Option[(Any, Any)])] =
+      base.deletes.groupBy { case (f, _) => firstColOf(f) }.toSeq.flatMap {
+        case (k0, group) =>
+          val byName = spark.read
+            .parquet(group.map(g => dataDir(path).resolve(g._1).toString): _*)
+            .groupBy(input_file_name().as("__f"))
+            .agg(min(col(k0)), max(col(k0)))
+            .collect()
+            .flatMap { r =>
+              val uri = r.getString(0)
+              group.collect { case (f, _) if uri.endsWith(s"/$f") =>
+                f -> (if (r.isNullAt(1)) None else Some((r.get(1), r.get(2))))
+              }
+            }.toMap
+          // a file absent from the scan output (empty file) gets None —
+          // no pruning for its deletes, which is the conservative side
+          group.map { case (f, seq) => (seq, k0, byName.get(f).flatten) }
+      }
     val affected = base.files.filter { f =>
       val fseq = base.seqs.getOrElse(f, 0L)
       ranges.exists { case (dseq, k0, mm) =>
@@ -1101,13 +1138,23 @@ object ManifestTable {
       val groups = newDeletes.groupBy { case (f, _) =>
         deleteKeyCols(spark, path, f)
       }.values.toSeq
+      // each group's distinct key set is built ONCE and shared between
+      // its own semi-join and every later group's anti-join fold —
+      // otherwise group gi would re-read and re-distinct all earlier
+      // groups' files (quadratic repeated I/O). Multi-schema ledgers
+      // (rare) pin the KB-scale key frames via localCheckpoint so the
+      // folds don't re-execute the union lineage per join.
+      val groupKeys: Seq[DataFrame] = groups.map { dels =>
+        val k = dels.map { case (f, _) =>
+          spark.read.parquet(dataDir(path).resolve(f).toString)
+        }.reduce(_.unionByName(_)).distinct()
+        if (groups.size > 1) k.localCheckpoint() else k
+      }
       // per key-schema group: semi-join shared rows on the group's keys,
       // anti-joining away earlier groups' matches so a row hidden under
       // two key schemas is surfaced exactly once
       val extras = groups.zipWithIndex.map { case (dels, gi) =>
-        val keysDf = dels.map { case (f, _) =>
-          spark.read.parquet(dataDir(path).resolve(f).toString)
-        }.reduce(_.unionByName(_)).distinct()
+        val keysDf = groupKeys(gi)
         val keyCols = keysDf.columns.toSeq
         // prune shared files by the delete keys' [min,max] on the first
         // key column — one tiny agg, then metadata-only file skipping
@@ -1128,10 +1175,7 @@ object ManifestTable {
             spark.read.option("mergeSchema", "true")
               .parquet(scanFiles.map(f => dataDir(path).resolve(f).toString): _*))
           val hit = cand.join(broadcast(keysDf), keyCols, "left_semi")
-          groups.take(gi).foldLeft(hit) { (acc, prev) =>
-            val prevKeys = prev.map { case (f, _) =>
-              spark.read.parquet(dataDir(path).resolve(f).toString)
-            }.reduce(_.unionByName(_)).distinct()
+          groupKeys.take(gi).foldLeft(hit) { (acc, prevKeys) =>
             acc.join(broadcast(prevKeys), prevKeys.columns.toSeq, "left_anti")
           }
         }

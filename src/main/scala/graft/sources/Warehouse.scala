@@ -184,19 +184,27 @@ final case class WarehouseMeta(
 object WarehouseRegistry {
   private val metas = scala.collection.concurrent.TrieMap.empty[String, WarehouseMeta]
   private val factories = scala.collection.concurrent.TrieMap.empty[String, () => Warehouse]
+  // ONE instance per name: run reports read request/retry accumulators
+  // off the instance the pipeline used — a per-call factory would hand
+  // the report a throwaway twin whose counters are forever zero. Auth
+  // state (refresh-on-expiry tokens) also belongs to one shared instance.
+  private val instances = scala.collection.concurrent.TrieMap.empty[String, Warehouse]
 
   def register(meta: WarehouseMeta, factory: () => Warehouse): Unit = {
     if (metas.putIfAbsent(meta.name, meta).isDefined)
       throw new IllegalArgumentException(
         s"Warehouse with name '${meta.name}' is already registered.")
     factories.put(meta.name, factory)
+    instances.remove(meta.name)
   }
 
   def list(): Map[String, WarehouseMeta] = metas.toMap
 
   def instance(name: String): Warehouse =
-    factories.getOrElse(name,
-      throw new NoSuchElementException(s"No factory registered for warehouse '$name'"))()
+    instances.getOrElseUpdate(name,
+      factories.getOrElse(name,
+        throw new NoSuchElementException(
+          s"No factory registered for warehouse '$name'"))())
 
-  def clear(): Unit = { metas.clear(); factories.clear() }
+  def clear(): Unit = { metas.clear(); factories.clear(); instances.clear() }
 }
