@@ -223,6 +223,14 @@ object ManifestTable {
   def readAsOf(spark: SparkSession, path: String, asOfMillis: Long): DataFrame =
     read(spark, path, Some(versionAt(path, asOfMillis)))
 
+  /** Has a commit with this id already landed? The cheap pre-check for
+    * replay-heavy callers (a streaming foreachBatch re-fed its whole
+    * history) that want to skip recomputing a batch's derived state
+    * before the commit's own idempotence would discard it anyway. */
+  def commitLanded(path: String, commitId: String): Boolean =
+    versions(path).exists(v =>
+      manifestAt(path, v).commitId.contains(commitId))
+
   /** Commit wall-time of a version: in-manifest `commit_ts`, falling
     * back to the manifest file's mtime for legacy manifests. */
   def commitTimeMillis(path: String, version: Long): Long =

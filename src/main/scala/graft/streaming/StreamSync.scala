@@ -167,7 +167,12 @@ object StreamSync {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        // replay fast path: if this batch's MV fold already landed, skip
+        // recomputing it — the overwrite's commit-id idempotence would
+        // discard the recomputed frame anyway (correctness unchanged,
+        // replay cost drops from recompute-everything to metadata reads)
+        if (!batch.isEmpty && !graft.sources.ManifestTable.commitLanded(
+            mvPath, s"mv-batch-$batchId")) {
           val s = batch.sparkSession
           val vm = graft.sources.ManifestTable.merge(
             s, tablePath, batch.toDF(), keyCols,
