@@ -909,6 +909,36 @@ object SparkEntry {
       q
     }),
 
+    "q100_fk_audit" -> ((s, dir) => {
+      // referential-integrity audit (q51's DQ sibling): orphan foreign
+      // keys per star-schema edge. Each edge is one left join against
+      // the DISTINCT parent-key set (broadcast-sized) + one conditional
+      // count — no fan-out however the parent side is keyed, no
+      // NOT-IN null traps, and at 100 TB each edge is a broadcast
+      // probe over one child scan. The quality gate every warehouse
+      // sync loop should run after a load.
+      def edge(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val pk = broadcast(parent.select(col(pkey).as(key)).distinct()
+          .withColumn("__hit", lit(1)))
+        child.select(col(key)).join(pk, Seq(key), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__hit").isNull, 1).otherwise(0)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val p = Tables(s, dir, "part")
+      val su = Tables(s, dir, "supplier")
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+        .unionByName(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+    }),
+
     "q91_grouping_sets" -> ((s, dir) => {
       // arbitrary GROUPING SETS (the general form behind q25's rollup /
       // q55's cube): one aggregation pass expands each input row into
@@ -4601,6 +4631,31 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    "q100_fk_audit" ->
+      """SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
+           CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         FROM lineitem l LEFT JOIN
+           (SELECT DISTINCT o_orderkey AS k FROM orders) d ON l.l_orderkey = d.k
+         UNION ALL
+         SELECT 'lineitem->part', count(*),
+           CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem l LEFT JOIN
+           (SELECT DISTINCT p_partkey AS k FROM part) d ON l.l_partkey = d.k
+         UNION ALL
+         SELECT 'orders->customer', count(*),
+           CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders o LEFT JOIN
+           (SELECT DISTINCT c_custkey AS k FROM customer) d ON o.o_custkey = d.k
+         UNION ALL
+         SELECT 'customer->nation', count(*),
+           CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM customer c LEFT JOIN
+           (SELECT DISTINCT n_nationkey AS k FROM nation) d ON c.c_nationkey = d.k
+         UNION ALL
+         SELECT 'supplier->nation', count(*),
+           CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM supplier s LEFT JOIN
+           (SELECT DISTINCT n_nationkey AS k FROM nation) d ON s.s_nationkey = d.k""",
     "q91_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) AS INT) AS g_rf,
