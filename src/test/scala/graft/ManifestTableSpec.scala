@@ -25,6 +25,34 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.versions(t) == Seq(1L, 2L, 3L))
   }
 
+  test("concurrent appends: optimistic retry keeps every row and a linear chain") {
+    // 6 writers x 4 commits racing on one table: losers of the
+    // create-version lock must retry on top of the new latest, so the
+    // version chain stays linear (parent = version - 1, no gaps) and
+    // no winner's rows are clobbered — the Delta
+    // mutual-exclusion-on-log-entry contract under real contention
+    val t = table()
+    ManifestTable.append(Seq(0).toDF("x"), t)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { th =>
+      new Thread(() => {
+        try (0 until 4).foreach { i =>
+          ManifestTable.append(Seq(th * 100 + i).toDF("x"), t); ()
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val vs = ManifestTable.versions(t)
+    assert(vs == (1L to 25L), s"non-linear version chain: $vs")
+    val rows = ManifestTable.read(spark, t).as[Int].collect().toSet
+    val expected = Set(0) ++
+      (for (th <- 1 to 6; i <- 0 until 4) yield th * 100 + i)
+    assert(rows == expected,
+      s"lost commits: missing ${expected -- rows}, extra ${rows -- expected}")
+  }
+
   test("timestamp time travel resolves the newest commit at-or-before") {
     val t = table()
     ManifestTable.append(Seq(1, 2).toDF("x"), t)
