@@ -3251,6 +3251,44 @@ object SparkEntry {
         .toDF("doc_id", "byte_len", "format", "width", "height")
     }),
 
+    "mm6_resize" -> ((s, dir) => {
+      // the TRANSFORM-and-re-encode leg of the multimodal pipeline:
+      // decode header → resize to half → re-encode → verify by
+      // re-parsing the produced bytes. The pixel-level decode/re-encode
+      // is a DETERMINISTIC FAKE (codec libraries are absent from this
+      // environment by design — the fake regenerates a well-formed
+      // header at the new dimensions); the Spark-side plumbing is the
+      // real thing a cluster job needs: typed per-partition map, binary
+      // payloads in AND out, self-verification on the re-encoded bytes,
+      // id-arithmetic oracle over the emitted metadata.
+      import s.implicits._
+      import operators.multimodal.ImageHeaders
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (16 + id % 624).toInt
+          val h = (16 + (id * 7) % 464).toInt
+          val filler = (id % 100).toInt
+          val src =
+            if (id % 2 == 0) ImageHeaders.synthPng(w, h, filler)
+            else ImageHeaders.synthJpeg(w, h, filler)
+          val dims = ImageHeaders.parse(src).getOrElse(
+            throw new IllegalStateException(s"synth payload unparseable: $id"))
+          val nw = math.max(1, dims.width / 2)
+          val nh = math.max(1, dims.height / 2)
+          val out =
+            if (dims.format == "png") ImageHeaders.synthPng(nw, nh, 0)
+            else ImageHeaders.synthJpeg(nw, nh, 0)
+          val back = ImageHeaders.parse(out).getOrElse(
+            throw new IllegalStateException(s"re-encoded payload unparseable: $id"))
+          require(back.width == nw && back.height == nh,
+            s"re-encode drifted for $id: $back vs ($nw, $nh)")
+          (id, dims.format, dims.width, dims.height,
+            back.width, back.height, out.length.toLong)
+        }
+        .toDF("doc_id", "format", "width", "height",
+          "new_width", "new_height", "out_len")
+    }),
+
     "mm3_wav_meta" -> ((s, dir) => {
       // audio twin of mm1: synthesize real RIFF/WAVE headers with
       // id-derived parameters (every 11th doc stays raw text for the
@@ -4150,6 +4188,17 @@ object SparkEntry {
               ELSE CAST(16 + doc_id % 624 AS INTEGER) END AS width,
          CASE WHEN doc_id % 13 = 0 THEN NULL
               ELSE CAST(16 + (doc_id * 7) % 464 AS INTEGER) END AS height
+         FROM documents""",
+    // mm6: resize halves the parsed dims; re-encoded header sizes are
+    // format constants (png 33+0 filler, jpeg 39+0)
+    "mm6_resize" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         CAST(16 + doc_id % 624 AS INTEGER) AS width,
+         CAST(16 + (doc_id * 7) % 464 AS INTEGER) AS height,
+         CAST((16 + doc_id % 624) // 2 AS INTEGER) AS new_width,
+         CAST((16 + (doc_id * 7) % 464) // 2 AS INTEGER) AS new_height,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS out_len
          FROM documents""",
     // mm5: synthesized GIF/WebP byte lengths and dims are id-arithmetic
     // (synthGif = 14+filler, lossy = 30+filler, lossless = 25+filler)
