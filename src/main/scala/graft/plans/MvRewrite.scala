@@ -27,9 +27,12 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *   - `sum(cast(m as dec(18,4)))` → `sum(sum_m)` cast back to the
   *     original result type (exact — the MV carries exact decimal sums
   *     in [[graft.operators.IncrementalAgg]]'s maintained shape)
-  *   - grouping by any SUBSET of the MV dims rolls the MV up further.
+  *   - grouping by any SUBSET of the MV dims rolls the MV up further;
+  *   - a scan-side Filter over REGISTERED DIMS ONLY is answered by
+  *     filtering the rollup (dims partition base rows exactly as they
+  *     partition rollup rows) — the sliced-dashboard shape.
   * Anything else — distinct aggs, FILTER clauses, measures or dims the
-  * MV lacks, a Filter between scan and aggregate — bails to the
+  * MV lacks, any predicate touching a non-dim column — bails to the
   * original plan, so the rule can never change a result, only its
   * access path (spec-pinned: rewritten == raw on every shape).
   *
@@ -130,24 +133,33 @@ class MvRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
-      baseScanPath(agg.child)
-        .flatMap(MvRewrite.lookup)
-        .flatMap(tryRewrite(agg, _))
+      destructure(agg.child)
+        .flatMap { case (path, cond) =>
+          MvRewrite.lookup(path).flatMap(tryRewrite(agg, _, cond))
+        }
         .getOrElse(agg)
   }
 
-  /** The aggregate child must be exactly the registered base scan —
-    * optionally behind a pure-attribute Project (column pruning). Any
-    * Filter/computed column means the MV can't answer it: bail. */
-  private def baseScanPath(plan: LogicalPlan): Option[String] = plan match {
-    case lr: LogicalRelation => relPath(lr)
-    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      p.child match {
-        case lr: LogicalRelation => relPath(lr)
-        case _ => None
-      }
-    case _ => None
-  }
+  /** The aggregate child must be the registered base scan — optionally
+    * behind pure-attribute Projects (column pruning) and Filters. A
+    * Filter is answerable ONLY if its predicate references registered
+    * DIM columns alone (checked in [[tryRewrite]]): dims partition the
+    * base rows exactly as they partition the rollup rows, so filtering
+    * the rollup then re-aggregating equals filtering the base. Any
+    * measure/non-dim predicate means the MV can't answer it: bail.
+    * Returns (root path, conjunction of the filters on the way down). */
+  private def destructure(plan: LogicalPlan): Option[(String, Option[Expression])] =
+    plan match {
+      case lr: LogicalRelation => relPath(lr).map(_ -> None)
+      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        destructure(p.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.deterministic =>
+        destructure(f.child).map { case (path, cond) =>
+          path -> Some(cond.map(And(_, f.condition)).getOrElse(f.condition))
+        }
+      case _ => None
+    }
 
   // options that narrow which FILES a scan of the registered root reads
   // — an MV of the whole root cannot answer a narrowed scan
@@ -170,7 +182,8 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate, mv: MvRewrite.MvDef): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate, mv: MvRewrite.MvDef,
+      baseCond: Option[Expression]): Option[LogicalPlan] = {
     // fresh exprIds per use so two rewrites in one query tree (e.g. a
     // self-join of two rollups) can't collide
     val fresh = mv.mvPlan.newInstance()
@@ -245,10 +258,38 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
 
+    // a scan-side filter must reference registered dims ONLY (any other
+    // column — a measure, an unregistered attribute, a subquery — means
+    // the rollup cannot answer the narrowed aggregate)
+    def mapCond(e: Expression): Option[Expression] = e match {
+      case _: PlanExpression[_] => None
+      case a: AttributeReference =>
+        if (mv.dims(a.name) && mvAttr.contains(a.name) &&
+          mvAttr(a.name).dataType == a.dataType) Some(mvAttr(a.name))
+        else None
+      case other if other.children.isEmpty => Some(other)
+      case other =>
+        val kids = other.children.map(mapCond)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val mvCond: Option[Expression] = baseCond match {
+      case None => None
+      case Some(c) => mapCond(c) match {
+        case Some(mc) => Some(mc)
+        case None => return None
+      }
+    }
+
     val needed = {
-      val refs = AttributeSet(newResults.flatMap(_.references) ++ groupPairs.map(_._2))
+      val refs = AttributeSet(newResults.flatMap(_.references) ++
+        groupPairs.map(_._2) ++ mvCond.toSeq.flatMap(_.references))
       fresh.output.filter(refs.contains)
     }
-    Some(Aggregate(groupPairs.map(_._2), newResults, Project(needed, fresh)))
+    val scan: LogicalPlan = Project(needed, fresh)
+    val filtered = mvCond
+      .map(org.apache.spark.sql.catalyst.plans.logical.Filter(_, scan))
+      .getOrElse(scan)
+    Some(Aggregate(groupPairs.map(_._2), newResults, filtered))
   }
 }

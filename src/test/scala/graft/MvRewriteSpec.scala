@@ -77,10 +77,16 @@ class MvRewriteSpec extends SparkSpecBase {
     val qDistinct = base.groupBy("o_orderstatus")
       .agg(countDistinct("o_custkey"))
     assert(!hitsMv(qDistinct))
-    // filter between scan and aggregate changes which base rows count
+    // a MEASURE filter changes which base rows count inside each dim
+    // group — the rollup cannot answer it
     val qFiltered = base.where(col("o_totalprice") > 1000.0)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
     assert(!hitsMv(qFiltered))
+    // mixed dim+measure predicate bails too
+    val qMixed = base.where(col("o_orderstatus") === "F" &&
+        col("o_totalprice") > 1000.0)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!hitsMv(qMixed))
     // grouping by a non-dim column
     val qNonDim = base.groupBy("o_custkey").agg(count(lit(1)).as("n"))
     assert(!hitsMv(qNonDim))
@@ -124,6 +130,22 @@ class MvRewriteSpec extends SparkSpecBase {
     val q = bystander.read.parquet(basePath)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
     assert(!hitsMv(q), "another session's registration leaked into this one")
+  }
+
+  test("dim-only filters rewrite onto the filtered rollup, still exact") {
+    // dims partition base rows exactly as they partition rollup rows,
+    // so WHERE dim = x answered from the rollup is exact — the shape
+    // every sliced dashboard query takes
+    val (s2, basePath) = freshMv()
+    def q(s: org.apache.spark.sql.SparkSession) = s.read.parquet(basePath)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderstatus") =!= "P")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+    val rewritten = q(s2)
+    assert(hitsMv(rewritten), s"dim filter not rewritten: ${scannedPaths(rewritten)}")
+    val raw = q(spark)
+    assert(rewritten.exceptAll(raw).isEmpty && raw.exceptAll(rewritten).isEmpty)
   }
 
   test("SQL-path queries over the same scan rewrite too") {
