@@ -1757,8 +1757,9 @@ object SparkEntry {
       // STREAMING incremental-MV maintenance (StreamSync.startMergeWithMv)
       // under the gate: the q60 change set staged as THREE key-disjoint
       // files, consumed with maxFilesPerTrigger=1 against one checkpoint
-      // — each micro-batch MERGEs into the base table AND folds that
-      // merge's file-pruned change feed into the maintained rollup, so
+      // — each micro-batch MoR-MERGEs into the base table (O(batch)
+      // delete+upsert bytes, ZERO rewritten data files — gated) AND
+      // folds that merge's change feed into the maintained rollup, so
       // the rollup is fresh within one batch at delta cost (it never
       // rescans the table). Gates: one MV fold per batch landed, a full
       // replay from a fresh checkpoint is a manifest-level no-op on BOTH
@@ -1795,14 +1796,17 @@ object SparkEntry {
       }
       val s2 = streamSession(s)
       val schema = s2.read.parquet(cdcDir).schema
+      val dataBefore = ManifestTable.dataFiles(base, Some(1L)).toSet
       def run(ck: String): Unit =
         graft.streaming.StreamSync.startMergeWithMv(
           s2.readStream.schema(schema).option("maxFilesPerTrigger", "1")
             .parquet(cdcDir),
           base, Seq("c_custkey"), mvPath, dims, measures, ck,
           deleteWhen = Some(col("op") === "D"),
-          trigger = Trigger.AvailableNow()).awaitTermination()
+          trigger = Trigger.AvailableNow(), mor = true).awaitTermination()
       run(s"$tmp/ckpt")
+      require(dataBefore.subsetOf(ManifestTable.dataFiles(base).toSet),
+        "MoR stream merge rewrote/dropped a base data file")
       require(ManifestTable.versions(base).size == 4,
         "expected 3 micro-batch merge commits on v1")
       require(ManifestTable.versions(mvPath).size == 4,

@@ -33,6 +33,35 @@ object PageRank {
   def iterate(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    iterateImpl(edges, srcCol, dstCol, iters, untilStable = false)._1
+  }
+
+  /** Run until the rank vector reaches its integer FIXED POINT (the
+    * div-floored arithmetic literally stops changing) or `maxIters`.
+    * Returns (ranks, rounds run, converged). Detection is one extra
+    * metadata-sized action per round: an order-independent signature of
+    * (node, pr) — count plus two independently seeded bounded hash sums,
+    * the same convergence test [[graft.operators.dedup.DedupClusters]]
+    * uses for its star rounds; a signature collision between DIFFERENT
+    * rank vectors needs both seeded sums to collide at once. */
+  def iterateUntilStable(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, "need at least one iteration")
+    iterateImpl(edges, srcCol, dstCol, maxIters, untilStable = true)
+  }
+
+  private def signature(pr: DataFrame): (Long, Long, Long) = {
+    val row = pr.agg(
+      count(lit(1)),
+      sum(pmod(xxhash64(col("node"), col("pr")), lit(1000000007L))),
+      sum(pmod(xxhash64(lit(13), col("node"), col("pr")), lit(998244353L)))).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) 0L else row.getLong(2))
+  }
+
+  private def iterateImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, untilStable: Boolean): (DataFrame, Int, Boolean) = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -40,17 +69,32 @@ object PageRank {
       .distinct().localCheckpoint()
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
-    var pr = nodes.withColumn("pr", lit(Unit0))
-    for (_ <- 0 until iters) {
+    var pr = nodes.withColumn("pr", lit(Unit0)).localCheckpoint()
+    var sig = if (untilStable) signature(pr) else (0L, 0L, 0L)
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      rounds += 1
       val contrib = e
         .join(pr.join(deg, "node"), col("src") === col("node"))
         .select(col("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
         .localCheckpoint() // cut the iterative lineage each round
+      val prevBlocks = pr
+      pr = next
+      if (untilStable) {
+        val nextSig = signature(pr)
+        converged = nextSig == sig
+        sig = nextSig
+      }
+      // the superseded round's checkpoint blocks are released, so
+      // storage stays O(|V|) however many rounds run
+      org.apache.spark.sql.graft.ColumnBridge
+        .unpersistLocalCheckpoint(prevBlocks)
     }
-    pr
+    (pr, rounds, converged)
   }
 }

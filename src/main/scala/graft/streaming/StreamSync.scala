@@ -162,7 +162,13 @@ object StreamSync {
       measures: Seq[String],
       checkpointDir: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      // merge-on-read: each batch commits O(batch) delete+upsert bytes
+      // and rewrites nothing; the change feed still derives exactly
+      // (differingSlices surfaces DV-hidden rows from the delete
+      // ledger — spec-pinned against the full-snapshot diff), so the
+      // MV fold rides the same O(delta) cost as the merge itself.
+      mor: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -174,9 +180,13 @@ object StreamSync {
         if (!batch.isEmpty && !graft.sources.ManifestTable.commitLanded(
             mvPath, s"mv-batch-$batchId")) {
           val s = batch.sparkSession
-          val vm = graft.sources.ManifestTable.merge(
-            s, tablePath, batch.toDF(), keyCols,
-            deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+          val vm =
+            if (mor) graft.sources.ManifestTable.mergeMoR(
+              s, tablePath, batch.toDF(), keyCols,
+              deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+            else graft.sources.ManifestTable.merge(
+              s, tablePath, batch.toDF(), keyCols,
+              deleteWhen, commitId = Some(s"merge-batch-$batchId"))
           val feed = graft.sources.ManifestTable.changesWithValues(
             s, tablePath, vm - 1, vm, keyCols)
           val mv1 = graft.operators.IncrementalAgg.applyDelta(

@@ -299,6 +299,19 @@ class PropertySpec extends SparkSpecBase {
     val r3b = PageRank.iterate(e.repartition(7), "src", "dst", iters = 3)
       .as[(Long, Long)].collect().toMap
     assert(r3a == r3b)
+    // convergence detection: a 3-ring is at its fixed point immediately
+    // (every node keeps exactly U), so the signature repeats at round 1
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (rr, rounds, converged) =
+      PageRank.iterateUntilStable(ring, "src", "dst", maxIters = 10)
+    assert(converged && rounds == 1, s"ring: rounds=$rounds converged=$converged")
+    assert(rr.as[(Long, Long)].collect().toMap ==
+      Map(1L -> PageRank.Unit0, 2L -> PageRank.Unit0, 3L -> PageRank.Unit0))
+    // the 4-edge graph is NOT at a fixed point after 1 round; bounded
+    // run respects maxIters and reports non-convergence
+    val (_, rounds2, conv2) =
+      PageRank.iterateUntilStable(e, "src", "dst", maxIters = 2)
+    assert(rounds2 == 2 && !conv2)
   }
 
   test("incremental MV algebra: delta fold equals recompute, composes " +
