@@ -26,7 +26,12 @@ final case class PullConfig(
     where: Seq[Condition],
     having: Seq[Condition],
     mapping: Seq[FieldMap],
-    dryRun: Boolean)
+    dryRun: Boolean,
+    // TIMESTAMP AS OF (epoch millis): pull from the origin table's
+    // snapshot at that wall time — reproducibility for "rerun
+    // yesterday's pipeline against yesterday's table". Requires a
+    // manifest-warehouse origin (time travel needs versions).
+    asOf: Option[Long] = None)
 
 object ConfigPipeline {
 
@@ -109,7 +114,14 @@ object ConfigPipeline {
       where = parseConditions(j \ "where"),
       having = parseConditions(j \ "having"),
       mapping = resolveMapping(j),
-      dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false })
+      dryRun = (j \ "dry_run") match { case JBool(b) => b; case _ => false },
+      asOf = (j \ "as_of") match {
+        case JInt(i) => Some(i.toLong)
+        case JLong(l) => Some(l)
+        case JNothing => None
+        case other => throw new IllegalArgumentException(
+          s"as_of must be epoch millis, got $other")
+      })
   }
 
   /** Run a parsed pull config: origin → slice/where/having/format →
@@ -124,8 +136,17 @@ object ConfigPipeline {
     // handed down so it can skip files before Spark plans the scan; the
     // pipeline still applies the same predicates row-level (idempotent),
     // so the result is identical either way — only the scan cost moves
-    val source = origin match {
-      case pr: graft.sources.PrunedReads =>
+    val source = (origin, cfg.asOf) match {
+      case (mw: graft.sources.ManifestWarehouse, Some(ts)) =>
+        // snapshot read: resolves the newest version committed at or
+        // before ts; predicates still apply row-level below (the
+        // stats-pruned path reads the LATEST version, so it does not
+        // compose with time travel)
+        graft.sources.ManifestTable.readAsOf(spark,
+          s"${mw.baseDir}/${cfg.resource}", ts)
+      case (_, Some(_)) => throw new IllegalArgumentException(
+        "as_of requires a manifest-warehouse origin (time travel needs versions)")
+      case (pr: graft.sources.PrunedReads, None) =>
         pr.readWhere(spark, cfg.resource,
           cursor.conditions(cfg.cursorField) ++ cfg.where)
       case _ => origin.read(spark, cfg.resource)

@@ -163,6 +163,43 @@ class SourcesConfigSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, s"$tbl/orders").count() == v1Rows)
   }
 
+  test("config pull with as_of reads the origin snapshot at that wall time") {
+    // reproducibility: rerun yesterday's pipeline against yesterday's
+    // table — the config names a timestamp, the pull resolves the
+    // version committed at or before it
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-asof-").toString
+    import graft.sources.ManifestTable
+    ManifestTable.overwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), s"$base/things")
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(20)
+    ManifestTable.overwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), s"$base/things")
+    WarehouseRegistry.register(
+      WarehouseMeta("mw", "MW", "mw", "manifest"),
+      () => ManifestWarehouse("mw", base))
+    val out = Files.createTempDirectory("graft-asof-out-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("out", "Out", "out", "parquet"),
+      () => ParquetWarehouse("out", out))
+    def pull(asOf: String): Long = ConfigPipeline.runPull(spark, s"""{
+      "resource": "things", "origin": "mw", "target": "out",
+      "cursor": {"mode": "uid", "field": "id"}$asOf
+    }""")._1.count()
+    assert(pull(s""", "as_of": $betweenCommits""") == 2,
+      "as_of between commits must read v1")
+    assert(pull("") == 3, "no as_of reads the latest version")
+    // time travel over a non-versioned origin fails loudly
+    val err = intercept[IllegalArgumentException](
+      ConfigPipeline.runPull(spark, s"""{
+        "resource": "things", "origin": "out", "target": "out",
+        "cursor": {"mode": "uid", "field": "id"},
+        "as_of": $betweenCommits
+      }"""))
+    assert(err.getMessage.contains("manifest-warehouse origin"))
+  }
+
   test("config pull from a manifest origin opens only stats-surviving files") {
     import graft.sources.{ManifestTable, ManifestWarehouse}
     import org.apache.spark.sql.functions.col
