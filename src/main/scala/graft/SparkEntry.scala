@@ -2819,6 +2819,26 @@ object SparkEntry {
       truth
     }),
 
+    "ss15_filtered_perattr" -> ((s, dir) => {
+      // the PER-ATTRIBUTE index variant of ss14: one small codebook per
+      // label (an index per tenant/language), so probed lists are
+      // within-attribute by construction and scan fraction tracks
+      // nProbe/nLists per attribute even under attribute skew — where
+      // ss14's shared codebook skews its lists toward the dominant
+      // attribute's geometry. Same gate-then-emit-truth: recall against
+      // the exact filtered brute force, truth emitted under ss14's
+      // oracle shape.
+      import operators.similarity.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = Similarity.knnBruteFiltered(emb, queries, "vec_id",
+        "embedding", "label", k = 5).localCheckpoint()
+      val approx = Similarity.knnIvfPerAttr(emb, queries, "vec_id",
+        "embedding", "label", k = 5, nLists = 4, nProbe = 2)
+      Similarity.recallGate(approx, truth, minMeanRecall = 0.6)
+      truth
+    }),
+
     "ss12_hybrid_rrf" -> ((s, dir) => {
       // HYBRID retrieval under the gate: dense top-50 (exact cosine,
       // ss1's machinery) fused with sparse top-50 (token-set Jaccard)
@@ -3793,6 +3813,24 @@ object SparkEntry {
     // gate; the emitted rows are the exact label-filtered top-k (the
     // attribute predicate is part of the join, mirrored here)
     "ss14_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql,
+                      CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, label AS nl,
+                 CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings),
+         s AS (SELECT qid, nid, nl,
+                 round(list_cosine_similarity(qv, nv), 6) AS cosine
+               FROM q JOIN c ON qid != nid AND ql = nl)
+         SELECT query_id, neighbor_id, label, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, nl AS label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid) AS rk
+           FROM s)
+         WHERE rk <= 5""",
+    // ss15: per-attribute codebooks are enforced by the in-query recall
+    // gate; the emitted rows are the same exact filtered top-k as ss14
+    "ss15_filtered_perattr" ->
       """WITH q AS (SELECT vec_id AS qid, label AS ql,
                       CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 20),

@@ -260,6 +260,58 @@ object Similarity {
           col("__attr").as(attrCol), col("cosine"), col("rk"))
     }
 
+  /** PER-ATTRIBUTE partitioned filtered search: one small IVF codebook
+    * per attribute value (an index per tenant/language), so every
+    * probed list is already within-attribute and the scan fraction
+    * tracks nProbe/nLists PER ATTRIBUTE even when one attribute
+    * dominates the corpus — [[knnIvfFiltered]]'s shared-codebook lists
+    * skew toward the dominant attribute's geometry, which starves rare
+    * attributes of list resolution. Codebook training is a bounded
+    * driver loop over the attribute's distinct values (require'd ≤ 64:
+    * per-tenant index count is a config-scale quantity, not data-scale;
+    * each codebook trains on a bounded sample, centroids broadcast as
+    * codegen literals). Recall < 1 by construction; gate with
+    * [[recallGate]] against [[knnBruteFiltered]]. */
+  def knnIvfPerAttr(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, attrCol: String, k: Int,
+      nLists: Int = 4, nProbe: Int = 2, seed: Long = 42L): DataFrame =
+    IndexScope.scoped { sc =>
+      val c0 = unitVectors(corpus, idCol, vecCol, "neighbor_id", "n_vec", sc)
+      val joined = sc.index(
+        corpus.select(col(idCol).as("neighbor_id"), col(attrCol).as("__attr"))
+          .join(c0, "neighbor_id"))
+      val attrs = joined.select("__attr").distinct().collect().map(_.get(0))
+      require(attrs.length <= 64,
+        s"${attrs.length} attribute values — per-attr codebooks are for " +
+          "config-scale attributes (tenant, language); bucket or use " +
+          "knnIvfFiltered for data-scale ones")
+      val cents: Map[Any, Array[Array[Double]]] = attrs.map { a =>
+        a -> trainCentroids(
+          joined.where(col("__attr") === a).select(col("n_vec").as("v")),
+          nLists, seed)
+      }.toMap
+      val assigned = sc.index(attrs.map { a =>
+        joined.where(col("__attr") === a)
+          .withColumn("list", probeLists(cents(a), col("n_vec"), 1).getItem(0))
+      }.reduce(_.unionByName(_)))
+      val q0 = queries.select(col(idCol).as("query_id"), col(attrCol).as("__attr"))
+        .join(unitVectors(queries, idCol, vecCol, "query_id", "q_vec", sc),
+          "query_id")
+      val probes = broadcast(attrs.map { a =>
+        q0.where(col("__attr") === a)
+          .withColumn("list", explode(probeLists(cents(a), col("q_vec"), nProbe)))
+      }.reduce(_.unionByName(_)))
+      val scored = probes.join(assigned, Seq("list", "__attr"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(dot(col("q_vec"), col("n_vec")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("__attr").as(attrCol), col("cosine"), col("rk"))
+    }
+
   /** Per-label centroid, emitted flat as (label, pos, c): the coarse
     * quantizer step of an IVF index. One shuffle keyed by (label, pos). */
   def centroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
