@@ -2737,6 +2737,15 @@ object SparkEntry {
     "tx3_langid" -> ((s, dir) =>
       operators.textual.TextStats.langId(Tables(s, dir, "documents"), "doc_id", "text", "lang")),
 
+    "tx19_dup_spans" -> ((s, dir) =>
+      // exact duplicated-span map (TextStats.duplicatedSpans): which
+      // character positions sit inside a 40-char gram that appears
+      // verbatim in ANOTHER document — the exact-substring-dedup core,
+      // position-exact where winnowing (tx8) samples. One shuffle keyed
+      // by gram; the oracle recomputes every position in SQL.
+      operators.textual.TextStats.duplicatedSpans(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 40)),
+
     "tx7_train_split" -> ((s, dir) => {
       // deterministic 80/10/10 split + per-split stats
       operators.Sampling.deterministicSplit(
@@ -4178,6 +4187,21 @@ object SparkEntry {
            (2.0 * round(sr, 6) - round(pr, 6) - round(dr, 6)) >= 0.12 AS label
          FROM r""",
     "tx14_perplexity" -> perplexityOracle,
+    // tx19: every position's 40-gram counted across docs — a position
+    // is duplicated iff its gram occurs in more than one document
+    "tx19_dup_spans" ->
+      """WITH pos AS (
+           SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS p
+           FROM documents WHERE length(text) >= 40),
+         g AS (SELECT doc_id, p, substr(text, p, 40) AS gram FROM pos),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(DISTINCT doc_id) > 1)
+         SELECT g.doc_id, count(*) AS n_positions,
+           CAST(sum(CASE WHEN dup.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dup_positions
+         FROM g LEFT JOIN dup ON g.gram = dup.gram
+         GROUP BY g.doc_id""",
     // tx17: persistence must be lossless, so the loaded-model scores are
     // tx14's — same oracle; the round-trip is gated in-query
     "tx17_lm_persist" -> perplexityOracle,

@@ -251,4 +251,38 @@ object TextStats {
       .select(explode(TextFunctions.shinglesAll(col("__toks"), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
+
+  /** EXACT duplicated-span detection (the oracle-able core of Lee et
+    * al. 2022's exact-substring dedup): every character position whose
+    * length-`n` gram appears in MORE THAN ONE document is a duplicated
+    * position — a position-level map of verbatim cross-document text
+    * (boilerplate, licenses, mirrored articles) that winnowing (tx8)
+    * only samples. Fixed-length grams instead of maximal substrings is
+    * what makes the computation a pair of keyed aggregations: explode
+    * positions → count distinct docs per gram (THE shuffle, keyed by
+    * gram — at 100 TB this is the shard-by-hash(gram) job, ~n bytes per
+    * position) → join back → per-doc counts. A maximal-substring span
+    * is a run of flagged positions, recoverable downstream without
+    * another global pass. Emits (doc_id, n_positions, n_dup_positions);
+    * docs shorter than `n` carry no positions and are excluded (same
+    * WHERE on both engines). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = graft.operators.IndexScope.scoped { sc =>
+    require(n >= 2, "span grams need n >= 2")
+    val grams = sc.index(docs
+      .where(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - (n - 1))).as("p"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"), col("p"),
+        expr(s"substring(__t, p, $n)").as("gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("gram"), lit(1).as("__dup"))
+    grams.join(dupGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_positions"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_positions"))
+  }
 }
