@@ -877,6 +877,11 @@ object SparkEntry {
         s"MV rewrite did not fire - plan scans $scanned")
       require(!scanned.exists(_.contains("orders.parquet")),
         "rewritten plan still scans the base table")
+      // the gate already forced optimizedPlan (a lazy val), so the
+      // deregistration can't un-rewrite the returned frame — it only
+      // stops the JVM-global registry pinning this throwaway session's
+      // analyzed MV plan for the process lifetime
+      MvRewrite.deregister(s2, basePath)
       q
     }),
 

@@ -95,6 +95,13 @@ object PageRank {
       org.apache.spark.sql.graft.ColumnBridge
         .unpersistLocalCheckpoint(prevBlocks)
     }
+    // only the returned rank frame outlives the call: the input pins
+    // (edges, node set, degrees) are released here — without this every
+    // invocation leaks O(|E|+|V|) block-manager storage for the JVM
+    // lifetime (pr itself is a materialized checkpoint, independent of
+    // these lineages)
+    Seq(e, nodes, deg).foreach(
+      org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)
     (pr, rounds, converged)
   }
 }

@@ -99,6 +99,13 @@ object MvRewrite {
     val missing = ("n" +: measures.map(m => s"sum_$m")) ++ dims
     val have = plan.output.map(_.name).toSet
     require(missing.forall(have), s"MV lacks columns ${missing.filterNot(have).mkString(", ")}")
+    // bound the JVM-global registry: each entry pins an analyzed plan,
+    // and sessions that end without deregistering (short-lived clones,
+    // notebook restarts) would otherwise accumulate forever. Dropping an
+    // entry only loses the optimization — the base scan plans as before
+    // — so a hard cap is safe; 1024 live registrations is far beyond any
+    // real shared-JVM deployment's MV count.
+    if (registry.size >= 1024) registry.clear()
     registry.put(s"${uuidOf(spark)}|${norm(basePath)}",
       MvDef(norm(basePath), plan, dims.toSet, measures.toSet))
     install(spark)

@@ -77,21 +77,33 @@ object ManifestTable {
     * so it survives copy/restore/rsync (file mtimes do not — the reason
     * Delta records commit times in-file); absent in legacy manifests →
     * timestamp time travel falls back to the file mtime. */
+  /** `deleteStats`: per-DELETE-FILE key-column min/max (same footer
+    * harvest as `stats`) — what SCOPES each delete file to the data
+    * files it can possibly hit. A delete at seq s with key range [a,b]
+    * cannot touch a data file whose stats prove its keys lie outside
+    * [a,b]; reads of such files skip MoR reconciliation entirely, so the
+    * reconcile cost tracks the deletes' key locality, not the ledger
+    * size (the Iceberg/Delta per-file DV model at equality-delete
+    * granularity). Absent for legacy manifests → every delete
+    * conservatively scopes to every older file (the old behavior). */
   final case class Manifest(version: Long, files: Seq[String],
       commitId: Option[String], parent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       seqs: Map[String, Long] = Map.empty,
       deletes: Seq[(String, Long)] = Seq.empty,
       constraints: Seq[String] = Seq.empty,
-      commitTs: Option[Long] = None)
+      commitTs: Option[Long] = None,
+      deleteStats: Map[String, Map[String, ColStats]] = Map.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val statsJson = m.files.flatMap(f => m.stats.get(f).map { cols =>
-      q(f) + ":{" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
-        q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}]"
-      }.mkString(",") + "}"
-    }).mkString(",")
+    def statsJson(files: Seq[String],
+        stats: Map[String, Map[String, ColStats]]): String =
+      files.flatMap(f => stats.get(f).map { cols =>
+        q(f) + ":{" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
+          q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}]"
+        }.mkString(",") + "}"
+      }).mkString(",")
     val seqsJson = m.files.flatMap(f => m.seqs.get(f).map(s => q(f) + s":$s"))
       .mkString(",")
     val delJson = m.deletes.map { case (f, s) => s"[${q(f)},$s]" }.mkString(",")
@@ -99,7 +111,9 @@ object ManifestTable {
       s""""commit_ts":${m.commitTs.getOrElse(System.currentTimeMillis())},""" +
       s""""commit_id":${m.commitId.map(q).getOrElse("null")},""" +
       s""""files":[${m.files.map(q).mkString(",")}],""" +
-      s""""stats":{$statsJson},"seqs":{$seqsJson},"deletes":[$delJson],""" +
+      s""""stats":{${statsJson(m.files, m.stats)}},""" +
+      s""""seqs":{$seqsJson},"deletes":[$delJson],""" +
+      s""""delete_stats":{${statsJson(m.deletes.map(_._1), m.deleteStats)}},""" +
       s""""constraints":[${m.constraints.map(q).mkString(",")}]}"""
   }
 
@@ -133,7 +147,7 @@ object ManifestTable {
     val j = JsonMethods.parse(Files.readString(p))
     // stats absent in pre-skipping manifests → empty map, reads stay
     // conservative (every file scanned) — old tables keep working
-    val stats = (j \ "stats") match {
+    def parseStats(v: JValue): Map[String, Map[String, ColStats]] = v match {
       case JObject(files) => files.map { case (f, cols) =>
         f -> (cols match {
           case JObject(cs) => cs.collect {
@@ -146,6 +160,7 @@ object ManifestTable {
       }.toMap
       case _ => Map.empty[String, Map[String, ColStats]]
     }
+    val stats = parseStats(j \ "stats")
     // seqs/deletes absent in pre-MoR manifests → empty: every file reads
     // as seq 0 with no delete files, exactly the old behavior
     val seqs = (j \ "seqs") match {
@@ -170,7 +185,8 @@ object ManifestTable {
       (j \ "commit_id").extractOpt[String],
       (j \ "parent").extract[Long],
       stats, seqs, deletes, constraints,
-      (j \ "commit_ts").extractOpt[Long])
+      (j \ "commit_ts").extractOpt[Long],
+      parseStats(j \ "delete_stats"))
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -231,6 +247,15 @@ object ManifestTable {
     versions(path).exists(v =>
       manifestAt(path, v).commitId.contains(commitId))
 
+  /** The LATEST version's commit id (None for an absent table or an
+    * id-less commit) — one manifest read. Callers whose commit ids are
+    * totally ordered (streaming batch ids: each batch lands exactly one
+    * version, in order) can answer "has batch N landed?" from this
+    * alone instead of paying [[commitLanded]]'s O(versions) scan per
+    * micro-batch. */
+  def latestCommitId(path: String): Option[String] =
+    latest(path).flatMap(_.commitId)
+
   /** Commit wall-time of a version: in-manifest `commit_ts`, falling
     * back to the manifest file's mtime for legacy manifests. */
   def commitTimeMillis(path: String, version: Long): Long =
@@ -244,28 +269,94 @@ object ManifestTable {
     require(m.files.nonEmpty, s"version ${m.version} names no data files")
     // mergeSchema: a version's files may span commits with evolved
     // schemas; picking one footer at random would silently drop columns
-    reconcile(spark, path, m,
-      spark.read.option("mergeSchema", "true")
-        .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*))
+    reconcile(spark, path, m, m.files)
   }
 
-  /** MERGE-ON-READ reconciliation: drop every row whose merge key appears
-    * in a delete file committed AFTER the row's data file. Each delete
-    * file is O(merge size) and broadcast — the anti-join adds no shuffle
-    * to the scan, so a 100 TB read with a handful of recent MoR merges
-    * costs the scan plus k broadcast probes per row. `df` must be a scan
-    * of (a subset of) `m.files` so `input_file_name()` resolves the
-    * per-row commit seq. Output schema equals `df`'s. */
+  /** PER-FILE DELETE SCOPING: which delete entries can hit each scanned
+    * data file? A delete at seq s hits file f only when (a) f's rows
+    * landed BEFORE the delete (seq(f) < s) and (b) the delete file's key
+    * range ([[Manifest.deleteStats]]) overlaps f's key stats on every
+    * shared key column — disjoint ranges on ANY shared column prove no
+    * key can match. Missing stats on either side stay conservative
+    * (scoped in). Driver-side metadata only, O(files × deletes) range
+    * compares. */
+  private[graft] def deleteScope(m: Manifest,
+      scanFiles: Seq[String]): Map[String, Seq[(String, Long)]] =
+    scanFiles.map { f =>
+      val fseq = m.seqs.getOrElse(f, 0L)
+      f -> m.deletes.filter { case (df, dseq) =>
+        dseq > fseq && rangesOverlap(m.deleteStats.get(df), m.stats.get(f))
+      }
+    }.toMap
+
+  /** (data file → delete files scoped to it) at a version — the
+    * observable the per-file-DV gates assert on: a file absent from
+    * every value list reads with ZERO reconciliation work. */
+  def deleteScopeFiles(path: String,
+      version: Option[Long] = None): Map[String, Seq[String]] = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    deleteScope(m, m.files).map { case (f, ds) => f -> ds.map(_._1) }
+  }
+
+  private def rangesOverlap(del: Option[Map[String, ColStats]],
+      data: Option[Map[String, ColStats]]): Boolean = (del, data) match {
+    case (Some(d), Some(s)) =>
+      !d.exists { case (c, dst) =>
+        s.get(c).exists { fst =>
+          // comparing bounds of the SAME column harvested by the same
+          // footer pass; a numeric-flag mismatch (schema drift) stays
+          // conservative
+          dst.numeric == fst.numeric && (
+            cmpStat(dst.max, fst.min, dst.numeric) < 0 ||
+            cmpStat(dst.min, fst.max, dst.numeric) > 0)
+        }
+      }
+    case _ => true
+  }
+
+  /** MERGE-ON-READ reconciliation over a scan of `scanFiles` (⊆
+    * `m.files`): drop every row whose merge key appears in a delete file
+    * committed AFTER the row's data file. File-local by construction:
+    * [[deleteScope]] splits the scan into CLEAN files (no delete can
+    * hit — they bypass the anti-join entirely, staying in their own
+    * codegen stage) and DIRTY files, which anti-join only the delete
+    * entries scoped to them. The delete side is broadcast only while the
+    * relevant ledger fits the session's auto-broadcast threshold; a
+    * ledger that has outgrown it joins as a shuffle — never a forced
+    * driver-melting broadcast of table-scale delete bytes. At 100 TB
+    * with key-local merges, reconcile cost ≈ (dirty fraction of the
+    * scan) + (recent delete bytes), independent of ledger history. */
   private def reconcile(spark: SparkSession, path: String, m: Manifest,
-      df: DataFrame): DataFrame = {
+      scanFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (m.deletes.isEmpty) return df
+    def scan(fs: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => dataDir(path).resolve(f).toString): _*)
+    if (m.deletes.isEmpty) return scan(scanFiles)
+    val scope = deleteScope(m, scanFiles)
+    val dirty = scanFiles.filter(f => scope(f).nonEmpty)
+    if (dirty.isEmpty) return scan(scanFiles)
+    val clean = scanFiles.filterNot(dirty.toSet)
+    val relevant = dirty.flatMap(scope).distinct
+    // reference schema: the union scan of everything requested — both
+    // branches align to it so the split is invisible to callers even
+    // under per-commit schema evolution (plan-time only, no job)
+    val refSchema = scan(scanFiles).schema
+    def align(df: DataFrame): DataFrame =
+      df.select(refSchema.map(sf =>
+        (if (df.columns.contains(sf.name)) col(sf.name)
+         else lit(null).cast(sf.dataType)).as(sf.name)): _*)
     val seqByFile: Map[String, Long] =
-      m.files.map(f => f -> m.seqs.getOrElse(f, 0L)).toMap
-    val withSeq = attachSeq(df, seqByFile)
+      dirty.map(f => f -> m.seqs.getOrElse(f, 0L)).toMap
+    val withSeq = attachSeq(scan(dirty), seqByFile)
+    val broadcastable = relevant.map { case (f, _) =>
+      Files.size(dataDir(path).resolve(f)) }.sum <=
+      math.max(0L, org.apache.spark.sql.graft.ColumnBridge
+        .autoBroadcastThreshold(spark))
     // delete files may carry different key sets across merges: group by
-    // key schema and apply one broadcast anti-join per group
-    val groups = m.deletes.groupBy { case (f, _) =>
+    // key schema and apply one anti-join per group
+    val groups = relevant.groupBy { case (f, _) =>
       deleteKeyCols(spark, path, f)
     }
     val out = groups.values.foldLeft(withSeq) { case (cur, dels) =>
@@ -276,9 +367,11 @@ object ManifestTable {
       val keys = delDf.columns.filterNot(_ == "__graft_dseq")
       val cond = keys.map(k => cur(k) === delDf(k)).reduce(_ && _) &&
         delDf("__graft_dseq") > cur("__graft_seq")
-      cur.join(broadcast(delDf), cond, "left_anti")
+      cur.join(if (broadcastable) broadcast(delDf) else delDf, cond, "left_anti")
     }
-    out.drop("__graft_seq")
+    val reconciled = align(out.drop("__graft_seq"))
+    if (clean.isEmpty) reconciled
+    else align(scan(clean)).unionByName(reconciled)
   }
 
   /** Delete files are immutable once committed, so their key schema is
@@ -346,10 +439,7 @@ object ManifestTable {
       read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
     // deletes only REMOVE rows, so stats pruning stays sound under MoR;
     // reconcile before the residual filter so hidden rows never surface
-    else reconcile(spark, path, m,
-      spark.read.option("mergeSchema", "true")
-        .parquet(survivors.map(f => dataDir(path).resolve(f).toString): _*))
-      .where(residual)
+    else reconcile(spark, path, m, survivors).where(residual)
   }
 
   /** (files a readWhere would scan, total files) at a version — the
@@ -462,8 +552,11 @@ object ManifestTable {
         enforceConstraints(read(spark, path, Some(base.version)), cons).count()
         validatedVersion = base.version
       }
+      // commitTs = None: render() stamps THIS commit's wall time — copying
+      // the parent's would misdate the constraints commit for
+      // TIMESTAMP AS OF between the parent and this version
       val m = base.copy(version = base.version + 1, parent = base.version,
-        commitId = None, constraints = cons)
+        commitId = None, constraints = cons, commitTs = None)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
       try { publish(target, render(m)); return m.version }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
@@ -628,11 +721,14 @@ object ManifestTable {
         else cur.map(_.seqs).getOrElse(Map.empty)) ++ newFiles.map(_ -> next)
       val deletes = if (replace) Seq.empty[(String, Long)]
         else cur.map(_.deletes).getOrElse(Seq.empty)
+      val delStats = if (replace) Map.empty[String, Map[String, ColStats]]
+        else cur.map(_.deleteStats).getOrElse(Map.empty)
       // constraints are TABLE metadata: they survive overwrite (the data
       // is replaced, the table's contract is not)
       val cons = cur.map(_.constraints).getOrElse(Seq.empty)
       val m = Manifest(next, files, commitId,
-        cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons)
+        cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
+        deleteStats = delStats)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -758,9 +854,7 @@ object ManifestTable {
     if (toFold.size <= 1 && violating.isEmpty)
       return base.version // nothing worth folding
     val carried = base.files.filterNot(toFold.toSet)
-    val df = reconcile(spark, path, base,
-      spark.read.option("mergeSchema", "true")
-        .parquet(toFold.map(f => dataDir(path).resolve(f).toString): _*))
+    val df = reconcile(spark, path, base, toFold)
     val bytes = sized.filter(p => toFold.contains(p._1)).map(_._2).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val arranged =
@@ -774,7 +868,7 @@ object ManifestTable {
         footerStats(path, staged),
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      base.deletes, base.constraints)
+      base.deletes, base.constraints, deleteStats = base.deleteStats)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -801,6 +895,14 @@ object ManifestTable {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     if (base.deletes.isEmpty) return base.version
+    // fast path: manifests that carry per-delete-file key stats decide
+    // `affected` from METADATA alone ([[deleteScope]] — all key columns,
+    // zero jobs); legacy ledgers fall back to the runtime range probe
+    if (base.deletes.forall { case (f, _) => base.deleteStats.contains(f) }) {
+      val scope = deleteScope(base, base.files)
+      return compactDeletesOf(spark, path, base,
+        base.files.filter(f => scope(f).nonEmpty))
+    }
     // per delete-file key-range (first key column) for stats pruning.
     // The key column comes from the parquet FOOTER (driver-side, one
     // KB-scale metadata open per file — no job), and the min/max for ALL
@@ -846,13 +948,17 @@ object ManifestTable {
         }
       }
     }
+    compactDeletesOf(spark, path, base, affected)
+  }
+
+  /** The fold itself: rewrite `affected` (MoR-reconciled), carry the
+    * rest, publish a delete-free manifest. */
+  private def compactDeletesOf(spark: SparkSession, path: String,
+      base: Manifest, affected: Seq[String]): Long = {
     val carried = base.files.filterNot(affected.toSet)
     val staged =
       if (affected.isEmpty) Seq.empty
-      else stage(reconcile(spark, path, base,
-        spark.read.option("mergeSchema", "true")
-          .parquet(affected.map(f => dataDir(path).resolve(f).toString): _*)),
-        path)
+      else stage(reconcile(spark, path, base, affected), path)
     val next = base.version + 1
     val m = Manifest(next, carried ++ staged,
       Some(s"fold-deletes-of-v${base.version}"), base.version,
@@ -961,10 +1067,7 @@ object ManifestTable {
     // through the rewrite
     val touchedRows =
       if (touched.isEmpty) target.limit(0)
-      else reconcile(spark, path, base,
-        spark.read.option("mergeSchema", "true")
-          .parquet(base.files.filter(touched)
-            .map(f => dataDir(path).resolve(f).toString): _*))
+      else reconcile(spark, path, base, base.files.filter(touched))
         .select(cols.map(col): _*)
     val afterDelete = touchedRows.join(
       tombstones.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -992,7 +1095,7 @@ object ManifestTable {
         footerStats(path, staged),
       untouchedFiles.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      base.deletes, base.constraints)
+      base.deletes, base.constraints, deleteStats = base.deleteStats)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1061,7 +1164,10 @@ object ManifestTable {
         base.stats ++ footerStats(path, staged),
         base.seqs ++ (base.files.filterNot(base.seqs.contains).map(_ -> 0L)) ++
           staged.map(_ -> next),
-        base.deletes ++ delFiles.map(_ -> next), base.constraints)
+        base.deletes ++ delFiles.map(_ -> next), base.constraints,
+        // per-delete-file key stats: what lets every future read scope
+        // this delete to the data files its key range can actually hit
+        deleteStats = base.deleteStats ++ footerStats(path, delFiles))
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next
@@ -1128,9 +1234,7 @@ object ManifestTable {
       if (own.isEmpty)
         read(spark, path, Some(m.version))
           .where(org.apache.spark.sql.functions.lit(false))
-      else reconcile(spark, path, m,
-        spark.read.option("mergeSchema", "true")
-          .parquet(own.map(f => dataDir(path).resolve(f).toString): _*))
+      else reconcile(spark, path, m, own)
     }
     val before = slice(mf)
     // MoR: a delete file landed in (from, to] hides rows in SHARED files
@@ -1179,9 +1283,7 @@ object ManifestTable {
           }
         if (scanFiles.isEmpty) before.limit(0)
         else {
-          val cand = reconcile(spark, path, mf,
-            spark.read.option("mergeSchema", "true")
-              .parquet(scanFiles.map(f => dataDir(path).resolve(f).toString): _*))
+          val cand = reconcile(spark, path, mf, scanFiles)
           val hit = cand.join(broadcast(keysDf), keyCols, "left_semi")
           groupKeys.take(gi).foldLeft(hit) { (acc, prevKeys) =>
             acc.join(broadcast(prevKeys), prevKeys.columns.toSeq, "left_anti")

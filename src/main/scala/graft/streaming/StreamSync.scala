@@ -176,9 +176,18 @@ object StreamSync {
         // replay fast path: if this batch's MV fold already landed, skip
         // recomputing it — the overwrite's commit-id idempotence would
         // discard the recomputed frame anyway (correctness unchanged,
-        // replay cost drops from recompute-everything to metadata reads)
-        if (!batch.isEmpty && !graft.sources.ManifestTable.commitLanded(
-            mvPath, s"mv-batch-$batchId")) {
+        // replay cost drops from recompute-everything to metadata reads).
+        // mv-batch ids land IN ORDER, one version per batch, so "has
+        // batch N landed?" reads ONE manifest (the latest) instead of
+        // scanning the whole version history every micro-batch — the
+        // O(versions)-per-batch listing would itself grow with stream
+        // lifetime. A miss (latest id is not an mv-batch, e.g. a fresh
+        // MV) errs to recompute, and the overwrite idempotence still
+        // guards.
+        val lastFolded = graft.sources.ManifestTable.latestCommitId(mvPath)
+          .collect { case s if s.startsWith("mv-batch-") =>
+            s.stripPrefix("mv-batch-").toLong }
+        if (!batch.isEmpty && !lastFolded.exists(_ >= batchId)) {
           val s = batch.sparkSession
           val vm =
             if (mor) graft.sources.ManifestTable.mergeMoR(

@@ -48,6 +48,14 @@ object ColumnBridge {
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
+  /** The session's effective auto-broadcast threshold in bytes
+    * (SQLConf is private[sql]) — lets the MoR reconciler decide
+    * broadcast-vs-shuffle for its delete anti-join by the same knob
+    * Spark's own planner uses. */
+  def autoBroadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.autoBroadcastJoinThreshold
+
   /** Materialize the optimizer rules an extensions object would inject at
     * session build (buildOptimizerRules is private[sql]) — lets specs
     * assert the injection without constructing a whole new session. */
