@@ -2751,6 +2751,16 @@ object SparkEntry {
       operators.textual.TextStats.duplicatedSpans(
         Tables(s, dir, "documents"), "doc_id", "text", n = 40)),
 
+    "tx20_span_clean" -> ((s, dir) =>
+      // span-level corpus cleaning (TextStats.spanClean): tx19's
+      // duplicated-position map CONSUMED — flagged 40-gram starts merge
+      // into maximal spans, the spans are cut, every document
+      // re-assembles from its kept segments. Output is the cleaned
+      // corpus itself; the oracle recomputes per-character coverage and
+      // run counts in SQL and compares the reassembled strings exactly.
+      operators.textual.TextStats.spanClean(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 40)),
+
     "tx7_train_split" -> ((s, dir) => {
       // deterministic 80/10/10 split + per-split stats
       operators.Sampling.deterministicSplit(
@@ -4207,6 +4217,42 @@ object SparkEntry {
              AS n_dup_positions
          FROM g LEFT JOIN dup ON g.gram = dup.gram
          GROUP BY g.doc_id""",
+    // tx20: per-character ground truth — a char is duplicated iff some
+    // flagged 40-gram start covers it; cleaned text = kept chars in
+    // order; spans = maximal runs of duplicated chars (a run starts at
+    // a dup char whose predecessor is not dup)
+    "tx20_span_clean" ->
+      """WITH pos AS (
+           SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS p
+           FROM documents WHERE length(text) >= 40),
+         g AS (SELECT doc_id, p, substr(text, p, 40) AS gram FROM pos),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(DISTINCT doc_id) > 1),
+         flag AS (SELECT g.doc_id, g.p FROM g JOIN dup ON g.gram = dup.gram),
+         chars AS (SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS c
+           FROM documents),
+         dupchar AS (SELECT DISTINCT ch.doc_id, ch.c FROM chars ch
+           JOIN flag f ON ch.doc_id = f.doc_id
+             AND ch.c BETWEEN f.p AND f.p + 39),
+         clean AS (SELECT ch.doc_id,
+             string_agg(substr(ch.text, ch.c, 1), '' ORDER BY ch.c) AS ct
+           FROM chars ch LEFT JOIN dupchar d
+             ON ch.doc_id = d.doc_id AND ch.c = d.c
+           WHERE d.c IS NULL GROUP BY ch.doc_id),
+         spans AS (SELECT dc.doc_id, count(*) AS ns FROM dupchar dc
+           LEFT JOIN dupchar prev
+             ON dc.doc_id = prev.doc_id AND prev.c = dc.c - 1
+           WHERE prev.c IS NULL GROUP BY dc.doc_id),
+         nd AS (SELECT doc_id, count(*) AS ndc FROM dupchar GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(cl.ct, '') AS clean_text,
+           CAST(coalesce(s.ns, 0) AS BIGINT) AS n_cut_spans,
+           CAST(coalesce(nd.ndc, 0) AS BIGINT) AS n_dup_chars
+         FROM documents d
+         LEFT JOIN clean cl ON d.doc_id = cl.doc_id
+         LEFT JOIN spans s ON d.doc_id = s.doc_id
+         LEFT JOIN nd ON d.doc_id = nd.doc_id""",
     // tx17: persistence must be lossless, so the loaded-model scores are
     // tx14's — same oracle; the round-trip is gated in-query
     "tx17_lm_persist" -> perplexityOracle,

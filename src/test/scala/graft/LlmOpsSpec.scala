@@ -81,6 +81,37 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(!r(1).getAs[Boolean]("flagged"))
   }
 
+  test("spanClean cuts maximal cross-doc spans, reassembles the rest, " +
+      "and passes short or unique docs through untouched") {
+    val boiler = "X" * 10 // shared 10-char block
+    val d = docs(
+      (1L, "aaaa" + boiler + "bbbb"), // shared block mid-doc
+      (2L, boiler + "cccc"),          // shared block at start
+      (3L, "unique text here!"),      // no cross-doc gram
+      (4L, "short"))                  // shorter than n: no positions
+    val out = TextStats.spanClean(d, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // every position of the 10-char block (and only it) is flagged in
+    // docs 1 and 2: the maximal span covers exactly the block
+    assert(out(1L) == (("aaaabbbb", 1L, 10L)))
+    assert(out(2L) == (("cccc", 1L, 10L)))
+    assert(out(3L) == (("unique text here!", 0L, 0L)))
+    assert(out(4L) == (("short", 0L, 0L)))
+  }
+
+  test("spanClean: a fully duplicated doc cleans to empty; touching " +
+      "flagged runs count as one span") {
+    val t = "Z" * 12
+    val d = docs((1L, t), (2L, t), (3L, "pad" + t + "pad"))
+    val out = TextStats.spanClean(d, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("", 1L, 12L)))
+    assert(out(2L) == (("", 1L, 12L)))
+    assert(out(3L) == (("padpad", 1L, 12L)))
+  }
+
   test("piiScrub counts and masks emails, phones, and IPs") {
     import graft.operators.textual.TextStats
     val d = Seq(
