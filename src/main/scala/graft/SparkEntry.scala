@@ -1890,6 +1890,90 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
 
+    "q101_stream_restart" -> ((s, dir) => {
+      // KILL/RESTART RECOVERY under the gate — the failure a 100 TB
+      // streaming deployment actually has: q77 proves multi-batch CDC to
+      // completion, but every gate so far ran AvailableNow uninterrupted.
+      // Here the SAME 3-file MoR-merge feed runs on a CONTINUOUS trigger,
+      // is STOPPED as soon as the first merge lands (an in-flight batch,
+      // if any, dies uncommitted), and a FRESH SparkSession restarts from
+      // the same checkpoint and finishes. Resume gates, all race-proof:
+      // (a) the restart never re-executes a batch the checkpoint's commit
+      // log had sealed (the WAL-resume contract — an uncommitted in-
+      // flight batch MAY replay, and its manifest merge then no-ops on
+      // its commit id); (b) the two phases together commit each of the 3
+      // micro-batch merges exactly once (4 versions, no recommit);
+      // (c) the final table equals q60's single-batch merge — the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val tmp = JFiles.createTempDirectory("graft-q101-").toString
+      val base = s"$tmp/t"
+      val cdcDir = s"$tmp/cdc"
+      val ck = s"$tmp/ckpt"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      Seq("u" -> updates, "i" -> inserts, "d" -> deletes).foreach {
+        case (nm, df) => stagePart(df, tmp, cdcDir, nm)
+      }
+      val schema = s.read.parquet(cdcDir).schema
+      def start(sess: SparkSession, trig: Trigger) =
+        graft.streaming.StreamSync.startMergeToTable(
+          sess.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(cdcDir),
+          base, Seq("c_custkey"), ck,
+          deleteWhen = Some(col("op") === "D"), trigger = trig, mor = true)
+      def sealedBatches(): Set[Long] = {
+        val d = JPaths.get(ck, "commits")
+        if (!JFiles.isDirectory(d)) Set.empty
+        else {
+          val it = JFiles.list(d).iterator()
+          val b = Set.newBuilder[Long]
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.forall(_.isDigit)) b += n.toLong
+          }
+          b.result()
+        }
+      }
+      // phase 1: continuous micro-batches; kill once a merge has landed
+      val s2 = streamSession(s)
+      val q1 = start(s2, Trigger.ProcessingTime("50 milliseconds"))
+      val deadline = System.currentTimeMillis() + 120000
+      while (ManifestTable.versions(base).size < 2 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+      q1.stop()
+      q1.awaitTermination()
+      require(ManifestTable.versions(base).size >= 2,
+        "no merge landed before the kill window expired")
+      val sealed1 = sealedBatches()
+      // phase 2: FRESH session state, same checkpoint, run to completion
+      val s3 = streamSession(s)
+      val q2 = start(s3, Trigger.AvailableNow())
+      q2.awaitTermination()
+      val replayed = q2.recentProgress.map(_.batchId).toSet
+      require(replayed.intersect(sealed1).isEmpty,
+        s"restart re-executed checkpoint-sealed batches " +
+          s"${replayed.intersect(sealed1)} (resume broken)")
+      require(sealedBatches() == Set(0L, 1L, 2L),
+        s"commit log did not continue to completion: ${sealedBatches()}")
+      require(ManifestTable.versions(base).size == 4,
+        s"expected exactly 4 versions (base + 3 merges, no recommit), " +
+          s"got ${ManifestTable.versions(base)}")
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
     "q73_sketches" -> ((s, dir) => {
       // the SKETCH path for 100 TB profiling under the gate: HLL++
       // approx_count_distinct and quantile-sketch approx_percentile are
@@ -4740,6 +4824,20 @@ object SparkEntry {
     // q60: the merged table recomputed in SQL — keeps = neither updated
     // nor deleted, updates transformed, inserts re-keyed
     "q60_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+                c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+         UNION ALL
+         SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 11 = 3""",
+    // q101: the kill/restart recovery lands the SAME table state as
+    // q60's single-batch merge — identical oracle; the resume contract
+    // (no re-execution of sealed batches, no recommit) is gated in-query
+    "q101_stream_restart" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
          UNION ALL

@@ -48,6 +48,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful aggregation state survives stop + fresh-session restart " +
+      "from the checkpoint (keys absent from phase-2 input reappear)") {
+    // the state-store recovery leg of q101's kill/restart gate: a
+    // running count's state must come back from the checkpoint when a
+    // NEW session (fresh session state — the closest a single JVM gets
+    // to a process boundary) resumes the query. Proof is two-sided:
+    // 'a' ACCUMULATES across the restart (2 + 1 = 3, not reset to 1)
+    // and 'b' — never present in phase-2 input — still surfaces in the
+    // complete-mode output, so its row can only have come from the
+    // recovered store.
+    val dir = Files.createTempDirectory("graft-restart-").toString
+    val src = s"$dir/src"
+    val ck = s"$dir/ck"
+    import spark.implicits._
+    def stage(name: String, rows: Seq[String]): Unit = {
+      val st = s"$dir/stage-$name"
+      rows.toDF("k").coalesce(1).write.parquet(st)
+      Files.createDirectories(Paths.get(src))
+      val it = Files.list(Paths.get(st)).iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, Paths.get(src, s"$name.parquet")); moved = true
+        }
+      }
+      assert(moved, s"no parquet part staged for $name")
+    }
+    stage("a", Seq("a", "a", "b"))
+    val schema = spark.read.parquet(src).schema
+    def run(sess: org.apache.spark.sql.SparkSession, qn: String): Map[String, Long] = {
+      val q = sess.readStream.schema(schema).parquet(src)
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      sess.table(qn).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val s1 = spark.newSession()
+    assert(run(s1, "restart_p1") == Map("a" -> 2L, "b" -> 1L))
+    stage("b", Seq("a", "c"))
+    val s2 = spark.newSession()
+    assert(run(s2, "restart_p2") == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("stateful sessionization matches batch sessions (closed prefix)") {
     val dir = stageEventsDir()
     val batch = Tables.tsAsNanos(spark.read.parquet(s"$dir/events.parquet"))
