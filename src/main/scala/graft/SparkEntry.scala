@@ -3421,6 +3421,51 @@ object SparkEntry {
           "new_width", "new_height", "out_len")
     }),
 
+    "mm7_bmp_pixels" -> ((s, dir) => {
+      // REAL pixel math, no fakes (operators/multimodal/BmpCodec.scala):
+      // BMP is uncompressed, so this container can decode it honestly —
+      // where mm6's PNG/JPEG resize wraps a marked-fake pixel step, this
+      // query synthesizes a real 24-bit BMP whose pixels follow an
+      // id-arithmetic formula, DECODES the actual bytes (stride padding,
+      // bottom-up rows, BGR order), area-averages a 2× downscale with
+      // integer floor math, re-encodes, re-decodes, and emits per-channel
+      // pixel sums of BOTH rasters. The oracle recomputes every pixel of
+      // both images arithmetically in SQL — any codec bug (padding,
+      // row order, channel swap, rounding) breaks the hash.
+      import s.implicits._
+      import operators.multimodal.BmpCodec
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (4 + (id * 3) % 11).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            val r = ((x * 7 + y * 13 + id) % 256).toInt
+            val g = ((x * 3 + y * 5 + id * 11) % 256).toInt
+            val b = ((x + y * 2 + id * 17) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          val bytes = BmpCodec.encode(w, h, px)
+          val dec = BmpCodec.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"undecodable BMP for $id"))
+          require(dec.width == w && dec.height == h &&
+            java.util.Arrays.equals(dec.pixels, px),
+            s"decode round-trip drifted for $id")
+          val (sr, sg, sb) = BmpCodec.channelSums(dec)
+          val half = BmpCodec.halve(dec)
+          val out = BmpCodec.encode(half.width, half.height, half.pixels)
+          val back = BmpCodec.decode(out).getOrElse(
+            throw new IllegalStateException(s"re-encoded BMP undecodable for $id"))
+          require(java.util.Arrays.equals(back.pixels, half.pixels),
+            s"re-encode drifted for $id")
+          val (dr, dg, db) = BmpCodec.channelSums(back)
+          (id, w.toLong, h.toLong, half.width.toLong, half.height.toLong,
+            bytes.length.toLong, sr, sg, sb, dr, dg, db)
+        }
+        .toDF("doc_id", "width", "height", "new_width", "new_height",
+          "byte_len", "src_r", "src_g", "src_b", "dst_r", "dst_g", "dst_b")
+    }),
+
     "mm3_wav_meta" -> ((s, dir) => {
       // audio twin of mm1: synthesize real RIFF/WAVE headers with
       // id-derived parameters (every 11th doc stays raw text for the
@@ -4342,6 +4387,47 @@ object SparkEntry {
     "tx17_lm_persist" -> perplexityOracle,
     // mm4: every field predicted arithmetically from the synth params
     // (byte_len = 16 ftyp + 116 moov/mvhd + 8 mdat header + filler)
+    // mm7: every pixel of both rasters recomputed arithmetically — the
+    // source sums over the id-formula pixels, the halved sums over
+    // floor-averaged 2×2 blocks, byte_len from the BMP stride rule
+    "mm7_bmp_pixels" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(4 + doc_id % 13 AS BIGINT) AS w,
+             CAST(4 + (doc_id * 3) % 11 AS BIGINT) AS h
+           FROM documents),
+         xs AS (SELECT doc_id, w, h,
+             unnest(generate_series(0, w - 1)) AS x FROM d),
+         px AS (SELECT doc_id, w, h, x,
+             unnest(generate_series(0, h - 1)) AS y FROM xs),
+         src AS (SELECT doc_id,
+             CAST(sum((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS src_r,
+             CAST(sum((x * 3 + y * 5 + doc_id * 11) % 256) AS BIGINT) AS src_g,
+             CAST(sum((x + y * 2 + doc_id * 17) % 256) AS BIGINT) AS src_b
+           FROM px GROUP BY doc_id),
+         oxs AS (SELECT doc_id, w, h,
+             unnest(generate_series(0, w // 2 - 1)) AS ox FROM d),
+         opx AS (SELECT doc_id, w, h, ox,
+             unnest(generate_series(0, h // 2 - 1)) AS oy FROM oxs),
+         dst AS (SELECT doc_id,
+             CAST(sum((  ((2*ox)   * 7 + (2*oy)   * 13 + doc_id) % 256
+                  + ((2*ox+1) * 7 + (2*oy)   * 13 + doc_id) % 256
+                  + ((2*ox)   * 7 + (2*oy+1) * 13 + doc_id) % 256
+                  + ((2*ox+1) * 7 + (2*oy+1) * 13 + doc_id) % 256) // 4) AS BIGINT) AS dst_r,
+             CAST(sum((  ((2*ox)   * 3 + (2*oy)   * 5 + doc_id * 11) % 256
+                  + ((2*ox+1) * 3 + (2*oy)   * 5 + doc_id * 11) % 256
+                  + ((2*ox)   * 3 + (2*oy+1) * 5 + doc_id * 11) % 256
+                  + ((2*ox+1) * 3 + (2*oy+1) * 5 + doc_id * 11) % 256) // 4) AS BIGINT) AS dst_g,
+             CAST(sum((  ((2*ox)   + (2*oy)   * 2 + doc_id * 17) % 256
+                  + ((2*ox+1) + (2*oy)   * 2 + doc_id * 17) % 256
+                  + ((2*ox)   + (2*oy+1) * 2 + doc_id * 17) % 256
+                  + ((2*ox+1) + (2*oy+1) * 2 + doc_id * 17) % 256) // 4) AS BIGINT) AS dst_b
+           FROM opx GROUP BY doc_id)
+         SELECT d.doc_id, d.w AS width, d.h AS height,
+           CAST(d.w // 2 AS BIGINT) AS new_width, CAST(d.h // 2 AS BIGINT) AS new_height,
+           CAST(54 + ((3 * d.w + 3) // 4) * 4 * d.h AS BIGINT) AS byte_len,
+           src.src_r, src.src_g, src.src_b,
+           dst.dst_r, dst.dst_g, dst.dst_b
+         FROM d JOIN src USING (doc_id) JOIN dst USING (doc_id)""",
     "mm4_mp4_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 13 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)

@@ -106,6 +106,53 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("BmpCodec: pixel-exact round-trip across padding widths, " +
+      "top-down decode, floor-average halve, fuzz never throws") {
+    import graft.operators.multimodal.BmpCodec
+    val rnd = new scala.util.Random(777)
+    // widths 1..8 cross every 4-byte stride-padding case (3w % 4 ∈ all)
+    for (w <- 1 to 8; h <- Seq(1, 2, 3, 5)) {
+      val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      val dec = BmpCodec.decode(BmpCodec.encode(w, h, px))
+      assert(dec.exists(b => b.width == w && b.height == h &&
+        java.util.Arrays.equals(b.pixels, px)), s"round-trip failed ${w}x$h")
+    }
+    // top-down file (negative height) decodes to the same raster
+    val px = Array.tabulate(3 * 2)(i => i * 1000)
+    val bottomUp = BmpCodec.encode(3, 2, px)
+    val topDown = bottomUp.clone()
+    // height 2 -> -2 at offset 22 (little-endian int)
+    val neg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(neg, 0, topDown, 22, 4)
+    // rows in file order become top-down: swap the two row payloads
+    val st = BmpCodec.stride(3)
+    val r0 = topDown.slice(54, 54 + st)
+    System.arraycopy(topDown, 54 + st, topDown, 54, st)
+    System.arraycopy(r0, 0, topDown, 54 + st, st)
+    assert(BmpCodec.decode(topDown).exists(b =>
+      java.util.Arrays.equals(b.pixels, px)), "top-down decode drifted")
+    // halve: known 2x2 block floor-averages per channel
+    val quad = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x010203)
+    val halved = BmpCodec.halve(BmpCodec.Bmp(2, 2, quad))
+    assert(halved.width == 1 && halved.height == 1)
+    // r=(255+0+0+1)/4=64, g=(0+255+0+2)/4=64, b=(0+0+255+3)/4=64
+    assert(halved.pixels(0) == ((64 << 16) | (64 << 8) | 64))
+    // odd dims drop the trailing row/col: 5x3 -> 2x1 using only [0,4)x[0,2)
+    val odd = BmpCodec.halve(BmpCodec.Bmp(5, 3, Array.fill(15)(0x040404)))
+    assert(odd.width == 2 && odd.height == 1 && odd.pixels.forall(_ == 0x040404))
+    // fuzz: corrupted headers and garbage return None, never throw
+    Iterator.tabulate(300) { i =>
+      if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(80)); rnd.nextBytes(a); a }
+      else {
+        val fw = 1 + rnd.nextInt(6); val fh = 1 + rnd.nextInt(4)
+        val b = BmpCodec.encode(fw, fh, Array.fill(fw * fh)(0))
+        (0 until 3).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+        b
+      }
+    }.foreach(BmpCodec.decode)
+  }
+
   test("mp4 box walk round-trips synth headers incl. v1/largesize/to-EOF") {
     import graft.operators.multimodal.Mp4Headers
     val m = Mp4Headers.parseMp4(Mp4Headers.synthMp4("mp42", 90000, 450000L, 12))
