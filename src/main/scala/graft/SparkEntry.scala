@@ -2771,9 +2771,13 @@ object SparkEntry {
       val nodes = manifoldNodes(s, dir)
       val truth = manifoldTruth(s, dir)
       val graph = manifoldGraph(s, dir) // shared index artifact (ss7 gates it)
+      // HNSW-style two-layer descent: seeds land on the coarse layer,
+      // walk it 2 bounded rounds, then open the base graph — halving
+      // the rounds the flat walk needed (6) at equal-or-better recall
       val approx = operators.similarity.GraphSearch.search(
         nodes, graph, nodes, "vec_id", "embedding", k = 5,
-        beamWidth = 8, maxRounds = 6, entryMod = 8, hopExpansion = 2)
+        beamWidth = 12, maxRounds = 3, entryMod = 2, hopExpansion = 2,
+        topGraph = Some(manifoldTopGraph(s, dir)), topSampleMod = 8)
       operators.similarity.Similarity.recallGate(approx, truth, 0.90)
       truth
     }),
@@ -2798,9 +2802,16 @@ object SparkEntry {
       // already saw the batch.
       val graph = operators.similarity.NNDescent.knnGraph(
         old, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
+      // the insert's search leg descends a coarse layer over the OLD
+      // corpus (1-in-8 sample, 64x cheaper build) before the base graph
+      // — half the driver rounds of the flat walk at equal recall
+      val top = operators.similarity.NNDescent.knnGraph(
+        operators.similarity.GraphSearch.topLayerSample(old, "vec_id", mod = 8),
+        "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
       val merged = operators.similarity.GraphSearch.insert(
         old, graph, batch, "vec_id", "embedding", k = 5,
-        entryMod = 8, hopExpansion = 2, maxRounds = 6)
+        entryMod = 8, hopExpansion = 2, maxRounds = 3,
+        topGraph = Some(top), topSampleMod = 8)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
       operators.similarity.Similarity.recallGate(merged, truth, 0.85)
       truth
@@ -3548,6 +3559,23 @@ object SparkEntry {
       operators.similarity.NNDescent.knnGraph(
         manifoldNodes(s, dir), "vec_id", "embedding",
         k = 5, maxRounds = 4, bucketSize = 96))
+
+  /** The COARSE entry layer over the manifold corpus (1-in-8 hash
+    * sample, same NN-Descent build — [[graft.operators.similarity
+    * .GraphSearch.topLayerSample]]): ss8's search and ss9's insert
+    * descend it before opening the base graph, cutting the driver-
+    * synchronized round count (the latency floor) roughly in half at
+    * equal recall — pinned by NNDescentSpec's hierarchy spec. Cached
+    * like [[manifoldGraph]]; the sample build is 64× cheaper than the
+    * base build. */
+  private val topGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def manifoldTopGraph(s: SparkSession, dir: String): DataFrame =
+    topGraphCache.getOrElseUpdate((s, dir),
+      operators.similarity.NNDescent.knnGraph(
+        operators.similarity.GraphSearch.topLayerSample(
+          manifoldNodes(s, dir), "vec_id", mod = 8),
+        "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96))
 
   /** Exact brute-force truth over the manifold corpus, shared by
     * ss7/ss8/ss9 the same way [[manifoldGraph]] is: knnBrute is

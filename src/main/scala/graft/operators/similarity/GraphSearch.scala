@@ -54,10 +54,12 @@ object GraphSearch extends Logging {
     * (src, dst, sim, rank) shape, ready for the next search or insert. */
   def insert(corpus: DataFrame, graph: DataFrame, newNodes: DataFrame,
       idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
-      maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1): DataFrame = {
+      maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1,
+      topGraph: Option[DataFrame] = None, topSampleMod: Int = 8): DataFrame = {
     val searched = search(corpus, graph, newNodes, idCol, vecCol, k = k,
         beamWidth = beamWidth, maxRounds = maxRounds, entryMod = entryMod,
-        hopExpansion = hopExpansion)
+        hopExpansion = hopExpansion, topGraph = topGraph,
+        topSampleMod = topSampleMod)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
         col("cosine").as("sim"))
     val inner = Similarity.knnBrute(newNodes, newNodes, idCol, vecCol, k)
@@ -96,10 +98,35 @@ object GraphSearch extends Logging {
     *         shape, directly comparable against exact truth) */
   def search(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
-      maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1): DataFrame =
-    IndexScope.scoped { sc =>
+      maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1,
+      topGraph: Option[DataFrame] = None, topSampleMod: Int = 8): DataFrame =
+    searchStats(corpus, graph, queries, idCol, vecCol, k, beamWidth,
+      maxRounds, entryMod, hopExpansion, topGraph, topSampleMod)._1
+
+  /** The deterministic hash sample a coarse TOP LAYER is built over:
+    * 1-in-`mod` corpus nodes. Build [[NNDescent.knnGraph]] on exactly
+    * this frame and pass it as `topGraph` — search then seeds from a
+    * far sparser scatter, walks the small top graph to each query's
+    * neighborhood first (cheap rounds over ~n/mod nodes), and only then
+    * opens the base graph: HNSW's entry hierarchy, two layers. */
+  def topLayerSample(corpus: DataFrame, idCol: String,
+      mod: Int = 8): DataFrame =
+    corpus.where(pmod(xxhash64(col(idCol)), lit(mod.toLong)) === 0)
+
+  /** [[search]] plus the number of driver-synchronized rounds the walk
+    * actually ran — the latency floor a cluster deployment cares about
+    * (each round is one materializing action). The hierarchy spec pins
+    * its round-halving claim on this. */
+  def searchStats(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
+      maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1,
+      topGraph: Option[DataFrame] = None,
+      topSampleMod: Int = 8): (DataFrame, Int) = {
+    var rounds = 0
+    val out = IndexScope.scoped { sc =>
       require(k > 0 && beamWidth >= k && maxRounds > 0 && entryMod > 0)
       require(hopExpansion == 1 || hopExpansion == 2, "hopExpansion must be 1 or 2")
+      require(topSampleMod > 0)
       def unit(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
         .select(col(idCol).as(idAs), toDouble(col(vecCol)).as("__v"))
         .select(col(idAs), col("__v"), sqrt(dot(col("__v"), col("__v"))).as("__n"))
@@ -124,12 +151,39 @@ object GraphSearch extends Logging {
         .join(q, "query_id")
         .select(col("query_id"), col("nid"), dot(col("qv"), col("nv")).as("cosine"))
 
+      // the coarse layer's edges: symmetrized AND 2-hop-squared — the
+      // layer exists to cover distance fast, and it is topSampleMod×
+      // smaller than the base graph, so the degree² closure stays cheap
+      val topEdges = topGraph.map { tg =>
+        val e1 = tg.select(col("src"), col("dst"))
+          .unionAll(tg.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        sc.index(e1.unionAll(
+            e1.select(col("src"), col("dst").as("__mid"))
+              .join(e1.select(col("src").as("__mid"), col("dst")), "__mid")
+              .select(col("src"), col("dst")))
+          .where(col("src") =!= col("dst"))
+          .distinct())
+      }
+
       // deterministic hash-scattered entry points, every query starts on
       // all of them — a genuine all-pairs seeding, but of ids only: the
       // entry list is O(n/entryMod) ids and broadcast, so the product is
-      // per-query metadata fan-out, never a shuffled Cartesian of data
-      val entries = c.select(col("nid"))
-        .where(pmod(xxhash64(col("nid")), lit(entryMod)) === 0)
+      // per-query metadata fan-out, never a shuffled Cartesian of data.
+      // With a top layer the scatter is topSampleMod× SPARSER (and drawn
+      // from the sample, so the top walk can reach it): the top rounds
+      // recover the locality the thinner seeding gives up.
+      val entryModEff =
+        if (topEdges.isDefined) topSampleMod.toLong * entryMod else entryMod.toLong
+      val entries0 = c.select(col("nid"))
+        .where(pmod(xxhash64(col("nid")), lit(entryModEff)) === 0)
+      // tiny-corpus guard: an over-sparse scatter that catches nothing
+      // falls back to the flat entry set (one metadata-sized count)
+      val entries =
+        if (topEdges.isDefined && entries0.limit(1).isEmpty)
+          c.select(col("nid"))
+            .where(pmod(xxhash64(col("nid")), lit(entryMod)) === 0)
+        else entries0
       var visited = score(
         q.select(col("query_id")).crossJoin(broadcast(entries))
           .where(col("query_id") =!= col("nid")))
@@ -142,30 +196,45 @@ object GraphSearch extends Logging {
         .select(col("query_id"), col("nid"))
 
       var nVisited = visited.count()
-      var hop = 0
-      var done = false
-      while (hop < maxRounds && !done) {
-        val frontier = beamOf(visited)
-          .withColumnRenamed("nid", "src")
-          .join(edges, "src")
-          .select(col("query_id"), col("dst").as("nid"))
-          .distinct()
-          .where(col("query_id") =!= col("nid"))
-        val fresh = score(frontier.join(
-          visited.select(col("query_id"), col("nid")),
-          Seq("query_id", "nid"), "left_anti"))
-        val merged = visited.unionAll(fresh).localCheckpoint(false)
-        // one action per round: counts the merged set (fresh = delta) AND
-        // materializes its checkpoint
-        val total = merged.count()
-        val nFresh = total - nVisited
-        nVisited = total
-        IndexScope.release(visited)
-        visited = merged
-        hop += 1
-        done = nFresh == 0
-        logInfo(s"graph-search round $hop: $nFresh fresh candidates")
+
+      // one beam-walk phase over `edgeTable`; rounds are global across
+      // phases (each is one driver-synchronized action — the metric)
+      def walk(edgeTable: DataFrame, budget: Int, phase: String): Unit = {
+        var hop = 0
+        var done = false
+        while (hop < budget && !done) {
+          val frontier = beamOf(visited)
+            .withColumnRenamed("nid", "src")
+            .join(edgeTable, "src")
+            .select(col("query_id"), col("dst").as("nid"))
+            .distinct()
+            .where(col("query_id") =!= col("nid"))
+          val fresh = score(frontier.join(
+            visited.select(col("query_id"), col("nid")),
+            Seq("query_id", "nid"), "left_anti"))
+          val merged = visited.unionAll(fresh).localCheckpoint(false)
+          // one action per round: counts the merged set (fresh = delta)
+          // AND materializes its checkpoint
+          val total = merged.count()
+          val nFresh = total - nVisited
+          nVisited = total
+          IndexScope.release(visited)
+          visited = merged
+          hop += 1
+          rounds += 1
+          done = nFresh == 0
+          logInfo(s"graph-search $phase round $rounds: $nFresh fresh candidates")
+        }
       }
+      // phase 1 (hierarchy only): descend the coarse layer TOWARD each
+      // query's neighborhood — a bounded budget, not closure: the top
+      // walk's job is to cover distance (2-hop steps over a sparse
+      // sample ≈ 2·topSampleMod base positions per round), and the base
+      // phase's own convergence recovers anything it left on the table
+      topEdges.foreach(te => walk(te, math.max(2, maxRounds / 2), "top"))
+      // phase 2: the base graph, entered near the target
+      walk(edges, maxRounds, "base")
+
       sc.own(visited)
       visited
         .withColumn("cosine", round(col("cosine"), 6))
@@ -175,4 +244,6 @@ object GraphSearch extends Logging {
         .select(col("query_id"), col("nid").as("neighbor_id"),
           col("cosine"), col("rk"))
     }
+    (out, rounds)
+  }
 }

@@ -117,6 +117,42 @@ class NNDescentSpec extends SparkSpecBase {
       f"2-hop recall $r2%.3f fell behind 1-hop $r1%.3f")
   }
 
+  test("HNSW-style top layer: equal recall in at most half the " +
+      "driver-synchronized rounds of the flat walk") {
+    import graft.operators.similarity.GraphSearch
+    val truth = bruteGraph(clustered, 5)
+    val graph = NNDescent.knnGraph(clustered, "vec_id", "embedding", k = 5,
+      maxRounds = 6, bucketSize = 96)
+    def recallOf(found: DataFrame): Double = {
+      val f = found.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+      (f & truth).size.toDouble / truth.size
+    }
+    // flat walk: sparse scatter (≈ n/64 entries), 2-hop rounds to
+    // closure — the strongest flat configuration at this seeding density
+    val (flat, flatRounds) = GraphSearch.searchStats(clustered, graph,
+      clustered, "vec_id", "embedding", k = 5, beamWidth = 8,
+      maxRounds = 32, entryMod = 64, hopExpansion = 2)
+    // hierarchy: SAME seeding density (8·8 = 64) and same 2-hop base
+    // walk, but the seeds first descend a coarse layer (1-in-8 sample,
+    // same NN-Descent build) — and need only maxRounds=2 per phase
+    val sample = GraphSearch.topLayerSample(clustered, "vec_id", mod = 8)
+    val top = NNDescent.knnGraph(sample, "vec_id", "embedding", k = 5,
+      maxRounds = 6, bucketSize = 96)
+    val (hier, hierRounds) = GraphSearch.searchStats(clustered, graph,
+      clustered, "vec_id", "embedding", k = 5, beamWidth = 8,
+      maxRounds = 2, entryMod = 8, hopExpansion = 2,
+      topGraph = Some(top), topSampleMod = 8)
+    val (rFlat, rHier) = (recallOf(flat), recallOf(hier))
+    info(f"flat: $flatRounds rounds recall $rFlat%.3f; " +
+      f"hier: $hierRounds rounds recall $rHier%.3f")
+    assert(rHier >= 0.9, f"hierarchical recall $rHier%.3f below gate")
+    assert(rHier >= rFlat - 0.02,
+      f"hierarchy lost recall: $rHier%.3f vs flat $rFlat%.3f")
+    assert(hierRounds * 2 <= flatRounds,
+      s"hierarchy did not halve rounds: $hierRounds vs flat $flatRounds")
+  }
+
   test("insert links a new batch into an existing graph without a rebuild") {
     import graft.operators.similarity.GraphSearch
     val old = clustered.where(col("vec_id") % 12 =!= 0)
