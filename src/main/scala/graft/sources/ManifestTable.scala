@@ -86,6 +86,12 @@ object ManifestTable {
     * size (the Iceberg/Delta per-file DV model at equality-delete
     * granularity). Absent for legacy manifests → every delete
     * conservatively scopes to every older file (the old behavior). */
+  /** `rows`: per-file ROW COUNTS (data AND delete files, from the same
+    * footer harvest as `stats`) — what lets the scan expose a LIVE-size
+    * estimate to join planning: after a MoR merge hides most of a
+    * table, physical file bytes wildly overestimate the live data, and
+    * a join that should broadcast gets planned as a shuffle. Absent in
+    * legacy manifests → no estimate, reads plan exactly as before. */
   final case class Manifest(version: Long, files: Seq[String],
       commitId: Option[String], parent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
@@ -93,7 +99,8 @@ object ManifestTable {
       deletes: Seq[(String, Long)] = Seq.empty,
       constraints: Seq[String] = Seq.empty,
       commitTs: Option[Long] = None,
-      deleteStats: Map[String, Map[String, ColStats]] = Map.empty)
+      deleteStats: Map[String, Map[String, ColStats]] = Map.empty,
+      rows: Map[String, Long] = Map.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -114,6 +121,8 @@ object ManifestTable {
       s""""stats":{${statsJson(m.files, m.stats)}},""" +
       s""""seqs":{$seqsJson},"deletes":[$delJson],""" +
       s""""delete_stats":{${statsJson(m.deletes.map(_._1), m.deleteStats)}},""" +
+      s""""rows":{${(m.files ++ m.deletes.map(_._1)).flatMap(f =>
+        m.rows.get(f).map(n => q(f) + s":$n")).mkString(",")}},""" +
       s""""constraints":[${m.constraints.map(q).mkString(",")}]}"""
   }
 
@@ -186,7 +195,11 @@ object ManifestTable {
       (j \ "parent").extract[Long],
       stats, seqs, deletes, constraints,
       (j \ "commit_ts").extractOpt[Long],
-      parseStats(j \ "delete_stats"))
+      parseStats(j \ "delete_stats"),
+      (j \ "rows") match {
+        case JObject(fs) => fs.collect { case (f, JInt(n)) => f -> n.toLong }.toMap
+        case _ => Map.empty[String, Long]
+      })
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -269,7 +282,52 @@ object ManifestTable {
     require(m.files.nonEmpty, s"version ${m.version} names no data files")
     // mergeSchema: a version's files may span commits with evolved
     // schemas; picking one footer at random would silently drop columns
-    reconcile(spark, path, m, m.files)
+    maybeHintBroadcast(spark, m, reconcile(spark, path, m, m.files), path)
+  }
+
+  /** LIVE-size estimate from manifest metadata alone: Σ data-file row
+    * counts − Σ delete-file key counts (a keyed table hides at most one
+    * row per delete key), bytes scaled proportionally from the physical
+    * file sizes. None when any row count is missing (legacy manifests).
+    * This is the number join planning should see — after a MoR merge
+    * hides most of a table, the parquet relation's file-size estimate
+    * can be arbitrarily far above the live data. */
+  def estimatedLive(path: String,
+      version: Option[Long] = None): Option[(Long, Long)] = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    if (!(m.files ++ m.deletes.map(_._1)).forall(m.rows.contains)) None
+    else {
+      val total = m.files.map(m.rows).sum
+      val hidden = m.deletes.map { case (f, _) => m.rows(f) }.sum
+      val live = math.max(0L, total - hidden)
+      val bytes = m.files.map(f => Files.size(dataDir(path).resolve(f))).sum
+      val liveBytes =
+        if (total == 0) 0L else (bytes.toDouble * live / total).toLong
+      Some((live, liveBytes))
+    }
+  }
+
+  /** Surface the manifest's live-size estimate to the planner: when a
+    * DV-carrying table's LIVE bytes fit the session's auto-broadcast
+    * threshold but its PHYSICAL bytes do not (so Spark's file-size
+    * estimation would plan a shuffle join), attach the broadcast hint.
+    * Scoped tightly: only fires under an active delete ledger — without
+    * deletes the file sizes already tell the truth and every plan stays
+    * exactly as before. The estimate errs small only when delete keys
+    * miss (hide no row) — the standard cost-estimation risk, bounded by
+    * the table's pre-delete size. */
+  private def maybeHintBroadcast(spark: SparkSession, m: Manifest,
+      df: DataFrame, path: String): DataFrame = {
+    if (m.deletes.isEmpty) return df
+    val thr = org.apache.spark.sql.graft.ColumnBridge.autoBroadcastThreshold(spark)
+    if (thr <= 0) return df
+    estimatedLive(path, Some(m.version)) match {
+      case Some((_, liveBytes)) =>
+        val raw = m.files.map(f => Files.size(dataDir(path).resolve(f))).sum
+        if (liveBytes <= thr && raw > thr) df.hint("broadcast") else df
+      case None => df
+    }
   }
 
   /** PER-FILE DELETE SCOPING: which delete entries can hit each scanned
@@ -593,6 +651,20 @@ object ManifestTable {
     * UTF8-annotated binary. Annotated physical types (decimal-as-binary,
     * date, timestamp) are SKIPPED — a missing stat means "never prune",
     * so unsupported columns cost selectivity, not correctness. */
+  /** Per-file row counts from the parquet footers (block metadata only —
+    * same KB-scale driver-side opens as [[footerStats]]). */
+  private def footerRows(path: String, files: Seq[String]): Map[String, Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map { name =>
+      val p = new org.apache.hadoop.fs.Path(dataDir(path).resolve(name).toUri)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try name -> r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.toMap
+  }
+
   private def footerStats(path: String,
       files: Seq[String]): Map[String, Map[String, ColStats]] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -702,6 +774,7 @@ object ManifestTable {
       commitId: Option[String]): Long = {
     Files.createDirectories(manifestDir(path))
     val newStats = footerStats(path, newFiles)
+    val newRows = footerRows(path, newFiles)
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
@@ -726,9 +799,11 @@ object ManifestTable {
       // constraints are TABLE metadata: they survive overwrite (the data
       // is replaced, the table's contract is not)
       val cons = cur.map(_.constraints).getOrElse(Seq.empty)
+      val rowsM = (if (replace) Map.empty[String, Long]
+        else cur.map(_.rows).getOrElse(Map.empty)) ++ newRows
       val m = Manifest(next, files, commitId,
         cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
-        deleteStats = delStats)
+        deleteStats = delStats, rows = rowsM)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -789,7 +864,7 @@ object ManifestTable {
       publish(target, render(
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
           footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
-          base.constraints)))
+          base.constraints, rows = footerRows(path, staged))))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -868,7 +943,8 @@ object ManifestTable {
         footerStats(path, staged),
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      base.deletes, base.constraints, deleteStats = base.deleteStats)
+      base.deletes, base.constraints, deleteStats = base.deleteStats,
+      rows = base.rows ++ footerRows(path, staged))
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -966,7 +1042,8 @@ object ManifestTable {
         footerStats(path, staged),
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      Seq.empty, base.constraints)
+      Seq.empty, base.constraints,
+      rows = base.rows ++ footerRows(path, staged))
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1095,7 +1172,8 @@ object ManifestTable {
         footerStats(path, staged),
       untouchedFiles.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
-      base.deletes, base.constraints, deleteStats = base.deleteStats)
+      base.deletes, base.constraints, deleteStats = base.deleteStats,
+      rows = base.rows ++ footerRows(path, staged))
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1167,7 +1245,8 @@ object ManifestTable {
         base.deletes ++ delFiles.map(_ -> next), base.constraints,
         // per-delete-file key stats: what lets every future read scope
         // this delete to the data files its key range can actually hit
-        deleteStats = base.deleteStats ++ footerStats(path, delFiles))
+        deleteStats = base.deleteStats ++ footerStats(path, delFiles),
+        rows = base.rows ++ footerRows(path, staged ++ delFiles))
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next

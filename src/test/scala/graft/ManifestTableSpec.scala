@@ -653,6 +653,44 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(s2, t).count() == 5000)
   }
 
+  test("manifest live-size estimate flips a post-delete join to broadcast " +
+      "where file-size estimation would shuffle") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // table with fat rows so its physical bytes comfortably exceed the
+    // tiny threshold below
+    ManifestTable.overwrite(spark.range(0, 5000)
+      .selectExpr("id AS k", "repeat('x', 200) AS pad"), t)
+    // MoR-delete 98% of the keys: live data is now tiny, physical bytes
+    // unchanged (that is the point of merge-on-read)
+    ManifestTable.mergeMoR(spark, t,
+      spark.range(0, 4900).selectExpr("id AS k", "'' AS pad", "'D' AS op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    val (liveRows, liveBytes) = ManifestTable.estimatedLive(t).get
+    assert(liveRows == 100, s"live estimate $liveRows")
+    val s2 = spark.newSession()
+    // threshold between live and physical: file-size estimation says
+    // shuffle, the manifest knows better
+    val rawBytes = ManifestTable.dataFiles(t).map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, "data", f))).sum
+    assert(liveBytes < rawBytes / 4)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      ((liveBytes + rawBytes) / 2).toString)
+    val fact = s2.range(0, 100000).selectExpr("id % 5000 AS k", "id AS m")
+    val joined = fact.join(ManifestTable.read(s2, t), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "post-delete read did not surface its live size to the planner:\n" +
+        plan.take(1500))
+    // control: the PRE-delete version has no ledger -> no hint -> the
+    // same join plans as a shuffle (physical bytes above threshold)
+    val j0 = fact.join(ManifestTable.read(s2, t, Some(1L)), "k")
+    val plan0 = j0.queryExecution.executedPlan.toString
+    assert(!plan0.contains("BroadcastHashJoin"), plan0.take(1500))
+    // and the hinted read is still exact
+    assert(joined.count() == 100L * 20)
+  }
+
   test("compactDeletes folds the DV ledger rewriting only stats-affected files") {
     import org.apache.spark.sql.functions.col
     val t = table()
