@@ -66,6 +66,19 @@ object SnapshotDiff {
       compareCols: Seq[String]): DataFrame =
     diffWithValues(oldSnap, newSnap, Seq(keyCol), compareCols)
 
+  /** One loud-failure uniqueness probe per side (limit-1 dup scan) —
+    * shared by [[diff]]'s opt-in flag and the manifest CDC path, where
+    * it runs on the O(diff) slices by DEFAULT (the keyed contract is
+    * enforced, not assumed, and the cost tracks the change, not the
+    * table). */
+  def assertKeyed(side: String, df: DataFrame, keyCols: Seq[String]): Unit = {
+    val dup = df.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$side snapshot has duplicate key ${dup.headOption.map(_.get(0))} — " +
+        s"snapshots must be unique on ${keyCols.mkString("(", ",", ")")}")
+  }
+
   /** Composite-key [[diffWithValues]] (a lineitem-style table is keyed
     * on (orderkey, linenumber) — single-column keys are the special
     * case). Null-safe key equality: a null key component matches a null

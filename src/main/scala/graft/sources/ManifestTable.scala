@@ -100,7 +100,8 @@ object ManifestTable {
       constraints: Seq[String] = Seq.empty,
       commitTs: Option[Long] = None,
       deleteStats: Map[String, Map[String, ColStats]] = Map.empty,
-      rows: Map[String, Long] = Map.empty)
+      rows: Map[String, Long] = Map.empty,
+      mergeKeys: Seq[String] = Seq.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -123,7 +124,8 @@ object ManifestTable {
       s""""delete_stats":{${statsJson(m.deletes.map(_._1), m.deleteStats)}},""" +
       s""""rows":{${(m.files ++ m.deletes.map(_._1)).flatMap(f =>
         m.rows.get(f).map(n => q(f) + s":$n")).mkString(",")}},""" +
-      s""""constraints":[${m.constraints.map(q).mkString(",")}]}"""
+      s""""constraints":[${m.constraints.map(q).mkString(",")}],""" +
+      s""""merge_keys":[${m.mergeKeys.map(q).mkString(",")}]}"""
   }
 
   // Manifests are immutable once published (atomic link/rename, never
@@ -199,6 +201,10 @@ object ManifestTable {
       (j \ "rows") match {
         case JObject(fs) => fs.collect { case (f, JInt(n)) => f -> n.toLong }.toMap
         case _ => Map.empty[String, Long]
+      },
+      (j \ "merge_keys") match {
+        case JArray(ks) => ks.collect { case JString(k) => k }
+        case _ => Seq.empty[String]
       })
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
@@ -803,7 +809,8 @@ object ManifestTable {
         else cur.map(_.rows).getOrElse(Map.empty)) ++ newRows
       val m = Manifest(next, files, commitId,
         cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
-        deleteStats = delStats, rows = rowsM)
+        deleteStats = delStats, rows = rowsM,
+        mergeKeys = cur.map(_.mergeKeys).getOrElse(Seq.empty))
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -864,7 +871,8 @@ object ManifestTable {
       publish(target, render(
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
           footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
-          base.constraints, rows = footerRows(path, staged))))
+          base.constraints, rows = footerRows(path, staged),
+          mergeKeys = base.mergeKeys)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -944,7 +952,8 @@ object ManifestTable {
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
-      rows = base.rows ++ footerRows(path, staged))
+      rows = base.rows ++ footerRows(path, staged),
+      mergeKeys = base.mergeKeys)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1043,7 +1052,8 @@ object ManifestTable {
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
       Seq.empty, base.constraints,
-      rows = base.rows ++ footerRows(path, staged))
+      rows = base.rows ++ footerRows(path, staged),
+      mergeKeys = base.mergeKeys)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1103,6 +1113,12 @@ object ManifestTable {
     require(keyCols.forall(cols.contains), s"key not in target: $keyCols")
     require(cols.forall(source.columns.contains),
       s"source is missing target columns: ${cols.diff(source.columns.toSeq)}")
+    // a table keyed by an earlier merge stays keyed on THE SAME columns:
+    // silently re-keying would orphan every delete file's semantics and
+    // break the CDC path's keyed contract
+    require(base.mergeKeys.isEmpty || base.mergeKeys == keyCols,
+      s"table is keyed on ${base.mergeKeys.mkString("(", ",", ")")}; " +
+        s"merge on ${keyCols.mkString("(", ",", ")")} rejected")
     // the tombstone split runs on the RAW source — deleteWhen may
     // reference columns (an op marker) that are not part of the table.
     // The checkpoint pins the source for its several consumers below and
@@ -1173,7 +1189,8 @@ object ManifestTable {
       untouchedFiles.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
-      rows = base.rows ++ footerRows(path, staged))
+      rows = base.rows ++ footerRows(path, staged),
+      mergeKeys = keyCols)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1216,6 +1233,12 @@ object ManifestTable {
     require(keyCols.forall(cols.contains), s"key not in target: $keyCols")
     require(cols.forall(source.columns.contains),
       s"source is missing target columns: ${cols.diff(source.columns.toSeq)}")
+    // a table keyed by an earlier merge stays keyed on THE SAME columns:
+    // silently re-keying would orphan every delete file's semantics and
+    // break the CDC path's keyed contract
+    require(base.mergeKeys.isEmpty || base.mergeKeys == keyCols,
+      s"table is keyed on ${base.mergeKeys.mkString("(", ",", ")")}; " +
+        s"merge on ${keyCols.mkString("(", ",", ")")} rejected")
     val raw = source.localCheckpoint()
     try {
       val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
@@ -1246,7 +1269,8 @@ object ManifestTable {
         // per-delete-file key stats: what lets every future read scope
         // this delete to the data files its key range can actually hit
         deleteStats = base.deleteStats ++ footerStats(path, delFiles),
-        rows = base.rows ++ footerRows(path, staged ++ delFiles))
+        rows = base.rows ++ footerRows(path, staged ++ delFiles),
+        mergeKeys = keyCols)
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next
@@ -1379,9 +1403,28 @@ object ManifestTable {
     * downstream incremental consumer reads instead of re-scanning the
     * table. One full-outer join on the key
     * ([[graft.operators.SnapshotDiff]]); the output is the small diff. */
+  /** The CDC path ENFORCES the keyed contract instead of assuming it
+    * (the diff's full-outer join silently fans out on a duplicated key):
+    * (a) a table whose manifests carry merge-key metadata rejects a feed
+    * request on ANY OTHER key loudly; (b) both slices get a uniqueness
+    * probe — the slices are O(changed files), so the probe cost tracks
+    * the change, never the table. */
+  private def enforceKeyed(spark: SparkSession, path: String,
+      toVersion: Long, keyCols: Seq[String],
+      before: DataFrame, after: DataFrame): Unit = {
+    val declared = manifestAt(path, toVersion).mergeKeys
+    require(declared.isEmpty || declared == keyCols,
+      s"table at $path is keyed on ${declared.mkString("(", ",", ")")} " +
+        s"(merge-key metadata); a change feed on " +
+        s"${keyCols.mkString("(", ",", ")")} would not be a keyed diff")
+    graft.operators.SnapshotDiff.assertKeyed("before", before, keyCols)
+    graft.operators.SnapshotDiff.assertKeyed("after", after, keyCols)
+  }
+
   def changes(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long, keyCol: String): DataFrame = {
     val (before, after) = differingSlices(spark, path, fromVersion, toVersion)
+    enforceKeyed(spark, path, toVersion, Seq(keyCol), before, after)
     graft.operators.SnapshotDiff.diff(before, after, keyCol,
       before.columns.toSeq.filterNot(_ == keyCol))
   }
@@ -1398,6 +1441,7 @@ object ManifestTable {
   def changesWithValues(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String]): DataFrame = {
     val (before, after) = differingSlices(spark, path, fromVersion, toVersion)
+    enforceKeyed(spark, path, toVersion, keyCols, before, after)
     graft.operators.SnapshotDiff.diffWithValues(before, after, keyCols,
       before.columns.toSeq.filterNot(keyCols.contains))
   }

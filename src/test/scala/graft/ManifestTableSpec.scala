@@ -653,6 +653,34 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(s2, t).count() == 5000)
   }
 
+  test("CDC keyed contract is enforced, not assumed: duplicated keys and " +
+      "wrong-key feeds fail loudly on the default path") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    ManifestTable.overwrite(Seq((1L, 10), (2L, 20)).toDF("k", "v"), t)
+    ManifestTable.merge(spark, t, Seq((2L, 21)).toDF("k", "v"), Seq("k"))
+    // the merge stamped the key metadata; a feed on another key is loud
+    val wrongKey = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, t, 1L, 2L, "v")
+    }
+    assert(wrongKey.getMessage.contains("keyed on (k)"), wrongKey.getMessage)
+    // the well-keyed feed still works
+    assert(ManifestTable.changes(spark, t, 1L, 2L, "k").count() == 1)
+    // an APPEND smuggles in a duplicate of key 2 — the next feed whose
+    // slices contain the duplicate must fail loudly, not fan out
+    ManifestTable.append(Seq((2L, 99)).toDF("k", "v"), t)
+    val dup = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, t, 1L, 3L, "k")
+    }
+    assert(dup.getMessage.contains("duplicate key"), dup.getMessage)
+    // re-keying a keyed table via merge is rejected up front
+    val rekey = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, t, Seq((5, 50)).toDF("v", "k2")
+        .selectExpr("CAST(5 AS BIGINT) AS k", "v"), Seq("v"))
+    }
+    assert(rekey.getMessage.contains("rejected"), rekey.getMessage)
+  }
+
   test("manifest live-size estimate flips a post-delete join to broadcast " +
       "where file-size estimation would shuffle") {
     import org.apache.spark.sql.functions.col
