@@ -914,6 +914,40 @@ object SparkEntry {
       q
     }),
 
+    "q102_bloom_skip" -> ((s, dir) => {
+      // PER-FILE BLOOM INDEX under the gate (sources/BloomIndex.scala):
+      // customers land hash-scattered across 8 files (repartition by
+      // name), so every file's c_custkey min/max spans the whole domain
+      // and stats pruning keeps ALL files for a point lookup — the
+      // blind spot of min/max skipping. The Bloom sidecars prove most
+      // files cannot contain the probed keys; the gate asserts stats
+      // alone prunes nothing while stats+Bloom scans at most half, and
+      // the pruned read still matches the plain SQL filter exactly
+      // (no false negatives by construction).
+      import graft.sources.{BloomIndex, ManifestTable}
+      import graft.conditions.{Condition, Op}
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-q102-").toString + "/t"
+      ManifestTable.overwrite(
+        Tables(s, dir, "customer").repartition(8, col("c_name")), t)
+      val nIndexed = BloomIndex.build(s, t, Seq("c_custkey"))
+      require(nIndexed > 0, "bloom build indexed nothing")
+      require(BloomIndex.build(s, t, Seq("c_custkey")) == 0,
+        "bloom build is not incremental (re-indexed existing files)")
+      val keys = Seq(11L, 222L, 1333L)
+      val conds = Seq(Condition("c_custkey", Op.In, keys))
+      val statsFiles = ManifestTable.statsSurvivors(t, conds)
+      val bloomFiles = BloomIndex.pruneFiles(t, conds)
+      require(statsFiles.size == ManifestTable.dataFiles(t).size,
+        s"hash-scattered layout should defeat min/max pruning " +
+          s"(stats kept ${statsFiles.size})")
+      require(bloomFiles.size * 2 <= statsFiles.size,
+        s"bloom index pruned only ${statsFiles.size - bloomFiles.size} of " +
+          s"${statsFiles.size} files for a 3-key probe")
+      ManifestTable.readWhereBloom(s, t, conds)
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
     "q100_fk_audit" -> ((s, dir) => {
       // referential-integrity audit (q51's DQ sibling): orphan foreign
       // keys per star-schema edge. Each edge is one left join against
@@ -5009,6 +5043,12 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    // q102: the Bloom-pruned point lookup must equal the plain filter
+    // (pruning is file-granular and provably sound; the residual filter
+    // restores row-level exactness)
+    "q102_bloom_skip" ->
+      """SELECT c_custkey, c_name, c_acctbal
+         FROM customer WHERE c_custkey IN (11, 222, 1333)""",
     "q100_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
            CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans

@@ -506,6 +506,43 @@ object ManifestTable {
     else reconcile(spark, path, m, survivors).where(residual)
   }
 
+  /** The files a stats-pruned [[readWhere]] would scan at a version —
+    * the min/max survivor set, shared with [[BloomIndex.pruneFiles]]
+    * (which intersects it with Bloom-provable absence). */
+  def statsSurvivors(path: String, conds: Seq[graft.conditions.Condition],
+      version: Option[Long] = None): Seq[String] = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    m.files.filter(f => fileMightMatch(m.stats.get(f), conds))
+  }
+
+  /** Per-file row counts at a version (entries absent for files whose
+    * manifests predate the row harvest). */
+  def fileRows(path: String, version: Option[Long] = None): Map[String, Long] = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    m.files.flatMap(f => m.rows.get(f).map(f -> _)).toMap
+  }
+
+  /** [[readWhere]] with per-file BLOOM pruning stacked on the min/max
+    * stats ([[BloomIndex]]): point predicates (Eq/In) additionally drop
+    * every file whose filter proves the probed value absent — the skip
+    * min/max cannot give on columns scattered across files. Result is
+    * identical to `read().where(conds)` by construction (Bloom filters
+    * have no false negatives; the residual filter restores row-level
+    * exactness). */
+  def readWhereBloom(spark: SparkSession, path: String,
+      conds: Seq[graft.conditions.Condition],
+      version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    val survivors = BloomIndex.pruneFiles(path, conds, Some(m.version))
+    val residual = graft.conditions.Conditions.all(conds)
+    if (survivors.isEmpty)
+      read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
+    else reconcile(spark, path, m, survivors).where(residual)
+  }
+
   /** (files a readWhere would scan, total files) at a version — the
     * observable the data-skipping gate asserts on. */
   def pruneCount(path: String, conds: Seq[graft.conditions.Condition],

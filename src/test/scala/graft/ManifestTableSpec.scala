@@ -653,6 +653,50 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(s2, t).count() == 5000)
   }
 
+  test("BloomIndex: point-predicate file skipping where min/max stats " +
+      "cannot prune, incremental build, append-safe, type-cast probes") {
+    import graft.conditions.{Condition, Op}
+    import graft.sources.BloomIndex
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // keys hash-scattered across 4 files: every file's min/max spans the
+    // whole key domain, so stats pruning is useless for a point lookup
+    ManifestTable.overwrite(
+      spark.range(0, 4000)
+        .selectExpr("id AS k", "concat('u', id) AS name")
+        .repartition(4, col("name")), t)
+    assert(BloomIndex.build(spark, t, Seq("k")) == 4)
+    assert(BloomIndex.build(spark, t, Seq("k")) == 0, "not incremental")
+    val conds = Seq(Condition("k", Op.Eq, 1234L))
+    assert(ManifestTable.statsSurvivors(t, conds).size == 4,
+      "layout should defeat min/max pruning")
+    val pruned = BloomIndex.pruneFiles(t, conds)
+    assert(pruned.size <= 2, s"bloom kept ${pruned.size} of 4 files")
+    assert(ManifestTable.readWhereBloom(spark, t, conds).count() == 1)
+    // Int literal probing the Long column casts before hashing — a
+    // type-mismatched hash would silently skip the real file
+    assert(ManifestTable.readWhereBloom(spark, t,
+      Seq(Condition("k", Op.Eq, 1234))).count() == 1)
+    // a fresh append is UNINDEXED: reads stay conservative (and exact),
+    // the next build indexes only the new file
+    ManifestTable.append(Seq((99999L, "new")).toDF("k", "name"), t)
+    assert(ManifestTable.readWhereBloom(spark, t,
+      Seq(Condition("k", Op.Eq, 99999L))).count() == 1)
+    assert(BloomIndex.build(spark, t, Seq("k")) == 1)
+    assert(BloomIndex.pruneFiles(t,
+      Seq(Condition("k", Op.Eq, 99999L))).size <= 2)
+    // In-condition: a file survives if ANY probed key might be present
+    assert(ManifestTable.readWhereBloom(spark, t,
+      Seq(Condition("k", Op.In, Seq(3L, 99999L)))).count() == 2)
+    // absent key: every filter proves absence (modulo fpp), empty exact
+    assert(ManifestTable.readWhereBloom(spark, t,
+      Seq(Condition("k", Op.Eq, -5L))).count() == 0)
+    // sidecar vacuum drops entries for files no surviving version names
+    ManifestTable.overwrite(Seq((1L, "x")).toDF("k", "name"), t)
+    ManifestTable.expire(t, keepLast = 1, vacuumMinAgeMs = 0)
+    assert(BloomIndex.vacuum(t).nonEmpty)
+  }
+
   test("CDC keyed contract is enforced, not assumed: duplicated keys and " +
       "wrong-key feeds fail loudly on the default path") {
     import org.apache.spark.sql.functions.col
