@@ -118,8 +118,21 @@ object StreamSync {
       // merge-on-read: each batch commits O(batch) delete+upsert bytes
       // and rewrites nothing ([[graft.sources.ManifestTable.mergeMoR]])
       // — the right cost model for a high-frequency CDC feed against a
-      // large sink; schedule compactCommit to fold the delete ledger.
-      mor: Boolean = false): StreamingQuery =
+      // large sink; schedule compactCommit to fold the delete ledger,
+      // or let the stream do it itself via `autoCompactEvery`.
+      mor: Boolean = false,
+      // AUTO-COMPACTION (Delta's auto-compaction cadence, in-stream):
+      // every N batches the sink folds its MoR delete ledger
+      // (compactDeletes — file-scoped via the manifest's delete stats)
+      // and bin-packs small files (compactIncremental), so a long-lived
+      // CDC stream's read cost stays flat instead of degrading until an
+      // external OPTIMIZE job runs. Maintenance is BEST-EFFORT per
+      // cadence point: a lost commit race (concurrent writer) is logged
+      // and retried at the next cadence — it must never kill the
+      // stream. A replayed cadence batch re-runs compaction, which
+      // no-ops (no deletes, nothing small enough to fold). 0 = off.
+      autoCompactEvery: Int = 0,
+      autoCompactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -131,6 +144,17 @@ object StreamSync {
           else graft.sources.ManifestTable.merge(
             batch.sparkSession, tablePath, batch.toDF(), keyCols,
             deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+          if (autoCompactEvery > 0 && batchId % autoCompactEvery == (autoCompactEvery - 1))
+            try {
+              graft.sources.ManifestTable.compactDeletes(
+                batch.sparkSession, tablePath)
+              graft.sources.ManifestTable.compactIncremental(
+                batch.sparkSession, tablePath, autoCompactTargetBytes)
+            } catch {
+              case e: IllegalStateException => // best-effort: retried next cadence
+                Console.err.println(
+                  s"[graft] auto-compact skipped at batch $batchId: ${e.getMessage}")
+            }
           ()
         }
       }

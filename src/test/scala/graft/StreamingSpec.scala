@@ -361,6 +361,53 @@ class StreamingSpec extends SparkSpecBase {
       .as[String].head() == "second")
   }
 
+  test("StreamSync auto-compaction: the in-stream cadence folds the MoR " +
+      "delete ledger and bin-packs small files; result stays exact") {
+    import graft.sources.ManifestTable
+    val tmp = Files.createTempDirectory("graft-ac-").toString
+    val tbl = s"$tmp/t"
+    val srcDir = s"$tmp/cdc"
+    import spark.implicits._
+    ManifestTable.overwrite(
+      (1L to 50L).map(k => (k, s"name$k", k * 1.0)).toDF("k", "name", "bal"),
+      tbl)
+    Files.createDirectories(Paths.get(srcDir))
+    def stageFile(nm: String, rows: Seq[(Long, String, Double, String)],
+        mtime: Long): Unit = {
+      val st = s"$tmp/stage-$nm"
+      rows.toDF("k", "name", "bal", "op").coalesce(1).write.parquet(st)
+      val part = Files.list(Paths.get(st)).filter(
+        _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val target = Paths.get(srcDir, s"$nm.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stageFile("a", Seq((7L, "u1", 1.0, "U"), (40L, "", 0.0, "D")), t0)
+    stageFile("b", Seq((200L, "ins", 2.0, "U")), t0 + 10000)
+    stageFile("c", Seq((7L, "u2", 3.0, "U"), (9L, "", 0.0, "D")), t0 + 20000)
+    stageFile("d", Seq((8L, "u3", 4.0, "U")), t0 + 30000)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamSync.startMergeToTable(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir),
+      tbl, Seq("k"), s"$tmp/ckpt", deleteWhen = Some(col("op") === "D"),
+      mor = true, autoCompactEvery = 2).awaitTermination(120000)
+    // cadence hit after batches 1 and 3: the ledger is folded (the last
+    // cadence point is the last batch, so nothing is left over) and the
+    // file count is bounded by bin-packing instead of one file per batch
+    assert(ManifestTable.deleteFiles(tbl).isEmpty,
+      s"auto-compaction left a delete ledger: ${ManifestTable.deleteFiles(tbl)}")
+    assert(ManifestTable.dataFiles(tbl).size <= 3,
+      s"auto-compaction left ${ManifestTable.dataFiles(tbl).size} files")
+    val out = ManifestTable.read(spark, tbl)
+    assert(out.count() == 50 - 2 + 1)
+    assert(out.where("k = 7").select("name").as[String].head() == "u2")
+    assert(out.where("k = 8").select("name").as[String].head() == "u3")
+    assert(out.where("k IN (9, 40)").count() == 0)
+  }
+
   test("watermark eviction across micro-batches: late data beyond the " +
       "watermark is dropped, finalized windows emit once") {
     import java.sql.Timestamp
