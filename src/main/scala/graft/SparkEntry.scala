@@ -2880,6 +2880,19 @@ object SparkEntry {
       operators.textual.TextStats.duplicatedSpans(
         Tables(s, dir, "documents"), "doc_id", "text", n = 40)),
 
+    "tx21_suffix_ranks" -> ((s, dir) =>
+      // distributed SUFFIX ARRAY by prefix doubling (SuffixArray.scala)
+      // — the exact-order structure Lee et al.'s exact-substring dedup
+      // is built on, and the scale path past tx19/tx20's fixed-gram
+      // shuffle: log2(maxDocLen) rounds of pure sort/join relational
+      // algebra rank every suffix of the corpus globally, no
+      // single-partition window anywhere. The oracle recomputes the
+      // whole order by materializing every suffix string — tractable at
+      // sf, impossible at 100 TB, which is the point of the doubling.
+      operators.textual.SuffixArray.suffixRanks(
+        Tables(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text")),
+
     "tx20_span_clean" -> ((s, dir) =>
       // span-level corpus cleaning (TextStats.spanClean): tx19's
       // duplicated-position map CONSUMED — flagged 40-gram starts merge
@@ -4408,6 +4421,17 @@ object SparkEntry {
              AS n_dup_positions
          FROM g LEFT JOIN dup ON g.gram = dup.gram
          GROUP BY g.doc_id""",
+    // tx21: ground truth materializes every suffix STRING and sorts —
+    // O(total chars²) memory the distributed doubling never pays
+    "tx21_suffix_ranks" ->
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+           FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 1),
+         s AS (SELECT doc_id, p, substr(text, p) AS suf FROM pos)
+         SELECT doc_id, p,
+           CAST(row_number() OVER (ORDER BY suf, doc_id, p) AS BIGINT)
+             AS srank
+         FROM s""",
     // tx20: per-character ground truth — a char is duplicated iff some
     // flagged 40-gram start covers it; cleaned text = kept chars in
     // order; spans = maximal runs of duplicated chars (a run starts at

@@ -112,6 +112,26 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(out(3L) == (("padpad", 1L, 12L)))
   }
 
+  test("suffixRanks: global lexicographic suffix order with prefix-first " +
+      "and identical-suffix tie rules, exact vs brute force") {
+    import graft.operators.textual.SuffixArray
+    val d = docs((1L, "banana"), (2L, "ana"), (3L, "b"))
+    val got = SuffixArray.suffixRanks(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute force: all suffixes sorted (string, doc, p)
+    val suffixes = Seq((1L, "banana"), (2L, "ana"), (3L, "b")).flatMap {
+      case (id, t) => (1 to t.length).map(p => (t.substring(p - 1), id, p))
+    }.sorted
+    val want = suffixes.zipWithIndex.map { case ((_, id, p), i) =>
+      (id, p) -> (i + 1).toLong }.toMap
+    assert(got == want)
+    // the tie rule is exercised: "ana" (doc 1 p 4) == "ana" (doc 2 p 1)
+    assert(got((1L, 4)) + 1 == got((2L, 1)))
+    // prefix-first: "an" (doc 2 suffix at p=... none) — "a" < "ana" <
+    // "anana": doc2 p3 "a" before doc1 p6 "a"? equal strings tie by doc:
+    assert(got((1L, 6)) < got((2L, 3)))
+  }
+
   test("piiScrub counts and masks emails, phones, and IPs") {
     import graft.operators.textual.TextStats
     val d = Seq(
