@@ -2893,6 +2893,17 @@ object SparkEntry {
         Tables(s, dir, "documents").where(col("doc_id") % 10 === 0),
         "doc_id", "text")),
 
+    "tx22_lcp_array" -> ((s, dir) =>
+      // LCP array over the distributed suffix ranks: per suffix the
+      // common-prefix length with its rank-predecessor, plus a same-doc
+      // flag — max(lcp) over cross-doc pairs IS the corpus's longest
+      // duplicated substring, at any length (the exact structure the
+      // 40-gram pipeline approximates). Oracle: lag() over the
+      // materialized suffix order + max-prefix-equal probe.
+      operators.textual.SuffixArray.lcpArray(
+        Tables(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text")),
+
     "tx20_span_clean" -> ((s, dir) =>
       // span-level corpus cleaning (TextStats.spanClean): tx19's
       // duplicated-position map CONSUMED — flagged 40-gram starts merge
@@ -4432,6 +4443,28 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY suf, doc_id, p) AS BIGINT)
              AS srank
          FROM s""",
+    // tx22: LCP ground truth — lag the materialized suffix strings in
+    // rank order; lcp = max k with equal length-k prefixes
+    "tx22_lcp_array" ->
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+           FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 1),
+         s AS (SELECT doc_id, p, substr(text, p) AS suf FROM pos),
+         r AS (SELECT doc_id, p, suf,
+             CAST(row_number() OVER (ORDER BY suf, doc_id, p) AS BIGINT)
+               AS srank,
+             lag(suf) OVER (ORDER BY suf, doc_id, p) AS prevsuf,
+             lag(doc_id) OVER (ORDER BY suf, doc_id, p) AS prevdoc
+           FROM s)
+         SELECT doc_id, p, srank,
+           CAST(CASE WHEN prevsuf IS NULL THEN 0 ELSE coalesce((
+             SELECT max(g.k) FROM
+               (SELECT unnest(generate_series(1, 4096)) AS k) g
+             WHERE g.k <= least(length(suf), length(prevsuf))
+               AND substr(suf, 1, g.k) = substr(prevsuf, 1, g.k)), 0)
+           END AS BIGINT) AS lcp,
+           coalesce(prevdoc = doc_id, FALSE) AS prev_same_doc
+         FROM r""",
     // tx20: per-character ground truth — a char is duplicated iff some
     // flagged 40-gram start covers it; cleaned text = kept chars in
     // order; spans = maximal runs of duplicated chars (a run starts at

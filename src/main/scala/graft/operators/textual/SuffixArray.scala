@@ -158,6 +158,50 @@ object SuffixArray {
     out
   }
 
+  /** LCP ARRAY over [[suffixRanks]] — per suffix, the length of the
+    * longest common prefix with its PREDECESSOR in suffix order (0 for
+    * the first suffix). The classic companion structure: any repeated
+    * substring of ANY length shows up as an LCP between rank-adjacent
+    * suffixes, so `max(lcp)` is the corpus's longest duplicated
+    * substring and a threshold on `lcp` is exact-substring dedup with
+    * no fixed gram length (the tx19/tx20 40-gram is the bounded
+    * approximation of exactly this).
+    *
+    * Shape: one self-join of the rank frame on (srank−1) pairs each
+    * suffix with its predecessor; two doc-keyed joins re-attach the
+    * texts; the LCP itself is a row-local higher-order aggregate over
+    * the shorter suffix's length (first-mismatch scan — O(lcp) work per
+    * pair, the output-sensitive bound). Emits (doc_id, p, srank,
+    * lcp, prev_same_doc) — `prev_same_doc` distinguishes within-doc
+    * repetition from cross-document duplication. */
+  def lcpArray(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = IndexScope.scoped { sc =>
+    val base = sc.index(docs.where(length(col(textCol)) >= 1)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+    val ranks = sc.index(suffixRanks(docs, idCol, textCol))
+    val prev = ranks.select((col("srank") + 1).as("srank"),
+      col("doc_id").as("prev_doc"), col("p").as("prev_p"))
+    val paired = ranks.join(prev, Seq("srank"), "left")
+      .join(base, Seq("doc_id"))
+      .join(base.select(col("doc_id").as("prev_doc"),
+        col("__t").as("__pt")), Seq("prev_doc"), "left")
+    paired.select(
+      col("doc_id"), col("p"), col("srank"),
+      coalesce(expr("""
+        aggregate(
+          sequence(1, least(length(__t) - p + 1,
+                            length(__pt) - prev_p + 1)),
+          named_struct('done', false, 'n', 0),
+          (st, k) -> CASE
+            WHEN st.done THEN st
+            WHEN substring(__t, p + k - 1, 1) = substring(__pt, prev_p + k - 1, 1)
+            THEN named_struct('done', false, 'n', k)
+            ELSE named_struct('done', true, 'n', st.n) END,
+          st -> st.n)"""), lit(0)).cast("long").as("lcp"),
+      coalesce(col("prev_doc") === col("doc_id"), lit(false))
+        .as("prev_same_doc"))
+  }
+
   /** Global 0-based row index in the frame's current (sorted) order —
     * RDD zipWithIndex: one count pass for per-partition offsets, then a
     * map; preserves range-partitioned sort order and never funnels the

@@ -132,6 +132,30 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got((1L, 6)) < got((2L, 3)))
   }
 
+  test("lcpArray: max cross-doc lcp is the longest duplicated substring; " +
+      "values match brute force") {
+    import graft.operators.textual.SuffixArray
+    val d = docs((1L, "xbananay"), (2L, "zbanan"), (3L, "qq"))
+    val rows = SuffixArray.lcpArray(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    // brute force: sort suffixes, lcp with predecessor
+    val sufs = Seq((1L, "xbananay"), (2L, "zbanan"), (3L, "qq")).flatMap {
+      case (id, t) => (1 to t.length).map(p => (t.substring(p - 1), id, p))
+    }.sorted
+    def lcpOf(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+    sufs.zipWithIndex.foreach { case ((suf, id, p), i) =>
+      val want =
+        if (i == 0) (0L, false)
+        else (lcpOf(suf, sufs(i - 1)._1), sufs(i - 1)._2 == id)
+      assert(rows((id, p)) == want, s"suffix ($id,$p) '$suf'")
+    }
+    // the longest CROSS-doc duplicated substring is "banan" (len 5)
+    val maxCross = rows.values.collect { case (l, false) => l }.max
+    assert(maxCross == 5L, s"longest cross-doc duplicate length $maxCross")
+  }
+
   test("piiScrub counts and masks emails, phones, and IPs") {
     import graft.operators.textual.TextStats
     val d = Seq(
