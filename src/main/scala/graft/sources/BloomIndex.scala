@@ -53,19 +53,28 @@ object BloomIndex {
   /** Build missing per-file filters for `cols` over the CURRENT version.
     * Returns the number of (file, column) sidecars written. `fpp` is the
     * false-positive rate at the file's row count (false positives cost a
-    * wasted scan, never a wrong result). */
+    * wasted scan, never a wrong result). Large tables build in bounded
+    * batches of `filesPerPass` files: driver memory per pass is
+    * O(filesPerPass · cols · filterBytes), never O(table files) — a
+    * 10,000-file table indexes in ~160 passes of flat memory. */
   def build(spark: SparkSession, path: String, cols: Seq[String],
-      fpp: Double = 0.01): Int = {
+      fpp: Double = 0.01, filesPerPass: Int = 64): Int = {
     require(cols.nonEmpty, "need at least one column to index")
+    require(filesPerPass > 0)
     val files = ManifestTable.dataFiles(path)
+    val unindexed = files.filter(f =>
+      cols.exists(c => !indexedFiles(path, c).contains(f)))
+    if (unindexed.isEmpty) return 0
+    unindexed.grouped(filesPerPass)
+      .map(batch => buildPass(spark, path, cols, batch, fpp)).sum
+  }
+
+  private def buildPass(spark: SparkSession, path: String,
+      cols: Seq[String], files: Seq[String], fpp: Double): Int = {
     val rowsByFile: Map[String, Long] = ManifestTable.fileRows(path)
-    val todo: Seq[String] = cols.flatMap { c =>
-      val have = indexedFiles(path, c)
-      files.filterNot(have).map(f => s"$f.$c")
-    }
-    if (todo.isEmpty) return 0
     val missingByCol: Map[String, Set[String]] =
       cols.map(c => c -> files.filterNot(indexedFiles(path, c)).toSet).toMap
+    if (missingByCol.values.forall(_.isEmpty)) return 0
     val dataDir = Paths.get(path, "data")
     val scan = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => dataDir.resolve(f).toString): _*)
@@ -97,7 +106,7 @@ object BloomIndex {
               val c = bCols.value(i)
               if (bMissing.value(c).contains(f) && !row.isNullAt(i + 1)) {
                 val bf = acc.getOrElseUpdate((f, c), BloomFilter.create(
-                  bExpected.value.getOrElse(f, 1000000L), 0.01))
+                  bExpected.value.getOrElse(f, 1000000L), fpp))
                 bf.putLong(row.getLong(i + 1))
               }
               i += 1

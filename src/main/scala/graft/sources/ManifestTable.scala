@@ -1520,6 +1520,9 @@ object ManifestTable {
         .toSeq
     }
     orphans.foreach(Files.delete)
+    // Bloom sidecars are keyed by data-file name: drop the ones whose
+    // file just died (or died in an earlier vacuum)
+    BloomIndex.vacuum(path)
     orphans.map(_.getFileName.toString)
   }
 }

@@ -691,10 +691,13 @@ class ManifestTableSpec extends SparkSpecBase {
     // absent key: every filter proves absence (modulo fpp), empty exact
     assert(ManifestTable.readWhereBloom(spark, t,
       Seq(Condition("k", Op.Eq, -5L))).count() == 0)
-    // sidecar vacuum drops entries for files no surviving version names
+    // sidecar cleanup rides the table's own vacuum: after expiring the
+    // old versions, no sidecar may outlive its data file
+    assert(BloomIndex.indexedFiles(t, "k").nonEmpty)
     ManifestTable.overwrite(Seq((1L, "x")).toDF("k", "name"), t)
     ManifestTable.expire(t, keepLast = 1, vacuumMinAgeMs = 0)
-    assert(BloomIndex.vacuum(t).nonEmpty)
+    assert(BloomIndex.indexedFiles(t, "k").isEmpty,
+      "orphan bloom sidecars survived the table vacuum")
   }
 
   test("CDC keyed contract is enforced, not assumed: duplicated keys and " +
