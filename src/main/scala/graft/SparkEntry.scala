@@ -2816,6 +2816,87 @@ object SparkEntry {
       truth
     }),
 
+    "ss16_stream_index" -> ((s, dir) => {
+      // STREAMING ANN INDEX MAINTENANCE — the index lifecycle under a
+      // live feed, closing the loop ss7→ss9 opened: the navigable graph
+      // is built on 10/12 of the corpus and PERSISTED as a table
+      // (VectorIndexStore); two micro-batches of new vectors arrive on
+      // a checkpointed file stream, and each foreachBatch loads the
+      // index, search-links the batch through the EXISTING graph
+      // (GraphSearch.insert, ss9's procedure), and commits the merged
+      // graph + the grown corpus with batch-derived commit ids. Gates:
+      // the final LOADED graph is approximate k-NN of the full corpus
+      // (ss9's 0.85 recall gate, now across a stream), and a full
+      // replay from a fresh checkpoint leaves both version chains
+      // unchanged (exactly-once maintenance on an at-least-once
+      // foreachBatch). Emits the exact truth — ss7/ss8/ss9's oracle.
+      import graft.sources.ManifestTable
+      import graft.operators.similarity.{GraphSearch, NNDescent, VectorIndexStore}
+      import org.apache.spark.sql.streaming.Trigger
+      val nodes = manifoldNodes(s, dir)
+      val truth = manifoldTruth(s, dir)
+      val old = nodes.where(col("vec_id") % 12 < 10)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ss16-").toString
+      val idxPath = s"$tmp/index"
+      val corpusPath = s"$tmp/corpus"
+      val feedDir = s"$tmp/feed"
+      VectorIndexStore.saveGraph(NNDescent.knnGraph(
+        old, "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96),
+        idxPath)
+      ManifestTable.overwrite(old, corpusPath)
+      stagePart(nodes.where(col("vec_id") % 12 === 10), tmp, feedDir, "b1")
+      stagePart(nodes.where(col("vec_id") % 12 === 11), tmp, feedDir, "b2")
+      val s2 = streamSession(s)
+      val schema = s2.read.parquet(feedDir).schema
+      def run(ck: String): Unit = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val sess = batch.sparkSession
+            // replay fast-path: a landed insert skips the recompute; the
+            // overwrite's own commit id would discard it anyway
+            if (!ManifestTable.commitLanded(idxPath, s"ins-$id")) {
+              val corpus = ManifestTable.read(sess, corpusPath)
+              val g = VectorIndexStore.loadGraph(sess, idxPath)
+              val top = GraphSearch.deriveTopLayer(g,
+                GraphSearch.topLayerSample(corpus, "vec_id", mod = 8),
+                "vec_id")
+              val merged = GraphSearch.insert(corpus, g, batch.toDF(),
+                "vec_id", "embedding", k = 5, entryMod = 8,
+                hopExpansion = 2, maxRounds = 3,
+                topGraph = Some(top), topSampleMod = 8)
+              ManifestTable.overwrite(merged, idxPath,
+                commitId = Some(s"ins-$id"))
+            }
+            // corpus grows AFTER the graph commit (its read above must
+            // see the pre-batch corpus even on replay); idempotent
+            ManifestTable.append(batch.toDF(), corpusPath,
+              commitId = Some(s"cor-$id"))
+            ()
+          }
+        }
+        .start().awaitTermination()
+      run(s"$tmp/ckpt")
+      val vIdx = ManifestTable.versions(idxPath)
+      val vCor = ManifestTable.versions(corpusPath)
+      require(vIdx.size == 3 && vCor.size == 3,
+        s"expected 2 insert commits on each table, got $vIdx / $vCor")
+      // replay the whole feed: same batch ids, every commit must no-op
+      run(s"$tmp/ckpt-replay")
+      require(ManifestTable.versions(idxPath) == vIdx &&
+        ManifestTable.versions(corpusPath) == vCor,
+        "replayed stream re-committed index or corpus versions")
+      require(ManifestTable.read(s, corpusPath).count() == nodes.count(),
+        "corpus table lost rows across the stream")
+      val merged = VectorIndexStore.loadGraph(s, idxPath)
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+      operators.similarity.Similarity.recallGate(merged, truth, 0.85)
+      truth
+    }),
+
     "ss9_graph_insert" -> ((s, dir) => {
       // incremental ANN maintenance under the gate: build the graph on
       // 11/12 of the manifold corpus, batch-insert the rest (HNSW insert:
@@ -3925,6 +4006,10 @@ object SparkEntry {
     "ss7_nnd_recall" -> manifoldTruthOracle,
     "ss8_graph_search" -> manifoldTruthOracle,
     "ss9_graph_insert" -> manifoldTruthOracle,
+    // ss16: streamed index maintenance lands the same approximate-kNN
+    // contract as ss9 — identical emitted-truth oracle; the streaming
+    // exactly-once and recall contracts are gated in-query
+    "ss16_stream_index" -> manifoldTruthOracle,
     "ss3_centroid" ->
       """SELECT label, pos - 1 AS pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
