@@ -914,6 +914,57 @@ object SparkEntry {
       q
     }),
 
+    "q103_hll_mv" -> ((s, dir) => {
+      // INCREMENTAL COUNT-DISTINCT maintenance — the aggregate a
+      // +/-delta MV (q71/q96) cannot maintain: distinct counts don't
+      // compose by addition, but DataSketches HLL sketches compose by
+      // UNION losslessly. Three ingest batches each commit only their
+      // own per-group sketch rows to a sketch table (never re-reading
+      // old data); the maintained answer is one union-agg over the
+      // sketch rows. Gate: BOTH the batch-unioned estimate and the
+      // single-pass whole-data sketch estimate land within the
+      // published HLL error bound of the exact count — i.e. maintaining
+      // the count incrementally through the sketch table costs no
+      // accuracy beyond the sketch's own bound (DataSketches unions are
+      // mergeable but not bit-identical to a direct sketch; union-mode
+      // transitions shift the estimate ~1%, inside the bound). Emits
+      // the exact counts (q73's discipline: sketch gated in-query,
+      // oracle exact).
+      import graft.sources.ManifestTable
+      val orders = Tables(s, dir, "orders")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q103-").toString + "/sk"
+      (0 to 2).foreach { b =>
+        val part = orders.where(col("o_orderkey") % 3 === b)
+          .groupBy("o_orderstatus")
+          .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+          .withColumn("batch", lit(b))
+        if (b == 0) ManifestTable.overwrite(part, tmp)
+        else ManifestTable.append(part, tmp, commitId = Some(s"hll-$b"))
+        ()
+      }
+      val unioned = ManifestTable.read(s, tmp)
+        .groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val single = orders.groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est1"))
+      val exact = orders.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      val joined = unioned.join(single, "o_orderstatus")
+        .join(exact, "o_orderstatus").collect()
+      require(joined.nonEmpty)
+      joined.foreach { r =>
+        val (est, est1, ex) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        // default lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.63%; 5·rsd bound
+        def inBound(e: Long, label: String): Unit =
+          require(math.abs(e - ex) <= math.max(3.0, 5 * 0.0163 * ex),
+            s"$label estimate $e outside bound of exact $ex for ${r.get(0)}")
+        inBound(est, "batch-unioned")
+        inBound(est1, "single-pass")
+      }
+      exact
+    }),
+
     "q102_bloom_skip" -> ((s, dir) => {
       // PER-FILE BLOOM INDEX under the gate (sources/BloomIndex.scala):
       // customers land hash-scattered across 8 files (repartition by
@@ -5211,6 +5262,12 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    // q103: the maintained sketch table's correctness is gated
+    // in-query (merge-exactness + error bound); the oracle checks the
+    // exact distinct counts the query emits
+    "q103_hll_mv" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+         FROM orders GROUP BY 1""",
     // q102: the Bloom-pruned point lookup must equal the plain filter
     // (pruning is file-granular and provably sound; the residual filter
     // restores row-level exactness)
