@@ -288,7 +288,7 @@ object TextStats {
     * a 64-bit collision (≈ P²/2⁶⁵ for P positions — quantifiable, ~1e-6
     * even at 10⁷ positions) can only FLAG an extra position, never hide
     * one. */
-  private def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def gramHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = docs
     .where(length(col(textCol)) >= n)
     .select(col(idCol).as("doc_id"),

@@ -8,6 +8,24 @@ class PlanAuditSpec extends SparkSpecBase {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("tx19/tx20 gram shuffle carries 8-byte xxhash64 keys, not raw grams") {
+    // the exact-substring pipeline's one big shuffle must be keyed by
+    // the gram's hash (~5× lighter at n=40); a raw-substring key
+    // re-appearing in the aggregate is the 4-PB-at-100-TB regression.
+    // Audited on the shared component (the query results are scoped
+    // checkpoints whose executed plans show only the final RDD scan).
+    import graft.operators.textual.TextStats
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = TextStats.gramHashes(docs, "doc_id", "text", 40)
+      .groupBy("gh").agg(countDistinct(col("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), "hashed gram key missing from the scan")
+    assert(p.contains("hashpartitioning(gh"),
+      "the gram aggregation no longer shuffles on the 8-byte hash:\n" +
+        p.take(1200))
+  }
+
   test("q35 tombstone merge: key-partitioned join, no nested loop") {
     val p = planOf("q35_event_apply")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

@@ -106,6 +106,41 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("suffixRanks matches brute force on random tie-heavy strings") {
+    import graft.operators.textual.SuffixArray
+    val rnd = new scala.util.Random(99)
+    // two-letter alphabet → masses of equal suffixes and deep shared
+    // prefixes: the doubling's tie handling and the (doc,p) break get
+    // no place to hide
+    val d = (1L to 12L).map(id =>
+      (id, (1 to 3 + rnd.nextInt(18)).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString))
+    val got = SuffixArray.suffixRanks(d.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = d.flatMap { case (id, t) =>
+      (1 to t.length).map(p => (t.substring(p - 1), id, p))
+    }.sorted.zipWithIndex.map { case ((_, id, p), i) => (id, p) -> (i + 1).toLong }.toMap
+    assert(got == want)
+  }
+
+  test("BloomIndex never false-negatives: every present key probes true") {
+    import graft.conditions.{Condition, Op}
+    import graft.sources.{BloomIndex, ManifestTable}
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-bfprop-").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val keys = (0 until 500).map(_ => rnd.nextLong() % 100000).distinct
+    ManifestTable.overwrite(keys.toDF("k").repartition(3), t)
+    BloomIndex.build(spark, t, Seq("k"))
+    // no false negatives, by construction — every present key's probe
+    // keeps at least the file holding it, and the read finds the row
+    keys.take(120).foreach { k =>
+      val files = BloomIndex.pruneFiles(t, Seq(Condition("k", Op.Eq, k)))
+      assert(files.nonEmpty, s"bloom pruned away present key $k")
+      assert(ManifestTable.readWhereBloom(spark, t,
+        Seq(Condition("k", Op.Eq, k))).count() == 1, s"lost key $k")
+    }
+  }
+
   test("BmpCodec: pixel-exact round-trip across padding widths, " +
       "top-down decode, floor-average halve, fuzz never throws") {
     import graft.operators.multimodal.BmpCodec
