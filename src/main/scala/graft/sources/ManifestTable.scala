@@ -1133,7 +1133,37 @@ object ManifestTable {
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      commitId: Option[String] = None): Long = {
+      commitId: Option[String] = None): Long =
+    retryMerge("merge")(mergeAttempt(spark, path, source, keyCols,
+      deleteWhen, commitId))
+
+  /** Bounded optimistic retry around one merge attempt — the same
+    * contention discipline [[commit]] has: a concurrent commit landing
+    * between the base read and the publish (another CDC writer, an
+    * OPTIMIZE job, an auto-compaction cadence) must NOT kill the
+    * caller; the attempt recomputes against the new latest and its
+    * abandoned staged files become vacuum-able orphans. Non-contention
+    * failures propagate untouched. */
+  private def retryMerge(what: String, maxAttempts: Int = 5)(
+      attempt: => Long): Long = {
+    var n = 0
+    while (true) {
+      n += 1
+      try return attempt
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("concurrent commit") &&
+              n < maxAttempts => () // recompute on the new latest
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what retry loop")
+  }
+
+  private def mergeAttempt(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      commitId: Option[String]): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // idempotent replay (same contract as append/overwrite): a replayed
@@ -1257,7 +1287,14 @@ object ManifestTable {
   def mergeMoR(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      commitId: Option[String] = None): Long = {
+      commitId: Option[String] = None): Long =
+    retryMerge("mergeMoR")(mergeMoRAttempt(spark, path, source, keyCols,
+      deleteWhen, commitId))
+
+  private def mergeMoRAttempt(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      commitId: Option[String]): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val landed = commitId.flatMap(id =>

@@ -700,6 +700,35 @@ class ManifestTableSpec extends SparkSpecBase {
       "orphan bloom sidecars survived the table vacuum")
   }
 
+  test("merge retries through concurrent commits instead of dying " +
+      "(optimistic-contention discipline, appenders' rows survive)") {
+    val t = table()
+    ManifestTable.overwrite(
+      (1L to 40L).map(k => (k, k * 10)).toDF("k", "v"), t)
+    // an appender races the merge: the merge's publish may lose the
+    // version lock and must recompute on the new latest, never throw
+    val appender = new Thread(() => {
+      (0 until 3).foreach { i =>
+        ManifestTable.append(Seq((1000L + i, 0L)).toDF("k", "v"), t)
+        Thread.sleep(30)
+      }
+    })
+    appender.start()
+    val results = (0 until 3).map { i =>
+      val v = ManifestTable.merge(spark, t,
+        Seq((2L + i, 999L + i)).toDF("k", "v"), Seq("k"))
+      Thread.sleep(20)
+      v
+    }
+    appender.join()
+    assert(results.distinct.size == 3, s"merges collapsed: $results")
+    val out = ManifestTable.read(spark, t)
+    assert(out.count() == 40 + 3, "a concurrent appender's rows were lost")
+    (0 until 3).foreach { i =>
+      assert(out.where(s"k = ${2 + i}").select("v").head().getLong(0) == 999L + i)
+    }
+  }
+
   test("CDC keyed contract is enforced, not assumed: duplicated keys and " +
       "wrong-key feeds fail loudly on the default path") {
     import org.apache.spark.sql.functions.col
