@@ -914,6 +914,51 @@ object SparkEntry {
       q
     }),
 
+    "q104_shallow_clone" -> ((s, dir) => {
+      // ZERO-COPY SHALLOW CLONE under the gate (Delta's SHALLOW CLONE
+      // on the manifest format): the clone's v1 manifest references the
+      // source's files by absolute path — O(metadata) at any size. The
+      // q60 merge then runs ON THE CLONE: upserted/inserted rows stage
+      // under the clone's own data dir, untouched source files stay
+      // referenced, and the SOURCE is byte-for-byte unaffected. Gates:
+      // zero data files under the clone at clone time; the source's
+      // version chain and row count unchanged after the clone's merge;
+      // emitted clone state matches q60's merge oracle exactly.
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q104-").toString
+      val srcT = s"$tmp/src"
+      val dstT = s"$tmp/clone"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, srcT)
+      val srcVersions = ManifestTable.versions(srcT)
+      ManifestTable.cloneShallow(srcT, dstT)
+      require(java.nio.file.Files.list(
+          java.nio.file.Paths.get(dstT, "data")).count() == 0,
+        "shallow clone copied data files")
+      require(ManifestTable.read(s, dstT).count() == customer.count(),
+        "clone does not read the source's rows")
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, dstT,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D"))
+      require(ManifestTable.versions(srcT) == srcVersions,
+        "merging the clone committed to the SOURCE")
+      require(ManifestTable.read(s, srcT).count() == customer.count(),
+        "merging the clone changed the source's rows")
+      ManifestTable.read(s, dstT)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
     "q103_hll_mv" -> ((s, dir) => {
       // INCREMENTAL COUNT-DISTINCT maintenance — the aggregate a
       // +/-delta MV (q71/q96) cannot maintain: distinct counts don't
@@ -5262,6 +5307,20 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    // q104: the clone's merged state equals q60's merge of the source
+    // data — identical oracle; zero-copy and source-isolation are gated
+    // in-query
+    "q104_shallow_clone" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+                c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+         UNION ALL
+         SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 11 = 3""",
     // q103: the maintained sketch table's correctness is gated
     // in-query (merge-exactness + error bound); the oracle checks the
     // exact distinct counts the query emits

@@ -57,6 +57,15 @@ object ManifestTable {
   private def manifestDir(path: String): Path = Paths.get(path, "_manifests")
   private def dataDir(path: String): Path = Paths.get(path, "data")
 
+  /** Manifest file entries are normally bare names under `data/`;
+    * SHALLOW CLONES reference another table's files by ABSOLUTE path
+    * (Path.resolve passes absolute entries through untouched). Row-level
+    * machinery that matches manifest entries against
+    * `input_file_name()` must therefore compare BASENAMES — unique even
+    * across tables (UUID-named). */
+  private def baseName(f: String): String =
+    f.substring(f.lastIndexOf('/') + 1)
+
   /** Per-file per-column min/max, harvested from the parquet FOOTER the
     * file was written with (metadata-only — no data re-read). `numeric`
     * marks values that compare as numbers; strings compare
@@ -412,7 +421,7 @@ object ManifestTable {
         (if (df.columns.contains(sf.name)) col(sf.name)
          else lit(null).cast(sf.dataType)).as(sf.name)): _*)
     val seqByFile: Map[String, Long] =
-      dirty.map(f => f -> m.seqs.getOrElse(f, 0L)).toMap
+      dirty.map(f => baseName(f) -> m.seqs.getOrElse(f, 0L)).toMap
     val withSeq = attachSeq(scan(dirty), seqByFile)
     val broadcastable = relevant.map { case (f, _) =>
       Files.size(dataDir(path).resolve(f)) }.sum <=
@@ -1220,14 +1229,15 @@ object ManifestTable {
       .select(col("__file")).distinct().collect()
       .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
       .toSet
-    val untouchedFiles = base.files.filterNot(touched)
+    val untouchedFiles = base.files.filterNot(f => touched(baseName(f)))
 
     // (2) rewrite ONLY the touched files
     // reconcile: a DV-hidden row in a touched file must not resurrect
     // through the rewrite
     val touchedRows =
       if (touched.isEmpty) target.limit(0)
-      else reconcile(spark, path, base, base.files.filter(touched))
+      else reconcile(spark, path, base,
+        base.files.filter(f => touched(baseName(f))))
         .select(cols.map(col): _*)
     val afterDelete = touchedRows.join(
       tombstones.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -1518,6 +1528,45 @@ object ManifestTable {
     enforceKeyed(spark, path, toVersion, keyCols, before, after)
     graft.operators.SnapshotDiff.diffWithValues(before, after, keyCols,
       before.columns.toSeq.filterNot(keyCols.contains))
+  }
+
+  /** SHALLOW CLONE (Delta's SHALLOW CLONE, on this manifest format):
+    * `dst` becomes an independent table whose v1 manifest REFERENCES
+    * `src`'s current data and delete files by absolute path — zero
+    * bytes copied, O(metadata) cost at any table size. The clone
+    * carries the source's stats, seqs, delete ledger + scoping stats,
+    * row counts, constraints, and merge keys, so skipping, MoR
+    * reconciliation, and the keyed contract all work immediately.
+    * Versions diverge independently from there: writes to the clone
+    * stage NEW files under the clone's own `data/` and never touch the
+    * source; the source never sees the clone.
+    *
+    * Retention caveat (same as Delta's): the SOURCE's vacuum/expire
+    * does not know about clones — vacuuming the source past the cloned
+    * version breaks the clone's references. Clone from tables whose
+    * retention you control, or compact the clone (compactCommit
+    * rewrites every referenced byte into its own files) to cut the
+    * dependency. */
+  def cloneShallow(src: String, dst: String): Long = {
+    val m = latest(src).getOrElse(
+      throw new IllegalStateException(s"no committed version at $src"))
+    require(versions(dst).isEmpty, s"clone target $dst already has commits")
+    val srcData = dataDir(src).toAbsolutePath
+    def abs(f: String): String =
+      if (f.startsWith("/")) f else srcData.resolve(f).toString
+    Files.createDirectories(manifestDir(dst))
+    Files.createDirectories(dataDir(dst))
+    val cm = Manifest(1L, m.files.map(abs),
+      Some(s"clone-of-$src@v${m.version}"), 0L,
+      m.stats.map { case (f, v) => abs(f) -> v },
+      m.seqs.map { case (f, v) => abs(f) -> v },
+      m.deletes.map { case (f, sq) => (abs(f), sq) },
+      m.constraints, None,
+      m.deleteStats.map { case (f, v) => abs(f) -> v },
+      m.rows.map { case (f, v) => abs(f) -> v },
+      m.mergeKeys)
+    publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(cm))
+    1L
   }
 
   /** Retention: drop all but the newest `keepLast` manifests (time

@@ -700,6 +700,40 @@ class ManifestTableSpec extends SparkSpecBase {
       "orphan bloom sidecars survived the table vacuum")
   }
 
+  test("shallow clone: carries the MoR ledger, diverges independently, " +
+      "and its vacuum never touches source bytes") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-clone-").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    ManifestTable.overwrite(
+      (1L to 30L).map(k => (k, k * 10)).toDF("k", "v"), src)
+    // source carries a live delete ledger at clone time
+    ManifestTable.mergeMoR(spark, src, Seq((5L, 0L, "D")).toDF("k", "v", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    ManifestTable.cloneShallow(src, dst)
+    // the ledger reconciles through the clone's absolute references
+    assert(ManifestTable.read(spark, dst).count() == 29)
+    assert(ManifestTable.read(spark, dst).where("k = 5").count() == 0)
+    // MoR merge ON the clone: delete file lands under the clone only
+    ManifestTable.mergeMoR(spark, dst, Seq((7L, 0L, "D")).toDF("k", "v", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    assert(ManifestTable.read(spark, dst).count() == 28)
+    assert(ManifestTable.read(spark, src).count() == 29, "source drifted")
+    // clone-side compaction folds everything into the clone's OWN files,
+    // cutting the retention dependency on the source
+    ManifestTable.compactCommit(spark, dst)
+    assert(ManifestTable.dataFiles(dst).forall(!_.startsWith("/")),
+      "compacted clone still references source files")
+    // vacuum on the clone reclaims only clone-local orphans
+    val before = Files.list(Paths.get(src, "data")).count()
+    ManifestTable.expire(dst, keepLast = 1, vacuumMinAgeMs = 0)
+    assert(Files.list(Paths.get(src, "data")).count() == before,
+      "clone vacuum deleted source bytes")
+    assert(ManifestTable.read(spark, dst).count() == 28)
+    assert(ManifestTable.read(spark, src).count() == 29)
+  }
+
   test("merge retries through concurrent commits instead of dying " +
       "(optimistic-contention discipline, appenders' rows survive)") {
     val t = table()
