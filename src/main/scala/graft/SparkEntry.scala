@@ -914,6 +914,40 @@ object SparkEntry {
       q
     }),
 
+    "q105_restore" -> ((s, dir) => {
+      // RESTORE under the gate: a bad merge is rolled back by
+      // RE-COMMITTING v1's state as v3 — history moves forward, never
+      // rewrites. Gates: the chain is exactly [1,2,3] (restore is one
+      // commit), v2 still reads as the merged state (audit trail
+      // intact), a replayed restore with the same commit id is a
+      // no-op, and the restored read equals the original table — the
+      // oracle (plain customer).
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q105-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      ManifestTable.merge(s, base,
+        customer.where(col("c_custkey") % 2 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") * 2),
+        Seq("c_custkey"))
+      val v3 = ManifestTable.restore(base, 1L, commitId = Some("undo-merge"))
+      require(v3 == 3 && ManifestTable.versions(base) == Seq(1L, 2L, 3L),
+        s"restore must be ONE forward commit: ${ManifestTable.versions(base)}")
+      require(ManifestTable.restore(base, 1L,
+          commitId = Some("undo-merge")) == 3,
+        "replayed restore re-committed")
+      val doubled = ManifestTable.read(s, base, Some(2L))
+        .where(col("c_custkey") % 2 === 0)
+        .select(decSum(col("c_acctbal"))).head().getDouble(0)
+      val orig = customer.where(col("c_custkey") % 2 === 0)
+        .select(decSum(col("c_acctbal") * 2)).head().getDouble(0)
+      require(math.abs(doubled - orig) < 1e-6,
+        "history rewritten: v2 no longer reads as the merged state")
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
     "q104_shallow_clone" -> ((s, dir) => {
       // ZERO-COPY SHALLOW CLONE under the gate (Delta's SHALLOW CLONE
       // on the manifest format): the clone's v1 manifest references the
@@ -5307,6 +5341,11 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    // q105: after the rollback the table IS the original — the oracle
+    // is the plain table; forward-only history is gated in-query
+    "q105_restore" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer""",
     // q104: the clone's merged state equals q60's merge of the source
     // data — identical oracle; zero-copy and source-isolation are gated
     // in-query

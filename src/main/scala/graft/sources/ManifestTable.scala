@@ -1530,6 +1530,43 @@ object ManifestTable {
       before.columns.toSeq.filterNot(keyCols.contains))
   }
 
+  /** RESTORE (Delta's RESTORE TABLE … TO VERSION): re-commit version
+    * K's complete state — files, stats, seqs, delete ledger, scoping
+    * stats, row counts — as a NEW version on top of the current chain.
+    * Time travel that moves the table FORWARD: history is never
+    * rewritten (every intermediate version stays readable, a second
+    * restore can undo the undo), which is what separates RESTORE from a
+    * reset. Constraints and merge keys keep the CURRENT values — they
+    * are table contract, not data state. Optimistic-retry like any
+    * commit; `commitId` gives replayed callers exactly-once. Fails
+    * loudly if version K was expired. */
+  def restore(path: String, toVersion: Long,
+      commitId: Option[String] = None): Long = {
+    val k = manifestAt(path, toVersion)
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val base = latest(path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val replayed = commitId.flatMap(id =>
+        versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
+      if (replayed.isDefined) return replayed.get.version
+      val next = base.version + 1
+      val m = k.copy(version = next, parent = base.version,
+        commitId = commitId.orElse(Some(s"restore-to-v$toVersion@$next")),
+        commitTs = None,
+        constraints = base.constraints, mergeKeys = base.mergeKeys)
+      try {
+        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention in restore: gave up after $attempts attempts")
+  }
+
   /** SHALLOW CLONE (Delta's SHALLOW CLONE, on this manifest format):
     * `dst` becomes an independent table whose v1 manifest REFERENCES
     * `src`'s current data and delete files by absolute path — zero
