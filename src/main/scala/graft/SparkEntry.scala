@@ -914,6 +914,40 @@ object SparkEntry {
       q
     }),
 
+    "q106_merge_evolve" -> ((s, dir) => {
+      // SCHEMA-EVOLVING MERGE (Delta's mergeSchema on MERGE): the CDC
+      // source starts carrying a column the table never had (c_tier).
+      // The evolving merge lands it — updated/inserted rows carry their
+      // tier, every untouched row reads NULL (mergeSchema null-fill,
+      // zero rewrites of untouched files) — while the deleteWhen
+      // marker column stays OUT of the table. Gates: op is not a table
+      // column; pre-merge files survive untouched (CoW file pruning
+      // unaffected by evolution). Oracle recomputes the evolved state.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q106-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(customer, base)
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("c_tier", when(col("c_acctbal") >= 5000, "gold")
+          .otherwise("std"))
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("c_tier", lit(null).cast("string"))
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, base, updates.unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D"),
+        evolveSchema = true)
+      val out = ManifestTable.read(s, base)
+      require(out.columns.contains("c_tier"), "schema did not evolve")
+      require(!out.columns.contains("op"),
+        "the deleteWhen marker column leaked into the table")
+      out.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_tier"))
+    }),
+
     "q105_restore" -> ((s, dir) => {
       // RESTORE under the gate: a bad merge is rolled back by
       // RE-COMMITTING v1's state as v3 — history moves forward, never
@@ -5341,6 +5375,17 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    // q106: evolved state — updated rows carry the new column (tier
+    // from the UPDATED balance), untouched rows read NULL, tombstoned
+    // rows are gone
+    "q106_merge_evolve" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_tier
+         FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+           CASE WHEN c_acctbal + 1000.0 >= 5000 THEN 'gold' ELSE 'std' END
+             AS c_tier
+         FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0""",
     // q105: after the rollback the table IS the original — the oracle
     // is the plain table; forward-only history is gated in-query
     "q105_restore" ->

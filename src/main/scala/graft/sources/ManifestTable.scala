@@ -1142,9 +1142,15 @@ object ManifestTable {
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      commitId: Option[String] = None): Long =
+      commitId: Option[String] = None,
+      // SCHEMA EVOLUTION (Delta's merge mergeSchema): extra source
+      // columns become table columns — untouched files keep their old
+      // schema (mergeSchema reads fill nulls), rewritten+inserted rows
+      // carry the new columns. Columns referenced only by `deleteWhen`
+      // (op markers) are NOT evolved into the table.
+      evolveSchema: Boolean = false): Long =
     retryMerge("merge")(mergeAttempt(spark, path, source, keyCols,
-      deleteWhen, commitId))
+      deleteWhen, commitId, evolveSchema))
 
   /** Bounded optimistic retry around one merge attempt — the same
     * contention discipline [[commit]] has: a concurrent commit landing
@@ -1169,10 +1175,21 @@ object ManifestTable {
     throw new IllegalStateException(s"unreachable: $what retry loop")
   }
 
+  /** Column names a predicate references, resolved against `df` —
+    * Spark 4 Columns are lazy sql-api nodes whose `references` are
+    * empty until analysis, so the names come from an analyzed
+    * throwaway Filter over the actual frame. */
+  private def refNames(df: DataFrame,
+      c: org.apache.spark.sql.Column): Set[String] =
+    df.where(c).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }.getOrElse(Set.empty)
+
   private def mergeAttempt(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
-      commitId: Option[String]): Long = {
+      commitId: Option[String], evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // idempotent replay (same contract as append/overwrite): a replayed
@@ -1195,6 +1212,18 @@ object ManifestTable {
     require(base.mergeKeys.isEmpty || base.mergeKeys == keyCols,
       s"table is keyed on ${base.mergeKeys.mkString("(", ",", ")")}; " +
         s"merge on ${keyCols.mkString("(", ",", ")")} rejected")
+    // schema evolution: extra source columns join the table; columns
+    // the tombstone predicate references (op markers) stay out
+    val delRefs: Set[String] =
+      deleteWhen.map(refNames(source, _)).getOrElse(Set.empty)
+    val extCols: Seq[String] =
+      if (!evolveSchema) Seq.empty
+      else source.columns.toSeq.filterNot(cols.contains)
+        .filterNot(delRefs.contains)
+    val allCols = cols ++ extCols
+    def pad(df: DataFrame): DataFrame = df.select(allCols.map(c =>
+      (if (df.columns.contains(c)) col(c)
+       else lit(null).cast(source.schema(c).dataType)).as(c)): _*)
     // the tombstone split runs on the RAW source — deleteWhen may
     // reference columns (an op marker) that are not part of the table.
     // The checkpoint pins the source for its several consumers below and
@@ -1203,9 +1232,9 @@ object ManifestTable {
     val raw = source.localCheckpoint()
     try {
     val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
-      .select(cols.map(col): _*)
+      .select(allCols.map(col): _*)
     val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
-      .getOrElse(raw).select(cols.map(col): _*)
+      .getOrElse(raw).select(allCols.map(col): _*)
     // the keyed contract holds AFTER the tombstone split: a delete and a
     // re-insert of the same key in one batch is the legitimate CDC shape
     // and processes unambiguously (delete first, then upsert-as-insert);
@@ -1217,7 +1246,7 @@ object ManifestTable {
         require(dup.isEmpty,
           s"source has duplicate $side merge key ${dup.headOption.map(_.get(0))}")
     }
-    val src = raw.select(cols.map(col): _*)
+    val src = raw.select(allCols.map(col): _*)
 
     // (1) which files contain a source key? (file names only — the
     // driver never holds data rows)
@@ -1235,16 +1264,15 @@ object ManifestTable {
     // reconcile: a DV-hidden row in a touched file must not resurrect
     // through the rewrite
     val touchedRows =
-      if (touched.isEmpty) target.limit(0)
-      else reconcile(spark, path, base,
-        base.files.filter(f => touched(baseName(f))))
-        .select(cols.map(col): _*)
+      if (touched.isEmpty) pad(target.limit(0))
+      else pad(reconcile(spark, path, base,
+        base.files.filter(f => touched(baseName(f)))))
     val afterDelete = touchedRows.join(
       tombstones.select(keyCols.map(col): _*), keyCols, "left_anti")
     val u = upserts.select(
-      keyCols.map(col) :+ struct(cols.map(col): _*).as("__u"): _*)
+      keyCols.map(col) :+ struct(allCols.map(col): _*).as("__u"): _*)
     val rewritten = afterDelete.join(u, keyCols, "left_outer")
-      .select(cols.map(c =>
+      .select(allCols.map(c =>
         when(col("__u").isNotNull, col(s"__u.$c")).otherwise(col(c)).as(c)): _*)
 
     // (3) inserts: upsert keys matching no SURVIVING target row — the
@@ -1297,14 +1325,18 @@ object ManifestTable {
   def mergeMoR(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      commitId: Option[String] = None): Long =
+      commitId: Option[String] = None,
+      // schema evolution, [[merge]]'s contract: extra source columns
+      // (minus deleteWhen's references) land on the staged upsert rows;
+      // mergeSchema reads null-fill every older file
+      evolveSchema: Boolean = false): Long =
     retryMerge("mergeMoR")(mergeMoRAttempt(spark, path, source, keyCols,
-      deleteWhen, commitId))
+      deleteWhen, commitId, evolveSchema))
 
   private def mergeMoRAttempt(spark: SparkSession, path: String,
       source: DataFrame, keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
-      commitId: Option[String]): Long = {
+      commitId: Option[String], evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val landed = commitId.flatMap(id =>
@@ -1323,12 +1355,17 @@ object ManifestTable {
     require(base.mergeKeys.isEmpty || base.mergeKeys == keyCols,
       s"table is keyed on ${base.mergeKeys.mkString("(", ",", ")")}; " +
         s"merge on ${keyCols.mkString("(", ",", ")")} rejected")
+    val delRefs: Set[String] =
+      deleteWhen.map(refNames(source, _)).getOrElse(Set.empty)
+    val allCols = cols ++ (if (!evolveSchema) Seq.empty
+      else source.columns.toSeq.filterNot(cols.contains)
+        .filterNot(delRefs.contains))
     val raw = source.localCheckpoint()
     try {
       val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
-        .select(cols.map(col): _*)
+        .select(allCols.map(col): _*)
       val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
-        .getOrElse(raw).select(cols.map(col): _*)
+        .getOrElse(raw).select(allCols.map(col): _*)
       Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
         case (side, df) =>
           val dup = df.groupBy(keyCols.map(col): _*).count()

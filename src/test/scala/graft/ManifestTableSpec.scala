@@ -700,6 +700,43 @@ class ManifestTableSpec extends SparkSpecBase {
       "orphan bloom sidecars survived the table vacuum")
   }
 
+  test("schema-evolving merge: new source columns land, op markers stay " +
+      "out, untouched files keep their bytes (CoW and MoR)") {
+    import org.apache.spark.sql.functions.col
+    // CoW: evolve via rewrite of touched files only
+    val t = table()
+    ManifestTable.overwrite(
+      spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(4, col("k")), t)
+    val before = ManifestTable.dataFiles(t).toSet
+    ManifestTable.merge(spark, t,
+      Seq((5L, 99L, "hi", "U"), (200L, 1L, "new", "U"), (7L, 0L, null, "D"))
+        .toDF("k", "v", "note", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"), evolveSchema = true)
+    val out = ManifestTable.read(spark, t)
+    assert(out.columns.toSet == Set("k", "v", "note"))
+    assert(out.where("k = 5").select("note").head().getString(0) == "hi")
+    assert(out.where("k = 200").count() == 1 && out.where("k = 7").count() == 0)
+    assert(out.where("note IS NULL").count() == 98, "old rows must read null")
+    // keys 5 and 7 live in range file 1; files 2..4 carry untouched
+    assert(before.intersect(ManifestTable.dataFiles(t).toSet).size >= 2,
+      "evolution rewrote untouched files")
+    // MoR: evolve via staged upserts only, zero rewrites
+    val t2 = table()
+    ManifestTable.overwrite(
+      spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v"), t2)
+    val files2 = ManifestTable.dataFiles(t2).toSet
+    ManifestTable.mergeMoR(spark, t2,
+      Seq((3L, 33L, "x", "U")).toDF("k", "v", "note", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"), evolveSchema = true)
+    assert(files2.subsetOf(ManifestTable.dataFiles(t2).toSet),
+      "MoR evolution rewrote a data file")
+    val o2 = ManifestTable.read(spark, t2)
+    assert(o2.columns.toSet == Set("k", "v", "note"))
+    assert(o2.where("k = 3").select("note").head().getString(0) == "x")
+    assert(o2.where("note IS NULL").count() == 49)
+  }
+
   test("shallow clone: carries the MoR ledger, diverges independently, " +
       "and its vacuum never touches source bytes") {
     import org.apache.spark.sql.functions.col
