@@ -3127,6 +3127,16 @@ object SparkEntry {
       operators.textual.TextStats.duplicatedSpans(
         Tables(s, dir, "documents"), "doc_id", "text", n = 40)),
 
+    "tx23_self_clean" -> ((s, dir) =>
+      // WITHIN-doc exact self-dedup (TextStats.selfClean): a position
+      // whose 20-gram occurred EARLIER in the same document is cut
+      // (keep-first) — the char-exact repetition cure tx20 applies
+      // cross-document and dd11 applies per paragraph. The oracle
+      // recomputes first occurrences with a window min and the
+      // per-character coverage exactly.
+      operators.textual.TextStats.selfClean(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 20)),
+
     "tx21_suffix_ranks" -> ((s, dir) =>
       // distributed SUFFIX ARRAY by prefix doubling (SuffixArray.scala)
       // — the exact-order structure Lee et al.'s exact-substring dedup
@@ -4707,6 +4717,41 @@ object SparkEntry {
              AS n_dup_positions
          FROM g LEFT JOIN dup ON g.gram = dup.gram
          GROUP BY g.doc_id""",
+    // tx23: within-doc ground truth — a char is duplicated iff covered
+    // by a flagged 20-gram start (one whose gram occurred earlier in
+    // the SAME doc); cleaned text/spans/chars as in tx20
+    "tx23_self_clean" ->
+      """WITH pos AS (
+           SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS p
+           FROM documents WHERE length(text) >= 20),
+         g AS (SELECT doc_id, p, substr(text, p, 20) AS gram FROM pos),
+         fo AS (SELECT doc_id, p,
+             min(p) OVER (PARTITION BY doc_id, gram) AS fp FROM g),
+         flag AS (SELECT doc_id, p FROM fo WHERE p > fp),
+         chars AS (SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS c
+           FROM documents),
+         dupchar AS (SELECT DISTINCT ch.doc_id, ch.c FROM chars ch
+           JOIN flag f ON ch.doc_id = f.doc_id
+             AND ch.c BETWEEN f.p AND f.p + 19),
+         clean AS (SELECT ch.doc_id,
+             string_agg(substr(ch.text, ch.c, 1), '' ORDER BY ch.c) AS ct
+           FROM chars ch LEFT JOIN dupchar d
+             ON ch.doc_id = d.doc_id AND ch.c = d.c
+           WHERE d.c IS NULL GROUP BY ch.doc_id),
+         spans AS (SELECT dc.doc_id, count(*) AS ns FROM dupchar dc
+           LEFT JOIN dupchar prev
+             ON dc.doc_id = prev.doc_id AND prev.c = dc.c - 1
+           WHERE prev.c IS NULL GROUP BY dc.doc_id),
+         nd AS (SELECT doc_id, count(*) AS ndc FROM dupchar GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(cl.ct, '') AS clean_text,
+           CAST(coalesce(s.ns, 0) AS BIGINT) AS n_cut_spans,
+           CAST(coalesce(nd.ndc, 0) AS BIGINT) AS n_dup_chars
+         FROM documents d
+         LEFT JOIN clean cl ON d.doc_id = cl.doc_id
+         LEFT JOIN spans s ON d.doc_id = s.doc_id
+         LEFT JOIN nd ON d.doc_id = nd.doc_id""",
     // tx21: ground truth materializes every suffix STRING and sorts —
     // O(total chars²) memory the distributed doubling never pays
     "tx21_suffix_ranks" ->

@@ -314,16 +314,45 @@ object TextStats {
   def spanClean(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = graft.operators.IndexScope.scoped { sc =>
     require(n >= 2, "span grams need n >= 2")
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     val grams = sc.index(gramHashes(docs, idCol, textCol, n))
     val dup = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > 1).select("gh")
     val flagged = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    cutFlaggedSpans(docs, idCol, textCol, flagged, n)
+  }
+
+  /** WITHIN-document exact self-dedup — the same span machinery, but a
+    * position is flagged when its n-gram occurred EARLIER in the SAME
+    * document (keep-first): the char-exact cure for boilerplate
+    * repetition inside one doc, where [[spanClean]] handles
+    * cross-document duplication and dd11's segment dedup works at
+    * paragraph granularity. One (doc, gram-hash) keyed aggregation
+    * finds each gram's first occurrence; later occurrences' runs merge
+    * into maximal spans and are cut. */
+  def selfClean(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = graft.operators.IndexScope.scoped { sc =>
+    require(n >= 2, "span grams need n >= 2")
+    val grams = sc.index(gramHashes(docs, idCol, textCol, n))
+    val first = grams.groupBy("doc_id", "gh").agg(min(col("p")).as("__fp"))
+    val flagged = grams.join(first, Seq("doc_id", "gh"))
+      .where(col("p") > col("__fp"))
+      .select(col("doc_id"), col("p"))
+    cutFlaggedSpans(docs, idCol, textCol, flagged, n)
+  }
+
+  /** Shared span-cutting tail of [[spanClean]]/[[selfClean]]: flagged
+    * (doc_id, p) gram starts merge into maximal spans per doc (each
+    * start covers [p, p+n-1], touching spans merge — a contiguous run
+    * of duplicated characters is ONE cut), the spans are cut, and each
+    * document reassembles from its kept segments. Row-local HOF
+    * aggregates, no per-character explode. */
+  private def cutFlaggedSpans(docs: DataFrame, idCol: String,
+      textCol: String, flagged: DataFrame, n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val perDoc = flagged
       .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
-    // merge sorted flagged starts into maximal spans [s, e] (each start
-    // covers [p, p+n-1]; touching spans merge — a contiguous run of
-    // duplicated characters is ONE cut, matching the oracle's run count)
     val spans = expr(s"""
       aggregate(coalesce(ps, cast(array() as array<int>)),
         cast(array() as array<struct<s: int, e: int>>),
@@ -341,7 +370,7 @@ object TextStats {
         (st, sp) -> named_struct('last', sp.e,
           'acc', concat(st.acc, substring(__t, st.last + 1, sp.s - st.last - 1))),
         st -> concat(st.acc, substring(__t, st.last + 1, length(__t) - st.last)))""")
-    base.join(flagged, Seq("doc_id"), "left")
+    base.join(perDoc, Seq("doc_id"), "left")
       .withColumn("__spans", spans)
       .select(col("doc_id"),
         clean.as("clean_text"),

@@ -156,6 +156,25 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(maxCross == 5L, s"longest cross-doc duplicate length $maxCross")
   }
 
+  test("selfClean cuts later in-doc repeats keep-first; cross-doc " +
+      "duplication alone is untouched") {
+    val rep = "R" * 10
+    val d = docs(
+      (1L, "aa" + rep + "bb" + rep + "cc"), // repeat within doc 1
+      (2L, rep + "solo"),                   // shares rep with doc 1 only
+      (3L, "no repeats here at all"))
+    val out = TextStats.selfClean(d, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: the SECOND block's gram positions are flagged
+    // (the run covers the 10 chars of the second block)
+    assert(out(1L) == (("aa" + rep + "bb" + "cc", 1L, 10L)), out(1L).toString)
+    // doc 2 repeats nothing within itself — untouched despite the
+    // cross-doc duplicate (that is spanClean's job, not selfClean's)
+    assert(out(2L) == ((rep + "solo", 0L, 0L)))
+    assert(out(3L) == (("no repeats here at all", 0L, 0L)))
+  }
+
   test("piiScrub counts and masks emails, phones, and IPs") {
     import graft.operators.textual.TextStats
     val d = Seq(
