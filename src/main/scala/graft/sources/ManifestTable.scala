@@ -1567,6 +1567,30 @@ object ManifestTable {
       before.columns.toSeq.filterNot(keyCols.contains))
   }
 
+  /** DESCRIBE HISTORY: one row per committed version — commit time/id,
+    * file and delete-file counts, recorded row totals, and what changed
+    * vs the parent (files added/removed) — the audit surface every
+    * table format exposes. Metadata-only (manifests + file sizes). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val ms = versions(path).map(manifestAt(path, _))
+    val byVersion = ms.map(m => m.version -> m).toMap
+    ms.map { m =>
+      val parent = byVersion.get(m.parent)
+      val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
+      (m.version, commitTimeMillis(path, m.version),
+        m.commitId.orNull,
+        m.files.size, m.deletes.size,
+        m.files.flatMap(m.rows.get).sum,
+        m.files.count(f => !parentFiles.contains(f)),
+        parentFiles.count(f => !m.files.contains(f)),
+        m.constraints.size,
+        m.mergeKeys.mkString(","))
+    }.toDF("version", "commit_ts", "commit_id", "n_files", "n_delete_files",
+      "recorded_rows", "files_added", "files_removed", "n_constraints",
+      "merge_keys")
+  }
+
   /** RESTORE (Delta's RESTORE TABLE … TO VERSION): re-commit version
     * K's complete state — files, stats, seqs, delete ledger, scoping
     * stats, row counts — as a NEW version on top of the current chain.

@@ -700,6 +700,25 @@ class ManifestTableSpec extends SparkSpecBase {
       "orphan bloom sidecars survived the table vacuum")
   }
 
+  test("history: one audit row per version with add/remove attribution") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    ManifestTable.overwrite(Seq((1L, 10)).toDF("k", "v"), t)
+    ManifestTable.append(Seq((2L, 20)).toDF("k", "v"), t)
+    ManifestTable.mergeMoR(spark, t, Seq((1L, 0, "D")).toDF("k", "v", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    val h = ManifestTable.history(spark, t).orderBy("version").collect()
+    assert(h.length == 3)
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // v2 appended one file, removed none; v3 (MoR) added no data files
+    // it removed, carries one delete file, and records the merge key
+    assert(h(1).getInt(6) == 1 && h(1).getInt(7) == 0)
+    assert(h(2).getInt(4) == 1, "MoR delete file missing from history")
+    assert(h(2).getString(9) == "k")
+    assert(h.forall(_.getLong(1) > 0), "commit timestamps missing")
+    assert(h(2).getLong(5) >= 2, "recorded rows missing")
+  }
+
   test("schema-evolving merge: new source columns land, op markers stay " +
       "out, untouched files keep their bytes (CoW and MoR)") {
     import org.apache.spark.sql.functions.col
