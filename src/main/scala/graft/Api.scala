@@ -252,6 +252,40 @@ object ApiServer {
                 graft.sources.ManifestTable.expire(tablePath, keepLast = keep)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("expired_versions" -> dropped) ~ ("freed_files" -> freed.length))))
+            case ("GET", List("history")) =>
+              // DESCRIBE HISTORY: the audit rows as JSON
+              val h = graft.sources.ManifestTable.history(spark, tablePath)
+                .orderBy("version").collect().map { r =>
+                  ("version" -> r.getLong(0)) ~
+                    ("commit_ts" -> r.getLong(1)) ~
+                    ("commit_id" -> Option(r.getString(2))) ~
+                    ("n_files" -> r.getInt(3)) ~
+                    ("n_delete_files" -> r.getInt(4)) ~
+                    ("recorded_rows" -> r.getLong(5)) ~
+                    ("files_added" -> r.getInt(6)) ~
+                    ("files_removed" -> r.getInt(7)) ~
+                    ("merge_keys" -> r.getString(9))
+                }.toList
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("warehouse" -> whName) ~ ("resource" -> resource) ~
+                  ("history" -> h))))
+            case ("POST", List("restore")) =>
+              // RESTORE ... TO VERSION ?to=<version> — forward commit,
+              // history intact
+              val to = queryParams(ex).get("to").map(_.toLong).getOrElse(
+                throw new IllegalArgumentException("restore needs ?to=<version>"))
+              val v = graft.sources.ManifestTable.restore(tablePath, to)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("restored_to" -> to) ~ ("new_version" -> v))))
+            case ("POST", List("clone")) =>
+              // zero-copy SHALLOW CLONE to another resource of the SAME
+              // manifest warehouse: ?to=<resource>
+              val to = queryParams(ex).get("to").getOrElse(
+                throw new IllegalArgumentException("clone needs ?to=<resource>"))
+              val v = graft.sources.ManifestTable.cloneShallow(
+                tablePath, s"${wh.baseDir}/$to")
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("cloned_to" -> to) ~ ("clone_version" -> v))))
             case ("POST", List("merge")) =>
               // MERGE INTO the table from a registered origin resource;
               // the optional tombstone rule is a (column, value) equality

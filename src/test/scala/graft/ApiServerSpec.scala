@@ -193,6 +193,22 @@ class ApiServerSpec extends SparkSpecBase {
       val cdrop = Http.post(s"${api.baseUrl}/table/txlake/items/constraints",
         Map.empty, """{"constraints":[]}""", "application/json")
       assert(cdrop.contains("\"constraints\":[]"), cdrop)
+      // history: one audit row per surviving version
+      val h = Http.get(s"${api.baseUrl}/table/txlake/items/history", Map.empty)
+      assert(h.contains("\"history\":[") && h.contains("\"recorded_rows\""), h)
+      // shallow clone to a sibling resource, then restore the source
+      val cl = Http.post(s"${api.baseUrl}/table/txlake/items/clone?to=items2",
+        Map.empty, "", "application/json")
+      assert(cl.contains("\"clone_version\":1"), cl)
+      assert(ManifestTable.read(spark, s"$base/items2")
+        .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+      val curV = ManifestTable.versions(s"$base/items").max
+      val rs = Http.post(
+        s"${api.baseUrl}/table/txlake/items/restore?to=$curV",
+        Map.empty, "", "application/json")
+      assert(rs.contains(s"\"new_version\":${curV + 1}"), rs)
+      assert(ManifestTable.read(spark, s"$base/items")
+        .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
     } finally api.stop()
   }
 
