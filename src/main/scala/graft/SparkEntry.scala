@@ -914,6 +914,38 @@ object SparkEntry {
       q
     }),
 
+    "q107_delete_update_where" -> ((s, dir) => {
+      // predicate DELETE + UPDATE (Delta's DELETE FROM / UPDATE SET),
+      // copy-on-write at file granularity: one predicate-pushed scan
+      // finds the files holding matches; only those rewrite. The table
+      // is range-laid so the low-balance band lives in few files — the
+      // gate asserts most files carry BYTE-identical through both
+      // operations, and a matching-nothing delete commits no version.
+      // Oracle recomputes the delete-then-update state in SQL.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q107-").toString + "/t"
+      val customer = Tables(s, dir, "customer")
+      ManifestTable.overwrite(
+        customer.repartitionByRange(8, col("c_acctbal")), base)
+      val before = ManifestTable.dataFiles(base).toSet
+      ManifestTable.deleteWhere(s, base, col("c_acctbal") < 0)
+      ManifestTable.updateWhere(s, base,
+        col("c_acctbal") >= 9000,
+        Map("c_mktsegment" -> lit("VIP"),
+          "c_acctbal" -> (col("c_acctbal") + 1.0)))
+      val after = ManifestTable.dataFiles(base).toSet
+      require(before.intersect(after).size >= before.size / 2,
+        s"predicate rewrite touched ${before.size - before.intersect(after).size}" +
+          s" of ${before.size} range files for two narrow bands")
+      val v = ManifestTable.versions(base).max
+      require(ManifestTable.deleteWhere(s, base,
+          col("c_custkey") === -1) == v,
+        "a matching-nothing DELETE must not commit a version")
+      ManifestTable.read(s, base)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    }),
+
     "q106_merge_evolve" -> ((s, dir) => {
       // SCHEMA-EVOLVING MERGE (Delta's mergeSchema on MERGE): the CDC
       // source starts carrying a column the table never had (c_tier).
@@ -5420,6 +5452,15 @@ object SparkEntry {
          FROM orders
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1""",
+    // q107: delete the negative-balance band, then VIP-flag and bump
+    // the 9000+ band — recomputed in SQL
+    "q107_delete_update_where" ->
+      """SELECT c_custkey, c_name,
+           CASE WHEN c_acctbal >= 9000 THEN c_acctbal + 1.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_acctbal >= 9000 THEN 'VIP'
+                ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE NOT (c_acctbal < 0)""",
     // q106: evolved state — updated rows carry the new column (tier
     // from the UPDATED balance), untouched rows read NULL, tombstoned
     // rows are gone

@@ -1567,6 +1567,85 @@ object ManifestTable {
       before.columns.toSeq.filterNot(keyCols.contains))
   }
 
+  /** DELETE FROM … WHERE (Delta's predicate delete), copy-on-write at
+    * file granularity: only files CONTAINING a matching row are
+    * rewritten (found by one predicate-pushed scan that returns file
+    * names, never rows); everything else carries. Rows where the
+    * predicate is NULL are kept (SQL three-valued DELETE). A predicate
+    * matching nothing commits nothing. Optimistic-retry; `commitId`
+    * replays idempotently. */
+  def deleteWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      commitId: Option[String] = None): Long =
+    retryMerge("deleteWhere")(
+      rewriteWhereAttempt(spark, path, cond, None, commitId))
+
+  /** UPDATE … SET … WHERE — same copy-on-write shape as [[deleteWhere]]:
+    * matching rows get each `set` column replaced (expressions may read
+    * the old row), everything else carries byte-identical. Table CHECK
+    * constraints re-validate in-scan on the rewritten rows. */
+  def updateWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      commitId: Option[String] = None): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    retryMerge("updateWhere")(
+      rewriteWhereAttempt(spark, path, cond, Some(set), commitId))
+  }
+
+  private def rewriteWhereAttempt(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      set: Option[Map[String, org.apache.spark.sql.Column]],
+      commitId: Option[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val replayed = commitId.flatMap(id =>
+      versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
+    if (replayed.isDefined) return replayed.get.version
+    val base = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    set.foreach(m => m.keys.foreach(c =>
+      require(read(spark, path, Some(base.version)).columns.contains(c),
+        s"SET column '$c' not in table")))
+    // (1) which files hold a matching row? predicate pushdown reaches
+    // the parquet scan; only file NAMES come back
+    val withFile = spark.read.option("mergeSchema", "true")
+      .parquet(base.files.map(f => dataDir(path).resolve(f).toString): _*)
+      .withColumn("__file", input_file_name())
+    val touched = withFile.where(cond)
+      .select(col("__file")).distinct().collect()
+      .map(r => baseName(r.getString(0))).toSet
+    if (touched.isEmpty) return base.version // nothing matches: no commit
+    val untouched = base.files.filterNot(f => touched(baseName(f)))
+    // (2) rewrite only those files (MoR-reconciled first)
+    val rows = reconcile(spark, path, base,
+      base.files.filter(f => touched(baseName(f))))
+    val matches = coalesce(cond, lit(false))
+    val rewritten = set match {
+      case None => rows.where(!matches)
+      case Some(m) => rows.select(rows.columns.map(c =>
+        m.get(c).map(nc => when(matches, nc).otherwise(col(c)).as(c))
+          .getOrElse(col(c))): _*)
+    }
+    val staged = stage(rewritten, path)
+    val next = base.version + 1
+    val m = Manifest(next, untouched ++ staged, commitId, base.version,
+      untouched.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
+        footerStats(path, staged),
+      untouched.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
+        staged.map(_ -> next),
+      base.deletes, base.constraints, deleteStats = base.deleteStats,
+      rows = base.rows ++ footerRows(path, staged),
+      mergeKeys = base.mergeKeys)
+    try {
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit during rewrite onto v${base.version}; retry")
+    }
+  }
+
   /** DESCRIBE HISTORY: one row per committed version — commit time/id,
     * file and delete-file counts, recorded row totals, and what changed
     * vs the parent (files added/removed) — the audit surface every

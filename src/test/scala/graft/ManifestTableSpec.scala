@@ -700,6 +700,42 @@ class ManifestTableSpec extends SparkSpecBase {
       "orphan bloom sidecars survived the table vacuum")
   }
 
+  test("deleteWhere/updateWhere: NULL predicates keep rows, constraints " +
+      "re-validate, DV-hidden rows never resurrect") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    ManifestTable.overwrite(Seq[(Long, java.lang.Integer)](
+      (1L, 5), (2L, -3), (3L, null), (4L, 9)).toDF("k", "v"), t)
+    // SQL three-valued DELETE: v < 0 is NULL for k=3 → kept
+    ManifestTable.deleteWhere(spark, t, col("v") < 0)
+    assert(ManifestTable.read(spark, t).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // UPDATE through a CHECK constraint: a violating SET aborts in-scan
+    // and commits nothing
+    ManifestTable.setConstraints(spark, t, Seq("v IS NULL OR v >= 0"))
+    val vNow = ManifestTable.versions(t).max
+    intercept[Throwable] {
+      ManifestTable.updateWhere(spark, t, col("k") === 1L,
+        Map("v" -> lit(-99)))
+    }
+    assert(ManifestTable.versions(t).max == vNow,
+      "violating UPDATE landed a version")
+    // a valid update applies only to matches
+    ManifestTable.updateWhere(spark, t, col("k") === 4L, Map("v" -> lit(90)))
+    assert(ManifestTable.read(spark, t).where("k = 4").select("v")
+      .head().getInt(0) == 90)
+    // MoR interplay: a DV-hidden row in a rewritten file must not
+    // resurrect through deleteWhere's rewrite
+    val t2 = table()
+    ManifestTable.overwrite(
+      Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "v").coalesce(1), t2)
+    ManifestTable.mergeMoR(spark, t2, Seq((2L, 0, "D")).toDF("k", "v", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    ManifestTable.deleteWhere(spark, t2, col("v") >= 30)
+    assert(ManifestTable.read(spark, t2).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L))
+  }
+
   test("history: one audit row per version with add/remove attribution") {
     import org.apache.spark.sql.functions.col
     val t = table()
