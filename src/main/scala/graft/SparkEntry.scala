@@ -3156,8 +3156,9 @@ object SparkEntry {
       // verbatim in ANOTHER document — the exact-substring-dedup core,
       // position-exact where winnowing (tx8) samples. One shuffle keyed
       // by gram; the oracle recomputes every position in SQL.
-      operators.textual.TextStats.duplicatedSpans(
-        Tables(s, dir, "documents"), "doc_id", "text", n = 40)),
+      operators.textual.TextStats.duplicatedSpansFrom(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 40,
+        flagged = docDupFlagged(s, dir))),
 
     "tx23_self_clean" -> ((s, dir) =>
       // WITHIN-doc exact self-dedup (TextStats.selfClean): a position
@@ -3200,8 +3201,9 @@ object SparkEntry {
       // re-assembles from its kept segments. Output is the cleaned
       // corpus itself; the oracle recomputes per-character coverage and
       // run counts in SQL and compares the reassembled strings exactly.
-      operators.textual.TextStats.spanClean(
-        Tables(s, dir, "documents"), "doc_id", "text", n = 40)),
+      operators.textual.TextStats.spanCleanFrom(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 40,
+        flagged = docDupFlagged(s, dir))),
 
     "tx7_train_split" -> ((s, dir) => {
       // deterministic 80/10/10 split + per-split stats
@@ -3901,11 +3903,25 @@ object SparkEntry {
     * (ss9 builds its OWN graph on 11/12 of the corpus — not shared.) */
   private val nndGraphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // all the shared-artifact caches evict with the same discipline as
+  // manifoldTruthCache: sessions come and go (streamSession clones),
+  // and every entry pins checkpoint blocks in the SHARED SparkContext's
+  // block manager — evict-and-release instead of accumulating forever
+  private def evictAndRelease(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]): Unit =
+    if (cache.size >= 4) {
+      cache.keys.toSeq.foreach { k =>
+        cache.remove(k).foreach(
+          org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)
+      }
+    }
   private def manifoldGraph(s: SparkSession, dir: String): DataFrame =
-    nndGraphCache.getOrElseUpdate((s, dir),
+    nndGraphCache.getOrElseUpdate((s, dir), {
+      evictAndRelease(nndGraphCache)
       operators.similarity.NNDescent.knnGraph(
         manifoldNodes(s, dir), "vec_id", "embedding",
-        k = 5, maxRounds = 4, bucketSize = 96))
+        k = 5, maxRounds = 4, bucketSize = 96)
+    })
 
   /** The COARSE entry layer over the manifold corpus (1-in-8 hash
     * sample, same NN-Descent build — [[graft.operators.similarity
@@ -3918,7 +3934,8 @@ object SparkEntry {
   private val topGraphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def manifoldTopGraph(s: SparkSession, dir: String): DataFrame =
-    topGraphCache.getOrElseUpdate((s, dir),
+    topGraphCache.getOrElseUpdate((s, dir), {
+      evictAndRelease(topGraphCache)
       // a TRUE top-layer k-NN build (not the cheaper derived layer ss9
       // uses): ss8 queries every node under a 0.90 gate, and the
       // sample-kNN edges buy the recall; the build is 64× smaller than
@@ -3926,7 +3943,8 @@ object SparkEntry {
       operators.similarity.NNDescent.knnGraph(
         operators.similarity.GraphSearch.topLayerSample(
           manifoldNodes(s, dir), "vec_id", mod = 8),
-        "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96))
+        "vec_id", "embedding", k = 5, maxRounds = 4, bucketSize = 96)
+    })
 
   /** Suffix ranks of the tx21/tx22 document subset — the doubling is
     * the dominant cost of both queries and is built ONCE per (session,
@@ -3937,15 +3955,23 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def docSuffixRanks(s: SparkSession, dir: String): DataFrame =
     suffixRanksCache.getOrElseUpdate((s, dir), {
-      if (suffixRanksCache.size >= 4) {
-        suffixRanksCache.keys.toSeq.foreach { k =>
-          suffixRanksCache.remove(k).foreach(
-            org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)
-        }
-      }
+      evictAndRelease(suffixRanksCache)
       operators.textual.SuffixArray.suffixRanks(
         Tables(s, dir, "documents").where(col("doc_id") % 10 === 0),
         "doc_id", "text")
+    })
+
+  /** The flagged cross-doc 40-gram starts over documents — tx19's map
+    * and tx20's cleaner both derive from it; the gram shuffle (the
+    * family's dominant cost) runs once per (session, dir). */
+  private val dupFlaggedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def docDupFlagged(s: SparkSession, dir: String): DataFrame =
+    dupFlaggedCache.getOrElseUpdate((s, dir), {
+      evictAndRelease(dupFlaggedCache)
+      operators.textual.TextStats.crossDocFlagged(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 40)
+        .localCheckpoint()
     })
 
   /** Exact brute-force truth over the manifold corpus, shared by

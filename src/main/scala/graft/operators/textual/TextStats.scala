@@ -267,18 +267,38 @@ object TextStats {
     * docs shorter than `n` carry no positions and are excluded (same
     * WHERE on both engines). */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    duplicatedSpansFrom(docs, idCol, textCol, n,
+      crossDocFlagged(docs, idCol, textCol, n))
+
+  /** The FLAGGED cross-document duplicated gram starts (doc_id, p) —
+    * the shared artifact of the exact-substring family: the map
+    * ([[duplicatedSpansFrom]]) and the cleaner ([[spanCleanFrom]]) both
+    * derive from it, so a pipeline computing both pays the gram shuffle
+    * ONCE (cache the returned frame). */
+  def crossDocFlagged(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = graft.operators.IndexScope.scoped { sc =>
     require(n >= 2, "span grams need n >= 2")
     val grams = sc.index(gramHashes(docs, idCol, textCol, n))
-    val dupGrams = grams.groupBy("gh")
+    val dup = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1)
-      .select(col("gh"), lit(1).as("__dup"))
-    grams.join(dupGrams, Seq("gh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_positions"),
-        sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_positions"))
+      .where(col("nd") > 1).select("gh")
+    grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("p"))
   }
+
+  /** [[duplicatedSpans]] from a precomputed flagged frame: per-doc
+    * totals come straight from the text length (a projection — the
+    * gram table is never re-built). */
+  def duplicatedSpansFrom(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, flagged: DataFrame): DataFrame =
+    docs.where(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"),
+        (length(col(textCol)) - (n - 1)).cast("long").as("n_positions"))
+      .join(flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("__nd")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_positions"),
+        coalesce(col("__nd"), lit(0L)).cast("long").as("n_dup_positions"))
 
   /** Every gram position, keyed by the gram's 64-bit hash instead of its
     * raw `n` characters: THE shuffle of exact-substring dedup then
@@ -312,16 +332,14 @@ object TextStats {
     * segment reassembly — no second global pass, no per-character
     * explode, codegen-free aggregate lambdas only where row-local. */
   def spanClean(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = graft.operators.IndexScope.scoped { sc =>
-    require(n >= 2, "span grams need n >= 2")
-    val grams = sc.index(gramHashes(docs, idCol, textCol, n))
-    val dup = grams.groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1).select("gh")
-    val flagged = grams.join(dup, Seq("gh"), "left_semi")
-      .select(col("doc_id"), col("p"))
+      n: Int): DataFrame =
+    cutFlaggedSpans(docs, idCol, textCol,
+      crossDocFlagged(docs, idCol, textCol, n), n)
+
+  /** [[spanClean]] from a precomputed flagged frame. */
+  def spanCleanFrom(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, flagged: DataFrame): DataFrame =
     cutFlaggedSpans(docs, idCol, textCol, flagged, n)
-  }
 
   /** WITHIN-document exact self-dedup — the same span machinery, but a
     * position is flagged when its n-gram occurred EARLIER in the SAME
