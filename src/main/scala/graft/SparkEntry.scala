@@ -3160,6 +3160,15 @@ object SparkEntry {
         Tables(s, dir, "documents"), "doc_id", "text", n = 40,
         flagged = docDupFlagged(s, dir))),
 
+    "tx24_normalize" -> ((s, dir) =>
+      // canonicalization before dedup (TextStats.normalize): casefold +
+      // accent fold + punctuation-to-space + whitespace collapse, with
+      // the md5 of the canonical form as the portable dedup key — the
+      // preprocessing step exact dedup (dd1/dd2) should key on. One
+      // codegen projection; the oracle applies the identical pipeline.
+      operators.textual.TextStats.normalize(
+        Tables(s, dir, "documents"), "doc_id", "text")),
+
     "tx23_self_clean" -> ((s, dir) =>
       // WITHIN-doc exact self-dedup (TextStats.selfClean): a position
       // whose 20-gram occurred EARLIER in the same document is cut
@@ -4775,6 +4784,18 @@ object SparkEntry {
              AS n_dup_positions
          FROM g LEFT JOIN dup ON g.gram = dup.gram
          GROUP BY g.doc_id""",
+    // tx24: the identical canonicalization pipeline in SQL
+    "tx24_normalize" ->
+      """WITH n AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(translate(lower(text),
+             'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+         FROM documents)
+         SELECT doc_id, nt AS norm_text, md5(nt) AS fingerprint,
+           CAST(CASE WHEN nt = '' THEN 0
+                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END
+             AS BIGINT) AS n_tokens
+         FROM n""",
     // tx23: within-doc ground truth — a char is duplicated iff covered
     // by a flagged 20-gram start (one whose gram occurred earlier in
     // the SAME doc); cleaned text/spans/chars as in tx20

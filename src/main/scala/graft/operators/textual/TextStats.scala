@@ -360,6 +360,30 @@ object TextStats {
     cutFlaggedSpans(docs, idCol, textCol, flagged, n)
   }
 
+  /** TEXT CANONICALIZATION for dedup keys (the normalize-before-hash
+    * step every production dedup runs — CCNet/C4 lowercase+strip):
+    * casefold, map common accented letters to their base (a fixed
+    * translate table — full NFKC needs ICU, absent here by design),
+    * replace everything outside [a-z0-9 space] with a space (punctuation
+    * separates, never concatenates words), collapse runs, trim. Emits
+    * the canonical text, its md5 fingerprint (the engine-portable dedup
+    * key dd2 uses), and the token count. One codegen projection — no
+    * shuffle, no UDF. */
+  def normalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val accentsFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+    val accentsTo = "aaaaaaeeeeiiiiooooouuuucnyy"
+    val canon = trim(regexp_replace(
+      regexp_replace(
+        translate(lower(col(textCol)), accentsFrom, accentsTo),
+        "[^a-z0-9 ]", " "),
+      " +", " "))
+    docs.select(col(idCol).as("doc_id"),
+      canon.as("norm_text"),
+      md5(canon).as("fingerprint"),
+      when(canon === "", lit(0))
+        .otherwise(size(split(canon, " "))).cast("long").as("n_tokens"))
+  }
+
   /** Shared span-cutting tail of [[spanClean]]/[[selfClean]]: flagged
     * (doc_id, p) gram starts merge into maximal spans per doc (each
     * start covers [p, p+n-1], touching spans merge — a contiguous run

@@ -175,6 +175,28 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(out(3L) == (("no repeats here at all", 0L, 0L)))
   }
 
+  test("normalize: casefold + accent fold + punctuation separation; " +
+      "variants of one sentence share a fingerprint") {
+    val d = docs(
+      (1L, "Héllo,   Wörld! 42"),
+      (2L, "hello world 42"),
+      (3L, "HELLO--WORLD...42"),
+      (4L, "different text"),
+      (5L, "!!!"))
+    val out = TextStats.normalize(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == "hello world 42")
+    assert(out(2L)._1 == "hello world 42" && out(3L)._1 == "hello world 42")
+    // ö is outside the accent table -> stripped as punctuation? No:
+    // ö IS in the table (maps to o); é maps to e — 1,2,3 all equal
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2,
+      "canonical variants must share a dedup fingerprint")
+    assert(out(4L)._2 != out(1L)._2)
+    assert(out(1L)._3 == 3L)
+    assert(out(5L) == (("", out(5L)._2, 0L)), "all-punctuation doc -> empty")
+  }
+
   test("piiScrub counts and masks emails, phones, and IPs") {
     import graft.operators.textual.TextStats
     val d = Seq(
