@@ -3160,6 +3160,16 @@ object SparkEntry {
         Tables(s, dir, "documents"), "doc_id", "text", n = 40,
         flagged = docDupFlagged(s, dir))),
 
+    "tx25_gopher" -> ((s, dir) =>
+      // the NAMED Gopher rule set (Rae et al. 2021 App. A) — word-count
+      // and mean-word-length bounds, #/ellipsis symbol ratio, bullet-
+      // and ellipsis-line fractions, alphabetic-word fraction, required
+      // stopwords — per-doc metrics plus the conjunction `pass`, as
+      // production pre-training filters run them. Pure per-row
+      // array/regex projections; the oracle recomputes every metric.
+      operators.textual.TextStats.gopher(
+        Tables(s, dir, "documents"), "doc_id", "text")),
+
     "tx24_normalize" -> ((s, dir) =>
       // canonicalization before dedup (TextStats.normalize): casefold +
       // accent fold + punctuation-to-space + whitespace collapse, with
@@ -4784,6 +4794,45 @@ object SparkEntry {
              AS n_dup_positions
          FROM g LEFT JOIN dup ON g.gram = dup.gram
          GROUP BY g.doc_id""",
+    // tx25: every Gopher metric recomputed with list lambdas
+    "tx25_gopher" ->
+      """WITH b AS (SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+') AS w,
+           string_split(text, chr(10)) AS l
+         FROM documents),
+         m AS (SELECT doc_id,
+           len(w) AS n_words,
+           CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+             AS DOUBLE) / len(w) AS mean_word_len,
+           CAST((len(string_split(text, '#')) - 1)
+              + (len(string_split_regex(text, '\.\.\.')) - 1)
+              + (len(string_split(text, '…')) - 1) AS DOUBLE) / len(w)
+             AS symbol_ratio,
+           CAST(len(list_filter(l, x ->
+             substr(trim(x), 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(l)
+             AS bullet_frac,
+           CAST(len(list_filter(l, x -> right(trim(x), 3) = '...'
+             OR right(trim(x), 1) = '…')) AS DOUBLE) / len(l)
+             AS ellipsis_frac,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             AS DOUBLE) / len(w) AS alpha_word_frac,
+           len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(w, x -> lower(x)), s)))
+             AS n_req_stops
+         FROM b)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(bullet_frac, 6) AS bullet_frac,
+           round(ellipsis_frac, 6) AS ellipsis_frac,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
+           CAST(n_req_stops AS BIGINT) AS n_req_stops,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1
+            AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND n_req_stops >= 2) AS pass
+         FROM m""",
     // tx24: the identical canonicalization pipeline in SQL
     "tx24_normalize" ->
       """WITH n AS (SELECT doc_id,

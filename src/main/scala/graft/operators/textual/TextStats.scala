@@ -360,6 +360,52 @@ object TextStats {
     cutFlaggedSpans(docs, idCol, textCol, flagged, n)
   }
 
+  /** GOPHER QUALITY RULES (Rae et al. 2021, Appendix A) — the named
+    * rule set production pre-training filters actually run, distinct
+    * from [[quality]]'s generic score: word-count bounds, mean word
+    * length bounds, symbol-to-word ratio (# / ellipsis), bullet-line
+    * and ellipsis-line fractions, alphabetic-word fraction, and the
+    * required-stopword presence count, plus the conjunction `pass`.
+    * Every metric is a per-row array/regex projection — no shuffle, no
+    * UDF; thresholds are the paper's. */
+  def gopher(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val lines = split(col(textCol), "\n")
+    val bound = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      words.as("__w"), lines.as("__l"))
+    val nWords = size(col("__w"))
+    val meanLen = expr("aggregate(__w, 0L, (a, w) -> a + length(w))")
+      .cast("double") / nWords
+    val symbols = countMatches(col("__t"), "#") +
+      countMatches(col("__t"), "\\.\\.\\.") + countMatches(col("__t"), "…")
+    val symbolRatio = symbols.cast("double") / nWords
+    val bulletFrac = expr(
+      "size(filter(__l, l -> substring(trim(l), 1, 1) IN ('-', '*', '•')))")
+      .cast("double") / size(col("__l"))
+    val ellipsisFrac = expr(
+      "size(filter(__l, l -> right(trim(l), 3) = '...' OR right(trim(l), 1) = '…'))")
+      .cast("double") / size(col("__l"))
+    val alphaFrac = expr("size(filter(__w, w -> w rlike '[A-Za-z]'))")
+      .cast("double") / nWords
+    val reqStops = expr("size(filter(" +
+      "array('the','be','to','of','and','that','have','with'), " +
+      "s -> array_contains(transform(__w, w -> lower(w)), s)))")
+    bound.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      reqStops.cast("long").as("n_req_stops"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3 && meanLen <= 10 &&
+        symbolRatio <= 0.1 &&
+        bulletFrac <= 0.1 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && reqStops >= 2).as("pass"))
+  }
+
   /** TEXT CANONICALIZATION for dedup keys (the normalize-before-hash
     * step every production dedup runs — CCNet/C4 lowercase+strip):
     * casefold, map common accented letters to their base (a fixed

@@ -197,6 +197,23 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(out(5L) == (("", out(5L)._2, 0L)), "all-punctuation doc -> empty")
   }
 
+  test("gopher rules: each rule fires on a crafted violator, a clean " +
+      "prose doc passes") {
+    val prose = (("the quick brown fox jumps over and over with great " +
+      "delight because that is what foxes have to be doing ") * 3).trim
+    val d = docs(
+      (1L, prose),                                   // clean: passes
+      (2L, "short text with the and of"),            // < 50 words
+      (3L, prose + " ###### # # # # # # # # # # # # # # # # # # #"), // symbols
+      (4L, (1 to 60).map(_ => "- bullet line").mkString("\n")), // bullets
+      (5L, prose.replaceAll("[a-z]+", "12345")))     // no alpha words
+    val out = TextStats.gopher(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(out(1L), "clean prose must pass")
+    assert(!out(2L) && !out(3L) && !out(4L) && !out(5L),
+      s"violators passed: $out")
+  }
+
   test("piiScrub counts and masks emails, phones, and IPs") {
     import graft.operators.textual.TextStats
     val d = Seq(
