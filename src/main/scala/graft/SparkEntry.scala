@@ -3012,6 +3012,25 @@ object SparkEntry {
       truth
     }),
 
+    "ss17_quantized_graph" -> ((s, dir) => {
+      // QUANTIZED graph walk (DiskANN's memory model): the beam rounds
+      // score against SQ8-dequantized int8 codes — 8× lighter memory
+      // traffic than the float table, which is what bounds a graph scan
+      // at 100 TB — and only the final per-query shortlist re-ranks
+      // against exact vectors. Same hierarchy/corpus/truth as ss8;
+      // recall gate then emit exact truth under the shared oracle.
+      val nodes = manifoldNodes(s, dir)
+      val truth = manifoldTruth(s, dir)
+      val graph = manifoldGraph(s, dir)
+      val (approx, _) = operators.similarity.GraphSearch.searchStats(
+        nodes, graph, nodes, "vec_id", "embedding", k = 5,
+        beamWidth = 12, maxRounds = 3, entryMod = 2, hopExpansion = 2,
+        topGraph = Some(manifoldTopGraph(s, dir)), topSampleMod = 8,
+        quantized = true, rerank = 50)
+      operators.similarity.Similarity.recallGate(approx, truth, 0.85)
+      truth
+    }),
+
     "ss16_stream_index" -> ((s, dir) => {
       // STREAMING ANN INDEX MAINTENANCE — the index lifecycle under a
       // live feed, closing the loop ss7→ss9 opened: the navigable graph
@@ -4261,6 +4280,10 @@ object SparkEntry {
     // contract as ss9 — identical emitted-truth oracle; the streaming
     // exactly-once and recall contracts are gated in-query
     "ss16_stream_index" -> manifoldTruthOracle,
+    // ss17: the quantized walk lands the same approximate-kNN contract
+    // — identical emitted-truth oracle; the SQ8/rerank recall contract
+    // is gated in-query
+    "ss17_quantized_graph" -> manifoldTruthOracle,
     "ss3_centroid" ->
       """SELECT label, pos - 1 AS pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)

@@ -146,7 +146,15 @@ object GraphSearch extends Logging {
       idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
       maxRounds: Int = 16, entryMod: Int = 16, hopExpansion: Int = 1,
       topGraph: Option[DataFrame] = None,
-      topSampleMod: Int = 8): (DataFrame, Int) = {
+      topSampleMod: Int = 8,
+      // QUANTIZED WALK (the DiskANN memory model): candidates score
+      // against SQ8-dequantized int8 codes — 8x lighter memory traffic
+      // than the float64 unit table, which is what bounds a graph scan
+      // at 100 TB — and only the final top-`rerank` per query re-rank
+      // against exact vectors. Calibration is 2-d doubles broadcast as
+      // literals (ScalarQuantization's model).
+      quantized: Boolean = false,
+      rerank: Int = 50): (DataFrame, Int) = {
     var rounds = 0
     val out = IndexScope.scoped { sc =>
       require(k > 0 && beamWidth >= k && maxRounds > 0 && entryMod > 0)
@@ -158,6 +166,25 @@ object GraphSearch extends Logging {
         .select(col(idAs), transform(col("__v"), x => x / col("__n")).as(vecAs))
       val c = sc.index(unit(corpus, "nid", "nv"))
       val q = sc.index(unit(queries, "query_id", "qv"))
+      // int8 codes + per-dimension [lo, width] calibration (quantized
+      // walks only): the scan-side table the beam rounds actually read
+      val codesOpt = if (!quantized) None else {
+        val stats = c.select(posexplode(col("nv")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+          .orderBy("pos").collect()
+        val lo = stats.map(_.getDouble(1)).toSeq
+        val w = stats.map { r =>
+          val width = (r.getDouble(2) - r.getDouble(1)) / 255.0
+          if (width > 0) width else 1.0
+        }.toSeq
+        val loC = typedLit(lo); val wC = typedLit(w)
+        val codes = sc.index(c.select(col("nid"),
+          transform(col("nv"), (x, i) =>
+            least(greatest(round((x - element_at(loC, i + 1)) /
+              element_at(wC, i + 1), 0), lit(0.0)), lit(255.0))
+              .cast("int")).as("__codes")))
+        Some((codes, loC, wC))
+      }
       val edges1 = graph.select(col("src"), col("dst"))
         .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -170,11 +197,22 @@ object GraphSearch extends Logging {
           .where(col("src") =!= col("dst"))
           .distinct())
 
-      // (query_id, nid) → + cosine, one codegen'd dot per pair
-      def score(cands: DataFrame): DataFrame = cands
-        .join(c, "nid")
-        .join(q, "query_id")
-        .select(col("query_id"), col("nid"), dot(col("qv"), col("nv")).as("cosine"))
+      // (query_id, nid) → + cosine, one codegen'd dot per pair; the
+      // quantized walk dequantizes inside the scan (ADC — queries stay
+      // float) instead of touching the full-precision table
+      def score(cands: DataFrame): DataFrame = codesOpt match {
+        case None => cands
+          .join(c, "nid")
+          .join(q, "query_id")
+          .select(col("query_id"), col("nid"), dot(col("qv"), col("nv")).as("cosine"))
+        case Some((codes, loC, wC)) =>
+          val dequant = transform(col("__codes"), (cd, i) =>
+            element_at(loC, i + 1) + cd.cast("double") * element_at(wC, i + 1))
+          cands.join(codes, "nid")
+            .join(q, "query_id")
+            .select(col("query_id"), col("nid"),
+              dot(col("qv"), dequant).as("cosine"))
+      }
 
       // the coarse layer's edges: symmetrized AND 2-hop-squared — the
       // layer exists to cover distance fast, and it is topSampleMod×
@@ -261,7 +299,22 @@ object GraphSearch extends Logging {
       walk(edges, maxRounds, "base")
 
       sc.own(visited)
-      visited
+      // quantized walks re-rank the per-query top-`rerank` EXACTLY
+      // before emitting — recall is then bounded by shortlist misses,
+      // the same knob as the flat SQ8 scan (ss10)
+      val ranked = codesOpt match {
+        case None => visited
+        case Some(_) =>
+          val short = visited.withColumn("__ar", row_number().over(
+              Window.partitionBy("query_id")
+                .orderBy(col("cosine").desc, col("nid"))))
+            .where(col("__ar") <= math.max(rerank, k))
+            .select(col("query_id"), col("nid"))
+          short.join(c, "nid").join(q, "query_id")
+            .select(col("query_id"), col("nid"),
+              dot(col("qv"), col("nv")).as("cosine"))
+      }
+      ranked
         .withColumn("cosine", round(col("cosine"), 6))
         .withColumn("rk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nid"))))
