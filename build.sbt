@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g headroom: a contended full-suite bench run at 8g once lost the
+  // DAGScheduler event loop to a fatal error near the end of the suite
+  // (every later job then fails instantly with "SparkContext was shut
+  // down"); the machine has 125 GiB and only one forked JVM runs at a
+  // time, so the larger default costs nothing locally.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -13,14 +13,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
+    // the suite must survive a fatal error mid-run: a contended full-suite
+    // run once lost the DAGScheduler event loop (Spark then stops the
+    // SparkContext, and EVERY later submission fails in milliseconds with
+    // "SparkContext was shut down" — five queries were recorded failed by
+    // one upstream casualty). When a failure leaves the context stopped,
+    // rebuild the session and re-run that query once; the restart count
+    // lands in the artifact so a masked crash stays visible.
+    var contextRestarts = 0
     // JVM/codegen warm-up on the tiny SF so the first timed query doesn't
     // absorb one-time compilation cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -33,16 +45,27 @@ object Bench {
     val loadBefore = loadAvg()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            e.getStackTrace.take(6).foreach(f => System.err.println(s"[bench]     at $f"))
             false
         }
       ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, Boolean) = {
+      val r = timeOnce(name, fn)
+      if (!r._2 && spark.sparkContext.isStopped) {
+        System.err.println(s"[bench] SparkContext stopped during $name - rebuilding session and re-running")
+        contextRestarts += 1
+        spark = build()
+        timeOnce(name, fn)
+      } else r
     }
     val firstPass = selected.map { case (name, fn) =>
       val (dt, ok) = time(name, fn)
@@ -80,7 +103,8 @@ object Bench {
     val total = results.filter(_._3).map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-      s""""retimings":$retimings,"load_before":$loadBefore,"load_after":${loadAvg()},"sf":"$sfDir"}"""
+      s""""retimings":$retimings,"context_restarts":$contextRestarts,""" +
+      s""""load_before":$loadBefore,"load_after":${loadAvg()},"sf":"$sfDir"}"""
     println(line)
     // self-preservation: the driver's artifact pipeline has truncated the
     // stdout tail two rounds running (BENCH parsed=null), destroying the
