@@ -1268,6 +1268,27 @@ object SparkEntry {
       operators.graph.PageRank.iterate(e, "src", "dst", iters = 3)
     }),
 
+    "q108_triangles" -> ((s, dir) => {
+      // TRIANGLE COUNTING via degree-ordered orientation (operators/
+      // graph/Triangles.scala) — the second classic BSP graph kernel
+      // next to q98's PageRank, and the one where the NAIVE plan dies
+      // first at scale (wedge enumeration is Σ deg² — a hub vertex turns
+      // it quadratic; the orientation bounds it at O(m^1.5) regardless
+      // of skew). Graph: deterministic ring-with-chords over doc ids
+      // (i→i+1, i→i+2 guarantee a triangle per consecutive triple,
+      // i→7i+3 adds irregular closures), integer-exact per-vertex
+      // counts the oracle re-derives with the same relational algebra.
+      val docs = Tables(s, dir, "documents")
+      val n0 = docs.agg(count(lit(1))).head().getLong(0)
+      val ids = docs.select(col("doc_id"))
+      def fam(c: Column) = ids.select(col("doc_id").as("src"),
+        (c % n0).as("dst"))
+      val e = fam(col("doc_id") + 1)
+        .unionByName(fam(col("doc_id") + 2))
+        .unionByName(fam(col("doc_id") * 7 + 3))
+      operators.graph.Triangles.perVertex(e, "src", "dst")
+    }),
+
     "q97_variant" -> ((s, dir) => {
       // OPEN semi-structured columns via Spark 4's VARIANT type (the
       // Delta/Iceberg "variant shredding" story): JSON payloads parse
@@ -3269,6 +3290,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tokens"))
     }),
 
+    "tx26_shard_pack" -> ((s, dir) => {
+      // TRAINING-SHARD LAYOUT (Sampling.shardByTokens): the step after
+      // tx16's budget admission — the surviving corpus is laid out in a
+      // deterministic Knuth-hash shuffle order and packed greedily into
+      // 25k-token shards, `shard_id = (cum - n_tok) div size`. This is
+      // the tokenize→shuffle→shard tail of every training-data
+      // pipeline; the running total is the same distributed prefix sum
+      // as tx16 (O(buckets) offset frame, no global single-task
+      // window), so the layout of a 100 TB corpus is one data shuffle.
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      operators.Sampling.shardByTokens(
+          docs, "doc_id", "n_tok", shardTokens = 25000L)
+        .select(col("doc_id"), col("n_tok"), col("cum_tokens"),
+          col("shard_id"))
+    }),
+
     "tx5_tfidf" -> ((s, dir) =>
       operators.textual.TextStats.tfidfTop(Tables(s, dir, "documents"), "doc_id", "text", k = 3)),
 
@@ -3864,6 +3903,41 @@ object SparkEntry {
           "byte_len", "src_r", "src_g", "src_b", "dst_r", "dst_g", "dst_b")
     }),
 
+    "mm8_phash_dedup" -> ((s, dir) => {
+      // IMAGE NEAR-DUPLICATE detection over REAL pixels — multimodal
+      // meets the dedup family: synthesize a 16×16 BMP per doc whose
+      // gradient follows its base class (doc_id % 41) with a small
+      // per-doc perturbation, decode the actual bytes (BmpCodec — real
+      // stride/row-order/channel work, not a fake), compute the 64-bit
+      // average perceptual hash (8×8 floor-averaged luma cells vs their
+      // mean — BmpCodec.aHash64), then find all pairs within Hamming ≤ 3
+      // via SimHash's pigeonhole band join (4×16-bit bands, provably
+      // exact recall — the hash family changed, the candidate machinery
+      // didn't, and there is still no all-pairs compare anywhere). The
+      // oracle recomputes every pixel, every cell, every hash bit and
+      // the full pair set arithmetically in SQL.
+      import s.implicits._
+      import operators.multimodal.BmpCodec
+      val sigs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id % 41
+          val px = Array.tabulate(256) { i =>
+            val x = i % 16; val y = i / 16
+            val noise = if ((x * y) % 13 == 0) id % 5 else 0L
+            val r = ((x * 13 + y * 7 + base * 31 + noise) % 256).toInt
+            val g = ((x * 5 + y * 11 + base * 17) % 256).toInt
+            val b = ((x * 9 + y * 3 + base * 23) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          val img = BmpCodec.decode(BmpCodec.encode(16, 16, px)).getOrElse(
+            throw new IllegalStateException(s"undecodable BMP for $id"))
+          (id, BmpCodec.aHash64(img))
+        }.toDF("doc_id", "ahash")
+      operators.dedup.SimHash.pairsFromSignatures(
+          sigs, "doc_id", "ahash", maxHamming = 3, chunks = 4)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+    }),
+
     "mm3_wav_meta" -> ((s, dir) => {
       // audio twin of mm1: synthesize real RIFF/WAVE headers with
       // id-derived parameters (every 11th doc stays raw text for the
@@ -4382,6 +4456,24 @@ object SparkEntry {
            FROM t)
          SELECT c.doc_id, c.lang, c.n_tok, CAST(c.cum AS BIGINT) AS cum_tokens
          FROM c JOIN bud USING (lang) WHERE c.cum <= bud.budget""",
+    // tx26: same admission order as tx16 (bucket-major Knuth shuffle);
+    // the shard boundary rule is pure integer arithmetic on the prefix
+    // sum, so the oracle's single global window must land on identical
+    // shard ids
+    "tx26_shard_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             (doc_id * 2654435761) % 4294967296 % 64 AS b,
+             (doc_id * 2654435761) % 4294967296 % 1000000 AS h
+           FROM documents),
+         c AS (SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY b, h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST((cum - n_tok) // 25000 AS BIGINT) AS shard_id
+         FROM c""",
     "tx5_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
@@ -5018,6 +5110,37 @@ object SparkEntry {
            src.src_r, src.src_g, src.src_b,
            dst.dst_r, dst.dst_g, dst.dst_b
          FROM d JOIN src USING (doc_id) JOIN dst USING (doc_id)""",
+    // mm8: the oracle rebuilds every raster arithmetically (pixel →
+    // integer luma → 8×8 floor-averaged cells → strict-greater-than-mean
+    // bits) and brute-forces ALL pairs' Hamming distances — the Spark
+    // side must recover exactly the ≤3 set through the real codec and
+    // the banded join, with no quadratic compare
+    "mm8_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS base FROM documents),
+         xs AS (SELECT doc_id, base,
+             unnest(generate_series(0, 15)) AS x FROM d),
+         px AS (SELECT doc_id, base, x,
+             unnest(generate_series(0, 15)) AS y FROM xs),
+         lum AS (SELECT doc_id, x // 2 AS cx, y // 2 AS cy,
+             (2 * ((x*13 + y*7 + base*31 +
+                    CASE WHEN (x*y) % 13 = 0 THEN doc_id % 5 ELSE 0 END) % 256)
+              + 5 * ((x*5 + y*11 + base*17) % 256)
+              + ((x*9 + y*3 + base*23) % 256)) // 8 AS l
+           FROM px),
+         cells AS (SELECT doc_id, cy * 8 + cx AS idx,
+             CAST(sum(l) AS BIGINT) // 4 AS cell
+           FROM lum GROUP BY doc_id, cx, cy),
+         m AS (SELECT doc_id, CAST(sum(cell) AS BIGINT) // 64 AS mean
+               FROM cells GROUP BY doc_id),
+         bits AS (SELECT c.doc_id, c.idx,
+             CASE WHEN c.cell > m.mean THEN 1 ELSE 0 END AS bit
+           FROM cells c JOIN m USING (doc_id)),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+           FROM bits a JOIN bits b ON a.idx = b.idx AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""",
     "mm4_mp4_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 13 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
@@ -5702,6 +5825,36 @@ object SparkEntry {
                    150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS pr
                  FROM nodes nd LEFT JOIN s3 ON nd.node = s3.node)
          SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
+    // q108: the oracle re-derives the degree orientation and the wedge
+    // closure with the same relational algebra — counts are integer-
+    // exact, so any drift in dedup/orientation/closure breaks the hash
+    "q108_triangles" ->
+      """WITH cnt AS (SELECT count(*) AS n FROM documents),
+         e0 AS (
+           SELECT doc_id AS a,
+             (doc_id + 1) % (SELECT n FROM cnt) AS b FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % (SELECT n FROM cnt) FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM cnt) FROM documents),
+         und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                 FROM e0 WHERE a <> b),
+         deg AS (SELECT nd, count(*) AS d FROM
+                 (SELECT u AS nd FROM und UNION ALL SELECT v AS nd FROM und)
+                 GROUP BY nd),
+         o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                        THEN und.u ELSE und.v END AS s,
+                      CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                        THEN und.v ELSE und.u END AS t
+               FROM und JOIN deg du ON und.u = du.nd
+                        JOIN deg dv ON und.v = dv.nd),
+         tri AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+                 FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+                 JOIN und ON und.u = o1.t AND und.v = o2.t)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         GROUP BY node""",
     // q97: the variant path may only change the ENCODING of the payload
     // (gated in-query: the column is VariantType) — typed extraction
     // must recover the source values exactly

@@ -107,6 +107,56 @@ object Sampling {
       .drop("__b", "__h", "__off", "budget")
   }
 
+  /** Greedy sequential TRAINING-SHARD assignment: documents are laid out
+    * in deterministic Knuth-hash shuffle order (the corpus shuffle every
+    * training run needs, reproducible across engines and partitionings —
+    * unlike a `rand()` sort) and packed into shards of `shardTokens`
+    * tokens: a document belongs to the shard its cumulative-token span
+    * STARTS in, `shard_id = (cum - n_tok) div shardTokens` — so shards
+    * are contiguous runs of the shuffled order, every shard except the
+    * last holds ≥ shardTokens tokens once its successor opens, and the
+    * assignment is a pure function of (ids, token counts) that any
+    * engine reproduces exactly.
+    *
+    * The running total is the same DISTRIBUTED PREFIX SUM as
+    * [[tokenBudget]], minus the per-source partition: rows hash into
+    * `buckets` ranges (the major sort key), per-bucket token partials
+    * aggregate map-side-combined into an O(buckets) frame, cross-bucket
+    * offsets are a window over that tiny frame (one task on `buckets`
+    * rows — metadata, not data), and the within-bucket cumsum is a
+    * window over each bucket. One data shuffle; parallelism = buckets.
+    * A single global `Window.orderBy` over the data — the obvious
+    * formulation — would serialize the whole corpus through one task.
+    *
+    * @return input plus `cum_tokens` (running total along the shuffle
+    *         order, inclusive) and `shard_id` (0-based). */
+  def shardByTokens(df: DataFrame, idCol: String, tokensCol: String,
+      shardTokens: Long, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardTokens > 0, "shardTokens must be positive")
+    val base = df
+      .withColumn("__b", knuthBucket(col(idCol), buckets).cast("int"))
+      .withColumn("__h", knuthBucket(col(idCol), 1000000))
+    val partials = base.groupBy(col("__b"))
+      .agg(sum(col(tokensCol)).as("__part"))
+    // one window task over `buckets` rows — the lit(0) partition is
+    // deliberate: the frame is metadata-sized by construction
+    val offW = Window.partitionBy(lit(0)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials.withColumn("__off",
+      coalesce(sum(col("__part")).over(offW), lit(0L))).drop("__part")
+    val inW = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum_tokens",
+        col("__off") + sum(col(tokensCol)).over(inW))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - `$tokensCol`) div $shardTokens"))
+      .drop("__b", "__h", "__off")
+  }
+
   /** Deterministic stratified sample targeting ~`target` rows PER STRATUM
     * (balanced eval-set construction: small strata are kept whole, large
     * strata are down-sampled to the target).

@@ -62,22 +62,33 @@ object SimHash {
     * is what a contended machine amplifies first). */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame =
+    pairsFromSignatures(signatures(docs, idCol, textCol), "doc_id", "simhash",
+      maxHamming, chunks)
+
+  /** The pigeonhole band join alone, over PRECOMPUTED 64-bit signatures —
+    * any fixed-width fingerprint family reuses this exact-recall
+    * candidate generation (text SimHash, perceptual image hashes, binary
+    * embedding sketches). Output: (doc_a, doc_b, hamming) with
+    * doc_a < doc_b and hamming ≤ maxHamming; exact by pigeonhole for
+    * maxHamming < chunks. */
+  def pairsFromSignatures(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = IndexScope.scoped { sc =>
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val width = 64 / chunks
-    val sigs = signatures(docs, idCol, textCol)
-    val chunked = sc.index(sigs.select(col("doc_id"), col("simhash"),
+    val chunked = sc.index(sigs
+      .select(col(idCol).as("doc_id"), col(sigCol).as("__sig"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_idx"))
       // chunk value: unsigned shift then mask to `width` bits
       .withColumn("chunk_val",
-        expr(s"shiftrightunsigned(simhash, chunk_idx * $width)")
+        expr(s"shiftrightunsigned(__sig, chunk_idx * $width)")
           .bitwiseAND(lit((1L << width) - 1))))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
+        bit_count(expr("a.__sig ^ b.__sig")).as("hamming"))
       // filter BEFORE distinct: hamming is a cheap bit_count, and pruning
       // first shrinks the distinct exchange to the qualifying pairs
       .where(col("hamming") <= maxHamming)

@@ -138,6 +138,59 @@ object BmpCodec {
     Bmp(nw, nh, px)
   }
 
+  /** 64-bit average perceptual hash (aHash) of the raster, integer-exact
+    * so an SQL oracle reproduces every bit:
+    *
+    *   1. integer luma per pixel, `(2r + 5g + b) div 8` (a rational
+    *      approximation of Rec.601 weights — exact arithmetic beats
+    *      float fidelity here, the hash only needs a stable ordering);
+    *   2. FLOOR-average the luma over an 8×8 grid of equal cells
+    *      (width and height must be multiples of 8 so cells are exact);
+    *   3. bit (cy*8 + cx) is set iff its cell's luma EXCEEDS the floor
+    *      of the 64-cell mean (strict, so a constant image hashes to 0).
+    *
+    * Hamming distance between aHashes is the standard near-duplicate
+    * signal for images: brightness/contrast shifts move all cells with
+    * the mean, small local edits flip few bits. Pair generation at scale
+    * reuses SimHash's pigeonhole band join — the hash family changes,
+    * the candidate machinery doesn't. */
+  def aHash64(b: Bmp): Long = {
+    require(b.width % 8 == 0 && b.height % 8 == 0,
+      s"aHash needs dims divisible by 8, got ${b.width}x${b.height}")
+    val cw = b.width / 8
+    val ch = b.height / 8
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        var s = 0L
+        var dy = 0
+        while (dy < ch) {
+          var dx = 0
+          while (dx < cw) {
+            val p = b.pixel(cx * cw + dx, cy * ch + dy)
+            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val bl = p & 0xFF
+            s += (2 * r + 5 * g + bl) / 8
+            dx += 1
+          }
+          dy += 1
+        }
+        cells(cy * 8 + cx) = s / (cw.toLong * ch)
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** Per-channel pixel sums (r, g, b) — the checksum an arithmetic
     * oracle can predict for a synthesized raster. */
   def channelSums(b: Bmp): (Long, Long, Long) = {

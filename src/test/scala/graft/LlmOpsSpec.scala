@@ -325,6 +325,40 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(again == got)
   }
 
+  test("shardByTokens: matches the single-window reference, shards are " +
+      "contiguous full runs, stable under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 400L).map(i => (i, (i % 23) + 1)).toDF("id", "n_tok")
+    val B = 150L
+    val got = Sampling.shardByTokens(d, "id", "n_tok", shardTokens = B)
+      .select(col("id"), col("n_tok"), col("cum_tokens"), col("shard_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    // reference: one global window over the same admission order
+    val w = Window.orderBy(Sampling.knuthBucket(col("id"), 64),
+        Sampling.knuthBucket(col("id"), 1000000), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = d.withColumn("cum", sum("n_tok").over(w))
+      .withColumn("sid", expr(s"(cum - n_tok) div $B"))
+      .select(col("id"), col("n_tok"), col("cum"), col("sid"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSet == ref.toSet)
+    // shard ids dense from 0; each document starts inside its shard's
+    // token span, so shards are contiguous runs of the shuffle order
+    val byShard = got.groupBy(_._4).toSeq.sortBy(_._1)
+    assert(byShard.size > 1, "fixture must span several shards")
+    assert(byShard.map(_._1) == (0L until byShard.size.toLong),
+      "shard ids must be dense from 0")
+    got.foreach { case (id, n, cum, sid) =>
+      val start = cum - n
+      assert(start >= sid * B && start < (sid + 1) * B,
+        s"doc $id starts at $start outside shard $sid")
+    }
+    val again = Sampling.shardByTokens(d.repartition(7), "id", "n_tok", B)
+      .select(col("id"), col("n_tok"), col("cum_tokens"), col("shard_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("QualityClassifier recovers a planted linear rule, deterministic, " +
       "loud on single-class slices") {
     import graft.operators.textual.QualityClassifier

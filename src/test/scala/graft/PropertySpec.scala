@@ -188,6 +188,53 @@ class PropertySpec extends SparkSpecBase {
     }.foreach(BmpCodec.decode)
   }
 
+  test("BmpCodec.aHash64: constant image is 0, planted bright cells set " +
+      "exactly their bits, brightness shift is invariant, dims gated") {
+    import graft.operators.multimodal.BmpCodec
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // constant raster: every cell equals the mean, strict > sets nothing
+    assert(BmpCodec.aHash64(BmpCodec.Bmp(16, 16, Array.fill(256)(gray(77)))) == 0L)
+    // plant bright 2x2 cells at (cx,cy)=(0,0) and (5,3): exactly bits
+    // 0 and 3*8+5 set (cells way above the near-zero mean)
+    val px = Array.tabulate(256) { i =>
+      val x = i % 16; val y = i / 16
+      if ((x / 2, y / 2) == (0, 0) || (x / 2, y / 2) == (5, 3)) gray(200)
+      else gray(0)
+    }
+    assert(BmpCodec.aHash64(BmpCodec.Bmp(16, 16, px)) ==
+      ((1L << 0) | (1L << (3 * 8 + 5))))
+    // uniform brightness shift moves all cells with the mean: hash equal
+    val rnd = new scala.util.Random(4242)
+    val base = Array.fill(256)(rnd.nextInt(120))
+    val a = BmpCodec.aHash64(BmpCodec.Bmp(16, 16, base.map(gray)))
+    val b = BmpCodec.aHash64(BmpCodec.Bmp(16, 16, base.map(v => gray(v + 100))))
+    assert(a == b, "aHash must be invariant under uniform brightness shift")
+    // multiple-of-8 dims enforced (cells must tile exactly)
+    intercept[IllegalArgumentException] {
+      BmpCodec.aHash64(BmpCodec.Bmp(12, 16, Array.fill(192)(0)))
+    }
+    // matches an independent reimplementation on random rasters (incl.
+    // non-square and cells larger than 2x2)
+    for ((w, h) <- Seq((16, 16), (24, 8), (32, 32))) {
+      val pix = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      val img = BmpCodec.Bmp(w, h, pix)
+      val cw = w / 8; val ch = h / 8
+      val cells = Array.tabulate(64) { idx =>
+        val cx = idx % 8; val cy = idx / 8
+        var s = 0L
+        for (dy <- 0 until ch; dx <- 0 until cw) {
+          val p = img.pixel(cx * cw + dx, cy * ch + dy)
+          s += (2 * ((p >> 16) & 0xFF) + 5 * ((p >> 8) & 0xFF) + (p & 0xFF)) / 8
+        }
+        s / (cw.toLong * ch)
+      }
+      val mean = cells.sum / 64
+      val want = cells.zipWithIndex
+        .collect { case (c, i) if c > mean => 1L << i }.foldLeft(0L)(_ | _)
+      assert(BmpCodec.aHash64(img) == want, s"aHash drifted at ${w}x$h")
+    }
+  }
+
   test("mp4 box walk round-trips synth headers incl. v1/largesize/to-EOF") {
     import graft.operators.multimodal.Mp4Headers
     val m = Mp4Headers.parseMp4(Mp4Headers.synthMp4("mp42", 90000, 450000L, 12))
