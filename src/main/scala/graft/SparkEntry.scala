@@ -1289,6 +1289,67 @@ object SparkEntry {
       operators.graph.Triangles.perVertex(e, "src", "dst")
     }),
 
+    "q109_multi_table_txn" -> ((s, dir) => {
+      // MULTI-TABLE ATOMIC TRANSACTIONS (ManifestTable.commitTxn) — the
+      // capability Delta doesn't have and Iceberg gates behind a REST
+      // catalog, built on this format's own atomic-create primitive: a
+      // marker-decided two-phase commit (stage → claim slots → one
+      // atomic decision marker → publish). The scenario every warehouse
+      // hits: a fact table and its per-customer summary must move
+      // together, or readers join inconsistent states. Gates drive the
+      // fault-injection seams: an UNDECIDED crash (claims, no marker)
+      // rolls back on recovery; a DECIDED crash (marker, unfinished
+      // publish) rolls forward from the NON-coordinator table's pointer;
+      // replaying the landed txn id no-ops both tables; and the emitted
+      // frame is the invariant atomicity protects — the summary table
+      // re-aggregates to exactly the fact table's state.
+      import graft.sources.ManifestTable
+      import graft.sources.ManifestTable.TxnWrite
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q109-").toString
+      val fact = s"$tmp/fact"; val summ = s"$tmp/summary"
+      def slice(k: Int) = Tables(s, dir, "orders")
+        .where(col("o_orderkey") % 3 === k)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def sumOf(k: Int) = slice(k).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("revenue"))
+      ManifestTable.commitTxn(Seq(
+        TxnWrite(slice(0), fact), TxnWrite(sumOf(0), summ)), Some("q109-b0"))
+      def crashingTxn(point: Int): Unit = {
+        var thrown = false
+        try ManifestTable.commitTxn(Seq(TxnWrite(slice(1), fact),
+          TxnWrite(sumOf(1), summ)), Some("q109-b1"), crashPoint = point)
+        catch { case _: RuntimeException => thrown = true }
+        require(thrown, s"crashPoint=$point must throw")
+      }
+      crashingTxn(2) // claims + staged manifests, NO decision marker
+      ManifestTable.recoverTxn(Seq(fact, summ))
+      require(ManifestTable.versions(fact).size == 1 &&
+        ManifestTable.versions(summ).size == 1,
+        "undecided txn must leave no version on either table")
+      crashingTxn(3) // marker decided, publish unfinished
+      ManifestTable.recoverTxn(Seq(summ)) // non-coordinator side
+      val vF = ManifestTable.versions(fact)
+      val vS = ManifestTable.versions(summ)
+      require(vF.size == 2 && vS.size == 2,
+        "decided txn must roll forward onto both tables")
+      val again = ManifestTable.commitTxn(Seq(TxnWrite(slice(1), fact),
+        TxnWrite(sumOf(1), summ)), Some("q109-b1"))
+      require(again == Seq(vF.last, vS.last) &&
+        ManifestTable.versions(fact) == vF &&
+        ManifestTable.versions(summ) == vS, "txn replay must no-op")
+      val fromFact = ManifestTable.read(s, fact).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+      val out = ManifestTable.read(s, summ).groupBy("o_custkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("revenue")).cast("double").as("revenue"))
+      require(out.exceptAll(fromFact).isEmpty &&
+        fromFact.exceptAll(out).isEmpty,
+        "summary drifted from fact - atomicity broken")
+      out
+    }),
+
     "q97_variant" -> ((s, dir) => {
       // OPEN semi-structured columns via Spark 4's VARIANT type (the
       // Delta/Iceberg "variant shredding" story): JSON payloads parse
@@ -5855,6 +5916,13 @@ object SparkEntry {
          FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
                UNION ALL SELECT c FROM tri)
          GROUP BY node""",
+    // q109: the emitted frame is the cross-table invariant — if either
+    // txn leg half-landed (or the crash recovery mis-rolled), the
+    // summary would drift from this direct recompute over the source
+    "q109_multi_table_txn" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1""",
     // q97: the variant path may only change the ENCODING of the payload
     // (gated in-query: the column is VariantType) — typed extraction
     // must recover the source values exactly

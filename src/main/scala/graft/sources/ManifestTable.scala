@@ -822,6 +822,37 @@ object ManifestTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** The append/overwrite successor manifest of `cur` — the shared
+    * construction between the single-table [[commit]] loop and the
+    * multi-table [[commitTxn]] protocol (which must build each table's
+    * next manifest BEFORE claiming its version slot). */
+  private def buildNext(cur: Option[Manifest], next: Long,
+      newFiles: Seq[String], replace: Boolean, commitId: Option[String],
+      newStats: Map[String, Map[String, ColStats]],
+      newRows: Map[String, Long]): Manifest = {
+    val files = if (replace) newFiles
+      else cur.map(_.files).getOrElse(Seq.empty) ++ newFiles
+    val stats = if (replace) newStats
+      else cur.map(_.stats).getOrElse(Map.empty) ++ newStats
+    // append: carried files keep their seq and the MoR delete files
+    // still apply to them; overwrite replaces everything, deletes too
+    val seqs = (if (replace) Map.empty[String, Long]
+      else cur.map(_.seqs).getOrElse(Map.empty)) ++ newFiles.map(_ -> next)
+    val deletes = if (replace) Seq.empty[(String, Long)]
+      else cur.map(_.deletes).getOrElse(Seq.empty)
+    val delStats = if (replace) Map.empty[String, Map[String, ColStats]]
+      else cur.map(_.deleteStats).getOrElse(Map.empty)
+    // constraints are TABLE metadata: they survive overwrite (the data
+    // is replaced, the table's contract is not)
+    val cons = cur.map(_.constraints).getOrElse(Seq.empty)
+    val rowsM = (if (replace) Map.empty[String, Long]
+      else cur.map(_.rows).getOrElse(Map.empty)) ++ newRows
+    Manifest(next, files, commitId,
+      cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
+      deleteStats = delStats, rows = rowsM,
+      mergeKeys = cur.map(_.mergeKeys).getOrElse(Seq.empty))
+  }
+
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
       commitId: Option[String]): Long = {
     Files.createDirectories(manifestDir(path))
@@ -836,27 +867,8 @@ object ManifestTable {
         versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
       if (replayed.isDefined) return replayed.get.version
       val next = cur.map(_.version + 1).getOrElse(1L)
-      val files = if (replace) newFiles
-        else cur.map(_.files).getOrElse(Seq.empty) ++ newFiles
-      val stats = if (replace) newStats
-        else cur.map(_.stats).getOrElse(Map.empty) ++ newStats
-      // append: carried files keep their seq and the MoR delete files
-      // still apply to them; overwrite replaces everything, deletes too
-      val seqs = (if (replace) Map.empty[String, Long]
-        else cur.map(_.seqs).getOrElse(Map.empty)) ++ newFiles.map(_ -> next)
-      val deletes = if (replace) Seq.empty[(String, Long)]
-        else cur.map(_.deletes).getOrElse(Seq.empty)
-      val delStats = if (replace) Map.empty[String, Map[String, ColStats]]
-        else cur.map(_.deleteStats).getOrElse(Map.empty)
-      // constraints are TABLE metadata: they survive overwrite (the data
-      // is replaced, the table's contract is not)
-      val cons = cur.map(_.constraints).getOrElse(Seq.empty)
-      val rowsM = (if (replace) Map.empty[String, Long]
-        else cur.map(_.rows).getOrElse(Map.empty)) ++ newRows
-      val m = Manifest(next, files, commitId,
-        cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
-        deleteStats = delStats, rows = rowsM,
-        mergeKeys = cur.map(_.mergeKeys).getOrElse(Seq.empty))
+      val m = buildNext(cur, next, newFiles, replace, commitId,
+        newStats, newRows)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -884,6 +896,188 @@ object ManifestTable {
         versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
       return commit(path, Seq.empty, replace = true, commitId)
     commit(path, stage(df, path), replace = true, commitId)
+  }
+
+  // ──────────────────── multi-table transactions ────────────────────
+  //
+  // Delta has no multi-table transaction; Iceberg needs a REST catalog
+  // for one. On this format it is a marker-decided two-phase commit
+  // over the same atomic-create primitive the single-table log uses:
+  //
+  //   1. STAGE   — data files for every table (slow, invisible);
+  //   2. CLAIM   — create each table's next `v<N>.json` EMPTY, in
+  //                canonical path order (the existing optimistic lock:
+  //                single-table committers lose the slot and retry on
+  //                top; readers spin out the claim-to-content window
+  //                exactly as they already do for the no-hardlink
+  //                publish path). A lost claim rolls back the others
+  //                and retries the whole claim set on fresh versions;
+  //   3. DECIDE  — atomically create ONE marker file (in the first
+  //                table's log) naming every (table, version, staged
+  //                manifest). The marker's existence IS the commit:
+  //                before it, recovery rolls everything back; after
+  //                it, recovery rolls everything forward;
+  //   4. PUBLISH — move each staged manifest onto its claimed slot
+  //                (idempotent), then delete the marker.
+  //
+  // A crash leaves claims that BLOCK the affected tables (readers and
+  // writers fail loudly on the empty manifest) until [[recoverTxn]] —
+  // blocked-until-recovered is the correct failure mode; silently
+  // readable half-transactions are the bug this protocol exists to
+  // prevent. recoverTxn must only run while no writer is active on the
+  // named tables (startup/admin context — the same contract as vacuum).
+
+  /** One table's write inside a [[commitTxn]]. */
+  final case class TxnWrite(df: DataFrame, path: String,
+      replace: Boolean = false)
+
+  /** Injected crash for recovery gates ([[commitTxn]]'s `crashPoint`). */
+  private[graft] final class TxnCrash(val point: Int)
+    extends RuntimeException(s"injected txn crash at point $point")
+
+  private def jq(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Commit every write in `writes` atomically: readers of ANY involved
+    * table see all of the txn's versions or none of them. Returns the
+    * new versions in `writes` order. `commitId` gives the whole txn
+    * exactly-once replay (landed = landed on every table).
+    *
+    * `crashPoint` is a test seam (fault injection, Delta-style): 1 dies
+    * after data staging (invisible garbage), 2 after slot claims but
+    * before the marker (recovery rolls back), 3 after the marker but
+    * before publish (recovery rolls forward). */
+  def commitTxn(writes: Seq[TxnWrite], commitId: Option[String] = None,
+      crashPoint: Int = 0): Seq[Long] = {
+    require(writes.nonEmpty, "empty transaction")
+    val roots = writes.map(w => Paths.get(w.path).toAbsolutePath.toString)
+    require(roots.distinct.size == roots.size,
+      "one TxnWrite per table: duplicate paths cannot claim one slot twice")
+    writes.foreach(w => Files.createDirectories(manifestDir(w.path)))
+    commitId.foreach { id =>
+      val landed = writes.map(w =>
+        versions(w.path).map(manifestAt(w.path, _)).find(_.commitId.contains(id)))
+      if (landed.forall(_.isDefined)) return landed.map(_.get.version)
+      require(landed.forall(_.isEmpty),
+        s"txn $id landed on a strict subset of its tables - run recoverTxn first")
+    }
+    val stagedData = writes.map(w => stage(w.df, w.path))
+    val statsRows = writes.zip(stagedData).map { case (w, fs) =>
+      (footerStats(w.path, fs), footerRows(w.path, fs)) }
+    if (crashPoint == 1) throw new TxnCrash(1)
+    val txnId = UUID.randomUUID().toString
+    val markerPath = manifestDir(writes.head.path).resolve(s"txn-$txnId.json")
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val curs = writes.map(w => latest(w.path))
+      val nexts = curs.map(_.map(_.version + 1).getOrElse(1L))
+      val targets = writes.indices.map(i =>
+        manifestDir(writes(i).path).resolve(f"v${nexts(i)}%08d.json"))
+      val order = writes.indices.sortBy(roots)
+      val claimed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      var lost = false
+      for (i <- order if !lost) {
+        try { Files.createFile(targets(i)); claimed += targets(i) }
+        catch { case _: java.nio.file.FileAlreadyExistsException => lost = true }
+      }
+      if (lost) {
+        // nothing is visible yet: release the claims and retry on the
+        // concurrent winner's new latest
+        claimed.foreach(Files.deleteIfExists(_))
+      } else {
+        val stagedNames = writes.indices.map(i => s".staged-$txnId-v${nexts(i)}.json")
+        writes.indices.foreach { i =>
+          val md = manifestDir(writes(i).path)
+          Files.writeString(md.resolve(stagedNames(i)),
+            render(buildNext(curs(i), nexts(i), stagedData(i),
+              writes(i).replace, commitId, statsRows(i)._1, statsRows(i)._2)))
+          // non-coordinator tables get a pointer so recovery starting
+          // from ANY table of the txn finds the one decision marker
+          if (i != 0)
+            Files.writeString(md.resolve(s".txn-$txnId.ptr"),
+              markerPath.toAbsolutePath.toString)
+        }
+        if (crashPoint == 2) throw new TxnCrash(2)
+        // DECIDE: the marker's atomic creation commits the transaction
+        publish(markerPath, s"""{"txn":${jq(txnId)},"entries":[""" +
+          writes.indices.map(i =>
+            s"""{"dir":${jq(Paths.get(writes(i).path).toAbsolutePath.toString)},""" +
+            s""""version":${nexts(i)},"staged":${jq(stagedNames(i))}}""")
+            .mkString(",") + "]}")
+        if (crashPoint == 3) throw new TxnCrash(3)
+        finalizeTxn(markerPath)
+        return nexts
+      }
+    }
+    throw new IllegalStateException(
+      s"txn contention: gave up after $attempts claim rounds")
+  }
+
+  /** Roll a DECIDED txn forward: move each staged manifest onto its
+    * claimed slot (idempotent — finalized slots are skipped), drop the
+    * pointers, then the marker. Safe to re-run after any partial
+    * publish. */
+  private def finalizeTxn(marker: Path): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(Files.readString(marker))
+    val txnId = (j \ "txn").extract[String]
+    val entries = (j \ "entries") match {
+      case JArray(es) => es.map(e => ((e \ "dir").extract[String],
+        (e \ "version").extract[Long], (e \ "staged").extract[String]))
+      case _ => Seq.empty
+    }
+    entries.foreach { case (dir, ver, stagedName) =>
+      val md = manifestDir(dir)
+      val target = md.resolve(f"v$ver%08d.json")
+      val staged = md.resolve(stagedName)
+      if (Files.exists(staged)) {
+        if (!Files.exists(target) || Files.size(target) == 0L)
+          Files.move(staged, target, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        else Files.deleteIfExists(staged) // already published by a re-run
+      }
+      Files.deleteIfExists(md.resolve(s".txn-$txnId.ptr"))
+    }
+    Files.deleteIfExists(marker)
+  }
+
+  /** Recover the named tables from an interrupted [[commitTxn]]:
+    * decided txns (marker exists, found locally or via a pointer) roll
+    * FORWARD; everything else — undecided staged manifests, orphan
+    * pointers, empty version claims — rolls BACK. MUST only run while
+    * no writer is active on these tables (admin/startup context): an
+    * empty claim is indistinguishable from a live writer's in-flight
+    * claim, and recovery presumes it dead. */
+  def recoverTxn(paths: Seq[String]): Unit = {
+    def ls(md: Path): Seq[Path] =
+      if (!Files.isDirectory(md)) Seq.empty
+      else Using.resource(Files.list(md))(_.iterator().asScala.toSeq)
+    // pass 1: roll forward every decided txn discoverable from here
+    paths.foreach { p =>
+      val md = manifestDir(p)
+      ls(md).foreach { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("txn-") && n.endsWith(".json")) finalizeTxn(f)
+        else if (n.startsWith(".txn-") && n.endsWith(".ptr")) {
+          val marker = Paths.get(Files.readString(f).trim)
+          if (Files.exists(marker)) finalizeTxn(marker)
+        }
+      }
+    }
+    // pass 2: roll back the undecided leftovers
+    paths.foreach { p =>
+      val md = manifestDir(p)
+      ls(md).foreach { f =>
+        val n = f.getFileName.toString
+        val undecided = n.startsWith(".staged-") ||
+          (n.startsWith(".txn-") && n.endsWith(".ptr")) ||
+          (n.startsWith("v") && n.endsWith(".json") && Files.size(f) == 0L)
+        if (undecided) Files.deleteIfExists(f)
+      }
+    }
   }
 
   /** OPTIMIZE: rewrite the CURRENT version's rows into ~targetBytes

@@ -25,6 +25,80 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.versions(t) == Seq(1L, 2L, 3L))
   }
 
+  test("commitTxn: all-or-nothing across two tables, replay-once, " +
+      "interleaves with single-table commits") {
+    val a = table(); val b = table()
+    ManifestTable.append(Seq(1).toDF("x"), a)
+    ManifestTable.append(Seq(10).toDF("x"), b)
+    // atomic pair commit
+    val vs = ManifestTable.commitTxn(Seq(
+      ManifestTable.TxnWrite(Seq(2).toDF("x"), a),
+      ManifestTable.TxnWrite(Seq(20).toDF("x"), b)), Some("t1"))
+    assert(vs == Seq(2L, 2L))
+    assert(ManifestTable.read(spark, a).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(ManifestTable.read(spark, b).as[Int].collect().sorted.toSeq == Seq(10, 20))
+    // whole-txn replay: same id no-ops on BOTH tables
+    val again = ManifestTable.commitTxn(Seq(
+      ManifestTable.TxnWrite(Seq(999).toDF("x"), a),
+      ManifestTable.TxnWrite(Seq(999).toDF("x"), b)), Some("t1"))
+    assert(again == vs && ManifestTable.versions(a) == Seq(1L, 2L))
+    // single-table commits interleave cleanly with txns
+    ManifestTable.append(Seq(3).toDF("x"), a)
+    val vs2 = ManifestTable.commitTxn(Seq(
+      ManifestTable.TxnWrite(Seq(30).toDF("x"), b),
+      ManifestTable.TxnWrite(Seq(4).toDF("x"), a)), Some("t2"))
+    assert(vs2 == Seq(3L, 4L))
+    assert(ManifestTable.read(spark, a).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(ManifestTable.read(spark, b).as[Int].collect().sorted.toSeq == Seq(10, 20, 30))
+    // replace inside a txn
+    ManifestTable.commitTxn(Seq(
+      ManifestTable.TxnWrite(Seq(7).toDF("x"), a, replace = true)), Some("t3"))
+    assert(ManifestTable.read(spark, a).as[Int].collect().toSeq == Seq(7))
+  }
+
+  test("commitTxn crash recovery: undecided txns roll back, decided txns " +
+      "roll forward, and a crashed claim blocks until recovered") {
+    val a = table(); val b = table()
+    ManifestTable.append(Seq(1).toDF("x"), a)
+    ManifestTable.append(Seq(10).toDF("x"), b)
+    def crashAt(p: Int): Unit =
+      intercept[RuntimeException] {
+        ManifestTable.commitTxn(Seq(
+          ManifestTable.TxnWrite(Seq(2).toDF("x"), a),
+          ManifestTable.TxnWrite(Seq(20).toDF("x"), b)), None, crashPoint = p)
+      }
+    // crash 1: only invisible staged data — tables read and commit fine
+    crashAt(1)
+    assert(ManifestTable.versions(a) == Seq(1L) && ManifestTable.versions(b) == Seq(1L))
+    assert(ManifestTable.read(spark, a).as[Int].collect().toSeq == Seq(1))
+    // crash 2 (claims + staged manifests, NO marker): the empty claims
+    // block both tables; recovery rolls BACK and unblocks them
+    crashAt(2)
+    assert(ManifestTable.versions(a) == Seq(1L, 2L), "claim must occupy the slot")
+    intercept[Exception] { ManifestTable.read(spark, a).count() }
+    ManifestTable.recoverTxn(Seq(a, b))
+    assert(ManifestTable.versions(a) == Seq(1L) && ManifestTable.versions(b) == Seq(1L))
+    assert(ManifestTable.read(spark, a).as[Int].collect().toSeq == Seq(1))
+    assert(ManifestTable.read(spark, b).as[Int].collect().toSeq == Seq(10))
+    // crash 3 (marker decided, publish unfinished): recovery rolls
+    // FORWARD — both tables show the txn, from EITHER table's pointer
+    crashAt(3)
+    ManifestTable.recoverTxn(Seq(b)) // non-coordinator: found via .ptr
+    assert(ManifestTable.read(spark, a).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(ManifestTable.read(spark, b).as[Int].collect().sorted.toSeq == Seq(10, 20))
+    // no txn litter survives recovery + publish
+    for (t <- Seq(a, b)) {
+      val md = Paths.get(t, "_manifests")
+      val leftover = java.nio.file.Files.list(md).iterator()
+      val names = new scala.collection.mutable.ArrayBuffer[String]
+      while (leftover.hasNext) names += leftover.next().getFileName.toString
+      assert(names.forall(n => n.matches("v\\d{8}\\.json")), s"litter: $names")
+    }
+    // normal life resumes on both tables
+    ManifestTable.append(Seq(3).toDF("x"), a)
+    assert(ManifestTable.read(spark, a).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("concurrent appends: optimistic retry keeps every row and a linear chain") {
     // 6 writers x 4 commits racing on one table: losers of the
     // create-version lock must retry on top of the new latest, so the
