@@ -1350,6 +1350,45 @@ object SparkEntry {
       out
     }),
 
+    "q110_sql_tvf" -> ((s, dir) => {
+      // SQL SURFACE for the manifest format: the graft_table('<path>'
+      // [, version]) TABLE-VALUED FUNCTION (GraftTableFunction, wired
+      // through SparkSessionExtensions / GraftExtensions.register)
+      // resolves to the SAME analyzed relation the DataFrame read
+      // builds — MoR reconciliation, data skipping and size estimates
+      // apply identically — so an analyst's plain spark.sql joins
+      // versioned tables and time-travels with `graft_table(t, 1)`.
+      // The whole query below runs through spark.sql, not the
+      // DataFrame API: two TVF scans (current + VERSION AS OF 1) and
+      // a dimension join, under the hard oracle.
+      import graft.sources.ManifestTable
+      plans.GraftExtensions.register(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q110-").toString
+      val fact = s"$tmp/fact"; val dims = s"$tmp/dims"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ManifestTable.append(orders.where(col("o_orderkey") % 2 === 0), fact)
+      ManifestTable.append(orders.where(col("o_orderkey") % 2 === 1), fact)
+      ManifestTable.overwrite(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")), dims)
+      s.sql(
+        s"""WITH now AS (
+             SELECT d.c_mktsegment AS segment,
+               count(*) AS n_now,
+               CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+             FROM graft_table('$fact') f
+             JOIN graft_table('$dims') d ON f.o_custkey = d.c_custkey
+             GROUP BY d.c_mktsegment),
+           v1 AS (
+             SELECT d.c_mktsegment AS segment, count(*) AS n_v1
+             FROM graft_table('$fact', 1) f
+             JOIN graft_table('$dims') d ON f.o_custkey = d.c_custkey
+             GROUP BY d.c_mktsegment)
+           SELECT now.segment, v1.n_v1, now.n_now, now.revenue
+           FROM now JOIN v1 ON now.segment = v1.segment""")
+    }),
+
     "q97_variant" -> ((s, dir) => {
       // OPEN semi-structured columns via Spark 4's VARIANT type (the
       // Delta/Iceberg "variant shredding" story): JSON payloads parse
@@ -5923,6 +5962,21 @@ object SparkEntry {
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1""",
+    // q110: current state = all orders, version 1 = the even-key half
+    "q110_sql_tvf" ->
+      """WITH nowa AS (
+           SELECT c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n_now,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1),
+         v1a AS (
+           SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_v1
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderkey % 2 = 0
+           GROUP BY 1)
+         SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
+         FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
     // q97: the variant path may only change the ENCODING of the payload
     // (gated in-query: the column is VariantType) — typed extraction
     // must recover the source values exactly

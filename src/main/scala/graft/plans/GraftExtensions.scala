@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fires only on scans whose root path is registered, so sessions
     // with no registered MV plan exactly as before
     ext.injectOptimizerRule(_ => new MvRewriteRule)
+    // the manifest format's SQL read surface: FROM graft_table('<path>')
+    ext.injectTableFunction((FunctionIdentifier("graft_table"),
+      new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_table"),
+      GraftTableFunction.build _))
   }
 }
 
@@ -47,8 +51,11 @@ object GraftExtensions {
       }))
 
   /** Register into an existing session (tests, shells). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, builder)
     }
+    org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
+      spark, "graft_table", GraftTableFunction.build _)
+  }
 }

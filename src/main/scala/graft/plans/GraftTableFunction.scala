@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** `graft_table('<path>'[, <version>])` — the TABLE-VALUED FUNCTION that
+  * plugs the manifest format into plain SQL, the way `range(10)` plugs
+  * in a sequence: `SELECT ... FROM graft_table('/w/t') t JOIN ...`,
+  * with an optional second literal for `VERSION AS OF` time travel.
+  *
+  * A TVF is the lightest correct integration point: it resolves during
+  * analysis with the active session in scope, returns the SAME analyzed
+  * relation `ManifestTable.read` builds for the DataFrame API (so MoR
+  * reconciliation, per-file deletion vectors, data skipping and the
+  * manifest's size estimates all apply identically to SQL reads), and
+  * needs no catalog plugin or DataSource V2 shim. Registered at session
+  * build via [[GraftExtensions]] (`injectTableFunction` — the cluster
+  * `--conf spark.sql.extensions` path) or into a live session via
+  * `GraftExtensions.register`.
+  */
+object GraftTableFunction {
+
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.size <= 2,
+      "graft_table(path[, version]) takes one or two arguments")
+    def evalLit(e: Expression, what: String): Any = {
+      require(e.foldable, s"graft_table: $what must be a literal")
+      val v = e.eval()
+      require(v != null, s"graft_table: $what must not be NULL")
+      v
+    }
+    val path = String.valueOf(evalLit(exprs.head, "path"))
+    val version = exprs.lift(1).map(e => evalLit(e, "version") match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_table: version must be an integer literal, got $other")
+    })
+    // the analyzer invokes TVF builders with the active session set —
+    // the same contract Spark's own session-dependent TVFs rely on
+    org.apache.spark.sql.graft.ColumnBridge.logicalPlan(
+      graft.sources.ManifestTable.read(SparkSession.active, path, version))
+  }
+}

@@ -43,6 +43,17 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Register a TABLE function (usable in FROM clauses, like `range`)
+    * into an existing session's table-function registry (SessionState
+    * is private[sql]). The extensions path (`injectTableFunction`) is
+    * the cluster-deploy equivalent at session build. */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** Stable per-session identity (sessionUUID is private[sql]) — keys
     * session-scoped registries like the MV rewrite's. */
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =

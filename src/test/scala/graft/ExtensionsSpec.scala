@@ -29,6 +29,40 @@ class ExtensionsSpec extends SparkSpecBase {
       "MV rewrite rule missing from injected optimizer rules")
   }
 
+  test("graft_table TVF: SQL reads manifest tables with time travel, " +
+      "MoR reconciliation applies, literal args enforced") {
+    import graft.sources.ManifestTable
+    GraftExtensions.register(spark)
+    val t = java.nio.file.Files.createTempDirectory("graft-tvf-").toString + "/t"
+    ManifestTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    ManifestTable.append(Seq((3, "c")).toDF("k", "v"), t)
+    assert(spark.sql(s"SELECT sum(k) FROM graft_table('$t')")
+      .as[Long].head() == 6L)
+    // VERSION AS OF via the second literal
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$t', 1)")
+      .as[Long].head() == 2L)
+    // composes in joins/CTEs like any relation
+    val joined = spark.sql(
+      s"""WITH cur AS (SELECT k, v FROM graft_table('$t')),
+         old AS (SELECT k FROM graft_table('$t', 1))
+         SELECT count(*) FROM cur LEFT SEMI JOIN old USING (k)""")
+      .as[Long].head()
+    assert(joined == 2L)
+    // a MoR merge's deletes are reconciled in the SQL read too - the
+    // TVF returns the same relation the DataFrame read builds
+    ManifestTable.mergeMoR(spark, t,
+      Seq((2, "B")).toDF("k", "v"), Seq("k"))
+    assert(spark.sql(s"SELECT v FROM graft_table('$t') WHERE k = 2")
+      .as[String].head() == "B")
+    // non-literal / bad args fail analysis loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$t', k)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table()").collect()
+    }
+  }
+
   test("graft_intersect_size equals size(array_intersect) on distinct sets") {
     GraftExtensions.register(spark)
     val r = spark.sql("""
