@@ -26,6 +26,36 @@ class PlanAuditSpec extends SparkSpecBase {
         p.take(1200))
   }
 
+  test("q108 triangles: every join is key-partitioned, no nested loop " +
+      "anywhere in the wedge closure") {
+    // the degree orientation exists to keep the wedge join an equi-join
+    // bounded by out-degrees; a CartesianProduct/BNLJ here means the
+    // orientation predicate fell out of the join keys
+    val p = planOf("q108_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("tx26 shard packing: ONE data shuffle; the cross-bucket offsets " +
+      "broadcast, never shuffle the corpus") {
+    val p = planOf("tx26_shard_pack")
+    // offsets frame joins back by broadcast (it is O(buckets) rows)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the offset join must not shuffle the data side:\n" + p.take(1200))
+    // the within-bucket cumsum windows over the bucket key — 64-way
+    // parallel — not over one global partition
+    assert(p.contains("Window") && p.contains("hashpartitioning(__b"),
+      "bucketed window partitioning missing:\n" + p.take(1200))
+  }
+
+  test("mm8 image near-dup: banded pair join is an equi self-join on " +
+      "(chunk, value), no all-pairs compare") {
+    val p = planOf("mm8_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("q35 tombstone merge: key-partitioned join, no nested loop") {
     val p = planOf("q35_event_apply")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
