@@ -1389,6 +1389,33 @@ object SparkEntry {
            FROM now JOIN v1 ON now.segment = v1.segment""")
     }),
 
+    "q111_avro_roundtrip" -> ((s, dir) => {
+      // AVRO INGESTION (sources/AvroSource) — the landed-format leg next
+      // to q64's ORC and q95's CSV, built without the spark-avro
+      // connector (absent here): binaryFile ships whole container files
+      // (one partition per file, N-way parse parallelism), records
+      // decode through the public avro library, ONE driver-side open
+      // infers the schema. Distributed write side emits one container
+      // per partition through the shared filesystem. The round-trip
+      // gate pins the parse bit-exact; the emitted aggregate runs over
+      // the PARSED corpus under the hard oracle.
+      import graft.sources.AvroSource
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q111-").toString
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          (col("doc_id") % 7 === 0).as("flagged"))
+      val nFiles = AvroSource.write(src.repartition(4), tmp)
+      require(nFiles >= 1, "no avro files written")
+      val back = AvroSource.read(s, tmp)
+      require(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        "avro round-trip drifted from the source frame")
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+    }),
+
     "q97_variant" -> ((s, dir) => {
       // OPEN semi-structured columns via Spark 4's VARIANT type (the
       // Delta/Iceberg "variant shredding" story): JSON payloads parse
@@ -5977,6 +6004,15 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q111: the aggregate runs over the avro-parsed corpus; the oracle
+    // recomputes from the source table — any parse drift (types, nulls,
+    // row loss) breaks the hash
+    "q111_avro_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+         FROM documents GROUP BY lang""",
     // q97: the variant path may only change the ENCODING of the payload
     // (gated in-query: the column is VariantType) — typed extraction
     // must recover the source values exactly

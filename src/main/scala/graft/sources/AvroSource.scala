@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro OBJECT CONTAINER FILE ingestion without the spark-avro
+  * connector (the connector jar is absent from this environment; the
+  * container format and the core avro library are public and present).
+  *
+  * Read path: `binaryFile` lists and ships whole files — one Spark
+  * partition per file, so a directory of N container files parses with
+  * N-way parallelism and zero driver involvement beyond schema
+  * inference (ONE file opened driver-side). Records decode per
+  * partition through GenericDatumReader and convert to rows by a
+  * schema-driven field map built once per partition, not per record.
+  *
+  * This is the INGESTION leg a 100 TB Avro-landed corpus needs: parse
+  * once, then write parquet/manifest tables for everything downstream
+  * (column pruning and predicate pushdown belong to the columnar copy,
+  * not the row-major source — same economics as JSON/CSV ingestion).
+  * Supported field types: boolean/int/long/float/double/string/bytes,
+  * each optionally as the standard `[null, T]` nullable union; nested
+  * records are out of scope (flatten upstream), and an unsupported
+  * type fails schema inference loudly rather than mis-reading.
+  */
+object AvroSource {
+
+  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT => (IntegerType, false)
+    case Schema.Type.LONG => (LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(branches.size == 2 && nonNull.size == 1,
+        s"only [null, T] unions are supported, got $s")
+      (toSparkType(nonNull.head)._1, true)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported avro type $other in $s (flatten/convert upstream)")
+  }
+
+  private def sparkSchema(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"top-level avro schema must be a record, got ${avro.getType}")
+    StructType(avro.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = toSparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def toValue(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s: CharSequence => s.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case x => x
+  }
+
+  /** Parse every `*.avro` container under `dir`. Schema comes from the
+    * lexicographically first file (one driver-side open); files whose
+    * writer schema drifted fail loudly in their own task. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = spark.read.format("binaryFile").load(s"$dir/*.avro")
+      .select(col("path"), col("content"))
+    val firstBytes = files.orderBy("path").select("content")
+      .as(org.apache.spark.sql.Encoders.BINARY).head()
+    val avroSchema = {
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(firstBytes),
+        new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally r.close()
+    }
+    val schema = sparkSchema(avroSchema)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val fields = schema.fields
+    files.select("content").as(org.apache.spark.sql.Encoders.BINARY)
+      .mapPartitions { it =>
+        it.flatMap { bytes =>
+          val reader = new DataFileReader[GenericRecord](
+            new SeekableByteArrayInput(bytes),
+            new GenericDatumReader[GenericRecord]())
+          val rows = Iterator.continually(reader)
+            .takeWhile(_.hasNext)
+            .map { r =>
+              val rec = r.next()
+              Row.fromSeq(fields.toSeq.map(f =>
+                toValue(rec.get(f.name), f.dataType)))
+            }
+          // DataFileReader streams; drain to close deterministically
+          // (files are in-memory byte arrays, the copy is the batch)
+          val out = rows.toVector
+          reader.close()
+          out
+        }
+      }(enc)
+  }
+
+  /** Write `df` as one Avro container file per partition under `dir`
+    * (executor-side, via the shared filesystem — the same write
+    * topology as any distributed sink). Returns the file count. */
+  def write(df: DataFrame, dir: String): Long = {
+    val schema = df.schema
+    val avroJson = {
+      def field(f: StructField): String = {
+        val t = f.dataType match {
+          case BooleanType => "\"boolean\""
+          case IntegerType => "\"int\""
+          case LongType => "\"long\""
+          case FloatType => "\"float\""
+          case DoubleType => "\"double\""
+          case StringType => "\"string\""
+          case BinaryType => "\"bytes\""
+          case other => throw new IllegalArgumentException(
+            s"unsupported spark type $other for avro write")
+        }
+        val ty = if (f.nullable) s"""["null",$t]""" else t
+        s"""{"name":"${f.name}","type":$ty}"""
+      }
+      s"""{"type":"record","name":"graft_row","fields":[${
+        schema.fields.map(field).mkString(",")}]}"""
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val written = df.sparkSession.sparkContext.longAccumulator("avro_files")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val avroSchema = new Schema.Parser().parse(avroJson)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val f = java.nio.file.Paths.get(dir, f"part-$part%05d.avro").toFile
+        w.create(avroSchema, f)
+        it.foreach { row =>
+          val rec = new GenericData.Record(avroSchema)
+          schema.fields.zipWithIndex.foreach { case (fld, i) =>
+            val v = row.get(i) match {
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+              case x => x
+            }
+            rec.put(fld.name, v)
+          }
+          w.append(rec)
+        }
+        w.close()
+        written.add(1L)
+      }
+    }
+    written.value
+  }
+}
