@@ -1416,6 +1416,56 @@ object SparkEntry {
           sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
     }),
 
+    "q112_table_stream" -> ((s, dir) => {
+      // STREAMING SOURCE over the manifest format (sources/v2/
+      // TableStreamSource, format "graft-table") — the
+      // readStream-from-a-table leg Delta calls its streaming source:
+      // offsets are TABLE VERSIONS, each micro-batch reads exactly the
+      // files the commits in (start, end] added (the seq map is the
+      // change log — no file diffing), the append-only contract throws
+      // on rewrites between offsets, and a checkpoint restart resumes
+      // at the next commit. Gate: two appends drain in run 1, a third
+      // append arrives and run 2 emits ONLY it (exactly-once per
+      // commit into an idempotent sink), a no-change run commits
+      // nothing, and the accumulated sink equals the source table
+      // under the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q112-").toString
+      val t = s"$tmp/t"; val out = s"$tmp/out"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 0), t)
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 1), t)
+      val s2 = streamSession(s)
+      def drain(): Unit = s2.readStream.format("graft-table")
+        .option("path", t).load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty)
+            ManifestTable.append(b.toDF(), out, commitId = Some(s"b-$id"))
+          ()
+        }
+        .start().awaitTermination()
+      drain() // one batch covering v1+v2
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 2), t)
+      drain() // resumes at v2: emits exactly v3's files
+      val vOut = ManifestTable.versions(out)
+      require(vOut.size == 2,
+        s"expected one sink commit per drain with data, got $vOut")
+      drain() // no new commits: no batch, no sink version
+      require(ManifestTable.versions(out) == vOut,
+        "a no-change restart must commit nothing")
+      val sunk = ManifestTable.read(s, out)
+      require(sunk.count() == orders.count(),
+        "streamed sink lost or duplicated rows")
+      sunk.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"))
+    }),
+
     "q97_variant" -> ((s, dir) => {
       // OPEN semi-structured columns via Spark 4's VARIANT type (the
       // Delta/Iceberg "variant shredding" story): JSON payloads parse
@@ -6013,6 +6063,12 @@ object SparkEntry {
            CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_flagged
          FROM documents GROUP BY lang""",
+    // q112: the sink accumulated exactly one copy of every commit's
+    // rows, so it re-aggregates to the source table
+    "q112_table_stream" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q97: the variant path may only change the ENCODING of the payload
     // (gated in-query: the column is VariantType) — typed extraction
     // must recover the source values exactly

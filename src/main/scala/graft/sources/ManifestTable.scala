@@ -239,6 +239,16 @@ object ManifestTable {
   private def latest(path: String): Option[Manifest] =
     versions(path).lastOption.map(manifestAt(path, _))
 
+  /** Latest committed version, 0 for an empty/absent table (versions
+    * start at 1) — the streaming source's offset domain. */
+  private[graft] def latestVersion(path: String): Long =
+    versions(path).lastOption.getOrElse(0L)
+
+  /** Absolute path of ONE current data file (schema inference). */
+  private[graft] def anyDataFile(path: String): Option[String] =
+    latest(path).flatMap(_.files.headOption)
+      .map(f => dataDir(path).resolve(f).toAbsolutePath.toString)
+
   /** Read one committed version (default: latest). Reads FAIL on an
     * empty table rather than inventing an empty frame with no schema. */
   /** Time travel by TIMESTAMP (Delta's `TIMESTAMP AS OF`): the newest
@@ -1012,6 +1022,40 @@ object ManifestTable {
     }
     throw new IllegalStateException(
       s"txn contention: gave up after $attempts claim rounds")
+  }
+
+  /** The APPEND SLICE of versions (fromV, toV]: absolute paths of the
+    * data files those commits added, for the streaming table source —
+    * the seq map records each file's commit version, so the slice is
+    * one manifest read, no diffing of file lists.
+    *
+    * Unless `ignoreChanges`, enforces the append-only contract a
+    * streaming tail depends on (Delta source semantics): every file of
+    * the start version must still be present at `toV` (no rewrite/
+    * OPTIMIZE/overwrite in the range — re-emitting rewritten files
+    * would double-count) and no MoR delete rows may appear (hidden
+    * rows cannot be un-emitted). Violations throw loudly. */
+  private[graft] def appendSlice(path: String, fromV: Long, toV: Long,
+      ignoreChanges: Boolean = false): Seq[String] = {
+    val m = manifestAt(path, toV)
+    if (!ignoreChanges) {
+      if (fromV > 0) {
+        val base = manifestAt(path, fromV)
+        val kept = m.files.toSet
+        require(base.files.forall(kept),
+          s"non-append change between v$fromV and v$toV of $path " +
+            "(files removed/rewritten) - a streaming tail cannot replay it; " +
+            "set ignoreChanges to stream adds anyway")
+        require(m.deletes.size == base.deletes.size,
+          s"merge-on-read deletes appeared between v$fromV and v$toV of " +
+            s"$path - hidden rows cannot be un-emitted; set ignoreChanges " +
+            "to stream adds anyway")
+      } else require(m.deletes.isEmpty,
+        s"table at $path carries merge-on-read deletes - a streaming " +
+          "tail cannot represent them; set ignoreChanges to stream adds anyway")
+    }
+    m.files.filter(f => m.seqs.get(f).exists(sq => sq > fromV && sq <= toV))
+      .map(f => dataDir(path).resolve(f).toAbsolutePath.toString)
   }
 
   /** Roll a DECIDED txn forward: move each staged manifest onto its

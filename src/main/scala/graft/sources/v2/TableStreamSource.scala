@@ -1,0 +1,121 @@
+package graft.sources.v2
+
+import java.util
+
+import graft.sources.ManifestTable
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** STREAMING SOURCE over a manifest table: `graft-table` — the Delta
+  * streaming-source shape (`readStream.format("delta")`) on this
+  * format. Offsets are TABLE VERSIONS: each micro-batch covers the
+  * commits in `(startVersion, endVersion]` and reads exactly the data
+  * files those commits added — the manifest's per-file seq map IS the
+  * change log, so batch planning is one manifest read, no file-list
+  * diffing and no directory listing beyond the version dir.
+  *
+  * The contract is append-only tailing (Delta's default): a rewrite/
+  * overwrite/OPTIMIZE in the range (carried files vanished) or a
+  * merge-on-read delete THROWS rather than silently double-counting or
+  * never-un-emitting rows; `ignoreChanges=true` opts into adds-only.
+  * Restart reads the checkpointed version offset and resumes at the
+  * next commit — exactly-once per commit with an idempotent sink.
+  *
+  * Scale: the unit of read parallelism is the parquet row group (same
+  * reader the graft-cursor V2 source uses); a 1000-executor cluster
+  * tails a table whose commits add thousands of files with planning
+  * cost O(files-in-batch) on the driver, footer opens included.
+  */
+class TableStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null, "graft-table requires the 'path' option")
+    val file = ManifestTable.anyDataFile(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-table: no committed version at $path to infer a schema from"))
+    CursorSource.toStruct(
+      CursorSource.footerSchema(new HPath(file), new Configuration()))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // properties arrive case-SENSITIVE here (unlike inferSchema's map)
+    val opts = new CaseInsensitiveStringMap(properties)
+    TableStreamTable(opts.get("path"), schema,
+      opts.getBoolean("ignorechanges", false))
+  }
+}
+
+case class TableStreamTable(dir: String, tableSchema: StructType,
+    ignoreChanges: Boolean) extends Table with SupportsRead {
+  override def schema(): StructType = tableSchema
+  override def name(): String = s"graft-table:$dir"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = TableStreamScan(dir, tableSchema, ignoreChanges)
+    }
+}
+
+/** Version-valued streaming offset. */
+case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+case class TableStreamScan(dir: String, tableSchema: StructType,
+    ignoreChanges: Boolean) extends Scan {
+  override def readSchema(): StructType = tableSchema
+  override def description(): String = s"GraftTableStream path=$dir"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TableMicroBatchStream(dir, tableSchema, ignoreChanges)
+}
+
+class TableMicroBatchStream(dir: String, tableSchema: StructType,
+    ignoreChanges: Boolean) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+
+  override def latestOffset(): Offset =
+    VersionOffset(ManifestTable.latestVersion(dir))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  /** One partition per row group of the files the batch's commits
+    * added (driver-side footer opens, the same planning granularity as
+    * the batch V2 source). */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    if (e <= s) return Array.empty
+    val conf = new Configuration()
+    ManifestTable.appendSlice(dir, s, e, ignoreChanges).flatMap { file =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(file), conf))
+      try r.getFooter.getBlocks.asScala.indices
+        .map(i => RowGroupPartition(file, i): InputPartition)
+      finally r.close()
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CursorReaderFactory(tableSchema.fieldNames.toSeq,
+      tableSchema.fieldNames.toSeq, Seq.empty)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+
+/** The graft-table STREAMING SOURCE: version-offset tailing of a
+  * manifest table's commits. */
+class TableStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft-ts-").toString
+
+  private def drain(t: String, ck: String,
+      sink: java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])],
+      ignoreChanges: Boolean = false): Unit = {
+    val r = spark.readStream.format("graft-table")
+      .option("path", t)
+      .option("ignoreChanges", ignoreChanges.toString)
+      .load()
+    r.writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.add((id, b.select(col("x")).collect().map(_.getInt(0)).toSeq.sorted))
+        ()
+      }
+      .start().awaitTermination()
+  }
+
+  test("tails commits by version offset; checkpoint restart resumes at " +
+      "the next commit, not the beginning") {
+    val base = tmp(); val t = s"$base/t"; val ck = s"$base/ck"
+    ManifestTable.append(Seq(1, 2, 3).toDF("x"), t)
+    ManifestTable.append(Seq(4, 5).toDF("x"), t)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    drain(t, ck, sink)
+    assert(sink.asScala.flatMap(_._2).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+    // restart on the SAME checkpoint: nothing new -> nothing emitted
+    val before = sink.size()
+    drain(t, ck, sink)
+    assert(sink.asScala.drop(before).flatMap(_._2).isEmpty,
+      "restart with no new commits must emit nothing")
+    // new commit arrives; restart emits exactly the delta
+    ManifestTable.append(Seq(6).toDF("x"), t)
+    val mark = sink.size()
+    drain(t, ck, sink)
+    assert(sink.asScala.drop(mark).flatMap(_._2).toSeq == Seq(6))
+  }
+
+  test("a rewrite BETWEEN offsets fails loudly; a fresh start reads the " +
+      "live snapshot; ignoreChanges streams adds only") {
+    val base = tmp(); val t = s"$base/t"
+    ManifestTable.append(Seq(1, 2).toDF("x"), t)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    drain(t, s"$base/ck1", sink) // checkpoint lands at v1
+    assert(sink.asScala.flatMap(_._2).toSeq.sorted == Seq(1, 2))
+    ManifestTable.overwrite(Seq(7).toDF("x"), t) // v2 rewrites v1's files
+    // resuming across the rewrite cannot replay it: loud failure
+    val err = intercept[Exception] { drain(t, s"$base/ck1", sink) }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else String.valueOf(e.getMessage) +: msgs(e.getCause)
+    assert(msgs(err).exists(_.contains("non-append")), msgs(err).toString)
+    // adds-only opt-in resumes across it, emitting v2's added files
+    val mark = sink.size()
+    drain(t, s"$base/ck1", sink, ignoreChanges = true)
+    assert(sink.asScala.drop(mark).flatMap(_._2).toSeq == Seq(7))
+    // a FRESH stream on the rewritten table is legitimate: every live
+    // file is an add relative to version 0 - the initial snapshot
+    val fresh = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    drain(t, s"$base/ck2", fresh)
+    assert(fresh.asScala.flatMap(_._2).toSeq == Seq(7))
+  }
+
+  test("schema comes from the table; empty tables fail inference loudly") {
+    val base = tmp(); val t = s"$base/t"
+    ManifestTable.append(Seq((1, "a")).toDF("x", "s"), t)
+    val r = spark.readStream.format("graft-table").option("path", t).load()
+    assert(r.schema.fieldNames.toSeq == Seq("x", "s"))
+    intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("path", s"$base/empty").load()
+    }
+  }
+
+  private implicit class QAsScala[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    def asScala: Seq[A] = {
+      val it = q.iterator(); val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+}
