@@ -131,7 +131,6 @@ object AvroSource {
       s"""{"type":"record","name":"graft_row","fields":[${
         schema.fields.map(field).mkString(",")}]}"""
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val written = df.sparkSession.sparkContext.longAccumulator("avro_files")
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
@@ -139,8 +138,17 @@ object AvroSource {
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avroSchema))
         val part = org.apache.spark.TaskContext.getPartitionId()
-        val f = java.nio.file.Paths.get(dir, f"part-$part%05d.avro").toFile
-        w.create(avroSchema, f)
+        // executor-side write through the Hadoop FileSystem API — the
+        // same path works on posix, HDFS and object stores; a bare
+        // java.io.File would only ever hit the executor's local disk
+        val target = new org.apache.hadoop.fs.Path(dir, f"part-$part%05d.avro")
+        val fs = target.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        // avro containers carry their own sync markers + per-block
+        // checksums; hadoop's .crc sidecars are redundant litter here
+        fs.setWriteChecksum(false)
+        val out = fs.create(target, true)
+        w.create(avroSchema, out)
         it.foreach { row =>
           val rec = new GenericData.Record(avroSchema)
           schema.fields.zipWithIndex.foreach { case (fld, i) =>
