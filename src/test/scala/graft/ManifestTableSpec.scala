@@ -56,6 +56,34 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, a).as[Int].collect().toSeq == Seq(7))
   }
 
+  test("commitTxn under contention: racing transactions over the same " +
+      "table pair all land, chains stay linear, rows survive") {
+    val a = table(); val b = table()
+    ManifestTable.append(Seq(0).toDF("x"), a)
+    ManifestTable.append(Seq(0).toDF("x"), b)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { th =>
+      new Thread(() => {
+        try (0 until 2).foreach { i =>
+          ManifestTable.commitTxn(Seq(
+            ManifestTable.TxnWrite(Seq(th * 100 + i).toDF("x"), a),
+            ManifestTable.TxnWrite(Seq(-(th * 100 + i)).toDF("x"), b)))
+          ()
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"txn writers died: ${failures.peek()}")
+    // 1 seed + 8 txn commits per table, linear chain, no gaps
+    assert(ManifestTable.versions(a) == (1L to 9L) &&
+      ManifestTable.versions(b) == (1L to 9L))
+    val xa = ManifestTable.read(spark, a).as[Int].collect().toSet
+    val xb = ManifestTable.read(spark, b).as[Int].collect().toSet
+    assert(xa.size == 9, s"lost rows: $xa")
+    assert(xb == xa.map(v => -v), "every txn's two writes must both land")
+  }
+
   test("commitTxn crash recovery: undecided txns roll back, decided txns " +
       "roll forward, and a crashed claim blocks until recovered") {
     val a = table(); val b = table()
