@@ -37,4 +37,17 @@ object TextFunctions {
   /** Rolling-hash document fingerprint: md5 of the normalized text
     * (canonical representative for fuzzy-exact dedup). */
   def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Characters of the longest common prefix of the suffixes of `s1`
+    * at 1-based char position `p1` and `s2` at `p2` — the LCP array's
+    * inner loop as a NATIVE codegen expression
+    * ([[graft.plans.CommonPrefixLength]]): O(p + lcp) fused walk, no
+    * per-row array materialization, stays in WholeStageCodegen. */
+  def commonPrefixLength(s1: Column, p1: Column, s2: Column, p2: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CommonPrefixLength(
+        org.apache.spark.sql.graft.ColumnBridge.expression(s1),
+        org.apache.spark.sql.graft.ColumnBridge.expression(p1),
+        org.apache.spark.sql.graft.ColumnBridge.expression(s2),
+        org.apache.spark.sql.graft.ColumnBridge.expression(p2)))
 }

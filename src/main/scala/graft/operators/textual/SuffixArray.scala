@@ -190,19 +190,16 @@ object SuffixArray {
       .join(base, Seq("doc_id"))
       .join(base.select(col("doc_id").as("prev_doc"),
         col("__t").as("__pt")), Seq("prev_doc"), "left")
+    // the per-pair first-mismatch scan is a NATIVE expression
+    // (plans/CommonPrefixLength): the HOF formulation materialized a
+    // bound-sized array per row and paid a char-indexed substring per
+    // compared character — O(p·lcp) with allocation vs the fused
+    // O(p + lcp) loop inside WholeStageCodegen
+    val lcp = graft.functions.TextFunctions.commonPrefixLength(
+      col("__t"), col("p"), col("__pt"), col("prev_p"))
     paired.select(
       col("doc_id"), col("p"), col("srank"),
-      coalesce(expr("""
-        aggregate(
-          sequence(1, least(length(__t) - p + 1,
-                            length(__pt) - prev_p + 1)),
-          named_struct('done', false, 'n', 0),
-          (st, k) -> CASE
-            WHEN st.done THEN st
-            WHEN substring(__t, p + k - 1, 1) = substring(__pt, prev_p + k - 1, 1)
-            THEN named_struct('done', false, 'n', k)
-            ELSE named_struct('done', true, 'n', st.n) END,
-          st -> st.n)"""), lit(0)).cast("long").as("lcp"),
+      coalesce(lcp, lit(0L)).as("lcp"),
       coalesce(col("prev_doc") === col("doc_id"), lit(false))
         .as("prev_same_doc"))
   }

@@ -48,6 +48,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_intersect_size(arr, arr) takes two arguments")
         IntersectSize(exprs.head, exprs(1))
+      }),
+    ("graft_common_prefix",
+      new ExpressionInfo(classOf[CommonPrefixLength].getName, "graft_common_prefix"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "graft_common_prefix(str, pos, str, pos) takes four arguments")
+        CommonPrefixLength(exprs.head, exprs(1), exprs(2), exprs(3))
       }))
 
   /** Register into an existing session (tests, shells). */

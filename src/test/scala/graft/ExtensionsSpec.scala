@@ -118,4 +118,34 @@ class ExtensionsSpec extends SparkSpecBase {
       .as[(Long, Double)].collect().toMap
     assert(viaSql == viaHof)
   }
+
+  test("graft_common_prefix: char semantics incl. multibyte, ends, and " +
+      "agreement with a substring-compare reference") {
+    GraftExtensions.register(spark)
+    def cp(s1: String, p1: Long, s2: String, p2: Long): Long =
+      spark.sql(s"SELECT graft_common_prefix('$s1', ${p1}L, '$s2', ${p2}L)")
+        .as[Long].head()
+    assert(cp("abcdef", 1, "abcxyz", 1) == 3)
+    assert(cp("abcdef", 4, "xyzdef", 4) == 3)   // suffixes "def"/"def"
+    assert(cp("abc", 1, "xbc", 1) == 0)
+    assert(cp("abc", 4, "abc", 1) == 0)         // past-the-end suffix
+    assert(cp("same", 1, "same", 1) == 4)
+    // multibyte: ü is 2 bytes, characters must count as 1
+    assert(cp("über", 1, "übel", 1) == 3)
+    assert(cp("αβγδ", 2, "xβγz", 2) == 2)       // suffixes "βγδ"/"βγz"
+    // mixed byte-width mismatch at the boundary: 'é' vs 'e'
+    assert(cp("café!", 1, "cafe!", 1) == 3)
+    // randomized agreement against a per-char reference
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abß¢".toCharArray
+    (1 to 60).foreach { _ =>
+      val s1 = Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(4))).mkString
+      val s2 = Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(4))).mkString
+      val p1 = 1L + rnd.nextInt(5); val p2 = 1L + rnd.nextInt(5)
+      val a = if (p1 <= s1.length) s1.substring(p1.toInt - 1) else ""
+      val b = if (p2 <= s2.length) s2.substring(p2.toInt - 1) else ""
+      val ref = a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      assert(cp(s1, p1, s2, p2) == ref, s"($s1,$p1) vs ($s2,$p2)")
+    }
+  }
 }
