@@ -54,20 +54,23 @@ class TableStreamSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     // properties arrive case-SENSITIVE here (unlike inferSchema's map)
     val opts = new CaseInsensitiveStringMap(properties)
+    val maxV = opts.getLong("maxversionspertrigger", 0L)
     TableStreamTable(opts.get("path"), schema,
-      opts.getBoolean("ignorechanges", false))
+      opts.getBoolean("ignorechanges", false),
+      if (maxV > 0) Some(maxV) else None)
   }
 }
 
 case class TableStreamTable(dir: String, tableSchema: StructType,
-    ignoreChanges: Boolean) extends Table with SupportsRead {
+    ignoreChanges: Boolean, maxVersions: Option[Long]) extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft-table:$dir"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = TableStreamScan(dir, tableSchema, ignoreChanges)
+      override def build(): Scan =
+        TableStreamScan(dir, tableSchema, ignoreChanges, maxVersions)
     }
 }
 
@@ -77,19 +80,53 @@ case class VersionOffset(v: Long) extends Offset {
 }
 
 case class TableStreamScan(dir: String, tableSchema: StructType,
-    ignoreChanges: Boolean) extends Scan {
+    ignoreChanges: Boolean, maxVersions: Option[Long]) extends Scan {
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"GraftTableStream path=$dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TableMicroBatchStream(dir, tableSchema, ignoreChanges)
+    new TableMicroBatchStream(dir, tableSchema, ignoreChanges, maxVersions)
 }
 
 class TableMicroBatchStream(dir: String, tableSchema: StructType,
-    ignoreChanges: Boolean) extends MicroBatchStream {
+    ignoreChanges: Boolean, maxVersions: Option[Long])
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = VersionOffset(0L)
 
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
+  /** Trigger.AvailableNow fences the run at the version head observed
+    * when the query starts: admission-capped batches then drain UP TO
+    * the fence (not past commits that land mid-run) and the query
+    * terminates — Spark drives the loop through
+    * SupportsTriggerAvailableNow once the source declares it. */
+  private var availableNowFence: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = Some(ManifestTable.latestVersion(dir))
+
+  /** ADMISSION CONTROL (`maxVersionsPerTrigger`): a fresh start on a
+    * long-lived table must not plan its whole history as one giant
+    * micro-batch — commits admit in bounded groups, so batch size (and
+    * retry cost on failure) is bounded no matter how far behind the
+    * consumer is. Delta's maxFilesPerTrigger, in version units. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val head = ManifestTable.latestVersion(dir)
+    val fenced = availableNowFence.map(math.min(head, _)).getOrElse(head)
+    VersionOffset(maxVersions.map(k => math.min(fenced, s + k)).getOrElse(fenced))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** True head of the table regardless of the admission cap — what the
+    * progress reporter shows as backlog. */
+  override def reportLatestOffset(): Offset =
     VersionOffset(ManifestTable.latestVersion(dir))
 
   override def deserializeOffset(json: String): Offset =

@@ -72,6 +72,28 @@ class TableStreamSpec extends SparkSpecBase {
     assert(fresh.asScala.flatMap(_._2).toSeq == Seq(7))
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch: catch-up runs as " +
+      "one batch per version, not one giant batch") {
+    val base = tmp(); val t = s"$base/t"
+    ManifestTable.append(Seq(1).toDF("x"), t)
+    ManifestTable.append(Seq(2).toDF("x"), t)
+    ManifestTable.append(Seq(3).toDF("x"), t)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    spark.readStream.format("graft-table")
+      .option("path", t).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.add((id, b.select(col("x")).collect().map(_.getInt(0)).toSeq.sorted))
+        ()
+      }
+      .start().awaitTermination()
+    // three commits behind + cap 1 -> exactly three bounded batches in
+    // commit order, draining to the same total
+    assert(sink.asScala.map(_._2) == Seq(Seq(1), Seq(2), Seq(3)),
+      sink.asScala.toString)
+  }
+
   test("schema comes from the table; empty tables fail inference loudly") {
     val base = tmp(); val t = s"$base/t"
     ManifestTable.append(Seq((1, "a")).toDF("x", "s"), t)
