@@ -3467,6 +3467,44 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tokens"))
     }),
 
+    "tx27_curation_pipeline" -> ((s, dir) => {
+      // END-TO-END CORPUS CURATION — the whole training-data prep
+      // pipeline as ONE composed query under ONE oracle: canonicalize
+      // (tx24's normalize) → exact dedup keep-first on the canonical
+      // fingerprint (dd1's rule on tx24's key) → quality gate (token
+      // bounds + stopword floor over canonical tokens, tx2's ratios) →
+      // per-language TOKEN BUDGET admission (tx16's distributed prefix
+      // sum) → training-shard layout (tx26). Every stage is
+      // individually oracle-exact; the capstone pins the COMPOSITION —
+      // the frame a 100 TB curation run hands to the tokenizer, where
+      // a drift in any stage (or in how stages hand off) breaks the
+      // hash. Scale shape: two bounded aggregations (fingerprint,
+      // budgets), two prefix sums, zero all-pairs anything.
+      val docs = Tables(s, dir, "documents")
+      val norm = operators.textual.TextStats.normalize(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val keepFirst = norm.groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = norm.join(keepFirst, Seq("fingerprint", "doc_id"),
+        "left_semi")
+      val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+        "for", "with")
+      val stopRatio = size(filter(split(col("norm_text"), " "),
+          t => t.isInCollection(stopwords))).cast("double") / col("n_tokens")
+      val quality = deduped
+        .where(col("n_tokens").between(30, 2000) && stopRatio >= 0.02)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      val budgets = quality.groupBy("lang")
+        .agg(expr("sum(n_tokens) div 2").as("budget"))
+      val admitted = operators.Sampling.tokenBudget(
+          quality, "doc_id", "lang", "n_tokens", budgets)
+        .withColumnRenamed("cum_tokens", "lang_cum")
+      operators.Sampling.shardByTokens(
+          admitted, "doc_id", "n_tokens", shardTokens = 20000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("lang_cum"), col("cum_tokens"), col("shard_id"))
+    }),
+
     "tx26_shard_pack" -> ((s, dir) => {
       // TRAINING-SHARD LAYOUT (Sampling.shardByTokens): the step after
       // tx16's budget admission — the surviving corpus is laid out in a
@@ -4633,6 +4671,46 @@ object SparkEntry {
            FROM t)
          SELECT c.doc_id, c.lang, c.n_tok, CAST(c.cum AS BIGINT) AS cum_tokens
          FROM c JOIN bud USING (lang) WHERE c.cum <= bud.budget""",
+    // tx27: the full CTE chain — each stage is the same SQL its
+    // standalone oracle uses; composition drift anywhere breaks it
+    "tx27_curation_pipeline" ->
+      """WITH n AS (SELECT doc_id, lang,
+           trim(regexp_replace(regexp_replace(translate(lower(text),
+             'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+         FROM documents),
+         c AS (SELECT doc_id, lang, nt, md5(nt) AS fp,
+             CAST(CASE WHEN nt = '' THEN 0
+               ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END
+               AS BIGINT) AS n_tokens
+           FROM n),
+         k AS (SELECT fp, min(doc_id) AS doc_id FROM c GROUP BY fp),
+         d AS (SELECT c.* FROM c JOIN k ON c.fp = k.fp AND c.doc_id = k.doc_id),
+         q AS (SELECT doc_id, lang, n_tokens FROM d
+           WHERE n_tokens BETWEEN 30 AND 2000
+             AND CAST(len(list_filter(string_split(nt, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+               AS DOUBLE) / n_tokens >= 0.02),
+         t AS (SELECT doc_id, lang, n_tokens,
+             (doc_id * 2654435761) % 4294967296 % 64 AS b,
+             (doc_id * 2654435761) % 4294967296 % 1000000 AS h
+           FROM q),
+         bud AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) // 2 AS budget
+                 FROM t GROUP BY lang),
+         cc AS (SELECT doc_id, lang, n_tokens, b, h,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY b, h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t),
+         adm AS (SELECT cc.* FROM cc JOIN bud USING (lang)
+                 WHERE cc.cum <= bud.budget),
+         sh AS (SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS lang_cum,
+             sum(n_tokens) OVER (ORDER BY b, h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS gcum
+           FROM adm)
+         SELECT doc_id, lang, n_tokens, lang_cum,
+           CAST(gcum AS BIGINT) AS cum_tokens,
+           CAST((gcum - n_tokens) // 20000 AS BIGINT) AS shard_id
+         FROM sh""",
     // tx26: same admission order as tx16 (bucket-major Knuth shuffle);
     // the shard boundary rule is pure integer arithmetic on the prefix
     // sum, so the oracle's single global window must land on identical
