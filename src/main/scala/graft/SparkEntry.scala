@@ -3009,6 +3009,33 @@ object SparkEntry {
       operators.dedup.DedupClusters.clusters(pairs)
     }),
 
+    "dd19_representative" -> ((s, dir) => {
+      // WHICH COPY TO KEEP — the selection step that completes the
+      // dedup lifecycle (detect dd3/dd4 → cluster dd7 → CHOOSE →
+      // apply dd8): within each near-dup cluster keep the best
+      // document — longest text, ties to the smallest id (the
+      // CCNet/RefinedWeb keep-the-richest-copy heuristic made
+      // deterministic) — and report the cluster size. The per-cluster
+      // window partitions by cluster id; dup clusters are small by
+      // construction, so no partition skews.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val pairs = operators.dedup.MinHashLSH.nearDupPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.8)
+      val withLen = operators.dedup.DedupClusters.clusters(pairs)
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("text_len")), "doc_id")
+      val sizes = withLen.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("text_len").desc, col("doc_id"))
+      withLen.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("text_len").as("kept_len"))
+        .join(sizes, "cluster_id")
+    }),
+
     "dd18_softdedup" -> ((s, dir) => {
       // SOFT dedup (down-weighting instead of dropping): every doc kept
       // with weight 1e6 div cluster_size ppm — each near-dup cluster
@@ -4450,6 +4477,28 @@ object SparkEntry {
            UNION
            SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+    // dd19: dd7's recursive CC + the deterministic keep rule (longest
+    // text, ties to the smallest id) + cluster sizes
+    "dd19_representative" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         wl AS (SELECT cl.doc_id, cl.cluster_id,
+             CAST(length(d.text) AS BIGINT) AS text_len
+           FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+         rn AS (SELECT wl.*, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY text_len DESC, doc_id) AS rn FROM wl),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+                FROM wl GROUP BY cluster_id)
+         SELECT rn.cluster_id, rn.doc_id AS kept_doc, rn.text_len AS kept_len,
+           sz.n_members
+         FROM rn JOIN sz USING (cluster_id) WHERE rn.rn = 1""",
     // dd18: dd7's components sized, joined back to the full corpus;
     // singletons weigh a full 1e6 ppm
     "dd18_softdedup" ->
