@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("graft_table"),
       new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_table"),
       GraftTableFunction.build _))
+    ext.injectTableFunction((FunctionIdentifier("graft_history"),
+      new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_history"),
+      GraftTableFunction.buildHistory _))
   }
 }
 
@@ -64,5 +67,7 @@ object GraftExtensions {
     }
     org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
       spark, "graft_table", GraftTableFunction.build _)
+    org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
+      spark, "graft_history", GraftTableFunction.buildHistory _)
   }
 }

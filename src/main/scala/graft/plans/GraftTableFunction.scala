@@ -42,4 +42,16 @@ object GraftTableFunction {
     org.apache.spark.sql.graft.ColumnBridge.logicalPlan(
       graft.sources.ManifestTable.read(SparkSession.active, path, version))
   }
+
+  /** `graft_history('<path>')` — DESCRIBE HISTORY as a TVF: the audit
+    * surface (versions, commit timestamps/ids, file and row deltas,
+    * constraint/merge-key metadata) queryable and joinable from plain
+    * SQL, the way an operator actually inspects a table. */
+  def buildHistory(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "graft_history(path) takes one argument")
+    require(exprs.head.foldable, "graft_history: path must be a literal")
+    val path = String.valueOf(exprs.head.eval())
+    org.apache.spark.sql.graft.ColumnBridge.logicalPlan(
+      graft.sources.ManifestTable.history(SparkSession.active, path))
+  }
 }

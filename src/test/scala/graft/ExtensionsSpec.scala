@@ -61,6 +61,13 @@ class ExtensionsSpec extends SparkSpecBase {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_table()").collect()
     }
+    // DESCRIBE HISTORY through SQL: the audit surface joins like any
+    // relation (versions after append+append+mergeMoR = 1..3)
+    val hist = spark.sql(
+      s"""SELECT version, files_added FROM graft_history('$t')
+         ORDER BY version""").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.forall(_.getInt(1) >= 1))
   }
 
   test("graft_intersect_size equals size(array_intersect) on distinct sets") {
