@@ -1389,6 +1389,82 @@ object SparkEntry {
            FROM now JOIN v1 ON now.segment = v1.segment""")
     }),
 
+    "q113_stream_cdf" -> ((s, dir) => {
+      // STREAMING CHANGE DATA FEED — Delta's readChangeFeed on this
+      // format: commit-time CDC materialization (materializeCdf writes
+      // the keyed diff of a merge commit to _change_data in Delta's
+      // flat row shape) + the graft-table source in readChangeFeed
+      // mode (appends synthesize `insert` rows from their added files;
+      // merge commits stream their materialized change file; an
+      // unmaterialized rewrite fails loudly naming the fix). The gate
+      // drives a 3-version history (overwrite, keyed merge with
+      // updates+inserts+deletes, append), drains the typed feed
+      // through a checkpoint, RECONSTRUCTS the table from the feed
+      // alone (latest change per key), and requires it equal to the
+      // table read — then emits the reconstruction under the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q113-").toString
+      val t = s"$tmp/t"
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ManifestTable.overwrite(customer, t) // v1
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, t,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D")) // v2
+      ManifestTable.append(customer.where(col("c_custkey") % 11 === 7)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L), t) // v3
+      ManifestTable.materializeCdf(s, t, 2L)
+      val out = s"$tmp/feed"
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty)
+            ManifestTable.append(b.toDF(), out, commitId = Some(s"c-$id"))
+          ()
+        }
+        .start().awaitTermination()
+      val feed = ManifestTable.read(s, out)
+      val nDel = feed.where(col("_change_type") === "delete").count()
+      require(nDel > 0 &&
+        nDel == customer.where(col("c_custkey") % 13 === 0).count(),
+        "delete rows must round-trip through the feed")
+      require(feed.where(col("_change_type") === "update_postimage").count()
+        == feed.where(col("_change_type") === "update_preimage").count(),
+        "pre/postimage rows must pair")
+      // reconstruct the table FROM THE FEED ALONE: latest change per
+      // key wins (postimage preferred within its version); survivors
+      // are inserts/postimages
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_custkey").orderBy(
+        col("_commit_version").desc,
+        when(col("_change_type") === "update_preimage", 1).otherwise(0))
+      val rebuilt = feed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1 &&
+          col("_change_type").isin("insert", "update_postimage"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val table = ManifestTable.read(s, t)
+      require(rebuilt.exceptAll(table).isEmpty &&
+        table.exceptAll(rebuilt).isEmpty,
+        "feed reconstruction drifted from the table state")
+      rebuilt.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    }),
+
     "q111_avro_roundtrip" -> ((s, dir) => {
       // AVRO INGESTION (sources/AvroSource) — the landed-format leg next
       // to q64's ORC and q95's CSV, built without the spark-avro
@@ -6181,6 +6257,24 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q113: the reconstruction-from-the-feed must land on the table the
+    // three commits produced — the oracle recomputes that state from the
+    // source rule sets directly
+    "q113_stream_cdf" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         surv AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+                  ELSE c_name END AS c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 13 <> 0),
+         ins AS (SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal
+                 FROM base WHERE c_custkey % 11 = 3),
+         app AS (SELECT c_custkey + 20000000 AS c_custkey, c_name, c_acctbal
+                 FROM base WHERE c_custkey % 11 = 7)
+         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+         FROM (SELECT * FROM surv UNION ALL SELECT * FROM ins
+               UNION ALL SELECT * FROM app)""",
     // q111: the aggregate runs over the avro-parsed corpus; the oracle
     // recomputes from the source table — any parse drift (types, nulls,
     // row loss) breaks the hash

@@ -1805,6 +1805,79 @@ object ManifestTable {
       before.columns.toSeq.filterNot(keyCols.contains))
   }
 
+  /** Is version `v` an APPEND relative to its parent — every parent
+    * data file still present, no new MoR delete rows? Append versions
+    * stream as-is (their added files ARE the change); anything else
+    * needs materialized change data to stream. */
+  private[graft] def isAppendOnly(path: String, v: Long): Boolean = {
+    val m = manifestAt(path, v)
+    if (m.parent == 0L) m.deletes.isEmpty
+    else {
+      val p = manifestAt(path, m.parent)
+      val kept = m.files.toSet
+      p.files.forall(kept) && m.deletes.size == p.deletes.size
+    }
+  }
+
+  private[graft] def cdfFile(path: String, v: Long): Path =
+    Paths.get(path, "_change_data").resolve(f"v$v%08d.parquet")
+
+  /** COMMIT-TIME CHANGE-DATA materialization — Delta's `_change_data`
+    * directory on this format: the keyed row-level diff of version `v`
+    * against its parent, flattened to Delta's CDF row shape (plain
+    * table columns + `_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage + `_commit_version`), written
+    * as one parquet file keyed by version. Idempotent (an existing
+    * file wins — content is a pure function of the two versions); the
+    * diff runs on the O(changed-files) slices, so the cost tracks the
+    * change, not the table. `keyCols` defaults to the table's
+    * merge-key metadata. A version-1 (or parentless) commit emits all
+    * rows as inserts. The streaming change feed
+    * (`readChangeFeed=true`) consumes these for non-append commits. */
+  def materializeCdf(spark: SparkSession, path: String, version: Long,
+      keyCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = cdfFile(path, version)
+    if (Files.exists(target)) return
+    Files.createDirectories(target.getParent)
+    val m = manifestAt(path, version)
+    val tableCols = read(spark, path, Some(version)).columns.toSeq
+    val out: DataFrame =
+      if (m.parent == 0L) {
+        read(spark, path, Some(version))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(version))
+      } else {
+        val keys = if (keyCols.nonEmpty) keyCols else m.mergeKeys
+        require(keys.nonEmpty,
+          s"materializeCdf needs key columns (no merge-key metadata at $path)")
+        val diff = changesWithValues(spark, path, version - 1, version, keys)
+        def side(changeType: String, sideCol: String, flag: String) = diff
+          .where(col("change_type") === changeType)
+          .select(tableCols.map(c =>
+            (if (keys.contains(c)) col(c) else col(s"$sideCol.$c")).as(c)) :+
+            lit(flag).as("_change_type") :+
+            lit(version).as("_commit_version"): _*)
+        side("added", "after", "insert")
+          .unionByName(side("removed", "before", "delete"))
+          .unionByName(side("changed", "before", "update_preimage"))
+          .unionByName(side("changed", "after", "update_postimage"))
+      }
+    // one file per commit (the diff is change-sized): stage + atomic move
+    val stageRoot = Files.createTempDirectory(target.getParent, ".cdf-stage-")
+    val stage = stageRoot.resolve("out")
+    out.coalesce(1).write.parquet(stage.toString)
+    val part = Using.resource(Files.list(stage)) { st =>
+      st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+    }.getOrElse(throw new IllegalStateException("cdf write produced no file"))
+    try Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () } // lost a benign race
+    Using.resource(Files.walk(stageRoot)) { st =>
+      st.iterator().asScala.toSeq.reverse.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
   /** DELETE FROM … WHERE (Delta's predicate delete), copy-on-write at
     * file granularity: only files CONTAINING a matching row are
     * rewritten (found by one predicate-pushed scan that returns file

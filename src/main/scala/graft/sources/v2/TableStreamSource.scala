@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -46,8 +46,13 @@ class TableStreamSource extends TableProvider with DataSourceRegister {
     val file = ManifestTable.anyDataFile(path).getOrElse(
       throw new IllegalArgumentException(
         s"graft-table: no committed version at $path to infer a schema from"))
-    CursorSource.toStruct(
+    val base = CursorSource.toStruct(
       CursorSource.footerSchema(new HPath(file), new Configuration()))
+    if (options.getBoolean("readchangefeed", false))
+      StructType(base.fields :+
+        StructField("_change_type", StringType, nullable = false) :+
+        StructField("_commit_version", LongType, nullable = false))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -57,12 +62,14 @@ class TableStreamSource extends TableProvider with DataSourceRegister {
     val maxV = opts.getLong("maxversionspertrigger", 0L)
     TableStreamTable(opts.get("path"), schema,
       opts.getBoolean("ignorechanges", false),
-      if (maxV > 0) Some(maxV) else None)
+      if (maxV > 0) Some(maxV) else None,
+      opts.getBoolean("readchangefeed", false))
   }
 }
 
 case class TableStreamTable(dir: String, tableSchema: StructType,
-    ignoreChanges: Boolean, maxVersions: Option[Long]) extends Table with SupportsRead {
+    ignoreChanges: Boolean, maxVersions: Option[Long],
+    readChangeFeed: Boolean) extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft-table:$dir"
   override def capabilities(): util.Set[TableCapability] =
@@ -70,7 +77,8 @@ case class TableStreamTable(dir: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        TableStreamScan(dir, tableSchema, ignoreChanges, maxVersions)
+        TableStreamScan(dir, tableSchema, ignoreChanges, maxVersions,
+          readChangeFeed)
     }
 }
 
@@ -80,15 +88,18 @@ case class VersionOffset(v: Long) extends Offset {
 }
 
 case class TableStreamScan(dir: String, tableSchema: StructType,
-    ignoreChanges: Boolean, maxVersions: Option[Long]) extends Scan {
+    ignoreChanges: Boolean, maxVersions: Option[Long],
+    readChangeFeed: Boolean) extends Scan {
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"GraftTableStream path=$dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TableMicroBatchStream(dir, tableSchema, ignoreChanges, maxVersions)
+    new TableMicroBatchStream(dir, tableSchema, ignoreChanges, maxVersions,
+      readChangeFeed)
 }
 
 class TableMicroBatchStream(dir: String, tableSchema: StructType,
-    ignoreChanges: Boolean, maxVersions: Option[Long])
+    ignoreChanges: Boolean, maxVersions: Option[Long],
+    readChangeFeed: Boolean = false)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -132,27 +143,92 @@ class TableMicroBatchStream(dir: String, tableSchema: StructType,
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)
 
+  private def rowGroupsOf(file: String, conf: Configuration): Seq[Int] = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file), conf))
+    try r.getFooter.getBlocks.asScala.indices.toList finally r.close()
+  }
+
   /** One partition per row group of the files the batch's commits
     * added (driver-side footer opens, the same planning granularity as
-    * the batch V2 source). */
+    * the batch V2 source). In CHANGE-FEED mode, versions plan
+    * individually: an append's added files stream as synthesized
+    * `insert` rows; a rewrite/merge version streams its materialized
+    * `_change_data` file (commit-time CDC — Delta's model) and FAILS
+    * loudly if it was never materialized. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     if (e <= s) return Array.empty
     val conf = new Configuration()
-    ManifestTable.appendSlice(dir, s, e, ignoreChanges).flatMap { file =>
-      val r = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new HPath(file), conf))
-      try r.getFooter.getBlocks.asScala.indices
-        .map(i => RowGroupPartition(file, i): InputPartition)
-      finally r.close()
-    }.toArray
+    if (!readChangeFeed) {
+      ManifestTable.appendSlice(dir, s, e, ignoreChanges).flatMap { file =>
+        rowGroupsOf(file, conf)
+          .map(i => RowGroupPartition(file, i): InputPartition)
+      }.toArray
+    } else {
+      ((s + 1) to e).flatMap { v =>
+        val cdf = ManifestTable.cdfFile(dir, v)
+        if (java.nio.file.Files.exists(cdf)) {
+          rowGroupsOf(cdf.toString, conf)
+            .map(i => CdfFilePartition(cdf.toString, i): InputPartition)
+        } else if (ManifestTable.isAppendOnly(dir, v)) {
+          ManifestTable.appendSlice(dir, v - 1, v, ignoreChanges = true)
+            .flatMap(f => rowGroupsOf(f, conf)
+              .map(i => CdfAppendPartition(f, i, v): InputPartition))
+        } else throw new IllegalStateException(
+          s"version $v of $dir is not append-only and has no materialized " +
+            s"change data - run ManifestTable.materializeCdf(path, $v) " +
+            "at (or after) commit time to stream this change")
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CursorReaderFactory(tableSchema.fieldNames.toSeq,
-      tableSchema.fieldNames.toSeq, Seq.empty)
+    if (!readChangeFeed)
+      CursorReaderFactory(tableSchema.fieldNames.toSeq,
+        tableSchema.fieldNames.toSeq, Seq.empty)
+    else CdfReaderFactory(tableSchema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** One row group of a materialized `_change_data` file — already in the
+  * CDF row shape. */
+case class CdfFilePartition(file: String, rowGroup: Int) extends InputPartition
+
+/** One row group of a plain data file an APPEND commit added — the
+  * reader synthesizes `_change_type='insert'` / `_commit_version`. */
+case class CdfAppendPartition(file: String, rowGroup: Int,
+    version: Long) extends InputPartition
+
+case class CdfReaderFactory(cdfSchema: org.apache.spark.sql.types.StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = p match {
+    case CdfFilePartition(f, g) =>
+      val names = cdfSchema.fieldNames.toSeq
+      new RowGroupReader(f, g, names, names, Seq.empty)
+    case CdfAppendPartition(f, g, v) =>
+      val base = cdfSchema.fieldNames.dropRight(2).toSeq
+      val inner = new RowGroupReader(f, g, base, base, Seq.empty)
+      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        private val width = base.length
+        override def next(): Boolean = inner.next()
+        override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+          val r = inner.get()
+          val vals = new Array[Any](width + 2)
+          var i = 0
+          while (i < width) {
+            vals(i) = r.get(i, cdfSchema.fields(i).dataType); i += 1
+          }
+          vals(width) = org.apache.spark.unsafe.types.UTF8String.fromString("insert")
+          vals(width + 1) = v
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
+        override def close(): Unit = inner.close()
+      }
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
 }

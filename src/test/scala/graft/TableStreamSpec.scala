@@ -94,6 +94,50 @@ class TableStreamSpec extends SparkSpecBase {
       sink.asScala.toString)
   }
 
+  test("readChangeFeed streams typed change rows: appends synthesize " +
+      "inserts, merges stream their materialized change data, and an " +
+      "unmaterialized rewrite fails loudly") {
+    val base = tmp(); val t = s"$base/t"
+    ManifestTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), t) // v1
+    ManifestTable.merge(spark, t,
+      Seq((2, "B"), (3, "c"), (1, "__del__")).toDF("k", "v"),
+      Seq("k"),
+      deleteWhen = Some(col("v") === "__del__"))                    // v2
+    ManifestTable.append(Seq((9, "z")).toDF("k", "v"), t)           // v3
+    // v2 rewrote files: without materialized change data the CDF
+    // stream must refuse it, naming the fix
+    def drainCdf(ck: String): Seq[(Int, String, String, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String, Long)]()
+      spark.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => got.add((r.getInt(0), r.getString(1),
+            r.getString(2), r.getLong(3))))
+          ()
+        }
+        .start().awaitTermination()
+      got.asScala
+    }
+    val err = intercept[Exception] { drainCdf(s"$base/ck-fail") }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else String.valueOf(e.getMessage) +: msgs(e.getCause)
+    assert(msgs(err).exists(_.contains("materializeCdf")), msgs(err).toString)
+    // materialize v2's commit-time CDC, then the full feed streams
+    ManifestTable.materializeCdf(spark, t, 2L)
+    val rows = drainCdf(s"$base/ck").sortBy(r => (r._4, r._2, r._1))
+    assert(rows == Seq(
+      (1, "a", "insert", 1L), (2, "b", "insert", 1L),
+      (1, "a", "delete", 2L), (3, "c", "insert", 2L),
+      (2, "b", "update_preimage", 2L), (2, "B", "update_postimage", 2L),
+      (9, "z", "insert", 3L)).sortBy(r => (r._4, r._2, r._1)), rows.toString)
+    // materialization is idempotent
+    ManifestTable.materializeCdf(spark, t, 2L)
+    assert(drainCdf(s"$base/ck2").size == rows.size)
+  }
+
   test("schema comes from the table; empty tables fail inference loudly") {
     val base = tmp(); val t = s"$base/t"
     ManifestTable.append(Seq((1, "a")).toDF("x", "s"), t)
