@@ -336,6 +336,67 @@ class PropertySpec extends SparkSpecBase {
     assert(brute.nonEmpty) // mutations guarantee close pairs exist
   }
 
+  test("change feed reconstructs the table exactly under randomized " +
+      "merge histories (insert/update/delete mixes per commit)") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(1311)
+    for (trial <- 1 to 3) {
+      val t = java.nio.file.Files.createTempDirectory("graft-cdfprop-")
+        .toString + "/t"
+      // driver-side model of the table, evolved alongside the commits
+      var model = (1L to 30L).map(k => (k, rnd.nextInt(1000))).toMap
+      ManifestTable.overwrite(model.toSeq.toDF("k", "v"), t)
+      val commits = 2 + rnd.nextInt(3)
+      for (_ <- 1 to commits) {
+        val keys = model.keys.toSeq.sorted
+        val dels = rnd.shuffle(keys).take(rnd.nextInt(4))
+        val upds = rnd.shuffle(keys.filterNot(dels.contains))
+          .take(rnd.nextInt(5)).map(k => (k, rnd.nextInt(1000)))
+        val maxK = (model.keys ++ Seq(0L)).max
+        val ins = (1 to rnd.nextInt(4)).map(i => (maxK + i, rnd.nextInt(1000)))
+        val source = (dels.map(k => (k, -1, "D")) ++
+          (upds ++ ins).map { case (k, v) => (k, v, "U") }).toDF("k", "v", "op")
+        if (dels.nonEmpty || upds.nonEmpty || ins.nonEmpty) {
+          val ver = ManifestTable.merge(spark, t, source, Seq("k"),
+            deleteWhen = Some(col("op") === "D"))
+          ManifestTable.materializeCdf(spark, t, ver)
+          model = model -- dels ++ upds ++ ins
+        }
+      }
+      // drain the feed and reconstruct: latest change per key wins
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      spark.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cdfprop-ck-").toString + "/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(sink.add); ()
+        }
+        .start().awaitTermination()
+      val it = sink.iterator()
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long)]
+      while (it.hasNext) { val r = it.next()
+        rows += ((r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))) }
+      val feed = rows.toSeq.toDF("k", "v", "_change_type", "_commit_version")
+      val w = Window.partitionBy("k").orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "update_preimage", 1).otherwise(0))
+      val rebuilt = feed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1 &&
+          col("_change_type").isin("insert", "update_postimage"))
+        .select(col("k"), col("v")).as[(Long, Int)].collect().toMap
+      assert(rebuilt == model, s"trial $trial drifted: " +
+        s"missing=${model.keySet -- rebuilt.keySet} " +
+        s"extra=${rebuilt.keySet -- model.keySet}")
+      val table = ManifestTable.read(spark, t)
+        .select(col("k"), col("v")).as[(Long, Int)].collect().toMap
+      assert(table == model, s"trial $trial: table itself drifted")
+    }
+  }
+
   test("tokenBudget invariants on random data: hard cap, maximal prefix, " +
       "reference equality") {
     import graft.operators.Sampling
