@@ -169,11 +169,20 @@ object SuffixArray {
     *
     * Shape: one self-join of the rank frame on (srank−1) pairs each
     * suffix with its predecessor; two doc-keyed joins re-attach the
-    * texts; the LCP itself is a row-local higher-order aggregate over
-    * the shorter suffix's length (first-mismatch scan — O(lcp) work per
-    * pair, the output-sensitive bound). Emits (doc_id, p, srank,
-    * lcp, prev_same_doc) — `prev_same_doc` distinguishes within-doc
-    * repetition from cross-document duplication. */
+    * texts; the LCP itself is the native first-mismatch scan
+    * ([[graft.plans.CommonPrefixLength]] — fused O(p + lcp) per pair:
+    * the byte walk to the character offset plus the compare, no per-row
+    * array materialization). Emits (doc_id, p, srank, lcp,
+    * prev_same_doc) — `prev_same_doc` distinguishes within-doc
+    * repetition from cross-document duplication.
+    *
+    * Asymptotics note: the per-pair offset walk makes the LCP pass
+    * Σ_p O(p) = O(L²) byte steps within a length-L document — cheap
+    * next to the doubling's 16 corpus-wide shuffle rounds at typical
+    * doc lengths, but the known better bound is Kasai-style reuse
+    * (lcp[rank] ≥ lcp[prev rank] − 1, O(L) total) or rank-table binary
+    * lifting (O(log n) per pair, needs the doubling levels retained) —
+    * the upgrade path if million-char documents dominate a corpus. */
   def lcpArray(docs: DataFrame, idCol: String, textCol: String,
       precomputedRanks: Option[DataFrame] = None): DataFrame =
     IndexScope.scoped { sc =>
