@@ -1465,6 +1465,74 @@ object SparkEntry {
         col("c_acctbal").cast("double").as("c_acctbal"))
     }),
 
+    "q114_stream_cdf_mv" -> ((s, dir) => {
+      // the CDF's CONSUMER story end to end: a downstream aggregate
+      // stays fresh by folding the STREAMED change feed as signed
+      // deltas (IncrementalAgg.applyCdf), never rescanning the table.
+      // MV0 materializes from version 1; the stream starts at
+      // startingVersion=1 (the snapshot the MV already holds) and
+      // drains the merge + append commits in version-capped
+      // micro-batches, each folded into the MV table idempotently;
+      // the gate proves the folded MV row-for-row equals a full
+      // recompute of the final version, then it goes under the oracle.
+      import graft.sources.ManifestTable
+      import graft.operators.IncrementalAgg
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q114-").toString
+      val t = s"$tmp/t"; val mvPath = s"$tmp/mv"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ManifestTable.overwrite(orders, t) // v1
+      val dims = Seq("o_orderstatus"); val measures = Seq("o_totalprice")
+      ManifestTable.overwrite(
+        IncrementalAgg.materialize(ManifestTable.read(s, t, Some(1L)),
+          dims, measures), mvPath)
+      val updates = orders
+        .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("op", lit("U"))
+      val inserts = orders.where(col("o_orderkey") % 11 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = orders.where(col("o_orderkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      val v2 = ManifestTable.merge(s, t,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("o_orderkey"), deleteWhen = Some(col("op") === "D"))
+      ManifestTable.materializeCdf(s, t, v2)
+      ManifestTable.append(orders.where(col("o_orderkey") % 11 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L), t) // v3
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1") // one fold per commit
+        .load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            val sess = b.sparkSession
+            val prev = ManifestTable.read(sess, mvPath)
+            ManifestTable.overwrite(
+              IncrementalAgg.applyCdf(prev, b.toDF(), dims, measures),
+              mvPath, commitId = Some(s"fold-$id"))
+          }
+          ()
+        }
+        .start().awaitTermination()
+      val mv = ManifestTable.read(s, mvPath)
+      val full = IncrementalAgg.materialize(ManifestTable.read(s, t),
+        dims, measures)
+      require(mv.exceptAll(full).isEmpty && full.exceptAll(mv).isEmpty,
+        "stream-folded MV drifted from the full recompute")
+      require(ManifestTable.versions(mvPath).size == 3,
+        "expected one MV fold per streamed commit")
+      mv.select(col("o_orderstatus"), col("n"),
+        col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
+    }),
+
     "q111_avro_roundtrip" -> ((s, dir) => {
       // AVRO INGESTION (sources/AvroSource) — the landed-format leg next
       // to q64's ORC and q95's CSV, built without the spark-avro
@@ -6257,6 +6325,24 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q114: the stream-folded MV must equal the aggregate of the final
+    // state the rule sets produce
+    "q114_stream_cdf_mv" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders),
+         surv AS (SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS p
+           FROM base WHERE o_orderkey % 13 <> 0),
+         ins AS (SELECT o_orderstatus, o_totalprice AS p FROM base
+                 WHERE o_orderkey % 11 = 3),
+         app AS (SELECT o_orderstatus, o_totalprice AS p FROM base
+                 WHERE o_orderkey % 11 = 7),
+         allr AS (SELECT * FROM surv UNION ALL SELECT * FROM ins
+                  UNION ALL SELECT * FROM app)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice
+         FROM allr GROUP BY 1""",
     // q113: the reconstruction-from-the-feed must land on the table the
     // three commits produced — the oracle recomputes that state from the
     // source rule sets directly

@@ -66,12 +66,38 @@ object IncrementalAgg {
             (lit(sign).cast("long").as("__dn") +:
               measures.map(m =>
                 (col(s"$image.$m").cast(dec) * sign).as(s"__d_$m"))): _*)
-    val delta = side("before", -1).unionByName(side("after", 1))
+    fold(mv, side("before", -1).unionByName(side("after", 1)),
+      dims, measures)
+  }
+
+  /** [[applyDelta]] for the FLAT change-feed row shape the STREAMING
+    * source emits (`readChangeFeed`: table columns + `_change_type` +
+    * `_commit_version`): delete/update_preimage rows contribute
+    * (−1, −measures), insert/update_postimage rows (+1, +measures) —
+    * the Delta-CDF-to-incremental-MV consumer, safe to fold one
+    * micro-batch at a time (deltas are additive, so batch boundaries
+    * between commits don't matter). */
+  def applyCdf(mv: DataFrame, feed: DataFrame, dims: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1)
+    val signed = feed.where(sign.isNotNull)
+      .select(dims.map(col) ++
+        (sign.cast("long").as("__dn") +:
+          measures.map(m => (col(m).cast(dec) * sign).as(s"__d_$m"))): _*)
+    fold(mv, signed, dims, measures)
+  }
+
+  /** Shared delta fold: aggregate signed contributions per dim group,
+    * full-outer-merge into the previous state (null-safe dims), drop
+    * emptied groups. */
+  private def fold(mv: DataFrame, signed: DataFrame, dims: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val delta = signed
       .groupBy(dims.map(col): _*)
       .agg(sum(col("__dn")).as("__dn"),
         measures.map(m => sum(col(s"__d_$m")).cast(sumDec).as(s"__d_$m")): _*)
-    // merge: full-outer on dims (null-safe — a dim value may be null),
-    // coalesce both sides, drop emptied groups
     val joined = mv.join(delta,
       dims.map(d => mv(d) <=> delta(d)).reduce(_ && _), "full_outer")
     joined.select(

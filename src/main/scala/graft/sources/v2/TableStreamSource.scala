@@ -63,13 +63,14 @@ class TableStreamSource extends TableProvider with DataSourceRegister {
     TableStreamTable(opts.get("path"), schema,
       opts.getBoolean("ignorechanges", false),
       if (maxV > 0) Some(maxV) else None,
-      opts.getBoolean("readchangefeed", false))
+      opts.getBoolean("readchangefeed", false),
+      opts.getLong("startingversion", 0L))
   }
 }
 
 case class TableStreamTable(dir: String, tableSchema: StructType,
     ignoreChanges: Boolean, maxVersions: Option[Long],
-    readChangeFeed: Boolean) extends Table with SupportsRead {
+    readChangeFeed: Boolean, startingVersion: Long) extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft-table:$dir"
   override def capabilities(): util.Set[TableCapability] =
@@ -78,7 +79,7 @@ case class TableStreamTable(dir: String, tableSchema: StructType,
     new ScanBuilder {
       override def build(): Scan =
         TableStreamScan(dir, tableSchema, ignoreChanges, maxVersions,
-          readChangeFeed)
+          readChangeFeed, startingVersion)
     }
 }
 
@@ -89,21 +90,25 @@ case class VersionOffset(v: Long) extends Offset {
 
 case class TableStreamScan(dir: String, tableSchema: StructType,
     ignoreChanges: Boolean, maxVersions: Option[Long],
-    readChangeFeed: Boolean) extends Scan {
+    readChangeFeed: Boolean, startingVersion: Long) extends Scan {
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"GraftTableStream path=$dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TableMicroBatchStream(dir, tableSchema, ignoreChanges, maxVersions,
-      readChangeFeed)
+      readChangeFeed, startingVersion)
 }
 
 class TableMicroBatchStream(dir: String, tableSchema: StructType,
     ignoreChanges: Boolean, maxVersions: Option[Long],
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false, startingVersion: Long = 0L)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override def initialOffset(): Offset = VersionOffset(0L)
+  /** `startingVersion` (Delta's): a consumer initialized from a
+    * snapshot at version K tails `(K, …]` instead of replaying history
+    * it already holds. Only consulted on a FRESH checkpoint — a
+    * restart resumes from the checkpointed offset. */
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

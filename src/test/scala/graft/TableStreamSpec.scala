@@ -92,6 +92,19 @@ class TableStreamSpec extends SparkSpecBase {
     // commit order, draining to the same total
     assert(sink.asScala.map(_._2) == Seq(Seq(1), Seq(2), Seq(3)),
       sink.asScala.toString)
+    // startingVersion skips the snapshot a consumer already holds
+    val late = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    spark.readStream.format("graft-table")
+      .option("path", t).option("startingVersion", "2").load()
+      .writeStream.option("checkpointLocation", s"$base/ck-late")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        late.add((id, b.select(col("x")).collect().map(_.getInt(0)).toSeq.sorted))
+        ()
+      }
+      .start().awaitTermination()
+    assert(late.asScala.flatMap(_._2).toSeq == Seq(3),
+      "startingVersion=2 must emit only the commits after version 2")
   }
 
   test("readChangeFeed streams typed change rows: appends synthesize " +
