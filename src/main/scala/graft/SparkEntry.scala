@@ -3638,6 +3638,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tokens"))
     }),
 
+    "tx28_decontam_clean" -> ((s, dir) => {
+      // DECONTAMINATION CLEANING — tx11 completed the way tx20
+      // completed tx19: instead of only FLAGGING training docs that
+      // share grams with the held-out benchmark, cut the contaminated
+      // char-spans themselves and re-assemble the documents (the
+      // surgical alternative to dropping a whole doc for one leaked
+      // paragraph). Positions whose 20-char gram appears ANYWHERE in
+      // the benchmark slice flag; flagged runs merge into maximal
+      // spans through the shared span machinery. Scale shape: the
+      // benchmark gram-hash set is metadata-sized next to a 100 TB
+      // corpus and BROADCASTS (Contamination.check's economics), so
+      // the corpus is touched by one gram projection + one row-local
+      // reassembly — the corpus never shuffles against itself.
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val benchSet = operators.textual.TextStats
+        .gramHashes(bench, "doc_id", "text", n = 20)
+        .select(col("gh")).distinct()
+      val flagged = operators.textual.TextStats
+        .gramHashes(corpus, "doc_id", "text", n = 20)
+        .join(broadcast(benchSet), Seq("gh"), "left_semi")
+        .select(col("doc_id"), col("p"))
+      operators.textual.TextStats.spanCleanFrom(
+        corpus, "doc_id", "text", n = 20, flagged = flagged)
+    }),
+
     "tx27_curation_pipeline" -> ((s, dir) => {
       // END-TO-END CORPUS CURATION — the whole training-data prep
       // pipeline as ONE composed query under ONE oracle: canonicalize
@@ -4864,6 +4891,44 @@ object SparkEntry {
            FROM t)
          SELECT c.doc_id, c.lang, c.n_tok, CAST(c.cum AS BIGINT) AS cum_tokens
          FROM c JOIN bud USING (lang) WHERE c.cum <= bud.budget""",
+    // tx28: flag = the corpus gram appears anywhere in the benchmark
+    // slice; the span/cut/reassemble chain mirrors tx20's oracle
+    "tx28_decontam_clean" ->
+      """WITH corp AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 50 <> 0),
+         bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+         bpos AS (SELECT text,
+             unnest(generate_series(1, length(text) - 19)) AS p
+           FROM bench WHERE length(text) >= 20),
+         bg AS (SELECT DISTINCT substr(text, p, 20) AS gram FROM bpos),
+         pos AS (SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS p
+           FROM corp WHERE length(text) >= 20),
+         g AS (SELECT doc_id, p, substr(text, p, 20) AS gram FROM pos),
+         flag AS (SELECT g.doc_id, g.p FROM g JOIN bg ON g.gram = bg.gram),
+         chars AS (SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS c
+           FROM corp),
+         cchar AS (SELECT DISTINCT ch.doc_id, ch.c FROM chars ch
+           JOIN flag f ON ch.doc_id = f.doc_id
+             AND ch.c BETWEEN f.p AND f.p + 19),
+         clean AS (SELECT ch.doc_id,
+             string_agg(substr(ch.text, ch.c, 1), '' ORDER BY ch.c) AS ct
+           FROM chars ch LEFT JOIN cchar d
+             ON ch.doc_id = d.doc_id AND ch.c = d.c
+           WHERE d.c IS NULL GROUP BY ch.doc_id),
+         spans AS (SELECT dc.doc_id, count(*) AS ns FROM cchar dc
+           LEFT JOIN cchar prev
+             ON dc.doc_id = prev.doc_id AND prev.c = dc.c - 1
+           WHERE prev.c IS NULL GROUP BY dc.doc_id),
+         nd AS (SELECT doc_id, count(*) AS ndc FROM cchar GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(cl.ct, '') AS clean_text,
+           CAST(coalesce(s.ns, 0) AS BIGINT) AS n_cut_spans,
+           CAST(coalesce(nd.ndc, 0) AS BIGINT) AS n_dup_chars
+         FROM corp d
+         LEFT JOIN clean cl ON d.doc_id = cl.doc_id
+         LEFT JOIN spans s ON d.doc_id = s.doc_id
+         LEFT JOIN nd ON d.doc_id = nd.doc_id""",
     // tx27: the full CTE chain — each stage is the same SQL its
     // standalone oracle uses; composition drift anywhere breaks it
     "tx27_curation_pipeline" ->
