@@ -1533,6 +1533,50 @@ object SparkEntry {
         col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
     }),
 
+    "q115_stream_static_join" -> ((s, dir) => {
+      // the graft-table source under Spark's BUILT-IN streaming
+      // operators — a custom V2 source earns its keep when the
+      // engine's own operators run on it, not just foreachBatch: each
+      // micro-batch of fact commits STREAM-STATIC joins the dimension
+      // frame inside the streaming query (Catalyst plans the broadcast
+      // per batch), and the enriched rows land exactly-once in a sink
+      // table. Two drains (one per append commit via the admission
+      // cap) must produce exactly two sink commits; the enriched sink
+      // re-aggregates under the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q115-").toString
+      val t = s"$tmp/t"; val out = s"$tmp/out"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ManifestTable.append(orders.where(col("o_orderkey") % 2 === 0), t)
+      ManifestTable.append(orders.where(col("o_orderkey") % 2 === 1), t)
+      val s2 = streamSession(s)
+      val dim = Tables(s2, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      s2.readStream.format("graft-table")
+        .option("path", t).option("maxVersionsPerTrigger", "1").load()
+        .join(dim, col("o_custkey") === col("c_custkey")) // stream-static
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty)
+            ManifestTable.append(b.toDF(), out, commitId = Some(s"j-$id"))
+          ()
+        }
+        .start().awaitTermination()
+      require(ManifestTable.versions(out).size == 2,
+        "expected one enriched sink commit per streamed fact commit")
+      val sunk = ManifestTable.read(s, out)
+      require(sunk.count() == orders.count(),
+        "stream-static join lost or duplicated facts")
+      sunk.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"))
+    }),
+
     "q111_avro_roundtrip" -> ((s, dir) => {
       // AVRO INGESTION (sources/AvroSource) — the landed-format leg next
       // to q64's ORC and q95's CSV, built without the spark-avro
@@ -6390,6 +6434,13 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q115: every order key joins its segment exactly once across the
+    // streamed batches
+    "q115_stream_static_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     // q114: the stream-folded MV must equal the aggregate of the final
     // state the rule sets produce
     "q114_stream_cdf_mv" ->
