@@ -1533,6 +1533,71 @@ object SparkEntry {
         col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
     }),
 
+    "q116_mor_cdf" -> ((s, dir) => {
+      // the change feed over the MERGE-ON-READ write path: a mergeMoR
+      // commit rewrites ZERO data files (deletes are a ledger, upserts
+      // stage O(k) bytes), yet materializeCdf must still emit the
+      // exact row-level diff — differingSlices reconciles the
+      // deletion-vector state on both sides, so CDC composes with the
+      // cheapest write path instead of forcing copy-on-write. The
+      // CDF-mode stream drains it and the reconstruction (which also
+      // exercises the MoR read reconciliation) goes under the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q116-").toString
+      val t = s"$tmp/t"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ManifestTable.overwrite(orders, t) // v1
+      val updates = orders
+        .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("op", lit("U"))
+      val inserts = orders.where(col("o_orderkey") % 11 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = orders.where(col("o_orderkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      val v2 = ManifestTable.mergeMoR(s, t,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("o_orderkey"), deleteWhen = Some(col("op") === "D"))
+      ManifestTable.materializeCdf(s, t, v2)
+      val sinkDir = s"$tmp/feed"
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty)
+            ManifestTable.append(b.toDF(), sinkDir, commitId = Some(s"m-$id"))
+          ()
+        }
+        .start().awaitTermination()
+      val feed = ManifestTable.read(s, sinkDir)
+      require(feed.where(col("_change_type") === "delete").count() ==
+        orders.where(col("o_orderkey") % 13 === 0).count(),
+        "MoR deletes must round-trip through the feed")
+      // apply the feed to the v1 snapshot: must land on the MoR-
+      // reconciled current read
+      val v1 = ManifestTable.read(s, t, Some(1L))
+      val applied = v1
+        .join(feed.where(col("_change_type").isin("delete", "update_preimage"))
+          .select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(feed
+          .where(col("_change_type").isin("insert", "update_postimage"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      val current = ManifestTable.read(s, t)
+      require(applied.exceptAll(current).isEmpty &&
+        current.exceptAll(applied).isEmpty,
+        "v1 + feed must equal the merge-on-read reconciled table")
+      applied.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    }),
+
     "q115_stream_static_join" -> ((s, dir) => {
       // the graft-table source under Spark's BUILT-IN streaming
       // operators — a custom V2 source earns its keep when the
@@ -6434,6 +6499,20 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q116: v1 + the feed must land on the rule sets' final state
+    "q116_mor_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders),
+         surv AS (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM base WHERE o_orderkey % 13 <> 0),
+         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+                   o_totalprice
+                 FROM base WHERE o_orderkey % 11 = 3)
+         SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         FROM (SELECT * FROM surv UNION ALL SELECT * FROM ins)""",
     // q115: every order key joins its segment exactly once across the
     // streamed batches
     "q115_stream_static_join" ->

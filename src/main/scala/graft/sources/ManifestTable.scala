@@ -2097,6 +2097,31 @@ object ManifestTable {
     // Bloom sidecars are keyed by data-file name: drop the ones whose
     // file just died (or died in an earlier vacuum)
     BloomIndex.vacuum(path)
-    orphans.map(_.getFileName.toString)
+    // change-data files are keyed by VERSION: once a version's manifest
+    // expired it can never be planned by the change feed again — sweep
+    // its CDF (and any aged-out crashed materialization stage) under
+    // the same age guard
+    val cdfDir = Paths.get(path, "_change_data")
+    val liveVersions = versions(path).toSet
+    val cdfOrphans =
+      if (!Files.isDirectory(cdfDir)) Seq.empty[Path]
+      else Using.resource(Files.list(cdfDir)) { st =>
+        st.iterator().asScala.filter { p =>
+          val nm = p.getFileName.toString
+          val expired = nm.startsWith("v") && nm.endsWith(".parquet") &&
+            nm.stripPrefix("v").stripSuffix(".parquet").toLongOption
+              .exists(v => !liveVersions.contains(v))
+          (expired || nm.startsWith(".cdf-stage-")) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+        }.toSeq
+      }
+    cdfOrphans.foreach { p =>
+      if (Files.isDirectory(p))
+        Using.resource(Files.walk(p)) { st =>
+          st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+      else Files.deleteIfExists(p)
+    }
+    (orphans ++ cdfOrphans).map(_.getFileName.toString)
   }
 }

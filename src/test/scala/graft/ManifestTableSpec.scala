@@ -200,6 +200,25 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, t).as[Int].collect().toSeq == Seq(1))
   }
 
+  test("vacuum sweeps change-data files of expired versions, keeps live ones") {
+    val t = table()
+    ManifestTable.append(Seq((1, "a")).toDF("k", "v"), t)            // v1
+    ManifestTable.merge(spark, t, Seq((1, "A")).toDF("k", "v"),
+      Seq("k"))                                                      // v2
+    ManifestTable.merge(spark, t, Seq((2, "b")).toDF("k", "v"),
+      Seq("k"))                                                      // v3
+    ManifestTable.materializeCdf(spark, t, 2L)
+    ManifestTable.materializeCdf(spark, t, 3L)
+    ManifestTable.expire(t, keepLast = 1, vacuumMinAgeMs = 0L)       // drop v1, v2
+    ManifestTable.vacuum(t, minAgeMs = 0L)
+    val cdfDir = Paths.get(t, "_change_data")
+    val left = java.nio.file.Files.list(cdfDir).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (left.hasNext) names += left.next().getFileName.toString
+    assert(names.sorted == Seq("v00000003.parquet"),
+      s"expired CDF must sweep, live CDF must stay: $names")
+  }
+
   test("replayed commit id is a no-op returning the original version") {
     val t = table()
     val v1 = ManifestTable.append(Seq(1, 2).toDF("x"), t, commitId = Some("batch-7"))
