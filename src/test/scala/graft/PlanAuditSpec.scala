@@ -56,6 +56,18 @@ class PlanAuditSpec extends SparkSpecBase {
       p.take(1200))
   }
 
+  test("tx28 decontamination: the benchmark gram set broadcasts; the " +
+      "corpus never shuffles against itself") {
+    // the whole scale story: bench grams are metadata-sized, so the
+    // flag pass must be a broadcast semi-join on the hashed gram — a
+    // SortMergeJoin here means the corpus-sized gram table shuffled
+    val p = planOf("tx28_decontam_clean")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("q35 tombstone merge: key-partitioned join, no nested loop") {
     val p = planOf("q35_event_apply")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
