@@ -14,24 +14,42 @@ object Verify {
     val unknown = names.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): Spark has no nanos timestamp
-      // type, so read as long nanos and do exact integer time arithmetic
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // events.ts is parquet TIMESTAMP(NANOS): Spark has no nanos
+        // timestamp type, so read as long nanos and do exact integer
+        // time arithmetic
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => names.isEmpty || names.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // same self-healing as Bench: a fatal error that killed the
+      // DAGScheduler event loop stops the SparkContext and would fail
+      // every REMAINING query in milliseconds — one casualty must not
+      // zero the rest of the round's correctness record
+      def once(): Boolean =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          false
+        }
+      if (!once() && spark.sparkContext.isStopped) {
+        System.err.println(s"[verify] SparkContext stopped during $name - rebuilding and retrying once")
+        spark = build()
+        once()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
