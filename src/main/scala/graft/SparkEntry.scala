@@ -1533,6 +1533,66 @@ object SparkEntry {
         col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
     }),
 
+    "q117_txn_cdf" -> ((s, dir) => {
+      // CROSS-TABLE CDC CONSISTENCY — what atomic transactions buy a
+      // change consumer: a fact table and its per-customer summary
+      // commit in lockstep (commitTxn), so their change feeds carry
+      // PAIRED versions, and for every version the summary's change
+      // rows must equal the aggregate of the fact's — a consumer can
+      // join the two feeds version-by-version and never see a torn
+      // pair. Both tables stream in CDF mode (append commits need no
+      // materialization — their adds ARE the change); the gate checks
+      // the per-version invariant, and the summary feed itself (keyed
+      // by commit version) goes under the oracle.
+      import graft.sources.ManifestTable
+      import graft.sources.ManifestTable.TxnWrite
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q117-").toString
+      val fact = s"$tmp/fact"; val summ = s"$tmp/summary"
+      def slice(k: Int) = Tables(s, dir, "orders")
+        .where(col("o_orderkey") % 3 === k)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def sumOf(k: Int) = slice(k).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("revenue"))
+      ManifestTable.commitTxn(Seq(
+        TxnWrite(slice(0), fact), TxnWrite(sumOf(0), summ)), Some("t0"))
+      ManifestTable.commitTxn(Seq(
+        TxnWrite(slice(1), fact), TxnWrite(sumOf(1), summ)), Some("t1"))
+      val s2 = streamSession(s)
+      def drainCdf(path: String, sink: String): Unit =
+        s2.readStream.format("graft-table")
+          .option("path", path).option("readChangeFeed", "true").load()
+          .writeStream.option("checkpointLocation", s"$tmp/ck-$sink")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) =>
+            if (!b.isEmpty)
+              ManifestTable.append(b.toDF(), s"$tmp/$sink",
+                commitId = Some(s"$sink-$id"))
+            ()
+          }
+          .start().awaitTermination()
+      drainCdf(fact, "ffeed")
+      drainCdf(summ, "sfeed")
+      val ffeed = ManifestTable.read(s, s"$tmp/ffeed")
+      val sfeed = ManifestTable.read(s, s"$tmp/sfeed")
+      // the atomic-pair invariant, PER VERSION: summary change rows ==
+      // aggregate of the fact change rows of the same commit
+      val fromFact = ffeed.where(col("_change_type") === "insert")
+        .groupBy("_commit_version", "o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("revenue"))
+      val fromSumm = sfeed.where(col("_change_type") === "insert")
+        .select(col("_commit_version"), col("o_custkey"),
+          col("n_orders"), col("revenue"))
+      require(fromSumm.exceptAll(fromFact).isEmpty &&
+        fromFact.exceptAll(fromSumm).isEmpty,
+        "paired feeds tore: summary changes != aggregated fact changes")
+      fromSumm.select(col("_commit_version"), col("o_custkey"),
+        col("n_orders"), col("revenue").cast("double").as("revenue"))
+    }),
+
     "q116_mor_cdf" -> ((s, dir) => {
       // the change feed over the MERGE-ON-READ write path: a mergeMoR
       // commit rewrites ZERO data files (deletes are a ledger, upserts
@@ -6499,6 +6559,16 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q117: the summary feed keyed by paired commit version — txn 1
+    // landed the %3==0 slice as version 1 on both tables, txn 2 the
+    // %3==1 slice as version 2
+    "q117_txn_cdf" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 2 END
+             AS BIGINT) AS _commit_version,
+           o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1, 2""",
     // q116: v1 + the feed must land on the rule sets' final state
     "q116_mor_cdf" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice

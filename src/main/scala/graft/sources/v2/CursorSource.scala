@@ -89,12 +89,24 @@ object CursorSource {
     pt.getLogicalTypeAnnotation != null &&
       pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
 
+  private def decimalOf(pt: PrimitiveType): Option[DecimalType] =
+    pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        Some(DecimalType(d.getPrecision, d.getScale))
+      case _ => None
+    }
+
   def toStruct(mt: MessageType): StructType = {
     import PrimitiveType.PrimitiveTypeName._
     StructType(mt.getFields.asScala.map { f =>
       require(f.isPrimitive, s"graft-cursor supports flat primitive schemas; got $f")
       val pt = f.asPrimitiveType()
+      val dec = decimalOf(pt)
       val dt = pt.getPrimitiveTypeName match {
+        // decimals land as INT32/INT64 (small precision) or
+        // FIXED_LEN_BYTE_ARRAY/BINARY (big-endian unscaled bytes) —
+        // warehouse tables carry them everywhere, so the reader must
+        case _ if dec.isDefined => dec.get
         case INT64   => LongType
         case INT32   => IntegerType
         case DOUBLE  => DoubleType
@@ -350,6 +362,20 @@ class RowGroupReader(file: String, rowGroup: Int, readNames: Seq[String],
   private def fieldValue(g: Group, i: Int): Any =
     if (g.getFieldRepetitionCount(i) == 0) null
     else readStruct.fields(i).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        // the unscaled value arrives as INT32/INT64 (small precision)
+        // or big-endian bytes (FLBA/BINARY); the parquet example Group
+        // exposes all of them through the physical accessors
+        val unscaled = projection.getType(i).asPrimitiveType()
+          .getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT32 =>
+            java.math.BigInteger.valueOf(g.getInteger(i, 0).toLong)
+          case PrimitiveType.PrimitiveTypeName.INT64 =>
+            java.math.BigInteger.valueOf(g.getLong(i, 0))
+          case _ => new java.math.BigInteger(g.getBinary(i, 0).getBytes)
+        }
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale)
       case LongType    => g.getLong(i, 0)
       case IntegerType => g.getInteger(i, 0)
       case DoubleType  => g.getDouble(i, 0)

@@ -151,6 +151,34 @@ class TableStreamSpec extends SparkSpecBase {
     assert(drainCdf(s"$base/ck2").size == rows.size)
   }
 
+  test("decimal columns stream exactly (INT64-coded and binary-coded " +
+      "precisions both)") {
+    val base = tmp(); val t = s"$base/t"
+    // DECIMAL(10,2) writes as INT64, DECIMAL(28,4) as fixed-len bytes —
+    // both physical codings must decode to the exact unscaled value
+    ManifestTable.append(
+      spark.sql("""SELECT id AS k,
+          CAST(id * 1.07 AS DECIMAL(10,2)) AS small,
+          CAST(id * 123456789.0123 AS DECIMAL(28,4)) AS big
+        FROM range(0, 50)"""), t)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    spark.readStream.format("graft-table").option("path", t).load()
+      .writeStream.option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => sink.add((r.getLong(0),
+          String.valueOf(r.getDecimal(1)), String.valueOf(r.getDecimal(2)))))
+        ()
+      }
+      .start().awaitTermination()
+    val expect = spark.sql("""SELECT id,
+        CAST(CAST(id * 1.07 AS DECIMAL(10,2)) AS STRING),
+        CAST(CAST(id * 123456789.0123 AS DECIMAL(28,4)) AS STRING)
+      FROM range(0, 50)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(sink.asScala.toSet == expect, "decimal decode drifted")
+  }
+
   test("schema comes from the table; empty tables fail inference loudly") {
     val base = tmp(); val t = s"$base/t"
     ManifestTable.append(Seq((1, "a")).toDF("x", "s"), t)
