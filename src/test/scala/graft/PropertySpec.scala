@@ -336,6 +336,46 @@ class PropertySpec extends SparkSpecBase {
     assert(brute.nonEmpty) // mutations guarantee close pairs exist
   }
 
+  test("transactions stay atomic under randomized crash points: after " +
+      "recovery both tables always agree on which txns landed") {
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.TxnWrite
+    val rnd = new scala.util.Random(909)
+    val root = java.nio.file.Files.createTempDirectory("graft-txnprop-").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    ManifestTable.append(Seq(0).toDF("x"), a)
+    ManifestTable.append(Seq(0).toDF("x"), b)
+    var landed = Set(0)
+    for (i <- 1 to 8) {
+      val crash = rnd.nextInt(5) // 0 = clean, 1..3 = injected crash, 4 = clean
+      val point = if (crash >= 1 && crash <= 3) crash else 0
+      try {
+        ManifestTable.commitTxn(Seq(
+          TxnWrite(Seq(i).toDF("x"), a),
+          TxnWrite(Seq(-i).toDF("x"), b)), Some(s"p-$i"), crashPoint = point)
+        landed += i
+      } catch { case _: RuntimeException => () }
+      if (point != 0) {
+        // crashed: recover (both tables named, random order — an
+        // undecided txn has no marker, so recovery cannot discover
+        // participants and must be told them; the docs pin this), then
+        // replay the txn — decided crashes roll forward (replay
+        // no-ops), undecided roll back (replay lands it fresh)
+        ManifestTable.recoverTxn(if (rnd.nextBoolean()) Seq(a, b) else Seq(b, a))
+        ManifestTable.commitTxn(Seq(
+          TxnWrite(Seq(i).toDF("x"), a),
+          TxnWrite(Seq(-i).toDF("x"), b)), Some(s"p-$i"))
+        landed += i
+      }
+    }
+    val xa = ManifestTable.read(spark, a).as[Int].collect().toSet
+    val xb = ManifestTable.read(spark, b).as[Int].collect().toSet
+    assert(xa == landed, s"table a: $xa vs $landed")
+    assert(xb == landed.map(v => -v), "every txn must land on both sides exactly once")
+    assert(ManifestTable.versions(a).size == ManifestTable.versions(b).size,
+      "paired tables must advance in lockstep")
+  }
+
   test("change feed reconstructs the table exactly under randomized " +
       "merge histories (insert/update/delete mixes per commit)") {
     import graft.sources.ManifestTable
