@@ -1090,11 +1090,15 @@ object ManifestTable {
 
   /** Recover the named tables from an interrupted [[commitTxn]]:
     * decided txns (marker exists, found locally or via a pointer) roll
-    * FORWARD; everything else — undecided staged manifests, orphan
-    * pointers, empty version claims — rolls BACK. MUST only run while
-    * no writer is active on these tables (admin/startup context): an
-    * empty claim is indistinguishable from a live writer's in-flight
-    * claim, and recovery presumes it dead. */
+    * FORWARD — the marker names every participant, so recovery from
+    * ANY one table completes all of them; everything else — undecided
+    * staged manifests, orphan pointers, empty version claims — rolls
+    * BACK, and because an UNDECIDED txn has no marker there is nothing
+    * to discover its participants from: name every table that may have
+    * participated, or the un-named ones stay blocked on their claims.
+    * MUST only run while no writer is active on these tables
+    * (admin/startup context): an empty claim is indistinguishable from
+    * a live writer's in-flight claim, and recovery presumes it dead. */
   def recoverTxn(paths: Seq[String]): Unit = {
     def ls(md: Path): Seq[Path] =
       if (!Files.isDirectory(md)) Seq.empty
