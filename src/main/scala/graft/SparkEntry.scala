@@ -1533,6 +1533,76 @@ object SparkEntry {
         col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
     }),
 
+    "q118_cdc_replica" -> ((s, dir) => {
+      // CDC REPLICATION — the remaining classic consumer: a REPLICA
+      // table seeded from a snapshot and kept in sync by applying the
+      // streamed change feed as row-level MERGEs (inserts/postimages
+      // upsert, deletes delete — the feed's before-images carry full
+      // rows, so the apply needs no lookback). One replica commit per
+      // streamed source commit, idempotent via batch commit ids; after
+      // a merge + an append on the primary, the replica must equal the
+      // primary read row-for-row, and the replica goes under the
+      // oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q118-").toString
+      val t = s"$tmp/primary"; val r = s"$tmp/replica"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ManifestTable.overwrite(orders, t) // v1
+      // replica bootstraps from the v1 snapshot; the tail starts AFTER it
+      ManifestTable.overwrite(ManifestTable.read(s, t, Some(1L)), r)
+      val updates = orders
+        .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("op", lit("U"))
+      val inserts = orders.where(col("o_orderkey") % 11 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = orders.where(col("o_orderkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      val v2 = ManifestTable.merge(s, t,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("o_orderkey"), deleteWhen = Some(col("op") === "D"))
+      ManifestTable.materializeCdf(s, t, v2)
+      ManifestTable.append(orders.where(col("o_orderkey") % 11 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L), t) // v3
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            val sess = b.sparkSession
+            import org.apache.spark.sql.functions.{col => c, when => w, lit => l}
+            val src = b.toDF()
+              .where(c("_change_type") =!= "update_preimage")
+              .select(c("o_orderkey"), c("o_orderstatus"), c("o_totalprice"),
+                w(c("_change_type") === "delete", l("D")).otherwise(l("U"))
+                  .as("__op"))
+            ManifestTable.merge(sess, r, src, Seq("o_orderkey"),
+              deleteWhen = Some(c("__op") === "D"),
+              commitId = Some(s"rep-$id"))
+          }
+          ()
+        }
+        .start().awaitTermination()
+      require(ManifestTable.versions(r).size == 3,
+        "expected the seed plus one replica merge per streamed commit")
+      val replica = ManifestTable.read(s, r)
+      val primary = ManifestTable.read(s, t)
+      require(replica.exceptAll(primary).isEmpty &&
+        primary.exceptAll(replica).isEmpty,
+        "replica diverged from the primary")
+      replica.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    }),
+
     "q117_txn_cdf" -> ((s, dir) => {
       // CROSS-TABLE CDC CONSISTENCY — what atomic transactions buy a
       // change consumer: a fact table and its per-customer summary
@@ -6559,6 +6629,23 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q118: the replica must land on the rule sets' final state
+    // (merge rules + the appended slice)
+    "q118_cdc_replica" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders),
+         surv AS (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM base WHERE o_orderkey % 13 <> 0),
+         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+                   o_totalprice FROM base WHERE o_orderkey % 11 = 3),
+         app AS (SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
+                   o_totalprice FROM base WHERE o_orderkey % 11 = 7)
+         SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         FROM (SELECT * FROM surv UNION ALL SELECT * FROM ins
+               UNION ALL SELECT * FROM app)""",
     // q117: the summary feed keyed by paired commit version — txn 1
     // landed the %3==0 slice as version 1 on both tables, txn 2 the
     // %3==1 slice as version 2
