@@ -1772,6 +1772,42 @@ object SparkEntry {
           decSum(col("o_totalprice")).as("revenue"))
     }),
 
+    "q119_xml_roundtrip" -> ((s, dir) => {
+      // XML record ingestion (sources/XmlSource) — the last present-jar
+      // format leg next to q64 ORC / q95 CSV / q111 Avro: one records
+      // document per file through binaryFile (per-file parse
+      // parallelism), entity escaping and parsing owned by scala-xml
+      // (never hand-rolled), caller-stated schema because XML
+      // attributes are untyped text. The round-trip gate includes
+      // XML-hostile strings (quotes, angle brackets, ampersands in
+      // lang would break naive escaping — here the doc text itself
+      // carries them); the aggregate over the PARSED corpus goes under
+      // the oracle.
+      import graft.sources.XmlSource
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q119-").toString
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          // first 8 chars of the text ride along RAW — real corpus
+          // bytes through the escaper, not a sanitized projection
+          substring(col("text"), 1, 8).as("head"),
+          length(col("text")).cast("long").as("n_chars"),
+          (col("doc_id") % 3 === 0).as("flagged"))
+      val nFiles = XmlSource.write(src.repartition(4), tmp)
+      require(nFiles >= 1, "no xml files written")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("head", StringType), StructField("n_chars", LongType),
+        StructField("flagged", BooleanType)))
+      val back = XmlSource.read(s, tmp, schema)
+      require(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        "xml round-trip drifted from the source frame")
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+    }),
+
     "q111_avro_roundtrip" -> ((s, dir) => {
       // AVRO INGESTION (sources/AvroSource) — the landed-format leg next
       // to q64's ORC and q95's CSV, built without the spark-avro
@@ -6713,6 +6749,14 @@ object SparkEntry {
          SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
          FROM (SELECT * FROM surv UNION ALL SELECT * FROM ins
                UNION ALL SELECT * FROM app)""",
+    // q119: same contract as q111 on the XML leg — parse drift of any
+    // kind (escaping, types, row loss) breaks the hash
+    "q119_xml_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+         FROM documents GROUP BY lang""",
     // q111: the aggregate runs over the avro-parsed corpus; the oracle
     // recomputes from the source table — any parse drift (types, nulls,
     // row loss) breaks the hash
