@@ -1110,6 +1110,78 @@ object SparkEntry {
       exact
     }),
 
+    "q121_kll_mv" -> ((s, dir) => {
+      // INCREMENTAL QUANTILE maintenance — q103's sketch-table story
+      // for the OTHER non-additive aggregate: percentiles don't
+      // compose, but KLL sketches merge with a preserved rank bound
+      // (plans/KllSketch.scala — Spark ships hll_sketch_agg but no
+      // quantile sketch, so graft registers a native
+      // TypedImperativeAggregate pair over the DataSketches KLL on the
+      // classpath). Three ingest batches each commit only their own
+      // per-group sketch rows; the maintained answer is one union-agg
+      // over O(groups·batches) sketch rows — at 100 TB the p99 never
+      // rescans data. Gate: KLL's guarantee is on RANK, so for every
+      // group × rank both the batch-unioned and the single-pass
+      // estimates must sit within 3× the published normalized rank
+      // error (~1.65% at k=200) of the requested rank, measured
+      // against the data itself. Emits exact percentiles (q103's
+      // discipline: sketch gated in-query, oracle exact).
+      import graft.sources.ManifestTable
+      plans.GraftExtensions.register(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q121-").toString + "/sk"
+      (0 to 2).foreach { b =>
+        val part = orders.where(col("o_orderkey") % 3 === b)
+          .groupBy("o_orderstatus")
+          .agg(expr("graft_kll_agg(price)").as("sk"))
+          .withColumn("batch", lit(b))
+        if (b == 0) ManifestTable.overwrite(part, tmp)
+        else ManifestTable.append(part, tmp, commitId = Some(s"kll-$b"))
+        ()
+      }
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val eps = plans.KllSketchFns.rankError
+      def estCols(agg: String) = ps.zipWithIndex.map { case (p, i) =>
+        expr(s"graft_kll_quantile($agg, $p)").as(s"est_$i") }
+      val unioned = ManifestTable.read(s, tmp)
+        .groupBy("o_orderstatus").agg(expr("graft_kll_union(sk)").as("u"))
+        .select(col("o_orderstatus") +: estCols("u"): _*)
+      val single = orders.groupBy("o_orderstatus")
+        .agg(expr("graft_kll_agg(price)").as("u"))
+        .select(col("o_orderstatus") +: estCols("u"): _*)
+      def checkRanks(est: org.apache.spark.sql.DataFrame,
+          label: String): Unit = {
+        val leCols = ps.indices.map(i =>
+          sum(when(col("price") <= col(s"est_$i"), 1L).otherwise(0L))
+            .as(s"le_$i"))
+        val ranked = orders.join(broadcast(est), "o_orderstatus")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), leCols: _*)
+          .collect()
+        require(ranked.nonEmpty)
+        ranked.foreach { r =>
+          val n = r.getAs[Long]("n").toDouble
+          ps.zipWithIndex.foreach { case (p, i) =>
+            val rank = r.getAs[Long](s"le_$i") / n
+            require(math.abs(rank - p) <= 3 * eps,
+              s"$label rank of p$p estimate is $rank for " +
+                s"${r.get(0)} — outside 3×$eps")
+          }
+        }
+      }
+      checkRanks(unioned, "batch-unioned")
+      checkRanks(single, "single-pass")
+      orders.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(price, 0.25)"), 4).as("p25"),
+        round(expr("percentile(price, 0.5)"), 4).as("p50"),
+        round(expr("percentile(price, 0.75)"), 4).as("p75"),
+        round(expr("percentile(price, 0.95)"), 4).as("p95"))
+    }),
+
     "q102_bloom_skip" -> ((s, dir) => {
       // PER-FILE BLOOM INDEX under the gate (sources/BloomIndex.scala):
       // customers land hash-scattered across 8 files (repartition by
@@ -1601,6 +1673,105 @@ object SparkEntry {
         "replica diverged from the primary")
       replica.select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("double").as("o_totalprice"))
+    }),
+
+    "q120_cdc_scd2" -> ((s, dir) => {
+      // CDC → SCD2 — the HISTORY-PRESERVING feed consumer (q113
+      // reconstructs the latest state, q114 folds an aggregate, q118
+      // replicates; this one keeps every episode): the streamed change
+      // feed maintains a Type-2 dimension incrementally, one
+      // O(changed-keys) merge per commit (operators/Scd2.foldStep —
+      // close superseded current episodes, open new ones), never
+      // rescanning history. Gates: one dimension commit per streamed
+      // version; the incrementally-folded dimension equals
+      // Scd2.fromFeed's one-shot window-pass rebuild of the SAME
+      // drained feed row-for-row (the fold is checked against the
+      // declarative recompute it replaces); and the dimension's
+      // is_current slice equals the primary table read (history's head
+      // must be the present). The full episode history goes under the
+      // oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q120-").toString
+      val t = s"$tmp/t"; val dimT = s"$tmp/dim"; val feedT = s"$tmp/feed"
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ManifestTable.overwrite(customer, t) // v1
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      val v2 = ManifestTable.merge(s, t,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D"))
+      ManifestTable.materializeCdf(s, t, v2)
+      ManifestTable.append(customer.where(col("c_custkey") % 11 === 7)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L), t) // v3
+      val keys = Seq("c_custkey"); val attrs = Seq("c_name", "c_acctbal")
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1") // one fold per commit
+        .load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            val sess = b.sparkSession
+            import org.apache.spark.sql.functions.{col => c, lit => l}
+            val vr = b.agg(org.apache.spark.sql.functions.min(
+                c("_commit_version")),
+              org.apache.spark.sql.functions.max(c("_commit_version"))).head
+            require(vr.getLong(0) == vr.getLong(1),
+              "maxVersionsPerTrigger=1 must hand foldStep ONE commit")
+            val v = vr.getLong(0)
+            ManifestTable.append(b.toDF(), feedT, commitId = Some(s"feed-$id"))
+            val prev =
+              if (id == 0)
+                b.toDF().select(c("c_custkey"), c("c_name"), c("c_acctbal"))
+                  .limit(0)
+                  .withColumn("valid_from", l(0L))
+                  .withColumn("valid_to", l(null).cast("long"))
+                  .withColumn("is_current", l(true))
+              else ManifestTable.read(sess, dimT)
+            val step = graft.operators.Scd2.foldStep(prev, b.toDF(),
+              keys, attrs, v)
+            if (id == 0) ManifestTable.overwrite(step, dimT)
+            else {
+              ManifestTable.merge(sess, dimT, step,
+                keys :+ "valid_from", commitId = Some(s"scd2-$id"))
+              ()
+            }
+          }
+          ()
+        }
+        .start().awaitTermination()
+      require(ManifestTable.versions(dimT).size == 3,
+        "expected one dimension commit per streamed commit")
+      val dimCols = (keys ++ attrs ++
+        Seq("valid_from", "valid_to", "is_current")).map(col)
+      val dim = ManifestTable.read(s, dimT).select(dimCols: _*)
+      val rebuilt = graft.operators.Scd2.fromFeed(
+        ManifestTable.read(s, feedT), keys, attrs).select(dimCols: _*)
+      require(dim.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(dim).isEmpty,
+        "incremental SCD2 fold drifted from the one-shot feed rebuild")
+      val cur = dim.where(col("is_current"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val table = ManifestTable.read(s, t)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      require(cur.exceptAll(table).isEmpty && table.exceptAll(cur).isEmpty,
+        "the dimension's current slice must equal the primary table")
+      dim.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
     }),
 
     "q117_txn_cdf" -> ((s, dir) => {
@@ -6521,6 +6692,16 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q121: like q103, the sketch table is gated in-query (rank error
+    // of both union-mode and single-pass estimates against the data);
+    // the oracle checks the exact percentiles the query emits
+    "q121_kll_mv" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 4) AS p95
+         FROM orders GROUP BY 1""",
     // q103: the maintained sketch table's correctness is gated
     // in-query (merge-exactness + error bound); the oracle checks the
     // exact distinct counts the query emits
@@ -6731,6 +6912,37 @@ object SparkEntry {
          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice
          FROM allr GROUP BY 1""",
+    // q120: the full episode history is deterministic from the three
+    // commits' rule sets — v1 opens every customer (closed at 2 when
+    // v2 updates %7 keys or deletes %13 keys), v2 opens the updated
+    // episodes and the +10M inserts, v3 the +20M appends
+    "q120_cdc_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         v1 AS (SELECT c_custkey, c_name, c_acctbal,
+                  CAST(1 AS BIGINT) AS valid_from,
+                  CASE WHEN c_custkey % 13 = 0 OR c_custkey % 7 = 0
+                       THEN CAST(2 AS BIGINT)
+                       ELSE CAST(NULL AS BIGINT) END AS valid_to
+                FROM base),
+         v2new AS (SELECT c_custkey, upper(c_name) AS c_name,
+                     c_acctbal + 1000.0 AS c_acctbal,
+                     CAST(2 AS BIGINT) AS valid_from,
+                     CAST(NULL AS BIGINT) AS valid_to
+                   FROM base
+                   WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0),
+         v2ins AS (SELECT c_custkey + 10000000 AS c_custkey, c_name,
+                     c_acctbal, CAST(2 AS BIGINT) AS valid_from,
+                     CAST(NULL AS BIGINT) AS valid_to
+                   FROM base WHERE c_custkey % 11 = 3),
+         v3app AS (SELECT c_custkey + 20000000 AS c_custkey, c_name,
+                     c_acctbal, CAST(3 AS BIGINT) AS valid_from,
+                     CAST(NULL AS BIGINT) AS valid_to
+                   FROM base WHERE c_custkey % 11 = 7)
+         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           valid_from, valid_to, (valid_to IS NULL) AS is_current
+         FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2new
+               UNION ALL SELECT * FROM v2ins
+               UNION ALL SELECT * FROM v3app)""",
     // q113: the reconstruction-from-the-feed must land on the table the
     // three commits produced — the oracle recomputes that state from the
     // source rule sets directly

@@ -58,6 +58,26 @@ object GraftExtensions {
         require(exprs.length == 4,
           "graft_common_prefix(str, pos, str, pos) takes four arguments")
         CommonPrefixLength(exprs.head, exprs(1), exprs(2), exprs(3))
+      }),
+    ("graft_kll_agg",
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_kll_agg(double) takes one argument")
+        KllSketchAgg(exprs.head)
+      }),
+    ("graft_kll_union",
+      new ExpressionInfo(classOf[KllUnionAgg].getName, "graft_kll_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          "graft_kll_union(sketch) takes one argument")
+        KllUnionAgg(exprs.head)
+      }),
+    ("graft_kll_quantile",
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_kll_quantile(sketch, rank) takes two arguments")
+        KllQuantile(exprs.head, exprs(1))
       }))
 
   /** Register into an existing session (tests, shells). */
