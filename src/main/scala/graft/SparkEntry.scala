@@ -1182,6 +1182,109 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "q122_theta_overlap" -> ((s, dir) => {
+      // DISTINCT-COUNT SET ALGEBRA — the overlap question HLL cannot
+      // answer: |A∩B| across audience segments from per-segment theta
+      // sketches (plans/ThetaSketch.scala), built in ONE pass and
+      // intersected pairwise in O(k) — exact would re-shuffle raw user
+      // ids once per segment pair. Two distributed layers exercise
+      // both aggs: per-(segment, bucket) sketches union to segment
+      // level via graft_theta_union (the sketch-table shape), and
+      // graft_theta_intersect_bounds reads |A∩B| with the library's
+      // own 3-σ confidence interval. Gates: every segment's |A| (a
+      // sketch self-intersection) and every pair's |A∩B| must contain
+      // the exact count within the returned [lb, ub]. Emits the exact
+      // overlap matrix (sketch gated in-query, oracle exact).
+      plans.GraftExtensions.register(s)
+      val ev = Tables.eventsNanos(s, dir)
+        .select(col("user_id"), col("event_type"))
+      val bucketed = ev.withColumn("b", col("user_id") % 4)
+        .groupBy("event_type", "b")
+        .agg(expr("graft_theta_agg(user_id)").as("sk"))
+      val sk = bucketed.groupBy("event_type")
+        .agg(expr("graft_theta_union(sk)").as("sk"))
+      val d = ev.distinct()
+      // per-segment cardinality gate: A∩A = A, so the self-intersection
+      // bounds must hold the exact distinct count
+      val selfChecked = sk
+        .select(col("event_type"),
+          expr("graft_theta_intersect_bounds(sk, sk)").as("bnd"))
+        .join(d.groupBy("event_type").agg(count(lit(1)).as("n")),
+          "event_type")
+        .collect()
+      require(selfChecked.nonEmpty)
+      selfChecked.foreach { r =>
+        val bnd = r.getSeq[Double](r.fieldIndex("bnd"))
+        val n = r.getAs[Long]("n").toDouble
+        require(bnd(0) <= n && n <= bnd(2),
+          s"|${r.get(0)}| = $n outside sketch bounds [${bnd(0)}, ${bnd(2)}]")
+      }
+      val est = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("seg_a"),
+          col("b.event_type").as("seg_b"),
+          expr("graft_theta_intersect_bounds(a.sk, b.sk)").as("bnd"))
+      val exact = d.as("x").join(d.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("seg_a"),
+          col("y.event_type").as("seg_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val joined = est.join(exact, Seq("seg_a", "seg_b"), "left")
+        .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+      val rows = joined.collect()
+      require(rows.nonEmpty)
+      rows.foreach { r =>
+        val bnd = r.getSeq[Double](r.fieldIndex("bnd"))
+        val n = r.getAs[Long]("n_both").toDouble
+        require(bnd(0) <= n && n <= bnd(2),
+          s"overlap ${r.get(0)}∩${r.get(1)} = $n outside " +
+            s"sketch bounds [${bnd(0)}, ${bnd(2)}]")
+      }
+      joined.select(col("seg_a"), col("seg_b"), col("n_both"))
+    }),
+
+    "q123_freq_tokens" -> ((s, dir) => {
+      // HEAVY HITTERS over the token stream — Misra-Gries
+      // (plans/FreqSketch.scala): dominant tokens of a corpus in one
+      // pass with O(maxMapSize) state per partition and a lossless
+      // merge, where exact over 100 TB shuffles every token. The
+      // sketch's guarantees are one-sided and checkable, so the gates
+      // are contracts, not tolerances: stream length through all
+      // partial merges is EXACT; with NO_FALSE_NEGATIVES the returned
+      // set is a superset of the true ≥threshold tokens; every
+      // returned item's exact count sits in its [lb, ub]. Emits the
+      // exact heavy-token table (threshold = 0.5% of the stream).
+      plans.GraftExtensions.register(s)
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val skBytes = toks.agg(expr("graft_freq_agg(token)"))
+        .head.getAs[Array[Byte]](0)
+      val total = plans.FreqSketchFns.streamLength(skBytes)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      val exactTotal = exact.agg(sum(col("n"))).head.getLong(0)
+      require(total == exactTotal,
+        s"stream length drifted through merges: $total vs $exactTotal")
+      val threshold = math.max(1L, total / 200L)
+      val heavy = plans.FreqSketchFns.frequentItems(skBytes, threshold)
+      val trueHeavy = exact.where(col("n") >= threshold)
+      val returned = heavy.map(_._1).toSet
+      val missingHeavy = trueHeavy.select("token").collect()
+        .map(_.getString(0)).filterNot(returned.contains)
+      require(missingHeavy.isEmpty,
+        s"NO_FALSE_NEGATIVES violated: missing ${missingHeavy.toSeq}")
+      val exactOfReturned = exact
+        .where(col("token").isin(heavy.map(_._1): _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      heavy.foreach { case (item, _, lb, ub) =>
+        val n = exactOfReturned.getOrElse(item, 0L)
+        require(lb <= n && n <= ub,
+          s"'$item' exact count $n outside sketch bounds [$lb, $ub]")
+      }
+      trueHeavy
+    }),
+
     "q102_bloom_skip" -> ((s, dir) => {
       // PER-FILE BLOOM INDEX under the gate (sources/BloomIndex.scala):
       // customers land hash-scattered across 8 files (repartition by
@@ -6692,6 +6795,36 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q122: the sketch estimates are gated in-query against the
+    // library's own confidence intervals; the oracle checks the exact
+    // pairwise overlap matrix the query emits (zero-overlap pairs
+    // included — the estimator must not invent or drop pairs)
+    "q122_theta_overlap" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+         p AS (SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+                 count(*) AS n
+               FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+               GROUP BY 1, 2),
+         segs AS (SELECT DISTINCT event_type FROM events)
+         SELECT s1.event_type AS seg_a, s2.event_type AS seg_b,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_both
+         FROM segs s1 JOIN segs s2 ON s1.event_type < s2.event_type
+         LEFT JOIN p ON p.seg_a = s1.event_type
+           AND p.seg_b = s2.event_type""",
+    // q123: sketch contracts (exact stream length, no-false-negatives
+    // superset, per-item bounds) are gated in-query; the oracle checks
+    // the exact heavy-token table — tokenization parity with Spark's
+    // split is the tx16-proven string_split_regex('\s+')
+    "q123_freq_tokens" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         t AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+               FROM toks WHERE token <> '' GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM t)
+         SELECT token, n FROM t, tot
+         WHERE n >= greatest(1, total // 200)""",
     // q121: like q103, the sketch table is gated in-query (rank error
     // of both union-mode and single-pass estimates against the data);
     // the oracle checks the exact percentiles the query emits

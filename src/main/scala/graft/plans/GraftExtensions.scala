@@ -78,6 +78,35 @@ object GraftExtensions {
         require(exprs.length == 2,
           "graft_kll_quantile(sketch, rank) takes two arguments")
         KllQuantile(exprs.head, exprs(1))
+      }),
+    ("graft_theta_agg",
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          "graft_theta_agg(long) takes one argument")
+        ThetaSketchAgg(exprs.head)
+      }),
+    ("graft_theta_union",
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "graft_theta_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          "graft_theta_union(sketch) takes one argument")
+        ThetaUnionAgg(exprs.head)
+      }),
+    ("graft_theta_intersect_bounds",
+      new ExpressionInfo(classOf[ThetaIntersectBounds].getName,
+        "graft_theta_intersect_bounds"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_theta_intersect_bounds(a, b) takes two arguments")
+        ThetaIntersectBounds(exprs.head, exprs(1))
+      }),
+    ("graft_freq_agg",
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "graft_freq_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          "graft_freq_agg(str) takes one argument")
+        FreqItemsAgg(exprs.head)
       }))
 
   /** Register into an existing session (tests, shells). */
