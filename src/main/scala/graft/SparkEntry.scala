@@ -1182,6 +1182,23 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "q124_seq_match" -> ((s, dir) => {
+      // PATTERN SPANS — q29's funnel generalized to a step chain with
+      // per-step time constraints, emitting the matched span
+      // (operators/SequenceMatch, greedy-earliest semantics: each step
+      // binds the earliest qualifying event after the previous
+      // binding, within the gap). signup → click ≤7d → purchase ≤7d
+      // per user; one filtered pass + co-keyed join + partial-agg min
+      // per step, accumulator shrinking monotonically — no window sort
+      // over the full stream, no per-key event lists.
+      import operators.SequenceMatch.{Step, earliest}
+      val week = 7L * 86400L * 1000000000L
+      earliest(Tables.eventsNanos(s, dir), "user_id", "ts", Seq(
+        Step("signup", col("event_type") === "signup"),
+        Step("click", col("event_type") === "click", Some(week)),
+        Step("purchase", col("event_type") === "purchase", Some(week))))
+    }),
+
     "q122_theta_overlap" -> ((s, dir) => {
       // DISTINCT-COUNT SET ALGEBRA — the overlap question HLL cannot
       // answer: |A∩B| across audience segments from per-segment theta
@@ -6795,6 +6812,25 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q124: greedy-earliest is deterministic, so the oracle replays the
+    // same chain step by step with grouped mins
+    "q124_seq_match" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn
+                    FROM events),
+         s1 AS (SELECT user_id, min(tsn) AS t_signup FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, t_signup, min(tsn) AS t_click
+                FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND tsn > t_signup
+                  AND tsn - t_signup <= 604800000000000
+                GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, t_signup, t_click,
+                  min(tsn) AS t_purchase
+                FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND tsn > t_click
+                  AND tsn - t_click <= 604800000000000
+                GROUP BY 1, 2, 3)
+         SELECT user_id, t_signup, t_click, t_purchase FROM s3""",
     // q122: the sketch estimates are gated in-query against the
     // library's own confidence intervals; the oracle checks the exact
     // pairwise overlap matrix the query emits (zero-overlap pairs
