@@ -1182,6 +1182,53 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "q125_trigram_skip" -> ((s, dir) => {
+      // SUBSTRING file-skipping (sources/TrigramIndex.scala — pg_trgm /
+      // ClickHouse ngrambf_v1 on the manifest format): `LIKE '%term%'`
+      // is the filter family neither min/max stats nor the value-level
+      // Bloom index can touch. Per-file Bloom sidecars over distinct
+      // character trigrams prove "no value here contains term" when ANY
+      // probe trigram is absent — no false negatives by construction,
+      // false positives cost a scanned file, never a wrong row. The
+      // win case is file-clustered text (URLs by crawl shard): docs
+      // land partitioned by source, so a source-anchored URL fragment
+      // localizes to the files holding that source. Gates: min/max
+      // stats prune nothing for the probe; the trigram index scans
+      // ≤ half the files; build is incremental; the pruned read equals
+      // the plain contains filter exactly (and is non-empty).
+      import graft.sources.{ManifestTable, TrigramIndex}
+      import graft.conditions.{Condition, Op}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q125-").toString + "/t"
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id").cast("string")))
+        .select("doc_id", "source", "url")
+      ManifestTable.overwrite(docs.repartition(8, col("source")), tmp)
+      val built = TrigramIndex.build(s, tmp, "url")
+      require(built > 0, "trigram build indexed nothing")
+      require(TrigramIndex.build(s, tmp, "url") == 0,
+        "trigram build is not incremental (re-indexed existing files)")
+      val term = "src7.example"
+      val all = ManifestTable.dataFiles(tmp)
+      val statsKept = ManifestTable.statsSurvivors(tmp,
+        Seq(Condition("url", Op.Contains, term)))
+      require(statsKept.size == all.size,
+        "min/max stats must be blind to a substring probe")
+      val survivors = TrigramIndex.pruneFiles(tmp, "url", term)
+      require(survivors.size * 2 <= all.size,
+        s"trigram index kept ${survivors.size} of ${all.size} files " +
+          s"for a source-anchored probe")
+      val pruned = ManifestTable.readWhereContains(s, tmp, "url", term)
+      val plain = ManifestTable.read(s, tmp)
+        .where(col("url").contains(term))
+      require(pruned.exceptAll(plain).isEmpty &&
+        plain.exceptAll(pruned).isEmpty,
+        "trigram-pruned read drifted from the plain filter")
+      require(pruned.count() > 0, "the probe term must match real rows")
+      pruned.select(col("doc_id"), col("source"), col("url"))
+    }),
+
     "q124_seq_match" -> ((s, dir) => {
       // PATTERN SPANS — q29's funnel generalized to a step chain with
       // per-step time constraints, emitting the matched span
@@ -6812,6 +6859,16 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q125: pruning is file-granular and provably sound; the residual
+    // filter restores row-level exactness, so the result is the plain
+    // substring filter
+    "q125_trigram_skip" ->
+      """SELECT doc_id, source,
+           'https://' || source || '.example.com/doc/' ||
+             CAST(doc_id AS VARCHAR) AS url
+         FROM documents
+         WHERE contains('https://' || source || '.example.com/doc/' ||
+             CAST(doc_id AS VARCHAR), 'src7.example')""",
     // q124: greedy-earliest is deterministic, so the oracle replays the
     // same chain step by step with grouped mins
     "q124_seq_match" ->

@@ -562,6 +562,23 @@ object ManifestTable {
     else reconcile(spark, path, m, survivors).where(residual)
   }
 
+  /** Substring-probe read through the [[TrigramIndex]] sidecars: scan
+    * only files that might hold a value containing `term` in `col`,
+    * with the exact `contains` filter as the residual (trigram pruning
+    * is file-granular and sound — no false negatives — so the residual
+    * restores row-level exactness). Unindexed files scan. */
+  def readWhereContains(spark: SparkSession, path: String, col: String,
+      term: String, version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    val survivors = m.files.filter(f =>
+      TrigramIndex.mightContainSubstring(path, f, col, term))
+    val residual = org.apache.spark.sql.functions.col(col).contains(term)
+    if (survivors.isEmpty)
+      read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
+    else reconcile(spark, path, m, survivors).where(residual)
+  }
+
   /** (files a readWhere would scan, total files) at a version — the
     * observable the data-skipping gate asserts on. */
   def pruneCount(path: String, conds: Seq[graft.conditions.Condition],
