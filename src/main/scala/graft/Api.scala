@@ -238,6 +238,25 @@ object ApiServer {
                 spark, tablePath, cons)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("constraints_version" -> v) ~ ("constraints" -> cons))))
+            case ("POST", List("index", "bloom")) =>
+              // build the per-file value Bloom index: ?cols=a,b
+              val cols = queryParams(ex).get("cols")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq.empty)
+              require(cols.nonEmpty, "index/bloom needs ?cols=<a,b,...>")
+              val n = graft.sources.BloomIndex.build(spark, tablePath, cols)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("index" -> "bloom") ~ ("cols" -> cols.toList) ~
+                  ("sidecars_written" -> n))))
+            case ("POST", List("index", "trigram")) =>
+              // build the per-file substring trigram index: ?col=x
+              val c = queryParams(ex).get("col").getOrElse(
+                throw new IllegalArgumentException(
+                  "index/trigram needs ?col=<column>"))
+              val n = graft.sources.TrigramIndex.build(spark, tablePath, c)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("index" -> "trigram") ~ ("col" -> c) ~
+                  ("sidecars_written" -> n))))
             case ("POST", List("fold_deletes")) =>
               // targeted MoR maintenance: fold the delete ledger
               // rewriting only stats-affected files (ManifestTable

@@ -1182,6 +1182,26 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "q126_range_frame" -> ((s, dir) => {
+      // TIME-RANGE window frames — RANGE BETWEEN over the actual time
+      // axis (q31's suite is ROWS/rank-style): each event sees its
+      // user's trailing 7 DAYS, however many events that is — the
+      // rolling-activity shape (rate limits, trailing spend, velocity
+      // features) that row-count frames cannot express. One sort per
+      // user partition serves both aggregates; ties (RANGE peers) are
+      // included by both engines by definition, and the sum runs over
+      // DECIMAL so the frame's accumulation order cannot smear the
+      // hash.
+      val week = 7L * 86400L * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-week, Window.currentRow)
+      Tables.eventsNanos(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("value").cast(dec)).over(w).cast("double").as("sum_7d"))
+    }),
+
     "q125_trigram_skip" -> ((s, dir) => {
       // SUBSTRING file-skipping (sources/TrigramIndex.scala — pg_trgm /
       // ClickHouse ngrambf_v1 on the manifest format): `LIKE '%term%'`
@@ -6859,6 +6879,16 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q126: RANGE frames over epoch nanos — peers included by
+    // definition in both engines; decimal sum keeps the hash exact
+    "q126_range_frame" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_7d
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+           RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)""",
     // q125: pruning is file-granular and provably sound; the residual
     // filter restores row-level exactness, so the result is the plain
     // substring filter

@@ -143,4 +143,23 @@ object TrigramIndex {
   def pruneFiles(path: String, col: String, term: String): Seq[String] =
     ManifestTable.dataFiles(path)
       .filter(f => mightContainSubstring(path, f, col, term))
+
+  /** Delete sidecars whose data file no longer exists (vacuumed) —
+    * run after [[ManifestTable.vacuum]]. Returns names removed. */
+  def vacuum(path: String): Seq[String] = {
+    val d = indexDir(path)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val dataDir = Paths.get(path, "data")
+    val orphans = Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala.filter { p =>
+        val parts = p.getFileName.toString.split("\\.")
+        parts.length >= 3 && {
+          val dataFile = parts.dropRight(2).mkString(".")
+          !Files.exists(dataDir.resolve(dataFile))
+        }
+      }.toSeq
+    }
+    orphans.foreach(Files.delete)
+    orphans.map(_.getFileName.toString)
+  }
 }

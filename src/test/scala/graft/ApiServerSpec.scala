@@ -111,6 +111,39 @@ class ApiServerSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("index endpoints build bloom and trigram sidecars that serve reads") {
+    import graft.sources.{ManifestTable, ManifestWarehouse, TrigramIndex}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-api-idx-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("idxlake", "idx lake", "lake", "manifest"),
+      () => ManifestWarehouse("idxlake", base))
+    ManifestTable.overwrite(
+      (1L to 200L).map(i => (i, s"value-$i")).toDF("k", "txt")
+        .repartition(4, col("k")), s"$base/items")
+    val api = ApiServer.start(spark)
+    try {
+      val b = Http.post(
+        s"${api.baseUrl}/table/idxlake/items/index/bloom?cols=k",
+        Map.empty, "", "application/json")
+      assert(b.contains("\"sidecars_written\":4"), b)
+      val b2 = Http.post(
+        s"${api.baseUrl}/table/idxlake/items/index/bloom?cols=k",
+        Map.empty, "", "application/json")
+      assert(b2.contains("\"sidecars_written\":0"), b2)
+      val t1 = Http.post(
+        s"${api.baseUrl}/table/idxlake/items/index/trigram?col=txt",
+        Map.empty, "", "application/json")
+      assert(t1.contains("\"sidecars_written\":4"), t1)
+      // the built indexes actually serve pruned, exact reads
+      assert(TrigramIndex.indexedFiles(s"$base/items", "txt").size == 4)
+      assert(ManifestTable.readWhereContains(
+        spark, s"$base/items", "txt", "value-200").count() == 1)
+    } finally api.stop()
+  }
+
   test("/run/pull reports per-run HTTP request/retry counters for a REST origin") {
     import graft.sources.{RequestMetrics, RestFixture, RestWarehouse}
     WarehouseRegistry.clear()

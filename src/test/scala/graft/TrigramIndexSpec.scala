@@ -60,6 +60,21 @@ class TrigramIndexSpec extends SparkSpecBase {
     assert(TrigramIndex.pruneFiles(t, "txt", "zebra").size == 1)
   }
 
+  test("vacuum sweeps sidecars of physically freed files") {
+    val t = mkTable((1L to 40L).map(i => i -> s"alpha $i"), 2)
+    assert(TrigramIndex.build(spark, t, "txt") == 2)
+    ManifestTable.overwrite(
+      (1L to 40L).map(i => i -> s"beta $i").toDF("id", "txt")
+        .coalesce(1), t)
+    ManifestTable.expire(t, keepLast = 1, vacuumMinAgeMs = 0L)
+    val removed = TrigramIndex.vacuum(t)
+    assert(removed.size == 2, s"expected both orphan sidecars, got $removed")
+    // the rewritten file is unindexed → conservative scan, exact result
+    assert(ManifestTable.readWhereContains(spark, t, "txt", "beta 7")
+      .count() == 1)
+    assert(TrigramIndex.build(spark, t, "txt") == 1)
+  }
+
   test("all-null and empty string columns index soundly") {
     val t = java.nio.file.Files
       .createTempDirectory("trigram-spec-").toString + "/t"
