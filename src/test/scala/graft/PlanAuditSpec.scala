@@ -8,6 +8,31 @@ class PlanAuditSpec extends SparkSpecBase {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("sketch aggregates run as ObjectHashAggregate with partial merge") {
+    // the KLL/theta/freq TypedImperativeAggregates must execute in the
+    // object-hash operator (in-memory sketch buffers, bytes only at
+    // exchange boundaries); falling back to SortAggregate would add a
+    // full sort of the input per grouping — the 100 TB regression. The
+    // partial_ stage proves map-side sketching (only k-sized sketches
+    // cross the wire, never raw rows).
+    import graft.plans.GraftExtensions
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    for (agg <- Seq("graft_kll_agg(cast(o_totalprice as double))",
+        "graft_theta_agg(o_custkey)",
+        "graft_freq_agg(o_orderpriority)")) {
+      val p = orders.groupBy("o_orderstatus").agg(expr(agg))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate"),
+        s"$agg not in ObjectHashAggregate:\n${p.take(800)}")
+      assert(p.contains("partial_"),
+        s"$agg lost its map-side partial stage:\n${p.take(800)}")
+      assert(!p.contains("SortAggregate"),
+        s"$agg fell back to SortAggregate:\n${p.take(800)}")
+    }
+  }
+
   test("tx19/tx20 gram shuffle carries 8-byte xxhash64 keys, not raw grams") {
     // the exact-substring pipeline's one big shuffle must be keyed by
     // the gram's hash (~5× lighter at n=40); a raw-substring key
