@@ -1182,6 +1182,105 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "q127_cdf_redaction" -> ((s, dir) => {
+      // CHANGE-FEED REDACTION — the compliance gap the CDC story opens
+      // and q88's table-side erasure cannot close: a merge commit's
+      // _change_data file persists FULL before/after images (delete
+      // preimages included), so a forgotten subject's attributes
+      // survive under _change_data after data/ is scrubbed. Dropping
+      // rows would break replay (consumers must still see tombstones
+      // and version structure), so ManifestTable.redactCdf NULLs the
+      // subject's attribute columns in place, atomically, keeping key
+      // + _change_type + _commit_version. Gates: the gap is REAL
+      // before (subject attrs present, delete preimages included);
+      // redaction is idempotent; after, zero subject attributes remain
+      // in any change file while row counts and every OTHER row are
+      // byte-identical; a from-scratch streamed replay still drains,
+      // and its reconstruction — subjects' surviving rows now
+      // attribute-less — goes under the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q127-").toString
+      val t = s"$tmp/t"
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ManifestTable.overwrite(customer, t) // v1
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, t,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D")) // v2
+      ManifestTable.materializeCdf(s, t, 2L)
+      ManifestTable.append(customer.where(col("c_custkey") % 11 === 7)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L), t) // v3
+      // the subjects: v2-touched keys divisible by 5
+      val forget = customer.where(col("c_custkey") % 5 === 0 &&
+          (col("c_custkey") % 13 === 0 || col("c_custkey") % 7 === 0))
+        .select("c_custkey").collect().map(_.getLong(0)).toSeq
+      require(forget.nonEmpty)
+      val cdfPath = ManifestTable.cdfFile(t, 2L).toString
+      val beforeDf = s.read.parquet(cdfPath)
+      val beforeRows = beforeDf.collect().toSeq
+      val hit = col("c_custkey").isin(forget: _*)
+      require(beforeDf.where(hit && col("c_name").isNotNull).count() > 0,
+        "gate vacuous: no subject attributes in the change file")
+      require(beforeDf.where(hit &&
+          col("_change_type") === "delete").count() > 0,
+        "the subject set must include deleted keys — their preimages " +
+          "are exactly what table-side erasure cannot reach")
+      val attrs = Seq("c_name", "c_acctbal")
+      val n = ManifestTable.redactCdf(s, t, "c_custkey", forget, attrs)
+      require(n > 0, "redaction touched nothing")
+      require(ManifestTable.redactCdf(s, t, "c_custkey", forget, attrs) == 0,
+        "redaction must be idempotent")
+      val after = s.read.parquet(cdfPath)
+      require(after.where(hit && (col("c_name").isNotNull ||
+          col("c_acctbal").isNotNull)).count() == 0,
+        "subject attributes survived redaction")
+      require(after.count() == beforeRows.size,
+        "redaction must preserve replay structure (row counts)")
+      val beforeOthers = s.createDataFrame(
+        beforeRows.filterNot(r =>
+          forget.contains(r.getAs[Long]("c_custkey"))).asJava,
+        beforeDf.schema)
+      val afterOthers = after.where(!hit)
+      require(afterOthers.exceptAll(beforeOthers).isEmpty &&
+        beforeOthers.exceptAll(afterOthers).isEmpty,
+        "redaction altered non-subject rows")
+      // from-scratch replay over the redacted feed
+      val out = s"$tmp/feed"
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty)
+            ManifestTable.append(b.toDF(), out, commitId = Some(s"c-$id"))
+          ()
+        }
+        .start().awaitTermination()
+      val feed = ManifestTable.read(s, out)
+      val w = Window.partitionBy("c_custkey").orderBy(
+        col("_commit_version").desc,
+        when(col("_change_type") === "update_preimage", 1).otherwise(0))
+      feed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1 &&
+          col("_change_type").isin("insert", "update_postimage"))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+    }),
+
     "q126_range_frame" -> ((s, dir) => {
       // TIME-RANGE window frames — RANGE BETWEEN over the actual time
       // axis (q31's suite is ROWS/rank-style): each event sees its
@@ -6879,6 +6978,26 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q127: reconstruction from the REDACTED feed — forgotten deleted
+    // keys stay absent, forgotten updated keys survive attribute-less
+    // (their postimages were nulled), everyone else is untouched
+    "q127_cdf_redaction" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         surv AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 AND c_custkey % 5 = 0 THEN NULL
+                  WHEN c_custkey % 7 = 0 THEN upper(c_name)
+                  ELSE c_name END AS c_name,
+             CASE WHEN c_custkey % 7 = 0 AND c_custkey % 5 = 0 THEN NULL
+                  WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 13 <> 0),
+         ins AS (SELECT c_custkey + 10000000 AS c_custkey, c_name,
+                   c_acctbal FROM base WHERE c_custkey % 11 = 3),
+         app AS (SELECT c_custkey + 20000000 AS c_custkey, c_name,
+                   c_acctbal FROM base WHERE c_custkey % 11 = 7)
+         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+         FROM (SELECT * FROM surv UNION ALL SELECT * FROM ins
+               UNION ALL SELECT * FROM app)""",
     // q126: RANGE frames over epoch nanos — peers included by
     // definition in both engines; decimal sum keeps the hash exact
     "q126_range_frame" ->

@@ -1840,6 +1840,74 @@ object ManifestTable {
     }
   }
 
+  /** ATTRIBUTE REDACTION across the persisted change feed — the
+    * compliance gap [[materializeCdf]] opens: a merge commit's
+    * `_change_data` file carries FULL before/after images (delete rows
+    * included), so a subject's attributes survive under `_change_data`
+    * after the q88-style table-side erasure has scrubbed `data/`.
+    * Dropping the rows would break feed replay (consumers must still
+    * see the tombstones and version structure), so redaction NULLs the
+    * attribute columns of the subject's change rows in place and keeps
+    * key, `_change_type`, and `_commit_version` intact: replay
+    * row-counts and reconstruction of every OTHER key are unchanged by
+    * construction. Files are rewritten via stage + atomic replace;
+    * the operation is idempotent (already-null rows don't count).
+    *
+    * Scope: this redacts the FEED. Full erasure composes three
+    * existing pieces — table-side hard delete (merge + compactDeletes
+    * + vacuum, the q88 pipeline) for current data, version expiry for
+    * historical data files, and this for the change feed. Checkpointed
+    * consumers that already drained the rows hold their own copies —
+    * redaction cannot reach those, which is exactly why it must run at
+    * the source. Returns the number of change rows redacted. */
+  def redactCdf(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Any], attrCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keys.nonEmpty, "redactCdf needs the subject's keys")
+    require(attrCols.nonEmpty, "redactCdf needs the attribute columns")
+    val cdfDir = Paths.get(path, "_change_data")
+    if (!Files.isDirectory(cdfDir)) return 0L
+    val files = Using.resource(Files.list(cdfDir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.parquet")).toSeq
+    }
+    var redacted = 0L
+    files.foreach { p =>
+      val df = spark.read.parquet(p.toString)
+      val cols = df.columns.toSet
+      if (cols.contains(keyCol) && attrCols.forall(cols.contains)) {
+        val hit = col(keyCol).isin(keys: _*)
+        val dirty = df.where(hit &&
+          attrCols.map(col(_).isNotNull).reduce(_ || _)).count()
+        if (dirty > 0) {
+          val out = df.select(df.columns.map { c =>
+            if (attrCols.contains(c)) when(hit, lit(null)).otherwise(col(c)).as(c)
+            else col(c)
+          }.toSeq: _*)
+          val stageRoot = Files.createTempDirectory(cdfDir, ".redact-stage-")
+          try {
+            val stage = stageRoot.resolve("out")
+            out.coalesce(1).write.parquet(stage.toString)
+            val part = Using.resource(Files.list(stage)) { st =>
+              st.iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet"))
+            }.getOrElse(throw new IllegalStateException(
+              "redaction rewrite produced no file"))
+            Files.move(part, p, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            redacted += dirty
+          } finally {
+            Using.resource(Files.walk(stageRoot)) { st =>
+              st.iterator().asScala.toSeq.reverse.foreach(q =>
+                try { Files.deleteIfExists(q); () } catch { case _: Throwable => () })
+            }
+          }
+        }
+      }
+    }
+    redacted
+  }
+
   private[graft] def cdfFile(path: String, v: Long): Path =
     Paths.get(path, "_change_data").resolve(f"v$v%08d.parquet")
 
@@ -2115,9 +2183,10 @@ object ManifestTable {
         .toSeq
     }
     orphans.foreach(Files.delete)
-    // Bloom sidecars are keyed by data-file name: drop the ones whose
-    // file just died (or died in an earlier vacuum)
+    // Bloom/trigram sidecars are keyed by data-file name: drop the ones
+    // whose file just died (or died in an earlier vacuum)
     BloomIndex.vacuum(path)
+    TrigramIndex.vacuum(path)
     // change-data files are keyed by VERSION: once a version's manifest
     // expired it can never be planned by the change feed again — sweep
     // its CDF (and any aged-out crashed materialization stage) under

@@ -1151,4 +1151,31 @@ class ManifestTableSpec extends SparkSpecBase {
     ManifestTable.append(Seq((10, 0)).toDF("k", "v"), t)
     assert(ManifestTable.read(spark, t).count() == 2)
   }
+
+  test("redactCdf: no feed is a no-op; missing columns are skipped; " +
+      "attributes null in place with structure intact") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    ManifestTable.overwrite(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v"), t)
+    // no _change_data yet
+    assert(ManifestTable.redactCdf(spark, t, "k", Seq(1L), Seq("s")) == 0L)
+    ManifestTable.merge(spark, t,
+      Seq((2L, "B", 22, "U"), (3L, "c", 30, "D")).toDF("k", "s", "v", "op"),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    ManifestTable.materializeCdf(spark, t, 2L)
+    // a key column the file doesn't have: skipped, nothing redacted
+    assert(ManifestTable.redactCdf(spark, t, "nope", Seq(1L), Seq("s")) == 0L)
+    // redact subject 2 and the deleted subject 3
+    val n = ManifestTable.redactCdf(spark, t, "k", Seq(2L, 3L), Seq("s", "v"))
+    assert(n > 0)
+    val cdf = spark.read.parquet(ManifestTable.cdfFile(t, 2L).toString)
+    assert(cdf.where(col("k").isin(2L, 3L) &&
+      (col("s").isNotNull || col("v").isNotNull)).isEmpty)
+    // tombstone structure intact: the delete row for 3 still replays
+    assert(cdf.where(col("k") === 3L &&
+      col("_change_type") === "delete").count() == 1)
+    assert(cdf.where(col("k") === 2L).count() == 2,
+      "pre/postimage pair must survive redaction")
+  }
 }
