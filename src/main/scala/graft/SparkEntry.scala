@@ -1182,6 +1182,98 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "q128_total_erasure" -> ((s, dir) => {
+      // TOTAL ERASURE — the composition q88 (table-side hard delete),
+      // q127 (feed redaction), and version expiry exist for, run in
+      // the one order that leaves no window: redact the live feed
+      // FIRST (subject attributes must not linger unredacted while the
+      // retention window drains), then MoR-delete + fold + expire +
+      // vacuum. The gate then walks EVERY surviving parquet byte under
+      // the table root — data files, change files, whatever else is
+      // on disk — and requires zero subject rows in data surfaces and
+      // zero subject attributes anywhere (redacted tombstone KEYS are
+      // retained by design: consumers need the deletion events).
+      // Sidecar hygiene rides the same walk: surviving index files
+      // belong only to live data files, which hold no subject rows, so
+      // no index derives from subject data. The subject set crosses
+      // original, updated, deleted, AND synthesized (+10M/+20M) keys.
+      import graft.sources.{BloomIndex, ManifestTable, TrigramIndex}
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q128-").toString
+      val t = s"$tmp/t"
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ManifestTable.overwrite(customer, t) // v1
+      val updates = customer
+        .where(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_name", upper(col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U"))
+      val inserts = customer.where(col("c_custkey") % 11 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("op", lit("U"))
+      val deletes = customer.where(col("c_custkey") % 13 === 0)
+        .withColumn("op", lit("D"))
+      ManifestTable.merge(s, t,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D")) // v2
+      ManifestTable.materializeCdf(s, t, 2L)
+      ManifestTable.append(customer.where(col("c_custkey") % 11 === 7)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L), t) // v3
+      BloomIndex.build(s, t, Seq("c_custkey"))
+      TrigramIndex.build(s, t, "c_name")
+      // the subjects: every live key ≡ 0 (mod 9) — original, updated,
+      // and synthesized ranges alike
+      val subjectPred = col("c_custkey") % 9 === 0
+      val forget = ManifestTable.read(s, t).where(subjectPred)
+        .select("c_custkey").collect().map(_.getLong(0)).toSeq
+      require(forget.nonEmpty)
+      val attrs = Seq("c_name", "c_acctbal")
+      // 1. redact the live feed first — no unredacted-lingering window
+      require(ManifestTable.redactCdf(s, t, "c_custkey", forget, attrs) > 0)
+      // 2. table-side hard delete (v4), its own change file redacted too
+      val v4 = ManifestTable.mergeMoR(s, t,
+        ManifestTable.read(s, t).where(subjectPred).withColumn("op", lit("D")),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D"))
+      ManifestTable.materializeCdf(s, t, v4)
+      require(ManifestTable.redactCdf(s, t, "c_custkey", forget, attrs) > 0,
+        "the erasure commit's own preimages must be redactable")
+      // 3. fold the DV ledger, expire history, vacuum
+      ManifestTable.compactDeletes(s, t)
+      val (droppedVs, freed) = ManifestTable.expire(t, keepLast = 1,
+        vacuumMinAgeMs = 0L)
+      require(droppedVs.nonEmpty && freed.nonEmpty,
+        "erasure pipeline freed nothing — gate vacuous")
+      // 4. re-index the survivors; sidecars must map onto live files only
+      BloomIndex.build(s, t, Seq("c_custkey"))
+      TrigramIndex.build(s, t, "c_name")
+      val live = ManifestTable.dataFiles(t).toSet
+      require(BloomIndex.indexedFiles(t, "c_custkey").subsetOf(live) &&
+        TrigramIndex.indexedFiles(t, "c_name").subsetOf(live),
+        "an index sidecar outlived its data file")
+      // 5. the walk: every surviving parquet byte under the root
+      val allParquet = scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(t))) { st =>
+        st.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+      }
+      require(allParquet.nonEmpty, "no surviving files — gate vacuous")
+      allParquet.foreach { p =>
+        val df = s.read.parquet(p)
+        if (df.columns.contains("c_custkey")) {
+          val subj = df.where(col("c_custkey").isin(forget: _*))
+          if (p.contains("_change_data"))
+            require(subj.where(attrs.map(col(_).isNotNull)
+                .reduce(_ || _)).isEmpty,
+              s"subject attributes survive in change file $p")
+          else require(subj.isEmpty, s"subject rows survive in $p")
+        }
+      }
+      ManifestTable.read(s, t)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+    }),
+
     "q127_cdf_redaction" -> ((s, dir) => {
       // CHANGE-FEED REDACTION — the compliance gap the CDC story opens
       // and q88's table-side erasure cannot close: a merge commit's
@@ -6978,6 +7070,24 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // q128: the emitted state is the v3 rule set minus the deleted and
+    // the erased subjects — uniform predicate over every key range
+    "q128_total_erasure" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         surv AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+                  ELSE c_name END AS c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 13 <> 0),
+         ins AS (SELECT c_custkey + 10000000 AS c_custkey, c_name,
+                   c_acctbal FROM base WHERE c_custkey % 11 = 3),
+         app AS (SELECT c_custkey + 20000000 AS c_custkey, c_name,
+                   c_acctbal FROM base WHERE c_custkey % 11 = 7)
+         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+         FROM (SELECT * FROM surv UNION ALL SELECT * FROM ins
+               UNION ALL SELECT * FROM app)
+         WHERE c_custkey % 9 <> 0""",
     // q127: reconstruction from the REDACTED feed — forgotten deleted
     // keys stay absent, forgotten updated keys survive attribute-less
     // (their postimages were nulled), everyone else is untouched
