@@ -1182,6 +1182,124 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "mm9_patchify" -> ((s, dir) => {
+      // ViT-STYLE PATCH EXTRACTION over the REAL codec (mm7's honesty
+      // discipline): the multimodal training-prep step that turns an
+      // image into the fixed-size patch grid a vision transformer
+      // consumes. Each doc synthesizes its id-arithmetic 24-bit BMP,
+      // ENCODES and DECODES the actual bytes (stride padding,
+      // bottom-up rows, BGR order all on the path), then tiles the
+      // decoded raster into aligned 4×4 patches and emits per-patch
+      // channel sums — one row per patch, the shard-packable unit.
+      // Distribution shape: pure per-row flatMap, no shuffle until the
+      // consumer groups patches. The oracle recomputes every patch of
+      // every image arithmetically in SQL, so any codec or tiling bug
+      // (padding, row order, channel swap, off-by-one at the grid
+      // edge) breaks the hash.
+      import s.implicits._
+      import operators.multimodal.BmpCodec
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = (4 + id % 13).toInt
+          val h = (4 + (id * 3) % 11).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            val r = ((x * 7 + y * 13 + id) % 256).toInt
+            val g = ((x * 3 + y * 5 + id * 11) % 256).toInt
+            val b = ((x + y * 2 + id * 17) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          val dec = BmpCodec.decode(BmpCodec.encode(w, h, px)).getOrElse(
+            throw new IllegalStateException(s"undecodable BMP for $id"))
+          require(java.util.Arrays.equals(dec.pixels, px),
+            s"decode round-trip drifted for $id")
+          for (py <- 0 until h / 4; pxi <- 0 until w / 4) yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var dy = 0
+            while (dy < 4) {
+              var dx = 0
+              while (dx < 4) {
+                val p = dec.pixel(pxi * 4 + dx, py * 4 + dy)
+                sr += (p >> 16) & 0xFF
+                sg += (p >> 8) & 0xFF
+                sb += p & 0xFF
+                dx += 1
+              }
+              dy += 1
+            }
+            (id, pxi.toLong, py.toLong, sr, sg, sb)
+          }
+        }
+        .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
+    }),
+
+    "q129_stream_txn_sink" -> ((s, dir) => {
+      // EXACTLY-ONCE MULTI-TABLE STREAMING SINK — q112's table stream
+      // composed with q109's atomic transactions: every micro-batch
+      // commits its fact rows AND their per-customer summary in ONE
+      // commitTxn, idempotent via the batch-derived txn id, so a
+      // replayed batch (checkpoint recovery) re-lands as a no-op and a
+      // crash between tables is recoverable instead of torn — the
+      // foreachBatch answer to "my sink is two tables that must never
+      // diverge". Gates: both tables carry one version per streamed
+      // batch with IDENTICAL commit-id sequences (lockstep pairing,
+      // straight from DESCRIBE HISTORY); the fact table holds exactly
+      // the source rows; the folded summary equals a full recompute.
+      import graft.sources.ManifestTable
+      import graft.sources.ManifestTable.TxnWrite
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q129-").toString
+      val src = s"$tmp/src"; val fact = s"$tmp/fact"; val summ = s"$tmp/sum"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      (0 to 2).foreach { k =>
+        ManifestTable.append(orders.where(col("o_orderkey") % 3 === k),
+          src, commitId = Some(s"in-$k"))
+        ()
+      }
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", src)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            import org.apache.spark.sql.functions.{col => c, lit => l,
+              count => cnt, sum => sm}
+            val f = b.toDF()
+            val part = f.groupBy("o_custkey")
+              .agg(cnt(l(1)).as("n_orders"),
+                sm(c("o_totalprice").cast(
+                  org.apache.spark.sql.types.DecimalType(18, 4)))
+                  .as("revenue"))
+              .withColumn("batch", l(id))
+            ManifestTable.commitTxn(
+              Seq(TxnWrite(f, fact), TxnWrite(part, summ)),
+              Some(s"sink-$id"))
+            ()
+          }
+          ()
+        }
+        .start().awaitTermination()
+      def commitIds(p: String): Seq[String] =
+        ManifestTable.history(s, p).orderBy("version")
+          .select("commit_id").collect().map(_.getString(0)).toSeq
+      require(commitIds(fact) == Seq("sink-0", "sink-1", "sink-2") &&
+        commitIds(fact) == commitIds(summ),
+        "fact and summary must land in lockstep, one txn per batch")
+      val factDf = ManifestTable.read(s, fact)
+      require(factDf.count() == orders.count() &&
+        factDf.exceptAll(orders).isEmpty,
+        "the fact table must hold exactly the source rows, once")
+      ManifestTable.read(s, summ)
+        .groupBy("o_custkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("revenue")).cast("double").as("revenue"))
+    }),
+
     "q128_total_erasure" -> ((s, dir) => {
       // TOTAL ERASURE — the composition q88 (table-side hard delete),
       // q127 (feed redaction), and version expiry exist for, run in
@@ -7070,6 +7188,33 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // mm9: every patch of every image recomputed arithmetically — the
+    // Spark side's sums come from DECODED bytes, so the hash match
+    // proves codec + tiling exactness
+    "mm9_patchify" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+                      4 + (doc_id * 3) % 11 AS h FROM documents),
+         g AS (SELECT unnest([0, 1, 2, 3]) AS v),
+         p AS (SELECT doc_id, w, h, gx.v AS px, gy.v AS py
+               FROM d, g gx, g gy
+               WHERE gx.v < w // 4 AND gy.v < h // 4)
+         SELECT doc_id, CAST(px AS BIGINT) AS patch_x,
+           CAST(py AS BIGINT) AS patch_y,
+           CAST(sum(((px*4 + dx.v)*7 + (py*4 + dy.v)*13 + doc_id) % 256)
+             AS BIGINT) AS sum_r,
+           CAST(sum(((px*4 + dx.v)*3 + (py*4 + dy.v)*5 + doc_id*11) % 256)
+             AS BIGINT) AS sum_g,
+           CAST(sum(((px*4 + dx.v) + (py*4 + dy.v)*2 + doc_id*17) % 256)
+             AS BIGINT) AS sum_b
+         FROM p, g dx, g dy
+         GROUP BY doc_id, px, py""",
+    // q129: the atomically-paired summary folds back to the plain
+    // aggregate of the source
+    "q129_stream_txn_sink" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+         FROM orders GROUP BY 1""",
     // q128: the emitted state is the v3 rule set minus the deleted and
     // the erased subjects — uniform predicate over every key range
     "q128_total_erasure" ->
