@@ -1182,6 +1182,51 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "ss18_ivf_layout" -> ((s, dir) => {
+      // IVF AS A TABLE LAYOUT — the lakehouse counterpart of ss4's
+      // in-memory IVF: vectors land cluster-tagged and range-partitioned
+      // by list id (Similarity.ivfLayout), so each file covers a
+      // contiguous cluster range and the ordinary per-file min/max
+      // stats BECOME the vector index — a probe's nProbe nearest lists
+      // turn into an In condition and the scan reads only intersecting
+      // files. No new index structure, sound under MoR like any stats
+      // prune, and the candidate narrowing happens at the SCAN — what
+      // survives a 100 TB corpus. Gates: the probe scans ≤ half the
+      // files; exact search within the pruned candidates reaches ≥0.9
+      // mean recall of the full brute force. Emits the brute-force
+      // truth (ANN discipline: approximation gated in-query, oracle
+      // exact).
+      import graft.sources.ManifestTable
+      import graft.conditions.{Condition, Op}
+      import operators.similarity.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val (tagged, cents) = Similarity.ivfLayout(emb, "vec_id",
+        "embedding", nlist = 32, replicas = 3)
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ss18-").toString + "/t"
+      ManifestTable.overwrite(
+        tagged.repartitionByRange(32, col("ivf_cluster")), t)
+      val qIds = Seq(3L, 100L, 203L)
+      val queries = emb.where(col("vec_id").isin(qIds: _*))
+      val lists = Similarity
+        .ivfProbes(cents, queries, "vec_id", "embedding", nProbe = 5)
+        .select(explode(col("probe_clusters")).as("l")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val conds = Seq(Condition("ivf_cluster", Op.In, lists))
+      val total = ManifestTable.dataFiles(t).size
+      val scanned = ManifestTable.statsSurvivors(t, conds).size
+      require(scanned * 2 <= total,
+        s"cluster-range layout pruned nothing: scans $scanned of $total")
+      val cand = ManifestTable.readWhere(s, t, conds)
+        .dropDuplicates("vec_id") // multi-assignment replicas
+      val approx = Similarity.knnBrute(cand, queries, "vec_id", "embedding",
+        k = 5)
+      val truth = Similarity.knnBrute(emb, queries, "vec_id", "embedding",
+        k = 5)
+      Similarity.recallGate(approx, truth, 0.9)
+      truth
+    }),
+
     "mm9_patchify" -> ((s, dir) => {
       // ViT-STYLE PATCH EXTRACTION over the REAL codec (mm7's honesty
       // discipline): the multimodal training-prep step that turns an
@@ -7188,6 +7233,21 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // ss18: the emitted rows are the exact brute-force top-k (the
+    // layout's recall is gated in-query)
+    "ss18_ivf_layout" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id IN (3, 100, 203)),
+         c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings),
+         s AS (SELECT qid, nid,
+                 round(list_cosine_similarity(qv, nv), 6) AS cosine
+               FROM q JOIN c ON qid != nid)
+         SELECT query_id, neighbor_id, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nid) AS rk FROM s)
+         WHERE rk <= 5""",
     // mm9: every patch of every image recomputed arithmetically — the
     // Spark side's sums come from DECODED bytes, so the hash match
     // proves codec + tiling exactness

@@ -137,6 +137,56 @@ object Similarity {
         .dropDuplicates("id_a", "id_b")
     }
 
+  /** IVF as a TABLE LAYOUT — the write side. Trains `nlist` centroids
+    * on a bounded sample and tags every row with its nearest list id
+    * (`ivf_cluster`). Written with
+    * `repartitionByRange(nlist, $"ivf_cluster")` into a manifest table,
+    * each file covers a contiguous cluster range — so the ordinary
+    * per-file min/max stats BECOME the vector index: a probe reads only
+    * the files whose range intersects its nearest lists
+    * (`ManifestTable.readWhere` on an `In` condition), no new index
+    * structure, no reconcile changes, sound under MoR like any stats
+    * prune. Returns the tagged frame and the trained centroids
+    * (O(nlist·d) — the query-side literal). This is the lakehouse
+    * counterpart of the in-memory IVF ([[knnIvf]]): same recall lever
+    * (nProbe), but the candidate narrowing happens at the SCAN, which
+    * is what survives a 100 TB corpus.
+    *
+    * `replicas` > 1 multi-assigns each vector to its nearest lists
+    * (bounded ×replicas storage) — the standard boundary fix: a
+    * neighborhood a single assignment splits across adjacent lists is
+    * whole in the shared replica, the same recall lever SOAR-style
+    * layouts use. Readers dedup candidates by id. */
+  def ivfLayout(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, replicas: Int = 1,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    require(replicas >= 1)
+    val u = emb.select(col(idCol).as("__lid"), toDouble(col(vecCol)).as("__v"))
+      .select(col("__lid"), col("__v"),
+        sqrt(dot(col("__v"), col("__v"))).as("__n"))
+      .select(col("__lid"), transform(col("__v"), x => x / col("__n")).as("v"))
+      .localCheckpoint()
+    try {
+      val cents = trainCentroids(u, nlist, seed)
+      val tagged = u.select(col("__lid"),
+        explode(probeLists(cents, col("v"), replicas)).as("ivf_cluster"))
+      val out = emb.join(tagged, col(idCol) === col("__lid"))
+        .drop("__lid").localCheckpoint()
+      (out, cents)
+    } finally org.apache.spark.sql.graft.ColumnBridge
+      .unpersistLocalCheckpoint(u)
+  }
+
+  /** The `nProbe` nearest list ids per query — [[ivfLayout]]'s read-side
+    * companion; centroids are literals (no join, no shuffle). */
+  def ivfProbes(cents: Array[Array[Double]], queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    IndexScope.scoped { sc =>
+      val q = unitVectors(queries, idCol, vecCol, "query_id", "qv", sc)
+      q.select(col("query_id"),
+        probeLists(cents, col("qv"), nProbe).as("probe_clusters"))
+    }
+
   /** Exact RADIUS search: every corpus vector with cosine ≥ radius of
     * each query (queries broadcast — one corpus scan, no shuffle). The
     * truth twin of [[rangeIvf]] and the emission behind ss13's gate. */
