@@ -1182,6 +1182,40 @@ object SparkEntry {
         round(expr("percentile(price, 0.95)"), 4).as("p95"))
     }),
 
+    "mm10_audio_energy" -> ((s, dir) => {
+      // AUDIO FRAME ENERGIES over REAL bytes (mm7/mm9's honesty
+      // discipline on the audio leg): each doc synthesizes a
+      // deterministic 16-bit mono PCM waveform, ENCODES it into an
+      // actual RIFF/WAVE container, decodes the container back
+      // (guarded chunk walk, LE sample decode, sign handling), frames
+      // the decoded samples into 64-sample windows — tail frame
+      // partial, kept — and emits per-frame energy (Σ s²) and peak,
+      // the VAD/loudness-normalization front-end of an audio training
+      // pipeline. Pure per-row flatMap, no shuffle. The waveform is
+      // integer arithmetic (no trig), so the oracle recomputes every
+      // frame of every doc exactly — any container or sample-decode
+      // bug breaks the hash.
+      import s.implicits._
+      import operators.multimodal.AudioHeaders
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = (256 + id % 191).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * i + 7L * i + id * 31L) % 4001L) - 2000L).toShort)
+          val bytes = AudioHeaders.synthWavPcm16(16000, samples)
+          val dec = AudioHeaders.pcm16Samples(bytes).getOrElse(
+            throw new IllegalStateException(s"undecodable WAV for $id"))
+          require(java.util.Arrays.equals(dec, samples),
+            s"PCM round-trip drifted for $id")
+          dec.grouped(64).zipWithIndex.map { case (frame, fi) =>
+            val energy = frame.foldLeft(0L)((a, v) => a + v.toLong * v)
+            val peak = frame.foldLeft(0L)((a, v) => math.max(a, math.abs(v.toLong)))
+            (id, fi.toLong, frame.length.toLong, energy, peak)
+          }
+        }
+        .toDF("doc_id", "frame", "n_samples", "energy", "peak")
+    }),
+
     "ss18_ivf_layout" -> ((s, dir) => {
       // IVF AS A TABLE LAYOUT — the lakehouse counterpart of ss4's
       // in-memory IVF: vectors land cluster-tagged and range-partitioned
@@ -7233,6 +7267,19 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
                 c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 11 = 3""",
+    // mm10: every frame of every waveform recomputed arithmetically —
+    // the Spark side's energies come from DECODED container bytes
+    "mm10_audio_energy" ->
+      """WITH d AS (SELECT doc_id, 256 + doc_id % 191 AS n FROM documents),
+         g AS (SELECT unnest(range(447)) AS i),
+         sm AS (SELECT doc_id, i, i // 64 AS frame,
+                  ((i*i + 7*i + doc_id*31) % 4001) - 2000 AS v
+                FROM d, g WHERE i < n)
+         SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+         FROM sm GROUP BY doc_id, frame""",
     // ss18: the emitted rows are the exact brute-force top-k (the
     // layout's recall is gated in-query)
     "ss18_ivf_layout" ->

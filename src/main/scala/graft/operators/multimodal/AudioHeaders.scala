@@ -84,6 +84,63 @@ object AudioHeaders {
     out.array()
   }
 
+  /** PCM WAV carrying REAL 16-bit mono samples — the honest-codec
+    * sibling of [[synthWav]]'s zeroed frames (mm10's write side). */
+  def synthWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(1) // mono
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * 2) // byte rate
+    out.putShort(2) // block align
+    out.putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Decode the 16-bit mono PCM samples out of real WAV bytes — the
+    * same guarded chunk walk as [[parseWav]], plus the data payload.
+    * None unless the container is coherent mono 16-bit PCM. */
+  def pcm16Samples(p: Array[Byte]): Option[Array[Short]] = {
+    if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE")
+      return None
+    var off = 12
+    var ch = 0; var bits = 0
+    var dataOff = -1; var dataSize = -1L
+    while (off + 8 <= p.length) {
+      val id = tag(p, off)
+      val size = le32(p, off + 4)
+      if (size < 0 || size > p.length.toLong) return None
+      if (id == "fmt " && off + 24 <= p.length) {
+        ch = le16(p, off + 10)
+        bits = le16(p, off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataSize = size
+      }
+      off += 8 + size.toInt + (size % 2).toInt
+    }
+    if (ch != 1 || bits != 16 || dataOff < 0 ||
+      dataOff + dataSize > p.length) return None
+    val n = (dataSize / 2).toInt
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (le16(p, dataOff + 2 * i) match {
+        case v if v >= 0x8000 => v - 0x10000
+        case v => v
+      }).toShort
+      i += 1
+    }
+    Some(out)
+  }
+
   /** Extract WAV metadata from a binary payload column — same
     * per-partition decoder shape as [[BinaryMeta.extract]]. */
   def extract(spark: SparkSession, docs: DataFrame,
