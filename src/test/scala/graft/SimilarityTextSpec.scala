@@ -315,6 +315,64 @@ class SimilarityTextSpec extends SparkSpecBase {
     assert(AudioHeaders.parseWav(AudioHeaders.synthWav(8000, 1, 16, 10).take(30)).isEmpty)
   }
 
+  test("pcm16 sample decode round-trips real containers incl. JDK bytes") {
+    import graft.operators.multimodal.AudioHeaders
+    // sign handling: extremes, zero, and arbitrary values round-trip
+    val samples = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue,
+      -2000, 1234)
+    val bytes = AudioHeaders.synthWavPcm16(16000, samples)
+    assert(AudioHeaders.pcm16Samples(bytes).exists(
+      java.util.Arrays.equals(_, samples)))
+    // the container is coherent to the independent header parser too
+    assert(AudioHeaders.parseWav(bytes)
+      .contains(AudioHeaders.Wav(16000, 1, 16, samples.length.toLong
+        * 1000 / 16000)))
+    // JDK-encoded mono PCM decodes through the same walk
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](20)
+    raw(0) = 0x34; raw(1) = 0x12 // first sample = 0x1234 LE
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 10L)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    val jdk = AudioHeaders.pcm16Samples(out.toByteArray)
+    assert(jdk.exists(a => a.length == 10 && a(0) == 0x1234.toShort))
+    // stereo and truncated containers fall through to None
+    assert(AudioHeaders.pcm16Samples(
+      AudioHeaders.synthWav(16000, 2, 16, 10)).isEmpty)
+    assert(AudioHeaders.pcm16Samples(bytes.take(50)).isEmpty)
+  }
+
+  test("ivfLayout: every vector lands in its replica lists; probes prune") {
+    import graft.operators.similarity.Similarity
+    import graft.sources.{ManifestTable, ManifestTable => MT}
+    import graft.conditions.{Condition, Op}
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (tagged, cents) = Similarity.ivfLayout(
+      emb, "vec_id", "embedding", nlist = 8, replicas = 2)
+    assert(cents.length == 8)
+    // ×2 multi-assignment: each id appears exactly twice, distinct lists
+    val perId = tagged.groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        col("ivf_cluster")).as("n"))
+    assert(perId.where(col("n") =!= 2).isEmpty,
+      "every vector must hold exactly its 2 nearest lists")
+    val t = java.nio.file.Files
+      .createTempDirectory("ivf-layout-spec-").toString + "/t"
+    MT.overwrite(tagged.repartitionByRange(8, col("ivf_cluster")), t)
+    // a single-list probe scans a strict subset of the files
+    val one = MT.statsSurvivors(t, Seq(Condition("ivf_cluster", Op.In,
+      Seq(0))))
+    assert(one.size < MT.dataFiles(t).size, "range layout did not prune")
+    // pruned read + dedup returns each candidate once, with vectors
+    val cand = MT.readWhere(spark, t, Seq(Condition("ivf_cluster", Op.In,
+      Seq(0)))).dropDuplicates("vec_id")
+    assert(cand.count() > 0 &&
+      cand.groupBy("vec_id").count().where(col("count") > 1).isEmpty)
+  }
+
   test("GIF/WebP header parse round-trips synthesis; garbage falls through") {
     import graft.operators.multimodal.ImageHeaders
     import ImageHeaders.ImageDims
