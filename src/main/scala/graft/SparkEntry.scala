@@ -1312,6 +1312,61 @@ object SparkEntry {
         .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
     }),
 
+    "q130_stream_optimize" -> ((s, dir) => {
+      // STREAMING ACROSS OPTIMIZE — Delta's dataChange contract on this
+      // format: maintenance commits (compaction / ledger folds) mark
+      // dataChange=false and a tailing stream SKIPS them instead of
+      // throwing or re-emitting the rows they rewrote; real rewrites
+      // keep failing loudly. A table takes two appends, an incremental
+      // OPTIMIZE lands mid-stream, another append follows; the tail
+      // drains one commit per micro-batch. Gates: the maintenance
+      // version contributes zero rows (its batch is empty); the sink
+      // holds exactly the source rows once (the compaction neither
+      // duplicated nor lost a row); the maintenance commit IS flagged
+      // in the manifest. Emits the sink's aggregate under the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q130-").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 0), src)
+      // offset the stream PAST v1 first so the compaction lands
+      // mid-tail, not before the initial snapshot
+      val s2 = streamSession(s)
+      def drainOnce(): Unit = {
+        s2.readStream.format("graft-table")
+          .option("path", src).option("maxVersionsPerTrigger", "1").load()
+          .writeStream.option("checkpointLocation", s"$tmp/ck")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) =>
+            if (!b.isEmpty)
+              ManifestTable.append(b.toDF(), out, commitId = Some(s"o-$id"))
+            ()
+          }
+          .start().awaitTermination()
+      }
+      drainOnce() // consumes v1
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 1), src)
+      val vc = ManifestTable.compactIncremental(s, src)
+      require(vc == 3L, s"expected the OPTIMIZE to commit v3, got $vc")
+      require(!ManifestTable.history(s, src)
+          .where(col("version") === 3L).isEmpty,
+        "maintenance commit missing from history")
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 2), src)
+      drainOnce() // consumes v2 (append), v3 (skipped), v4 (append)
+      val sink = ManifestTable.read(s, out)
+      require(sink.count() == orders.count() &&
+        sink.exceptAll(orders).isEmpty && orders.exceptAll(sink).isEmpty,
+        "tailing across OPTIMIZE must deliver exactly-once")
+      require(ManifestTable.versions(out).size == 3,
+        "the maintenance version must contribute NO sink commit")
+      sink.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+    }),
+
     "q129_stream_txn_sink" -> ((s, dir) => {
       // EXACTLY-ONCE MULTI-TABLE STREAMING SINK — q112's table stream
       // composed with q109's atomic transactions: every micro-batch
@@ -7315,6 +7370,13 @@ object SparkEntry {
              AS BIGINT) AS sum_b
          FROM p, g dx, g dy
          GROUP BY doc_id, px, py""",
+    // q130: exactly-once across the maintenance commit — the sink
+    // re-aggregates to the source
+    "q130_stream_optimize" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+         FROM orders GROUP BY 1""",
     // q129: the atomically-paired summary folds back to the plain
     // aggregate of the source
     "q129_stream_txn_sink" ->

@@ -110,7 +110,11 @@ object ManifestTable {
       commitTs: Option[Long] = None,
       deleteStats: Map[String, Map[String, ColStats]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      mergeKeys: Seq[String] = Seq.empty)
+      mergeKeys: Seq[String] = Seq.empty,
+      // Delta's dataChange flag: false marks a MAINTENANCE commit
+      // (compaction / ledger fold) that rearranges bytes without
+      // changing the table's logical rows — streaming tails skip it
+      dataChange: Boolean = true)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -134,6 +138,7 @@ object ManifestTable {
       s""""rows":{${(m.files ++ m.deletes.map(_._1)).flatMap(f =>
         m.rows.get(f).map(n => q(f) + s":$n")).mkString(",")}},""" +
       s""""constraints":[${m.constraints.map(q).mkString(",")}],""" +
+      s""""data_change":${m.dataChange},""" +
       s""""merge_keys":[${m.mergeKeys.map(q).mkString(",")}]}"""
   }
 
@@ -214,7 +219,10 @@ object ManifestTable {
       (j \ "merge_keys") match {
         case JArray(ks) => ks.collect { case JString(k) => k }
         case _ => Seq.empty[String]
-      })
+      },
+      // absent in pre-dataChange manifests -> true (every commit was a
+      // data change), exactly the old behavior
+      (j \ "data_change").extractOpt[Boolean].getOrElse(true))
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -1177,7 +1185,7 @@ object ManifestTable {
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
           footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
           base.constraints, rows = footerRows(path, staged),
-          mergeKeys = base.mergeKeys)))
+          mergeKeys = base.mergeKeys, dataChange = false)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1258,7 +1266,7 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = base.mergeKeys)
+      mergeKeys = base.mergeKeys, dataChange = false)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1358,7 +1366,7 @@ object ManifestTable {
         staged.map(_ -> next),
       Seq.empty, base.constraints,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = base.mergeKeys)
+      mergeKeys = base.mergeKeys, dataChange = false)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1830,6 +1838,11 @@ object ManifestTable {
     * data file still present, no new MoR delete rows? Append versions
     * stream as-is (their added files ARE the change); anything else
     * needs materialized change data to stream. */
+  /** Whether version `v` changed the table's logical rows (true for
+    * every commit of a pre-dataChange table). */
+  private[graft] def dataChangeAt(path: String, v: Long): Boolean =
+    manifestAt(path, v).dataChange
+
   private[graft] def isAppendOnly(path: String, v: Long): Boolean = {
     val m = manifestAt(path, v)
     if (m.parent == 0L) m.deletes.isEmpty

@@ -26,9 +26,14 @@ import scala.jdk.CollectionConverters._
   * diffing and no directory listing beyond the version dir.
   *
   * The contract is append-only tailing (Delta's default): a rewrite/
-  * overwrite/OPTIMIZE in the range (carried files vanished) or a
+  * overwrite in the range (carried files vanished) or a
   * merge-on-read delete THROWS rather than silently double-counting or
   * never-un-emitting rows; `ignoreChanges=true` opts into adds-only.
+  * MAINTENANCE commits (OPTIMIZE / ledger folds, `dataChange=false`)
+  * are the exception: they rearrange bytes without changing rows, so
+  * the tail SKIPS them — versions plan individually against their own
+  * manifests, which is why a compaction mid-stream neither throws nor
+  * re-emits the rows it rewrote (Delta's dataChange contract).
   * Restart reads the checkpointed version offset and resumes at the
   * next commit — exactly-once per commit with an idempotent sink.
   *
@@ -167,14 +172,38 @@ class TableMicroBatchStream(dir: String, tableSchema: StructType,
     if (e <= s) return Array.empty
     val conf = new Configuration()
     if (!readChangeFeed) {
-      ManifestTable.appendSlice(dir, s, e, ignoreChanges).flatMap { file =>
-        rowGroupsOf(file, conf)
-          .map(i => RowGroupPartition(file, i): InputPartition)
-      }.toArray
+      if (s == 0) {
+        // initial snapshot: final-state seq semantics against the END
+        // manifest — a maintenance rewrite's files ARE the snapshot's
+        // rows here, and files a rewrite removed are correctly absent
+        ManifestTable.appendSlice(dir, s, e, ignoreChanges).flatMap { file =>
+          rowGroupsOf(file, conf)
+            .map(i => RowGroupPartition(file, i): InputPartition)
+        }.toArray
+      } else {
+        // tailing: per-version planning (each version's files resolved
+        // at ITS OWN manifest) so a MAINTENANCE commit in the range —
+        // OPTIMIZE / ledger fold, dataChange=false — is SKIPPED instead
+        // of throwing: it rearranges bytes without changing rows, so
+        // the tail has nothing to emit for it (Delta's dataChange
+        // contract). Real rewrites keep failing loudly through
+        // appendSlice's per-version guard.
+        ((s + 1) to e).flatMap { v =>
+          if (!ManifestTable.dataChangeAt(dir, v)) Seq.empty
+          else ManifestTable.appendSlice(dir, v - 1, v, ignoreChanges)
+            .flatMap { file =>
+              rowGroupsOf(file, conf)
+                .map(i => RowGroupPartition(file, i): InputPartition)
+            }
+        }.toArray
+      }
     } else {
       ((s + 1) to e).flatMap { v =>
         val cdf = ManifestTable.cdfFile(dir, v)
-        if (java.nio.file.Files.exists(cdf)) {
+        if (!ManifestTable.dataChangeAt(dir, v)) {
+          // maintenance commit: no logical change, nothing to emit
+          Seq.empty[InputPartition]
+        } else if (java.nio.file.Files.exists(cdf)) {
           rowGroupsOf(cdf.toString, conf)
             .map(i => CdfFilePartition(cdf.toString, i): InputPartition)
         } else if (ManifestTable.isAppendOnly(dir, v)) {

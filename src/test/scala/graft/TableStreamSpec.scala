@@ -72,6 +72,49 @@ class TableStreamSpec extends SparkSpecBase {
     assert(fresh.asScala.flatMap(_._2).toSeq == Seq(7))
   }
 
+  test("a MAINTENANCE commit mid-stream is skipped, not thrown: no " +
+      "duplicates, no loss, in both modes") {
+    val base = tmp(); val t = s"$base/t"
+    ManifestTable.append(Seq(1, 2, 3).toDF("x").coalesce(2), t) // v1
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    drain(t, s"$base/ck", sink) // offset at v1
+    ManifestTable.append(Seq(4, 5).toDF("x").coalesce(2), t) // v2
+    val vc = ManifestTable.compactCommit(spark, t) // v3: dataChange=false
+    assert(vc == 3L)
+    ManifestTable.append(Seq(6).toDF("x"), t) // v4
+    // resume ACROSS the compaction: v2's original files + v4, exactly
+    // once — the rewrite of v1+v2 into v3's files must emit nothing
+    drain(t, s"$base/ck", sink)
+    assert(sink.asScala.flatMap(_._2).toSeq.sorted == (1 to 6),
+      sink.asScala.toSeq.toString)
+    // a REAL rewrite still fails loudly from a tailing offset
+    ManifestTable.overwrite(Seq(9).toDF("x"), t) // v5: dataChange=true
+    val err = intercept[Exception] { drain(t, s"$base/ck", sink) }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else String.valueOf(e.getMessage) +: msgs(e.getCause)
+    assert(msgs(err).exists(_.contains("non-append")), msgs(err).toString)
+    // CDF mode: compaction emits no change rows (previously it threw)
+    val t2 = s"$base/t2"
+    ManifestTable.append(Seq(1, 2).toDF("x").coalesce(2), t2)
+    ManifestTable.append(Seq(3).toDF("x"), t2)
+    assert(ManifestTable.compactCommit(spark, t2) == 3L)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    spark.readStream.format("graft-table")
+      .option("path", t2).option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", s"$base/ck2")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select(col("_change_type"), col("_commit_version")).collect()
+          .foreach(r => rows.add((r.getString(0), r.getLong(1))))
+        ()
+      }
+      .start().awaitTermination()
+    assert(rows.asScala.forall(_._1 == "insert") &&
+      rows.asScala.map(_._2).toSet == Set(1L, 2L),
+      s"CDF must carry only v1/v2 inserts, got ${rows.asScala.toSeq}")
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch: catch-up runs as " +
       "one batch per version, not one giant batch") {
     val base = tmp(); val t = s"$base/t"
