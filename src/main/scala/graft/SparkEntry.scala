@@ -1312,6 +1312,54 @@ object SparkEntry {
         .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
     }),
 
+    "q131_stream_starting_ts" -> ((s, dir) => {
+      // startingTimestamp (Delta's) on the table stream: a consumer
+      // initialized from a WALL-CLOCK instant — "give me every change
+      // since last night's sync" — without knowing version numbers.
+      // Resolved once at stream start to the greatest version strictly
+      // before the instant (the manifest's commit_ts chain, the same
+      // clock TIMESTAMP-AS-OF reads use). Gates: the three commits
+      // carry strictly increasing wall times (the fixture's sleeps are
+      // load-proof: we require it rather than assume it); starting at
+      // v2's exact commit instant streams v2 and v3 but never v1; the
+      // emitted aggregate goes under the oracle.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q131-").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      (0 to 2).foreach { k =>
+        ManifestTable.append(orders.where(col("o_orderkey") % 3 === k),
+          src, commitId = Some(s"in-$k"))
+        Thread.sleep(20) // distinct commit wall times
+      }
+      val ts = (1L to 3L).map(v => ManifestTable.commitTimeMillis(src, v))
+      require(ts(0) < ts(1) && ts(1) < ts(2),
+        s"commit clock did not advance: $ts — fixture invalid")
+      val s2 = streamSession(s)
+      s2.readStream.format("graft-table")
+        .option("path", src)
+        .option("startingTimestamp", ts(1).toString)
+        .load()
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty)
+            ManifestTable.append(b.toDF(), out, commitId = Some(s"o-$id"))
+          ()
+        }
+        .start().awaitTermination()
+      val sink = ManifestTable.read(s, out)
+      val want = orders.where(col("o_orderkey") % 3 =!= 0)
+      require(sink.exceptAll(want).isEmpty && want.exceptAll(sink).isEmpty,
+        "startingTimestamp must stream exactly the commits at/after it")
+      sink.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+    }),
+
     "q130_stream_optimize" -> ((s, dir) => {
       // STREAMING ACROSS OPTIMIZE — Delta's dataChange contract on this
       // format: maintenance commits (compaction / ledger folds) mark
@@ -7370,6 +7418,12 @@ object SparkEntry {
              AS BIGINT) AS sum_b
          FROM p, g dx, g dy
          GROUP BY doc_id, px, py""",
+    // q131: the tail from v2's commit instant holds slices 1 and 2
+    "q131_stream_starting_ts" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+         FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1""",
     // q130: exactly-once across the maintenance commit — the sink
     // re-aggregates to the source
     "q130_stream_optimize" ->

@@ -65,11 +65,29 @@ class TableStreamSource extends TableProvider with DataSourceRegister {
     // properties arrive case-SENSITIVE here (unlike inferSchema's map)
     val opts = new CaseInsensitiveStringMap(properties)
     val maxV = opts.getLong("maxversionspertrigger", 0L)
-    TableStreamTable(opts.get("path"), schema,
+    val path = opts.get("path")
+    // startingTimestamp (Delta's): stream commits whose wall time is AT
+    // OR AFTER the given instant — resolved ONCE at stream start to the
+    // greatest version strictly before it (epoch millis, ISO-8601
+    // instant, or `yyyy-mm-dd hh:mm:ss[.f]` local time)
+    val startTs = Option(opts.get("startingtimestamp")).map { raw =>
+      val ms =
+        if (raw.forall(_.isDigit)) raw.toLong
+        else try java.time.Instant.parse(raw).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.sql.Timestamp.valueOf(raw).getTime }
+      ManifestTable.versions(path)
+        .filter(v => ManifestTable.commitTimeMillis(path, v) < ms)
+        .sorted.lastOption.getOrElse(0L)
+    }
+    val startV = opts.getLong("startingversion", -1L)
+    require(startTs.isEmpty || startV < 0,
+      "graft-table: set startingVersion OR startingTimestamp, not both")
+    TableStreamTable(path, schema,
       opts.getBoolean("ignorechanges", false),
       if (maxV > 0) Some(maxV) else None,
       opts.getBoolean("readchangefeed", false),
-      opts.getLong("startingversion", 0L))
+      startTs.getOrElse(math.max(0L, startV)))
   }
 }
 
