@@ -1312,6 +1312,45 @@ object SparkEntry {
         .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
     }),
 
+    "q132_identity" -> ((s, dir) => {
+      // IDENTITY COLUMNS (ManifestTable.appendIdentity) — warehouse
+      // surrogate keys: each append assigns the next contiguous ids,
+      // the high-water mark read from per-file MAX STATS (metadata, no
+      // scan), assignment deterministic via sorted zipWithIndex (a
+      // global window would single-task the write). Gates: ids are
+      // unique and contiguous 1..N across two commits; the second
+      // commit continues exactly where the first stopped; supplying
+      // the id column yourself fails loudly. The full keyed table goes
+      // under the oracle — the ids are REPRODUCIBLE, not just valid.
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q132-").toString
+      val t = s"$tmp/t"
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ManifestTable.appendIdentity(s, c.where(col("c_custkey") % 2 === 0),
+        t, "sk", Seq("c_custkey"))
+      ManifestTable.appendIdentity(s, c.where(col("c_custkey") % 2 === 1),
+        t, "sk", Seq("c_custkey"))
+      val err = scala.util.Try(ManifestTable.appendIdentity(s,
+        ManifestTable.read(s, t).limit(1), t, "sk", Seq("c_custkey")))
+      require(err.isFailure &&
+        err.failed.get.getMessage.contains("assigned"),
+        "supplying the identity column must fail loudly")
+      val table = ManifestTable.read(s, t)
+      val n = table.count()
+      require(table.select("sk").distinct().count() == n,
+        "identity values must be unique")
+      val mm = table.agg(min(col("sk")), max(col("sk"))).head()
+      require(mm.getLong(0) == 1L && mm.getLong(1) == n,
+        "identity values must be contiguous from 1")
+      val nEven = c.where(col("c_custkey") % 2 === 0).count()
+      require(table.where(col("c_custkey") % 2 === 0)
+          .agg(max(col("sk"))).head().getLong(0) == nEven,
+        "the second commit must continue at the first's high-water mark")
+      table.select(col("sk"), col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    }),
+
     "q131_stream_starting_ts" -> ((s, dir) => {
       // startingTimestamp (Delta's) on the table stream: a consumer
       // initialized from a WALL-CLOCK instant — "give me every change
@@ -7418,6 +7457,21 @@ object SparkEntry {
              AS BIGINT) AS sum_b
          FROM p, g dx, g dy
          GROUP BY doc_id, px, py""",
+    // q132: surrogate ids are reproducible — row_number over each
+    // commit's ordering, offset by the prior commit's count
+    "q132_identity" ->
+      """WITH e AS (SELECT c_custkey, c_name, c_acctbal,
+                      row_number() OVER (ORDER BY c_custkey) AS rn
+                    FROM customer WHERE c_custkey % 2 = 0),
+         ne AS (SELECT count(*) AS n FROM e),
+         o AS (SELECT c_custkey, c_name, c_acctbal,
+                 row_number() OVER (ORDER BY c_custkey) AS rn
+               FROM customer WHERE c_custkey % 2 = 1)
+         SELECT CAST(rn AS BIGINT) AS sk, c_custkey, c_name,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM e
+         UNION ALL
+         SELECT CAST(rn + n AS BIGINT) AS sk, c_custkey, c_name,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM o, ne""",
     // q131: the tail from v2's commit instant holds slices 1 and 2
     "q131_stream_starting_ts" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

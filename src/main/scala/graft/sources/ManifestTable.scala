@@ -1853,6 +1853,58 @@ object ManifestTable {
     }
   }
 
+  /** IDENTITY COLUMN append — warehouse surrogate keys (the dimension
+    * sync's `id` the reference's warehouses assign on insert): each
+    * appended row receives the next value of a monotonically increasing
+    * id, contiguous within a commit and continuing across commits.
+    *
+    * The high-water mark is read from METADATA: the per-file max stats
+    * of `idCol` across the current version (no scan; a stats-less
+    * legacy file falls back to one max() aggregate). Assignment is
+    * DETERMINISTIC: rows are sorted by `orderBy` and numbered by a
+    * sorted `zipWithIndex` (range-partitioned sort, one extra count
+    * job — the standard distributed contiguous-numbering scheme; a
+    * global window would single-task the write).
+    *
+    * Contract: ONE identity writer per table at a time (Delta's
+    * identity columns reserve ranges through the log for the same
+    * reason) — two concurrent identity appends could both read the same
+    * high-water mark; the version lock serializes the commits but not
+    * the id draws. Returns the committed version. */
+  def appendIdentity(spark: SparkSession, df: DataFrame, path: String,
+      idCol: String, orderBy: Seq[String],
+      commitId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, max => mx}
+    require(orderBy.nonEmpty,
+      "appendIdentity needs a deterministic ordering for assignment")
+    require(!df.columns.contains(idCol),
+      s"source already carries '$idCol' — identity values are assigned, " +
+        "never supplied")
+    val hwm: Long = latest(path) match {
+      case None => 0L
+      case Some(m) =>
+        val fromStats = m.files.flatMap(f =>
+          m.stats.getOrElse(f, Map.empty).get(idCol))
+        if (fromStats.nonEmpty && fromStats.forall(_.numeric) &&
+          fromStats.size == m.files.size)
+          fromStats.map(_.max.toDouble.toLong).max
+        else { // legacy/stats-less files: one aggregate, not a failure
+          val r = read(spark, path).agg(mx(col(idCol))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+    }
+    val sorted = df.orderBy(orderBy.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        sorted.schema.fields)
+    val numbered = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq((hwm + 1L + i) +: r.toSeq)
+      }, schema)
+    append(numbered, path, commitId)
+  }
+
   /** ATTRIBUTE REDACTION across the persisted change feed — the
     * compliance gap [[materializeCdf]] opens: a merge commit's
     * `_change_data` file carries FULL before/after images (delete rows
