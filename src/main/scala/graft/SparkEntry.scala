@@ -1312,6 +1312,54 @@ object SparkEntry {
         .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
     }),
 
+    "q133_generated" -> ((s, dir) => {
+      // GENERATED COLUMNS (Delta's, on the manifest format): a stored
+      // (name, expression) contract — a write absent the column
+      // COMPUTES it inside the write scan, a write carrying it must
+      // MATCH row-for-row or aborts mid-scan (the CHECK-constraint
+      // machinery's sibling; constraints may reference generated
+      // columns). Declaration is a metadata-only commit validating
+      // existing rows fail-fast. Gates: computed and supplied paths
+      // both land; a wrong supplied value fails loudly; declaring over
+      // violating rows fails; the definition survives OPTIMIZE; the
+      // full derived table is REPRODUCIBLE under the oracle.
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q133-").toString
+      val t = s"$tmp/t"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val gen = Seq("bucket" -> "o_orderkey % 16")
+      ManifestTable.overwrite(orders.where(col("o_orderkey") % 3 === 0)
+        .withColumn("bucket", expr("o_orderkey % 16")), t)
+      // declaring over violating rows fails loudly
+      val bad = scala.util.Try(ManifestTable.setGeneratedColumns(s, t,
+        Seq("bucket" -> "o_orderkey % 16 + 1")))
+      require(bad.isFailure, "declaration must validate existing rows")
+      ManifestTable.setGeneratedColumns(s, t, gen)
+      require(ManifestTable.generatedColumns(t) == gen)
+      // absent column: computed in the write scan
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 1), t)
+      // supplied and correct: validated through
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 2)
+        .withColumn("bucket", expr("o_orderkey % 16")), t)
+      // supplied and WRONG: aborts, nothing lands
+      val vBefore = ManifestTable.versions(t).size
+      val wrong = scala.util.Try(ManifestTable.append(
+        orders.where(col("o_orderkey") % 3 === 2)
+          .withColumn("bucket", expr("o_orderkey % 16 + 1")), t))
+      require(wrong.isFailure &&
+        ManifestTable.versions(t).size == vBefore,
+        "a mismatched generated value must abort with nothing landed")
+      // the definition is table metadata: OPTIMIZE carries it
+      ManifestTable.compactIncremental(s, t)
+      require(ManifestTable.generatedColumns(t) == gen,
+        "generated definitions lost by compaction")
+      ManifestTable.append(orders.where(col("o_orderkey") % 11 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L), t)
+      ManifestTable.read(s, t)
+        .select(col("o_orderkey"), col("o_custkey"), col("bucket"))
+    }),
+
     "q132_identity" -> ((s, dir) => {
       // IDENTITY COLUMNS (ManifestTable.appendIdentity) — warehouse
       // surrogate keys: each append assigns the next contiguous ids,
@@ -7457,6 +7505,16 @@ object SparkEntry {
              AS BIGINT) AS sum_b
          FROM p, g dx, g dy
          GROUP BY doc_id, px, py""",
+    // q133: every bucket value is the declared expression of its row —
+    // computed and supplied write paths indistinguishable in the data
+    "q133_generated" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(o_orderkey % 16 AS BIGINT) AS bucket
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+           CAST((o_orderkey + 10000000) % 16 AS BIGINT) AS bucket
+         FROM orders WHERE o_orderkey % 11 = 5""",
     // q132: surrogate ids are reproducible — row_number over each
     // commit's ordering, offset by the prior commit's count
     "q132_identity" ->

@@ -114,7 +114,11 @@ object ManifestTable {
       // Delta's dataChange flag: false marks a MAINTENANCE commit
       // (compaction / ledger fold) that rearranges bytes without
       // changing the table's logical rows — streaming tails skip it
-      dataChange: Boolean = true)
+      dataChange: Boolean = true,
+      // GENERATED columns (Delta's): (name, SQL expression) pairs —
+      // absent in the source a write computes them, present they must
+      // match; table metadata like constraints, surviving every commit
+      generated: Seq[(String, String)] = Seq.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -139,6 +143,8 @@ object ManifestTable {
         m.rows.get(f).map(n => q(f) + s":$n")).mkString(",")}},""" +
       s""""constraints":[${m.constraints.map(q).mkString(",")}],""" +
       s""""data_change":${m.dataChange},""" +
+      s""""generated":{${m.generated.map { case (c, e) =>
+        q(c) + ":" + q(e) }.mkString(",")}},""" +
       s""""merge_keys":[${m.mergeKeys.map(q).mkString(",")}]}"""
   }
 
@@ -222,7 +228,11 @@ object ManifestTable {
       },
       // absent in pre-dataChange manifests -> true (every commit was a
       // data change), exactly the old behavior
-      (j \ "data_change").extractOpt[Boolean].getOrElse(true))
+      (j \ "data_change").extractOpt[Boolean].getOrElse(true),
+      (j \ "generated") match {
+        case JObject(gs) => gs.collect { case (c, JString(e)) => (c, e) }
+        case _ => Seq.empty[(String, String)]
+      })
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
     m
@@ -680,6 +690,44 @@ object ManifestTable {
     * fail-fast scan — the ALTER TABLE ADD CONSTRAINT rule); every
     * subsequent append/overwrite/merge enforces in-scan. Replaces the
     * previous constraint set; pass Seq.empty to drop all constraints. */
+  /** The table's declared generated columns (empty if none/absent). */
+  def generatedColumns(path: String): Seq[(String, String)] =
+    latest(path).map(_.generated).getOrElse(Seq.empty)
+
+  /** Declare GENERATED columns — a metadata-only commit, the
+    * [[setConstraints]] shape: existing rows must already satisfy every
+    * expression (validated fail-fast against the exact version the
+    * commit lands on); afterwards every write through any surface
+    * computes absent columns and validates supplied ones. Merges
+    * validate (their sources carry the table schema); appends and
+    * overwrites compute. An empty list drops all definitions. */
+  def setGeneratedColumns(spark: SparkSession, path: String,
+      gens: Seq[(String, String)]): Long = {
+    require(latest(path).isDefined, s"no table at $path")
+    var attempts = 0
+    var validatedVersion = -1L
+    while (attempts < 64) {
+      attempts += 1
+      val base = latest(path).get
+      if (gens.nonEmpty && base.version != validatedVersion) {
+        val df = read(spark, path, Some(base.version))
+        gens.foreach { case (c, _) =>
+          require(df.columns.contains(c),
+            s"generated column '$c' does not exist in the table — " +
+              "declare it over a table that already carries the column") }
+        applyGenerated(df, gens).count() // fail-fast mismatch scan
+        validatedVersion = base.version
+      }
+      val m = base.copy(version = base.version + 1, parent = base.version,
+        commitId = None, generated = gens, commitTs = None)
+      val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
+      try { publish(target, render(m)); return m.version }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    throw new IllegalStateException(
+      s"commit contention in setGeneratedColumns: gave up after $attempts attempts")
+  }
+
   def setConstraints(spark: SparkSession, path: String,
       cons: Seq[String]): Long = {
     require(latest(path).isDefined, s"no table at $path")
@@ -710,10 +758,27 @@ object ManifestTable {
       s"commit contention in setConstraints: gave up after $attempts attempts")
   }
 
+  /** GENERATED-column application/validation (Delta's): a write absent
+    * the column COMPUTES it; a write carrying it must MATCH the stored
+    * expression row-for-row (null-safe) or it aborts mid-scan like a
+    * CHECK violation. Runs before constraint enforcement so a
+    * constraint may reference a generated column. */
+  private def applyGenerated(df: DataFrame,
+      gens: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, col, expr, lit}
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else d.where(assert_true(col(c) <=> expr(e),
+        lit(s"generated column '$c' does not match its expression $e"))
+        .isNull)
+    }
+  }
+
   private def stage(df: DataFrame, path: String): Seq[String] = {
     Files.createDirectories(dataDir(path))
     val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    enforceConstraints(df, constraints(path)).write.parquet(staging.toString)
+    enforceConstraints(applyGenerated(df, generatedColumns(path)),
+      constraints(path)).write.parquet(staging.toString)
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -885,7 +950,8 @@ object ManifestTable {
     Manifest(next, files, commitId,
       cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
       deleteStats = delStats, rows = rowsM,
-      mergeKeys = cur.map(_.mergeKeys).getOrElse(Seq.empty))
+      mergeKeys = cur.map(_.mergeKeys).getOrElse(Seq.empty),
+      generated = cur.map(_.generated).getOrElse(Seq.empty))
   }
 
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
@@ -1185,7 +1251,8 @@ object ManifestTable {
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
           footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
           base.constraints, rows = footerRows(path, staged),
-          mergeKeys = base.mergeKeys, dataChange = false)))
+          mergeKeys = base.mergeKeys, dataChange = false,
+          generated = base.generated)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1266,7 +1333,8 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = base.mergeKeys, dataChange = false)
+      mergeKeys = base.mergeKeys, dataChange = false,
+      generated = base.generated)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1366,7 +1434,8 @@ object ManifestTable {
         staged.map(_ -> next),
       Seq.empty, base.constraints,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = base.mergeKeys, dataChange = false)
+      mergeKeys = base.mergeKeys, dataChange = false,
+      generated = base.generated)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1562,7 +1631,7 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = keyCols)
+      mergeKeys = keyCols, generated = base.generated)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1658,7 +1727,7 @@ object ManifestTable {
         // this delete to the data files its key range can actually hit
         deleteStats = base.deleteStats ++ footerStats(path, delFiles),
         rows = base.rows ++ footerRows(path, staged ++ delFiles),
-        mergeKeys = keyCols)
+        mergeKeys = keyCols, generated = base.generated)
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next
@@ -2100,7 +2169,7 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = base.mergeKeys)
+      mergeKeys = base.mergeKeys, generated = base.generated)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -2206,7 +2275,7 @@ object ManifestTable {
       m.constraints, None,
       m.deleteStats.map { case (f, v) => abs(f) -> v },
       m.rows.map { case (f, v) => abs(f) -> v },
-      m.mergeKeys)
+      m.mergeKeys, generated = m.generated)
     publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(cm))
     1L
   }
