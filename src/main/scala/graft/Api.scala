@@ -238,6 +238,26 @@ object ApiServer {
                 spark, tablePath, cons)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("constraints_version" -> v) ~ ("constraints" -> cons))))
+            case ("GET", List("generated")) =>
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("warehouse" -> whName) ~ ("resource" -> resource) ~
+                  ("generated" -> graft.sources.ManifestTable
+                    .generatedColumns(tablePath)
+                    .map { case (c, e) => ("column" -> c) ~ ("expr" -> e) }
+                    .toList))))
+            case ("POST", List("generated")) =>
+              // declare generated columns: {"generated":[{"column":...,
+              // "expr":...}]} — validates existing rows first; [] drops
+              implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+              val gens = (JsonMethods.parse(body(ex)) \ "generated") match {
+                case org.json4s.JArray(gs) => gs.map(g =>
+                  ((g \ "column").extract[String], (g \ "expr").extract[String]))
+                case _ => Nil
+              }
+              val v = graft.sources.ManifestTable.setGeneratedColumns(
+                spark, tablePath, gens)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("generated_version" -> v) ~ ("n_columns" -> gens.size))))
             case ("POST", List("index", "bloom")) =>
               // build the per-file value Bloom index: ?cols=a,b
               val cols = queryParams(ex).get("cols")

@@ -137,6 +137,22 @@ class ApiServerSpec extends SparkSpecBase {
         s"${api.baseUrl}/table/idxlake/items/index/trigram?col=txt",
         Map.empty, "", "application/json")
       assert(t1.contains("\"sidecars_written\":4"), t1)
+      // generated columns: declare over a table carrying the column,
+      // read back, see an absent-column append compute it
+      ManifestTable.append(
+        (201L to 210L).map(i => (i, s"value-$i", i % 7))
+          .toDF("k", "txt", "kb"), s"$base/items2")
+      val gset = Http.post(s"${api.baseUrl}/table/idxlake/items2/generated",
+        Map.empty, """{"generated":[{"column":"kb","expr":"k % 7"}]}""",
+        "application/json")
+      assert(gset.contains("\"n_columns\":1"), gset)
+      val gget = Http.get(s"${api.baseUrl}/table/idxlake/items2/generated",
+        Map.empty)
+      assert(gget.contains("\"expr\":\"k % 7\""), gget)
+      ManifestTable.append(
+        Seq((300L, "v")).toDF("k", "txt"), s"$base/items2")
+      assert(ManifestTable.read(spark, s"$base/items2")
+        .where(col("k") === 300L).select("kb").head.getLong(0) == 300L % 7)
       // the built indexes actually serve pruned, exact reads
       assert(TrigramIndex.indexedFiles(s"$base/items", "txt").size == 4)
       assert(ManifestTable.readWhereContains(
