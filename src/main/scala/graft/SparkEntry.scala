@@ -1312,6 +1312,40 @@ object SparkEntry {
         .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
     }),
 
+    "q134_describe_detail" -> ((s, dir) => {
+      // DESCRIBE DETAIL (Delta's), from plain SQL via the graft_detail
+      // TVF: the current version's one-row summary — files, delete
+      // ledger, physical bytes, recorded vs LIVE rows (the MoR ledger's
+      // effect, straight from manifest metadata), and the table's
+      // contract (constraints, merge keys) — the operator's first look
+      // at an unfamiliar table. Gates: physical size positive, file
+      // count matches the layout; the metadata-derived row numbers are
+      // REPRODUCIBLE under the oracle (live_rows = recorded minus the
+      // delete ledger's keys, no scan anywhere).
+      import graft.sources.ManifestTable
+      plans.GraftExtensions.register(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q134-").toString
+      val t = s"$tmp/t"
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ManifestTable.overwrite(
+        customer.repartition(4, col("c_custkey")), t) // v1: 4 data files
+      ManifestTable.mergeMoR(s, t,
+        customer.where(col("c_custkey") % 13 === 0)
+          .withColumn("op", lit("D")),
+        Seq("c_custkey"), deleteWhen = Some(col("op") === "D")) // v2
+      ManifestTable.setConstraints(s, t, Seq("c_custkey > 0")) // v3
+      val d = s.sql(s"SELECT * FROM graft_detail('$t')")
+      val r = d.head()
+      require(r.getAs[Long]("size_bytes") > 0L, "physical size missing")
+      require(r.getAs[Int]("n_files") >= 4, "layout files missing")
+      d.select(col("version"),
+        col("n_delete_files").cast("long").as("n_delete_files"),
+        col("recorded_rows"), col("live_rows"),
+        col("n_constraints").cast("long").as("n_constraints"),
+        col("merge_keys"))
+    }),
+
     "q133_generated" -> ((s, dir) => {
       // GENERATED COLUMNS (Delta's, on the manifest format): a stored
       // (name, expression) contract — a write absent the column
@@ -7505,6 +7539,17 @@ object SparkEntry {
              AS BIGINT) AS sum_b
          FROM p, g dx, g dy
          GROUP BY doc_id, px, py""",
+    // q134: every emitted number derives from manifest metadata alone —
+    // the oracle recomputes them from the data rules
+    "q134_describe_detail" ->
+      """SELECT CAST(3 AS BIGINT) AS version,
+           CAST(1 AS BIGINT) AS n_delete_files,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer)
+             AS recorded_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey % 13 <> 0) AS live_rows,
+           CAST(1 AS BIGINT) AS n_constraints,
+           'c_custkey' AS merge_keys""",
     // q133: every bucket value is the declared expression of its row —
     // computed and supplied write paths indistinguishable in the data
     "q133_generated" ->

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("graft_history"),
       new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_history"),
       GraftTableFunction.buildHistory _))
+    ext.injectTableFunction((FunctionIdentifier("graft_detail"),
+      new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_detail"),
+      GraftTableFunction.buildDetail _))
   }
 }
 
@@ -118,5 +121,7 @@ object GraftExtensions {
       spark, "graft_table", GraftTableFunction.build _)
     org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
       spark, "graft_history", GraftTableFunction.buildHistory _)
+    org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
+      spark, "graft_detail", GraftTableFunction.buildDetail _)
   }
 }

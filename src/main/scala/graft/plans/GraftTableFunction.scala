@@ -43,6 +43,17 @@ object GraftTableFunction {
       graft.sources.ManifestTable.read(SparkSession.active, path, version))
   }
 
+  /** `graft_detail('<path>')` — DESCRIBE DETAIL as a TVF: the current
+    * version's one-row summary (files, delete ledger, bytes, recorded
+    * and live rows, contract metadata) from plain SQL. */
+  def buildDetail(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "graft_detail(path) takes one argument")
+    require(exprs.head.foldable, "graft_detail: path must be a literal")
+    val path = String.valueOf(exprs.head.eval())
+    org.apache.spark.sql.graft.ColumnBridge.logicalPlan(
+      graft.sources.ManifestTable.detail(SparkSession.active, path))
+  }
+
   /** `graft_history('<path>')` — DESCRIBE HISTORY as a TVF: the audit
     * surface (versions, commit timestamps/ids, file and row deltas,
     * constraint/merge-key metadata) queryable and joinable from plain

@@ -676,10 +676,20 @@ object ManifestTable {
       cons: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{assert_true, expr, lit}
     cons.foldLeft(df) { (d, c) =>
-      d.where(assert_true(expr(c),
-        lit(s"CHECK constraint violated: $c")).isNull)
+      d.where(gated(assert_true(expr(c),
+        lit(s"CHECK constraint violated: $c")).isNull))
     }
   }
+
+  /** Wrap an enforcement predicate in [[graft.plans.EnforcementGate]]
+    * so the optimizer can neither push it into scans it does not belong
+    * to nor INFER it across the reconcile anti-join onto delete-key
+    * files (whose keys legitimately violate constraints being
+    * declared — see EnforcementGate's scaladoc). */
+  private def gated(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.EnforcementGate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** The table's declared CHECK constraints (empty if none/absent). */
   def constraints(path: String): Seq[String] =
@@ -768,9 +778,9 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{assert_true, col, expr, lit}
     gens.foldLeft(df) { case (d, (c, e)) =>
       if (!d.columns.contains(c)) d.withColumn(c, expr(e))
-      else d.where(assert_true(col(c) <=> expr(e),
+      else d.where(gated(assert_true(col(c) <=> expr(e),
         lit(s"generated column '$c' does not match its expression $e"))
-        .isNull)
+        .isNull))
     }
   }
 
@@ -2202,6 +2212,26 @@ object ManifestTable {
     }.toDF("version", "commit_ts", "commit_id", "n_files", "n_delete_files",
       "recorded_rows", "files_added", "files_removed", "n_constraints",
       "merge_keys")
+  }
+
+  /** DESCRIBE DETAIL (Delta's): the CURRENT version's summary as one
+    * row — the operator's first look at an unfamiliar table. Row
+    * counts come from manifest metadata ([[estimatedLive]]'s exact
+    * inputs); `size_bytes` is the physical data-file footprint
+    * (encoding-dependent — an observability number, not a contract). */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val m = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val sizeBytes = m.files.map(f => Files.size(dataDir(path).resolve(f))).sum
+    val recorded = m.files.flatMap(m.rows.get).sum
+    val live = estimatedLive(path).map(_._1).getOrElse(recorded)
+    Seq((m.version, m.files.size, m.deletes.size, sizeBytes, recorded,
+      live, m.constraints.size, m.generated.size,
+      m.mergeKeys.mkString(",")))
+      .toDF("version", "n_files", "n_delete_files", "size_bytes",
+        "recorded_rows", "live_rows", "n_constraints", "n_generated",
+        "merge_keys")
   }
 
   /** RESTORE (Delta's RESTORE TABLE … TO VERSION): re-commit version
