@@ -1312,6 +1312,41 @@ object SparkEntry {
         .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
     }),
 
+    "q135_maintenance_plan" -> ((s, dir) => {
+      // MAINTENANCE ADVISOR (ManifestTable.maintenancePlan): what the
+      // nightly job should run, decided from METADATA alone — manifest
+      // + sidecar listings, no data scan. Under-filled files →
+      // compact_incremental (the exact set it would fold), MoR ledger
+      // → fold_deletes, versions past retention → expire, and files
+      // the EXISTING sidecar indexes have not covered → per-column
+      // reindex rows (indexes the operator never built are policy, not
+      // maintenance — no row). The oracle pins the plan's exact
+      // numbers, which means it pins the pipeline's whole file/ledger/
+      // version accounting: any drift in staging or commit behavior
+      // changes a metric and breaks the hash.
+      import graft.sources.{BloomIndex, ManifestTable}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q135-").toString
+      val t = s"$tmp/t"
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ManifestTable.overwrite(c.where(col("c_custkey") % 3 === 0)
+        .coalesce(1), t) // v1: one file
+      ManifestTable.append(c.where(col("c_custkey") % 3 === 1)
+        .coalesce(1), t) // v2: one file
+      ManifestTable.mergeMoR(s, t,
+        c.where(col("c_custkey") % 13 === 0).withColumn("op", lit("D"))
+          .unionByName(c.where(col("c_custkey") === 2)
+            .withColumn("c_name", lit("UPSERTED"))
+            .withColumn("op", lit("U")))
+          .coalesce(1), // one partition → exactly one staged upsert file
+        Seq("c_custkey"),
+        deleteWhen = Some(col("op") === "D")) // v3: 1 delete + 1 upsert file
+      BloomIndex.build(s, t, Seq("c_custkey")) // covers the 3 files so far
+      ManifestTable.append(c.where(col("c_custkey") % 3 === 2)
+        .coalesce(1), t) // v4: one UNINDEXED file
+      ManifestTable.maintenancePlan(s, t)
+    }),
+
     "q134_describe_detail" -> ((s, dir) => {
       // DESCRIBE DETAIL (Delta's), from plain SQL via the graft_detail
       // TVF: the current version's one-row summary — files, delete
@@ -7539,6 +7574,15 @@ object SparkEntry {
              AS BIGINT) AS sum_b
          FROM p, g dx, g dy
          GROUP BY doc_id, px, py""",
+    // q135: the plan's numbers pin the pipeline's exact file/ledger/
+    // version accounting
+    "q135_maintenance_plan" ->
+      """SELECT 'compact_incremental' AS action, CAST(4 AS BIGINT) AS metric,
+           true AS recommended
+         UNION ALL SELECT 'fold_deletes', CAST(1 AS BIGINT), true
+         UNION ALL SELECT 'expire', CAST(3 AS BIGINT), true
+         UNION ALL SELECT 'reindex_bloom:c_custkey', CAST(1 AS BIGINT),
+           true""",
     // q134: every emitted number derives from manifest metadata alone —
     // the oracle recomputes them from the data rules
     "q134_describe_detail" ->

@@ -2234,6 +2234,59 @@ object ManifestTable {
         "merge_keys")
   }
 
+  /** MAINTENANCE ADVISOR: what a nightly job should run against this
+    * table, decided from METADATA alone (manifest + sidecar listings —
+    * no data scan). One row per known maintenance action with its
+    * driving metric and a recommendation:
+    *
+    *  - `compact_incremental` — files under `minFill · targetBytes`
+    *    (the exact set [[compactIncremental]] would fold);
+    *  - `fold_deletes` — MoR delete-ledger files awaiting
+    *    [[compactDeletes]];
+    *  - `expire` — versions beyond the `keepLast` retention horizon;
+    *  - `reindex_bloom` / `reindex_trigram` — files the existing
+    *    sidecar indexes have not covered yet (new appends/rewrites),
+    *    per indexed column. Emitted only for indexes that exist —
+    *    advising an index the operator never built is policy, not
+    *    maintenance.
+    *
+    * The advisor RECOMMENDS; it runs nothing. */
+  def maintenancePlan(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFill: Double = 0.5,
+      keepLast: Int = 1): DataFrame = {
+    import spark.implicits._
+    val m = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val under = m.files.count(f =>
+      Files.size(dataDir(path).resolve(f)) < (minFill * targetBytes).toLong)
+    val nDel = m.deletes.size
+    val nExpired = math.max(0, versions(path).size - keepLast)
+    def sidecarCols(dirName: String, suffix: String): Seq[String] = {
+      val d = Paths.get(path, dirName)
+      if (!Files.isDirectory(d)) Seq.empty
+      else Using.resource(Files.list(d)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(suffix))
+          .map(_.stripSuffix(suffix).split("\\.").last)
+          .toSeq.distinct.sorted
+      }
+    }
+    val bloomMissing = sidecarCols("_bloom", ".bloom").map(c =>
+      c -> m.files.count(f => !BloomIndex.indexedFiles(path, c).contains(f)))
+    val triMissing = sidecarCols("_trigram", ".tri").map(c =>
+      c -> m.files.count(f =>
+        !TrigramIndex.indexedFiles(path, c).contains(f)))
+    (Seq(
+      ("compact_incremental", under.toLong, under >= 2),
+      ("fold_deletes", nDel.toLong, nDel > 0),
+      ("expire", nExpired.toLong, nExpired > 0)) ++
+      bloomMissing.map { case (c, n) =>
+        (s"reindex_bloom:$c", n.toLong, n > 0) } ++
+      triMissing.map { case (c, n) =>
+        (s"reindex_trigram:$c", n.toLong, n > 0) })
+      .toDF("action", "metric", "recommended")
+  }
+
   /** RESTORE (Delta's RESTORE TABLE … TO VERSION): re-commit version
     * K's complete state — files, stats, seqs, delete ledger, scoping
     * stats, row counts — as a NEW version on top of the current chain.
