@@ -184,6 +184,37 @@ object ApiServer {
         case ("POST", List("run", cmd)) if cmd == "pull" || cmd == "push" =>
           respond(ex, 200, Main.run(spark, cmd, body(ex)))
 
+        // SIMILARITY SEARCH over a registered resource's embedding
+        // column — the matching endpoint of an HR-tech service (score a
+        // profile against a corpus). Exact brute-force top-k per
+        // request (one corpus scan, query broadcast); a deployment
+        // serving high QPS loads a persisted index
+        // (VectorIndexStore) behind the same contract instead.
+        // Body: {"vector":[...], "k":5, "id_col":"vec_id",
+        //        "vec_col":"embedding"}
+        case ("POST", List("search", whName, resource)) =>
+          implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+          val j = JsonMethods.parse(body(ex))
+          val vec = (j \ "vector").extract[List[Double]]
+          require(vec.nonEmpty, "search needs a non-empty 'vector'")
+          val k = (j \ "k").extractOpt[Int].getOrElse(5)
+          val idCol = (j \ "id_col").extractOpt[String].getOrElse("vec_id")
+          val vecCol = (j \ "vec_col").extractOpt[String]
+            .getOrElse("embedding")
+          val corpus = WarehouseRegistry.instance(whName)
+            .read(spark, resource)
+          import spark.implicits._
+          val q = Seq((-1L, vec)).toDF(idCol, vecCol)
+          val hits = graft.operators.similarity.Similarity
+            .knnBrute(corpus, q, idCol, vecCol, k)
+            .orderBy("rk").collect().map { r =>
+              ("id" -> r.getLong(1)) ~ ("cosine" -> r.getDouble(2)) ~
+                ("rk" -> r.getInt(3))
+            }.toList
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+            ("warehouse" -> whName) ~ ("resource" -> resource) ~
+              ("k" -> k) ~ ("hits" -> hits))))
+
         // table maintenance over registered ManifestWarehouses only —
         // the service never touches arbitrary filesystem paths
         case (m, "table" :: whName :: resource :: rest)

@@ -1312,6 +1312,61 @@ object SparkEntry {
         .toDF("doc_id", "patch_x", "patch_y", "sum_r", "sum_g", "sum_b")
     }),
 
+    "q136_search_api" -> ((s, dir) => {
+      // SIMILARITY SEARCH AS A SERVICE — the matching endpoint of an
+      // HR-tech platform (score a profile against a corpus) on the
+      // embedded HTTP layer: POST /search/{wh}/{res} with a raw vector
+      // returns exact brute-force top-k over the resource's embedding
+      // column (one corpus scan, query broadcast; a high-QPS
+      // deployment swaps in a persisted VectorIndexStore index behind
+      // the same contract). The gate round-trips REAL HTTP for two
+      // query vectors and requires the service's hits to equal the
+      // in-process exact search id-for-id; the emitted truth goes
+      // under the ss1-style oracle.
+      import graft.sources.{Http, ParquetWarehouse, WarehouseMeta, WarehouseRegistry}
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      WarehouseRegistry.clear()
+      WarehouseRegistry.register(
+        WarehouseMeta("emblake", "embedding lake", "lake", "parquet"),
+        () => ParquetWarehouse("emblake", dir))
+      val emb = Tables(s, dir, "embeddings")
+      val qIds = Seq(7L, 42L)
+      val queries = emb.where(col("vec_id").isin(qIds: _*))
+      val truth = operators.similarity.Similarity
+        .knnBrute(emb, queries, "vec_id", "embedding", k = 5)
+      val api = ApiServer.start(s)
+      try {
+        val local = truth.collect()
+          .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+        queries.select(col("vec_id"), col("embedding")).collect()
+          .foreach { row =>
+            val qid = row.getLong(0)
+            val vec = row.getSeq[Float](1).map(_.toDouble)
+            val resp = Http.post(
+              s"${api.baseUrl}/search/emblake/embeddings", Map.empty,
+              s"""{"vector":[${vec.mkString(",")}],"k":5}""",
+              "application/json")
+            val hits = (JsonMethods.parse(resp) \ "hits") match {
+              case JArray(hs) => hs.map(h =>
+                ((h \ "rk").extract[Int], (h \ "id").extract[Long]))
+              case _ => Nil
+            }
+            require(hits.size == 5, s"expected 5 hits, got $resp")
+            // the service's corpus CONTAINS the query row (cosine 1 at
+            // rank 1); the local truth self-excludes — drop the self
+            // hit and the rankings must agree id-for-id
+            val served = hits.sortBy(_._1).map(_._2)
+              .filterNot(_ == qid).take(4)
+            val want = (1 to 4).map(rk => local((qid, rk)))
+            require(served == want,
+              s"service ranking $served != local $want for query $qid")
+          }
+      } finally api.stop()
+      truth
+    }),
+
     "q135_maintenance_plan" -> ((s, dir) => {
       // MAINTENANCE ADVISOR (ManifestTable.maintenancePlan): what the
       // nightly job should run, decided from METADATA alone — manifest
@@ -7574,6 +7629,21 @@ object SparkEntry {
              AS BIGINT) AS sum_b
          FROM p, g dx, g dy
          GROUP BY doc_id, px, py""",
+    // q136: the emitted rows are the exact in-process top-k the HTTP
+    // round-trip was gated against
+    "q136_search_api" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id IN (7, 42)),
+         c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings),
+         s AS (SELECT qid, nid,
+                 round(list_cosine_similarity(qv, nv), 6) AS cosine
+               FROM q JOIN c ON qid != nid)
+         SELECT query_id, neighbor_id, cosine, rk FROM (
+           SELECT qid AS query_id, nid AS neighbor_id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nid) AS rk FROM s)
+         WHERE rk <= 5""",
     // q135: the plan's numbers pin the pipeline's exact file/ledger/
     // version accounting
     "q135_maintenance_plan" ->
