@@ -2350,6 +2350,118 @@ object SparkEntry {
            FROM now JOIN v1 ON now.segment = v1.segment""")
     }),
 
+    "q137_sql_catalog" -> ((s, dir) => {
+      // The CATALOG front door (GraftCatalog, a DataSource V2
+      // TableCatalog): named tables under spark.sql.catalog.graft, DDL
+      // (CREATE NAMESPACE / CTAS), DML (INSERT INTO as a manifest
+      // commit), native `VERSION AS OF` time travel, and a MoR delete
+      // ledger — all observed through plain spark.sql identifiers.
+      // v1 = CTAS of the even-key slice, v2 = INSERT of the odd slice,
+      // then a MoR merge hides every 13th key; the final query reads
+      // both `now` (post-delete) and `VERSION AS OF 1` snapshots.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q137-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src")
+      s2.sql("CREATE NAMESPACE graft.crm")
+      s2.sql("""CREATE TABLE graft.crm.orders AS
+                SELECT * FROM orders_src WHERE o_orderkey % 2 = 0""")
+      s2.sql("INSERT INTO graft.crm.orders SELECT * FROM orders_src WHERE o_orderkey % 2 = 1")
+      ManifestTable.mergeMoR(s2, s"$wh/crm/orders",
+        s2.table("orders_src").where(col("o_orderkey") % 13 === 0),
+        Seq("o_orderkey"), deleteWhen = Some(lit(true)))
+      s2.sql(
+        """WITH now AS (
+             SELECT o_orderstatus AS st, count(*) AS n_now,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             FROM graft.crm.orders GROUP BY 1),
+           v1 AS (
+             SELECT o_orderstatus AS st, count(*) AS n_v1
+             FROM graft.crm.orders VERSION AS OF 1 GROUP BY 1)
+           SELECT now.st AS o_orderstatus, v1.n_v1, now.n_now, now.revenue
+           FROM now JOIN v1 ON now.st = v1.st""")
+    }),
+
+    "q138_sql_dml" -> ((s, dir) => {
+      // SQL DML lifecycle on a catalog table: CREATE TABLE (typed DDL,
+      // empty but queryable), INSERT INTO (append commit), INSERT
+      // OVERWRITE (replace commit — the l_linenumber=1 load must be
+      // gone), a CHECK constraint declared table-side that REJECTS a
+      // bad SQL insert (gate-asserted) while a good one lands. The
+      // oracle sees only what survived: the overwrite slice + the one
+      // valid literal row.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q138-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .createOrReplaceTempView("li_src")
+      s2.sql("CREATE TABLE graft.li (k BIGINT, flag STRING, qty DOUBLE)")
+      require(s2.sql("SELECT * FROM graft.li").count() == 0L,
+        "a created-but-unwritten table must read as empty")
+      s2.sql("""INSERT INTO graft.li
+                SELECT l_orderkey, l_returnflag, CAST(l_quantity AS DOUBLE)
+                FROM li_src WHERE l_linenumber = 1""")
+      s2.sql("""INSERT OVERWRITE graft.li
+                SELECT l_orderkey, l_returnflag, CAST(l_quantity AS DOUBLE)
+                FROM li_src WHERE l_linenumber = 2""")
+      ManifestTable.setConstraints(s2, s"$wh/li", Seq("qty >= 0"))
+      val rejected = scala.util.Try(
+        s2.sql("INSERT INTO graft.li VALUES (0, 'R', -4.0)")).isFailure
+      require(rejected, "the CHECK constraint must reject qty < 0 via SQL")
+      s2.sql("INSERT INTO graft.li VALUES (0, 'R', 1.5)")
+      s2.sql(
+        """SELECT flag, count(*) AS n,
+             CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           FROM graft.li GROUP BY flag""")
+    }),
+
+    "q139_sql_stats_join" -> ((s, dir) => {
+      // LIVE STATISTICS through the catalog scan: after a MoR merge
+      // hides ~97% of the orders table, its PHYSICAL bytes still exceed
+      // the (lowered) broadcast threshold but its LIVE rows collapse —
+      // GraftScan reports manifest-derived live statistics
+      // (SupportsReportStatistics), so the SQL join plans a broadcast
+      // that raw file-size estimation would shuffle. The probe side
+      // (lineitem, > threshold) cannot be the broadcast side, so the
+      // gate proves the statistics flowed. Oracle: the surviving join.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q139-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (128 * 1024).toString)
+      plans.GraftJoinSize.install(s2)
+      val orders = Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ManifestTable.overwrite(orders, s"$wh/big")
+      ManifestTable.mergeMoR(s2, s"$wh/big",
+        orders.where(col("o_orderkey") % 37 =!= 0),
+        Seq("o_orderkey"), deleteWhen = Some(lit(true)))
+      val physical = ManifestTable.dataFileSizes(s"$wh/big",
+        ManifestTable.statsSurvivors(s"$wh/big", Seq.empty))
+      require(physical > 128 * 1024,
+        s"gate premise: physical bytes $physical must exceed the threshold")
+      Tables(s2, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .createOrReplaceTempView("li_probe")
+      val out = s2.sql(
+        """SELECT l.l_returnflag, count(*) AS n,
+             CAST(sum(CAST(b.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM li_probe l JOIN graft.big b ON l.l_orderkey = b.o_orderkey
+           GROUP BY l.l_returnflag""")
+      require(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "live-size statistics must flip the post-delete join to broadcast")
+      out
+    }),
+
     "q113_stream_cdf" -> ((s, dir) => {
       // STREAMING CHANGE DATA FEED — Delta's readChangeFeed on this
       // format: commit-time CDC materialization (materializeCdf writes
@@ -7970,6 +8082,35 @@ object SparkEntry {
            GROUP BY 1)
          SELECT nowa.segment, v1a.n_v1, nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.segment = v1a.segment""",
+    // q137: now = everything minus the MoR-deleted %13 keys; v1 = the
+    // CTAS commit (the even-key slice)
+    "q137_sql_catalog" ->
+      """WITH nowa AS (
+           SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_now,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM orders WHERE o_orderkey % 13 <> 0 GROUP BY 1),
+         v1a AS (
+           SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v1
+           FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1)
+         SELECT nowa.o_orderstatus, v1a.n_v1, nowa.n_now, nowa.revenue
+         FROM nowa JOIN v1a ON nowa.o_orderstatus = v1a.o_orderstatus""",
+    // q138: INSERT OVERWRITE leaves only the l_linenumber=2 slice, plus
+    // the one constraint-passing literal row
+    "q138_sql_dml" ->
+      """WITH live AS (
+           SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS qty
+           FROM lineitem WHERE l_linenumber = 2
+           UNION ALL SELECT 'R', 1.5)
+         SELECT flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM live GROUP BY flag""",
+    // q139: only orders keys on the %37 lattice survive the MoR delete
+    "q139_sql_stats_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderkey % 37 = 0
+         GROUP BY l_returnflag""",
     // q118: the replica must land on the rule sets' final state
     // (merge rules + the appended slice)
     "q118_cdc_replica" ->

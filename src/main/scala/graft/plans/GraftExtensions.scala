@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fires only on scans whose root path is registered, so sessions
     // with no registered MV plan exactly as before
     ext.injectOptimizerRule(_ => new MvRewriteRule)
+    // size-based join planning for catalog scans (V1ScanWrapper reports
+    // no statistics — without this a graft side never broadcasts)
+    ext.injectOptimizerRule(_ => new GraftJoinSizeRule)
     // the manifest format's SQL read surface: FROM graft_table('<path>')
     ext.injectTableFunction((FunctionIdentifier("graft_table"),
       new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_table"),
@@ -123,5 +126,6 @@ object GraftExtensions {
       spark, "graft_history", GraftTableFunction.buildHistory _)
     org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
       spark, "graft_detail", GraftTableFunction.buildDetail _)
+    GraftJoinSize.install(spark)
   }
 }

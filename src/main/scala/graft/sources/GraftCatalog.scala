@@ -1,0 +1,391 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.conditions.{Condition, Op}
+
+/** DataSource V2 CATALOG over manifest tables — the `spark.sql`-native
+  * front door (the reference exposes its warehouses by NAME through a
+  * config registry, core/storing/naming.py:24; here the same naming is
+  * a first-class Spark catalog):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/wh")
+  *   spark.sql("CREATE TABLE graft.crm.orders (k BIGINT, v STRING)")
+  *   spark.sql("INSERT INTO graft.crm.orders SELECT ...")
+  *   spark.sql("SELECT * FROM graft.crm.orders VERSION AS OF 3 WHERE k = 7")
+  * }}}
+  *
+  * Identifiers map to paths (`<warehouse>/<ns...>/<name>`), so every
+  * table remains readable by the path API (`ManifestTable.read`) and
+  * the `graft_table` TVF — one format, three doors.
+  *
+  * Reads go through a [[V1Scan]] that delegates to
+  * [[ManifestTable.readWhere]]: manifest min/max FILE SKIPPING on the
+  * pushed predicates, per-file-scoped MoR delete reconciliation, and
+  * merged-footer schema evolution all apply to SQL identically to the
+  * DataFrame API — one read path, no semantic fork. Pushed filters are
+  * also kept as Spark-side residuals, so pruning can only ever skip
+  * whole provably-dead files, never change results. The scan reports
+  * LIVE row/byte statistics (manifest row counts minus scoped delete
+  * bounds, scaled to the pruned column set), so join planning sees
+  * through both pruning and a delete ledger — a post-delete table
+  * broadcasts when its live size says it should, where raw file-size
+  * estimation would shuffle.
+  *
+  * Writes implement [[V1Write]]: `INSERT INTO` → [[ManifestTable.append]],
+  * `INSERT OVERWRITE` → [[ManifestTable.overwrite]] — the same staged
+  * commit protocol as every other writer, so SQL inserts inherit CHECK
+  * constraints, generated columns, stats harvest, and optimistic
+  * version locking; SQL and API writers can race the same table safely.
+  *
+  * Time travel uses Spark's native syntax: `VERSION AS OF n` resolves
+  * an exact version, `TIMESTAMP AS OF t` resolves [[ManifestTable
+  * .versionAt]] (micros from Spark, at-or-before semantics). Version
+  * reads are snapshots — writes through a time-travel relation are
+  * rejected.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null && wh.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = Paths.get(wh)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  // ─────────────────────────── layout ───────────────────────────
+
+  private def checkSegment(s: String): String = {
+    require(s.nonEmpty && s != "." && s != ".." && !s.contains("/") &&
+      !s.startsWith("_") && !s.startsWith("."),
+      s"illegal identifier segment '$s'")
+    s
+  }
+
+  private def tableDir(ident: Identifier): Path =
+    (ident.namespace.toSeq :+ ident.name)
+      .foldLeft(warehouse)((p, s) => p.resolve(checkSegment(s)))
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, s) => p.resolve(checkSegment(s)))
+
+  /** A table dir is marked by a manifest log or a CREATE-time schema —
+    * any other directory is namespace space. */
+  private def isTable(dir: Path): Boolean =
+    Files.isDirectory(dir.resolve("_manifests")) ||
+      Files.isRegularFile(dir.resolve(GraftCatalog.SchemaFile))
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  // ─────────────────────────── tables ───────────────────────────
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) && isTable(p))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray.sortBy(_.name)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None)
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft version must be an integer, got '$version'")
+    }
+    loadAt(ident, Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tableDir(ident).toString
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    loadAt(ident, Some(ManifestTable.versionAt(path, timestampMicros / 1000L)))
+  }
+
+  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val spark = SparkSession.active
+    // committed data speaks for the schema (merged footers — evolution
+    // included); a freshly created empty table speaks via its DDL schema
+    val schema =
+      if (ManifestTable.versions(path).nonEmpty)
+        ManifestTable.read(spark, path, version).schema
+      else GraftCatalog.readDdlSchema(dir).getOrElse(
+        throw new NoSuchTableException(ident))
+    GraftSqlTable(ident.toString, path, version, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables do not take PARTITIONED BY (layout is per-commit; use ZORDER/compaction)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = tableDir(ident)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(GraftCatalog.SchemaFile),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    GraftSqlTable(ident.toString, dir.toString, None, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use ManifestTable.setConstraints / schema evolution on write")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    deleteTree(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = tableDir(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(tableDir(oldIdent), to)
+  }
+
+  private def deleteTree(dir: Path): Unit =
+    Using.resource(Files.walk(dir)) { st =>
+      st.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
+        .foreach(Files.delete)
+    }
+
+  // ───────────────────────── namespaces ─────────────────────────
+
+  override def listNamespaces(): Array[Array[String]] =
+    Using.resource(Files.list(warehouse)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTable(p) &&
+          !p.getFileName.toString.startsWith(".") &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => Array(p.getFileName.toString))
+        .toArray.sortBy(_.head)
+    }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = nsDir(namespace)
+      Files.isDirectory(dir) && !isTable(dir)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val dir = nsDir(namespace)
+    val empty = Using.resource(Files.list(dir))(!_.iterator().hasNext)
+    if (!empty && !cascade) throw new NonEmptyNamespaceException(namespace)
+    deleteTree(dir)
+    true
+  }
+}
+
+object GraftCatalog {
+  private[sources] val SchemaFile = "_schema.json"
+
+  private[sources] def readDdlSchema(dir: Path): Option[StructType] = {
+    val f = dir.resolve(SchemaFile)
+    if (!Files.isRegularFile(f)) None
+    else Some(DataType.fromJson(
+      new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[StructType])
+  }
+
+  /** Spark [[Filter]] → manifest-skippable [[Condition]]s. Top-level
+    * columns only; anything richer simply does not prune (it still
+    * filters — Spark keeps every filter as a residual). AND splits into
+    * both sides (sound: a file must satisfy each conjunct); OR/NOT stay
+    * un-pruned (min/max can prove a single range dead, not a union). */
+  private[sources] def toConditions(f: Filter): Seq[Condition] = f match {
+    case sources.EqualTo(a, v) if flat(a)            => Seq(Condition(a, Op.Eq, v))
+    case sources.GreaterThan(a, v) if flat(a)        => Seq(Condition(a, Op.Gt, v))
+    case sources.GreaterThanOrEqual(a, v) if flat(a) => Seq(Condition(a, Op.Gte, v))
+    case sources.LessThan(a, v) if flat(a)           => Seq(Condition(a, Op.Lt, v))
+    case sources.LessThanOrEqual(a, v) if flat(a)    => Seq(Condition(a, Op.Lte, v))
+    case sources.In(a, vs) if flat(a)                => Seq(Condition(a, Op.In, vs.toSeq))
+    case sources.StringContains(a, v) if flat(a)     => Seq(Condition(a, Op.Contains, v))
+    case sources.IsNull(a) if flat(a)                => Seq(Condition(a, Op.IsNull, null))
+    case sources.IsNotNull(a) if flat(a)             => Seq(Condition(a, Op.NotNull, null))
+    case sources.And(l, r)                           => toConditions(l) ++ toConditions(r)
+    case _                                           => Seq.empty
+  }
+
+  private def flat(attr: String): Boolean = !attr.contains(".")
+}
+
+/** One named manifest table as seen by SQL. `version` set = a
+  * time-travel snapshot (read-only). */
+case class GraftSqlTable(ident: String, path: String, snapshot: Option[Long],
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, snapshot, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(snapshot.isEmpty,
+      s"cannot write to a time-travel snapshot of $ident (VERSION AS OF ${snapshot.get})")
+    new GraftWriteBuilder(path)
+  }
+}
+
+class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var conds: Seq[Condition] = Seq.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val converted = filters.map(f => f -> GraftCatalog.toConditions(f))
+    pushed = converted.collect { case (f, cs) if cs.nonEmpty => f }
+    conds = converted.flatMap(_._2).toSeq
+    // every filter stays a Spark-side residual: pushdown here prunes
+    // FILES (manifest min/max), it never assumes row-level exactness
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = GraftScan(path, version, required, conds)
+}
+
+/** The scan: file pruning + MoR reconcile via the ONE shared read path
+  * ([[ManifestTable.readWhere]]), surfaced to Spark through [[V1Scan]]
+  * (the same official bridge Spark's own JDBC v2 connector uses), with
+  * live statistics for join planning. */
+case class GraftScan(path: String, version: Option[Long],
+    required: StructType, conds: Seq[Condition])
+  extends V1Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftSqlRelation(context, path, version, required, conds).asInstanceOf[T]
+
+  override def estimateStatistics(): Statistics = {
+    import java.util.OptionalLong
+    if (ManifestTable.versions(path).isEmpty)
+      return new Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.of(0L)
+        override def numRows(): OptionalLong = OptionalLong.of(0L)
+      }
+    val survivors = ManifestTable.statsSurvivors(path, conds, version)
+    val recorded = ManifestTable.recordedRows(path, version)
+    val known = survivors.forall(recorded.contains)
+    if (!known)
+      return new Statistics {
+        override def sizeInBytes(): OptionalLong =
+          OptionalLong.of(ManifestTable.dataFileSizes(path, survivors))
+        override def numRows(): OptionalLong = OptionalLong.empty()
+      }
+    // live rows = surviving files' recorded rows − the delete keys
+    // scoped to them (each key hides ≤ 1 row on a keyed table)
+    val scope = ManifestTable.deleteScopeFiles(path, version)
+    val hidden = survivors.flatMap(scope.getOrElse(_, Seq.empty)).distinct
+      .flatMap(recorded.get).sum
+    val rows = math.max(0L, survivors.flatMap(recorded.get).sum - hidden)
+    // bytes scaled to the PRUNED column set: the planner should see the
+    // cost of what this scan emits, not of columns it never reads
+    val rowBytes = math.max(1, required.defaultSize)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * rowBytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+}
+
+class GraftSqlRelation(ctx: SQLContext, path: String, version: Option[Long],
+    required: StructType, conds: Seq[Condition])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val spark = ctx.sparkSession
+    if (ManifestTable.versions(path).isEmpty)
+      return spark.sparkContext.emptyRDD
+    val df = ManifestTable.readWhere(spark, path, conds, version)
+    val projected =
+      if (required.isEmpty) df.select()
+      else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+    projected.rdd
+  }
+}
+
+class GraftWriteBuilder(path: String) extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      // the V1 fallback exec does not thread the overwrite intent
+      // through this boolean — the builder's truncate() call carries it
+      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        if (replace || overwrite) ManifestTable.overwrite(data, path)
+        else ManifestTable.append(data, path)
+    }
+  }
+}

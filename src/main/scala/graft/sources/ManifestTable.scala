@@ -561,6 +561,20 @@ object ManifestTable {
     m.files.flatMap(f => m.rows.get(f).map(f -> _)).toMap
   }
 
+  /** Recorded row counts for EVERY file a version names — data files
+    * and delete files alike (delete-file counts bound how many rows
+    * their keys can hide). Catalog/scan cost estimation. */
+  def recordedRows(path: String, version: Option[Long] = None): Map[String, Long] = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    m.rows
+  }
+
+  /** Physical bytes of the named data files (catalog/scan cost
+    * estimation — the same `data/` resolution every reader uses). */
+  def dataFileSizes(path: String, files: Seq[String]): Long =
+    files.map(f => Files.size(dataDir(path).resolve(f))).sum
+
   /** [[readWhere]] with per-file BLOOM pruning stacked on the min/max
     * stats ([[BloomIndex]]): point predicates (Eq/In) additionally drop
     * every file whose filter proves the probed value absent — the skip

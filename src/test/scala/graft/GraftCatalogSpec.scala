@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** SQL catalog over manifest tables ([[graft.sources.GraftCatalog]]):
+  * identifier → path mapping, one shared read path (MoR + skipping +
+  * evolution through SQL), DDL/DML lifecycle, time travel syntax, and
+  * the planner-visible live statistics. */
+class GraftCatalogSpec extends SparkSpecBase {
+
+  private def catalogSession(wh: String): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2
+  }
+
+  private def freshWh(): String =
+    Files.createTempDirectory("graft-cat-").toString
+
+  test("SQL reads resolve identifiers to the shared read path: MoR deletes and schema evolution included") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/crm/orders"
+    ManifestTable.overwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "tag", "v"), path)
+    // second commit evolves the schema (new column) …
+    ManifestTable.append(
+      Seq((4L, "d", 40.0, "x")).toDF("k", "tag", "v", "extra"), path)
+    // … and a MoR merge hides k=2 without rewriting files
+    ManifestTable.mergeMoR(s2,
+      path, Seq((2L, "b2", 21.0, "y")).toDF("k", "tag", "v", "extra"), Seq("k"))
+
+    val viaSql = s2.sql("SELECT k, tag, v, extra FROM graft.crm.orders ORDER BY k")
+    val viaApi = ManifestTable.read(s2, path)
+      .select("k", "tag", "v", "extra").orderBy("k")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    assert(viaSql.where($"k" === 2L).collect().map(r => r.getString(1)).toSeq
+      == Seq("b2"))
+  }
+
+  test("filter pushdown prunes files in the reported statistics; results stay exact") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    // three single-file commits with DISJOINT k ranges → manifest
+    // min/max proves two of the three files dead under k = 5
+    ManifestTable.overwrite(
+      spark.range(0, 10).toDF("k").withColumn("pay", lit("a")).coalesce(1), path)
+    ManifestTable.append(
+      spark.range(100, 110).toDF("k").withColumn("pay", lit("b")).coalesce(1), path)
+    ManifestTable.append(
+      spark.range(200, 210).toDF("k").withColumn("pay", lit("c")).coalesce(1), path)
+
+    val filtered = s2.sql("SELECT k, pay FROM graft.t WHERE k = 5")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(5L))
+
+    // the scan's reported statistics, with and without a pushed filter
+    // (Spark's V1ScanWrapper hides them from plan.stats, so the rule in
+    // GraftJoinSize reads them exactly this way)
+    import graft.sources.{GraftScanBuilder, GraftScan}
+    val schema = s2.table("graft.t").schema
+    def scanRows(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val b = new GraftScanBuilder(path, None, schema)
+      val residual = b.pushFilters(filters)
+      assert(residual.toSeq == filters.toSeq,
+        "every filter must stay a Spark-side residual")
+      b.build().asInstanceOf[GraftScan].estimateStatistics().numRows().getAsLong
+    }
+    assert(scanRows(Array.empty) == 30L)
+    assert(scanRows(Array(org.apache.spark.sql.sources.EqualTo("k", 5L))) == 10L,
+      "k=5 should prune to the one matching file (10 recorded rows)")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve snapshots; snapshot writes are rejected") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    ManifestTable.overwrite(Seq((1L, "v1")).toDF("k", "s"), path)
+    Thread.sleep(5) // distinct commit_ts for the timestamp resolution below
+    ManifestTable.overwrite(Seq((2L, "v2")).toDF("k", "s"), path)
+
+    assert(s2.sql("SELECT s FROM graft.t VERSION AS OF 1").collect()
+      .map(_.getString(0)).toSeq == Seq("v1"))
+    assert(s2.sql("SELECT s FROM graft.t").collect()
+      .map(_.getString(0)).toSeq == Seq("v2"))
+
+    val t1 = ManifestTable.commitTimeMillis(path, 1L)
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t1))
+    assert(s2.sql(s"SELECT s FROM graft.t TIMESTAMP AS OF '$ts'").collect()
+      .map(_.getString(0)).toSeq == Seq("v1"))
+
+    val e = intercept[Exception] {
+      s2.sql("INSERT INTO graft.t VERSION AS OF 1 VALUES (9, 'x')").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("DDL/DML lifecycle: CREATE, INSERT, INSERT OVERWRITE, CTAS, SHOW TABLES, RENAME, DROP") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    s2.sql("CREATE NAMESPACE graft.lake")
+    s2.sql("CREATE TABLE graft.lake.t (k BIGINT, s STRING)")
+    // a freshly created table is empty but queryable
+    assert(s2.sql("SELECT * FROM graft.lake.t").count() == 0)
+    s2.sql("INSERT INTO graft.lake.t VALUES (1, 'a'), (2, 'b')")
+    s2.sql("INSERT INTO graft.lake.t VALUES (3, 'c')")
+    assert(s2.sql("SELECT sum(k) FROM graft.lake.t").head().getLong(0) == 6L)
+    // versioned: two inserts = two commits on the table's manifest log
+    assert(ManifestTable.versions(s"$wh/lake/t") == Seq(1L, 2L))
+    s2.sql("INSERT OVERWRITE graft.lake.t VALUES (10, 'z')")
+    assert(s2.sql("SELECT k, s FROM graft.lake.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((10L, "z")))
+
+    s2.sql("CREATE TABLE graft.lake.t2 AS SELECT k * 2 AS k2, s FROM graft.lake.t")
+    assert(s2.sql("SELECT k2 FROM graft.lake.t2").head().getLong(0) == 20L)
+
+    assert(s2.sql("SHOW TABLES IN graft.lake").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("t", "t2"))
+
+    // RENAME TO takes a catalog-relative name (Spark resolves it inside
+    // the source table's catalog)
+    s2.sql("ALTER TABLE graft.lake.t2 RENAME TO lake.t3")
+    assert(s2.sql("SELECT k2 FROM graft.lake.t3").head().getLong(0) == 20L)
+    s2.sql("DROP TABLE graft.lake.t3")
+    assert(s2.sql("SHOW TABLES IN graft.lake").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+  }
+
+  test("SQL INSERT inherits table CHECK constraints from the shared commit protocol") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    ManifestTable.overwrite(Seq((1L, 5.0)).toDF("k", "v"), path)
+    ManifestTable.setConstraints(s2, path, Seq("v >= 0"))
+    s2.sql("INSERT INTO graft.t VALUES (2, 1.5)")
+    val e = intercept[Exception] {
+      s2.sql("INSERT INTO graft.t VALUES (3, -4.0)")
+    }
+    assert(e.getMessage.contains("CHECK constraint violated") ||
+      (e.getCause != null && e.getCause.getMessage.contains("CHECK constraint violated")),
+      s"expected a CHECK violation, got: ${e.getMessage}")
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 2L)
+  }
+
+  test("live statistics see through a delete ledger: post-delete SQL join plans a broadcast") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    graft.plans.GraftJoinSize.install(s2)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+    val path = s"$wh/big"
+    // physically above-threshold table (padded strings)…
+    val big = spark.range(0, 50000).toDF("k")
+      .withColumn("pad", concat_ws("", array((0 until 20).map(_ => md5(col("k").cast("string"))): _*)))
+    ManifestTable.overwrite(big, path)
+    val physical = ManifestTable.dataFileSizes(path,
+      ManifestTable.statsSurvivors(path, Seq.empty))
+    // …then a MoR merge hides all but 50 rows: live size collapses
+    ManifestTable.mergeMoR(s2, path,
+      spark.range(50, 50000).toDF("k").withColumn("pad", lit("gone")), Seq("k"),
+      deleteWhen = Some(lit(true)))
+
+    val thr = org.apache.spark.sql.graft.ColumnBridge.autoBroadcastThreshold(s2)
+    assert(physical > thr,
+      s"test premise: physical $physical must exceed broadcast threshold $thr")
+    // probe side is made too big to broadcast (24 MB size estimate), so
+    // a BroadcastHashJoin can only come from the graft scan's LIVE stats
+    s2.range(0, 3000000).toDF("k").createOrReplaceTempView("probe")
+    val joined = s2.sql(
+      "SELECT p.k FROM probe p JOIN graft.big b ON p.k = b.k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"live-size stats should broadcast the 50-live-row side:\n$plan")
+    assert(joined.count() == 50L)
+
+    // and WITHOUT the rule, the V1-bridged scan costs 8 EiB → shuffle:
+    // the broadcast above really came from the manifest statistics
+    val s3 = catalogSession(wh)
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+    s3.range(0, 3000000).toDF("k").createOrReplaceTempView("probe")
+    val bare = s3.sql(
+      "SELECT p.k FROM probe p JOIN graft.big b ON p.k = b.k")
+    assert(!bare.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "premise: without GraftJoinSize the join must not broadcast")
+  }
+}
