@@ -2462,6 +2462,84 @@ object SparkEntry {
       out
     }),
 
+    "q140_sql_delete" -> ((s, dir) => {
+      // SQL ROW-LEVEL DELETE through the catalog (SupportsDelete →
+      // ManifestTable.deleteWhere's copy-on-write rewrite): DELETE FROM
+      // with an equality predicate, then a range predicate — each a
+      // versioned commit (time travel still sees the full v1) — while
+      // an UNTRANSLATABLE condition (modulo) is refused outright rather
+      // than silently narrowed, and TRUNCATE TABLE is a commit too.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q140-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      ManifestTable.overwrite(Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        s"$wh/t")
+      s2.sql("DELETE FROM graft.t WHERE o_orderstatus = 'F'")
+      s2.sql("DELETE FROM graft.t WHERE o_totalprice < 50000")
+      require(scala.util.Try(
+        s2.sql("DELETE FROM graft.t WHERE o_orderkey % 3 = 0")).isFailure,
+        "an untranslatable DELETE condition must be refused")
+      require(ManifestTable.versions(s"$wh/t").size == 3,
+        "each effective DELETE must land as one commit")
+      val full = s2.sql("SELECT count(*) AS c FROM graft.t VERSION AS OF 1")
+        .head().getLong(0)
+      require(full == Tables(s2, dir, "orders").count(),
+        "time travel must still see the pre-delete snapshot")
+      s2.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.t GROUP BY o_orderstatus""")
+    }),
+
+    "q141_catalog_stream" -> ((s, dir) => {
+      // STREAMING A NAMED TABLE: spark.readStream.table("graft.t") —
+      // the catalog table doubles as the version-offset micro-batch
+      // source (same TableMicroBatchStream as format("graft-table")),
+      // so the catalog completes the loop: SQL writes feed a stream by
+      // NAME. Gate mirrors q112: drain v1+v2, a THIRD slice lands via
+      // SQL INSERT INTO, the resumed drain emits exactly that commit
+      // (idempotent sink versions pinned), a no-change drain commits
+      // nothing.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val wh = java.nio.file.Files.createTempDirectory("graft-q141-").toString
+      val s2 = streamSession(s)
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"; val out = s"$wh/out"
+      val orders = Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.createOrReplaceTempView("orders_src")
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 0), t)
+      ManifestTable.append(orders.where(col("o_orderkey") % 3 === 1), t)
+      def drain(): Unit = s2.readStream.table("graft.t")
+        .writeStream.option("checkpointLocation", s"$wh/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty)
+            ManifestTable.append(b.toDF(), out, commitId = Some(s"b-$id"))
+          ()
+        }
+        .start().awaitTermination()
+      drain() // one batch covering v1+v2
+      s2.sql("INSERT INTO graft.t SELECT * FROM orders_src WHERE o_orderkey % 3 = 2")
+      drain() // resumes at v2: emits exactly the SQL-inserted commit
+      val vOut = ManifestTable.versions(out)
+      require(vOut.size == 2,
+        s"expected one sink commit per drain with data, got $vOut")
+      drain() // no new commits: no batch, no sink version
+      require(ManifestTable.versions(out) == vOut,
+        "a no-change restart must commit nothing")
+      val sunk = ManifestTable.read(s, out)
+      require(sunk.count() == orders.count(), "streamed sink lost or duplicated rows")
+      sunk.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))
+    }),
+
     "q113_stream_cdf" -> ((s, dir) => {
       // STREAMING CHANGE DATA FEED — Delta's readChangeFeed on this
       // format: commit-time CDC materialization (materializeCdf writes
@@ -8104,6 +8182,18 @@ object SparkEntry {
          SELECT flag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM live GROUP BY flag""",
+    // q140: survivors of the two sequential deletes
+    "q140_sql_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE o_orderstatus <> 'F' AND o_totalprice >= 50000
+         GROUP BY o_orderstatus""",
+    // q141: the streamed sink must equal the whole source table
+    "q141_catalog_stream" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY o_orderstatus""",
     // q139: only orders keys on the %37 lattice survive the MoR delete
     "q139_sql_stats_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

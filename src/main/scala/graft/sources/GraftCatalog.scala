@@ -242,6 +242,37 @@ object GraftCatalog {
       .asInstanceOf[StructType])
   }
 
+  /** Spark [[Filter]] → Catalyst [[org.apache.spark.sql.Column]], for
+    * `DELETE FROM` conditions. Complete over the Filter algebra Spark
+    * can translate a DELETE condition into; None = not expressible →
+    * `canDeleteWhere` refuses and Spark reports the unsupported delete
+    * instead of silently deleting the wrong rows. */
+  private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case sources.In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+      case sources.IsNull(a)                => Some(col(a).isNull)
+      case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v)     => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.Not(c)                   => filterToColumn(c).map(not)
+      case sources.AlwaysTrue()             => Some(lit(true))
+      case sources.AlwaysFalse()            => Some(lit(false))
+      case _                                => None
+    }
+  }
+
   /** Spark [[Filter]] → manifest-skippable [[Condition]]s. Top-level
     * columns only; anything richer simply does not prune (it still
     * filters — Spark keeps every filter as a residual). AND splits into
@@ -267,25 +298,56 @@ object GraftCatalog {
 /** One named manifest table as seen by SQL. `version` set = a
   * time-travel snapshot (read-only). */
 case class GraftSqlTable(ident: String, path: String, snapshot: Option[Long],
-    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite
+  with SupportsDelete {
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, snapshot, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // stream options (startingVersion, maxVersionsPerTrigger, …) ride
+    // the reader options into toMicroBatchStream; batch scans ignore them
+    val opts = options.entrySet().asScala
+      .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) -> e.getValue).toMap
+    new GraftScanBuilder(path, snapshot, tableSchema, opts)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshot.isEmpty,
       s"cannot write to a time-travel snapshot of $ident (VERSION AS OF ${snapshot.get})")
     new GraftWriteBuilder(path)
   }
+
+  // `DELETE FROM <t> WHERE <cond>` → the copy-on-write rewrite commit
+  // ([[ManifestTable.deleteWhere]]): touched files rewritten without
+  // their matching rows, untouched files carry byte-identical, CHECK
+  // constraints re-validated in-scan. Refused (not silently narrowed)
+  // when any conjunct is outside the translatable Filter algebra.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    snapshot.isEmpty && filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    if (ManifestTable.versions(path).isEmpty) return // empty table: nothing to delete
+    val cond = filters.flatMap(GraftCatalog.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ManifestTable.deleteWhere(SparkSession.active, path, cond)
+  }
+
+  override def truncateTable(): Boolean = {
+    import org.apache.spark.sql.functions.lit
+    if (ManifestTable.versions(path).nonEmpty)
+      ManifestTable.deleteWhere(SparkSession.active, path, lit(true))
+    true
+  }
 }
 
-class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructType)
+class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructType,
+    streamOpts: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -306,7 +368,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftScan(path, version, required, conds)
+  override def build(): Scan = GraftScan(path, version, required, conds, streamOpts)
 }
 
 /** The scan: file pruning + MoR reconcile via the ONE shared read path
@@ -314,10 +376,44 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
   * (the same official bridge Spark's own JDBC v2 connector uses), with
   * live statistics for join planning. */
 case class GraftScan(path: String, version: Option[Long],
-    required: StructType, conds: Seq[Condition])
+    required: StructType, conds: Seq[Condition],
+    streamOpts: Map[String, String] = Map.empty)
   extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** `spark.readStream.table("graft.t")`: the catalog table is ALSO the
+    * streaming source — delegates to the graft-table micro-batch stream
+    * (version offsets, admission control, AvailableNow), so a named
+    * table tails with the same semantics as format("graft-table"). The
+    * change-feed shape carries extra columns the catalog relation does
+    * not declare — readChangeFeed stays on the format("graft-table")
+    * door, refused loudly here. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version.isEmpty,
+      s"cannot stream a time-travel snapshot of $path")
+    require(!streamOpts.get("readchangefeed").exists(_.toBoolean),
+      "readChangeFeed is not available through the catalog (its schema adds " +
+        "_change_type/_commit_version); use spark.readStream.format(\"graft-table\")")
+    val maxV = streamOpts.get("maxversionspertrigger").map(_.toLong).filter(_ > 0)
+    val startTs = streamOpts.get("startingtimestamp").map { raw =>
+      val ms =
+        if (raw.forall(_.isDigit)) raw.toLong
+        else try java.time.Instant.parse(raw).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.sql.Timestamp.valueOf(raw).getTime }
+      ManifestTable.versions(path)
+        .filter(v => ManifestTable.commitTimeMillis(path, v) < ms)
+        .sorted.lastOption.getOrElse(0L)
+    }
+    val startV = streamOpts.get("startingversion").map(_.toLong).getOrElse(-1L)
+    require(startTs.isEmpty || startV < 0,
+      "set startingVersion OR startingTimestamp, not both")
+    new graft.sources.v2.TableMicroBatchStream(path, required,
+      streamOpts.get("ignorechanges").exists(_.toBoolean), maxV,
+      readChangeFeed = false, startingVersion = startTs.getOrElse(math.max(0L, startV)))
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

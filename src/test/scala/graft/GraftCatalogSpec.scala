@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -154,6 +156,59 @@ class GraftCatalogSpec extends SparkSpecBase {
       (e.getCause != null && e.getCause.getMessage.contains("CHECK constraint violated")),
       s"expected a CHECK violation, got: ${e.getMessage}")
     assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 2L)
+  }
+
+  test("DELETE FROM and TRUNCATE TABLE run the copy-on-write rewrite through SQL") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    ManifestTable.overwrite(
+      (1L to 20L).map(k => (k, if (k % 2 == 0) "even" else "odd")).toDF("k", "tag"), path)
+    s2.sql("DELETE FROM graft.t WHERE tag = 'even' AND k > 10")
+    assert(s2.sql("SELECT k FROM graft.t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == ((1L to 10L) ++ Seq(11L, 13L, 15L, 17L, 19L)),
+      "only even keys above 10 must be gone")
+    // the delete landed as a normal commit: time travel still sees v1
+    assert(s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 1").head().getLong(0) == 20L)
+    // an untranslatable condition is refused, not narrowed
+    val e = intercept[Exception](s2.sql("DELETE FROM graft.t WHERE k % 3 = 0"))
+    assert(e.getMessage != null)
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 15L,
+      "the refused delete must not remove anything")
+    s2.sql("TRUNCATE TABLE graft.t")
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 0L)
+    assert(ManifestTable.versions(path).size == 3,
+      "truncate is a versioned commit, not an rm -rf")
+  }
+
+  test("readStream.table tails a catalog table with version offsets and startingVersion") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    ManifestTable.append(Seq(1, 2, 3).toDF("x"), path)
+    ManifestTable.append(Seq(4, 5).toDF("x"), path)
+    def drain(opts: Map[String, String]): Seq[Int] = {
+      val ck = java.nio.file.Files.createTempDirectory("graft-cat-ck-").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      var r = s2.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table("graft.t").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(row => got.add(row.getInt(0))); ()
+        }.start()
+      q.awaitTermination()
+      got.asScala.toSeq.sorted
+    }
+    assert(drain(Map.empty) == Seq(1, 2, 3, 4, 5))
+    assert(drain(Map("startingVersion" -> "1")) == Seq(4, 5),
+      "startingVersion must skip the already-held snapshot")
+    val cdf = intercept[Exception](drain(Map("readChangeFeed" -> "true")))
+    assert(cdf.getMessage.contains("graft-table") ||
+      (cdf.getCause != null && cdf.getCause.getMessage.contains("graft-table")))
   }
 
   test("live statistics see through a delete ledger: post-delete SQL join plans a broadcast") {
