@@ -2540,6 +2540,112 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))
     }),
 
+    "q142_sql_update" -> ((s, dir) => {
+      // SQL UPDATE as a MERGE-ON-READ DELTA COMMIT (SupportsDelta →
+      // GraftRowLevelOperation): each task streams its delete-keys and
+      // updated rows straight to parquet, one manifest publish lands
+      // them — O(changed rows) staged bytes, ZERO rewritten data files
+      // (gate-asserted), time travel intact. Two updates: a doubling of
+      // 'F'-status prices (×2 is exponent arithmetic — FP-exact in both
+      // engines) then a status remap on an arithmetic predicate no
+      // metadata delete could express.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q142-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src")
+      s2.sql("""CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)
+                TBLPROPERTIES ('merge.keys'='k')""")
+      s2.sql("INSERT INTO graft.t SELECT * FROM orders_src")
+      val before = ManifestTable.dataFiles(s"$wh/t")
+      s2.sql("UPDATE graft.t SET price = price * 2 WHERE status = 'F'")
+      s2.sql("UPDATE graft.t SET status = 'X' WHERE k % 7 = 0")
+      val after = ManifestTable.dataFiles(s"$wh/t")
+      require(before.forall(after.contains),
+        "SQL UPDATE must add MoR files, never rewrite existing ones")
+      require(ManifestTable.deleteFiles(s"$wh/t").nonEmpty,
+        "the updates must carry delete-ledger entries")
+      require(s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 1")
+        .head().getLong(0) ==
+        s2.sql("SELECT count(*) FROM graft.t").head().getLong(0),
+        "UPDATE must not change the row count")
+      s2.sql(
+        """SELECT status, count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.t GROUP BY status""")
+    }),
+
+    "q143_sql_merge" -> ((s, dir) => {
+      // SQL MERGE INTO — matched UPDATE, matched DELETE, and
+      // not-matched INSERT in ONE statement, landing as ONE delta
+      // commit (gate-asserted): the full row-level DML surface Delta
+      // exposes, over the same delete-ledger protocol API merges and
+      // CDC replication use, so all three writers compose on one table.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q143-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .createOrReplaceTempView("cust_src")
+      s2.sql("""CREATE TABLE graft.t (k BIGINT, bal DOUBLE)
+                TBLPROPERTIES ('merge.keys'='k')""")
+      s2.sql("INSERT INTO graft.t SELECT * FROM cust_src WHERE c_custkey % 3 <> 0")
+      val vBefore = ManifestTable.versions(s"$wh/t").size
+      s2.sql(
+        """MERGE INTO graft.t AS t
+           USING (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+                  FROM cust_src WHERE c_custkey % 2 = 0) AS s
+           ON t.k = s.k
+           WHEN MATCHED AND s.bal < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET bal = s.bal * 2
+           WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)""")
+      require(ManifestTable.versions(s"$wh/t").size == vBefore + 1,
+        "the whole MERGE must land as one commit")
+      s2.sql(
+        """SELECT k % 10 AS bucket, count(*) AS n,
+             CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS total
+           FROM graft.t GROUP BY k % 10""")
+    }),
+
+    "q144_sql_alter" -> ((s, dir) => {
+      // ALTER TABLE lifecycle, ending in the classic BACKFILL flow:
+      // ADD COLUMN (null-filled immediately — existing files untouched,
+      // the same mergeSchema semantics write-side evolution has), SET
+      // TBLPROPERTIES('merge.keys') to key the table after creation,
+      // an UPDATE backfilling the new column for every existing row,
+      // and a check.* property landing a CHECK-constraint commit that
+      // rejects a bad insert (gate-asserted).
+      val wh = java.nio.file.Files.createTempDirectory("graft-q144-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "part")
+        .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+        .createOrReplaceTempView("part_src")
+      s2.sql("CREATE TABLE graft.t (k BIGINT, ptype STRING, price DOUBLE)")
+      s2.sql("INSERT INTO graft.t SELECT * FROM part_src")
+      s2.sql("ALTER TABLE graft.t ADD COLUMN category STRING")
+      require(s2.sql("SELECT category FROM graft.t").limit(5).collect()
+        .forall(_.isNullAt(0)),
+        "an ALTER-added column must read null-filled before any backfill")
+      s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('merge.keys'='k')")
+      s2.sql("""UPDATE graft.t
+                SET category = CASE WHEN price >= 950.0 THEN 'hi' ELSE 'lo' END""")
+      s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('check.pos'='price >= 0')")
+      require(scala.util.Try(
+        s2.sql("INSERT INTO graft.t VALUES (0, 'BOGUS', -1.0, 'lo')")).isFailure,
+        "the ALTER-declared CHECK constraint must reject price < 0")
+      s2.sql(
+        """SELECT category, count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total
+           FROM graft.t GROUP BY category""")
+    }),
+
     "q113_stream_cdf" -> ((s, dir) => {
       // STREAMING CHANGE DATA FEED — Delta's readChangeFeed on this
       // format: commit-time CDC materialization (materializeCdf writes
@@ -8194,6 +8300,38 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY o_orderstatus""",
+    // q142: both UPDATEs replayed relationally (×2 is FP-exact)
+    "q142_sql_update" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DOUBLE) * 2
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q143: the MERGE reconstructed as update/delete/insert slices
+    "q143_sql_merge" ->
+      """WITH t0 AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+                     FROM customer WHERE c_custkey % 3 <> 0),
+              s AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+                    FROM customer WHERE c_custkey % 2 = 0),
+              merged AS (
+                SELECT t0.k AS k,
+                       CASE WHEN s.k IS NOT NULL THEN s.bal * 2 ELSE t0.bal END AS bal,
+                       CASE WHEN s.k IS NOT NULL AND s.bal < 0 THEN 1 ELSE 0 END AS del
+                FROM t0 LEFT JOIN s ON t0.k = s.k
+                UNION ALL
+                SELECT s.k, s.bal, 0 FROM s LEFT JOIN t0 ON s.k = t0.k
+                WHERE t0.k IS NULL)
+         SELECT k % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM merged WHERE del = 0 GROUP BY 1""",
+    // q144: the backfilled category recomputed from the raw table
+    "q144_sql_alter" ->
+      """SELECT CASE WHEN CAST(p_retailprice AS DOUBLE) >= 950.0
+                THEN 'hi' ELSE 'lo' END AS category,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM part GROUP BY 1""",
     // q139: only orders keys on the %37 lattice survive the MoR delete
     "q139_sql_stats_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -11,10 +11,10 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.conditions.{Condition, Op}
@@ -135,15 +135,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val path = dir.toString
-    val spark = SparkSession.active
-    // committed data speaks for the schema (merged footers — evolution
-    // included); a freshly created empty table speaks via its DDL schema
-    val schema =
-      if (ManifestTable.versions(path).nonEmpty)
-        ManifestTable.read(spark, path, version).schema
-      else GraftCatalog.readDdlSchema(dir).getOrElse(
-        throw new NoSuchTableException(ident))
-    GraftSqlTable(ident.toString, path, version, schema)
+    val schema = GraftCatalog.fullSchema(dir, version).getOrElse(
+      throw new NoSuchTableException(ident))
+    // merge keys make the table row-level-operable (SQL UPDATE / MERGE
+    // INTO / arbitrary-predicate DELETE): manifest metadata wins, the
+    // CREATE-time `merge.keys` property covers the not-yet-keyed table
+    val keys = ManifestTable.tableMergeKeys(path) match {
+      case ks if ks.nonEmpty => ks
+      case _ => GraftCatalog.readDeclaredKeys(dir)
+    }
+    if (keys.nonEmpty && keys.forall(schema.fieldNames.contains)) {
+      // Spark rejects nullable row-id attributes, and a merge key IS
+      // non-null by the keyed-table contract — declare it
+      val keyed = StructType(schema.map(f =>
+        if (keys.contains(f.name)) f.copy(nullable = false) else f))
+      new GraftKeyedSqlTable(ident.toString, path, version, keyed, keys)
+    } else new GraftSqlTable(ident.toString, path, version, schema)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -155,12 +162,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(dir)
     Files.write(dir.resolve(GraftCatalog.SchemaFile),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    GraftSqlTable(ident.toString, dir.toString, None, schema)
+    // TBLPROPERTIES('merge.keys'='a,b') keys the table at birth, so SQL
+    // UPDATE/MERGE work before any API merge has declared identity
+    Option(properties.get("merge.keys")).foreach { raw =>
+      val ks = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(ks.nonEmpty && ks.forall(schema.fieldNames.contains),
+        s"merge.keys '$raw' must name columns of the table schema")
+      Files.writeString(dir.resolve(GraftCatalog.KeysFile), ks.mkString(","))
+    }
+    loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use ManifestTable.setConstraints / schema evolution on write")
+  /** `ALTER TABLE` over manifest metadata: ADD COLUMN extends the
+    * declared schema (existing files null-fill on read — the same
+    * mergeSchema semantics write-side evolution already has), `SET
+    * TBLPROPERTIES('merge.keys'=…)` keys an unkeyed table, and
+    * `('check.<name>'='<expr>')` lands a CHECK-constraint commit
+    * (existing rows validated, the ALTER TABLE ADD CONSTRAINT model).
+    * Renames/drops/retypes need column-mapping metadata the format does
+    * not carry — refused loudly, never faked. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    changes.foreach {
+      case sp: TableChange.SetProperty if sp.property == "merge.keys" =>
+        val ks = sp.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val schema = GraftCatalog.fullSchema(dir, None).get
+        require(ks.nonEmpty && ks.forall(schema.fieldNames.contains),
+          s"merge.keys '${sp.value}' must name columns of the table schema")
+        val cur = ManifestTable.tableMergeKeys(path)
+        require(cur.isEmpty || cur == ks,
+          s"table is already keyed on ${cur.mkString("(", ",", ")")}")
+        Files.writeString(dir.resolve(GraftCatalog.KeysFile), ks.mkString(","))
+      case sp: TableChange.SetProperty if sp.property.startsWith("check.") =>
+        ManifestTable.setConstraints(SparkSession.active, path,
+          ManifestTable.constraints(path) :+ sp.value)
+      case sp: TableChange.SetProperty =>
+        throw new UnsupportedOperationException(
+          s"unsupported table property '${sp.property}' " +
+            "(supported: merge.keys, check.<name>)")
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1,
+          "ADD COLUMN supports top-level columns only")
+        require(ac.isNullable,
+          "ADD COLUMN must be nullable: existing rows null-fill")
+        require(ac.position == null && ac.defaultValue == null,
+          "ADD COLUMN takes no FIRST/AFTER position and no DEFAULT")
+        val name = ac.fieldNames.head
+        val cur = GraftCatalog.fullSchema(dir, None).getOrElse(
+          throw new NoSuchTableException(ident))
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column '$name' already exists")
+        Files.write(dir.resolve(GraftCatalog.SchemaFile),
+          cur.add(StructField(name, ac.dataType, nullable = true)).json
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} " +
+            "(rename/drop/retype need column-mapping metadata)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -233,6 +296,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
   private[sources] val SchemaFile = "_schema.json"
+  private[sources] val KeysFile = "_keys"
 
   private[sources] def readDdlSchema(dir: Path): Option[StructType] = {
     val f = dir.resolve(SchemaFile)
@@ -240,6 +304,37 @@ object GraftCatalog {
     else Some(DataType.fromJson(
       new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
       .asInstanceOf[StructType])
+  }
+
+  /** CREATE-time `merge.keys` declaration (pre-first-commit identity;
+    * the manifest's mergeKeys take over once any keyed commit lands). */
+  private[sources] def readDeclaredKeys(dir: Path): Seq[String] = {
+    val f = dir.resolve(KeysFile)
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** The table's visible schema: committed data speaks first (merged
+    * footers — write-side evolution included); DDL-declared columns not
+    * yet backed by data (CREATE on an empty table, ALTER TABLE ADD
+    * COLUMN) append after, null-filled by the scan. Time-travel reads
+    * keep the data schema of their snapshot. */
+  private[sources] def fullSchema(dir: Path,
+      version: Option[Long]): Option[StructType] = {
+    val path = dir.toString
+    val data =
+      if (ManifestTable.versions(path).nonEmpty)
+        Some(ManifestTable.read(SparkSession.active, path, version).schema)
+      else None
+    val ddl = readDdlSchema(dir)
+    (data, ddl) match {
+      case (Some(d), Some(s)) if version.isEmpty =>
+        val have = d.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        Some(StructType(d.fields ++ s.fields.filterNot(f =>
+          have(f.name.toLowerCase(java.util.Locale.ROOT)))))
+      case (Some(d), _) => Some(d)
+      case (None, s) => s
+    }
   }
 
   /** Spark [[Filter]] → Catalyst [[org.apache.spark.sql.Column]], for
@@ -297,8 +392,9 @@ object GraftCatalog {
 
 /** One named manifest table as seen by SQL. `version` set = a
   * time-travel snapshot (read-only). */
-case class GraftSqlTable(ident: String, path: String, snapshot: Option[Long],
-    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite
+class GraftSqlTable(val ident: String, val path: String,
+    val snapshot: Option[Long], val tableSchema: StructType)
+  extends Table with SupportsRead with SupportsWrite
   with SupportsDelete {
 
   override def name(): String = ident
@@ -343,6 +439,28 @@ case class GraftSqlTable(ident: String, path: String, snapshot: Option[Long],
     if (ManifestTable.versions(path).nonEmpty)
       ManifestTable.deleteWhere(SparkSession.active, path, lit(true))
     true
+  }
+}
+
+/** A table with declared MERGE KEYS: additionally row-level-operable —
+  * SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE` plan as
+  * delta writes ([[GraftRowLevelOperation]]) that land merge-on-read
+  * commits: O(changed rows) staged bytes, zero rewritten files.
+  * (Translatable DELETEs still take the metadata path — Spark's
+  * metadata-only optimization picks [[SupportsDelete]] when it can.) */
+class GraftKeyedSqlTable(ident0: String, path0: String,
+    snapshot0: Option[Long], schema0: StructType, val keyCols: Seq[String])
+  extends GraftSqlTable(ident0, path0, snapshot0, schema0)
+  with SupportsRowLevelOperations {
+
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.singletonMap("merge.keys", keyCols.mkString(","))
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(snapshot.isEmpty,
+      s"cannot run ${info.command} against a time-travel snapshot of $ident")
+    () => new GraftRowLevelOperation(path, tableSchema, keyCols, info.command)
   }
 }
 
@@ -463,9 +581,16 @@ class GraftSqlRelation(ctx: SQLContext, path: String, version: Option[Long],
     if (ManifestTable.versions(path).isEmpty)
       return spark.sparkContext.emptyRDD
     val df = ManifestTable.readWhere(spark, path, conds, version)
+    // DDL-declared columns no data file carries yet (ALTER TABLE ADD
+    // COLUMN) null-fill here — same semantics a written file would get
+    // from mergeSchema, one commit earlier
     val projected =
       if (required.isEmpty) df.select()
-      else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+      else df.select(required.map(f =>
+        if (df.columns.contains(f.name))
+          org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+          .as(f.name)): _*)
     projected.rdd
   }
 }

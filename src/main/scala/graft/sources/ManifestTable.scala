@@ -1786,6 +1786,97 @@ object ManifestTable {
     named
   }
 
+  /** The merge-key columns the table is keyed on (empty = unkeyed).
+    * Set by the first keyed merge — or declared up front via the SQL
+    * catalog's `merge.keys` table property — and immutable thereafter. */
+  def tableMergeKeys(path: String): Seq[String] =
+    latest(path).map(_.mergeKeys).getOrElse(Seq.empty)
+
+  /** Where a table's data files live — for writers that stream files
+    * directly into place (the SQL row-level delta path) and make them
+    * live only via [[commitStagedDelta]]'s manifest publish. An
+    * unreferenced file is invisible to every reader and vacuum-able. */
+  private[sources] def dataDirFor(path: String): Path = {
+    Files.createDirectories(dataDir(path))
+    dataDir(path)
+  }
+
+  /** Land ALREADY-WRITTEN upsert + delete files as one merge-on-read
+    * commit — the commit half of [[mergeMoR]] for writers that produced
+    * their files outside a DataFrame action (SQL UPDATE/MERGE arrive as
+    * a [[org.apache.spark.sql.connector.write.DeltaBatchWrite]]: each
+    * task streamed its rows straight to parquet; only the manifest
+    * publish is left). The files are in `data/` but unreferenced, so
+    * nothing is visible until the publish; on ANY failure the caller
+    * owns cleanup (the files simply stay orphans for vacuum otherwise).
+    *
+    * Validation is O(delta), reading ONLY the staged files: CHECK
+    * constraints and duplicate-upsert-key probes run as one scan over
+    * the new upserts — never the table. */
+  private[sources] def commitStagedDelta(spark: SparkSession, path: String,
+      upsertFiles: Seq[String], deleteFiles: Seq[String],
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "delta commit needs the table's merge keys")
+    if (upsertFiles.isEmpty && deleteFiles.isEmpty)
+      return latest(path).map(_.version).getOrElse(0L)
+    val cons = constraints(path)
+    if (upsertFiles.nonEmpty && cons.nonEmpty) {
+      val staged = spark.read.parquet(
+        upsertFiles.map(f => dataDir(path).resolve(f).toString): _*)
+      val bad = staged.where(!cons.map(c => gated(expr(c))).reduce(_ && _))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"row ${bad.headOption.orNull} violates table constraints " +
+          cons.mkString("[", "; ", "]"))
+    }
+    if (upsertFiles.nonEmpty) {
+      val staged = spark.read.parquet(
+        upsertFiles.map(f => dataDir(path).resolve(f).toString): _*)
+      val dup = staged.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"write produces duplicate merge key ${dup.headOption.map(_.get(0))}")
+    }
+    val upStats = footerStats(path, upsertFiles)
+    val upRows = footerRows(path, upsertFiles)
+    val delStats = footerStats(path, deleteFiles)
+    val delRows = footerRows(path, deleteFiles)
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val base = latest(path)
+      require(base.forall(b => b.mergeKeys.isEmpty || b.mergeKeys == keyCols),
+        s"table is keyed on ${base.map(_.mergeKeys).getOrElse(Seq.empty)
+          .mkString("(", ",", ")")}; delta write on ${keyCols
+          .mkString("(", ",", ")")} rejected")
+      val next = base.map(_.version + 1).getOrElse(1L)
+      val m = Manifest(next,
+        base.map(_.files).getOrElse(Seq.empty) ++ upsertFiles, None,
+        base.map(_.version).getOrElse(0L),
+        base.map(_.stats).getOrElse(Map.empty) ++ upStats,
+        base.map(b => b.seqs ++
+          b.files.filterNot(b.seqs.contains).map(_ -> 0L))
+          .getOrElse(Map.empty) ++ upsertFiles.map(_ -> next),
+        base.map(_.deletes).getOrElse(Seq.empty) ++ deleteFiles.map(_ -> next),
+        base.map(_.constraints).getOrElse(Seq.empty),
+        deleteStats =
+          base.map(_.deleteStats).getOrElse(Map.empty) ++ delStats,
+        rows = base.map(_.rows).getOrElse(Map.empty) ++ upRows ++ delRows,
+        mergeKeys = keyCols,
+        generated = base.map(_.generated).getOrElse(Seq.empty))
+      Files.createDirectories(manifestDir(path))
+      try {
+        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention: gave up after $attempts attempts")
+  }
+
   /** Data / delete file names at a version — the observable the MoR gate
     * asserts on (q76: a merge must ADD files, never drop or rewrite one). */
   def dataFiles(path: String, version: Option[Long] = None): Seq[String] =

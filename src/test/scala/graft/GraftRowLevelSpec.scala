@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** SQL UPDATE / MERGE INTO / row-level DELETE on keyed catalog tables
+  * ([[graft.sources.GraftRowLevelOperation]]): delta writes landing
+  * merge-on-read commits — O(changed rows) staged bytes, zero rewritten
+  * data files — plus ALTER TABLE metadata changes. */
+class GraftRowLevelSpec extends SparkSpecBase {
+
+  private def catalogSession(wh: String): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2
+  }
+
+  private def freshWh(): String =
+    Files.createTempDirectory("graft-rl-").toString
+
+  test("SQL UPDATE lands a MoR delta commit: no data file rewritten, time travel intact") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    s2.sql("CREATE TABLE graft.t (k BIGINT, tag STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('merge.keys'='k')")
+    s2.sql("INSERT INTO graft.t VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'a', 30.0)")
+    val filesBefore = ManifestTable.dataFiles(path)
+    s2.sql("UPDATE graft.t SET v = v * 2, tag = 'bumped' WHERE tag = 'a'")
+    // merge-on-read: every pre-update data file still referenced, the
+    // update added files instead of rewriting them
+    val filesAfter = ManifestTable.dataFiles(path)
+    assert(filesBefore.forall(filesAfter.contains),
+      "UPDATE must not rewrite or drop existing data files")
+    assert(ManifestTable.deleteFiles(path).nonEmpty,
+      "UPDATE must stage delete entries for the touched keys")
+    assert(s2.sql("SELECT k, tag, v FROM graft.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      == Seq((1L, "bumped", 20.0), (2L, "b", 20.0), (3L, "bumped", 60.0)))
+    assert(s2.sql("SELECT sum(v) FROM graft.t VERSION AS OF 1").head().getDouble(0)
+      == 60.0, "time travel must still see pre-update values")
+  }
+
+  test("SQL UPDATE moving a row onto an existing key replaces that row (mergeMoR contract)") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    val path = s"$wh/t"
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v STRING) TBLPROPERTIES ('merge.keys'='k')")
+    s2.sql("INSERT INTO graft.t VALUES (1, 'one'), (2, 'two')")
+    s2.sql("UPDATE graft.t SET k = 2 WHERE k = 1")
+    assert(s2.sql("SELECT k, v FROM graft.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "one")),
+      "the moved row must replace the old key's row, not duplicate it")
+    assert(ManifestTable.tableMergeKeys(path) == Seq("k"))
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert in one statement") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v DOUBLE) TBLPROPERTIES ('merge.keys'='k')")
+    s2.sql("INSERT INTO graft.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    Seq((1L, 10.0, "u"), (3L, 0.0, "d"), (4L, 4.0, "i"))
+      .toDF("k", "v", "op").createOrReplaceTempView("src")
+    s2.sql(
+      """MERGE INTO graft.t AS t USING src AS s ON t.k = s.k
+         WHEN MATCHED AND s.op = 'd' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(s2.sql("SELECT k, v FROM graft.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 10.0), (2L, 2.0), (4L, 4.0)))
+    // the whole MERGE landed as ONE commit
+    assert(ManifestTable.versions(s"$wh/t").size == 2)
+  }
+
+  test("row-level DELETE handles conditions the metadata path cannot translate") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    val path = s"$wh/t"
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v STRING) TBLPROPERTIES ('merge.keys'='k')")
+    s2.sql("INSERT INTO graft.t SELECT id, CAST(id AS STRING) FROM range(1, 21)")
+    val filesBefore = ManifestTable.dataFiles(path)
+    s2.sql("DELETE FROM graft.t WHERE k % 3 = 0") // untranslatable → delta path
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 14L)
+    assert(filesBefore.forall(ManifestTable.dataFiles(path).contains),
+      "a delta DELETE must not rewrite data files")
+    // translatable → metadata path (copy-on-write rewrite), still correct
+    s2.sql("DELETE FROM graft.t WHERE k > 15")
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 10L)
+  }
+
+  test("delta writes enforce CHECK constraints and the duplicate-key contract") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v DOUBLE) TBLPROPERTIES ('merge.keys'='k')")
+    s2.sql("INSERT INTO graft.t VALUES (1, 1.0), (2, 2.0)")
+    ManifestTable.setConstraints(s2, path, Seq("v >= 0"))
+    val before = s2.sql("SELECT sum(v) FROM graft.t").head().getDouble(0)
+    val e = intercept[Exception](
+      s2.sql("UPDATE graft.t SET v = -5.0 WHERE k = 1"))
+    assert(Option(e.getMessage).exists(_.contains("constraint")) ||
+      Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("constraint"))))
+    assert(s2.sql("SELECT sum(v) FROM graft.t").head().getDouble(0) == before,
+      "a failed UPDATE must leave the table untouched")
+    // two source rows updating distinct keys onto the SAME key: the
+    // commit-time dup probe refuses the write
+    Seq((1L, 9L), (2L, 9L)).toDF("k", "nk").createOrReplaceTempView("remap")
+    val dup = intercept[Exception](s2.sql(
+      """MERGE INTO graft.t AS t USING remap AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET k = s.nk"""))
+    assert(Option(dup.getMessage).exists(_.contains("duplicate")) ||
+      Option(dup.getCause).exists(c => Option(c.getMessage).exists(_.contains("duplicate"))))
+  }
+
+  test("ALTER TABLE: ADD COLUMN null-fills, merge.keys keys an unkeyed table, check.* lands a constraint commit") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    val path = s"$wh/t"
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v DOUBLE)")
+    s2.sql("INSERT INTO graft.t VALUES (1, 1.0), (2, 2.0)")
+    // unkeyed: UPDATE has no row identity → analysis fails
+    val noKeys = intercept[Exception](
+      s2.sql("UPDATE graft.t SET v = 0 WHERE k = 1"))
+    assert(noKeys.getMessage != null)
+    s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('merge.keys'='k')")
+    s2.sql("UPDATE graft.t SET v = 7.0 WHERE k = 1")
+    assert(s2.sql("SELECT v FROM graft.t WHERE k = 1").head().getDouble(0) == 7.0)
+    // ADD COLUMN: visible immediately, null-filled, writable after
+    s2.sql("ALTER TABLE graft.t ADD COLUMN note STRING")
+    assert(s2.sql("SELECT note FROM graft.t").collect().forall(_.isNullAt(0)))
+    s2.sql("INSERT INTO graft.t VALUES (3, 3.0, 'hello')")
+    assert(s2.sql("SELECT note FROM graft.t WHERE k = 3").head().getString(0) == "hello")
+    // check.* property = ALTER TABLE ADD CONSTRAINT; existing rows validated
+    s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('check.pos'='v >= 0')")
+    assert(ManifestTable.constraints(path) == Seq("v >= 0"))
+    val bad = intercept[Exception](
+      s2.sql("INSERT INTO graft.t VALUES (4, -1.0, 'x')"))
+    assert(bad.getMessage != null)
+    // rename/drop refused loudly
+    intercept[Exception](s2.sql("ALTER TABLE graft.t DROP COLUMN note"))
+    intercept[Exception](s2.sql("ALTER TABLE graft.t RENAME COLUMN note TO memo"))
+  }
+}
