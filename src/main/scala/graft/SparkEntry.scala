@@ -2540,6 +2540,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))
     }),
 
+    "q145_stream_totable" -> ((s, dir) => {
+      // NATIVE STREAMING SINK: writeStream.toTable("graft.out") — no
+      // foreachBatch anywhere. Each micro-batch's tasks stream rows
+      // straight to parquet (the same executor-side row codec as the
+      // SQL delta writes); the epoch commit publishes ONE version
+      // tagged "st-<queryId>-<epoch>", so restarts replay nothing
+      // (gate-asserted: an empty re-drain commits no version, a resumed
+      // drain lands exactly the new source commit). Closes the loop
+      // with q141: readStream.table ∘ writeStream.toTable, both native.
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.streaming.Trigger
+      val wh = java.nio.file.Files.createTempDirectory("graft-q145-").toString
+      val s2 = streamSession(s)
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val src = s"$wh/src"; val out = s"$wh/out"
+      val ck = s"$wh/ck"
+      val orders = Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ManifestTable.append(orders.where(col("o_orderkey") % 2 === 0), src)
+      s2.sql("CREATE TABLE graft.out (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      def drain(): Unit = s2.readStream.format("graft-table").load(src)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.out")
+        .awaitTermination()
+      drain()
+      val vAfterFirst = ManifestTable.versions(out)
+      drain() // no new source commits: nothing may land
+      require(ManifestTable.versions(out) == vAfterFirst,
+        "an empty re-drain must commit no version")
+      ManifestTable.append(orders.where(col("o_orderkey") % 2 === 1), src)
+      drain()
+      require(ManifestTable.versions(out).size == vAfterFirst.size + 1,
+        "the resumed drain must land exactly one new version")
+      require(ManifestTable.latestCommitId(out).exists(_.startsWith("st-")),
+        "epoch commits must carry the replay-protection commit id")
+      s2.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.out GROUP BY o_orderstatus""")
+    }),
+
     "q142_sql_update" -> ((s, dir) => {
       // SQL UPDATE as a MERGE-ON-READ DELTA COMMIT (SupportsDelta →
       // GraftRowLevelOperation): each task streams its delete-keys and
@@ -8297,6 +8340,11 @@ object SparkEntry {
          GROUP BY o_orderstatus""",
     // q141: the streamed sink must equal the whole source table
     "q141_catalog_stream" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY o_orderstatus""",
+    // q145: the natively-streamed sink must equal the whole source table
+    "q145_stream_totable" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY o_orderstatus""",

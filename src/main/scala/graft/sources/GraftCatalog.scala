@@ -402,7 +402,8 @@ class GraftSqlTable(val ident: String, val path: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // stream options (startingVersion, maxVersionsPerTrigger, …) ride
@@ -415,7 +416,7 @@ class GraftSqlTable(val ident: String, val path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshot.isEmpty,
       s"cannot write to a time-travel snapshot of $ident (VERSION AS OF ${snapshot.get})")
-    new GraftWriteBuilder(path)
+    new GraftWriteBuilder(path, info.schema(), info.queryId())
   }
 
   // `DELETE FROM <t> WHERE <cond>` → the copy-on-write rewrite commit
@@ -595,7 +596,8 @@ class GraftSqlRelation(ctx: SQLContext, path: String, version: Option[Long],
   }
 }
 
-class GraftWriteBuilder(path: String) extends WriteBuilder with SupportsTruncate {
+class GraftWriteBuilder(path: String, schema: StructType, queryId: String)
+  extends WriteBuilder with SupportsTruncate {
   private var replace = false
 
   override def truncate(): WriteBuilder = { replace = true; this }
@@ -608,5 +610,91 @@ class GraftWriteBuilder(path: String) extends WriteBuilder with SupportsTruncate
         if (replace || overwrite) ManifestTable.overwrite(data, path)
         else ManifestTable.append(data, path)
     }
+
+    // `df.writeStream.toTable("graft.t")` — the NATIVE streaming sink:
+    // each micro-batch's tasks stream rows straight to parquet in the
+    // table's data dir, the epoch commit publishes ONE manifest version
+    // carrying commitId "st-<queryId>-<epoch>", so a replayed epoch
+    // (at-least-once foreachBatch-free restart) lands exactly once and
+    // its redundant staged files are deleted, not committed. Append
+    // mode appends; Complete mode (truncate()) replaces per epoch.
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(path, schema, queryId, replace)
   }
+}
+
+class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
+    replace: Boolean)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftStreamWriterFactory(
+      ManifestTable.dataDirFor(path).toAbsolutePath.toString, schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: GraftDeltaCommitMessage =>
+      m.upsertFiles }.flatten.toSeq.sorted
+    val id = s"st-$queryId-$epochId"
+    val spark = SparkSession.active
+    if (ManifestTable.commitLanded(path, id)) { cleanup(files); return }
+    if (files.isEmpty && !replace) return // empty batch: no version
+    try ManifestTable.commitStagedFiles(spark, path, files, replace, Some(id))
+    catch { case e: Throwable => cleanup(files); throw e }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    cleanup(messages.collect { case m: GraftDeltaCommitMessage =>
+      m.upsertFiles }.flatten.toSeq)
+
+  private def cleanup(files: Seq[String]): Unit = {
+    val dir = Paths.get(path, "data")
+    files.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+  }
+}
+
+case class GraftStreamWriterFactory(dataDir: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftAppendTaskWriter(dataDir, schema)
+}
+
+/** One task's micro-batch slice → at most one parquet file (lazily
+  * opened: an empty partition writes nothing). */
+class GraftAppendTaskWriter(dataDir: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriter[
+    org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.graft.ParquetRowWriter
+
+  private var name: String = _
+  private var out: ParquetRowWriter.Writer = _
+
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    if (out == null) {
+      name = s"${java.util.UUID.randomUUID()}.parquet"
+      out = ParquetRowWriter.open(s"$dataDir/$name", schema)
+    }
+    out.write(row)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val msg = GraftDeltaCommitMessage(Option(name).toSeq, Seq.empty)
+    close()
+    msg
+  }
+
+  override def abort(): Unit = {
+    close()
+    if (name != null) Files.deleteIfExists(Paths.get(dataDir, name))
+  }
+
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null }
 }

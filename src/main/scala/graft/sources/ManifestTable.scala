@@ -1801,6 +1801,35 @@ object ManifestTable {
     dataDir(path)
   }
 
+  /** CHECK-constraint validation over freshly staged files only —
+    * O(delta), never the table. Throws on the first violating row. */
+  private def validateStagedConstraints(spark: SparkSession, path: String,
+      files: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val cons = constraints(path)
+    if (files.isEmpty || cons.isEmpty) return
+    val staged = spark.read.parquet(
+      files.map(f => dataDir(path).resolve(f).toString): _*)
+    val bad = staged.where(!cons.map(c => gated(expr(c))).reduce(_ && _))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"row ${bad.headOption.orNull} violates table constraints " +
+        cons.mkString("[", "; ", "]"))
+  }
+
+  /** Land ALREADY-WRITTEN data files as one append (or replace) commit —
+    * the commit half of [[append]]/[[overwrite]] for writers that
+    * streamed their files directly (the catalog's native streaming
+    * sink): per-epoch idempotence rides the ordinary `commitId` replay
+    * check, constraints validate O(new files) first. Returns the landed
+    * version; a REPLAYED commit id returns the original version and the
+    * caller owns deleting its redundant staged files. */
+  private[sources] def commitStagedFiles(spark: SparkSession, path: String,
+      files: Seq[String], replace: Boolean, commitId: Option[String]): Long = {
+    validateStagedConstraints(spark, path, files)
+    commit(path, files, replace, commitId)
+  }
+
   /** Land ALREADY-WRITTEN upsert + delete files as one merge-on-read
     * commit — the commit half of [[mergeMoR]] for writers that produced
     * their files outside a DataFrame action (SQL UPDATE/MERGE arrive as
@@ -1820,16 +1849,7 @@ object ManifestTable {
     require(keyCols.nonEmpty, "delta commit needs the table's merge keys")
     if (upsertFiles.isEmpty && deleteFiles.isEmpty)
       return latest(path).map(_.version).getOrElse(0L)
-    val cons = constraints(path)
-    if (upsertFiles.nonEmpty && cons.nonEmpty) {
-      val staged = spark.read.parquet(
-        upsertFiles.map(f => dataDir(path).resolve(f).toString): _*)
-      val bad = staged.where(!cons.map(c => gated(expr(c))).reduce(_ && _))
-        .limit(1).collect()
-      require(bad.isEmpty,
-        s"row ${bad.headOption.orNull} violates table constraints " +
-          cons.mkString("[", "; ", "]"))
-    }
+    validateStagedConstraints(spark, path, upsertFiles)
     if (upsertFiles.nonEmpty) {
       val staged = spark.read.parquet(
         upsertFiles.map(f => dataDir(path).resolve(f).toString): _*)

@@ -149,4 +149,60 @@ class GraftRowLevelSpec extends SparkSpecBase {
     intercept[Exception](s2.sql("ALTER TABLE graft.t DROP COLUMN note"))
     intercept[Exception](s2.sql("ALTER TABLE graft.t RENAME COLUMN note TO memo"))
   }
+
+  test("writeStream.toTable commits one idempotent version per epoch; restart replays nothing") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val src = s"$wh/src"
+    val out = s"$wh/out"
+    val ck = Files.createTempDirectory("graft-rl-ck-").toString
+    ManifestTable.append(Seq(1, 2, 3).toDF("x"), src)
+    ManifestTable.append(Seq(4, 5).toDF("x"), src)
+    s2.sql("CREATE TABLE graft.out (x INT)")
+    def drain(): Unit = {
+      val q = s2.readStream.format("graft-table").load(src)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.out")
+      q.awaitTermination()
+    }
+    drain()
+    assert(s2.sql("SELECT x FROM graft.out ORDER BY x").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    val v1 = ManifestTable.versions(out)
+    assert(v1.nonEmpty)
+    drain() // nothing new: no version, no duplicate rows
+    assert(ManifestTable.versions(out) == v1,
+      "an empty restart must commit nothing")
+    ManifestTable.append(Seq(6).toDF("x"), src)
+    drain()
+    assert(s2.sql("SELECT count(*) FROM graft.out").head().getLong(0) == 6L)
+    assert(ManifestTable.versions(out).size == v1.size + 1,
+      "the resumed drain must land exactly the new commit")
+    // the epoch commits are tagged: replay protection is commit-id based
+    assert(ManifestTable.latestCommitId(out).exists(_.startsWith("st-")))
+  }
+
+  test("streaming sink enforces CHECK constraints per epoch commit") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val src = s"$wh/src"
+    val out = s"$wh/out"
+    val ck = Files.createTempDirectory("graft-rl-ck2-").toString
+    ManifestTable.append(Seq(1, -2).toDF("x"), src)
+    s2.sql("CREATE TABLE graft.out (x INT)")
+    ManifestTable.overwrite(Seq(0).toDF("x"), out)
+    ManifestTable.setConstraints(s2, out, Seq("x >= 0"))
+    val vBefore = ManifestTable.versions(out).size
+    val q = s2.readStream.format("graft-table").load(src)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.out")
+    val e = intercept[Exception](q.awaitTermination())
+    assert(e.getMessage != null)
+    assert(ManifestTable.versions(out).size == vBefore,
+      "a constraint-violating epoch must not commit")
+  }
 }
