@@ -639,11 +639,17 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftDeltaCommitMessage =>
       m.upsertFiles }.flatten.toSeq.sorted
-    val id = s"st-$queryId-$epochId"
+    val app = s"st-$queryId"
     val spark = SparkSession.active
-    if (ManifestTable.commitLanded(path, id)) { cleanup(files); return }
+    // replay check is the manifest's txn ledger: ONE latest-manifest
+    // read per epoch, not an O(versions) commit-id scan that would grow
+    // with stream lifetime (the commit retry loop rechecks under race)
+    if (ManifestTable.lastTxn(path, app).exists(_ >= epochId)) {
+      cleanup(files); return
+    }
     if (files.isEmpty && !replace) return // empty batch: no version
-    try ManifestTable.commitStagedFiles(spark, path, files, replace, Some(id))
+    try ManifestTable.commitStagedFiles(spark, path, files, replace,
+      Some(s"$app-$epochId"), appTxn = Some(app -> epochId))
     catch { case e: Throwable => cleanup(files); throw e }
   }
 

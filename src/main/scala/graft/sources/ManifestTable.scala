@@ -118,7 +118,13 @@ object ManifestTable {
       // GENERATED columns (Delta's): (name, SQL expression) pairs —
       // absent in the source a write computes them, present they must
       // match; table metadata like constraints, surviving every commit
-      generated: Seq[(String, String)] = Seq.empty)
+      generated: Seq[(String, String)] = Seq.empty,
+      // Delta's setTransaction ledger: appId → highest applied epoch.
+      // Carried forward on every commit, so an idempotent streaming
+      // writer answers "did epoch N land?" from the LATEST manifest
+      // alone — O(1) per commit, where a commit-id replay scan is
+      // O(versions) and grows with stream lifetime
+      txns: Map[String, Long] = Map.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -145,6 +151,8 @@ object ManifestTable {
       s""""data_change":${m.dataChange},""" +
       s""""generated":{${m.generated.map { case (c, e) =>
         q(c) + ":" + q(e) }.mkString(",")}},""" +
+      s""""txns":{${m.txns.toSeq.sortBy(_._1).map { case (a, e) =>
+        q(a) + s":$e" }.mkString(",")}},""" +
       s""""merge_keys":[${m.mergeKeys.map(q).mkString(",")}]}"""
   }
 
@@ -232,6 +240,11 @@ object ManifestTable {
       (j \ "generated") match {
         case JObject(gs) => gs.collect { case (c, JString(e)) => (c, e) }
         case _ => Seq.empty[(String, String)]
+      },
+      // absent in pre-txn manifests → no applied transactions recorded
+      (j \ "txns") match {
+        case JObject(ts) => ts.collect { case (a, JInt(e)) => a -> e.toLong }.toMap
+        case _ => Map.empty[String, Long]
       })
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
@@ -953,7 +966,8 @@ object ManifestTable {
   private def buildNext(cur: Option[Manifest], next: Long,
       newFiles: Seq[String], replace: Boolean, commitId: Option[String],
       newStats: Map[String, Map[String, ColStats]],
-      newRows: Map[String, Long]): Manifest = {
+      newRows: Map[String, Long],
+      appTxn: Option[(String, Long)] = None): Manifest = {
     val files = if (replace) newFiles
       else cur.map(_.files).getOrElse(Seq.empty) ++ newFiles
     val stats = if (replace) newStats
@@ -975,11 +989,16 @@ object ManifestTable {
       cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
       deleteStats = delStats, rows = rowsM,
       mergeKeys = cur.map(_.mergeKeys).getOrElse(Seq.empty),
-      generated = cur.map(_.generated).getOrElse(Seq.empty))
+      generated = cur.map(_.generated).getOrElse(Seq.empty),
+      // the txn ledger carries forward (overwrite included: replay
+      // protection must survive a Complete-mode epoch replacing the
+      // data), updated by this commit's app transaction if it has one
+      txns = cur.map(_.txns).getOrElse(Map.empty) ++ appTxn)
   }
 
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
-      commitId: Option[String]): Long = {
+      commitId: Option[String],
+      appTxn: Option[(String, Long)] = None): Long = {
     Files.createDirectories(manifestDir(path))
     val newStats = footerStats(path, newFiles)
     val newRows = footerRows(path, newFiles)
@@ -987,13 +1006,24 @@ object ManifestTable {
     while (attempts < 64) {
       attempts += 1
       val cur = latest(path)
+      // O(1) idempotent replay for transactional writers: the latest
+      // manifest's txn ledger answers from ONE read (the commit-id scan
+      // below is O(versions) — fine for one-shot jobs, not for a
+      // streaming epoch check that runs per batch forever)
+      val txnReplayed = for {
+        (app, epoch) <- appTxn
+        c <- cur
+        if c.txns.get(app).exists(_ >= epoch)
+      } yield c.version
+      if (txnReplayed.isDefined) return txnReplayed.get
       // idempotent replay: an already-landed commit id wins immediately
-      val replayed = commitId.flatMap(id =>
+      // (skipped when the txn ledger owns replay protection)
+      val replayed = if (appTxn.isDefined) None else commitId.flatMap(id =>
         versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
       if (replayed.isDefined) return replayed.get.version
       val next = cur.map(_.version + 1).getOrElse(1L)
       val m = buildNext(cur, next, newFiles, replace, commitId,
-        newStats, newRows)
+        newStats, newRows, appTxn)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -1276,7 +1306,7 @@ object ManifestTable {
           footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
           base.constraints, rows = footerRows(path, staged),
           mergeKeys = base.mergeKeys, dataChange = false,
-          generated = base.generated)))
+          generated = base.generated, txns = base.txns)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1358,7 +1388,7 @@ object ManifestTable {
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, dataChange = false,
-      generated = base.generated)
+      generated = base.generated, txns = base.txns)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1459,7 +1489,7 @@ object ManifestTable {
       Seq.empty, base.constraints,
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, dataChange = false,
-      generated = base.generated)
+      generated = base.generated, txns = base.txns)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1655,7 +1685,7 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = keyCols, generated = base.generated)
+      mergeKeys = keyCols, generated = base.generated, txns = base.txns)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1751,7 +1781,7 @@ object ManifestTable {
         // this delete to the data files its key range can actually hit
         deleteStats = base.deleteStats ++ footerStats(path, delFiles),
         rows = base.rows ++ footerRows(path, staged ++ delFiles),
-        mergeKeys = keyCols, generated = base.generated)
+        mergeKeys = keyCols, generated = base.generated, txns = base.txns)
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next
@@ -1825,10 +1855,17 @@ object ManifestTable {
     * version; a REPLAYED commit id returns the original version and the
     * caller owns deleting its redundant staged files. */
   private[sources] def commitStagedFiles(spark: SparkSession, path: String,
-      files: Seq[String], replace: Boolean, commitId: Option[String]): Long = {
+      files: Seq[String], replace: Boolean, commitId: Option[String],
+      appTxn: Option[(String, Long)] = None): Long = {
     validateStagedConstraints(spark, path, files)
-    commit(path, files, replace, commitId)
+    commit(path, files, replace, commitId, appTxn)
   }
+
+  /** The highest epoch `app` has applied to this table (Delta's
+    * txn-ledger read): ONE manifest read, the O(1) half of per-epoch
+    * idempotence for streaming writers. */
+  def lastTxn(path: String, app: String): Option[Long] =
+    latest(path).flatMap(_.txns.get(app))
 
   /** Land ALREADY-WRITTEN upsert + delete files as one merge-on-read
     * commit — the commit half of [[mergeMoR]] for writers that produced
@@ -1884,7 +1921,8 @@ object ManifestTable {
           base.map(_.deleteStats).getOrElse(Map.empty) ++ delStats,
         rows = base.map(_.rows).getOrElse(Map.empty) ++ upRows ++ delRows,
         mergeKeys = keyCols,
-        generated = base.map(_.generated).getOrElse(Seq.empty))
+        generated = base.map(_.generated).getOrElse(Seq.empty),
+        txns = base.map(_.txns).getOrElse(Map.empty))
       Files.createDirectories(manifestDir(path))
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
@@ -2304,7 +2342,7 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = base.mergeKeys, generated = base.generated)
+      mergeKeys = base.mergeKeys, generated = base.generated, txns = base.txns)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -2483,7 +2521,7 @@ object ManifestTable {
       m.constraints, None,
       m.deleteStats.map { case (f, v) => abs(f) -> v },
       m.rows.map { case (f, v) => abs(f) -> v },
-      m.mergeKeys, generated = m.generated)
+      m.mergeKeys, generated = m.generated, txns = m.txns)
     publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(cm))
     1L
   }

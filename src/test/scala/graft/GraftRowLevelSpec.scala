@@ -180,8 +180,17 @@ class GraftRowLevelSpec extends SparkSpecBase {
     assert(s2.sql("SELECT count(*) FROM graft.out").head().getLong(0) == 6L)
     assert(ManifestTable.versions(out).size == v1.size + 1,
       "the resumed drain must land exactly the new commit")
-    // the epoch commits are tagged: replay protection is commit-id based
+    // replay protection is the manifest txn ledger (one latest-manifest
+    // read per epoch): the app's highest applied epoch is recorded and
+    // survives later commits by other writers
     assert(ManifestTable.latestCommitId(out).exists(_.startsWith("st-")))
+    val app = ManifestTable.latestCommitId(out).get.reverse.dropWhile(_ != '-')
+      .drop(1).reverse
+    val e1 = ManifestTable.lastTxn(out, app)
+    assert(e1.nonEmpty, "epoch commits must record an app transaction")
+    ManifestTable.append(Seq(99).toDF("x"), out)
+    assert(ManifestTable.lastTxn(out, app) == e1,
+      "the txn ledger must survive commits from other writers")
   }
 
   test("streaming sink enforces CHECK constraints per epoch commit") {
