@@ -1038,20 +1038,34 @@ object ManifestTable {
   }
 
   /** Append-commit: new version = old files + df's files. */
-  def append(df: DataFrame, path: String, commitId: Option[String] = None): Long = {
-    if (commitId.exists(id =>
+  def append(df: DataFrame, path: String, commitId: Option[String] = None,
+      appTxn: Option[(String, Long)] = None): Long = {
+    if (txnLanded(path, appTxn)) // O(1) ledger replay: skip the staging
+      return commit(path, Seq.empty, replace = false, commitId, appTxn)
+    if (appTxn.isEmpty && commitId.exists(id =>
         versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
       return commit(path, Seq.empty, replace = false, commitId) // replay fast-path
-    commit(path, stage(df, path), replace = false, commitId)
+    commit(path, stage(df, path), replace = false, commitId, appTxn)
   }
 
   /** Overwrite-commit: new version = exactly df's files. */
-  def overwrite(df: DataFrame, path: String, commitId: Option[String] = None): Long = {
-    if (commitId.exists(id =>
+  def overwrite(df: DataFrame, path: String, commitId: Option[String] = None,
+      appTxn: Option[(String, Long)] = None): Long = {
+    if (txnLanded(path, appTxn))
+      return commit(path, Seq.empty, replace = true, commitId, appTxn)
+    if (appTxn.isEmpty && commitId.exists(id =>
         versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
       return commit(path, Seq.empty, replace = true, commitId)
-    commit(path, stage(df, path), replace = true, commitId)
+    commit(path, stage(df, path), replace = true, commitId, appTxn)
   }
+
+  /** O(1) per-commit replay answer from the latest manifest's txn
+    * ledger — the check that replaces O(versions) commit-id scans on
+    * transactional write paths (append/overwrite/merge/mergeMoR with
+    * `appTxn`, the catalog streaming sink's epochs). */
+  private def txnLanded(path: String, appTxn: Option[(String, Long)]): Boolean =
+    appTxn.exists { case (app, epoch) =>
+      latest(path).exists(_.txns.get(app).exists(_ >= epoch)) }
 
   // ──────────────────── multi-table transactions ────────────────────
   //
@@ -1538,9 +1552,10 @@ object ManifestTable {
       // schema (mergeSchema reads fill nulls), rewritten+inserted rows
       // carry the new columns. Columns referenced only by `deleteWhen`
       // (op markers) are NOT evolved into the table.
-      evolveSchema: Boolean = false): Long =
+      evolveSchema: Boolean = false,
+      appTxn: Option[(String, Long)] = None): Long =
     retryMerge("merge")(mergeAttempt(spark, path, source, keyCols,
-      deleteWhen, commitId, evolveSchema))
+      deleteWhen, commitId, evolveSchema, appTxn))
 
   /** Bounded optimistic retry around one merge attempt — the same
     * contention discipline [[commit]] has: a concurrent commit landing
@@ -1579,14 +1594,23 @@ object ManifestTable {
   private def mergeAttempt(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
-      commitId: Option[String], evolveSchema: Boolean = false): Long = {
+      commitId: Option[String], evolveSchema: Boolean = false,
+      appTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // idempotent replay (same contract as append/overwrite): a replayed
     // streaming micro-batch must not re-run the merge — re-merging is
     // semantically idempotent for pure upserts but NOT for a
     // delete-then-reinsert batch, and every re-run burns a version
-    val landed = commitId.flatMap(id =>
+    // replay detection: the txn ledger answers O(1) from the latest
+    // manifest; without one, the commit-id scan stays the O(versions)
+    // fallback for one-shot jobs. A ledger hit whose version has been
+    // expired returns the latest version rather than re-merging.
+    if (txnLanded(path, appTxn))
+      return commitId.flatMap(id => versions(path).map(manifestAt(path, _))
+          .find(_.commitId.contains(id)).map(_.version))
+        .getOrElse(latestVersion(path))
+    val landed = if (appTxn.isDefined) None else commitId.flatMap(id =>
       versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
     if (landed.isDefined) return landed.get.version
     val base = latest(path).getOrElse(
@@ -1685,7 +1709,8 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = keyCols, generated = base.generated, txns = base.txns)
+      mergeKeys = keyCols, generated = base.generated,
+      txns = base.txns ++ appTxn)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1719,17 +1744,27 @@ object ManifestTable {
       // schema evolution, [[merge]]'s contract: extra source columns
       // (minus deleteWhen's references) land on the staged upsert rows;
       // mergeSchema reads null-fill every older file
-      evolveSchema: Boolean = false): Long =
+      evolveSchema: Boolean = false,
+      appTxn: Option[(String, Long)] = None): Long =
     retryMerge("mergeMoR")(mergeMoRAttempt(spark, path, source, keyCols,
-      deleteWhen, commitId, evolveSchema))
+      deleteWhen, commitId, evolveSchema, appTxn))
 
   private def mergeMoRAttempt(spark: SparkSession, path: String,
       source: DataFrame, keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
-      commitId: Option[String], evolveSchema: Boolean = false): Long = {
+      commitId: Option[String], evolveSchema: Boolean = false,
+      appTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    val landed = commitId.flatMap(id =>
+    // replay detection: the txn ledger answers O(1) from the latest
+    // manifest; without one, the commit-id scan stays the O(versions)
+    // fallback for one-shot jobs. A ledger hit whose version has been
+    // expired returns the latest version rather than re-merging.
+    if (txnLanded(path, appTxn))
+      return commitId.flatMap(id => versions(path).map(manifestAt(path, _))
+          .find(_.commitId.contains(id)).map(_.version))
+        .getOrElse(latestVersion(path))
+    val landed = if (appTxn.isDefined) None else commitId.flatMap(id =>
       versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
     if (landed.isDefined) return landed.get.version
     val base = latest(path).getOrElse(
@@ -1781,7 +1816,8 @@ object ManifestTable {
         // this delete to the data files its key range can actually hit
         deleteStats = base.deleteStats ++ footerStats(path, delFiles),
         rows = base.rows ++ footerRows(path, staged ++ delFiles),
-        mergeKeys = keyCols, generated = base.generated, txns = base.txns)
+        mergeKeys = keyCols, generated = base.generated,
+        txns = base.txns ++ appTxn)
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next

@@ -86,7 +86,8 @@ object StreamSync {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           graft.sources.ManifestTable.append(
-            batch.toDF(), tablePath, commitId = Some(s"batch-$batchId"))
+            batch.toDF(), tablePath, commitId = Some(s"batch-$batchId"),
+            appTxn = Some("stream-append" -> batchId))
           ()
         }
       }
@@ -140,10 +141,12 @@ object StreamSync {
         if (!batch.isEmpty) {
           if (mor) graft.sources.ManifestTable.mergeMoR(
             batch.sparkSession, tablePath, batch.toDF(), keyCols,
-            deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+            deleteWhen, commitId = Some(s"merge-batch-$batchId"),
+            appTxn = Some("stream-merge" -> batchId))
           else graft.sources.ManifestTable.merge(
             batch.sparkSession, tablePath, batch.toDF(), keyCols,
-            deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+            deleteWhen, commitId = Some(s"merge-batch-$batchId"),
+            appTxn = Some("stream-merge" -> batchId))
           if (autoCompactEvery > 0 && batchId % autoCompactEvery == (autoCompactEvery - 1))
             try {
               graft.sources.ManifestTable.compactDeletes(
@@ -201,32 +204,35 @@ object StreamSync {
         // recomputing it — the overwrite's commit-id idempotence would
         // discard the recomputed frame anyway (correctness unchanged,
         // replay cost drops from recompute-everything to metadata reads).
-        // mv-batch ids land IN ORDER, one version per batch, so "has
-        // batch N landed?" reads ONE manifest (the latest) instead of
-        // scanning the whole version history every micro-batch — the
-        // O(versions)-per-batch listing would itself grow with stream
-        // lifetime. A miss (latest id is not an mv-batch, e.g. a fresh
-        // MV) errs to recompute, and the overwrite idempotence still
-        // guards.
-        val lastFolded = graft.sources.ManifestTable.latestCommitId(mvPath)
-          .collect { case s if s.startsWith("mv-batch-") =>
-            s.stripPrefix("mv-batch-").toLong }
+        // "has batch N folded?" reads ONE manifest: the txn ledger
+        // (stream-mv → highest folded batch) answers O(1) and survives
+        // interleaved commits; the latest-commit-id probe remains as a
+        // fallback for MVs written before the ledger existed. A miss
+        // errs to recompute, and the overwrite idempotence still guards.
+        val lastFolded = graft.sources.ManifestTable
+          .lastTxn(mvPath, "stream-mv")
+          .orElse(graft.sources.ManifestTable.latestCommitId(mvPath)
+            .collect { case s if s.startsWith("mv-batch-") =>
+              s.stripPrefix("mv-batch-").toLong })
         if (!batch.isEmpty && !lastFolded.exists(_ >= batchId)) {
           val s = batch.sparkSession
           val vm =
             if (mor) graft.sources.ManifestTable.mergeMoR(
               s, tablePath, batch.toDF(), keyCols,
-              deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+              deleteWhen, commitId = Some(s"merge-batch-$batchId"),
+              appTxn = Some("stream-merge" -> batchId))
             else graft.sources.ManifestTable.merge(
               s, tablePath, batch.toDF(), keyCols,
-              deleteWhen, commitId = Some(s"merge-batch-$batchId"))
+              deleteWhen, commitId = Some(s"merge-batch-$batchId"),
+              appTxn = Some("stream-merge" -> batchId))
           val feed = graft.sources.ManifestTable.changesWithValues(
             s, tablePath, vm - 1, vm, keyCols)
           val mv1 = graft.operators.IncrementalAgg.applyDelta(
             graft.sources.ManifestTable.read(s, mvPath), feed, dims, measures)
             .localCheckpoint()
           graft.sources.ManifestTable.overwrite(mv1, mvPath,
-            commitId = Some(s"mv-batch-$batchId"))
+            commitId = Some(s"mv-batch-$batchId"),
+            appTxn = Some("stream-mv" -> batchId))
           ()
         }
       }
