@@ -71,9 +71,30 @@ class GraftDeltaWriteBuilder(path: String, rowSchema: StructType,
 }
 
 class GraftDeltaWrite(path: String, rowSchema: StructType,
-    keySchema: StructType, keyCols: Seq[String]) extends DeltaWrite {
+    keySchema: StructType, keyCols: Seq[String]) extends DeltaWrite
+  with RequiresDistributionAndOrdering {
+
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(path, rowSchema, keySchema, keyCols)
+
+  // OPTIMIZED WRITES (Delta's optimizeWrite / Iceberg's distribution
+  // mode): cluster the delta rows by merge key before the writers run,
+  // so AQE coalesces the shuffle to ~advisory-sized partitions and the
+  // commit stages a few right-sized files instead of one (tiny) delete
+  // + upsert file PER SCAN TASK — at 1000 executors an un-clustered
+  // UPDATE would append thousands of KB-scale files per statement, the
+  // small-files death spiral compaction exists to undo
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      keyCols.map(k => Expressions.column(k)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def advisoryPartitionSizeInBytes(): Long = 64L * 1024 * 1024
 }
 
 final case class GraftDeltaCommitMessage(upsertFiles: Seq[String],

@@ -60,6 +60,32 @@ class GraftRowLevelSpec extends SparkSpecBase {
     assert(ManifestTable.tableMergeKeys(path) == Seq("k"))
   }
 
+  test("delta writes cluster by key: an UPDATE over a many-file table stages few right-sized files") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v DOUBLE) TBLPROPERTIES ('merge.keys'='k')")
+    // 8 separate commits → 8 data files feeding the update scan
+    (0 until 8).foreach { i =>
+      ManifestTable.append(
+        (i * 100L until (i + 1) * 100L).map(k => (k, k * 1.0)).toDF("k", "v"), path)
+    }
+    assert(ManifestTable.dataFiles(path).size >= 8)
+    val before = (ManifestTable.dataFiles(path).size,
+      ManifestTable.deleteFiles(path).size)
+    s2.sql("UPDATE graft.t SET v = v * 2")
+    val addedData = ManifestTable.dataFiles(path).size - before._1
+    val addedDel = ManifestTable.deleteFiles(path).size - before._2
+    // the required ClusteredDistribution shuffles the delta rows and AQE
+    // coalesces to the advisory size — KBs of changes land as ~one
+    // upsert + one delete file, not one pair per scan task
+    assert(addedData <= 2, s"expected coalesced upsert files, got $addedData")
+    assert(addedDel <= 2, s"expected coalesced delete files, got $addedDel")
+    assert(s2.sql("SELECT sum(v) FROM graft.t").head().getDouble(0)
+      == (0L until 800L).map(_ * 2.0).sum)
+  }
+
   test("MERGE INTO: matched update, matched delete, not-matched insert in one statement") {
     val wh = freshWh()
     val s2 = catalogSession(wh)
