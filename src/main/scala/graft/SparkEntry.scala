@@ -2540,6 +2540,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))
     }),
 
+    "q146_sql_rtas" -> ((s, dir) => {
+      // ATOMIC CTAS / RTAS (StagingTableCatalog): the AS-SELECT data
+      // stages invisibly (files in data/, referenced by no manifest)
+      // and becomes the table in ONE overwrite commit — REPLACE TABLE
+      // keeps every earlier version time-travelable, and a FAILING
+      // RTAS (ANSI cast error mid-write) leaves the table byte-
+      // identical: no version, no schema change (gate-asserted). The
+      // create-then-write-then-drop non-atomic fallback never runs.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q146-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .createOrReplaceTempView("li_src")
+      s2.sql("""CREATE TABLE graft.t AS
+                SELECT l_orderkey AS k, l_returnflag AS flag,
+                       CAST(l_quantity AS DOUBLE) AS qty
+                FROM li_src WHERE l_linenumber = 1""")
+      val n1 = s2.sql("SELECT count(*) FROM graft.t").head().getLong(0)
+      s2.sql("""REPLACE TABLE graft.t AS
+                SELECT l_orderkey AS k, l_returnflag AS flag,
+                       CAST(l_quantity AS DOUBLE) AS qty
+                FROM li_src WHERE l_linenumber = 2""")
+      require(s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 1")
+        .head().getLong(0) == n1,
+        "the pre-replace snapshot must stay time-travelable")
+      val vBefore = ManifestTable.versions(s"$wh/t")
+      require(scala.util.Try(s2.sql(
+        """REPLACE TABLE graft.t AS
+           SELECT CAST(x AS INT) AS k FROM VALUES ('nope') AS v(x)""")).isFailure,
+        "an RTAS whose SELECT fails must throw")
+      require(ManifestTable.versions(s"$wh/t") == vBefore,
+        "a failed RTAS must commit nothing")
+      s2.sql(
+        """SELECT flag, count(*) AS n,
+             CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           FROM graft.t GROUP BY flag""")
+    }),
+
     "q145_stream_totable" -> ((s, dir) => {
       // NATIVE STREAMING SINK: writeStream.toTable("graft.out") — no
       // foreachBatch anywhere. Each micro-batch's tasks stream rows
@@ -8343,6 +8385,11 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY o_orderstatus""",
+    // q146: the RTAS result is the linenumber-2 slice
+    "q146_sql_rtas" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_linenumber = 2 GROUP BY 1""",
     // q145: the natively-streamed sink must equal the whole source table
     "q145_stream_totable" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

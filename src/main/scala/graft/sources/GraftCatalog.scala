@@ -61,7 +61,8 @@ import graft.conditions.{Condition, Op}
   * reads are snapshots — writes through a time-travel relation are
   * rejected.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -171,6 +172,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Files.writeString(dir.resolve(GraftCatalog.KeysFile), ks.mkString(","))
     }
     loadTable(ident)
+  }
+
+  // ────────────────── atomic CTAS / RTAS (staging) ──────────────────
+  //
+  // CREATE/REPLACE TABLE AS SELECT stage their data files invisibly
+  // (written into the table's data dir but referenced by no manifest)
+  // and become real in ONE commit at commitStagedChanges — a failed or
+  // aborted RTAS leaves the old table byte-identical, a failed CTAS
+  // leaves no table. The non-atomic create-then-write-then-drop
+  // fallback Spark uses on plain TableCatalogs never runs here.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stageImpl(ident, schema, partitions, properties, created = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stageImpl(ident, schema, partitions, properties, created = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stageImpl(ident, schema, partitions, properties,
+      created = !tableExists(ident))
+
+  private def stageImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String],
+      created: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables do not take PARTITIONED BY (layout is per-commit; use ZORDER/compaction)")
+    val keys = Option(properties.get("merge.keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    require(keys.forall(schema.fieldNames.contains),
+      s"merge.keys must name columns of the table schema")
+    val dir = tableDir(ident)
+    Files.createDirectories(dir)
+    new GraftStagedTable(ident.toString, dir, schema, keys, created)
   }
 
   /** `ALTER TABLE` over manifest metadata: ADD COLUMN extends the
@@ -662,6 +708,86 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
     val dir = Paths.get(path, "data")
     files.foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
+}
+
+/** A CTAS/RTAS in flight: its write lands files in the table's data
+  * dir (invisible — no manifest references them) and
+  * [[commitStagedChanges]] makes table + data real in one overwrite
+  * commit. Abort deletes the staged files (and, for a CREATE, the
+  * table skeleton), leaving what existed before untouched. */
+class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
+    keys: Seq[String], created: Boolean)
+  extends Table with SupportsWrite with StagedTable {
+
+  private val path = dir.toString
+  @volatile private var staged: Seq[String] = Seq.empty
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staged IS a replace
+      override def build(): Write = new Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new org.apache.spark.sql.connector.write.BatchWrite {
+            override def createBatchWriterFactory(
+                pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+                : org.apache.spark.sql.connector.write.DataWriterFactory =
+              GraftBatchWriterFactory(
+                ManifestTable.dataDirFor(path).toAbsolutePath.toString,
+                info.schema())
+            override def commit(messages: Array[
+                org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+              staged = messages.collect { case m: GraftDeltaCommitMessage =>
+                m.upsertFiles }.flatten.toSeq.sorted
+            override def abort(messages: Array[
+                org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+              messages.collect { case m: GraftDeltaCommitMessage =>
+                m.upsertFiles }.flatten
+                .foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    Files.write(dir.resolve(GraftCatalog.SchemaFile),
+      tableSchema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (keys.nonEmpty)
+      Files.writeString(dir.resolve(GraftCatalog.KeysFile), keys.mkString(","))
+    // ONE overwrite commit: the staged files become the table's data
+    // atomically; on RTAS the previous versions stay time-travelable
+    // and table-level constraints (the contract) survive the replace
+    ManifestTable.commitStagedFiles(SparkSession.active, path, staged,
+      replace = true, commitId = None)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    staged.foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+    if (created) {
+      Files.deleteIfExists(dir.resolve(GraftCatalog.SchemaFile))
+      Files.deleteIfExists(dir.resolve(GraftCatalog.KeysFile))
+      if (ManifestTable.versions(path).isEmpty) {
+        val dd = Paths.get(path, "data")
+        if (Files.isDirectory(dd) &&
+            Using.resource(Files.list(dd))(!_.iterator().hasNext))
+          Files.delete(dd)
+        if (Using.resource(Files.list(dir))(!_.iterator().hasNext))
+          Files.delete(dir)
+      }
+    }
+  }
+}
+
+case class GraftBatchWriterFactory(dataDir: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftAppendTaskWriter(dataDir, schema)
 }
 
 case class GraftStreamWriterFactory(dataDir: String, schema: StructType)

@@ -211,6 +211,46 @@ class GraftCatalogSpec extends SparkSpecBase {
       (cdf.getCause != null && cdf.getCause.getMessage.contains("graft-table")))
   }
 
+  test("atomic RTAS: REPLACE TABLE AS SELECT swaps in one commit; a failing RTAS leaves the old table intact") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    val path = s"$wh/t"
+    s2.sql("CREATE TABLE graft.t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(k, tag)")
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 2L)
+    s2.sql("REPLACE TABLE graft.t AS SELECT * FROM VALUES (10, 'x') AS v(k, tag)")
+    assert(s2.sql("SELECT k FROM graft.t").collect().map(_.getInt(0)).toSeq == Seq(10),
+      "the replace must swap the data")
+    assert(s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 1").head().getLong(0) == 2L,
+      "the pre-replace snapshot must stay time-travelable")
+    // a failing RTAS (ANSI cast error mid-write) must leave the table
+    // byte-identical: no new version, no schema change, no stray files
+    val filesBefore = ManifestTable.dataFiles(path).toSet
+    val vBefore = ManifestTable.versions(path)
+    intercept[Exception](s2.sql(
+      "REPLACE TABLE graft.t AS SELECT CAST(x AS INT) AS k, 'y' AS tag " +
+        "FROM VALUES ('nope') AS v(x)"))
+    assert(ManifestTable.versions(path) == vBefore,
+      "a failed RTAS must not commit")
+    assert(s2.sql("SELECT k FROM graft.t").collect().map(_.getInt(0)).toSeq == Seq(10))
+    // a failing CTAS leaves NO table behind
+    intercept[Exception](s2.sql(
+      "CREATE TABLE graft.t2 AS SELECT CAST(x AS INT) AS k FROM VALUES ('nope') AS v(x)"))
+    assert(!s2.catalog.tableExists("graft.t2"))
+    assert(filesBefore.subsetOf(ManifestTable.dataFiles(path).toSet))
+  }
+
+  test("CREATE OR REPLACE TABLE with merge.keys: the replaced table is immediately row-level-operable") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    s2.sql("""CREATE OR REPLACE TABLE graft.t
+              TBLPROPERTIES ('merge.keys'='k')
+              AS SELECT k, CAST(v AS DOUBLE) AS v
+              FROM VALUES (1L, 1.0), (2L, 2.0) AS t(k, v)""")
+    s2.sql("UPDATE graft.t SET v = CAST(9.0 AS DOUBLE) WHERE k = 1")
+    assert(s2.sql("SELECT v FROM graft.t WHERE k = 1").head().getDouble(0) == 9.0)
+  }
+
   test("live statistics see through a delete ledger: post-delete SQL join plans a broadcast") {
     val wh = freshWh()
     val s2 = catalogSession(wh)
