@@ -2540,6 +2540,65 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))
     }),
 
+    "q147_sql_dml_cdf" -> ((s, dir) => {
+      // SQL DML COMPOSES WITH THE CDC STACK: an UPDATE and a MERGE
+      // issued as plain SQL land as merge-on-read delta commits, and
+      // the table's change feed derives their EXACT row diffs
+      // (differingSlices reconciles deletion-vector state on both
+      // sides) — folded version-by-version into an incremental MV that
+      // must equal a from-scratch rebuild (exceptAll both ways,
+      // gate-asserted). One write protocol, three doors (SQL, API,
+      // stream), one change feed.
+      import graft.operators.IncrementalAgg
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q147-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src")
+      s2.sql("""CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)
+                TBLPROPERTIES ('merge.keys'='k')""")
+      s2.sql("INSERT INTO graft.t SELECT * FROM orders_src WHERE o_orderkey % 4 <> 0")
+      val v1 = ManifestTable.latestVersion(t)
+      var mv = IncrementalAgg.materialize(
+        ManifestTable.read(s2, t, Some(v1)), Seq("status"), Seq("price"))
+        .localCheckpoint()
+      s2.sql("UPDATE graft.t SET price = price * 2 WHERE status = 'F'")
+      s2.sql(
+        """MERGE INTO graft.t AS t
+           USING (SELECT o_orderkey AS k, o_orderstatus AS status,
+                         CAST(o_totalprice AS DOUBLE) AS price
+                  FROM orders_src WHERE o_orderkey % 2 = 0) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET price = s.price * 2
+           WHEN NOT MATCHED THEN INSERT (k, status, price)
+             VALUES (s.k, s.status, s.price)""")
+      val vN = ManifestTable.latestVersion(t)
+      ((v1 + 1) to vN).foreach { v =>
+        val feed = ManifestTable.changesWithValues(s2, t, v - 1, v, Seq("k"))
+        val next = IncrementalAgg.applyDelta(mv, feed, Seq("status"), Seq("price"))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(mv)
+        mv = next
+      }
+      val rebuilt = IncrementalAgg.materialize(
+        ManifestTable.read(s2, t), Seq("status"), Seq("price"))
+      val cols = mv.columns.map(col).toSeq
+      require(mv.where(col("n") =!= 0).select(cols: _*)
+          .exceptAll(rebuilt.select(cols: _*)).isEmpty &&
+        rebuilt.select(cols: _*)
+          .exceptAll(mv.where(col("n") =!= 0).select(cols: _*)).isEmpty,
+        "the fold of the SQL commits' change feeds must equal a rebuild")
+      org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(mv)
+      s2.sql(
+        """SELECT status, count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.t GROUP BY status""")
+    }),
+
     "q146_sql_rtas" -> ((s, dir) => {
       // ATOMIC CTAS / RTAS (StagingTableCatalog): the AS-SELECT data
       // stages invisibly (files in data/, referenced by no manifest)
@@ -8385,6 +8444,19 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY o_orderstatus""",
+    // q147: the SQL UPDATE+MERGE replayed relationally — final price:
+    // merged-matched keys take src*2, inserted keys take src, untouched
+    // odd keys keep the update's F-doubling (all ×2: FP-exact)
+    "q147_sql_dml_cdf" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE
+             WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+               THEN CAST(o_totalprice AS DOUBLE) * 2
+             WHEN o_orderkey % 4 = 0 THEN CAST(o_totalprice AS DOUBLE)
+             WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DOUBLE) * 2
+             ELSE CAST(o_totalprice AS DOUBLE) END
+             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q146: the RTAS result is the linenumber-2 slice
     "q146_sql_rtas" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,

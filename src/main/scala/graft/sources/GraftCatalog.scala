@@ -451,6 +451,15 @@ class GraftSqlTable(val ident: String, val path: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
+  // DESCRIBE TABLE EXTENDED / SHOW TBLPROPERTIES surface the table's
+  // contract: its CHECK constraints (and, on keyed tables, merge.keys)
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    ManifestTable.constraints(path).zipWithIndex.foreach { case (c, i) =>
+      m.put(s"check.$i", c) }
+    m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // stream options (startingVersion, maxVersionsPerTrigger, …) ride
     // the reader options into toMicroBatchStream; batch scans ignore them
@@ -500,8 +509,11 @@ class GraftKeyedSqlTable(ident0: String, path0: String,
   extends GraftSqlTable(ident0, path0, snapshot0, schema0)
   with SupportsRowLevelOperations {
 
-  override def properties(): java.util.Map[String, String] =
-    java.util.Collections.singletonMap("merge.keys", keyCols.mkString(","))
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String](super.properties())
+    m.put("merge.keys", keyCols.mkString(","))
+    m
+  }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
