@@ -370,7 +370,7 @@ object GraftCatalog {
     val path = dir.toString
     val data =
       if (ManifestTable.versions(path).nonEmpty)
-        Some(ManifestTable.read(SparkSession.active, path, version).schema)
+        Some(ManifestTable.schemaAt(SparkSession.active, path, version))
       else None
     val ddl = readDdlSchema(dir)
     (data, ddl) match {

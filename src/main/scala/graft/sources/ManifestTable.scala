@@ -341,6 +341,29 @@ object ManifestTable {
     maybeHintBroadcast(spark, m, reconcile(spark, path, m, m.files), path)
   }
 
+  /** Resolved read-schema of a version, cached by manifest identity.
+    * `read(...).schema` runs mergeSchema footer inference over every
+    * file of the version — O(files) metadata work that a SQL front end
+    * would otherwise repeat on EVERY query's analysis (each table
+    * resolution asks for the schema). Manifests are immutable once
+    * published, so (manifest file size+mtime) keys the cache exactly
+    * like [[parse]]'s, including the rm-rf-and-recreate case. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def schemaAt(spark: SparkSession, path: String,
+      version: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val m = version.map(manifestAt(path, _)).orElse(latest(path))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    val key = cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
+    val hit = schemaCache.get(key)
+    if (hit != null) return hit
+    val sc = read(spark, path, Some(m.version)).schema
+    if (schemaCache.size > 65536) schemaCache.clear()
+    schemaCache.put(key, sc)
+    sc
+  }
+
   /** LIVE-size estimate from manifest metadata alone: Σ data-file row
     * counts − Σ delete-file key counts (a keyed table hides at most one
     * row per delete key), bytes scaled proportionally from the physical
