@@ -75,26 +75,45 @@ object NNDescent extends Logging {
     // fragmented into 6-cliques and plateaued at recall 0.19), and the
     // rotating ring is the deterministic analogue of the random candidate
     // pool that graph-ANN builders inject to stay connected.
+    //
+    // Every loop iteration is driver-synchronized, so its wall time is
+    // dominated by SEQUENTIAL STAGE COUNT, not data volume — the round
+    // below is deliberately stage-lean: all rounds' ring pairs are
+    // precomputed in ONE job (each round then just filters a checkpoint
+    // scan instead of re-running two window functions and a join), the
+    // adjacency cap is one groupBy with the degree cap and the pair
+    // expansion done in array expressions (the old window + self-join
+    // spent three exchanges on the same candidate set), and candidate
+    // dedup rides the merge's own (src,dst) partial aggregation instead
+    // of a dedicated distinct exchange (duplicate pairs cost only
+    // map-side dot products, and the map-side combine collapses them
+    // before any shuffle bytes move).
     val nBuckets = math.max(1L, u.count() / bucketSize)
     val offsets = u.sparkSession.range(1, k + 1).select(col("id").as("__j"))
-    def ringPairs(seed: Int): DataFrame = {
-      val ranked = u.select(col("id"),
-        pmod(xxhash64(col("id"), lit(seed)), lit(1000000007L)).as("__h"))
-        .withColumn("__b", pmod(xxhash64(col("id"), lit(seed + 7)), lit(nBuckets))
-          .cast("long"))
+    val ringAll = sc.index {
+      val seeds = u.sparkSession.range(0, maxRounds + 1L)
+        .select(col("id").cast("int").as("__seed"))
+      val ranked = u.select(col("id")).crossJoin(broadcast(seeds))
+        .select(col("id"), col("__seed"),
+          pmod(xxhash64(col("id"), col("__seed")), lit(1000000007L)).as("__h"),
+          pmod(xxhash64(col("id"), col("__seed") + 7), lit(nBuckets))
+            .cast("long").as("__b"))
         .withColumn("__r", row_number().over(
-          Window.partitionBy("__b").orderBy(col("__h"), col("id"))) - 1)
-        .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__b")))
-        .select(col("id"), col("__b"), col("__r"), col("__sz"))
+          Window.partitionBy("__seed", "__b").orderBy(col("__h"), col("id"))) - 1)
+        .withColumn("__sz", count(lit(1)).over(
+          Window.partitionBy("__seed", "__b")))
+        .select(col("id"), col("__seed"), col("__b"), col("__r"), col("__sz"))
       ranked.crossJoin(broadcast(offsets))
         .where(col("__sz") > 1)
-        .select(col("id").as("src"), col("__b"),
+        .select(col("id").as("src"), col("__seed"), col("__b"),
           pmod(col("__r") + col("__j"), col("__sz")).as("__tr"))
-        .join(ranked.select(col("id").as("dst"), col("__b"), col("__r").as("__tr")),
-          Seq("__b", "__tr"))
+        .join(ranked.select(col("id").as("dst"), col("__seed"), col("__b"),
+          col("__r").as("__tr")), Seq("__seed", "__b", "__tr"))
         .where(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
+        .select(col("__seed"), col("src"), col("dst")).distinct()
     }
+    def ringPairs(seed: Int): DataFrame =
+      ringAll.where(col("__seed") === seed).select(col("src"), col("dst"))
 
     var graph = topK(scored(ringPairs(0))).localCheckpoint()
     val total = math.max(1L, graph.count())
@@ -102,41 +121,49 @@ object NNDescent extends Logging {
     var done = false
     while (round < maxRounds && !done) {
       // adjacency = out ∪ in neighbors, capped per node in hash order
+      // ((xxhash64(h,x), x) ascending — identical order to a row_number
+      // window, in one exchange); neighbor-pairs expand from the capped
+      // array map-side instead of a self-join
       val adj = graph.select(col("src").as("h"), col("dst").as("x"))
         .unionAll(graph.select(col("dst").as("h"), col("src").as("x")))
-        .distinct()
-        .withColumn("__dr", row_number().over(
-          Window.partitionBy("h").orderBy(pmod(xxhash64(col("h"), col("x")),
-            lit(1000000007L)), col("x"))))
-        .where(col("__dr") <= deg)
-        .select(col("h"), col("x"))
-      val candidates = adj.withColumnRenamed("x", "src")
-        .join(adj.withColumnRenamed("x", "dst"), "h")
-        .where(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
+        .groupBy("h").agg(collect_set(col("x")).as("__xs"))
+        .select(col("h"), slice(array_sort(transform(col("__xs"),
+          x => struct(pmod(xxhash64(col("h"), x), lit(1000000007L)).as("hh"),
+            x.as("x")))), 1, deg).as("__cx"))
+        .select(transform(col("__cx"), s => s.getField("x")).as("__xs"))
+      val candidates = adj
+        .select(explode(flatten(transform(col("__xs"), x =>
+          transform(filter(col("__xs"), y => x < y),
+            y => struct(x.as("src"), y.as("dst")))))).as("__p"))
+        .select(col("__p.src").as("src"), col("__p.dst").as("dst"))
         .unionAll(ringPairs(round + 1)) // anti-freeze long-range probes
-        .distinct()
       val newDirected = scored(candidates)
+      // __old rides the merge so the convergence signal (how many kept
+      // edges were not in the previous graph) falls out of the SAME
+      // aggregation — no per-round anti-join pass against the old graph
       val merged = topK(
-        graph.select("src", "dst", "sim")
-          .unionAll(newDirected)
+        graph.select(col("src"), col("dst"), col("sim"), lit(1).as("__old"))
+          .unionAll(newDirected.withColumn("__old", lit(0)))
           .unionAll(newDirected.select(col("dst").as("src"),
-            col("src").as("dst"), col("sim")))
-          .groupBy("src", "dst").agg(max(col("sim")).as("sim")))
+            col("src").as("dst"), col("sim"), lit(0).as("__old")))
+          .groupBy("src", "dst").agg(max(col("sim")).as("sim"),
+            max(col("__old")).as("__old")))
         .localCheckpoint(false)
-      // one action per round: the anti-join counts replaced edges AND
-      // materializes the new graph's checkpoint
-      val changed = merged.join(graph.select("src", "dst"),
-        Seq("src", "dst"), "left_anti").count()
-      IndexScope.release(graph)
-      graph = merged
       round += 1
+      // ONE action per round: the replaced-edge sum materializes the new
+      // graph's checkpoint and feeds the convergence exit
+      val changed = merged.agg(sum(lit(1) - col("__old"))).first().getLong(0)
       done = changed.toDouble / total < convergedFrac
       logInfo(s"nn-descent round $round: $changed/$total edges replaced")
+      IndexScope.release(graph)
+      graph = merged
     }
     // the final round's checkpoint would outlive the scope (the loop only
     // releases SUPERSEDED rounds); adopting it hands its blocks to the
-    // scope, which pins the re-checkpointed result before releasing them
+    // scope, which pins the re-checkpointed result before releasing them.
+    // The projection drops the internal __old flag (absent from round 0's
+    // graph, so select by name).
     sc.own(graph)
+    graph.select("src", "dst", "sim", "rank")
   }
 }
