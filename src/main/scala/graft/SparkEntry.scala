@@ -1216,6 +1216,44 @@ object SparkEntry {
         .toDF("doc_id", "frame", "n_samples", "energy", "peak")
     }),
 
+    "mm11_wht_spectrum" -> ((s, dir) => {
+      // SEQUENCY SPECTRUM over real audio bytes: mm10's decoded PCM
+      // frames pushed through a 64-point Walsh–Hadamard transform —
+      // the ±1-basis spectral transform (the integer-exact analogue of
+      // the DFT, and the H in fast JL projections), here the cheap
+      // audio fingerprint/band-energy front-end. A trig DFT could not
+      // sit under the hash oracle (libm cos/sin drift between engines);
+      // every WHT coefficient is integer arithmetic, so DuckDB
+      // recomputes ALL of them — container decode, framing, and
+      // transform are all pinned exactly. 16 low-sequency bands per
+      // frame; tail frames are zero-padded by construction (absent
+      // samples contribute nothing). Per-row flatMap, no shuffle.
+      import s.implicits._
+      import operators.multimodal.AudioHeaders
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = (256 + id % 191).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * i + 7L * i + id * 31L) % 4001L) - 2000L).toShort)
+          val dec = AudioHeaders.pcm16Samples(
+            AudioHeaders.synthWavPcm16(16000, samples)).getOrElse(
+            throw new IllegalStateException(s"undecodable WAV for $id"))
+          dec.grouped(64).zipWithIndex.flatMap { case (frame, fi) =>
+            (0 until 16).map { k =>
+              var c = 0L
+              var j = 0
+              while (j < frame.length) {
+                c += (if (java.lang.Integer.bitCount(k & j) % 2 == 0)
+                  frame(j).toLong else -frame(j).toLong)
+                j += 1
+              }
+              (id, fi.toLong, k.toLong, c)
+            }
+          }
+        }
+        .toDF("doc_id", "frame", "band", "coef")
+    }),
+
     "ss18_ivf_layout" -> ((s, dir) => {
       // IVF AS A TABLE LAYOUT — the lakehouse counterpart of ss4's
       // in-memory IVF: vectors land cluster-tagged and range-partitioned
@@ -2597,6 +2635,76 @@ object SparkEntry {
         """SELECT status, count(*) AS n,
              CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
            FROM graft.t GROUP BY status""")
+    }),
+
+    "q148_sql_partitioned" -> ((s, dir) => {
+      // PARTITIONED BY on the SQL catalog: an identity layout declared
+      // at CREATE and honored by EVERY batch write — the CTAS asks the
+      // planner for an ordered distribution on the partition columns
+      // (DSv2 RequiresDistributionAndOrdering), INSERT range-clusters
+      // with a row-hash tiebreaker (a hot value stays splittable across
+      // tasks, unlike Hive's value-per-directory pinning) — so each
+      // staged file carries a single-value or value-joint range and the
+      // manifest min/max stats turn partition predicates into FILE
+      // PRUNING (Iceberg's stats-pruned model, no directory trees).
+      // Gates: the layout survives the catalog round trip
+      // (Table.partitioning), ≥5 data files, every priority's survivor
+      // set is a strict subset, and survivor sets are near-disjoint
+      // (only value-joint files may answer for two priorities).
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q148-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      // keep the range shuffle at toy-scale granularity: the default
+      // 64 MiB advisory (and 1 MiB floor) would coalesce the whole
+      // table into one file and hide the layout under test
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4k")
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src")
+      s2.sql("CREATE NAMESPACE graft.sales")
+      s2.sql("""CREATE TABLE graft.sales.orders
+                PARTITIONED BY (o_orderpriority) AS
+                SELECT * FROM orders_src WHERE o_orderkey % 2 = 0""")
+      s2.sql("""INSERT INTO graft.sales.orders
+                SELECT * FROM orders_src WHERE o_orderkey % 2 = 1""")
+      val path = s"$wh/sales/orders"
+      val declared = s2.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("sales"), "orders")).partitioning()
+      require(declared.length == 1 &&
+        declared.head.references().head.fieldNames().sameElements(
+          Array("o_orderpriority")),
+        s"declared partitioning lost in the catalog round trip: " +
+          declared.mkString(","))
+      val prios = Tables(s2, dir, "orders").select("o_orderpriority")
+        .distinct().collect().map(_.getString(0)).sorted // 5 values, metadata-sized
+      val all = ManifestTable.statsSurvivors(path, Seq.empty)
+      val surv = prios.map(p => ManifestTable.statsSurvivors(path,
+        Seq(Condition("o_orderpriority", Op.Eq, p))))
+      require(all.size >= prios.length,
+        s"expected >=${prios.length} clustered files, got ${all.size}")
+      surv.zip(prios).foreach { case (sv, p) =>
+        require(sv.nonEmpty && sv.size < all.size,
+          s"partition predicate on '$p' did not prune: ${sv.size}/${all.size}") }
+      // each clustered COMMIT is range-ordered, so it carries at most
+      // (values-1) value-joint files; two commits (CTAS + INSERT) bound
+      // the over-count
+      require(surv.map(_.size).sum <= all.size + 2 * (prios.length - 1),
+        s"files are not partition-clustered: ${surv.map(_.size).sum} survivor " +
+          s"slots over ${all.size} files (> ${2 * (prios.length - 1)} value joints)")
+      s2.sql(
+        """WITH urgent AS (
+             SELECT CAST(count(*) AS BIGINT) AS nu
+             FROM graft.sales.orders WHERE o_orderpriority = '1-URGENT')
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             (SELECT nu FROM urgent) AS n_urgent
+           FROM graft.sales.orders GROUP BY 1""")
     }),
 
     "q146_sql_rtas" -> ((s, dir) => {
@@ -8034,6 +8142,21 @@ object SparkEntry {
            CAST(sum(v * v) AS BIGINT) AS energy,
            CAST(max(abs(v)) AS BIGINT) AS peak
          FROM sm GROUP BY doc_id, frame""",
+    // mm11: every Walsh–Hadamard coefficient of every frame recomputed
+    // from the same integer waveform — bit_count(k & j) parity is the
+    // ±1 basis
+    "mm11_wht_spectrum" ->
+      """WITH d AS (SELECT doc_id, 256 + doc_id % 191 AS n FROM documents),
+         g AS (SELECT unnest(range(447)) AS i),
+         b AS (SELECT unnest(range(16)) AS k),
+         sm AS (SELECT doc_id, i // 64 AS frame, i % 64 AS j,
+                  ((i*i + 7*i + doc_id*31) % 4001) - 2000 AS v
+                FROM d, g WHERE i < n)
+         SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           CAST(k AS BIGINT) AS band,
+           CAST(sum(CASE WHEN bit_count(k & j) % 2 = 0 THEN v ELSE -v END)
+             AS BIGINT) AS coef
+         FROM sm, b GROUP BY doc_id, frame, k""",
     // ss18: the emitted rows are the exact brute-force top-k (the
     // layout's recall is gated in-query)
     "ss18_ivf_layout" ->
@@ -8456,6 +8579,16 @@ object SparkEntry {
              WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DOUBLE) * 2
              ELSE CAST(o_totalprice AS DOUBLE) END
              AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q148: both writes together hold every order row; n_urgent is the
+    // partition-pruned equality leg
+    "q148_sql_partitioned" ->
+      """WITH urgent AS (
+           SELECT CAST(count(*) AS BIGINT) AS nu
+           FROM orders WHERE o_orderpriority = '1-URGENT')
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           (SELECT nu FROM urgent) AS n_urgent
          FROM orders GROUP BY 1""",
     // q146: the RTAS result is the linenumber-2 slice
     "q146_sql_rtas" ->

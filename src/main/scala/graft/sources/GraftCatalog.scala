@@ -145,22 +145,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ks if ks.nonEmpty => ks
       case _ => GraftCatalog.readDeclaredKeys(dir)
     }
+    val parts = GraftCatalog.readDeclaredParts(dir)
     if (keys.nonEmpty && keys.forall(schema.fieldNames.contains)) {
       // Spark rejects nullable row-id attributes, and a merge key IS
       // non-null by the keyed-table contract — declare it
       val keyed = StructType(schema.map(f =>
         if (keys.contains(f.name)) f.copy(nullable = false) else f))
-      new GraftKeyedSqlTable(ident.toString, path, version, keyed, keys)
-    } else new GraftSqlTable(ident.toString, path, version, schema)
+      new GraftKeyedSqlTable(ident.toString, path, version, keyed, keys, parts)
+    } else new GraftSqlTable(ident.toString, path, version, schema, parts)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables do not take PARTITIONED BY (layout is per-commit; use ZORDER/compaction)")
+    val parts = GraftCatalog.identityParts(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     Files.createDirectories(dir)
+    if (parts.nonEmpty)
+      Files.writeString(dir.resolve(GraftCatalog.PartsFile), parts.mkString(","))
     Files.write(dir.resolve(GraftCatalog.SchemaFile),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // TBLPROPERTIES('merge.keys'='a,b') keys the table at birth, so SQL
@@ -207,8 +209,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String],
       created: Boolean): StagedTable = {
-    require(partitions.isEmpty,
-      "graft tables do not take PARTITIONED BY (layout is per-commit; use ZORDER/compaction)")
+    val parts = GraftCatalog.identityParts(partitions, schema)
     val keys = Option(properties.get("merge.keys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -216,7 +217,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"merge.keys must name columns of the table schema")
     val dir = tableDir(ident)
     Files.createDirectories(dir)
-    new GraftStagedTable(ident.toString, dir, schema, keys, created)
+    new GraftStagedTable(ident.toString, dir, schema, keys, created, parts)
   }
 
   /** `ALTER TABLE` over manifest metadata: ADD COLUMN extends the
@@ -343,6 +344,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   private[sources] val SchemaFile = "_schema.json"
   private[sources] val KeysFile = "_keys"
+  private[sources] val PartsFile = "_partition_cols"
+
+  /** `PARTITIONED BY` declaration → identity partition column names.
+    * Only identity transforms are accepted: bucket/days/etc. need
+    * derived-value metadata the manifest format does not carry.
+    * Refused loudly, never approximated. */
+  private[sources] def identityParts(partitions: Array[Transform],
+      schema: StructType): Seq[String] = {
+    val parts = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case t => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$t' " +
+          "(graft tables take identity PARTITIONED BY columns only)")
+    }
+    require(parts.forall(schema.fieldNames.contains),
+      s"PARTITIONED BY columns ${parts.mkString(",")} must name columns " +
+        "of the table schema")
+    require(parts.distinct == parts, "duplicate PARTITIONED BY column")
+    parts
+  }
+
+  /** Declared identity partition columns ([[PartsFile]] sidecar). */
+  private[sources] def readDeclaredParts(dir: Path): Seq[String] = {
+    val f = dir.resolve(PartsFile)
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   private[sources] def readDdlSchema(dir: Path): Option[StructType] = {
     val f = dir.resolve(SchemaFile)
@@ -439,12 +469,23 @@ object GraftCatalog {
 /** One named manifest table as seen by SQL. `version` set = a
   * time-travel snapshot (read-only). */
 class GraftSqlTable(val ident: String, val path: String,
-    val snapshot: Option[Long], val tableSchema: StructType)
+    val snapshot: Option[Long], val tableSchema: StructType,
+    val partCols: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite
   with SupportsDelete {
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+
+  // PARTITIONED BY (identity columns): declared layout, honored by every
+  // batch write (range-clustered so files carry single-value or tight
+  // ranges on the partition columns — the manifest min/max stats then
+  // make partition-predicate scans file-pruned, Iceberg's hidden-
+  // partitioning-as-stats model rather than Hive directory trees)
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -471,7 +512,7 @@ class GraftSqlTable(val ident: String, val path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshot.isEmpty,
       s"cannot write to a time-travel snapshot of $ident (VERSION AS OF ${snapshot.get})")
-    new GraftWriteBuilder(path, info.schema(), info.queryId())
+    new GraftWriteBuilder(path, info.schema(), info.queryId(), partCols)
   }
 
   // `DELETE FROM <t> WHERE <cond>` → the copy-on-write rewrite commit
@@ -505,8 +546,9 @@ class GraftSqlTable(val ident: String, val path: String,
   * (Translatable DELETEs still take the metadata path — Spark's
   * metadata-only optimization picks [[SupportsDelete]] when it can.) */
 class GraftKeyedSqlTable(ident0: String, path0: String,
-    snapshot0: Option[Long], schema0: StructType, val keyCols: Seq[String])
-  extends GraftSqlTable(ident0, path0, snapshot0, schema0)
+    snapshot0: Option[Long], schema0: StructType, val keyCols: Seq[String],
+    partCols0: Seq[String] = Seq.empty)
+  extends GraftSqlTable(ident0, path0, snapshot0, schema0, partCols0)
   with SupportsRowLevelOperations {
 
   override def properties(): java.util.Map[String, String] = {
@@ -654,7 +696,8 @@ class GraftSqlRelation(ctx: SQLContext, path: String, version: Option[Long],
   }
 }
 
-class GraftWriteBuilder(path: String, schema: StructType, queryId: String)
+class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
+    partCols: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
 
@@ -663,10 +706,22 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       // the V1 fallback exec does not thread the overwrite intent
-      // through this boolean — the builder's truncate() call carries it
-      override def insert(data: DataFrame, overwrite: Boolean): Unit =
-        if (replace || overwrite) ManifestTable.overwrite(data, path)
-        else ManifestTable.append(data, path)
+      // through this boolean — the builder's truncate() call carries it.
+      // PARTITIONED BY tables range-cluster on the partition columns
+      // first, so every staged file carries a tight (usually single-
+      // value) range and the manifest stats prune partition predicates.
+      // The row-hash tiebreaker keeps a HOT partition value splittable
+      // across range partitions (Hive identity partitioning pins a
+      // value to one task; here only value JOINTS can share a file)
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        import org.apache.spark.sql.functions.xxhash64
+        val clustered =
+          if (partCols.isEmpty) data
+          else data.repartitionByRange(
+            partCols.map(data.col) :+ xxhash64(data.columns.map(data.col): _*): _*)
+        if (replace || overwrite) ManifestTable.overwrite(clustered, path)
+        else ManifestTable.append(clustered, path)
+      }
     }
 
     // `df.writeStream.toTable("graft.t")` — the NATIVE streaming sink:
@@ -728,7 +783,7 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
   * commit. Abort deletes the staged files (and, for a CREATE, the
   * table skeleton), leaving what existed before untouched. */
 class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
-    keys: Seq[String], created: Boolean)
+    keys: Seq[String], created: Boolean, parts: Seq[String] = Seq.empty)
   extends Table with SupportsWrite with StagedTable {
 
   private val path = dir.toString
@@ -743,7 +798,26 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this // staged IS a replace
-      override def build(): Write = new Write {
+      override def build(): Write =
+        // a partitioned CTAS/RTAS asks Spark for an ORDERED distribution
+        // on the partition columns (DSv2 RequiresDistributionAndOrdering
+        // — the planner inserts the range shuffle + local sort), so the
+        // staged files carry prunable single-value/tight ranges exactly
+        // like the V1 insert path's repartitionByRange
+        if (parts.isEmpty) new GraftStagedWrite(path, info.schema())
+        else {
+          import org.apache.spark.sql.connector.distributions.Distributions
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+          val orders = parts.map(c => Expressions.sort(
+            Expressions.column(c), SortDirection.ASCENDING)).toArray
+          new GraftStagedWrite(path, info.schema())
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution() = Distributions.ordered(orders)
+            override def requiredOrdering() = orders
+          }
+        }
+
+      class GraftStagedWrite(path: String, writeSchema: StructType) extends Write {
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
           new org.apache.spark.sql.connector.write.BatchWrite {
             override def createBatchWriterFactory(
@@ -751,7 +825,7 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
                 : org.apache.spark.sql.connector.write.DataWriterFactory =
               GraftBatchWriterFactory(
                 ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-                info.schema())
+                writeSchema)
             override def commit(messages: Array[
                 org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
               staged = messages.collect { case m: GraftDeltaCommitMessage =>
@@ -770,6 +844,9 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
       tableSchema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (keys.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.KeysFile), keys.mkString(","))
+    if (parts.nonEmpty)
+      Files.writeString(dir.resolve(GraftCatalog.PartsFile), parts.mkString(","))
+    else Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile)) // RTAS re-layout
     // ONE overwrite commit: the staged files become the table's data
     // atomically; on RTAS the previous versions stay time-travelable
     // and table-level constraints (the contract) survive the replace
@@ -782,6 +859,7 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     if (created) {
       Files.deleteIfExists(dir.resolve(GraftCatalog.SchemaFile))
       Files.deleteIfExists(dir.resolve(GraftCatalog.KeysFile))
+      Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile))
       if (ManifestTable.versions(path).isEmpty) {
         val dd = Paths.get(path, "data")
         if (Files.isDirectory(dd) &&

@@ -292,4 +292,78 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(!bare.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "premise: without GraftJoinSize the join must not broadcast")
   }
+
+  test("PARTITIONED BY: declared identity layout clusters every write and prunes partition predicates") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    // small advisory + min sizes: AQE would otherwise coalesce the toy
+    // table's range shuffle into one file and no layout would be
+    // observable (minPartitionSize's 1 MiB default dominates advisory)
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    s2.sql("CREATE TABLE graft.pt (k BIGINT, grp STRING, v DOUBLE) PARTITIONED BY (grp)")
+    s2.range(0, 900).selectExpr("id AS k",
+      "concat('g', CAST(id % 3 AS STRING)) AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("src")
+    s2.sql("INSERT INTO graft.pt SELECT * FROM src")
+
+    // the layout survives the catalog round trip (DESCRIBE's source)
+    val t = s2.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "pt"))
+    assert(t.partitioning().length == 1 &&
+      t.partitioning().head.references().head.fieldNames()
+        .sameElements(Array("grp")))
+
+    val path = s"$wh/pt"
+    import graft.conditions.{Condition, Op}
+    val all = ManifestTable.statsSurvivors(path, Seq.empty)
+    val surv = Seq("g0", "g1", "g2").map(g =>
+      ManifestTable.statsSurvivors(path, Seq(Condition("grp", Op.Eq, g))))
+    assert(all.size >= 3, s"expected >=3 clustered files, got ${all.size}")
+    surv.foreach(sv => assert(sv.nonEmpty && sv.size < all.size,
+      s"partition predicate must prune files: ${sv.size}/${all.size}"))
+    // near-disjoint: only a value-joint file may answer for two groups
+    assert(surv.map(_.size).sum <= all.size + 2)
+    assert(s2.sql("SELECT count(*) FROM graft.pt WHERE grp = 'g1'")
+      .head().getLong(0) == 300L)
+
+    // a second INSERT keeps the contract (append commits re-cluster too)
+    s2.sql("INSERT INTO graft.pt SELECT k + 1000, grp, v FROM src")
+    val all2 = ManifestTable.statsSurvivors(path, Seq.empty)
+    val sv2 = ManifestTable.statsSurvivors(path,
+      Seq(Condition("grp", Op.Eq, "g2")))
+    assert(all2.size > all.size && sv2.size < all2.size)
+
+    // refused layouts: non-identity transforms, unknown columns
+    intercept[UnsupportedOperationException] {
+      s2.sql("CREATE TABLE graft.bad1 (k BIGINT, g STRING) PARTITIONED BY (bucket(4, k))")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("CREATE TABLE graft.bad2 (k BIGINT, g STRING) PARTITIONED BY (nope)")
+    }
+
+    // partitioned CTAS stages through the ordered DSv2 write; RTAS to an
+    // unpartitioned layout drops the declaration
+    s2.sql("""CREATE TABLE graft.pt2 PARTITIONED BY (grp) AS
+              SELECT * FROM src""")
+    val t2 = s2.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "pt2"))
+    assert(t2.partitioning().length == 1)
+    val svCtas = ManifestTable.statsSurvivors(s"$wh/pt2",
+      Seq(Condition("grp", Op.Eq, "g0")))
+    val allCtas = ManifestTable.statsSurvivors(s"$wh/pt2", Seq.empty)
+    assert(svCtas.nonEmpty && svCtas.size < allCtas.size,
+      s"CTAS files must be partition-clustered: ${svCtas.size}/${allCtas.size}")
+    s2.sql("REPLACE TABLE graft.pt2 AS SELECT * FROM src")
+    val t3 = s2.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "pt2"))
+    assert(t3.partitioning().isEmpty,
+      "RTAS without PARTITIONED BY must drop the declared layout")
+  }
 }
