@@ -1328,9 +1328,20 @@ object ManifestTable {
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // OPTIMIZE ... ZORDER BY: the rewrite doubles as a re-clustering
     // pass — freshly harvested per-file stats become selective on every
-    // z-ordered column (Delta's OPTIMIZE ZORDER, on this manifest format)
+    // z-ordered column (Delta's OPTIMIZE ZORDER, on this manifest
+    // format). A DECLARED layout (the SQL catalog's PARTITIONED BY
+    // sidecar) survives compaction the same way: range-recluster on the
+    // partition columns + row hash instead of the blind repartition that
+    // would smear every value across every file.
+    val declared =
+      if (zorderBy.nonEmpty) Seq.empty
+      else GraftCatalog.readDeclaredParts(Paths.get(path))
+        .filter(df.columns.contains)
     val arranged =
       if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(df, zorderBy, nFiles)
+      else if (declared.nonEmpty) df.repartitionByRange(nFiles,
+        declared.map(df.col) :+ org.apache.spark.sql.functions.xxhash64(
+          df.columns.map(df.col): _*): _*)
       else df.repartition(nFiles)
     val staged = stage(arranged, path)
     val next = base.version + 1

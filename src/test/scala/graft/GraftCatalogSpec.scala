@@ -336,6 +336,19 @@ class GraftCatalogSpec extends SparkSpecBase {
       Seq(Condition("grp", Op.Eq, "g2")))
     assert(all2.size > all.size && sv2.size < all2.size)
 
+    // OPTIMIZE preserves the declared layout: the compaction rewrite
+    // range-reclusters on the partition columns instead of smearing
+    // every value across every file
+    ManifestTable.compactCommit(s2, path, targetBytes = 4 * 1024)
+    val allC = ManifestTable.statsSurvivors(path, Seq.empty)
+    val svC = ManifestTable.statsSurvivors(path,
+      Seq(Condition("grp", Op.Eq, "g1")))
+    assert(allC.size >= 3, s"compaction should keep >=3 files, got ${allC.size}")
+    assert(svC.nonEmpty && svC.size < allC.size,
+      s"compaction lost the partition clustering: ${svC.size}/${allC.size}")
+    assert(s2.sql("SELECT count(*) FROM graft.pt WHERE grp = 'g1'")
+      .head().getLong(0) == 600L)
+
     // refused layouts: non-identity transforms, unknown columns
     intercept[UnsupportedOperationException] {
       s2.sql("CREATE TABLE graft.bad1 (k BIGINT, g STRING) PARTITIONED BY (bucket(4, k))")
