@@ -2707,6 +2707,59 @@ object SparkEntry {
            FROM graft.sales.orders GROUP BY 1""")
     }),
 
+    "q149_column_mapping" -> ((s, dir) => {
+      // COLUMN MAPPING (Delta's name-mapping mode on this format): a
+      // column's PHYSICAL name is frozen at birth; SQL RENAME COLUMN /
+      // DROP COLUMN land as metadata-only commits (manifest `renames` /
+      // `dropped_cols`, dataChange=false) — ZERO files rewritten
+      // (gate-asserted on the file list), reads translate at the scan
+      // boundary, writes translate back so every file keeps one
+      // physical schema (gate: the raw parquet union still carries
+      // 'qty', never 'quantity'), and time travel shows each version
+      // under its own names (VERSION AS OF 1 still answers to 'qty').
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q149-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .createOrReplaceTempView("li_src")
+      s2.sql("""CREATE TABLE graft.t AS
+                SELECT l_orderkey AS k, l_linenumber AS ln,
+                       CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS flag
+                FROM li_src WHERE l_linenumber <= 3""")
+      val path = s"$wh/t"
+      val filesBefore = ManifestTable.dataFiles(path)
+      s2.sql("ALTER TABLE graft.t RENAME COLUMN qty TO quantity")
+      require(ManifestTable.dataFiles(path) == filesBefore,
+        "RENAME COLUMN must be metadata-only: zero data files touched")
+      require(ManifestTable.columnMapping(path)._1 == Map("quantity" -> "qty"),
+        "manifest must map the new logical name to the frozen physical name")
+      // post-rename writes speak the NEW name; the files stay physical
+      s2.sql("""INSERT INTO graft.t
+                SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE),
+                       l_returnflag
+                FROM li_src WHERE l_linenumber IN (4, 5)""")
+      val raw = s2.read.option("mergeSchema", "true").parquet(
+        ManifestTable.dataFiles(path).map(f => s"$path/data/$f"): _*).schema
+      require(raw.fieldNames.contains("qty") &&
+        !raw.fieldNames.contains("quantity"),
+        s"files must carry the frozen physical name: ${raw.fieldNames.mkString(",")}")
+      // DROP COLUMN hides (not rewrites) and time travel keeps old names
+      s2.sql("ALTER TABLE graft.t DROP COLUMN ln")
+      require(s2.table("graft.t").schema.fieldNames.toSeq ==
+        Seq("k", "quantity", "flag"),
+        "post-drop logical schema must hide the dropped column")
+      require(s2.sql("SELECT qty, ln FROM graft.t VERSION AS OF 1").schema
+        .fieldNames.sameElements(Array("qty", "ln")),
+        "time travel must answer to the version's own names")
+      s2.sql("""SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+                FROM graft.t GROUP BY flag""")
+    }),
+
     "q146_sql_rtas" -> ((s, dir) => {
       // ATOMIC CTAS / RTAS (StagingTableCatalog): the AS-SELECT data
       // stages invisibly (files in data/, referenced by no manifest)
@@ -8595,6 +8648,11 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_linenumber = 2 GROUP BY 1""",
+    // q149: CTAS loaded lines 1-3, the post-rename INSERT added 4-5
+    "q149_column_mapping" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_linenumber <= 5 GROUP BY 1""",
     // q145: the natively-streamed sink must equal the whole source table
     "q145_stream_totable" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

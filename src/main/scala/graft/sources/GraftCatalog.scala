@@ -261,13 +261,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new NoSuchTableException(ident))
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column '$name' already exists")
+        // frozen-name invariant: a renamed-away or dropped physical name
+        // may never return as a new column, or hidden bytes resurface
+        require(!ManifestTable.reservedPhysicalNames(SparkSession.active, path)
+            .exists(_.equalsIgnoreCase(name)),
+          s"column name '$name' is frozen by column mapping " +
+            "(a renamed or dropped column's physical name)")
         Files.write(dir.resolve(GraftCatalog.SchemaFile),
           cur.add(StructField(name, ac.dataType, nullable = true)).json
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // RENAME / DROP COLUMN: metadata-only commits via the manifest's
+      // column mapping (frozen physical names). Partition-layout columns
+      // are immutable — the declared layout is a physical contract.
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1,
+          "RENAME COLUMN supports top-level columns only")
+        val from = rc.fieldNames.head
+        val to = rc.newName
+        require(!GraftCatalog.readDeclaredParts(dir)
+            .exists(_.equalsIgnoreCase(from)),
+          s"cannot rename partition column '$from' (declared layout)")
+        val cur = GraftCatalog.fullSchema(dir, None).getOrElse(
+          throw new NoSuchTableException(ident))
+        require(cur.fieldNames.contains(from), s"no column '$from'")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists")
+        val dataBacked = ManifestTable.versions(path).nonEmpty &&
+          ManifestTable.schemaAt(SparkSession.active, path)
+            .fieldNames.contains(from)
+        if (dataBacked)
+          ManifestTable.renameColumn(SparkSession.active, path, from, to)
+        // keep the CREATE-time DDL view in sync wherever it names the
+        // column (fullSchema merges it; a stale entry would re-add a
+        // phantom column under the old name)
+        GraftCatalog.readDdlSchema(dir).foreach { s =>
+          if (s.fieldNames.contains(from))
+            Files.write(dir.resolve(GraftCatalog.SchemaFile),
+              StructType(s.map(f =>
+                if (f.name == from) f.copy(name = to) else f)).json
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "DROP COLUMN supports top-level columns only")
+        val name = dc.fieldNames.head
+        require(!GraftCatalog.readDeclaredParts(dir)
+            .exists(_.equalsIgnoreCase(name)),
+          s"cannot drop partition column '$name' (declared layout)")
+        val cur = GraftCatalog.fullSchema(dir, None).getOrElse(
+          throw new NoSuchTableException(ident))
+        require(cur.fieldNames.contains(name), s"no column '$name'")
+        require(cur.fields.length > 1, "cannot drop a table's only column")
+        val dataBacked = ManifestTable.versions(path).nonEmpty &&
+          ManifestTable.schemaAt(SparkSession.active, path)
+            .fieldNames.contains(name)
+        if (dataBacked)
+          ManifestTable.dropColumn(SparkSession.active, path, name)
+        GraftCatalog.readDdlSchema(dir).foreach { s =>
+          if (s.fieldNames.contains(name))
+            Files.write(dir.resolve(GraftCatalog.SchemaFile),
+              StructType(s.filterNot(_.name == name)).json
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} " +
-            "(rename/drop/retype need column-mapping metadata)")
+            "(retypes need type-widening metadata the format does not carry)")
     }
     loadTable(ident)
   }
@@ -745,8 +804,11 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    // logical → physical names, same translation stage() applies: a
+    // renamed table's streamed epochs share the files' frozen schema
     GraftStreamWriterFactory(
-      ManifestTable.dataDirFor(path).toAbsolutePath.toString, schema)
+      ManifestTable.dataDirFor(path).toAbsolutePath.toString,
+      ManifestTable.physicalWriteSchema(path, schema))
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -849,9 +911,11 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     else Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile)) // RTAS re-layout
     // ONE overwrite commit: the staged files become the table's data
     // atomically; on RTAS the previous versions stay time-travelable
-    // and table-level constraints (the contract) survive the replace
+    // and table-level constraints (the contract) survive the replace.
+    // resetMapping: the replacement's files carry the new query's own
+    // names as fresh physical names — the old column mapping is void
     ManifestTable.commitStagedFiles(SparkSession.active, path, staged,
-      replace = true, commitId = None)
+      replace = true, commitId = None, resetMapping = true)
   }
 
   override def abortStagedChanges(): Unit = {

@@ -104,9 +104,12 @@ class GraftDeltaBatchWrite(path: String, rowSchema: StructType,
     keySchema: StructType, keyCols: Seq[String]) extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    // logical → physical names (column mapping): the delta files must
+    // share the table's frozen physical schema; merge keys are refused
+    // from renaming, so the key schema needs no translation
     GraftDeltaWriterFactory(
       ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-      rowSchema, keySchema)
+      ManifestTable.physicalWriteSchema(path, rowSchema), keySchema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ups = messages.collect { case m: GraftDeltaCommitMessage => m.upsertFiles }

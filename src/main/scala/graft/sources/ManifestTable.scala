@@ -124,7 +124,17 @@ object ManifestTable {
       // writer answers "did epoch N land?" from the LATEST manifest
       // alone — O(1) per commit, where a commit-id replay scan is
       // O(versions) and grows with stream lifetime
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      // COLUMN MAPPING (Delta's name-mapping mode): a column's PHYSICAL
+      // name — what the parquet files carry — is frozen at birth;
+      // RENAME COLUMN only changes the logical name (`renames`:
+      // logical → physical, entries only where they differ) and DROP
+      // COLUMN only hides the physical column (`droppedCols`). Both are
+      // metadata-only commits: zero files rewritten, time travel shows
+      // each version under its own names. Carried forward like
+      // constraints/mergeKeys.
+      renames: Map[String, String] = Map.empty,
+      droppedCols: Seq[String] = Seq.empty)
 
   private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -153,6 +163,9 @@ object ManifestTable {
         q(c) + ":" + q(e) }.mkString(",")}},""" +
       s""""txns":{${m.txns.toSeq.sortBy(_._1).map { case (a, e) =>
         q(a) + s":$e" }.mkString(",")}},""" +
+      s""""renames":{${m.renames.toSeq.sortBy(_._1).map { case (l, p) =>
+        q(l) + ":" + q(p) }.mkString(",")}},""" +
+      s""""dropped_cols":[${m.droppedCols.map(q).mkString(",")}],""" +
       s""""merge_keys":[${m.mergeKeys.map(q).mkString(",")}]}"""
   }
 
@@ -245,6 +258,15 @@ object ManifestTable {
       (j \ "txns") match {
         case JObject(ts) => ts.collect { case (a, JInt(e)) => a -> e.toLong }.toMap
         case _ => Map.empty[String, Long]
+      },
+      // absent in pre-column-mapping manifests → identity mapping
+      (j \ "renames") match {
+        case JObject(rs) => rs.collect { case (l, JString(p)) => l -> p }.toMap
+        case _ => Map.empty[String, String]
+      },
+      (j \ "dropped_cols") match {
+        case JArray(ds) => ds.collect { case JString(c) => c }
+        case _ => Seq.empty[String]
       })
     if (parseCache.size > 65536) parseCache.clear()
     parseCache.put(key, m)
@@ -465,6 +487,34 @@ object ManifestTable {
     * with key-local merges, reconcile cost ≈ (dirty fraction of the
     * scan) + (recent delete bytes), independent of ledger history. */
   private def reconcile(spark: SparkSession, path: String, m: Manifest,
+      scanFiles: Seq[String]): DataFrame =
+    applyMapping(reconcileRaw(spark, path, m, scanFiles), m)
+
+  /** Physical → logical view of a frame scanned from `m`'s files: hide
+    * dropped physical columns, then alias each renamed physical column
+    * to its logical name. Identity (and plan-free) for the common
+    * unmapped table. Every read path funnels through [[reconcile]], so
+    * this is the ONE scan-boundary translation. */
+  private def applyMapping(df: DataFrame, m: Manifest): DataFrame =
+    if (m.renames.isEmpty && m.droppedCols.isEmpty) df
+    else {
+      val inv = m.renames.map(_.swap) // physical -> logical
+      val cols = df.columns.filterNot(m.droppedCols.contains)
+        .map(c => df.col(c).as(inv.getOrElse(c, c)))
+      df.select(cols.toIndexedSeq: _*)
+    }
+
+  /** Logical → physical translation for predicates that prune against
+    * manifest stats (stats are keyed by the names the FILES carry).
+    * Physical names are never logical keys of `renames` (the
+    * frozen-name invariant [[renameColumn]] enforces), so applying this
+    * twice is identity-safe. */
+  private def toPhysicalConds(m: Manifest,
+      conds: Seq[graft.conditions.Condition]): Seq[graft.conditions.Condition] =
+    if (m.renames.isEmpty) conds
+    else conds.map(c => c.copy(field = m.renames.getOrElse(c.field, c.field)))
+
+  private def reconcileRaw(spark: SparkSession, path: String, m: Manifest,
       scanFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     def scan(fs: Seq[String]): DataFrame =
@@ -570,7 +620,8 @@ object ManifestTable {
       version: Option[Long] = None): DataFrame = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
-    val survivors = m.files.filter(f => fileMightMatch(m.stats.get(f), conds))
+    val phys = toPhysicalConds(m, conds)
+    val survivors = m.files.filter(f => fileMightMatch(m.stats.get(f), phys))
     val residual = graft.conditions.Conditions.all(conds)
     if (survivors.isEmpty)
       read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
@@ -586,7 +637,8 @@ object ManifestTable {
       version: Option[Long] = None): Seq[String] = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
-    m.files.filter(f => fileMightMatch(m.stats.get(f), conds))
+    val phys = toPhysicalConds(m, conds)
+    m.files.filter(f => fileMightMatch(m.stats.get(f), phys))
   }
 
   /** Per-file row counts at a version (entries absent for files whose
@@ -623,7 +675,8 @@ object ManifestTable {
       version: Option[Long] = None): DataFrame = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
-    val survivors = BloomIndex.pruneFiles(path, conds, Some(m.version))
+    val survivors = BloomIndex.pruneFiles(path, toPhysicalConds(m, conds),
+      Some(m.version))
     val residual = graft.conditions.Conditions.all(conds)
     if (survivors.isEmpty)
       read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
@@ -639,8 +692,9 @@ object ManifestTable {
       term: String, version: Option[Long] = None): DataFrame = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+    val physCol = m.renames.getOrElse(col, col)
     val survivors = m.files.filter(f =>
-      TrigramIndex.mightContainSubstring(path, f, col, term))
+      TrigramIndex.mightContainSubstring(path, f, physCol, term))
     val residual = org.apache.spark.sql.functions.col(col).contains(term)
     if (survivors.isEmpty)
       read(spark, path, Some(m.version)).where(org.apache.spark.sql.functions.lit(false))
@@ -653,7 +707,8 @@ object ManifestTable {
       version: Option[Long] = None): (Int, Int) = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
-    (m.files.count(f => fileMightMatch(m.stats.get(f), conds)), m.files.size)
+    val phys = toPhysicalConds(m, conds)
+    (m.files.count(f => fileMightMatch(m.stats.get(f), phys)), m.files.size)
   }
 
   /** Conservative per-file test: prune ONLY when stats prove emptiness.
@@ -818,6 +873,132 @@ object ManifestTable {
       s"commit contention in setConstraints: gave up after $attempts attempts")
   }
 
+  // ───────────────────────── column mapping ─────────────────────────
+  //
+  // Delta's name-mapping mode on this manifest format: a column's
+  // PHYSICAL name — what the parquet files carry — is frozen at birth.
+  // RENAME/DROP COLUMN are metadata-only commits (zero files touched,
+  // dataChange = false); reads translate physical → logical at the ONE
+  // scan boundary ([[reconcile]]) and writes translate logical →
+  // physical at the ONE staging boundary ([[stage]] and the delta /
+  // streaming writer schemas), so the path API, the SQL catalog, and
+  // streams agree on the logical schema while every file of the table
+  // keeps one physical schema. Time travel shows each version under its
+  // own names (the mapping is versioned manifest state).
+
+  /** Columns the table's CONTRACT references must keep their names —
+    * renaming/dropping them would silently break key matching,
+    * constraint validation, or generated-column recompute. Refused
+    * loudly, never faked (the conservative word-boundary match may
+    * over-refuse a constraint mentioning the name in a string literal;
+    * that costs a refusal, not correctness). */
+  private def requireUnreferenced(m: Manifest, colName: String,
+      verb: String): Unit = {
+    require(!m.mergeKeys.exists(_.equalsIgnoreCase(colName)),
+      s"cannot $verb merge-key column '$colName'")
+    val ref = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b")
+    require(!m.constraints.exists(c => ref.matcher(c).find()),
+      s"cannot $verb '$colName': a CHECK constraint references it")
+    require(!m.generated.exists { case (g, e) =>
+      g.equalsIgnoreCase(colName) || ref.matcher(e).find() },
+      s"cannot $verb '$colName': a generated column or its expression references it")
+  }
+
+  /** RENAME COLUMN as a metadata-only commit. The new logical name must
+    * not collide with any LIVE OR HISTORICAL physical name — that
+    * frozen-name invariant is what keeps the write-side translation
+    * collision-free forever (renaming back to the column's own physical
+    * name is the one allowed re-use: it just erases the map entry). */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val base = latest(path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val logical = schemaAt(spark, path, Some(base.version)).fieldNames.toSeq
+      require(logical.contains(from), s"no column '$from' at $path")
+      require(!logical.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists")
+      requireUnreferenced(base, from, "rename")
+      val physical = base.renames.getOrElse(from, from)
+      val frozen = logical.map(n => base.renames.getOrElse(n, n)).toSet ++
+        base.droppedCols ++ base.renames.values
+      require(physical == to || !frozen.exists(_.equalsIgnoreCase(to)),
+        s"'$to' collides with a live or historical physical column name")
+      val nr =
+        if (physical == to) base.renames - from
+        else base.renames - from + (to -> physical)
+      val m = base.copy(version = base.version + 1, parent = base.version,
+        commitId = None, commitTs = None, dataChange = false, renames = nr)
+      val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
+      try { publish(target, render(m)); return m.version }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    throw new IllegalStateException(
+      s"commit contention in renameColumn: gave up after $attempts attempts")
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the physical column is
+    * hidden, not rewritten (vacuum-by-rewrite is OPTIMIZE's job if the
+    * bytes must go). The dropped physical name stays frozen — a later
+    * ADD COLUMN may not re-use it, or the hidden bytes would resurface
+    * under the new column. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val base = latest(path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val logical = schemaAt(spark, path, Some(base.version)).fieldNames.toSeq
+      require(logical.contains(name), s"no column '$name' at $path")
+      require(logical.size > 1, "cannot drop a table's only column")
+      requireUnreferenced(base, name, "drop")
+      val physical = base.renames.getOrElse(name, name)
+      val m = base.copy(version = base.version + 1, parent = base.version,
+        commitId = None, commitTs = None, dataChange = false,
+        renames = base.renames - name,
+        droppedCols = (base.droppedCols :+ physical).distinct)
+      val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
+      try { publish(target, render(m)); return m.version }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    throw new IllegalStateException(
+      s"commit contention in dropColumn: gave up after $attempts attempts")
+  }
+
+  /** Frozen physical names that may never be (re-)introduced as new
+    * columns: live physicals, renamed-away originals, dropped columns.
+    * ADD COLUMN paths check against this. */
+  def reservedPhysicalNames(spark: SparkSession, path: String): Set[String] =
+    latest(path) match {
+      case None => Set.empty
+      case Some(m) =>
+        schemaAt(spark, path, Some(m.version)).fieldNames
+          .map(n => m.renames.getOrElse(n, n)).toSet ++
+          m.droppedCols ++ m.renames.values
+    }
+
+  /** Logical → physical field-name translation for writers that stream
+    * rows straight to parquet (the SQL delta writes, the catalog
+    * streaming sink) — the same translation [[stage]] applies to
+    * DataFrame writes. */
+  def physicalWriteSchema(path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    latest(path).filter(_.renames.nonEmpty).map { m =>
+      org.apache.spark.sql.types.StructType(schema.map(f =>
+        f.copy(name = m.renames.getOrElse(f.name, f.name))))
+    }.getOrElse(schema)
+
+  /** The column-mapping state of the latest version — (logical →
+    * physical renames, dropped physical columns); observability for
+    * gates and DESCRIBE. */
+  def columnMapping(path: String): (Map[String, String], Seq[String]) =
+    latest(path).map(m => (m.renames, m.droppedCols))
+      .getOrElse((Map.empty, Seq.empty))
+
   /** GENERATED-column application/validation (Delta's): a write absent
     * the column COMPUTES it; a write carrying it must MATCH the stored
     * expression row-for-row (null-safe) or it aborts mid-scan like a
@@ -834,11 +1015,23 @@ object ManifestTable {
     }
   }
 
+  /** Logical → physical write translation: generated columns and CHECK
+    * constraints speak LOGICAL names and run first; the parquet bytes
+    * carry the frozen physical names so every file of the table shares
+    * one physical schema regardless of renames. */
+  private def toPhysical(df: DataFrame, path: String): DataFrame =
+    latest(path) match {
+      case Some(m) if m.renames.nonEmpty =>
+        df.select(df.columns.map(c =>
+          df.col(c).as(m.renames.getOrElse(c, c))).toIndexedSeq: _*)
+      case _ => df
+    }
+
   private def stage(df: DataFrame, path: String): Seq[String] = {
     Files.createDirectories(dataDir(path))
     val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    enforceConstraints(applyGenerated(df, generatedColumns(path)),
-      constraints(path)).write.parquet(staging.toString)
+    toPhysical(enforceConstraints(applyGenerated(df, generatedColumns(path)),
+      constraints(path)), path).write.parquet(staging.toString)
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -990,7 +1183,8 @@ object ManifestTable {
       newFiles: Seq[String], replace: Boolean, commitId: Option[String],
       newStats: Map[String, Map[String, ColStats]],
       newRows: Map[String, Long],
-      appTxn: Option[(String, Long)] = None): Manifest = {
+      appTxn: Option[(String, Long)] = None,
+      resetMapping: Boolean = false): Manifest = {
     val files = if (replace) newFiles
       else cur.map(_.files).getOrElse(Seq.empty) ++ newFiles
     val stats = if (replace) newStats
@@ -1016,12 +1210,22 @@ object ManifestTable {
       // the txn ledger carries forward (overwrite included: replay
       // protection must survive a Complete-mode epoch replacing the
       // data), updated by this commit's app transaction if it has one
-      txns = cur.map(_.txns).getOrElse(Map.empty) ++ appTxn)
+      txns = cur.map(_.txns).getOrElse(Map.empty) ++ appTxn,
+      // column mapping is table metadata like constraints: staged files
+      // were translated to PHYSICAL names on the way in, so the mapping
+      // survives append AND overwrite. The one reset is REPLACE TABLE
+      // AS SELECT: its staged files carry the replacement query's own
+      // names as fresh physical names (`resetMapping`).
+      renames = if (resetMapping) Map.empty
+        else cur.map(_.renames).getOrElse(Map.empty),
+      droppedCols = if (resetMapping) Seq.empty
+        else cur.map(_.droppedCols).getOrElse(Seq.empty))
   }
 
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
       commitId: Option[String],
-      appTxn: Option[(String, Long)] = None): Long = {
+      appTxn: Option[(String, Long)] = None,
+      resetMapping: Boolean = false): Long = {
     Files.createDirectories(manifestDir(path))
     val newStats = footerStats(path, newFiles)
     val newRows = footerRows(path, newFiles)
@@ -1046,7 +1250,7 @@ object ManifestTable {
       if (replayed.isDefined) return replayed.get.version
       val next = cur.map(_.version + 1).getOrElse(1L)
       val m = buildNext(cur, next, newFiles, replace, commitId,
-        newStats, newRows, appTxn)
+        newStats, newRows, appTxn, resetMapping)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
         // publish is the optimistic lock: exactly one writer can link
@@ -1354,7 +1558,8 @@ object ManifestTable {
           footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
           base.constraints, rows = footerRows(path, staged),
           mergeKeys = base.mergeKeys, dataChange = false,
-          generated = base.generated, txns = base.txns)))
+          generated = base.generated, txns = base.txns,
+          renames = base.renames, droppedCols = base.droppedCols)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1436,7 +1641,8 @@ object ManifestTable {
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, dataChange = false,
-      generated = base.generated, txns = base.txns)
+      generated = base.generated, txns = base.txns,
+      renames = base.renames, droppedCols = base.droppedCols)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1537,7 +1743,8 @@ object ManifestTable {
       Seq.empty, base.constraints,
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, dataChange = false,
-      generated = base.generated, txns = base.txns)
+      generated = base.generated, txns = base.txns,
+      renames = base.renames, droppedCols = base.droppedCols)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1744,7 +1951,8 @@ object ManifestTable {
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = keyCols, generated = base.generated,
-      txns = base.txns ++ appTxn)
+      txns = base.txns ++ appTxn,
+      renames = base.renames, droppedCols = base.droppedCols)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -1851,7 +2059,8 @@ object ManifestTable {
         deleteStats = base.deleteStats ++ footerStats(path, delFiles),
         rows = base.rows ++ footerRows(path, staged ++ delFiles),
         mergeKeys = keyCols, generated = base.generated,
-        txns = base.txns ++ appTxn)
+        txns = base.txns ++ appTxn,
+        renames = base.renames, droppedCols = base.droppedCols)
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
         next
@@ -1926,9 +2135,10 @@ object ManifestTable {
     * caller owns deleting its redundant staged files. */
   private[sources] def commitStagedFiles(spark: SparkSession, path: String,
       files: Seq[String], replace: Boolean, commitId: Option[String],
-      appTxn: Option[(String, Long)] = None): Long = {
+      appTxn: Option[(String, Long)] = None,
+      resetMapping: Boolean = false): Long = {
     validateStagedConstraints(spark, path, files)
-    commit(path, files, replace, commitId, appTxn)
+    commit(path, files, replace, commitId, appTxn, resetMapping)
   }
 
   /** The highest epoch `app` has applied to this table (Delta's
@@ -1992,7 +2202,9 @@ object ManifestTable {
         rows = base.map(_.rows).getOrElse(Map.empty) ++ upRows ++ delRows,
         mergeKeys = keyCols,
         generated = base.map(_.generated).getOrElse(Seq.empty),
-        txns = base.map(_.txns).getOrElse(Map.empty))
+        txns = base.map(_.txns).getOrElse(Map.empty),
+        renames = base.map(_.renames).getOrElse(Map.empty),
+        droppedCols = base.map(_.droppedCols).getOrElse(Seq.empty))
       Files.createDirectories(manifestDir(path))
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
@@ -2412,7 +2624,8 @@ object ManifestTable {
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
-      mergeKeys = base.mergeKeys, generated = base.generated, txns = base.txns)
+      mergeKeys = base.mergeKeys, generated = base.generated, txns = base.txns,
+      renames = base.renames, droppedCols = base.droppedCols)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
       next
@@ -2591,7 +2804,8 @@ object ManifestTable {
       m.constraints, None,
       m.deleteStats.map { case (f, v) => abs(f) -> v },
       m.rows.map { case (f, v) => abs(f) -> v },
-      m.mergeKeys, generated = m.generated, txns = m.txns)
+      m.mergeKeys, generated = m.generated, txns = m.txns,
+      renames = m.renames, droppedCols = m.droppedCols)
     publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(cm))
     1L
   }

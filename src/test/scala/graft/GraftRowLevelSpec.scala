@@ -171,9 +171,15 @@ class GraftRowLevelSpec extends SparkSpecBase {
     val bad = intercept[Exception](
       s2.sql("INSERT INTO graft.t VALUES (4, -1.0, 'x')"))
     assert(bad.getMessage != null)
-    // rename/drop refused loudly
-    intercept[Exception](s2.sql("ALTER TABLE graft.t DROP COLUMN note"))
-    intercept[Exception](s2.sql("ALTER TABLE graft.t RENAME COLUMN note TO memo"))
+    // rename/drop are metadata-only commits via column mapping — but a
+    // column the table's CONTRACT references stays immutable
+    s2.sql("ALTER TABLE graft.t RENAME COLUMN note TO memo")
+    assert(s2.sql("SELECT memo FROM graft.t WHERE k = 3").head().getString(0)
+      == "hello")
+    s2.sql("ALTER TABLE graft.t DROP COLUMN memo")
+    assert(!s2.table("graft.t").schema.fieldNames.contains("memo"))
+    intercept[Exception]( // v is CHECK-referenced and a non-key column
+      s2.sql("ALTER TABLE graft.t RENAME COLUMN v TO value"))
   }
 
   test("writeStream.toTable commits one idempotent version per epoch; restart replays nothing") {
