@@ -20,6 +20,9 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // parser + rules + functions at session BUILD: the injected
+        // parser (SQL OPTIMIZE/VACUUM) cannot be retrofitted later
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

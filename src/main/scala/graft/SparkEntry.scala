@@ -2707,6 +2707,63 @@ object SparkEntry {
            FROM graft.sales.orders GROUP BY 1""")
     }),
 
+    "q150_sql_maintenance" -> ((s, dir) => {
+      // SQL MAINTENANCE statements (OPTIMIZE / VACUUM) through the
+      // injected parser (GraftSqlParser via spark.sql.extensions —
+      // Delta's model: a strict-superset dialect, unknown statements
+      // delegate verbatim). Ten small INSERT commits leave a
+      // many-small-files table with a MoR delete ledger; OPTIMIZE
+      // compacts live rows into one maintenance commit (gates: fewer
+      // files, version advanced, dataChange=false so streams skip it),
+      // VACUUM ... RETAIN 1 VERSIONS FORCE expires history and sweeps
+      // every unreferenced byte (gates: one version left, the data dir
+      // holds exactly the live files). The oracle sees the surviving
+      // rows — compaction and retention must be invisible to readers.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q150-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src")
+      s2.sql("""CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)
+                TBLPROPERTIES ('merge.keys'='k')""")
+      (0 until 10).foreach(i => s2.sql(
+        s"INSERT INTO graft.t SELECT * FROM orders_src WHERE o_orderkey % 10 = $i"))
+      s2.sql("DELETE FROM graft.t WHERE k % 7 = 0") // a MoR ledger to fold
+      val filesBefore = ManifestTable.dataFiles(t).size
+      require(filesBefore >= 10, s"premise: many small files, got $filesBefore")
+      val opt = s2.sql("OPTIMIZE graft.t TARGET 262144").collect()
+      require(opt.length == 1 && opt(0).getLong(2) < filesBefore,
+        s"OPTIMIZE must shrink the file count: $filesBefore -> ${opt(0).getLong(2)}")
+      require(ManifestTable.latestVersion(t) == opt(0).getLong(0) &&
+        !ManifestTable.isDataChange(t, opt(0).getLong(0)),
+        "OPTIMIZE must land as a maintenance (dataChange=false) commit")
+      val vac = s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE").collect()
+      require(ManifestTable.versions(t) == Seq(opt(0).getLong(0)),
+        "VACUUM RETAIN 1 must leave only the optimized version")
+      val live = ManifestTable.dataFiles(t).toSet
+      val onDisk = {
+        val dd = java.nio.file.Paths.get(t, "data")
+        scala.util.Using.resource(java.nio.file.Files.list(dd)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+        }
+      }
+      require(onDisk == live,
+        s"VACUUM must sweep every unreferenced file: ${onDisk.size} on disk, " +
+          s"${live.size} live")
+      require(vac(0).getLong(0) > 0 && vac(0).getLong(1) > 0,
+        "VACUUM must report expired versions and deleted files")
+      s2.sql(
+        """SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.t GROUP BY status""")
+    }),
+
     "q149_column_mapping" -> ((s, dir) => {
       // COLUMN MAPPING (Delta's name-mapping mode on this format): a
       // column's PHYSICAL name is frozen at birth; SQL RENAME COLUMN /
@@ -8648,6 +8705,11 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_linenumber = 2 GROUP BY 1""",
+    // q150: DELETE hid every 7th key; OPTIMIZE/VACUUM must not change rows
+    "q150_sql_maintenance" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
     // q149: CTAS loaded lines 1-3, the post-rename INSERT added 4-5
     "q149_column_mapping" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,

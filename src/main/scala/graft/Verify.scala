@@ -24,6 +24,9 @@ object Verify {
         // timestamp type, so read as long nanos and do exact integer
         // time arithmetic
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // parser + rules + functions at session BUILD: the injected
+        // parser (SQL OPTIMIZE/VACUUM) cannot be retrofitted later
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

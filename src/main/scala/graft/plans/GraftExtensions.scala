@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // size-based join planning for catalog scans (V1ScanWrapper reports
     // no statistics — without this a graft side never broadcasts)
     ext.injectOptimizerRule(_ => new GraftJoinSizeRule)
+    // SQL maintenance statements (OPTIMIZE / VACUUM) — parser injection
+    // only takes effect on sessions BUILT with the extension
+    // (spark.sql.extensions conf or .withExtensions); register() on an
+    // already-built session cannot retrofit a parser
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // the manifest format's SQL read surface: FROM graft_table('<path>')
     ext.injectTableFunction((FunctionIdentifier("graft_table"),
       new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_table"),

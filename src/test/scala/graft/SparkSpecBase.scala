@@ -18,6 +18,9 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parser + rules + functions at session BUILD: the injected
+      // parser (SQL OPTIMIZE/VACUUM) cannot be retrofitted later
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
