@@ -2707,6 +2707,73 @@ object SparkEntry {
            FROM graft.sales.orders GROUP BY 1""")
     }),
 
+    "q151_sql_ddl_contract" -> ((s, dir) => {
+      // The table CONTRACT in standard DDL (TableCatalogCapability
+      // SUPPORT_TABLE_CONSTRAINT + SUPPORTS_CREATE_TABLE_WITH_GENERATED
+      // _COLUMNS): CREATE TABLE declares a GENERATED ALWAYS AS column,
+      // a CHECK constraint, and a PRIMARY KEY in one statement — the
+      // generated column is computed on every write that omits it and
+      // validated when supplied, the CHECK rejects a bad insert
+      // (gate-asserted), and the PRIMARY KEY keys the table at birth so
+      // MERGE INTO works with zero property plumbing. ALTER TABLE ADD
+      // CONSTRAINT lands a second CHECK through the same metadata
+      // commit the API's setConstraints uses.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q151-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .createOrReplaceTempView("li_src")
+      s2.sql("""CREATE TABLE graft.t (
+                  id BIGINT,
+                  qty DOUBLE,
+                  price DOUBLE,
+                  gross DOUBLE GENERATED ALWAYS AS (qty * price),
+                  CONSTRAINT pos_qty CHECK (qty > 0),
+                  CONSTRAINT pk PRIMARY KEY (id))""")
+      require(s2.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array.empty, "t")).properties().get("merge.keys") == "id",
+        "PRIMARY KEY must key the table at birth")
+      // the generated column is ABSENT from the insert → computed
+      s2.sql("""INSERT INTO graft.t (id, qty, price)
+                SELECT l_orderkey * 10 + l_linenumber,
+                       CAST(l_quantity AS DOUBLE),
+                       CAST(l_extendedprice AS DOUBLE)
+                FROM li_src WHERE l_linenumber = 1""")
+      require(ManifestTable.generatedColumns(t) == Seq("gross" -> "qty * price"),
+        "the DDL generation expression must land as table metadata")
+      // CHECK from the DDL rejects a violating insert (loudly, pre-commit)
+      val bad = try {
+        s2.sql("INSERT INTO graft.t (id, qty, price) VALUES (1, -5.0, 2.0)")
+        false
+      } catch { case _: Throwable => true }
+      require(bad, "the DDL CHECK constraint must reject qty <= 0")
+      // keyed at birth: MERGE upserts without any property plumbing
+      s2.sql("""MERGE INTO graft.t AS t
+                USING (SELECT l_orderkey * 10 + l_linenumber AS id,
+                              CAST(l_quantity AS DOUBLE) AS qty,
+                              CAST(l_extendedprice AS DOUBLE) AS price
+                       FROM li_src WHERE l_linenumber = 2) AS s
+                ON t.id = s.id
+                WHEN NOT MATCHED THEN INSERT (id, qty, price)
+                  VALUES (s.id, s.qty, s.price)""")
+      // ALTER ... ADD CONSTRAINT composes with the same commit protocol
+      s2.sql("ALTER TABLE graft.t ADD CONSTRAINT pos_price CHECK (price > 0)")
+      require(ManifestTable.constraints(t) == Seq("qty > 0", "price > 0"),
+        s"ADD CONSTRAINT must append: ${ManifestTable.constraints(t)}")
+      s2.sql(
+        """SELECT CAST(id % 7 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(gross AS DECIMAL(28,4))) AS DOUBLE) AS gross_sum
+           FROM graft.t GROUP BY 1""")
+    }),
+
     "q150_sql_maintenance" -> ((s, dir) => {
       // SQL MAINTENANCE statements (OPTIMIZE / VACUUM) through the
       // injected parser (GraftSqlParser via spark.sql.extensions —
@@ -8705,6 +8772,17 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_linenumber = 2 GROUP BY 1""",
+    // q151: lines 1 (insert) + 2 (merge); gross = qty*price is computed
+    // by the write (products of decimal(15,2)-scale values have ≤4
+    // decimal digits, so the DECIMAL(28,4) cast is drift-free)
+    "q151_sql_ddl_contract" ->
+      """WITH t AS (
+           SELECT l_orderkey * 10 + l_linenumber AS id,
+             CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS gross
+           FROM lineitem WHERE l_linenumber <= 2)
+         SELECT CAST(id % 7 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(gross AS DECIMAL(28,4))) AS DOUBLE) AS gross_sum
+         FROM t GROUP BY 1""",
     // q150: DELETE hid every 7th key; OPTIMIZE/VACUUM must not change rows
     "q150_sql_maintenance" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,

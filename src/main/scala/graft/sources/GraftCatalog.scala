@@ -162,8 +162,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     } else new GraftSqlTable(ident.toString, path, version, schema, parts)
   }
 
+  // CREATE-time capabilities the analyzer gates on: generated columns
+  // in the column list and table constraints (CHECK / PRIMARY KEY) in
+  // the DDL — both land as the same table metadata the API surface
+  // writes (ManifestTable generated/constraints, merge.keys)
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    createImpl(ident, schema, partitions, properties, Seq.empty, Seq.empty,
+      Seq.empty)
+
+  /** `CREATE TABLE` with the FULL column/constraint DDL: `GENERATED
+    * ALWAYS AS (expr)` columns become the manifest's generated-column
+    * metadata (every write computes absent ones, validates supplied
+    * ones), `CONSTRAINT … CHECK (expr)` becomes the CHECK-constraint
+    * set (enforced in-scan on every commit), and `PRIMARY KEY (cols)`
+    * declares the merge keys (the table is row-level-operable at
+    * birth — graft's key semantics: merges upsert by key). DEFAULT
+    * values and declared IDENTITY columns are refused loudly (the
+    * format carries neither; [[ManifestTable.appendIdentity]] covers
+    * identity on the write side). */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val gens = info.columns.toSeq.flatMap { c =>
+      require(c.defaultValue == null,
+        s"DEFAULT values are not supported (column '${c.name}')")
+      require(c.identityColumnSpec == null,
+        s"declared IDENTITY columns are not supported (column '${c.name}'; " +
+          "ManifestTable.appendIdentity covers write-side identity)")
+      Option(c.generationExpression).map(e => c.name -> e)
+    }
+    var checks = Seq.empty[String]
+    var pk = Seq.empty[String]
+    info.constraints.foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced,
+          s"NOT ENFORCED constraints are refused (graft enforces in-scan): ${c.toDDL}")
+        checks :+= c.predicateSql
+      case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+        require(pk.isEmpty, "at most one PRIMARY KEY")
+        pk = p.columns.toSeq.map(_.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported constraint '${other.toDDL}' (CHECK and PRIMARY KEY only)")
+    }
+    createImpl(ident, info.schema, info.partitions, info.properties,
+      gens, checks, pk)
+  }
+
+  private def createImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      gens: Seq[(String, String)], checks: Seq[String],
+      pk: Seq[String]): Table = {
     val parts = GraftCatalog.identityParts(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
@@ -172,12 +224,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Files.writeString(dir.resolve(GraftCatalog.PartsFile), parts.mkString(","))
     Files.write(dir.resolve(GraftCatalog.SchemaFile),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (gens.nonEmpty) {
+      require(gens.forall { case (n, _) => schema.fieldNames.contains(n) },
+        "generated columns must name columns of the table schema")
+      GraftCatalog.writeDeclaredGenerated(dir, gens)
+    }
+    if (checks.nonEmpty)
+      GraftCatalog.writeDeclaredConstraints(dir, checks)
     // TBLPROPERTIES('merge.keys'='a,b') keys the table at birth, so SQL
-    // UPDATE/MERGE work before any API merge has declared identity
-    Option(properties.get("merge.keys")).foreach { raw =>
-      val ks = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(ks.nonEmpty && ks.forall(schema.fieldNames.contains),
-        s"merge.keys '$raw' must name columns of the table schema")
+    // UPDATE/MERGE work before any API merge has declared identity;
+    // PRIMARY KEY (cols) is the same declaration in standard DDL
+    val propKeys = Option(properties.get("merge.keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    require(propKeys.isEmpty || pk.isEmpty || propKeys == pk,
+      s"merge.keys ${propKeys.mkString(",")} conflicts with PRIMARY KEY ${pk.mkString(",")}")
+    val ks = if (pk.nonEmpty) pk else propKeys
+    if (ks.nonEmpty) {
+      require(ks.forall(schema.fieldNames.contains),
+        s"merge keys ${ks.mkString(",")} must name columns of the table schema")
       Files.writeString(dir.resolve(GraftCatalog.KeysFile), ks.mkString(","))
     }
     loadTable(ident)
@@ -212,19 +277,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     stageImpl(ident, schema, partitions, properties,
       created = !tableExists(ident))
 
+  // the TableInfo staging variants carry CONSTRAINTS — the default
+  // interface methods silently drop them, so a constrained CTAS/RTAS
+  // must land here (CHECK / PRIMARY KEY, same mapping as createTable)
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stageInfo(ident, info, created = true)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stageInfo(ident, info, created = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stageInfo(ident, info, created = !tableExists(ident))
+
+  private def stageInfo(ident: Identifier, info: TableInfo,
+      created: Boolean): StagedTable = {
+    require(info.columns.forall(c =>
+      c.defaultValue == null && c.identityColumnSpec == null &&
+        c.generationExpression == null),
+      "CTAS/RTAS columns take no DEFAULT/IDENTITY/GENERATED metadata")
+    var checks = Seq.empty[String]
+    var pk = Seq.empty[String]
+    info.constraints.foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced,
+          s"NOT ENFORCED constraints are refused (graft enforces in-scan): ${c.toDDL}")
+        checks :+= c.predicateSql
+      case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+        require(pk.isEmpty, "at most one PRIMARY KEY")
+        pk = p.columns.toSeq.map(_.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported constraint '${other.toDDL}' (CHECK and PRIMARY KEY only)")
+    }
+    stageImpl(ident, info.schema, info.partitions, info.properties, created,
+      checks, pk)
+  }
+
   private def stageImpl(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String],
-      created: Boolean): StagedTable = {
+      created: Boolean,
+      checks: Seq[String] = Seq.empty,
+      pk: Seq[String] = Seq.empty): StagedTable = {
     val parts = GraftCatalog.identityParts(partitions, schema)
-    val keys = Option(properties.get("merge.keys"))
+    val propKeys = Option(properties.get("merge.keys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    require(propKeys.isEmpty || pk.isEmpty || propKeys == pk,
+      s"merge.keys ${propKeys.mkString(",")} conflicts with PRIMARY KEY ${pk.mkString(",")}")
+    val keys = if (pk.nonEmpty) pk else propKeys
     require(keys.forall(schema.fieldNames.contains),
       s"merge.keys must name columns of the table schema")
     val dir = tableDir(ident)
     Files.createDirectories(dir)
-    new GraftStagedTable(ident.toString, dir, schema, keys, created, parts)
+    new GraftStagedTable(ident.toString, dir, schema, keys, created, parts,
+      checks)
   }
 
   /** `ALTER TABLE` over manifest metadata: ADD COLUMN extends the
@@ -330,6 +441,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               StructType(s.filterNot(_.name == name)).json
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
+      // ALTER TABLE ADD CONSTRAINT — standard DDL for what check.*
+      // properties already do: existing rows validate first, then the
+      // constraint set commits (CHECK) or the table keys (PRIMARY KEY)
+      case acs: TableChange.AddConstraint => acs.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(c.enforced,
+            s"NOT ENFORCED constraints are refused (graft enforces in-scan): ${c.toDDL}")
+          if (ManifestTable.versions(path).nonEmpty)
+            ManifestTable.setConstraints(SparkSession.active, path,
+              ManifestTable.constraints(path) :+ c.predicateSql)
+          else GraftCatalog.writeDeclaredConstraints(dir,
+            GraftCatalog.readDeclaredConstraints(dir) :+ c.predicateSql)
+        case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+          val ks = p.columns.toSeq.map(_.fieldNames.mkString("."))
+          val schema = GraftCatalog.fullSchema(dir, None).get
+          require(ks.nonEmpty && ks.forall(schema.fieldNames.contains),
+            s"PRIMARY KEY ${ks.mkString(",")} must name columns of the table schema")
+          val curKeys = ManifestTable.tableMergeKeys(path)
+          require(curKeys.isEmpty || curKeys == ks,
+            s"table is already keyed on ${curKeys.mkString("(", ",", ")")}")
+          Files.writeString(dir.resolve(GraftCatalog.KeysFile), ks.mkString(","))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported constraint '${other.toDDL}' (CHECK and PRIMARY KEY only)")
+      }
+      case _: TableChange.DropConstraint =>
+        throw new UnsupportedOperationException(
+          "constraints are not name-addressed on this format; replace the " +
+            "set with SET TBLPROPERTIES('check.<name>'=…) / setConstraints")
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} " +
@@ -438,6 +577,44 @@ object GraftCatalog {
     val f = dir.resolve(PartsFile)
     if (!Files.isRegularFile(f)) Seq.empty
     else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private[sources] val GeneratedFile = "_generated"
+  private[sources] val ConstraintsFile = "_constraints"
+
+  /** CREATE-time GENERATED ALWAYS AS declarations (pre-first-commit;
+    * the manifest's `generated` metadata takes over once a commit
+    * lands — [[ManifestTable]]'s first commit seeds from this file). */
+  private[sources] def writeDeclaredGenerated(dir: Path,
+      gens: Seq[(String, String)]): Unit = {
+    require(gens.forall { case (n, e) =>
+      !n.contains("\t") && !n.contains("\n") && !e.contains("\n") },
+      "generated-column expressions must be single-line")
+    Files.writeString(dir.resolve(GeneratedFile),
+      gens.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
+
+  private[sources] def readDeclaredGenerated(dir: Path): Seq[(String, String)] = {
+    val f = dir.resolve(GeneratedFile)
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readString(f).split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  /** CREATE-time CHECK constraints (same pre-first-commit lifecycle). */
+  private[sources] def writeDeclaredConstraints(dir: Path,
+      checks: Seq[String]): Unit = {
+    require(checks.forall(!_.contains("\n")),
+      "CHECK constraint expressions must be single-line")
+    Files.writeString(dir.resolve(ConstraintsFile), checks.mkString("\n"))
+  }
+
+  private[sources] def readDeclaredConstraints(dir: Path): Seq[String] = {
+    val f = dir.resolve(ConstraintsFile)
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readString(f).split("\n").toSeq.filter(_.nonEmpty)
   }
 
   private[sources] def readDdlSchema(dir: Path): Option[StructType] = {
@@ -852,7 +1029,8 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
   * commit. Abort deletes the staged files (and, for a CREATE, the
   * table skeleton), leaving what existed before untouched. */
 class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
-    keys: Seq[String], created: Boolean, parts: Seq[String] = Seq.empty)
+    keys: Seq[String], created: Boolean, parts: Seq[String] = Seq.empty,
+    checks: Seq[String] = Seq.empty)
   extends Table with SupportsWrite with StagedTable {
 
   private val path = dir.toString
@@ -916,6 +1094,8 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     if (parts.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.PartsFile), parts.mkString(","))
     else Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile)) // RTAS re-layout
+    if (checks.nonEmpty)
+      GraftCatalog.writeDeclaredConstraints(dir, checks)
     // ONE overwrite commit: the staged files become the table's data
     // atomically; on RTAS the previous versions stay time-travelable
     // and table-level constraints (the contract) survive the replace.
@@ -923,6 +1103,12 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     // names as fresh physical names — the old column mapping is void
     ManifestTable.commitStagedFiles(SparkSession.active, path, staged,
       replace = true, commitId = None, resetMapping = true)
+    // DDL-declared CHECKs on the RTAS itself REDEFINE the contract (a
+    // created table already picked them up from the sidecar at the
+    // commit above; a replace swaps the inherited set in one more
+    // metadata commit, validated against the fresh data)
+    if (checks.nonEmpty && ManifestTable.constraints(path) != checks)
+      ManifestTable.setConstraints(SparkSession.active, path, checks)
   }
 
   override def abortStagedChanges(): Unit = {
@@ -931,6 +1117,8 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
       Files.deleteIfExists(dir.resolve(GraftCatalog.SchemaFile))
       Files.deleteIfExists(dir.resolve(GraftCatalog.KeysFile))
       Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile))
+      Files.deleteIfExists(dir.resolve(GraftCatalog.GeneratedFile))
+      Files.deleteIfExists(dir.resolve(GraftCatalog.ConstraintsFile))
       if (ManifestTable.versions(path).isEmpty) {
         val dd = Paths.get(path, "data")
         if (Files.isDirectory(dd) &&

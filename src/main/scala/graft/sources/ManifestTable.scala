@@ -798,16 +798,20 @@ object ManifestTable {
 
   /** The table's declared CHECK constraints (empty if none/absent). */
   def constraints(path: String): Seq[String] =
-    latest(path).map(_.constraints).getOrElse(Seq.empty)
+    latest(path).map(_.constraints)
+      .getOrElse(GraftCatalog.readDeclaredConstraints(Paths.get(path)))
 
   /** Declare table CHECK constraints — a metadata-only commit (same
     * files, stats, seqs, deletes). Existing rows validate FIRST (one
     * fail-fast scan — the ALTER TABLE ADD CONSTRAINT rule); every
     * subsequent append/overwrite/merge enforces in-scan. Replaces the
     * previous constraint set; pass Seq.empty to drop all constraints. */
-  /** The table's declared generated columns (empty if none/absent). */
+  /** The table's declared generated columns (empty if none/absent):
+    * manifest metadata once any commit landed, the CREATE-time DDL
+    * declaration before. */
   def generatedColumns(path: String): Seq[(String, String)] =
-    latest(path).map(_.generated).getOrElse(Seq.empty)
+    latest(path).map(_.generated)
+      .getOrElse(GraftCatalog.readDeclaredGenerated(Paths.get(path)))
 
   /** Declare GENERATED columns — a metadata-only commit, the
     * [[setConstraints]] shape: existing rows must already satisfy every
@@ -1006,12 +1010,20 @@ object ManifestTable {
     * constraint may reference a generated column. */
   private def applyGenerated(df: DataFrame,
       gens: Seq[(String, String)]): DataFrame = {
-    import org.apache.spark.sql.functions.{assert_true, col, expr, lit}
+    import org.apache.spark.sql.functions.{assert_true, coalesce, col, expr, lit}
     gens.foldLeft(df) { case (d, (c, e)) =>
       if (!d.columns.contains(c)) d.withColumn(c, expr(e))
-      else d.where(gated(assert_true(col(c) <=> expr(e),
-        lit(s"generated column '$c' does not match its expression $e"))
-        .isNull))
+      else {
+        // a NULL in a supplied generated column means "compute it" — a
+        // SQL `INSERT INTO t (cols-without-c)` arrives with c
+        // null-padded by the analyzer, indistinguishable from an
+        // explicit NULL; supplied NON-null values must match the
+        // expression exactly (the Delta generated-column contract)
+        d.where(gated(assert_true(col(c).isNull || (col(c) <=> expr(e)),
+          lit(s"generated column '$c' does not match its expression $e"))
+          .isNull))
+          .withColumn(c, coalesce(col(c), expr(e)))
+      }
     }
   }
 
@@ -1179,7 +1191,7 @@ object ManifestTable {
     * construction between the single-table [[commit]] loop and the
     * multi-table [[commitTxn]] protocol (which must build each table's
     * next manifest BEFORE claiming its version slot). */
-  private def buildNext(cur: Option[Manifest], next: Long,
+  private def buildNext(path: String, cur: Option[Manifest], next: Long,
       newFiles: Seq[String], replace: Boolean, commitId: Option[String],
       newStats: Map[String, Map[String, ColStats]],
       newRows: Map[String, Long],
@@ -1198,15 +1210,18 @@ object ManifestTable {
     val delStats = if (replace) Map.empty[String, Map[String, ColStats]]
       else cur.map(_.deleteStats).getOrElse(Map.empty)
     // constraints are TABLE metadata: they survive overwrite (the data
-    // is replaced, the table's contract is not)
-    val cons = cur.map(_.constraints).getOrElse(Seq.empty)
+    // is replaced, the table's contract is not); the FIRST commit seeds
+    // from the CREATE-time DDL declaration
+    val cons = cur.map(_.constraints)
+      .getOrElse(GraftCatalog.readDeclaredConstraints(Paths.get(path)))
     val rowsM = (if (replace) Map.empty[String, Long]
       else cur.map(_.rows).getOrElse(Map.empty)) ++ newRows
     Manifest(next, files, commitId,
       cur.map(_.version).getOrElse(0L), stats, seqs, deletes, cons,
       deleteStats = delStats, rows = rowsM,
       mergeKeys = cur.map(_.mergeKeys).getOrElse(Seq.empty),
-      generated = cur.map(_.generated).getOrElse(Seq.empty),
+      generated = cur.map(_.generated)
+        .getOrElse(GraftCatalog.readDeclaredGenerated(Paths.get(path))),
       // the txn ledger carries forward (overwrite included: replay
       // protection must survive a Complete-mode epoch replacing the
       // data), updated by this commit's app transaction if it has one
@@ -1249,7 +1264,7 @@ object ManifestTable {
         versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
       if (replayed.isDefined) return replayed.get.version
       val next = cur.map(_.version + 1).getOrElse(1L)
-      val m = buildNext(cur, next, newFiles, replace, commitId,
+      val m = buildNext(path, cur, next, newFiles, replace, commitId,
         newStats, newRows, appTxn, resetMapping)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
       try {
@@ -1386,7 +1401,7 @@ object ManifestTable {
         writes.indices.foreach { i =>
           val md = manifestDir(writes(i).path)
           Files.writeString(md.resolve(stagedNames(i)),
-            render(buildNext(curs(i), nexts(i), stagedData(i),
+            render(buildNext(writes(i).path, curs(i), nexts(i), stagedData(i),
               writes(i).replace, commitId, statsRows(i)._1, statsRows(i)._2)))
           // non-coordinator tables get a pointer so recovery starting
           // from ANY table of the txn finds the one decision marker
@@ -2116,14 +2131,32 @@ object ManifestTable {
       files: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     val cons = constraints(path)
-    if (files.isEmpty || cons.isEmpty) return
+    val gens = generatedColumns(path)
+    if (files.isEmpty || (cons.isEmpty && gens.isEmpty)) return
     val staged = spark.read.parquet(
       files.map(f => dataDir(path).resolve(f).toString): _*)
-    val bad = staged.where(!cons.map(c => gated(expr(c))).reduce(_ && _))
-      .limit(1).collect()
-    require(bad.isEmpty,
-      s"row ${bad.headOption.orNull} violates table constraints " +
-        cons.mkString("[", "; ", "]"))
+    if (cons.nonEmpty) {
+      val bad = staged.where(!cons.map(c => gated(expr(c))).reduce(_ && _))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"row ${bad.headOption.orNull} violates table constraints " +
+          cons.mkString("[", "; ", "]"))
+    }
+    // GENERATED columns on directly-staged files (SQL UPDATE/MERGE delta
+    // writes, the streaming sink): the bytes are already on disk, so a
+    // stale or absent value cannot be recomputed here — mismatches are
+    // REJECTED loudly (assign the generated column its expression in the
+    // statement). stage()-routed writes never hit this: applyGenerated
+    // computed/validated before the bytes were written.
+    val present = gens.filter { case (c, _) => staged.columns.contains(c) }
+    if (present.nonEmpty) {
+      val badG = staged.where(!present.map { case (c, e) =>
+        col(c) <=> expr(e) }.reduce(_ && _)).limit(1).collect()
+      require(badG.isEmpty,
+        s"row ${badG.headOption.orNull} violates generated columns " +
+          present.map { case (c, e) => s"$c = $e" }.mkString("[", "; ", "]") +
+          " (delta writes cannot recompute them — assign the expression explicitly)")
+    }
   }
 
   /** Land ALREADY-WRITTEN data files as one append (or replace) commit —
@@ -2196,12 +2229,14 @@ object ManifestTable {
           b.files.filterNot(b.seqs.contains).map(_ -> 0L))
           .getOrElse(Map.empty) ++ upsertFiles.map(_ -> next),
         base.map(_.deletes).getOrElse(Seq.empty) ++ deleteFiles.map(_ -> next),
-        base.map(_.constraints).getOrElse(Seq.empty),
+        base.map(_.constraints)
+          .getOrElse(GraftCatalog.readDeclaredConstraints(Paths.get(path))),
         deleteStats =
           base.map(_.deleteStats).getOrElse(Map.empty) ++ delStats,
         rows = base.map(_.rows).getOrElse(Map.empty) ++ upRows ++ delRows,
         mergeKeys = keyCols,
-        generated = base.map(_.generated).getOrElse(Seq.empty),
+        generated = base.map(_.generated)
+          .getOrElse(GraftCatalog.readDeclaredGenerated(Paths.get(path))),
         txns = base.map(_.txns).getOrElse(Map.empty),
         renames = base.map(_.renames).getOrElse(Map.empty),
         droppedCols = base.map(_.droppedCols).getOrElse(Seq.empty))

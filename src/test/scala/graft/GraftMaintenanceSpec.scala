@@ -60,6 +60,47 @@ class GraftMaintenanceSpec extends SparkSpecBase {
       s"zorder must make `a` prunable: ${sv.size}/${ManifestTable.dataFiles(path).size}")
   }
 
+  test("DDL contract: generated columns, CHECK, PRIMARY KEY at CREATE; refusals for the rest") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("""CREATE TABLE graft.t (
+                k BIGINT, v DOUBLE,
+                twice DOUBLE GENERATED ALWAYS AS (v * 2),
+                CONSTRAINT pos CHECK (v > 0),
+                CONSTRAINT pk PRIMARY KEY (k))""")
+    // absent generated column computes; supplied values must match
+    s2.sql("INSERT INTO graft.t (k, v) VALUES (1, 2.0)")
+    s2.sql("INSERT INTO graft.t VALUES (2, 3.0, 6.0)")
+    intercept[Exception] {
+      s2.sql("INSERT INTO graft.t VALUES (3, 4.0, 9.0)") } // 9 != 8
+    intercept[Exception] {
+      s2.sql("INSERT INTO graft.t (k, v) VALUES (4, -1.0)") } // CHECK
+    assert(s2.sql("SELECT sum(twice) FROM graft.t").head().getDouble(0) == 10.0)
+    // PK keys the table: UPDATE plans as a delta write. The delta bytes
+    // land pre-written, so a stale generated value is REJECTED (assign
+    // the expression in the statement), never silently committed
+    intercept[Exception] {
+      s2.sql("UPDATE graft.t SET v = 5.0 WHERE k = 1") }
+    s2.sql("UPDATE graft.t SET v = 5.0, twice = 10.0 WHERE k = 1")
+    assert(s2.sql("SELECT twice FROM graft.t WHERE k = 1")
+      .head().getDouble(0) == 10.0)
+    // refusals: DEFAULT, UNIQUE, NOT ENFORCED
+    intercept[Exception] {
+      s2.sql("CREATE TABLE graft.bad1 (k BIGINT, v DOUBLE DEFAULT 1.0)") }
+    intercept[Exception] {
+      s2.sql("CREATE TABLE graft.bad2 (k BIGINT, CONSTRAINT u UNIQUE (k))") }
+    intercept[Exception] {
+      s2.sql("""CREATE TABLE graft.bad3 (k BIGINT,
+                CONSTRAINT c CHECK (k > 0) NOT ENFORCED)""") }
+    // ALTER ADD CONSTRAINT validates existing rows and then enforces
+    s2.sql("ALTER TABLE graft.t ADD CONSTRAINT cap CHECK (v < 100)")
+    intercept[Exception] {
+      s2.sql("INSERT INTO graft.t (k, v) VALUES (5, 200.0)") }
+    assert(ManifestTable.constraints(s"$wh/t") == Seq("v > 0", "v < 100"))
+  }
+
   test("VACUUM retention: age gate without FORCE, full sweep with it") {
     val wh = freshWh()
     val s2 = spark.newSession()
