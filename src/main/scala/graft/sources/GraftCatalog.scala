@@ -946,37 +946,57 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      // the V1 fallback exec does not thread the overwrite intent
-      // through this boolean — the builder's truncate() call carries it.
-      // PARTITIONED BY tables range-cluster on the partition columns
-      // first, so every staged file carries a tight (usually single-
-      // value) range and the manifest stats prune partition predicates.
-      // The row-hash tiebreaker keeps a HOT partition value splittable
-      // across range partitions (Hive identity partitioning pins a
-      // value to one task; here only value JOINTS can share a file)
-      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-        import org.apache.spark.sql.functions.xxhash64
-        val clustered =
-          if (partCols.isEmpty) data
-          else data.repartitionByRange(
-            partCols.map(data.col) :+ xxhash64(data.columns.map(data.col): _*): _*)
-        if (replace || overwrite) ManifestTable.overwrite(clustered, path)
-        else ManifestTable.append(clustered, path)
+  override def build(): Write = {
+    class GraftV1Write extends V1Write {
+      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+        // the V1 fallback exec does not thread the overwrite intent
+        // through this boolean — the builder's truncate() call carries it.
+        // PARTITIONED BY tables range-cluster on the partition columns
+        // first, so every staged file carries a tight (usually single-
+        // value) range and the manifest stats prune partition predicates.
+        // The row-hash tiebreaker keeps a HOT partition value splittable
+        // across range partitions (Hive identity partitioning pins a
+        // value to one task; here only value JOINTS can share a file)
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          import org.apache.spark.sql.functions.xxhash64
+          val clustered =
+            if (partCols.isEmpty) data
+            else data.repartitionByRange(
+              partCols.map(data.col) :+ xxhash64(data.columns.map(data.col): _*): _*)
+          if (replace || overwrite) ManifestTable.overwrite(clustered, path)
+          else ManifestTable.append(clustered, path)
+        }
+      }
+
+      // `df.writeStream.toTable("graft.t")` — the NATIVE streaming sink:
+      // each micro-batch's tasks stream rows straight to parquet in the
+      // table's data dir, the epoch commit publishes ONE manifest version
+      // carrying commitId "st-<queryId>-<epoch>", so a replayed epoch
+      // (at-least-once foreachBatch-free restart) lands exactly once and
+      // its redundant staged files are deleted, not committed. Append
+      // mode appends; Complete mode (truncate()) replaces per epoch.
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftStreamingWrite(path, schema, queryId, replace)
+    }
+    if (partCols.isEmpty) new GraftV1Write
+    else {
+      // PARTITIONED BY reaches the STREAMING plan through the declared
+      // distribution (the micro-batch planner applies it per epoch):
+      // each epoch's staged files then carry prunable partition-column
+      // ranges like every batch write. The V1 batch path above keeps
+      // its own richer clustering (hash tiebreaker for hot values) —
+      // V1 fallback plans bypass this interface.
+      import org.apache.spark.sql.connector.distributions.Distributions
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      val orders = partCols.map(c => Expressions.sort(
+        Expressions.column(c), SortDirection.ASCENDING)).toArray
+      new GraftV1Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution() = Distributions.ordered(orders)
+        override def requiredOrdering() = orders
       }
     }
-
-    // `df.writeStream.toTable("graft.t")` — the NATIVE streaming sink:
-    // each micro-batch's tasks stream rows straight to parquet in the
-    // table's data dir, the epoch commit publishes ONE manifest version
-    // carrying commitId "st-<queryId>-<epoch>", so a replayed epoch
-    // (at-least-once foreachBatch-free restart) lands exactly once and
-    // its redundant staged files are deleted, not committed. Append
-    // mode appends; Complete mode (truncate()) replaces per epoch.
-    override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(path, schema, queryId, replace)
   }
 }
 

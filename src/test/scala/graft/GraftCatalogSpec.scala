@@ -381,4 +381,33 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(t3.partitioning().isEmpty,
       "RTAS without PARTITIONED BY must drop the declared layout")
   }
+
+  test("streamed epochs into a PARTITIONED BY table cluster through the declared distribution") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    s2.sql("CREATE TABLE graft.spt (k BIGINT, grp STRING, v DOUBLE) PARTITIONED BY (grp)")
+    val feed = Files.createTempDirectory("graft-spt-").toString + "/feed"
+    val ck = Files.createTempDirectory("graft-spt-ck-").toString
+    spark.range(0, 900).selectExpr("id AS k",
+      "concat('g', CAST(id % 3 AS STRING)) AS grp", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.parquet(feed)
+    val schema = s2.read.parquet(feed).schema
+    s2.readStream.schema(schema).parquet(feed)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.spt").awaitTermination()
+    val path = s"$wh/spt"
+    import graft.conditions.{Condition, Op}
+    val all = ManifestTable.statsSurvivors(path, Seq.empty)
+    val surv = Seq("g0", "g1", "g2").map(g =>
+      ManifestTable.statsSurvivors(path, Seq(Condition("grp", Op.Eq, g))))
+    assert(all.size >= 3, s"expected >=3 clustered files, got ${all.size}")
+    surv.foreach(sv => assert(sv.nonEmpty && sv.size < all.size,
+      s"streamed files must prune partition predicates: ${sv.size}/${all.size}"))
+    assert(surv.map(_.size).sum <= all.size + 2)
+    assert(s2.sql("SELECT count(*) FROM graft.spt WHERE grp = 'g2'")
+      .head().getLong(0) == 300L)
+  }
 }
