@@ -913,7 +913,12 @@ object ManifestTable {
     * not collide with any LIVE OR HISTORICAL physical name — that
     * frozen-name invariant is what keeps the write-side translation
     * collision-free forever (renaming back to the column's own physical
-    * name is the one allowed re-use: it just erases the map entry). */
+    * name is the one allowed re-use: it just erases the map entry).
+    *
+    * Change-feed note: the rename commit itself is dataChange=false and
+    * touches no files, so per-version feeds skip it; a feed WINDOW that
+    * spans a rename compares frames under different logical names and
+    * fails loudly at analysis — drain up to the rename, then from it. */
   def renameColumn(spark: SparkSession, path: String, from: String,
       to: String): Long = {
     var attempts = 0
