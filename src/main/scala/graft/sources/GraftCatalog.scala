@@ -959,10 +959,23 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
         // value to one task; here only value JOINTS can share a file)
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           import org.apache.spark.sql.functions.xxhash64
+          // tiebreaker over the HASHABLE columns only (xxhash64 refuses
+          // MapType); partition columns are atomic by construction
+          import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType => ST}
+          def hasMap(dt: DataType): Boolean = dt match {
+            case _: MapType => true
+            case a: ArrayType => hasMap(a.elementType)
+            case s: ST => s.fields.exists(f => hasMap(f.dataType))
+            case _ => false
+          }
+          val hashable = data.schema.fields.filterNot(f => hasMap(f.dataType))
+            .map(f => data.col(f.name)).toSeq
           val clustered =
             if (partCols.isEmpty) data
             else data.repartitionByRange(
-              partCols.map(data.col) :+ xxhash64(data.columns.map(data.col): _*): _*)
+              partCols.map(data.col) :+ xxhash64(
+                (if (hashable.nonEmpty) hashable
+                 else partCols.map(data.col)): _*): _*)
           if (replace || overwrite) ManifestTable.overwrite(clustered, path)
           else ManifestTable.append(clustered, path)
         }
