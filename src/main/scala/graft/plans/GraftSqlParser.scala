@@ -129,9 +129,15 @@ case class GraftOptimizeCommand(target: Either[String, Seq[String]],
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     val before = ManifestTable.dataFiles(path).size.toLong
+    // a parameter-free OPTIMIZE re-clusters on the table's DECLARED
+    // layout: zorder.cols when set (Delta's table-property model);
+    // declared PARTITIONED BY columns are handled by compactCommit
+    val zs =
+      if (zorderBy.nonEmpty) zorderBy
+      else GraftCatalog.readDeclaredZOrder(java.nio.file.Paths.get(path))
     val v = ManifestTable.compactCommit(spark, path,
       targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
-      zorderBy = zorderBy)
+      zorderBy = zs)
     Seq(Row(v, before, ManifestTable.dataFiles(path, Some(v)).size.toLong))
   }
 }

@@ -363,10 +363,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty if sp.property.startsWith("check.") =>
         ManifestTable.setConstraints(SparkSession.active, path,
           ManifestTable.constraints(path) :+ sp.value)
+      case sp: TableChange.SetProperty if sp.property == "zorder.cols" =>
+        val zs = sp.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val schema = GraftCatalog.fullSchema(dir, None).get
+        require(zs.nonEmpty && zs.forall(schema.fieldNames.contains),
+          s"zorder.cols '${sp.value}' must name columns of the table schema")
+        require(GraftCatalog.readDeclaredParts(dir).isEmpty,
+          "zorder.cols and PARTITIONED BY are mutually exclusive " +
+            "(a z-order rewrite would smear the partition ranges)")
+        Files.writeString(dir.resolve(GraftCatalog.ZOrderFile), zs.mkString(","))
       case sp: TableChange.SetProperty =>
         throw new UnsupportedOperationException(
           s"unsupported table property '${sp.property}' " +
-            "(supported: merge.keys, check.<name>)")
+            "(supported: merge.keys, zorder.cols, check.<name>)")
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames.length == 1,
           "ADD COLUMN supports top-level columns only")
@@ -603,6 +612,18 @@ object GraftCatalog {
     }
   }
 
+  private[sources] val ZOrderFile = "_zorder"
+
+  /** Declared OPTIMIZE clustering (`TBLPROPERTIES('zorder.cols'='a,b')`):
+    * a parameter-free `OPTIMIZE t` re-clusters on these columns, the
+    * Delta table-property model. Mutually exclusive with PARTITIONED BY
+    * (a z-order rewrite would smear the partition ranges). */
+  private[graft] def readDeclaredZOrder(dir: Path): Seq[String] = {
+    val f = dir.resolve(ZOrderFile)
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** CREATE-time CHECK constraints (same pre-first-commit lifecycle). */
   private[sources] def writeDeclaredConstraints(dir: Path,
       checks: Seq[String]): Unit = {
@@ -741,6 +762,8 @@ class GraftSqlTable(val ident: String, val path: String,
     val m = new java.util.HashMap[String, String]()
     ManifestTable.constraints(path).zipWithIndex.foreach { case (c, i) =>
       m.put(s"check.$i", c) }
+    val zs = GraftCatalog.readDeclaredZOrder(java.nio.file.Paths.get(path))
+    if (zs.nonEmpty) m.put("zorder.cols", zs.mkString(","))
     m
   }
 

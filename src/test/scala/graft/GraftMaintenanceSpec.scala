@@ -101,6 +101,30 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     assert(ManifestTable.constraints(s"$wh/t") == Seq("v > 0", "v < 100"))
   }
 
+  test("declared zorder.cols: a parameter-free OPTIMIZE re-clusters on the table property") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("CREATE TABLE graft.t (k BIGINT, a BIGINT, b BIGINT)")
+    s2.sql("""INSERT INTO graft.t
+              SELECT id, pmod(id * 37, 1000), pmod(id * 91, 1000)
+              FROM range(0, 2000)""")
+    s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('zorder.cols'='a,b')")
+    s2.sql("OPTIMIZE graft.t TARGET 8192").collect()
+    import graft.conditions.{Condition, Op}
+    val path = s"$wh/t"
+    val sv = ManifestTable.statsSurvivors(path, Seq(Condition("a", Op.Lt, 50L)))
+    assert(sv.size < ManifestTable.dataFiles(path).size,
+      s"declared zorder must make `a` prunable: ${sv.size}/${ManifestTable.dataFiles(path).size}")
+    // refused on partitioned tables and for unknown columns
+    s2.sql("CREATE TABLE graft.pt (k BIGINT, g STRING) PARTITIONED BY (g)")
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.pt SET TBLPROPERTIES ('zorder.cols'='k')") }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('zorder.cols'='nope')") }
+  }
+
   test("VACUUM retention: age gate without FORCE, full sweep with it") {
     val wh = freshWh()
     val s2 = spark.newSession()
