@@ -2707,6 +2707,91 @@ object SparkEntry {
            FROM graft.sales.orders GROUP BY 1""")
     }),
 
+    "q152_lakehouse_capstone" -> ((s, dir) => {
+      // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
+      // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
+      // checkpointed STREAM lands two range-clustered epochs; MERGE
+      // INTO doubles half the keys as a MoR delta commit; RENAME
+      // COLUMN is metadata-only under the partition layout; OPTIMIZE
+      // folds the delete ledger while PRESERVING partition clustering
+      // under the renamed logical schema; VACUUM FORCE sweeps to
+      // exactly the live files; time travel still answers the
+      // pre-rename name. The oracle replays it all relationally — any
+      // cross-feature leak (clustering lost, stale generated state,
+      // mapping dropped, ledger resurfacing) breaks the hash.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q152-").toString
+      val s2 = streamSession(s)
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4k")
+      val t = s"$wh/sales"
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_q152")
+      // the CHECK deliberately references k, not qty: a column the
+      // CONTRACT references is immutable, and qty is renamed below
+      s2.sql("""CREATE TABLE graft.sales (
+                  k BIGINT, grp STRING, qty DOUBLE,
+                  CONSTRAINT pos CHECK (k >= 0),
+                  CONSTRAINT pk PRIMARY KEY (k))
+                PARTITIONED BY (grp)""")
+      // two streamed epochs (checkpointed file feed, one file per batch)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q152-feed-")
+      val feedDir = s"$tmp/feed"
+      val src = Tables(s2, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast("double").as("qty"))
+      stagePart(src.where(col("k") % 2 === 0), tmp.toString, feedDir, "b1")
+      stagePart(src.where(col("k") % 2 === 1), tmp.toString, feedDir, "b2")
+      val schema = s2.read.parquet(feedDir).schema
+      s2.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+        .writeStream.option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.sales").awaitTermination()
+      require(ManifestTable.versions(t).size == 2,
+        "two streamed epochs must land as two versions")
+      // MERGE doubles qty for keys % 5 = 0 — a delta commit, zero rewrites
+      val filesPreMerge = ManifestTable.dataFiles(t).toSet
+      s2.sql("""MERGE INTO graft.sales AS t
+                USING (SELECT o_orderkey AS k FROM orders_q152 WHERE o_orderkey % 5 = 0) AS s
+                ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET qty = t.qty * 2""")
+      require(ManifestTable.dataFiles(t).toSet.intersect(filesPreMerge)
+          == filesPreMerge,
+        "the MERGE must be merge-on-read: no pre-merge file rewritten")
+      // metadata-only rename under the partition layout
+      s2.sql("ALTER TABLE graft.sales RENAME COLUMN qty TO quantity")
+      // OPTIMIZE folds the ledger and KEEPS the partition clustering
+      // under the renamed schema; VACUUM FORCE sweeps to the live files
+      s2.sql("OPTIMIZE graft.sales TARGET 65536").collect()
+      s2.sql("VACUUM graft.sales RETAIN 1 VERSIONS FORCE").collect()
+      val all = ManifestTable.statsSurvivors(t, Seq.empty)
+      val sv = ManifestTable.statsSurvivors(t,
+        Seq(Condition("grp", Op.Eq, "1-URGENT")))
+      require(all.size >= 3 && sv.nonEmpty && sv.size < all.size,
+        s"partition clustering must survive OPTIMIZE: ${sv.size}/${all.size}")
+      val onDisk = scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(t, "data"))) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .count(_.endsWith(".parquet"))
+      }
+      require(onDisk == all.size,
+        s"VACUUM must sweep to exactly the live files: $onDisk vs ${all.size}")
+      require(ManifestTable.versions(t).size == 1,
+        "RETAIN 1 must leave one version")
+      s2.sql(
+        """WITH urgent AS (
+             SELECT CAST(count(*) AS BIGINT) AS nu
+             FROM graft.sales WHERE grp = '1-URGENT')
+           SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(quantity AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             (SELECT nu FROM urgent) AS n_urgent
+           FROM graft.sales GROUP BY 1""")
+    }),
+
     "q151_sql_ddl_contract" -> ((s, dir) => {
       // The table CONTRACT in standard DDL (TableCatalogCapability
       // SUPPORT_TABLE_CONSTRAINT + SUPPORTS_CREATE_TABLE_WITH_GENERATED
@@ -8772,6 +8857,22 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_linenumber = 2 GROUP BY 1""",
+    // q152: both epochs hold every order row; the MERGE doubled every
+    // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must
+    // be invisible to readers
+    "q152_lakehouse_capstone" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_orderpriority AS grp,
+             CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DOUBLE) * 2
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS quantity
+           FROM orders),
+         urgent AS (
+           SELECT CAST(count(*) AS BIGINT) AS nu FROM base
+           WHERE grp = '1-URGENT')
+         SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(quantity AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           (SELECT nu FROM urgent) AS n_urgent
+         FROM base GROUP BY 1""",
     // q151: lines 1 (insert) + 2 (merge); gross = qty*price is computed
     // by the write (products of decimal(15,2)-scale values have ≤4
     // decimal digits, so the DECIMAL(28,4) cast is drift-free)
