@@ -2707,6 +2707,58 @@ object SparkEntry {
            FROM graft.sales.orders GROUP BY 1""")
     }),
 
+    "q153_sql_changes" -> ((s, dir) => {
+      // THE CHANGE FEED'S SQL DOOR — graft_changes(path, from, to), the
+      // table_changes TVF: four commits (two appends, a delta UPDATE, a
+      // delta DELETE, both CDC-materialized at commit time) drain as
+      // one SQL frame in the Delta CDF shape (_change_type +
+      // _commit_version). Gate: folding the feed — latest event per
+      // key, drop deletes — reconstructs the final table EXACTLY
+      // (exceptAll both ways), so the SQL door carries the same replay
+      // guarantees the API and streaming doors already prove.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q153-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src")
+      s2.sql("""CREATE TABLE graft.t (
+                  k BIGINT, status STRING, price DOUBLE,
+                  CONSTRAINT pk PRIMARY KEY (k))""")
+      s2.sql("""INSERT INTO graft.t SELECT o_orderkey, o_orderstatus,
+                CAST(o_totalprice AS DOUBLE) FROM orders_src
+                WHERE o_orderkey % 2 = 0""")
+      s2.sql("""INSERT INTO graft.t SELECT o_orderkey, o_orderstatus,
+                CAST(o_totalprice AS DOUBLE) FROM orders_src
+                WHERE o_orderkey % 2 = 1""")
+      s2.sql("UPDATE graft.t SET price = price * 2 WHERE status = 'F'")
+      ManifestTable.materializeCdf(s2, t, ManifestTable.latestVersion(t))
+      s2.sql("DELETE FROM graft.t WHERE k % 9 = 0")
+      val vEnd = ManifestTable.latestVersion(t)
+      ManifestTable.materializeCdf(s2, t, vEnd)
+      // the fold gate: latest change per key minus deletes == the table
+      val feed = s2.sql(s"SELECT * FROM graft_changes('$t', 0, $vEnd)")
+      require(feed.select("_commit_version").distinct().count() == 4,
+        "all four data commits must appear in the feed")
+      val latest = feed
+        .where(col("_change_type") =!= "update_preimage")
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy(col("_commit_version").desc)))
+        .where(col("__r") === 1 && col("_change_type") =!= "delete")
+        .select("k", "status", "price")
+      val now = s2.table("graft.t").select("k", "status", "price")
+      require(latest.exceptAll(now).isEmpty && now.exceptAll(latest).isEmpty,
+        "folding the SQL change feed must reconstruct the table")
+      s2.sql(
+        s"""SELECT _change_type AS change_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM graft_changes('$t', 0, $vEnd) GROUP BY 1""")
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -8857,6 +8909,27 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_linenumber = 2 GROUP BY 1""",
+    // q153: the feed replayed relationally — inserts at original price,
+    // pre/postimages for F rows, delete preimages at current (possibly
+    // doubled) price
+    "q153_sql_changes" ->
+      """WITH src AS (
+           SELECT o_orderkey AS k, o_orderstatus AS status,
+                  CAST(o_totalprice AS DOUBLE) AS price
+           FROM orders),
+         changes AS (
+           SELECT 'insert' AS change_type, price FROM src
+           UNION ALL
+           SELECT 'update_preimage', price FROM src WHERE status = 'F'
+           UNION ALL
+           SELECT 'update_postimage', price * 2 FROM src WHERE status = 'F'
+           UNION ALL
+           SELECT 'delete',
+             CASE WHEN status = 'F' THEN price * 2 ELSE price END
+           FROM src WHERE k % 9 = 0)
+         SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM changes GROUP BY 1""",
     // q152: both epochs hold every order row; the MERGE doubled every
     // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must
     // be invisible to readers

@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("graft_detail"),
       new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_detail"),
       GraftTableFunction.buildDetail _))
+    ext.injectTableFunction((FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_changes"),
+      GraftTableFunction.buildChanges _))
   }
 }
 
@@ -131,6 +134,8 @@ object GraftExtensions {
       spark, "graft_history", GraftTableFunction.buildHistory _)
     org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
       spark, "graft_detail", GraftTableFunction.buildDetail _)
+    org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
+      spark, "graft_changes", GraftTableFunction.buildChanges _)
     GraftJoinSize.install(spark)
   }
 }

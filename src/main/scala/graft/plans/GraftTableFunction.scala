@@ -65,4 +65,27 @@ object GraftTableFunction {
     org.apache.spark.sql.graft.ColumnBridge.logicalPlan(
       graft.sources.ManifestTable.history(SparkSession.active, path))
   }
+
+  /** `graft_changes('<path>', <from>, <to>)` — Delta's `table_changes`
+    * as a TVF: the CHANGE FEED over `(from, to]` from plain SQL (table
+    * columns + `_change_type` + `_commit_version`), on the same
+    * per-version contract the streaming CDF source enforces
+    * ([[graft.sources.ManifestTable.changeFeed]]). The SQL door of the
+    * one change feed the API and streams already share. */
+  def buildChanges(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3,
+      "graft_changes(path, fromVersion, toVersion) takes three arguments")
+    exprs.foreach(e => require(e.foldable,
+      "graft_changes: every argument must be a literal"))
+    def longOf(e: Expression, what: String): Long = e.eval() match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_changes: $what must be an integer literal, got $other")
+    }
+    val path = String.valueOf(exprs.head.eval())
+    org.apache.spark.sql.graft.ColumnBridge.logicalPlan(
+      graft.sources.ManifestTable.changeFeed(SparkSession.active, path,
+        longOf(exprs(1), "fromVersion"), longOf(exprs(2), "toVersion")))
+  }
 }

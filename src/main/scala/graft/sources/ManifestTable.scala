@@ -2557,6 +2557,50 @@ object ManifestTable {
     * merge-key metadata. A version-1 (or parentless) commit emits all
     * rows as inserts. The streaming change feed
     * (`readChangeFeed=true`) consumes these for non-append commits. */
+  /** Batch CHANGE FEED over `(fromVersion, toVersion]` — the SQL/
+    * DataFrame door to the same per-version contract the streaming CDF
+    * source enforces: maintenance (dataChange=false) commits emit
+    * nothing, a commit with materialized `_change_data` reads its exact
+    * row diffs, an append-only commit synthesizes `insert` rows from
+    * its own files, and anything else fails loudly asking for
+    * [[materializeCdf]] at commit time. Output = the table columns +
+    * `_change_type` (insert / delete / update_preimage /
+    * update_postimage) + `_commit_version`, Delta's
+    * `table_changes` shape. Cost is change-proportional: only touched
+    * files and change-sized diffs are read, never the table. */
+  def changeFeed(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(path).filter(v => v > fromVersion && v <= toVersion)
+    require(vs.nonEmpty,
+      s"no committed versions in ($fromVersion, $toVersion] at $path")
+    val slices = vs.flatMap { v =>
+      if (!dataChangeAt(path, v)) None
+      else {
+        val cdf = cdfFile(path, v)
+        if (Files.exists(cdf))
+          Some(spark.read.parquet(cdf.toString))
+        else if (isAppendOnly(path, v))
+          Some(spark.read.parquet(
+              appendSlice(path, v - 1, v, ignoreChanges = true): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        else throw new IllegalStateException(
+          s"version $v of $path is not append-only and has no materialized " +
+            s"change data - run ManifestTable.materializeCdf(path, $v) " +
+            "at (or after) commit time to read this change")
+      }
+    }
+    if (slices.isEmpty)
+      // every version in range was maintenance: an empty feed in the
+      // CDF shape (schema from the endpoint snapshot)
+      read(spark, path, Some(toVersion))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .where(lit(false))
+    else slices.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   def materializeCdf(spark: SparkSession, path: String, version: Long,
       keyCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.{col, lit}

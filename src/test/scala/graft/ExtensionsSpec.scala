@@ -155,4 +155,30 @@ class ExtensionsSpec extends SparkSpecBase {
       assert(cp(s1, p1, s2, p2) == ref, s"($s1,$p1) vs ($s2,$p2)")
     }
   }
+
+  test("graft_changes TVF: the change feed from SQL — appends synthesize inserts, materialized diffs read, maintenance skipped") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val t = java.nio.file.Files.createTempDirectory("graft-tvf-ch-").toString + "/t"
+    ManifestTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), t) // v1
+    ManifestTable.mergeMoR(spark, t, Seq((2L, 21.0)).toDF("k", "v"),
+      Seq("k")) // v2: update
+    ManifestTable.materializeCdf(spark, t, 2L)
+    ManifestTable.compactCommit(spark, t) // v3: maintenance — no feed rows
+    val feed = spark.sql(s"SELECT * FROM graft_changes('$t', 0, 3)")
+      .orderBy("_commit_version", "_change_type", "k").collect()
+    assert(feed.map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+      r.getAs[Long]("_commit_version"))).toSeq == Seq(
+      (1L, "insert", 1L), (2L, "insert", 1L),
+      (2L, "update_postimage", 2L), (2L, "update_preimage", 2L)))
+    // a window starting mid-history sees only its versions
+    assert(spark.sql(s"SELECT count(*) FROM graft_changes('$t', 1, 3)")
+      .head().getLong(0) == 2L)
+    // non-append, non-materialized versions fail loudly
+    ManifestTable.mergeMoR(spark, t, Seq((1L, 11.0)).toDF("k", "v"), Seq("k"))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM graft_changes('$t', 3, 4)").collect() }
+    assert(e.getMessage.contains("materializeCdf"))
+  }
 }
