@@ -322,6 +322,42 @@ object ApiServer {
                 graft.sources.ManifestTable.expire(tablePath, keepLast = keep)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("expired_versions" -> dropped) ~ ("freed_files" -> freed.length))))
+            case ("POST", List("rename_column")) =>
+              // COLUMN MAPPING over HTTP (same metadata-only commit the
+              // SQL ALTER lands): ?from=<col>&to=<col>
+              val from = queryParams(ex).getOrElse("from",
+                throw new IllegalArgumentException("rename_column needs ?from="))
+              val to = queryParams(ex).getOrElse("to",
+                throw new IllegalArgumentException("rename_column needs ?to="))
+              val v = graft.sources.ManifestTable.renameColumn(
+                spark, tablePath, from, to)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("renamed_version" -> v) ~ ("from" -> from) ~ ("to" -> to))))
+            case ("POST", List("drop_column")) =>
+              // metadata-only DROP COLUMN: ?col=<col>
+              val c = queryParams(ex).getOrElse("col",
+                throw new IllegalArgumentException("drop_column needs ?col="))
+              val v = graft.sources.ManifestTable.dropColumn(spark, tablePath, c)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("dropped_version" -> v) ~ ("column" -> c))))
+            case ("GET", List("change_summary")) =>
+              // change-feed SUMMARY over (?from, ?to]: per-type row
+              // counts by version — metadata-sized JSON (row-level
+              // changes stay on the /changes, SQL, and stream doors)
+              val from = queryParams(ex).get("from").map(_.toLong).getOrElse(0L)
+              val to = queryParams(ex).get("to").map(_.toLong).getOrElse(
+                graft.sources.ManifestTable.versions(tablePath).max)
+              val summary = graft.sources.ManifestTable
+                .changeFeed(spark, tablePath, from, to)
+                .groupBy("_commit_version", "_change_type").count()
+                .orderBy("_commit_version", "_change_type").collect().map { r =>
+                  ("version" -> r.getLong(0)) ~
+                    ("change_type" -> r.getString(1)) ~
+                    ("rows" -> r.getLong(2))
+                }.toList
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("warehouse" -> whName) ~ ("resource" -> resource) ~
+                  ("from" -> from) ~ ("to" -> to) ~ ("changes" -> summary))))
             case ("GET", List("history")) =>
               // DESCRIBE HISTORY: the audit rows as JSON
               val h = graft.sources.ManifestTable.history(spark, tablePath)

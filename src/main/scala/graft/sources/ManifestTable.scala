@@ -2580,12 +2580,19 @@ object ManifestTable {
         val cdf = cdfFile(path, v)
         if (Files.exists(cdf))
           Some(spark.read.parquet(cdf.toString))
-        else if (isAppendOnly(path, v))
-          Some(spark.read.parquet(
-              appendSlice(path, v - 1, v, ignoreChanges = true): _*)
+        else if (isAppendOnly(path, v)) {
+          // the version's OWN files, read through reconcile so clone
+          // initials (carried seqs), inherited delete ledgers, and
+          // column mapping all resolve exactly like a table read
+          val m = manifestAt(path, v)
+          val own =
+            if (m.parent == 0L) m.files
+            else m.files.filter(f => m.seqs.get(f).exists(_ == v))
+          if (own.isEmpty) None
+          else Some(reconcile(spark, path, m, own)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        else throw new IllegalStateException(
+        } else throw new IllegalStateException(
           s"version $v of $path is not append-only and has no materialized " +
             s"change data - run ManifestTable.materializeCdf(path, $v) " +
             "at (or after) commit time to read this change")

@@ -258,6 +258,28 @@ class ApiServerSpec extends SparkSpecBase {
       assert(rs.contains(s"\"new_version\":${curV + 1}"), rs)
       assert(ManifestTable.read(spark, s"$base/items")
         .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+      // column mapping over HTTP: rename is metadata-only, the read
+      // answers to the new name, drop hides it again
+      val filesBefore = ManifestTable.dataFiles(s"$base/items2")
+      val rn = Http.post(
+        s"${api.baseUrl}/table/txlake/items2/rename_column?from=x&to=qty",
+        Map.empty, "", "application/json")
+      assert(rn.contains("\"from\":\"x\"") && rn.contains("\"to\":\"qty\""), rn)
+      assert(ManifestTable.dataFiles(s"$base/items2") == filesBefore)
+      assert(ManifestTable.read(spark, s"$base/items2")
+        .schema.fieldNames.toSeq == Seq("qty"))
+      // the only column can't be dropped — loud 400, not a broken table
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.post(s"${api.baseUrl}/table/txlake/items2/drop_column?col=qty",
+          Map.empty, "", "application/json")
+      }.status == 400)
+      // change-feed summary: the clone's initial version summarizes as
+      // synthesized inserts (carried seqs resolved through reconcile)
+      val ch = Http.get(
+        s"${api.baseUrl}/table/txlake/items2/change_summary?from=0&to=1",
+        Map.empty)
+      assert(ch.contains("\"change_type\":\"insert\"") &&
+        ch.contains("\"rows\":3"), ch)
     } finally api.stop()
   }
 
