@@ -853,7 +853,19 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftScan(path, version, required, conds, streamOpts)
+  override def build(): Scan = {
+    val v1 = GraftScan(path, version, required, conds, streamOpts)
+    // STORAGE-PARTITIONED JOIN door: strictly opt-in via Spark's own v2
+    // bucketing conf, and only when the snapshot proves eligible — the
+    // V1 scan stays the universal fallback (MoR reconcile, column
+    // mapping, DDL null-fill, arbitrary types)
+    val spark = SparkSession.active
+    val spjOn = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!spjOn) v1
+    else GraftGroupedScan
+      .build(spark, path, version, required, conds, v1).getOrElse(v1)
+  }
 }
 
 /** The scan: file pruning + MoR reconcile via the ONE shared read path
@@ -1013,7 +1025,7 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
       // mode appends; Complete mode (truncate()) replaces per epoch.
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftStreamingWrite(path, schema, queryId, replace)
+        new GraftStreamingWrite(path, schema, queryId, replace, partCols)
     }
     if (partCols.isEmpty) new GraftV1Write
     else {
@@ -1037,7 +1049,7 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
 }
 
 class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
-    replace: Boolean)
+    replace: Boolean, partCols: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
@@ -1046,9 +1058,10 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     // logical → physical names, same translation stage() applies: a
     // renamed table's streamed epochs share the files' frozen schema
+    // (partition columns are rename-refused, so their names are stable)
     GraftStreamWriterFactory(
       ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-      ManifestTable.physicalWriteSchema(path, schema))
+      ManifestTable.physicalWriteSchema(path, schema), partCols)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1128,7 +1141,7 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
                 : org.apache.spark.sql.connector.write.DataWriterFactory =
               GraftBatchWriterFactory(
                 ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-                writeSchema)
+                writeSchema, parts)
             override def commit(messages: Array[
                 org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
               staged = messages.collect { case m: GraftDeltaCommitMessage =>
@@ -1187,49 +1200,87 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
   }
 }
 
-case class GraftBatchWriterFactory(dataDir: String, schema: StructType)
+case class GraftBatchWriterFactory(dataDir: String, schema: StructType,
+    partCols: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftAppendTaskWriter(dataDir, schema)
+    new GraftAppendTaskWriter(dataDir, schema, partCols)
 }
 
-case class GraftStreamWriterFactory(dataDir: String, schema: StructType)
+case class GraftStreamWriterFactory(dataDir: String, schema: StructType,
+    partCols: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftAppendTaskWriter(dataDir, schema)
+    new GraftAppendTaskWriter(dataDir, schema, partCols)
 }
 
-/** One task's micro-batch slice → at most one parquet file (lazily
-  * opened: an empty partition writes nothing). */
-class GraftAppendTaskWriter(dataDir: String, schema: StructType)
+/** One task's rows → parquet files (lazily opened: an empty partition
+  * writes nothing). On a PARTITIONED BY table (`partCols` non-empty,
+  * rows arrive sorted on them — the plan's required ordering / the
+  * stage-side local sort) the writer ROLLS to a new file whenever the
+  * partition-value tuple changes, so every data file carries exactly
+  * ONE partition value (min == max in its footer stats). That
+  * single-value invariant is what turns the declared layout into a
+  * reported [[org.apache.spark.sql.connector.read.partitioning
+  * .KeyGroupedPartitioning]] on the read side: a value-joint file
+  * would make the value→files grouping unsound (a value strictly
+  * inside a file's [min,max] range is invisible to the manifest). */
+class GraftAppendTaskWriter(dataDir: String, schema: StructType,
+    partCols: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.connector.write.DataWriter[
     org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.graft.ParquetRowWriter
 
-  private var name: String = _
+  private val partIdx = partCols.map(schema.fieldIndex).toArray
+  private val partTypes = partIdx.map(schema.fields(_).dataType)
+  private var names: List[String] = Nil
   private var out: ParquetRowWriter.Writer = _
+  private var curKey: Array[Any] = _
+
+  private def keyOf(row: org.apache.spark.sql.catalyst.InternalRow): Array[Any] =
+    Array.tabulate(partIdx.length) { i =>
+      row.get(partIdx(i), partTypes(i)) match {
+        // rows are REUSED buffers upstream: copy buffer-backed values
+        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+        case other => other
+      }
+    }
+
+  private def open(): Unit = {
+    val name = s"${java.util.UUID.randomUUID()}.parquet"
+    names = name :: names
+    out = ParquetRowWriter.open(s"$dataDir/$name", schema)
+  }
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-    if (out == null) {
-      name = s"${java.util.UUID.randomUUID()}.parquet"
-      out = ParquetRowWriter.open(s"$dataDir/$name", schema)
-    }
+    if (partIdx.nonEmpty) {
+      val k = keyOf(row)
+      if (out == null) { curKey = k; open() }
+      else if (!java.util.Arrays.equals(curKey.asInstanceOf[Array[AnyRef]],
+          k.asInstanceOf[Array[AnyRef]])) {
+        out.close(); curKey = k; open()
+      }
+    } else if (out == null) open()
     out.write(row)
   }
 
+  /** Files written so far (used by the stage-side aligned path, which
+    * drives this writer from `mapPartitions` instead of a DSv2 task). */
+  def files: Seq[String] = names.reverse
+
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    val msg = GraftDeltaCommitMessage(Option(name).toSeq, Seq.empty)
+    val msg = GraftDeltaCommitMessage(files, Seq.empty)
     close()
     msg
   }
 
   override def abort(): Unit = {
     close()
-    if (name != null) Files.deleteIfExists(Paths.get(dataDir, name))
+    names.foreach(n => Files.deleteIfExists(Paths.get(dataDir, n)))
   }
 
   override def close(): Unit =

@@ -1,0 +1,309 @@
+package graft.sources
+
+import java.nio.file.Paths
+import java.util.OptionalLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.conditions.Condition
+import graft.sources.v2.RowGroupReader
+
+/** STORAGE-PARTITIONED JOIN scan over a PARTITIONED BY catalog table.
+  *
+  * The manifest already records per-file min/max stats, and every write
+  * door rolls files at partition-value boundaries
+  * ([[GraftAppendTaskWriter]]), so each live data file carries exactly
+  * ONE value tuple of the declared identity partition columns. That
+  * makes the value → files grouping driver-derivable from metadata
+  * alone: this scan groups live files by partition value, reports
+  * [[KeyGroupedPartitioning]] over the identity transforms, and answers
+  * each group through [[HasPartitionKey]] — Spark's storage-partitioned
+  * join machinery (`spark.sql.sources.v2.bucketing.enabled`) then joins
+  * two co-partitioned graft tables with NO shuffle exchange on either
+  * side, the lever that matters most at fact×fact scale where a
+  * hash-partitioned exchange of the big side is the dominant cost.
+  *
+  * Also a [[SupportsRuntimeV2Filtering]] target: a runtime IN/EQ
+  * predicate on a partition column (dynamic partition pruning from a
+  * dimension-side filter) drops whole value groups before any task
+  * launches.
+  *
+  * Strictly OPT-IN and conservative: [[GraftScanBuilder]] only chooses
+  * this scan when Spark's v2 bucketing conf is on AND
+  * [[GraftGroupedScan.eligible]] proves the snapshot safe — no MoR
+  * delete ledger, no column-mapping renames/drops, every required
+  * column present in the committed data schema with a type the
+  * row-group reader decodes, and every stats-surviving file
+  * single-valued on every partition column. Anything else falls back to
+  * the V1 scan ([[GraftScan]]), whose DataFrame path reconciles those
+  * cases. Reference behavior anchor: the co-located source/target sync
+  * loop (core/pipeline.py:83) is the reference's join-shaped hot path.
+  */
+final class GraftGroupedScan(
+    path: String,
+    version: Option[Long],
+    required: StructType,
+    conds: Seq[Condition],
+    partCols: Seq[String],
+    groups: Seq[(Array[Any], Seq[String])],
+    fallback: GraftScan)
+  extends Scan with Batch
+  with SupportsReportPartitioning with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
+
+  private val partIdx: Map[String, Int] = partCols.zipWithIndex.toMap
+
+  // runtime-filter state: per partition-column allowed value sets
+  // (intersection semantics across filter() calls); None = no filter
+  @volatile private var allowed: Map[Int, Set[Any]] = Map.empty
+
+  private def currentGroups: Seq[(Array[Any], Seq[String])] =
+    if (allowed.isEmpty) groups
+    else groups.filter { case (key, _) =>
+      allowed.forall { case (i, vs) => vs.contains(key(i)) }
+    }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftGroupedScan path=$path partitionKeys=${partCols.mkString(",")} " +
+      s"groups=${groups.size}"
+
+  // the table stays streamable with the bucketing conf on: delegate to
+  // the V1 scan's micro-batch door (version offsets, admission control)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    fallback.toMicroBatchStream(checkpointLocation)
+
+  override def outputPartitioning(): Partitioning =
+    // the identity transforms must resolve against this scan's OUTPUT —
+    // a projection that drops a partition column cannot report the
+    // grouping (Spark could not match join keys to it anyway)
+    if (partCols.forall(required.fieldNames.contains))
+      new KeyGroupedPartitioning(
+        partCols.map(c => Expressions.identity(c)).toArray, groups.size)
+    else new UnknownPartitioning(groups.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    currentGroups.map { case (key, files) =>
+      GraftValueGroupPartition(files, key): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftGroupReaderFactory(
+      ManifestTable.dataDirFor(path).toAbsolutePath.toString, required)
+
+  override def estimateStatistics(): Statistics = fallback.estimateStatistics()
+
+  override def filterAttributes(): Array[NamedReference] =
+    partCols.map(Expressions.column).toArray
+
+  /** Runtime group pruning: IN / = predicates on partition columns drop
+    * whole value groups; anything else is ignored (Spark re-evaluates
+    * every residual row-level, so ignoring is safe, never wrong). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        partIdx.get(r.fieldNames.head)
+      case _ => None
+    }
+    def litOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: Literal[_] => Some(l.value)
+      case _ => None
+    }
+    var next = allowed
+    predicates.foreach { p =>
+      val kids = p.children()
+      val parsed: Option[(Int, Set[Any])] = p.name() match {
+        case "IN" | "=" if kids.nonEmpty =>
+          for {
+            i <- colOf(kids.head)
+            vs <- Some(kids.tail.flatMap(litOf))
+            if vs.length == kids.length - 1 && vs.nonEmpty
+          } yield i -> vs.toSet
+        case _ => None
+      }
+      parsed.foreach { case (i, vs) =>
+        next = next.updated(i, next.get(i).map(_.intersect(vs)).getOrElse(vs))
+      }
+    }
+    allowed = next
+  }
+}
+
+/** All files of ONE partition-value group. `keyVals` are catalyst-typed
+  * (UTF8String for strings) in declared partition-column order. */
+final case class GraftValueGroupPartition(files: Seq[String],
+    keyVals: Array[Any]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
+}
+
+final case class GraftGroupReaderFactory(dataDir: String,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftValueGroupPartition]
+    new GroupFilesReader(gp.files.map(f => s"$dataDir/$f"), required)
+  }
+}
+
+/** Sequential reader over a group's files (all row groups of each,
+  * via [[RowGroupReader]]). A file written before an ALTER TABLE ADD
+  * COLUMN may lack trailing columns — those positions null-fill, the
+  * same semantics the DataFrame path's schema alignment gives. */
+final class GroupFilesReader(files: Seq[String], required: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val reqNames = required.fieldNames.toSeq
+  private var fileIdx = -1
+  private var groupIdx = 0
+  private var groupsInFile = 0
+  private var present: Seq[String] = Seq.empty
+  private var mapping: Array[Int] = _ // required position → present pos | -1
+  private var exact = true
+  private var cur: RowGroupReader = _
+  private var row: InternalRow = _
+
+  private def openFooter(file: String): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      groupsInFile = r.getFooter.getBlocks.size()
+      val names = r.getFooter.getFileMetaData.getSchema.getFields
+      val have = new scala.collection.mutable.HashSet[String]
+      names.forEach(f => have += f.getName)
+      present = reqNames.filter(have)
+      mapping = reqNames.map(n => present.indexOf(n)).toArray
+      exact = present == reqNames
+    } finally r.close()
+  }
+
+  private def advance(): Boolean = {
+    if (cur != null) { cur.close(); cur = null }
+    while (true) {
+      if (fileIdx >= 0 && groupIdx < groupsInFile) {
+        cur = new RowGroupReader(files(fileIdx), groupIdx, present, present,
+          Seq.empty)
+        groupIdx += 1
+        return true
+      }
+      fileIdx += 1
+      if (fileIdx >= files.length) return false
+      groupIdx = 0
+      openFooter(files(fileIdx))
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null && !advance()) return false
+      if (cur.next()) {
+        val inner = cur.get()
+        row =
+          if (exact) inner
+          else {
+            val vals = new Array[Any](reqNames.length)
+            var i = 0
+            while (i < vals.length) {
+              val src = mapping(i)
+              vals(i) =
+                if (src < 0) null
+                else inner.get(src, required.fields(i).dataType)
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
+        return true
+      }
+      cur.close(); cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
+
+object GraftGroupedScan {
+
+  private val readableTypes: DataType => Boolean = {
+    case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+         StringType | DateType | TimestampType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Partition-column types whose manifest stats round-trip faithfully
+    * through the stringified min/max (what [[parseStat]] inverts). */
+  private val keyTypes: DataType => Boolean = {
+    case IntegerType | LongType | FloatType | DoubleType | StringType => true
+    case _ => false
+  }
+
+  private def parseStat(s: String, dt: DataType): Any = dt match {
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case StringType => UTF8String.fromString(s)
+    case other => throw new IllegalStateException(s"unsupported key type $other")
+  }
+
+  /** The grouped scan for this snapshot, or None when any eligibility
+    * condition fails (the caller keeps the V1 scan — correctness never
+    * depends on taking this path). */
+  def build(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Long], required: StructType, conds: Seq[Condition],
+      fallback: GraftScan): Option[GraftGroupedScan] = {
+    val partCols = GraftCatalog.readDeclaredParts(Paths.get(path))
+    if (partCols.isEmpty || required.isEmpty) return None
+    val m = ManifestTable.snapshotAt(path, version).getOrElse(return None)
+    if (m.deletes.nonEmpty || m.renames.nonEmpty || m.droppedCols.nonEmpty)
+      return None
+    // every required column must be data-backed (DDL-added columns that
+    // no file carries yet null-fill on the V1 path) with a readable type
+    val dataSchema =
+      try ManifestTable.schemaAt(spark, path, version)
+      catch { case _: Exception => return None }
+    val dataFields = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+    if (!required.fields.forall(f =>
+        dataFields.get(f.name).contains(f.dataType) && readableTypes(f.dataType)))
+      return None
+    val keyFields = partCols.map(c => dataFields.get(c))
+    if (!keyFields.forall(_.exists(keyTypes))) return None
+    val kts = keyFields.map(_.get)
+    // stats-pruned survivors, each single-valued on every partition col
+    val survivors = ManifestTable.statsSurvivors(path, conds, version)
+    val grouped = new scala.collection.mutable.LinkedHashMap[Seq[Any], List[String]]
+    val it = survivors.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      val st = m.stats.getOrElse(f, Map.empty)
+      val keyOpts = partCols.zip(kts).map { case (c, dt) =>
+        st.get(c) match {
+          case Some(cs) if cs.min == cs.max => Some(parseStat(cs.min, dt))
+          case _ => None // value-joint or stat-less file → fall back
+        }
+      }
+      if (keyOpts.exists(_.isEmpty)) return None
+      grouped.updateWith(keyOpts.map(_.get))(cur => Some(f :: cur.getOrElse(Nil)))
+    }
+    val groups = grouped.toSeq.map { case (k, fs) =>
+      (k.toArray, fs.reverse: Seq[String])
+    }
+    Some(new GraftGroupedScan(path, version, required, conds, partCols,
+      groups, fallback))
+  }
+}

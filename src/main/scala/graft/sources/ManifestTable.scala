@@ -633,6 +633,13 @@ object ManifestTable {
   /** The files a stats-pruned [[readWhere]] would scan at a version —
     * the min/max survivor set, shared with [[BloomIndex.pruneFiles]]
     * (which intersects it with Bloom-provable absence). */
+  /** The resolved manifest of a snapshot (latest when `version` is
+    * None) — the grouped-scan eligibility check reads delete/mapping
+    * state and per-file stats from it without re-parsing per file. */
+  private[sources] def snapshotAt(path: String,
+      version: Option[Long]): Option[Manifest] =
+    version.map(manifestAt(path, _)).orElse(latest(path))
+
   def statsSurvivors(path: String, conds: Seq[graft.conditions.Condition],
       version: Option[Long] = None): Seq[String] = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
@@ -640,6 +647,15 @@ object ManifestTable {
     val phys = toPhysicalConds(m, conds)
     m.files.filter(f => fileMightMatch(m.stats.get(f), phys))
   }
+
+  /** Per-file column stats at a version (empty maps for files whose
+    * manifests predate the stats harvest) — layout inspection and the
+    * grouped-scan specs. */
+  def fileStats(path: String,
+      version: Option[Long] = None): Map[String, Map[String, ColStats]] =
+    snapshotAt(path, version)
+      .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
+      .stats
 
   /** Per-file row counts at a version (entries absent for files whose
     * manifests predate the row harvest). */
@@ -1046,9 +1062,31 @@ object ManifestTable {
 
   private def stage(df: DataFrame, path: String): Seq[String] = {
     Files.createDirectories(dataDir(path))
+    val processed = toPhysical(enforceConstraints(
+      applyGenerated(df, generatedColumns(path)), constraints(path)), path)
+    // PARTITIONED BY tables stage through the rolling task writer: a
+    // cheap in-task sort on the partition columns, then a new file
+    // whenever the value tuple changes — every staged file carries
+    // exactly ONE partition value (the invariant the read side needs to
+    // report a KeyGroupedPartitioning for storage-partitioned joins).
+    // Files land directly in the data dir (invisible until the manifest
+    // commit references them, same as the DSv2 write paths); a task
+    // failure deletes its own files before rethrowing.
+    val declaredParts = GraftCatalog.readDeclaredParts(Paths.get(path))
+    if (declaredParts.nonEmpty &&
+        declaredParts.forall(processed.columns.contains)) {
+      val dd = dataDir(path).toAbsolutePath.toString
+      val sorted = processed.sortWithinPartitions(
+        declaredParts.map(processed.col): _*)
+      val schema = sorted.schema
+      return sorted.queryExecution.toRdd.mapPartitions { rows =>
+        val w = new GraftAppendTaskWriter(dd, schema, declaredParts)
+        try { rows.foreach(w.write); val fs = w.files; w.close(); fs.iterator }
+        catch { case e: Throwable => w.abort(); throw e }
+      }.collect().toSeq.sorted
+    }
     val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    toPhysical(enforceConstraints(applyGenerated(df, generatedColumns(path)),
-      constraints(path)), path).write.parquet(staging.toString)
+    processed.write.parquet(staging.toString)
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))

@@ -107,12 +107,20 @@ object CursorSource {
         // FIXED_LEN_BYTE_ARRAY/BINARY (big-endian unscaled bytes) —
         // warehouse tables carry them everywhere, so the reader must
         case _ if dec.isDefined => dec.get
-        case INT64   => LongType
-        case INT32   => IntegerType
-        case DOUBLE  => DoubleType
-        case FLOAT   => FloatType
+        case INT32 if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          DateType
+        case INT64 if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+          TimestampType
+        case INT96  => TimestampType
+        case INT64  => LongType
+        case INT32  => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT  => FloatType
         case BOOLEAN => BooleanType
         case BINARY if isString(pt) => StringType
+        case BINARY => BinaryType
         case other => throw new IllegalArgumentException(
           s"graft-cursor: unsupported parquet type $other for field ${f.getName}")
       }
@@ -382,6 +390,35 @@ class RowGroupReader(file: String, rowGroup: Int, readNames: Seq[String],
       case FloatType   => g.getFloat(i, 0)
       case BooleanType => g.getBoolean(i, 0)
       case StringType  => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      // DATE is INT32 days since epoch — Catalyst's own representation
+      case DateType    => g.getInteger(i, 0)
+      case BinaryType  => g.getBinary(i, 0).getBytes
+      case TimestampType =>
+        // Catalyst wants micros since epoch (UTC). Spark writes INT96
+        // (nanos-of-day LE + julian day LE) under the default conf;
+        // annotated INT64 carries its unit in the logical type
+        projection.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT96 =>
+            val buf = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = buf.getLong
+            val julianDay = buf.getInt
+            (julianDay - 2440588).toLong * 86400000000L + nanosOfDay / 1000L
+          case PrimitiveType.PrimitiveTypeName.INT64 =>
+            val raw = g.getLong(i, 0)
+            projection.getType(i).asPrimitiveType()
+              .getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                  case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+                  case _ => raw // MICROS
+                }
+              case _ => raw
+            }
+          case other => throw new IllegalStateException(
+            s"unsupported timestamp physical type $other")
+        }
       case other => throw new IllegalStateException(s"unsupported read type $other")
     }
 

@@ -12,6 +12,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Connector-API literal ([[org.apache.spark.sql.connector.expressions
+    * .LiteralValue]] is `private[sql]`): catalyst-typed value + DataType,
+    * exactly what Spark's own V2ExpressionBuilder hands a
+    * SupportsRuntimeV2Filtering scan — specs build runtime predicates
+    * with it. */
+  def connectorLiteral(value: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Expression =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dt)
+
   /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
     * private[sql]). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
