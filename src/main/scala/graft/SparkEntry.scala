@@ -39,6 +39,24 @@ object SparkEntry {
     s2
   }
 
+  /** Every physical node of an EXECUTED frame, walking through AQE's
+    * leaf-node query-stage wrappers — plan-shape gates (q154/q155) read
+    * the final adaptive plan, not the initial one. */
+  private def executedNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      p +: through.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Stage `df` as ONE parquet part at `srcDir/<name>.parquet`, with an
     * optional explicit mtime (the file stream orders micro-batches by
     * mtime). Shared by every multi-micro-batch streaming gate — the
@@ -2757,6 +2775,119 @@ object SparkEntry {
         s"""SELECT _change_type AS change_type, CAST(count(*) AS BIGINT) AS n,
               CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
             FROM graft_changes('$t', 0, $vEnd) GROUP BY 1""")
+    }),
+
+    "q154_spj_join" -> ((s, dir) => {
+      // STORAGE-PARTITIONED JOIN — the fact×fact shuffle eliminator.
+      // customer and supplier land as PARTITIONED BY (nationkey)
+      // catalog tables; every write door rolls data files at partition-
+      // value boundaries, so the manifest alone proves each file
+      // single-valued, and the scans report a KeyGroupedPartitioning
+      // with HasPartitionKey value groups. Under Spark's v2 bucketing
+      // conf the co-partitioned join then plans with ZERO shuffle
+      // exchange on either side — at 100 TB this is the difference
+      // between re-clustering both fact tables per query and reading
+      // them joined in place. Gates: both scans are grouped scans and
+      // the join subtree contains no shuffle. Reference anchor: the
+      // source×target sync loop (core/pipeline.py:83) is the
+      // reference's join-shaped hot path.
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import graft.sources.GraftGroupedScan
+      val wh = java.nio.file.Files.createTempDirectory("graft-q154-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables(s2, dir, "customer").createOrReplaceTempView("cust_q154")
+      Tables(s2, dir, "supplier").createOrReplaceTempView("supp_q154")
+      s2.sql("CREATE NAMESPACE graft.spj")
+      s2.sql("""CREATE TABLE graft.spj.customer PARTITIONED BY (c_nationkey)
+                AS SELECT c_custkey, c_nationkey, c_acctbal FROM cust_q154""")
+      s2.sql("""CREATE TABLE graft.spj.supplier PARTITIONED BY (s_nationkey)
+                AS SELECT s_suppkey, s_nationkey, s_acctbal FROM supp_q154""")
+      val q = s2.sql(
+        """SELECT c.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS pairs,
+             CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))
+                    + CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+           FROM graft.spj.customer c JOIN graft.spj.supplier s
+             ON c.c_nationkey = s.s_nationkey
+           GROUP BY c.c_nationkey""")
+      q.collect()
+      val nodes = executedNodes(q)
+      val scans = nodes.collect { case b: BatchScanExec => b.scan }
+      require(scans.size == 2 && scans.forall(_.isInstanceOf[GraftGroupedScan]),
+        s"expected two grouped scans, got ${scans.map(_.getClass.getSimpleName)}")
+      val join = nodes.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.getOrElse(throw new IllegalStateException("no shuffled-family join planned"))
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(walk)
+      require(walk(join).collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "co-partitioned join still shuffles")
+      q
+    }),
+
+    "q155_runtime_prune" -> ((s, dir) => {
+      // RUNTIME GROUP PRUNING — DSv2 dynamic partition pruning. orders
+      // lands PARTITIONED BY (o_orderpriority); the join's dimension
+      // side (a filtered priority list) feeds the scan's
+      // SupportsRuntimeV2Filtering hook at EXECUTION time, dropping
+      // whole value groups before any task launches — at scale this is
+      // the classic star-schema pattern where the fact scan reads only
+      // the partitions the dimension filter names. Gates: the fact scan
+      // is a grouped scan AND it observed a runtime filter that pruned
+      // groups (planned < total).
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import graft.sources.GraftGroupedScan
+      val wh = java.nio.file.Files.createTempDirectory("graft-q155-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // -1: ONLY the hinted dimension broadcasts — at toy scale the
+      // fact's live-size estimate is broadcastable too, and a fact-side
+      // build leaves DPP nothing to prune (reuse-broadcast mode prunes
+      // the probe side)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_q155")
+      s2.sql("CREATE NAMESPACE graft.rt")
+      s2.sql("""CREATE TABLE graft.rt.orders PARTITIONED BY (o_orderpriority)
+                AS SELECT o_orderkey, o_orderpriority, o_totalprice
+                FROM orders_q155""")
+      // the dimension filter is on a DERIVED attribute (the priority's
+      // class digit), NOT the join key — a join-key filter would be
+      // statically inferable through the join equality (constraint
+      // propagation) and the manifest stats would prune files before
+      // execution; filtering on tag forces the pruning to happen at
+      // RUNTIME, from the executed dimension's actual key values
+      // BROADCAST(d) pins the dimension as the build side (DPP's
+      // reuse-broadcast mode prunes the PROBE side's partitions)
+      val q = s2.sql(
+        """SELECT /*+ BROADCAST(d) */ o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.rt.orders o
+           JOIN (SELECT DISTINCT o_orderpriority AS p,
+                        substring(o_orderpriority, 1, 1) AS tag
+                 FROM orders_q155) d
+             ON o.o_orderpriority = d.p
+           WHERE d.tag IN ('1', '3')
+           GROUP BY o.o_orderpriority""")
+      q.collect()
+      val scan = executedNodes(q).collectFirst {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftGroupedScan] =>
+          b.scan.asInstanceOf[GraftGroupedScan]
+      }.getOrElse(throw new IllegalStateException(
+        "fact side did not take the grouped scan"))
+      require(scan.plannedGroupCount < scan.totalGroupCount,
+        s"runtime filter did not prune groups: ${scan.plannedGroupCount}" +
+          s"/${scan.totalGroupCount}")
+      q
     }),
 
     "q152_lakehouse_capstone" -> ((s, dir) => {
@@ -8930,6 +9061,22 @@ object SparkEntry {
          SELECT change_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM changes GROUP BY 1""",
+    // q154: the storage-partitioned join reads the same rows the plain
+    // relational join produces — the zero-shuffle plan shape is gated
+    // in the query itself
+    "q154_spj_join" ->
+      """SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS pairs,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                  + CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+         FROM customer JOIN supplier ON c_nationkey = s_nationkey
+         GROUP BY 1""",
+    // q155: the dimension join against the two named priorities is an
+    // IN filter relationally; runtime group pruning is gated in-query
+    "q155_runtime_prune" ->
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+         GROUP BY 1""",
     // q152: both epochs hold every order row; the MERGE doubled every
     // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must
     // be invisible to readers

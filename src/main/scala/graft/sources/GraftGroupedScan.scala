@@ -70,6 +70,11 @@ final class GraftGroupedScan(
       allowed.forall { case (i, vs) => vs.contains(key(i)) }
     }
 
+  /** Observability for gates/specs: groups surviving runtime filters /
+    * all value groups of the snapshot. */
+  def plannedGroupCount: Int = currentGroups.size
+  def totalGroupCount: Int = groups.size
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

@@ -171,4 +171,39 @@ class StoragePartitionedJoinSpec extends SparkSpecBase {
       .asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
     assert(kp.keys.length == 1 && kp.keys.head.describe().contains("g"))
   }
+
+  test("a dim-filtered join feeds the scan's runtime filter through DPP") {
+    val wh = freshWh()
+    val s2 = spjSession(wh) // threshold -1: ONLY the hinted side broadcasts
+    import s2.implicits._
+    (0 until 50).map(i => (i, s"g${i % 5}", i * 1.0)).toDF("id", "g", "v")
+      .createOrReplaceTempView("fact_src")
+    // the dim must be SCAN-backed: over a LocalRelation the optimizer's
+    // ConvertToLocalRelation folds the selective filter away before
+    // PartitionPruning looks for it, and no DPP subquery is planned
+    val dimDir = s"$wh/dim_src"
+    (0 until 5).map(i => (s"g$i", s"t${i % 2}")).toDF("p", "tag")
+      .write.parquet(dimDir)
+    s2.read.parquet(dimDir).createOrReplaceTempView("dim_src")
+    s2.sql("CREATE NAMESPACE graft.dpp")
+    s2.sql("CREATE TABLE graft.dpp.fact PARTITIONED BY (g) AS SELECT * FROM fact_src")
+    // the BROADCAST hint pins the dim as the build side — at toy scale
+    // the fact's live-size estimate is also broadcastable and Spark
+    // would otherwise build on the fact, where DPP has nothing to prune
+    val q = s2.sql(
+      """SELECT /*+ BROADCAST(d) */ f.g, count(*) AS n FROM graft.dpp.fact f
+         JOIN dim_src d ON f.g = d.p WHERE d.tag = 't1' GROUP BY f.g""")
+    val plan = finalPlan(q)
+    info(plan.toString)
+    val scans = allNodes(plan).collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftGroupedScan] =>
+        b.scan.asInstanceOf[GraftGroupedScan]
+    }
+    assert(scans.size == 1)
+    info(s"groups: ${scans.head.plannedGroupCount}/${scans.head.totalGroupCount}")
+    assert(scans.head.plannedGroupCount < scans.head.totalGroupCount,
+      s"runtime filter did not prune: $plan")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("g1", 10L), ("g3", 10L)))
+  }
 }
