@@ -136,21 +136,160 @@ object ManifestTable {
       renames: Map[String, String] = Map.empty,
       droppedCols: Seq[String] = Seq.empty)
 
-  private def render(m: Manifest): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def q(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  // ── SEGMENTED FILE LISTS ──────────────────────────────────────────
+  // A manifest is logically self-contained (one parse yields the whole
+  // snapshot — O(1) version resolution, no log replay), but rendering
+  // the FULL per-file entry list on every commit is O(table) metadata
+  // bytes per commit: at 100 TB / ~10⁶ files a one-row append would
+  // rewrite hundreds of MB of JSON. Iceberg's answer is manifest
+  // files + a manifest list; the same shape here: per-file entries
+  // (name, seq, rows, stats — all IMMUTABLE once the file enters the
+  // table) spill into immutable `seg-<uuid>.json` files, and each
+  // manifest references parent segments (with a per-segment drop list
+  // for removed files) plus a small inline tail. Commit cost becomes
+  // O(changes + refs): appends reuse the parent's segments verbatim,
+  // the tail spills to a new segment past [[SegSpillThreshold]], and a
+  // segment whose drop list passes half dissolves back inline (bounding
+  // drop-list growth). Readers resolve segments through an id-keyed
+  // cache — segments are immutable, so the cache never goes stale.
+
+  private type Layout = Seq[(String, Seq[String])] // (segId, dropped names)
+
+  private final case class SegEntry(name: String, seq: Option[Long],
+      rows: Option[Long], stats: Option[Map[String, ColStats]])
+  private final case class SegData(data: Seq[SegEntry], deletes: Seq[SegEntry])
+
+  /** Inline entries (data + delete files) above which a commit folds
+    * them into a new segment file. Low enough for specs to exercise the
+    * spill; at production file counts any value ≪ table size works —
+    * the amortized commit cost is O(threshold + segments). */
+  private[sources] val SegSpillThreshold = 24
+
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Layout]()
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SegData]()
+
+  private def segFile(path: String, id: String): Path =
+    manifestDir(path).resolve(s"seg-$id.json")
+
+  private def statsObj(cols: Map[String, ColStats]): String =
+    "{" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
+      q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}]"
+    }.mkString(",") + "}"
+
+  private def writeSeg(path: String, data: Seq[SegEntry],
+      deletes: Seq[SegEntry]): String = {
+    val id = UUID.randomUUID().toString
+    def entry(e: SegEntry): String =
+      s"""{"f":${q(e.name)},"seq":${e.seq.map(_.toString).getOrElse("null")},""" +
+        s""""rows":${e.rows.map(_.toString).getOrElse("null")},""" +
+        s""""stats":${e.stats.map(statsObj).getOrElse("null")}}"""
+    Files.writeString(segFile(path, id),
+      s"""{"data":[${data.map(entry).mkString(",")}],""" +
+        s""""deletes":[${deletes.map(entry).mkString(",")}]}""")
+    id
+  }
+
+  private def loadSeg(path: String, id: String): SegData = {
+    val p = segFile(path, id).toAbsolutePath.toString
+    val hit = segCache.get(p)
+    if (hit != null) return hit
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(Files.readString(Paths.get(p)))
+    def entries(v: JValue): Seq[SegEntry] = v match {
+      case JArray(es) => es.collect { case o: JObject =>
+        SegEntry((o \ "f").extract[String],
+          (o \ "seq").extractOpt[Long],
+          (o \ "rows").extractOpt[Long],
+          (o \ "stats") match {
+            case JObject(cs) => Some(cs.collect {
+              case (c, JArray(List(mn, mx, num))) =>
+                c -> ColStats(mn.extract[String], mx.extract[String],
+                  num.extract[Boolean])
+            }.toMap)
+            case _ => None
+          })
+      }
+      case _ => Seq.empty
+    }
+    val sd = SegData(entries(j \ "data"), entries(j \ "deletes"))
+    if (segCache.size > 65536) segCache.clear()
+    segCache.put(p, sd)
+    sd
+  }
+
+  /** The segment layout a version was PUBLISHED with (empty for fully
+    * inline manifests) — the successor commit's reuse baseline. */
+  private def layoutOf(path: String, version: Long): Layout = {
+    val p = manifestDir(path).resolve(f"v$version%08d.json")
+    if (!Files.isRegularFile(p)) return Seq.empty
+    parse(p) // warms both caches
+    layoutCache.getOrDefault(cacheKey(p), Seq.empty)
+  }
+
+  private def render(path: String, m: Manifest): String = {
+    val parentLayout: Layout =
+      if (m.parent <= 0) Seq.empty else layoutOf(path, m.parent)
+    val dataSet = m.files.toSet
+    val delSet = m.deletes.map(_._1).toSet
+    val covered = scala.collection.mutable.HashSet[String]()
+    val refs = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
+    parentLayout.foreach { case (id, drop) =>
+      val seg = loadSeg(path, id)
+      val base = seg.data.map(_.name) ++ seg.deletes.map(_.name)
+      val dropSet = drop.toSet
+      val active = base.filterNot(dropSet)
+      val retained =
+        active.filter(n => (dataSet(n) || delSet(n)) && !covered(n))
+      if (retained.size == active.size) {
+        refs += ((id, drop)); covered ++= retained
+      } else if (retained.size * 2 >= active.size && retained.nonEmpty) {
+        // widen the drop list; past half the segment dissolves instead
+        // (its survivors fall through to the inline tail) so drop lists
+        // never dominate the entries they exclude
+        val keep = retained.toSet
+        refs += ((id, base.filterNot(keep).distinct))
+        covered ++= retained
+      }
+    }
+    var inlineData = m.files.filterNot(covered)
+    var inlineDeletes = m.deletes.filterNot(d => covered(d._1))
+    if (inlineData.size + inlineDeletes.size >= SegSpillThreshold) {
+      val id = writeSeg(path,
+        inlineData.map(f =>
+          SegEntry(f, m.seqs.get(f), m.rows.get(f), m.stats.get(f))),
+        inlineDeletes.map { case (f, s) =>
+          SegEntry(f, Some(s), m.rows.get(f), m.deleteStats.get(f)) })
+      refs += ((id, Seq.empty))
+      inlineData = Seq.empty
+      inlineDeletes = Seq.empty
+    }
+    val segsJson = refs.map { case (id, drop) =>
+      s"""{"id":${q(id)},"drop":[${drop.map(q).mkString(",")}]}"""
+    }.mkString(",")
+    renderInline(m.copy(files = inlineData, deletes = inlineDeletes), segsJson)
+  }
+
+  /** The JSON body over the manifest's INLINE entries (the pre-segment
+    * format, plus the `segs` references). */
+  private def renderInline(m: Manifest, segsJson: String): String = {
     def statsJson(files: Seq[String],
         stats: Map[String, Map[String, ColStats]]): String =
-      files.flatMap(f => stats.get(f).map { cols =>
-        q(f) + ":{" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
-          q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}]"
-        }.mkString(",") + "}"
-      }).mkString(",")
+      files.flatMap(f => stats.get(f).map(cols => q(f) + ":" + statsObj(cols)))
+        .mkString(",")
     val seqsJson = m.files.flatMap(f => m.seqs.get(f).map(s => q(f) + s":$s"))
       .mkString(",")
     val delJson = m.deletes.map { case (f, s) => s"[${q(f)},$s]" }.mkString(",")
     s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""commit_ts":${m.commitTs.getOrElse(System.currentTimeMillis())},""" +
       s""""commit_id":${m.commitId.map(q).getOrElse("null")},""" +
+      s""""segs":[$segsJson],""" +
       s""""files":[${m.files.map(q).mkString(",")}],""" +
       s""""stats":{${statsJson(m.files, m.stats)}},""" +
       s""""seqs":{$seqsJson},"deletes":[$delJson],""" +
@@ -231,7 +370,7 @@ object ManifestTable {
       case JArray(cs) => cs.collect { case JString(c) => c }
       case _ => Seq.empty[String]
     }
-    val m = Manifest(
+    val m0 = Manifest(
       (j \ "version").extract[Long],
       (j \ "files").extract[Seq[String]],
       (j \ "commit_id").extractOpt[String],
@@ -268,8 +407,53 @@ object ManifestTable {
         case JArray(ds) => ds.collect { case JString(c) => c }
         case _ => Seq.empty[String]
       })
-    if (parseCache.size > 65536) parseCache.clear()
+    // segmented file lists: resolve referenced segments (immutable,
+    // id-cached) and merge their live entries BEFORE the inline tail —
+    // absent in pre-segment manifests, which parse exactly as before
+    val layout: Layout = (j \ "segs") match {
+      case JArray(ss) => ss.collect { case o: JObject =>
+        ((o \ "id").extract[String],
+          (o \ "drop") match {
+            case JArray(ds) => ds.collect { case JString(s) => s }
+            case _ => Seq.empty[String]
+          })
+      }
+      case _ => Seq.empty
+    }
+    val m = if (layout.isEmpty) m0 else {
+      val tablePath = p.toAbsolutePath.getParent.getParent.toString
+      val sFiles = Vector.newBuilder[String]
+      val sDeletes = Vector.newBuilder[(String, Long)]
+      var sStats = Map.empty[String, Map[String, ColStats]]
+      var sDelStats = Map.empty[String, Map[String, ColStats]]
+      var sSeqs = Map.empty[String, Long]
+      var sRows = Map.empty[String, Long]
+      layout.foreach { case (id, drop) =>
+        val sd = loadSeg(tablePath, id)
+        val dropSet = drop.toSet
+        sd.data.filterNot(e => dropSet(e.name)).foreach { e =>
+          sFiles += e.name
+          e.seq.foreach(s => sSeqs += e.name -> s)
+          e.rows.foreach(r => sRows += e.name -> r)
+          e.stats.foreach(st => sStats += e.name -> st)
+        }
+        sd.deletes.filterNot(e => dropSet(e.name)).foreach { e =>
+          sDeletes += ((e.name, e.seq.getOrElse(0L)))
+          e.rows.foreach(r => sRows += e.name -> r)
+          e.stats.foreach(st => sDelStats += e.name -> st)
+        }
+      }
+      m0.copy(
+        files = sFiles.result() ++ m0.files,
+        deletes = sDeletes.result() ++ m0.deletes,
+        stats = sStats ++ m0.stats,
+        deleteStats = sDelStats ++ m0.deleteStats,
+        seqs = sSeqs ++ m0.seqs,
+        rows = sRows ++ m0.rows)
+    }
+    if (parseCache.size > 65536) { parseCache.clear(); layoutCache.clear() }
     parseCache.put(key, m)
+    layoutCache.put(key, layout)
     m
   }
 
@@ -856,7 +1040,7 @@ object ManifestTable {
       val m = base.copy(version = base.version + 1, parent = base.version,
         commitId = None, generated = gens, commitTs = None)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
-      try { publish(target, render(m)); return m.version }
+      try { publish(target, render(path, m)); return m.version }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     throw new IllegalStateException(
@@ -886,7 +1070,7 @@ object ManifestTable {
       val m = base.copy(version = base.version + 1, parent = base.version,
         commitId = None, constraints = cons, commitTs = None)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
-      try { publish(target, render(m)); return m.version }
+      try { publish(target, render(path, m)); return m.version }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     throw new IllegalStateException(
@@ -958,7 +1142,7 @@ object ManifestTable {
       val m = base.copy(version = base.version + 1, parent = base.version,
         commitId = None, commitTs = None, dataChange = false, renames = nr)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
-      try { publish(target, render(m)); return m.version }
+      try { publish(target, render(path, m)); return m.version }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     throw new IllegalStateException(
@@ -986,7 +1170,7 @@ object ManifestTable {
         renames = base.renames - name,
         droppedCols = (base.droppedCols :+ physical).distinct)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
-      try { publish(target, render(m)); return m.version }
+      try { publish(target, render(path, m)); return m.version }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     throw new IllegalStateException(
@@ -1313,7 +1497,7 @@ object ManifestTable {
       try {
         // publish is the optimistic lock: exactly one writer can link
         // v<next>; losers re-read latest and retry on top
-        publish(target, render(m))
+        publish(target, render(path, m))
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => () // lost the race
@@ -1444,7 +1628,7 @@ object ManifestTable {
         writes.indices.foreach { i =>
           val md = manifestDir(writes(i).path)
           Files.writeString(md.resolve(stagedNames(i)),
-            render(buildNext(writes(i).path, curs(i), nexts(i), stagedData(i),
+            render(writes(i).path, buildNext(writes(i).path, curs(i), nexts(i), stagedData(i),
               writes(i).replace, commitId, statsRows(i)._1, statsRows(i)._2)))
           // non-coordinator tables get a pointer so recovery starting
           // from ANY table of the txn finds the one decision marker
@@ -1611,7 +1795,7 @@ object ManifestTable {
     try {
       // the rewrite read was MoR-reconciled, so the compacted files carry
       // the deletes' effect in data — the new manifest folds them away
-      publish(target, render(
+      publish(target, render(path,
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
           footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
           base.constraints, rows = footerRows(path, staged),
@@ -1702,7 +1886,7 @@ object ManifestTable {
       generated = base.generated, txns = base.txns,
       renames = base.renames, droppedCols = base.droppedCols)
     try {
-      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1804,7 +1988,7 @@ object ManifestTable {
       generated = base.generated, txns = base.txns,
       renames = base.renames, droppedCols = base.droppedCols)
     try {
-      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2012,7 +2196,7 @@ object ManifestTable {
       txns = base.txns ++ appTxn,
       renames = base.renames, droppedCols = base.droppedCols)
     try {
-      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2120,7 +2304,7 @@ object ManifestTable {
         txns = base.txns ++ appTxn,
         renames = base.renames, droppedCols = base.droppedCols)
       try {
-        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
         next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -2285,7 +2469,7 @@ object ManifestTable {
         droppedCols = base.map(_.droppedCols).getOrElse(Seq.empty))
       Files.createDirectories(manifestDir(path))
       try {
-        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => () // lost the race
@@ -2761,7 +2945,7 @@ object ManifestTable {
       mergeKeys = base.mergeKeys, generated = base.generated, txns = base.txns,
       renames = base.renames, droppedCols = base.droppedCols)
     try {
-      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2894,7 +3078,7 @@ object ManifestTable {
         commitTs = None,
         constraints = base.constraints, mergeKeys = base.mergeKeys)
       try {
-        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(m))
+        publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => ()
@@ -2940,7 +3124,7 @@ object ManifestTable {
       m.rows.map { case (f, v) => abs(f) -> v },
       m.mergeKeys, generated = m.generated, txns = m.txns,
       renames = m.renames, droppedCols = m.droppedCols)
-    publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(cm))
+    publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(dst, cm))
     1L
   }
 
@@ -3010,6 +3194,29 @@ object ManifestTable {
         }
       else Files.deleteIfExists(p)
     }
-    (orphans ++ cdfOrphans).map(_.getFileName.toString)
+    // segment files referenced by NO retained manifest (their versions
+    // expired, their segments dissolved, or their commit lost the race)
+    // — same age guard: an in-flight commit writes its segment before
+    // publishing the manifest that references it
+    val segOrphans =
+      if (!Files.isDirectory(manifestDir(path))) Seq.empty[Path]
+      else {
+        val referenced = versions(path)
+          .flatMap(v => layoutOf(path, v)).map(_._1).toSet
+        Using.resource(Files.list(manifestDir(path))) { st =>
+          st.iterator().asScala.filter { p =>
+            val nm = p.getFileName.toString
+            nm.startsWith("seg-") && nm.endsWith(".json") &&
+              !referenced.contains(
+                nm.stripPrefix("seg-").stripSuffix(".json")) &&
+              Files.getLastModifiedTime(p).toMillis <= cutoff
+          }.toSeq
+        }
+      }
+    segOrphans.foreach { p =>
+      segCache.remove(p.toAbsolutePath.toString)
+      Files.delete(p)
+    }
+    (orphans ++ cdfOrphans ++ segOrphans).map(_.getFileName.toString)
   }
 }
