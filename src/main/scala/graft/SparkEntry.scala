@@ -39,6 +39,18 @@ object SparkEntry {
     s2
   }
 
+  /** ONE-ACTION multiset equality: both exceptAll legs union into a
+    * single job instead of two `.isEmpty` actions (the gate pattern
+    * runs in dozens of queries — one driver/job round saved each).
+    * Columns align by `a`'s names first: exceptAll resolves
+    * POSITIONALLY, and using-column joins reorder output. */
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.map(col).toSeq
+    val a2 = a.select(cols: _*)
+    val b2 = b.select(cols: _*)
+    a2.exceptAll(b2).union(b2.exceptAll(a2)).isEmpty
+  }
+
   /** Every physical node of an EXECUTED frame, walking through AQE's
     * leaf-node query-stage wrappers — plan-shape gates (q154/q155) read
     * the final adaptive plan, not the initial one. */
@@ -1620,7 +1632,7 @@ object SparkEntry {
         .start().awaitTermination()
       val sink = ManifestTable.read(s, out)
       val want = orders.where(col("o_orderkey") % 3 =!= 0)
-      require(sink.exceptAll(want).isEmpty && want.exceptAll(sink).isEmpty,
+      require(sameRows(sink, want),
         "startingTimestamp must stream exactly the commits at/after it")
       sink.groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
@@ -1673,7 +1685,7 @@ object SparkEntry {
       drainOnce() // consumes v2 (append), v3 (skipped), v4 (append)
       val sink = ManifestTable.read(s, out)
       require(sink.count() == orders.count() &&
-        sink.exceptAll(orders).isEmpty && orders.exceptAll(sink).isEmpty,
+        sameRows(sink, orders),
         "tailing across OPTIMIZE must deliver exactly-once")
       require(ManifestTable.versions(out).size == 3,
         "the maintenance version must contribute NO sink commit")
@@ -1825,17 +1837,24 @@ object SparkEntry {
           .filter(_.endsWith(".parquet")).toSeq
       }
       require(allParquet.nonEmpty, "no surviving files — gate vacuous")
-      allParquet.foreach { p =>
-        val df = s.read.parquet(p)
-        if (df.columns.contains("c_custkey")) {
-          val subj = df.where(col("c_custkey").isin(forget: _*))
-          if (p.contains("_change_data"))
-            require(subj.where(attrs.map(col(_).isNotNull)
-                .reduce(_ || _)).isEmpty,
-              s"subject attributes survive in change file $p")
-          else require(subj.isEmpty, s"subject rows survive in $p")
+      // the walk stays per-file EXACT but batches the scan: files group
+      // by (surface, column set) — schema inference is a driver-side
+      // footer read — and each group is ONE job instead of one per file
+      allParquet.groupBy(p =>
+          (p.contains("_change_data"), s.read.parquet(p).columns.toSeq))
+        .foreach { case ((isCdf, colsOf), paths) =>
+          if (colsOf.contains("c_custkey")) {
+            val subj = s.read.parquet(paths: _*)
+              .where(col("c_custkey").isin(forget: _*))
+            if (isCdf)
+              require(subj.where(attrs.map(col(_).isNotNull)
+                  .reduce(_ || _)).isEmpty,
+                s"subject attributes survive in change files " +
+                  paths.mkString(", "))
+            else require(subj.isEmpty,
+              s"subject rows survive in ${paths.mkString(", ")}")
+          }
         }
-      }
       ManifestTable.read(s, t)
         .select(col("c_custkey"), col("c_name"),
           col("c_acctbal").cast("double").as("c_acctbal"))
@@ -1912,8 +1931,7 @@ object SparkEntry {
           forget.contains(r.getAs[Long]("c_custkey"))).asJava,
         beforeDf.schema)
       val afterOthers = after.where(!hit)
-      require(afterOthers.exceptAll(beforeOthers).isEmpty &&
-        beforeOthers.exceptAll(afterOthers).isEmpty,
+      require(sameRows(afterOthers, beforeOthers),
         "redaction altered non-subject rows")
       // from-scratch replay over the redacted feed
       val out = s"$tmp/feed"
@@ -2000,8 +2018,7 @@ object SparkEntry {
       val pruned = ManifestTable.readWhereContains(s, tmp, "url", term)
       val plain = ManifestTable.read(s, tmp)
         .where(col("url").contains(term))
-      require(pruned.exceptAll(plain).isEmpty &&
-        plain.exceptAll(pruned).isEmpty,
+      require(sameRows(pruned, plain),
         "trigram-pruned read drifted from the plain filter")
       require(pruned.count() > 0, "the probe term must match real rows")
       pruned.select(col("doc_id"), col("source"), col("url"))
@@ -2361,8 +2378,7 @@ object SparkEntry {
       val out = ManifestTable.read(s, summ).groupBy("o_custkey")
         .agg(sum(col("n_orders")).as("n_orders"),
           sum(col("revenue")).cast("double").as("revenue"))
-      require(out.exceptAll(fromFact).isEmpty &&
-        fromFact.exceptAll(out).isEmpty,
+      require(sameRows(out, fromFact),
         "summary drifted from fact - atomicity broken")
       out
     }),
@@ -2642,11 +2658,7 @@ object SparkEntry {
       }
       val rebuilt = IncrementalAgg.materialize(
         ManifestTable.read(s2, t), Seq("status"), Seq("price"))
-      val cols = mv.columns.map(col).toSeq
-      require(mv.where(col("n") =!= 0).select(cols: _*)
-          .exceptAll(rebuilt.select(cols: _*)).isEmpty &&
-        rebuilt.select(cols: _*)
-          .exceptAll(mv.where(col("n") =!= 0).select(cols: _*)).isEmpty,
+      require(sameRows(mv.where(col("n") =!= 0), rebuilt),
         "the fold of the SQL commits' change feeds must equal a rebuild")
       org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(mv)
       s2.sql(
@@ -2769,7 +2781,7 @@ object SparkEntry {
         .where(col("__r") === 1 && col("_change_type") =!= "delete")
         .select("k", "status", "price")
       val now = s2.table("graft.t").select("k", "status", "price")
-      require(latest.exceptAll(now).isEmpty && now.exceptAll(latest).isEmpty,
+      require(sameRows(latest, now),
         "folding the SQL change feed must reconstruct the table")
       s2.sql(
         s"""SELECT _change_type AS change_type, CAST(count(*) AS BIGINT) AS n,
@@ -3412,8 +3424,7 @@ object SparkEntry {
           col("_change_type").isin("insert", "update_postimage"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       val table = ManifestTable.read(s, t)
-      require(rebuilt.exceptAll(table).isEmpty &&
-        table.exceptAll(rebuilt).isEmpty,
+      require(sameRows(rebuilt, table),
         "feed reconstruction drifted from the table state")
       rebuilt.select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("c_acctbal"))
@@ -3479,7 +3490,7 @@ object SparkEntry {
       val mv = ManifestTable.read(s, mvPath)
       val full = IncrementalAgg.materialize(ManifestTable.read(s, t),
         dims, measures)
-      require(mv.exceptAll(full).isEmpty && full.exceptAll(mv).isEmpty,
+      require(sameRows(mv, full),
         "stream-folded MV drifted from the full recompute")
       require(ManifestTable.versions(mvPath).size == 3,
         "expected one MV fold per streamed commit")
@@ -3550,8 +3561,7 @@ object SparkEntry {
         "expected the seed plus one replica merge per streamed commit")
       val replica = ManifestTable.read(s, r)
       val primary = ManifestTable.read(s, t)
-      require(replica.exceptAll(primary).isEmpty &&
-        primary.exceptAll(replica).isEmpty,
+      require(sameRows(replica, primary),
         "replica diverged from the primary")
       replica.select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("double").as("o_totalprice"))
@@ -3642,14 +3652,13 @@ object SparkEntry {
       val dim = ManifestTable.read(s, dimT).select(dimCols: _*)
       val rebuilt = graft.operators.Scd2.fromFeed(
         ManifestTable.read(s, feedT), keys, attrs).select(dimCols: _*)
-      require(dim.exceptAll(rebuilt).isEmpty &&
-        rebuilt.exceptAll(dim).isEmpty,
+      require(sameRows(dim, rebuilt),
         "incremental SCD2 fold drifted from the one-shot feed rebuild")
       val cur = dim.where(col("is_current"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       val table = ManifestTable.read(s, t)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      require(cur.exceptAll(table).isEmpty && table.exceptAll(cur).isEmpty,
+      require(sameRows(cur, table),
         "the dimension's current slice must equal the primary table")
       dim.select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("c_acctbal"),
@@ -3709,8 +3718,7 @@ object SparkEntry {
       val fromSumm = sfeed.where(col("_change_type") === "insert")
         .select(col("_commit_version"), col("o_custkey"),
           col("n_orders"), col("revenue"))
-      require(fromSumm.exceptAll(fromFact).isEmpty &&
-        fromFact.exceptAll(fromSumm).isEmpty,
+      require(sameRows(fromSumm, fromFact),
         "paired feeds tore: summary changes != aggregated fact changes")
       fromSumm.select(col("_commit_version"), col("o_custkey"),
         col("n_orders"), col("revenue").cast("double").as("revenue"))
@@ -3774,8 +3782,7 @@ object SparkEntry {
           .where(col("_change_type").isin("insert", "update_postimage"))
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
       val current = ManifestTable.read(s, t)
-      require(applied.exceptAll(current).isEmpty &&
-        current.exceptAll(applied).isEmpty,
+      require(sameRows(applied, current),
         "v1 + feed must equal the merge-on-read reconciled table")
       applied.select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("double").as("o_totalprice"))
@@ -3853,7 +3860,7 @@ object SparkEntry {
         StructField("head", StringType), StructField("n_chars", LongType),
         StructField("flagged", BooleanType)))
       val back = XmlSource.read(s, tmp, schema)
-      require(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      require(sameRows(back, src),
         "xml round-trip drifted from the source frame")
       back.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -3880,7 +3887,7 @@ object SparkEntry {
       val nFiles = AvroSource.write(src.repartition(4), tmp)
       require(nFiles >= 1, "no avro files written")
       val back = AvroSource.read(s, tmp)
-      require(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      require(sameRows(back, src),
         "avro round-trip drifted from the source frame")
       back.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -3994,7 +4001,7 @@ object SparkEntry {
         .option("header", "true").option("multiLine", "true")
         .option("escape", "\"").csv(csvDir)
         .localCheckpoint()
-      val drift = back.exceptAll(docs).count() + docs.exceptAll(back).count()
+      val drift = back.exceptAll(docs).union(docs.exceptAll(back)).count()
       require(drift == 0, s"CSV roundtrip drifted by $drift rows")
       back.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text").cast("binary")).as("text_md5"))
@@ -4274,7 +4281,7 @@ object SparkEntry {
         .localCheckpoint()
       val full = IncrementalAgg.materialize(
         ManifestTable.read(s, base, Some(2L)), dims, measures)
-      val drift = mv2.exceptAll(full).count() + full.exceptAll(mv2).count()
+      val drift = mv2.exceptAll(full).union(full.exceptAll(mv2)).count()
       require(drift == 0, s"incremental refresh drifted from recompute: $drift rows")
       mv2.select(col("c_mktsegment"), col("n").as("n_cust"),
         col("sum_c_acctbal").cast("double").as("bal"))
@@ -4725,7 +4732,7 @@ object SparkEntry {
       val mv = ManifestTable.read(s, mvPath).localCheckpoint()
       val full = IncrementalAgg.materialize(
         ManifestTable.read(s, base), dims, measures)
-      val drift = mv.exceptAll(full).count() + full.exceptAll(mv).count()
+      val drift = mv.exceptAll(full).union(full.exceptAll(mv)).count()
       require(drift == 0, s"streamed MV drifted from recompute: $drift rows")
       mv.select(col("c_mktsegment"), col("n").as("n_cust"),
         col("sum_c_acctbal").cast("double").as("bal"))
