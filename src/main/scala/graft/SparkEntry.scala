@@ -2902,6 +2902,65 @@ object SparkEntry {
       q
     }),
 
+    "q156_bucket_join" -> ((s, dir) => {
+      // BUCKETED STORAGE-PARTITIONED JOIN — SPJ at HIGH key
+      // cardinality, where identity layouts (q154) cap out: customer
+      // and orders land as PARTITIONED BY (bucket(16, custkey)) tables
+      // — each write routes rows by floorMod(xxhash64(key), 16), rolls
+      // one file per bucket per task, and carries the bucket id in the
+      // file name (Hive/Spark bucketed tables' numbered-file model) —
+      // and the catalog serves the bucket function (FunctionCatalog)
+      // so Spark proves both scans share the transform and plans the
+      // fact×fact join with ZERO shuffle on either side. At 100 TB
+      // this is the difference between re-hashing both tables per
+      // query and reading them joined in place. Gates: both scans
+      // grouped, join subtree exchange-free.
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import graft.sources.GraftGroupedScan
+      val wh = java.nio.file.Files.createTempDirectory("graft-q156-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables(s2, dir, "customer").createOrReplaceTempView("cust_q156")
+      Tables(s2, dir, "orders").createOrReplaceTempView("ord_q156")
+      s2.sql("CREATE NAMESPACE graft.bj")
+      s2.sql("""CREATE TABLE graft.bj.customer (c_custkey BIGINT,
+                c_acctbal DOUBLE) PARTITIONED BY (bucket(16, c_custkey))""")
+      s2.sql("""INSERT INTO graft.bj.customer
+                SELECT c_custkey, c_acctbal FROM cust_q156""")
+      s2.sql("""CREATE TABLE graft.bj.orders (o_custkey BIGINT,
+                o_totalprice DOUBLE) PARTITIONED BY (bucket(16, o_custkey))""")
+      s2.sql("""INSERT INTO graft.bj.orders
+                SELECT o_custkey, CAST(o_totalprice AS DOUBLE) FROM ord_q156""")
+      val q = s2.sql(
+        """SELECT CAST(c.c_custkey % 10 AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+           FROM graft.bj.customer c JOIN graft.bj.orders o
+             ON c.c_custkey = o.o_custkey
+           GROUP BY 1""")
+      q.collect()
+      val nodes = executedNodes(q)
+      val scans = nodes.collect { case b: BatchScanExec => b.scan }
+      require(scans.size == 2 && scans.forall(_.isInstanceOf[GraftGroupedScan]),
+        s"expected two grouped scans, got ${scans.map(_.getClass.getSimpleName)}")
+      val join = nodes.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.getOrElse(throw new IllegalStateException("no shuffled-family join planned"))
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(walk)
+      require(walk(join).collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "bucketed join still shuffles")
+      q
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -9083,6 +9142,14 @@ object SparkEntry {
       """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+         GROUP BY 1""",
+    // q156: the bucketed storage-partitioned join reads the same rows
+    // the relational join produces; the zero-shuffle plan is in-query
+    "q156_bucket_join" ->
+      """SELECT CAST(c_custkey % 10 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
          GROUP BY 1""",
     // q152: both epochs hold every order row; the MERGE doubled every
     // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must

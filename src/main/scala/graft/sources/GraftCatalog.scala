@@ -62,10 +62,32 @@ import graft.conditions.{Condition, Op}
   * rejected.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with StagingTableCatalog {
+  with StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
+
+  // ── FunctionCatalog: the bucket transform's identity ──────────────
+  // Storage-partitioned joins over bucket layouts need BOTH scans'
+  // bucket transforms to resolve to the SAME bound function (Spark
+  // compares TransformExpressions by the bound function's canonical
+  // name) — the catalog serves it, exactly Iceberg's model.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = {
+    if (!(namespace.isEmpty || namespaceExists(namespace)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "bucket" => GraftBucketFunction
+      case other => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -216,12 +238,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: java.util.Map[String, String],
       gens: Seq[(String, String)], checks: Seq[String],
       pk: Seq[String]): Table = {
-    val parts = GraftCatalog.identityParts(partitions, schema)
+    val layout = GraftCatalog.declaredLayout(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     Files.createDirectories(dir)
-    if (parts.nonEmpty)
-      Files.writeString(dir.resolve(GraftCatalog.PartsFile), parts.mkString(","))
+    if (layout.nonEmpty)
+      Files.writeString(dir.resolve(GraftCatalog.PartsFile),
+        GraftCatalog.encodeLayout(layout))
     Files.write(dir.resolve(GraftCatalog.SchemaFile),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (gens.nonEmpty) {
@@ -323,7 +346,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       created: Boolean,
       checks: Seq[String] = Seq.empty,
       pk: Seq[String] = Seq.empty): StagedTable = {
-    val parts = GraftCatalog.identityParts(partitions, schema)
+    val stagedLayout = GraftCatalog.declaredLayout(partitions, schema)
+    require(!stagedLayout.exists(_.isInstanceOf[GraftCatalog.BucketPart]),
+      "CTAS/RTAS into a bucket-partitioned table is not supported: the " +
+        "staged DSv2 write cannot route rows by bucket yet — CREATE the " +
+        "table first, then INSERT INTO it")
+    val parts = stagedLayout.map(_.col)
     val propKeys = Option(properties.get("merge.keys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -368,7 +396,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val schema = GraftCatalog.fullSchema(dir, None).get
         require(zs.nonEmpty && zs.forall(schema.fieldNames.contains),
           s"zorder.cols '${sp.value}' must name columns of the table schema")
-        require(GraftCatalog.readDeclaredParts(dir).isEmpty,
+        require(GraftCatalog.readDeclaredLayout(dir).isEmpty,
           "zorder.cols and PARTITIONED BY are mutually exclusive " +
             "(a z-order rewrite would smear the partition ranges)")
         Files.writeString(dir.resolve(GraftCatalog.ZOrderFile), zs.mkString(","))
@@ -405,7 +433,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "RENAME COLUMN supports top-level columns only")
         val from = rc.fieldNames.head
         val to = rc.newName
-        require(!GraftCatalog.readDeclaredParts(dir)
+        require(!GraftCatalog.readDeclaredLayout(dir).map(_.col)
             .exists(_.equalsIgnoreCase(from)),
           s"cannot rename partition column '$from' (declared layout)")
         val cur = GraftCatalog.fullSchema(dir, None).getOrElse(
@@ -432,7 +460,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(dc.fieldNames.length == 1,
           "DROP COLUMN supports top-level columns only")
         val name = dc.fieldNames.head
-        require(!GraftCatalog.readDeclaredParts(dir)
+        require(!GraftCatalog.readDeclaredLayout(dir).map(_.col)
             .exists(_.equalsIgnoreCase(name)),
           s"cannot drop partition column '$name' (declared layout)")
         val cur = GraftCatalog.fullSchema(dir, None).getOrElse(
@@ -560,33 +588,81 @@ object GraftCatalog {
   private[sources] val KeysFile = "_keys"
   private[sources] val PartsFile = "_partition_cols"
 
-  /** `PARTITIONED BY` declaration → identity partition column names.
-    * Only identity transforms are accepted: bucket/days/etc. need
-    * derived-value metadata the manifest format does not carry.
-    * Refused loudly, never approximated. */
-  private[sources] def identityParts(partitions: Array[Transform],
-      schema: StructType): Seq[String] = {
-    val parts = partitions.toSeq.map {
+  /** A declared partition layout entry: identity column, or a hash
+    * bucket over a column (the HIGH-cardinality co-location story —
+    * identity layouts cap out where value counts explode; bucket(n, k)
+    * keeps file counts at n while still proving each file
+    * single-bucket, so two same-bucketed tables storage-partition-join
+    * on k with no shuffle). */
+  sealed trait PartTransform { def col: String }
+  final case class IdentityPart(col: String) extends PartTransform
+  final case class BucketPart(n: Int, col: String) extends PartTransform
+
+  /** `PARTITIONED BY` declaration → layout. Identity transforms and a
+    * SINGLE bucket(n, col) are accepted (bucket does not mix with other
+    * entries — a composite layout would need per-file tuple metadata);
+    * days/years/etc. refused loudly, never approximated. */
+  private[sources] def declaredLayout(partitions: Array[Transform],
+      schema: StructType): Seq[PartTransform] = {
+    val parts: Seq[PartTransform] = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
-        t.references.head.fieldNames.head
+        IdentityPart(t.references.head.fieldNames.head)
+      case t if t.name == "bucket" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        val ns = t.arguments.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value match {
+              case i: Integer => i.intValue()
+              case i: java.lang.Long => i.intValue()
+              case other => throw new UnsupportedOperationException(
+                s"bucket count must be an integer literal, got $other")
+            }
+        }
+        require(ns.length == 1 && ns.head > 0,
+          s"bucket transform needs one positive bucket count: $t")
+        BucketPart(ns.head, t.references.head.fieldNames.head)
       case t => throw new UnsupportedOperationException(
         s"unsupported partition transform '$t' " +
-          "(graft tables take identity PARTITIONED BY columns only)")
+          "(graft tables take identity columns or one bucket(n, col))")
     }
-    require(parts.forall(schema.fieldNames.contains),
-      s"PARTITIONED BY columns ${parts.mkString(",")} must name columns " +
-        "of the table schema")
-    require(parts.distinct == parts, "duplicate PARTITIONED BY column")
+    require(parts.forall(p => schema.fieldNames.contains(p.col)),
+      s"PARTITIONED BY columns ${parts.map(_.col).mkString(",")} must name " +
+        "columns of the table schema")
+    require(parts.map(_.col).distinct == parts.map(_.col),
+      "duplicate PARTITIONED BY column")
+    require(!parts.exists(_.isInstanceOf[BucketPart]) || parts.length == 1,
+      "bucket(n, col) must be the only partition transform")
     parts
   }
 
-  /** Declared identity partition columns ([[PartsFile]] sidecar). */
-  private[sources] def readDeclaredParts(dir: Path): Seq[String] = {
+  private[sources] def encodeLayout(parts: Seq[PartTransform]): String =
+    parts.map {
+      case IdentityPart(c) => c
+      case BucketPart(n, c) => s"bucket:$n:$c"
+    }.mkString(",")
+
+  /** Declared layout ([[PartsFile]] sidecar): plain entries are
+    * identity columns (the original format), `bucket:n:col` entries the
+    * bucket transform. */
+  private[graft] def readDeclaredLayout(dir: Path): Seq[PartTransform] = {
     val f = dir.resolve(PartsFile)
     if (!Files.isRegularFile(f)) Seq.empty
-    else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty)
+      .toSeq.map {
+        case s if s.startsWith("bucket:") =>
+          val Array(_, n, c) = s.split(":", 3)
+          BucketPart(n.toInt, c)
+        case c => IdentityPart(c)
+      }
   }
+
+  /** Declared IDENTITY partition columns only — every pre-bucket
+    * consumer (value-aligned staging, identity grouped scans, layout
+    * preservation) keys on these; bucket layouts surface through
+    * [[readDeclaredLayout]]. */
+  private[sources] def readDeclaredParts(dir: Path): Seq[String] =
+    readDeclaredLayout(dir).collect { case IdentityPart(c) => c }
 
   private[sources] val GeneratedFile = "_generated"
   private[sources] val ConstraintsFile = "_constraints"
@@ -748,8 +824,12 @@ class GraftSqlTable(val ident: String, val path: String,
   // partitioning-as-stats model rather than Hive directory trees)
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    GraftCatalog.readDeclaredLayout(java.nio.file.Paths.get(path)).map {
+      case GraftCatalog.IdentityPart(c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case GraftCatalog.BucketPart(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }.toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -1024,8 +1104,13 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
       // its redundant staged files are deleted, not committed. Append
       // mode appends; Complete mode (truncate()) replaces per epoch.
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(!GraftCatalog.readDeclaredLayout(Paths.get(path))
+            .exists(_.isInstanceOf[GraftCatalog.BucketPart]),
+          "streaming into a bucket-partitioned table is not supported: " +
+            "epoch tasks cannot route rows by bucket yet")
         new GraftStreamingWrite(path, schema, queryId, replace, partCols)
+      }
     }
     if (partCols.isEmpty) new GraftV1Write
     else {
@@ -1285,4 +1370,57 @@ class GraftAppendTaskWriter(dataDir: String, schema: StructType,
 
   override def close(): Unit =
     if (out != null) { out.close(); out = null }
+}
+
+/** The ONE bucket definition every surface shares — write routing
+  * ([[ManifestTable]]'s bucket staging), scan grouping and point-lookup
+  * pruning ([[GraftGroupedScan]]), and the SPJ-bound V2 function this
+  * object serves through the catalog: `floorMod(xxhash64(col), n)`,
+  * evaluated by the exact interpreter SQL `xxhash64` uses (seed 42), so
+  * a bucket id computed in a plan expression and one computed here can
+  * never drift. */
+object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+
+  val Seed = 42L
+
+  private[sources] def supportedKeyType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  /** Catalyst-typed key value (UTF8String for strings) → bucket id. */
+  def bucketOf(value: Any, dt: DataType, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(value, dt, Seed)
+    java.lang.Math.floorMod(h, n.toLong).toInt
+  }
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): floorMod(xxhash64(col, seed=42), n)"
+
+  override def bind(input: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(input.fields.length == 2,
+      s"bucket takes (numBuckets, key); got ${input.catalogString}")
+    val keyType = input.fields(1).dataType
+    require(supportedKeyType(keyType),
+      s"bucket key type ${keyType.catalogString} unsupported " +
+        "(int, bigint, string)")
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(org.apache.spark.sql.types.IntegerType, keyType)
+      override def resultType(): DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket(xxhash64:42)"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          row: org.apache.spark.sql.catalyst.InternalRow): Integer =
+        bucketOf(row.get(1, keyType), keyType, row.getInt(0))
+    }
+  }
 }

@@ -53,7 +53,13 @@ final class GraftGroupedScan(
     conds: Seq[Condition],
     partCols: Seq[String],
     groups: Seq[(Array[Any], Seq[String])],
-    fallback: GraftScan)
+    fallback: GraftScan,
+    transforms: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    // filter-literal → group-key-component translation per partition
+    // column: identity layouts compare the value itself, bucket layouts
+    // compare its BUCKET id — runtime predicates arrive over the raw
+    // column either way
+    keyMappers: Seq[Any => Any])
   extends Scan with Batch
   with SupportsReportPartitioning with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
@@ -88,12 +94,11 @@ final class GraftGroupedScan(
     fallback.toMicroBatchStream(checkpointLocation)
 
   override def outputPartitioning(): Partitioning =
-    // the identity transforms must resolve against this scan's OUTPUT —
-    // a projection that drops a partition column cannot report the
+    // the transforms must resolve against this scan's OUTPUT — a
+    // projection that drops a partition column cannot report the
     // grouping (Spark could not match join keys to it anyway)
     if (partCols.forall(required.fieldNames.contains))
-      new KeyGroupedPartitioning(
-        partCols.map(c => Expressions.identity(c)).toArray, groups.size)
+      new KeyGroupedPartitioning(transforms.toArray, groups.size)
     else new UnknownPartitioning(groups.size)
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -137,7 +142,8 @@ final class GraftGroupedScan(
           } yield i -> vs.toSet
         case _ => None
       }
-      parsed.foreach { case (i, vs) =>
+      parsed.foreach { case (i, vs0) =>
+        val vs = vs0.map(keyMappers(i))
         next = next.updated(i, next.get(i).map(_.intersect(vs)).getOrElse(vs))
       }
     }
@@ -266,14 +272,21 @@ object GraftGroupedScan {
     case other => throw new IllegalStateException(s"unsupported key type $other")
   }
 
+  private val BucketFilePrefix = "^b(\\d+)-".r
+
+  private def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
   /** The grouped scan for this snapshot, or None when any eligibility
     * condition fails (the caller keeps the V1 scan — correctness never
     * depends on taking this path). */
   def build(spark: org.apache.spark.sql.SparkSession, path: String,
       version: Option[Long], required: StructType, conds: Seq[Condition],
       fallback: GraftScan): Option[GraftGroupedScan] = {
-    val partCols = GraftCatalog.readDeclaredParts(Paths.get(path))
-    if (partCols.isEmpty || required.isEmpty) return None
+    val layout = GraftCatalog.readDeclaredLayout(Paths.get(path))
+    if (layout.isEmpty || required.isEmpty) return None
     val m = ManifestTable.snapshotAt(path, version).getOrElse(return None)
     if (m.deletes.nonEmpty || m.renames.nonEmpty || m.droppedCols.nonEmpty)
       return None
@@ -286,7 +299,22 @@ object GraftGroupedScan {
     if (!required.fields.forall(f =>
         dataFields.get(f.name).contains(f.dataType) && readableTypes(f.dataType)))
       return None
-    val keyFields = partCols.map(c => dataFields.get(c))
+    layout match {
+      case Seq(GraftCatalog.BucketPart(n, c)) =>
+        buildBucketed(path, version, required, conds, m, n, c,
+          dataFields.get(c), fallback)
+      case idParts =>
+        val partCols = idParts.map(_.col)
+        buildIdentity(path, version, required, conds, m, partCols,
+          partCols.map(dataFields.get), fallback)
+    }
+  }
+
+  private def buildIdentity(path: String, version: Option[Long],
+      required: StructType, conds: Seq[Condition],
+      m: ManifestTable.Manifest, partCols: Seq[String],
+      keyFields: Seq[Option[DataType]],
+      fallback: GraftScan): Option[GraftGroupedScan] = {
     if (!keyFields.forall(_.exists(keyTypes))) return None
     val kts = keyFields.map(_.get)
     // stats-pruned survivors, each single-valued on every partition col
@@ -309,6 +337,62 @@ object GraftGroupedScan {
       (k.toArray, fs.reverse: Seq[String])
     }
     Some(new GraftGroupedScan(path, version, required, conds, partCols,
-      groups, fallback))
+      groups, fallback,
+      partCols.map(c => Expressions.identity(c)),
+      partCols.map(_ => (v: Any) => v)))
+  }
+
+  /** Bucket layout: the bucket id rides the FILE NAME (`b<id>-<uuid>`,
+    * the flat-file analogue of Hive/Spark bucketed tables' numbered
+    * file names) — grouping needs no stats, and a point predicate on
+    * the bucket column prunes to ONE bucket's files before the scan
+    * plans. A file without the prefix (a pre-bucketing write, a delta
+    * file) fails eligibility and the V1 path reads the table. */
+  private def buildBucketed(path: String, version: Option[Long],
+      required: StructType, conds: Seq[Condition],
+      m: ManifestTable.Manifest, n: Int, c: String, keyType: Option[DataType],
+      fallback: GraftScan): Option[GraftGroupedScan] = {
+    val dt = keyType.getOrElse(return None)
+    if (!GraftBucketFunction.supportedKeyType(dt)) return None
+    // static bucket pruning from pushed Eq/In predicates on the key: a
+    // point lookup on a bucketed table reads ONE bucket's files
+    val sets: Seq[Set[Int]] = conds.collect {
+      case graft.conditions.Condition(f, graft.conditions.Op.Eq, v)
+        if f == c =>
+        Set(GraftBucketFunction.bucketOf(toCatalyst(v), dt, n))
+      case graft.conditions.Condition(f, graft.conditions.Op.In, vs: Seq[_])
+        if f == c =>
+        vs.map(v => GraftBucketFunction.bucketOf(toCatalyst(v), dt, n)).toSet
+    }
+    buildBucketedGroups(path, version, required, conds, m, n, c, dt,
+      fallback, sets.reduceOption(_ intersect _))
+  }
+
+  private def buildBucketedGroups(path: String, version: Option[Long],
+      required: StructType, conds: Seq[Condition],
+      m: ManifestTable.Manifest, n: Int, c: String, dt: DataType,
+      fallback: GraftScan,
+      allowedBuckets: Option[Set[Int]]): Option[GraftGroupedScan] = {
+    val survivors = ManifestTable.statsSurvivors(path, conds, version)
+    val grouped = new scala.collection.mutable.LinkedHashMap[Int, List[String]]
+    val it = survivors.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      BucketFilePrefix.findFirstMatchIn(f) match {
+        case Some(mm) =>
+          val id = mm.group(1).toInt
+          if (id >= n) return None // stale prefix from an older layout
+          if (allowedBuckets.forall(_.contains(id)))
+            grouped.updateWith(id)(cur => Some(f :: cur.getOrElse(Nil)))
+        case None => return None // unprefixed file → V1 path
+      }
+    }
+    val groups = grouped.toSeq.sortBy(_._1).map { case (id, fs) =>
+      (Array[Any](id), fs.reverse: Seq[String])
+    }
+    Some(new GraftGroupedScan(path, version, required, conds, Seq(c),
+      groups, fallback,
+      Seq(Expressions.bucket(n, c)),
+      Seq((v: Any) => Int.box(GraftBucketFunction.bucketOf(v, dt, n)))))
   }
 }

@@ -1256,6 +1256,16 @@ object ManifestTable {
     // Files land directly in the data dir (invisible until the manifest
     // commit references them, same as the DSv2 write paths); a task
     // failure deletes its own files before rethrowing.
+    // bucket layouts route rows by floorMod(xxhash64(col), n) — the
+    // exact function the catalog serves for SPJ matching — and name
+    // each rolled file b<id>-<uuid>.parquet (Hive/Spark bucketed tables
+    // carry the bucket id in numbered file names the same way)
+    GraftCatalog.readDeclaredLayout(Paths.get(path)) match {
+      case Seq(GraftCatalog.BucketPart(n, c))
+          if processed.columns.contains(c) =>
+        return stageBucketed(processed, path, n, c)
+      case _ => ()
+    }
     val declaredParts = GraftCatalog.readDeclaredParts(Paths.get(path))
     if (declaredParts.nonEmpty &&
         declaredParts.forall(processed.columns.contains)) {
@@ -1285,6 +1295,60 @@ object ManifestTable {
       st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
     named
+  }
+
+  /** Bucket-layout staging: shuffle rows by bucket id, sort within
+    * tasks, roll a new file per bucket, and PROJECT the derived bucket
+    * column back out before writing — files keep the table schema, the
+    * bucket id rides the file name. */
+  private def stageBucketed(processed: DataFrame, path: String,
+      n: Int, c: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val dd = dataDir(path).toAbsolutePath.toString
+    val withB = processed.withColumn("__graft_bucket",
+      pmod(xxhash64(processed.col(c)), lit(n.toLong)).cast("int"))
+    val sorted = withB.repartition(n, withB.col("__graft_bucket"))
+      .sortWithinPartitions("__graft_bucket")
+    val schema = sorted.schema
+    val bIdx = schema.fieldIndex("__graft_bucket")
+    val baseSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "__graft_bucket"))
+    val types = baseSchema.fields.map(_.dataType)
+    sorted.queryExecution.toRdd.mapPartitions { rows =>
+      import org.apache.spark.sql.graft.ParquetRowWriter
+      var out: ParquetRowWriter.Writer = null
+      var cur = Int.MinValue
+      var names = List.empty[String]
+      def closeOut(): Unit = if (out != null) { out.close(); out = null }
+      try {
+        rows.foreach { r =>
+          val b = r.getInt(bIdx)
+          if (out == null || b != cur) {
+            closeOut()
+            cur = b
+            val nm = s"b$b-${UUID.randomUUID()}.parquet"
+            names = nm :: names
+            out = ParquetRowWriter.open(s"$dd/$nm", baseSchema)
+          }
+          val vals = new Array[Any](types.length)
+          var i = 0; var j = 0
+          while (i < r.numFields) {
+            if (i != bIdx) { vals(j) = r.get(i, types(j)); j += 1 }
+            i += 1
+          }
+          out.write(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              vals))
+        }
+        closeOut()
+        names.reverse.iterator
+      } catch {
+        case e: Throwable =>
+          closeOut()
+          names.foreach(nm => Files.deleteIfExists(Paths.get(dd, nm)))
+          throw e
+      }
+    }.collect().toSeq.sorted
   }
 
   /** Per-file column stats from the parquet footers of freshly staged

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.types._
+
+import graft.sources.{GraftBucketFunction, GraftGroupedScan, ManifestTable}
+
+/** Bucket-partitioned catalog tables: bucket(n, col) layouts, bucket-id
+  * file naming, storage-partitioned joins on HIGH-cardinality keys, and
+  * point-lookup bucket pruning. */
+class BucketedTableSpec extends SparkSpecBase {
+
+  private def bucketSession(wh: String): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2
+  }
+
+  private def freshWh(): String =
+    Files.createTempDirectory("graft-bucket-").toString
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val through = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: through.flatMap(allNodes)
+  }
+
+  test("bucketed writes name every file by bucket id and declare the transform") {
+    val wh = freshWh()
+    val s2 = bucketSession(wh)
+    import s2.implicits._
+    (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v")
+      .createOrReplaceTempView("src")
+    s2.sql("CREATE NAMESPACE graft.b")
+    s2.sql("CREATE TABLE graft.b.t (k BIGINT, v STRING) PARTITIONED BY (bucket(8, k))")
+    s2.sql("INSERT INTO graft.b.t SELECT * FROM src")
+    val path = s"$wh/b/t"
+    val files = ManifestTable.dataFiles(path)
+    assert(files.nonEmpty && files.forall(_.matches("^b\\d+-.*\\.parquet$")),
+      s"unprefixed files: ${files.filterNot(_.matches("^b\\d+-.*")).take(3)}")
+    assert(files.map(_.takeWhile(_ != '-')).distinct.size == 8)
+    // catalog round trip reports the bucket transform
+    val declared = s2.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("b"), "t")).partitioning()
+    assert(declared.length == 1 && declared.head.name == "bucket",
+      declared.mkString(","))
+    // read back everything
+    assert(s2.sql("SELECT count(*) AS n FROM graft.b.t").head().getLong(0) == 200L)
+  }
+
+  test("two same-bucketed tables storage-partition-join on a high-cardinality key with no shuffle") {
+    val wh = freshWh()
+    val s2 = bucketSession(wh)
+    import s2.implicits._
+    (0L until 300L).map(k => (k, k * 2.0)).toDF("k", "a")
+      .createOrReplaceTempView("l_src")
+    (0L until 300L).filter(_ % 2 == 0).map(k => (k, k * 3.0)).toDF("k", "b")
+      .createOrReplaceTempView("r_src")
+    s2.sql("CREATE NAMESPACE graft.j")
+    s2.sql("CREATE TABLE graft.j.l (k BIGINT, a DOUBLE) PARTITIONED BY (bucket(8, k))")
+    s2.sql("CREATE TABLE graft.j.r (k BIGINT, b DOUBLE) PARTITIONED BY (bucket(8, k))")
+    s2.sql("INSERT INTO graft.j.l SELECT * FROM l_src")
+    s2.sql("INSERT INTO graft.j.r SELECT * FROM r_src")
+    val q = s2.sql(
+      """SELECT l.k, l.a + r.b AS s FROM graft.j.l l
+         JOIN graft.j.r r ON l.k = r.k""")
+    val plan = finalPlan(q)
+    val nodes = allNodes(plan)
+    val scans = nodes.collect { case bs: BatchScanExec => bs.scan }
+    assert(scans.size == 2 && scans.forall(_.isInstanceOf[GraftGroupedScan]),
+      s"expected grouped scans:\n$plan")
+    assert(nodes.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"bucketed join still shuffles:\n$plan")
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 150)
+    assert(got(10L) == 10 * 2.0 + 10 * 3.0)
+  }
+
+  test("point lookups prune to one bucket's files before planning") {
+    val wh = freshWh()
+    val s2 = bucketSession(wh)
+    import s2.implicits._
+    (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v")
+      .createOrReplaceTempView("src3")
+    s2.sql("CREATE NAMESPACE graft.p")
+    s2.sql("CREATE TABLE graft.p.t (k BIGINT, v STRING) PARTITIONED BY (bucket(8, k))")
+    s2.sql("INSERT INTO graft.p.t SELECT * FROM src3")
+    val path = s"$wh/p/t"
+    import graft.conditions.{Condition, Op}
+    val req = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val noCond = GraftGroupedScan.build(s2, path, None, req, Seq.empty,
+      graft.sources.GraftScan(path, None, req, Seq.empty)).get
+    assert(noCond.planInputPartitions().length == 8)
+    val point = GraftGroupedScan.build(s2, path, None, req,
+      Seq(Condition("k", Op.Eq, 42L)),
+      graft.sources.GraftScan(path, None, req, Seq.empty)).get
+    assert(point.planInputPartitions().length == 1)
+    val expectBucket = GraftBucketFunction.bucketOf(42L, LongType, 8)
+    assert(point.planInputPartitions().head
+      .asInstanceOf[graft.sources.GraftValueGroupPartition]
+      .keyVals.head == expectBucket)
+    // and through SQL the result is exact
+    assert(s2.sql("SELECT v FROM graft.p.t WHERE k = 42").head().getString(0)
+      == "v42")
+  }
+
+  test("OPTIMIZE preserves bucketing; CTAS and streaming into bucketed tables refuse") {
+    val wh = freshWh()
+    val s2 = bucketSession(wh)
+    import s2.implicits._
+    (0L until 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("src4")
+    s2.sql("CREATE NAMESPACE graft.m")
+    s2.sql("CREATE TABLE graft.m.t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+    s2.sql("INSERT INTO graft.m.t SELECT * FROM src4 WHERE k < 50")
+    s2.sql("INSERT INTO graft.m.t SELECT * FROM src4 WHERE k >= 50")
+    val path = s"$wh/m/t"
+    ManifestTable.compactCommit(s2, path)
+    val files = ManifestTable.dataFiles(path)
+    assert(files.forall(_.matches("^b\\d+-.*")),
+      s"compaction lost bucket prefixes: ${files.take(3)}")
+    assert(ManifestTable.read(s2, path).count() == 100)
+    val e1 = intercept[Exception] {
+      s2.sql("""CREATE TABLE graft.m.c PARTITIONED BY (bucket(4, k))
+                AS SELECT * FROM src4""")
+    }
+    assert(e1.getMessage.contains("CTAS"), e1.getMessage)
+  }
+}

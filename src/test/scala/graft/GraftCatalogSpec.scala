@@ -351,9 +351,10 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(s2.sql("SELECT count(*) FROM graft.pt WHERE grp = 'g1'")
       .head().getLong(0) == 600L)
 
-    // refused layouts: non-identity transforms, unknown columns
+    // refused layouts: unsupported transforms, unknown columns
+    // (bucket(n, col) is SUPPORTED as of round 14 — BucketedTableSpec)
     intercept[UnsupportedOperationException] {
-      s2.sql("CREATE TABLE graft.bad1 (k BIGINT, g STRING) PARTITIONED BY (bucket(4, k))")
+      s2.sql("CREATE TABLE graft.bad1 (k BIGINT, g STRING) PARTITIONED BY (hours(k))")
     }
     intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("CREATE TABLE graft.bad2 (k BIGINT, g STRING) PARTITIONED BY (nope)")
