@@ -174,14 +174,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ks if ks.nonEmpty => ks
       case _ => GraftCatalog.readDeclaredKeys(dir)
     }
-    val parts = GraftCatalog.readDeclaredParts(dir)
+    val layout = GraftCatalog.readDeclaredLayout(dir)
+    val parts = layout.collect { case GraftCatalog.IdentityPart(c) => c }
+    // identity layouts additionally expose SHOW PARTITIONS (read-only
+    // partition listing, derived from data — never materialized dirs)
+    val listable = parts.nonEmpty &&
+      layout.forall(_.isInstanceOf[GraftCatalog.IdentityPart])
     if (keys.nonEmpty && keys.forall(schema.fieldNames.contains)) {
       // Spark rejects nullable row-id attributes, and a merge key IS
       // non-null by the keyed-table contract — declare it
       val keyed = StructType(schema.map(f =>
         if (keys.contains(f.name)) f.copy(nullable = false) else f))
-      new GraftKeyedSqlTable(ident.toString, path, version, keyed, keys, parts)
-    } else new GraftSqlTable(ident.toString, path, version, schema, parts)
+      if (listable)
+        new GraftKeyedSqlTable(ident.toString, path, version, keyed, keys,
+          parts) with GraftPartitionListing
+      else new GraftKeyedSqlTable(ident.toString, path, version, keyed, keys,
+        parts)
+    } else if (listable)
+      new GraftSqlTable(ident.toString, path, version, schema, parts)
+        with GraftPartitionListing
+    else new GraftSqlTable(ident.toString, path, version, schema, parts)
   }
 
   // CREATE-time capabilities the analyzer gates on: generated columns
@@ -1423,4 +1435,98 @@ object GraftBucketFunction
         bucketOf(row.get(1, keyType), keyType, row.getInt(0))
     }
   }
+}
+
+/** Read-only `SHOW PARTITIONS` over identity-layout tables
+  * ([[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]]).
+  * Partitions here are DERIVED from data — stats-backed single-value
+  * files enumerate them without a scan; a snapshot holding any
+  * value-joint or stat-less file falls back to a distinct scan so the
+  * listing is always exact. Partition DDL (ADD/DROP PARTITION) is
+  * refused: the layout owns file boundaries, there is nothing to
+  * pre-create and dropping data by partition is `DELETE WHERE`. */
+trait GraftPartitionListing
+  extends org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+  self: GraftSqlTable =>
+
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => schema()(c)))
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    val nameIdx = names.map(ps.fieldIndex)
+    def matches(row: Seq[Any]): Boolean =
+      nameIdx.zipWithIndex.forall { case (pi, ai) =>
+        val want = ident.get(ai, ps.fields(pi).dataType)
+        val got = row(pi)
+        if (want == null) got == null else want == got
+      }
+    val fromStats: Option[Seq[Seq[Any]]] = {
+      if (ManifestTable.versions(path).isEmpty) Some(Seq.empty)
+      else {
+        val stats = ManifestTable.fileStats(path, snapshot)
+        val files = ManifestTable.dataFiles(path, snapshot)
+        val parsed = files.map { f =>
+          val st = stats.getOrElse(f, Map.empty)
+          val vals = ps.fields.toSeq.map { fld =>
+            st.get(fld.name) match {
+              case Some(cs) if cs.min == cs.max =>
+                fld.dataType match {
+                  case org.apache.spark.sql.types.IntegerType => Some(cs.min.toInt)
+                  case org.apache.spark.sql.types.LongType => Some(cs.min.toLong)
+                  case org.apache.spark.sql.types.FloatType => Some(cs.min.toFloat)
+                  case org.apache.spark.sql.types.DoubleType => Some(cs.min.toDouble)
+                  case org.apache.spark.sql.types.StringType =>
+                    Some(org.apache.spark.unsafe.types.UTF8String
+                      .fromString(cs.min))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
+          if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+        }
+        if (parsed.exists(_.isEmpty)) None else Some(parsed.map(_.get).distinct)
+      }
+    }
+    val tuples = fromStats.getOrElse {
+      // exactness over metadata-speed: joint/stat-less files scan
+      val spark = SparkSession.active
+      ManifestTable.read(spark, path, snapshot)
+        .select(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect().toSeq.map(r => ps.fields.indices.map { i =>
+          r.get(i) match {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case other => other
+          }
+        })
+    }
+    tuples.filter(matches).map(t =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        t.toArray): org.apache.spark.sql.catalyst.InternalRow).toArray
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions are derived from data; write rows instead")
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "graft partitions are derived from data; DELETE WHERE instead")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no metadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
 }

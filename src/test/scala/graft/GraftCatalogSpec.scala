@@ -411,4 +411,25 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(s2.sql("SELECT count(*) FROM graft.spt WHERE grp = 'g2'")
       .head().getLong(0) == 300L)
   }
+
+  test("SHOW PARTITIONS lists derived partitions; partition DDL refuses") {
+    val wh = freshWh()
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    (0 until 40).map(i => (i.toLong, s"g${i % 4}", i * 1.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("sp_src")
+    s2.sql("CREATE TABLE graft.sp (k BIGINT, g STRING, v DOUBLE) PARTITIONED BY (g)")
+    s2.sql("INSERT INTO graft.sp SELECT * FROM sp_src")
+    val all = s2.sql("SHOW PARTITIONS graft.sp").collect().map(_.getString(0)).sorted
+    assert(all.toSeq == Seq("g=g0", "g=g1", "g=g2", "g=g3"), all.mkString(","))
+    val one = s2.sql("SHOW PARTITIONS graft.sp PARTITION (g='g2')")
+      .collect().map(_.getString(0))
+    assert(one.toSeq == Seq("g=g2"))
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.sp DROP PARTITION (g='g2')")
+    }
+    // stale/empty table: no partitions, no error
+    s2.sql("CREATE TABLE graft.sp2 (k BIGINT, g STRING) PARTITIONED BY (g)")
+    assert(s2.sql("SHOW PARTITIONS graft.sp2").collect().isEmpty)
+  }
 }
