@@ -2961,6 +2961,46 @@ object SparkEntry {
       q
     }),
 
+    "q157_meta_agg" -> ((s, dir) => {
+      // METADATA-ONLY AGGREGATES — Delta's "count from the log":
+      // COUNT(*) / MIN / MAX over a clean snapshot push down to the
+      // MANIFEST (per-file recorded rows + footer-harvested min/max) —
+      // zero data files read, proven by answering the aggregate with
+      // the table's data directory MOVED ASIDE. At 100 TB a row count
+      // or column extremum becomes one metadata parse instead of a
+      // full scan. Conservative refusals (MoR ledger, filters, SUM,
+      // grouping, incomplete stats) are spec-pinned in MetaAggSpec.
+      val wh = java.nio.file.Files.createTempDirectory("graft-q157-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_q157")
+      s2.sql("""CREATE TABLE graft.t (o_orderkey BIGINT,
+                o_orderpriority STRING, o_totalprice DOUBLE)""")
+      s2.sql("""INSERT INTO graft.t SELECT o_orderkey, o_orderpriority,
+                CAST(o_totalprice AS DOUBLE) FROM orders_q157
+                WHERE o_orderkey % 2 = 0""")
+      s2.sql("""INSERT INTO graft.t SELECT o_orderkey, o_orderpriority,
+                CAST(o_totalprice AS DOUBLE) FROM orders_q157
+                WHERE o_orderkey % 2 = 1""")
+      val q = s2.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(min(o_totalprice) AS DOUBLE) AS mn,
+             CAST(max(o_totalprice) AS DOUBLE) AS mx,
+             min(o_orderpriority) AS first_prio
+           FROM graft.t""")
+      // the gate: the answer must come from metadata alone
+      val dataDir = java.nio.file.Paths.get(s"$wh/t/data")
+      val hidden = java.nio.file.Paths.get(s"$wh/t/.data-hidden")
+      java.nio.file.Files.move(dataDir, hidden)
+      val blind =
+        try q.collect().toSeq
+        finally java.nio.file.Files.move(hidden, dataDir)
+      require(blind == q.collect().toSeq,
+        "metadata-only answer must equal the normal-path answer")
+      q
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -9151,6 +9191,14 @@ object SparkEntry {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey
          GROUP BY 1""",
+    // q157: the manifest-only aggregate equals the relational one (the
+    // data-dir-moved-aside gate runs in-query)
+    "q157_meta_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS mn,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx,
+           min(o_orderpriority) AS first_prio
+         FROM orders""",
     // q152: both epochs hold every order row; the MERGE doubled every
     // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must
     // be invisible to readers

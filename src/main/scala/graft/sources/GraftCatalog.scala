@@ -925,11 +925,13 @@ class GraftKeyedSqlTable(ident0: String, path0: String,
 
 class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructType,
     streamOpts: Map[String, String] = Map.empty)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var conds: Seq[Condition] = Seq.empty
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -945,7 +947,99 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ── METADATA-ONLY AGGREGATES ──────────────────────────────────────
+  // COUNT(*) / MIN / MAX over a clean snapshot answer from the manifest
+  // alone (per-file recorded rows + footer-harvested min/max) — the
+  // Delta "count from the log" move: at 100 TB a row count or column
+  // extremum costs one manifest parse, zero file reads. Strictly
+  // conservative: any MoR delete ledger, column mapping, incomplete
+  // per-file stats/rows, unsupported type, grouping, or residual filter
+  // refuses the pushdown and the scan runs normally. Spark only offers
+  // an aggregate here when no post-scan filters remain, and every graft
+  // filter stays residual — so a filtered query can never take this
+  // door by construction (the conds check is defense in depth).
+  private def computeMetaAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (conds.nonEmpty || streamOpts.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+    val m = ManifestTable.snapshotAt(path, version).getOrElse(return None)
+    if (m.deletes.nonEmpty || m.renames.nonEmpty || m.droppedCols.nonEmpty)
+      return None
+    if (!m.files.forall(m.rows.contains)) return None
+    val statTypes: Set[DataType] =
+      Set(IntegerType, LongType, FloatType, DoubleType, StringType)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == r.fieldNames.head)
+          .filter(f => statTypes(f.dataType))
+      case _ => None
+    }
+    def parse(s: String, dt: DataType): Any = dt match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case StringType => s
+      case other => throw new IllegalStateException(s"$other")
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Int) => x.compareTo(y)
+      case (x: Long, y: Long) => x.compareTo(y)
+      case (x: Float, y: Float) => x.compareTo(y)
+      case (x: Double, y: Double) => x.compareTo(y)
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case _ => 0
+    }
+    def extremum(f: StructField, wantMin: Boolean): Option[Any] = {
+      if (m.files.isEmpty) return Some(null) // empty table → NULL
+      val vals = m.files.map { file =>
+        m.stats.getOrElse(file, Map.empty).get(f.name) match {
+          case Some(cs) => parse(if (wantMin) cs.min else cs.max, f.dataType)
+          case None => return None // stat-less file (nulls?) → refuse
+        }
+      }
+      Some(vals.reduce((a, b) =>
+        if ((cmp(a, b) <= 0) == wantMin) a else b))
+    }
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        (StructField("count", LongType, nullable = false),
+          m.files.map(m.rows).sum: Any)
+      case mn: Min =>
+        val f = colOf(mn.column).getOrElse(return None)
+        (f.copy(name = s"min_${f.name}"),
+          extremum(f, wantMin = true).getOrElse(return None))
+      case mx: Max =>
+        val f = colOf(mx.column).getOrElse(return None)
+        (f.copy(name = s"max_${f.name}"),
+          extremum(f, wantMin = false).getOrElse(return None))
+      case _ => return None // SUM/AVG/COUNT(col) need data
+    }
+    Some((StructType(out.map(_._1)), out.map(_._2)))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = computeMetaAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    metaAgg = computeMetaAgg(agg)
+    metaAgg.isDefined
+  }
+
   override def build(): Scan = {
+    metaAgg.foreach { case (schema, row) =>
+      return new GraftMetaAggScan(path, schema, row)
+    }
     val v1 = GraftScan(path, version, required, conds, streamOpts)
     // STORAGE-PARTITIONED JOIN door: strictly opt-in via Spark's own v2
     // bucketing conf, and only when the snapshot proves eligible — the
@@ -1529,4 +1623,25 @@ trait GraftPartitionListing
       ident: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Map[String, String] =
     java.util.Collections.emptyMap()
+}
+
+/** The pushed-aggregate result: one row, computed entirely from the
+  * manifest — the scan never opens a data file (the spec proves it by
+  * answering with the data directory moved aside). */
+class GraftMetaAggScan(path: String, aggSchema: StructType, row: Seq[Any])
+  extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftMetaAggScan path=$path (manifest-only aggregate)"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        context.sparkSession.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row.fromSeq(row)), 1)
+    }
+    rel.asInstanceOf[T]
+  }
 }
