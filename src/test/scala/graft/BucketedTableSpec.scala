@@ -150,4 +150,50 @@ class BucketedTableSpec extends SparkSpecBase {
     }
     assert(e1.getMessage.contains("CTAS"), e1.getMessage)
   }
+
+  test("a bucketed x unbucketed join shuffles ONLY the unbucketed side (v2 bucketing shuffle)") {
+    val wh = freshWh()
+    val s2 = bucketSession(wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    import s2.implicits._
+    (0L until 400L).map(k => (k, k * 2.0)).toDF("k", "a")
+      .createOrReplaceTempView("big_src")
+    s2.sql("CREATE NAMESPACE graft.mx")
+    s2.sql("CREATE TABLE graft.mx.big (k BIGINT, a DOUBLE) PARTITIONED BY (bucket(8, k))")
+    s2.sql("INSERT INTO graft.mx.big SELECT * FROM big_src")
+    // the small side is a plain parquet relation - NOT bucketed
+    val smallDir = s"$wh/small"
+    (0L until 400L).filter(_ % 10 == 0).map(k => (k, s"t$k")).toDF("k", "t")
+      .write.parquet(smallDir)
+    s2.read.parquet(smallDir).createOrReplaceTempView("small_src")
+    val q = s2.sql(
+      """SELECT b.k, b.a, s.t FROM graft.mx.big b
+         JOIN small_src s ON b.k = s.k""")
+    val plan = finalPlan(q)
+    val nodes = allNodes(plan)
+    val scans = nodes.collect { case bs: BatchScanExec => bs.scan }
+    assert(scans.size == 1 && scans.head.isInstanceOf[GraftGroupedScan],
+      s"bucketed side must keep the grouped scan:\n$plan")
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    info(s"shuffles: ${shuffles.size}")
+    info(plan.toString)
+    // exact results regardless of plan shape
+    val got = q.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got.size == 40 && got(120L) == "t120")
+    // the bucketed side's subtree must be exchange-free: every shuffle
+    // (if any) sits on the small side
+    val bucketSubtreeShuffles = nodes.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        allNodes(j.left).collect { case e: ShuffleExchangeLike => e } ++
+          (if (allNodes(j.left).exists(_.isInstanceOf[BatchScanExec])) Nil
+           else allNodes(j.right).collect { case e: ShuffleExchangeLike => e })
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        val (bucketSide, _) =
+          if (allNodes(j.left).exists(_.isInstanceOf[BatchScanExec]))
+            (j.left, j.right) else (j.right, j.left)
+        allNodes(bucketSide).collect { case e: ShuffleExchangeLike => e }
+    }
+    assert(bucketSubtreeShuffles.exists(_.isEmpty),
+      s"the bucketed side re-shuffled:\n$plan")
+  }
 }
