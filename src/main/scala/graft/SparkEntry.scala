@@ -3001,6 +3001,41 @@ object SparkEntry {
       q
     }),
 
+    "q158_partition_rollup" -> ((s, dir) => {
+      // PARTITION ROLLUP FROM METADATA — the GROUP BY extension of
+      // q157: on an identity layout every file is single-valued on the
+      // partition columns (the rolling writer's invariant), so a
+      // partition-column GROUP BY's groups are unions of whole files —
+      // per-group COUNT(*) sums recorded rows, per-group MIN/MAX fold
+      // the group's file stats, zero data reads. The classic "rows per
+      // partition" operational query becomes one manifest parse at any
+      // scale. Gate: answers with the data directory moved aside.
+      val wh = java.nio.file.Files.createTempDirectory("graft-q158-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_q158")
+      s2.sql("""CREATE TABLE graft.t (o_orderkey BIGINT,
+                o_orderpriority STRING, o_totalprice DOUBLE)
+                PARTITIONED BY (o_orderpriority)""")
+      s2.sql("""INSERT INTO graft.t SELECT o_orderkey, o_orderpriority,
+                CAST(o_totalprice AS DOUBLE) FROM orders_q158""")
+      val q = s2.sql(
+        """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(o_totalprice) AS DOUBLE) AS mn,
+             CAST(max(o_totalprice) AS DOUBLE) AS mx
+           FROM graft.t GROUP BY o_orderpriority""")
+      val dataDir = java.nio.file.Paths.get(s"$wh/t/data")
+      val hidden = java.nio.file.Paths.get(s"$wh/t/.data-hidden")
+      java.nio.file.Files.move(dataDir, hidden)
+      val blind =
+        try q.collect().toSet
+        finally java.nio.file.Files.move(hidden, dataDir)
+      require(blind == q.collect().toSet,
+        "metadata-only rollup must equal the normal-path rollup")
+      q
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -9199,6 +9234,12 @@ object SparkEntry {
            CAST(max(o_totalprice) AS DOUBLE) AS mx,
            min(o_orderpriority) AS first_prio
          FROM orders""",
+    // q158: the per-partition metadata rollup equals the relational one
+    "q158_partition_rollup" ->
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS mn,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx
+         FROM orders GROUP BY 1""",
     // q152: both epochs hold every order row; the MERGE doubled every
     // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must
     // be invisible to readers

@@ -931,7 +931,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var conds: Seq[Condition] = Seq.empty
-  private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var metaAgg: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -960,15 +960,16 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
   // door by construction (the conds check is defense in depth).
   private def computeMetaAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
     if (conds.nonEmpty || streamOpts.nonEmpty) return None
-    if (agg.groupByExpressions.nonEmpty) return None
     val m = ManifestTable.snapshotAt(path, version).getOrElse(return None)
     if (m.deletes.nonEmpty || m.renames.nonEmpty || m.droppedCols.nonEmpty)
       return None
     if (!m.files.forall(m.rows.contains)) return None
+    if (agg.groupByExpressions.nonEmpty)
+      return computeGroupedMetaAgg(agg, m)
     val statTypes: Set[DataType] =
       Set(IntegerType, LongType, FloatType, DoubleType, StringType)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -1022,7 +1023,108 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
           extremum(f, wantMin = false).getOrElse(return None))
       case _ => return None // SUM/AVG/COUNT(col) need data
     }
-    Some((StructType(out.map(_._1)), out.map(_._2)))
+    Some((StructType(out.map(_._1)), Seq(out.map(_._2))))
+  }
+
+  /** GROUP BY over identity partition columns: every file is
+    * single-valued on them (the rolling writer's invariant), so groups
+    * are unions of whole files — per-group COUNT(*) sums recorded rows
+    * and per-group MIN/MAX fold the group's file stats. The
+    * partition-rollup query (`SELECT g, count(*) … GROUP BY g`) becomes
+    * a metadata parse. */
+  private def computeGroupedMetaAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      m: ManifestTable.Manifest)
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    val gcols = agg.groupByExpressions.toSeq.map {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames.length == 1 => r.fieldNames.head
+      case _ => return None
+    }
+    val layout = GraftCatalog.readDeclaredLayout(java.nio.file.Paths.get(path))
+    val idCols = layout.collect { case GraftCatalog.IdentityPart(c) => c }
+    if (gcols.isEmpty || !gcols.forall(idCols.contains)) return None
+    val statTypes: Set[DataType] =
+      Set(IntegerType, LongType, FloatType, DoubleType, StringType)
+    def fieldOf(c: String): Option[StructField] =
+      fullSchema.fields.find(_.name == c).filter(f => statTypes(f.dataType))
+    def parse(s: String, dt: DataType): Any = dt match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case _ => s
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Int) => x.compareTo(y)
+      case (x: Long, y: Long) => x.compareTo(y)
+      case (x: Float, y: Float) => x.compareTo(y)
+      case (x: Double, y: Double) => x.compareTo(y)
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case _ => 0
+    }
+    val gFields = gcols.map(c => fieldOf(c).getOrElse(return None))
+    // group files by their single-value tuple on the group-by columns
+    val grouped = new scala.collection.mutable.LinkedHashMap[Seq[Any], List[String]]
+    val fit = m.files.iterator
+    while (fit.hasNext) {
+      val f = fit.next()
+      val st = m.stats.getOrElse(f, Map.empty)
+      val key = gcols.zip(gFields).map { case (c, fld) =>
+        st.get(c) match {
+          case Some(cs) if cs.min == cs.max => parse(cs.min, fld.dataType)
+          case _ => return None // joint/stat-less file → scan normally
+        }
+      }
+      grouped.updateWith(key)(cur => Some(f :: cur.getOrElse(Nil)))
+    }
+    val aggFields = scala.collection.mutable.ArrayBuffer[StructField]()
+    val aggFns = scala.collection.mutable.ArrayBuffer[Seq[String] => Any]()
+    agg.aggregateExpressions.toSeq.foreach {
+      case _: CountStar =>
+        aggFields += StructField("count", LongType, nullable = false)
+        aggFns += ((files: Seq[String]) => files.map(m.rows).sum: Any)
+      case mn: Min =>
+        val f = (mn.column match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => fieldOf(r.fieldNames.head)
+          case _ => None
+        }).getOrElse(return None)
+        aggFields += f.copy(name = s"min_${f.name}")
+        aggFns += ((files: Seq[String]) => {
+          val vs = files.map(file =>
+            m.stats.getOrElse(file, Map.empty).get(f.name) match {
+              case Some(cs) => parse(cs.min, f.dataType)
+              case None => return None
+            })
+          vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+        })
+      case mx: Max =>
+        val f = (mx.column match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => fieldOf(r.fieldNames.head)
+          case _ => None
+        }).getOrElse(return None)
+        aggFields += f.copy(name = s"max_${f.name}")
+        aggFns += ((files: Seq[String]) => {
+          val vs = files.map(file =>
+            m.stats.getOrElse(file, Map.empty).get(f.name) match {
+              case Some(cs) => parse(cs.max, f.dataType)
+              case None => return None
+            })
+          vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+        })
+      case _ => return None
+    }
+    val schema = StructType(gFields ++ aggFields)
+    val rows = grouped.toSeq.map { case (key, files) =>
+      key ++ aggFns.map(_(files.reverse))
+    }
+    Some((schema, rows))
   }
 
   override def supportCompletePushDown(
@@ -1037,8 +1139,8 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
   }
 
   override def build(): Scan = {
-    metaAgg.foreach { case (schema, row) =>
-      return new GraftMetaAggScan(path, schema, row)
+    metaAgg.foreach { case (schema, rows) =>
+      return new GraftMetaAggScan(path, schema, rows)
     }
     val v1 = GraftScan(path, version, required, conds, streamOpts)
     // STORAGE-PARTITIONED JOIN door: strictly opt-in via Spark's own v2
@@ -1625,14 +1727,15 @@ trait GraftPartitionListing
     java.util.Collections.emptyMap()
 }
 
-/** The pushed-aggregate result: one row, computed entirely from the
-  * manifest — the scan never opens a data file (the spec proves it by
-  * answering with the data directory moved aside). */
-class GraftMetaAggScan(path: String, aggSchema: StructType, row: Seq[Any])
-  extends V1Scan {
+/** The pushed-aggregate result — one row for global aggregates, one per
+  * partition tuple for partition-column GROUP BYs — computed entirely
+  * from the manifest: the scan never opens a data file (the spec proves
+  * it by answering with the data directory moved aside). */
+class GraftMetaAggScan(path: String, aggSchema: StructType,
+    rows: Seq[Seq[Any]]) extends V1Scan {
   override def readSchema(): StructType = aggSchema
   override def description(): String =
-    s"GraftMetaAggScan path=$path (manifest-only aggregate)"
+    s"GraftMetaAggScan path=$path (manifest-only aggregate, ${rows.size} rows)"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val rel = new BaseRelation with TableScan {
@@ -1640,7 +1743,7 @@ class GraftMetaAggScan(path: String, aggSchema: StructType, row: Seq[Any])
       override def schema: StructType = aggSchema
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
         context.sparkSession.sparkContext.parallelize(
-          Seq(org.apache.spark.sql.Row.fromSeq(row)), 1)
+          rows.map(org.apache.spark.sql.Row.fromSeq), 1)
     }
     rel.asInstanceOf[T]
   }

@@ -76,4 +76,32 @@ class MetaAggSpec extends SparkSpecBase {
       .collect().head
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
+
+  test("GROUP BY a partition column answers from metadata: data dir moved aside") {
+    val wh = Files.createTempDirectory("graft-metaagg4-").toString
+    val s2 = catalogSession(wh)
+    import s2.implicits._
+    (0 until 60).map(i => (i.toLong, s"g${i % 3}", i * 1.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("gsrc")
+    s2.sql("CREATE TABLE graft.gt (k BIGINT, g STRING, v DOUBLE) PARTITIONED BY (g)")
+    s2.sql("INSERT INTO graft.gt SELECT * FROM gsrc WHERE k < 30")
+    s2.sql("INSERT INTO graft.gt SELECT * FROM gsrc WHERE k >= 30")
+    val q = s2.sql(
+      """SELECT g, count(*) AS n, min(v) AS mn, max(v) AS mx
+         FROM graft.gt GROUP BY g""")
+    val dataDir = Paths.get(s"$wh/gt/data")
+    val hidden = Paths.get(s"$wh/gt/.data-hidden")
+    Files.move(dataDir, hidden)
+    val blind =
+      try q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      finally Files.move(hidden, dataDir)
+    val expect = (0 until 60).map(i => (i.toLong, s"g${i % 3}", i * 1.0))
+      .groupBy(_._2).map { case (g, rows) =>
+        (g, rows.size.toLong, rows.map(_._3).min, rows.map(_._3).max) }.toSet
+    assert(blind == expect, s"$blind vs $expect")
+    // grouping by a NON-partition column scans normally and stays exact
+    assert(s2.sql("SELECT CAST(k % 2 AS BIGINT) AS p, count(*) FROM graft.gt GROUP BY 1")
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(30L, 30L))
+  }
 }
