@@ -359,11 +359,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       checks: Seq[String] = Seq.empty,
       pk: Seq[String] = Seq.empty): StagedTable = {
     val stagedLayout = GraftCatalog.declaredLayout(partitions, schema)
-    require(!stagedLayout.exists(_.isInstanceOf[GraftCatalog.BucketPart]),
-      "CTAS/RTAS into a bucket-partitioned table is not supported: the " +
-        "staged DSv2 write cannot route rows by bucket yet — CREATE the " +
-        "table first, then INSERT INTO it")
-    val parts = stagedLayout.map(_.col)
+    val parts = stagedLayout.collect { case GraftCatalog.IdentityPart(c) => c }
     val propKeys = Option(properties.get("merge.keys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -375,7 +371,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     Files.createDirectories(dir)
     new GraftStagedTable(ident.toString, dir, schema, keys, created, parts,
-      checks)
+      checks, stagedLayout.collectFirst {
+        case GraftCatalog.BucketPart(n, c) => (n, c) })
   }
 
   /** `ALTER TABLE` over manifest metadata: ADD COLUMN extends the
@@ -1267,6 +1264,13 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
 
+  // bucket layouts ride the declared sidecar (the table object carries
+  // identity partCols only): streamed epochs cluster + sort on the
+  // bucket transform and the epoch writer rolls per computed bucket id
+  private val declaredBucket: Option[(Int, String)] =
+    GraftCatalog.readDeclaredLayout(Paths.get(path)).collectFirst {
+      case GraftCatalog.BucketPart(n, c) => (n, c) }
+
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def build(): Write = {
@@ -1312,15 +1316,25 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
       // its redundant staged files are deleted, not committed. Append
       // mode appends; Complete mode (truncate()) replaces per epoch.
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-        require(!GraftCatalog.readDeclaredLayout(Paths.get(path))
-            .exists(_.isInstanceOf[GraftCatalog.BucketPart]),
-          "streaming into a bucket-partitioned table is not supported: " +
-            "epoch tasks cannot route rows by bucket yet")
-        new GraftStreamingWrite(path, schema, queryId, replace, partCols)
-      }
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftStreamingWrite(path, schema, queryId, replace, partCols,
+          declaredBucket)
     }
-    if (partCols.isEmpty) new GraftV1Write
+    if (partCols.isEmpty && declaredBucket.isDefined) {
+      // streamed epochs into a BUCKETED table: cluster + sort on the
+      // bucket transform (resolved through the catalog's function) so
+      // each epoch task rolls single-bucket files
+      import org.apache.spark.sql.connector.distributions.Distributions
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      val (n, c) = declaredBucket.get
+      val expr = Expressions.bucket(n, c)
+      val orders = Array(Expressions.sort(expr, SortDirection.ASCENDING))
+      new GraftV1Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution() = Distributions.clustered(Array(expr))
+        override def requiredOrdering() = orders
+      }
+    } else if (partCols.isEmpty) new GraftV1Write
     else {
       // PARTITIONED BY reaches the STREAMING plan through the declared
       // distribution (the micro-batch planner applies it per epoch):
@@ -1342,7 +1356,8 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
 }
 
 class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
-    replace: Boolean, partCols: Seq[String] = Seq.empty)
+    replace: Boolean, partCols: Seq[String] = Seq.empty,
+    bucket: Option[(Int, String)] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
@@ -1354,7 +1369,7 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
     // (partition columns are rename-refused, so their names are stable)
     GraftStreamWriterFactory(
       ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-      ManifestTable.physicalWriteSchema(path, schema), partCols)
+      ManifestTable.physicalWriteSchema(path, schema), partCols, bucket)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1392,7 +1407,8 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
   * table skeleton), leaving what existed before untouched. */
 class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     keys: Seq[String], created: Boolean, parts: Seq[String] = Seq.empty,
-    checks: Seq[String] = Seq.empty)
+    checks: Seq[String] = Seq.empty,
+    bucket: Option[(Int, String)] = None)
   extends Table with SupportsWrite with StagedTable {
 
   private val path = dir.toString
@@ -1412,17 +1428,34 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
         // on the partition columns (DSv2 RequiresDistributionAndOrdering
         // — the planner inserts the range shuffle + local sort), so the
         // staged files carry prunable single-value/tight ranges exactly
-        // like the V1 insert path's repartitionByRange
-        if (parts.isEmpty) new GraftStagedWrite(path, info.schema())
+        // like the V1 insert path's repartitionByRange. A BUCKET layout
+        // asks for a CLUSTERED distribution + sort on the bucket
+        // transform instead — Spark resolves the transform through the
+        // catalog's own bucket function, and the task writer rolls a
+        // file per computed bucket id
+        if (parts.isEmpty && bucket.isEmpty)
+          new GraftStagedWrite(path, info.schema())
         else {
           import org.apache.spark.sql.connector.distributions.Distributions
           import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-          val orders = parts.map(c => Expressions.sort(
-            Expressions.column(c), SortDirection.ASCENDING)).toArray
-          new GraftStagedWrite(path, info.schema())
-            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-            override def requiredDistribution() = Distributions.ordered(orders)
-            override def requiredOrdering() = orders
+          bucket match {
+            case Some((n, c)) =>
+              val expr = Expressions.bucket(n, c)
+              val orders = Array(Expressions.sort(expr, SortDirection.ASCENDING))
+              new GraftStagedWrite(path, info.schema())
+                with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+                override def requiredDistribution() =
+                  Distributions.clustered(Array(expr))
+                override def requiredOrdering() = orders
+              }
+            case None =>
+              val orders = parts.map(c => Expressions.sort(
+                Expressions.column(c), SortDirection.ASCENDING)).toArray
+              new GraftStagedWrite(path, info.schema())
+                with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+                override def requiredDistribution() = Distributions.ordered(orders)
+                override def requiredOrdering() = orders
+              }
           }
         }
 
@@ -1434,7 +1467,7 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
                 : org.apache.spark.sql.connector.write.DataWriterFactory =
               GraftBatchWriterFactory(
                 ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-                writeSchema, parts)
+                writeSchema, parts, bucket)
             override def commit(messages: Array[
                 org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
               staged = messages.collect { case m: GraftDeltaCommitMessage =>
@@ -1453,8 +1486,12 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
       tableSchema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (keys.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.KeysFile), keys.mkString(","))
-    if (parts.nonEmpty)
-      Files.writeString(dir.resolve(GraftCatalog.PartsFile), parts.mkString(","))
+    val stagedLayout: Seq[GraftCatalog.PartTransform] =
+      bucket.map { case (n, c) => GraftCatalog.BucketPart(n, c) }.toSeq ++
+        parts.map(GraftCatalog.IdentityPart)
+    if (stagedLayout.nonEmpty)
+      Files.writeString(dir.resolve(GraftCatalog.PartsFile),
+        GraftCatalog.encodeLayout(stagedLayout))
     else Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile)) // RTAS re-layout
     if (checks.nonEmpty)
       GraftCatalog.writeDeclaredConstraints(dir, checks)
@@ -1494,21 +1531,23 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
 }
 
 case class GraftBatchWriterFactory(dataDir: String, schema: StructType,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    bucket: Option[(Int, String)] = None)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftAppendTaskWriter(dataDir, schema, partCols)
+    new GraftAppendTaskWriter(dataDir, schema, partCols, bucket)
 }
 
 case class GraftStreamWriterFactory(dataDir: String, schema: StructType,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    bucket: Option[(Int, String)] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftAppendTaskWriter(dataDir, schema, partCols)
+    new GraftAppendTaskWriter(dataDir, schema, partCols, bucket)
 }
 
 /** One task's rows → parquet files (lazily opened: an empty partition
@@ -1523,16 +1562,24 @@ case class GraftStreamWriterFactory(dataDir: String, schema: StructType,
   * would make the value→files grouping unsound (a value strictly
   * inside a file's [min,max] range is invisible to the manifest). */
 class GraftAppendTaskWriter(dataDir: String, schema: StructType,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    bucket: Option[(Int, String)] = None)
   extends org.apache.spark.sql.connector.write.DataWriter[
     org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.graft.ParquetRowWriter
 
   private val partIdx = partCols.map(schema.fieldIndex).toArray
   private val partTypes = partIdx.map(schema.fields(_).dataType)
+  // bucket layout: (numBuckets, key index, key type) — the writer
+  // computes each row's bucket id with the catalog-served function and
+  // rolls on changes (rows arrive bucket-sorted via requiredOrdering),
+  // naming files b<id>-<uuid> like the stage-side bucket path
+  private val bucketSpec = bucket.map { case (n, c) =>
+    (n, schema.fieldIndex(c), schema(c).dataType) }
   private var names: List[String] = Nil
   private var out: ParquetRowWriter.Writer = _
   private var curKey: Array[Any] = _
+  private var curBucket: Int = Int.MinValue
 
   private def keyOf(row: org.apache.spark.sql.catalyst.InternalRow): Array[Any] =
     Array.tabulate(partIdx.length) { i =>
@@ -1543,21 +1590,30 @@ class GraftAppendTaskWriter(dataDir: String, schema: StructType,
       }
     }
 
-  private def open(): Unit = {
-    val name = s"${java.util.UUID.randomUUID()}.parquet"
+  private def open(prefix: String = ""): Unit = {
+    val name = s"$prefix${java.util.UUID.randomUUID()}.parquet"
     names = name :: names
     out = ParquetRowWriter.open(s"$dataDir/$name", schema)
   }
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-    if (partIdx.nonEmpty) {
-      val k = keyOf(row)
-      if (out == null) { curKey = k; open() }
-      else if (!java.util.Arrays.equals(curKey.asInstanceOf[Array[AnyRef]],
-          k.asInstanceOf[Array[AnyRef]])) {
-        out.close(); curKey = k; open()
-      }
-    } else if (out == null) open()
+    bucketSpec match {
+      case Some((n, idx, dt)) =>
+        val id = GraftBucketFunction.bucketOf(row.get(idx, dt), dt, n)
+        if (out == null || id != curBucket) {
+          if (out != null) out.close()
+          curBucket = id
+          open(s"b$id-")
+        }
+      case None if partIdx.nonEmpty =>
+        val k = keyOf(row)
+        if (out == null) { curKey = k; open() }
+        else if (!java.util.Arrays.equals(curKey.asInstanceOf[Array[AnyRef]],
+            k.asInstanceOf[Array[AnyRef]])) {
+          out.close(); curKey = k; open()
+        }
+      case None => if (out == null) open()
+    }
     out.write(row)
   }
 

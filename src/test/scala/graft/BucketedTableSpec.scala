@@ -128,7 +128,7 @@ class BucketedTableSpec extends SparkSpecBase {
       == "v42")
   }
 
-  test("OPTIMIZE preserves bucketing; CTAS and streaming into bucketed tables refuse") {
+  test("OPTIMIZE preserves bucketing; bucketed CTAS routes through the clustered staged write") {
     val wh = freshWh()
     val s2 = bucketSession(wh)
     import s2.implicits._
@@ -144,11 +144,44 @@ class BucketedTableSpec extends SparkSpecBase {
     assert(files.forall(_.matches("^b\\d+-.*")),
       s"compaction lost bucket prefixes: ${files.take(3)}")
     assert(ManifestTable.read(s2, path).count() == 100)
-    val e1 = intercept[Exception] {
-      s2.sql("""CREATE TABLE graft.m.c PARTITIONED BY (bucket(4, k))
-                AS SELECT * FROM src4""")
-    }
-    assert(e1.getMessage.contains("CTAS"), e1.getMessage)
+    // CTAS: the staged DSv2 write clusters + sorts on the bucket
+    // transform (the catalog's function) and rolls per bucket id
+    s2.sql("""CREATE TABLE graft.m.c PARTITIONED BY (bucket(4, k))
+              AS SELECT * FROM src4""")
+    val cPath = s"$wh/m/c"
+    val cFiles = ManifestTable.dataFiles(cPath)
+    assert(cFiles.nonEmpty && cFiles.forall(_.matches("^b\\d+-.*")),
+      s"CTAS files not bucket-rolled: ${cFiles.take(3)}")
+    assert(s2.sql("SELECT count(*) FROM graft.m.c").head().getLong(0) == 100L)
+    // and the CTAS'd table is immediately SPJ-able against the first
+    val q = s2.sql(
+      """SELECT t.k FROM graft.m.t t JOIN graft.m.c c ON t.k = c.k""")
+    val plan = finalPlan(q)
+    assert(allNodes(plan).collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"CTAS output not co-partitioned:\n$plan")
+    assert(q.collect().length == 100)
+  }
+
+  test("streaming into a bucketed table rolls single-bucket epoch files") {
+    val wh = freshWh()
+    val s2 = bucketSession(wh)
+    import s2.implicits._
+    s2.sql("CREATE NAMESPACE graft.st")
+    s2.sql("CREATE TABLE graft.st.t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+    val srcDir = s"$wh/feed"
+    (0L until 80L).map(k => (k, k * 1.0)).toDF("k", "v").write.parquet(srcDir)
+    val schema = s2.read.parquet(srcDir).schema
+    s2.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.st.t")
+      .awaitTermination()
+    val path = s"$wh/st/t"
+    val files = ManifestTable.dataFiles(path)
+    assert(files.nonEmpty && files.forall(_.matches("^b\\d+-.*")),
+      s"streamed files not bucket-rolled: ${files.take(3)}")
+    assert(s2.sql("SELECT count(*) FROM graft.st.t").head().getLong(0) == 80L)
   }
 
   test("a bucketed x unbucketed join shuffles ONLY the unbucketed side (v2 bucketing shuffle)") {
