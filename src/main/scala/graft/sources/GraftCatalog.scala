@@ -252,6 +252,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pk: Seq[String]): Table = {
     val layout = GraftCatalog.declaredLayout(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // validate EVERYTHING before the first byte lands: a refused
+    // declaration must leave no half-created table directory behind
+    val (propKeys, zorder, propChecks) =
+      GraftCatalog.declaredProps(properties, schema, layout)
+    // TBLPROPERTIES('merge.keys'='a,b') keys the table at birth, so SQL
+    // UPDATE/MERGE work before any API merge has declared identity;
+    // PRIMARY KEY (cols) is the same declaration in standard DDL
+    require(propKeys.isEmpty || pk.isEmpty || propKeys == pk,
+      s"merge.keys ${propKeys.mkString(",")} conflicts with PRIMARY KEY ${pk.mkString(",")}")
+    val ks = if (pk.nonEmpty) pk else propKeys
+    require(ks.forall(schema.fieldNames.contains),
+      s"merge keys ${ks.mkString(",")} must name columns of the table schema")
+    require(gens.forall { case (n, _) => schema.fieldNames.contains(n) },
+      "generated columns must name columns of the table schema")
     val dir = tableDir(ident)
     Files.createDirectories(dir)
     if (layout.nonEmpty)
@@ -259,27 +273,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftCatalog.encodeLayout(layout))
     Files.write(dir.resolve(GraftCatalog.SchemaFile),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (gens.nonEmpty) {
-      require(gens.forall { case (n, _) => schema.fieldNames.contains(n) },
-        "generated columns must name columns of the table schema")
+    if (gens.nonEmpty)
       GraftCatalog.writeDeclaredGenerated(dir, gens)
-    }
-    if (checks.nonEmpty)
-      GraftCatalog.writeDeclaredConstraints(dir, checks)
-    // TBLPROPERTIES('merge.keys'='a,b') keys the table at birth, so SQL
-    // UPDATE/MERGE work before any API merge has declared identity;
-    // PRIMARY KEY (cols) is the same declaration in standard DDL
-    val propKeys = Option(properties.get("merge.keys"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
-    require(propKeys.isEmpty || pk.isEmpty || propKeys == pk,
-      s"merge.keys ${propKeys.mkString(",")} conflicts with PRIMARY KEY ${pk.mkString(",")}")
-    val ks = if (pk.nonEmpty) pk else propKeys
-    if (ks.nonEmpty) {
-      require(ks.forall(schema.fieldNames.contains),
-        s"merge keys ${ks.mkString(",")} must name columns of the table schema")
+    if (checks.nonEmpty || propChecks.nonEmpty)
+      GraftCatalog.writeDeclaredConstraints(dir, checks ++ propChecks)
+    if (zorder.nonEmpty)
+      Files.writeString(dir.resolve(GraftCatalog.ZOrderFile),
+        zorder.mkString(","))
+    if (ks.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.KeysFile), ks.mkString(","))
-    }
     loadTable(ident)
   }
 
@@ -360,9 +362,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pk: Seq[String] = Seq.empty): StagedTable = {
     val stagedLayout = GraftCatalog.declaredLayout(partitions, schema)
     val parts = stagedLayout.collect { case GraftCatalog.IdentityPart(c) => c }
-    val propKeys = Option(properties.get("merge.keys"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    val (propKeys, zorder, propChecks) =
+      GraftCatalog.declaredProps(properties, schema, stagedLayout)
     require(propKeys.isEmpty || pk.isEmpty || propKeys == pk,
       s"merge.keys ${propKeys.mkString(",")} conflicts with PRIMARY KEY ${pk.mkString(",")}")
     val keys = if (pk.nonEmpty) pk else propKeys
@@ -371,8 +372,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     Files.createDirectories(dir)
     new GraftStagedTable(ident.toString, dir, schema, keys, created, parts,
-      checks, stagedLayout.collectFirst {
-        case GraftCatalog.BucketPart(n, c) => (n, c) })
+      checks ++ propChecks, stagedLayout.collectFirst {
+        case GraftCatalog.BucketPart(n, c) => (n, c) }, zorder)
   }
 
   /** `ALTER TABLE` over manifest metadata: ADD COLUMN extends the
@@ -707,6 +708,43 @@ object GraftCatalog {
     val f = dir.resolve(ZOrderFile)
     if (!Files.isRegularFile(f)) Seq.empty
     else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** CREATE-time TBLPROPERTIES — the SAME declaration surface ALTER's
+    * `SET TBLPROPERTIES` supports (`merge.keys` / `zorder.cols` /
+    * `check.<name>`), so a declaration works identically at birth and
+    * after. Spark-managed bookkeeping keys (owner/provider/location/
+    * comment/external/option.*) pass through untouched; anything else
+    * is refused loudly — a silently dropped property is a lost user
+    * declaration. Returns (mergeKeys, zorderCols, checkExprs). */
+  private[sources] def declaredProps(
+      properties: java.util.Map[String, String], schema: StructType,
+      layout: Seq[PartTransform]): (Seq[String], Seq[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val sparkManaged = Set("owner", "provider", "location", "comment",
+      "external", "is_managed_location")
+    var keys, zorder, checks = Seq.empty[String]
+    properties.asScala.toSeq.sortBy(_._1).foreach {
+      case ("merge.keys", v) =>
+        keys = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+          s"merge.keys '$v' must name columns of the table schema")
+      case ("zorder.cols", v) =>
+        zorder = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(zorder.nonEmpty && zorder.forall(schema.fieldNames.contains),
+          s"zorder.cols '$v' must name columns of the table schema")
+        require(layout.isEmpty,
+          "zorder.cols and PARTITIONED BY are mutually exclusive " +
+            "(a z-order rewrite would smear the partition ranges)")
+      case (k, v) if k.startsWith("check.") =>
+        require(v.trim.nonEmpty, s"empty CHECK expression for '$k'")
+        checks :+= v
+      case (k, _) if sparkManaged(k) || k.startsWith("option.") => ()
+      case (k, _) => throw new UnsupportedOperationException(
+        s"unsupported table property '$k' " +
+          "(supported: merge.keys, zorder.cols, check.<name>)")
+    }
+    (keys, zorder, checks)
   }
 
   /** CREATE-time CHECK constraints (same pre-first-commit lifecycle). */
@@ -1408,7 +1446,8 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
 class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     keys: Seq[String], created: Boolean, parts: Seq[String] = Seq.empty,
     checks: Seq[String] = Seq.empty,
-    bucket: Option[(Int, String)] = None)
+    bucket: Option[(Int, String)] = None,
+    zorder: Seq[String] = Seq.empty)
   extends Table with SupportsWrite with StagedTable {
 
   private val path = dir.toString
@@ -1489,10 +1528,15 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     val stagedLayout: Seq[GraftCatalog.PartTransform] =
       bucket.map { case (n, c) => GraftCatalog.BucketPart(n, c) }.toSeq ++
         parts.map(GraftCatalog.IdentityPart)
-    if (stagedLayout.nonEmpty)
+    if (stagedLayout.nonEmpty) {
       Files.writeString(dir.resolve(GraftCatalog.PartsFile),
         GraftCatalog.encodeLayout(stagedLayout))
-    else Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile)) // RTAS re-layout
+      // a re-layout supersedes a declared z-order (mutually exclusive)
+      Files.deleteIfExists(dir.resolve(GraftCatalog.ZOrderFile))
+    } else Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile)) // RTAS re-layout
+    if (zorder.nonEmpty)
+      Files.writeString(dir.resolve(GraftCatalog.ZOrderFile),
+        zorder.mkString(","))
     if (checks.nonEmpty)
       GraftCatalog.writeDeclaredConstraints(dir, checks)
     // ONE overwrite commit: the staged files become the table's data

@@ -125,6 +125,49 @@ class GraftMaintenanceSpec extends SparkSpecBase {
       s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('zorder.cols'='nope')") }
   }
 
+  test("CREATE-time TBLPROPERTIES declare the same surface ALTER does") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    // zorder.cols + check.* at CREATE: honored, not silently dropped
+    s2.sql("""CREATE TABLE graft.t (k BIGINT, a BIGINT, b BIGINT)
+              TBLPROPERTIES ('zorder.cols'='a,b', 'check.pos'='a >= 0')""")
+    val props = s2.sql("SHOW TBLPROPERTIES graft.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("zorder.cols").contains("a,b"), props.toString)
+    assert(props.get("check.0").contains("a >= 0"), props.toString)
+    intercept[Exception] {
+      s2.sql("INSERT INTO graft.t VALUES (1, -5, 0)") }
+    s2.sql("""INSERT INTO graft.t
+              SELECT id, pmod(id * 37, 1000), pmod(id * 91, 1000)
+              FROM range(0, 2000)""")
+    s2.sql("OPTIMIZE graft.t TARGET 8192").collect()
+    import graft.conditions.{Condition, Op}
+    val path = s"$wh/t"
+    val sv = ManifestTable.statsSurvivors(path, Seq(Condition("a", Op.Lt, 50L)))
+    assert(sv.size < ManifestTable.dataFiles(path).size,
+      "CREATE-declared zorder must make `a` prunable after OPTIMIZE")
+    // CTAS carries the declarations through the atomic staging commit
+    s2.sql("""CREATE TABLE graft.c TBLPROPERTIES ('zorder.cols'='a') AS
+              SELECT k, a FROM graft.t""")
+    val cProps = s2.sql("SHOW TBLPROPERTIES graft.c").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cProps.get("zorder.cols").contains("a"), cProps.toString)
+    // refusals, all BEFORE any table directory lands: unknown keys,
+    // zorder×PARTITIONED BY, bad column names
+    intercept[Exception] {
+      s2.sql("CREATE TABLE graft.b1 (k BIGINT) TBLPROPERTIES ('no.such'='x')") }
+    intercept[Exception] {
+      s2.sql("""CREATE TABLE graft.b2 (k BIGINT, g STRING) PARTITIONED BY (g)
+                TBLPROPERTIES ('zorder.cols'='k')""") }
+    intercept[Exception] {
+      s2.sql("CREATE TABLE graft.b3 (k BIGINT) TBLPROPERTIES ('zorder.cols'='nope')") }
+    Seq("b1", "b2", "b3").foreach { n =>
+      assert(!s2.catalog.tableExists(s"graft.$n"),
+        s"refused CREATE must leave no half-created table graft.$n") }
+  }
+
   test("VACUUM retention: age gate without FORCE, full sweep with it") {
     val wh = freshWh()
     val s2 = spark.newSession()
