@@ -3181,6 +3181,21 @@ object SparkEntry {
       s2.sql("ALTER TABLE graft.t ADD CONSTRAINT pos_price CHECK (price > 0)")
       require(ManifestTable.constraints(t) == Seq("qty > 0", "price > 0"),
         s"ADD CONSTRAINT must append: ${ManifestTable.constraints(t)}")
+      // SHOW CREATE TABLE round-trips the FULL contract: running the
+      // rendered DDL recreates generated column, checks, and key
+      val ddl = s2.sql("SHOW CREATE TABLE graft.t").head().getString(0)
+      require(ddl.contains("GENERATED ALWAYS AS (qty * price)"),
+        s"SHOW CREATE TABLE must render the generation expression:\n$ddl")
+      s2.sql(ddl.replace("graft.t", "graft.t2"))
+      val t2 = s"$wh/t2"
+      val t2Keys = s2.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty, "t2")).properties().get("merge.keys")
+      require(ManifestTable.generatedColumns(t2) == Seq("gross" -> "qty * price")
+          && ManifestTable.constraints(t2) == Seq("qty > 0", "price > 0")
+          && t2Keys == "id",
+        "the rendered DDL must recreate the same table contract")
       s2.sql(
         """SELECT CAST(id % 7 AS BIGINT) AS bucket,
              CAST(count(*) AS BIGINT) AS n,

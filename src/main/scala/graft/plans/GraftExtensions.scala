@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (spark.sql.extensions conf or .withExtensions); register() on an
     // already-built session cannot retrofit a parser
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // SHOW CREATE TABLE that round-trips (Spark's V2 renderer drops
+    // GENERATED ALWAYS AS and doubles constraints via TBLPROPERTIES)
+    ext.injectPlannerStrategy(_ => new GraftShowCreateStrategy)
     // the manifest format's SQL read surface: FROM graft_table('<path>')
     ext.injectTableFunction((FunctionIdentifier("graft_table"),
       new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_table"),

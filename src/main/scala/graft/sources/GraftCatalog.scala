@@ -275,8 +275,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (gens.nonEmpty)
       GraftCatalog.writeDeclaredGenerated(dir, gens)
+    // .distinct: DDL that carries a constraint BOTH as a CONSTRAINT
+    // clause and as a check.* property (Spark's own SHOW CREATE TABLE
+    // rendering does) declares it once, not twice
     if (checks.nonEmpty || propChecks.nonEmpty)
-      GraftCatalog.writeDeclaredConstraints(dir, checks ++ propChecks)
+      GraftCatalog.writeDeclaredConstraints(dir, (checks ++ propChecks).distinct)
     if (zorder.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.ZOrderFile),
         zorder.mkString(","))
@@ -372,7 +375,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     Files.createDirectories(dir)
     new GraftStagedTable(ident.toString, dir, schema, keys, created, parts,
-      checks ++ propChecks, stagedLayout.collectFirst {
+      (checks ++ propChecks).distinct, stagedLayout.collectFirst {
         case GraftCatalog.BucketPart(n, c) => (n, c) }, zorder)
   }
 
@@ -894,6 +897,29 @@ class GraftSqlTable(val ident: String, val path: String,
     m
   }
 
+  // SHOW CREATE TABLE fidelity: the rendered DDL must recreate the
+  // CONTRACT, not just the shape — generated columns come back on the
+  // column list (`GENERATED ALWAYS AS`), CHECK constraints as enforced
+  // table constraints. Spark's V2 ShowCreateTableExec reads both from
+  // here; DESCRIBE and the write-path analyzer see the same declaration
+  // the commit protocol already enforces in-scan.
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    val gens = ManifestTable.generatedColumns(path).toMap
+    tableSchema.fields.map { f =>
+      org.apache.spark.sql.connector.catalog.Column.create(
+        f.name, f.dataType, f.nullable, null,
+        gens.get(f.name).orNull, null)
+    }
+  }
+
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    ManifestTable.constraints(path).zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(s"check_$i").predicateSql(c).enforced(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // stream options (startingVersion, maxVersionsPerTrigger, …) ride
     // the reader options into toMicroBatchStream; batch scans ignore them
@@ -949,6 +975,19 @@ class GraftKeyedSqlTable(ident0: String, path0: String,
     m.put("merge.keys", keyCols.mkString(","))
     m
   }
+
+  // the declared merge keys ARE the primary key — informational (merges
+  // upsert by key; plain appends are not uniqueness-gated), so NOT
+  // ENFORCED NORELY, the honest rendering
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    super.constraints() :+
+      (org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .primaryKey("pk", keyCols.map(
+          org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
+        .enforced(false)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint)
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
