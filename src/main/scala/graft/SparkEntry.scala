@@ -3036,6 +3036,83 @@ object SparkEntry {
       q
     }),
 
+    "q159_cbo_reorder" -> ((s, dir) => {
+      // COST-BASED OPTIMIZATION OVER ANALYZE STATISTICS — `ANALYZE
+      // TABLE … COMPUTE STATISTICS FOR ALL COLUMNS` (one map-side-
+      // combined HLL++/min-max pass) persists advisory column stats the
+      // scan reports through DSv2 `columnStats()`; the pre-CBO stats
+      // bridge (ForwardV1ScanStats) carries them past Spark's V1 scan
+      // wrapper so CostBasedJoinReorder and filter estimation see them.
+      // At 100 TB this is the decision layer that joins two dimension
+      // tables before touching the fact table — wrong order = a
+      // petabyte-scale intermediate. Gates: (a) with CBO off the
+      // syntactic join order stands; (b) with CBO on the optimizer
+      // restructures to join customer×nation first; (c) an ANALYZE'd
+      // equality filter's cardinality estimate shrinks by NDV. Emits
+      // the (order-independent) join result under the oracle.
+      val wh = java.nio.file.Files.createTempDirectory("graft-q159-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // isolate reorder: broadcast HINTS (GraftJoinSizeRule) pin the
+      // join order, and CostBasedJoinReorder only touches hint-free
+      // joins — the realistic fact×fact regime at scale
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_src")
+      Tables(s2, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .createOrReplaceTempView("cust_src")
+      Tables(s2, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("nat_src")
+      s2.sql("CREATE TABLE graft.ord AS SELECT * FROM ord_src")
+      s2.sql("CREATE TABLE graft.cust AS SELECT * FROM cust_src")
+      s2.sql("CREATE TABLE graft.nat AS SELECT * FROM nat_src")
+      Seq("ord", "cust", "nat").foreach(t => s2.sql(
+        s"ANALYZE TABLE graft.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      val joinSql =
+        """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.ord o
+           JOIN graft.cust c ON o.o_custkey = c.c_custkey
+           JOIN graft.nat n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n_name"""
+      def shape(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : String = p match {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          s"(${shape(j.left)}*${shape(j.right)})"
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name()
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name()
+        case n if n.children.size == 1 => shape(n.children.head)
+        case other => other.getClass.getSimpleName
+      }
+      // plan-stats visitors key off the CALLING thread's session conf
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try {
+        s2.conf.set("spark.sql.cbo.enabled", "false")
+        val syntactic = shape(s2.sql(joinSql).queryExecution.optimizedPlan)
+        require(syntactic == "((ord*cust)*nat)",
+          s"CBO off must keep the written order, got $syntactic")
+        s2.conf.set("spark.sql.cbo.enabled", "true")
+        val reordered = shape(s2.sql(joinSql).queryExecution.optimizedPlan)
+        require(reordered.contains("(cust*nat)") || reordered.contains("(nat*cust)"),
+          s"CBO must join customer×nation before the fact table, got $reordered")
+        val fStats = s2.sql("SELECT * FROM graft.ord WHERE o_custkey = 7")
+          .queryExecution.optimizedPlan.stats
+        val total = s2.table("graft.ord").count()
+        require(fStats.attributeStats.nonEmpty &&
+            fStats.rowCount.exists(_ < BigInt(total / 5)),
+          s"ANALYZE stats must shrink the equality estimate below " +
+            s"${total / 5}, got ${fStats.rowCount}")
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+      s2.sql(joinSql)
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -9255,6 +9332,13 @@ object SparkEntry {
            CAST(min(o_totalprice) AS DOUBLE) AS mn,
            CAST(max(o_totalprice) AS DOUBLE) AS mx
          FROM orders GROUP BY 1""",
+    "q159_cbo_reorder" ->
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1""",
     // q152: both epochs hold every order row; the MERGE doubled every
     // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must
     // be invisible to readers

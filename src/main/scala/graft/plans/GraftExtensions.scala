@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // size-based join planning for catalog scans (V1ScanWrapper reports
     // no statistics — without this a graft side never broadcasts)
     ext.injectOptimizerRule(_ => new GraftJoinSizeRule)
+    // post-pushdown, pre-join-reorder: re-wrap V1 scans so row counts
+    // and ANALYZE column statistics reach CBO estimation
+    ext.injectPreCBORule(_ =>
+      new org.apache.spark.sql.graft.ForwardV1ScanStats)
     // SQL maintenance statements (OPTIMIZE / VACUUM) — parser injection
     // only takes effect on sessions BUILT with the extension
     // (spark.sql.extensions conf or .withExtensions); register() on an

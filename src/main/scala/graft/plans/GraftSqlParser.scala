@@ -68,6 +68,10 @@ object GraftSqlParser {
   private val Vacuum = Pattern.compile(
     """(?is)^\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?\s*$""")
+  private val Analyze = Pattern.compile(
+    """(?is)^\s*ANALYZE\s+TABLE\s+('[^']+'|[\w.`]+)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)))?""" +
+      """\s*;?\s*$""")
 
   private def target(raw: String, delegate: ParserInterface)
       : Either[String, Seq[String]] =
@@ -87,6 +91,26 @@ object GraftSqlParser {
     if (vm.matches())
       return Some(GraftVacuumCommand(target(vm.group(1), delegate),
         Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null))
+    val am = Analyze.matcher(sqlText)
+    if (am.matches()) {
+      val tgt = target(am.group(1), delegate)
+      // strict-superset discipline: ANALYZE is valid Spark syntax for
+      // session-catalog (v1) tables — only targets that Spark itself
+      // cannot analyze (a path, or a non-default catalog's table, where
+      // v2 ANALYZE throws) are intercepted; everything else delegates
+      val ours = tgt match {
+        case Left(_)      => true
+        case Right(parts) =>
+          parts.length >= 2 && parts.head != "spark_catalog"
+      }
+      if (ours) {
+        val cols: Option[Seq[String]] =
+          if (am.group(2) != null) Some(Seq.empty) // FOR ALL COLUMNS
+          else Option(am.group(3)).map(_.split(",").toSeq
+            .map(c => delegate.parseMultipartIdentifier(c.trim).last))
+        return Some(GraftAnalyzeCommand(tgt, cols))
+      }
+    }
     None
   }
 
@@ -165,5 +189,36 @@ case class GraftVacuumCommand(target: Either[String, Seq[String]],
         vacuumMinAgeMs = if (force) 0L else 3600000L)
     Seq(Row(expired.size.toLong, deleted.size.toLong,
       ManifestTable.versions(path).mkString(",")))
+  }
+}
+
+/** `ANALYZE TABLE <t> COMPUTE STATISTICS [FOR ALL COLUMNS | FOR COLUMNS
+  * a, b]` → [[graft.sources.ColumnStats.analyze]]: ONE map-side-combined
+  * aggregation pass (HLL++ NDV sketches, null counts, numeric min/max,
+  * string lengths) persisted as advisory sidecar metadata the scan
+  * reports through DSv2 `columnStats()`. With `spark.sql.cbo.enabled`
+  * these drive filter-cardinality estimates and
+  * `spark.sql.cbo.joinReorder.enabled` multi-way join re-ordering.
+  * `cols` = None → row count only; Some(empty) → every analyzable
+  * column; Some(list) → exactly those. */
+case class GraftAnalyzeCommand(target: Either[String, Seq[String]],
+    cols: Option[Seq[String]]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("version", LongType),
+    GraftSqlParser.attr("row_count", LongType),
+    GraftSqlParser.attr("columns_analyzed", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.ColumnStats
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val names = cols match {
+      case None      => Seq.empty[String]
+      case Some(Nil) =>
+        ColumnStats.analyzableColumns(ManifestTable.schemaAt(spark, path))
+      case Some(cs)  => cs
+    }
+    val stats = ColumnStats.analyze(spark, path, names)
+    Seq(Row(stats.version, stats.rows, stats.cols.size.toLong))
   }
 }

@@ -1278,6 +1278,46 @@ case class GraftScan(path: String, version: Option[Long],
       context: SQLContext): T =
     new GraftSqlRelation(context, path, version, required, conds).asInstanceOf[T]
 
+  /** ANALYZE-computed column statistics for the columns this scan
+    * emits, keyed the way `DataSourceV2Relation.transformV2Stats`
+    * resolves them. Feeds CBO filter estimation and join reorder. */
+  private def analyzedColumnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import java.util.OptionalLong
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      ColumnStatistics]()
+    ColumnStats.load(path).foreach { stats =>
+      required.fields.foreach { f =>
+        stats.cols.get(f.name).foreach { cs =>
+          m.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              OptionalLong.of(cs.distinct)
+            override def nullCount(): OptionalLong = OptionalLong.of(cs.nulls)
+            override def min(): java.util.Optional[Object] =
+              cs.min.flatMap(ColumnStats.typedBound(_, f.dataType)) match {
+                case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+                case None    => java.util.Optional.empty()
+              }
+            override def max(): java.util.Optional[Object] =
+              cs.max.flatMap(ColumnStats.typedBound(_, f.dataType)) match {
+                case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+                case None    => java.util.Optional.empty()
+              }
+            override def avgLen(): OptionalLong =
+              cs.avgLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            override def maxLen(): OptionalLong =
+              cs.maxLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+          })
+        }
+      }
+    }
+    m
+  }
+
   override def estimateStatistics(): Statistics = {
     import java.util.OptionalLong
     if (ManifestTable.versions(path).isEmpty)
@@ -1303,9 +1343,14 @@ case class GraftScan(path: String, version: Option[Long],
     // bytes scaled to the PRUNED column set: the planner should see the
     // cost of what this scan emits, not of columns it never reads
     val rowBytes = math.max(1, required.defaultSize)
+    val colStats = analyzedColumnStats()
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * rowBytes)
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 }
@@ -1585,6 +1630,8 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     // names as fresh physical names — the old column mapping is void
     ManifestTable.commitStagedFiles(SparkSession.active, path, staged,
       replace = true, commitId = None, resetMapping = true)
+    // a wholesale replace voids any ANALYZE estimates (absent beats wrong)
+    if (!created) ColumnStats.invalidate(path)
     // DDL-declared CHECKs on the RTAS itself REDEFINE the contract (a
     // created table already picked them up from the sidecar at the
     // commit above; a replace swaps the inherited set in one more

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.sources.ColumnStats
+
+/** ANALYZE TABLE column statistics → cost-based optimization.
+  *
+  * The chain under test: `ANALYZE TABLE … COMPUTE STATISTICS FOR
+  * COLUMNS` (one sketch-aggregation pass, [[ColumnStats.analyze]]) →
+  * `_colstats.json` sidecar → DSv2 `Statistics.columnStats()`
+  * ([[graft.sources.GraftScan]]) → the pre-CBO stats bridge
+  * ([[org.apache.spark.sql.graft.ForwardV1ScanStats]]) → Spark's
+  * filter-cardinality estimation and CostBasedJoinReorder. */
+class CboStatsSpec extends SparkSpecBase {
+
+  private def cboSession(wh: String): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s2
+  }
+
+  private def joinShape(plan: LogicalPlan): String = plan match {
+    case j: Join => s"(${joinShape(j.left)}*${joinShape(j.right)})"
+    case r: DataSourceV2ScanRelation => r.relation.table.name().split('/').last
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table.name().split('/').last
+    case n if n.children.size == 1 => joinShape(n.children.head)
+    case other => other.getClass.getSimpleName
+  }
+
+  test("ANALYZE computes NDV/null/min-max in one pass and persists the sidecar") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    import s2.implicits._
+    (0L until 10000L).map(i => (i, i % 250, if (i % 4 == 0) null else s"v${i % 13}"))
+      .toDF("k", "g", "s").createOrReplaceTempView("src")
+    s2.sql("CREATE TABLE graft.t AS SELECT * FROM src")
+    val out = s2.sql(
+      "ANALYZE TABLE graft.t COMPUTE STATISTICS FOR ALL COLUMNS").head()
+    assert(out.getLong(1) == 10000L && out.getLong(2) == 3L, out.toString)
+    val st = ColumnStats.load(s"$wh/t").get
+    assert(st.rows == 10000L)
+    val g = st.cols("g")
+    assert(math.abs(g.distinct - 250) <= 25, s"NDV(g)=${g.distinct}")
+    assert(g.min.contains("0") && g.max.contains("249"), g.toString)
+    val s = st.cols("s")
+    assert(s.nulls == 2500L && s.avgLen.exists(_ >= 2), s.toString)
+    // FOR COLUMNS subset replaces the sidecar with just those columns
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS g")
+    assert(ColumnStats.load(s"$wh/t").get.cols.keySet == Set("g"))
+    // refusals: unknown column, loudly
+    intercept[Exception] {
+      s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS nope") }
+  }
+
+  test("column stats reach the optimizer: equality-filter cardinality shrinks by NDV") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    import s2.implicits._
+    (0L until 100000L).map(i => (i, i % 1000)).toDF("k", "g")
+      .createOrReplaceTempView("src")
+    s2.sql("CREATE TABLE graft.t AS SELECT * FROM src")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    // .stats picks its visitor from the CALLING thread's active-session
+    // conf — pin it to the CBO session for the assertions
+    SparkSession.setActiveSession(s2)
+    try {
+      val opt = s2.sql("SELECT * FROM graft.t WHERE g = 7")
+        .queryExecution.optimizedPlan
+      assert(opt.stats.attributeStats.nonEmpty,
+        "ANALYZE column stats must surface as attributeStats")
+      val est = opt.stats.rowCount
+      assert(est.isDefined && est.get >= BigInt(40) && est.get <= BigInt(250),
+        s"estimate should be ~rows/NDV(g)=100, got $est")
+      // an out-of-range literal estimates to (near) zero via min/max
+      val dead = s2.sql("SELECT * FROM graft.t WHERE g = 123456")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(dead.isDefined && dead.get <= BigInt(1), s"out-of-range: $dead")
+    } finally SparkSession.setActiveSession(spark)
+  }
+
+  test("CostBasedJoinReorder restructures a graft three-way join") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    // isolate reorder: broadcast HINTS (GraftJoinSizeRule) pin the join
+    // order, and CostBasedJoinReorder only touches hint-free joins
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    (0L until 200000L).map(i => (i, i % 1000)).toDF("k", "g")
+      .createOrReplaceTempView("big_src")
+    (0L until 1000L).map(i => (i, i % 37)).toDF("g", "m")
+      .createOrReplaceTempView("mid_src")
+    (0L until 37L).map(i => (i, s"cat$i")).toDF("m", "nm")
+      .createOrReplaceTempView("small_src")
+    s2.sql("CREATE TABLE graft.big AS SELECT * FROM big_src")
+    s2.sql("CREATE TABLE graft.mid AS SELECT * FROM mid_src")
+    s2.sql("CREATE TABLE graft.small AS SELECT * FROM small_src")
+    def shape(): String = joinShape(s2.sql(
+      """SELECT b.k, s.nm FROM graft.big b
+         JOIN graft.mid m ON b.g = m.g
+         JOIN graft.small s ON m.m = s.m""").queryExecution.optimizedPlan)
+    // CBO off: the syntactic order stands
+    s2.conf.set("spark.sql.cbo.enabled", "false")
+    assert(shape() == "((big*mid)*small)", shape())
+    // CBO on: manifest row counts flow through the stats bridge and the
+    // join is rebuilt smallest-first — mid*small (1000×37) before big
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    val reordered = shape()
+    assert(reordered.contains("(mid*small)") || reordered.contains("(small*mid)"),
+      s"expected mid*small joined first, got $reordered")
+  }
+
+  test("strict superset: v1 session-catalog ANALYZE delegates; RTAS invalidates stats") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    // Spark's own ANALYZE on a session-catalog parquet table still works
+    s2.sql("CREATE TABLE spark_catalog.default.cbo_plain (k BIGINT) USING parquet")
+    s2.sql("INSERT INTO spark_catalog.default.cbo_plain VALUES (1), (2)")
+    s2.sql("ANALYZE TABLE spark_catalog.default.cbo_plain COMPUTE STATISTICS")
+    s2.sql("DROP TABLE spark_catalog.default.cbo_plain")
+    // RTAS replaces the data wholesale → stale estimates are dropped
+    s2.sql("CREATE TABLE graft.t AS SELECT id AS k FROM range(0, 100)")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(ColumnStats.load(s"$wh/t").isDefined)
+    s2.sql("REPLACE TABLE graft.t AS SELECT id AS k2 FROM range(0, 5)")
+    assert(ColumnStats.load(s"$wh/t").isEmpty,
+      "REPLACE TABLE must invalidate ANALYZE estimates")
+  }
+}
