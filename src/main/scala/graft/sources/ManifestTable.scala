@@ -698,11 +698,42 @@ object ManifestTable {
     if (m.renames.isEmpty) conds
     else conds.map(c => c.copy(field = m.renames.getOrElse(c.field, c.field)))
 
+  /** Merged PHYSICAL schema of a version's data files, cached by
+    * manifest identity. Every `spark.read.option("mergeSchema", …)`
+    * scan runs a distributed footer-inference job at PLAN time — and
+    * one reconcile used to run several (reference schema, dirty branch,
+    * clean branch), so a single MoR read cost a handful of Spark jobs
+    * before any data moved. The manifest is immutable once published
+    * and names its files, so the union schema is a pure function of the
+    * manifest: infer once, serve every later scan with an explicit
+    * schema (the parquet reader null-fills columns a file lacks — the
+    * same semantics mergeSchema produced, minus the per-read jobs). */
+  private val physSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def physicalSchemaAt(spark: SparkSession, path: String,
+      m: Manifest): org.apache.spark.sql.types.StructType = {
+    val key = cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
+    val hit = physSchemaCache.get(key)
+    if (hit != null) return hit
+    val sc = spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
+      .schema
+    if (physSchemaCache.size > 65536) physSchemaCache.clear()
+    physSchemaCache.put(key, sc)
+    sc
+  }
+
   private def reconcileRaw(spark: SparkSession, path: String, m: Manifest,
       scanFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    // the version-level physical schema also makes a PRUNED scan's shape
+    // stable: a predicate that prunes away the only files carrying an
+    // evolved column still yields that column (all-null), exactly like
+    // an unpruned read
+    val refSchema = physicalSchemaAt(spark, path, m)
     def scan(fs: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true")
+      spark.read.schema(refSchema)
         .parquet(fs.map(f => dataDir(path).resolve(f).toString): _*)
     if (m.deletes.isEmpty) return scan(scanFiles)
     val scope = deleteScope(m, scanFiles)
@@ -710,10 +741,6 @@ object ManifestTable {
     if (dirty.isEmpty) return scan(scanFiles)
     val clean = scanFiles.filterNot(dirty.toSet)
     val relevant = dirty.flatMap(scope).distinct
-    // reference schema: the union scan of everything requested — both
-    // branches align to it so the split is invisible to callers even
-    // under per-commit schema evolution (plan-time only, no job)
-    val refSchema = scan(scanFiles).schema
     def align(df: DataFrame): DataFrame =
       df.select(refSchema.map(sf =>
         (if (df.columns.contains(sf.name)) col(sf.name)
@@ -2211,7 +2238,7 @@ object ManifestTable {
 
     // (1) which files contain a source key? (file names only — the
     // driver never holds data rows)
-    val withFile = spark.read.option("mergeSchema", "true")
+    val withFile = spark.read.schema(physicalSchemaAt(spark, path, base))
       .parquet(base.files.map(f => dataDir(path).resolve(f).toString): _*)
       .withColumn("__file", input_file_name())
     val touched = withFile
@@ -2979,7 +3006,7 @@ object ManifestTable {
         s"SET column '$c' not in table")))
     // (1) which files hold a matching row? predicate pushdown reaches
     // the parquet scan; only file NAMES come back
-    val withFile = spark.read.option("mergeSchema", "true")
+    val withFile = spark.read.schema(physicalSchemaAt(spark, path, base))
       .parquet(base.files.map(f => dataDir(path).resolve(f).toString): _*)
       .withColumn("__file", input_file_name())
     val touched = withFile.where(cond)
