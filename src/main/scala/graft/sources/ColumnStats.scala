@@ -34,9 +34,13 @@ object ColumnStats {
 
   private[sources] val StatsFile = "_colstats.json"
 
+  case class HBin(lo: Double, hi: Double, ndv: Long)
+
   case class ColStat(distinct: Long, nulls: Long,
       min: Option[String], max: Option[String],
-      avgLen: Option[Long], maxLen: Option[Long])
+      avgLen: Option[Long], maxLen: Option[Long],
+      histHeight: Option[Double] = None,
+      histBins: Option[Seq[HBin]] = None)
 
   case class TableStats(version: Long, rows: Long,
       cols: Map[String, ColStat])
@@ -68,7 +72,17 @@ object ColumnStats {
         s"column '$n' (${byName(n).dataType.simpleString}) is not analyzable " +
           "(top-level atomic columns only)")
     }
-    val aggs = count(lit(1)).as("__rows") +: colNames.flatMap { n =>
+    // equi-height HISTOGRAMS ride Spark's own ANALYZE switch: the
+    // bounds (numBins+1 approximate percentiles) join the single base
+    // pass; per-bin NDVs cost one extra opt-in pass below
+    val histEnabled = spark.conf
+      .get("spark.sql.statistics.histogram.enabled", "false").toBoolean
+    val numBins = math.max(2, spark.conf
+      .get("spark.sql.statistics.histogram.numBins", "254").toInt)
+    val histCols = if (!histEnabled) Seq.empty
+      else colNames.filter(n => numeric(byName(n).dataType))
+    val pcts = (0 to numBins).map(_.toDouble / numBins).toArray
+    val aggs = count(lit(1)).as("__rows") +: (colNames.flatMap { n =>
       val c = col(n)
       val base = Seq(
         approx_count_distinct(c).as(s"$n!ndv"),
@@ -82,22 +96,65 @@ object ColumnStats {
             max(length(c)).cast(LongType).as(s"$n!maxlen"))
         case _ => base
       }
-    }
+    } ++ histCols.map { n =>
+      percentile_approx(col(n).cast(DoubleType), lit(pcts), lit(10000))
+        .as(s"$n!pct")
+    })
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     def opt(name: String): Option[String] = {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(row.get(i).toString)
     }
     val rows = row.getAs[Long]("__rows")
+    // second (opt-in) pass: per-bin NDVs for every histogram column in
+    // ONE stacked aggregation — (colIdx, binIdx, value) tuples shuffle
+    // once, however many columns are analyzed
+    val bounds: Map[String, Seq[Double]] = histCols.flatMap { n =>
+      val i = row.fieldIndex(s"$n!pct")
+      if (row.isNullAt(i)) None
+      else Some(n -> row.getSeq[Double](i).toSeq)
+    }.toMap
+    val binNdv: Map[(Int, Int), Long] =
+      if (bounds.isEmpty) Map.empty
+      else {
+        val targets = histCols.filter(bounds.contains)
+        val stacked = df.select(explode(array(targets.zipWithIndex.map {
+          case (n, i) =>
+            // bin = #interior bounds strictly below v: a value equal to
+            // several duplicated bounds (heavy skew) lands in the FIRST
+            // bin that touches it
+            val interior = bounds(n).tail.init.toArray
+            val v = col(n).cast(DoubleType)
+            struct(lit(i).as("c"),
+              size(filter(lit(interior), b => b < v)).as("b"), v.as("v"))
+        }: _*)).as("s"))
+          .select(col("s.c"), col("s.b"), col("s.v"))
+          .where(col("v").isNotNull)
+        stacked.groupBy("c", "b").agg(approx_count_distinct(col("v")).as("n"))
+          .collect()
+          .map(r => (r.getAs[Int]("c"), r.getAs[Int]("b")) -> r.getAs[Long]("n"))
+          .toMap
+      }
+    val histIdx = histCols.zipWithIndex.toMap
     val cols = colNames.map { n =>
       val isStr = byName(n).dataType == StringType
+      val hist = for {
+        bs <- bounds.get(n); ci <- histIdx.get(n)
+      } yield {
+        val nonNull = row.getAs[Long](s"$n!cnt")
+        val bins = (0 until numBins).map(b =>
+          HBin(bs(b), bs(b + 1), binNdv.getOrElse((ci, b), 0L)))
+        (nonNull.toDouble / numBins, bins)
+      }
       n -> ColStat(
         distinct = row.getAs[Long](s"$n!ndv"),
         nulls = rows - row.getAs[Long](s"$n!cnt"),
         min = if (isStr) None else opt(s"$n!min"),
         max = if (isStr) None else opt(s"$n!max"),
         avgLen = if (isStr) opt(s"$n!avg").map(_.toLong) else None,
-        maxLen = if (isStr) opt(s"$n!maxlen").map(_.toLong) else None)
+        maxLen = if (isStr) opt(s"$n!maxlen").map(_.toLong) else None,
+        histHeight = hist.map(_._1),
+        histBins = hist.map(_._2))
     }.toMap
     val stats = TableStats(version, rows, cols)
     write(path, stats)

@@ -1311,6 +1311,24 @@ case class GraftScan(path: String, version: Option[Long],
               cs.avgLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
             override def maxLen(): OptionalLong =
               cs.maxLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              (cs.histHeight, cs.histBins) match {
+                case (Some(h), Some(storedBins)) => java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                      storedBins.map(b =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = b.lo
+                          override def hi(): Double = b.hi
+                          override def ndv(): Long = b.ndv
+                        }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                      ).toArray
+                  })
+                case _ => java.util.Optional.empty()
+              }
           })
         }
       }

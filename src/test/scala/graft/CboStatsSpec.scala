@@ -118,6 +118,32 @@ class CboStatsSpec extends SparkSpecBase {
       s"expected mid*small joined first, got $reordered")
   }
 
+  test("equi-height histograms make skew visible to filter estimation") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    import s2.implicits._
+    // 90% of rows carry h=5; the rest spread over 10k values — the
+    // NDV-only model estimates rows/NDV for ANY literal, 100× off for
+    // the hot value
+    (0L until 100000L)
+      .map(i => (i, if (i % 10 < 9) 5L else 100 + (i % 10007)))
+      .toDF("k", "h").createOrReplaceTempView("src")
+    s2.sql("CREATE TABLE graft.t AS SELECT * FROM src")
+    s2.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS h")
+    val st = ColumnStats.load(s"$wh/t").get.cols("h")
+    assert(st.histBins.exists(_.size >= 2), "histogram must persist")
+    SparkSession.setActiveSession(s2)
+    try {
+      def est(lit: Long): BigInt = s2.sql(s"SELECT * FROM graft.t WHERE h = $lit")
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(est(5L) > BigInt(40000),
+        s"hot-value estimate must see the skew, got ${est(5L)}")
+      assert(est(101L) < BigInt(5000),
+        s"cold-value estimate must stay small, got ${est(101L)}")
+    } finally SparkSession.setActiveSession(spark)
+  }
+
   test("strict superset: v1 session-catalog ANALYZE delegates; RTAS invalidates stats") {
     val wh = Files.createTempDirectory("graft-cbo-").toString
     val s2 = cboSession(wh)
