@@ -3113,6 +3113,47 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q160_table_codec" -> ((s, dir) => {
+      // DECLARED WRITE CODEC — `TBLPROPERTIES('write.compression'=
+      // 'zstd')`: every write door (INSERT staging, row-level delta
+      // upsert/delete files, OPTIMIZE rewrites) emits the declared
+      // parquet codec; existing files stay as-written (parquet is
+      // per-file self-describing) until OPTIMIZE converges them. At
+      // 100 TB snappy→zstd is ~30-40% of the storage and scan-IO bill —
+      // a per-table knob, not a cluster-wide conf. Gate: every live
+      // data file's footer reports ZSTD after insert + UPDATE +
+      // OPTIMIZE; the rewritten table still answers exactly.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q160-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q160")
+      s2.sql("""CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)
+                TBLPROPERTIES ('merge.keys'='k', 'write.compression'='zstd')""")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q160")
+      s2.sql("UPDATE graft.t SET price = price * 2 WHERE k % 5 = 0")
+      s2.sql("OPTIMIZE graft.t").collect()
+      def codecOf(f: String): String = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$t/data/$f"),
+            new org.apache.hadoop.conf.Configuration()))
+        try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.toString
+        finally r.close()
+      }
+      val codecs = ManifestTable.dataFiles(t).map(codecOf).toSet
+      require(codecs == Set("ZSTD"),
+        s"every live file must carry the declared codec, got $codecs")
+      s2.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                FROM graft.t GROUP BY status""")
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -9339,6 +9380,14 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1""",
+    // q160: the UPDATE doubles every 5th key (×2 on DOUBLE is FP-exact)
+    "q160_table_codec" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderkey % 5 = 0
+                    THEN CAST(o_totalprice AS DOUBLE) * 2
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q152: both epochs hold every order row; the MERGE doubled every
     // 5th key (×2 on DOUBLE is FP-exact); rename/OPTIMIZE/VACUUM must
     // be invisible to readers

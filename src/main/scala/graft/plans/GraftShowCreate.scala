@@ -68,14 +68,18 @@ case class GraftShowCreateExec(output: Seq[Attribute], tableName: String,
       case GraftCatalog.BucketPart(n, c) => s"bucket($n, $c)"
     }
     val zorder = GraftCatalog.readDeclaredZOrder(dir)
+    val props =
+      zorder.headOption.map(_ => "'zorder.cols' = '" + zorder.mkString(",") + "'").toSeq ++
+        GraftCatalog.readDeclaredCompression(dir)
+          .map(c => s"'write.compression' = '$c'").toSeq
     val sb = new StringBuilder
     sb ++= s"CREATE TABLE $tableName (\n"
     sb ++= (cols ++ checks ++ pk).mkString(",\n")
     sb ++= ")\n"
     if (layout.nonEmpty)
       sb ++= s"PARTITIONED BY (${layout.mkString(", ")})\n"
-    if (zorder.nonEmpty)
-      sb ++= s"TBLPROPERTIES ('zorder.cols' = '${zorder.mkString(",")}')\n"
+    if (props.nonEmpty)
+      sb ++= s"TBLPROPERTIES (${props.mkString(", ")})\n"
     sb.result()
   }
 

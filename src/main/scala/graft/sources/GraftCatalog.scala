@@ -254,7 +254,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // validate EVERYTHING before the first byte lands: a refused
     // declaration must leave no half-created table directory behind
-    val (propKeys, zorder, propChecks) =
+    val GraftCatalog.DeclaredProps(propKeys, zorder, propChecks, codec) =
       GraftCatalog.declaredProps(properties, schema, layout)
     // TBLPROPERTIES('merge.keys'='a,b') keys the table at birth, so SQL
     // UPDATE/MERGE work before any API merge has declared identity;
@@ -283,6 +283,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (zorder.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.ZOrderFile),
         zorder.mkString(","))
+    codec.foreach(c =>
+      Files.writeString(dir.resolve(GraftCatalog.CompressionFile), c))
     if (ks.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.KeysFile), ks.mkString(","))
     loadTable(ident)
@@ -365,7 +367,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pk: Seq[String] = Seq.empty): StagedTable = {
     val stagedLayout = GraftCatalog.declaredLayout(partitions, schema)
     val parts = stagedLayout.collect { case GraftCatalog.IdentityPart(c) => c }
-    val (propKeys, zorder, propChecks) =
+    val GraftCatalog.DeclaredProps(propKeys, zorder, propChecks, codec) =
       GraftCatalog.declaredProps(properties, schema, stagedLayout)
     require(propKeys.isEmpty || pk.isEmpty || propKeys == pk,
       s"merge.keys ${propKeys.mkString(",")} conflicts with PRIMARY KEY ${pk.mkString(",")}")
@@ -376,7 +378,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(dir)
     new GraftStagedTable(ident.toString, dir, schema, keys, created, parts,
       (checks ++ propChecks).distinct, stagedLayout.collectFirst {
-        case GraftCatalog.BucketPart(n, c) => (n, c) }, zorder)
+        case GraftCatalog.BucketPart(n, c) => (n, c) }, zorder, codec)
   }
 
   /** `ALTER TABLE` over manifest metadata: ADD COLUMN extends the
@@ -404,6 +406,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty if sp.property.startsWith("check.") =>
         ManifestTable.setConstraints(SparkSession.active, path,
           ManifestTable.constraints(path) :+ sp.value)
+      case sp: TableChange.SetProperty if sp.property == "write.compression" =>
+        val c = sp.value.trim.toLowerCase(java.util.Locale.ROOT)
+        require(GraftCatalog.Codecs(c),
+          s"unsupported write.compression '${sp.value}' " +
+            s"(supported: ${GraftCatalog.Codecs.toSeq.sorted.mkString(", ")})")
+        // metadata-only: files written from now on use the codec;
+        // existing files stay as-written (parquet is self-describing)
+        // until an OPTIMIZE rewrite converges them
+        Files.writeString(dir.resolve(GraftCatalog.CompressionFile), c)
       case sp: TableChange.SetProperty if sp.property == "zorder.cols" =>
         val zs = sp.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val schema = GraftCatalog.fullSchema(dir, None).get
@@ -416,7 +427,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty =>
         throw new UnsupportedOperationException(
           s"unsupported table property '${sp.property}' " +
-            "(supported: merge.keys, zorder.cols, check.<name>)")
+            "(supported: merge.keys, zorder.cols, write.compression, check.<name>)")
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames.length == 1,
           "ADD COLUMN supports top-level columns only")
@@ -703,6 +714,24 @@ object GraftCatalog {
 
   private[sources] val ZOrderFile = "_zorder"
 
+  private[sources] val CompressionFile = "_compression"
+
+  /** Codecs every Spark 4 classpath carries; "none" normalizes to
+    * parquet's UNCOMPRESSED. */
+  private[sources] val Codecs =
+    Set("snappy", "zstd", "gzip", "lz4", "none", "uncompressed")
+
+  /** Declared write codec (`TBLPROPERTIES('write.compression'='zstd')`):
+    * every data/delete file written AFTER the declaration uses it —
+    * existing files stay as-written (parquet is per-file self-
+    * describing; OPTIMIZE rewrites converge the table). At 100 TB the
+    * snappy→zstd delta is ~30-40% of the storage and scan-IO bill. */
+  private[graft] def readDeclaredCompression(dir: Path): Option[String] = {
+    val f = dir.resolve(CompressionFile)
+    if (!Files.isRegularFile(f)) None
+    else Some(Files.readString(f).trim).filter(_.nonEmpty)
+  }
+
   /** Declared OPTIMIZE clustering (`TBLPROPERTIES('zorder.cols'='a,b')`):
     * a parameter-free `OPTIMIZE t` re-clusters on these columns, the
     * Delta table-property model. Mutually exclusive with PARTITIONED BY
@@ -720,13 +749,17 @@ object GraftCatalog {
     * comment/external/option.*) pass through untouched; anything else
     * is refused loudly — a silently dropped property is a lost user
     * declaration. Returns (mergeKeys, zorderCols, checkExprs). */
+  private[sources] case class DeclaredProps(keys: Seq[String],
+      zorder: Seq[String], checks: Seq[String], codec: Option[String])
+
   private[sources] def declaredProps(
       properties: java.util.Map[String, String], schema: StructType,
-      layout: Seq[PartTransform]): (Seq[String], Seq[String], Seq[String]) = {
+      layout: Seq[PartTransform]): DeclaredProps = {
     import scala.jdk.CollectionConverters._
     val sparkManaged = Set("owner", "provider", "location", "comment",
       "external", "is_managed_location")
     var keys, zorder, checks = Seq.empty[String]
+    var codec: Option[String] = None
     properties.asScala.toSeq.sortBy(_._1).foreach {
       case ("merge.keys", v) =>
         keys = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -739,15 +772,20 @@ object GraftCatalog {
         require(layout.isEmpty,
           "zorder.cols and PARTITIONED BY are mutually exclusive " +
             "(a z-order rewrite would smear the partition ranges)")
+      case ("write.compression", v) =>
+        val c = v.trim.toLowerCase(java.util.Locale.ROOT)
+        require(Codecs(c), s"unsupported write.compression '$v' " +
+          s"(supported: ${Codecs.toSeq.sorted.mkString(", ")})")
+        codec = Some(c)
       case (k, v) if k.startsWith("check.") =>
         require(v.trim.nonEmpty, s"empty CHECK expression for '$k'")
         checks :+= v
       case (k, _) if sparkManaged(k) || k.startsWith("option.") => ()
       case (k, _) => throw new UnsupportedOperationException(
         s"unsupported table property '$k' " +
-          "(supported: merge.keys, zorder.cols, check.<name>)")
+          "(supported: merge.keys, zorder.cols, write.compression, check.<name>)")
     }
-    (keys, zorder, checks)
+    DeclaredProps(keys, zorder, checks, codec)
   }
 
   /** CREATE-time CHECK constraints (same pre-first-commit lifecycle). */
@@ -894,6 +932,8 @@ class GraftSqlTable(val ident: String, val path: String,
       m.put(s"check.$i", c) }
     val zs = GraftCatalog.readDeclaredZOrder(java.nio.file.Paths.get(path))
     if (zs.nonEmpty) m.put("zorder.cols", zs.mkString(","))
+    GraftCatalog.readDeclaredCompression(java.nio.file.Paths.get(path))
+      .foreach(c => m.put("write.compression", c))
     m
   }
 
@@ -1509,7 +1549,8 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
     // (partition columns are rename-refused, so their names are stable)
     GraftStreamWriterFactory(
       ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-      ManifestTable.physicalWriteSchema(path, schema), partCols, bucket)
+      ManifestTable.physicalWriteSchema(path, schema), partCols, bucket,
+      GraftCatalog.readDeclaredCompression(Paths.get(path)))
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1549,7 +1590,8 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     keys: Seq[String], created: Boolean, parts: Seq[String] = Seq.empty,
     checks: Seq[String] = Seq.empty,
     bucket: Option[(Int, String)] = None,
-    zorder: Seq[String] = Seq.empty)
+    zorder: Seq[String] = Seq.empty,
+    codec: Option[String] = None)
   extends Table with SupportsWrite with StagedTable {
 
   private val path = dir.toString
@@ -1608,7 +1650,10 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
                 : org.apache.spark.sql.connector.write.DataWriterFactory =
               GraftBatchWriterFactory(
                 ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-                writeSchema, parts, bucket)
+                writeSchema, parts, bucket,
+                // this CTAS/RTAS's declared codec, else the (RTAS-
+                // surviving) existing declaration
+                codec.orElse(GraftCatalog.readDeclaredCompression(dir)))
             override def commit(messages: Array[
                 org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
               staged = messages.collect { case m: GraftDeltaCommitMessage =>
@@ -1639,6 +1684,8 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
     if (zorder.nonEmpty)
       Files.writeString(dir.resolve(GraftCatalog.ZOrderFile),
         zorder.mkString(","))
+    codec.foreach(c =>
+      Files.writeString(dir.resolve(GraftCatalog.CompressionFile), c))
     if (checks.nonEmpty)
       GraftCatalog.writeDeclaredConstraints(dir, checks)
     // ONE overwrite commit: the staged files become the table's data
@@ -1680,22 +1727,24 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
 
 case class GraftBatchWriterFactory(dataDir: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
-    bucket: Option[(Int, String)] = None)
+    bucket: Option[(Int, String)] = None,
+    codec: Option[String] = None)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftAppendTaskWriter(dataDir, schema, partCols, bucket)
+    new GraftAppendTaskWriter(dataDir, schema, partCols, bucket, codec)
 }
 
 case class GraftStreamWriterFactory(dataDir: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
-    bucket: Option[(Int, String)] = None)
+    bucket: Option[(Int, String)] = None,
+    codec: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftAppendTaskWriter(dataDir, schema, partCols, bucket)
+    new GraftAppendTaskWriter(dataDir, schema, partCols, bucket, codec)
 }
 
 /** One task's rows → parquet files (lazily opened: an empty partition
@@ -1711,7 +1760,8 @@ case class GraftStreamWriterFactory(dataDir: String, schema: StructType,
   * inside a file's [min,max] range is invisible to the manifest). */
 class GraftAppendTaskWriter(dataDir: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
-    bucket: Option[(Int, String)] = None)
+    bucket: Option[(Int, String)] = None,
+    codec: Option[String] = None)
   extends org.apache.spark.sql.connector.write.DataWriter[
     org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.graft.ParquetRowWriter
@@ -1741,7 +1791,7 @@ class GraftAppendTaskWriter(dataDir: String, schema: StructType,
   private def open(prefix: String = ""): Unit = {
     val name = s"$prefix${java.util.UUID.randomUUID()}.parquet"
     names = name :: names
-    out = ParquetRowWriter.open(s"$dataDir/$name", schema)
+    out = ParquetRowWriter.open(s"$dataDir/$name", schema, codec)
   }
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {

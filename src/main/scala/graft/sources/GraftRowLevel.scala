@@ -109,7 +109,8 @@ class GraftDeltaBatchWrite(path: String, rowSchema: StructType,
     // from renaming, so the key schema needs no translation
     GraftDeltaWriterFactory(
       ManifestTable.dataDirFor(path).toAbsolutePath.toString,
-      ManifestTable.physicalWriteSchema(path, rowSchema), keySchema)
+      ManifestTable.physicalWriteSchema(path, rowSchema), keySchema,
+      GraftCatalog.readDeclaredCompression(Paths.get(path)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ups = messages.collect { case m: GraftDeltaCommitMessage => m.upsertFiles }
@@ -134,16 +135,17 @@ class GraftDeltaBatchWrite(path: String, rowSchema: StructType,
 }
 
 case class GraftDeltaWriterFactory(dataDir: String, rowSchema: StructType,
-    keySchema: StructType) extends DeltaWriterFactory {
+    keySchema: StructType,
+    codec: Option[String] = None) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaTaskWriter(dataDir, rowSchema, keySchema)
+    new GraftDeltaTaskWriter(dataDir, rowSchema, keySchema, codec)
 }
 
 /** One task's slice of a delta write: rows stream to at most two
   * parquet files (delete keys, upserts), opened lazily — a task whose
   * partition produced no deletes writes no delete file. */
 class GraftDeltaTaskWriter(dataDir: String, rowSchema: StructType,
-    keySchema: StructType) extends DeltaWriter[InternalRow] {
+    keySchema: StructType, codec: Option[String] = None) extends DeltaWriter[InternalRow] {
 
   import org.apache.spark.sql.graft.ParquetRowWriter
 
@@ -165,7 +167,7 @@ class GraftDeltaTaskWriter(dataDir: String, rowSchema: StructType,
   private def upsertWriter(): ParquetRowWriter.Writer = {
     if (upserts == null) {
       upsertName = s"${UUID.randomUUID()}.parquet"
-      upserts = ParquetRowWriter.open(s"$dataDir/$upsertName", rowSchema)
+      upserts = ParquetRowWriter.open(s"$dataDir/$upsertName", rowSchema, codec)
     }
     upserts
   }
@@ -173,7 +175,7 @@ class GraftDeltaTaskWriter(dataDir: String, rowSchema: StructType,
   private def deleteWriter(): ParquetRowWriter.Writer = {
     if (deletes == null) {
       deleteName = s"del-${UUID.randomUUID()}.parquet"
-      deletes = ParquetRowWriter.open(s"$dataDir/$deleteName", keySchema)
+      deletes = ParquetRowWriter.open(s"$dataDir/$deleteName", keySchema, codec)
     }
     deletes
   }

@@ -1300,14 +1300,18 @@ object ManifestTable {
       val sorted = processed.sortWithinPartitions(
         declaredParts.map(processed.col): _*)
       val schema = sorted.schema
+      val codec = GraftCatalog.readDeclaredCompression(Paths.get(path))
       return sorted.queryExecution.toRdd.mapPartitions { rows =>
-        val w = new GraftAppendTaskWriter(dd, schema, declaredParts)
+        val w = new GraftAppendTaskWriter(dd, schema, declaredParts, None, codec)
         try { rows.foreach(w.write); val fs = w.files; w.close(); fs.iterator }
         catch { case e: Throwable => w.abort(); throw e }
       }.collect().toSeq.sorted
     }
     val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    processed.write.parquet(staging.toString)
+    val stageWriter = processed.write
+    GraftCatalog.readDeclaredCompression(Paths.get(path))
+      .foreach(c => stageWriter.option("compression", c))
+    stageWriter.parquet(staging.toString)
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -1332,6 +1336,7 @@ object ManifestTable {
       n: Int, c: String): Seq[String] = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     val dd = dataDir(path).toAbsolutePath.toString
+    val codec = GraftCatalog.readDeclaredCompression(Paths.get(path))
     val withB = processed.withColumn("__graft_bucket",
       pmod(xxhash64(processed.col(c)), lit(n.toLong)).cast("int"))
     val sorted = withB.repartition(n, withB.col("__graft_bucket"))
@@ -1355,7 +1360,7 @@ object ManifestTable {
             cur = b
             val nm = s"b$b-${UUID.randomUUID()}.parquet"
             names = nm :: names
-            out = ParquetRowWriter.open(s"$dd/$nm", baseSchema)
+            out = ParquetRowWriter.open(s"$dd/$nm", baseSchema, codec)
           }
           val vals = new Array[Any](types.length)
           var i = 0; var j = 0
@@ -2411,7 +2416,10 @@ object ManifestTable {
   private def stageDeletes(keys: DataFrame, path: String): Seq[String] = {
     Files.createDirectories(dataDir(path))
     val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    keys.coalesce(1).write.parquet(staging.toString)
+    val kw = keys.coalesce(1).write
+    GraftCatalog.readDeclaredCompression(Paths.get(path))
+      .foreach(c => kw.option("compression", c))
+    kw.parquet(staging.toString)
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -2834,7 +2842,10 @@ object ManifestTable {
           val stageRoot = Files.createTempDirectory(cdfDir, ".redact-stage-")
           try {
             val stage = stageRoot.resolve("out")
-            out.coalesce(1).write.parquet(stage.toString)
+            val ow = out.coalesce(1).write
+            GraftCatalog.readDeclaredCompression(Paths.get(path))
+              .foreach(c => ow.option("compression", c))
+            ow.parquet(stage.toString)
             val part = Using.resource(Files.list(stage)) { st =>
               st.iterator().asScala
                 .find(_.getFileName.toString.endsWith(".parquet"))
@@ -2953,7 +2964,10 @@ object ManifestTable {
     // one file per commit (the diff is change-sized): stage + atomic move
     val stageRoot = Files.createTempDirectory(target.getParent, ".cdf-stage-")
     val stage = stageRoot.resolve("out")
-    out.coalesce(1).write.parquet(stage.toString)
+    val ow = out.coalesce(1).write
+    GraftCatalog.readDeclaredCompression(Paths.get(path))
+      .foreach(c => ow.option("compression", c))
+    ow.parquet(stage.toString)
     val part = Using.resource(Files.list(stage)) { st =>
       st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
     }.getOrElse(throw new IllegalStateException("cdf write produced no file"))

@@ -31,7 +31,8 @@ object ParquetRowWriter {
   /** Open a parquet writer at `file` (an absolute path on the table's
     * filesystem) for rows of `schema`. The file becomes readable only
     * when closed; callers own cleanup on abort. */
-  def open(file: String, schema: StructType): Writer = {
+  def open(file: String, schema: StructType,
+      codec: Option[String] = None): Writer = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration()
     conf.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
@@ -47,7 +48,11 @@ object ParquetRowWriter {
       SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
       SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE)
       .foreach(e => conf.set(e.key, e.defaultValueString))
-    conf.set("parquet.compression", "snappy")
+    // the table's declared write.compression (resolved driver-side and
+    // passed through the writer factory); "none" is parquet UNCOMPRESSED
+    conf.set("parquet.compression",
+      codec.map(c => if (c == "none") "uncompressed" else c)
+        .getOrElse("snappy"))
     val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
     new Writer(new ParquetOutputWriter(file, ctx))
   }

@@ -125,6 +125,55 @@ class GraftMaintenanceSpec extends SparkSpecBase {
       s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('zorder.cols'='nope')") }
   }
 
+  test("write.compression: every write door honors the declared codec") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def codecOf(file: java.nio.file.Path): String = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        new org.apache.hadoop.conf.Configuration()))
+      try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.toString
+      finally r.close()
+    }
+    def dataCodecs(t: String): Map[String, String] =
+      ManifestTable.dataFiles(t).map(f =>
+        f -> codecOf(java.nio.file.Paths.get(t, "data", f))).toMap
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("""CREATE TABLE graft.t (k BIGINT, v DOUBLE)
+              TBLPROPERTIES ('merge.keys'='k', 'write.compression'='zstd')""")
+    s2.sql("INSERT INTO graft.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 1000)")
+    val t = s"$wh/t"
+    assert(dataCodecs(t).values.toSet == Set("ZSTD"), dataCodecs(t).toString)
+    // the row-level delta door (UPDATE → upsert + delete files)
+    s2.sql("UPDATE graft.t SET v = v * 2 WHERE k % 10 = 0")
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(t, "data"))) { st =>
+      st.iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach(p =>
+        assert(codecOf(p) == "ZSTD", s"$p not zstd"))
+    }
+    // OPTIMIZE rewrites converge in the declared codec
+    s2.sql("OPTIMIZE graft.t").collect()
+    assert(dataCodecs(t).values.toSet == Set("ZSTD"))
+    // ALTER switches the codec for FUTURE files only
+    s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('write.compression'='gzip')")
+    s2.sql("INSERT INTO graft.t SELECT id, CAST(id AS DOUBLE) FROM range(1000, 1100)")
+    assert(dataCodecs(t).values.toSet == Set("ZSTD", "GZIP"), dataCodecs(t).toString)
+    // CTAS + SHOW CREATE round trip; undeclared tables stay snappy
+    s2.sql("CREATE TABLE graft.c TBLPROPERTIES ('write.compression'='zstd') AS " +
+      "SELECT * FROM graft.t")
+    assert(dataCodecs(s"$wh/c").values.toSet == Set("ZSTD"))
+    val ddl = s2.sql("SHOW CREATE TABLE graft.c").head().getString(0)
+    assert(ddl.contains("'write.compression' = 'zstd'"), ddl)
+    s2.sql("CREATE TABLE graft.plain AS SELECT * FROM graft.t")
+    assert(dataCodecs(s"$wh/plain").values.toSet == Set("SNAPPY"))
+    intercept[Exception] {
+      s2.sql("CREATE TABLE graft.bad (k BIGINT) TBLPROPERTIES ('write.compression'='lzma')") }
+  }
+
   test("CREATE-time TBLPROPERTIES declare the same surface ALTER does") {
     val wh = freshWh()
     val s2 = spark.newSession()
