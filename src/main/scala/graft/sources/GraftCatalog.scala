@@ -1508,7 +1508,10 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
       val (n, c) = declaredBucket.get
       val expr = Expressions.bucket(n, c)
-      val orders = Array(Expressions.sort(expr, SortDirection.ASCENDING))
+      // bucket id THEN key: each rolled file is key-sorted, the
+      // invariant the grouped scan's ordering report stands on
+      val orders = Array(Expressions.sort(expr, SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       new GraftV1Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def requiredDistribution() = Distributions.clustered(Array(expr))
@@ -1624,7 +1627,9 @@ class GraftStagedTable(ident: String, dir: Path, tableSchema: StructType,
           bucket match {
             case Some((n, c)) =>
               val expr = Expressions.bucket(n, c)
-              val orders = Array(Expressions.sort(expr, SortDirection.ASCENDING))
+              // bucket id THEN key: staged files land key-sorted
+              val orders = Array(Expressions.sort(expr, SortDirection.ASCENDING),
+                Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
               new GraftStagedWrite(path, info.schema())
                 with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
                 override def requiredDistribution() =

@@ -59,10 +59,15 @@ final class GraftGroupedScan(
     // column: identity layouts compare the value itself, bucket layouts
     // compare its BUCKET id — runtime predicates arrive over the raw
     // column either way
-    keyMappers: Seq[Any => Any])
+    keyMappers: Seq[Any => Any],
+    // columns each partition's rows arrive sorted by (bucket layouts:
+    // the bucket KEY — every bucketed write door sorts by (bucket id,
+    // key), so a single-file group is key-sorted end to end)
+    sortedBy: Seq[String] = Seq.empty)
   extends Scan with Batch
   with SupportsReportPartitioning with SupportsReportStatistics
-  with SupportsRuntimeV2Filtering {
+  with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val partIdx: Map[String, Int] = partCols.zipWithIndex.toMap
 
@@ -100,6 +105,24 @@ final class GraftGroupedScan(
     if (partCols.forall(required.fieldNames.contains))
       new KeyGroupedPartitioning(transforms.toArray, groups.size)
     else new UnknownPartitioning(groups.size)
+
+  /** SORT ELISION for storage-partitioned joins: when every value
+    * group is exactly ONE key-sorted file, each partition's rows are
+    * globally ordered on the sort columns, and a sort-merge join over
+    * co-partitioned tables drops BOTH its per-partition sorts — at
+    * 100 TB that's the spill the shuffle-free plan still paid. A group
+    * holding several files (appends since the last OPTIMIZE) reads as
+    * a concatenation, which is NOT sorted — report nothing and let the
+    * join sort (OPTIMIZE restores the one-file-per-bucket steady
+    * state). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sortedBy.nonEmpty && sortedBy.forall(required.fieldNames.contains) &&
+        groups.forall(_._2.size == 1))
+      sortedBy.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+        : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+    else Array.empty
 
   override def planInputPartitions(): Array[InputPartition] =
     currentGroups.map { case (key, files) =>
@@ -393,6 +416,7 @@ object GraftGroupedScan {
     Some(new GraftGroupedScan(path, version, required, conds, Seq(c),
       groups, fallback,
       Seq(Expressions.bucket(n, c)),
-      Seq((v: Any) => Int.box(GraftBucketFunction.bucketOf(v, dt, n)))))
+      Seq((v: Any) => Int.box(GraftBucketFunction.bucketOf(v, dt, n))),
+      sortedBy = Seq(c)))
   }
 }

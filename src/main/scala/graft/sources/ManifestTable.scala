@@ -1340,7 +1340,7 @@ object ManifestTable {
     val withB = processed.withColumn("__graft_bucket",
       pmod(xxhash64(processed.col(c)), lit(n.toLong)).cast("int"))
     val sorted = withB.repartition(n, withB.col("__graft_bucket"))
-      .sortWithinPartitions("__graft_bucket")
+      .sortWithinPartitions(withB.col("__graft_bucket"), withB.col(c))
     val schema = sorted.schema
     val bIdx = schema.fieldIndex("__graft_bucket")
     val baseSchema = org.apache.spark.sql.types.StructType(

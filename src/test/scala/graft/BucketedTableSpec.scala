@@ -100,6 +100,42 @@ class BucketedTableSpec extends SparkSpecBase {
     assert(got(10L) == 10 * 2.0 + 10 * 3.0)
   }
 
+  test("one key-sorted file per bucket elides the sort-merge join's sorts") {
+    val wh = freshWh()
+    val s2 = bucketSession(wh)
+    import s2.implicits._
+    (0L until 20000L).map(k => (k, k * 2.0)).toDF("k", "a")
+      .createOrReplaceTempView("sl_src")
+    (0L until 20000L).map(k => (k, k * 3.0)).toDF("k", "b")
+      .createOrReplaceTempView("sr_src")
+    s2.sql("CREATE NAMESPACE graft.s")
+    s2.sql("CREATE TABLE graft.s.l (k BIGINT, a DOUBLE) PARTITIONED BY (bucket(8, k))")
+    s2.sql("CREATE TABLE graft.s.r (k BIGINT, b DOUBLE) PARTITIONED BY (bucket(8, k))")
+    s2.sql("INSERT INTO graft.s.l SELECT * FROM sl_src")
+    s2.sql("INSERT INTO graft.s.r SELECT * FROM sr_src")
+    def joinQ() = s2.sql(
+      """SELECT l.k, l.a + r.b AS s FROM graft.s.l l
+         JOIN graft.s.r r ON l.k = r.k""")
+    def sorts(df: org.apache.spark.sql.DataFrame): Int =
+      allNodes(finalPlan(df)).collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.size
+    // single commit → one key-sorted file per bucket → NO sorts (and the
+    // sort-free SMJ answers exactly: every key matches)
+    val q1 = joinQ()
+    assert(sorts(q1) == 0, s"sort not elided:\n${finalPlan(q1)}")
+    val r1 = q1.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(r1.size == 20000 && r1(7L) == 7 * 5.0 && r1(19999L) == 19999 * 5.0)
+    // a second commit makes a bucket multi-file — concatenation is NOT
+    // sorted, the claim must drop and that side re-sorts
+    s2.sql("INSERT INTO graft.s.l SELECT k + 20000, a FROM sl_src LIMIT 50")
+    assert(sorts(joinQ()) == 1, "multi-file bucket side must sort again")
+    // OPTIMIZE restores one key-sorted file per bucket → sorts gone
+    s2.sql("OPTIMIZE graft.s.l").collect()
+    val q3 = joinQ()
+    assert(sorts(q3) == 0, s"post-OPTIMIZE sort not elided:\n${finalPlan(q3)}")
+    assert(q3.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap == r1)
+  }
+
   test("point lookups prune to one bucket's files before planning") {
     val wh = freshWh()
     val s2 = bucketSession(wh)
