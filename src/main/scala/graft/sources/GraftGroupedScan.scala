@@ -63,7 +63,11 @@ final class GraftGroupedScan(
     // columns each partition's rows arrive sorted by (bucket layouts:
     // the bucket KEY — every bucketed write door sorts by (bucket id,
     // key), so a single-file group is key-sorted end to end)
-    sortedBy: Seq[String] = Seq.empty)
+    sortedBy: Seq[String] = Seq.empty,
+    // true when the sort columns are CONSTANT within a group (identity
+    // layouts: a value group holds exactly one key tuple) — then the
+    // ordering claim holds for ANY file count, no steady-state needed
+    constantKeys: Boolean = false)
   extends Scan with Batch
   with SupportsReportPartitioning with SupportsReportStatistics
   with SupportsRuntimeV2Filtering
@@ -118,7 +122,7 @@ final class GraftGroupedScan(
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     if (sortedBy.nonEmpty && sortedBy.forall(required.fieldNames.contains) &&
-        groups.forall(_._2.size == 1))
+        (constantKeys || groups.forall(_._2.size == 1)))
       sortedBy.map(c => Expressions.sort(Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
         : org.apache.spark.sql.connector.expressions.SortOrder).toArray
@@ -362,7 +366,11 @@ object GraftGroupedScan {
     Some(new GraftGroupedScan(path, version, required, conds, partCols,
       groups, fallback,
       partCols.map(c => Expressions.identity(c)),
-      partCols.map(_ => (v: Any) => v)))
+      partCols.map(_ => (v: Any) => v),
+      // an identity value group holds ONE key tuple — rows are
+      // trivially ordered on the partition columns whatever the file
+      // count, so a join ON them never sorts
+      sortedBy = partCols, constantKeys = true))
   }
 
   /** Bucket layout: the bucket id rides the FILE NAME (`b<id>-<uuid>`,

@@ -105,6 +105,12 @@ class StoragePartitionedJoinSpec extends SparkSpecBase {
     val joinShuffles = allNodes(joins.head).collect {
       case e: ShuffleExchangeLike => e }
     assert(joinShuffles.isEmpty, s"join subtree still shuffles:\n$plan")
+    // an identity value group holds ONE key tuple, so rows are trivially
+    // ordered on the join key — the SMJ's per-partition sorts elide too
+    // (zero shuffle AND zero sort below the join), any file count
+    val joinSorts = allNodes(joins.head).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(joinSorts.isEmpty, s"join subtree still sorts:\n$plan")
     // exact result against the plain-DataFrame computation
     val expect = (0 until 60).map(i => (i, s"n${i % 5}", i * 2.0))
       .toDF("ck", "nat", "bal")
