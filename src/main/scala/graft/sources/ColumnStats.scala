@@ -142,8 +142,12 @@ object ColumnStats {
         bs <- bounds.get(n); ci <- histIdx.get(n)
       } yield {
         val nonNull = row.getAs[Long](s"$n!cnt")
+        // ndv floors at 1: an equi-height bin holds ~height rows by
+        // construction, and bin assignment lumps a value duplicated
+        // across bounds into its FIRST bin — a later duplicate bin with
+        // a literal 0 would divide join estimation to Infinity
         val bins = (0 until numBins).map(b =>
-          HBin(bs(b), bs(b + 1), binNdv.getOrElse((ci, b), 0L)))
+          HBin(bs(b), bs(b + 1), math.max(1L, binNdv.getOrElse((ci, b), 0L))))
         (nonNull.toDouble / numBins, bins)
       }
       n -> ColStat(

@@ -144,6 +144,39 @@ class CboStatsSpec extends SparkSpecBase {
     } finally SparkSession.setActiveSession(spark)
   }
 
+  test("histograms fix skewed JOIN cardinality: ~800x under-estimate becomes ~exact") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // both sides 90% h=5: true inner-join cardinality ~ 90k x 9k — the
+    // NDV-only model divides by NDV and lands ~800x under
+    (0L until 100000L).map(i => (i, if (i % 10 < 9) 5L else 100 + (i % 997)))
+      .toDF("k", "h").createOrReplaceTempView("ja_src")
+    (0L until 10000L).map(i => (i, if (i % 10 < 9) 5L else 100 + (i % 997)))
+      .toDF("j", "h").createOrReplaceTempView("jb_src")
+    s2.sql("CREATE TABLE graft.ja AS SELECT * FROM ja_src")
+    s2.sql("CREATE TABLE graft.jb AS SELECT * FROM jb_src")
+    def est(): BigInt = {
+      SparkSession.setActiveSession(s2)
+      try s2.sql("SELECT a.k, b.j FROM graft.ja a JOIN graft.jb b ON a.h = b.h")
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      finally SparkSession.setActiveSession(spark)
+    }
+    val truth = BigInt(90000L) * 9000L // the hot value dominates
+    s2.sql("ANALYZE TABLE graft.ja COMPUTE STATISTICS FOR COLUMNS h")
+    s2.sql("ANALYZE TABLE graft.jb COMPUTE STATISTICS FOR COLUMNS h")
+    val ndvOnly = est()
+    assert(ndvOnly > 0 && ndvOnly < truth / 50,
+      s"NDV-only should under-estimate the skewed join badly, got $ndvOnly")
+    s2.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    s2.sql("ANALYZE TABLE graft.ja COMPUTE STATISTICS FOR COLUMNS h")
+    s2.sql("ANALYZE TABLE graft.jb COMPUTE STATISTICS FOR COLUMNS h")
+    val hist = est()
+    assert(hist > truth / 2 && hist < truth * 2,
+      s"histogram estimate should be within 2x of $truth, got $hist")
+  }
+
   test("strict superset: v1 session-catalog ANALYZE delegates; RTAS invalidates stats") {
     val wh = Files.createTempDirectory("graft-cbo-").toString
     val s2 = cboSession(wh)
