@@ -110,19 +110,28 @@ final class GraftGroupedScan(
       new KeyGroupedPartitioning(transforms.toArray, groups.size)
     else new UnknownPartitioning(groups.size)
 
-  /** SORT ELISION for storage-partitioned joins: when every value
-    * group is exactly ONE key-sorted file, each partition's rows are
-    * globally ordered on the sort columns, and a sort-merge join over
-    * co-partitioned tables drops BOTH its per-partition sorts — at
-    * 100 TB that's the spill the shuffle-free plan still paid. A group
-    * holding several files (appends since the last OPTIMIZE) reads as
-    * a concatenation, which is NOT sorted — report nothing and let the
-    * join sort (OPTIMIZE restores the one-file-per-bucket steady
-    * state). */
+  // bucket-layout groups can k-way-MERGE their key-sorted files back
+  // into one ordered stream (every bucketed write door sorts by
+  // (bucket id, key)); identity groups don't need it (constant key)
+  private def mergeKey: Option[(Int, DataType)] =
+    if (constantKeys || sortedBy.size != 1) None
+    else required.fields.zipWithIndex.collectFirst {
+      case (f, i) if f.name == sortedBy.head &&
+          MergingGroupReader.comparable(f.dataType) => (i, f.dataType)
+    }
+
+  /** SORT ELISION for storage-partitioned joins: each partition's rows
+    * arrive ordered on the sort columns — identity groups trivially
+    * (one key tuple per group), bucket groups because every file is
+    * key-sorted by construction and the reader K-WAY MERGES multi-file
+    * groups. A sort-merge join over co-partitioned tables then drops
+    * BOTH its per-partition sorts — at 100 TB that's the spill the
+    * shuffle-free plan still paid. */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     if (sortedBy.nonEmpty && sortedBy.forall(required.fieldNames.contains) &&
-        (constantKeys || groups.forall(_._2.size == 1)))
+        (constantKeys || mergeKey.isDefined ||
+          groups.forall(_._2.size == 1)))
       sortedBy.map(c => Expressions.sort(Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
         : org.apache.spark.sql.connector.expressions.SortOrder).toArray
@@ -135,7 +144,8 @@ final class GraftGroupedScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftGroupReaderFactory(
-      ManifestTable.dataDirFor(path).toAbsolutePath.toString, required)
+      ManifestTable.dataDirFor(path).toAbsolutePath.toString, required,
+      mergeKey)
 
   override def estimateStatistics(): Statistics = fallback.estimateStatistics()
 
@@ -186,10 +196,79 @@ final case class GraftValueGroupPartition(files: Seq[String],
 }
 
 final case class GraftGroupReaderFactory(dataDir: String,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType,
+    mergeKey: Option[(Int, DataType)] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftValueGroupPartition]
-    new GroupFilesReader(gp.files.map(f => s"$dataDir/$f"), required)
+    mergeKey match {
+      case Some((idx, dt)) if gp.files.size > 1 =>
+        new MergingGroupReader(gp.files.map(f =>
+          new GroupFilesReader(Seq(s"$dataDir/$f"), required)), idx, dt)
+      case _ =>
+        new GroupFilesReader(gp.files.map(f => s"$dataDir/$f"), required)
+    }
+  }
+}
+
+/** K-way merge over one group's key-sorted files: each sub-reader
+  * yields its file's rows in key order (row groups chain in write
+  * order), and the merge keeps the group globally ordered — so the
+  * scan's ordering claim holds at ANY file count and the join above
+  * never sorts. Linear head scan per row: a bucket accumulates FEW
+  * files between OPTIMIZE passes, a heap would be overhead. Rows are
+  * fresh per record ([[RowGroupReader]] allocates), safe to hold as
+  * heads across next() calls. */
+final class MergingGroupReader(readers: Seq[GroupFilesReader],
+    keyIdx: Int, dt: DataType) extends PartitionReader[InternalRow] {
+
+  private val heads = new Array[InternalRow](readers.size)
+  private var initialized = false
+  private var cur: InternalRow = _
+
+  private def advanceHead(i: Int): Unit =
+    heads(i) = if (readers(i).next()) readers(i).get() else null
+
+  private def keyOf(r: InternalRow): Any =
+    if (r.isNullAt(keyIdx)) null else r.get(keyIdx, dt)
+
+  // matches Spark's ASC NULLS FIRST total order (NaN sorts greatest,
+  // UTF8String binary order) — the contract the ordering claim makes
+  private def lt(a: Any, b: Any): Boolean = {
+    if (a == null) b != null
+    else if (b == null) false
+    else (a, b) match {
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y) < 0
+      case (x: java.lang.Long, y: java.lang.Long)       => x.compareTo(y) < 0
+      case (x: java.lang.Float, y: java.lang.Float)     => x.compareTo(y) < 0
+      case (x: java.lang.Double, y: java.lang.Double)   => x.compareTo(y) < 0
+      case (x: UTF8String, y: UTF8String)               => x.compareTo(y) < 0
+      case _ => throw new IllegalStateException(s"unmergeable key type $dt")
+    }
+  }
+
+  override def next(): Boolean = {
+    if (!initialized) { readers.indices.foreach(advanceHead); initialized = true }
+    var best = -1
+    var i = 0
+    while (i < heads.length) {
+      if (heads(i) != null &&
+          (best < 0 || lt(keyOf(heads(i)), keyOf(heads(best))))) best = i
+      i += 1
+    }
+    if (best < 0) false
+    else { cur = heads(best); advanceHead(best); true }
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = readers.foreach(_.close())
+}
+
+object MergingGroupReader {
+  /** Key types [[MergingGroupReader.lt]] orders (a strict subset of
+    * [[GraftBucketFunction.supportedKeyType]]). */
+  def comparable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | StringType => true
+    case _ => false
   }
 }
 

@@ -125,15 +125,27 @@ class BucketedTableSpec extends SparkSpecBase {
     assert(sorts(q1) == 0, s"sort not elided:\n${finalPlan(q1)}")
     val r1 = q1.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(r1.size == 20000 && r1(7L) == 7 * 5.0 && r1(19999L) == 19999 * 5.0)
-    // a second commit makes a bucket multi-file — concatenation is NOT
-    // sorted, the claim must drop and that side re-sorts
-    s2.sql("INSERT INTO graft.s.l SELECT k + 20000, a FROM sl_src LIMIT 50")
-    assert(sorts(joinQ()) == 1, "multi-file bucket side must sort again")
-    // OPTIMIZE restores one key-sorted file per bucket → sorts gone
+    // a second commit makes buckets multi-file: each file is key-sorted
+    // and the group reader K-WAY MERGES them, so the ordering claim
+    // holds and the sort-free SMJ must STILL answer exactly — with
+    // overlapping key ranges on the multi-file side, a wrong merge
+    // would silently drop matches here
+    s2.sql("INSERT INTO graft.s.l SELECT k, a * 10 FROM sl_src WHERE k % 3 = 0")
+    val q2 = joinQ()
+    assert(sorts(q2) == 0, s"multi-file bucket should merge, not sort:\n${finalPlan(q2)}")
+    val r2 = q2.collect().groupBy(_.getLong(0))
+    assert(r2.size == 20000)
+    assert(r2(9L).map(_.getDouble(1)).sorted.toSeq ==
+      Seq(9 * 5.0, 9 * 20.0 + 9 * 3.0), r2(9L).mkString(","))
+    assert(r2(10L).map(_.getDouble(1)).toSeq == Seq(10 * 5.0))
+    // OPTIMIZE folds back to one file per bucket; still sort-free, and
+    // the duplicate-key rows survive the rewrite
     s2.sql("OPTIMIZE graft.s.l").collect()
     val q3 = joinQ()
     assert(sorts(q3) == 0, s"post-OPTIMIZE sort not elided:\n${finalPlan(q3)}")
-    assert(q3.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap == r1)
+    assert(q3.collect().groupBy(_.getLong(0)).view.mapValues(
+        _.map(_.getDouble(1)).sorted.toSeq).toMap ==
+      r2.view.mapValues(_.map(_.getDouble(1)).sorted.toSeq).toMap)
   }
 
   test("point lookups prune to one bucket's files before planning") {
