@@ -160,7 +160,14 @@ object ColumnStats {
         histHeight = hist.map(_._1),
         histBins = hist.map(_._2))
     }.toMap
-    val stats = TableStats(version, rows, cols)
+    // MERGE semantics (Spark's own ANALYZE): FOR COLUMNS a,b refreshes
+    // those columns and keeps the rest; the row-count-only form keeps
+    // every previously analyzed column. Columns the current schema no
+    // longer carries are dropped (a stat for a renamed/dropped column
+    // would mislead the optimizer).
+    val kept = load(path).map(_.cols).getOrElse(Map.empty)
+      .view.filterKeys(k => byName.contains(k) && !cols.contains(k)).toMap
+    val stats = TableStats(version, rows, kept ++ cols)
     write(path, stats)
     stats
   }

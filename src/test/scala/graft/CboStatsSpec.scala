@@ -53,9 +53,12 @@ class CboStatsSpec extends SparkSpecBase {
     assert(g.min.contains("0") && g.max.contains("249"), g.toString)
     val s = st.cols("s")
     assert(s.nulls == 2500L && s.avgLen.exists(_ >= 2), s.toString)
-    // FOR COLUMNS subset replaces the sidecar with just those columns
+    // FOR COLUMNS subset MERGES (Spark's semantics): g refreshes, the
+    // others keep their stats; the row-count-only form keeps them all
     s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS g")
-    assert(ColumnStats.load(s"$wh/t").get.cols.keySet == Set("g"))
+    assert(ColumnStats.load(s"$wh/t").get.cols.keySet == Set("k", "g", "s"))
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS")
+    assert(ColumnStats.load(s"$wh/t").get.cols.keySet == Set("k", "g", "s"))
     // refusals: unknown column, loudly
     intercept[Exception] {
       s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS nope") }
