@@ -59,10 +59,60 @@ object ColumnStats {
         f.dataType.isInstanceOf[DecimalType] => f.name
     }.toSeq
 
+  /** INCREMENTAL refresh from manifest metadata alone — the row-count
+    * form of ANALYZE after appends: live rows from the manifest's
+    * recorded per-file rows (− delete keys), and each tracked numeric/
+    * date column's min/max folded from the per-file stats every commit
+    * already harvested. ZERO Spark jobs, O(manifest parse) — at 100 TB
+    * a post-append stats refresh costs nothing, and only NDV (which
+    * needs the sketch pass) ages until the next FOR COLUMNS run. None
+    * when the manifest lacks complete row counts (legacy snapshots). */
+  private def refreshFromManifest(path: String): Option[TableStats] = {
+    val m = ManifestTable.snapshotAt(path, None).getOrElse(return None)
+    if (!(m.files ++ m.deletes.map(_._1)).forall(m.rows.contains)) return None
+    val liveRows = math.max(0L, m.files.map(m.rows).sum -
+      m.deletes.map { case (f, _) => m.rows(f) }.sum)
+    val prev = load(path).map(_.cols).getOrElse(Map.empty)
+    // numeric-or-date bound ordering; None = unorderable (keep old bound)
+    def key(s: String): Option[BigDecimal] =
+      scala.util.Try(BigDecimal(s)).toOption.orElse(
+        scala.util.Try(BigDecimal(
+          java.time.LocalDate.parse(s).toEpochDay)).toOption)
+    def fold(phys: String, wantMin: Boolean): Option[String] = {
+      if (m.files.isEmpty) return None
+      val vals = m.files.map { f =>
+        m.stats.getOrElse(f, Map.empty).get(phys) match {
+          case Some(cs) =>
+            val raw = if (wantMin) cs.min else cs.max
+            key(raw).map(raw -> _).getOrElse(return None)
+          case None => return None // stat-less file: keep the old bound
+        }
+      }
+      Some(vals.reduce((a, b) =>
+        if ((a._2 <= b._2) == wantMin) a else b)._1)
+    }
+    val cols = prev.flatMap { case (n, cs) =>
+      // manifest stats are keyed by PHYSICAL names (column mapping)
+      val phys = m.renames.getOrElse(n, n)
+      if (m.droppedCols.contains(phys)) None
+      else Some(n -> (if (cs.min.isEmpty || cs.max.isEmpty) cs
+      else cs.copy(
+        min = fold(phys, wantMin = true).orElse(cs.min),
+        max = fold(phys, wantMin = false).orElse(cs.max))))
+    }
+    val stats = TableStats(m.version, liveRows, cols)
+    write(path, stats)
+    Some(stats)
+  }
+
   /** Run the one-pass analysis and persist the sidecar. Returns the
-    * stats written. `colNames` empty = row count only. */
+    * stats written. `colNames` empty = row count only — served from
+    * manifest metadata alone when the snapshot records complete row
+    * counts ([[refreshFromManifest]]). */
   def analyze(spark: SparkSession, path: String,
       colNames: Seq[String]): TableStats = {
+    if (colNames.isEmpty)
+      refreshFromManifest(path).foreach(return _)
     val version = ManifestTable.latestVersion(path)
     val df = ManifestTable.read(spark, path)
     val byName = df.schema.fields.map(f => f.name -> f).toMap

@@ -147,6 +147,28 @@ class CboStatsSpec extends SparkSpecBase {
     } finally SparkSession.setActiveSession(spark)
   }
 
+  test("row-count ANALYZE after appends is metadata-only: answers with the data dir moved aside") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    s2.sql("CREATE TABLE graft.t AS SELECT id AS k FROM range(0, 1000)")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val before = ColumnStats.load(s"$wh/t").get
+    assert(before.rows == 1000L && before.cols("k").max.contains("999"))
+    s2.sql("INSERT INTO graft.t SELECT id FROM range(5000, 5100)")
+    // the refresh folds manifest metadata alone — no data file is read
+    val dataDir = java.nio.file.Paths.get(s"$wh/t/data")
+    val hidden = java.nio.file.Paths.get(s"$wh/t/.hid")
+    java.nio.file.Files.move(dataDir, hidden)
+    try s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS")
+    finally java.nio.file.Files.move(hidden, dataDir)
+    val after = ColumnStats.load(s"$wh/t").get
+    assert(after.rows == 1100L, after.toString)
+    assert(after.cols("k").max.contains("5099"), after.cols("k").toString)
+    assert(after.cols("k").min.contains("0"), after.cols("k").toString)
+    // NDV ages until the next sketch pass — still the pre-append value
+    assert(after.cols("k").distinct == before.cols("k").distinct)
+  }
+
   test("histograms fix skewed JOIN cardinality: ~800x under-estimate becomes ~exact") {
     val wh = Files.createTempDirectory("graft-cbo-").toString
     val s2 = cboSession(wh)
