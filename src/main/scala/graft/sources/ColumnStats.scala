@@ -40,10 +40,17 @@ object ColumnStats {
       min: Option[String], max: Option[String],
       avgLen: Option[Long], maxLen: Option[Long],
       histHeight: Option[Double] = None,
-      histBins: Option[Seq[HBin]] = None)
+      histBins: Option[Seq[HBin]] = None,
+      // the column's HLL sketch (base64, DataSketches layout — what
+      // Spark's hll_sketch_agg emits) — the mergeable state behind
+      // INCREMENTAL NDV refresh
+      sketch: Option[String] = None)
 
   case class TableStats(version: Long, rows: Long,
-      cols: Map[String, ColStat])
+      cols: Map[String, ColStat],
+      // data files the column stats were computed over: a later
+      // FOR COLUMNS run rescans ONLY files outside this set and MERGES
+      covered: Seq[String] = Seq.empty)
 
   private def numeric(dt: DataType): Boolean = dt match {
     case ShortType | IntegerType | LongType | FloatType | DoubleType => true
@@ -105,14 +112,135 @@ object ColumnStats {
     Some(stats)
   }
 
+  /** INCREMENTAL `FOR COLUMNS`: when the sidecar carries each requested
+    * column's HLL sketch and the files it covered are all still live,
+    * rescan ONLY the files appended since, merge sketches
+    * (DataSketches union — the format `hll_sketch_agg` emits), and fold
+    * counts/bounds/lengths. Cost is O(new data): at 100 TB a nightly
+    * stats refresh after an append touches the append, not the table.
+    * Bails to the full pass (None) on anything non-append-only —
+    * deletes, overwrites, compaction, column mapping, histograms. */
+  private def tryIncremental(spark: SparkSession, path: String,
+      colNames: Seq[String], histEnabled: Boolean): Option[TableStats] = {
+    if (histEnabled) return None
+    val prev = load(path).getOrElse(return None)
+    if (prev.covered.isEmpty) return None
+    val prevCols = colNames.map(n => prev.cols.get(n) match {
+      case Some(cs) if cs.sketch.isDefined && cs.histBins.isEmpty => n -> cs
+      case _ => return None
+    }).toMap
+    val m = ManifestTable.snapshotAt(path, None).getOrElse(return None)
+    if (m.deletes.nonEmpty || m.renames.nonEmpty || m.droppedCols.nonEmpty)
+      return None
+    if (!m.files.forall(m.rows.contains)) return None
+    val live = m.files.toSet
+    if (!prev.covered.forall(live)) return None // rewritten/vacuumed → full
+    val newFiles = m.files.filterNot(prev.covered.toSet)
+    val totalRows = m.files.map(m.rows).sum
+    if (newFiles.isEmpty) {
+      val stats = prev.copy(version = m.version, rows = totalRows)
+      write(path, stats); return Some(stats)
+    }
+    // schema from the NEW files only — the whole point is that nothing
+    // else gets touched (old files may be archived cold by now)
+    val df = spark.read.option("mergeSchema", "true").parquet(newFiles.map(f =>
+      ManifestTable.dataDirFor(path).resolve(f).toString): _*)
+    val schema = df.schema
+    colNames.foreach(n =>
+      if (!schema.fieldNames.contains(n)) return None)
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val aggs = count(lit(1)).as("__rows") +: colNames.flatMap { n =>
+      statAggs(n, byName(n).dataType)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val newRows = row.getAs[Long]("__rows")
+    def opt(name: String): Option[String] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.get(i).toString)
+    }
+    def bound(old: Option[String], fresh: Option[String],
+        wantMin: Boolean): Option[String] = (old, fresh) match {
+      case (Some(a), Some(b)) =>
+        val cmp = for {
+          ka <- scala.util.Try(BigDecimal(a)).toOption
+          kb <- scala.util.Try(BigDecimal(b)).toOption
+        } yield if ((ka <= kb) == wantMin) a else b
+        cmp.orElse(Some(if ((a <= b) == wantMin) a else b))
+      case (a, b) => b.orElse(a)
+    }
+    val merged = colNames.map { n =>
+      val old = prevCols(n)
+      val isStr = byName(n).dataType == StringType
+      val newCnt = row.getAs[Long](s"$n!cnt")
+      val u = new org.apache.datasketches.hll.Union(12)
+      u.update(org.apache.datasketches.hll.HllSketch.heapify(
+        java.util.Base64.getDecoder.decode(old.sketch.get)))
+      u.update(org.apache.datasketches.hll.HllSketch.heapify(
+        row.getAs[Array[Byte]](s"$n!hll")))
+      val us = u.getResult
+      val oldNonNull = (prev.rows - old.nulls).max(0L)
+      val avg = (old.avgLen, if (isStr) opt(s"$n!avg").map(_.toLong) else None) match {
+        case (Some(a), Some(b)) if oldNonNull + newCnt > 0 => Some(
+          math.ceil((a.toDouble * oldNonNull + b.toDouble * newCnt) /
+            (oldNonNull + newCnt)).toLong)
+        case (a, b) => b.orElse(a)
+      }
+      n -> old.copy(
+        distinct = us.getEstimate.toLong,
+        nulls = old.nulls + (newRows - newCnt),
+        min = if (isStr) None else bound(old.min, opt(s"$n!min"), wantMin = true),
+        max = if (isStr) None else bound(old.max, opt(s"$n!max"), wantMin = false),
+        avgLen = avg,
+        maxLen = (old.maxLen.toSeq ++
+          (if (isStr) opt(s"$n!maxlen").map(_.toLong) else None).toSeq)
+          .reduceOption(_ max _),
+        sketch = Some(java.util.Base64.getEncoder.encodeToString(
+          us.toCompactByteArray)))
+    }.toMap
+    val stats = TableStats(m.version, totalRows,
+      prev.cols.view.filterKeys(schema.fieldNames.contains).toMap ++ merged,
+      covered = m.files)
+    write(path, stats)
+    Some(stats)
+  }
+
+  /** The base single-pass aggregates for one column (shared by the
+    * full pass and the incremental new-file pass). */
+  private def statAggs(n: String, dt: DataType)
+      : Seq[org.apache.spark.sql.Column] = {
+    val c = col(n)
+    val base = Seq(
+      approx_count_distinct(c).as(s"$n!ndv"),
+      count(c).as(s"$n!cnt"),
+      (dt match {
+        case IntegerType | LongType | StringType | BinaryType =>
+          hll_sketch_agg(c)
+        case _ => hll_sketch_agg(c.cast(StringType))
+      }).as(s"$n!hll"))
+    dt match {
+      case d if numeric(d) || d == DateType || d.isInstanceOf[DecimalType] =>
+        base ++ Seq(min(c).cast(StringType).as(s"$n!min"),
+          max(c).cast(StringType).as(s"$n!max"))
+      case StringType =>
+        base ++ Seq(ceil(avg(length(c))).cast(LongType).as(s"$n!avg"),
+          max(length(c)).cast(LongType).as(s"$n!maxlen"))
+      case _ => base
+    }
+  }
+
   /** Run the one-pass analysis and persist the sidecar. Returns the
     * stats written. `colNames` empty = row count only — served from
     * manifest metadata alone when the snapshot records complete row
-    * counts ([[refreshFromManifest]]). */
+    * counts ([[refreshFromManifest]]). `FOR COLUMNS` re-runs are
+    * incremental when possible ([[tryIncremental]]). */
   def analyze(spark: SparkSession, path: String,
       colNames: Seq[String]): TableStats = {
     if (colNames.isEmpty)
       refreshFromManifest(path).foreach(return _)
+    else if (!spark.conf.get("spark.sql.statistics.histogram.enabled", "false")
+        .toBoolean)
+      tryIncremental(spark, path, colNames, histEnabled = false)
+        .foreach(return _)
     val version = ManifestTable.latestVersion(path)
     val df = ManifestTable.read(spark, path)
     val byName = df.schema.fields.map(f => f.name -> f).toMap
@@ -133,19 +261,7 @@ object ColumnStats {
       else colNames.filter(n => numeric(byName(n).dataType))
     val pcts = (0 to numBins).map(_.toDouble / numBins).toArray
     val aggs = count(lit(1)).as("__rows") +: (colNames.flatMap { n =>
-      val c = col(n)
-      val base = Seq(
-        approx_count_distinct(c).as(s"$n!ndv"),
-        count(c).as(s"$n!cnt"))
-      byName(n).dataType match {
-        case dt if numeric(dt) || dt == DateType || dt.isInstanceOf[DecimalType] =>
-          base ++ Seq(min(c).cast(StringType).as(s"$n!min"),
-            max(c).cast(StringType).as(s"$n!max"))
-        case StringType =>
-          base ++ Seq(ceil(avg(length(c))).cast(LongType).as(s"$n!avg"),
-            max(length(c)).cast(LongType).as(s"$n!maxlen"))
-        case _ => base
-      }
+      statAggs(n, byName(n).dataType)
     } ++ histCols.map { n =>
       percentile_approx(col(n).cast(DoubleType), lit(pcts), lit(10000))
         .as(s"$n!pct")
@@ -208,7 +324,9 @@ object ColumnStats {
         avgLen = if (isStr) opt(s"$n!avg").map(_.toLong) else None,
         maxLen = if (isStr) opt(s"$n!maxlen").map(_.toLong) else None,
         histHeight = hist.map(_._1),
-        histBins = hist.map(_._2))
+        histBins = hist.map(_._2),
+        sketch = Option(row.getAs[Array[Byte]](s"$n!hll"))
+          .map(java.util.Base64.getEncoder.encodeToString))
     }.toMap
     // MERGE semantics (Spark's own ANALYZE): FOR COLUMNS a,b refreshes
     // those columns and keeps the rest; the row-count-only form keeps
@@ -217,7 +335,9 @@ object ColumnStats {
     // would mislead the optimizer).
     val kept = load(path).map(_.cols).getOrElse(Map.empty)
       .view.filterKeys(k => byName.contains(k) && !cols.contains(k)).toMap
-    val stats = TableStats(version, rows, kept ++ cols)
+    val stats = TableStats(version, rows, kept ++ cols,
+      covered = ManifestTable.snapshotAt(path, None)
+        .map(_.files).getOrElse(Seq.empty))
     write(path, stats)
     stats
   }

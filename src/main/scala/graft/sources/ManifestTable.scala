@@ -711,7 +711,7 @@ object ManifestTable {
   private val physSchemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
-  private def physicalSchemaAt(spark: SparkSession, path: String,
+  private[sources] def physicalSchemaAt(spark: SparkSession, path: String,
       m: Manifest): org.apache.spark.sql.types.StructType = {
     val key = cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
     val hit = physSchemaCache.get(key)

@@ -169,6 +169,41 @@ class CboStatsSpec extends SparkSpecBase {
     assert(after.cols("k").distinct == before.cols("k").distinct)
   }
 
+  test("FOR COLUMNS re-analysis is incremental: rescans only appended files, merges sketches") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    s2.sql("CREATE TABLE graft.t AS SELECT id AS k FROM range(0, 10000)")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS k")
+    val st0 = ColumnStats.load(s"$wh/t").get
+    assert(st0.covered.nonEmpty && st0.cols("k").sketch.isDefined)
+    // append overlapping + new keys, then re-analyze with the ORIGINAL
+    // files moved aside — only the new files may be read
+    s2.sql("INSERT INTO graft.t SELECT id FROM range(5000, 20000)")
+    val dataDir = java.nio.file.Paths.get(s"$wh/t/data")
+    val hidden = java.nio.file.Files.createTempDirectory("graft-hid-")
+    st0.covered.foreach(f => java.nio.file.Files.move(
+      dataDir.resolve(f), hidden.resolve(f)))
+    try s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS k")
+    finally st0.covered.foreach(f => java.nio.file.Files.move(
+      hidden.resolve(f), dataDir.resolve(f)))
+    val st1 = ColumnStats.load(s"$wh/t").get
+    assert(st1.rows == 25000L, st1.rows.toString)
+    // merged NDV ~ 20000 distinct keys (HLL union, a few % error)
+    assert(math.abs(st1.cols("k").distinct - 20000L) < 1500,
+      s"merged NDV ${st1.cols("k").distinct}")
+    assert(st1.cols("k").max.contains("19999"), st1.cols("k").toString)
+    assert(st1.cols("k").min.contains("0"), st1.cols("k").toString)
+    assert(st1.covered.size > st0.covered.size)
+    // a DELETE breaks append-only-ness: the next run is a full pass
+    // (exact again), not a stale merge
+    s2.sql("DELETE FROM graft.t WHERE k >= 10000")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS k")
+    val st2 = ColumnStats.load(s"$wh/t").get
+    // 25000 − the 10000 rows with k ≥ 10000 (keys 5000–9999 exist twice)
+    assert(st2.rows == 15000L, st2.rows.toString)
+    assert(st2.cols("k").max.contains("9999"), st2.cols("k").toString)
+  }
+
   test("histograms fix skewed JOIN cardinality: ~800x under-estimate becomes ~exact") {
     val wh = Files.createTempDirectory("graft-cbo-").toString
     val s2 = cboSession(wh)
