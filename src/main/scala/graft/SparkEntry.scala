@@ -3154,6 +3154,60 @@ object SparkEntry {
                 FROM graft.t GROUP BY status""")
     }),
 
+    "q161_incr_analyze" -> ((s, dir) => {
+      // INCREMENTAL STATISTICS MAINTENANCE — the ANALYZE lifecycle a
+      // 100 TB table actually runs: one full sketch pass at birth, then
+      // (a) `ANALYZE … COMPUTE STATISTICS` after appends refreshes rows
+      // and min/max bounds from MANIFEST METADATA ALONE (zero jobs),
+      // and (b) `FOR COLUMNS` re-analysis rescans ONLY appended files,
+      // UNIONING the persisted DataSketches HLL sketches — both
+      // gate-proven by answering with every previously-covered data
+      // file MOVED ASIDE. Stats stay within sketch error of the exact
+      // distinct counts (gated); the emitted rollup is exact.
+      import graft.sources.ColumnStats
+      val wh = java.nio.file.Files.createTempDirectory("graft-q161-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q161")
+      s2.sql("""CREATE TABLE graft.t AS
+                SELECT * FROM ord_q161 WHERE o_orderkey % 2 = 0""")
+      s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val st0 = ColumnStats.load(t).get
+      s2.sql("""INSERT INTO graft.t
+                SELECT * FROM ord_q161 WHERE o_orderkey % 2 = 1""")
+      // both refresh forms must answer with the ORIGINAL files gone
+      val dataDir = java.nio.file.Paths.get(s"$t/data")
+      val hid = java.nio.file.Files.createTempDirectory("graft-q161-hid-")
+      st0.covered.foreach(f => java.nio.file.Files.move(
+        dataDir.resolve(f), hid.resolve(f)))
+      try {
+        s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS") // metadata-only
+        s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS o_custkey")
+      } finally st0.covered.foreach(f => java.nio.file.Files.move(
+        hid.resolve(f), dataDir.resolve(f)))
+      val st1 = ColumnStats.load(t).get
+      val exactRows = s2.table("graft.t").count()
+      require(st1.rows == exactRows,
+        s"refreshed row count ${st1.rows} != exact $exactRows")
+      val exactNdv = s2.table("graft.t")
+        .select("o_custkey").distinct().count()
+      val ndv = st1.cols("o_custkey").distinct
+      require(math.abs(ndv - exactNdv) <= math.max(5L, exactNdv / 10),
+        s"merged NDV $ndv vs exact $exactNdv")
+      require(st1.cols("o_orderkey").max.map(_.toDouble.toLong) ==
+          Some(s2.table("graft.t").agg(max("o_orderkey")).head().getLong(0)),
+        "metadata-refreshed max must match the exact maximum")
+      s2.sql("""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                FROM graft.t GROUP BY 1""")
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -9380,6 +9434,11 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1""",
+    "q161_incr_analyze" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q160: the UPDATE doubles every 5th key (×2 on DOUBLE is FP-exact)
     "q160_table_codec" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,

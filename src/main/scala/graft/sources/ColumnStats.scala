@@ -79,7 +79,8 @@ object ColumnStats {
     if (!(m.files ++ m.deletes.map(_._1)).forall(m.rows.contains)) return None
     val liveRows = math.max(0L, m.files.map(m.rows).sum -
       m.deletes.map { case (f, _) => m.rows(f) }.sum)
-    val prev = load(path).map(_.cols).getOrElse(Map.empty)
+    val prevStats = load(path)
+    val prev = prevStats.map(_.cols).getOrElse(Map.empty)
     // numeric-or-date bound ordering; None = unorderable (keep old bound)
     def key(s: String): Option[BigDecimal] =
       scala.util.Try(BigDecimal(s)).toOption.orElse(
@@ -107,7 +108,10 @@ object ColumnStats {
         min = fold(phys, wantMin = true).orElse(cs.min),
         max = fold(phys, wantMin = false).orElse(cs.max))))
     }
-    val stats = TableStats(m.version, liveRows, cols)
+    // the metadata refresh reads no data, so the SKETCH state (and the
+    // file set it covered) must survive for the next incremental pass
+    val stats = TableStats(m.version, liveRows, cols,
+      covered = prevStats.map(_.covered).getOrElse(Seq.empty))
     write(path, stats)
     Some(stats)
   }
