@@ -252,6 +252,43 @@ object ApiServer {
                   spark, tablePath, zorderBy = zcols)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("compacted_version" -> v) ~ ("zorder" -> zcols.toList))))
+            case ("POST", List("analyze")) =>
+              // column statistics for cost-based planning — the HTTP
+              // door of SQL's ANALYZE TABLE: ?cols=a,b (subset) or
+              // ?cols=all (every analyzable column); absent = the
+              // metadata-only rows/bounds refresh. Incremental when the
+              // sidecar's sketches still cover the live files.
+              val spec = queryParams(ex).get("cols")
+              val names = spec match {
+                case None        => Seq.empty[String]
+                case Some("all") => graft.sources.ColumnStats
+                  .analyzableColumns(
+                    graft.sources.ManifestTable.schemaAt(spark, tablePath))
+                case Some(cs)    =>
+                  cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              }
+              val st = graft.sources.ColumnStats.analyze(spark, tablePath, names)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("analyzed_version" -> st.version) ~ ("row_count" -> st.rows) ~
+                  ("columns" -> st.cols.keys.toList.sorted))))
+            case ("GET", List("stats")) =>
+              // the persisted ANALYZE estimates, as the optimizer sees
+              // them (sketch bytes omitted — internal merge state)
+              graft.sources.ColumnStats.load(tablePath) match {
+                case Some(st) =>
+                  respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                    ("version" -> st.version) ~ ("row_count" -> st.rows) ~
+                      ("columns" -> st.cols.toList.sortBy(_._1).map {
+                        case (n, c) =>
+                          ("name" -> n) ~ ("distinct" -> c.distinct) ~
+                            ("nulls" -> c.nulls) ~ ("min" -> c.min) ~
+                            ("max" -> c.max) ~ ("avg_len" -> c.avgLen) ~
+                            ("max_len" -> c.maxLen)
+                      }))))
+                case None => respond(ex, 404, JsonMethods.compact(
+                  JsonMethods.render(("error" -> "no statistics") ~
+                    ("hint" -> "POST .../analyze?cols=all first"))))
+              }
             case ("GET", List("constraints")) =>
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("warehouse" -> whName) ~ ("resource" -> resource) ~

@@ -283,6 +283,41 @@ class ApiServerSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("analyze and stats endpoints: sketch pass, metadata refresh, optimizer view") {
+    import graft.sources.{ColumnStats, ManifestTable, ManifestWarehouse}
+    import spark.implicits._
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-api-an-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("anlake", "an lake", "lake", "manifest"),
+      () => ManifestWarehouse("anlake", base))
+    ManifestTable.append(
+      (0 until 500).map(i => (i.toLong, s"g${i % 7}")).toDF("k", "g"),
+      s"$base/items")
+    val api = ApiServer.start(spark)
+    try {
+      // no stats yet → 404 with a hint
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.get(s"${api.baseUrl}/table/anlake/items/stats", Map.empty)
+      }.status == 404)
+      val a = Http.post(s"${api.baseUrl}/table/anlake/items/analyze?cols=all",
+        Map.empty, "", "application/json")
+      assert(a.contains("\"row_count\":500") &&
+        a.contains("\"columns\":[\"g\",\"k\"]"), a)
+      val st = Http.get(s"${api.baseUrl}/table/anlake/items/stats", Map.empty)
+      assert(st.contains("\"row_count\":500") && st.contains("\"name\":\"g\""), st)
+      // append + the metadata-only refresh (no cols param)
+      ManifestTable.append(
+        (500 until 600).map(i => (i.toLong, s"g${i % 7}")).toDF("k", "g"),
+        s"$base/items")
+      val r = Http.post(s"${api.baseUrl}/table/anlake/items/analyze",
+        Map.empty, "", "application/json")
+      assert(r.contains("\"row_count\":600"), r)
+      val after = ColumnStats.load(s"$base/items").get
+      assert(after.cols("k").max.contains("599"), after.cols("k").toString)
+    } finally api.stop()
+  }
+
   test("table merge and change-feed endpoints") {
     import graft.sources.{ManifestTable, ManifestWarehouse}
     import spark.implicits._
