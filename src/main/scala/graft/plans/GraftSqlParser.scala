@@ -64,6 +64,7 @@ object GraftSqlParser {
   private val Optimize = Pattern.compile(
     """(?is)^\s*OPTIMIZE\s+('[^']+'|[\w.`]+)""" +
       """(?:\s+TARGET\s+(\d+))?""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""")
   private val Vacuum = Pattern.compile(
     """(?is)^\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
@@ -82,10 +83,11 @@ object GraftSqlParser {
       delegate: ParserInterface): Option[LogicalPlan] = {
     val om = Optimize.matcher(sqlText)
     if (om.matches()) {
-      val zorder = Option(om.group(3)).toSeq.flatMap(_.split(",").toSeq)
+      val zorder = Option(om.group(4)).toSeq.flatMap(_.split(",").toSeq)
         .map(c => delegate.parseMultipartIdentifier(c.trim).last)
       return Some(GraftOptimizeCommand(target(om.group(1), delegate),
-        Option(om.group(2)).map(_.toLong), zorder))
+        Option(om.group(2)).map(_.toLong), zorder,
+        where = Option(om.group(3)).map(_.trim).filter(_.nonEmpty)))
     }
     val vm = Vacuum.matcher(sqlText)
     if (vm.matches())

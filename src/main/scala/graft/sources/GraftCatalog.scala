@@ -877,7 +877,7 @@ object GraftCatalog {
     * filters — Spark keeps every filter as a residual). AND splits into
     * both sides (sound: a file must satisfy each conjunct); OR/NOT stay
     * un-pruned (min/max can prove a single range dead, not a union). */
-  private[sources] def toConditions(f: Filter): Seq[Condition] = f match {
+  private[graft] def toConditions(f: Filter): Seq[Condition] = f match {
     case sources.EqualTo(a, v) if flat(a)            => Seq(Condition(a, Op.Eq, v))
     case sources.GreaterThan(a, v) if flat(a)        => Seq(Condition(a, Op.Gt, v))
     case sources.GreaterThanOrEqual(a, v) if flat(a) => Seq(Condition(a, Op.Gte, v))

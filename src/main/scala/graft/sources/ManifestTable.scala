@@ -1921,6 +1921,64 @@ object ManifestTable {
     * the new commit seq, above every delete) and stay in force for the
     * carried files. Returns the new version, or the current one when
     * fewer than two files qualify (idempotence: re-running is a no-op). */
+  /** SCOPED compaction — `OPTIMIZE t WHERE <pred>`: rewrite ONLY the
+    * files whose manifest stats-range intersects the predicate (the
+    * same pruning [[statsSurvivors]] serves reads with), leaving every
+    * other file byte-identical. The operational shape at 100 TB:
+    * compact yesterday's partition after the day's stream, not the
+    * table. Files rewrite WHOLE (a value-joint file's non-matching rows
+    * ride along — rows never change, only layout), MoR deletes fold
+    * away for rewritten files exactly like [[compactIncremental]]
+    * (their fresh seq outruns every delete), and the commit is
+    * dataChange=false so streams skip it. Returns the base version
+    * untouched when nothing matches. */
+  def compactWhere(spark: SparkSession, path: String,
+      conds: Seq[graft.conditions.Condition],
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Long = {
+    require(conds.nonEmpty, "compactWhere needs at least one condition " +
+      "(use compactCommit for the whole table)")
+    val base = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val scope = statsSurvivors(path, conds, Some(base.version))
+    if (scope.isEmpty) return base.version
+    val carried = base.files.filterNot(scope.toSet)
+    val df = reconcile(spark, path, base, scope)
+    val bytes = scope.map(f => Files.size(dataDir(path).resolve(f))).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val declared =
+      if (zorderBy.nonEmpty) Seq.empty
+      else GraftCatalog.readDeclaredParts(Paths.get(path))
+        .filter(df.columns.contains)
+    val arranged =
+      if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(df, zorderBy, nFiles)
+      else if (declared.nonEmpty) df.repartitionByRange(nFiles,
+        declared.map(df.col) :+ org.apache.spark.sql.functions.xxhash64(
+          df.columns.map(df.col): _*): _*)
+      else df.repartition(nFiles)
+    val staged = stage(arranged, path)
+    val next = base.version + 1
+    val m = Manifest(next, carried ++ staged,
+      Some(s"compact-where-of-v${base.version}"), base.version,
+      carried.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
+        footerStats(path, staged),
+      carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
+        staged.map(_ -> next).toMap,
+      base.deletes, base.constraints, deleteStats = base.deleteStats,
+      rows = base.rows ++ footerRows(path, staged),
+      mergeKeys = base.mergeKeys, dataChange = false,
+      generated = base.generated, txns = base.txns,
+      renames = base.renames, droppedCols = base.droppedCols)
+    try {
+      publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit during scoped compaction of v${base.version}; retry")
+    }
+  }
+
   def compactIncremental(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty,

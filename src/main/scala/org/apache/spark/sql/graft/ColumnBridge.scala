@@ -12,6 +12,27 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Resolve a predicate against `df` and translate every conjunct to
+    * the data-source [[org.apache.spark.sql.sources.Filter]] algebra
+    * (Spark's own pushdown translator). Conjuncts outside the algebra
+    * are dropped — callers decide whether a partial translation is
+    * acceptable for their (always conservative) pruning use. */
+  def translateToSourceFilters(df: org.apache.spark.sql.DataFrame,
+      predicate: Column): Seq[org.apache.spark.sql.sources.Filter] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val analyzed = df.where(predicate).queryExecution.analyzed
+    analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(split)
+      .flatMap(e => org.apache.spark.sql.execution.datasources
+        .DataSourceStrategy.translateFilter(e,
+          supportNestedPredicatePushdown = true))
+  }
+
   /** Connector-API literal ([[org.apache.spark.sql.connector.expressions
     * .LiteralValue]] is `private[sql]`): catalyst-typed value + DataType,
     * exactly what Spark's own V2ExpressionBuilder hands a
