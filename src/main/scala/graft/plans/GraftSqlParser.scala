@@ -97,13 +97,17 @@ object GraftSqlParser {
     if (am.matches()) {
       val tgt = target(am.group(1), delegate)
       // strict-superset discipline: ANALYZE is valid Spark syntax for
-      // session-catalog (v1) tables — only targets that Spark itself
-      // cannot analyze (a path, or a non-default catalog's table, where
-      // v2 ANALYZE throws) are intercepted; everything else delegates
+      // session-catalog (v1) tables — `mydb.mytable` has a DATABASE
+      // head, not a catalog. Only intercept when the head is a catalog
+      // the session has REGISTERED as a GraftCatalog (conf probe — no
+      // catalog instantiation at parse time); everything else delegates
       val ours = tgt match {
         case Left(_)      => true
         case Right(parts) =>
-          parts.length >= 2 && parts.head != "spark_catalog"
+          parts.length >= 2 &&
+            org.apache.spark.sql.SparkSession.getActiveSession.exists(
+              _.conf.getOption(s"spark.sql.catalog.${parts.head}")
+                .contains(classOf[GraftCatalog].getName))
       }
       if (ours) {
         val cols: Option[Seq[String]] =
@@ -135,16 +139,81 @@ object GraftSqlParser {
 
   private[plans] def attr(name: String, dt: DataType): AttributeReference =
     AttributeReference(name, dt, nullable = false)()
+
+  /** Fold an `OPTIMIZE ... WHERE` predicate into the condition algebra
+    * file-stats pruning speaks: a conjunction of
+    * `col (=|>|>=|<|<=) literal`, `col IN (...)`, `col IS [NOT] NULL`.
+    * Scoped compaction selects FILES, not rows (non-matching rows in a
+    * matching file ride along unchanged), so only stats-prunable shapes
+    * are meaningful — anything richer fails loudly here rather than
+    * silently compacting the whole table. */
+  private[graft] def whereConditions(spark: SparkSession,
+      pred: String): Seq[graft.conditions.Condition] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import graft.conditions.{Condition, Op}
+    def name(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def scala(l: Literal): Any = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: org.apache.spark.sql.types.Decimal       => d.toBigDecimal
+      case v                                           => v
+    }
+    def fold(e: Expression): Seq[Condition] = e match {
+      case And(l, r) => fold(l) ++ fold(r)
+      case EqualTo(a, l: Literal) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Eq, scala(l)))
+      case EqualTo(l: Literal, a) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Eq, scala(l)))
+      case GreaterThan(a, l: Literal) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Gt, scala(l)))
+      case GreaterThan(l: Literal, a) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Lt, scala(l)))
+      case GreaterThanOrEqual(a, l: Literal) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Gte, scala(l)))
+      case GreaterThanOrEqual(l: Literal, a) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Lte, scala(l)))
+      case LessThan(a, l: Literal) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Lt, scala(l)))
+      case LessThan(l: Literal, a) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Gt, scala(l)))
+      case LessThanOrEqual(a, l: Literal) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Lte, scala(l)))
+      case LessThanOrEqual(l: Literal, a) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.Gte, scala(l)))
+      case In(a, vs) if name(a).isDefined &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Seq(Condition(name(a).get, Op.In,
+          vs.map(v => scala(v.asInstanceOf[Literal]))))
+      case IsNull(a) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.IsNull, null))
+      case IsNotNull(a) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.NotNull, null))
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE ... WHERE supports conjunctions of simple " +
+          s"column-vs-literal comparisons (file-level pruning), got: " +
+          s"${other.sql}")
+    }
+    fold(spark.sessionState.sqlParser.parseExpression(pred))
+  }
 }
 
-/** `OPTIMIZE <t> [TARGET <bytes>] [ZORDER BY (cols)]` →
+/** `OPTIMIZE <t> [TARGET <bytes>] [WHERE <pred>] [ZORDER BY (cols)]` →
   * [[ManifestTable.compactCommit]]: rewrite the current version's live
   * rows into ~TARGET-byte files (declared partition layouts and ZORDER
   * re-cluster, MoR deletes fold away), publish ONE maintenance commit
   * (dataChange=false — streams don't replay it), keep every earlier
-  * version time-travelable. */
+  * version time-travelable. With WHERE, [[ManifestTable.compactWhere]]
+  * compacts ONLY the files whose stats-range intersects the predicate
+  * (compact yesterday's partition, not the table) — the predicate must
+  * be a conjunction of simple comparisons (the same language file-stats
+  * pruning speaks), anything richer is rejected at execution. */
 case class GraftOptimizeCommand(target: Either[String, Seq[String]],
-    targetBytes: Option[Long], zorderBy: Seq[String])
+    targetBytes: Option[Long], zorderBy: Seq[String],
+    where: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -161,9 +230,17 @@ case class GraftOptimizeCommand(target: Either[String, Seq[String]],
     val zs =
       if (zorderBy.nonEmpty) zorderBy
       else GraftCatalog.readDeclaredZOrder(java.nio.file.Paths.get(path))
-    val v = ManifestTable.compactCommit(spark, path,
-      targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
-      zorderBy = zs)
+    val v = where match {
+      case Some(pred) =>
+        ManifestTable.compactWhere(spark, path,
+          GraftSqlParser.whereConditions(spark, pred),
+          targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
+          zorderBy = zs)
+      case None =>
+        ManifestTable.compactCommit(spark, path,
+          targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
+          zorderBy = zs)
+    }
     Seq(Row(v, before, ManifestTable.dataFiles(path, Some(v)).size.toLong))
   }
 }
