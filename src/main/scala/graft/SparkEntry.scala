@@ -3208,6 +3208,64 @@ object SparkEntry {
                 FROM graft.t GROUP BY 1""")
     }),
 
+    "q162_optimize_where" -> ((s, dir) => {
+      // PREDICATE-SCOPED COMPACTION — `OPTIMIZE t WHERE <pred>`: the
+      // nightly-maintenance shape at 100 TB is "compact yesterday's
+      // partition after the day's stream", never the table. Six small
+      // commits land under a PARTITIONED BY (status) layout; OPTIMIZE
+      // WHERE status = 'F' folds ONLY the files whose stats-range
+      // intersects the predicate (the same manifest pruning reads use).
+      // Gates: (a) every non-matching file is CARRIED byte-identical
+      // (surviving-name set == before minus the predicate's stats
+      // survivors), (b) the commit is dataChange=false so streams skip
+      // it, (c) the 'F' slice reads fewer files after, (d) contents
+      // unchanged under the oracle.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q162-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4k")
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q162")
+      s2.sql("""CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)
+                PARTITIONED BY (status)""")
+      (0 until 6).foreach(i => s2.sql(
+        s"INSERT INTO graft.t SELECT * FROM ord_q162 WHERE o_orderkey % 6 = $i"))
+      val before = ManifestTable.dataFiles(t).toSet
+      val matching = ManifestTable.statsSurvivors(t,
+        Seq(Condition("status", Op.Eq, "F"))).toSet
+      require(matching.size >= 6 && matching.size < before.size,
+        s"premise: the F slice spans >=6 of ${before.size} files, " +
+          s"got ${matching.size}")
+      val r = s2.sql("OPTIMIZE graft.t WHERE status = 'F'").collect()
+      val v = r(0).getLong(0)
+      val after = ManifestTable.dataFiles(t, Some(v)).toSet
+      // (a) carried set is EXACTLY the non-matching files — nothing
+      // else touched, nothing matching survived unfolded
+      require(after.intersect(before) == before.diff(matching),
+        "scoped OPTIMIZE must carry exactly the non-matching files")
+      require(after.diff(before).nonEmpty && after.size < before.size,
+        s"the F files must fold: ${before.size} -> ${after.size}")
+      // (b) maintenance commit — streams must not replay it
+      require(!ManifestTable.isDataChange(t, v),
+        "scoped OPTIMIZE must land dataChange=false")
+      // (c) the compacted slice now prunes to fewer files
+      val matchAfter = ManifestTable.statsSurvivors(t,
+        Seq(Condition("status", Op.Eq, "F"))).toSet
+      require(matchAfter.size < matching.size,
+        s"the F slice must read fewer files after: " +
+          s"${matching.size} -> ${matchAfter.size}")
+      s2.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                FROM graft.t GROUP BY status""")
+    }),
+
     "q152_lakehouse_capstone" -> ((s, dir) => {
       // THE ROUND'S SQL SURFACE COMPOSED END-TO-END, each stage gated:
       // one CREATE declares partitioning + PRIMARY KEY + CHECK; a
@@ -9437,6 +9495,11 @@ object SparkEntry {
     "q161_incr_analyze" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q162: compaction scoped to one partition is invisible to readers
+    "q162_optimize_where" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
     // q160: the UPDATE doubles every 5th key (×2 on DOUBLE is FP-exact)

@@ -43,6 +43,39 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     intercept[Exception] { s2.sql("OPTIMIZE spark_catalog.default.x").collect() }
   }
 
+  test("OPTIMIZE WHERE compacts only stats-matching files; rich predicates refuse") {
+    import graft.conditions.{Condition, Op}
+    val path = freshWh() + "/t"
+    // six single-value-range commits on g: stats make g=2 prunable
+    (0 until 6).foreach { g =>
+      ManifestTable.append(
+        spark.range(0, 300).toDF("k").withColumn("g", lit(g.toLong)),
+        path)
+    }
+    val before = ManifestTable.dataFiles(path).toSet
+    val matching = ManifestTable.statsSurvivors(path,
+      Seq(Condition("g", Op.Eq, 2L))).toSet
+    assert(matching.nonEmpty && matching.size < before.size)
+    val r = spark.sql(s"OPTIMIZE '$path' WHERE g = 2").collect()
+    val after = ManifestTable.dataFiles(path, Some(r(0).getLong(0))).toSet
+    assert(after.intersect(before) == before.diff(matching),
+      "non-matching files must be carried untouched")
+    assert(!ManifestTable.isDataChange(path, r(0).getLong(0)))
+    assert(ManifestTable.read(spark, path).count() == 1800L)
+    // a no-match predicate is a no-op (same version back)
+    val v0 = ManifestTable.latestVersion(path)
+    spark.sql(s"OPTIMIZE '$path' WHERE g = 99").collect()
+    assert(ManifestTable.latestVersion(path) == v0)
+    // predicates beyond the stats-prunable algebra refuse loudly
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$path' WHERE g + 1 = 3").collect()
+    }
+    // WHERE composes with TARGET and ZORDER BY in one statement
+    val rz = spark.sql(
+      s"OPTIMIZE '$path' TARGET 8192 WHERE g <= 1 ZORDER BY (k)").collect()
+    assert(rz.length == 1)
+  }
+
   test("OPTIMIZE ZORDER BY re-clusters; quoted-path targets hit the path API") {
     val path = freshWh() + "/t"
     ManifestTable.overwrite(
