@@ -44,13 +44,34 @@ object ColumnStats {
       // the column's HLL sketch (base64, DataSketches layout — what
       // Spark's hll_sketch_agg emits) — the mergeable state behind
       // INCREMENTAL NDV refresh
-      sketch: Option[String] = None)
+      sketch: Option[String] = None,
+      // the files THIS column's sketch covers, when they differ from
+      // the table-level default ([[TableStats.covered]]): a FOR COLUMNS
+      // subset pass widens the table set without rescanning kept
+      // columns, and a later incremental run on a kept column must
+      // still see ITS OWN (narrower) coverage or it would serve stale
+      // NDV forever
+      covered: Option[Seq[String]] = None)
 
   case class TableStats(version: Long, rows: Long,
       cols: Map[String, ColStat],
-      // data files the column stats were computed over: a later
-      // FOR COLUMNS run rescans ONLY files outside this set and MERGES
+      // data files the stats pass ran over — the DEFAULT coverage for
+      // every column whose ColStat.covered is None; a later FOR COLUMNS
+      // run rescans ONLY files outside the column's coverage and MERGES
       covered: Seq[String] = Seq.empty)
+
+  /** The files a column's sketch actually covers: its own override,
+    * else the table-level set. */
+  private def coverageOf(ts: TableStats, n: String): Seq[String] =
+    ts.cols.get(n).flatMap(_.covered).getOrElse(ts.covered)
+
+  /** Re-base a kept (not re-analyzed) column onto a new table-level
+    * coverage: keep None when its coverage equals the new default,
+    * pin the old set otherwise. */
+  private def rebased(cs: ColStat, oldCoverage: Seq[String],
+      newDefault: Seq[String]): ColStat =
+    if (oldCoverage.sorted == newDefault.sorted) cs.copy(covered = None)
+    else cs.copy(covered = Some(oldCoverage))
 
   private def numeric(dt: DataType): Boolean = dt match {
     case ShortType | IntegerType | LongType | FloatType | DoubleType => true
@@ -128,18 +149,24 @@ object ColumnStats {
       colNames: Seq[String], histEnabled: Boolean): Option[TableStats] = {
     if (histEnabled) return None
     val prev = load(path).getOrElse(return None)
-    if (prev.covered.isEmpty) return None
     val prevCols = colNames.map(n => prev.cols.get(n) match {
       case Some(cs) if cs.sketch.isDefined && cs.histBins.isEmpty => n -> cs
       case _ => return None
     }).toMap
+    // every requested column must cover the SAME file set (its own,
+    // not the table default — a later subset pass may have widened the
+    // table set past what this column's sketch saw) so one new-file
+    // scan serves them all; mixed coverages bail to the full pass
+    val coverages = colNames.map(n => coverageOf(prev, n).sorted).distinct
+    if (coverages.size != 1 || coverages.head.isEmpty) return None
+    val covered = coverages.head
     val m = ManifestTable.snapshotAt(path, None).getOrElse(return None)
     if (m.deletes.nonEmpty || m.renames.nonEmpty || m.droppedCols.nonEmpty)
       return None
     if (!m.files.forall(m.rows.contains)) return None
     val live = m.files.toSet
-    if (!prev.covered.forall(live)) return None // rewritten/vacuumed → full
-    val newFiles = m.files.filterNot(prev.covered.toSet)
+    if (!covered.forall(live)) return None // rewritten/vacuumed → full
+    val newFiles = m.files.filterNot(covered.toSet)
     val totalRows = m.files.map(m.rows).sum
     if (newFiles.isEmpty) {
       val stats = prev.copy(version = m.version, rows = totalRows)
@@ -199,10 +226,15 @@ object ColumnStats {
           (if (isStr) opt(s"$n!maxlen").map(_.toLong) else None).toSeq)
           .reduceOption(_ max _),
         sketch = Some(java.util.Base64.getEncoder.encodeToString(
-          us.toCompactByteArray)))
+          us.toCompactByteArray)),
+        covered = None) // == the new table default
     }.toMap
-    val stats = TableStats(m.version, totalRows,
-      prev.cols.view.filterKeys(schema.fieldNames.contains).toMap ++ merged,
+    // kept columns pin their OWN coverage against the widened default
+    val keptInc = prev.cols.view
+      .filterKeys(k => schema.fieldNames.contains(k) && !merged.contains(k))
+      .map { case (k, cs) => k -> rebased(cs, coverageOf(prev, k), m.files) }
+      .toMap
+    val stats = TableStats(m.version, totalRows, keptInc ++ merged,
       covered = m.files)
     write(path, stats)
     Some(stats)
@@ -336,12 +368,21 @@ object ColumnStats {
     // those columns and keeps the rest; the row-count-only form keeps
     // every previously analyzed column. Columns the current schema no
     // longer carries are dropped (a stat for a renamed/dropped column
-    // would mislead the optimizer).
-    val kept = load(path).map(_.cols).getOrElse(Map.empty)
-      .view.filterKeys(k => byName.contains(k) && !cols.contains(k)).toMap
+    // would mislead the optimizer). Kept columns pin the file set THEIR
+    // sketch saw — this pass widens the table-level default, and a
+    // later incremental run on a kept column must rescan the gap, not
+    // serve its stale sketch as if it covered everything.
+    val coveredNow = ManifestTable.snapshotAt(path, None)
+      .map(_.files).getOrElse(Seq.empty)
+    val prevTs = load(path)
+    val kept = prevTs.map(_.cols).getOrElse(Map.empty)
+      .view.filterKeys(k => byName.contains(k) && !cols.contains(k))
+      .map { case (k, cs) =>
+        k -> rebased(cs, prevTs.map(coverageOf(_, k)).getOrElse(Seq.empty),
+          coveredNow)
+      }.toMap
     val stats = TableStats(version, rows, kept ++ cols,
-      covered = ManifestTable.snapshotAt(path, None)
-        .map(_.files).getOrElse(Seq.empty))
+      covered = coveredNow)
     write(path, stats)
     stats
   }

@@ -204,6 +204,31 @@ class CboStatsSpec extends SparkSpecBase {
     assert(st2.cols("k").max.contains("9999"), st2.cols("k").toString)
   }
 
+  test("a subset FOR COLUMNS pass widens table coverage without staling kept columns") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val s2 = cboSession(wh)
+    s2.sql("""CREATE TABLE graft.t AS
+              SELECT id AS a, id % 100 AS b FROM range(0, 10000)""")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS a, b")
+    val st0 = ColumnStats.load(s"$wh/t").get
+    // append DOUBLES b's value domain, then re-analyze ONLY a: the
+    // table-level coverage widens to all files, but b's sketch still
+    // covers just the original set — and must say so
+    s2.sql("INSERT INTO graft.t SELECT id, id % 200 FROM range(10000, 20000)")
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS a")
+    val st1 = ColumnStats.load(s"$wh/t").get
+    assert(st1.covered.size > st0.covered.size)
+    assert(st1.cols("b").covered.exists(_.sorted == st0.covered.sorted),
+      s"kept column must pin its own (narrower) coverage: ${st1.cols("b").covered}")
+    // the later FOR COLUMNS b therefore RESCANS the appended files
+    // instead of serving the stale 100-value sketch
+    s2.sql("ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS b")
+    val st2 = ColumnStats.load(s"$wh/t").get
+    assert(math.abs(st2.cols("b").distinct - 200L) <= 10,
+      s"b's NDV must see the appended domain: ${st2.cols("b").distinct}")
+    assert(st2.cols("b").covered.isEmpty, "b now covers the table default")
+  }
+
   test("histograms fix skewed JOIN cardinality: ~800x under-estimate becomes ~exact") {
     val wh = Files.createTempDirectory("graft-cbo-").toString
     val s2 = cboSession(wh)
