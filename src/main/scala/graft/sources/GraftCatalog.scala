@@ -1120,6 +1120,9 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
           case None => return None // stat-less file (nulls?) → refuse
         }
       }
+      // NaN-poisoned bounds (externally written files; parquet-mr drops
+      // stats on NaN, but older/foreign writers may not) — refuse
+      if (nanPoisoned(vals)) return None
       Some(vals.reduce((a, b) =>
         if ((cmp(a, b) <= 0) == wantMin) a else b))
     }
@@ -1138,6 +1141,14 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       case _ => return None // SUM/AVG/COUNT(col) need data
     }
     Some((StructType(out.map(_._1)), Seq(out.map(_._2))))
+  }
+
+  /** NaN-poisoned float/double bounds can't answer Spark's
+    * NaN-is-greatest MIN/MAX semantics from metadata. */
+  private def nanPoisoned(vs: Seq[Any]): Boolean = vs.exists {
+    case d: Double => d.isNaN
+    case f: Float  => f.isNaN
+    case _         => false
   }
 
   /** GROUP BY over identity partition columns: every file is
@@ -1215,6 +1226,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
               case Some(cs) => parse(cs.min, f.dataType)
               case None => return None
             })
+          if (nanPoisoned(vs)) return None
           vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
         })
       case mx: Max =>
@@ -1230,6 +1242,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
               case Some(cs) => parse(cs.max, f.dataType)
               case None => return None
             })
+          if (nanPoisoned(vs)) return None
           vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
         })
       case _ => return None
@@ -1920,6 +1933,11 @@ trait GraftPartitionListing
       }
     val fromStats: Option[Seq[Seq[Any]]] = {
       if (ManifestTable.versions(path).isEmpty) Some(Seq.empty)
+      // a MoR delete ledger can fully empty a partition while its data
+      // file stays live — the stats path would list a ghost partition;
+      // exactness demands the reconciled distinct scan
+      else if (ManifestTable.snapshotAt(path, snapshot)
+          .exists(_.deletes.nonEmpty)) None
       else {
         val stats = ManifestTable.fileStats(path, snapshot)
         val files = ManifestTable.dataFiles(path, snapshot)

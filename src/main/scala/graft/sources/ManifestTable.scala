@@ -230,7 +230,17 @@ object ManifestTable {
     val p = manifestDir(path).resolve(f"v$version%08d.json")
     if (!Files.isRegularFile(p)) return Seq.empty
     parse(p) // warms both caches
-    layoutCache.getOrDefault(cacheKey(p), Seq.empty)
+    val key = cacheKey(p)
+    val hit = layoutCache.get(key)
+    if (hit != null) hit
+    else {
+      // a concurrent cache clear can evict the layout between parse's
+      // two puts — force a clean re-parse rather than serving "empty"
+      // (an empty layout makes every referenced segment look orphaned)
+      parseCache.remove(key)
+      parse(p)
+      layoutCache.getOrDefault(key, Seq.empty)
+    }
   }
 
   private def render(path: String, m: Manifest): String = {
@@ -452,8 +462,11 @@ object ManifestTable {
         rows = sRows ++ m0.rows)
     }
     if (parseCache.size > 65536) { parseCache.clear(); layoutCache.clear() }
-    parseCache.put(key, m)
+    // layout BEFORE manifest: a parseCache hit must imply the layout is
+    // readable, or layoutOf() between the two puts reports an empty
+    // layout and vacuum's orphan sweep could reap a live segment file
     layoutCache.put(key, layout)
+    parseCache.put(key, m)
     m
   }
 

@@ -436,6 +436,14 @@ class GraftCatalogSpec extends SparkSpecBase {
     // stale/empty table: no partitions, no error
     s2.sql("CREATE TABLE graft.sp2 (k BIGINT, g STRING) PARTITIONED BY (g)")
     assert(s2.sql("SHOW PARTITIONS graft.sp2").collect().isEmpty)
+    // a MoR delete that fully empties a partition must drop it from the
+    // listing (the file is still live under a delete ledger — the exact
+    // scan, not the stats shortcut, answers)
+    s2.sql("DELETE FROM graft.sp WHERE g = 'g3'")
+    val afterDel = s2.sql("SHOW PARTITIONS graft.sp")
+      .collect().map(_.getString(0)).sorted
+    assert(afterDel.toSeq == Seq("g=g0", "g=g1", "g=g2"),
+      afterDel.mkString(","))
   }
 
   test("SHOW CREATE TABLE renders the full contract and round-trips") {
