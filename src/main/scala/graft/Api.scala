@@ -80,8 +80,10 @@ object ApiServer {
         // the playground page is static markup with no data — servable
         // without the key (browsers can't set headers on navigation); its
         // JS passes ?key= as X-API-Key to every gated JSON call
+        // /routes is the same: a fixed self-description, zero data
         val isPlayground = method == "GET" &&
-          (path == "/" || path.stripSuffix("/") == "/playground")
+          (path == "/" || path.stripSuffix("/") == "/playground" ||
+            path.stripSuffix("/") == "/routes")
         if (!authorized && !isPlayground)
           respond(ex, 401, """{"error":"unauthorized"}""")
         else route(ex, method, path)
@@ -124,6 +126,13 @@ object ApiServer {
       (method, path.stripSuffix("/").split("/").toList.drop(1)) match {
         case ("GET", Nil) | ("GET", List("playground")) =>
           respond(ex, 200, playgroundHtml, contentType = "text/html; charset=utf-8")
+
+        case ("GET", List("routes")) =>
+          // the self-describing route table (reference app/api.py keeps
+          // its FastAPI routes discoverable the same way) — every
+          // endpoint incl. the table-maintenance family, so a client
+          // can find OPTIMIZE/ANALYZE/stats without reading source
+          respond(ex, 200, routesJson)
 
         case ("GET", List("warehouses")) =>
           val metas = WarehouseRegistry.list().values.toSeq.sortBy(_.name).map { m =>
@@ -515,6 +524,72 @@ object ApiServer {
     api
   }
 
+  /** GET /routes — the API's own catalogue (reference app/api.py: the
+    * FastAPI app publishes its route table; this is the same
+    * self-description for the JDK-HttpServer port). Static by design:
+    * the table IS the dispatch contract, pinned by ApiServerSpec. */
+  private[graft] val routesJson: String = {
+    def r(method: String, pattern: String, what: String) =
+      ("method" -> method) ~ ("path" -> pattern) ~ ("description" -> what)
+    JsonMethods.compact(JsonMethods.render(JArray(List(
+      r("GET", "/", "playground page (also /playground)"),
+      r("GET", "/routes", "this route table"),
+      r("GET", "/warehouses", "registered warehouse metas"),
+      r("GET", "/schema/{resource}", "UI field catalogue"),
+      r("GET", "/schema/unified/{job|profile}",
+        "unified model fields (?only_prefilterable=true)"),
+      r("GET", "/schema/auth/{warehouse}", "auth scheme + param names"),
+      r("POST", "/formatters/{id}", "store a mapping-formatter spec"),
+      r("GET", "/formatters/{id}", "read a mapping-formatter spec"),
+      r("POST", "/run/pull", "run a pull config"),
+      r("POST", "/run/push", "run a push config"),
+      r("POST", "/search/{warehouse}/{resource}",
+        "embedding top-k similarity search"),
+      r("POST", "/debug/params",
+        "compile conditions/cursor to origin params"),
+      r("GET", "/table/{warehouse}/{resource}/versions",
+        "versions + commit timestamps (time travel)"),
+      r("POST", "/table/{warehouse}/{resource}/compact",
+        "OPTIMIZE: compact live rows (?zorder=a,b ?mode=incremental)"),
+      r("POST", "/table/{warehouse}/{resource}/analyze",
+        "ANALYZE: column statistics for CBO (?cols=a,b|all; " +
+          "incremental over appends)"),
+      r("GET", "/table/{warehouse}/{resource}/stats",
+        "persisted ANALYZE estimates as the optimizer sees them"),
+      r("GET", "/table/{warehouse}/{resource}/constraints",
+        "declared CHECK constraints"),
+      r("POST", "/table/{warehouse}/{resource}/constraints",
+        "declare CHECK constraints (validates existing rows)"),
+      r("GET", "/table/{warehouse}/{resource}/generated",
+        "declared generated columns"),
+      r("POST", "/table/{warehouse}/{resource}/generated",
+        "declare generated columns"),
+      r("POST", "/table/{warehouse}/{resource}/index/bloom",
+        "build per-file value Bloom index (?cols=a,b)"),
+      r("POST", "/table/{warehouse}/{resource}/index/trigram",
+        "build per-file substring trigram index (?col=x)"),
+      r("POST", "/table/{warehouse}/{resource}/fold_deletes",
+        "fold the MoR delete ledger (targeted rewrite)"),
+      r("POST", "/table/{warehouse}/{resource}/expire",
+        "expire old versions + sweep unreferenced files (?keep=n)"),
+      r("POST", "/table/{warehouse}/{resource}/rename_column",
+        "metadata-only column rename (?from=&to=)"),
+      r("POST", "/table/{warehouse}/{resource}/drop_column",
+        "metadata-only column drop (?col=)"),
+      r("GET", "/table/{warehouse}/{resource}/change_summary",
+        "per-version change-type row counts (?from=&to=)"),
+      r("GET", "/table/{warehouse}/{resource}/history",
+        "DESCRIBE HISTORY audit rows"),
+      r("POST", "/table/{warehouse}/{resource}/restore",
+        "RESTORE to an earlier version (?to=v, forward commit)"),
+      r("POST", "/table/{warehouse}/{resource}/clone",
+        "zero-copy shallow clone (?to=resource)"),
+      r("POST", "/table/{warehouse}/{resource}/merge",
+        "MERGE INTO from a registered origin (cow|mor)"),
+      r("GET", "/table/{warehouse}/{resource}/changes",
+        "bounded change-feed summary (?from=&to=&key=)")))))
+  }
+
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
@@ -556,6 +631,12 @@ object ApiServer {
       |<button onclick="setKey()">Use key</button>
       |<span id="keystate"></span></p>
       |<h2>Warehouses</h2><pre id="wh">loading…</pre>
+      |<h2>Endpoints</h2>
+      |<p>The full route table — including table maintenance
+      |(<code>compact</code> = OPTIMIZE, <code>analyze</code> = ANALYZE,
+      |<code>stats</code>, history, restore, clone) — is self-described at
+      |<a href="/routes">/routes</a>.</p>
+      |<pre id="routes">loading…</pre>
       |<h2>Run a config</h2>
       |<textarea id="cfg">{
       |  "origin": {"warehouse": "", "resource": ""},
@@ -590,7 +671,11 @@ object ApiServer {
       |applyKey();
       |function load(){
       |  fetch('/warehouses',{headers:hdrs}).then(r=>r.text()).then(t=>{
-      |    document.getElementById('wh').textContent=t;});}
+      |    document.getElementById('wh').textContent=t;});
+      |  fetch('/routes',{headers:hdrs}).then(r=>r.json()).then(rs=>{
+      |    document.getElementById('routes').textContent=
+      |      rs.map(r=>r.method.padEnd(5)+r.path+'  —  '+r.description)
+      |        .join('\n');});}
       |load();
       |function post(path){
       |  fetch(path,{method:'POST',headers:hdrs,

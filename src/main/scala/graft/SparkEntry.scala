@@ -39,16 +39,21 @@ object SparkEntry {
     s2
   }
 
-  /** ONE-ACTION multiset equality: both exceptAll legs union into a
-    * single job instead of two `.isEmpty` actions (the gate pattern
-    * runs in dozens of queries — one driver/job round saved each).
-    * Columns align by `a`'s names first: exceptAll resolves
-    * POSITIONALLY, and using-column joins reorder output. */
+  /** ONE-ACTION, ONE-SHUFFLE multiset equality: tag each side ±1,
+    * group by every column, and a nonzero count-sum is a difference —
+    * each input is scanned ONCE and shuffled once, where the
+    * exceptAll-both-ways formulation scans each side twice and plans
+    * two set-op shuffles (the gate pattern runs in dozens of queries).
+    * Grouping matches exceptAll's equality (null == null, NaN == NaN).
+    * Columns align by `a`'s names: using-column joins reorder output. */
   private def sameRows(a: DataFrame, b: DataFrame): Boolean = {
-    val cols = a.columns.map(col).toSeq
-    val a2 = a.select(cols: _*)
-    val b2 = b.select(cols: _*)
-    a2.exceptAll(b2).union(b2.exceptAll(a2)).isEmpty
+    val cols = a.columns.toSeq
+    val tag = Iterator.from(0).map(i => s"__side$i")
+      .dropWhile(cols.contains).next()
+    a.select(cols.map(col): _*).withColumn(tag, lit(1L))
+      .unionAll(b.select(cols.map(col): _*).withColumn(tag, lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(tag).as(tag))
+      .where(col(tag) =!= 0L).isEmpty
   }
 
   /** Every physical node of an EXECUTED frame, walking through AQE's
@@ -1752,8 +1757,7 @@ object SparkEntry {
         commitIds(fact) == commitIds(summ),
         "fact and summary must land in lockstep, one txn per batch")
       val factDf = ManifestTable.read(s, fact)
-      require(factDf.count() == orders.count() &&
-        factDf.exceptAll(orders).isEmpty,
+      require(sameRows(factDf, orders),
         "the fact table must hold exactly the source rows, once")
       ManifestTable.read(s, summ)
         .groupBy("o_custkey")
@@ -3113,6 +3117,84 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q163_histogram_reorder" -> ((s, dir) => {
+      // HISTOGRAMS CHANGE THE JOIN ORDER — the skew case NDV-only
+      // estimation gets catastrophically wrong: fact.h is 1/3 one hot
+      // value, dim_a.h matches the skew, so the true fact×dim_a size is
+      // ~6M while |F|·|A|/max(ndv) says ~2.2k — BELOW the honest ~3.7k
+      // estimate of fact×dim_b. With NDV-only stats CBO therefore joins
+      // dim_a first (the petabyte-intermediate mistake at 100 TB); with
+      // equi-height histograms on h the per-bin overlap model sees the
+      // hot-bin blowup and flips to dim_b first. Both orders are
+      // plan-gated; the (order-independent) result goes to the oracle.
+      val wh = java.nio.file.Files.createTempDirectory("graft-q163-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables(s2, dir, "orders").createOrReplaceTempView("ord_q163")
+      Tables(s2, dir, "customer").createOrReplaceTempView("cust_q163")
+      s2.sql("""CREATE TABLE graft.fact AS
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 5L
+                            ELSE o_orderkey END AS h
+                FROM ord_q163""")
+      s2.sql("""CREATE TABLE graft.dim_a AS
+                SELECT CASE WHEN c_custkey % 5 > 0 THEN 5L
+                            ELSE 1000000 + c_custkey END AS h,
+                       c_acctbal
+                FROM cust_q163""")
+      s2.sql("""CREATE TABLE graft.dim_b AS
+                SELECT o_orderkey AS k, o_orderstatus AS status
+                FROM ord_q163 WHERE o_orderkey % 4 = 0""")
+      val joinSql =
+        """SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+           FROM graft.fact f
+           JOIN graft.dim_a a ON f.h = a.h
+           JOIN graft.dim_b b ON f.k = b.k
+           GROUP BY status"""
+      def shape(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : String = p match {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          s"(${shape(j.left)}*${shape(j.right)})"
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name()
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name()
+        case n if n.children.size == 1 => shape(n.children.head)
+        case other => other.getClass.getSimpleName
+      }
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try {
+        // pass 1: NDV-only statistics — the skewed join is estimated
+        // ~2.2k rows and CBO joins dim_a first
+        s2.conf.set("spark.sql.statistics.histogram.enabled", "false")
+        Seq("fact", "dim_a", "dim_b").foreach(t => s2.sql(
+          s"ANALYZE TABLE graft.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+        val ndvShape = shape(s2.sql(joinSql).queryExecution.optimizedPlan)
+        require(ndvShape.contains("(fact*dim_a)") ||
+            ndvShape.contains("(dim_a*fact)"),
+          s"NDV-only stats must (mis-)pick the skewed dim_a join first, " +
+            s"got $ndvShape")
+        // pass 2: equi-height histograms on every column — the hot-bin
+        // overlap makes the ~6M blowup visible and the order flips
+        s2.conf.set("spark.sql.statistics.histogram.enabled", "true")
+        Seq("fact", "dim_a", "dim_b").foreach(t => s2.sql(
+          s"ANALYZE TABLE graft.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+        val histShape = shape(s2.sql(joinSql).queryExecution.optimizedPlan)
+        require(histShape.contains("(fact*dim_b)") ||
+            histShape.contains("(dim_b*fact)"),
+          s"histograms must flip the plan to the selective dim_b join " +
+            s"first, got $histShape")
+        require(ndvShape != histShape,
+          "the reorder decision must CHANGE when histograms arrive")
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+      s2.sql(joinSql)
+    }),
+
     "q160_table_codec" -> ((s, dir) => {
       // DECLARED WRITE CODEC — `TBLPROPERTIES('write.compression'=
       // 'zstd')`: every write door (INSERT staging, row-level delta
@@ -4380,8 +4462,7 @@ object SparkEntry {
         .option("header", "true").option("multiLine", "true")
         .option("escape", "\"").csv(csvDir)
         .localCheckpoint()
-      val drift = back.exceptAll(docs).union(docs.exceptAll(back)).count()
-      require(drift == 0, s"CSV roundtrip drifted by $drift rows")
+      require(sameRows(back, docs), "CSV roundtrip drifted")
       back.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text").cast("binary")).as("text_md5"))
     }),
@@ -4660,8 +4741,8 @@ object SparkEntry {
         .localCheckpoint()
       val full = IncrementalAgg.materialize(
         ManifestTable.read(s, base, Some(2L)), dims, measures)
-      val drift = mv2.exceptAll(full).union(full.exceptAll(mv2)).count()
-      require(drift == 0, s"incremental refresh drifted from recompute: $drift rows")
+      require(sameRows(mv2, full),
+        "incremental refresh drifted from recompute")
       mv2.select(col("c_mktsegment"), col("n").as("n_cust"),
         col("sum_c_acctbal").cast("double").as("bal"))
     }),
@@ -5111,8 +5192,7 @@ object SparkEntry {
       val mv = ManifestTable.read(s, mvPath).localCheckpoint()
       val full = IncrementalAgg.materialize(
         ManifestTable.read(s, base), dims, measures)
-      val drift = mv.exceptAll(full).union(full.exceptAll(mv)).count()
-      require(drift == 0, s"streamed MV drifted from recompute: $drift rows")
+      require(sameRows(mv, full), "streamed MV drifted from recompute")
       mv.select(col("c_mktsegment"), col("n").as("n_cust"),
         col("sum_c_acctbal").cast("double").as("bal"))
     }),
@@ -9497,6 +9577,26 @@ object SparkEntry {
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q163: the join result is order-independent — the oracle replays
+    // the three derived tables relationally
+    "q163_histogram_reorder" ->
+      """WITH fact AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 3 = 0 THEN 5 ELSE o_orderkey END AS h
+           FROM orders),
+         dim_a AS (
+           SELECT CASE WHEN c_custkey % 5 > 0 THEN 5
+                       ELSE 1000000 + c_custkey END AS h, c_acctbal
+           FROM customer),
+         dim_b AS (
+           SELECT o_orderkey AS k, o_orderstatus AS status
+           FROM orders WHERE o_orderkey % 4 = 0)
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+         FROM fact f
+         JOIN dim_a a ON f.h = a.h
+         JOIN dim_b b ON f.k = b.k
+         GROUP BY status""",
     // q162: compaction scoped to one partition is invisible to readers
     "q162_optimize_where" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,

@@ -37,6 +37,22 @@ class ApiServerSpec extends SparkSpecBase {
       assert(page.contains("<title>graft playground</title>") &&
         page.contains("/run/") && page.contains("X-API-Key"))
       assert(Http.get(s"${api.baseUrl}/playground", Map.empty) == page)
+      // the playground advertises the self-describing route table
+      assert(page.contains("/routes"))
+
+      // /routes is the API's own catalogue: static self-description,
+      // keyless like the playground, and it MUST advertise the table
+      // maintenance family (OPTIMIZE/ANALYZE/stats over HTTP)
+      val routes = Http.get(s"${api.baseUrl}/routes", Map.empty)
+      for (p <- Seq(
+          "/table/{warehouse}/{resource}/compact",
+          "/table/{warehouse}/{resource}/analyze",
+          "/table/{warehouse}/{resource}/stats",
+          "/table/{warehouse}/{resource}/history",
+          "/table/{warehouse}/{resource}/restore",
+          "/run/pull", "/search/{warehouse}/{resource}"))
+        assert(routes.contains(p), s"/routes must list $p")
+      assert(routes.contains("OPTIMIZE") && routes.contains("ANALYZE"))
 
       val whs = Http.get(s"${api.baseUrl}/warehouses", h)
       assert(whs.contains("\"apisrc\"") && whs.contains("\"apidst\""))
