@@ -18,6 +18,9 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the injected parser (SQL ANALYZE/OPTIMIZE on graft tables)
+      // can only be installed at session build
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -308,6 +311,51 @@ object ScaleSmoke {
           UNION ALL
           SELECT k, node DIV 2 AS node, depth + 1 FROM anc WHERE node > 1)
         SELECT count(*) FROM anc""").head().getLong(0)
+    }
+
+    // CBO at volume: ANALYZE cost and the reorder decision at 10× the
+    // verify gate's data — the stats bridge must still hand
+    // CostBasedJoinReorder the dims-first plan when the fact is 150k
+    time("q159 ANALYZE + CBO reorder sf0.1") {
+      val wh = java.nio.file.Files.createTempDirectory("graft-smoke-cbo-")
+        .toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .selectExpr("o_orderkey", "o_custkey").createOrReplaceTempView("o_src")
+      s2.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .selectExpr("c_custkey", "c_nationkey").createOrReplaceTempView("c_src")
+      s2.read.parquet("/root/testdata/sf0.1/nation.parquet")
+        .selectExpr("n_nationkey", "n_name").createOrReplaceTempView("n_src")
+      s2.sql("CREATE TABLE graft.ord AS SELECT * FROM o_src")
+      s2.sql("CREATE TABLE graft.cust AS SELECT * FROM c_src")
+      s2.sql("CREATE TABLE graft.nat AS SELECT * FROM n_src")
+      Seq("ord", "cust", "nat").foreach(t => s2.sql(
+        s"ANALYZE TABLE graft.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      def shape(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : String = p match {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          s"(${shape(j.left)}*${shape(j.right)})"
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name()
+        case n if n.children.size == 1 => shape(n.children.head)
+        case other => other.getClass.getSimpleName
+      }
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try {
+        val got = shape(s2.sql(
+          """SELECT n_name, count(*) AS n FROM graft.ord o
+             JOIN graft.cust c ON o.o_custkey = c.c_custkey
+             JOIN graft.nat n ON c.c_nationkey = n.n_nationkey
+             GROUP BY n_name""").queryExecution.optimizedPlan)
+        require(got.contains("(cust*nat)") || got.contains("(nat*cust)"),
+          s"stats bridge lost the reorder at 10x: $got")
+        got
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
     }
 
     spark.stop()

@@ -3195,6 +3195,165 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q166_partition_evolution" -> ((s, dir) => {
+      // PARTITION-SPEC EVOLUTION — Iceberg's ALTER TABLE ... ADD|DROP
+      // PARTITION FIELD on the stats-pruned model: the layout changes
+      // for FUTURE writes only (gate: the ALTERs move ZERO files), old
+      // files keep their clustering and stats so mixed snapshots stay
+      // exactly readable, new files cluster on the new field (gate: a
+      // predicate on it prunes strictly inside the new batch while the
+      // old batch stays conservatively read), and one OPTIMIZE
+      // re-clusters the whole table under the evolved spec (gate: the
+      // predicate then prunes table-wide, q148's clustering bound). At
+      // 100 TB: fix tomorrow's layout now, re-layout the archive when
+      // it pays — never a rewrite-the-world migration.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q166-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4k")
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q166")
+      s2.sql("""CREATE TABLE graft.t (
+                  k BIGINT, status STRING, prio STRING, price DOUBLE)
+                PARTITIONED BY (status)""")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q166 WHERE o_orderkey % 2 = 0")
+      val batch1 = ManifestTable.dataFiles(t).toSet
+      // evolve the spec: status out, prio in — two metadata-only commits
+      s2.sql("ALTER TABLE graft.t DROP PARTITION FIELD status")
+      val r = s2.sql("ALTER TABLE graft.t ADD PARTITION FIELD prio").collect()
+      require(r.head.getString(1) == "prio", s"evolved layout: ${r.head}")
+      require(ManifestTable.dataFiles(t).toSet == batch1,
+        "partition-spec evolution must not touch a single data file")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q166 WHERE o_orderkey % 2 = 1")
+      val all = ManifestTable.dataFiles(t).toSet
+      val batch2 = all.diff(batch1)
+      val surv = ManifestTable.statsSurvivors(t,
+        Seq(Condition("prio", Op.Eq, "1-URGENT"))).toSet
+      // the new batch clusters on prio — the predicate prunes INSIDE it
+      require(surv.intersect(batch2).size < batch2.size,
+        s"post-evolution files must cluster on prio: " +
+          s"${surv.intersect(batch2).size}/${batch2.size} survive")
+      // the old batch was laid out on status — conservatively all read
+      require(batch1.subsetOf(surv),
+        "pre-evolution files keep their old layout (no silent rewrite)")
+      // one OPTIMIZE converges the whole table onto the evolved spec
+      s2.sql("OPTIMIZE graft.t").collect()
+      val prios = Tables(s2, dir, "orders").select("o_orderpriority")
+        .distinct().collect().map(_.getString(0)) // 5 values, metadata-sized
+      val allOpt = ManifestTable.statsSurvivors(t, Seq.empty)
+      prios.foreach { p =>
+        val sv = ManifestTable.statsSurvivors(t,
+          Seq(Condition("prio", Op.Eq, p)))
+        require(sv.nonEmpty && sv.size < allOpt.size,
+          s"after OPTIMIZE, prio '$p' must prune table-wide: " +
+            s"${sv.size}/${allOpt.size}")
+      }
+      s2.sql("""SELECT prio, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                FROM graft.t GROUP BY prio""")
+    }),
+
+    "q164_aqe_skew_join" -> ((s, dir) => {
+      // AQE SKEW-JOIN SPLIT — the runtime answer to the problem q20
+      // solves by hand-salting: a join key with 80% of the fact on ONE
+      // value plans as a normal shuffle join, then AQE's runtime stage
+      // statistics detect the oversized partition and SPLIT it across
+      // tasks (each split re-reads the matching dim partition) — no
+      // query rewrite, no salt column. At 100 TB this is the difference
+      // between one straggler task holding 80 TB and even tasks.
+      // Gate: the executed adaptive plan carries a skew-split shuffle
+      // read. Thresholds are scaled to the toy data; the DECISION
+      // LOGIC (factor over median + absolute floor) is Spark's own.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      // both broadcast doors closed, or AQE converts the runtime-small
+      // dim side to a broadcast join and there is no shuffle to split
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // accept the split even where it costs an extra shuffle — the
+      // gate is about the decision, not this toy volume
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // a skewed reduce partition splits at MAP-OUTPUT granularity
+      // (split specs are map-index ranges): the toy table reads as ONE
+      // map task, whose single chunk cannot split — spread the fact
+      // over 12 upstream tasks the way a real scan has thousands
+      val fact = Tables(s2, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 10 < 8, 0L)
+          .otherwise(col("o_orderkey") % 64).as("h"),
+        col("o_totalprice").cast("double").as("price"))
+        .repartition(12, col("o_orderkey"))
+      // materialize the dim: its distinct's hash-partitioning on h would
+      // otherwise be REUSED by the join (the SMJ's right child becomes
+      // an aggregate, not a bare shuffle stage, and the skew rule
+      // cannot split through an agg); a real dim arrives as its own scan
+      val dim = Tables(s2, dir, "orders")
+        .select((col("o_orderkey") % 64).as("h")).distinct()
+        .withColumn("grp", (col("h") % 4).cast("string"))
+        .localCheckpoint()
+      val joined = fact.join(dim, "h")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast(dec)).cast("double").as("revenue"))
+      val rows = joined.collect() // execute: AQE decides from runtime stats
+      require(executedNodes(joined).exists {
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+            r.hasSkewedPartition
+          case _ => false
+        },
+        s"the 80%-hot key must trigger a skew split:\n" +
+          joined.queryExecution.executedPlan.toString.take(1200))
+      s2.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    }),
+
+    "q165_runtime_filter" -> ((s, dir) => {
+      // RUNTIME BLOOM-FILTER PUSHDOWN — Spark's InjectRuntimeFilter: a
+      // selective dim filter (p_size = 1, ~2% of parts) builds a Bloom
+      // filter at runtime that is pushed into the FACT side's scan leg
+      // as might_contain(l_partkey), discarding ~98% of fact rows
+      // BEFORE the join shuffle. The 100 TB effect: the shuffle carries
+      // the matching slice, not the table — the same reason q49 builds
+      // its Bloom by hand; this is the optimizer doing it unasked.
+      // Gate: the optimized plan carries the injected bloom probe on
+      // the fact leg. Size thresholds are scaled to toy data; the
+      // injection rule is Spark's own.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "64MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(s2, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast(dec).as("qty"))
+      val parts = Tables(s2, dir, "part")
+        .select(col("p_partkey"), col("p_size"), col("p_brand"))
+        .where(col("p_size") === 1)
+      val joined = li.join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("qty").cast("double").as("sum_qty"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      require(plan.contains("might_contain") ||
+          plan.contains("BloomFilterMightContain"),
+        s"runtime bloom filter must be injected on the fact leg:\n" +
+          plan.take(1200))
+      joined
+    }),
+
     "q160_table_codec" -> ((s, dir) => {
       // DECLARED WRITE CODEC — `TBLPROPERTIES('write.compression'=
       // 'zstd')`: every write door (INSERT staging, row-level delta
@@ -9577,6 +9736,34 @@ object SparkEntry {
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q166: the evolved layout and the OPTIMIZE re-cluster are invisible
+    // to readers — both batches, one rollup
+    "q166_partition_evolution" ->
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q164: the skew split is runtime-physical only — the oracle is the
+    // plain join
+    "q164_aqe_skew_join" ->
+      """WITH fact AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 10 < 8 THEN 0
+                       ELSE o_orderkey % 64 END AS h,
+                  CAST(o_totalprice AS DOUBLE) AS price
+           FROM orders),
+         dim AS (
+           SELECT h, CAST(h % 4 AS VARCHAR) AS grp FROM (
+             SELECT DISTINCT o_orderkey % 64 AS h FROM orders))
+         SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM fact JOIN dim USING (h) GROUP BY grp""",
+    // q165: the bloom probe only drops non-matching rows — the oracle
+    // is the plain selective join
+    "q165_runtime_filter" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 1 GROUP BY p_brand""",
     // q163: the join result is order-independent — the oracle replays
     // the three derived tables relationally
     "q163_histogram_reorder" ->

@@ -73,6 +73,12 @@ object GraftSqlParser {
     """(?is)^\s*ANALYZE\s+TABLE\s+('[^']+'|[\w.`]+)\s+COMPUTE\s+STATISTICS""" +
       """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)))?""" +
       """\s*;?\s*$""")
+  // Iceberg's partition-spec-evolution statements (not Spark grammar —
+  // Spark's own ALTER TABLE ... ADD PARTITION takes a value spec, a
+  // different token sequence, and still delegates)
+  private val AlterPartField = Pattern.compile(
+    """(?is)^\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+""" +
+      """(ADD|DROP)\s+PARTITION\s+FIELD\s+([\w.`]+)\s*;?\s*$""")
 
   private def target(raw: String, delegate: ParserInterface)
       : Either[String, Seq[String]] =
@@ -93,6 +99,12 @@ object GraftSqlParser {
     if (vm.matches())
       return Some(GraftVacuumCommand(target(vm.group(1), delegate),
         Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null))
+    val pm = AlterPartField.matcher(sqlText)
+    if (pm.matches())
+      return Some(GraftAlterPartitionFieldCommand(
+        target(pm.group(1), delegate),
+        add = pm.group(2).equalsIgnoreCase("ADD"),
+        column = delegate.parseMultipartIdentifier(pm.group(3)).last))
     val am = Analyze.matcher(sqlText)
     if (am.matches()) {
       val tgt = target(am.group(1), delegate)
@@ -242,6 +254,59 @@ case class GraftOptimizeCommand(target: Either[String, Seq[String]],
           zorderBy = zs)
     }
     Seq(Row(v, before, ManifestTable.dataFiles(path, Some(v)).size.toLong))
+  }
+}
+
+/** `ALTER TABLE <t> ADD|DROP PARTITION FIELD <col>` — PARTITION-SPEC
+  * EVOLUTION (Iceberg's statement, on this format's stats-pruned
+  * model): the declared layout changes for FUTURE writes only; no file
+  * rewrites, no directory moves — existing files keep their clustering
+  * and their manifest stats, so reads stay correct through the mix
+  * (pruning is per-file stats, never directory paths, and
+  * grouped-scan/SPJ eligibility is re-proven from the manifest each
+  * plan, so it simply lapses for mixed snapshots until OPTIMIZE
+  * re-clusters). The 100 TB operational story: yesterday's partition
+  * scheme was wrong — fix it for tomorrow's data NOW, re-layout the
+  * archive with OPTIMIZE when (or if) it pays. */
+case class GraftAlterPartitionFieldCommand(target: Either[String, Seq[String]],
+    add: Boolean, column: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("column", StringType),
+    GraftSqlParser.attr("layout", StringType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val dir = java.nio.file.Paths.get(path)
+    val layout = GraftCatalog.readDeclaredLayout(dir)
+    require(layout.forall(_.isInstanceOf[GraftCatalog.IdentityPart]),
+      "partition-spec evolution supports identity layouts " +
+        "(bucket layouts are a physical join contract — re-create)")
+    val next: Seq[GraftCatalog.PartTransform] =
+      if (add) {
+        require(GraftCatalog.readDeclaredZOrder(dir).isEmpty,
+          "zorder.cols and PARTITIONED BY are mutually exclusive")
+        require(!layout.exists(_.col == column),
+          s"'$column' is already a partition field")
+        val schema = ManifestTable.schemaAt(spark, path)
+        require(schema.fieldNames.contains(column),
+          s"no column '$column' in table $path")
+        require(ManifestTable.snapshotAt(path, None).forall(
+            !_.renames.contains(column)),
+          s"cannot partition on renamed column '$column' (column mapping)")
+        layout :+ GraftCatalog.IdentityPart(column)
+      } else {
+        require(layout.exists(_.col == column),
+          s"'$column' is not a partition field (layout: " +
+            s"${layout.map(_.col).mkString(",")})")
+        layout.filterNot(_.col == column)
+      }
+    if (next.nonEmpty)
+      java.nio.file.Files.writeString(
+        dir.resolve(GraftCatalog.PartsFile), GraftCatalog.encodeLayout(next))
+    else
+      java.nio.file.Files.deleteIfExists(dir.resolve(GraftCatalog.PartsFile))
+    Seq(Row(column, GraftCatalog.encodeLayout(next)))
   }
 }
 

@@ -610,7 +610,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   private[sources] val SchemaFile = "_schema.json"
   private[sources] val KeysFile = "_keys"
-  private[sources] val PartsFile = "_partition_cols"
+  private[graft] val PartsFile = "_partition_cols"
 
   /** A declared partition layout entry: identity column, or a hash
     * bucket over a column (the HIGH-cardinality co-location story —
@@ -660,7 +660,7 @@ object GraftCatalog {
     parts
   }
 
-  private[sources] def encodeLayout(parts: Seq[PartTransform]): String =
+  private[graft] def encodeLayout(parts: Seq[PartTransform]): String =
     parts.map {
       case IdentityPart(c) => c
       case BucketPart(n, c) => s"bucket:$n:$c"

@@ -860,7 +860,7 @@ object ManifestTable {
   /** The resolved manifest of a snapshot (latest when `version` is
     * None) — the grouped-scan eligibility check reads delete/mapping
     * state and per-file stats from it without re-parsing per file. */
-  private[sources] def snapshotAt(path: String,
+  private[graft] def snapshotAt(path: String,
       version: Option[Long]): Option[Manifest] =
     version.map(manifestAt(path, _)).orElse(latest(path))
 

@@ -76,6 +76,47 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     assert(rz.length == 1)
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec; refusals hold") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("""CREATE TABLE graft.t (k BIGINT, g STRING, v DOUBLE)
+              PARTITIONED BY (g)""")
+    s2.sql("INSERT INTO graft.t SELECT id, CAST(id % 3 AS STRING), id * 1.0 FROM range(0, 300)")
+    val files = ManifestTable.dataFiles(s"$wh/t").toSet
+    // evolve: g out, k in — metadata only, zero file movement
+    val r1 = s2.sql("ALTER TABLE graft.t DROP PARTITION FIELD g").collect()
+    assert(r1.head.getString(1).isEmpty, r1.head.toString)
+    val r2 = s2.sql("ALTER TABLE graft.t ADD PARTITION FIELD k").collect()
+    assert(r2.head.getString(1) == "k")
+    assert(ManifestTable.dataFiles(s"$wh/t").toSet == files)
+    // the evolved spec round-trips through the catalog and SHOW CREATE
+    val declared = s2.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "t")).partitioning()
+    assert(declared.length == 1 &&
+      declared.head.references().head.fieldNames().sameElements(Array("k")))
+    assert(s2.sql("SHOW CREATE TABLE graft.t").head().getString(0)
+      .contains("PARTITIONED BY (k)"))
+    // refusals: unknown column, duplicate field, dropping a non-field
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t ADD PARTITION FIELD nope").collect() }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t ADD PARTITION FIELD k").collect() }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t DROP PARTITION FIELD g").collect() }
+    // zorder excludes a layout; bucket layouts refuse evolution
+    s2.sql("""CREATE TABLE graft.tz (k BIGINT, v DOUBLE)
+              TBLPROPERTIES ('zorder.cols'='k')""")
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.tz ADD PARTITION FIELD v").collect() }
+    // plain ALTER TABLE statements still delegate to Spark untouched
+    s2.sql("ALTER TABLE graft.t ADD COLUMN extra DOUBLE")
+    assert(s2.table("graft.t").columns.contains("extra"))
+  }
+
   test("OPTIMIZE ZORDER BY re-clusters; quoted-path targets hit the path API") {
     val path = freshWh() + "/t"
     ManifestTable.overwrite(

@@ -301,4 +301,53 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("UnionLoop"), "recursion must run as a UnionLoop")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q159 CBO reorder holds at 10x data (sf0.1 stats bridge)") {
+    // the sf0.01 verify gate proves the reorder once; this arm proves
+    // the ANALYZE -> DSv2 columnStats -> pre-CBO stats bridge ->
+    // CostBasedJoinReorder chain still picks dims-first when the fact
+    // table is 10x — the decision that matters monotonically MORE as
+    // data grows (a wrong order at 100 TB is a petabyte intermediate)
+    val wh = java.nio.file.Files.createTempDirectory("graft-audit-cbo-")
+      .toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sf01 = "/root/testdata/sf0.1"
+    s2.read.parquet(s"$sf01/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").createOrReplaceTempView("o_src")
+    s2.read.parquet(s"$sf01/customer.parquet")
+      .selectExpr("c_custkey", "c_nationkey").createOrReplaceTempView("c_src")
+    s2.read.parquet(s"$sf01/nation.parquet")
+      .selectExpr("n_nationkey", "n_name").createOrReplaceTempView("n_src")
+    s2.sql("CREATE TABLE graft.ord AS SELECT * FROM o_src")
+    s2.sql("CREATE TABLE graft.cust AS SELECT * FROM c_src")
+    s2.sql("CREATE TABLE graft.nat AS SELECT * FROM n_src")
+    Seq("ord", "cust", "nat").foreach(t => s2.sql(
+      s"ANALYZE TABLE graft.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    def shape(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : String = p match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        s"(${shape(j.left)}*${shape(j.right)})"
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table.name()
+      case n if n.children.size == 1 => shape(n.children.head)
+      case other => other.getClass.getSimpleName
+    }
+    val joinSql =
+      """SELECT n_name, count(*) AS n FROM graft.ord o
+         JOIN graft.cust c ON o.o_custkey = c.c_custkey
+         JOIN graft.nat n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n_name"""
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      val reordered = shape(s2.sql(joinSql).queryExecution.optimizedPlan)
+      assert(reordered.contains("(cust*nat)") || reordered.contains("(nat*cust)"),
+        s"CBO must still join customer x nation before the 10x fact, " +
+          s"got $reordered")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
 }
