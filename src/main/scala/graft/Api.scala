@@ -252,13 +252,27 @@ object ApiServer {
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
                 .getOrElse(Seq.empty)
               // ?mode=incremental folds only under-filled files and
-              // carries compacted ones — the nightly-maintenance shape
-              val v =
-                if (queryParams(ex).get("mode").contains("incremental"))
+              // carries compacted ones; ?where=<pred> scopes the
+              // rewrite to stats-matching files (OPTIMIZE ... WHERE,
+              // the compact-yesterday's-partition shape) — the two are
+              // different maintenance strategies, one at a time
+              val where = queryParams(ex).get("where").filter(_.nonEmpty)
+              val incremental =
+                queryParams(ex).get("mode").contains("incremental")
+              require(where.isEmpty || !incremental,
+                "?where= and ?mode=incremental are mutually exclusive")
+              val v = where match {
+                case Some(pred) =>
+                  graft.sources.ManifestTable.compactWhere(spark, tablePath,
+                    graft.plans.GraftSqlParser.whereConditions(spark, pred),
+                    zorderBy = zcols)
+                case None if incremental =>
                   graft.sources.ManifestTable.compactIncremental(
                     spark, tablePath, zorderBy = zcols)
-                else graft.sources.ManifestTable.compactCommit(
-                  spark, tablePath, zorderBy = zcols)
+                case None =>
+                  graft.sources.ManifestTable.compactCommit(
+                    spark, tablePath, zorderBy = zcols)
+              }
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("compacted_version" -> v) ~ ("zorder" -> zcols.toList))))
             case ("POST", List("analyze")) =>
@@ -431,11 +445,13 @@ object ApiServer {
                 ("restored_to" -> to) ~ ("new_version" -> v))))
             case ("POST", List("clone")) =>
               // zero-copy SHALLOW CLONE to another resource of the SAME
-              // manifest warehouse: ?to=<resource>
+              // manifest warehouse: ?to=<resource> [&version=<v> clones
+              // an older snapshot — a dev branch of last week's table]
               val to = queryParams(ex).get("to").getOrElse(
                 throw new IllegalArgumentException("clone needs ?to=<resource>"))
               val v = graft.sources.ManifestTable.cloneShallow(
-                tablePath, s"${wh.baseDir}/$to")
+                tablePath, s"${wh.baseDir}/$to",
+                queryParams(ex).get("version").map(_.toLong))
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("cloned_to" -> to) ~ ("clone_version" -> v))))
             case ("POST", List("merge")) =>
@@ -550,7 +566,8 @@ object ApiServer {
       r("GET", "/table/{warehouse}/{resource}/versions",
         "versions + commit timestamps (time travel)"),
       r("POST", "/table/{warehouse}/{resource}/compact",
-        "OPTIMIZE: compact live rows (?zorder=a,b ?mode=incremental)"),
+        "OPTIMIZE: compact live rows (?zorder=a,b ?mode=incremental " +
+          "?where=<pred> for predicate-scoped rewrites)"),
       r("POST", "/table/{warehouse}/{resource}/analyze",
         "ANALYZE: column statistics for CBO (?cols=a,b|all; " +
           "incremental over appends)"),
@@ -583,7 +600,7 @@ object ApiServer {
       r("POST", "/table/{warehouse}/{resource}/restore",
         "RESTORE to an earlier version (?to=v, forward commit)"),
       r("POST", "/table/{warehouse}/{resource}/clone",
-        "zero-copy shallow clone (?to=resource)"),
+        "zero-copy shallow clone (?to=resource [&version=v])"),
       r("POST", "/table/{warehouse}/{resource}/merge",
         "MERGE INTO from a registered origin (cow|mor)"),
       r("GET", "/table/{warehouse}/{resource}/changes",

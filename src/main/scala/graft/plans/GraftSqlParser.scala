@@ -79,6 +79,11 @@ object GraftSqlParser {
   private val AlterPartField = Pattern.compile(
     """(?is)^\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+""" +
       """(ADD|DROP)\s+PARTITION\s+FIELD\s+([\w.`]+)\s*;?\s*$""")
+  // Delta's zero-copy clone statement (SHALLOW is a non-Spark token, so
+  // plain CREATE TABLE still delegates)
+  private val Clone = Pattern.compile(
+    """(?is)^\s*CREATE\s+TABLE\s+('[^']+'|[\w.`]+)\s+SHALLOW\s+CLONE\s+""" +
+      """('[^']+'|[\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""")
 
   private def target(raw: String, delegate: ParserInterface)
       : Either[String, Seq[String]] =
@@ -99,6 +104,11 @@ object GraftSqlParser {
     if (vm.matches())
       return Some(GraftVacuumCommand(target(vm.group(1), delegate),
         Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null))
+    val cm = Clone.matcher(sqlText)
+    if (cm.matches())
+      return Some(GraftCloneCommand(target(cm.group(1), delegate),
+        target(cm.group(2), delegate),
+        Option(cm.group(3)).map(_.toLong)))
     val pm = AlterPartField.matcher(sqlText)
     if (pm.matches())
       return Some(GraftAlterPartitionFieldCommand(
@@ -254,6 +264,57 @@ case class GraftOptimizeCommand(target: Either[String, Seq[String]],
           zorderBy = zs)
     }
     Seq(Row(v, before, ManifestTable.dataFiles(path, Some(v)).size.toLong))
+  }
+}
+
+/** `CREATE TABLE <t> SHALLOW CLONE <src> [VERSION AS OF <v>]` — Delta's
+  * zero-copy clone as a SQL statement: the clone's v1 manifest
+  * REFERENCES the source snapshot's files (absolute paths, no bytes
+  * moved), history starts fresh, writes to the clone land next to it
+  * and never touch the source. Declarative sidecars (schema,
+  * partition layout, z-order, codec, merge keys) copy so the clone
+  * BEHAVES like the source; constraints/generated columns already ride
+  * the manifest. Standard shallow-clone hazard, same as Delta's:
+  * VACUUM on the source can reap files a clone still references —
+  * clones are for experiments and short-lived branches, not archival.
+  * `VERSION AS OF` clones an older snapshot (zero-copy dev branch of
+  * last week's table). */
+case class GraftCloneCommand(target: Either[String, Seq[String]],
+    source: Either[String, Seq[String]], srcVersion: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("clone_version", LongType),
+    GraftSqlParser.attr("referenced_files", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GraftSqlParser.resolvePath(spark, source)
+    val dstPath = target match {
+      case Left(path) => path
+      case Right(parts) =>
+        require(parts.length >= 2,
+          s"qualify the table as <catalog>.[<ns>...]<table>, got " +
+            parts.mkString("."))
+        val cat = spark.sessionState.catalogManager.catalog(parts.head)
+        require(cat.isInstanceOf[GraftCatalog],
+          s"catalog '${parts.head}' is not a graft catalog")
+        cat.asInstanceOf[GraftCatalog].newTablePath(
+          Identifier.of(parts.tail.init.toArray, parts.last))
+    }
+    val v = ManifestTable.cloneShallow(srcPath, dstPath, srcVersion)
+    // declarative sidecars: copy what the source declares so writes to
+    // the clone honor the same layout/codec/keys contract
+    val from = java.nio.file.Paths.get(srcPath)
+    val to = java.nio.file.Paths.get(dstPath)
+    Seq(GraftCatalog.SchemaFile, GraftCatalog.PartsFile,
+      GraftCatalog.ZOrderFile, GraftCatalog.CompressionFile,
+      GraftCatalog.KeysFile).foreach { f =>
+      val s0 = from.resolve(f)
+      if (java.nio.file.Files.isRegularFile(s0))
+        java.nio.file.Files.copy(s0, to.resolve(f),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    Seq(Row(v, ManifestTable.dataFiles(dstPath, Some(v)).size.toLong))
   }
 }
 

@@ -120,6 +120,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableDir(ident).toString
   }
 
+  /** The directory a not-yet-created table would live at — the SQL
+    * SHALLOW CLONE door resolves its TARGET through this. */
+  def newTablePath(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    require(!isTable(dir), s"table $ident already exists")
+    dir.toString
+  }
+
   private def nsDir(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((p, s) => p.resolve(checkSegment(s)))
 
@@ -608,8 +616,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
-  private[sources] val SchemaFile = "_schema.json"
-  private[sources] val KeysFile = "_keys"
+  private[graft] val SchemaFile = "_schema.json"
+  private[graft] val KeysFile = "_keys"
   private[graft] val PartsFile = "_partition_cols"
 
   /** A declared partition layout entry: identity column, or a hash
@@ -712,9 +720,9 @@ object GraftCatalog {
     }
   }
 
-  private[sources] val ZOrderFile = "_zorder"
+  private[graft] val ZOrderFile = "_zorder"
 
-  private[sources] val CompressionFile = "_compression"
+  private[graft] val CompressionFile = "_compression"
 
   /** Codecs every Spark 4 classpath carries; "none" normalizes to
     * parquet's UNCOMPRESSED. */

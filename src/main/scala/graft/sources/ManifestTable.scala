@@ -3281,8 +3281,9 @@ object ManifestTable {
     * retention you control, or compact the clone (compactCommit
     * rewrites every referenced byte into its own files) to cut the
     * dependency. */
-  def cloneShallow(src: String, dst: String): Long = {
-    val m = latest(src).getOrElse(
+  def cloneShallow(src: String, dst: String,
+      srcVersion: Option[Long] = None): Long = {
+    val m = snapshotAt(src, srcVersion).getOrElse(
       throw new IllegalStateException(s"no committed version at $src"))
     require(versions(dst).isEmpty, s"clone target $dst already has commits")
     val srcData = dataDir(src).toAbsolutePath

@@ -242,6 +242,26 @@ class ApiServerSpec extends SparkSpecBase {
       assert(intercept[graft.sources.RestHttpError] {
         Http.get(s"${api.baseUrl}/table/plain/items/versions", Map.empty)
       }.status == 400)
+      // predicate-scoped compaction (OPTIMIZE ... WHERE over HTTP):
+      // three single-value commits, compact only g=1's files
+      (0 to 2).foreach(g => ManifestTable.append(
+        Seq.fill(5)(g).toDF("g").coalesce(1), s"$base/scoped"))
+      val beforeW = ManifestTable.dataFiles(s"$base/scoped").toSet
+      val matchW = ManifestTable.statsSurvivors(s"$base/scoped",
+        Seq(graft.conditions.Condition("g", graft.conditions.Op.Eq, 1))).toSet
+      assert(matchW.nonEmpty && matchW.size < beforeW.size)
+      val cw = Http.post(
+        s"${api.baseUrl}/table/txlake/scoped/compact?where=g%20%3D%201",
+        Map.empty, "", "application/json")
+      assert(cw.contains("\"compacted_version\":4"), cw)
+      val afterW = ManifestTable.dataFiles(s"$base/scoped").toSet
+      assert(afterW.intersect(beforeW) == beforeW.diff(matchW),
+        s"only g=1's files rewrite: $beforeW -> $afterW")
+      // ?where and ?mode=incremental are mutually exclusive
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.post(s"${api.baseUrl}/table/txlake/scoped/compact?where=g%20%3D%201&mode=incremental",
+          Map.empty, "", "application/json")
+      }.status == 400)
       // CHECK constraints: declare, read back, see a violating append
       // refused through the warehouse write path, drop again
       val cset = Http.post(s"${api.baseUrl}/table/txlake/items/constraints",

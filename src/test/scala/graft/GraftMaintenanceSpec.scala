@@ -117,6 +117,40 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     assert(s2.table("graft.t").columns.contains("extra"))
   }
 
+  test("CREATE TABLE SHALLOW CLONE: zero-copy, version-pinned, sidecars carried") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("""CREATE TABLE graft.src (k BIGINT, g STRING, v DOUBLE)
+              PARTITIONED BY (g) TBLPROPERTIES ('merge.keys'='k')""")
+    s2.sql("INSERT INTO graft.src SELECT id, CAST(id % 3 AS STRING), id * 1.0 FROM range(0, 300)")
+    s2.sql("INSERT INTO graft.src SELECT id, CAST(id % 3 AS STRING), id * 1.0 FROM range(300, 400)")
+    val srcFiles = ManifestTable.dataFiles(s"$wh/src").toSet
+    val r = s2.sql("CREATE TABLE graft.dev SHALLOW CLONE graft.src").collect()
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == srcFiles.size.toLong)
+    // zero-copy: the clone's data dir holds no bytes, reads answer
+    assert(scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$wh/dev/data"))) {
+        st => !st.iterator().hasNext })
+    assert(s2.sql("SELECT count(*) FROM graft.dev").head().getLong(0) == 400L)
+    // declarative sidecars carried: layout + merge keys behave
+    assert(s2.sql("SHOW CREATE TABLE graft.dev").head().getString(0)
+      .contains("PARTITIONED BY (g)"))
+    s2.sql("UPDATE graft.dev SET v = v * 2 WHERE k % 7 = 0") // keyed DML works
+    // writes to the clone never touch the source
+    assert(ManifestTable.dataFiles(s"$wh/src").toSet == srcFiles)
+    assert(s2.sql("SELECT count(*) FROM graft.src").head().getLong(0) == 400L)
+    // VERSION AS OF pins an older snapshot
+    s2.sql("CREATE TABLE graft.old SHALLOW CLONE graft.src VERSION AS OF 1")
+    assert(s2.sql("SELECT count(*) FROM graft.old").head().getLong(0) == 300L)
+    // an existing target refuses; plain CREATE TABLE still delegates
+    intercept[Exception] {
+      s2.sql("CREATE TABLE graft.dev SHALLOW CLONE graft.src").collect() }
+    s2.sql("CREATE TABLE graft.plain (x BIGINT)")
+    assert(s2.table("graft.plain").columns.sameElements(Array("x")))
+  }
+
   test("OPTIMIZE ZORDER BY re-clusters; quoted-path targets hit the path API") {
     val path = freshWh() + "/t"
     ManifestTable.overwrite(
