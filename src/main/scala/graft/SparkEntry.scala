@@ -3201,6 +3201,76 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q167_sql_mv" -> ((s, dir) => {
+      // SQL MATERIALIZED VIEWS — the dashboard lifecycle as statements:
+      // CREATE MATERIALIZED VIEW materializes the rollup in the
+      // maintainable shape and registers the TRANSPARENT rewrite
+      // (gate: the dashboard GROUP BY over the source table plans onto
+      // the few-KB rollup scan, never the fact scan); REFRESH catches
+      // it up INCREMENTALLY over the change feed after appends (gate:
+      // mode=incremental, state equals a from-scratch rebuild) and by
+      // full recompute after a delta commit with no materialized CDC
+      // (gate: mode=full — correct for any history). At 100 TB this is
+      // the interactive-dashboard contract: queries ride the rollup,
+      // refresh cost rides the delta. The EMITTED frame is the
+      // rewritten dashboard itself — the oracle checks the rewrite's
+      // values, not just its plan.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q167-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q167")
+      s2.sql("""CREATE TABLE graft.src (k BIGINT, status STRING, price DOUBLE)
+                TBLPROPERTIES ('merge.keys'='k')""")
+      s2.sql("INSERT INTO graft.src SELECT * FROM ord_q167 WHERE o_orderkey % 2 = 0")
+      s2.sql("""CREATE MATERIALIZED VIEW graft.mv AS
+                SELECT status, count(*) AS n, sum(price) AS sum_price
+                FROM graft.src GROUP BY status""").collect()
+      val dashSql =
+        """SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.src GROUP BY status"""
+      def scansMv(df: DataFrame): Boolean = {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        df.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten.exists(_.contains("/mv/data"))
+      }
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try {
+        require(scansMv(s2.sql(dashSql)),
+          "the dashboard aggregate must rewrite onto the rollup scan")
+        // append → incremental refresh; state must equal a rebuild
+        s2.sql("INSERT INTO graft.src SELECT * FROM ord_q167 WHERE o_orderkey % 2 = 1")
+        val r1 = s2.sql("REFRESH MATERIALIZED VIEW graft.mv").collect()
+        require(r1.head.getString(1) == "incremental",
+          s"append-only catch-up must ride the change feed: ${r1.head}")
+        require(sameRows(
+            ManifestTable.read(s2, s"$wh/mv"),
+            operators.IncrementalAgg.materialize(
+              ManifestTable.read(s2, s"$wh/src"), Seq("status"), Seq("price"))),
+          "incremental refresh must equal a from-scratch rebuild")
+        // delta commit without materialized CDC → full-recompute path
+        s2.sql("UPDATE graft.src SET price = price * 2 WHERE status = 'F'")
+        val r2 = s2.sql("REFRESH MATERIALIZED VIEW graft.mv").collect()
+        require(r2.head.getString(1) == "full",
+          s"a delta commit without CDC must fall back to recompute: ${r2.head}")
+        // a current view no-ops (and keeps the rewrite registered)
+        require(s2.sql("REFRESH MATERIALIZED VIEW graft.mv")
+          .collect().head.getString(1) == "noop")
+        val dash = s2.sql(dashSql)
+        require(scansMv(dash), "the refreshed rollup must still serve the dashboard")
+        dash
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+    }),
+
     "q166_partition_evolution" -> ((s, dir) => {
       // PARTITION-SPEC EVOLUTION — Iceberg's ALTER TABLE ... ADD|DROP
       // PARTITION FIELD on the stats-pruned model: the layout changes
@@ -9741,6 +9811,15 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q167: the emitted frame is the REWRITTEN dashboard — the oracle
+    // checks the rollup-served values against the relational truth
+    "q167_sql_mv" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DOUBLE) * 2
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
     // q166: the evolved layout and the OPTIMIZE re-cluster are invisible
     // to readers — both batches, one rollup

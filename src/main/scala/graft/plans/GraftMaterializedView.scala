@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.operators.IncrementalAgg
+import graft.sources.{GraftCatalog, ManifestTable}
+
+/** SQL MATERIALIZED VIEW doors over the incremental-aggregate stack:
+  *
+  * {{{
+  *   CREATE MATERIALIZED VIEW graft.mv AS
+  *     SELECT status, count(*) AS n, sum(price) AS sum_price
+  *     FROM graft.src GROUP BY status
+  *   REFRESH MATERIALIZED VIEW graft.mv
+  * }}}
+  *
+  * CREATE materializes the rollup in [[IncrementalAgg.materialize]]'s
+  * maintainable shape as a graft table, records the (source, dims,
+  * measures, refreshed-version) contract in an `_mv.json` sidecar, and
+  * registers the transparent [[MvRewrite]] for the session — a
+  * `GROUP BY` over the SOURCE then scans the few-KB rollup instead of
+  * the fact table. REFRESH catches the rollup up to the source's
+  * current version: INCREMENTALLY over the change feed when every
+  * missing commit is append-only or CDC-materialized (cost rides the
+  * delta — the 100 TB nightly-refresh shape), by full recompute
+  * otherwise (correct for any history, cost rides the table).
+  *
+  * The accepted SELECT shape is exactly the maintainable algebra —
+  * plain dim grouping, `count(*) AS n`, `sum(m) AS sum_<m>` —
+  * anything richer (distinct, holistic aggs, expressions, filters)
+  * refuses loudly at CREATE rather than silently materializing a
+  * rollup the maintenance machinery cannot keep fresh.
+  */
+object GraftMaterializedView {
+
+  private[plans] val SidecarFile = "_mv.json"
+
+  case class MvSpec(source: String, dims: Seq[String],
+      measures: Seq[String], version: Long)
+
+  private[plans] def writeSpec(mvPath: String, spec: MvSpec): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.Serialization
+    implicit val fmt: Formats = DefaultFormats
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mvPath, SidecarFile),
+      Serialization.write(spec))
+    ()
+  }
+
+  def readSpec(mvPath: String): Option[MvSpec] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val f = java.nio.file.Paths.get(mvPath, SidecarFile)
+    if (!java.nio.file.Files.isRegularFile(f)) None
+    else scala.util.Try(
+      JsonMethods.parse(java.nio.file.Files.readString(f))
+        .extract[MvSpec]).toOption
+  }
+
+  /** Destructure the CREATE's SELECT into (source table parts, dims,
+    * measures), refusing any shape the incremental maintenance cannot
+    * keep fresh. */
+  private[plans] def parseSelect(spark: SparkSession,
+      selectSql: String): (Seq[String], Seq[String], Seq[String]) = {
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW accepts exactly " +
+        "`SELECT <dims...>, count(*) AS n, sum(<m>) AS sum_<m>... " +
+        s"FROM <table> GROUP BY <dims...>` — $why")
+    val plan = spark.sessionState.sqlParser.parsePlan(selectSql)
+    val agg = plan match {
+      case a: Aggregate => a
+      case _ => refuse(s"got a ${plan.nodeName}, not a grouped aggregate")
+    }
+    val srcParts = agg.child match {
+      case r: UnresolvedRelation => r.multipartIdentifier
+      case other => refuse(s"FROM must be a catalog table, got ${other.nodeName}")
+    }
+    val dims = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => refuse(s"GROUP BY must name plain columns, got ${other.sql}")
+    }
+    val measures = agg.aggregateExpressions.flatMap {
+      case a: UnresolvedAttribute =>
+        if (!dims.contains(a.nameParts.last))
+          refuse(s"selected column '${a.nameParts.last}' is not a GROUP BY dim")
+        None
+      case Alias(f: UnresolvedFunction, alias) =>
+        (f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)),
+            f.arguments) match {
+          case (Seq("count"), Seq(_: Literal) | Seq(_: UnresolvedStar))
+              if !f.isDistinct =>
+            if (alias != "n") refuse("count(*) must be aliased AS n")
+            None
+          case (Seq("sum"), Seq(m: UnresolvedAttribute)) if !f.isDistinct =>
+            val name = m.nameParts.last
+            if (alias != s"sum_$name")
+              refuse(s"sum($name) must be aliased AS sum_$name")
+            Some(name)
+          case _ => refuse(s"unsupported aggregate ${f.nameParts.mkString(".")}" +
+            (if (f.isDistinct) " DISTINCT" else ""))
+        }
+      case other => refuse(s"unsupported select item ${other.sql}")
+    }
+    val hasCount = agg.aggregateExpressions.exists {
+      case Alias(f: UnresolvedFunction, "n") =>
+        f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("count")
+      case _ => false
+    }
+    if (!hasCount) refuse("the view must carry count(*) AS n " +
+      "(the maintenance state that lets deletes retire groups)")
+    if (dims.isEmpty) refuse("need at least one GROUP BY dim")
+    (srcParts, dims, measures)
+  }
+
+  /** Re-register the session's transparent rewrite onto the CURRENT
+    * live rollup files (the registration pins a concrete file listing,
+    * so every CREATE/REFRESH re-registers). */
+  private[plans] def registerRewrite(spark: SparkSession,
+      mvPath: String, spec: MvSpec): Unit =
+    MvRewrite.register(spark, spec.source,
+      spark.read.parquet(s"$mvPath/data"), spec.dims, spec.measures)
+
+  /** Commit the rollup frame as the MV table's next version and sweep
+    * superseded rollup files immediately — the MV is DERIVED data with
+    * a fresh-files registration contract, not an archival table. */
+  private[plans] def commitRollup(spark: SparkSession, mvPath: String,
+      mv: org.apache.spark.sql.DataFrame): Unit = {
+    ManifestTable.overwrite(mv, mvPath)
+    ManifestTable.expire(mvPath, keepLast = 1, vacuumMinAgeMs = 0L)
+    ()
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW <mv> AS <select>` */
+case class GraftCreateMvCommand(target: Either[String, Seq[String]],
+    selectSql: String) extends LeafRunnableCommand {
+  import GraftMaterializedView._
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("source_version", LongType),
+    GraftSqlParser.attr("groups", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (srcParts, dims, measures) = parseSelect(spark, selectSql)
+    val srcPath = GraftSqlParser.resolvePath(spark, Right(srcParts))
+    val mvPath = GraftSqlParser.resolveNewPath(spark, target)
+    val srcV = ManifestTable.latestVersion(srcPath)
+    commitRollup(spark, mvPath, IncrementalAgg.materialize(
+      ManifestTable.read(spark, srcPath, Some(srcV)), dims, measures))
+    val spec = MvSpec(srcPath, dims, measures, srcV)
+    writeSpec(mvPath, spec)
+    registerRewrite(spark, mvPath, spec)
+    Seq(Row(srcV, ManifestTable.read(spark, mvPath).count()))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW <mv>` */
+case class GraftRefreshMvCommand(target: Either[String, Seq[String]])
+  extends LeafRunnableCommand {
+  import GraftMaterializedView._
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("source_version", LongType),
+    GraftSqlParser.attr("mode", StringType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvPath = GraftSqlParser.resolvePath(spark, target)
+    val spec = readSpec(mvPath).getOrElse(throw new IllegalArgumentException(
+      s"$mvPath is not a materialized view (no ${SidecarFile})"))
+    val cur = ManifestTable.latestVersion(spec.source)
+    if (cur == spec.version) {
+      registerRewrite(spark, mvPath, spec) // freshness contract holds
+      return Seq(Row(cur, "noop"))
+    }
+    // incremental over the change feed when every missing commit can
+    // produce one (appends always; delta commits need materialized CDC);
+    // otherwise a full recompute — correct for ANY history
+    val (next, mode) =
+      try {
+        val feed = ManifestTable.changeFeed(spark, spec.source,
+          spec.version, cur)
+        (IncrementalAgg.applyCdf(ManifestTable.read(spark, mvPath), feed,
+          spec.dims, spec.measures), "incremental")
+      } catch {
+        case _: IllegalStateException =>
+          (IncrementalAgg.materialize(
+            ManifestTable.read(spark, spec.source, Some(cur)),
+            spec.dims, spec.measures), "full")
+      }
+    commitRollup(spark, mvPath, next)
+    val updated = spec.copy(version = cur)
+    writeSpec(mvPath, updated)
+    registerRewrite(spark, mvPath, updated)
+    Seq(Row(cur, mode))
+  }
+}

@@ -84,6 +84,13 @@ object GraftSqlParser {
   private val Clone = Pattern.compile(
     """(?is)^\s*CREATE\s+TABLE\s+('[^']+'|[\w.`]+)\s+SHALLOW\s+CLONE\s+""" +
       """('[^']+'|[\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""")
+  // materialized views (Spark has no MV grammar; Databricks/Redshift
+  // shape) — the SELECT tail re-parses through Spark's own parser
+  private val CreateMv = Pattern.compile(
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+('[^']+'|[\w.`]+)\s+AS\s+""" +
+      """(.+?)\s*;?\s*$""")
+  private val RefreshMv = Pattern.compile(
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+('[^']+'|[\w.`]+)\s*;?\s*$""")
 
   private def target(raw: String, delegate: ParserInterface)
       : Either[String, Seq[String]] =
@@ -104,6 +111,13 @@ object GraftSqlParser {
     if (vm.matches())
       return Some(GraftVacuumCommand(target(vm.group(1), delegate),
         Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null))
+    val cmv = CreateMv.matcher(sqlText)
+    if (cmv.matches())
+      return Some(GraftCreateMvCommand(target(cmv.group(1), delegate),
+        cmv.group(2)))
+    val rmv = RefreshMv.matcher(sqlText)
+    if (rmv.matches())
+      return Some(GraftRefreshMvCommand(target(rmv.group(1), delegate)))
     val cm = Clone.matcher(sqlText)
     if (cm.matches())
       return Some(GraftCloneCommand(target(cm.group(1), delegate),
@@ -156,6 +170,22 @@ object GraftSqlParser {
       require(cat.isInstanceOf[GraftCatalog],
         s"catalog '${parts.head}' is not a graft catalog")
       cat.asInstanceOf[GraftCatalog].pathOf(
+        Identifier.of(parts.tail.init.toArray, parts.last))
+  }
+
+  /** Resolve a CREATE-family target to the directory the new table
+    * will live at: quoted paths pass through, identifiers resolve to
+    * the catalog's table dir and refuse an existing table. */
+  private[plans] def resolveNewPath(spark: SparkSession,
+      target: Either[String, Seq[String]]): String = target match {
+    case Left(path) => path
+    case Right(parts) =>
+      require(parts.length >= 2,
+        s"qualify the table as <catalog>.[<ns>...]<table>, got ${parts.mkString(".")}")
+      val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      require(cat.isInstanceOf[GraftCatalog],
+        s"catalog '${parts.head}' is not a graft catalog")
+      cat.asInstanceOf[GraftCatalog].newTablePath(
         Identifier.of(parts.tail.init.toArray, parts.last))
   }
 
@@ -289,18 +319,7 @@ case class GraftCloneCommand(target: Either[String, Seq[String]],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val srcPath = GraftSqlParser.resolvePath(spark, source)
-    val dstPath = target match {
-      case Left(path) => path
-      case Right(parts) =>
-        require(parts.length >= 2,
-          s"qualify the table as <catalog>.[<ns>...]<table>, got " +
-            parts.mkString("."))
-        val cat = spark.sessionState.catalogManager.catalog(parts.head)
-        require(cat.isInstanceOf[GraftCatalog],
-          s"catalog '${parts.head}' is not a graft catalog")
-        cat.asInstanceOf[GraftCatalog].newTablePath(
-          Identifier.of(parts.tail.init.toArray, parts.last))
-    }
+    val dstPath = GraftSqlParser.resolveNewPath(spark, target)
     val v = ManifestTable.cloneShallow(srcPath, dstPath, srcVersion)
     // declarative sidecars: copy what the source declares so writes to
     // the clone honor the same layout/codec/keys contract

@@ -75,7 +75,7 @@ object MvRewrite {
     * scheme would collide file:/warehouse/t with s3a://bucket/warehouse/t
     * and rewrite one table's aggregate onto the other's rollup. Paths
     * with no scheme are local-filesystem by construction here. */
-  private def norm(p: String): String = {
+  private[plans] def norm(p: String): String = {
     val u = new org.apache.hadoop.fs.Path(p).toUri
     val scheme = Option(u.getScheme).getOrElse("file")
     val auth = Option(u.getAuthority).getOrElse("")
@@ -158,6 +158,8 @@ class MvRewriteRule extends Rule[LogicalPlan] {
   private def destructure(plan: LogicalPlan): Option[(String, Option[Expression])] =
     plan match {
       case lr: LogicalRelation => relPath(lr).map(_ -> None)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        graftScanPath(r.scan).map(_ -> None)
       case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
         destructure(p.child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
@@ -165,6 +167,25 @@ class MvRewriteRule extends Rule[LogicalPlan] {
         destructure(f.child).map { case (path, cond) =>
           path -> Some(cond.map(And(_, f.condition)).getOrElse(f.condition))
         }
+      case _ => None
+    }
+
+  /** A graft CATALOG scan is rewritable too (the SQL MV door's base):
+    * only the LATEST snapshot (a time-travel read must never answer
+    * from the current rollup), only batch reads, and only through the
+    * V1 wrapper shapes the graft source plans as. Filter pushdown is
+    * safe here because [[graft.sources.GraftScanBuilder.pushFilters]]
+    * keeps EVERY filter as a Spark-side residual (pushdown prunes
+    * files, never rows) — any predicate is still in the plan above,
+    * where [[destructure]] collects it. */
+  private def graftScanPath(
+      scan: org.apache.spark.sql.connector.read.Scan): Option[String] =
+    scan match {
+      case g: graft.sources.GraftScan
+          if g.version.isEmpty && g.streamOpts.isEmpty =>
+        Some(MvRewrite.norm(g.path))
+      case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+        graftScanPath(w.v1Scan)
       case _ => None
     }
 

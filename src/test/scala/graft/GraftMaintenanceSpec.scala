@@ -117,6 +117,59 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     assert(s2.table("graft.t").columns.contains("extra"))
   }
 
+  test("MATERIALIZED VIEW SQL: shape refusals, rewrite scoping, refresh modes") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("CREATE TABLE graft.src (k BIGINT, g STRING, v DOUBLE)")
+    s2.sql("""INSERT INTO graft.src
+              SELECT id, CAST(id % 3 AS STRING), id * 1.0 FROM range(0, 300)""")
+    // shapes the maintenance machinery cannot keep fresh refuse at CREATE
+    for (bad <- Seq(
+        "SELECT g, count(*) AS n, avg(v) AS sum_v FROM graft.src GROUP BY g",
+        "SELECT g, count(DISTINCT v) AS n FROM graft.src GROUP BY g",
+        "SELECT g, count(*) AS cnt FROM graft.src GROUP BY g", // alias != n
+        "SELECT g, count(*) AS n, sum(v) AS total FROM graft.src GROUP BY g",
+        "SELECT g, sum(v) AS sum_v FROM graft.src GROUP BY g", // no count
+        "SELECT count(*) AS n FROM graft.src", // no dims
+        "SELECT g, count(*) AS n FROM graft.src WHERE v > 0 GROUP BY g"))
+      intercept[Exception] {
+        s2.sql(s"CREATE MATERIALIZED VIEW graft.bad AS $bad").collect() }
+    // the good shape: created, rewrite serves a SUBSET grouping too
+    s2.sql("""CREATE MATERIALIZED VIEW graft.mv AS
+              SELECT g, count(*) AS n, sum(v) AS sum_v
+              FROM graft.src GROUP BY g""").collect()
+    def scansMv(df: org.apache.spark.sql.DataFrame): Boolean = {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten.exists(_.contains("/mv/data"))
+    }
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      val total = s2.sql(
+        """SELECT count(*) AS n,
+             CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv
+           FROM graft.src GROUP BY g""")
+      assert(scansMv(total),
+        total.queryExecution.optimizedPlan.toString.take(500))
+      assert(total.collect().map(_.getLong(0)).sum == 300L)
+      // a time-travel read of the source must NOT rewrite
+      val tt = s2.sql(
+        "SELECT g, count(*) AS n FROM graft.src VERSION AS OF 1 GROUP BY g")
+      assert(!scansMv(tt))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    // REFRESH of a non-MV refuses; a current MV no-ops
+    intercept[Exception] {
+      s2.sql("REFRESH MATERIALIZED VIEW graft.src").collect() }
+    assert(s2.sql("REFRESH MATERIALIZED VIEW graft.mv")
+      .collect().head.getString(1) == "noop")
+  }
+
   test("CREATE TABLE SHALLOW CLONE: zero-copy, version-pinned, sidecars carried") {
     val wh = freshWh()
     val s2 = spark.newSession()
