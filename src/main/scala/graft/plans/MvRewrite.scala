@@ -114,6 +114,24 @@ object MvRewrite {
   def deregister(spark: SparkSession, basePath: String): Unit =
     registry.remove(s"${uuidOf(spark)}|${norm(basePath)}")
 
+  /** Remove EVERY session's registration that references `path` — as
+    * the registered base (its rollup is being dropped or renamed out
+    * from under it) or as the rollup's own storage. DROP TABLE /
+    * RENAME TABLE call this: a dangling registration would redirect
+    * dashboards onto deleted files. */
+  def purgeForPath(path: String): Unit = {
+    val n = norm(path)
+    registry.entrySet().removeIf { e =>
+      e.getValue.basePath == n ||
+        (e.getValue.mvPlan.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(p => norm(p.toString).startsWith(n))
+          case _ => false
+        })
+    }
+    ()
+  }
+
   /** Idempotently add the rule to this session's optimizer. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations

@@ -549,6 +549,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!isTable(dir)) return false
+    // a dropped table may be an MV (or a registered MV's base) —
+    // dangling rewrite registrations would redirect onto deleted files
+    graft.plans.MvRewrite.purgeForPath(dir.toString)
     deleteTree(dir)
     true
   }
@@ -556,6 +559,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    graft.plans.MvRewrite.purgeForPath(tableDir(oldIdent).toString)
     val to = tableDir(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(tableDir(oldIdent), to)

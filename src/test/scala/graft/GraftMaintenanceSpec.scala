@@ -168,6 +168,15 @@ class GraftMaintenanceSpec extends SparkSpecBase {
       s2.sql("REFRESH MATERIALIZED VIEW graft.src").collect() }
     assert(s2.sql("REFRESH MATERIALIZED VIEW graft.mv")
       .collect().head.getString(1) == "noop")
+    // DROP TABLE on the MV purges the registration — the dashboard
+    // plans (and answers) from the base again, never from deleted files
+    s2.sql("DROP TABLE graft.mv")
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      val back = s2.sql("SELECT g, count(*) AS n FROM graft.src GROUP BY g")
+      assert(!scansMv(back))
+      assert(back.collect().map(_.getLong(1)).sum == 300L)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
   test("CREATE TABLE SHALLOW CLONE: zero-copy, version-pinned, sidecars carried") {
