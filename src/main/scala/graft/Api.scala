@@ -254,18 +254,18 @@ object ApiServer {
               // ?mode=incremental folds only under-filled files and
               // carries compacted ones; ?where=<pred> scopes the
               // rewrite to stats-matching files (OPTIMIZE ... WHERE,
-              // the compact-yesterday's-partition shape) — the two are
-              // different maintenance strategies, one at a time
+              // the compact-yesterday's-partition shape); together they
+              // fold only the under-filled slice of the scope — the
+              // O(new data in the partition) nightly job
               val where = queryParams(ex).get("where").filter(_.nonEmpty)
               val incremental =
                 queryParams(ex).get("mode").contains("incremental")
-              require(where.isEmpty || !incremental,
-                "?where= and ?mode=incremental are mutually exclusive")
               val v = where match {
                 case Some(pred) =>
                   graft.sources.ManifestTable.compactWhere(spark, tablePath,
                     graft.plans.GraftSqlParser.whereConditions(spark, pred),
-                    zorderBy = zcols)
+                    zorderBy = zcols,
+                    minFill = if (incremental) Some(0.5) else None)
                 case None if incremental =>
                   graft.sources.ManifestTable.compactIncremental(
                     spark, tablePath, zorderBy = zcols)

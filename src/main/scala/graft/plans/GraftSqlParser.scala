@@ -64,6 +64,7 @@ object GraftSqlParser {
   private val Optimize = Pattern.compile(
     """(?is)^\s*OPTIMIZE\s+('[^']+'|[\w.`]+)""" +
       """(?:\s+TARGET\s+(\d+))?""" +
+      """(?:\s+(INCREMENTAL))?""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""")
   private val Vacuum = Pattern.compile(
@@ -101,11 +102,12 @@ object GraftSqlParser {
       delegate: ParserInterface): Option[LogicalPlan] = {
     val om = Optimize.matcher(sqlText)
     if (om.matches()) {
-      val zorder = Option(om.group(4)).toSeq.flatMap(_.split(",").toSeq)
+      val zorder = Option(om.group(5)).toSeq.flatMap(_.split(",").toSeq)
         .map(c => delegate.parseMultipartIdentifier(c.trim).last)
       return Some(GraftOptimizeCommand(target(om.group(1), delegate),
         Option(om.group(2)).map(_.toLong), zorder,
-        where = Option(om.group(3)).map(_.trim).filter(_.nonEmpty)))
+        where = Option(om.group(4)).map(_.trim).filter(_.nonEmpty),
+        incremental = om.group(3) != null))
     }
     val vm = Vacuum.matcher(sqlText)
     if (vm.matches())
@@ -253,19 +255,24 @@ object GraftSqlParser {
   }
 }
 
-/** `OPTIMIZE <t> [TARGET <bytes>] [WHERE <pred>] [ZORDER BY (cols)]` →
-  * [[ManifestTable.compactCommit]]: rewrite the current version's live
-  * rows into ~TARGET-byte files (declared partition layouts and ZORDER
-  * re-cluster, MoR deletes fold away), publish ONE maintenance commit
-  * (dataChange=false — streams don't replay it), keep every earlier
-  * version time-travelable. With WHERE, [[ManifestTable.compactWhere]]
-  * compacts ONLY the files whose stats-range intersects the predicate
-  * (compact yesterday's partition, not the table) — the predicate must
-  * be a conjunction of simple comparisons (the same language file-stats
-  * pruning speaks), anything richer is rejected at execution. */
+/** `OPTIMIZE <t> [TARGET <bytes>] [INCREMENTAL] [WHERE <pred>]
+  * [ZORDER BY (cols)]` → [[ManifestTable.compactCommit]]: rewrite the
+  * current version's live rows into ~TARGET-byte files (declared
+  * partition layouts and ZORDER re-cluster, MoR deletes fold away),
+  * publish ONE maintenance commit (dataChange=false — streams don't
+  * replay it), keep every earlier version time-travelable. With WHERE,
+  * [[ManifestTable.compactWhere]] compacts ONLY the files whose
+  * stats-range intersects the predicate (compact yesterday's
+  * partition, not the table) — the predicate must be a conjunction of
+  * simple comparisons (the same language file-stats pruning speaks),
+  * anything richer is rejected at execution. INCREMENTAL folds only
+  * UNDER-FILLED files ([[ManifestTable.compactIncremental]], or the
+  * under-filled slice of the WHERE scope) and carries every
+  * already-at-target file — the nightly job that costs O(new data),
+  * idempotent on re-run. */
 case class GraftOptimizeCommand(target: Either[String, Seq[String]],
     targetBytes: Option[Long], zorderBy: Seq[String],
-    where: Option[String] = None)
+    where: Option[String] = None, incremental: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -282,16 +289,19 @@ case class GraftOptimizeCommand(target: Either[String, Seq[String]],
     val zs =
       if (zorderBy.nonEmpty) zorderBy
       else GraftCatalog.readDeclaredZOrder(java.nio.file.Paths.get(path))
-    val v = where match {
-      case Some(pred) =>
+    val bytes = targetBytes.getOrElse(128L * 1024 * 1024)
+    val v = (where, incremental) match {
+      case (Some(pred), inc) =>
         ManifestTable.compactWhere(spark, path,
           GraftSqlParser.whereConditions(spark, pred),
-          targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
-          zorderBy = zs)
-      case None =>
+          targetBytes = bytes, zorderBy = zs,
+          minFill = if (inc) Some(0.5) else None)
+      case (None, true) =>
+        ManifestTable.compactIncremental(spark, path,
+          targetBytes = bytes, zorderBy = zs)
+      case (None, false) =>
         ManifestTable.compactCommit(spark, path,
-          targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
-          zorderBy = zs)
+          targetBytes = bytes, zorderBy = zs)
     }
     Seq(Row(v, before, ManifestTable.dataFiles(path, Some(v)).size.toLong))
   }

@@ -1948,13 +1948,31 @@ object ManifestTable {
   def compactWhere(spark: SparkSession, path: String,
       conds: Seq[graft.conditions.Condition],
       targetBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Seq.empty): Long = {
+      zorderBy: Seq[String] = Seq.empty,
+      minFill: Option[Double] = None): Long = {
     require(conds.nonEmpty, "compactWhere needs at least one condition " +
       "(use compactCommit for the whole table)")
+    // a predicate on a column the table does not carry matches EVERY
+    // file conservatively — a typo would silently compact the whole
+    // table; refuse it instead
+    val fields = schemaAt(spark, path).fieldNames.toSet
+    val unknown = conds.map(_.field).distinct.filterNot(fields)
+    require(unknown.isEmpty,
+      s"OPTIMIZE WHERE references unknown column(s): ${unknown.mkString(", ")}")
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
-    val scope = statsSurvivors(path, conds, Some(base.version))
-    if (scope.isEmpty) return base.version
+    // minFill = the INCREMENTAL form: fold only the matching files that
+    // are under-filled (appends since the last scoped optimize);
+    // already-at-target files inside the predicate carry untouched, so
+    // the nightly job costs O(new data in the partition)
+    val scope0 = statsSurvivors(path, conds, Some(base.version))
+    val scope = minFill match {
+      case Some(fill) => scope0.filter(f =>
+        Files.size(dataDir(path).resolve(f)) < (targetBytes * fill).toLong)
+      case None => scope0
+    }
+    if (scope.isEmpty || (minFill.isDefined && scope.size <= 1))
+      return base.version
     val carried = base.files.filterNot(scope.toSet)
     val df = reconcile(spark, path, base, scope)
     val bytes = scope.map(f => Files.size(dataDir(path).resolve(f))).sum

@@ -257,11 +257,13 @@ class ApiServerSpec extends SparkSpecBase {
       val afterW = ManifestTable.dataFiles(s"$base/scoped").toSet
       assert(afterW.intersect(beforeW) == beforeW.diff(matchW),
         s"only g=1's files rewrite: $beforeW -> $afterW")
-      // ?where and ?mode=incremental are mutually exclusive
-      assert(intercept[graft.sources.RestHttpError] {
-        Http.post(s"${api.baseUrl}/table/txlake/scoped/compact?where=g%20%3D%201&mode=incremental",
-          Map.empty, "", "application/json")
-      }.status == 400)
+      // ?where + ?mode=incremental = fold only the scope's under-filled
+      // files; everything here is already one freshly-compacted file,
+      // so the combined call is an idempotent no-op (same version back)
+      val v4 = ManifestTable.versions(s"$base/scoped").max
+      Http.post(s"${api.baseUrl}/table/txlake/scoped/compact?where=g%20%3D%201&mode=incremental",
+        Map.empty, "", "application/json")
+      assert(ManifestTable.versions(s"$base/scoped").max == v4)
       // CHECK constraints: declare, read back, see a violating append
       // refused through the warehouse write path, drop again
       val cset = Http.post(s"${api.baseUrl}/table/txlake/items/constraints",

@@ -117,6 +117,46 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     assert(s2.table("graft.t").columns.contains("extra"))
   }
 
+  test("OPTIMIZE INCREMENTAL folds only under-filled files; composes with WHERE") {
+    import graft.conditions.{Condition, Op}
+    val path = freshWh() + "/t"
+    // one big compacted file + several small appends
+    ManifestTable.overwrite(spark.range(0, 5000).toDF("k")
+      .withColumn("g", lit(0L)).coalesce(1), path)
+    (1 to 4).foreach(g => ManifestTable.append(
+      spark.range(0, 50).toDF("k").withColumn("g", lit(g.toLong))
+        .coalesce(1), path))
+    val before = ManifestTable.dataFiles(path).toSet
+    val big = before.maxBy(f => java.nio.file.Files.size(
+      java.nio.file.Paths.get(path, "data", f)))
+    // INCREMENTAL: the big file carries, the four smalls fold into one
+    val r = spark.sql(s"OPTIMIZE '$path' TARGET 20000 INCREMENTAL").collect()
+    val after = ManifestTable.dataFiles(path, Some(r(0).getLong(0))).toSet
+    assert(after.contains(big), "the at-target file must carry untouched")
+    assert(after.size < before.size)
+    assert(ManifestTable.read(spark, path).count() == 5200L)
+    // idempotent: a second run commits nothing
+    val v = ManifestTable.latestVersion(path)
+    spark.sql(s"OPTIMIZE '$path' TARGET 20000 INCREMENTAL").collect()
+    assert(ManifestTable.latestVersion(path) == v)
+    // INCREMENTAL WHERE: fold only the under-filled files INSIDE the
+    // scope — append two more smalls per g, scope to g = 2
+    (1 to 2).foreach(_ => (1 to 4).foreach(g => ManifestTable.append(
+      spark.range(0, 50).toDF("k").withColumn("g", lit(g.toLong))
+        .coalesce(1), path)))
+    val pre = ManifestTable.dataFiles(path).toSet
+    val g2 = ManifestTable.statsSurvivors(path,
+      Seq(Condition("g", Op.Eq, 2L))).toSet
+    spark.sql(s"OPTIMIZE '$path' TARGET 20000 INCREMENTAL WHERE g = 2").collect()
+    val post = ManifestTable.dataFiles(path).toSet
+    assert(post.intersect(pre) == pre.diff(g2),
+      "only g=2's under-filled files fold")
+    assert(ManifestTable.read(spark, path).count() == 5600L)
+    // unknown columns refuse instead of conservatively matching all
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$path' WHERE nope = 1").collect() }
+  }
+
   test("MATERIALIZED VIEW SQL: shape refusals, rewrite scoping, refresh modes") {
     val wh = freshWh()
     val s2 = spark.newSession()
