@@ -69,7 +69,8 @@ object GraftSqlParser {
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""")
   private val Vacuum = Pattern.compile(
     """(?is)^\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?\s*$""")
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?""" +
+      """(?:\s+(DRY\s+RUN))?\s*;?\s*$""")
   private val Analyze = Pattern.compile(
     """(?is)^\s*ANALYZE\s+TABLE\s+('[^']+'|[\w.`]+)\s+COMPUTE\s+STATISTICS""" +
       """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)))?""" +
@@ -112,7 +113,8 @@ object GraftSqlParser {
     val vm = Vacuum.matcher(sqlText)
     if (vm.matches())
       return Some(GraftVacuumCommand(target(vm.group(1), delegate),
-        Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null))
+        Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null,
+        dryRun = vm.group(4) != null))
     val cmv = CreateMv.matcher(sqlText)
     if (cmv.matches())
       return Some(GraftCreateMvCommand(target(cmv.group(1), delegate),
@@ -400,29 +402,38 @@ case class GraftAlterPartitionFieldCommand(target: Either[String, Seq[String]],
   }
 }
 
-/** `VACUUM <t> [RETAIN <n> VERSIONS] [FORCE]` → [[ManifestTable.expire]]:
-  * drop manifests beyond the retention horizon, then sweep data files
-  * only the dropped versions referenced. Without FORCE the sweep is
-  * age-gated (1 h minimum, the API default) so files an in-flight
-  * reader may still hold survive — FORCE sweeps immediately (tests,
-  * decommissioned tables). Default retention is RETAIN 1 (current
-  * version only stays time-travelable). */
+/** `VACUUM <t> [RETAIN <n> VERSIONS] [FORCE] [DRY RUN]` →
+  * [[ManifestTable.expire]]: drop manifests beyond the retention
+  * horizon, then sweep data files only the dropped versions referenced.
+  * Without FORCE the sweep is age-gated (1 h minimum, the API default)
+  * so files an in-flight reader may still hold survive — FORCE sweeps
+  * immediately (tests, decommissioned tables). Default retention is
+  * RETAIN 1 (current version only stays time-travelable). DRY RUN
+  * (Delta's safety valve) reports what WOULD expire and sweep under the
+  * same rules, touching nothing. */
 case class GraftVacuumCommand(target: Either[String, Seq[String]],
-    retainVersions: Option[Int], force: Boolean = false)
+    retainVersions: Option[Int], force: Boolean = false,
+    dryRun: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     GraftSqlParser.attr("expired_versions", LongType),
     GraftSqlParser.attr("deleted_files", LongType),
-    GraftSqlParser.attr("retained", StringType))
+    GraftSqlParser.attr("retained", StringType),
+    GraftSqlParser.attr("mode", StringType))
 
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
+    val age = if (force) 0L else 3600000L
+    val keep = retainVersions.getOrElse(1)
     val (expired, deleted) =
-      ManifestTable.expire(path, retainVersions.getOrElse(1),
-        vacuumMinAgeMs = if (force) 0L else 3600000L)
+      if (dryRun) ManifestTable.expireDryRun(path, keep, age)
+      else ManifestTable.expire(path, keep, vacuumMinAgeMs = age)
+    val retained =
+      if (dryRun) ManifestTable.versions(path).takeRight(keep)
+      else ManifestTable.versions(path)
     Seq(Row(expired.size.toLong, deleted.size.toLong,
-      ManifestTable.versions(path).mkString(",")))
+      retained.mkString(","), if (dryRun) "dry_run" else "vacuum"))
   }
 }
 

@@ -3340,6 +3340,28 @@ object ManifestTable {
     (dropped, vacuum(path, vacuumMinAgeMs))
   }
 
+  /** What [[expire]] WOULD do, touching nothing: the versions past the
+    * retention horizon and the data files only those versions reference
+    * (plus already-orphaned files past the age cutoff) — the operator's
+    * look-before-you-leap on an irreversible sweep. */
+  def expireDryRun(path: String, keepLast: Int,
+      vacuumMinAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val vs = versions(path)
+    val dropped = vs.dropRight(keepLast)
+    val live = vs.takeRight(keepLast).map(manifestAt(path, _))
+      .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet
+    if (!Files.isDirectory(dataDir(path))) return (dropped, Seq.empty)
+    val cutoff = System.currentTimeMillis() - vacuumMinAgeMs
+    val wouldSweep = Using.resource(Files.list(dataDir(path))) { st =>
+      st.iterator().asScala
+        .filter(p => !live.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .map(_.getFileName.toString).toSeq
+    }
+    (dropped, wouldSweep)
+  }
+
   /** Delete data files referenced by NO committed manifest (crash-leaked
     * staging output, files whose commit lost the race and was never
     * retried). `minAgeMs` is the concurrency guard every real table

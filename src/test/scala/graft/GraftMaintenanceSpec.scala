@@ -439,6 +439,13 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     val t = s"$wh/t"
     assert(ManifestTable.versions(t).size == 3)
 
+    // DRY RUN reports the exact sweep FORCE would perform — and
+    // touches nothing (every version and file still present)
+    val dry = s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE DRY RUN").collect()
+    assert(dry(0).getString(3) == "dry_run" &&
+      dry(0).getLong(0) == 2L && dry(0).getLong(1) >= 1L, dry(0).toString)
+    assert(ManifestTable.versions(t).size == 3)
+
     // without FORCE the sweep is age-gated: history expires, but the
     // just-written bytes survive for in-flight readers
     val gated = s2.sql("VACUUM graft.t RETAIN 2 VERSIONS").collect()
@@ -448,6 +455,8 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     val forced = s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE").collect()
     assert(forced(0).getLong(0) == 1L && forced(0).getLong(1) >= 1L)
     assert(ManifestTable.versions(t).size == 1)
+    // the earlier dry run predicted at least this sweep's file count
+    assert(dry(0).getLong(1) >= forced(0).getLong(1))
     assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 8L)
   }
 }
