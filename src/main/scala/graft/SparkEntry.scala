@@ -3201,6 +3201,96 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q168_maintenance_capstone" -> ((s, dir) => {
+      // THE ROUND-15 MAINTENANCE SURFACE COMPOSED END-TO-END, each
+      // stage gated: a partitioned keyed table takes three commits; a
+      // MATERIALIZED VIEW is created on it; the PARTITION SPEC EVOLVES
+      // (zero files moved) before a fourth commit lands under the new
+      // layout; REFRESH rides the change feed incrementally; a scoped
+      // INCREMENTAL OPTIMIZE folds only the predicate's under-filled
+      // files as a maintenance commit the MV correctly IGNORES (noop
+      // refresh — dataChange=false); a SHALLOW CLONE branches the table
+      // and an UPDATE to the clone leaves the source byte-identical;
+      // VACUUM DRY RUN predicts the sweep, the real VACUUM performs it;
+      // and the emitted dashboard still REWRITES onto the rollup. Any
+      // cross-feature leak (stale MV, lost layout, clone write-through,
+      // over-eager sweep) breaks a gate or the oracle hash.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q168-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q168")
+      s2.sql("""CREATE TABLE graft.t (
+                  k BIGINT, status STRING, prio STRING, price DOUBLE)
+                PARTITIONED BY (status) TBLPROPERTIES ('merge.keys'='k')""")
+      (0 until 3).foreach(i => s2.sql(
+        s"INSERT INTO graft.t SELECT * FROM ord_q168 WHERE o_orderkey % 4 = $i"))
+      s2.sql("""CREATE MATERIALIZED VIEW graft.mv AS
+                SELECT prio, count(*) AS n, sum(price) AS sum_price
+                FROM graft.t GROUP BY prio""").collect()
+      // partition evolution is metadata-only, then one post-evolution commit
+      val preEvo = ManifestTable.dataFiles(t).toSet
+      s2.sql("ALTER TABLE graft.t DROP PARTITION FIELD status")
+      s2.sql("ALTER TABLE graft.t ADD PARTITION FIELD prio")
+      require(ManifestTable.dataFiles(t).toSet == preEvo,
+        "spec evolution must move zero files")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q168 WHERE o_orderkey % 4 = 3")
+      // the MV catches up over the feed, and equals a rebuild
+      require(s2.sql("REFRESH MATERIALIZED VIEW graft.mv")
+        .collect().head.getString(1) == "incremental")
+      require(sameRows(ManifestTable.read(s2, s"$wh/mv"),
+        operators.IncrementalAgg.materialize(
+          ManifestTable.read(s2, t), Seq("prio"), Seq("price"))),
+        "incremental MV refresh must equal a from-scratch rebuild")
+      // scoped incremental compaction: a maintenance commit the MV ignores
+      val vPre = ManifestTable.latestVersion(t)
+      s2.sql("OPTIMIZE graft.t INCREMENTAL WHERE prio = '1-URGENT'").collect()
+      val vOpt = ManifestTable.latestVersion(t)
+      require(vOpt == vPre + 1 && !ManifestTable.isDataChange(t, vOpt),
+        "scoped incremental OPTIMIZE must land one maintenance commit")
+      require(s2.sql("REFRESH MATERIALIZED VIEW graft.mv")
+        .collect().head.getString(1) == "noop",
+        "a dataChange=false commit must not disturb MV freshness")
+      // zero-copy branch: writes to the clone never touch the source
+      s2.sql("CREATE TABLE graft.dev SHALLOW CLONE graft.t")
+      val srcFiles = ManifestTable.dataFiles(t).toSet
+      s2.sql("UPDATE graft.dev SET price = price * 2 WHERE k % 5 = 0")
+      require(ManifestTable.dataFiles(t).toSet == srcFiles &&
+        ManifestTable.latestVersion(t) == vOpt,
+        "a clone write must leave the source untouched")
+      // the dry run predicts; the sweep performs; reads still answer
+      val dry = s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE DRY RUN").collect()
+      require(dry.head.getString(3) == "dry_run" &&
+        ManifestTable.versions(t).size == vOpt,
+        "DRY RUN must touch nothing")
+      s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE").collect()
+      require(ManifestTable.versions(t) == Seq(vOpt),
+        "VACUUM RETAIN 1 must leave only the optimized version")
+      // the dashboard still rewrites onto the rollup — and goes to the oracle
+      val dash = s2.sql(
+        """SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.t GROUP BY prio""")
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        val scanned = dash.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten
+        require(scanned.exists(_.contains("/mv/data")),
+          s"the dashboard must still ride the rollup, scans $scanned")
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+      dash
+    }),
+
     "q167_sql_mv" -> ((s, dir) => {
       // SQL MATERIALIZED VIEWS — the dashboard lifecycle as statements:
       // CREATE MATERIALIZED VIEW materializes the rollup in the
@@ -9810,6 +9900,12 @@ object SparkEntry {
     "q161_incr_analyze" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q168: evolution, scoped compaction, cloning and retention are all
+    // invisible to the dashboard — the rollup of everything inserted
+    "q168_maintenance_capstone" ->
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
     // q167: the emitted frame is the REWRITTEN dashboard — the oracle

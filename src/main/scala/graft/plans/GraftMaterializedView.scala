@@ -176,8 +176,15 @@ case class GraftRefreshMvCommand(target: Either[String, Seq[String]])
     val spec = readSpec(mvPath).getOrElse(throw new IllegalArgumentException(
       s"$mvPath is not a materialized view (no ${SidecarFile})"))
     val cur = ManifestTable.latestVersion(spec.source)
-    if (cur == spec.version) {
-      registerRewrite(spark, mvPath, spec) // freshness contract holds
+    // maintenance commits (OPTIMIZE/compaction, dataChange=false) change
+    // no rows — a gap of only those is as fresh as no gap at all; the
+    // sidecar advances so the next refresh doesn't re-walk it
+    if (ManifestTable.versions(spec.source)
+        .filter(v => v > spec.version && v <= cur)
+        .forall(v => !ManifestTable.isDataChange(spec.source, v))) {
+      val advanced = spec.copy(version = cur)
+      if (cur != spec.version) writeSpec(mvPath, advanced)
+      registerRewrite(spark, mvPath, advanced) // freshness contract holds
       return Seq(Row(cur, "noop"))
     }
     // incremental over the change feed when every missing commit can
