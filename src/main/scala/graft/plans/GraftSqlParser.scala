@@ -15,17 +15,27 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import graft.sources.{GraftCatalog, ManifestTable}
 
 /** SQL MAINTENANCE statements — the lakehouse surface Spark's grammar
-  * lacks (Delta ships the same two through its own injected parser):
+  * lacks (Delta/Iceberg ship the same families through their own
+  * injected parsers):
   *
   * {{{
   *   OPTIMIZE graft.crm.orders                          -- compact
   *   OPTIMIZE graft.crm.orders ZORDER BY (k, ts)        -- re-cluster
   *   OPTIMIZE '<path>' TARGET 134217728                 -- path form
+  *   OPTIMIZE t INCREMENTAL                             -- fold small files
+  *   OPTIMIZE t WHERE day = '2024-06-01'                -- scoped rewrite
+  *   OPTIMIZE t INCREMENTAL WHERE day = '2024-06-01'    -- O(new data)
   *   VACUUM graft.crm.orders RETAIN 10 VERSIONS         -- expire + sweep
+  *   VACUUM t RETAIN 1 VERSIONS FORCE DRY RUN           -- report only
+  *   ANALYZE TABLE t COMPUTE STATISTICS [FOR ... COLUMNS] -- CBO stats
+  *   ALTER TABLE t ADD|DROP PARTITION FIELD c           -- spec evolution
+  *   CREATE TABLE dev SHALLOW CLONE t [VERSION AS OF 3] -- zero-copy branch
+  *   CREATE MATERIALIZED VIEW mv AS SELECT ...          -- maintained rollup
+  *   REFRESH MATERIALIZED VIEW mv                       -- incremental/full
   * }}}
   *
   * Injected via `SparkSessionExtensions.injectParser`; everything that
-  * is not one of these two statements delegates verbatim to Spark's
+  * is not one of these statements delegates verbatim to Spark's
   * parser, so the dialect is a strict superset. The statements parse
   * into [[LeafRunnableCommand]]s — side effects run at EXECUTION, not
   * analysis, exactly like Spark's own DDL commands. Targets name either

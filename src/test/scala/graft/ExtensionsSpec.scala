@@ -18,6 +18,27 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(err.getMessage.contains("graft_dot"))
   }
 
+  test("whereConditions folds the stats-prunable algebra, refuses the rest") {
+    import graft.conditions.{Condition, Op}
+    import graft.plans.GraftSqlParser
+    def conds(s: String) = GraftSqlParser.whereConditions(spark, s)
+    assert(conds("a = 5 AND b >= 'x'") ==
+      Seq(Condition("a", Op.Eq, 5), Condition("b", Op.Gte, "x")))
+    // reversed comparisons flip the operator
+    assert(conds("10 < k") == Seq(Condition("k", Op.Gt, 10)))
+    assert(conds("10 >= k") == Seq(Condition("k", Op.Lte, 10)))
+    assert(conds("k IN (1, 2, 3)") ==
+      Seq(Condition("k", Op.In, Seq(1, 2, 3))))
+    assert(conds("k IS NULL") == Seq(Condition("k", Op.IsNull, null)))
+    assert(conds("k IS NOT NULL") == Seq(Condition("k", Op.NotNull, null)))
+    // decimals arrive as BigDecimal, strings as String
+    assert(conds("p > 1.5") == Seq(Condition("p", Op.Gt, BigDecimal("1.5"))))
+    // shapes file-level pruning cannot answer refuse loudly
+    for (bad <- Seq("a = 1 OR b = 2", "a + 1 = 3", "upper(a) = 'X'",
+        "a = b", "NOT a = 1"))
+      intercept[IllegalArgumentException] { conds(bad) }
+  }
+
   test("extensions class injects without error (session-build path)") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
