@@ -443,6 +443,35 @@ object ApiServer {
               val v = graft.sources.ManifestTable.restore(tablePath, to)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("restored_to" -> to) ~ ("new_version" -> v))))
+            case ("POST", List("mv")) =>
+              // CREATE MATERIALIZED VIEW over HTTP: this resource
+              // becomes the maintained rollup of another resource of
+              // the SAME manifest warehouse. Body: {"source": "<res>",
+              // "dims": ["a"], "measures": ["m"]}
+              implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+              val j = JsonMethods.parse(body(ex))
+              val srcRes = (j \ "source").extract[String]
+              val dims = (j \ "dims").extract[List[String]]
+              val measures = (j \ "measures").extract[List[String]]
+              require(dims.nonEmpty, "mv needs at least one dim")
+              require(graft.sources.ManifestTable.versions(tablePath).isEmpty,
+                s"mv target '$resource' already has commits")
+              val srcPath = s"${wh.baseDir}/$srcRes"
+              val srcV = graft.sources.ManifestTable.latestVersion(srcPath)
+              val mv = graft.operators.IncrementalAgg.materialize(
+                graft.sources.ManifestTable.read(spark, srcPath, Some(srcV)),
+                dims, measures)
+              graft.plans.GraftMaterializedView.createAt(
+                spark, tablePath, srcPath, dims, measures, srcV, mv)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("mv" -> resource) ~ ("source" -> srcRes) ~
+                  ("source_version" -> srcV))))
+            case ("POST", List("mv", "refresh")) =>
+              val (v, mode) = graft.plans.GraftMaterializedView
+                .refreshAt(spark, tablePath)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("mv" -> resource) ~ ("source_version" -> v) ~
+                  ("mode" -> mode))))
             case ("POST", List("clone")) =>
               // zero-copy SHALLOW CLONE to another resource of the SAME
               // manifest warehouse: ?to=<resource> [&version=<v> clones
@@ -601,6 +630,12 @@ object ApiServer {
         "RESTORE to an earlier version (?to=v, forward commit)"),
       r("POST", "/table/{warehouse}/{resource}/clone",
         "zero-copy shallow clone (?to=resource [&version=v])"),
+      r("POST", "/table/{warehouse}/{resource}/mv",
+        "become the maintained rollup of another resource " +
+          "(body: source, dims, measures)"),
+      r("POST", "/table/{warehouse}/{resource}/mv/refresh",
+        "catch the rollup up (incremental over the change feed, " +
+          "full recompute otherwise)"),
       r("POST", "/table/{warehouse}/{resource}/merge",
         "MERGE INTO from a registered origin (cow|mor)"),
       r("GET", "/table/{warehouse}/{resource}/changes",

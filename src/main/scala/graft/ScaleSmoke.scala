@@ -313,6 +313,31 @@ object ScaleSmoke {
         SELECT count(*) FROM anc""").head().getLong(0)
     }
 
+    // scoped compaction at volume: folding a 10k-row key window of the
+    // range-laid 600k-row table must rewrite the FILES THAT INTERSECT
+    // it, never the table — the nightly compact-yesterday's-partition
+    // cost rides the scope
+    time("OPTIMIZE WHERE (scoped) 600k") {
+      import graft.conditions.{Condition, Op}
+      // own table: dsTbl's later merge rewrites it into full-range files
+      val swTbl = java.nio.file.Files.createTempDirectory("graft-smoke-sw-")
+        .toString + "/t"
+      graft.sources.ManifestTable.overwrite(
+        li.repartitionByRange(64, col("l_orderkey")), swTbl)
+      val conds = Seq(Condition("l_orderkey", Op.Gte, 50000L),
+        Condition("l_orderkey", Op.Lte, 60000L))
+      val before = graft.sources.ManifestTable.dataFiles(swTbl).toSet
+      val scope = graft.sources.ManifestTable
+        .statsSurvivors(swTbl, conds).toSet
+      require(scope.nonEmpty && scope.size * 4 < before.size,
+        s"scope must be a narrow slice: ${scope.size}/${before.size}")
+      val v = graft.sources.ManifestTable.compactWhere(spark, swTbl, conds)
+      val after = graft.sources.ManifestTable.dataFiles(swTbl, Some(v)).toSet
+      require(after.intersect(before) == before.diff(scope),
+        "scoped compaction rewrote outside its scope at volume")
+      s"${scope.size}/${before.size} files folded"
+    }
+
     // CBO at volume: ANALYZE cost and the reorder decision at 10× the
     // verify gate's data — the stats bridge must still hand
     // CostBasedJoinReorder the dims-first plan when the fact is 150k

@@ -137,6 +137,61 @@ object GraftMaterializedView {
     ManifestTable.expire(mvPath, keepLast = 1, vacuumMinAgeMs = 0L)
     ()
   }
+
+  /** The CREATE machinery behind both doors (SQL statement, HTTP
+    * route): commit the materialized rollup at `mvPath`, persist the
+    * maintenance contract, register the session's rewrite. */
+  def createAt(spark: SparkSession, mvPath: String, srcPath: String,
+      dims: Seq[String], measures: Seq[String], srcVersion: Long,
+      mv: org.apache.spark.sql.DataFrame): Unit = {
+    commitRollup(spark, mvPath, mv)
+    val spec = MvSpec(srcPath, dims, measures, srcVersion)
+    writeSpec(mvPath, spec)
+    registerRewrite(spark, mvPath, spec)
+  }
+
+  /** The REFRESH machinery behind both doors: catch the rollup up to
+    * the source's current version — incrementally over the change feed
+    * when every missing data commit supports one, by full recompute
+    * otherwise, noop across maintenance-only gaps. Returns
+    * (source version, mode). */
+  def refreshAt(spark: SparkSession, mvPath: String): (Long, String) = {
+    val spec = readSpec(mvPath).getOrElse(throw new IllegalArgumentException(
+      s"$mvPath is not a materialized view (no ${SidecarFile})"))
+    val cur = ManifestTable.latestVersion(spec.source)
+    // maintenance commits (OPTIMIZE/compaction, dataChange=false) change
+    // no rows — a gap of only those is as fresh as no gap at all; the
+    // sidecar advances so the next refresh doesn't re-walk it
+    if (ManifestTable.versions(spec.source)
+        .filter(v => v > spec.version && v <= cur)
+        .forall(v => !ManifestTable.isDataChange(spec.source, v))) {
+      val advanced = spec.copy(version = cur)
+      if (cur != spec.version) writeSpec(mvPath, advanced)
+      registerRewrite(spark, mvPath, advanced) // freshness contract holds
+      return (cur, "noop")
+    }
+    // incremental over the change feed when every missing commit can
+    // produce one (appends always; delta commits need materialized CDC);
+    // otherwise a full recompute — correct for ANY history
+    val (next, mode) =
+      try {
+        val feed = ManifestTable.changeFeed(spark, spec.source,
+          spec.version, cur)
+        (graft.operators.IncrementalAgg.applyCdf(
+          ManifestTable.read(spark, mvPath), feed,
+          spec.dims, spec.measures), "incremental")
+      } catch {
+        case _: IllegalStateException =>
+          (graft.operators.IncrementalAgg.materialize(
+            ManifestTable.read(spark, spec.source, Some(cur)),
+            spec.dims, spec.measures), "full")
+      }
+    commitRollup(spark, mvPath, next)
+    val updated = spec.copy(version = cur)
+    writeSpec(mvPath, updated)
+    registerRewrite(spark, mvPath, updated)
+    (cur, mode)
+  }
 }
 
 /** `CREATE MATERIALIZED VIEW <mv> AS <select>` */
@@ -153,11 +208,9 @@ case class GraftCreateMvCommand(target: Either[String, Seq[String]],
     val srcPath = GraftSqlParser.resolvePath(spark, Right(srcParts))
     val mvPath = GraftSqlParser.resolveNewPath(spark, target)
     val srcV = ManifestTable.latestVersion(srcPath)
-    commitRollup(spark, mvPath, IncrementalAgg.materialize(
-      ManifestTable.read(spark, srcPath, Some(srcV)), dims, measures))
-    val spec = MvSpec(srcPath, dims, measures, srcV)
-    writeSpec(mvPath, spec)
-    registerRewrite(spark, mvPath, spec)
+    createAt(spark, mvPath, srcPath, dims, measures, srcV,
+      IncrementalAgg.materialize(
+        ManifestTable.read(spark, srcPath, Some(srcV)), dims, measures))
     Seq(Row(srcV, ManifestTable.read(spark, mvPath).count()))
   }
 }
@@ -172,40 +225,8 @@ case class GraftRefreshMvCommand(target: Either[String, Seq[String]])
     GraftSqlParser.attr("mode", StringType))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val mvPath = GraftSqlParser.resolvePath(spark, target)
-    val spec = readSpec(mvPath).getOrElse(throw new IllegalArgumentException(
-      s"$mvPath is not a materialized view (no ${SidecarFile})"))
-    val cur = ManifestTable.latestVersion(spec.source)
-    // maintenance commits (OPTIMIZE/compaction, dataChange=false) change
-    // no rows — a gap of only those is as fresh as no gap at all; the
-    // sidecar advances so the next refresh doesn't re-walk it
-    if (ManifestTable.versions(spec.source)
-        .filter(v => v > spec.version && v <= cur)
-        .forall(v => !ManifestTable.isDataChange(spec.source, v))) {
-      val advanced = spec.copy(version = cur)
-      if (cur != spec.version) writeSpec(mvPath, advanced)
-      registerRewrite(spark, mvPath, advanced) // freshness contract holds
-      return Seq(Row(cur, "noop"))
-    }
-    // incremental over the change feed when every missing commit can
-    // produce one (appends always; delta commits need materialized CDC);
-    // otherwise a full recompute — correct for ANY history
-    val (next, mode) =
-      try {
-        val feed = ManifestTable.changeFeed(spark, spec.source,
-          spec.version, cur)
-        (IncrementalAgg.applyCdf(ManifestTable.read(spark, mvPath), feed,
-          spec.dims, spec.measures), "incremental")
-      } catch {
-        case _: IllegalStateException =>
-          (IncrementalAgg.materialize(
-            ManifestTable.read(spark, spec.source, Some(cur)),
-            spec.dims, spec.measures), "full")
-      }
-    commitRollup(spark, mvPath, next)
-    val updated = spec.copy(version = cur)
-    writeSpec(mvPath, updated)
-    registerRewrite(spark, mvPath, updated)
-    Seq(Row(cur, mode))
+    val (v, mode) = refreshAt(spark,
+      GraftSqlParser.resolvePath(spark, target))
+    Seq(Row(v, mode))
   }
 }

@@ -356,6 +356,56 @@ class ApiServerSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("materialized-view endpoints: create, transparent rewrite, refresh") {
+    import graft.sources.{ManifestTable, ManifestWarehouse}
+    import spark.implicits._
+    WarehouseRegistry.clear()
+    val base = Files.createTempDirectory("graft-api-mv-").toString
+    WarehouseRegistry.register(
+      WarehouseMeta("mvlake", "mv lake", "lake", "manifest"),
+      () => ManifestWarehouse("mvlake", base))
+    ManifestTable.append(
+      (0L until 300L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("k", "g", "v"),
+      s"$base/fact")
+    val api = ApiServer.start(spark)
+    try {
+      val mk = Http.post(s"${api.baseUrl}/table/mvlake/rollup/mv", Map.empty,
+        """{"source":"fact","dims":["g"],"measures":["v"]}""",
+        "application/json")
+      assert(mk.contains("\"source_version\":1"), mk)
+      // the rollup is a real table in the maintainable shape
+      val mv = ManifestTable.read(spark, s"$base/rollup")
+      assert(mv.columns.sorted.sameElements(Array("g", "n", "sum_v")))
+      assert(mv.count() == 3L)
+      // the creating session got the transparent rewrite
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      val agg = ManifestTable.read(spark, s"$base/fact")
+        .groupBy("g").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      // (plan-level rewrite checked in the SQL specs; here: values)
+      assert(agg.collect().map(_.getLong(1)).sum == 300L)
+      // append + refresh = incremental; state equals a rebuild
+      ManifestTable.append(
+        (300L until 400L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("k", "g", "v"),
+        s"$base/fact")
+      val rf = Http.post(s"${api.baseUrl}/table/mvlake/rollup/mv/refresh",
+        Map.empty, "", "application/json")
+      assert(rf.contains("\"mode\":\"incremental\""), rf)
+      assert(ManifestTable.read(spark, s"$base/rollup")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 400L)
+      // creating over an existing table refuses; refreshing a non-MV too
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.post(s"${api.baseUrl}/table/mvlake/fact/mv", Map.empty,
+          """{"source":"fact","dims":["g"],"measures":["v"]}""",
+          "application/json")
+      }.status == 400)
+      assert(intercept[graft.sources.RestHttpError] {
+        Http.post(s"${api.baseUrl}/table/mvlake/fact/mv/refresh",
+          Map.empty, "", "application/json")
+      }.status == 400)
+    } finally api.stop()
+  }
+
   test("table merge and change-feed endpoints") {
     import graft.sources.{ManifestTable, ManifestWarehouse}
     import spark.implicits._

@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
 class CompactionSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("compaction conflict: a commit landing mid-rewrite makes it throw, not clobber") {
+    import graft.conditions.{Condition, Op}
+    import graft.sources.ManifestTable
+    val path = Files.createTempDirectory("graft-cc-").toString + "/t"
+    (0 to 2).foreach(g => ManifestTable.append(
+      spark.range(0, 100).toDF("k").withColumn("g", lit(g.toLong))
+        .coalesce(1), path))
+    // claim the next version out from under the compactor with a VALID
+    // manifest (the current one's content under the next name) — the
+    // exact stale-read race: the compactor's base says version N, a
+    // contender already owns N+1, and publish is create-exclusive
+    val next = ManifestTable.latestVersion(path) + 1
+    val mdir = java.nio.file.Paths.get(path, "_manifests")
+    val stolen = mdir.resolve(f"v$next%08d.json")
+    java.nio.file.Files.writeString(stolen,
+      java.nio.file.Files.readString(mdir.resolve(f"v${next - 1}%08d.json")))
+    try {
+      for (attempt <- Seq(
+          () => ManifestTable.compactCommit(spark, path),
+          () => ManifestTable.compactWhere(spark, path,
+            Seq(Condition("g", Op.Eq, 1L))),
+          () => ManifestTable.compactIncremental(spark, path,
+            targetBytes = 20000))) {
+        val e = intercept[IllegalStateException] { attempt() }
+        assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+      }
+    } finally java.nio.file.Files.delete(stolen)
+    // with the contender gone, the same compactions succeed
+    assert(ManifestTable.compactWhere(spark, path,
+      Seq(Condition("g", Op.Eq, 1L))) == next)
+    assert(ManifestTable.read(spark, path).count() == 300L)
+  }
+
   test("collapses a many-small-files dataset; content identical") {
     val dir = Files.createTempDirectory("graft-compact-").toString + "/t"
     val src = Tables(spark, sf0001, "orders")
