@@ -377,9 +377,17 @@ object ApiServer {
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("folded_version" -> v))))
             case ("POST", List("expire")) =>
-              val keep = queryParams(ex).get("keep").map(_.toInt).getOrElse(1)
-              val (dropped, freed) =
-                graft.sources.ManifestTable.expire(tablePath, keepLast = keep)
+              // ?keep=n (count-based) or ?hours=n (time-based — the
+              // latest version always survives); mutually exclusive
+              val qp = queryParams(ex)
+              require(!(qp.contains("keep") && qp.contains("hours")),
+                "?keep= and ?hours= are mutually exclusive")
+              val (dropped, freed) = qp.get("hours") match {
+                case Some(h) => graft.sources.ManifestTable.expireOlderThan(
+                  tablePath, maxAgeMs = h.toLong * 3600000L)
+                case None => graft.sources.ManifestTable.expire(
+                  tablePath, keepLast = qp.get("keep").map(_.toInt).getOrElse(1))
+              }
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("expired_versions" -> dropped) ~ ("freed_files" -> freed.length))))
             case ("POST", List("rename_column")) =>
@@ -617,7 +625,7 @@ object ApiServer {
       r("POST", "/table/{warehouse}/{resource}/fold_deletes",
         "fold the MoR delete ledger (targeted rewrite)"),
       r("POST", "/table/{warehouse}/{resource}/expire",
-        "expire old versions + sweep unreferenced files (?keep=n)"),
+        "expire old versions + sweep unreferenced files (?keep=n | ?hours=n)"),
       r("POST", "/table/{warehouse}/{resource}/rename_column",
         "metadata-only column rename (?from=&to=)"),
       r("POST", "/table/{warehouse}/{resource}/drop_column",

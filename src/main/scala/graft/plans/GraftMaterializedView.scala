@@ -150,6 +150,38 @@ object GraftMaterializedView {
     registerRewrite(spark, mvPath, spec)
   }
 
+  /** Register every CURRENT materialized view of a warehouse for this
+    * session — the opt-in a fresh session (notebook, service worker)
+    * makes to benefit from rollups other sessions maintain. Only views
+    * whose sidecar version EQUALS the source's latest register: the
+    * rewrite's freshness contract is never guessed, a stale view simply
+    * stays unregistered until someone REFRESHes it. Returns the
+    * registered (mvPath, sourcePath) pairs. */
+  def registerAll(spark: SparkSession,
+      warehouseDir: String): Seq[(String, String)] = {
+    val root = java.nio.file.Paths.get(warehouseDir)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val found = scala.util.Using.resource(
+        java.nio.file.Files.walk(root, 3)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString == SidecarFile)
+        .map(_.getParent.toString).toList
+    }
+    found.flatMap { mvPath =>
+      readSpec(mvPath).flatMap { spec =>
+        val fresh = scala.util.Try(
+          ManifestTable.latestVersion(spec.source) == spec.version)
+          .getOrElse(false)
+        if (!fresh) None
+        else {
+          registerRewrite(spark, mvPath, spec)
+          Some(mvPath -> spec.source)
+        }
+      }
+    }
+  }
+
   /** The REFRESH machinery behind both doors: catch the rollup up to
     * the source's current version — incrementally over the change feed
     * when every missing data commit supports one, by full recompute

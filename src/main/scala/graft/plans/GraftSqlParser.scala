@@ -79,7 +79,7 @@ object GraftSqlParser {
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""")
   private val Vacuum = Pattern.compile(
     """(?is)^\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+FORCE)?""" +
       """(?:\s+(DRY\s+RUN))?\s*;?\s*$""")
   private val Analyze = Pattern.compile(
     """(?is)^\s*ANALYZE\s+TABLE\s+('[^']+'|[\w.`]+)\s+COMPUTE\s+STATISTICS""" +
@@ -123,8 +123,10 @@ object GraftSqlParser {
     val vm = Vacuum.matcher(sqlText)
     if (vm.matches())
       return Some(GraftVacuumCommand(target(vm.group(1), delegate),
-        Option(vm.group(2)).map(_.toInt), force = vm.group(3) != null,
-        dryRun = vm.group(4) != null))
+        Option(vm.group(2)).map(_.toInt),
+        hours = Option(vm.group(3)).exists(_.equalsIgnoreCase("HOURS")),
+        force = vm.group(4) != null,
+        dryRun = vm.group(5) != null))
     val cmv = CreateMv.matcher(sqlText)
     if (cmv.matches())
       return Some(GraftCreateMvCommand(target(cmv.group(1), delegate),
@@ -412,9 +414,11 @@ case class GraftAlterPartitionFieldCommand(target: Either[String, Seq[String]],
   }
 }
 
-/** `VACUUM <t> [RETAIN <n> VERSIONS] [FORCE] [DRY RUN]` →
-  * [[ManifestTable.expire]]: drop manifests beyond the retention
-  * horizon, then sweep data files only the dropped versions referenced.
+/** `VACUUM <t> [RETAIN <n> VERSIONS|HOURS] [FORCE] [DRY RUN]` →
+  * [[ManifestTable.expire]] / [[ManifestTable.expireOlderThan]]: drop
+  * manifests beyond the retention horizon (count-based, or Delta's
+  * time-based `RETAIN n HOURS` — the latest version always survives),
+  * then sweep data files only the dropped versions referenced.
   * Without FORCE the sweep is age-gated (1 h minimum, the API default)
   * so files an in-flight reader may still hold survive — FORCE sweeps
   * immediately (tests, decommissioned tables). Default retention is
@@ -422,7 +426,7 @@ case class GraftAlterPartitionFieldCommand(target: Either[String, Seq[String]],
   * (Delta's safety valve) reports what WOULD expire and sweep under the
   * same rules, touching nothing. */
 case class GraftVacuumCommand(target: Either[String, Seq[String]],
-    retainVersions: Option[Int], force: Boolean = false,
+    retain: Option[Int], hours: Boolean = false, force: Boolean = false,
     dryRun: Boolean = false)
   extends LeafRunnableCommand {
 
@@ -435,13 +439,17 @@ case class GraftVacuumCommand(target: Either[String, Seq[String]],
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     val age = if (force) 0L else 3600000L
-    val keep = retainVersions.getOrElse(1)
     val (expired, deleted) =
-      if (dryRun) ManifestTable.expireDryRun(path, keep, age)
-      else ManifestTable.expire(path, keep, vacuumMinAgeMs = age)
-    val retained =
-      if (dryRun) ManifestTable.versions(path).takeRight(keep)
-      else ManifestTable.versions(path)
+      if (hours)
+        ManifestTable.expireOlderThan(path,
+          maxAgeMs = retain.getOrElse(0).toLong * 3600000L,
+          vacuumMinAgeMs = age, dryRun = dryRun)
+      else if (dryRun)
+        ManifestTable.expireDryRun(path, retain.getOrElse(1), age)
+      else
+        ManifestTable.expire(path, retain.getOrElse(1), vacuumMinAgeMs = age)
+    val retained = ManifestTable.versions(path)
+      .filterNot(v => dryRun && expired.contains(v))
     Seq(Row(expired.size.toLong, deleted.size.toLong,
       retained.mkString(","), if (dryRun) "dry_run" else "vacuum"))
   }

@@ -3348,18 +3348,46 @@ object ManifestTable {
       vacuumMinAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
-    val dropped = vs.dropRight(keepLast)
-    val live = vs.takeRight(keepLast).map(manifestAt(path, _))
+    (vs.dropRight(keepLast),
+      sweepPreview(path, vs.takeRight(keepLast), vacuumMinAgeMs))
+  }
+
+  /** The files a sweep would reap once only `kept` versions remain. */
+  private def sweepPreview(path: String, kept: Seq[Long],
+      vacuumMinAgeMs: Long): Seq[String] = {
+    val live = kept.map(manifestAt(path, _))
       .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet
-    if (!Files.isDirectory(dataDir(path))) return (dropped, Seq.empty)
+    if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - vacuumMinAgeMs
-    val wouldSweep = Using.resource(Files.list(dataDir(path))) { st =>
+    Using.resource(Files.list(dataDir(path))) { st =>
       st.iterator().asScala
         .filter(p => !live.contains(p.getFileName.toString))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .map(_.getFileName.toString).toSeq
     }
-    (dropped, wouldSweep)
+  }
+
+  /** TIME-BASED retention (Delta's `RETAIN n HOURS` model): expire every
+    * version whose COMMIT TIME is past the age horizon — the latest
+    * version always survives, whatever its age (a quiet table must stay
+    * readable). Versions commit in time order, so the dropped set is a
+    * prefix of the history exactly like [[expire]]'s. */
+  def expireOlderThan(path: String, maxAgeMs: Long,
+      vacuumMinAgeMs: Long = 3600000L,
+      dryRun: Boolean = false): (Seq[Long], Seq[String]) = {
+    val vs = versions(path)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val dropped = vs.dropRight(1)
+      .filter(v => commitTimeMillis(path, v) <= cutoff)
+    if (dryRun)
+      return (dropped, sweepPreview(path, vs.filterNot(dropped.toSet),
+        vacuumMinAgeMs))
+    dropped.foreach { v =>
+      val p = manifestDir(path).resolve(f"v$v%08d.json")
+      parseCache.remove(cacheKey(p))
+      Files.delete(p)
+    }
+    (dropped, vacuum(path, vacuumMinAgeMs))
   }
 
   /** Delete data files referenced by NO committed manifest (crash-leaked

@@ -458,5 +458,42 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     // the earlier dry run predicted at least this sweep's file count
     assert(dry(0).getLong(1) >= forced(0).getLong(1))
     assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 8L)
+
+    // TIME-BASED retention: everything here committed seconds ago, so
+    // RETAIN 1 HOURS expires nothing; RETAIN 0 HOURS expires all but
+    // the latest (which always survives, whatever its age)
+    s2.sql("INSERT INTO graft.t SELECT id FROM range(100, 103)")
+    s2.sql("INSERT INTO graft.t SELECT id FROM range(200, 203)")
+    assert(ManifestTable.versions(t).size == 3)
+    val fresh = s2.sql("VACUUM graft.t RETAIN 1 HOURS FORCE").collect()
+    assert(fresh(0).getLong(0) == 0L && ManifestTable.versions(t).size == 3)
+    val aged = s2.sql("VACUUM graft.t RETAIN 0 HOURS FORCE DRY RUN").collect()
+    assert(aged(0).getString(3) == "dry_run" && aged(0).getLong(0) == 2L &&
+      ManifestTable.versions(t).size == 3)
+    s2.sql("VACUUM graft.t RETAIN 0 HOURS FORCE").collect()
+    assert(ManifestTable.versions(t).size == 1)
+    assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 14L)
+  }
+
+  test("registerAll picks up only CURRENT materialized views for a fresh session") {
+    import graft.plans.{GraftMaterializedView, MvRewrite}
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("CREATE TABLE graft.a (k BIGINT, g STRING)")
+    s2.sql("INSERT INTO graft.a SELECT id, CAST(id % 2 AS STRING) FROM range(0, 100)")
+    s2.sql("CREATE TABLE graft.b (k BIGINT, g STRING)")
+    s2.sql("INSERT INTO graft.b SELECT id, CAST(id % 2 AS STRING) FROM range(0, 50)")
+    s2.sql("CREATE MATERIALIZED VIEW graft.mva AS SELECT g, count(*) AS n FROM graft.a GROUP BY g").collect()
+    s2.sql("CREATE MATERIALIZED VIEW graft.mvb AS SELECT g, count(*) AS n FROM graft.b GROUP BY g").collect()
+    // stale b: one more append, no refresh
+    s2.sql("INSERT INTO graft.b SELECT id, CAST(id % 2 AS STRING) FROM range(50, 60)")
+    // a FRESH session registers only the current view (a's)
+    val s3 = spark.newSession()
+    val got = GraftMaterializedView.registerAll(s3, wh)
+    assert(got.map(_._2.split('/').last).sorted.sameElements(Array("a")),
+      got.toString)
+    MvRewrite.deregister(s3, s"$wh/a")
   }
 }
