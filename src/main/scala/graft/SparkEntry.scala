@@ -3201,6 +3201,64 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q169_mv_fleet" -> ((s, dir) => {
+      // MV REUSE ACROSS SESSIONS — the dashboard-fleet shape: one
+      // session OWNS the rollup (creates, refreshes); every other
+      // worker session opts in with registerAll and its queries ride
+      // the rollup WITHOUT re-materializing anything. Freshness is
+      // never guessed: after an unrefreshed append the fresh session
+      // registers NOTHING (gate — a stale rollup must not answer), and
+      // after the owner refreshes, registration resumes. The emitted
+      // frame is the WORKER session's rewritten dashboard.
+      import graft.plans.GraftMaterializedView
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q169-").toString
+      val owner = s.newSession()
+      owner.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      owner.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(owner, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q169")
+      owner.sql("CREATE TABLE graft.src (k BIGINT, status STRING, price DOUBLE)")
+      owner.sql("INSERT INTO graft.src SELECT * FROM ord_q169 WHERE o_orderkey % 2 = 0")
+      owner.sql("""CREATE MATERIALIZED VIEW graft.mv AS
+                   SELECT status, count(*) AS n, sum(price) AS sum_price
+                   FROM graft.src GROUP BY status""").collect()
+      // an unrefreshed append makes the rollup STALE: a fresh worker
+      // must register nothing
+      owner.sql("INSERT INTO graft.src SELECT * FROM ord_q169 WHERE o_orderkey % 2 = 1")
+      val workerEarly = s.newSession()
+      require(GraftMaterializedView.registerAll(workerEarly, wh).isEmpty,
+        "a stale rollup must never register")
+      // the owner refreshes; a worker session now opts in and rides it
+      require(owner.sql("REFRESH MATERIALIZED VIEW graft.mv")
+        .collect().head.getString(1) == "incremental")
+      val worker = s.newSession()
+      worker.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      worker.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val registered = GraftMaterializedView.registerAll(worker, wh)
+      require(registered.map(_._2) == Seq(s"$wh/src"),
+        s"the fresh rollup must register exactly once: $registered")
+      val dash = worker.sql(
+        """SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM graft.src GROUP BY status""")
+      org.apache.spark.sql.SparkSession.setActiveSession(worker)
+      try {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        val scanned = dash.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten
+        require(scanned.exists(_.contains("/mv/data")),
+          s"the worker's dashboard must ride the owner's rollup: $scanned")
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+      dash
+    }),
+
     "q168_maintenance_capstone" -> ((s, dir) => {
       // THE ROUND-15 MAINTENANCE SURFACE COMPOSED END-TO-END, each
       // stage gated: a partitioned keyed table takes three commits; a
@@ -9900,6 +9958,11 @@ object SparkEntry {
     "q161_incr_analyze" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q169: the worker's rewritten dashboard over both inserted halves
+    "q169_mv_fleet" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
     // q168: evolution, scoped compaction, cloning and retention are all
