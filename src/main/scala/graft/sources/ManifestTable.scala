@@ -1961,6 +1961,21 @@ object ManifestTable {
       s"OPTIMIZE WHERE references unknown column(s): ${unknown.mkString(", ")}")
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
+    // every referenced column must be stats-prunable in at least one
+    // live file — a column no file carries stats for (unsupported stats
+    // type like DATE/DECIMAL, or an all-null column) matches EVERY file
+    // conservatively, and the "scoped" rewrite would silently become a
+    // whole-table compaction
+    val unprunable = conds.map(_.field).distinct.filterNot { n =>
+      val phys = base.renames.getOrElse(n, n)
+      base.files.exists(f =>
+        base.stats.getOrElse(f, Map.empty).contains(phys))
+    }
+    require(unprunable.isEmpty,
+      s"no file statistics on column(s) ${unprunable.mkString(", ")} — " +
+        "the predicate cannot scope the rewrite (unsupported stats " +
+        "type, or never-populated values); run a parameter-less " +
+        "OPTIMIZE for a full compaction instead")
     // minFill = the INCREMENTAL form: fold only the matching files that
     // are under-filled (appends since the last scoped optimize);
     // already-at-target files inside the predicate carry untouched, so

@@ -155,6 +155,16 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     // unknown columns refuse instead of conservatively matching all
     intercept[Exception] {
       spark.sql(s"OPTIMIZE '$path' WHERE nope = 1").collect() }
+    // so do columns NO file carries stats for (DATE's footer stats are
+    // not harvested) — a "scoped" rewrite must never silently become a
+    // whole-table compaction
+    val dpath = freshWh() + "/d"
+    ManifestTable.overwrite(spark.range(0, 100).toDF("k")
+      .withColumn("day", expr("date_add(DATE'2024-01-01', CAST(k % 7 AS INT))")),
+      dpath)
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$dpath' WHERE day = DATE'2024-01-03'").collect() }
+    assert(e.getMessage.contains("no file statistics"), e.getMessage)
   }
 
   test("MATERIALIZED VIEW SQL: shape refusals, rewrite scoping, refresh modes") {
