@@ -431,7 +431,10 @@ object ColumnStats {
         org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(raw),
           d.precision, d.scale)
       case DateType =>
-        java.time.LocalDate.parse(raw).toEpochDay.toInt
+        // ANALYZE stores ISO strings; manifest footer stats store epoch
+        // days (the parquet DATE physical form) — accept both
+        raw.toIntOption.getOrElse(
+          java.time.LocalDate.parse(raw).toEpochDay.toInt)
       case _ => throw new IllegalArgumentException(dt.toString)
     }).toOption
 }

@@ -958,11 +958,8 @@ object ManifestTable {
       conds: Seq[graft.conditions.Condition]): Boolean = conds.forall { c =>
     stats.flatMap(_.get(c.field)).forall { st =>
       def cv(v: Any): Option[Any] =
-        if (st.numeric) v match {
-          case n: Number => Some(n)
-          case s: String => s.toDoubleOption.map(d => d: Number)
-          case _ => None
-        } else v match {
+        if (st.numeric) numValue(v).map(d => d: Number)
+        else v match {
           case s: String => Some(s)
           case _ => None
         }
@@ -996,14 +993,25 @@ object ManifestTable {
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** A predicate value as a number comparable against NUMERIC stat
+    * bounds. Date-ish values normalize to epoch DAYS — the unit DATE
+    * footer stats carry — whether they arrive as java.sql.Date (DSv2
+    * pushed filters), LocalDate, or an ISO string (SQL literals through
+    * the maintenance door). None = not comparable (stay conservative). */
+  private def numValue(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case s: String => s.toDoubleOption.orElse(
+      scala.util.Try(
+        java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption)
+    case _ => None
+  }
+
   /** compare a stored stat bound against a predicate value: <0 means
     * stat < value. Unparseable numerics stay conservative (0 = overlap). */
   private def cmpStat(stat: String, value: Any, numeric: Boolean): Int =
-    if (numeric) (stat.toDoubleOption, value match {
-      case n: Number => Some(n.doubleValue())
-      case s: String => s.toDoubleOption
-      case _ => None
-    }) match {
+    if (numeric) (stat.toDoubleOption, numValue(value)) match {
       case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
       case _ => 0
     }
@@ -1438,9 +1446,14 @@ object ManifestTable {
             val numericOk = (prim == INT32 || prim == INT64 ||
               prim == FLOAT || prim == DOUBLE) &&
               (ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+            // DATE = INT32 epoch days: harvested as a numeric bound, so
+            // the canonical 100 TB scope dimension prunes files like any
+            // integer (predicate values normalize to days in numValue)
+            val dateOk = prim == INT32 &&
+              ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
             val stringOk = prim == BINARY &&
               ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-            if (numericOk) Some(f.getName -> true)
+            if (numericOk || dateOk) Some(f.getName -> true)
             else if (stringOk) Some(f.getName -> false)
             else None
         }.flatten.toMap

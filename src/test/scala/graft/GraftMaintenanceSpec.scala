@@ -155,16 +155,32 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     // unknown columns refuse instead of conservatively matching all
     intercept[Exception] {
       spark.sql(s"OPTIMIZE '$path' WHERE nope = 1").collect() }
-    // so do columns NO file carries stats for (DATE's footer stats are
-    // not harvested) — a "scoped" rewrite must never silently become a
-    // whole-table compaction
-    val dpath = freshWh() + "/d"
+    // so do columns NO file carries stats for (an all-null column) — a
+    // "scoped" rewrite must never silently become a whole-table one
+    val npath = freshWh() + "/n"
     ManifestTable.overwrite(spark.range(0, 100).toDF("k")
-      .withColumn("day", expr("date_add(DATE'2024-01-01', CAST(k % 7 AS INT))")),
-      dpath)
+      .withColumn("x", lit(null).cast("double")), npath)
     val e = intercept[Exception] {
-      spark.sql(s"OPTIMIZE '$dpath' WHERE day = DATE'2024-01-03'").collect() }
+      spark.sql(s"OPTIMIZE '$npath' WHERE x = 1.0").collect() }
     assert(e.getMessage.contains("no file statistics"), e.getMessage)
+    // DATE columns DO carry footer stats (epoch days) — the canonical
+    // compact-yesterday's-partition scope works end-to-end
+    val dpath = freshWh() + "/d"
+    (0 until 4).foreach(w => ManifestTable.append(
+      spark.range(0, 50).toDF("k").withColumn("day",
+        expr(s"date_add(DATE'2024-01-01', CAST($w AS INT))")).coalesce(1),
+      dpath))
+    val dBefore = ManifestTable.dataFiles(dpath).toSet
+    val dScope = ManifestTable.statsSurvivors(dpath,
+      Seq(Condition("day", Op.Eq, java.sql.Date.valueOf("2024-01-03")))).toSet
+    assert(dScope.size == 1 && dBefore.size == 4, s"$dScope of $dBefore")
+    spark.sql(s"OPTIMIZE '$dpath' WHERE day = DATE'2024-01-03'").collect()
+    assert(ManifestTable.dataFiles(dpath).toSet.intersect(dBefore) ==
+      dBefore.diff(dScope), "only the matching day's file rewrites")
+    // and the read path prunes on dates too
+    assert(ManifestTable.readWhere(spark, dpath,
+      Seq(Condition("day", Op.Gte, java.sql.Date.valueOf("2024-01-04"))))
+      .count() == 50L)
   }
 
   test("MATERIALIZED VIEW SQL: shape refusals, rewrite scoping, refresh modes") {
