@@ -3201,6 +3201,37 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q170_date_skipping" -> ((s, dir) => {
+      // DATE-STATS FILE SKIPPING — the canonical 100 TB scope: orders
+      // committed range-clustered on a DATE column carry per-file
+      // epoch-day bounds in the manifest (harvested from the parquet
+      // footers), so a quarter window OPENS a few files, decided in
+      // metadata BEFORE any scan plans (gate: scanned*4 < total). q70
+      // proves the same machinery on integers; dates are the dimension
+      // real retention/backfill jobs actually cut on. The windowed
+      // rollup goes under the oracle.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q170-")
+        .toString + "/t"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("double").as("price"))
+      ManifestTable.overwrite(
+        orders.repartitionByRange(16, col("day")), base)
+      val conds = Seq(
+        Condition("day", Op.Gte, java.sql.Date.valueOf("1995-01-01")),
+        Condition("day", Op.Lte, java.sql.Date.valueOf("1995-03-31")))
+      val (scanned, total) = ManifestTable.pruneCount(base, conds)
+      require(scanned * 4 < total,
+        s"date window must prune files: $scanned of $total survive")
+      ManifestTable.readWhere(s, base, conds)
+        .where(col("day").between("1995-01-01", "1995-03-31"))
+        .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), decSum(col("price")).as("revenue"))
+    }),
+
     "q169_mv_fleet" -> ((s, dir) => {
       // MV REUSE ACROSS SESSIONS — the dashboard-fleet shape: one
       // session OWNS the rollup (creates, refreshes); every other
@@ -9960,6 +9991,14 @@ object SparkEntry {
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q170: the pruned window rollup — pruning must be invisible
+    "q170_date_skipping" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+         GROUP BY 1""",
     // q169: the worker's rewritten dashboard over both inserted halves
     "q169_mv_fleet" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
