@@ -1097,7 +1097,8 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
     if (agg.groupByExpressions.nonEmpty)
       return computeGroupedMetaAgg(agg, m)
     val statTypes: Set[DataType] =
-      Set(IntegerType, LongType, FloatType, DoubleType, StringType)
+      Set(IntegerType, LongType, FloatType, DoubleType, StringType,
+        DateType) // DATE bounds ride the manifest as epoch days
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -1112,6 +1113,8 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       case FloatType => s.toFloat
       case DoubleType => s.toDouble
       case StringType => s
+      case DateType => java.sql.Date.valueOf( // external-Row DATE form
+        java.time.LocalDate.ofEpochDay(s.toLong))
       case other => throw new IllegalStateException(s"$other")
     }
     def cmp(a: Any, b: Any): Int = (a, b) match {
@@ -1119,6 +1122,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       case (x: Long, y: Long) => x.compareTo(y)
       case (x: Float, y: Float) => x.compareTo(y)
       case (x: Double, y: Double) => x.compareTo(y)
+      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
       case (x: String, y: String) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(x)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
@@ -1184,7 +1188,8 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
     val idCols = layout.collect { case GraftCatalog.IdentityPart(c) => c }
     if (gcols.isEmpty || !gcols.forall(idCols.contains)) return None
     val statTypes: Set[DataType] =
-      Set(IntegerType, LongType, FloatType, DoubleType, StringType)
+      Set(IntegerType, LongType, FloatType, DoubleType, StringType,
+        DateType)
     def fieldOf(c: String): Option[StructField] =
       fullSchema.fields.find(_.name == c).filter(f => statTypes(f.dataType))
     def parse(s: String, dt: DataType): Any = dt match {
@@ -1192,6 +1197,8 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       case LongType => s.toLong
       case FloatType => s.toFloat
       case DoubleType => s.toDouble
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(s.toLong))
       case _ => s
     }
     def cmp(a: Any, b: Any): Int = (a, b) match {
@@ -1199,6 +1206,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       case (x: Long, y: Long) => x.compareTo(y)
       case (x: Float, y: Float) => x.compareTo(y)
       case (x: Double, y: Double) => x.compareTo(y)
+      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
       case (x: String, y: String) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(x)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))

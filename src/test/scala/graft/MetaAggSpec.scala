@@ -45,6 +45,24 @@ class MetaAggSpec extends SparkSpecBase {
     assert(again.getLong(0) == 500L && again.getDouble(1) == 1.5)
   }
 
+  test("DATE MIN/MAX answers from metadata: freshest day with the data moved aside") {
+    val wh = Files.createTempDirectory("graft-metaagg-").toString
+    val s2 = catalogSession(wh)
+    s2.sql("CREATE TABLE graft.t (k BIGINT, day DATE)")
+    s2.sql("""INSERT INTO graft.t
+              SELECT id, date_add(DATE'2024-01-01', CAST(id % 90 AS INT))
+              FROM range(0, 1000)""")
+    val q = s2.sql("SELECT min(day) AS first, max(day) AS fresh FROM graft.t")
+    val dataDir = Paths.get(s"$wh/t/data")
+    val hidden = Paths.get(s"$wh/t/.data-hidden")
+    Files.move(dataDir, hidden)
+    try {
+      val r = q.collect().head
+      assert(r.getDate(0) == java.sql.Date.valueOf("2024-01-01"), r.toString)
+      assert(r.getDate(1) == java.sql.Date.valueOf("2024-03-30"), r.toString)
+    } finally Files.move(hidden, dataDir)
+  }
+
   test("a MoR delete ledger refuses the metadata answer; results stay exact") {
     val wh = Files.createTempDirectory("graft-metaagg2-").toString
     val s2 = catalogSession(wh)
