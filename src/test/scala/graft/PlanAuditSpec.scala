@@ -302,6 +302,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q170 date window: residual filter reaches the parquet scan too") {
+    // two pruning layers: the manifest drops FILES (gated in-query);
+    // the date predicate must ALSO land as a parquet PushedFilter so
+    // row groups inside surviving files skip on their own stats
+    val p = planOf("q170_date_skipping")
+    assert(p.contains("PushedFilters: [") &&
+      ("""PushedFilters: \[[^\]]*day""".r.findFirstIn(p).isDefined),
+      p.split('\n').filter(_.contains("PushedFilters")).mkString("\n").take(600))
+  }
+
   test("q159 CBO reorder holds at 10x data (sf0.1 stats bridge)") {
     // the sf0.01 verify gate proves the reorder once; this arm proves
     // the ANALYZE -> DSv2 columnStats -> pre-CBO stats bridge ->
