@@ -3201,6 +3201,67 @@ object SparkEntry {
       s2.sql(joinSql)
     }),
 
+    "q171_time_retention" -> ((s, dir) => {
+      // TIME-BASED RETENTION — `VACUUM t RETAIN n HOURS`, the
+      // compliance/cost shape (keep a week of history, whatever the
+      // commit count): three commits land, the first two are AGED two
+      // hours (the manifest's recorded commit wall-time is rewritten —
+      // the blind-read manipulation, for clocks), DRY RUN predicts the
+      // horizon without touching anything (gate), the real sweep
+      // expires exactly the aged history and reclaims their bytes
+      // (gate: data dir == live files), and the LATEST version survives
+      // even once it is itself past the horizon (gate — a quiet table
+      // must stay readable forever). Contents go under the oracle.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q171-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"$wh/t"
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q171")
+      s2.sql("CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)")
+      (0 until 3).foreach(i => s2.sql(
+        s"INSERT INTO graft.t SELECT * FROM ord_q171 WHERE o_orderkey % 3 = $i"))
+      def backdate(v: Long): Unit = {
+        val p = java.nio.file.Paths.get(t, "_manifests", f"v$v%08d.json")
+        java.nio.file.Files.writeString(p,
+          java.nio.file.Files.readString(p).replaceFirst(
+            "\"commit_ts\":\\d+",
+            s""""commit_ts":${System.currentTimeMillis() - 7200000L}"""))
+        ()
+      }
+      backdate(1L); backdate(2L)
+      val dry = s2.sql("VACUUM graft.t RETAIN 1 HOURS FORCE DRY RUN").collect()
+      require(dry.head.getString(3) == "dry_run" && dry.head.getLong(0) == 2L &&
+        ManifestTable.versions(t).size == 3,
+        s"DRY RUN must predict the 2-version horizon untouched: ${dry.head}")
+      s2.sql("VACUUM graft.t RETAIN 1 HOURS FORCE").collect()
+      require(ManifestTable.versions(t) == Seq(3L),
+        "the aged history must expire, the fresh version stay")
+      val live = ManifestTable.dataFiles(t).toSet
+      val onDisk = scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(t, "data"))) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      require(onDisk == live,
+        s"the sweep must reclaim expired bytes: ${onDisk.size} on disk, " +
+          s"${live.size} live")
+      // the latest version survives its own aging — never an empty table
+      backdate(3L)
+      val again = s2.sql("VACUUM graft.t RETAIN 1 HOURS FORCE").collect()
+      require(again.head.getLong(0) == 0L &&
+        ManifestTable.versions(t) == Seq(3L),
+        "the latest version must survive whatever its age")
+      s2.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                FROM graft.t GROUP BY status""")
+    }),
+
     "q170_date_skipping" -> ((s, dir) => {
       // DATE-STATS FILE SKIPPING — the canonical 100 TB scope: orders
       // committed range-clustered on a DATE column carry per-file
@@ -9989,6 +10050,12 @@ object SparkEntry {
     "q161_incr_analyze" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q171: expiry and the sweep are invisible to readers of the
+    // surviving version — all three slices, one rollup
+    "q171_time_retention" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
     // q170: the pruned window rollup — pruning must be invisible
