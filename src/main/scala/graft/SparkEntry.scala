@@ -3262,6 +3262,79 @@ object SparkEntry {
                 FROM graft.t GROUP BY status""")
     }),
 
+    "q172_ts_skipping" -> ((s, dir) => {
+      // TIMESTAMP-STATS FILE SKIPPING — the reference's two of three
+      // cursor modes are created_at/updated_at (core/types.py:24), so
+      // the single most common incremental-pull predicate is a TIME
+      // WINDOW. graft stores timestamps as INT64 epoch MICROS (a format
+      // invariant — INT96 carries no ordered stats) and harvests their
+      // footer bounds into the manifest, so a window over a
+      // time-clustered events table opens a few files, decided in
+      // metadata BEFORE any scan plans. Three legs, all on one table:
+      // (1) pruneCount: the window survives ×4 fewer files than total;
+      // (2) scoped `OPTIMIZE … WHERE ts >= TIMESTAMP '…'` through the
+      //     SQL door rewrites ONLY the fresh tail, carrying every
+      //     out-of-scope file untouched;
+      // (3) metadata MIN/MAX/COUNT of ts answers with the data
+      //     directory MOVED ASIDE (the freshest-instant probe costs one
+      //     manifest parse at 100 TB, zero file reads).
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q172-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("""CREATE TABLE graft.e (event_id BIGINT, ts TIMESTAMP,
+                event_type STRING, value DOUBLE)""")
+      val path = s"$wh/e"
+      // NTZ micros → instant under the UTC-pinned session: exact
+      val ev = Tables(s2, dir, "events").select(
+        col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value").cast("double").as("value"))
+      ManifestTable.overwrite(ev.repartitionByRange(16, col("ts")), path)
+      val lo = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      val conds = Seq(Condition("ts", Op.Gte, lo), Condition("ts", Op.Lt, hi))
+      val (scanned, total) = ManifestTable.pruneCount(path, conds)
+      require(scanned * 4 < total,
+        s"timestamp window must prune files: $scanned of $total survive")
+      // leg 2: scoped compaction of the fresh tail only
+      val before = ManifestTable.snapshotAt(path, None).get
+      val tail = Seq(Condition("ts", Op.Gte,
+        java.sql.Timestamp.valueOf("2024-01-28 00:00:00")))
+      val scope = ManifestTable.statsSurvivors(path, tail).toSet
+      require(scope.nonEmpty && scope.size * 4 < total,
+        s"the fresh tail must be a minority scope: ${scope.size} of $total")
+      s2.sql("OPTIMIZE graft.e WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'")
+      val after = ManifestTable.snapshotAt(path, None).get
+      require(after.version == before.version + 1 && !after.dataChange,
+        "scoped OPTIMIZE must land one dataChange=false commit")
+      val carried = before.files.filterNot(scope)
+      require(carried.forall(after.files.contains),
+        "out-of-scope files must carry untouched")
+      require(scope.forall(f => !after.files.contains(f)),
+        "in-scope files must be rewritten")
+      // leg 3: freshest/oldest instant + count from metadata alone
+      val meta = s2.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
+        min(ts) AS first_ts, max(ts) AS last_ts FROM graft.e""")
+      val dataDir = java.nio.file.Paths.get(s"$path/data")
+      val hiddenD = java.nio.file.Paths.get(s"$path/.data-hidden")
+      java.nio.file.Files.move(dataDir, hiddenD)
+      val blind =
+        try meta.collect().toSeq
+        finally java.nio.file.Files.move(hiddenD, dataDir)
+      require(blind == meta.collect().toSeq,
+        "ts MIN/MAX/COUNT must answer from the manifest alone")
+      // the windowed rollup reads through the catalog scan (file
+      // pruning + residual exactness) and goes under the oracle
+      s2.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM graft.e
+        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+          AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        GROUP BY event_type""")
+    }),
+
     "q170_date_skipping" -> ((s, dir) => {
       // DATE-STATS FILE SKIPPING — the canonical 100 TB scope: orders
       // committed range-clustered on a DATE column carry per-file
@@ -10058,6 +10131,15 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q172: the pruned time-window rollup — pruning, the scoped
+    // optimize and the metadata answers must all be invisible
+    "q172_ts_skipping" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+           AND ts < TIMESTAMP '2024-01-05 00:00:00'
+         GROUP BY 1""",
     // q170: the pruned window rollup — pruning must be invisible
     "q170_date_skipping" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,

@@ -435,6 +435,13 @@ object ColumnStats {
         // days (the parquet DATE physical form) — accept both
         raw.toIntOption.getOrElse(
           java.time.LocalDate.parse(raw).toEpochDay.toInt)
+      case TimestampType | TimestampNTZType =>
+        // manifest footer stats store epoch micros (Spark's catalyst-
+        // internal timestamp form); ISO instants accepted for symmetry
+        raw.toLongOption.getOrElse {
+          val i = java.time.Instant.parse(raw)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
       case _ => throw new IllegalArgumentException(dt.toString)
     }).toOption
 }

@@ -624,6 +624,53 @@ object GraftCatalog {
   private[graft] val KeysFile = "_keys"
   private[graft] val PartsFile = "_partition_cols"
 
+  /** A manifest stat bound parsed into the EXTERNAL Row value of the
+    * column's logical type (metadata-only aggregates emit external
+    * Rows): DATE bounds store epoch days, TIMESTAMP bounds epoch
+    * micros (instant → java.sql.Timestamp; NTZ → LocalDateTime with the
+    * same local-as-UTC micros parquet NTZ stats use). */
+  private[sources] def parseStatBound(s: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case StringType => s
+      case DateType => java.sql.Date.valueOf( // external-Row DATE form
+        java.time.LocalDate.ofEpochDay(s.toLong))
+      case TimestampType =>
+        val us = s.toLong
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case TimestampNTZType =>
+        val us = s.toLong
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case other => throw new IllegalStateException(s"$other")
+    }
+  }
+
+  /** Ordering over [[parseStatBound]] outputs (0 = incomparable forms,
+    * callers treat equal-compare conservatively). */
+  private[sources] def cmpStatValue(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int) => x.compareTo(y)
+    case (x: Long, y: Long) => x.compareTo(y)
+    case (x: Float, y: Float) => x.compareTo(y)
+    case (x: Double, y: Double) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) =>
+      x.compareTo(y)
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    case _ => 0
+  }
+
   /** A declared partition layout entry: identity column, or a hash
     * bucket over a column (the HIGH-cardinality co-location story —
     * identity layouts cap out where value counts explode; bucket(n, k)
@@ -1098,7 +1145,8 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       return computeGroupedMetaAgg(agg, m)
     val statTypes: Set[DataType] =
       Set(IntegerType, LongType, FloatType, DoubleType, StringType,
-        DateType) // DATE bounds ride the manifest as epoch days
+        DateType, // DATE bounds ride the manifest as epoch days
+        TimestampType, TimestampNTZType) // TIMESTAMP bounds: epoch micros
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -1107,27 +1155,8 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
           .filter(f => statTypes(f.dataType))
       case _ => None
     }
-    def parse(s: String, dt: DataType): Any = dt match {
-      case IntegerType => s.toInt
-      case LongType => s.toLong
-      case FloatType => s.toFloat
-      case DoubleType => s.toDouble
-      case StringType => s
-      case DateType => java.sql.Date.valueOf( // external-Row DATE form
-        java.time.LocalDate.ofEpochDay(s.toLong))
-      case other => throw new IllegalStateException(s"$other")
-    }
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Int, y: Int) => x.compareTo(y)
-      case (x: Long, y: Long) => x.compareTo(y)
-      case (x: Float, y: Float) => x.compareTo(y)
-      case (x: Double, y: Double) => x.compareTo(y)
-      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
-      case (x: String, y: String) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(x)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
-      case _ => 0
-    }
+    val parse = GraftCatalog.parseStatBound _
+    val cmp = GraftCatalog.cmpStatValue _
     def extremum(f: StructField, wantMin: Boolean): Option[Any] = {
       if (m.files.isEmpty) return Some(null) // empty table → NULL
       val vals = m.files.map { file =>
@@ -1189,29 +1218,11 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
     if (gcols.isEmpty || !gcols.forall(idCols.contains)) return None
     val statTypes: Set[DataType] =
       Set(IntegerType, LongType, FloatType, DoubleType, StringType,
-        DateType)
+        DateType, TimestampType, TimestampNTZType)
     def fieldOf(c: String): Option[StructField] =
       fullSchema.fields.find(_.name == c).filter(f => statTypes(f.dataType))
-    def parse(s: String, dt: DataType): Any = dt match {
-      case IntegerType => s.toInt
-      case LongType => s.toLong
-      case FloatType => s.toFloat
-      case DoubleType => s.toDouble
-      case DateType => java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(s.toLong))
-      case _ => s
-    }
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Int, y: Int) => x.compareTo(y)
-      case (x: Long, y: Long) => x.compareTo(y)
-      case (x: Float, y: Float) => x.compareTo(y)
-      case (x: Double, y: Double) => x.compareTo(y)
-      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
-      case (x: String, y: String) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(x)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
-      case _ => 0
-    }
+    val parse = GraftCatalog.parseStatBound _
+    val cmp = GraftCatalog.cmpStatValue _
     val gFields = gcols.map(c => fieldOf(c).getOrElse(return None))
     // group files by their single-value tuple on the group-by columns
     val grouped = new scala.collection.mutable.LinkedHashMap[Seq[Any], List[String]]

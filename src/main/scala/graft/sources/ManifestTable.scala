@@ -69,8 +69,15 @@ object ManifestTable {
   /** Per-file per-column min/max, harvested from the parquet FOOTER the
     * file was written with (metadata-only — no data re-read). `numeric`
     * marks values that compare as numbers; strings compare
-    * lexicographically, which matches parquet's UTF8 stat ordering. */
-  final case class ColStats(min: String, max: String, numeric: Boolean)
+    * lexicographically, which matches parquet's UTF8 stat ordering.
+    * `unit` names the CANONICAL unit a numeric bound is stored in when
+    * the raw footer value needs normalization to compare against
+    * predicate values — "us" = epoch micros (TIMESTAMP columns; MILLIS
+    * footers scale ×1000 at harvest). DATE bounds store epoch days but
+    * predate the field, so they keep unit=None and [[numValue]]'s
+    * day normalization (old manifests parse identically). */
+  final case class ColStats(min: String, max: String, numeric: Boolean,
+      unit: Option[String] = None)
 
   /** `seqs`: the commit sequence (= manifest version) each data file was
     * ADDED at; absent (legacy manifests) means 0. `deletes`: merge-on-read
@@ -178,7 +185,10 @@ object ManifestTable {
 
   private def statsObj(cols: Map[String, ColStats]): String =
     "{" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
-      q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}]"
+      // unit rides as an optional 4th element — absent for plain
+      // numeric/string/date bounds, so old manifests parse byte-identical
+      val u = st.unit.map(u => s",${q(u)}").getOrElse("")
+      q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}$u]"
     }.mkString(",") + "}"
 
   private def writeSeg(path: String, data: Seq[SegEntry],
@@ -209,9 +219,10 @@ object ManifestTable {
           (o \ "rows").extractOpt[Long],
           (o \ "stats") match {
             case JObject(cs) => Some(cs.collect {
-              case (c, JArray(List(mn, mx, num))) =>
+              case (c, JArray(mn :: mx :: num :: rest)) =>
                 c -> ColStats(mn.extract[String], mx.extract[String],
-                  num.extract[Boolean])
+                  num.extract[Boolean],
+                  rest.headOption.map(_.extract[String]))
             }.toMap)
             case _ => None
           })
@@ -352,9 +363,10 @@ object ManifestTable {
       case JObject(files) => files.map { case (f, cols) =>
         f -> (cols match {
           case JObject(cs) => cs.collect {
-            case (c, JArray(List(mn, mx, num))) =>
+            case (c, JArray(mn :: mx :: num :: rest)) =>
               c -> ColStats(mn.extract[String], mx.extract[String],
-                num.extract[Boolean])
+                num.extract[Boolean],
+                rest.headOption.map(_.extract[String]))
           }.toMap
           case _ => Map.empty[String, ColStats]
         })
@@ -958,7 +970,7 @@ object ManifestTable {
       conds: Seq[graft.conditions.Condition]): Boolean = conds.forall { c =>
     stats.flatMap(_.get(c.field)).forall { st =>
       def cv(v: Any): Option[Any] =
-        if (st.numeric) numValue(v).map(d => d: Number)
+        if (st.numeric) numValueU(v, st.unit).map(d => d: Number)
         else v match {
           case s: String => Some(s)
           case _ => None
@@ -1007,6 +1019,50 @@ object ManifestTable {
         java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption)
     case _ => None
   }
+
+  /** A predicate value normalized to a stat column's canonical unit.
+    * unit "us" = TIMESTAMP bounds in epoch MICROS: instants convert
+    * exactly; naive datetime/date strings and LocalDate interpret in the
+    * JVM default zone (= Spark's default session time zone — callers
+    * needing a different zone pass typed instants, as the DSv2 filter
+    * path does). Epoch micros stay under 2^53 for all representable
+    * wall times, so the Double comparison is EXACT. LocalDateTime keeps
+    * local-as-UTC semantics — the form parquet NTZ stats store.
+    * Unknown forms → None (conservative: the file survives). */
+  private def numValueU(v: Any, unit: Option[String]): Option[Double] =
+    if (!unit.contains("us")) numValue(v) else {
+      def us(sec: Long, nano: Int): Double =
+        sec.toDouble * 1e6 + (nano / 1000).toDouble
+      v match {
+        case n: Number => Some(n.doubleValue()) // already micros
+        case t: java.sql.Timestamp =>
+          Some(us(Math.floorDiv(t.getTime, 1000L), t.getNanos))
+        case i: java.time.Instant => Some(us(i.getEpochSecond, i.getNano))
+        case l: java.time.LocalDateTime =>
+          Some(us(l.toEpochSecond(java.time.ZoneOffset.UTC), l.getNano))
+        case d: java.sql.Date => numValueU(d.toLocalDate, unit)
+        case d: java.time.LocalDate => numValueU(d.atStartOfDay(
+          java.time.ZoneId.systemDefault()).toInstant, unit)
+        case s: String => scala.util.Try[Double] {
+          val t = s.trim
+          if (t.contains('T') || t.contains(' ') || t.contains(':')) {
+            val norm = t.replace(' ', 'T')
+            scala.util.Try(java.time.Instant.parse(norm))
+              .map(i => us(i.getEpochSecond, i.getNano))
+              .getOrElse {
+                val l = java.time.LocalDateTime.parse(norm)
+                val i = l.atZone(java.time.ZoneId.systemDefault()).toInstant
+                us(i.getEpochSecond, i.getNano)
+              }
+          } else t.toDoubleOption.getOrElse {
+            val i = java.time.LocalDate.parse(t)
+              .atStartOfDay(java.time.ZoneId.systemDefault()).toInstant
+            us(i.getEpochSecond, i.getNano)
+          }
+        }.toOption
+        case _ => None
+      }
+    }
 
   /** compare a stored stat bound against a predicate value: <0 means
     * stat < value. Unparseable numerics stay conservative (0 = overlap). */
@@ -1292,6 +1348,26 @@ object ManifestTable {
       case _ => df
     }
 
+  /** Run `body` with the session writing parquet timestamps as INT64
+    * MICROS — graft's storage FORM for timestamps (see
+    * [[org.apache.spark.sql.graft.ParquetRowWriter.open]], which pins
+    * the same form on the task-writer paths): INT96 carries no ordered
+    * footer statistics, so time-window predicates over an INT96 table
+    * could never skip a file. Set-and-restore rather than a session
+    * builder conf so USER sessions writing through the catalog get the
+    * invariant too; staging runs driver-side, so the window is scoped
+    * to this write. */
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def stage(df: DataFrame, path: String): Seq[String] = {
     Files.createDirectories(dataDir(path))
     val processed = toPhysical(enforceConstraints(
@@ -1332,7 +1408,9 @@ object ManifestTable {
     val stageWriter = processed.write
     GraftCatalog.readDeclaredCompression(Paths.get(path))
       .foreach(c => stageWriter.option("compression", c))
-    stageWriter.parquet(staging.toString)
+    withMicrosTimestamps(processed.sparkSession) {
+      stageWriter.parquet(staging.toString)
+    }
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -1437,7 +1515,11 @@ object ManifestTable {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         val schema = r.getFooter.getFileMetaData.getSchema
-        val eligible: Map[String, Boolean] = schema.getFields.asScala.collect {
+        // per-column: (numeric?, micros multiplier for TIMESTAMP bounds,
+        // canonical-unit tag persisted alongside the bound)
+        final case class StatKind(numeric: Boolean, mult: Long,
+          unit: Option[String])
+        val eligible: Map[String, StatKind] = schema.getFields.asScala.collect {
           case f if f.isPrimitive =>
             val pt = f.asPrimitiveType()
             val ann = pt.getLogicalTypeAnnotation
@@ -1451,10 +1533,34 @@ object ManifestTable {
             // integer (predicate values normalize to days in numValue)
             val dateOk = prim == INT32 &&
               ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+            // TIMESTAMP = INT64 epoch millis/micros (both TZ-adjusted
+            // instants and NTZ "local" micros — one unit either way):
+            // normalized to MICROS at harvest so created_at/updated_at
+            // windows — the reference's two incremental cursor modes —
+            // prune files exactly like q170's DATE recipe. NANOS (never
+            // Spark-written, foreign writers only) would need a
+            // direction-aware rounding to stay sound on truncation, so
+            // it stays un-harvested (conservative full scan). INT96
+            // timestamps carry deprecated/unordered stats; graft writes
+            // INT64 micros as a FORMAT INVARIANT (the Iceberg choice).
+            val tsMult: Option[Long] = ann match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if prim == INT64 =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                  case _ => None
+                }
+              case _ => None
+            }
             val stringOk = prim == BINARY &&
               ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-            if (numericOk || dateOk) Some(f.getName -> true)
-            else if (stringOk) Some(f.getName -> false)
+            if (numericOk || dateOk)
+              Some(f.getName -> StatKind(numeric = true, 1L, None))
+            else if (tsMult.isDefined)
+              Some(f.getName -> StatKind(numeric = true, tsMult.get, Some("us")))
+            else if (stringOk)
+              Some(f.getName -> StatKind(numeric = false, 1L, None))
             else None
         }.flatten.toMap
         // fold row-group chunk stats into one per-column file min/max
@@ -1469,8 +1575,9 @@ object ManifestTable {
               val st = chunk.getStatistics
               if (st != null && st.hasNonNullValue) {
                 present += cname
-                val mn = statValue(st.genericGetMin)
-                val mx = statValue(st.genericGetMax)
+                val mult = eligible(cname).mult
+                val mn = statValue(st.genericGetMin, mult)
+                val mx = statValue(st.genericGetMax, mult)
                 acc.get(cname) match {
                   case Some((curMn, curMx)) =>
                     acc(cname) = (
@@ -1486,14 +1593,17 @@ object ManifestTable {
         }
         name -> complete.map { c =>
           val (mn, mx) = acc(c)
-          c -> ColStats(mn.toString, mx.toString, eligible(c))
+          val k = eligible(c)
+          c -> ColStats(mn.toString, mx.toString, k.numeric, k.unit)
         }.toMap
       } finally r.close()
     }.toMap
   }
 
-  private def statValue(v: Any): Any = v match {
+  private def statValue(v: Any, mult: Long = 1L): Any = v match {
     case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case n: java.lang.Long if mult != 1L =>
+      java.lang.Long.valueOf(Math.multiplyExact(n.longValue(), mult))
     case other => other
   }
 
@@ -2536,7 +2646,7 @@ object ManifestTable {
     val kw = keys.coalesce(1).write
     GraftCatalog.readDeclaredCompression(Paths.get(path))
       .foreach(c => kw.option("compression", c))
-    kw.parquet(staging.toString)
+    withMicrosTimestamps(keys.sparkSession) { kw.parquet(staging.toString) }
     val parts = Using.resource(Files.list(staging)) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))

@@ -42,12 +42,17 @@ object ParquetRowWriter {
     // pinned to the SQLConf defaults, i.e. exactly what an ordinary
     // DataFrame write under an untouched session produces
     Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
-      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
       SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
       SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
       SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
       SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE)
       .foreach(e => conf.set(e.key, e.defaultValueString))
+    // FORMAT INVARIANT (the Iceberg choice): graft tables store
+    // timestamps as INT64 epoch MICROS, never INT96 — INT96 footer
+    // statistics are deprecated/unordered, so created_at/updated_at
+    // windows over an INT96 table could never skip a file. Spark's
+    // vectorized reader consumes INT64 micros natively.
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     // the table's declared write.compression (resolved driver-side and
     // passed through the writer factory); "none" is parquet UNCOMPRESSED
     conf.set("parquet.compression",
