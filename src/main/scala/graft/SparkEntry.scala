@@ -3405,23 +3405,35 @@ object SparkEntry {
       val registered = GraftMaterializedView.registerAll(worker, wh)
       require(registered.map(_._2) == Seq(s"$wh/src"),
         s"the fresh rollup must register exactly once: $registered")
-      val dash = worker.sql(
+      def dashFrame() = worker.sql(
         """SELECT status, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
            FROM graft.src GROUP BY status""")
-      org.apache.spark.sql.SparkSession.setActiveSession(worker)
-      try {
+      def mvScans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
         import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-        val scanned = dash.queryExecution.optimizedPlan.collect {
+        df.queryExecution.optimizedPlan.collect {
           case lr: LogicalRelation => lr.relation match {
             case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
             case _ => Seq.empty[String]
           }
-        }.flatten
-        require(scanned.exists(_.contains("/mv/data")),
-          s"the worker's dashboard must ride the owner's rollup: $scanned")
+        }.flatten.filter(_.contains("/mv/data"))
+      }
+      org.apache.spark.sql.SparkSession.setActiveSession(worker)
+      try {
+        require(mvScans(dashFrame()).nonEmpty,
+          "the worker's dashboard must ride the owner's rollup")
+        // third leg: the base moves AFTER the worker registered — the
+        // version-armed rewrite must de-arm at SUBSTITUTION time (no
+        // re-register, no refresh) and the dashboard answer from the
+        // base scan, fresh by construction; the oracle covers the
+        // post-append truth
+        owner.sql(
+          "INSERT INTO graft.src SELECT * FROM ord_q169 WHERE o_orderkey % 10 = 3")
+        val dash2 = dashFrame()
+        require(mvScans(dash2).isEmpty,
+          "a post-registration base write must de-arm the rewrite")
+        dash2
       } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
-      dash
     }),
 
     "q168_maintenance_capstone" -> ((s, dir) => {
@@ -10148,11 +10160,18 @@ object SparkEntry {
          FROM orders
          WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
          GROUP BY 1""",
-    // q169: the worker's rewritten dashboard over both inserted halves
+    // q169: the worker's dashboard after the post-registration append —
+    // answered from the BASE scan (the armed rewrite de-registered
+    // itself), so it covers both halves plus the late %10=3 slice
     "q169_mv_fleet" ->
-      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-         FROM orders GROUP BY 1""",
+      """SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(price AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 10 = 3
+         ) GROUP BY 1""",
     // q168: evolution, scoped compaction, cloning and retention are all
     // invisible to the dashboard — the rollup of everything inserted
     "q168_maintenance_capstone" ->

@@ -124,17 +124,36 @@ object GraftMaterializedView {
     * live rollup files (the registration pins a concrete file listing,
     * so every CREATE/REFRESH re-registers). */
   private[plans] def registerRewrite(spark: SparkSession,
-      mvPath: String, spec: MvSpec): Unit =
+      mvPath: String, spec: MvSpec): Unit = {
+    // the rollup read pins the manifest's LIVE file listing, never a
+    // directory glob: superseded rollup files stay on disk through the
+    // vacuum grace window (see commitRollup) and a glob would
+    // double-count them
+    val m = ManifestTable.snapshotAt(mvPath, None).getOrElse(
+      throw new IllegalStateException(s"$mvPath has no committed rollup"))
+    val files = m.files.map(f =>
+      java.nio.file.Paths.get(mvPath, "data").resolve(f).toString)
     MvRewrite.register(spark, spec.source,
-      spark.read.parquet(s"$mvPath/data"), spec.dims, spec.measures)
+      spark.read.parquet(files: _*), spec.dims, spec.measures,
+      // version-ARMED: the rewrite re-checks the source head at
+      // substitution time, so a post-registration base write de-arms
+      // this registration instead of serving a pre-write rollup
+      baseVersion = Some(spec.version))
+  }
 
-  /** Commit the rollup frame as the MV table's next version and sweep
-    * superseded rollup files immediately — the MV is DERIVED data with
-    * a fresh-files registration contract, not an archival table. */
+  /** Commit the rollup frame as the MV table's next version and retire
+    * the superseded rollup — the MV is DERIVED data with a fresh-files
+    * registration contract, not an archival table. Before the sweep,
+    * every session's registration pinned to the OLD rollup listing is
+    * purged (those dashboards fall back to base scans until they
+    * re-register — correct, the listing they pinned is being replaced),
+    * and the vacuum keeps the standard age grace so a query already
+    * mid-flight on the old files drains before they disappear. */
   private[plans] def commitRollup(spark: SparkSession, mvPath: String,
       mv: org.apache.spark.sql.DataFrame): Unit = {
     ManifestTable.overwrite(mv, mvPath)
-    ManifestTable.expire(mvPath, keepLast = 1, vacuumMinAgeMs = 0L)
+    MvRewrite.purgeForPath(mvPath)
+    ManifestTable.expire(mvPath, keepLast = 1)
     ()
   }
 

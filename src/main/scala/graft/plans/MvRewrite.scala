@@ -48,21 +48,34 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * origin is 100 TB.
   *
   * STALENESS CONTRACT: registration asserts "this rollup IS the
-  * aggregate of that path" — the rule trusts it (checking would cost a
-  * listing per optimization). The registrant owns freshness: refresh
-  * through [[graft.operators.IncrementalAgg.applyDelta]] on the change
-  * feed (q71), or continuously via
+  * aggregate of that path". MANIFEST-table bases arm the registration
+  * with the base VERSION the rollup aggregates, and the rule re-checks
+  * it at substitution time ([[MvRewrite.isCurrent]] — one manifest head
+  * read per candidate aggregate over a registered path): a base write
+  * after registration silently de-arms the rewrite and the query plans
+  * the base scan, so a plain-SQL user can never read a pre-write
+  * rollup. Version-LESS registrations (plain parquet directories — no
+  * version chain to compare) keep the registrant-owns-freshness
+  * contract: refresh through
+  * [[graft.operators.IncrementalAgg.applyDelta]] on the change feed
+  * (q71), or continuously via
   * [[graft.streaming.StreamSync.startMergeWithMv]] (q96), and
-  * re-register after any out-of-band rewrite of the base. Same contract
-  * as every production MV rewrite (Delta, BigQuery): the rewrite layer
-  * redirects, the maintenance layer guarantees.
+  * re-register after any out-of-band rewrite of the base — the same
+  * contract as every production MV rewrite (Delta, BigQuery): the
+  * rewrite layer redirects, the maintenance layer guarantees.
   */
 object MvRewrite {
 
-  /** A registered view: where the base lives, the analyzed MV scan, and
-    * the dims/measures the MV was materialized with. */
+  /** A registered view: where the base lives, the analyzed MV scan, the
+    * dims/measures the MV was materialized with, and — when the base is
+    * a MANIFEST table — the base version the rollup aggregates.
+    * `baseVersion = Some(v)` arms the substitution-time freshness check
+    * (see [[isCurrent]]); None keeps the registrant-owns-freshness
+    * contract for plain-directory bases, which have no version chain to
+    * compare against. */
   final case class MvDef(basePath: String, mvPlan: LogicalRelation,
-      dims: Set[String], measures: Set[String])
+      dims: Set[String], measures: Set[String],
+      baseVersion: Option[Long] = None)
 
   // keyed by (session UUID, fully-qualified base root URI); the object
   // is JVM-global, so SESSION scoping in the key is what keeps one
@@ -89,7 +102,8 @@ object MvRewrite {
     * shape: dims, `n`, `sum_<m>`) as the rollup of `basePath` FOR THIS
     * SESSION, and install the rewrite rule into its optimizer. */
   def register(spark: SparkSession, basePath: String, mv: DataFrame,
-      dims: Seq[String], measures: Seq[String]): Unit = {
+      dims: Seq[String], measures: Seq[String],
+      baseVersion: Option[Long] = None): Unit = {
     val plan = mv.queryExecution.analyzed match {
       case lr: LogicalRelation => lr
       case other => throw new IllegalArgumentException(
@@ -107,9 +121,28 @@ object MvRewrite {
     // real shared-JVM deployment's MV count.
     if (registry.size >= 1024) registry.clear()
     registry.put(s"${uuidOf(spark)}|${norm(basePath)}",
-      MvDef(norm(basePath), plan, dims.toSet, measures.toSet))
+      MvDef(norm(basePath), plan, dims.toSet, measures.toSet, baseVersion))
     install(spark)
   }
+
+  /** Substitution-time freshness: a version-armed registration only
+    * answers while the base's CURRENT head version still equals the
+    * version the rollup aggregates — a write to the base between
+    * registration and query (INSERT through the SQL door, a direct
+    * commit, another session's merge) silently de-arms the rewrite and
+    * the query falls back to the base scan, fresh by construction. The
+    * check is one manifest-directory head read per candidate aggregate
+    * over a REGISTERED path (unregistered scans never reach it); a
+    * REFRESH re-registers with the new version and re-arms. Version-less
+    * registrations (plain-directory bases) keep the documented
+    * registrant-owns-freshness contract. */
+  private[plans] def isCurrent(mv: MvDef): Boolean =
+    mv.baseVersion.forall { v =>
+      val local = new org.apache.hadoop.fs.Path(mv.basePath).toUri.getPath
+      scala.util.Try(
+        graft.sources.ManifestTable.latestVersion(local)).toOption
+        .contains(v) // base unreadable/dropped → stale → base scan plans
+    }
 
   def deregister(spark: SparkSession, basePath: String): Unit =
     registry.remove(s"${uuidOf(spark)}|${norm(basePath)}")
@@ -121,11 +154,17 @@ object MvRewrite {
     * dashboards onto deleted files. */
   def purgeForPath(path: String): Unit = {
     val n = norm(path)
+    // segment-aware prefix: …/wh/t must not purge an MV stored under
+    // …/wh/t2 (equality, or a true child path under a separator)
+    def under(p: String): Boolean = {
+      val np = norm(p)
+      np == n || np.startsWith(n + "/")
+    }
     registry.entrySet().removeIf { e =>
       e.getValue.basePath == n ||
         (e.getValue.mvPlan.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.exists(p => norm(p.toString).startsWith(n))
+            fs.location.rootPaths.exists(p => under(p.toString))
           case _ => false
         })
     }
@@ -160,7 +199,8 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     case agg: Aggregate =>
       destructure(agg.child)
         .flatMap { case (path, cond) =>
-          MvRewrite.lookup(path).flatMap(tryRewrite(agg, _, cond))
+          MvRewrite.lookup(path).filter(MvRewrite.isCurrent)
+            .flatMap(tryRewrite(agg, _, cond))
         }
         .getOrElse(agg)
   }

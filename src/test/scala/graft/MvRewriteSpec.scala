@@ -202,4 +202,65 @@ class MvRewriteSpec extends SparkSpecBase {
       .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
     assert(q.exceptAll(raw).isEmpty && raw.exceptAll(q).isEmpty)
   }
+
+  test("a version-armed registration de-arms when the base moves on") {
+    import graft.sources.ManifestTable
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvarm-").toString
+    s2.conf.set("spark.sql.catalog.mvarm", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.mvarm.warehouse", tmp)
+    val base = s"$tmp/base"
+    val orders = s2.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    ManifestTable.overwrite(orders.where(col("o_orderkey") % 2 === 0), base)
+    val v = ManifestTable.latestVersion(base)
+    val mvDir = s"$tmp/mv"
+    IncrementalAgg.materialize(ManifestTable.read(s2, base),
+      Seq("o_orderstatus"), Seq("o_totalprice")).write.parquet(mvDir)
+    MvRewrite.register(s2, base, s2.read.parquet(mvDir),
+      Seq("o_orderstatus"), Seq("o_totalprice"), baseVersion = Some(v))
+    def q() = s2.sql(
+      """SELECT o_orderstatus, count(1) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         FROM mvarm.base GROUP BY o_orderstatus""")
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      assert(scannedPaths(q()).exists(_.contains("/mv")),
+        "fresh: the armed registration must answer")
+      // the base moves AFTER registration — no re-register, no refresh
+      ManifestTable.append(orders.where(col("o_orderkey") % 2 === 1), base)
+      val stale = q()
+      assert(!scannedPaths(stale).exists(_.contains("/mv")),
+        "stale: the armed registration must bail to the base scan")
+      // and the answer is the POST-append truth
+      val truth = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+      assert(stale.exceptAll(truth).isEmpty && truth.exceptAll(stale).isEmpty)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
+  test("purgeForPath is segment-aware: /wh/t never purges /wh/t2's MV") {
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvpfx-").toString
+    val base = s"$tmp/wh/t2"
+    val orders = s2.read.parquet(s"$sf0001/orders.parquet")
+    orders.write.parquet(base)
+    val mvDir = s"$tmp/wh/t2mv"
+    IncrementalAgg.materialize(s2.read.parquet(base),
+      Seq("o_orderstatus"), Seq.empty).write.parquet(mvDir)
+    MvRewrite.register(s2, base, s2.read.parquet(mvDir),
+      Seq("o_orderstatus"), Seq.empty)
+    def hits() = {
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try scannedPaths(s2.read.parquet(base).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))).exists(_.contains("t2mv"))
+      finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+    assert(hits(), "registration must answer before any purge")
+    MvRewrite.purgeForPath(s"$tmp/wh/t") // a DIFFERENT table's drop
+    assert(hits(), "a prefix-colliding drop must not purge t2's MV")
+    MvRewrite.purgeForPath(s"$tmp/wh/t2mv") // the rollup's own storage
+    assert(!hits(), "dropping the rollup storage itself must purge")
+  }
 }
