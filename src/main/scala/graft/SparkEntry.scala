@@ -3506,6 +3506,23 @@ object SparkEntry {
       s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE").collect()
       require(ManifestTable.versions(t) == Seq(vOpt),
         "VACUUM RETAIN 1 must leave only the optimized version")
+      // retention past the CLONED version: one more commit, then a FULL
+      // rewrite turns every cloned byte into a source orphan — the
+      // clone's breadcrumb is the ONLY thing keeping them alive, and the
+      // branch must survive the sweep intact (the Delta data-loss hazard
+      // this format closes)
+      val devCount = ManifestTable.read(s2, s"$wh/dev").count()
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q168 WHERE o_orderkey % 20 = 7")
+      require(s2.sql("REFRESH MATERIALIZED VIEW graft.mv")
+        .collect().head.getString(1) == "incremental")
+      s2.sql("OPTIMIZE graft.t").collect() // full rewrite: total file turnover
+      require(s2.sql("REFRESH MATERIALIZED VIEW graft.mv")
+        .collect().head.getString(1) == "noop")
+      s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE").collect()
+      require(ManifestTable.versions(t).size == 1,
+        "every pre-rewrite version must expire")
+      require(ManifestTable.read(s2, s"$wh/dev").count() == devCount,
+        "source retention past the cloned version must not break the clone")
       // the dashboard still rewrites onto the rollup — and goes to the oracle
       val dash = s2.sql(
         """SELECT prio, CAST(count(*) AS BIGINT) AS n,
@@ -10174,10 +10191,16 @@ object SparkEntry {
          ) GROUP BY 1""",
     // q168: evolution, scoped compaction, cloning and retention are all
     // invisible to the dashboard — the rollup of everything inserted
+    // (all four quarters plus the late %20=7 slice)
     "q168_maintenance_capstone" ->
-      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-         FROM orders GROUP BY 1""",
+      """SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(price AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT o_orderpriority AS prio, o_totalprice AS price FROM orders
+           UNION ALL
+           SELECT o_orderpriority, o_totalprice FROM orders
+           WHERE o_orderkey % 20 = 7
+         ) GROUP BY 1""",
     // q167: the emitted frame is the REWRITTEN dashboard — the oracle
     // checks the rollup-served values against the relational truth
     "q167_sql_mv" ->

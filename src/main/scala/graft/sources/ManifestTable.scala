@@ -3431,12 +3431,16 @@ object ManifestTable {
     * stage NEW files under the clone's own `data/` and never touch the
     * source; the source never sees the clone.
     *
-    * Retention caveat (same as Delta's): the SOURCE's vacuum/expire
-    * does not know about clones — vacuuming the source past the cloned
-    * version breaks the clone's references. Clone from tables whose
-    * retention you control, or compact the clone (compactCommit
-    * rewrites every referenced byte into its own files) to cut the
-    * dependency. */
+    * Retention safety: the clone REGISTERS itself at the source (a
+    * `_clones/<id>.json` breadcrumb) and the source's [[vacuum]]
+    * RETAINS every file a registered clone still references — so
+    * expiring the source past the cloned version no longer reaps bytes
+    * out from under the clone (the data-loss hazard Delta documents
+    * and leaves to the operator). The retention releases itself: once
+    * the clone compacts (its own files) and expires its early
+    * versions — or is deleted outright — the source's next vacuum
+    * frees the bytes. `vacuum(ignoreClones = true)` is the explicit
+    * force for operators who accept breaking clones. */
   def cloneShallow(src: String, dst: String,
       srcVersion: Option[Long] = None): Long = {
     val m = snapshotAt(src, srcVersion).getOrElse(
@@ -3458,7 +3462,54 @@ object ManifestTable {
       m.mergeKeys, generated = m.generated, txns = m.txns,
       renames = m.renames, droppedCols = m.droppedCols)
     publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(dst, cm))
+    // the breadcrumb the source's vacuum consults; written AFTER the
+    // clone's manifest so a registered clone is always readable
+    val bcDir = Paths.get(src, "_clones")
+    Files.createDirectories(bcDir)
+    Files.writeString(bcDir.resolve(s"${UUID.randomUUID()}.json"),
+      s"""{"dst":${q(Paths.get(dst).toAbsolutePath.toString)},""" +
+        s""""srcVersion":${m.version}}""")
     1L
+  }
+
+  /** The source-data files registered clones still reference — what
+    * [[vacuum]] must RETAIN beyond the source's own manifests. Reads
+    * each registered clone's CURRENT manifest chain, so the retention
+    * releases itself as the clone compacts/expires its references. A
+    * breadcrumb whose clone directory no longer exists is garbage-
+    * collected; a clone that EXISTS but cannot be read refuses the
+    * sweep loudly (reaping on a guess is the data-loss path). */
+  private def cloneRetained(path: String, gc: Boolean = true): Set[String] = {
+    val bcDir = Paths.get(path, "_clones")
+    if (!Files.isDirectory(bcDir)) return Set.empty
+    val srcData = dataDir(path).toAbsolutePath.toString
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val crumbs = Using.resource(Files.list(bcDir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+    }
+    crumbs.flatMap { bc =>
+      val dst = scala.util.Try(
+        (JsonMethods.parse(Files.readString(bc)) \ "dst").extract[String])
+        .getOrElse(throw new IllegalStateException(
+          s"unreadable clone breadcrumb $bc — refusing to vacuum " +
+            "(pass ignoreClones=true to force, breaking the clone)"))
+      if (!Files.isDirectory(manifestDir(dst))) {
+        if (gc) Files.deleteIfExists(bc) // clone deleted: released
+        Seq.empty
+      } else scala.util.Try {
+        versions(dst).map(manifestAt(dst, _))
+          .flatMap(m => m.files ++ m.deletes.map(_._1))
+          .filter(f => f.startsWith("/") &&
+            Paths.get(f).getParent.toString == srcData)
+          .map(f => Paths.get(f).getFileName.toString)
+      }.getOrElse(throw new IllegalStateException(
+        s"clone $dst exists but its manifests are unreadable — " +
+          "refusing to vacuum the source (pass ignoreClones=true to " +
+          "force, breaking the clone)"))
+    }.toSet
   }
 
   /** Retention: drop all but the newest `keepLast` manifests (time
@@ -3494,7 +3545,8 @@ object ManifestTable {
   private def sweepPreview(path: String, kept: Seq[Long],
       vacuumMinAgeMs: Long): Seq[String] = {
     val live = kept.map(manifestAt(path, _))
-      .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet
+      .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet ++
+      cloneRetained(path, gc = false) // preview touches NOTHING
     if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - vacuumMinAgeMs
     Using.resource(Files.list(dataDir(path))) { st =>
@@ -3535,10 +3587,14 @@ object ManifestTable {
     * unreferenced until its manifest publishes, so only files older than
     * the window are eligible (pass 0 only when no writer can be active).
     * Returns the deleted names. */
-  def vacuum(path: String, minAgeMs: Long = 3600000L): Seq[String] = {
-    // delete files are manifest-referenced state exactly like data files
+  def vacuum(path: String, minAgeMs: Long = 3600000L,
+      ignoreClones: Boolean = false): Seq[String] = {
+    // delete files are manifest-referenced state exactly like data files;
+    // files REGISTERED CLONES still reference are live too (the shallow-
+    // clone safety contract — see cloneShallow), unless explicitly forced
     val live = versions(path).map(manifestAt(path, _))
-      .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet
+      .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet ++
+      (if (ignoreClones) Set.empty[String] else cloneRetained(path))
     if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = Using.resource(Files.list(dataDir(path))) { st =>
