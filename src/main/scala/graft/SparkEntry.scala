@@ -2434,7 +2434,11 @@ object SparkEntry {
       // ledger — all observed through plain spark.sql identifiers.
       // v1 = CTAS of the even-key slice, v2 = INSERT of the odd slice,
       // then a MoR merge hides every 13th key; the final query reads
-      // both `now` (post-delete) and `VERSION AS OF 1` snapshots.
+      // `now` (post-delete), `VERSION AS OF 1`, and `TIMESTAMP AS OF`
+      // at v1's commit instant (backdated an hour so the resolution is
+      // deterministic — the commit_ts chain, not file mtimes, is the
+      // authority): version- and timestamp-travel must agree, under
+      // the oracle.
       import graft.sources.ManifestTable
       val wh = java.nio.file.Files.createTempDirectory("graft-q137-").toString
       val s2 = s.newSession()
@@ -2450,16 +2454,35 @@ object SparkEntry {
       ManifestTable.mergeMoR(s2, s"$wh/crm/orders",
         s2.table("orders_src").where(col("o_orderkey") % 13 === 0),
         Seq("o_orderkey"), deleteWhen = Some(lit(true)))
+      // backdate v1 an hour so its commit instant is strictly before
+      // v2's, then travel to exactly that instant
+      val v1Ts = System.currentTimeMillis() - 3600000L
+      locally {
+        val p = java.nio.file.Paths.get(s"$wh/crm/orders", "_manifests",
+          f"v${1L}%08d.json")
+        java.nio.file.Files.writeString(p,
+          java.nio.file.Files.readString(p).replaceFirst(
+            "\"commit_ts\":\\d+", s""""commit_ts":$v1Ts"""))
+      }
+      val asOf = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(v1Ts))
       s2.sql(
-        """WITH now AS (
+        s"""WITH now AS (
              SELECT o_orderstatus AS st, count(*) AS n_now,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
              FROM graft.crm.orders GROUP BY 1),
            v1 AS (
              SELECT o_orderstatus AS st, count(*) AS n_v1
-             FROM graft.crm.orders VERSION AS OF 1 GROUP BY 1)
-           SELECT now.st AS o_orderstatus, v1.n_v1, now.n_now, now.revenue
-           FROM now JOIN v1 ON now.st = v1.st""")
+             FROM graft.crm.orders VERSION AS OF 1 GROUP BY 1),
+           vts AS (
+             SELECT o_orderstatus AS st, count(*) AS n_ts
+             FROM graft.crm.orders TIMESTAMP AS OF '$asOf' GROUP BY 1)
+           SELECT now.st AS o_orderstatus, v1.n_v1, vts.n_ts,
+             now.n_now, now.revenue
+           FROM now JOIN v1 ON now.st = v1.st
+             JOIN vts ON now.st = vts.st""")
     }),
 
     "q138_sql_dml" -> ((s, dir) => {
@@ -10031,7 +10054,8 @@ object SparkEntry {
          v1a AS (
            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v1
            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1)
-         SELECT nowa.o_orderstatus, v1a.n_v1, nowa.n_now, nowa.revenue
+         SELECT nowa.o_orderstatus, v1a.n_v1, v1a.n_v1 AS n_ts,
+           nowa.n_now, nowa.revenue
          FROM nowa JOIN v1a ON nowa.o_orderstatus = v1a.o_orderstatus""",
     // q138: INSERT OVERWRITE leaves only the l_linenumber=2 slice, plus
     // the one constraint-passing literal row
