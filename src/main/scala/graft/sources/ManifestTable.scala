@@ -108,6 +108,15 @@ object ManifestTable {
     * table, physical file bytes wildly overestimate the live data, and
     * a join that should broadcast gets planned as a shuffle. Absent in
     * legacy manifests → no estimate, reads plan exactly as before. */
+  /** `bytes`: per-file PHYSICAL SIZES, recorded once at commit render
+    * ([[render]] fills any missing entry with one local stat of the
+    * just-staged file). Every plan-time size consumer — broadcast
+    * hinting, compaction minFill selection, DESCRIBE DETAIL, the
+    * maintenance planner — reads these instead of statting the
+    * filesystem per file: free locally, but on object storage a
+    * per-file stat is a HEAD request, and O(files) HEADs per planning
+    * decision is the 100 TB tax this field removes. Absent entries
+    * (legacy manifests) fall back to a stat. */
   final case class Manifest(version: Long, files: Seq[String],
       commitId: Option[String], parent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
@@ -141,7 +150,8 @@ object ManifestTable {
       // each version under its own names. Carried forward like
       // constraints/mergeKeys.
       renames: Map[String, String] = Map.empty,
-      droppedCols: Seq[String] = Seq.empty)
+      droppedCols: Seq[String] = Seq.empty,
+      bytes: Map[String, Long] = Map.empty)
 
   private def q(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -166,7 +176,8 @@ object ManifestTable {
   private type Layout = Seq[(String, Seq[String])] // (segId, dropped names)
 
   private final case class SegEntry(name: String, seq: Option[Long],
-      rows: Option[Long], stats: Option[Map[String, ColStats]])
+      rows: Option[Long], stats: Option[Map[String, ColStats]],
+      bytes: Option[Long] = None)
   private final case class SegData(data: Seq[SegEntry], deletes: Seq[SegEntry])
 
   /** Inline entries (data + delete files) above which a commit folds
@@ -197,6 +208,7 @@ object ManifestTable {
     def entry(e: SegEntry): String =
       s"""{"f":${q(e.name)},"seq":${e.seq.map(_.toString).getOrElse("null")},""" +
         s""""rows":${e.rows.map(_.toString).getOrElse("null")},""" +
+        s""""bytes":${e.bytes.map(_.toString).getOrElse("null")},""" +
         s""""stats":${e.stats.map(statsObj).getOrElse("null")}}"""
     Files.writeString(segFile(path, id),
       s"""{"data":[${data.map(entry).mkString(",")}],""" +
@@ -217,7 +229,8 @@ object ManifestTable {
         SegEntry((o \ "f").extract[String],
           (o \ "seq").extractOpt[Long],
           (o \ "rows").extractOpt[Long],
-          (o \ "stats") match {
+          bytes = (o \ "bytes").extractOpt[Long],
+          stats = (o \ "stats") match {
             case JObject(cs) => Some(cs.collect {
               case (c, JArray(mn :: mx :: num :: rest)) =>
                 c -> ColStats(mn.extract[String], mx.extract[String],
@@ -254,7 +267,16 @@ object ManifestTable {
     }
   }
 
-  private def render(path: String, m: Manifest): String = {
+  private def render(path: String, m0r: Manifest): String = {
+    // record any missing per-file byte size HERE, once, at commit
+    // render: the only point every referenced file is guaranteed local
+    // and every commit path flows through. One stat per NEWLY-staged
+    // file (carried files arrive with their recorded sizes); a file the
+    // stat cannot reach stays absent and consumers fall back.
+    val m = m0r.copy(bytes = m0r.bytes ++
+      (m0r.files ++ m0r.deletes.map(_._1)).filterNot(m0r.bytes.contains)
+        .flatMap(f => scala.util.Try(
+          Files.size(dataDir(path).resolve(f))).toOption.map(f -> _)))
     val parentLayout: Layout =
       if (m.parent <= 0) Seq.empty else layoutOf(path, m.parent)
     val dataSet = m.files.toSet
@@ -284,9 +306,11 @@ object ManifestTable {
     if (inlineData.size + inlineDeletes.size >= SegSpillThreshold) {
       val id = writeSeg(path,
         inlineData.map(f =>
-          SegEntry(f, m.seqs.get(f), m.rows.get(f), m.stats.get(f))),
+          SegEntry(f, m.seqs.get(f), m.rows.get(f), m.stats.get(f),
+            m.bytes.get(f))),
         inlineDeletes.map { case (f, s) =>
-          SegEntry(f, Some(s), m.rows.get(f), m.deleteStats.get(f)) })
+          SegEntry(f, Some(s), m.rows.get(f), m.deleteStats.get(f),
+            m.bytes.get(f)) })
       refs += ((id, Seq.empty))
       inlineData = Seq.empty
       inlineDeletes = Seq.empty
@@ -317,6 +341,8 @@ object ManifestTable {
       s""""delete_stats":{${statsJson(m.deletes.map(_._1), m.deleteStats)}},""" +
       s""""rows":{${(m.files ++ m.deletes.map(_._1)).flatMap(f =>
         m.rows.get(f).map(n => q(f) + s":$n")).mkString(",")}},""" +
+      s""""bytes":{${(m.files ++ m.deletes.map(_._1)).flatMap(f =>
+        m.bytes.get(f).map(n => q(f) + s":$n")).mkString(",")}},""" +
       s""""constraints":[${m.constraints.map(q).mkString(",")}],""" +
       s""""data_change":${m.dataChange},""" +
       s""""generated":{${m.generated.map { case (c, e) =>
@@ -428,6 +454,11 @@ object ManifestTable {
       (j \ "dropped_cols") match {
         case JArray(ds) => ds.collect { case JString(c) => c }
         case _ => Seq.empty[String]
+      },
+      // absent in pre-bytes manifests → consumers stat the filesystem
+      bytes = (j \ "bytes") match {
+        case JObject(fs) => fs.collect { case (f, JInt(n)) => f -> n.toLong }.toMap
+        case _ => Map.empty[String, Long]
       })
     // segmented file lists: resolve referenced segments (immutable,
     // id-cached) and merge their live entries BEFORE the inline tail —
@@ -450,6 +481,7 @@ object ManifestTable {
       var sDelStats = Map.empty[String, Map[String, ColStats]]
       var sSeqs = Map.empty[String, Long]
       var sRows = Map.empty[String, Long]
+      var sBytes = Map.empty[String, Long]
       layout.foreach { case (id, drop) =>
         val sd = loadSeg(tablePath, id)
         val dropSet = drop.toSet
@@ -457,11 +489,13 @@ object ManifestTable {
           sFiles += e.name
           e.seq.foreach(s => sSeqs += e.name -> s)
           e.rows.foreach(r => sRows += e.name -> r)
+          e.bytes.foreach(b => sBytes += e.name -> b)
           e.stats.foreach(st => sStats += e.name -> st)
         }
         sd.deletes.filterNot(e => dropSet(e.name)).foreach { e =>
           sDeletes += ((e.name, e.seq.getOrElse(0L)))
           e.rows.foreach(r => sRows += e.name -> r)
+          e.bytes.foreach(b => sBytes += e.name -> b)
           e.stats.foreach(st => sDelStats += e.name -> st)
         }
       }
@@ -471,7 +505,8 @@ object ManifestTable {
         stats = sStats ++ m0.stats,
         deleteStats = sDelStats ++ m0.deleteStats,
         seqs = sSeqs ++ m0.seqs,
-        rows = sRows ++ m0.rows)
+        rows = sRows ++ m0.rows,
+        bytes = sBytes ++ m0.bytes)
     }
     if (parseCache.size > 65536) { parseCache.clear(); layoutCache.clear() }
     // layout BEFORE manifest: a parseCache hit must imply the layout is
@@ -611,7 +646,7 @@ object ManifestTable {
       val total = m.files.map(m.rows).sum
       val hidden = m.deletes.map { case (f, _) => m.rows(f) }.sum
       val live = math.max(0L, total - hidden)
-      val bytes = m.files.map(f => Files.size(dataDir(path).resolve(f))).sum
+      val bytes = m.files.map(f => sizeOf(path, m, f)).sum
       val liveBytes =
         if (total == 0) 0L else (bytes.toDouble * live / total).toLong
       Some((live, liveBytes))
@@ -634,7 +669,7 @@ object ManifestTable {
     if (thr <= 0) return df
     estimatedLive(path, Some(m.version)) match {
       case Some((_, liveBytes)) =>
-        val raw = m.files.map(f => Files.size(dataDir(path).resolve(f))).sum
+        val raw = m.files.map(f => sizeOf(path, m, f)).sum
         if (liveBytes <= thr && raw > thr) df.hint("broadcast") else df
       case None => df
     }
@@ -774,7 +809,7 @@ object ManifestTable {
       dirty.map(f => baseName(f) -> m.seqs.getOrElse(f, 0L)).toMap
     val withSeq = attachSeq(scan(dirty), seqByFile)
     val broadcastable = relevant.map { case (f, _) =>
-      Files.size(dataDir(path).resolve(f)) }.sum <=
+      sizeOf(path, m, f) }.sum <=
       math.max(0L, org.apache.spark.sql.graft.ColumnBridge
         .autoBroadcastThreshold(spark))
     // delete files may carry different key sets across merges: group by
@@ -910,10 +945,21 @@ object ManifestTable {
     m.rows
   }
 
+  /** Physical bytes of a file at a manifest: the RECORDED size when
+    * the manifest carries one (zero filesystem calls — on object
+    * storage a per-file stat is a HEAD request, and O(files) HEADs per
+    * planning decision is the 100 TB tax the recorded sizes remove),
+    * else one stat (legacy manifests). */
+  private def sizeOf(path: String, m: Manifest, f: String): Long =
+    m.bytes.getOrElse(f, Files.size(dataDir(path).resolve(f)))
+
   /** Physical bytes of the named data files (catalog/scan cost
-    * estimation — the same `data/` resolution every reader uses). */
-  def dataFileSizes(path: String, files: Seq[String]): Long =
-    files.map(f => Files.size(dataDir(path).resolve(f))).sum
+    * estimation — the same `data/` resolution every reader uses).
+    * Served from the latest manifest's recorded sizes where present. */
+  def dataFileSizes(path: String, files: Seq[String]): Long = {
+    val b = latest(path).map(_.bytes).getOrElse(Map.empty[String, Long])
+    files.map(f => b.getOrElse(f, Files.size(dataDir(path).resolve(f)))).sum
+  }
 
   /** [[readWhere]] with per-file BLOOM pruning stacked on the min/max
     * stats ([[BloomIndex]]): point predicates (Eq/In) additionally drop
@@ -1693,7 +1739,11 @@ object ManifestTable {
       renames = if (resetMapping) Map.empty
         else cur.map(_.renames).getOrElse(Map.empty),
       droppedCols = if (resetMapping) Seq.empty
-        else cur.map(_.droppedCols).getOrElse(Seq.empty))
+        else cur.map(_.droppedCols).getOrElse(Seq.empty),
+      // carried files keep their recorded sizes (no re-stat per commit);
+      // the NEW files' sizes are filled by render's one-stat-per-file
+      bytes = if (replace) Map.empty
+        else cur.map(_.bytes).getOrElse(Map.empty))
   }
 
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
@@ -2001,8 +2051,7 @@ object ManifestTable {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val df = read(spark, path, Some(base.version))
-    val bytes = base.files
-      .map(f => Files.size(dataDir(path).resolve(f))).sum
+    val bytes = base.files.map(f => sizeOf(path, base, f)).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // OPTIMIZE ... ZORDER BY: the rewrite doubles as a re-clustering
     // pass — freshly harvested per-file stats become selective on every
@@ -2033,7 +2082,8 @@ object ManifestTable {
           base.constraints, rows = footerRows(path, staged),
           mergeKeys = base.mergeKeys, dataChange = false,
           generated = base.generated, txns = base.txns,
-          renames = base.renames, droppedCols = base.droppedCols)))
+          renames = base.renames, droppedCols = base.droppedCols,
+      bytes = base.bytes)))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2106,14 +2156,14 @@ object ManifestTable {
     val scope0 = statsSurvivors(path, conds, Some(base.version))
     val scope = minFill match {
       case Some(fill) => scope0.filter(f =>
-        Files.size(dataDir(path).resolve(f)) < (targetBytes * fill).toLong)
+        sizeOf(path, base, f) < (targetBytes * fill).toLong)
       case None => scope0
     }
     if (scope.isEmpty || (minFill.isDefined && scope.size <= 1))
       return base.version
     val carried = base.files.filterNot(scope.toSet)
     val df = reconcile(spark, path, base, scope)
-    val bytes = scope.map(f => Files.size(dataDir(path).resolve(f))).sum
+    val bytes = scope.map(f => sizeOf(path, base, f)).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val declared =
       if (zorderBy.nonEmpty) Seq.empty
@@ -2137,7 +2187,8 @@ object ManifestTable {
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, dataChange = false,
       generated = base.generated, txns = base.txns,
-      renames = base.renames, droppedCols = base.droppedCols)
+      renames = base.renames, droppedCols = base.droppedCols,
+      bytes = base.bytes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
@@ -2155,7 +2206,7 @@ object ManifestTable {
       maxOverlap: Int = 4): Long = {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
-    val sized = base.files.map(f => f -> Files.size(dataDir(path).resolve(f)))
+    val sized = base.files.map(f => f -> sizeOf(path, base, f))
     val small = sized.filter(_._2 < (targetBytes * minFill).toLong).map(_._1)
     // curve-violation selection: with a zorder spec, a file whose stats
     // BOX overlaps more than `maxOverlap` other files on the z-dims has
@@ -2207,7 +2258,8 @@ object ManifestTable {
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, dataChange = false,
       generated = base.generated, txns = base.txns,
-      renames = base.renames, droppedCols = base.droppedCols)
+      renames = base.renames, droppedCols = base.droppedCols,
+      bytes = base.bytes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
@@ -2309,7 +2361,8 @@ object ManifestTable {
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, dataChange = false,
       generated = base.generated, txns = base.txns,
-      renames = base.renames, droppedCols = base.droppedCols)
+      renames = base.renames, droppedCols = base.droppedCols,
+      bytes = base.bytes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
@@ -2517,7 +2570,8 @@ object ManifestTable {
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = keyCols, generated = base.generated,
       txns = base.txns ++ appTxn,
-      renames = base.renames, droppedCols = base.droppedCols)
+      renames = base.renames, droppedCols = base.droppedCols,
+      bytes = base.bytes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
@@ -2625,7 +2679,8 @@ object ManifestTable {
         rows = base.rows ++ footerRows(path, staged ++ delFiles),
         mergeKeys = keyCols, generated = base.generated,
         txns = base.txns ++ appTxn,
-        renames = base.renames, droppedCols = base.droppedCols)
+        renames = base.renames, droppedCols = base.droppedCols,
+      bytes = base.bytes)
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
         next
@@ -2792,7 +2847,8 @@ object ManifestTable {
           .getOrElse(GraftCatalog.readDeclaredGenerated(Paths.get(path))),
         txns = base.map(_.txns).getOrElse(Map.empty),
         renames = base.map(_.renames).getOrElse(Map.empty),
-        droppedCols = base.map(_.droppedCols).getOrElse(Seq.empty))
+        droppedCols = base.map(_.droppedCols).getOrElse(Seq.empty),
+        bytes = base.map(_.bytes).getOrElse(Map.empty))
       Files.createDirectories(manifestDir(path))
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
@@ -3275,7 +3331,8 @@ object ManifestTable {
       base.deletes, base.constraints, deleteStats = base.deleteStats,
       rows = base.rows ++ footerRows(path, staged),
       mergeKeys = base.mergeKeys, generated = base.generated, txns = base.txns,
-      renames = base.renames, droppedCols = base.droppedCols)
+      renames = base.renames, droppedCols = base.droppedCols,
+      bytes = base.bytes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
@@ -3319,7 +3376,7 @@ object ManifestTable {
     import spark.implicits._
     val m = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
-    val sizeBytes = m.files.map(f => Files.size(dataDir(path).resolve(f))).sum
+    val sizeBytes = m.files.map(f => sizeOf(path, m, f)).sum
     val recorded = m.files.flatMap(m.rows.get).sum
     val live = estimatedLive(path).map(_._1).getOrElse(recorded)
     Seq((m.version, m.files.size, m.deletes.size, sizeBytes, recorded,
@@ -3354,7 +3411,7 @@ object ManifestTable {
     val m = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val under = m.files.count(f =>
-      Files.size(dataDir(path).resolve(f)) < (minFill * targetBytes).toLong)
+      sizeOf(path, m, f) < (minFill * targetBytes).toLong)
     val nDel = m.deletes.size
     val nExpired = math.max(0, versions(path).size - keepLast)
     def sidecarCols(dirName: String, suffix: String): Seq[String] = {
@@ -3460,7 +3517,8 @@ object ManifestTable {
       m.deleteStats.map { case (f, v) => abs(f) -> v },
       m.rows.map { case (f, v) => abs(f) -> v },
       m.mergeKeys, generated = m.generated, txns = m.txns,
-      renames = m.renames, droppedCols = m.droppedCols)
+      renames = m.renames, droppedCols = m.droppedCols,
+      bytes = m.bytes.map { case (f, v) => abs(f) -> v })
     publish(manifestDir(dst).resolve(f"v${1L}%08d.json"), render(dst, cm))
     // the breadcrumb the source's vacuum consults; written AFTER the
     // clone's manifest so a registered clone is always readable

@@ -1178,4 +1178,31 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(cdf.where(col("k") === 2L).count() == 2,
       "pre/postimage pair must survive redaction")
   }
+
+  test("manifests record per-file bytes; sizes answer without the files") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-bytes-")
+      .toString + "/t"
+    ManifestTable.overwrite(
+      (1 to 100).map(i => (i.toLong, s"s$i")).toDF("k", "s").repartition(3), t)
+    ManifestTable.append(
+      (101 to 120).map(i => (i.toLong, s"s$i")).toDF("k", "s"), t)
+    val m = ManifestTable.snapshotAt(t, None).get
+    assert(m.files.forall(m.bytes.contains),
+      "every committed file must carry a recorded size")
+    val truth = m.files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, "data", f))).sum
+    assert(m.files.map(m.bytes).sum == truth,
+      "recorded sizes must equal the on-disk truth")
+    // the gate: size questions answer with the data directory GONE —
+    // zero per-file filesystem calls on the planning path
+    val dataDir = java.nio.file.Paths.get(t, "data")
+    val hidden = java.nio.file.Paths.get(t, ".data-hidden")
+    java.nio.file.Files.move(dataDir, hidden)
+    try {
+      assert(ManifestTable.dataFileSizes(t, m.files) == truth)
+      // the maintenance planner's under-fill count also answers blind
+      assert(ManifestTable.maintenancePlan(spark, t).collect().nonEmpty)
+    } finally java.nio.file.Files.move(hidden, dataDir)
+  }
 }
