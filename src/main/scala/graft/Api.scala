@@ -458,7 +458,8 @@ object ApiServer {
               // "dims": ["a"], "measures": ["m"]}
               implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
               val j = JsonMethods.parse(body(ex))
-              val srcRes = (j \ "source").extract[String]
+              val srcRes = requireSegment("mv source",
+                (j \ "source").extract[String])
               val dims = (j \ "dims").extract[List[String]]
               val measures = (j \ "measures").extract[List[String]]
               require(dims.nonEmpty, "mv needs at least one dim")
@@ -484,8 +485,9 @@ object ApiServer {
               // zero-copy SHALLOW CLONE to another resource of the SAME
               // manifest warehouse: ?to=<resource> [&version=<v> clones
               // an older snapshot — a dev branch of last week's table]
-              val to = queryParams(ex).get("to").getOrElse(
-                throw new IllegalArgumentException("clone needs ?to=<resource>"))
+              val to = requireSegment("clone target",
+                queryParams(ex).get("to").getOrElse(throw
+                  new IllegalArgumentException("clone needs ?to=<resource>")))
               val v = graft.sources.ManifestTable.cloneShallow(
                 tablePath, s"${wh.baseDir}/$to",
                 queryParams(ex).get("version").map(_.toLong))
@@ -648,6 +650,18 @@ object ApiServer {
         "MERGE INTO from a registered origin (cow|mor)"),
       r("GET", "/table/{warehouse}/{resource}/changes",
         "bounded change-feed summary (?from=&to=&key=)")))))
+  }
+
+  /** A body- or query-supplied RESOURCE must be one plain path
+    * segment: route-path resources can never contain slashes (the
+    * router splits on them), but these fields could — and a value like
+    * `../../etc` would escape the warehouse directory, registering or
+    * probing arbitrary on-disk paths. Same segment rules as URLs. */
+  private def requireSegment(name: String, v: String): String = {
+    require(v.nonEmpty && !v.contains('/') && !v.contains('\\') &&
+      v != "." && v != "..",
+      s"$name must be a plain resource name (no path separators), got '$v'")
+    v
   }
 
   private def body(ex: HttpExchange): String =

@@ -230,10 +230,19 @@ object BloomIndex {
   /** Delete sidecars whose data file no longer exists (vacuumed) —
     * run after [[ManifestTable.vacuum]]. Returns names removed. */
   def vacuum(path: String): Seq[String] = {
+    val orphans = orphanSidecars(path, Set.empty)
+    orphans.foreach(n => Files.delete(indexDir(path).resolve(n)))
+    orphans
+  }
+
+  /** The sidecars [[vacuum]] would reap, plus those whose data file is
+    * in `dying` (about to be reaped) — the DRY RUN preview's view. */
+  private[sources] def orphanSidecars(path: String,
+      dying: Set[String]): Seq[String] = {
     val d = indexDir(path)
     if (!Files.isDirectory(d)) return Seq.empty
     val dataDir = Paths.get(path, "data")
-    val orphans = Using.resource(Files.list(d)) { st =>
+    Using.resource(Files.list(d)) { st =>
       st.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         // <dataFile>.<col>.bloom → dataFile is everything before the
@@ -242,11 +251,9 @@ object BloomIndex {
         val parts = n.split("\\.")
         parts.length >= 3 && {
           val dataFile = parts.dropRight(2).mkString(".")
-          !Files.exists(dataDir.resolve(dataFile))
+          dying.contains(dataFile) || !Files.exists(dataDir.resolve(dataFile))
         }
-      }.toSeq
+      }.map(_.getFileName.toString).toSeq
     }
-    orphans.foreach(Files.delete)
-    orphans.map(_.getFileName.toString)
   }
 }

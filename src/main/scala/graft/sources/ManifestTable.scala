@@ -2038,16 +2038,42 @@ object ManifestTable {
     }
   }
 
+  /** Run a compaction attempt, RETRYING from a fresh base when a
+    * concurrent commit claims the version first (the same optimistic
+    * loop merge commits run): each attempt re-reads the head, re-plans
+    * its scope against it, re-stages, and tries the next slot — never
+    * clobbering the winner's rows; the loser's staged files are
+    * abandoned for vacuum. Attempts are bounded small because each one
+    * re-stages data (unlike a metadata-only merge retry). */
+  private def retryCompaction(what: String)(attempt: () => Option[Long]): Long = {
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      attempt() match {
+        case Some(v) => return v
+        case None => () // lost the slot race: re-plan against the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention in $what: gave up after $attempts attempts")
+  }
+
   /** OPTIMIZE: rewrite the CURRENT version's rows into ~targetBytes
     * files and commit the compacted file set as a new version — old
     * versions keep their files, so time travel is intact (vacuum after
-    * retention reclaims them). Conflict-checked: if any commit lands
-    * between reading the base version and publishing, this THROWS rather
-    * than silently dropping the concurrent writer's files — the caller
-    * retries (Delta's OPTIMIZE conflict rule). */
+    * retention reclaims them). Conflict-safe: if any commit lands
+    * between reading the base version and publishing, the attempt is
+    * abandoned (never clobbering the concurrent writer's files) and the
+    * compaction re-plans against the new head — Delta's OPTIMIZE
+    * conflict rule, with the retry lifted into the operation. */
   def compactCommit(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Seq.empty): Long = {
+      zorderBy: Seq[String] = Seq.empty): Long =
+    retryCompaction("compaction")(() => compactCommitOnce(
+      spark, path, targetBytes, zorderBy))
+
+  private def compactCommitOnce(spark: SparkSession, path: String,
+      targetBytes: Long, zorderBy: Seq[String]): Option[Long] = {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val df = read(spark, path, Some(base.version))
@@ -2084,13 +2110,12 @@ object ManifestTable {
           generated = base.generated, txns = base.txns,
           renames = base.renames, droppedCols = base.droppedCols,
       bytes = base.bytes)))
-      next
+      Some(next)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // a concurrent commit won v<next>: abandon our staged files
-        // (vacuum reclaims them) instead of clobbering the winner's rows
-        throw new IllegalStateException(
-          s"concurrent commit during compaction of v${base.version}; retry")
+        // (vacuum reclaims them) and re-plan against the new head
+        None
     }
   }
 
@@ -2122,7 +2147,13 @@ object ManifestTable {
       conds: Seq[graft.conditions.Condition],
       targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty,
-      minFill: Option[Double] = None): Long = {
+      minFill: Option[Double] = None): Long =
+    retryCompaction("scoped compaction")(() => compactWhereOnce(
+      spark, path, conds, targetBytes, zorderBy, minFill))
+
+  private def compactWhereOnce(spark: SparkSession, path: String,
+      conds: Seq[graft.conditions.Condition], targetBytes: Long,
+      zorderBy: Seq[String], minFill: Option[Double]): Option[Long] = {
     require(conds.nonEmpty, "compactWhere needs at least one condition " +
       "(use compactCommit for the whole table)")
     // a predicate on a column the table does not carry matches EVERY
@@ -2160,7 +2191,7 @@ object ManifestTable {
       case None => scope0
     }
     if (scope.isEmpty || (minFill.isDefined && scope.size <= 1))
-      return base.version
+      return Some(base.version)
     val carried = base.files.filterNot(scope.toSet)
     val df = reconcile(spark, path, base, scope)
     val bytes = scope.map(f => sizeOf(path, base, f)).sum
@@ -2191,11 +2222,9 @@ object ManifestTable {
       bytes = base.bytes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
-      next
+      Some(next)
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit during scoped compaction of v${base.version}; retry")
+      case _: java.nio.file.FileAlreadyExistsException => None
     }
   }
 
@@ -2203,7 +2232,13 @@ object ManifestTable {
       targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty,
       minFill: Double = 0.5,
-      maxOverlap: Int = 4): Long = {
+      maxOverlap: Int = 4): Long =
+    retryCompaction("incremental compaction")(() => compactIncrementalOnce(
+      spark, path, targetBytes, zorderBy, minFill, maxOverlap))
+
+  private def compactIncrementalOnce(spark: SparkSession, path: String,
+      targetBytes: Long, zorderBy: Seq[String], minFill: Double,
+      maxOverlap: Int): Option[Long] = {
     val base = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val sized = base.files.map(f => f -> sizeOf(path, base, f))
@@ -2238,7 +2273,7 @@ object ManifestTable {
     // re-laying it along the curve splits it into z-range pieces whose
     // boxes are small, restoring pruning without touching its neighbors
     if (toFold.size <= 1 && violating.isEmpty)
-      return base.version // nothing worth folding
+      return Some(base.version) // nothing worth folding
     val carried = base.files.filterNot(toFold.toSet)
     val df = reconcile(spark, path, base, toFold)
     val bytes = sized.filter(p => toFold.contains(p._1)).map(_._2).sum
@@ -2262,12 +2297,9 @@ object ManifestTable {
       bytes = base.bytes)
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
-      next
+      Some(next)
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit during incremental compaction of " +
-            s"v${base.version}; retry")
+      case _: java.nio.file.FileAlreadyExistsException => None
     }
   }
 
@@ -3599,20 +3631,59 @@ object ManifestTable {
       sweepPreview(path, vs.takeRight(keepLast), vacuumMinAgeMs))
   }
 
-  /** The files a sweep would reap once only `kept` versions remain. */
+  /** EVERYTHING the sweep would reap once only `kept` versions remain —
+    * data-dir orphans, version-keyed CDF files, orphaned segment files,
+    * and bloom/trigram sidecars, enumerated with the SAME rules
+    * [[vacuum]] applies, so a DRY RUN's deleted_files never under-
+    * reports the real sweep. Touches nothing. */
   private def sweepPreview(path: String, kept: Seq[Long],
       vacuumMinAgeMs: Long): Seq[String] = {
     val live = kept.map(manifestAt(path, _))
       .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet ++
       cloneRetained(path, gc = false) // preview touches NOTHING
-    if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - vacuumMinAgeMs
-    Using.resource(Files.list(dataDir(path))) { st =>
-      st.iterator().asScala
-        .filter(p => !live.contains(p.getFileName.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .map(_.getFileName.toString).toSeq
-    }
+    def aged(p: Path): Boolean = Files.getLastModifiedTime(p).toMillis <= cutoff
+    val dataOrphans =
+      if (!Files.isDirectory(dataDir(path))) Seq.empty[String]
+      else Using.resource(Files.list(dataDir(path))) { st =>
+        st.iterator().asScala
+          .filter(p => !live.contains(p.getFileName.toString))
+          .filter(aged).map(_.getFileName.toString).toSeq
+      }
+    // version-keyed CDF files of versions that will NOT survive, plus
+    // aged-out crashed materialization stages — vacuum's exact rule
+    val keptSet = kept.toSet
+    val cdfDir = Paths.get(path, "_change_data")
+    val cdfOrphans =
+      if (!Files.isDirectory(cdfDir)) Seq.empty[String]
+      else Using.resource(Files.list(cdfDir)) { st =>
+        st.iterator().asScala.filter { p =>
+          val nm = p.getFileName.toString
+          val expired = nm.startsWith("v") && nm.endsWith(".parquet") &&
+            nm.stripPrefix("v").stripSuffix(".parquet").toLongOption
+              .exists(v => !keptSet.contains(v))
+          (expired || nm.startsWith(".cdf-stage-")) && aged(p)
+        }.map(_.getFileName.toString).toSeq
+      }
+    // segment files referenced by NO surviving manifest
+    val segOrphans =
+      if (!Files.isDirectory(manifestDir(path))) Seq.empty[String]
+      else {
+        val referenced = kept.flatMap(v => layoutOf(path, v)).map(_._1).toSet
+        Using.resource(Files.list(manifestDir(path))) { st =>
+          st.iterator().asScala.filter { p =>
+            val nm = p.getFileName.toString
+            nm.startsWith("seg-") && nm.endsWith(".json") &&
+              !referenced.contains(
+                nm.stripPrefix("seg-").stripSuffix(".json")) && aged(p)
+          }.map(_.getFileName.toString).toSeq
+        }
+      }
+    // sidecars of data files that are already gone or about to be
+    val dying = dataOrphans.toSet
+    dataOrphans ++ cdfOrphans ++ segOrphans ++
+      BloomIndex.orphanSidecars(path, dying) ++
+      TrigramIndex.orphanSidecars(path, dying)
   }
 
   /** TIME-BASED retention (Delta's `RETAIN n HOURS` model): expire every

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 class CompactionSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("compaction conflict: a commit landing mid-rewrite makes it throw, not clobber") {
+  test("compaction conflict: a commit landing mid-rewrite retries and " +
+      "converges, never clobbering the winner") {
     import graft.conditions.{Condition, Op}
     import graft.sources.ManifestTable
     val path = Files.createTempDirectory("graft-cc-").toString + "/t"
@@ -19,26 +20,35 @@ class CompactionSpec extends SparkSpecBase {
     // claim the next version out from under the compactor with a VALID
     // manifest (the current one's content under the next name) — the
     // exact stale-read race: the compactor's base says version N, a
-    // contender already owns N+1, and publish is create-exclusive
-    val next = ManifestTable.latestVersion(path) + 1
+    // contender already owns N+1, and publish is create-exclusive. The
+    // compaction must lose THAT slot, re-plan against the contender's
+    // head, and land at N+2 — no caller intervention, winner intact.
     val mdir = java.nio.file.Paths.get(path, "_manifests")
+    // a realistic contender: the previous content re-committed under the
+    // next slot, with the version field matching its slot
+    def steal(): Long = {
+      val v = ManifestTable.latestVersion(path) + 1
+      java.nio.file.Files.writeString(mdir.resolve(f"v$v%08d.json"),
+        java.nio.file.Files.readString(mdir.resolve(f"v${v - 1}%08d.json"))
+          .replaceFirst("\"version\":\\d+", s""""version":$v"""))
+      v
+    }
+    val next = steal()
     val stolen = mdir.resolve(f"v$next%08d.json")
-    java.nio.file.Files.writeString(stolen,
-      java.nio.file.Files.readString(mdir.resolve(f"v${next - 1}%08d.json")))
-    try {
-      for (attempt <- Seq(
-          () => ManifestTable.compactCommit(spark, path),
-          () => ManifestTable.compactWhere(spark, path,
-            Seq(Condition("g", Op.Eq, 1L))),
-          () => ManifestTable.compactIncremental(spark, path,
-            targetBytes = 20000))) {
-        val e = intercept[IllegalStateException] { attempt() }
-        assert(e.getMessage.contains("concurrent commit"), e.getMessage)
-      }
-    } finally java.nio.file.Files.delete(stolen)
-    // with the contender gone, the same compactions succeed
+    val stolenContent = java.nio.file.Files.readString(stolen)
     assert(ManifestTable.compactWhere(spark, path,
-      Seq(Condition("g", Op.Eq, 1L))) == next)
+      Seq(Condition("g", Op.Eq, 1L))) == next + 1,
+      "the scoped compaction must converge one past the contender")
+    assert(java.nio.file.Files.readString(stolen) == stolenContent,
+      "the contender's manifest must survive byte-identical")
+    assert(ManifestTable.read(spark, path).count() == 300L)
+    // the other two compaction forms converge the same way
+    val s2v = steal()
+    assert(ManifestTable.compactIncremental(spark, path,
+      targetBytes = 20000) >= s2v)
+    steal()
+    val vEnd = ManifestTable.compactCommit(spark, path)
+    assert(vEnd == ManifestTable.latestVersion(path))
     assert(ManifestTable.read(spark, path).count() == 300L)
   }
 
