@@ -3358,6 +3358,128 @@ object SparkEntry {
         GROUP BY event_type""")
     }),
 
+    "q174_wap" -> ((s, dir) => {
+      // WRITE-AUDIT-PUBLISH — the 100 TB ingest shape (Iceberg wap.id /
+      // Netflix WAP): a batch STAGES against the table (files land,
+      // constraints enforce) while every reader keeps the pre-batch
+      // snapshot; audits run on the as-if-published view; a good batch
+      // PUBLISHES in one conflict-retried idempotent commit; a bad one
+      // ABORTS without a single downstream consumer ever seeing it.
+      // Gates: staged invisibility (count + version pinned), audit over
+      // readWap, junk-batch abort, zero-age vacuum sweeping ONLY the
+      // aborted files, and the final published rollup under the oracle.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q174-")
+        .toString + "/t"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("price"))
+      ManifestTable.overwrite(orders.where(col("k") % 2 === 0), base)
+      val mainCount = ManifestTable.read(s, base).count()
+      val v0 = ManifestTable.latestVersion(base)
+      // stage the day's batch: odd keys
+      ManifestTable.stageWap(orders.where(col("k") % 2 === 1), base, "day-1")
+      require(ManifestTable.read(s, base).count() == mainCount &&
+        ManifestTable.latestVersion(base) == v0,
+        "a staged batch must be invisible to readers")
+      // audit on the as-if-published view
+      val audit = ManifestTable.readWap(s, base, "day-1")
+      val total = audit.count()
+      require(total > mainCount, "audit view must include the batch")
+      require(audit.where(col("price") <= 0).count() == 0,
+        "audit: no non-positive prices may enter")
+      // a junk batch fails its audit and aborts unpublished
+      ManifestTable.stageWap(
+        orders.where(col("k") % 2 === 1).limit(50)
+          .withColumn("price", -col("price")), base, "day-2-junk")
+      require(ManifestTable.readWap(s, base, "day-2-junk")
+        .where(col("price") <= 0).count() > 0, "junk must fail its audit")
+      val junk = ManifestTable.abortWap(base, "day-2-junk")
+      // publish the good batch; sweep reclaims EXACTLY the junk
+      require(ManifestTable.publishWap(base, "day-1") == v0 + 1,
+        "publish must land one commit")
+      val swept = ManifestTable.vacuum(base, minAgeMs = 0L)
+      require(junk.toSet.subsetOf(swept.toSet),
+        "aborted junk must sweep once unreferenced")
+      val live = ManifestTable.read(s, base)
+      require(live.count() == total, "published table must be the audit view")
+      live.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), decSum(col("price")).as("revenue"))
+    }),
+
+    "q173_decimal_skipping" -> ((s, dir) => {
+      // DECIMAL-STATS FILE SKIPPING — money columns are the third
+      // predicate real pipelines cut on (after time and keys): DECIMAL
+      // footer bounds (unscaled-int parquet stats rescaled to EXACT
+      // plain-decimal strings — never a double round-trip, so a bound
+      // within half a ULP of a literal can't mis-prune) ride the
+      // manifest like q170's dates and q172's timestamps. Three legs:
+      // (1) pruneCount: a price band over a price-clustered table
+      //     survives ×4 fewer files than total;
+      // (2) scoped `OPTIMIZE … WHERE price >= 90000.00` through the SQL
+      //     door rewrites only the expensive tail, carrying the rest;
+      // (3) metadata MIN/MAX/COUNT of the DECIMAL column answers with
+      //     the data directory MOVED ASIDE.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q173-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("""CREATE TABLE graft.li (l_orderkey BIGINT,
+                price DECIMAL(12,2), qty DOUBLE)""")
+      val path = s"$wh/li"
+      val li = Tables(s2, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_quantity").cast("double").as("qty"))
+      ManifestTable.overwrite(li.repartitionByRange(16, col("price")), path)
+      val conds = Seq(
+        Condition("price", Op.Gte, new java.math.BigDecimal("30000.00")),
+        Condition("price", Op.Lt, new java.math.BigDecimal("40000.00")))
+      val (scanned, total) = ManifestTable.pruneCount(path, conds)
+      require(scanned * 4 < total,
+        s"decimal band must prune files: $scanned of $total survive")
+      // leg 2: scoped compaction of the expensive tail only
+      val before = ManifestTable.snapshotAt(path, None).get
+      val tail = Seq(Condition("price", Op.Gte,
+        new java.math.BigDecimal("90000.00")))
+      val scope = ManifestTable.statsSurvivors(path, tail).toSet
+      require(scope.nonEmpty && scope.size * 4 < total,
+        s"the expensive tail must be a minority scope: ${scope.size} of $total")
+      s2.sql("OPTIMIZE graft.li WHERE price >= 90000.00")
+      val after = ManifestTable.snapshotAt(path, None).get
+      require(after.version == before.version + 1 && !after.dataChange,
+        "scoped OPTIMIZE must land one dataChange=false commit")
+      val carried = before.files.filterNot(scope)
+      require(carried.forall(after.files.contains),
+        "out-of-scope files must carry untouched")
+      require(scope.forall(f => !after.files.contains(f)),
+        "in-scope files must be rewritten")
+      // leg 3: decimal MIN/MAX + count from metadata alone
+      val meta = s2.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
+        min(price) AS min_price, max(price) AS max_price FROM graft.li""")
+      val dataDir = java.nio.file.Paths.get(s"$path/data")
+      val hiddenD = java.nio.file.Paths.get(s"$path/.data-hidden")
+      java.nio.file.Files.move(dataDir, hiddenD)
+      val blind =
+        try meta.collect().toSeq
+        finally java.nio.file.Files.move(hiddenD, dataDir)
+      require(blind == meta.collect().toSeq,
+        "decimal MIN/MAX/COUNT must answer from the manifest alone")
+      // the banded rollup reads through the catalog scan (file pruning
+      // + residual exactness) and goes under the oracle
+      s2.sql(s"""SELECT CAST(floor(CAST(price AS DOUBLE) / 1000) AS BIGINT)
+            AS band,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(price) AS DOUBLE) AS revenue,
+          CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM graft.li
+        WHERE price >= 30000.00 AND price < 40000.00
+        GROUP BY 1""")
+    }),
+
     "q170_date_skipping" -> ((s, dir) => {
       // DATE-STATS FILE SKIPPING — the canonical 100 TB scope: orders
       // committed range-clustered on a DATE column carry per-file
@@ -10192,6 +10314,23 @@ object SparkEntry {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
            AND ts < TIMESTAMP '2024-01-05 00:00:00'
+         GROUP BY 1""",
+    // q174: the published table is the full orders set — staging,
+    // audit, the junk abort and the sweep must all be invisible
+    "q174_wap" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q173: the pruned price-band rollup — decimal pruning, the scoped
+    // optimize and the metadata answers must all be invisible
+    "q173_decimal_skipping" ->
+      """SELECT CAST(floor(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) / 1000) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+         FROM lineitem
+         WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 30000.00
+           AND CAST(l_extendedprice AS DECIMAL(12,2)) < 40000.00
          GROUP BY 1""",
     // q170: the pruned window rollup — pruning must be invisible
     "q170_date_skipping" ->

@@ -650,6 +650,11 @@ object GraftCatalog {
         java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
           (Math.floorMod(us, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
+      case d: DecimalType =>
+        // manifest DECIMAL bounds are exact plain strings at the file's
+        // write scale; re-scale to the column's declared scale (always
+        // widening — the bound came from files of this column)
+        new java.math.BigDecimal(s).setScale(d.scale)
       case other => throw new IllegalStateException(s"$other")
     }
   }
@@ -657,6 +662,7 @@ object GraftCatalog {
   /** Ordering over [[parseStatBound]] outputs (0 = incomparable forms,
     * callers treat equal-compare conservatively). */
   private[sources] def cmpStatValue(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case (x: Int, y: Int) => x.compareTo(y)
     case (x: Long, y: Long) => x.compareTo(y)
     case (x: Float, y: Float) => x.compareTo(y)
@@ -1143,10 +1149,13 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
     if (!m.files.forall(m.rows.contains)) return None
     if (agg.groupByExpressions.nonEmpty)
       return computeGroupedMetaAgg(agg, m)
-    val statTypes: Set[DataType] =
-      Set(IntegerType, LongType, FloatType, DoubleType, StringType,
-        DateType, // DATE bounds ride the manifest as epoch days
-        TimestampType, TimestampNTZType) // TIMESTAMP bounds: epoch micros
+    val statTypes: DataType => Boolean = {
+      case IntegerType | LongType | FloatType | DoubleType | StringType
+         | DateType // DATE bounds ride the manifest as epoch days
+         | TimestampType | TimestampNTZType // TIMESTAMP: epoch micros
+         | _: DecimalType => true // DECIMAL: exact plain-decimal strings
+      case _ => false
+    }
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -1216,9 +1225,12 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
     val layout = GraftCatalog.readDeclaredLayout(java.nio.file.Paths.get(path))
     val idCols = layout.collect { case GraftCatalog.IdentityPart(c) => c }
     if (gcols.isEmpty || !gcols.forall(idCols.contains)) return None
-    val statTypes: Set[DataType] =
-      Set(IntegerType, LongType, FloatType, DoubleType, StringType,
-        DateType, TimestampType, TimestampNTZType)
+    val statTypes: DataType => Boolean = {
+      case IntegerType | LongType | FloatType | DoubleType | StringType
+         | DateType | TimestampType | TimestampNTZType
+         | _: DecimalType => true
+      case _ => false
+    }
     def fieldOf(c: String): Option[StructField] =
       fullSchema.fields.find(_.name == c).filter(f => statTypes(f.dataType))
     val parse = GraftCatalog.parseStatBound _

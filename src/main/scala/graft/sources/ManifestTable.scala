@@ -1016,7 +1016,13 @@ object ManifestTable {
       conds: Seq[graft.conditions.Condition]): Boolean = conds.forall { c =>
     stats.flatMap(_.get(c.field)).forall { st =>
       def cv(v: Any): Option[Any] =
-        if (st.numeric) numValueU(v, st.unit).map(d => d: Number)
+        if (st.numeric) v match {
+          // decimal predicates stay exact — cmpStat compares BigDecimal
+          case bd: java.math.BigDecimal if st.unit.isEmpty => Some(bd)
+          case bd: scala.math.BigDecimal if st.unit.isEmpty =>
+            Some(bd.bigDecimal)
+          case _ => numValueU(v, st.unit).map(d => d: Number)
+        }
         else v match {
           case s: String => Some(s)
           case _ => None
@@ -1111,11 +1117,36 @@ object ManifestTable {
     }
 
   /** compare a stored stat bound against a predicate value: <0 means
-    * stat < value. Unparseable numerics stay conservative (0 = overlap). */
+    * stat < value. Unparseable numerics stay conservative (0 = overlap).
+    * Numeric compares go through EXACT BigDecimal arithmetic: decimal
+    * bounds can sit within half a double-ULP of a predicate value, and
+    * a round-to-nearest double compare there prunes a file that matches
+    * (e.g. min = 99.99999999999999999, predicate < 100 — both round to
+    * 100.0, the strict compare fails, the file wrongly drops). Every
+    * stored bound form is BigDecimal-parseable except float NaN /
+    * Infinity strings, which keep the old double compare. */
   private def cmpStat(stat: String, value: Any, numeric: Boolean): Int =
-    if (numeric) (stat.toDoubleOption, numValue(value)) match {
-      case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
-      case _ => 0
+    if (numeric) {
+      val sv = scala.util.Try(new java.math.BigDecimal(stat)).toOption
+      val vv: Option[java.math.BigDecimal] = value match {
+        case bd: java.math.BigDecimal => Some(bd)
+        case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
+        case n: Number =>
+          scala.util.Try(new java.math.BigDecimal(n.toString)).toOption
+        // stat-vs-stat compares (delete/data overlap) and SQL-door
+        // literals arrive as strings; ISO dates fail the parse and keep
+        // numValue's day normalization below
+        case s: String =>
+          scala.util.Try(new java.math.BigDecimal(s.trim)).toOption
+        case _ => None
+      }
+      (sv, vv) match {
+        case (Some(a), Some(b)) => a.compareTo(b)
+        case _ => (stat.toDoubleOption, numValue(value)) match {
+          case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+          case _ => 0
+        }
+      }
     }
     else cmpUtf8(stat, value.toString)
 
@@ -1403,14 +1434,34 @@ object ManifestTable {
     * builder conf so USER sessions writing through the catalog get the
     * invariant too; staging runs driver-side, so the window is scoped
     * to this write. */
+  private val microsPins =
+    new java.util.HashMap[SparkSession, (Int, Option[String])]()
+
   private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    // REFERENCE-COUNTED pin, not naive set-and-restore: one session can
+    // run CONCURRENT graft writes (a streaming sink's micro-batch
+    // commits while a foreground write stages), and interleaved
+    // restores would capture the pinned value as "previous" and leave
+    // the session conf permanently switched. The first pin captures the
+    // caller's value; the last unpin restores it; overlapping writes
+    // all want MICROS anyway.
+    microsPins.synchronized {
+      val cur = Option(microsPins.get(spark))
+      val orig = cur.map(_._2).getOrElse(spark.conf.getOption(key))
+      microsPins.put(spark, (cur.map(_._1).getOrElse(0) + 1, orig))
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+    }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally microsPins.synchronized {
+      val (n, orig) = microsPins.get(spark)
+      if (n == 1) {
+        microsPins.remove(spark)
+        orig match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else microsPins.put(spark, (n - 1, orig))
     }
   }
 
@@ -1564,7 +1615,7 @@ object ManifestTable {
         // per-column: (numeric?, micros multiplier for TIMESTAMP bounds,
         // canonical-unit tag persisted alongside the bound)
         final case class StatKind(numeric: Boolean, mult: Long,
-          unit: Option[String])
+          unit: Option[String], decScale: Option[Int] = None)
         val eligible: Map[String, StatKind] = schema.getFields.asScala.collect {
           case f if f.isPrimitive =>
             val pt = f.asPrimitiveType()
@@ -1601,10 +1652,25 @@ object ManifestTable {
             }
             val stringOk = prim == BINARY &&
               ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            // DECIMAL = unscaled int (INT32/INT64 for p<=18, byte arrays
+            // above): footer bounds rescale to EXACT plain-decimal
+            // strings — money columns (the other predicate real
+            // pipelines cut on) prune files without the half-ULP
+            // unsoundness a double round-trip would smuggle in (all
+            // numeric stat compares go through BigDecimal, see cmpStat)
+            val decScale: Option[Int] = ann match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+                  if prim == INT32 || prim == INT64 || prim == BINARY ||
+                     prim == FIXED_LEN_BYTE_ARRAY =>
+                Some(d.getScale)
+              case _ => None
+            }
             if (numericOk || dateOk)
               Some(f.getName -> StatKind(numeric = true, 1L, None))
             else if (tsMult.isDefined)
               Some(f.getName -> StatKind(numeric = true, tsMult.get, Some("us")))
+            else if (decScale.isDefined)
+              Some(f.getName -> StatKind(numeric = true, 1L, None, decScale))
             else if (stringOk)
               Some(f.getName -> StatKind(numeric = false, 1L, None))
             else None
@@ -1621,9 +1687,13 @@ object ManifestTable {
               val st = chunk.getStatistics
               if (st != null && st.hasNonNullValue) {
                 present += cname
-                val mult = eligible(cname).mult
-                val mn = statValue(st.genericGetMin, mult)
-                val mx = statValue(st.genericGetMax, mult)
+                val kind = eligible(cname)
+                def decode(v: Any): Any = kind.decScale match {
+                  case Some(sc) => decimalValue(v, sc)
+                  case None => statValue(v, kind.mult)
+                }
+                val mn = decode(st.genericGetMin)
+                val mx = decode(st.genericGetMax)
                 acc.get(cname) match {
                   case Some((curMn, curMx)) =>
                     acc(cname) = (
@@ -1640,10 +1710,28 @@ object ManifestTable {
         name -> complete.map { c =>
           val (mn, mx) = acc(c)
           val k = eligible(c)
-          c -> ColStats(mn.toString, mx.toString, k.numeric, k.unit)
+          // decimals render toPlainString (no E-notation: the bound must
+          // re-parse exactly wherever the manifest is read)
+          def render(v: Any): String = v match {
+            case d: java.math.BigDecimal => d.toPlainString
+            case other => other.toString
+          }
+          c -> ColStats(render(mn), render(mx), k.numeric, k.unit)
         }.toMap
       } finally r.close()
     }.toMap
+  }
+
+  /** A parquet DECIMAL footer bound (unscaled int / two's-complement
+    * byte array) rescaled to its exact decimal value. */
+  private def decimalValue(v: Any, scale: Int): Any = v match {
+    case n: java.lang.Integer =>
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(n.longValue()), scale)
+    case n: java.lang.Long =>
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(n.longValue()), scale)
+    case b: org.apache.parquet.io.api.Binary =>
+      new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), scale)
+    case other => other
   }
 
   private def statValue(v: Any, mult: Long = 1L): Any = v match {
@@ -1654,6 +1742,7 @@ object ManifestTable {
   }
 
   private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case (x: Number, y: Number) =>
       java.math.BigDecimal.valueOf(x.doubleValue())
         .compareTo(java.math.BigDecimal.valueOf(y.doubleValue()))
@@ -3640,7 +3729,8 @@ object ManifestTable {
       vacuumMinAgeMs: Long): Seq[String] = {
     val live = kept.map(manifestAt(path, _))
       .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet ++
-      cloneRetained(path, gc = false) // preview touches NOTHING
+      cloneRetained(path, gc = false) ++ // preview touches NOTHING
+      wapRetained(path)
     val cutoff = System.currentTimeMillis() - vacuumMinAgeMs
     def aged(p: Path): Boolean = Files.getLastModifiedTime(p).toMillis <= cutoff
     val dataOrphans =
@@ -3716,6 +3806,147 @@ object ManifestTable {
     * unreferenced until its manifest publishes, so only files older than
     * the window are eligible (pass 0 only when no writer can be active).
     * Returns the deleted names. */
+  // ── WRITE-AUDIT-PUBLISH ───────────────────────────────────────────
+  // The WAP staging pattern (Iceberg's wap.id, Netflix write-audit-
+  // publish): a pipeline STAGES a batch against the table — data files
+  // land in the data dir and CHECK constraints / generated columns
+  // enforce exactly as a commit would — but the version chain does not
+  // move, so every reader, stream, MV and clone keeps seeing the
+  // pre-batch table. The staged batch is readable AS IF published
+  // ([[readWap]]) for audit queries; [[publishWap]] adopts the staged
+  // files in ONE normal commit (conflict-retried against concurrent
+  // writers, idempotent via its commit id); [[abortWap]] releases them
+  // to the age-gated vacuum. Staged docs live at `_wap/<id>.json`
+  // OUTSIDE the `_manifests` version chain — version resolution,
+  // streaming offsets, CDF, time travel and every optimistic-commit
+  // loop are untouched by construction — and [[vacuum]] + both DRY RUN
+  // previews RETAIN doc-referenced files like clone breadcrumbs, so a
+  // staged batch can never be swept mid-audit. At 100 TB this is the
+  // ingest shape that makes bad batches FREE to reject: audit reads
+  // prune on the staged files' footer stats like any other read, and a
+  // rejected day of data never perturbs a single downstream consumer.
+  private def wapDir(path: String): Path = Paths.get(path, "_wap")
+
+  private def wapDoc(path: String, wapId: String): Path = {
+    require(wapId.nonEmpty && !wapId.contains('/') &&
+      !wapId.contains('\\') && wapId != "." && wapId != "..",
+      s"invalid wap id: '$wapId'")
+    wapDir(path).resolve(s"$wapId.json")
+  }
+
+  /** Stage df as WAP batch `wapId`: files land (constraints enforced,
+    * declared layouts honored), NO version commits. Returns the staged
+    * file names. One staged batch per id — a second stage under a live
+    * id refuses loudly (publish or abort first). */
+  def stageWap(df: DataFrame, path: String, wapId: String): Seq[String] = {
+    val head = latest(path).getOrElse(throw new IllegalStateException(
+      s"no committed version at $path - commit the table before staging"))
+    val doc = wapDoc(path, wapId)
+    require(!Files.exists(doc),
+      s"wap id '$wapId' is already staged at $path - publish or abort it")
+    val staged = stage(df, path)
+    Files.createDirectories(wapDir(path))
+    val json = s"""{"wapId":${q(wapId)},"parent":${head.version},""" +
+      s""""files":[${staged.map(q).mkString(",")}]}"""
+    try publish(doc, json)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      // lost a same-id race: our files are provably unreferenced
+      staged.foreach(f => Files.deleteIfExists(dataDir(path).resolve(f)))
+      throw new IllegalStateException(
+        s"wap id '$wapId' is already staged at $path - publish or abort it")
+    }
+    staged
+  }
+
+  /** The staged file names of one WAP doc (loud when absent). */
+  private def wapFiles(path: String, wapId: String): Seq[String] = {
+    val doc = wapDoc(path, wapId)
+    require(Files.exists(doc), s"no staged wap batch '$wapId' at $path")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    (JsonMethods.parse(Files.readString(doc)) \ "files") match {
+      case JArray(fs) => fs.map(_.extract[String])
+      case _ => Seq.empty
+    }
+  }
+
+  /** Staged-but-unpublished WAP ids at a table (operator visibility). */
+  def stagedWaps(path: String): Seq[String] = {
+    val d = wapDir(path)
+    if (!Files.isDirectory(d)) return Seq.empty
+    Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.endsWith(".json") => s.stripSuffix(".json") }
+        .toSeq.sorted
+    }
+  }
+
+  /** The table AS IF batch `wapId` were published: current head plus
+    * the staged files, through the one shared read path (schema merge,
+    * column mapping, MoR reconcile — staged rows ride ABOVE the head's
+    * delete ledger, as they would after publish). This is the audit
+    * query's input. */
+  def readWap(spark: SparkSession, path: String, wapId: String): DataFrame = {
+    val head = latest(path).getOrElse(throw new IllegalStateException(
+      s"no committed version at $path"))
+    val staged = wapFiles(path, wapId)
+    val synth = head.copy(
+      files = head.files ++ staged,
+      seqs = head.seqs ++ staged.map(_ -> (head.version + 1)).toMap,
+      stats = head.stats ++ footerStats(path, staged),
+      rows = head.rows ++ footerRows(path, staged))
+    reconcile(spark, path, synth, synth.files)
+  }
+
+  /** Adopt batch `wapId`'s staged files in one normal append commit and
+    * drop the doc. Concurrent-writer safe (the commit loop retries on
+    * top of whatever landed meanwhile) and idempotent: a crash between
+    * the commit and the doc removal replays to the SAME version via the
+    * commit id. Returns the published version. */
+  def publishWap(path: String, wapId: String): Long = {
+    val staged = wapFiles(path, wapId)
+    val v = commit(path, staged, replace = false, Some(s"wap:$wapId"))
+    Files.deleteIfExists(wapDoc(path, wapId))
+    v
+  }
+
+  /** Drop batch `wapId` unpublished. The staged files become orphans;
+    * the age-gated [[vacuum]] reclaims them (nothing ever referenced
+    * them, so no reader can be holding the listing). Returns the
+    * released file names. */
+  def abortWap(path: String, wapId: String): Seq[String] = {
+    val staged = wapFiles(path, wapId)
+    Files.deleteIfExists(wapDoc(path, wapId))
+    staged
+  }
+
+  /** Files referenced by LIVE wap docs — retained by [[vacuum]] and the
+    * previews exactly like clone-referenced files. An unreadable doc
+    * refuses the sweep loudly (reaping a batch mid-audit on a guess is
+    * the data-loss path; abort the wap to force). */
+  private def wapRetained(path: String): Set[String] = {
+    val d = wapDir(path)
+    if (!Files.isDirectory(d)) return Set.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val docs = Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+    }
+    docs.flatMap { doc =>
+      scala.util.Try {
+        (JsonMethods.parse(Files.readString(doc)) \ "files") match {
+          case JArray(fs) => fs.map(_.extract[String])
+          case _ => Seq.empty[String]
+        }
+      }.getOrElse(throw new IllegalStateException(
+        s"unreadable wap doc $doc - refusing to vacuum (abort the wap " +
+          "or remove the doc to force)"))
+    }.toSet
+  }
+
   def vacuum(path: String, minAgeMs: Long = 3600000L,
       ignoreClones: Boolean = false): Seq[String] = {
     // delete files are manifest-referenced state exactly like data files;
@@ -3723,7 +3954,8 @@ object ManifestTable {
     // clone safety contract — see cloneShallow), unless explicitly forced
     val live = versions(path).map(manifestAt(path, _))
       .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet ++
-      (if (ignoreClones) Set.empty[String] else cloneRetained(path))
+      (if (ignoreClones) Set.empty[String] else cloneRetained(path)) ++
+      wapRetained(path) // staged-unpublished batches stay readable
     if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = Using.resource(Files.list(dataDir(path))) { st =>

@@ -114,4 +114,29 @@ class TimestampStatsSpec extends SparkSpecBase {
     assert(!spark.conf.getOption("spark.sql.parquet.outputTimestampType")
       .contains("TIMESTAMP_MICROS"))
   }
+
+  test("CONCURRENT graft writes restore the caller's timestamp conf") {
+    // one session runs overlapping writes all the time (a streaming
+    // sink's micro-batch commits while a foreground write stages); a
+    // naive set-and-restore interleaving captures the pinned value as
+    // "previous" and leaves the session switched forever — the pin is
+    // reference-counted instead
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.getOption(key)
+    assert(!before.contains("TIMESTAMP_MICROS"))
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val futs = (1 to 6).map { i =>
+      Future {
+        val p = Files.createTempDirectory(s"graft-pin-$i-").toString + "/t"
+        ManifestTable.overwrite(
+          spark.range(0, 2000).selectExpr("id AS k",
+            "timestamp_micros(id * 1000000) AS ts"), p)
+      }
+    }
+    Await.result(Future.sequence(futs), 180.seconds)
+    assert(spark.conf.getOption(key) == before,
+      "overlapping writes must leave the session conf exactly as found")
+  }
 }
