@@ -3358,6 +3358,92 @@ object SparkEntry {
         GROUP BY event_type""")
     }),
 
+    "q175_null_skipping" -> ((s, dir) => {
+      // NULL-COUNT FILE SKIPPING — per-file null counts (Iceberg's
+      // null_value_counts) ride the manifest beside min/max: `IS NULL`
+      // skips files with ZERO nulls, and a column ENTIRELY null in a
+      // file (tagged at harvest, no bounds ever compared) is skipped by
+      // `IS NOT NULL` and every null-rejecting comparison. The sparse-
+      // column shape at 100 TB: an enrichment column populated only for
+      // the recent slice — "rows missing enrichment" and "enriched rows
+      // only" both become minority scans decided in metadata.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-q175-")
+        .toString + "/t"
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("double").as("price"),
+        when(to_date(col("o_orderdate")) >= lit("2000-06-01"),
+          concat(lit("C#"), col("o_custkey") % 100)).as("clerk_recent"))
+      ManifestTable.overwrite(o.repartitionByRange(16, col("day")), base)
+      val (nnScan, total) = ManifestTable.pruneCount(base,
+        Seq(Condition("clerk_recent", Op.NotNull, null)))
+      require(nnScan * 4 < total,
+        s"IS NOT NULL must skip the all-null majority: $nnScan of $total")
+      val (inScan, _) = ManifestTable.pruneCount(base,
+        Seq(Condition("clerk_recent", Op.IsNull, null)))
+      require(inScan < total,
+        s"IS NULL must skip zero-null files: $inScan of $total")
+      // null-rejecting comparisons skip all-null files too
+      val (eqScan, _) = ManifestTable.pruneCount(base,
+        Seq(Condition("clerk_recent", Op.StartsWith, "C#")))
+      require(eqScan <= nnScan,
+        "a comparison must never open more files than IS NOT NULL")
+      // the enriched-slice rollup reads pruned and goes under the oracle
+      ManifestTable.readWhere(s, base,
+          Seq(Condition("clerk_recent", Op.NotNull, null)))
+        .where(col("clerk_recent").isNotNull)
+        .groupBy(col("clerk_recent"))
+        .agg(count(lit(1)).as("n"), decSum(col("price")).as("revenue"))
+    }),
+
+    "q176_prefix_skipping" -> ((s, dir) => {
+      // PREFIX-MATCH FILE SKIPPING — `LIKE 'p%'` is range-prunable
+      // (every match sits in [prefix, successor(prefix)) in UTF-8
+      // order — Iceberg's truncate-transform bound logic), unlike
+      // contains. Gates: a prefix predicate over a prefix-clustered
+      // key opens a minority of files (pruneCount ×4), the same
+      // predicate arrives pruned through the DSv2 LIKE pushdown, and
+      // `OPTIMIZE … WHERE tag LIKE 'p%'` scopes compaction to the
+      // prefix's files. The rollup goes under the oracle.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q176-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.c (k BIGINT, tag STRING, bal DOUBLE)")
+      val path = s"$wh/c"
+      val c = Tables(s2, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        concat(col("c_mktsegment"), lit("#"), col("c_custkey")).as("tag"),
+        col("c_acctbal").cast("double").as("bal"))
+      ManifestTable.overwrite(c.repartitionByRange(16, col("tag")), path)
+      val conds = Seq(Condition("tag", Op.StartsWith, "MACHINERY#"))
+      val (scanned, total) = ManifestTable.pruneCount(path, conds)
+      // one of five segments ~= 20% of a range-clustered layout (+1
+      // boundary file): a x3 margin proves pruning without flaking
+      require(scanned * 3 < total,
+        s"prefix must prune files: $scanned of $total survive")
+      // scoped compaction through the SQL door's LIKE shape
+      val before = ManifestTable.snapshotAt(path, None).get
+      val scope = ManifestTable.statsSurvivors(path, conds).toSet
+      s2.sql("OPTIMIZE graft.c WHERE tag LIKE 'MACHINERY#%'")
+      val after = ManifestTable.snapshotAt(path, None).get
+      require(after.version == before.version + 1 && !after.dataChange,
+        "scoped OPTIMIZE must land one dataChange=false commit")
+      require(before.files.filterNot(scope).forall(after.files.contains) &&
+        scope.forall(f => !after.files.contains(f)),
+        "only the prefix's files may be rewritten")
+      // the prefix rollup reads through the catalog LIKE pushdown
+      s2.sql("""SELECT substring(tag, 1, 9) AS seg,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM graft.c WHERE tag LIKE 'MACHINERY#%' GROUP BY 1""")
+    }),
+
     "q174_wap" -> ((s, dir) => {
       // WRITE-AUDIT-PUBLISH — the 100 TB ingest shape (Iceberg wap.id /
       // Netflix WAP): a batch STAGES against the table (files land,
@@ -10314,6 +10400,23 @@ object SparkEntry {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
            AND ts < TIMESTAMP '2024-01-05 00:00:00'
+         GROUP BY 1""",
+    // q175: the enriched-slice rollup — null-count pruning invisible
+    "q175_null_skipping" ->
+      """SELECT 'C#' || CAST(o_custkey % 100 AS VARCHAR) AS clerk_recent,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '2000-06-01'
+         GROUP BY 1""",
+    // q176: the prefix rollup — prefix pruning and the scoped optimize
+    // must be invisible
+    "q176_prefix_skipping" ->
+      """SELECT substring(c_mktsegment || '#' || c_custkey, 1, 9) AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+         FROM customer
+         WHERE (c_mktsegment || '#' || c_custkey) LIKE 'MACHINERY#%'
          GROUP BY 1""",
     // q174: the published table is the full orders set — staging,
     // audit, the junk abort and the sweep must all be invisible

@@ -21,8 +21,14 @@ object Op {
   // are null-rejecting under three-valued logic
   case object IsNull   extends Op("is_null")
   case object NotNull  extends Op("not_null")
+  // prefix match (LIKE 'abc%'): unlike Contains it is RANGE-PRUNABLE —
+  // every matching string sits in [prefix, successor(prefix)), so
+  // manifest min/max bounds skip files the way Iceberg's
+  // truncate-transform bounds do
+  case object StartsWith extends Op("starts_with")
 
-  val all: Set[Op] = Set(Eq, Gt, Gte, Lt, Lte, In, Contains, IsNull, NotNull)
+  val all: Set[Op] =
+    Set(Eq, Gt, Gte, Lt, Lte, In, Contains, IsNull, NotNull, StartsWith)
 
   def fromName(s: String): Op =
     all.find(_.name == s).getOrElse(
@@ -67,6 +73,7 @@ final case class Condition(field: String, op: Op, value: Any) {
       case Op.Contains => c.contains(lit(value.toString))
       case Op.IsNull   => c.isNull
       case Op.NotNull  => c.isNotNull
+      case Op.StartsWith => c.startsWith(lit(value.toString))
     }
   }
 }
@@ -98,6 +105,7 @@ final class ConditionBuilder(fieldName: String, allowedOps: Option[Set[Op]]) {
   def lte(value: Any): Condition      = mk(Op.Lte, value)
   def in(values: Seq[Any]): Condition = mk(Op.In, values)
   def contains(value: Any): Condition = mk(Op.Contains, value)
+  def startsWith(value: Any): Condition = mk(Op.StartsWith, value)
 }
 
 /** Per-field metadata: the Spark analogue of the reference's pydantic

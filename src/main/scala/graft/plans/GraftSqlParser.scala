@@ -260,6 +260,18 @@ object GraftSqlParser {
         Seq(Condition(name(a).get, Op.IsNull, null))
       case IsNotNull(a) if name(a).isDefined =>
         Seq(Condition(name(a).get, Op.NotNull, null))
+      case StartsWith(a, l: Literal) if name(a).isDefined =>
+        Seq(Condition(name(a).get, Op.StartsWith, scala(l)))
+      // LIKE 'prefix%' (no other wildcards, default escape) is a pure
+      // prefix match — the one LIKE shape manifest bounds can prune
+      case Like(a, l: Literal, escapeChar) if name(a).isDefined &&
+          escapeChar == '\\' && {
+            val s = scala(l).toString
+            s.length > 1 && s.endsWith("%") &&
+              !s.dropRight(1).exists(ch => ch == '%' || ch == '_' || ch == '\\')
+          } =>
+        Seq(Condition(name(a).get, Op.StartsWith,
+          scala(l).toString.dropRight(1)))
       case other => throw new IllegalArgumentException(
         s"OPTIMIZE ... WHERE supports conjunctions of simple " +
           s"column-vs-literal comparisons (file-level pruning), got: " +

@@ -950,6 +950,7 @@ object GraftCatalog {
     case sources.LessThanOrEqual(a, v) if flat(a)    => Seq(Condition(a, Op.Lte, v))
     case sources.In(a, vs) if flat(a)                => Seq(Condition(a, Op.In, vs.toSeq))
     case sources.StringContains(a, v) if flat(a)     => Seq(Condition(a, Op.Contains, v))
+    case sources.StringStartsWith(a, v) if flat(a)   => Seq(Condition(a, Op.StartsWith, v))
     case sources.IsNull(a) if flat(a)                => Seq(Condition(a, Op.IsNull, null))
     case sources.IsNotNull(a) if flat(a)             => Seq(Condition(a, Op.NotNull, null))
     case sources.And(l, r)                           => toConditions(l) ++ toConditions(r)
@@ -1168,12 +1169,17 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
     val cmp = GraftCatalog.cmpStatValue _
     def extremum(f: StructField, wantMin: Boolean): Option[Any] = {
       if (m.files.isEmpty) return Some(null) // empty table → NULL
-      val vals = m.files.map { file =>
+      val vals = m.files.flatMap { file =>
         m.stats.getOrElse(file, Map.empty).get(f.name) match {
-          case Some(cs) => parse(if (wantMin) cs.min else cs.max, f.dataType)
+          // an entirely-null file contributes NO non-null value to
+          // MIN/MAX (SQL extremes ignore nulls) — skip, don't refuse
+          case Some(cs) if cs.unit.contains("allnull") => None
+          case Some(cs) =>
+            Some(parse(if (wantMin) cs.min else cs.max, f.dataType))
           case None => return None // stat-less file (nulls?) → refuse
         }
       }
+      if (vals.isEmpty) return Some(null) // every file all-null → NULL
       // NaN-poisoned bounds (externally written files; parquet-mr drops
       // stats on NaN, but older/foreign writers may not) — refuse
       if (nanPoisoned(vals)) return None
@@ -1244,8 +1250,9 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       val st = m.stats.getOrElse(f, Map.empty)
       val key = gcols.zip(gFields).map { case (c, fld) =>
         st.get(c) match {
-          case Some(cs) if cs.min == cs.max => parse(cs.min, fld.dataType)
-          case _ => return None // joint/stat-less file → scan normally
+          case Some(cs) if cs.min == cs.max &&
+              !cs.unit.contains("allnull") => parse(cs.min, fld.dataType)
+          case _ => return None // joint/stat-less/all-null file → scan normally
         }
       }
       grouped.updateWith(key)(cur => Some(f :: cur.getOrElse(Nil)))
@@ -1266,8 +1273,9 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
         aggFns += ((files: Seq[String]) => {
           val vs = files.map(file =>
             m.stats.getOrElse(file, Map.empty).get(f.name) match {
-              case Some(cs) => parse(cs.min, f.dataType)
-              case None => return None
+              case Some(cs) if !cs.unit.contains("allnull") =>
+                parse(cs.min, f.dataType)
+              case _ => return None
             })
           if (nanPoisoned(vs)) return None
           vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
@@ -1282,8 +1290,9 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
         aggFns += ((files: Seq[String]) => {
           val vs = files.map(file =>
             m.stats.getOrElse(file, Map.empty).get(f.name) match {
-              case Some(cs) => parse(cs.max, f.dataType)
-              case None => return None
+              case Some(cs) if !cs.unit.contains("allnull") =>
+                parse(cs.max, f.dataType)
+              case _ => return None
             })
           if (nanPoisoned(vs)) return None
           vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
@@ -1988,7 +1997,8 @@ trait GraftPartitionListing
           val st = stats.getOrElse(f, Map.empty)
           val vals = ps.fields.toSeq.map { fld =>
             st.get(fld.name) match {
-              case Some(cs) if cs.min == cs.max =>
+              case Some(cs) if cs.min == cs.max &&
+                  !cs.unit.contains("allnull") =>
                 fld.dataType match {
                   case org.apache.spark.sql.types.IntegerType => Some(cs.min.toInt)
                   case org.apache.spark.sql.types.LongType => Some(cs.min.toLong)

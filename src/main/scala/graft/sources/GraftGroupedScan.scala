@@ -432,7 +432,8 @@ object GraftGroupedScan {
       val st = m.stats.getOrElse(f, Map.empty)
       val keyOpts = partCols.zip(kts).map { case (c, dt) =>
         st.get(c) match {
-          case Some(cs) if cs.min == cs.max => Some(parseStat(cs.min, dt))
+          case Some(cs) if cs.min == cs.max &&
+              !cs.unit.contains("allnull") => Some(parseStat(cs.min, dt))
           case _ => None // value-joint or stat-less file → fall back
         }
       }

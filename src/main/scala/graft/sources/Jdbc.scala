@@ -90,6 +90,10 @@ object SqlWhere {
         require(vs.nonEmpty, s"IN condition on '$f' with no values")
         s"$f IN (${vs.map(lit).mkString(", ")})"
       case Op.Contains => s"$f LIKE ${likePattern(c.value.toString, backslashEscapes)}"
+      case Op.StartsWith =>
+        val esc = c.value.toString
+          .replace("!", "!!").replace("%", "!%").replace("_", "!_")
+        s"$f LIKE '${escapeString(esc, backslashEscapes)}%' ESCAPE '!'"
       case Op.IsNull   => s"$f IS NULL"
       case Op.NotNull  => s"$f IS NOT NULL"
     }

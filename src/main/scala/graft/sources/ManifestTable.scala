@@ -77,7 +77,14 @@ object ManifestTable {
     * predate the field, so they keep unit=None and [[numValue]]'s
     * day normalization (old manifests parse identically). */
   final case class ColStats(min: String, max: String, numeric: Boolean,
-      unit: Option[String] = None)
+      unit: Option[String] = None,
+      // per-file NULL count (Iceberg's null_value_counts): lets
+      // `IS NULL` prune files with zero nulls. unit="allnull" marks a
+      // column that is ENTIRELY null in the file (min/max are empty
+      // placeholders, never compared): `IS NOT NULL` and every
+      // null-rejecting comparison prune such files outright — the
+      // sparse-column scan ("rows missing enrichment") at 100 TB
+      nulls: Option[Long] = None)
 
   /** `seqs`: the commit sequence (= manifest version) each data file was
     * ADDED at; absent (legacy manifests) means 0. `deletes`: merge-on-read
@@ -196,10 +203,16 @@ object ManifestTable {
 
   private def statsObj(cols: Map[String, ColStats]): String =
     "{" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
-      // unit rides as an optional 4th element — absent for plain
-      // numeric/string/date bounds, so old manifests parse byte-identical
-      val u = st.unit.map(u => s",${q(u)}").getOrElse("")
-      q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}$u]"
+      // unit rides as an optional 4th element (string), the null count
+      // as an optional 5th (number; slot 4 renders JSON null when a
+      // count exists without a unit) — absent for plain bounds, so old
+      // manifests parse byte-identical and old parsers skip the tail
+      val tail = (st.unit, st.nulls) match {
+        case (None, None)       => ""
+        case (Some(u), None)    => s",${q(u)}"
+        case (u, Some(n))       => s",${u.map(q).getOrElse("null")},$n"
+      }
+      q(c) + s":[${q(st.min)},${q(st.max)},${st.numeric}$tail]"
     }.mkString(",") + "}"
 
   private def writeSeg(path: String, data: Seq[SegEntry],
@@ -235,7 +248,9 @@ object ManifestTable {
               case (c, JArray(mn :: mx :: num :: rest)) =>
                 c -> ColStats(mn.extract[String], mx.extract[String],
                   num.extract[Boolean],
-                  rest.headOption.map(_.extract[String]))
+                  rest.collectFirst { case JString(u) => u },
+                  rest.collectFirst { case JInt(n) => n.toLong
+                    case JLong(n) => n })
             }.toMap)
             case _ => None
           })
@@ -392,7 +407,9 @@ object ManifestTable {
             case (c, JArray(mn :: mx :: num :: rest)) =>
               c -> ColStats(mn.extract[String], mx.extract[String],
                 num.extract[Boolean],
-                rest.headOption.map(_.extract[String]))
+                rest.collectFirst { case JString(u) => u },
+                rest.collectFirst { case JInt(n) => n.toLong
+                  case JLong(n) => n })
           }.toMap
           case _ => Map.empty[String, ColStats]
         })
@@ -1015,6 +1032,17 @@ object ManifestTable {
   private def fileMightMatch(stats: Option[Map[String, ColStats]],
       conds: Seq[graft.conditions.Condition]): Boolean = conds.forall { c =>
     stats.flatMap(_.get(c.field)).forall { st =>
+      import graft.conditions.Op
+      // a column ENTIRELY null in this file: IS NULL always matches,
+      // everything else (all comparisons are null-rejecting under
+      // three-valued logic, contains/prefix included) proves emptiness
+      if (st.unit.contains("allnull")) c.op == Op.IsNull
+      else evalBounds(st, c)
+    }
+  }
+
+  private def evalBounds(st: ColStats,
+      c: graft.conditions.Condition): Boolean = {
       def cv(v: Any): Option[Any] =
         if (st.numeric) v match {
           // decimal predicates stay exact — cmpStat compares BigDecimal
@@ -1041,8 +1069,34 @@ object ManifestTable {
             xs.exists(x => cv(x).forall(v => lo(v) <= 0 && hi(v) >= 0))
           case x => cv(x).forall(v => lo(v) <= 0 && hi(v) >= 0)
         }
-        case _ => true // contains / null tests: no min-max pruning
+        // prefix match: every matching string sits in
+        // [prefix, successor(prefix)) — prune on the UTF-8 bounds
+        case Op.StartsWith => c.value match {
+          case p: String if p.nonEmpty && !st.numeric =>
+            hi(p) >= 0 &&
+              prefixSuccessor(p).forall(sc => lo(sc) < 0)
+          case _ => true
+        }
+        // a file with ZERO nulls in the column cannot serve IS NULL
+        case Op.IsNull => st.nulls.forall(_ > 0)
+        case _ => true // contains / not-null: no min-max pruning
       }
+  }
+
+  /** Smallest string strictly greater than every string with prefix
+    * `p`, in UTF-8 byte order: increment p's last code point (skipping
+    * the surrogate gap — invalid scalar values never occur in real
+    * strings), dropping trailing U+10FFFF code points first. None when
+    * p is entirely U+10FFFF (no upper bound exists). */
+  private[graft] def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      Some(new String(cps.take(i) :+ next, 0, i + 1))
     }
   }
 
@@ -1675,18 +1729,30 @@ object ManifestTable {
               Some(f.getName -> StatKind(numeric = false, 1L, None))
             else None
         }.flatten.toMap
-        // fold row-group chunk stats into one per-column file min/max
+        // fold row-group chunk stats into one per-column file min/max;
+        // null counts fold on their own track (they exist even for
+        // chunks with NO non-null value — the all-null case bounds
+        // cannot represent)
         val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+        val nullsAcc = scala.collection.mutable.Map[String, Long]()
         var complete = Set.empty[String] // columns with stats in EVERY group
+        var nullsComplete = Set.empty[String] // numNulls set in EVERY group
+        var sawValue = Set.empty[String] // >=1 non-null value anywhere
         var first = true
         r.getFooter.getBlocks.asScala.foreach { block =>
           val present = scala.collection.mutable.Set[String]()
+          val nPresent = scala.collection.mutable.Set[String]()
           block.getColumns.asScala.foreach { chunk =>
             val cname = chunk.getPath.toDotString
             if (eligible.contains(cname)) {
               val st = chunk.getStatistics
+              if (st != null && st.isNumNullsSet) {
+                nPresent += cname
+                nullsAcc(cname) = nullsAcc.getOrElse(cname, 0L) + st.getNumNulls
+              }
               if (st != null && st.hasNonNullValue) {
                 present += cname
+                sawValue += cname
                 val kind = eligible(cname)
                 def decode(v: Any): Any = kind.decScale match {
                   case Some(sc) => decimalValue(v, sc)
@@ -1705,9 +1771,11 @@ object ManifestTable {
             }
           }
           complete = if (first) present.toSet else complete.intersect(present.toSet)
+          nullsComplete =
+            if (first) nPresent.toSet else nullsComplete.intersect(nPresent.toSet)
           first = false
         }
-        name -> complete.map { c =>
+        val bounded = complete.map { c =>
           val (mn, mx) = acc(c)
           val k = eligible(c)
           // decimals render toPlainString (no E-notation: the bound must
@@ -1716,8 +1784,17 @@ object ManifestTable {
             case d: java.math.BigDecimal => d.toPlainString
             case other => other.toString
           }
-          c -> ColStats(render(mn), render(mx), k.numeric, k.unit)
+          c -> ColStats(render(mn), render(mx), k.numeric, k.unit,
+            if (nullsComplete(c)) Some(nullsAcc(c)) else None)
         }.toMap
+        // ENTIRELY-NULL columns carry no bounds but a complete null
+        // count and zero observed values anywhere: tag them so every
+        // null-rejecting predicate (and IS NOT NULL) prunes the file
+        // without any bound ever being compared
+        val allNull = nullsComplete.filterNot(sawValue).filterNot(complete)
+          .map(c => c -> ColStats("", "", numeric = false,
+            unit = Some("allnull"), nulls = Some(nullsAcc(c)))).toMap
+        name -> (bounded ++ allNull)
       } finally r.close()
     }.toMap
   }
@@ -2344,7 +2421,8 @@ object ManifestTable {
       else {
         def box(f: String): Option[Seq[(String, ColStats)]] = {
           val st = base.stats.getOrElse(f, Map.empty)
-          val dims = zorderBy.flatMap(c => st.get(c).map(c -> _))
+          val dims = zorderBy.flatMap(c =>
+            st.get(c).filterNot(_.unit.contains("allnull")).map(c -> _))
           if (dims.size == zorderBy.size) Some(dims) else None
         }
         val boxes = base.files.flatMap(f => box(f).map(f -> _))

@@ -294,6 +294,7 @@ object RestParams {
     case Op.Lt       => s"${c.field}__lt" -> render(c.value)
     case Op.Lte      => s"${c.field}__lte" -> render(c.value)
     case Op.Contains => s"${c.field}__contains" -> render(c.value)
+    case Op.StartsWith => s"${c.field}__startswith" -> render(c.value)
     case Op.IsNull   => s"${c.field}__isnull" -> "true"
     case Op.NotNull  => s"${c.field}__isnull" -> "false"
     case Op.In =>

@@ -155,13 +155,25 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     // unknown columns refuse instead of conservatively matching all
     intercept[Exception] {
       spark.sql(s"OPTIMIZE '$path' WHERE nope = 1").collect() }
-    // so do columns NO file carries stats for (an all-null column) — a
-    // "scoped" rewrite must never silently become a whole-table one
+    // an ALL-NULL column now carries null-count statistics, so a
+    // comparison scope over it is PROVEN EMPTY in metadata: the scoped
+    // optimize is a no-op (no new version), never a silent whole-table
+    // rewrite — and never a refusal, since the stats really exist
     val npath = freshWh() + "/n"
     ManifestTable.overwrite(spark.range(0, 100).toDF("k")
       .withColumn("x", lit(null).cast("double")), npath)
+    val nv = ManifestTable.latestVersion(npath)
+    val nFiles = ManifestTable.dataFiles(npath).toSet
+    spark.sql(s"OPTIMIZE '$npath' WHERE x = 1.0").collect()
+    assert(ManifestTable.latestVersion(npath) == nv &&
+      ManifestTable.dataFiles(npath).toSet == nFiles,
+      "an empty proven scope must be a no-op")
+    // a STRUCT column (genuinely unsupported stats type) still refuses
+    val spath = freshWh() + "/s"
+    ManifestTable.overwrite(spark.range(0, 100).toDF("k")
+      .withColumn("st", struct(lit(1).as("a"))), spath)
     val e = intercept[Exception] {
-      spark.sql(s"OPTIMIZE '$npath' WHERE x = 1.0").collect() }
+      spark.sql(s"OPTIMIZE '$spath' WHERE st = 1").collect() }
     assert(e.getMessage.contains("no file statistics"), e.getMessage)
     // DATE columns DO carry footer stats (epoch days) — the canonical
     // compact-yesterday's-partition scope works end-to-end
