@@ -376,6 +376,29 @@ object ApiServer {
                 spark, tablePath)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("folded_version" -> v))))
+            case ("GET", List("wap")) =>
+              // staged-unpublished WAP ids (operator visibility before
+              // a publish/abort decision)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("warehouse" -> whName) ~ ("resource" -> resource) ~
+                  ("staged" -> graft.sources.ManifestTable
+                    .stagedWaps(tablePath)))))
+            case ("POST", List("wap", "publish")) =>
+              // ?id=<wap id>: adopt every staged batch of the id in ONE
+              // idempotent commit (the SQL ALTER TABLE ... PUBLISH WAP)
+              val id = queryParams(ex).getOrElse("id",
+                throw new IllegalArgumentException("?id= is required"))
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("wap_id" -> id) ~ ("action" -> "published") ~
+                  ("version" -> graft.sources.ManifestTable
+                    .publishWap(tablePath, id)))))
+            case ("POST", List("wap", "abort")) =>
+              val id = queryParams(ex).getOrElse("id",
+                throw new IllegalArgumentException("?id= is required"))
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("wap_id" -> id) ~ ("action" -> "aborted") ~
+                  ("released_files" -> graft.sources.ManifestTable
+                    .abortWap(tablePath, id).length))))
             case ("POST", List("expire")) =>
               // ?keep=n (count-based) or ?hours=n (time-based — the
               // latest version always survives); mutually exclusive
@@ -628,6 +651,12 @@ object ApiServer {
         "fold the MoR delete ledger (targeted rewrite)"),
       r("POST", "/table/{warehouse}/{resource}/expire",
         "expire old versions + sweep unreferenced files (?keep=n | ?hours=n)"),
+      r("GET", "/table/{warehouse}/{resource}/wap",
+        "staged-unpublished write-audit-publish ids"),
+      r("POST", "/table/{warehouse}/{resource}/wap/publish",
+        "adopt a wap id's staged batches in one commit (?id=)"),
+      r("POST", "/table/{warehouse}/{resource}/wap/abort",
+        "drop a wap id's staged batches unpublished (?id=)"),
       r("POST", "/table/{warehouse}/{resource}/rename_column",
         "metadata-only column rename (?from=&to=)"),
       r("POST", "/table/{warehouse}/{resource}/drop_column",

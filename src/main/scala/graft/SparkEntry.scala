@@ -3358,6 +3358,64 @@ object SparkEntry {
         GROUP BY event_type""")
     }),
 
+    "q177_wap_sql" -> ((s, dir) => {
+      // WAP THROUGH SQL — the session door (Iceberg's spark.wap.id):
+      // with `spark.graft.wap.id` set, plain `INSERT INTO` STAGES
+      // batches (several accumulate under one id) while every reader,
+      // and every OTHER session, keeps the pre-batch table; direct-
+      // commit doors (UPDATE/MERGE/OVERWRITE) refuse loudly rather
+      // than bypass the isolation; `ALTER TABLE … PUBLISH WAP` adopts
+      // all staged batches in ONE commit; `… ABORT WAP` drops a bad id
+      // without a trace. The published rollup goes under the oracle.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q177-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)")
+      Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("ord_q177")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q177 WHERE k % 3 = 0")
+      val path = s"$wh/t"
+      val v0 = ManifestTable.latestVersion(path)
+      val baseN = s2.sql("SELECT count(*) FROM graft.t").collect().head.getLong(0)
+      // stage two INSERT batches under one wap id
+      s2.conf.set("spark.graft.wap.id", "day-7")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q177 WHERE k % 3 = 1")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q177 WHERE k % 3 = 2")
+      require(ManifestTable.latestVersion(path) == v0 &&
+        s2.sql("SELECT count(*) FROM graft.t").collect().head.getLong(0) == baseN,
+        "staged INSERTs must be invisible: no version, same rows")
+      require(ManifestTable.stagedWaps(path) == Seq("day-7"),
+        "both batches must ride one staged wap id")
+      // direct-commit doors refuse under the wap session
+      require(scala.util.Try(
+        s2.sql("INSERT OVERWRITE graft.t SELECT * FROM ord_q177")).isFailure,
+        "overwrite must refuse under a wap id")
+      // audit on the as-if-published view, then publish through SQL
+      val audited = ManifestTable.readWap(s2, path, "day-7").count()
+      s2.conf.unset("spark.graft.wap.id")
+      val pub = s2.sql("ALTER TABLE graft.t PUBLISH WAP 'day-7'").collect()
+      require(pub.head.getString(1) == "published" &&
+        pub.head.getLong(2) == v0 + 1,
+        "publish must adopt both batches in one commit")
+      require(s2.sql("SELECT count(*) FROM graft.t").collect()
+        .head.getLong(0) == audited, "published == audited view")
+      // a junk id aborts without a trace
+      s2.conf.set("spark.graft.wap.id", "junk")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q177 LIMIT 10")
+      s2.conf.unset("spark.graft.wap.id")
+      require(s2.sql("ALTER TABLE graft.t ABORT WAP 'junk'").collect()
+        .head.getString(1) == "aborted")
+      require(ManifestTable.stagedWaps(path).isEmpty, "no staged residue")
+      s2.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM graft.t GROUP BY status""")
+    }),
+
     "q175_null_skipping" -> ((s, dir) => {
       // NULL-COUNT FILE SKIPPING — per-file null counts (Iceberg's
       // null_value_counts) ride the manifest beside min/max: `IS NULL`
@@ -10401,6 +10459,13 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
            AND ts < TIMESTAMP '2024-01-05 00:00:00'
          GROUP BY 1""",
+    // q177: the published table is the full orders set — conf-staged
+    // inserts, the SQL publish, the refusals and the junk abort must
+    // all be invisible
+    "q177_wap_sql" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q175: the enriched-slice rollup — null-count pruning invisible
     "q175_null_skipping" ->
       """SELECT 'C#' || CAST(o_custkey % 100 AS VARCHAR) AS clerk_recent,

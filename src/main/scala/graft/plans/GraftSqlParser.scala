@@ -32,7 +32,14 @@ import graft.sources.{GraftCatalog, ManifestTable}
   *   CREATE TABLE dev SHALLOW CLONE t [VERSION AS OF 3] -- zero-copy branch
   *   CREATE MATERIALIZED VIEW mv AS SELECT ...          -- maintained rollup
   *   REFRESH MATERIALIZED VIEW mv                       -- incremental/full
+  *   ALTER TABLE t PUBLISH WAP 'id'                     -- adopt staged batches
+  *   ALTER TABLE t ABORT WAP 'id'                       -- drop them unpublished
   * }}}
+  *
+  * (WAP staging itself is the session conf `spark.graft.wap.id`: while
+  * set, `INSERT INTO` a graft table stages instead of committing, and
+  * direct-commit doors — overwrite, merge, update, delete, streaming
+  * epochs — refuse loudly rather than bypass the isolation.)
   *
   * Injected via `SparkSessionExtensions.injectParser`; everything that
   * is not one of these statements delegates verbatim to Spark's
@@ -103,6 +110,11 @@ object GraftSqlParser {
       """(.+?)\s*;?\s*$""")
   private val RefreshMv = Pattern.compile(
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+('[^']+'|[\w.`]+)\s*;?\s*$""")
+  // write-audit-publish resolution (PUBLISH/ABORT are non-Spark tokens
+  // after ALTER TABLE <t>, so every real ALTER still delegates)
+  private val WapResolve = Pattern.compile(
+    """(?is)^\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+""" +
+      """(PUBLISH|ABORT)\s+WAP\s+'([^']+)'\s*;?\s*$""")
 
   private def target(raw: String, delegate: ParserInterface)
       : Either[String, Seq[String]] =
@@ -134,6 +146,11 @@ object GraftSqlParser {
     val rmv = RefreshMv.matcher(sqlText)
     if (rmv.matches())
       return Some(GraftRefreshMvCommand(target(rmv.group(1), delegate)))
+    val wm = WapResolve.matcher(sqlText)
+    if (wm.matches())
+      return Some(GraftWapCommand(target(wm.group(1), delegate),
+        publish = wm.group(2).equalsIgnoreCase("PUBLISH"),
+        wapId = wm.group(3)))
     val cm = Clone.matcher(sqlText)
     if (cm.matches())
       return Some(GraftCloneCommand(target(cm.group(1), delegate),
@@ -464,6 +481,30 @@ case class GraftVacuumCommand(target: Either[String, Seq[String]],
       .filterNot(v => dryRun && expired.contains(v))
     Seq(Row(expired.size.toLong, deleted.size.toLong,
       retained.mkString(","), if (dryRun) "dry_run" else "vacuum"))
+  }
+}
+
+/** `ALTER TABLE <t> PUBLISH WAP '<id>'` / `ALTER TABLE <t> ABORT WAP
+  * '<id>'` — the SQL half of write-audit-publish: a session stages
+  * batches with `spark.graft.wap.id` set (INSERT INTO stages instead of
+  * committing), audits them, then resolves the id here. PUBLISH adopts
+  * every staged batch of the id in ONE conflict-retried idempotent
+  * commit; ABORT releases the staged files to the age-gated vacuum. */
+case class GraftWapCommand(target: Either[String, Seq[String]],
+    publish: Boolean, wapId: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("wap_id", StringType),
+    GraftSqlParser.attr("action", StringType),
+    GraftSqlParser.attr("result", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    if (publish)
+      Seq(Row(wapId, "published", ManifestTable.publishWap(path, wapId)))
+    else
+      Seq(Row(wapId, "aborted",
+        ManifestTable.abortWap(path, wapId).size.toLong))
   }
 }
 

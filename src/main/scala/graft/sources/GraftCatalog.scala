@@ -1141,7 +1141,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
   private def computeMetaAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
     if (conds.nonEmpty || streamOpts.nonEmpty) return None
     val m = ManifestTable.snapshotAt(path, version).getOrElse(return None)
@@ -1198,7 +1198,26 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
         val f = colOf(mx.column).getOrElse(return None)
         (f.copy(name = s"max_${f.name}"),
           extremum(f, wantMin = false).getOrElse(return None))
-      case _ => return None // SUM/AVG/COUNT(col) need data
+      // COUNT(col) counts NON-NULL values: per-file row counts minus
+      // the harvested null counts answer it from metadata alone (any
+      // file without a null count for the column refuses)
+      case cnt: Count if !cnt.isDistinct =>
+        val name = cnt.column match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => r.fieldNames.head
+          case _ => return None
+        }
+        if (!fullSchema.fields.exists(_.name == name)) return None
+        val nonNull = m.files.map { file =>
+          m.stats.getOrElse(file, Map.empty).get(name) match {
+            case Some(cs) if cs.nulls.isDefined =>
+              m.rows(file) - cs.nulls.get
+            case _ => return None
+          }
+        }.sum
+        (StructField(s"count_$name", LongType, nullable = false),
+          nonNull: Any)
+      case _ => return None // SUM/AVG/COUNT(DISTINCT) need data
     }
     Some((StructType(out.map(_._1)), Seq(out.map(_._2))))
   }
@@ -1221,7 +1240,7 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       m: ManifestTable.Manifest)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
     val gcols = agg.groupByExpressions.toSeq.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -1297,6 +1316,20 @@ class GraftScanBuilder(path: String, version: Option[Long], fullSchema: StructTy
           if (nanPoisoned(vs)) return None
           vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
         })
+      // per-group COUNT(col) = group rows minus harvested null counts
+      case cnt: Count if !cnt.isDistinct =>
+        val name = (cnt.column match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+          case _ => None
+        }).getOrElse(return None)
+        if (!fullSchema.fields.exists(_.name == name)) return None
+        aggFields += StructField(s"count_$name", LongType, nullable = false)
+        aggFns += ((files: Seq[String]) => files.map(file =>
+          m.stats.getOrElse(file, Map.empty).get(name) match {
+            case Some(cs) if cs.nulls.isDefined => m.rows(file) - cs.nulls.get
+            case _ => return None
+          }).sum: Any)
       case _ => return None
     }
     val schema = StructType(gFields ++ aggFields)
@@ -1548,7 +1581,21 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
               partCols.map(data.col) :+ xxhash64(
                 (if (hashable.nonEmpty) hashable
                  else partCols.map(data.col)): _*): _*)
-          if (replace || overwrite) ManifestTable.overwrite(clustered, path)
+          // WRITE-AUDIT-PUBLISH session door (Iceberg's spark.wap.id):
+          // with `spark.graft.wap.id` set, INSERT INTO stages instead
+          // of committing — readers keep the pre-batch table until
+          // `ALTER TABLE … PUBLISH WAP`. Append-shaped by design:
+          // OVERWRITE under a wap id refuses rather than half-isolating
+          val wapId = data.sparkSession.conf.getOption("spark.graft.wap.id")
+            .map(_.trim).filter(_.nonEmpty)
+          if (wapId.isDefined) {
+            require(!(replace || overwrite),
+              "INSERT OVERWRITE is not WAP-stageable (staging is " +
+                "append-shaped); unset spark.graft.wap.id or publish/" +
+                "abort the wap first")
+            ManifestTable.stageWap(clustered, path, wapId.get)
+          }
+          else if (replace || overwrite) ManifestTable.overwrite(clustered, path)
           else ManifestTable.append(clustered, path)
         }
       }

@@ -1957,6 +1957,7 @@ object ManifestTable {
   /** Append-commit: new version = old files + df's files. */
   def append(df: DataFrame, path: String, commitId: Option[String] = None,
       appTxn: Option[(String, Long)] = None): Long = {
+    requireNoWapSession(df.sparkSession, "append")
     if (txnLanded(path, appTxn)) // O(1) ledger replay: skip the staging
       return commit(path, Seq.empty, replace = false, commitId, appTxn)
     if (appTxn.isEmpty && commitId.exists(id =>
@@ -1968,6 +1969,7 @@ object ManifestTable {
   /** Overwrite-commit: new version = exactly df's files. */
   def overwrite(df: DataFrame, path: String, commitId: Option[String] = None,
       appTxn: Option[(String, Long)] = None): Long = {
+    requireNoWapSession(df.sparkSession, "overwrite")
     if (txnLanded(path, appTxn))
       return commit(path, Seq.empty, replace = true, commitId, appTxn)
     if (appTxn.isEmpty && commitId.exists(id =>
@@ -2611,9 +2613,11 @@ object ManifestTable {
       // carry the new columns. Columns referenced only by `deleteWhen`
       // (op markers) are NOT evolved into the table.
       evolveSchema: Boolean = false,
-      appTxn: Option[(String, Long)] = None): Long =
+      appTxn: Option[(String, Long)] = None): Long = {
+    requireNoWapSession(spark, "merge")
     retryMerge("merge")(mergeAttempt(spark, path, source, keyCols,
       deleteWhen, commitId, evolveSchema, appTxn))
+  }
 
   /** Bounded optimistic retry around one merge attempt — the same
     * contention discipline [[commit]] has: a concurrent commit landing
@@ -2805,9 +2809,11 @@ object ManifestTable {
       // (minus deleteWhen's references) land on the staged upsert rows;
       // mergeSchema reads null-fill every older file
       evolveSchema: Boolean = false,
-      appTxn: Option[(String, Long)] = None): Long =
+      appTxn: Option[(String, Long)] = None): Long = {
+    requireNoWapSession(spark, "mergeMoR")
     retryMerge("mergeMoR")(mergeMoRAttempt(spark, path, source, keyCols,
       deleteWhen, commitId, evolveSchema, appTxn))
+  }
 
   private def mergeMoRAttempt(spark: SparkSession, path: String,
       source: DataFrame, keyCols: Seq[String],
@@ -2977,6 +2983,9 @@ object ManifestTable {
       files: Seq[String], replace: Boolean, commitId: Option[String],
       appTxn: Option[(String, Long)] = None,
       resetMapping: Boolean = false): Long = {
+    // streaming epochs and RTAS replace data directly; neither can be
+    // WAP-isolated (epoch idempotence rides the COMMIT txn ledger)
+    requireNoWapSession(spark, "a streaming epoch / CTAS commit")
     validateStagedConstraints(spark, path, files)
     commit(path, files, replace, commitId, appTxn, resetMapping)
   }
@@ -3003,6 +3012,7 @@ object ManifestTable {
       upsertFiles: Seq[String], deleteFiles: Seq[String],
       keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
+    requireNoWapSession(spark, "a row-level DML commit")
     require(keyCols.nonEmpty, "delta commit needs the table's merge keys")
     if (upsertFiles.isEmpty && deleteFiles.isEmpty)
       return latest(path).map(_.version).getOrElse(0L)
@@ -3470,9 +3480,11 @@ object ManifestTable {
     * replays idempotently. */
   def deleteWhere(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
-      commitId: Option[String] = None): Long =
+      commitId: Option[String] = None): Long = {
+    requireNoWapSession(spark, "deleteWhere")
     retryMerge("deleteWhere")(
       rewriteWhereAttempt(spark, path, cond, None, commitId))
+  }
 
   /** UPDATE … SET … WHERE — same copy-on-write shape as [[deleteWhere]]:
     * matching rows get each `set` column replaced (expressions may read
@@ -3483,6 +3495,7 @@ object ManifestTable {
       set: Map[String, org.apache.spark.sql.Column],
       commitId: Option[String] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    requireNoWapSession(spark, "updateWhere")
     retryMerge("updateWhere")(
       rewriteWhereAttempt(spark, path, cond, Some(set), commitId))
   }
@@ -3905,58 +3918,90 @@ object ManifestTable {
   // rejected day of data never perturbs a single downstream consumer.
   private def wapDir(path: String): Path = Paths.get(path, "_wap")
 
-  private def wapDoc(path: String, wapId: String): Path = {
+  private def validWapId(wapId: String): String = {
     require(wapId.nonEmpty && !wapId.contains('/') &&
       !wapId.contains('\\') && wapId != "." && wapId != "..",
       s"invalid wap id: '$wapId'")
-    wapDir(path).resolve(s"$wapId.json")
+    wapId
   }
 
-  /** Stage df as WAP batch `wapId`: files land (constraints enforced,
-    * declared layouts honored), NO version commits. Returns the staged
-    * file names. One staged batch per id — a second stage under a live
-    * id refuses loudly (publish or abort first). */
+  /** Stage df as a batch of WAP id `wapId`: files land (constraints
+    * enforced, declared layouts honored), NO version commits. Several
+    * batches may accumulate under one id (a day of hourly inserts
+    * audited once) — each stage writes its own doc; publish adopts them
+    * all in one commit. Returns the staged file names. */
   def stageWap(df: DataFrame, path: String, wapId: String): Seq[String] = {
+    validWapId(wapId)
     val head = latest(path).getOrElse(throw new IllegalStateException(
       s"no committed version at $path - commit the table before staging"))
-    val doc = wapDoc(path, wapId)
-    require(!Files.exists(doc),
-      s"wap id '$wapId' is already staged at $path - publish or abort it")
     val staged = stage(df, path)
     Files.createDirectories(wapDir(path))
     val json = s"""{"wapId":${q(wapId)},"parent":${head.version},""" +
       s""""files":[${staged.map(q).mkString(",")}]}"""
-    try publish(doc, json)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      // lost a same-id race: our files are provably unreferenced
-      staged.foreach(f => Files.deleteIfExists(dataDir(path).resolve(f)))
-      throw new IllegalStateException(
-        s"wap id '$wapId' is already staged at $path - publish or abort it")
-    }
+    publish(wapDir(path).resolve(s"wap-${UUID.randomUUID()}.json"), json)
     staged
   }
 
-  /** The staged file names of one WAP doc (loud when absent). */
-  private def wapFiles(path: String, wapId: String): Seq[String] = {
-    val doc = wapDoc(path, wapId)
-    require(Files.exists(doc), s"no staged wap batch '$wapId' at $path")
+  /** Direct-commit write doors REFUSE under an active wap session
+    * rather than half-isolating: with `spark.graft.wap.id` set, only
+    * catalog `INSERT INTO` (which stages) and explicit [[stageWap]]
+    * write; a merge/delete/update/overwrite slipping a direct commit
+    * past the audit would defeat the isolation the conf promises. */
+  private[sources] def requireNoWapSession(spark: SparkSession,
+      op: String): Unit =
+    spark.conf.getOption("spark.graft.wap.id").map(_.trim)
+      .filter(_.nonEmpty).foreach { id =>
+        throw new IllegalStateException(
+          s"$op commits directly and cannot be WAP-isolated - unset " +
+            s"spark.graft.wap.id (currently '$id') or publish/abort " +
+            "the wap first, or use ManifestTable.stageWap for appends")
+      }
+
+  /** Every staged doc of one WAP id: (doc path, its staged files). */
+  private def wapDocs(path: String, wapId: String): Seq[(Path, Seq[String])] = {
+    validWapId(wapId)
+    val d = wapDir(path)
+    if (!Files.isDirectory(d)) return Seq.empty
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
-    (JsonMethods.parse(Files.readString(doc)) \ "files") match {
-      case JArray(fs) => fs.map(_.extract[String])
-      case _ => Seq.empty
+    val docs = Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+        .sortBy(_.getFileName.toString)
     }
+    docs.flatMap { doc =>
+      val j = JsonMethods.parse(Files.readString(doc))
+      if ((j \ "wapId").extractOpt[String].contains(wapId))
+        Some(doc -> ((j \ "files") match {
+          case JArray(fs) => fs.map(_.extract[String])
+          case _ => Seq.empty[String]
+        }))
+      else None
+    }
+  }
+
+  /** The staged file names of one WAP id (loud when nothing staged). */
+  private def wapFiles(path: String, wapId: String): Seq[String] = {
+    val docs = wapDocs(path, wapId)
+    require(docs.nonEmpty, s"no staged wap batch '$wapId' at $path")
+    docs.flatMap(_._2)
   }
 
   /** Staged-but-unpublished WAP ids at a table (operator visibility). */
   def stagedWaps(path: String): Seq[String] = {
     val d = wapDir(path)
     if (!Files.isDirectory(d)) return Seq.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
     Using.resource(Files.list(d)) { st =>
-      st.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.endsWith(".json") => s.stripSuffix(".json") }
-        .toSeq.sorted
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap(doc => scala.util.Try(
+          (JsonMethods.parse(Files.readString(doc)) \ "wapId")
+            .extractOpt[String]).toOption.flatten)
+        .toSeq.distinct.sorted
     }
   }
 
@@ -3983,9 +4028,17 @@ object ManifestTable {
     * the commit and the doc removal replays to the SAME version via the
     * commit id. Returns the published version. */
   def publishWap(path: String, wapId: String): Long = {
-    val staged = wapFiles(path, wapId)
-    val v = commit(path, staged, replace = false, Some(s"wap:$wapId"))
-    Files.deleteIfExists(wapDoc(path, wapId))
+    val docs = wapDocs(path, wapId)
+    require(docs.nonEmpty, s"no staged wap batch '$wapId' at $path")
+    val staged = docs.flatMap(_._2)
+    // the commit id fingerprints the FILE SET, not just the id: a crash
+    // between commit and doc removal replays to the same version, while
+    // re-using an id for NEW batches later still commits them
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(staged.sorted.mkString(",").getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val v = commit(path, staged, replace = false, Some(s"wap:$wapId:$digest"))
+    docs.foreach { case (doc, _) => Files.deleteIfExists(doc) }
     v
   }
 
@@ -3994,9 +4047,10 @@ object ManifestTable {
     * them, so no reader can be holding the listing). Returns the
     * released file names. */
   def abortWap(path: String, wapId: String): Seq[String] = {
-    val staged = wapFiles(path, wapId)
-    Files.deleteIfExists(wapDoc(path, wapId))
-    staged
+    val docs = wapDocs(path, wapId)
+    require(docs.nonEmpty, s"no staged wap batch '$wapId' at $path")
+    docs.foreach { case (doc, _) => Files.deleteIfExists(doc) }
+    docs.flatMap(_._2)
   }
 
   /** Files referenced by LIVE wap docs — retained by [[vacuum]] and the

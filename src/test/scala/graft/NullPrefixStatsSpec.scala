@@ -126,6 +126,30 @@ class NullPrefixStatsSpec extends SparkSpecBase {
     assert(bn == en && en.head.isNullAt(0) && en.head.getLong(1) == 100)
   }
 
+  test("COUNT(col) answers from metadata: rows minus null counts, blind") {
+    val wh = Files.createTempDirectory("graft-cntmeta-").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("CREATE TABLE graft.t (k BIGINT, v STRING)")
+    val df = s2.range(0, 800).select(
+      col("id").as("k"),
+      when(col("id") % 3 === 0, concat(lit("v"), col("id"))).as("v"))
+    ManifestTable.overwrite(df.repartitionByRange(8, col("k")), s"$wh/t")
+    val q = s2.sql(
+      "SELECT count(*) AS n, count(v) AS nv, count(k) AS nk FROM graft.t")
+    val expected = q.collect().toSeq
+    assert(expected.head.getLong(0) == 800 &&
+      expected.head.getLong(1) == 267 && expected.head.getLong(2) == 800)
+    val dataDir = java.nio.file.Paths.get(s"$wh/t/data")
+    val hidden = java.nio.file.Paths.get(s"$wh/t/.data-hidden")
+    java.nio.file.Files.move(dataDir, hidden)
+    val blind = try q.collect().toSeq
+      finally java.nio.file.Files.move(hidden, dataDir)
+    assert(blind == expected,
+      "COUNT(col) must answer from row counts minus null counts")
+  }
+
   test("DSv2 LIKE 'p%' pushes through the catalog and prunes") {
     val wh = Files.createTempDirectory("graft-likewh-").toString
     val s2 = spark.newSession()

@@ -46,20 +46,28 @@ class WapSpec extends SparkSpecBase {
     assert(ManifestTable.latestVersion(path) == v)
   }
 
-  test("same wap id cannot stage twice; distinct ids coexist") {
+  test("batches accumulate under one wap id; distinct ids coexist") {
     val path = freshTable()
-    val batch = spark.range(100, 110).select(
+    val batch1 = spark.range(100, 110).select(
       col("id").as("k"), (col("id") % 10).as("g"))
-    ManifestTable.stageWap(batch, path, "a")
-    intercept[IllegalArgumentException] {
-      ManifestTable.stageWap(batch, path, "a")
-    }
-    ManifestTable.stageWap(batch, path, "b")
+    val batch2 = spark.range(110, 125).select(
+      col("id").as("k"), (col("id") % 10).as("g"))
+    // a day of hourly inserts audited once: both batches ride id "a"
+    ManifestTable.stageWap(batch1, path, "a")
+    ManifestTable.stageWap(batch2, path, "a")
+    ManifestTable.stageWap(batch1, path, "b")
     assert(ManifestTable.stagedWaps(path) == Seq("a", "b"))
-    // each publishes independently
-    ManifestTable.publishWap(path, "a")
+    assert(ManifestTable.readWap(spark, path, "a").count() == 125)
+    // one publish adopts BOTH of a's batches in one commit
+    val v = ManifestTable.publishWap(path, "a")
+    assert(ManifestTable.read(spark, path).count() == 125)
+    // re-using the id for a NEW batch later still commits (the commit
+    // id fingerprints the file set, so this is not a replay)
+    ManifestTable.stageWap(batch2, path, "a")
+    val v2 = ManifestTable.publishWap(path, "a")
+    assert(v2 == v + 1 && ManifestTable.read(spark, path).count() == 140)
     ManifestTable.publishWap(path, "b")
-    assert(ManifestTable.read(spark, path).count() == 120)
+    assert(ManifestTable.read(spark, path).count() == 150)
   }
 
   test("vacuum retains staged files; abort releases them") {
