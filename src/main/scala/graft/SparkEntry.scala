@@ -3358,6 +3358,52 @@ object SparkEntry {
         GROUP BY event_type""")
     }),
 
+    "q178_type_widening" -> ((s, dir) => {
+      // METADATA-ONLY TYPE WIDENING — `ALTER TABLE t ALTER COLUMN c
+      // TYPE BIGINT` (Delta 3.2 / Iceberg V2): the wide type is ONE
+      // sidecar write, zero files rewritten — Spark 4's parquet readers
+      // upcast narrow physical values per file at scan time. The
+      // int-that-overflowed emergency at 100 TB becomes a metadata
+      // commit instead of a petabyte rewrite. Gates: the ALTER moves no
+      // files; post-ALTER inserts land values past Int.MaxValue in the
+      // same column; a long predicate PRUNES int-era files (the bounds
+      // stay comparable across eras); the mixed-era rollup goes under
+      // the oracle.
+      import graft.conditions.{Condition, Op}
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q178-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.t (k BIGINT, qty INT, price FLOAT)")
+      val path = s"$wh/t"
+      Tables(s2, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("int").as("qty"),
+        col("l_extendedprice").cast("float").as("price"))
+        .createOrReplaceTempView("li_q178")
+      s2.sql("INSERT INTO graft.t SELECT * FROM li_q178")
+      val before = ManifestTable.dataFiles(path).toSet
+      s2.sql("ALTER TABLE graft.t ALTER COLUMN qty TYPE BIGINT")
+      s2.sql("ALTER TABLE graft.t ALTER COLUMN price TYPE DOUBLE")
+      require(ManifestTable.dataFiles(path).toSet == before,
+        "widening must rewrite nothing")
+      // the wide era: quantities no INT can hold
+      s2.sql("""INSERT INTO graft.t
+        SELECT k, CAST(qty AS BIGINT) + 5000000000, CAST(price AS DOUBLE)
+        FROM li_q178 WHERE k % 100 = 0""")
+      val conds = Seq(Condition("qty", Op.Gte, 5000000000L))
+      val (scanned, total) = ManifestTable.pruneCount(path, conds)
+      require(scanned < total,
+        s"a long predicate must prune int-era files: $scanned of $total")
+      // the mixed-era rollup under the oracle (both eras, one column)
+      s2.sql("""SELECT CAST(k % 7 AS BIGINT) AS grp,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(qty) AS BIGINT) AS total_qty,
+          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM graft.t GROUP BY 1""")
+    }),
+
     "q177_wap_sql" -> ((s, dir) => {
       // WAP THROUGH SQL — the session door (Iceberg's spark.wap.id):
       // with `spark.graft.wap.id` set, plain `INSERT INTO` STAGES
@@ -10459,6 +10505,23 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
            AND ts < TIMESTAMP '2024-01-05 00:00:00'
          GROUP BY 1""",
+    // q178: the mixed-era rollup — the int-era rows plus the widened
+    // tail; the ALTER, the sidecar and the pruning must be invisible
+    "q178_type_widening" ->
+      """SELECT CAST(l_orderkey % 7 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT l_orderkey, CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                  CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey,
+                  CAST(CAST(l_quantity AS INT) AS BIGINT) + 5000000000 AS qty,
+                  CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price
+           FROM lineitem WHERE l_orderkey % 100 = 0
+         ) GROUP BY 1""",
     // q177: the published table is the full orders set — conf-staged
     // inserts, the SQL publish, the refusals and the junk abort must
     // all be invisible

@@ -538,10 +538,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           "constraints are not name-addressed on this format; replace the " +
             "set with SET TBLPROPERTIES('check.<name>'=…) / setConstraints")
+      // METADATA-ONLY TYPE WIDENING: record the wide type, rewrite
+      // nothing — scans upcast narrower physical values per file
+      case uc: TableChange.UpdateColumnType =>
+        require(uc.fieldNames.length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only")
+        val name = uc.fieldNames.head
+        val cur = GraftCatalog.fullSchema(dir, None).getOrElse(
+          throw new NoSuchTableException(ident))
+        val field = cur.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column '$name'"))
+        require(GraftCatalog.isWidening(field.dataType, uc.newDataType),
+          s"ALTER COLUMN TYPE only WIDENS (every value stays exactly " +
+            s"representable): ${field.dataType.simpleString} -> " +
+            s"${uc.newDataType.simpleString} is not a safe widening")
+        require(!GraftCatalog.readDeclaredLayout(dir).exists {
+            case GraftCatalog.BucketPart(_, c) => c.equalsIgnoreCase(name)
+            case _ => false
+          },
+          s"cannot widen bucket column '$name': bucket routing hashes " +
+            "the physical value, and int/long hashes differ")
+        // stats/predicates speak PHYSICAL names; resolve through the
+        // current mapping so a renamed column widens its frozen name
+        val phys = ManifestTable.snapshotAt(path, None)
+          .map(_.renames.getOrElse(name, name)).getOrElse(name)
+        GraftCatalog.writeDeclaredWiden(dir,
+          GraftCatalog.readDeclaredWiden(dir) + (phys -> uc.newDataType))
+        ManifestTable.invalidateSchemaCaches(path)
+        // keep the CREATE-time DDL view in sync where it names the column
+        GraftCatalog.readDdlSchema(dir).foreach { s =>
+          if (s.fieldNames.contains(name))
+            Files.write(dir.resolve(GraftCatalog.SchemaFile),
+              StructType(s.map(f =>
+                if (f.name == name) f.copy(dataType = uc.newDataType)
+                else f)).json
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} " +
-            "(retypes need type-widening metadata the format does not carry)")
+          s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}")
     }
     loadTable(ident)
   }
@@ -780,6 +815,68 @@ object GraftCatalog {
   private[graft] val ZOrderFile = "_zorder"
 
   private[graft] val CompressionFile = "_compression"
+
+  private[graft] val WidenFile = "_widen.json"
+
+  /** TYPE-WIDENING metadata (`ALTER TABLE t ALTER COLUMN c TYPE
+    * BIGINT`, Delta 3.2 / Iceberg V2 semantics): the declared WIDE type
+    * per physical column. Files are NEVER rewritten — Spark 4\'s parquet
+    * readers (vectorized and row-based) upcast narrower physical values
+    * at scan time (int32→long/double/decimal, float→double, decimal
+    * precision/scale growth, date→timestamp_ntz), so at 100 TB an
+    * int-that-overflowed emergency is one metadata write, not a
+    * petabyte rewrite. */
+  private[graft] def readDeclaredWiden(
+      dir: Path): Map[String, org.apache.spark.sql.types.DataType] = {
+    val f = dir.resolve(WidenFile)
+    if (!Files.isRegularFile(f)) Map.empty
+    else org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[StructType].fields
+      .map(sf => sf.name -> sf.dataType).toMap
+  }
+
+  private[sources] def writeDeclaredWiden(dir: Path,
+      m: Map[String, org.apache.spark.sql.types.DataType]): Unit =
+    Files.writeString(dir.resolve(WidenFile), StructType(
+      m.toSeq.sortBy(_._1).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }).json)
+
+  /** Is `to` a SAFE widening of `from` — every value representable
+    * exactly, parquet readers upcast at scan time? The Delta/Iceberg
+    * matrix, restricted to what the Spark 4 readers demonstrably
+    * support (spec-pinned in WidenSpec). */
+  private[graft] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intRank(t: DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => 0
+    }
+    def intDigits(t: DataType): Int = t match {
+      case ByteType => 3
+      case ShortType => 5
+      case IntegerType => 10
+      case LongType => 20
+      case _ => 0
+    }
+    (from, to) match {
+      case (a, b) if a == b => false // not a change
+      case (a, b) if intRank(a) > 0 && intRank(b) >= intRank(a) => true
+      case (a, DoubleType) if intRank(a) > 0 && intRank(a) <= 3 => true
+      case (FloatType, DoubleType) => true
+      case (a, d: DecimalType) if intRank(a) > 0 =>
+        d.precision - d.scale >= intDigits(a)
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
 
   /** Codecs every Spark 4 classpath carries; "none" normalizes to
     * parquet's UNCOMPRESSED. */

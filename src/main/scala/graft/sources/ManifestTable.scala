@@ -793,12 +793,78 @@ object ManifestTable {
     val key = cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
     val hit = physSchemaCache.get(key)
     if (hit != null) return hit
-    val sc = spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
-      .schema
+    val widen = GraftCatalog.readDeclaredWiden(Paths.get(path))
+    val sc =
+      if (widen.isEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(m.files.map(f => dataDir(path).resolve(f).toString): _*)
+          .schema
+      else widenMergedSchema(spark, path, m.files, widen)
     if (physSchemaCache.size > 65536) physSchemaCache.clear()
     physSchemaCache.put(key, sc)
     sc
+  }
+
+  /** A WIDENING ALTER invalidates every cached schema of the table (the
+    * caches key by manifest identity, which a metadata-only sidecar
+    * write does not change). Wholesale clear: widening is a rare DDL
+    * event, re-inference is one cached pass per manifest. */
+  private[sources] def invalidateSchemaCaches(path: String): Unit = {
+    schemaCache.clear()
+    physSchemaCache.clear()
+  }
+
+  /** Footer-merged schema of a WIDENED table, driver-side: files may
+    * legitimately MIX narrow (pre-ALTER) and wide (post-ALTER) physical
+    * types for a column, which Spark's own mergeSchema refuses to
+    * merge. Per column the WIDEST representation wins, then the
+    * declared overrides apply — so a pruned read keeps the same shape
+    * an unpruned one has, whatever era its files are from. One footer
+    * open per file, once per manifest (the cache above). */
+  private def widenMergedSchema(spark: SparkSession, path: String,
+      files: Seq[String],
+      widen: Map[String, org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conv = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+    val hconf = new org.apache.hadoop.conf.Configuration()
+    val order = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    files.foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(
+        dataDir(path).resolve(name).toUri)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, hconf))
+      val fs =
+        try conv.convert(r.getFooter.getFileMetaData.getSchema).fields
+        finally r.close()
+      fs.foreach { f =>
+        order.get(f.name) match {
+          case None => order(f.name) = f.copy(nullable = true)
+          case Some(cur) if cur.dataType == f.dataType => ()
+          case Some(cur) if GraftCatalog.isWidening(cur.dataType, f.dataType) =>
+            order(f.name) = cur.copy(dataType = f.dataType)
+          case Some(cur) if GraftCatalog.isWidening(f.dataType, cur.dataType) =>
+            () // current is already the wider era
+          case Some(cur) => throw new IllegalStateException(
+            s"column '${f.name}' mixes un-widenable physical types " +
+              s"${cur.dataType.simpleString} and ${f.dataType.simpleString} " +
+              s"across files of $path")
+        }
+      }
+    }
+    widen.foreach { case (c, wide) =>
+      order.get(c).foreach { cur =>
+        if (cur.dataType != wide) {
+          require(GraftCatalog.isWidening(cur.dataType, wide),
+            s"declared widening of '$c' to ${wide.simpleString} no longer " +
+              s"covers the files' ${cur.dataType.simpleString}")
+          order(c) = cur.copy(dataType = wide)
+        }
+      }
+    }
+    StructType(order.values.toSeq)
   }
 
   private def reconcileRaw(spark: SparkSession, path: String, m: Manifest,
