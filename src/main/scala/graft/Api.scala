@@ -376,6 +376,41 @@ object ApiServer {
                 spark, tablePath)
               respond(ex, 200, JsonMethods.compact(JsonMethods.render(
                 ("folded_version" -> v))))
+            case ("POST", List("tag")) =>
+              // ?name=<tag>[&version=v]: pin (default: current head);
+              // ?name=<tag>&drop=true: release
+              val qp = queryParams(ex)
+              val name = qp.getOrElse("name",
+                throw new IllegalArgumentException("?name= is required"))
+              if (qp.get("drop").exists(_.toBoolean))
+                respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                  ("tag" -> name) ~ ("action" -> "dropped") ~
+                    ("version" -> graft.sources.ManifestTable
+                      .dropTag(tablePath, name)))))
+              else
+                respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                  ("tag" -> name) ~ ("action" -> "created") ~
+                    ("version" -> graft.sources.ManifestTable.createTag(
+                      tablePath, name, qp.get("version").map(_.toLong))))))
+            case ("GET", List("tags")) =>
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("warehouse" -> whName) ~ ("resource" -> resource) ~
+                  ("tags" -> graft.sources.ManifestTable.tags(tablePath)
+                    .toSeq.sortBy(_._1).map { case (n, v) =>
+                      ("name" -> n) ~ ("version" -> v) }))))
+            case ("POST", List("widen_column")) =>
+              // metadata-only TYPE WIDENING over HTTP: ?col=&type=
+              // (same validation as ALTER COLUMN TYPE — widening only)
+              val qp = queryParams(ex)
+              val c = qp.getOrElse("col",
+                throw new IllegalArgumentException("?col= is required"))
+              val t = qp.getOrElse("type",
+                throw new IllegalArgumentException("?type= is required"))
+              val wide = org.apache.spark.sql.types.DataType.fromDDL(t)
+              graft.sources.GraftCatalog.widenColumnAt(
+                java.nio.file.Paths.get(tablePath), c, wide)
+              respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+                ("column" -> c) ~ ("widened_to" -> wide.simpleString))))
             case ("GET", List("wap")) =>
               // staged-unpublished WAP ids (operator visibility before
               // a publish/abort decision)
@@ -651,6 +686,12 @@ object ApiServer {
         "fold the MoR delete ledger (targeted rewrite)"),
       r("POST", "/table/{warehouse}/{resource}/expire",
         "expire old versions + sweep unreferenced files (?keep=n | ?hours=n)"),
+      r("POST", "/table/{warehouse}/{resource}/tag",
+        "pin/release a named version tag (?name= [&version=v] [&drop=true])"),
+      r("GET", "/table/{warehouse}/{resource}/tags",
+        "named version tags (retention never expires a tagged version)"),
+      r("POST", "/table/{warehouse}/{resource}/widen_column",
+        "metadata-only type widening (?col=&type=)"),
       r("GET", "/table/{warehouse}/{resource}/wap",
         "staged-unpublished write-audit-publish ids"),
       r("POST", "/table/{warehouse}/{resource}/wap/publish",

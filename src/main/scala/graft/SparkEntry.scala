@@ -3358,6 +3358,57 @@ object SparkEntry {
         GROUP BY event_type""")
     }),
 
+    "q179_tags" -> ((s, dir) => {
+      // VERSION TAGS — named immutable snapshot pins (Iceberg tags):
+      // `training-set-v2` names the EXACT snapshot a model was trained
+      // on; `VERSION AS OF 'training-set-v2'` resolves it, and
+      // RETENTION NEVER EXPIRES a tagged version however the history
+      // horizon moves. At 100 TB this is the reproducible-dataset
+      // contract: a release is a name, not a number someone wrote down.
+      // Gates: tag == literal version under the oracle shape; an
+      // aggressive VACUUM RETAIN 1 FORCE expires untagged middles but
+      // the pin survives AND READS EXACTLY; DROP TAG releases it; the
+      // emitted frame is the tagged snapshot's rollup.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q179-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.t (k BIGINT, status STRING, price DOUBLE)")
+      val path = s"$wh/t"
+      Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("ord_q179")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q179 WHERE k % 2 = 0")
+      s2.sql("ALTER TABLE graft.t CREATE TAG 'training-set-v1'")
+      val v1 = ManifestTable.resolveTag(path, "training-set-v1").get
+      // history moves on: two more commits the pin must survive
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q179 WHERE k % 2 = 1")
+      s2.sql("INSERT INTO graft.t SELECT * FROM ord_q179 LIMIT 100")
+      // tag and literal version agree
+      val byTag = s2.sql(
+        "SELECT count(*) FROM graft.t VERSION AS OF 'training-set-v1'")
+        .collect().head.getLong(0)
+      require(byTag == s2.sql(
+        s"SELECT count(*) FROM graft.t VERSION AS OF $v1")
+        .collect().head.getLong(0), "tag must equal its literal version")
+      // aggressive retention: untagged middles expire, the pin survives
+      s2.sql("VACUUM graft.t RETAIN 1 VERSIONS FORCE")
+      val left = ManifestTable.versions(path)
+      require(left.contains(v1) && left.size == 2,
+        s"retention must pin the tag and expire the middle: $left")
+      require(s2.sql(
+        "SELECT count(*) FROM graft.t VERSION AS OF 'training-set-v1'")
+        .collect().head.getLong(0) == byTag,
+        "the pinned snapshot must read exactly after the sweep")
+      // the tagged snapshot's rollup goes under the oracle
+      s2.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM graft.t VERSION AS OF 'training-set-v1' GROUP BY status""")
+    }),
+
     "q178_type_widening" -> ((s, dir) => {
       // METADATA-ONLY TYPE WIDENING — `ALTER TABLE t ALTER COLUMN c
       // TYPE BIGINT` (Delta 3.2 / Iceberg V2): the wide type is ONE
@@ -10505,6 +10556,12 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
            AND ts < TIMESTAMP '2024-01-05 00:00:00'
          GROUP BY 1""",
+    // q179: the TAGGED snapshot's rollup (the even half) — history
+    // moving on and the aggressive sweep must both be invisible
+    "q179_tags" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1""",
     // q178: the mixed-era rollup — the int-era rows plus the widened
     // tail; the ALTER, the sidecar and the pruning must be invisible
     "q178_type_widening" ->

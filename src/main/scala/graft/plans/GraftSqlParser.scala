@@ -34,6 +34,8 @@ import graft.sources.{GraftCatalog, ManifestTable}
   *   REFRESH MATERIALIZED VIEW mv                       -- incremental/full
   *   ALTER TABLE t PUBLISH WAP 'id'                     -- adopt staged batches
   *   ALTER TABLE t ABORT WAP 'id'                       -- drop them unpublished
+  *   ALTER TABLE t CREATE TAG 'v2' [AS OF VERSION n]    -- named version pin
+  *   ALTER TABLE t DROP TAG 'v2'                        -- release the pin
   * }}}
   *
   * (WAP staging itself is the session conf `spark.graft.wap.id`: while
@@ -112,6 +114,12 @@ object GraftSqlParser {
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+('[^']+'|[\w.`]+)\s*;?\s*$""")
   // write-audit-publish resolution (PUBLISH/ABORT are non-Spark tokens
   // after ALTER TABLE <t>, so every real ALTER still delegates)
+  // version tags (Iceberg's named snapshot pins; CREATE/DROP TAG are
+  // non-Spark tokens after ALTER TABLE <t>, so real ALTERs delegate)
+  private val TagStmt = Pattern.compile(
+    """(?is)^\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+""" +
+      """(CREATE|DROP)\s+TAG\s+'([^']+)'""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""")
   private val WapResolve = Pattern.compile(
     """(?is)^\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+""" +
       """(PUBLISH|ABORT)\s+WAP\s+'([^']+)'\s*;?\s*$""")
@@ -146,6 +154,12 @@ object GraftSqlParser {
     val rmv = RefreshMv.matcher(sqlText)
     if (rmv.matches())
       return Some(GraftRefreshMvCommand(target(rmv.group(1), delegate)))
+    val tm = TagStmt.matcher(sqlText)
+    if (tm.matches())
+      return Some(GraftTagCommand(target(tm.group(1), delegate),
+        create = tm.group(2).equalsIgnoreCase("CREATE"),
+        name = tm.group(3),
+        version = Option(tm.group(4)).map(_.toLong)))
     val wm = WapResolve.matcher(sqlText)
     if (wm.matches())
       return Some(GraftWapCommand(target(wm.group(1), delegate),
@@ -481,6 +495,30 @@ case class GraftVacuumCommand(target: Either[String, Seq[String]],
       .filterNot(v => dryRun && expired.contains(v))
     Seq(Row(expired.size.toLong, deleted.size.toLong,
       retained.mkString(","), if (dryRun) "dry_run" else "vacuum"))
+  }
+}
+
+/** `ALTER TABLE <t> CREATE TAG '<name>' [AS OF VERSION <n>]` /
+  * `ALTER TABLE <t> DROP TAG '<name>'` — named version pins (Iceberg
+  * tags): `VERSION AS OF '<name>'` resolves the pin, and retention
+  * NEVER expires a tagged version (the reproducible-dataset contract:
+  * a training run's exact snapshot stays readable however the table's
+  * history horizon moves). Tag names are immutable; DROP releases. */
+case class GraftTagCommand(target: Either[String, Seq[String]],
+    create: Boolean, name: String, version: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("tag", StringType),
+    GraftSqlParser.attr("action", StringType),
+    GraftSqlParser.attr("version", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    if (create)
+      Seq(Row(name, "created", ManifestTable.createTag(path, name, version)))
+    else
+      Seq(Row(name, "dropped", ManifestTable.dropTag(path, name)))
   }
 }
 

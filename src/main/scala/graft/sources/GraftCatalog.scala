@@ -156,9 +156,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadAt(ident, None)
 
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft version must be an integer, got '$version'")
+    // `VERSION AS OF 3` reads a literal version; `VERSION AS OF 'tag'`
+    // resolves a named pin (Iceberg tags — `training-set-v2` names the
+    // exact snapshot a model was trained on)
+    val v = version.toLongOption.getOrElse {
+      ManifestTable.resolveTag(tableDir(ident).toString, version)
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$version' is neither a version number nor a tag of " +
+            s"${ident.name} (tags: ${ManifestTable.tags(
+              tableDir(ident).toString).keys.toSeq.sorted.mkString(", ")})"))
     }
     loadAt(ident, Some(v))
   }
@@ -543,37 +549,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case uc: TableChange.UpdateColumnType =>
         require(uc.fieldNames.length == 1,
           "ALTER COLUMN TYPE supports top-level columns only")
-        val name = uc.fieldNames.head
-        val cur = GraftCatalog.fullSchema(dir, None).getOrElse(
-          throw new NoSuchTableException(ident))
-        val field = cur.fields.find(_.name == name).getOrElse(
-          throw new IllegalArgumentException(s"no column '$name'"))
-        require(GraftCatalog.isWidening(field.dataType, uc.newDataType),
-          s"ALTER COLUMN TYPE only WIDENS (every value stays exactly " +
-            s"representable): ${field.dataType.simpleString} -> " +
-            s"${uc.newDataType.simpleString} is not a safe widening")
-        require(!GraftCatalog.readDeclaredLayout(dir).exists {
-            case GraftCatalog.BucketPart(_, c) => c.equalsIgnoreCase(name)
-            case _ => false
-          },
-          s"cannot widen bucket column '$name': bucket routing hashes " +
-            "the physical value, and int/long hashes differ")
-        // stats/predicates speak PHYSICAL names; resolve through the
-        // current mapping so a renamed column widens its frozen name
-        val phys = ManifestTable.snapshotAt(path, None)
-          .map(_.renames.getOrElse(name, name)).getOrElse(name)
-        GraftCatalog.writeDeclaredWiden(dir,
-          GraftCatalog.readDeclaredWiden(dir) + (phys -> uc.newDataType))
-        ManifestTable.invalidateSchemaCaches(path)
-        // keep the CREATE-time DDL view in sync where it names the column
-        GraftCatalog.readDdlSchema(dir).foreach { s =>
-          if (s.fieldNames.contains(name))
-            Files.write(dir.resolve(GraftCatalog.SchemaFile),
-              StructType(s.map(f =>
-                if (f.name == name) f.copy(dataType = uc.newDataType)
-                else f)).json
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
+        GraftCatalog.widenColumnAt(dir, uc.fieldNames.head, uc.newDataType)
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}")
@@ -840,6 +816,39 @@ object GraftCatalog {
     Files.writeString(dir.resolve(WidenFile), StructType(
       m.toSeq.sortBy(_._1).map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t) }).json)
+
+  /** Validate + record a widening (shared by ALTER COLUMN TYPE and the
+    * HTTP door): refuses non-widenings and bucket columns, resolves the
+    * frozen physical name, writes the sidecar, drops schema caches. */
+  private[graft] def widenColumnAt(dir: Path, name: String,
+      wide: org.apache.spark.sql.types.DataType): Unit = {
+    val path = dir.toString
+    val cur = fullSchema(dir, None).getOrElse(
+      throw new IllegalArgumentException(s"no table at $path"))
+    val field = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name'"))
+    require(isWidening(field.dataType, wide),
+      s"ALTER COLUMN TYPE only WIDENS (every value stays exactly " +
+        s"representable): ${field.dataType.simpleString} -> " +
+        s"${wide.simpleString} is not a safe widening")
+    require(!readDeclaredLayout(dir).exists {
+        case BucketPart(_, c) => c.equalsIgnoreCase(name)
+        case _ => false
+      },
+      s"cannot widen bucket column '$name': bucket routing hashes " +
+        "the physical value, and int/long hashes differ")
+    val phys = ManifestTable.snapshotAt(path, None)
+      .map(_.renames.getOrElse(name, name)).getOrElse(name)
+    writeDeclaredWiden(dir, readDeclaredWiden(dir) + (phys -> wide))
+    ManifestTable.invalidateSchemaCaches(path)
+    readDdlSchema(dir).foreach { s =>
+      if (s.fieldNames.contains(name))
+        Files.write(dir.resolve(SchemaFile),
+          StructType(s.map(f =>
+            if (f.name == name) f.copy(dataType = wide) else f)).json
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
 
   /** Is `to` a SAFE widening of `from` — every value representable
     * exactly, parquet readers upcast at scan time? The Delta/Iceberg

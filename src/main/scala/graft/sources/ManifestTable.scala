@@ -3856,7 +3856,8 @@ object ManifestTable {
       vacuumMinAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
-    val dropped = vs.dropRight(keepLast)
+    val pinned = tags(path).values.toSet // tagged versions never expire
+    val dropped = vs.dropRight(keepLast).filterNot(pinned)
     dropped.foreach { v =>
       val p = manifestDir(path).resolve(f"v$v%08d.json")
       parseCache.remove(cacheKey(p))
@@ -3873,8 +3874,9 @@ object ManifestTable {
       vacuumMinAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
-    (vs.dropRight(keepLast),
-      sweepPreview(path, vs.takeRight(keepLast), vacuumMinAgeMs))
+    val pinned = tags(path).values.toSet
+    val dropped = vs.dropRight(keepLast).filterNot(pinned)
+    (dropped, sweepPreview(path, vs.filterNot(dropped.toSet), vacuumMinAgeMs))
   }
 
   /** EVERYTHING the sweep would reap once only `kept` versions remain —
@@ -3943,8 +3945,10 @@ object ManifestTable {
       dryRun: Boolean = false): (Seq[Long], Seq[String]) = {
     val vs = versions(path)
     val cutoff = System.currentTimeMillis() - maxAgeMs
+    val pinned = tags(path).values.toSet // tagged versions never expire
     val dropped = vs.dropRight(1)
       .filter(v => commitTimeMillis(path, v) <= cutoff)
+      .filterNot(pinned)
     if (dryRun)
       return (dropped, sweepPreview(path, vs.filterNot(dropped.toSet),
         vacuumMinAgeMs))
@@ -3963,6 +3967,77 @@ object ManifestTable {
     * unreferenced until its manifest publishes, so only files older than
     * the window are eligible (pass 0 only when no writer can be active).
     * Returns the deleted names. */
+  // ── VERSION TAGS ──────────────────────────────────────────────────
+  // Named, immutable version pins (Iceberg tags): `training-set-v2`
+  // names the EXACT snapshot a model was trained on, forever — reads
+  // resolve the name, and RETENTION REFUSES to expire a tagged version
+  // (an untagged one ages out normally). At 100 TB this is what makes
+  // a dataset release reproducible without freezing the whole table's
+  // history horizon.
+
+  private def tagsFile(path: String): Path =
+    Paths.get(path, "_tags.json")
+
+  private val tagLock = new Object
+
+  /** All tags of a table: name → pinned version. */
+  def tags(path: String): Map[String, Long] = {
+    val f = tagsFile(path)
+    if (!Files.isRegularFile(f)) return Map.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(Files.readString(f)) match {
+      case JObject(fields) => fields.collect {
+        case (n, JInt(v))  => n -> v.toLong
+        case (n, JLong(v)) => n -> v
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def writeTags(path: String, m: Map[String, Long]): Unit = {
+    val f = tagsFile(path)
+    val json = "{" + m.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"${q(n)}:$v" }.mkString(",") + "}"
+    val tmp = f.resolveSibling(s".tmp-tags-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, json)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Pin `name` to a version (default: the current head). Tag names are
+    * immutable once created — re-pointing a released dataset name is
+    * the reproducibility bug tags exist to prevent; DROP then CREATE
+    * to deliberately reuse one. */
+  def createTag(path: String, name: String,
+      version: Option[Long] = None): Long = tagLock.synchronized {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must be non-empty and non-numeric " +
+        "(numeric strings read as literal versions)")
+    val cur = tags(path)
+    require(!cur.contains(name),
+      s"tag '$name' already pins v${cur(name)} at $path - DROP it first")
+    val vs = versions(path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"cannot tag v$v at $path: no such committed version")
+    writeTags(path, cur + (name -> v))
+    v
+  }
+
+  /** Release a tag (the version becomes expirable again). */
+  def dropTag(path: String, name: String): Long = tagLock.synchronized {
+    val cur = tags(path)
+    require(cur.contains(name), s"no tag '$name' at $path")
+    writeTags(path, cur - name)
+    cur(name)
+  }
+
+  /** The version a tag pins, if the tag exists. */
+  def resolveTag(path: String, name: String): Option[Long] =
+    tags(path).get(name)
+
   // ── WRITE-AUDIT-PUBLISH ───────────────────────────────────────────
   // The WAP staging pattern (Iceberg's wap.id, Netflix write-audit-
   // publish): a pipeline STAGES a batch against the table — data files
