@@ -3929,6 +3929,74 @@ object SparkEntry {
       dash
     }),
 
+    "q180_mv_minmax" -> ((s, dir) => {
+      // MIN/MAX MEASURES IN MATERIALIZED VIEWS — extremes are exactly
+      // representable (stored in the column's OWN type, never decimal-
+      // quantized like sums), so the transparent rewrite serving
+      // min/max is value-identical to the base scan. Maintenance knows
+      // its algebra: min/max are APPEND-MONOTONE — an insert-only
+      // change feed folds them incrementally (gate: mode=incremental,
+      // state equals a rebuild), while a DELETE may remove the very row
+      // holding a group's extreme, which no fold can undo — the refresh
+      // detects it and recomputes (gate: mode=full). The dashboard with
+      // min/max/count/sum rides the rollup (plan-gated) and goes under
+      // the oracle.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q180-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("ord_q180")
+      s2.sql("CREATE TABLE graft.src (k BIGINT, status STRING, price DOUBLE)")
+      s2.sql("INSERT INTO graft.src SELECT * FROM ord_q180 WHERE o_orderkey % 2 = 0")
+      s2.sql("""CREATE MATERIALIZED VIEW graft.mv AS
+                SELECT status, count(*) AS n, sum(price) AS sum_price,
+                       min(price) AS min_price, max(price) AS max_price
+                FROM graft.src GROUP BY status""").collect()
+      val dashSql =
+        """SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             min(price) AS cheapest, max(price) AS priciest
+           FROM graft.src GROUP BY status"""
+      def scansMv(df: DataFrame): Boolean = {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        df.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten.exists(_.contains("/mv/data"))
+      }
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try {
+        require(scansMv(s2.sql(dashSql)),
+          "min/max/count/sum must ALL rewrite onto the rollup scan")
+        // appends fold extremes incrementally
+        s2.sql("INSERT INTO graft.src SELECT * FROM ord_q180 WHERE o_orderkey % 2 = 1")
+        val r1 = s2.sql("REFRESH MATERIALIZED VIEW graft.mv").collect()
+        require(r1.head.getString(1) == "incremental",
+          s"append-only catch-up must fold min/max: ${r1.head}")
+        require(sameRows(
+            ManifestTable.read(s2, s"$wh/mv"),
+            operators.IncrementalAgg.materialize(
+              ManifestTable.read(s2, s"$wh/src"),
+              Seq("status"), Seq("price"), Seq("price"))),
+          "incremental min/max refresh must equal a from-scratch rebuild")
+        // a delete may have removed a group's extreme: full recompute
+        ManifestTable.deleteWhere(s2, s"$wh/src",
+          col("price") >= 400000.0)
+        val r2 = s2.sql("REFRESH MATERIALIZED VIEW graft.mv").collect()
+        require(r2.head.getString(1) == "full",
+          s"a delete under min/max measures must recompute: ${r2.head}")
+        val dash = s2.sql(dashSql)
+        require(scansMv(dash), "the recomputed rollup must serve the dashboard")
+        dash
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+    }),
+
     "q167_sql_mv" -> ((s, dir) => {
       // SQL MATERIALIZED VIEWS — the dashboard lifecycle as statements:
       // CREATE MATERIALIZED VIEW materializes the rollup in the
@@ -10654,6 +10722,15 @@ object SparkEntry {
          ) GROUP BY 1""",
     // q167: the emitted frame is the REWRITTEN dashboard — the oracle
     // checks the rollup-served values against the relational truth
+    // q180: the dashboard after the price-cap delete — the rewrite, both
+    // refresh modes and the min/max fold must all be invisible
+    "q180_mv_minmax" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           min(CAST(o_totalprice AS DOUBLE)) AS cheapest,
+           max(CAST(o_totalprice AS DOUBLE)) AS priciest
+         FROM orders WHERE CAST(o_totalprice AS DOUBLE) < 400000.0
+         GROUP BY 1""",
     "q167_sql_mv" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'

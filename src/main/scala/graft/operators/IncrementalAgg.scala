@@ -40,13 +40,18 @@ object IncrementalAgg {
   // recompute would produce
   private val sumDec = DecimalType(28, 4)
 
-  /** Build the MV in the maintainable shape: dims, `n` = row count, and
-    * `sum_<m>` = exact decimal sum per measure. */
+  /** Build the MV in the maintainable shape: dims, `n` = row count,
+    * `sum_<m>` = exact decimal sum per measure, and (optionally)
+    * `min_<m>`/`max_<m>` carried in the column's OWN type — min/max are
+    * exactly representable, never quantized, so a rewrite serving them
+    * is value-identical to the base scan. */
   def materialize(base: DataFrame, dims: Seq[String],
-      measures: Seq[String]): DataFrame =
+      measures: Seq[String], minMax: Seq[String] = Seq.empty): DataFrame =
     base.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        measures.map(m => sum(col(m).cast(dec)).as(s"sum_$m")): _*)
+        measures.map(m => sum(col(m).cast(dec)).as(s"sum_$m")) ++
+          minMax.flatMap(m => Seq(min(col(m)).as(s"min_$m"),
+            max(col(m)).as(s"max_$m"))): _*)
 
   /** Apply a value-carrying change feed to a materialized aggregate.
     *
@@ -78,35 +83,52 @@ object IncrementalAgg {
     * micro-batch at a time (deltas are additive, so batch boundaries
     * between commits don't matter). */
   def applyCdf(mv: DataFrame, feed: DataFrame, dims: Seq[String],
-      measures: Seq[String]): DataFrame = {
+      measures: Seq[String], minMax: Seq[String] = Seq.empty): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
+    // min/max are append-monotone ONLY: a delete may remove the very
+    // row holding a group's extreme, which no fold can undo — refuse so
+    // the caller's standard fallback (full recompute) takes over
+    if (minMax.nonEmpty && !feed
+        .where(col("_change_type").isin("delete", "update_preimage"))
+        .isEmpty)
+      throw new IllegalStateException(
+        "min/max measures cannot fold deletes - full refresh required")
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1)
       .when(col("_change_type").isin("delete", "update_preimage"), -1)
     val signed = feed.where(sign.isNotNull)
       .select(dims.map(col) ++
         (sign.cast("long").as("__dn") +:
-          measures.map(m => (col(m).cast(dec) * sign).as(s"__d_$m"))): _*)
-    fold(mv, signed, dims, measures)
+          (measures.map(m => (col(m).cast(dec) * sign).as(s"__d_$m")) ++
+            minMax.flatMap(m => Seq(col(m).as(s"__mn_$m"),
+              col(m).as(s"__mx_$m"))))): _*)
+    fold(mv, signed, dims, measures, minMax)
   }
 
   /** Shared delta fold: aggregate signed contributions per dim group,
     * full-outer-merge into the previous state (null-safe dims), drop
     * emptied groups. */
   private def fold(mv: DataFrame, signed: DataFrame, dims: Seq[String],
-      measures: Seq[String]): DataFrame = {
+      measures: Seq[String], minMax: Seq[String] = Seq.empty): DataFrame = {
     val delta = signed
       .groupBy(dims.map(col): _*)
       .agg(sum(col("__dn")).as("__dn"),
-        measures.map(m => sum(col(s"__d_$m")).cast(sumDec).as(s"__d_$m")): _*)
+        measures.map(m => sum(col(s"__d_$m")).cast(sumDec).as(s"__d_$m")) ++
+          minMax.flatMap(m => Seq(min(col(s"__mn_$m")).as(s"__mn_$m"),
+            max(col(s"__mx_$m")).as(s"__mx_$m"))): _*)
     val joined = mv.join(delta,
       dims.map(d => mv(d) <=> delta(d)).reduce(_ && _), "full_outer")
     joined.select(
       dims.map(d => coalesce(mv(d), delta(d)).as(d)) ++
         (coalesce(mv("n"), lit(0L)).plus(coalesce(delta("__dn"), lit(0L))).as("n") +:
-          measures.map(m =>
+          (measures.map(m =>
             (coalesce(mv(s"sum_$m"), lit(0).cast(sumDec)) +
               coalesce(delta(s"__d_$m"), lit(0).cast(sumDec))).cast(sumDec)
-              .as(s"sum_$m"))): _*)
+              .as(s"sum_$m")) ++
+            // least/greatest skip nulls: a new group takes the delta's
+            // extreme, an untouched group keeps its own
+            minMax.flatMap(m => Seq(
+              least(mv(s"min_$m"), delta(s"__mn_$m")).as(s"min_$m"),
+              greatest(mv(s"max_$m"), delta(s"__mx_$m")).as(s"max_$m"))))): _*)
       .where(col("n") > 0)
   }
 }

@@ -42,7 +42,10 @@ object GraftMaterializedView {
   private[plans] val SidecarFile = "_mv.json"
 
   case class MvSpec(source: String, dims: Seq[String],
-      measures: Seq[String], version: Long)
+      measures: Seq[String], version: Long,
+      // min/max measure columns (min_<m>/max_<m> in the rollup) —
+      // absent in pre-minmax sidecars, json4s fills the default
+      minMax: Seq[String] = Seq.empty)
 
   private[plans] def writeSpec(mvPath: String, spec: MvSpec): Unit = {
     import org.json4s._
@@ -68,11 +71,12 @@ object GraftMaterializedView {
   /** Destructure the CREATE's SELECT into (source table parts, dims,
     * measures), refusing any shape the incremental maintenance cannot
     * keep fresh. */
-  private[plans] def parseSelect(spark: SparkSession,
-      selectSql: String): (Seq[String], Seq[String], Seq[String]) = {
+  private[plans] def parseSelect(spark: SparkSession, selectSql: String)
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
     def refuse(why: String): Nothing = throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW accepts exactly " +
-        "`SELECT <dims...>, count(*) AS n, sum(<m>) AS sum_<m>... " +
+        "`SELECT <dims...>, count(*) AS n, sum(<m>) AS sum_<m>..., " +
+        "min(<m>) AS min_<m>, max(<m>) AS max_<m> " +
         s"FROM <table> GROUP BY <dims...>` — $why")
     val plan = spark.sessionState.sqlParser.parsePlan(selectSql)
     val agg = plan match {
@@ -87,6 +91,7 @@ object GraftMaterializedView {
       case a: UnresolvedAttribute => a.nameParts.last
       case other => refuse(s"GROUP BY must name plain columns, got ${other.sql}")
     }
+    val minMaxBuf = scala.collection.mutable.LinkedHashSet[String]()
     val measures = agg.aggregateExpressions.flatMap {
       case a: UnresolvedAttribute =>
         if (!dims.contains(a.nameParts.last))
@@ -104,6 +109,13 @@ object GraftMaterializedView {
             if (alias != s"sum_$name")
               refuse(s"sum($name) must be aliased AS sum_$name")
             Some(name)
+          case (Seq(fn @ ("min" | "max")), Seq(m: UnresolvedAttribute))
+              if !f.isDistinct =>
+            val name = m.nameParts.last
+            if (alias != s"${fn}_$name")
+              refuse(s"$fn($name) must be aliased AS ${fn}_$name")
+            minMaxBuf += name
+            None
           case _ => refuse(s"unsupported aggregate ${f.nameParts.mkString(".")}" +
             (if (f.isDistinct) " DISTINCT" else ""))
         }
@@ -117,7 +129,20 @@ object GraftMaterializedView {
     if (!hasCount) refuse("the view must carry count(*) AS n " +
       "(the maintenance state that lets deletes retire groups)")
     if (dims.isEmpty) refuse("need at least one GROUP BY dim")
-    (srcParts, dims, measures)
+    // a min without its max (or vice versa) would leave the stored
+    // shape asymmetric for no gain; require the pair
+    minMaxBuf.foreach { m =>
+      def has(fn: String) = agg.aggregateExpressions.exists {
+        case Alias(f: UnresolvedFunction, a) =>
+          a == s"${fn}_$m" &&
+            f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq(fn)
+        case _ => false
+      }
+      if (!has("min") || !has("max"))
+        refuse(s"min/max of '$m' must be selected as a pair " +
+          s"(min($m) AS min_$m, max($m) AS max_$m)")
+    }
+    (srcParts, dims, measures, minMaxBuf.toSeq)
   }
 
   /** Re-register the session's transparent rewrite onto the CURRENT
@@ -138,7 +163,8 @@ object GraftMaterializedView {
       // version-ARMED: the rewrite re-checks the source head at
       // substitution time, so a post-registration base write de-arms
       // this registration instead of serving a pre-write rollup
-      baseVersion = Some(spec.version))
+      baseVersion = Some(spec.version),
+      minMax = spec.minMax)
   }
 
   /** Commit the rollup frame as the MV table's next version and retire
@@ -162,9 +188,10 @@ object GraftMaterializedView {
     * maintenance contract, register the session's rewrite. */
   def createAt(spark: SparkSession, mvPath: String, srcPath: String,
       dims: Seq[String], measures: Seq[String], srcVersion: Long,
-      mv: org.apache.spark.sql.DataFrame): Unit = {
+      mv: org.apache.spark.sql.DataFrame,
+      minMax: Seq[String] = Seq.empty): Unit = {
     commitRollup(spark, mvPath, mv)
-    val spec = MvSpec(srcPath, dims, measures, srcVersion)
+    val spec = MvSpec(srcPath, dims, measures, srcVersion, minMax)
     writeSpec(mvPath, spec)
     registerRewrite(spark, mvPath, spec)
   }
@@ -230,12 +257,14 @@ object GraftMaterializedView {
           spec.version, cur)
         (graft.operators.IncrementalAgg.applyCdf(
           ManifestTable.read(spark, mvPath), feed,
-          spec.dims, spec.measures), "incremental")
+          spec.dims, spec.measures, spec.minMax), "incremental")
       } catch {
         case _: IllegalStateException =>
+          // no materialized CDC for a commit, or a delete touched a
+          // min/max view — either way the full recompute is correct
           (graft.operators.IncrementalAgg.materialize(
             ManifestTable.read(spark, spec.source, Some(cur)),
-            spec.dims, spec.measures), "full")
+            spec.dims, spec.measures, spec.minMax), "full")
       }
     commitRollup(spark, mvPath, next)
     val updated = spec.copy(version = cur)
@@ -255,13 +284,15 @@ case class GraftCreateMvCommand(target: Either[String, Seq[String]],
     GraftSqlParser.attr("groups", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (srcParts, dims, measures) = parseSelect(spark, selectSql)
+    val (srcParts, dims, measures, minMax) = parseSelect(spark, selectSql)
     val srcPath = GraftSqlParser.resolvePath(spark, Right(srcParts))
     val mvPath = GraftSqlParser.resolveNewPath(spark, target)
     val srcV = ManifestTable.latestVersion(srcPath)
     createAt(spark, mvPath, srcPath, dims, measures, srcV,
       IncrementalAgg.materialize(
-        ManifestTable.read(spark, srcPath, Some(srcV)), dims, measures))
+        ManifestTable.read(spark, srcPath, Some(srcV)), dims, measures,
+        minMax),
+      minMax)
     Seq(Row(srcV, ManifestTable.read(spark, mvPath).count()))
   }
 }

@@ -75,7 +75,8 @@ object MvRewrite {
     * compare against. */
   final case class MvDef(basePath: String, mvPlan: LogicalRelation,
       dims: Set[String], measures: Set[String],
-      baseVersion: Option[Long] = None)
+      baseVersion: Option[Long] = None,
+      minMax: Set[String] = Set.empty)
 
   // keyed by (session UUID, fully-qualified base root URI); the object
   // is JVM-global, so SESSION scoping in the key is what keeps one
@@ -103,14 +104,16 @@ object MvRewrite {
     * SESSION, and install the rewrite rule into its optimizer. */
   def register(spark: SparkSession, basePath: String, mv: DataFrame,
       dims: Seq[String], measures: Seq[String],
-      baseVersion: Option[Long] = None): Unit = {
+      baseVersion: Option[Long] = None,
+      minMax: Seq[String] = Seq.empty): Unit = {
     val plan = mv.queryExecution.analyzed match {
       case lr: LogicalRelation => lr
       case other => throw new IllegalArgumentException(
         s"MV must be a plain file scan (got ${other.nodeName}); " +
           "write the rollup out and register the read of it")
     }
-    val missing = ("n" +: measures.map(m => s"sum_$m")) ++ dims
+    val missing = ("n" +: measures.map(m => s"sum_$m")) ++ dims ++
+      minMax.flatMap(m => Seq(s"min_$m", s"max_$m"))
     val have = plan.output.map(_.name).toSet
     require(missing.forall(have), s"MV lacks columns ${missing.filterNot(have).mkString(", ")}")
     // bound the JVM-global registry: each entry pins an analyzed plan,
@@ -121,7 +124,8 @@ object MvRewrite {
     // real shared-JVM deployment's MV count.
     if (registry.size >= 1024) registry.clear()
     registry.put(s"${uuidOf(spark)}|${norm(basePath)}",
-      MvDef(norm(basePath), plan, dims.toSet, measures.toSet, baseVersion))
+      MvDef(norm(basePath), plan, dims.toSet, measures.toSet, baseVersion,
+        minMax.toSet))
     install(spark)
   }
 
@@ -311,6 +315,20 @@ class MvRewriteRule extends Rule[LogicalPlan] {
               dec28))
           case _ => None
         }
+        // min/max carry the column's OWN type in the rollup — exactly
+        // representable, so re-extremizing the per-group extremes is
+        // value-identical to the base scan (and rolls up under subset
+        // grouping: min of mins IS the min)
+        case Min(m: AttributeReference)
+            if mv.minMax(m.name) && mvAttr.contains(s"min_${m.name}") &&
+              mvAttr(s"min_${m.name}").dataType == m.dataType =>
+          Some(AggregateExpression(Min(mvAttr(s"min_${m.name}")), Complete,
+            isDistinct = false))
+        case Max(m: AttributeReference)
+            if mv.minMax(m.name) && mvAttr.contains(s"max_${m.name}") &&
+              mvAttr(s"max_${m.name}").dataType == m.dataType =>
+          Some(AggregateExpression(Max(mvAttr(s"max_${m.name}")), Complete,
+            isDistinct = false))
         case _ => None
       }
     }

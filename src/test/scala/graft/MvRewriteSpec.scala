@@ -263,4 +263,17 @@ class MvRewriteSpec extends SparkSpecBase {
     MvRewrite.purgeForPath(s"$tmp/wh/t2mv") // the rollup's own storage
     assert(!hits(), "dropping the rollup storage itself must purge")
   }
+
+  test("pre-minmax MV sidecars parse with an empty minMax (back-compat)") {
+    import graft.plans.GraftMaterializedView
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvcompat-")
+    // the exact JSON shape round-15 sidecars carried — no minMax field
+    java.nio.file.Files.writeString(dir.resolve("_mv.json"),
+      """{"source":"/wh/src","dims":["status"],""" +
+        """"measures":["price"],"version":3}""")
+    val spec = GraftMaterializedView.readSpec(dir.toString)
+    assert(spec.isDefined, "old sidecar must still parse")
+    assert(spec.get.minMax.isEmpty &&
+      spec.get.measures == Seq("price") && spec.get.version == 3L)
+  }
 }
