@@ -3929,6 +3929,64 @@ object SparkEntry {
       dash
     }),
 
+    "q181_replace_where" -> ((s, dir) => {
+      // REPLACE WHERE — the canonical BACKFILL (Delta's replaceWhere):
+      // a day's corrected batch atomically REPLACES exactly that day —
+      // delete-matching + insert in ONE commit, copy-on-write at file
+      // granularity. Gates: out-of-scope files carry BYTE-IDENTICAL
+      // (names preserved in the new manifest); an inserted row OUTSIDE
+      // the predicate refuses in-scan (the stray row that would
+      // silently survive the next backfill); re-running the same
+      // corrected batch is idempotent BY VALUE (the scope's rows leave
+      // exactly as the new ones land); the DSv2 door
+      // (`df.writeTo(t).overwrite(cond)`) drives the second leg. The
+      // backfilled table goes under the oracle.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q181-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.t (k BIGINT, day DATE, price DOUBLE)")
+      val path = s"$wh/t"
+      val orders = Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("double").as("price"))
+      ManifestTable.append(
+        orders.repartitionByRange(16, col("day")), path)
+      val before = ManifestTable.snapshotAt(path, None).get
+      // the corrected slice: 1996 rows, prices doubled
+      val corrected = orders
+        .where(year(col("day")) === 1996)
+        .withColumn("price", col("price") * 2)
+      // a filter-TRANSLATABLE scope (the DSv2 door requires the
+      // condition to reach the source as pushed filters)
+      val scopeCond = col("day") >= java.sql.Date.valueOf("1996-01-01") &&
+        col("day") <= java.sql.Date.valueOf("1996-12-31")
+      // leg 1: the API door replaces exactly the scope
+      ManifestTable.replaceWhere(s2, path, scopeCond, corrected)
+      val after = ManifestTable.snapshotAt(path, None).get
+      val carried = after.files.toSet.intersect(before.files.toSet)
+      require(carried.nonEmpty && carried.size < before.files.size,
+        "out-of-scope files must carry; in-scope files must rewrite")
+      // leg 2: a stray inserted row OUTSIDE the predicate refuses
+      require(scala.util.Try(ManifestTable.replaceWhere(s2, path,
+          scopeCond, orders.where(year(col("day")) === 1997).limit(5)))
+        .isFailure, "rows outside the replaced predicate must refuse")
+      require(ManifestTable.latestVersion(path) == after.version,
+        "the refused replace must leave no commit")
+      // leg 3: the DSv2 door re-runs the same backfill — idempotent by
+      // value (delete-then-insert of the same scope)
+      corrected.writeTo("graft.t").overwrite(scopeCond)
+      require(ManifestTable.latestVersion(path) == after.version + 1,
+        "the DSv2 overwrite must land one commit")
+      // the backfilled table under the oracle
+      s2.sql("""SELECT CAST(year(day) AS BIGINT) AS yr,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM graft.t GROUP BY 1""")
+    }),
+
     "q180_mv_minmax" -> ((s, dir) => {
       // MIN/MAX MEASURES IN MATERIALIZED VIEWS — extremes are exactly
       // representable (stored in the column's OWN type, never decimal-
@@ -10722,6 +10780,16 @@ object SparkEntry {
          ) GROUP BY 1""",
     // q167: the emitted frame is the REWRITTEN dashboard — the oracle
     // checks the rollup-served values against the relational truth
+    // q181: the backfilled table — 1996 doubled, everything else
+    // untouched; both doors and the refusal must be invisible
+    "q181_replace_where" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                    THEN CAST(o_totalprice AS DOUBLE) * 2
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q180: the dashboard after the price-cap delete — the rewrite, both
     // refresh modes and the min/max fold must all be invisible
     "q180_mv_minmax" ->

@@ -1094,6 +1094,7 @@ class GraftSqlTable(val ident: String, val path: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, // replaceWhere
       TableCapability.STREAMING_WRITE)
 
   // DESCRIBE TABLE EXTENDED / SHOW TBLPROPERTIES surface the table's
@@ -1645,8 +1646,12 @@ class GraftSqlRelation(ctx: SQLContext, path: String, version: Option[Long],
 
 class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
     partCols: Seq[String] = Seq.empty)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var replace = false
+  // REPLACE WHERE (`df.writeTo(t).overwrite(cond)`): the predicate of a
+  // scoped overwrite — delete-matching + insert in ONE commit
+  private var overwriteCond: Option[org.apache.spark.sql.Column] = None
 
   // bucket layouts ride the declared sidecar (the table object carries
   // identity partCols only): streamed epochs cluster + sort on the
@@ -1656,6 +1661,15 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
       case GraftCatalog.BucketPart(n, c) => (n, c) }
 
   override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_ == sources.AlwaysTrue)) { replace = true; return this }
+    val cols = filters.toSeq.map(f => GraftCatalog.filterToColumn(f)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"overwrite predicate not expressible for replaceWhere: $f")))
+    overwriteCond = Some(cols.reduce(_ && _))
+    this
+  }
 
   override def build(): Write = {
     class GraftV1Write extends V1Write {
@@ -1695,12 +1709,15 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
           val wapId = data.sparkSession.conf.getOption("spark.graft.wap.id")
             .map(_.trim).filter(_.nonEmpty)
           if (wapId.isDefined) {
-            require(!(replace || overwrite),
-              "INSERT OVERWRITE is not WAP-stageable (staging is " +
-                "append-shaped); unset spark.graft.wap.id or publish/" +
-                "abort the wap first")
+            require(!(replace || overwrite) && overwriteCond.isEmpty,
+              "INSERT OVERWRITE / replaceWhere is not WAP-stageable " +
+                "(staging is append-shaped); unset spark.graft.wap.id " +
+                "or publish/abort the wap first")
             ManifestTable.stageWap(clustered, path, wapId.get)
           }
+          else if (overwriteCond.isDefined)
+            ManifestTable.replaceWhere(data.sparkSession, path,
+              overwriteCond.get, clustered)
           else if (replace || overwrite) ManifestTable.overwrite(clustered, path)
           else ManifestTable.append(clustered, path)
         }

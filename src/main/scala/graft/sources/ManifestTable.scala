@@ -3566,10 +3566,28 @@ object ManifestTable {
       rewriteWhereAttempt(spark, path, cond, Some(set), commitId))
   }
 
+  /** REPLACE WHERE (Delta's replaceWhere, the canonical backfill):
+    * atomically DELETE every row matching `cond` and INSERT `data` in
+    * ONE commit — copy-on-write at file granularity (only files
+    * containing a matching row rewrite; everything else carries
+    * byte-identical), with every inserted row gated IN-SCAN to satisfy
+    * the predicate. Re-running a day's corrected batch can therefore
+    * never duplicate: the scope's old rows leave exactly as the new
+    * ones land, and no reader ever sees the gap. DSv2 door:
+    * `df.writeTo("graft.t").overwrite(cond)`. */
+  def replaceWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column, data: DataFrame,
+      commitId: Option[String] = None): Long = {
+    requireNoWapSession(spark, "replaceWhere")
+    retryMerge("replaceWhere")(
+      rewriteWhereAttempt(spark, path, cond, None, commitId, Some(data)))
+  }
+
   private def rewriteWhereAttempt(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
       set: Option[Map[String, org.apache.spark.sql.Column]],
-      commitId: Option[String]): Long = {
+      commitId: Option[String],
+      insert: Option[DataFrame] = None): Long = {
     import org.apache.spark.sql.functions._
     val replayed = commitId.flatMap(id =>
       versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
@@ -3587,19 +3605,34 @@ object ManifestTable {
     val touched = withFile.where(cond)
       .select(col("__file")).distinct().collect()
       .map(r => baseName(r.getString(0))).toSet
-    if (touched.isEmpty) return base.version // nothing matches: no commit
+    if (touched.isEmpty && insert.isEmpty)
+      return base.version // nothing matches: no commit
     val untouched = base.files.filterNot(f => touched(baseName(f)))
     // (2) rewrite only those files (MoR-reconciled first)
-    val rows = reconcile(spark, path, base,
-      base.files.filter(f => touched(baseName(f))))
     val matches = coalesce(cond, lit(false))
-    val rewritten = set match {
-      case None => rows.where(!matches)
-      case Some(m) => rows.select(rows.columns.map(c =>
-        m.get(c).map(nc => when(matches, nc).otherwise(col(c)).as(c))
-          .getOrElse(col(c))): _*)
-    }
-    val staged = stage(rewritten, path)
+    val rewriteStaged =
+      if (touched.isEmpty) Seq.empty[String]
+      else {
+        val rows = reconcile(spark, path, base,
+          base.files.filter(f => touched(baseName(f))))
+        val rewritten = set match {
+          case None => rows.where(!matches)
+          case Some(m) => rows.select(rows.columns.map(c =>
+            m.get(c).map(nc => when(matches, nc).otherwise(col(c)).as(c))
+              .getOrElse(col(c))): _*)
+        }
+        stage(rewritten, path)
+      }
+    // (3) replaceWhere's insert leg: new rows land in the SAME commit,
+    // each gated in-scan to SATISFY the replaced predicate (Delta's
+    // replaceWhere constraint — a stray row outside the scope would
+    // silently survive the next replace of the same scope)
+    val insertStaged = insert.map { ins =>
+      stage(ins.where(gated(assert_true(coalesce(cond, lit(false)),
+        lit("replaceWhere: an inserted row does not satisfy the " +
+          "replaced predicate")).isNull)), path)
+    }.getOrElse(Seq.empty)
+    val staged = rewriteStaged ++ insertStaged
     val next = base.version + 1
     val m = Manifest(next, untouched ++ staged, commitId, base.version,
       untouched.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
