@@ -3690,12 +3690,21 @@ object ManifestTable {
     val sizeBytes = m.files.map(f => sizeOf(path, m, f)).sum
     val recorded = m.files.flatMap(m.rows.get).sum
     val live = estimatedLive(path).map(_._1).getOrElse(recorded)
+    // operator-facing lifecycle state: named version pins, staged
+    // (unpublished) WAP batches awaiting a publish/abort decision, and
+    // metadata-widened column types
+    val tagsStr = tags(path).toSeq.sortBy(_._1)
+      .map { case (n, v) => s"$n=v$v" }.mkString(",")
+    val wapsStr = stagedWaps(path).mkString(",")
+    val widenStr = GraftCatalog.readDeclaredWiden(Paths.get(path))
+      .toSeq.sortBy(_._1)
+      .map { case (c, t) => s"$c:${t.simpleString}" }.mkString(",")
     Seq((m.version, m.files.size, m.deletes.size, sizeBytes, recorded,
       live, m.constraints.size, m.generated.size,
-      m.mergeKeys.mkString(",")))
+      m.mergeKeys.mkString(","), tagsStr, wapsStr, widenStr))
       .toDF("version", "n_files", "n_delete_files", "size_bytes",
         "recorded_rows", "live_rows", "n_constraints", "n_generated",
-        "merge_keys")
+        "merge_keys", "tags", "staged_waps", "widened_columns")
   }
 
   /** MAINTENANCE ADVISOR: what a nightly job should run against this
