@@ -3929,6 +3929,79 @@ object SparkEntry {
       dash
     }),
 
+    "q182_release_capstone" -> ((s, dir) => {
+      // DATASET-RELEASE CAPSTONE — the round-16 surface composed into
+      // the lifecycle a training-data release actually runs:
+      //   (1) WAP-stage the day's batch (conf door), audit, PUBLISH;
+      //   (2) widen qty INT→BIGINT (metadata-only, zero rewrites);
+      //   (3) replaceWhere-backfill 1996 with corrected prices —
+      //       post-widen, so the rewrite lands wide files next to
+      //       int-era carried ones;
+      //   (4) TAG the release;
+      //   (5) post-release churn: another insert, OPTIMIZE, and an
+      //       aggressive VACUUM RETAIN 1 FORCE.
+      // The tag must read the EXACT release through all of it — that is
+      // the reproducibility contract every gate here serves. The tagged
+      // rollup goes under the oracle.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q182-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("""CREATE TABLE graft.ds (k BIGINT, day DATE, status STRING,
+                qty INT, price DOUBLE)""")
+      val path = s"$wh/ds"
+      Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_orderstatus").as("status"),
+        (col("o_orderkey") % 50).cast("int").as("qty"),
+        col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("ord_q182")
+      s2.sql("INSERT INTO graft.ds SELECT * FROM ord_q182 WHERE k % 2 = 0")
+      // (1) WAP the odd half: stage, audit, publish
+      s2.conf.set("spark.graft.wap.id", "ingest-day-2")
+      s2.sql("INSERT INTO graft.ds SELECT * FROM ord_q182 WHERE k % 2 = 1")
+      s2.conf.unset("spark.graft.wap.id")
+      require(ManifestTable.readWap(s2, path, "ingest-day-2")
+        .where(col("price") <= 0).count() == 0, "audit: prices positive")
+      s2.sql("ALTER TABLE graft.ds PUBLISH WAP 'ingest-day-2'")
+      // (2) metadata-only widen
+      val filesBeforeWiden = ManifestTable.dataFiles(path).toSet
+      s2.sql("ALTER TABLE graft.ds ALTER COLUMN qty TYPE BIGINT")
+      require(ManifestTable.dataFiles(path).toSet == filesBeforeWiden,
+        "widening must move nothing")
+      // (3) backfill 1996 post-widen (wide files land beside int-era)
+      val scope = col("day") >= java.sql.Date.valueOf("1996-01-01") &&
+        col("day") <= java.sql.Date.valueOf("1996-12-31")
+      val corrected = Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_orderstatus").as("status"),
+        (col("o_orderkey") % 50).cast("bigint").as("qty"),
+        (col("o_totalprice").cast("double") * 2).as("price"))
+        .where(year(col("day")) === 1996)
+      ManifestTable.replaceWhere(s2, path, scope, corrected)
+      // (4) tag the release and capture its truth
+      s2.sql("ALTER TABLE graft.ds CREATE TAG 'release-v1'")
+      val releaseCount = s2.sql(
+        "SELECT count(*) FROM graft.ds VERSION AS OF 'release-v1'")
+        .collect().head.getLong(0)
+      // (5) churn the release must survive: insert, compact, sweep
+      s2.sql("INSERT INTO graft.ds SELECT * FROM ord_q182 LIMIT 500")
+      s2.sql("OPTIMIZE graft.ds")
+      s2.sql("VACUUM graft.ds RETAIN 1 VERSIONS FORCE")
+      require(s2.sql(
+        "SELECT count(*) FROM graft.ds VERSION AS OF 'release-v1'")
+        .collect().head.getLong(0) == releaseCount,
+        "the tagged release must read exactly through churn and sweep")
+      // the release rollup under the oracle
+      s2.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(qty) AS BIGINT) AS total_qty,
+          CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM graft.ds VERSION AS OF 'release-v1' GROUP BY status""")
+    }),
+
     "q181_replace_where" -> ((s, dir) => {
       // REPLACE WHERE — the canonical BACKFILL (Delta's replaceWhere):
       // a day's corrected batch atomically REPLACES exactly that day —
@@ -10780,6 +10853,17 @@ object SparkEntry {
          ) GROUP BY 1""",
     // q167: the emitted frame is the REWRITTEN dashboard — the oracle
     // checks the rollup-served values against the relational truth
+    // q182: the tagged release — full orders with 1996 doubled; the
+    // wap, the widen, the backfill, the churn and the sweep must all
+    // be invisible to the pinned name
+    "q182_release_capstone" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_orderkey % 50 AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                    THEN CAST(o_totalprice AS DOUBLE) * 2
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q181: the backfilled table — 1996 doubled, everything else
     // untouched; both doors and the refusal must be invisible
     "q181_replace_where" ->
