@@ -108,15 +108,37 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
       s""""retimings":$retimings,"context_restarts":$contextRestarts,""" +
       s""""load_before":$loadBefore,"load_after":${loadAvg()},"sf":"$sfDir"}"""
-    println(line)
-    // self-preservation: the driver's artifact pipeline has truncated the
-    // stdout tail two rounds running (BENCH parsed=null), destroying the
-    // per-query map — ALSO write the record to a file in the repo so the
-    // full measurement survives regardless of what happens to stdout
+    // FULL record → bench_last.json: the driver's artifact keeps only the
+    // last ~2000 chars of stdout, so a 258-query map (~8 KB) can never
+    // survive there — the file is the durable per-query measurement.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_last.json: $e") }
+    // stdout gets a COMPACT final line sized to fit INSIDE that 2000-char
+    // tail even with sbt's trailing "[success] ..." line: headline totals
+    // + as many per-query timings as fit (slowest first — the informative
+    // end of the distribution), pointing at bench_last.json for the rest.
+    // 16 consecutive round artifacts have parsed=null because the full
+    // line's head was truncated away; this line is the one that parses.
+    val header =
+      s"""{"metric":"total","value":${math.round(total * 100) / 100.0},""" +
+      s""""unit":"sec","n_queries":${results.size},"failed":$failed,""" +
+      s""""context_restarts":$contextRestarts,"load_before":$loadBefore,""" +
+      s""""load_after":${loadAvg()},"sf":"$sfDir",""" +
+      s""""full_map":"bench_last.json","queries":"""
+    val budget = 1800 - header.length - 60 // room for the closing fields
+    val bySlow = results.sortBy { case (_, v, ok, _) => if (ok) -v else 1.0 }
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlow.foreach { case (k, v, ok, _) =>
+      val e = "\"" + k + "\":" + (if (ok) math.round(v * 100) / 100.0
+                                  else -(math.round(v * 100) / 100.0))
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val compact = header + entries.mkString("{", ",", "}") +
+      s""","queries_omitted":${results.size - entries.size}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -24,15 +24,26 @@ object Compaction {
   final case class Report(filesBefore: Int, filesAfter: Int,
       bytesBefore: Long, bytesAfter: Long, rows: Long)
 
-  private def dataFiles(root: Path, ext: String): Seq[Path] =
-    scala.util.Using.resource(Files.walk(root)) { st =>
-      st.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.endsWith(ext) && !n.startsWith("_") && !n.startsWith(".")
-        }.toSeq
-    }
+  /** Data files with their sizes, harvested from the directory WALK's
+    * own attributes (the listing carries sizes — on object storage a
+    * LIST returns them for free, where a per-file `Files.size` is one
+    * HEAD request each; manifest tables answer from recorded bytes and
+    * never reach here). */
+  private def dataFiles(root: Path, ext: String): Seq[(Path, Long)] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+      override def visitFile(p: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        val n = p.getFileName.toString
+        if (attrs.isRegularFile && n.endsWith(ext) &&
+            !n.startsWith("_") && !n.startsWith("."))
+          acc += (p -> attrs.size)
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+    })
+    acc.toSeq
+  }
 
   /** Compact the dataset at `path` into ~`targetBytes` files. For a
     * partitioned dataset pass its `partitionCols` (layout is preserved and
@@ -45,7 +56,7 @@ object Compaction {
     val root = Paths.get(path)
     require(Files.isDirectory(root), s"no dataset directory at $path")
     val before = dataFiles(root, ext)
-    val bytesBefore = before.map(Files.size).sum
+    val bytesBefore = before.map(_._2).sum
     val df = spark.read.format(format).load(path)
     val rows = df.count()
     // average record size decides maxRecordsPerFile; file-count sizing
@@ -83,6 +94,6 @@ object Compaction {
       { new File(trash).renameTo(new File(path)); s"cannot promote $tmp" })
     delete(Paths.get(trash))
     val after = dataFiles(root, ext)
-    Report(before.size, after.size, bytesBefore, after.map(Files.size).sum, rows)
+    Report(before.size, after.size, bytesBefore, after.map(_._2).sum, rows)
   }
 }
