@@ -3929,6 +3929,145 @@ object SparkEntry {
       dash
     }),
 
+    "q183_concurrent_backfill" -> ((s, dir) => {
+      // LOGICAL COMMIT-CONFLICT RULES — two writers, one table, zero
+      // wasted bytes: session A backfills 1996 while session B's
+      // backfill of 1997 lands FIRST (injected at the exact point where
+      // A has staged but not published). The old protocol made A
+      // abandon its staged files and re-run the whole rewrite; the
+      // logical rules prove the scopes disjoint (A's input files all
+      // still live, no delete landed, no B-added file holds a 1996
+      // row — scanned pushed-down, O(B's commit)) and REBASE A's
+      // already-staged files onto the new head metadata-only. Gates:
+      // both commits land as their own versions; A's files in the final
+      // manifest are EXACTLY the ones staged before B committed (a
+      // re-run would stage fresh names); both corrections correct under
+      // the oracle. At 100 TB this is N concurrent backfill pipelines
+      // on one table instead of a serialized retry storm.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q183-").toString
+      val path = s"$wh/t"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("price"))
+      // ingest-by-period (how a synced table actually lands): each
+      // year's slice is its own commit, so the two backfills' scopes
+      // are file-disjoint by construction — the shape the logical
+      // conflict rules exist for
+      ManifestTable.append(orders.where(!year(col("day")).isin(1996, 1997))
+        .repartitionByRange(8, col("day")), path)
+      ManifestTable.append(orders.where(year(col("day")) === 1996)
+        .repartitionByRange(4, col("day")), path)
+      ManifestTable.append(orders.where(year(col("day")) === 1997)
+        .repartitionByRange(4, col("day")), path)
+      val v0 = ManifestTable.latestVersion(path)
+      def scope(y: Int) =
+        col("day") >= java.sql.Date.valueOf(s"$y-01-01") &&
+          col("day") <= java.sql.Date.valueOf(s"$y-12-31")
+      val corr96 = orders.where(year(col("day")) === 1996)
+        .withColumn("price", col("price") * 2)
+      val corr97 = orders.where(year(col("day")) === 1997)
+        .withColumn("price", col("price") * 3)
+      // capture the data-dir listing at the moment A has staged; then
+      // let B's disjoint backfill win the version claim
+      var captured = Set.empty[String]
+      ManifestTable.beforePublishHook = () => {
+        ManifestTable.beforePublishHook = () => () // one-shot
+        captured = scala.util.Using.resource(java.nio.file.Files.list(
+            java.nio.file.Paths.get(path, "data"))) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString).toSet
+        }
+        ManifestTable.replaceWhere(s, path, scope(1997), corr97)
+      }
+      ManifestTable.replaceWhere(s, path, scope(1996), corr96)
+      require(ManifestTable.latestVersion(path) == v0 + 2,
+        "both interleaved backfills must land as their own versions")
+      val winnerM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+      val finalM = ManifestTable.snapshotAt(path, None).get
+      val loserAdded = finalM.files.toSet -- winnerM.files.toSet
+      require(loserAdded.nonEmpty && loserAdded.forall(captured.contains),
+        "the losing backfill must REUSE its staged files (metadata-only " +
+          "rebase), not re-stage: " +
+          s"${(loserAdded -- captured).size} fresh files found")
+      // the year-level truth of both corrections under the oracle
+      ManifestTable.read(s, path)
+        .groupBy(year(col("day")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    "q184_branch_backfill" -> ((s, dir) => {
+      // BRANCH REFS — the multi-commit audit door WAP cannot be: a
+      // three-day backfill accumulates on a writable branch (session
+      // conf routes INSERT INTO to the ref), main's readers see the
+      // fork-point table THROUGHOUT, the branch reads as a first-class
+      // snapshot (`VERSION AS OF 'audit'` — stats pruning, same read
+      // path), vacuum refuses to reap branch files while the ref lives,
+      // and FAST FORWARD publishes all three commits in ONE atomic
+      // version. Gates at every step; the published table under the
+      // oracle.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q184-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.bf (k BIGINT, status STRING, price DOUBLE)")
+      val path = s"$wh/bf"
+      Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("ord_q184")
+      s2.sql("INSERT INTO graft.bf SELECT * FROM ord_q184 WHERE k % 2 = 0")
+      val mainCount = s2.sql("SELECT count(*) FROM graft.bf")
+        .collect().head.getLong(0)
+      val v0 = ManifestTable.latestVersion(path)
+      s2.sql("ALTER TABLE graft.bf CREATE BRANCH 'audit'")
+      // three branch commits through the session-conf door
+      s2.conf.set("spark.graft.branch", "audit")
+      Seq(1L, 3L, 5L).foreach { r =>
+        s2.sql(s"INSERT INTO graft.bf SELECT * FROM ord_q184 WHERE k % 6 = $r")
+        require(s2.sql("SELECT count(*) FROM graft.bf")
+          .collect().head.getLong(0) == mainCount,
+          "main must stay at the fork point while the branch accumulates")
+        require(ManifestTable.latestVersion(path) == v0,
+          "branch commits must not move main's version chain")
+      }
+      // a direct commit under the branch session refuses loudly
+      require(scala.util.Try(ManifestTable.overwrite(
+        s2.range(1).select(lit(0L).as("k"), lit("X").as("status"),
+          lit(0.0).as("price")), path)).isFailure,
+        "direct commits must refuse under an active branch session")
+      s2.conf.unset("spark.graft.branch")
+      require(ManifestTable.branches(path)("audit").commits.size == 3,
+        "three branch commits must have accumulated")
+      // the ref reads as a snapshot: fork point + all three commits
+      val total = s2.sql("SELECT count(*) FROM ord_q184")
+        .collect().head.getLong(0)
+      require(s2.sql("SELECT count(*) FROM graft.bf VERSION AS OF 'audit'")
+        .collect().head.getLong(0) == total,
+        "the branch snapshot must read fork point + every branch commit")
+      // vacuum never reaps live branch files
+      val branchFiles = ManifestTable.branches(path)("audit").files.toSet
+      val swept = ManifestTable.vacuum(path, minAgeMs = 0L)
+      require(branchFiles.intersect(swept.toSet).isEmpty,
+        "vacuum must retain files a live branch references")
+      // fast-forward: all three commits in ONE atomic version
+      s2.sql("ALTER TABLE graft.bf FAST FORWARD BRANCH 'audit'")
+      require(ManifestTable.latestVersion(path) == v0 + 1,
+        "fast-forward must publish the whole chain as ONE version")
+      require(s2.sql("SELECT count(*) FROM graft.bf")
+        .collect().head.getLong(0) == total)
+      require(ManifestTable.branches(path).isEmpty, "the ref is consumed")
+      // the published table under the oracle
+      s2.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM graft.bf GROUP BY status""")
+    }),
+
     "q182_release_capstone" -> ((s, dir) => {
       // DATASET-RELEASE CAPSTONE — the round-16 surface composed into
       // the lifecycle a training-data release actually runs:
@@ -10853,6 +10992,27 @@ object SparkEntry {
          ) GROUP BY 1""",
     // q167: the emitted frame is the REWRITTEN dashboard — the oracle
     // checks the rollup-served values against the relational truth
+    // q183: both interleaved backfills' corrections, by year — the
+    // conflict, the rebase and the file reuse must all be invisible
+    // to the relational truth
+    "q183_concurrent_backfill" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE
+                    WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                    THEN CAST(o_totalprice AS DOUBLE) * 2
+                    WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                    THEN CAST(o_totalprice AS DOUBLE) * 3
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+    // q184: the fast-forwarded table is simply all of orders — the
+    // branch lifecycle must be invisible to the published rollup
+    "q184_branch_backfill" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4)))
+             AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
     // q182: the tagged release — full orders with 1996 doubled; the
     // wap, the widen, the backfill, the churn and the sweep must all
     // be invisible to the pinned name

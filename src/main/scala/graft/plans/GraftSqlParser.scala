@@ -36,6 +36,10 @@ import graft.sources.{GraftCatalog, ManifestTable}
   *   ALTER TABLE t ABORT WAP 'id'                       -- drop them unpublished
   *   ALTER TABLE t CREATE TAG 'v2' [AS OF VERSION n]    -- named version pin
   *   ALTER TABLE t DROP TAG 'v2'                        -- release the pin
+  *   ALTER TABLE t CREATE BRANCH 'b' [AS OF VERSION n]  -- fork a writable ref
+  *   ALTER TABLE t FAST FORWARD BRANCH 'b'              -- publish it atomically
+  *   ALTER TABLE t REBASE BRANCH 'b'                    -- re-point the fork base
+  *   ALTER TABLE t DROP BRANCH 'b'                      -- abandon it
   * }}}
   *
   * (WAP staging itself is the session conf `spark.graft.wap.id`: while
@@ -123,6 +127,12 @@ object GraftSqlParser {
   private val WapResolve = Pattern.compile(
     """(?is)^\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+""" +
       """(PUBLISH|ABORT)\s+WAP\s+'([^']+)'\s*;?\s*$""")
+  // branch refs (Iceberg branches; CREATE/DROP/FAST FORWARD/REBASE
+  // BRANCH are non-Spark token sequences, so real ALTERs delegate)
+  private val BranchStmt = Pattern.compile(
+    """(?is)^\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+""" +
+      """(CREATE|DROP|FAST\s+FORWARD|REBASE)\s+BRANCH\s+'([^']+)'""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""")
 
   private def target(raw: String, delegate: ParserInterface)
       : Either[String, Seq[String]] =
@@ -165,6 +175,12 @@ object GraftSqlParser {
       return Some(GraftWapCommand(target(wm.group(1), delegate),
         publish = wm.group(2).equalsIgnoreCase("PUBLISH"),
         wapId = wm.group(3)))
+    val bm = BranchStmt.matcher(sqlText)
+    if (bm.matches())
+      return Some(GraftBranchCommand(target(bm.group(1), delegate),
+        action = bm.group(2).toUpperCase.replaceAll("\\s+", " "),
+        name = bm.group(3),
+        version = Option(bm.group(4)).map(_.toLong)))
     val cm = Clone.matcher(sqlText)
     if (cm.matches())
       return Some(GraftCloneCommand(target(cm.group(1), delegate),
@@ -543,6 +559,38 @@ case class GraftWapCommand(target: Either[String, Seq[String]],
     else
       Seq(Row(wapId, "aborted",
         ManifestTable.abortWap(path, wapId).size.toLong))
+  }
+}
+
+/** `ALTER TABLE <t> CREATE BRANCH '<name>' [AS OF VERSION <n>]` /
+  * `DROP BRANCH` / `FAST FORWARD BRANCH` / `REBASE BRANCH` — the SQL
+  * lifecycle of branch refs (Iceberg branches). Write-to-branch is the
+  * session conf `spark.graft.branch` (INSERT INTO appends to the ref
+  * instead of committing); reads resolve `VERSION AS OF '<name>'`;
+  * FAST FORWARD publishes the whole chain in one atomic commit. */
+case class GraftBranchCommand(target: Either[String, Seq[String]],
+    action: String, name: String, version: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("branch", StringType),
+    GraftSqlParser.attr("action", StringType),
+    GraftSqlParser.attr("result", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    action match {
+      case "CREATE" =>
+        Seq(Row(name, "created",
+          ManifestTable.createBranch(path, name, version)))
+      case "DROP" =>
+        Seq(Row(name, "dropped",
+          ManifestTable.dropBranch(path, name).size.toLong))
+      case "FAST FORWARD" =>
+        Seq(Row(name, "fast_forwarded", ManifestTable.fastForward(path, name)))
+      case "REBASE" =>
+        Seq(Row(name, "rebased", ManifestTable.rebaseBranch(path, name)))
+    }
   }
 }
 

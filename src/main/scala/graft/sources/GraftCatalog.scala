@@ -156,16 +156,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadAt(ident, None)
 
   override def loadTable(ident: Identifier, version: String): Table = {
-    // `VERSION AS OF 3` reads a literal version; `VERSION AS OF 'tag'`
-    // resolves a named pin (Iceberg tags — `training-set-v2` names the
-    // exact snapshot a model was trained on)
-    val v = version.toLongOption.getOrElse {
-      ManifestTable.resolveTag(tableDir(ident).toString, version)
-        .getOrElse(throw new IllegalArgumentException(
-          s"'$version' is neither a version number nor a tag of " +
-            s"${ident.name} (tags: ${ManifestTable.tags(
-              tableDir(ident).toString).keys.toSeq.sorted.mkString(", ")})"))
-    }
+    // `VERSION AS OF 3` reads a literal version; `VERSION AS OF 'name'`
+    // resolves a named ref — a tag (Iceberg's immutable pins:
+    // `training-set-v2` names the exact snapshot a model was trained
+    // on) or a BRANCH (the ref's synthetic snapshot id: fork point plus
+    // every branch commit, stats-pruned like any other version)
+    val path = tableDir(ident).toString
+    val v = version.toLongOption
+      .orElse(ManifestTable.resolveTag(path, version))
+      .orElse(ManifestTable.resolveBranch(path, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a version number, a tag, nor a branch " +
+          s"of ${ident.name} (tags: ${ManifestTable.tags(path)
+            .keys.toSeq.sorted.mkString(", ")}; branches: ${ManifestTable
+            .branches(path).keys.toSeq.sorted.mkString(", ")})"))
     loadAt(ident, Some(v))
   }
 
@@ -1708,12 +1712,28 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
           // OVERWRITE under a wap id refuses rather than half-isolating
           val wapId = data.sparkSession.conf.getOption("spark.graft.wap.id")
             .map(_.trim).filter(_.nonEmpty)
+          // BRANCH session door (Iceberg's write-to-branch): with
+          // `spark.graft.branch` set, INSERT INTO appends to the named
+          // branch ref — main's readers keep the fork-point table until
+          // `ALTER TABLE … FAST FORWARD BRANCH`. Append-shaped like WAP.
+          val branch = data.sparkSession.conf.getOption("spark.graft.branch")
+            .map(_.trim).filter(_.nonEmpty)
+          require(wapId.isEmpty || branch.isEmpty,
+            "spark.graft.wap.id and spark.graft.branch are both set - " +
+              "one isolation door at a time")
           if (wapId.isDefined) {
             require(!(replace || overwrite) && overwriteCond.isEmpty,
               "INSERT OVERWRITE / replaceWhere is not WAP-stageable " +
                 "(staging is append-shaped); unset spark.graft.wap.id " +
                 "or publish/abort the wap first")
             ManifestTable.stageWap(clustered, path, wapId.get)
+          }
+          else if (branch.isDefined) {
+            require(!(replace || overwrite) && overwriteCond.isEmpty,
+              "INSERT OVERWRITE / replaceWhere cannot target a branch " +
+                "(branches are append-shaped); unset spark.graft.branch " +
+                "or fast-forward/drop the branch first")
+            ManifestTable.appendBranch(clustered, path, branch.get)
           }
           else if (overwriteCond.isDefined)
             ManifestTable.replaceWhere(data.sparkSession, path,

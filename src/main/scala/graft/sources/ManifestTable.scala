@@ -548,7 +548,20 @@ object ManifestTable {
   }
 
   private def manifestAt(path: String, version: Long): Manifest =
-    parse(manifestDir(path).resolve(f"v$version%08d.json"))
+    // ids past BranchIdBase are branch snapshots, synthesized from the
+    // branch ledger (never files in the linear chain — see BRANCH REFS)
+    if (version >= BranchIdBase) branchManifest(path, version)
+    else parse(manifestDir(path).resolve(f"v$version%08d.json"))
+
+  /** Cache key for per-manifest derived state (schemas): a branch
+    * snapshot's identity is its DOC's size+mtime (the doc changes with
+    * every branch commit); a chain version's is its manifest file's. */
+  private def manifestCacheKey(path: String, m: Manifest): String =
+    if (m.version >= BranchIdBase)
+      branches(path).find(_._2.bid == m.version)
+        .map(e => cacheKey(branchDocPath(path, e._1)))
+        .getOrElse(s"branch-gone:${m.version}")
+    else cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
 
   private def latest(path: String): Option[Manifest] =
     versions(path).lastOption.map(manifestAt(path, _))
@@ -638,7 +651,7 @@ object ManifestTable {
       version: Option[Long] = None): org.apache.spark.sql.types.StructType = {
     val m = version.map(manifestAt(path, _)).orElse(latest(path))
       .getOrElse(throw new IllegalStateException(s"no committed version at $path"))
-    val key = cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
+    val key = manifestCacheKey(path, m)
     val hit = schemaCache.get(key)
     if (hit != null) return hit
     val sc = read(spark, path, Some(m.version)).schema
@@ -790,7 +803,7 @@ object ManifestTable {
 
   private[sources] def physicalSchemaAt(spark: SparkSession, path: String,
       m: Manifest): org.apache.spark.sql.types.StructType = {
-    val key = cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
+    val key = manifestCacheKey(path, m)
     val hit = physSchemaCache.get(key)
     if (hit != null) return hit
     val widen = GraftCatalog.readDeclaredWiden(Paths.get(path))
@@ -2331,15 +2344,18 @@ object ManifestTable {
           df.columns.map(df.col): _*): _*)
       else df.repartition(nFiles)
     val staged = stage(arranged, path)
+    val stagedStats = footerStats(path, staged)
+    val stagedRows = footerRows(path, staged)
     val next = base.version + 1
     val target = manifestDir(path).resolve(f"v$next%08d.json")
+    beforePublishHook()
     try {
       // the rewrite read was MoR-reconciled, so the compacted files carry
       // the deletes' effect in data — the new manifest folds them away
       publish(target, render(path,
         Manifest(next, staged, Some(s"compact-of-v${base.version}"), base.version,
-          footerStats(path, staged), staged.map(_ -> next).toMap, Seq.empty,
-          base.constraints, rows = footerRows(path, staged),
+          stagedStats, staged.map(_ -> next).toMap, Seq.empty,
+          base.constraints, rows = stagedRows,
           mergeKeys = base.mergeKeys, dataChange = false,
           generated = base.generated, txns = base.txns,
           renames = base.renames, droppedCols = base.droppedCols,
@@ -2347,9 +2363,20 @@ object ManifestTable {
       Some(next)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        // a concurrent commit won v<next>: abandon our staged files
-        // (vacuum reclaims them) and re-plan against the new head
-        None
+        // lost the claim: a compaction's scope is exactly its input
+        // file set, so a winner that touched NONE of those files
+        // (an append, a disjoint backfill) rebases metadata-only —
+        // its files carry, ours adopt, zero bytes re-staged. The
+        // folded-away ledger stays sound: winner-added files' seqs
+        // exceed every base delete's. Overlapping winners re-plan.
+        rebasePublish(path, base, base.files.toSet, staged,
+            stagedStats, stagedRows, Some(s"compact-of-v${base.version}"),
+            dataChange = false, Seq.empty, Map.empty, _ => true)
+          .map(v => Some(v)).getOrElse {
+            // abandon our staged files (vacuum reclaims them) and
+            // re-plan against the new head
+            None
+          }
     }
   }
 
@@ -2441,24 +2468,32 @@ object ManifestTable {
           df.columns.map(df.col): _*): _*)
       else df.repartition(nFiles)
     val staged = stage(arranged, path)
+    val stagedStats = footerStats(path, staged)
+    val stagedRows = footerRows(path, staged)
     val next = base.version + 1
     val m = Manifest(next, carried ++ staged,
       Some(s"compact-where-of-v${base.version}"), base.version,
       carried.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
-        footerStats(path, staged),
+        stagedStats,
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next).toMap,
       base.deletes, base.constraints, deleteStats = base.deleteStats,
-      rows = base.rows ++ footerRows(path, staged),
+      rows = base.rows ++ stagedRows,
       mergeKeys = base.mergeKeys, dataChange = false,
       generated = base.generated, txns = base.txns,
       renames = base.renames, droppedCols = base.droppedCols,
       bytes = base.bytes)
+    beforePublishHook()
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       Some(next)
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException => None
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // disjoint-winner rebase: scope = the rewritten file subset
+        rebasePublish(path, base, scope.toSet, staged, stagedStats,
+            stagedRows, Some(s"compact-where-of-v${base.version}"),
+            dataChange = false, base.deletes, base.deleteStats, _ => true)
+          .map(v => Some(v)).getOrElse(None)
     }
   }
 
@@ -2517,24 +2552,32 @@ object ManifestTable {
       if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(df, zorderBy, nFiles)
       else df.repartition(nFiles)
     val staged = stage(arranged, path)
+    val stagedStats = footerStats(path, staged)
+    val stagedRows = footerRows(path, staged)
     val next = base.version + 1
     val m = Manifest(next, carried ++ staged,
       Some(s"compact-incr-of-v${base.version}"), base.version,
       carried.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
-        footerStats(path, staged),
+        stagedStats,
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
-      rows = base.rows ++ footerRows(path, staged),
+      rows = base.rows ++ stagedRows,
       mergeKeys = base.mergeKeys, dataChange = false,
       generated = base.generated, txns = base.txns,
       renames = base.renames, droppedCols = base.droppedCols,
       bytes = base.bytes)
+    beforePublishHook()
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       Some(next)
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException => None
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // disjoint-winner rebase: scope = the folded file subset
+        rebasePublish(path, base, toFold.toSet, staged, stagedStats,
+            stagedRows, Some(s"compact-incr-of-v${base.version}"),
+            dataChange = false, base.deletes, base.deleteStats, _ => true)
+          .map(v => Some(v)).getOrElse(None)
     }
   }
 
@@ -2706,6 +2749,112 @@ object ManifestTable {
       }
     }
     throw new IllegalStateException(s"unreachable: $what retry loop")
+  }
+
+  // ── LOGICAL COMMIT-CONFLICT RESOLUTION ────────────────────────────
+  //
+  // The optimistic version claim serializes ALL writers on a table:
+  // whoever loses the v<next> race re-runs its attempt, RE-STAGING real
+  // data. Correct, but at 100 TB with several writers per table
+  // (backfills on disjoint days, compaction racing ingest) every
+  // conflict costs a full rewrite pass. The fix is the Delta/Iceberg
+  // logical-conflict model: a file-level rewrite (replaceWhere /
+  // delete / update / OPTIMIZE) whose SCOPE is disjoint from whatever
+  // the winner committed REBASES metadata-only — the loser's staged
+  // files are adopted onto the new head, zero bytes re-staged. The
+  // scope check is exact, not heuristic:
+  //
+  //   1. every INPUT file the rewrite consumed is still live at the
+  //      head (the winner didn't rewrite/remove what we read);
+  //   2. the MoR delete ledger is unchanged (a delete landing mid-
+  //      rewrite would be folded-away by our staged files' fresh seq —
+  //      silently resurrecting the winner's deleted rows);
+  //   3. table metadata (constraints, column mapping, generated
+  //      columns, merge keys) is unchanged — our staged files were
+  //      validated against the base's contract;
+  //   4. an operation with a PREDICATE scope (replaceWhere/delete/
+  //      update) additionally proves no winner-ADDED file holds an
+  //      in-scope row, by scanning ONLY the delta files with the
+  //      predicate pushed down — O(winner's commit), not O(table).
+  //
+  // Any check failing falls back to the old abandon-and-re-run loop —
+  // rebase is an optimization, never a semantics change. Plain appends
+  // already rebase metadata-only in [[commit]]'s retry loop (the staged
+  // file set is version-independent); this extends the same economy to
+  // every file-level rewrite.
+
+  /** TEST SEAM: invoked between a rewrite attempt's staging and its
+    * publish — lets specs/gates inject a racing commit at the exact
+    * point where the optimistic claim will be lost. Reset it in the
+    * injected body (one-shot) or the racing commit recurses. */
+  private[graft] var beforePublishHook: () => Unit = () => ()
+
+  /** All scope checks except the predicate-delta scan (which only
+    * predicate-scoped rewrites need). `inputs` = files the rewrite
+    * consumed at `base`. */
+  private def rebaseSafe(base: Manifest, head: Manifest,
+      inputs: Set[String]): Boolean = {
+    val headFiles = head.files.toSet
+    inputs.forall(headFiles) &&
+      head.deletes == base.deletes &&
+      head.deleteStats == base.deleteStats &&
+      head.constraints == base.constraints &&
+      head.renames == base.renames &&
+      head.droppedCols == base.droppedCols &&
+      head.generated == base.generated &&
+      head.mergeKeys == base.mergeKeys
+  }
+
+  /** Adopt an already-staged rewrite (`inputs` → `staged`) onto the
+    * CURRENT head after a lost version claim, when the winner's
+    * commit(s) are provably disjoint from the rewrite's scope. Returns
+    * the published version, or None when the scopes overlap (caller
+    * falls back to re-running the attempt). `deltaSafe` receives the
+    * files ADDED since `base` and must prove none holds an in-scope
+    * row (predicate-scoped rewrites scan them; compactions — whose
+    * scope is exactly `inputs` — pass a constant true). The publish
+    * itself loops: losing AGAIN to another disjoint commit just
+    * re-checks against the newer head, still zero re-staging. */
+  private def rebasePublish(path: String, base: Manifest,
+      inputs: Set[String], staged: Seq[String],
+      stagedStats: Map[String, Map[String, ColStats]],
+      stagedRows: Map[String, Long],
+      commitId: Option[String], dataChange: Boolean,
+      newDeletes: Seq[(String, Long)],
+      newDeleteStats: Map[String, Map[String, ColStats]],
+      deltaSafe: Seq[String] => Boolean): Option[Long] = {
+    val baseFiles = base.files.toSet
+    var attempts = 0
+    while (attempts < 16) {
+      attempts += 1
+      val head = latest(path).getOrElse(return None)
+      if (head.version == base.version)
+        return None // claim lost to a non-manifest cause: re-run
+      if (!rebaseSafe(base, head, inputs)) return None
+      if (!deltaSafe(head.files.filterNot(baseFiles))) return None
+      val next = head.version + 1
+      val carried = head.files.filterNot(inputs)
+      val m = Manifest(next, carried ++ staged, commitId, head.version,
+        carried.flatMap(f => head.stats.get(f).map(f -> _)).toMap ++
+          stagedStats,
+        carried.map(f => f -> head.seqs.getOrElse(f, 0L)).toMap ++
+          staged.map(_ -> next),
+        newDeletes, head.constraints, deleteStats = newDeleteStats,
+        rows = head.rows ++ stagedRows,
+        mergeKeys = head.mergeKeys, dataChange = dataChange,
+        generated = head.generated, txns = head.txns,
+        renames = head.renames, droppedCols = head.droppedCols,
+        bytes = head.bytes)
+      try {
+        publish(manifestDir(path).resolve(f"v$next%08d.json"),
+          render(path, m))
+        return Some(next)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          () // lost again — re-check against the newer head
+      }
+    }
+    None
   }
 
   /** Column names a predicate references, resolved against `df` —
@@ -3633,24 +3782,41 @@ object ManifestTable {
           "replaced predicate")).isNull)), path)
     }.getOrElse(Seq.empty)
     val staged = rewriteStaged ++ insertStaged
+    val stagedStats = footerStats(path, staged)
+    val stagedRows = footerRows(path, staged)
     val next = base.version + 1
     val m = Manifest(next, untouched ++ staged, commitId, base.version,
       untouched.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
-        footerStats(path, staged),
+        stagedStats,
       untouched.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
-      rows = base.rows ++ footerRows(path, staged),
+      rows = base.rows ++ stagedRows,
       mergeKeys = base.mergeKeys, generated = base.generated, txns = base.txns,
       renames = base.renames, droppedCols = base.droppedCols,
       bytes = base.bytes)
+    beforePublishHook()
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit during rewrite onto v${base.version}; retry")
+        // lost the version claim. If the winner's commit(s) are
+        // provably DISJOINT from this rewrite's scope — none of our
+        // input files touched, no delete landed, and no winner-added
+        // file holds a row matching our predicate (scanned pushed-down,
+        // O(winner's delta)) — adopt the staged files onto the new
+        // head metadata-only instead of re-running the whole rewrite.
+        val deltaSafe = (added: Seq[String]) => added.isEmpty || {
+          spark.read.schema(physicalSchemaAt(spark, path, base))
+            .parquet(added.map(f => dataDir(path).resolve(f).toString): _*)
+            .where(cond).limit(1).collect().isEmpty
+        }
+        rebasePublish(path, base, base.files.toSet -- untouched,
+            staged, stagedStats, stagedRows, commitId, dataChange = true,
+            base.deletes, base.deleteStats, deltaSafe)
+          .getOrElse(throw new IllegalStateException(
+            s"concurrent commit during rewrite onto v${base.version}; retry"))
     }
   }
 
@@ -3898,7 +4064,8 @@ object ManifestTable {
       vacuumMinAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
-    val pinned = tags(path).values.toSet // tagged versions never expire
+    val pinned = tags(path).values.toSet ++ // tagged versions never expire
+      branchPinned(path) // nor versions a live branch forks from
     val dropped = vs.dropRight(keepLast).filterNot(pinned)
     dropped.foreach { v =>
       val p = manifestDir(path).resolve(f"v$v%08d.json")
@@ -3916,7 +4083,7 @@ object ManifestTable {
       vacuumMinAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
-    val pinned = tags(path).values.toSet
+    val pinned = tags(path).values.toSet ++ branchPinned(path)
     val dropped = vs.dropRight(keepLast).filterNot(pinned)
     (dropped, sweepPreview(path, vs.filterNot(dropped.toSet), vacuumMinAgeMs))
   }
@@ -3931,7 +4098,7 @@ object ManifestTable {
     val live = kept.map(manifestAt(path, _))
       .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet ++
       cloneRetained(path, gc = false) ++ // preview touches NOTHING
-      wapRetained(path)
+      wapRetained(path) ++ branchRetained(path)
     val cutoff = System.currentTimeMillis() - vacuumMinAgeMs
     def aged(p: Path): Boolean = Files.getLastModifiedTime(p).toMillis <= cutoff
     val dataOrphans =
@@ -3987,7 +4154,8 @@ object ManifestTable {
       dryRun: Boolean = false): (Seq[Long], Seq[String]) = {
     val vs = versions(path)
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val pinned = tags(path).values.toSet // tagged versions never expire
+    val pinned = tags(path).values.toSet ++ // tagged versions never expire
+      branchPinned(path) // nor versions a live branch forks from
     val dropped = vs.dropRight(1)
       .filter(v => commitTimeMillis(path, v) <= cutoff)
       .filterNot(pinned)
@@ -4131,7 +4299,7 @@ object ManifestTable {
     * write; a merge/delete/update/overwrite slipping a direct commit
     * past the audit would defeat the isolation the conf promises. */
   private[sources] def requireNoWapSession(spark: SparkSession,
-      op: String): Unit =
+      op: String): Unit = {
     spark.conf.getOption("spark.graft.wap.id").map(_.trim)
       .filter(_.nonEmpty).foreach { id =>
         throw new IllegalStateException(
@@ -4139,6 +4307,16 @@ object ManifestTable {
             s"spark.graft.wap.id (currently '$id') or publish/abort " +
             "the wap first, or use ManifestTable.stageWap for appends")
       }
+    // same contract for branch sessions: a direct commit slipping past
+    // an active write-to-branch session would defeat the isolation
+    spark.conf.getOption("spark.graft.branch").map(_.trim)
+      .filter(_.nonEmpty).foreach { name =>
+        throw new IllegalStateException(
+          s"$op commits directly and cannot be branch-isolated - unset " +
+            s"spark.graft.branch (currently '$name') or fast-forward/" +
+            "drop the branch first, or use ManifestTable.appendBranch")
+      }
+  }
 
   /** Every staged doc of one WAP id: (doc path, its staged files). */
   private def wapDocs(path: String, wapId: String): Seq[(Path, Seq[String])] = {
@@ -4262,6 +4440,276 @@ object ManifestTable {
     }.toSet
   }
 
+  // ── BRANCH REFS ───────────────────────────────────────────────────
+  // Writable branches (Iceberg branch refs): a ref forks from a main
+  // version, accumulates APPEND commits that main's readers never see,
+  // is readable as a first-class snapshot (`VERSION AS OF '<name>'`,
+  // [[readBranch]] — full stats pruning, MoR reconcile, schema merge),
+  // and FAST FORWARD publishes every branch commit onto main in ONE
+  // atomic, idempotent commit. This is the door q174's WAP cannot be:
+  // WAP audits ONE batch; a branch audits a CHAIN (a multi-day backfill
+  // validated as a unit before any of it goes live). Branch state lives
+  // at `_branch/<name>.json` OUTSIDE the `_manifests` version chain —
+  // version resolution, streaming offsets, CDF and the optimistic
+  // commit loop are untouched by construction. Reads resolve through a
+  // SYNTHESIZED manifest carrying a reserved version id (>=
+  // [[BranchIdBase]], never present in the linear chain), so every
+  // existing read surface — data skipping, meta-agg, time travel
+  // machinery — serves branch snapshots without a parallel code path.
+  // Retention pins branch parents like tags; vacuum retains branch
+  // files like WAP docs. Branches are append-shaped by design: a
+  // rewrite on a branch would need copy-on-write against files main
+  // still owns — stage corrected data as new commits instead, or fork
+  // a shallow clone for a divergent-history experiment.
+
+  /** Version ids at/above this mark are BRANCH snapshot ids — resolved
+    * from the branch ledger, never filenames in the linear chain. */
+  private[sources] val BranchIdBase = 1000000000000L
+
+  private def branchDir(path: String): Path = Paths.get(path, "_branch")
+
+  final case class BranchCommit(files: Seq[String], ts: Long,
+      commitId: Option[String])
+  final case class BranchState(bid: Long, parent: Long,
+      commits: Seq[BranchCommit]) {
+    def files: Seq[String] = commits.flatMap(_.files)
+  }
+
+  private val branchLock = new Object
+  private val branchManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  private def validBranchName(name: String): String = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
+      name != "." && name != ".." && !name.forall(_.isDigit),
+      s"invalid branch name: '$name' (non-empty, non-numeric, no slashes)")
+    name
+  }
+
+  private def branchDocPath(path: String, name: String): Path =
+    branchDir(path).resolve(s"${validBranchName(name)}.json")
+
+  private def parseBranchDoc(doc: Path): BranchState = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(Files.readString(doc))
+    BranchState(
+      (j \ "bid").extract[Long],
+      (j \ "parent").extract[Long],
+      (j \ "commits") match {
+        case JArray(cs) => cs.map { c =>
+          BranchCommit(
+            (c \ "files") match {
+              case JArray(fs) => fs.map(_.extract[String])
+              case _ => Seq.empty
+            },
+            (c \ "ts").extract[Long],
+            (c \ "commitId").extractOpt[String])
+        }
+        case _ => Seq.empty
+      })
+  }
+
+  /** All branches of a table: name → state. An unreadable doc throws —
+    * branches pin retention and vacuum, and guessing over a corrupt ref
+    * is the data-loss path (remove the doc to force). */
+  def branches(path: String): Map[String, BranchState] = {
+    val d = branchDir(path)
+    if (!Files.isDirectory(d)) return Map.empty
+    Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+    }.map { doc =>
+      val name = doc.getFileName.toString.stripSuffix(".json")
+      try name -> parseBranchDoc(doc)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"unreadable branch doc $doc: $e - DROP BRANCH or remove it to force") }
+    }.toMap
+  }
+
+  private def writeBranchDoc(path: String, name: String,
+      b: BranchState): Unit = {
+    Files.createDirectories(branchDir(path))
+    val commits = b.commits.map { c =>
+      s"""{"files":[${c.files.map(q).mkString(",")}],"ts":${c.ts},""" +
+        s""""commitId":${c.commitId.map(q).getOrElse("null")}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"bid":${b.bid},"parent":${b.parent},"commits":$commits}"""
+    val f = branchDocPath(path, name)
+    val tmp = f.resolveSibling(s".tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, json)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Fork branch `name` from a main version (default: the current
+    * head). The name must not shadow a tag — both resolve through
+    * `VERSION AS OF '<name>'`. Returns the parent version pinned. */
+  def createBranch(path: String, name: String,
+      from: Option[Long] = None): Long = branchLock.synchronized {
+    validBranchName(name)
+    val existing = branches(path)
+    require(!existing.contains(name),
+      s"branch '$name' already exists at $path - DROP it first")
+    require(!tags(path).contains(name),
+      s"'$name' is a tag at $path - tags and branches share the " +
+        "VERSION AS OF namespace")
+    val vs = versions(path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    val parent = from.getOrElse(vs.last)
+    require(vs.contains(parent),
+      s"cannot branch from v$parent at $path: no such committed version")
+    val bid = (existing.values.map(_.bid) ++ Seq(BranchIdBase)).max + 1
+    writeBranchDoc(path, name, BranchState(bid, parent, Seq.empty))
+    parent
+  }
+
+  /** Append `df` as one branch commit: files land in the data dir
+    * (constraints and declared layouts enforced exactly like a main
+    * commit — same [[stage]]), main's version chain does not move.
+    * `commitId` gives the branch commit exactly-once replay. Returns
+    * the 1-based branch commit ordinal. */
+  def appendBranch(df: DataFrame, path: String, name: String,
+      commitId: Option[String] = None): Int = {
+    val pre = branchLock.synchronized {
+      val b = branches(path).getOrElse(name, throw new IllegalStateException(
+        s"no branch '$name' at $path - CREATE BRANCH first"))
+      val replayed = commitId.flatMap(id =>
+        b.commits.zipWithIndex.find(_._1.commitId.contains(id)))
+      replayed.map(_._2 + 1)
+    }
+    if (pre.isDefined) return pre.get
+    val staged = stage(df, path)
+    branchLock.synchronized {
+      val b = branches(path).getOrElse(name, throw new IllegalStateException(
+        s"no branch '$name' at $path - it was dropped mid-write"))
+      val replayed = commitId.flatMap(id =>
+        b.commits.zipWithIndex.find(_._1.commitId.contains(id)))
+      if (replayed.isDefined) return replayed.get._2 + 1
+      val c = BranchCommit(staged, System.currentTimeMillis(), commitId)
+      writeBranchDoc(path, name, b.copy(commits = b.commits :+ c))
+      b.commits.size + 1
+    }
+  }
+
+  /** Resolve a branch name to its synthetic snapshot id (what
+    * `VERSION AS OF '<name>'` reads through). */
+  def resolveBranch(path: String, name: String): Option[Long] = {
+    val d = branchDir(path)
+    if (!Files.isDirectory(d) || !Files.isRegularFile(
+        branchDocPath(path, name))) return None
+    branches(path).get(name).map(_.bid)
+  }
+
+  /** The synthesized manifest behind a branch snapshot id: the parent
+    * version's manifest plus every branch commit's files, each commit
+    * riding one seq above the last (so branch rows sit ABOVE the
+    * parent's MoR delete ledger, exactly as they will after fast
+    * forward). Footer stats/rows are harvested once per branch state
+    * (cache keyed by the doc's size+mtime), so branch reads prune like
+    * any other snapshot. */
+  private def branchManifest(path: String, bid: Long): Manifest = {
+    val entry = branches(path).find(_._2.bid == bid).getOrElse(
+      throw new IllegalStateException(
+        s"no branch with snapshot id $bid at $path (dropped or published?)"))
+    val (name, b) = entry
+    val key = cacheKey(branchDocPath(path, name))
+    val hit = branchManifestCache.get(key)
+    if (hit != null) return hit
+    val parent = manifestAt(path, b.parent)
+    val m = parent.copy(
+      version = bid,
+      parent = b.parent,
+      files = parent.files ++ b.files,
+      seqs = parent.seqs ++ b.commits.zipWithIndex.flatMap {
+        case (c, i) => c.files.map(_ -> (parent.version + i + 1)) },
+      stats = parent.stats ++ footerStats(path, b.files),
+      rows = parent.rows ++ footerRows(path, b.files),
+      commitId = Some(s"branch:$name"))
+    if (branchManifestCache.size > 4096) branchManifestCache.clear()
+    branchManifestCache.put(key, m)
+    m
+  }
+
+  /** The branch AS A TABLE: parent snapshot + every branch commit,
+    * through the one shared read path. This is the audit query's input
+    * (same frame `VERSION AS OF '<name>'` serves in SQL). */
+  def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
+    read(spark, path, Some(resolveBranch(path, name).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' at $path"))))
+
+  /** Publish every branch commit onto main in ONE atomic commit and
+    * drop the ref — the Iceberg fast-forward: readers see none of the
+    * branch or all of it, never a prefix. STRICT: refuses when main
+    * moved past the fork point (the audit validated the chain against
+    * that exact base — [[rebaseBranch]] to re-point and re-audit).
+    * Idempotent: a crash between the commit and the ref removal
+    * replays to the same version via the file-set-fingerprint commit
+    * id. Returns the published main version. */
+  def fastForward(path: String, name: String): Long = {
+    val b = branches(path).getOrElse(name, throw new IllegalStateException(
+      s"no branch '$name' at $path"))
+    require(b.commits.nonEmpty,
+      s"branch '$name' has no commits to publish - DROP it instead")
+    val files = b.files
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(files.sorted.mkString(",").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    val id = s"branch:$name:$digest"
+    // crash replay: the commit landed but the ref survived
+    val already = versions(path).map(manifestAt(path, _))
+      .find(_.commitId.contains(id))
+    if (already.isDefined) {
+      branchLock.synchronized { Files.deleteIfExists(branchDocPath(path, name)) }
+      return already.get.version
+    }
+    val head = latestVersion(path)
+    require(head == b.parent,
+      s"main moved since branch '$name' forked (v${b.parent} -> v$head): " +
+        "rebaseBranch + re-audit, or DROP the branch")
+    val v = commit(path, files, replace = false, Some(id))
+    branchLock.synchronized { Files.deleteIfExists(branchDocPath(path, name)) }
+    v
+  }
+
+  /** Re-point a branch's fork base at the current head. Sound for
+    * append-shaped branches (the staged files are base-independent);
+    * the audit contract is the caller's: branch reads now include
+    * everything main gained since the old base, so re-audit before
+    * fast-forwarding. Returns the new parent version. */
+  def rebaseBranch(path: String, name: String): Long =
+    branchLock.synchronized {
+      val b = branches(path).getOrElse(name, throw new IllegalStateException(
+        s"no branch '$name' at $path"))
+      val head = latestVersion(path)
+      writeBranchDoc(path, name, b.copy(parent = head))
+      head
+    }
+
+  /** Drop branch `name` unpublished. Its staged files become orphans;
+    * the age-gated [[vacuum]] reclaims them. Returns the released
+    * file names. */
+  def dropBranch(path: String, name: String): Seq[String] =
+    branchLock.synchronized {
+      val b = branches(path).getOrElse(name, throw new IllegalStateException(
+        s"no branch '$name' at $path"))
+      Files.deleteIfExists(branchDocPath(path, name))
+      b.files
+    }
+
+  /** Files referenced by live branch refs — retained by [[vacuum]] and
+    * the previews exactly like WAP docs and clone breadcrumbs (and,
+    * like them, loud on an unreadable ref: [[branches]] throws). */
+  private def branchRetained(path: String): Set[String] =
+    branches(path).values.flatMap(_.files).toSet
+
+  /** Main versions pinned by branch fork points — retention never
+    * expires a version a live branch still reads through. */
+  private def branchPinned(path: String): Set[Long] =
+    branches(path).values.map(_.parent).toSet
+
   def vacuum(path: String, minAgeMs: Long = 3600000L,
       ignoreClones: Boolean = false): Seq[String] = {
     // delete files are manifest-referenced state exactly like data files;
@@ -4270,7 +4718,8 @@ object ManifestTable {
     val live = versions(path).map(manifestAt(path, _))
       .flatMap(m => m.files ++ m.deletes.map(_._1)).toSet ++
       (if (ignoreClones) Set.empty[String] else cloneRetained(path)) ++
-      wapRetained(path) // staged-unpublished batches stay readable
+      wapRetained(path) ++ // staged-unpublished batches stay readable
+      branchRetained(path) // live branch refs stay readable
     if (!Files.isDirectory(dataDir(path))) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = Using.resource(Files.list(dataDir(path))) { st =>

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** Branch refs: a writable fork whose commits main's readers never see,
+  * readable as a first-class snapshot (API and `VERSION AS OF '<name>'`),
+  * published atomically by fast-forward, pinned against retention and
+  * vacuum while live, reclaimable after drop. */
+class BranchSpec extends SparkSpecBase {
+
+  private def freshTable(): String = {
+    val path = Files.createTempDirectory("graft-br-").toString + "/t"
+    val base = spark.range(0, 100).select(
+      col("id").as("k"), (col("id") % 10).as("g"))
+    ManifestTable.overwrite(base, path)
+    path
+  }
+
+  private def batch(from: Long, until: Long) =
+    spark.range(from, until).select(col("id").as("k"), (col("id") % 10).as("g"))
+
+  test("branch commits are invisible on main; the branch reads parent + chain") {
+    val path = freshTable()
+    val v0 = ManifestTable.latestVersion(path)
+    ManifestTable.createBranch(path, "backfill")
+    ManifestTable.appendBranch(batch(100, 120), path, "backfill")
+    ManifestTable.appendBranch(batch(120, 150), path, "backfill")
+    ManifestTable.appendBranch(batch(150, 160), path, "backfill")
+    assert(ManifestTable.latestVersion(path) == v0,
+      "main's version chain must not move on branch writes")
+    assert(ManifestTable.read(spark, path).count() == 100)
+    assert(ManifestTable.readBranch(spark, path, "backfill").count() == 160)
+    assert(ManifestTable.branches(path)("backfill").commits.size == 3)
+    // stats pruning serves branch snapshots through the same read path
+    assert(ManifestTable.readBranch(spark, path, "backfill")
+      .where(col("k") >= 150).count() == 10)
+  }
+
+  test("fast-forward publishes the whole chain in ONE atomic commit; " +
+      "strict when main moved; rebase re-opens the door") {
+    val path = freshTable()
+    val v0 = ManifestTable.latestVersion(path)
+    ManifestTable.createBranch(path, "bf")
+    ManifestTable.appendBranch(batch(100, 120), path, "bf")
+    ManifestTable.appendBranch(batch(120, 150), path, "bf")
+    val v = ManifestTable.fastForward(path, "bf")
+    assert(v == v0 + 1, "all branch commits must land as ONE version")
+    assert(ManifestTable.read(spark, path).count() == 150)
+    assert(ManifestTable.branches(path).isEmpty, "the ref is consumed")
+    // strictness: a branch whose base main outran refuses to fast-forward
+    ManifestTable.createBranch(path, "bf2")
+    ManifestTable.appendBranch(batch(150, 155), path, "bf2")
+    ManifestTable.append(batch(900, 905), path) // main moves
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.fastForward(path, "bf2")
+    }
+    assert(e.getMessage.contains("main moved"))
+    // rebase re-points the fork base; fast-forward then publishes
+    ManifestTable.rebaseBranch(path, "bf2")
+    assert(ManifestTable.readBranch(spark, path, "bf2").count() == 160,
+      "a rebased branch reads the NEW base plus its commits")
+    val v2 = ManifestTable.fastForward(path, "bf2")
+    assert(ManifestTable.read(spark, path, Some(v2)).count() == 160)
+  }
+
+  test("idempotent replay: a crash between the fast-forward commit and " +
+      "the ref removal replays to the same version") {
+    val path = freshTable()
+    ManifestTable.createBranch(path, "bf")
+    ManifestTable.appendBranch(batch(100, 110), path, "bf")
+    val b = ManifestTable.branches(path)("bf")
+    val v = ManifestTable.fastForward(path, "bf")
+    // simulate the crash: restore the ref doc after the commit landed
+    val docDir = java.nio.file.Paths.get(path, "_branch")
+    Files.createDirectories(docDir)
+    val json = s"""{"bid":${b.bid},"parent":${b.parent},"commits":[""" +
+      s"""{"files":[${b.commits.head.files.map(f => "\"" + f + "\"")
+        .mkString(",")}],"ts":${b.commits.head.ts},"commitId":null}]}"""
+    Files.writeString(docDir.resolve("bf.json"), json)
+    assert(ManifestTable.fastForward(path, "bf") == v,
+      "the replayed publish must resolve to the SAME version")
+    assert(ManifestTable.latestVersion(path) == v)
+    assert(ManifestTable.read(spark, path).count() == 110)
+    assert(ManifestTable.branches(path).isEmpty)
+  }
+
+  test("vacuum retains live branch files; drop releases them; retention " +
+      "pins the fork parent") {
+    val path = freshTable()
+    ManifestTable.append(batch(100, 110), path) // v2
+    val forkAt = ManifestTable.latestVersion(path)
+    ManifestTable.createBranch(path, "keepme", Some(forkAt))
+    ManifestTable.appendBranch(batch(200, 230), path, "keepme")
+    val branchFiles = ManifestTable.branches(path)("keepme").files.toSet
+    assert(branchFiles.nonEmpty)
+    // main churns past the fork point
+    ManifestTable.append(batch(300, 310), path)
+    ManifestTable.append(batch(310, 320), path)
+    val swept = ManifestTable.vacuum(path, minAgeMs = 0L)
+    assert(branchFiles.intersect(swept.toSet).isEmpty,
+      "vacuum must never reap live branch files")
+    // retention keeps the fork parent however the horizon moves
+    val (expired, _) = ManifestTable.expire(path, keepLast = 1,
+      vacuumMinAgeMs = 0L)
+    assert(!expired.contains(forkAt),
+      "the branch's fork version must survive retention")
+    assert(ManifestTable.readBranch(spark, path, "keepme").count() == 140)
+    // drop releases the files to the age-gated sweep
+    val released = ManifestTable.dropBranch(path, "keepme")
+    assert(released.toSet == branchFiles)
+    val swept2 = ManifestTable.vacuum(path, minAgeMs = 0L)
+    assert(branchFiles.subsetOf(swept2.toSet),
+      "dropped branch files become vacuum-able orphans")
+  }
+
+  test("SQL doors: CREATE/FAST FORWARD BRANCH, VERSION AS OF the ref, " +
+      "session-conf write-to-branch, direct commits refuse") {
+    val wh = Files.createTempDirectory("graft-br-sql-").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("CREATE TABLE graft.t (k BIGINT, g BIGINT)")
+    s2.sql("INSERT INTO graft.t SELECT id, id % 10 FROM range(0, 100)")
+    val path = s"$wh/t"
+    s2.sql("ALTER TABLE graft.t CREATE BRANCH 'audit'")
+    // write-to-branch: the session conf routes INSERT INTO to the ref
+    s2.conf.set("spark.graft.branch", "audit")
+    s2.sql("INSERT INTO graft.t SELECT id, id % 10 FROM range(100, 140)")
+    s2.sql("INSERT INTO graft.t SELECT id, id % 10 FROM range(140, 150)")
+    // a direct commit under the branch session refuses loudly (the
+    // refusal keys on the WRITING frame's session, where the conf lives)
+    val err = intercept[Exception] {
+      ManifestTable.overwrite(
+        s2.range(0, 5).select(col("id").as("k"), (col("id") % 10).as("g")),
+        path)
+    }
+    assert(err.getMessage.contains("branch"))
+    s2.conf.unset("spark.graft.branch")
+    assert(s2.sql("SELECT count(*) FROM graft.t").collect().head.getLong(0)
+      == 100, "main unchanged while the branch accumulates")
+    assert(s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 'audit'")
+      .collect().head.getLong(0) == 150,
+      "VERSION AS OF resolves the branch ref")
+    s2.sql("ALTER TABLE graft.t FAST FORWARD BRANCH 'audit'")
+    assert(s2.sql("SELECT count(*) FROM graft.t").collect().head.getLong(0)
+      == 150)
+    // the published ref is gone from the namespace
+    intercept[Exception] {
+      s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 'audit'").collect()
+    }
+  }
+
+  test("branch names cannot shadow tags; numeric names refuse; a branch " +
+      "with no commits drops but does not fast-forward") {
+    val path = freshTable()
+    ManifestTable.createTag(path, "release")
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(path, "release")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(path, "123")
+    }
+    ManifestTable.createBranch(path, "empty")
+    intercept[IllegalArgumentException] {
+      ManifestTable.fastForward(path, "empty")
+    }
+    assert(ManifestTable.dropBranch(path, "empty").isEmpty)
+  }
+}

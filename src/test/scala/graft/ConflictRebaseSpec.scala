@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** Logical commit-conflict rules: a file-level rewrite that loses the
+  * optimistic version claim to a DISJOINT commit rebases metadata-only —
+  * its already-staged files are adopted onto the new head, zero bytes
+  * re-staged — while an OVERLAPPING winner still forces the attempt to
+  * re-run (the old, always-safe behavior). Disjointness is proven, not
+  * assumed: input files still live, delete ledger untouched, table
+  * metadata untouched, and (for predicate scopes) no winner-added file
+  * holds an in-scope row. */
+class ConflictRebaseSpec extends SparkSpecBase {
+
+  private def mk(): String = {
+    val path = Files.createTempDirectory("graft-cr-").toString + "/t"
+    val df = spark.range(0, 800).select(
+      col("id").as("k"), (col("id") % 8).as("g"),
+      (col("id") * 1.5).as("v"))
+    ManifestTable.append(df.repartitionByRange(8, col("g")), path)
+    path
+  }
+
+  /** Every file currently in the table's data directory (staged files
+    * included — that is the point: files staged BEFORE the winner's
+    * commit must be the ones the final manifest adopts). */
+  private def dataDirListing(path: String): Set[String] =
+    scala.util.Using.resource(Files.list(Paths.get(path, "data"))) { st =>
+      st.iterator().asScala.map(_.getFileName.toString).toSet
+    }
+
+  /** Arm the one-shot race: `winner` runs at the exact point where the
+    * loser has STAGED its rewrite but not yet published. Returns the
+    * data-dir listing captured at that point (base + loser's staged). */
+  private def armRace(path: String)(winner: => Unit): () => Set[String] = {
+    var captured = Set.empty[String]
+    ManifestTable.beforePublishHook = () => {
+      ManifestTable.beforePublishHook = () => () // one-shot: the winner
+      captured = dataDirListing(path)            // commits through here too
+      winner
+    }
+    () => captured
+  }
+
+  override def afterAll(): Unit = {
+    ManifestTable.beforePublishHook = () => ()
+    super.afterAll()
+  }
+
+  test("disjoint replaceWhere backfills: the loser rebases metadata-only, " +
+      "its staged files are reused, both commits land") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val dataA = spark.range(0, 40).select(
+      col("id").as("k"), lit(2L).as("g"), lit(-2.0).as("v"))
+    val dataB = spark.range(0, 30).select(
+      col("id").as("k"), lit(5L).as("g"), lit(-5.0).as("v"))
+    val staged = armRace(path) {
+      ManifestTable.replaceWhere(spark, path, col("g") === 5, dataB)
+    }
+    ManifestTable.replaceWhere(spark, path, col("g") === 2, dataA)
+    assert(ManifestTable.latestVersion(path) == v0 + 2,
+      "both backfills must land as their own versions")
+    // the loser's files in the final manifest are EXACTLY the ones it
+    // staged before the winner committed — a re-run would have staged
+    // fresh names, absent from the captured listing
+    val winnerM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+    val finalM = ManifestTable.snapshotAt(path, None).get
+    val loserAdded = finalM.files.toSet -- winnerM.files.toSet
+    assert(loserAdded.nonEmpty)
+    assert(loserAdded.forall(staged().contains),
+      s"rebase must reuse the loser's staged files, not re-stage: " +
+        s"${loserAdded -- staged()} were staged after the winner's commit")
+    val t = ManifestTable.read(spark, path)
+    assert(t.where(col("g") === 2).count() == 40)
+    assert(t.where(col("g") === 2 && col("v") =!= -2.0).count() == 0)
+    assert(t.where(col("g") === 5).count() == 30)
+    assert(t.where(col("g") === 5 && col("v") =!= -5.0).count() == 0)
+    assert(t.where(col("g") =!= 2 && col("g") =!= 5).count() == 600,
+      "out-of-scope groups must be untouched by either backfill")
+  }
+
+  test("overlapping replaceWhere: the loser re-runs against the new head " +
+      "and its replace wins the shared scope") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val dataA = spark.range(0, 40).select(
+      col("id").as("k"), lit(3L).as("g"), lit(-2.0).as("v"))
+    val dataB = spark.range(0, 30).select(
+      col("id").as("k"), lit(3L).as("g"), lit(-5.0).as("v"))
+    val staged = armRace(path) {
+      ManifestTable.replaceWhere(spark, path, col("g") === 3, dataB)
+    }
+    ManifestTable.replaceWhere(spark, path, col("g") === 3, dataA)
+    assert(ManifestTable.latestVersion(path) == v0 + 2)
+    // the loser re-ran: its adopted files were staged AFTER the capture
+    val winnerM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+    val finalM = ManifestTable.snapshotAt(path, None).get
+    val loserAdded = finalM.files.toSet -- winnerM.files.toSet
+    assert(loserAdded.nonEmpty && loserAdded.forall(f => !staged()(f)),
+      "an overlapping winner must force a fresh rewrite, not a rebase")
+    val t = ManifestTable.read(spark, path)
+    assert(t.where(col("g") === 3).count() == 40, "last writer wins the scope")
+    assert(t.where(col("g") === 3 && col("v") =!= -2.0).count() == 0)
+  }
+
+  test("replaceWhere rebase refused when the winner ADDED in-scope rows: " +
+      "the re-run replaces them too") {
+    val path = mk()
+    val inScope = spark.range(9000, 9010).select(
+      col("id").as("k"), lit(2L).as("g"), lit(0.0).as("v"))
+    val dataA = spark.range(0, 40).select(
+      col("id").as("k"), lit(2L).as("g"), lit(-2.0).as("v"))
+    val staged = armRace(path) { ManifestTable.append(inScope, path) }
+    ManifestTable.replaceWhere(spark, path, col("g") === 2, dataA)
+    assert(staged().nonEmpty, "the race must have fired")
+    val t = ManifestTable.read(spark, path)
+    assert(t.where(col("g") === 2).count() == 40,
+      "the winner's in-scope appends must be replaced by the re-run")
+    assert(t.where(col("k") >= 9000).count() == 0)
+  }
+
+  test("OPTIMIZE racing a disjoint append: the compaction rebases with " +
+      "zero re-staged bytes and the append's file carries") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val extra = spark.range(9000, 9100).select(
+      col("id").as("k"), lit(99L).as("g"), lit(9.0).as("v")).coalesce(1)
+    val staged = armRace(path) { ManifestTable.append(extra, path) }
+    ManifestTable.compactCommit(spark, path)
+    assert(ManifestTable.latestVersion(path) == v0 + 2)
+    val appendM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+    val baseM = ManifestTable.snapshotAt(path, Some(v0)).get
+    val appended = appendM.files.toSet -- baseM.files.toSet
+    val finalM = ManifestTable.snapshotAt(path, None).get
+    assert(appended.subsetOf(finalM.files.toSet),
+      "the winner's appended files must carry through the rebased compaction")
+    val compacted = finalM.files.toSet -- appended
+    assert(compacted.nonEmpty && compacted.forall(staged().contains),
+      "the compaction's output must be the files staged BEFORE the race")
+    val t = ManifestTable.read(spark, path)
+    assert(t.count() == 900)
+    assert(t.where(col("g") === 99).count() == 100)
+  }
+
+  test("OPTIMIZE WHERE racing a disjoint append rebases; racing an " +
+      "overlapping rewrite re-plans") {
+    import graft.conditions.{Condition, Op}
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    // disjoint: append g=99 while compacting g<=3's files
+    val extra = spark.range(9000, 9050).select(
+      col("id").as("k"), lit(99L).as("g"), lit(9.0).as("v")).coalesce(1)
+    val staged = armRace(path) { ManifestTable.append(extra, path) }
+    ManifestTable.compactWhere(spark, path,
+      Seq(Condition("g", Op.Lte, 3L)), targetBytes = 1L << 20)
+    assert(ManifestTable.latestVersion(path) == v0 + 2)
+    val finalM = ManifestTable.snapshotAt(path, None).get
+    val appendM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+    val baseM = ManifestTable.snapshotAt(path, Some(v0)).get
+    val loserAdded = finalM.files.toSet -- appendM.files.toSet -- baseM.files.toSet
+    assert(loserAdded.nonEmpty && loserAdded.forall(staged().contains),
+      "disjoint append: the scoped compaction must reuse its staged files")
+    // overlapping: a replaceWhere that REWRITES one of the compaction's
+    // input files while it stages — the rebase must refuse and re-plan
+    val dataA = spark.range(0, 10).select(
+      col("id").as("k"), lit(1L).as("g"), lit(-1.0).as("v"))
+    val staged2 = armRace(path) {
+      ManifestTable.replaceWhere(spark, path, col("g") === 1, dataA)
+    }
+    ManifestTable.compactWhere(spark, path,
+      Seq(Condition("g", Op.Lte, 3L)), targetBytes = 1L << 20)
+    val t = ManifestTable.read(spark, path)
+    assert(staged2().nonEmpty, "the race must have fired")
+    assert(t.where(col("g") === 1).count() == 10,
+      "the replace's rows must survive the re-planned compaction")
+    assert(t.count() == 760, "800 - 100 replaced by 10 + 50 appended")
+  }
+
+  test("plain appends still rebase in the commit loop itself (no staging " +
+      "re-run on contention)") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val rows = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = ManifestTable.append(
+          spark.range(10000 + i * 10, 10000 + i * 10 + 10).select(
+            col("id").as("k"), lit(50L + i).as("g"), lit(0.0).as("v")),
+          path)
+      })
+    }
+    rows.foreach(_.get())
+    pool.shutdown()
+    assert(ManifestTable.latestVersion(path) == v0 + 4)
+    assert(ManifestTable.read(spark, path).count() == 840)
+  }
+}
