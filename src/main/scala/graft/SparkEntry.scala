@@ -637,6 +637,62 @@ object SparkEntry {
       } finally fx.stop()
     }),
 
+    "q185_push_idempotent" -> ((s, dir) => {
+      // PUSH IDEMPOTENCY KEYS — closing the boundary q87's exactly-once
+      // stops at: the reference's real sink is an HTTP API, and its
+      // at-least-once retries double-write when the origin APPLIED a
+      // batch but the ack was lost (429/5xx after apply, a retried
+      // Spark task). Leg 1 proves the gap REAL: a keyless push against
+      // a lost-ack origin lands duplicate rows. Leg 2 closes it: with
+      // `pushId` set, every batch carries a deterministic
+      // Idempotency-Key (runId x partition x batch ordinal — stable
+      // across retries by construction), the origin dedupes on it, and
+      // TWO forced lost-ack windows later the collection holds exactly
+      // one copy. The pulled-back collection goes under the oracle.
+      val customer = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+      val slice = customer.where(col("c_mktsegment") === "BUILDING" &&
+        col("c_custkey") <= 600)
+      val n = slice.count()
+      require(n > 0, "empty slice: the gate would be vacuous")
+      // leg 1: the gap proven real — no key, one lost ack, duplicates
+      val fx1 = graft.sources.RestFixture.serve(
+        slice.limit(0), "customer", "c_custkey",
+        writable = true, lostAck429 = 1)
+      try {
+        graft.sources.RestWarehouse("fixture", fx1.baseUrl,
+          writeBatchSize = 100000)
+          .write(slice.coalesce(1), "customer",
+            org.apache.spark.sql.SaveMode.Append)
+        require(fx1.postedRows.size > n,
+          "keyless at-least-once must double-write under a lost ack " +
+            s"(got ${fx1.postedRows.size} rows for $n pushed) - " +
+            "otherwise this gate tests nothing")
+      } finally fx1.stop()
+      // leg 2: idempotency keys close it — two lost acks, exactly once
+      val fx2 = graft.sources.RestFixture.serve(
+        slice.limit(0), "customer", "c_custkey",
+        writable = true, lostAck429 = 2)
+      try {
+        val wh = graft.sources.RestWarehouse("fixture", fx2.baseUrl,
+          writeBatchSize = 50, pushId = Some("sync-2024-01-01-run1"))
+        wh.write(slice.coalesce(2), "customer",
+          org.apache.spark.sql.SaveMode.Append)
+        require(fx2.postedRows.size == n,
+          s"keyed push must land exactly once under lost acks " +
+            s"(origin holds ${fx2.postedRows.size} of $n)")
+        import scala.jdk.CollectionConverters._
+        val posts = fx2.requests.asScala.count(_.startsWith("POST"))
+        require(posts > fx2.postedBatches.get(),
+          "the lost-ack retries must actually have happened " +
+            s"($posts POSTs for ${fx2.postedBatches.get()} applied batches)")
+        // the origin's collection, pulled back, under the oracle
+        wh.readSlice(s, "customer", schema = Some(customer.schema))
+          .localCheckpoint()
+      } finally fx2.stop()
+    }),
+
     "q48_rest_push_events" -> ((s, dir) => {
       // EVENTS-mode push against a LIVE origin (the reference's full
       // event push: fetch natives BY ID over HTTP, then format + filter
@@ -11602,6 +11658,13 @@ object SparkEntry {
          FROM customer
          WHERE c_mktsegment = 'FURNITURE' AND c_custkey BETWEEN 50 AND 1000
            AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7)""",
+    // q185: exactly one copy of the pushed slice survives the forced
+    // lost-ack retries — duplicates (the keyless control's outcome)
+    // would break rows and hash
+    "q185_push_idempotent" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+         FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 600""",
     "q45_incremental" ->
       """WITH f AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),

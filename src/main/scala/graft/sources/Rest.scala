@@ -378,7 +378,19 @@ final case class RestWarehouse(
     // attach RequestMetrics(spark) and every request this warehouse
     // issues — driver probes AND executor page fetches — counts into
     // the same accumulators; read via requestStats / RestWriteReport
-    metrics: Option[RequestMetrics] = None) extends Warehouse {
+    metrics: Option[RequestMetrics] = None,
+    // PUSH IDEMPOTENCY (the contract the reference's at-least-once
+    // retries lack): set to this sync run's id and every write batch
+    // carries a DETERMINISTIC `Idempotency-Key` header —
+    // `<pushId>-p<partition>-b<ordinal>` (per-record isolation retries
+    // append `-r<idx>`) — so a batch replayed after a lost ack (429/5xx
+    // AFTER the origin applied it, a retried Spark task, a re-run job
+    // with the same id) is origin-side deduplicable instead of
+    // double-written. Unset, no header is sent (at-least-once, the
+    // reference's behavior). The key is stable across Spark task
+    // retries by construction: partition id and batch ordinal are
+    // functions of the data layout, not of the attempt. */
+    pushId: Option[String] = None) extends Warehouse {
 
   require(pageSize > 0 && maxParallelFetch > 0 && writeBatchSize > 0)
 
@@ -693,18 +705,25 @@ final case class RestWarehouse(
     val mx = metrics
     val before = mx.map(_.snapshot)
     val bs = writeBatchSize
+    val pid = pushId
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.toJSON.mapPartitions { rows =>
       var hdrs = headers0
-      def send(body: String): Unit = {
+      val part = Option(org.apache.spark.TaskContext.get())
+        .map(_.partitionId()).getOrElse(0)
+      def send(body: String, key: Option[String] = None): Unit = {
         // JSON bodies are outside the OAuth1 signature by spec (§3.4.1.3
         // covers only query + form params) — sign method/url only, but
         // PER REQUEST: RFC 5849 servers reject replayed (timestamp,
         // nonce) pairs. 401 → invalidate + re-resolve once per task,
         // same contract as the read path.
         def go(h: Map[String, String]): Unit = {
-          val signed = h ++ auth.signRequest(verb, url, Nil)
+          // the idempotency key rides EVERY attempt of the same batch —
+          // Http's internal 429/5xx retries resend it unchanged, which
+          // is the whole point: the origin recognizes the replay
+          val signed = h ++ auth.signRequest(verb, url, Nil) ++
+            key.map("Idempotency-Key" -> _)
           if (verb == "PUT") Http.put(url, signed, body, "application/json",
             metrics = mx)
           else Http.post(url, signed, body, "application/json", metrics = mx)
@@ -720,14 +739,17 @@ final case class RestWarehouse(
       }
       var ok = 0L
       var bad = 0L
+      var ordinal = 0
       rows.grouped(bs).foreach { batch =>
-        try { send(batch.mkString("[", ",", "]")); ok += batch.size }
+        val bkey = pid.map(p => s"$p-p$part-b$ordinal")
+        ordinal += 1
+        try { send(batch.mkString("[", ",", "]"), bkey); ok += batch.size }
         catch {
           // whole batch rejected: isolate — one record per request, so
           // only the records the origin actually refuses are lost
           case RestHttpError(code, _, _) if code != 401 && code / 100 == 4 =>
-            batch.foreach { r =>
-              try { send(s"[$r]"); ok += 1 }
+            batch.zipWithIndex.foreach { case (r, i) =>
+              try { send(s"[$r]", bkey.map(k => s"$k-r$i")); ok += 1 }
               catch {
                 case RestHttpError(c, _, _) if c != 401 && c / 100 == 4 =>
                   bad += 1

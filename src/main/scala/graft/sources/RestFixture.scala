@@ -39,6 +39,15 @@ final class RestFixture private (
   // countdown of data requests to answer 429 before serving (rate-limit
   // simulation: lets specs pin the client's retry/backoff counters)
   private[sources] val flaky429Remaining = new AtomicInteger(0)
+  // LOST-ACK simulation: the first N WRITE requests are APPLIED and then
+  // answered 429 — the classic applied-but-client-saw-failure window
+  // where a retried batch double-writes unless the origin dedupes on an
+  // idempotency key
+  private[sources] val lostAckRemaining = new AtomicInteger(0)
+  // Idempotency-Key → the recorded response: a replayed key serves the
+  // recorded answer WITHOUT re-applying (the origin-side contract)
+  private[sources] val appliedKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   val servedRows = new AtomicLong(0)
   val tokensIssued = new AtomicInteger(0)
   val postedRows = new ConcurrentLinkedQueue[String]()
@@ -99,7 +108,12 @@ object RestFixture {
       writable: Boolean = false,
       // answer 429 to the first N data requests (then serve normally):
       // the rate-limited-origin simulation behind retry-counter specs
-      flaky429: Int = 0): RestFixture = {
+      flaky429: Int = 0,
+      // APPLY the first N write requests and then answer 429 anyway —
+      // the lost-ack window where at-least-once retries double-write;
+      // an origin honoring Idempotency-Key serves the recorded response
+      // on the replay instead of re-applying
+      lostAck429: Int = 0): RestFixture = {
     val names = df.columns.toSeq
     val collected = df
       .select(to_json(struct(names.map(col): _*)).as("__json") +: names.map(col): _*)
@@ -121,6 +135,7 @@ object RestFixture {
     server.setExecutor(pool)
     val fx = new RestFixture(server, pool, resource, keyset, keysetStuck)
     fx.flaky429Remaining.set(flaky429)
+    fx.lostAckRemaining.set(lostAck429)
     val validTokens = fx.validTokens
     // writable origins merge POSTed records into the served collection
     def liveRecs: Seq[Rec] = {
@@ -148,39 +163,59 @@ object RestFixture {
           respond(ex, 429, """{"error":"rate limited"}""")
         else if (!authorized(ex)) respond(ex, 401, """{"error":"unauthorized"}""")
         else if (ex.getRequestMethod == "POST") {
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          val arr = Http.mapper.readTree(body)
-          require(arr.isArray, "POST body must be a JSON array")
-          arr.elements().asScala.foreach { n =>
-            fx.postedRows.add(n.toString)
-            if (writable) {
-              def v(x: com.fasterxml.jackson.databind.JsonNode): Any =
-                if (x.isIntegralNumber) x.asLong
-                else if (x.isNumber) x.asDouble
-                else if (x.isNull) null
-                else if (x.isBoolean) x.asBoolean
-                else x.asText
-              val fields = n.properties().asScala
-                .map(e => e.getKey -> v(e.getValue)).toMap
-              fx.postedRecs.add(n.toString -> fields)
+          val key = Option(ex.getRequestHeaders.getFirst("Idempotency-Key"))
+          val replay = key.flatMap(k => Option(fx.appliedKeys.get(k)))
+          if (replay.isDefined)
+            // the key already applied: serve the RECORDED response,
+            // re-apply nothing — exactly-once from the client's retry
+            respond(ex, 200, replay.get)
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val arr = Http.mapper.readTree(body)
+            require(arr.isArray, "POST body must be a JSON array")
+            arr.elements().asScala.foreach { n =>
+              fx.postedRows.add(n.toString)
+              if (writable) {
+                def v(x: com.fasterxml.jackson.databind.JsonNode): Any =
+                  if (x.isIntegralNumber) x.asLong
+                  else if (x.isNumber) x.asDouble
+                  else if (x.isNull) null
+                  else if (x.isBoolean) x.asBoolean
+                  else x.asText
+                val fields = n.properties().asScala
+                  .map(e => e.getKey -> v(e.getValue)).toMap
+                fx.postedRecs.add(n.toString -> fields)
+              }
             }
+            fx.postedBatches.incrementAndGet()
+            val resp = s"""{"accepted":${arr.size()}}"""
+            key.foreach(k => fx.appliedKeys.put(k, resp))
+            // lost-ack window: the write APPLIED but the client sees 429
+            if (fx.lostAckRemaining.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              respond(ex, 429, """{"error":"rate limited (after apply)"}""")
+            else respond(ex, 200, resp)
           }
-          fx.postedBatches.incrementAndGet()
-          respond(ex, 200, s"""{"accepted":${arr.size()}}""")
         } else if (ex.getRequestMethod == "PUT") {
           // update verb: every element must carry the id (cursor) field
           // for the origin to address it — a request containing any
           // unaddressable record is rejected whole, which is what forces
           // the client's per-record isolation fallback
+          val key = Option(ex.getRequestHeaders.getFirst("Idempotency-Key"))
+          val replay = key.flatMap(k => Option(fx.appliedKeys.get(k)))
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val arr = Http.mapper.readTree(body)
           require(arr.isArray, "PUT body must be a JSON array")
-          if (arr.elements().asScala.exists(n => !n.hasNonNull(cursorField)))
+          if (replay.isDefined) respond(ex, 200, replay.get)
+          else if (arr.elements().asScala.exists(n => !n.hasNonNull(cursorField)))
             respond(ex, 400, s"""{"error":"record missing '$cursorField'"}""")
           else {
             arr.elements().asScala.foreach(n => fx.putRows.add(n.toString))
             fx.putBatches.incrementAndGet()
-            respond(ex, 200, s"""{"updated":${arr.size()}}""")
+            val resp = s"""{"updated":${arr.size()}}"""
+            key.foreach(k => fx.appliedKeys.put(k, resp))
+            if (fx.lostAckRemaining.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              respond(ex, 429, """{"error":"rate limited (after apply)"}""")
+            else respond(ex, 200, resp)
           }
         } else if (fx.keyset) {
           // token pagination: an opaque base64 offset token, no total

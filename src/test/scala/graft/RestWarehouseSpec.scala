@@ -140,6 +140,51 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx.stop()
   }
 
+  test("lost-ack retries double-write keyless; idempotency keys make the " +
+      "replay exactly-once on the origin") {
+    val slice = customer.where(col("c_nationkey") < 5)
+    val n = slice.count()
+    // control: no key — the origin applies, loses the ack, the client's
+    // 429 retry re-applies: duplicates (the reference's at-least-once)
+    val fx1 = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
+      writable = true, lostAck429 = 1)
+    try {
+      RestWarehouse("fixture", fx1.baseUrl, writeBatchSize = 100000)
+        .write(slice.coalesce(1), "customer", SaveMode.Append)
+      assert(fx1.postedRows.size() == 2 * n,
+        "the lost-ack window must double-write without keys")
+    } finally fx1.stop()
+    // keyed: the retry replays the SAME Idempotency-Key; the origin
+    // serves the recorded response and re-applies nothing
+    val fx2 = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
+      writable = true, lostAck429 = 2)
+    try {
+      val wh = RestWarehouse("fixture", fx2.baseUrl, writeBatchSize = 20,
+        pushId = Some("run-7"))
+      wh.write(slice.coalesce(2), "customer", SaveMode.Append)
+      assert(fx2.postedRows.size() == n,
+        s"exactly one copy must land (got ${fx2.postedRows.size()} of $n)")
+      import scala.jdk.CollectionConverters._
+      val posts = fx2.requests.asScala.count(_.startsWith("POST"))
+      assert(posts == fx2.postedBatches.get() + 2,
+        "both lost-ack retries must have replayed (and only those)")
+      val back = wh.readSlice(spark, "customer",
+        schema = Some(customer.schema)).localCheckpoint()
+      assert(back.count() == n)
+      assert(back.except(slice).isEmpty && slice.except(back).isEmpty)
+    } finally fx2.stop()
+    // PUT path honors keys the same way
+    val fx3 = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
+      writable = true, lostAck429 = 1)
+    try {
+      val wh = RestWarehouse("fixture", fx3.baseUrl, writeBatchSize = 50,
+        updateIdField = Some("c_custkey"), pushId = Some("run-8"))
+      wh.update(slice.coalesce(1), "customer", "c_custkey")
+      assert(fx3.putRows.size() == n,
+        s"keyed PUT must land exactly once (got ${fx3.putRows.size()})")
+    } finally fx3.stop()
+  }
+
   test("writable origin serves pushed rows through KEYSET pagination too") {
     val fx = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
       keyset = true, writable = true)
