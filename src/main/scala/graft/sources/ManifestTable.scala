@@ -3862,15 +3862,18 @@ object ManifestTable {
     val tagsStr = tags(path).toSeq.sortBy(_._1)
       .map { case (n, v) => s"$n=v$v" }.mkString(",")
     val wapsStr = stagedWaps(path).mkString(",")
+    val branchesStr = branches(path).toSeq.sortBy(_._1)
+      .map { case (n, b) => s"$n@v${b.parent}+${b.commits.size}" }
+      .mkString(",")
     val widenStr = GraftCatalog.readDeclaredWiden(Paths.get(path))
       .toSeq.sortBy(_._1)
       .map { case (c, t) => s"$c:${t.simpleString}" }.mkString(",")
     Seq((m.version, m.files.size, m.deletes.size, sizeBytes, recorded,
       live, m.constraints.size, m.generated.size,
-      m.mergeKeys.mkString(","), tagsStr, wapsStr, widenStr))
+      m.mergeKeys.mkString(","), tagsStr, wapsStr, branchesStr, widenStr))
       .toDF("version", "n_files", "n_delete_files", "size_bytes",
         "recorded_rows", "live_rows", "n_constraints", "n_generated",
-        "merge_keys", "tags", "staged_waps", "widened_columns")
+        "merge_keys", "tags", "staged_waps", "branches", "widened_columns")
   }
 
   /** MAINTENANCE ADVISOR: what a nightly job should run against this

@@ -183,6 +183,54 @@ class ConflictRebaseSpec extends SparkSpecBase {
     assert(t.count() == 760, "800 - 100 replaced by 10 + 50 appended")
   }
 
+  test("four genuinely-racing disjoint backfills: all land, and ZERO " +
+      "staged files are orphaned (nobody re-staged)") {
+    // no injected hook — real thread contention. Each writer's scope is
+    // file-disjoint by construction (ingest-by-group commits), so every
+    // claim loser should rebase metadata-only. The invariant that proves
+    // no re-staging happened without assuming a winner order: every file
+    // in the data dir is referenced by SOME version's manifest — an
+    // abandoned re-run would leave its first attempt's files orphaned.
+    val path = Files.createTempDirectory("graft-cr4-").toString + "/t"
+    (0 until 4).foreach { g =>
+      ManifestTable.append(
+        spark.range(0, 200).select((col("id") + g * 1000).as("k"),
+          lit(g.toLong).as("g"), (col("id") * 1.5).as("v")).coalesce(2),
+        path)
+    }
+    val v0 = ManifestTable.latestVersion(path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futs = (0 until 4).map { g =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          ManifestTable.replaceWhere(spark, path, col("g") === g.toLong,
+            spark.range(0, 50).select((col("id") + g * 1000).as("k"),
+              lit(g.toLong).as("g"), lit(-g.toDouble).as("v")))
+        }
+      })
+    }
+    gate.countDown()
+    futs.foreach(_.get())
+    pool.shutdown()
+    assert(ManifestTable.latestVersion(path) == v0 + 4,
+      "all four backfills must land as their own versions")
+    val t = ManifestTable.read(spark, path)
+    (0 until 4).foreach { g =>
+      assert(t.where(col("g") === g.toLong).count() == 50, s"group $g")
+      assert(t.where(col("g") === g.toLong &&
+        col("v") =!= -g.toDouble).count() == 0, s"group $g values")
+    }
+    // zero orphans = zero re-staged bytes across the whole race
+    val referenced = (1L to (v0 + 4)).flatMap(v =>
+      ManifestTable.snapshotAt(path, Some(v)).get.files).toSet
+    val onDisk = dataDirListing(path)
+    assert((onDisk -- referenced).isEmpty,
+      s"every staged file must be adopted by some version; orphans: " +
+        s"${(onDisk -- referenced).size}")
+  }
+
   test("plain appends still rebase in the commit loop itself (no staging " +
       "re-run on contention)") {
     val path = mk()
