@@ -2822,7 +2822,11 @@ object ManifestTable {
       commitId: Option[String], dataChange: Boolean,
       newDeletes: Seq[(String, Long)],
       newDeleteStats: Map[String, Map[String, ColStats]],
-      deltaSafe: Seq[String] => Boolean): Option[Long] = {
+      deltaSafe: Seq[String] => Boolean,
+      // the rebased commit's own ledger/keying updates (merges): the
+      // txn epoch it records, and the merge keys it establishes
+      extraTxn: Option[(String, Long)] = None,
+      newMergeKeys: Option[Seq[String]] = None): Option[Long] = {
     val baseFiles = base.files.toSet
     var attempts = 0
     while (attempts < 16) {
@@ -2841,8 +2845,9 @@ object ManifestTable {
           staged.map(_ -> next),
         newDeletes, head.constraints, deleteStats = newDeleteStats,
         rows = head.rows ++ stagedRows,
-        mergeKeys = head.mergeKeys, dataChange = dataChange,
-        generated = head.generated, txns = head.txns,
+        mergeKeys = newMergeKeys.getOrElse(head.mergeKeys),
+        dataChange = dataChange,
+        generated = head.generated, txns = head.txns ++ extraTxn,
         renames = head.renames, droppedCols = head.droppedCols,
         bytes = head.bytes)
       try {
@@ -2975,28 +2980,48 @@ object ManifestTable {
 
     // (4) stage + publish (optimistic, conflict-checked like compactCommit)
     val staged = stage(rewritten.unionByName(inserts), path)
+    val stagedStats = footerStats(path, staged)
+    val stagedRows = footerRows(path, staged)
     val next = base.version + 1
     // untouched files CARRY their stats, seqs, and any delete files that
     // apply to them; rewritten files sit at seq `next`, above every
     // existing delete, so old deletes can never re-hide rewritten rows
     val m = Manifest(next, untouchedFiles ++ staged, commitId, base.version,
       untouchedFiles.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
-        footerStats(path, staged),
+        stagedStats,
       untouchedFiles.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
       base.deletes, base.constraints, deleteStats = base.deleteStats,
-      rows = base.rows ++ footerRows(path, staged),
+      rows = base.rows ++ stagedRows,
       mergeKeys = keyCols, generated = base.generated,
       txns = base.txns ++ appTxn,
       renames = base.renames, droppedCols = base.droppedCols,
       bytes = base.bytes)
+    beforePublishHook()
     try {
       publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit during merge onto v${base.version}; retry")
+        // lost the claim. A merge's scope is its touched files PLUS its
+        // source keys: a winner that touched none of our files, landed
+        // no delete, and whose ADDED files hold no source key (checked
+        // with one pushed-down semi-join over only the delta) cannot
+        // change this merge's result under either ordering — adopt the
+        // staged rewrite metadata-only. Key overlap re-runs (the
+        // winner's row might be a new match).
+        val srcKeys = src.select(keyCols.map(col): _*)
+        val deltaSafe = (added: Seq[String]) => added.isEmpty || {
+          spark.read.schema(physicalSchemaAt(spark, path, base))
+            .parquet(added.map(f => dataDir(path).resolve(f).toString): _*)
+            .join(srcKeys, keyCols, "left_semi").limit(1).collect().isEmpty
+        }
+        rebasePublish(path, base, base.files.toSet -- untouchedFiles,
+            staged, stagedStats, stagedRows, commitId, dataChange = true,
+            base.deletes, base.deleteStats, deltaSafe,
+            extraTxn = appTxn, newMergeKeys = Some(keyCols))
+          .getOrElse(throw new IllegalStateException(
+            s"concurrent commit during merge onto v${base.version}; retry"))
     }
     } finally graft.operators.IndexScope.release(raw)
   }
@@ -3088,26 +3113,84 @@ object ManifestTable {
       val next = base.version + 1
       val delFiles = stageDeletes(delKeys, path)
       val staged = stage(upserts, path)
+      val stagedStats = footerStats(path, staged)
+      val stagedRows = footerRows(path, staged ++ delFiles)
+      val delStats = footerStats(path, delFiles)
       val m = Manifest(next, base.files ++ staged, commitId, base.version,
-        base.stats ++ footerStats(path, staged),
+        base.stats ++ stagedStats,
         base.seqs ++ (base.files.filterNot(base.seqs.contains).map(_ -> 0L)) ++
           staged.map(_ -> next),
         base.deletes ++ delFiles.map(_ -> next), base.constraints,
         // per-delete-file key stats: what lets every future read scope
         // this delete to the data files its key range can actually hit
-        deleteStats = base.deleteStats ++ footerStats(path, delFiles),
-        rows = base.rows ++ footerRows(path, staged ++ delFiles),
+        deleteStats = base.deleteStats ++ delStats,
+        rows = base.rows ++ stagedRows,
         mergeKeys = keyCols, generated = base.generated,
         txns = base.txns ++ appTxn,
         renames = base.renames, droppedCols = base.droppedCols,
       bytes = base.bytes)
+      beforePublishHook()
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"), render(path, m))
         next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"concurrent commit during merge onto v${base.version}; retry")
+          // lost the claim. Rebase is exact when the winner ONLY ADDED
+          // key-disjoint files: nothing we read changed, and our delete
+          // ledger entry pins its seq at base.version+1, BELOW every
+          // winner-added file's seq — the winner's rows stay visible by
+          // the ledger's own seq rule even before the key check proves
+          // no overlap. Anything else (a delete landed, files removed,
+          // key overlap) re-runs the merge against the new head.
+          val keyFree = (added: Seq[String]) => added.isEmpty || {
+            spark.read.schema(physicalSchemaAt(spark, path, base))
+              .parquet(added.map(f => dataDir(path).resolve(f).toString): _*)
+              .join(delKeys, keyCols, "left_semi").limit(1).collect().isEmpty
+          }
+          def tryRebase(): Option[Long] = {
+            var attempts = 0
+            val baseFiles = base.files.toSet
+            while (attempts < 16) {
+              attempts += 1
+              val head = latest(path).getOrElse(return None)
+              if (head.version == base.version) return None
+              val ok = baseFiles.forall(head.files.toSet) &&
+                head.deletes == base.deletes &&
+                head.deleteStats == base.deleteStats &&
+                head.constraints == base.constraints &&
+                head.renames == base.renames &&
+                head.droppedCols == base.droppedCols &&
+                head.generated == base.generated &&
+                (head.mergeKeys.isEmpty || head.mergeKeys == keyCols)
+              if (!ok) return None
+              if (!keyFree(head.files.filterNot(baseFiles))) return None
+              val n2 = head.version + 1
+              val m2 = Manifest(n2, head.files ++ staged, commitId,
+                head.version,
+                head.stats ++ stagedStats,
+                head.seqs ++
+                  (head.files.filterNot(head.seqs.contains).map(_ -> 0L)) ++
+                  staged.map(_ -> n2),
+                head.deletes ++ delFiles.map(_ -> (base.version + 1)),
+                head.constraints,
+                deleteStats = head.deleteStats ++ delStats,
+                rows = head.rows ++ stagedRows,
+                mergeKeys = keyCols, generated = head.generated,
+                txns = head.txns ++ appTxn,
+                renames = head.renames, droppedCols = head.droppedCols,
+                bytes = head.bytes)
+              try {
+                publish(manifestDir(path).resolve(f"v$n2%08d.json"),
+                  render(path, m2))
+                return Some(n2)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => ()
+              }
+            }
+            None
+          }
+          tryRebase().getOrElse(throw new IllegalStateException(
+            s"concurrent commit during merge onto v${base.version}; retry"))
       }
     } finally graft.operators.IndexScope.release(raw)
   }

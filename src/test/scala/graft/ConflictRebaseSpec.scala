@@ -183,6 +183,77 @@ class ConflictRebaseSpec extends SparkSpecBase {
     assert(t.count() == 760, "800 - 100 replaced by 10 + 50 appended")
   }
 
+  test("MoR merge racing a key-disjoint append: rebases with its staged " +
+      "files reused; the appended rows stay visible above the pinned delete") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val extra = spark.range(9000, 9010).select(
+      col("id").as("k"), lit(99L).as("g"), lit(9.0).as("v")).coalesce(1)
+    // source: upsert k<10 with new values, tombstone k in [790, 795)
+    val src = spark.range(0, 10).select(col("id").as("k"),
+        (col("id") % 8).as("g"), lit(-7.0).as("v"), lit("U").as("op"))
+      .unionByName(spark.range(790, 795).select(col("id").as("k"),
+        (col("id") % 8).as("g"), lit(0.0).as("v"), lit("D").as("op")))
+    val staged = armRace(path) { ManifestTable.append(extra, path) }
+    ManifestTable.mergeMoR(spark, path, src, Seq("k"),
+      deleteWhen = Some(col("op") === "D"))
+    assert(ManifestTable.latestVersion(path) == v0 + 2)
+    val winnerM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+    val finalM = ManifestTable.snapshotAt(path, None).get
+    val loserAdded = (finalM.files.toSet ++ finalM.deletes.map(_._1)) --
+      winnerM.files.toSet
+    assert(loserAdded.nonEmpty && loserAdded.forall(staged().contains),
+      "the merge must reuse its staged data AND delete files")
+    val t = ManifestTable.read(spark, path)
+    assert(t.count() == 800 - 5 + 10, "800 base - 5 tombstones + 10 appended")
+    assert(t.where(col("k") >= 9000).count() == 10,
+      "the winner's appended rows must stay visible above the pinned delete")
+    assert(t.where(col("k") < 10 && col("v") =!= -7.0).count() == 0,
+      "upserted values must win")
+    assert(t.where(col("k").between(790, 794)).count() == 0,
+      "tombstoned keys must be gone")
+  }
+
+  test("MoR merge racing an append WITH an overlapping key: re-runs and " +
+      "merges the winner's row too") {
+    val path = mk()
+    // winner appends a SECOND row for key 5 — the merge must see it
+    val extra = spark.range(5, 6).select(
+      col("id").as("k"), lit(99L).as("g"), lit(111.0).as("v")).coalesce(1)
+    val src = spark.range(0, 10).select(col("id").as("k"),
+      (col("id") % 8).as("g"), lit(-7.0).as("v"))
+    val staged = armRace(path) { ManifestTable.append(extra, path) }
+    ManifestTable.mergeMoR(spark, path, src, Seq("k"))
+    assert(staged().nonEmpty, "the race must have fired")
+    val t = ManifestTable.read(spark, path)
+    assert(t.where(col("k") === 5).count() == 1,
+      "the re-run merge must collapse the winner's duplicate key too")
+    assert(t.where(col("k") === 5).select("v").head().getDouble(0) == -7.0,
+      "the merge source must win the overlapped key")
+  }
+
+  test("COW merge racing a key-disjoint append rebases; its rewrite files " +
+      "are reused and the append carries") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val extra = spark.range(9000, 9020).select(
+      col("id").as("k"), lit(99L).as("g"), lit(9.0).as("v")).coalesce(1)
+    val src = spark.range(0, 10).select(col("id").as("k"),
+      (col("id") % 8).as("g"), lit(-3.0).as("v"))
+    val staged = armRace(path) { ManifestTable.append(extra, path) }
+    ManifestTable.merge(spark, path, src, Seq("k"))
+    assert(ManifestTable.latestVersion(path) == v0 + 2)
+    val winnerM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+    val finalM = ManifestTable.snapshotAt(path, None).get
+    val loserAdded = finalM.files.toSet -- winnerM.files.toSet
+    assert(loserAdded.nonEmpty && loserAdded.forall(staged().contains),
+      "the COW merge must reuse its staged rewrite files")
+    val t = ManifestTable.read(spark, path)
+    assert(t.count() == 820)
+    assert(t.where(col("k") < 10 && col("v") =!= -3.0).count() == 0)
+    assert(t.where(col("k") >= 9000).count() == 20)
+  }
+
   test("four genuinely-racing disjoint backfills: all land, and ZERO " +
       "staged files are orphaned (nobody re-staged)") {
     // no injected hook — real thread contention. Each writer's scope is
