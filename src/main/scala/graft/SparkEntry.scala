@@ -3985,6 +3985,84 @@ object SparkEntry {
       dash
     }),
 
+    "q186_concurrency_capstone" -> ((s, dir) => {
+      // CONCURRENCY CAPSTONE — every rebase-capable writer class races
+      // a concurrent ingest on ONE table, in sequence: (A) full
+      // OPTIMIZE loses its claim to an append and rebases (the append's
+      // file carries uncompacted); (B) a replaceWhere backfill loses to
+      // another append and rebases; (C) a MoR merge loses to a third
+      // append and rebases with its delete seq pinned below the
+      // winner's rows. Closing audit: every file in the data directory
+      // is referenced by some version's manifest — across all three
+      // races, ZERO staged bytes were orphaned, i.e. nobody re-staged.
+      // This is the production shape at 100 TB: maintenance, backfill
+      // and CDC all racing the ingest cadence on shared tables, each
+      // conflict costing metadata instead of data. Final rollup under
+      // the oracle.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q186-").toString
+      val path = s"$wh/t"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        (col("o_orderkey") % 4).cast("long").as("g"),
+        col("o_totalprice").cast("double").as("price"))
+      // ingest-by-group: each group's slice is its own commit, so the
+      // backfill and merge scopes are file-disjoint by construction
+      (0L to 3L).foreach { g =>
+        ManifestTable.append(orders.where(col("g") === g).coalesce(2), path)
+      }
+      val v0 = ManifestTable.latestVersion(path)
+      def ingest(tag: Long) = orders.where(col("g") === 0)
+        .select((col("k") + tag * 10000000L).as("k"), lit(tag).as("g"),
+          col("price")).coalesce(1)
+      def arm(body: => Unit): Unit = {
+        ManifestTable.beforePublishHook = () => {
+          ManifestTable.beforePublishHook = () => ()
+          body
+        }
+      }
+      // (A) OPTIMIZE races ingest g=4: the compaction rebases
+      arm { ManifestTable.append(ingest(4), path) }
+      ManifestTable.compactCommit(spark = s, path = path)
+      require(ManifestTable.latestVersion(path) == v0 + 2,
+        "optimize + racing append must both land")
+      // (B) backfill g=1 (price doubled) races ingest g=5
+      arm { ManifestTable.append(ingest(5), path) }
+      ManifestTable.replaceWhere(s, path, col("g") === 1,
+        orders.where(col("g") === 1).withColumn("price", col("price") * 2))
+      require(ManifestTable.latestVersion(path) == v0 + 4,
+        "backfill + racing append must both land")
+      // (C) MoR merge on g=2 keys (negate price for k<=400, tombstone
+      // 400<k<=800) races ingest g=6
+      val src = orders.where(col("g") === 2 && col("k") <= 400)
+        .withColumn("price", -col("price")).withColumn("op", lit("U"))
+        .unionByName(orders.where(col("g") === 2 &&
+          col("k") > 400 && col("k") <= 800).withColumn("op", lit("D")))
+      arm { ManifestTable.append(ingest(6), path) }
+      ManifestTable.mergeMoR(s, path, src, Seq("k"),
+        deleteWhen = Some(col("op") === "D"))
+      require(ManifestTable.latestVersion(path) == v0 + 6,
+        "merge + racing append must both land")
+      // closing audit: zero orphans across every race = zero re-staging
+      val referenced = (1L to (v0 + 6)).flatMap { v =>
+        val m = ManifestTable.snapshotAt(path, Some(v)).get
+        m.files ++ m.deletes.map(_._1)
+      }.toSet
+      val onDisk = scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(path, "data"))) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString).toSet
+      }
+      require((onDisk -- referenced).isEmpty,
+        s"zero staged bytes may be orphaned across the three races; " +
+          s"found ${(onDisk -- referenced).size} unreferenced files")
+      // the combined truth of all six writers under the oracle
+      ManifestTable.read(s, path)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     "q183_concurrent_backfill" -> ((s, dir) => {
       // LOGICAL COMMIT-CONFLICT RULES — two writers, one table, zero
       // wasted bytes: session A backfills 1996 while session B's
@@ -11048,6 +11126,27 @@ object SparkEntry {
          ) GROUP BY 1""",
     // q167: the emitted frame is the REWRITTEN dashboard — the oracle
     // checks the rollup-served values against the relational truth
+    // q186: the combined truth of all six writers — three rebased
+    // operations and their three racing ingests must compose to the
+    // same rollup a serial execution produces
+    "q186_concurrency_capstone" ->
+      """SELECT g, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT CAST(o_orderkey % 4 AS BIGINT) AS g,
+             CASE WHEN o_orderkey % 4 = 1 THEN CAST(o_totalprice AS DOUBLE) * 2
+                  WHEN o_orderkey % 4 = 2 AND o_orderkey <= 400
+                    THEN -CAST(o_totalprice AS DOUBLE)
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS price
+           FROM orders
+           WHERE NOT (o_orderkey % 4 = 2 AND o_orderkey > 400
+                      AND o_orderkey <= 800)
+           UNION ALL
+           SELECT CAST(t.g AS BIGINT) AS g, CAST(o_totalprice AS DOUBLE) AS price
+           FROM orders CROSS JOIN (SELECT 4 AS g UNION ALL SELECT 5
+                                   UNION ALL SELECT 6) t
+           WHERE o_orderkey % 4 = 0
+         ) GROUP BY 1""",
     // q183: both interleaved backfills' corrections, by year — the
     // conflict, the rebase and the file reuse must all be invisible
     // to the relational truth
