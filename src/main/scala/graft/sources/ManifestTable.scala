@@ -1720,30 +1720,43 @@ object ManifestTable {
     * UTF8-annotated binary. Annotated physical types (decimal-as-binary,
     * date, timestamp) are SKIPPED — a missing stat means "never prune",
     * so unsupported columns cost selectivity, not correctness. */
-  /** Per-file row counts from the parquet footers (block metadata only —
-    * same KB-scale driver-side opens as [[footerStats]]). */
-  private def footerRows(path: String, files: Seq[String]): Map[String, Long] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = new org.apache.hadoop.conf.Configuration()
-    files.map { name =>
-      val p = new org.apache.hadoop.fs.Path(dataDir(path).resolve(name).toUri)
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      try name -> r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally r.close()
-    }.toMap
-  }
+  /** Per-file row counts (one footer open per file — prefer
+    * [[footerHarvest]] when stats are needed too: same open serves both). */
+  private def footerRows(path: String, files: Seq[String]): Map[String, Long] =
+    footerHarvest(path, files)._2
 
   private def footerStats(path: String,
-      files: Seq[String]): Map[String, Map[String, ColStats]] = {
+      files: Seq[String]): Map[String, Map[String, ColStats]] =
+    footerHarvest(path, files)._1
+
+  /** ONE footer open per file, PARALLEL across files: per-column
+    * min/max/null stats AND the row count from the same open. Every
+    * commit path harvests freshly-staged files through here; the two
+    * properties matter independently at 100 TB — a serial loop costs
+    * O(files) round-trips per commit on object storage (each footer
+    * open is a ranged GET), and separate stats/rows passes doubled the
+    * opens. KB-scale reads, driver-side, ~#cores concurrent. */
+  private def footerHarvest(path: String, files: Seq[String])
+      : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
+    val harvested: Seq[(String, Map[String, ColStats], Long)] =
+      if (files.lengthCompare(2) < 0) files.map(n => harvestOne(path, n))
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        files.par.map(n => harvestOne(path, n)).seq
+      }
+    (harvested.map(h => h._1 -> h._2).toMap,
+      harvested.map(h => h._1 -> h._3).toMap)
+  }
+
+  private def harvestOne(path: String,
+      name: String): (String, Map[String, ColStats], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
     val conf = new org.apache.hadoop.conf.Configuration()
-    files.map { name =>
-      val p = new org.apache.hadoop.fs.Path(dataDir(path).resolve(name).toUri)
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      try {
+    val p = new org.apache.hadoop.fs.Path(dataDir(path).resolve(name).toUri)
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
         val schema = r.getFooter.getFileMetaData.getSchema
         // per-column: (numeric?, micros multiplier for TIMESTAMP bounds,
         // canonical-unit tag persisted alongside the bound)
@@ -1818,7 +1831,9 @@ object ManifestTable {
         var nullsComplete = Set.empty[String] // numNulls set in EVERY group
         var sawValue = Set.empty[String] // >=1 non-null value anywhere
         var first = true
+        var rowCount = 0L
         r.getFooter.getBlocks.asScala.foreach { block =>
+          rowCount += block.getRowCount
           val present = scala.collection.mutable.Set[String]()
           val nPresent = scala.collection.mutable.Set[String]()
           block.getColumns.asScala.foreach { chunk =>
@@ -1873,9 +1888,8 @@ object ManifestTable {
         val allNull = nullsComplete.filterNot(sawValue).filterNot(complete)
           .map(c => c -> ColStats("", "", numeric = false,
             unit = Some("allnull"), nulls = Some(nullsAcc(c)))).toMap
-        name -> (bounded ++ allNull)
-      } finally r.close()
-    }.toMap
+        (name, bounded ++ allNull, rowCount)
+    } finally r.close()
   }
 
   /** A parquet DECIMAL footer bound (unscaled int / two's-complement
@@ -1996,8 +2010,7 @@ object ManifestTable {
       appTxn: Option[(String, Long)] = None,
       resetMapping: Boolean = false): Long = {
     Files.createDirectories(manifestDir(path))
-    val newStats = footerStats(path, newFiles)
-    val newRows = footerRows(path, newFiles)
+    val (newStats, newRows) = footerHarvest(path, newFiles)
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
@@ -2130,7 +2143,7 @@ object ManifestTable {
     }
     val stagedData = writes.map(w => stage(w.df, w.path))
     val statsRows = writes.zip(stagedData).map { case (w, fs) =>
-      (footerStats(w.path, fs), footerRows(w.path, fs)) }
+      footerHarvest(w.path, fs) }
     if (crashPoint == 1) throw new TxnCrash(1)
     val txnId = UUID.randomUUID().toString
     val markerPath = manifestDir(writes.head.path).resolve(s"txn-$txnId.json")
@@ -2344,8 +2357,7 @@ object ManifestTable {
           df.columns.map(df.col): _*): _*)
       else df.repartition(nFiles)
     val staged = stage(arranged, path)
-    val stagedStats = footerStats(path, staged)
-    val stagedRows = footerRows(path, staged)
+    val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val next = base.version + 1
     val target = manifestDir(path).resolve(f"v$next%08d.json")
     beforePublishHook()
@@ -2468,8 +2480,7 @@ object ManifestTable {
           df.columns.map(df.col): _*): _*)
       else df.repartition(nFiles)
     val staged = stage(arranged, path)
-    val stagedStats = footerStats(path, staged)
-    val stagedRows = footerRows(path, staged)
+    val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val next = base.version + 1
     val m = Manifest(next, carried ++ staged,
       Some(s"compact-where-of-v${base.version}"), base.version,
@@ -2552,8 +2563,7 @@ object ManifestTable {
       if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(df, zorderBy, nFiles)
       else df.repartition(nFiles)
     val staged = stage(arranged, path)
-    val stagedStats = footerStats(path, staged)
-    val stagedRows = footerRows(path, staged)
+    val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val next = base.version + 1
     val m = Manifest(next, carried ++ staged,
       Some(s"compact-incr-of-v${base.version}"), base.version,
@@ -2661,14 +2671,15 @@ object ManifestTable {
       if (affected.isEmpty) Seq.empty
       else stage(reconcile(spark, path, base, affected), path)
     val next = base.version + 1
+    val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val m = Manifest(next, carried ++ staged,
       Some(s"fold-deletes-of-v${base.version}"), base.version,
       carried.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
-        footerStats(path, staged),
+        stagedStats,
       carried.map(f => f -> base.seqs.getOrElse(f, 0L)).toMap ++
         staged.map(_ -> next),
       Seq.empty, base.constraints,
-      rows = base.rows ++ footerRows(path, staged),
+      rows = base.rows ++ stagedRows,
       mergeKeys = base.mergeKeys, dataChange = false,
       generated = base.generated, txns = base.txns,
       renames = base.renames, droppedCols = base.droppedCols,
@@ -2980,8 +2991,7 @@ object ManifestTable {
 
     // (4) stage + publish (optimistic, conflict-checked like compactCommit)
     val staged = stage(rewritten.unionByName(inserts), path)
-    val stagedStats = footerStats(path, staged)
-    val stagedRows = footerRows(path, staged)
+    val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val next = base.version + 1
     // untouched files CARRY their stats, seqs, and any delete files that
     // apply to them; rewritten files sit at seq `next`, above every
@@ -3113,9 +3123,9 @@ object ManifestTable {
       val next = base.version + 1
       val delFiles = stageDeletes(delKeys, path)
       val staged = stage(upserts, path)
-      val stagedStats = footerStats(path, staged)
-      val stagedRows = footerRows(path, staged ++ delFiles)
-      val delStats = footerStats(path, delFiles)
+      val (stagedStats, stagedDataRows) = footerHarvest(path, staged)
+      val (delStats, delFileRows) = footerHarvest(path, delFiles)
+      val stagedRows = stagedDataRows ++ delFileRows
       val m = Manifest(next, base.files ++ staged, commitId, base.version,
         base.stats ++ stagedStats,
         base.seqs ++ (base.files.filterNot(base.seqs.contains).map(_ -> 0L)) ++
@@ -3323,10 +3333,8 @@ object ManifestTable {
       require(dup.isEmpty,
         s"write produces duplicate merge key ${dup.headOption.map(_.get(0))}")
     }
-    val upStats = footerStats(path, upsertFiles)
-    val upRows = footerRows(path, upsertFiles)
-    val delStats = footerStats(path, deleteFiles)
-    val delRows = footerRows(path, deleteFiles)
+    val (upStats, upRows) = footerHarvest(path, upsertFiles)
+    val (delStats, delRows) = footerHarvest(path, deleteFiles)
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
@@ -3865,8 +3873,7 @@ object ManifestTable {
           "replaced predicate")).isNull)), path)
     }.getOrElse(Seq.empty)
     val staged = rewriteStaged ++ insertStaged
-    val stagedStats = footerStats(path, staged)
-    val stagedRows = footerRows(path, staged)
+    val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val next = base.version + 1
     val m = Manifest(next, untouched ++ staged, commitId, base.version,
       untouched.flatMap(f => base.stats.get(f).map(f -> _)).toMap ++
@@ -4461,11 +4468,12 @@ object ManifestTable {
     val head = latest(path).getOrElse(throw new IllegalStateException(
       s"no committed version at $path"))
     val staged = wapFiles(path, wapId)
+    val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val synth = head.copy(
       files = head.files ++ staged,
       seqs = head.seqs ++ staged.map(_ -> (head.version + 1)).toMap,
-      stats = head.stats ++ footerStats(path, staged),
-      rows = head.rows ++ footerRows(path, staged))
+      stats = head.stats ++ stagedStats,
+      rows = head.rows ++ stagedRows)
     reconcile(spark, path, synth, synth.files)
   }
 
@@ -4705,14 +4713,15 @@ object ManifestTable {
     val hit = branchManifestCache.get(key)
     if (hit != null) return hit
     val parent = manifestAt(path, b.parent)
+    val (branchStats, branchRows) = footerHarvest(path, b.files)
     val m = parent.copy(
       version = bid,
       parent = b.parent,
       files = parent.files ++ b.files,
       seqs = parent.seqs ++ b.commits.zipWithIndex.flatMap {
         case (c, i) => c.files.map(_ -> (parent.version + i + 1)) },
-      stats = parent.stats ++ footerStats(path, b.files),
-      rows = parent.rows ++ footerRows(path, b.files),
+      stats = parent.stats ++ branchStats,
+      rows = parent.rows ++ branchRows,
       commitId = Some(s"branch:$name"))
     if (branchManifestCache.size > 4096) branchManifestCache.clear()
     branchManifestCache.put(key, m)
