@@ -4569,7 +4569,6 @@ object ManifestTable {
     def files: Seq[String] = commits.flatMap(_.files)
   }
 
-  private val branchLock = new Object
   private val branchManifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
 
@@ -4580,12 +4579,52 @@ object ManifestTable {
     name
   }
 
-  private def branchDocPath(path: String, name: String): Path =
-    branchDir(path).resolve(s"${validBranchName(name)}.json")
+  // Branch state is its own optimistic version chain,
+  // `_branch/<name>/b%08d.json`, published through the SAME
+  // create-exclusive primitive the manifest log uses — two processes
+  // appending to one branch serialize on the next slot and the loser
+  // re-reads and retries METADATA-ONLY (its staged files are state-
+  // independent). A single mutable doc would be read-modify-write:
+  // cross-process last-writer-wins, silently dropping a commit.
+
+  private def branchRefDir(path: String, name: String): Path =
+    branchDir(path).resolve(validBranchName(name))
+
+  /** The branch's snapshot id, derived from the NAME (SHA-256 truncated
+    * into the reserved range): unique per name by construction, so two
+    * racing creates of DIFFERENT branches can never collide on an id —
+    * no counter to coordinate. */
+  private def branchBid(name: String): Long = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(name.getBytes("UTF-8"))
+    BranchIdBase + (java.nio.ByteBuffer.wrap(h).getLong &
+      0x3FFFFFFFFFFFFFFFL)
+  }
+
+  private def branchDocVersions(path: String, name: String): Seq[Long] = {
+    val d = branchRefDir(path, name)
+    if (!Files.isDirectory(d)) return Seq.empty
+    Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("b") && s.endsWith(".json") =>
+          s.stripPrefix("b").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
+  }
+
+  private def branchDocPath(path: String, name: String): Path = {
+    val ks = branchDocVersions(path, name)
+    require(ks.nonEmpty, s"no branch '$name' at $path")
+    branchRefDir(path, name).resolve(f"b${ks.last}%08d.json")
+  }
 
   private def parseBranchDoc(doc: Path): BranchState = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    // claim-to-content window of the no-hardlink publish fallback: an
+    // empty just-claimed doc resolves in milliseconds — spin like parse()
+    var spins = 0
+    while (Files.size(doc) == 0 && spins < 200) { Thread.sleep(5); spins += 1 }
     implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(Files.readString(doc))
     BranchState(
@@ -4605,48 +4644,41 @@ object ManifestTable {
       })
   }
 
-  /** All branches of a table: name → state. An unreadable doc throws —
-    * branches pin retention and vacuum, and guessing over a corrupt ref
-    * is the data-loss path (remove the doc to force). */
+  private def branchHead(path: String, name: String): Option[BranchState] = {
+    val ks = branchDocVersions(path, name)
+    if (ks.isEmpty) return None
+    val doc = branchRefDir(path, name).resolve(f"b${ks.last}%08d.json")
+    try Some(parseBranchDoc(doc))
+    catch { case e: Exception => throw new IllegalStateException(
+      s"unreadable branch doc $doc: $e - DROP BRANCH or remove it to force") }
+  }
+
+  /** All branches of a table: name → state (each name's LATEST doc).
+    * An unreadable doc throws — branches pin retention and vacuum, and
+    * guessing over a corrupt ref is the data-loss path. */
   def branches(path: String): Map[String, BranchState] = {
     val d = branchDir(path)
     if (!Files.isDirectory(d)) return Map.empty
     Using.resource(Files.list(d)) { st =>
-      st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json")).toSeq
-    }.map { doc =>
-      val name = doc.getFileName.toString.stripSuffix(".json")
-      try name -> parseBranchDoc(doc)
-      catch { case e: Exception => throw new IllegalStateException(
-        s"unreadable branch doc $doc: $e - DROP BRANCH or remove it to force") }
-    }.toMap
+      st.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+    }.flatMap(name => branchHead(path, name).map(name -> _)).toMap
   }
 
-  private def writeBranchDoc(path: String, name: String,
-      b: BranchState): Unit = {
-    Files.createDirectories(branchDir(path))
+  private def renderBranchDoc(b: BranchState): String = {
     val commits = b.commits.map { c =>
       s"""{"files":[${c.files.map(q).mkString(",")}],"ts":${c.ts},""" +
         s""""commitId":${c.commitId.map(q).getOrElse("null")}}"""
     }.mkString("[", ",", "]")
-    val json =
-      s"""{"bid":${b.bid},"parent":${b.parent},"commits":$commits}"""
-    val f = branchDocPath(path, name)
-    val tmp = f.resolveSibling(s".tmp-${UUID.randomUUID()}.json")
-    Files.writeString(tmp, json)
-    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    s"""{"bid":${b.bid},"parent":${b.parent},"commits":$commits}"""
   }
 
   /** Fork branch `name` from a main version (default: the current
     * head). The name must not shadow a tag — both resolve through
     * `VERSION AS OF '<name>'`. Returns the parent version pinned. */
   def createBranch(path: String, name: String,
-      from: Option[Long] = None): Long = branchLock.synchronized {
+      from: Option[Long] = None): Long = {
     validBranchName(name)
-    val existing = branches(path)
-    require(!existing.contains(name),
-      s"branch '$name' already exists at $path - DROP it first")
     require(!tags(path).contains(name),
       s"'$name' is a tag at $path - tags and branches share the " +
         "VERSION AS OF namespace")
@@ -4655,47 +4687,62 @@ object ManifestTable {
     val parent = from.getOrElse(vs.last)
     require(vs.contains(parent),
       s"cannot branch from v$parent at $path: no such committed version")
-    val bid = (existing.values.map(_.bid) ++ Seq(BranchIdBase)).max + 1
-    writeBranchDoc(path, name, BranchState(bid, parent, Seq.empty))
+    Files.createDirectories(branchRefDir(path, name))
+    val doc = branchRefDir(path, name).resolve(f"b${1L}%08d.json")
+    try publish(doc, renderBranchDoc(
+      BranchState(branchBid(name), parent, Seq.empty)))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"branch '$name' already exists at $path - DROP it first")
+    }
     parent
   }
 
   /** Append `df` as one branch commit: files land in the data dir
     * (constraints and declared layouts enforced exactly like a main
     * commit — same [[stage]]), main's version chain does not move.
-    * `commitId` gives the branch commit exactly-once replay. Returns
+    * `commitId` gives the branch commit exactly-once replay. Racing
+    * appenders serialize on the ref's next doc slot; the loser retries
+    * metadata-only (its staged files are state-independent). Returns
     * the 1-based branch commit ordinal. */
   def appendBranch(df: DataFrame, path: String, name: String,
       commitId: Option[String] = None): Int = {
-    val pre = branchLock.synchronized {
-      val b = branches(path).getOrElse(name, throw new IllegalStateException(
-        s"no branch '$name' at $path - CREATE BRANCH first"))
-      val replayed = commitId.flatMap(id =>
-        b.commits.zipWithIndex.find(_._1.commitId.contains(id)))
-      replayed.map(_._2 + 1)
-    }
+    def replayOf(b: BranchState): Option[Int] = commitId.flatMap(id =>
+      b.commits.zipWithIndex.find(_._1.commitId.contains(id)))
+      .map(_._2 + 1)
+    val b0 = branchHead(path, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' at $path - CREATE BRANCH first"))
+    val pre = replayOf(b0)
     if (pre.isDefined) return pre.get
     val staged = stage(df, path)
-    branchLock.synchronized {
-      val b = branches(path).getOrElse(name, throw new IllegalStateException(
-        s"no branch '$name' at $path - it was dropped mid-write"))
-      val replayed = commitId.flatMap(id =>
-        b.commits.zipWithIndex.find(_._1.commitId.contains(id)))
-      if (replayed.isDefined) return replayed.get._2 + 1
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val ks = branchDocVersions(path, name)
+      require(ks.nonEmpty, s"no branch '$name' at $path - dropped mid-write")
+      val b = branchHead(path, name).get
+      val replayed = replayOf(b)
+      if (replayed.isDefined) return replayed.get
       val c = BranchCommit(staged, System.currentTimeMillis(), commitId)
-      writeBranchDoc(path, name, b.copy(commits = b.commits :+ c))
-      b.commits.size + 1
+      val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
+      try {
+        publish(doc, renderBranchDoc(b.copy(commits = b.commits :+ c)))
+        return b.commits.size + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          () // another appender won the slot: re-read, retry on top
+      }
     }
+    throw new IllegalStateException(
+      s"branch contention on '$name': gave up after $attempts attempts")
   }
 
   /** Resolve a branch name to its synthetic snapshot id (what
     * `VERSION AS OF '<name>'` reads through). */
-  def resolveBranch(path: String, name: String): Option[Long] = {
-    val d = branchDir(path)
-    if (!Files.isDirectory(d) || !Files.isRegularFile(
-        branchDocPath(path, name))) return None
-    branches(path).get(name).map(_.bid)
-  }
+  def resolveBranch(path: String, name: String): Option[Long] =
+    if (branchDocVersions(path, name).isEmpty) None
+    else branchHead(path, name).map(_.bid)
 
   /** The synthesized manifest behind a branch snapshot id: the parent
     * version's manifest plus every branch commit's files, each commit
@@ -4757,7 +4804,7 @@ object ManifestTable {
     val already = versions(path).map(manifestAt(path, _))
       .find(_.commitId.contains(id))
     if (already.isDefined) {
-      branchLock.synchronized { Files.deleteIfExists(branchDocPath(path, name)) }
+      removeBranchRef(path, name)
       return already.get.version
     }
     val head = latestVersion(path)
@@ -4765,8 +4812,19 @@ object ManifestTable {
       s"main moved since branch '$name' forked (v${b.parent} -> v$head): " +
         "rebaseBranch + re-audit, or DROP the branch")
     val v = commit(path, files, replace = false, Some(id))
-    branchLock.synchronized { Files.deleteIfExists(branchDocPath(path, name)) }
+    removeBranchRef(path, name)
     v
+  }
+
+  /** Remove a ref's whole doc chain (publish/abort resolution). A
+    * concurrent reader listing mid-removal sees a dir with no docs =
+    * no branch ([[branches]]/[[branchHead]] tolerate that). */
+  private def removeBranchRef(path: String, name: String): Unit = {
+    val d = branchRefDir(path, name)
+    if (!Files.isDirectory(d)) return
+    Using.resource(Files.list(d))(
+      _.iterator().asScala.toSeq).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(d)
   }
 
   /** Re-point a branch's fork base at the current head. Sound for
@@ -4774,25 +4832,34 @@ object ManifestTable {
     * the audit contract is the caller's: branch reads now include
     * everything main gained since the old base, so re-audit before
     * fast-forwarding. Returns the new parent version. */
-  def rebaseBranch(path: String, name: String): Long =
-    branchLock.synchronized {
-      val b = branches(path).getOrElse(name, throw new IllegalStateException(
-        s"no branch '$name' at $path"))
+  def rebaseBranch(path: String, name: String): Long = {
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val ks = branchDocVersions(path, name)
+      require(ks.nonEmpty, s"no branch '$name' at $path")
+      val b = branchHead(path, name).get
       val head = latestVersion(path)
-      writeBranchDoc(path, name, b.copy(parent = head))
-      head
+      val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
+      try {
+        publish(doc, renderBranchDoc(b.copy(parent = head)))
+        return head
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // retry on top
+      }
     }
+    throw new IllegalStateException(s"branch contention on '$name' rebase")
+  }
 
   /** Drop branch `name` unpublished. Its staged files become orphans;
     * the age-gated [[vacuum]] reclaims them. Returns the released
     * file names. */
-  def dropBranch(path: String, name: String): Seq[String] =
-    branchLock.synchronized {
-      val b = branches(path).getOrElse(name, throw new IllegalStateException(
-        s"no branch '$name' at $path"))
-      Files.deleteIfExists(branchDocPath(path, name))
-      b.files
-    }
+  def dropBranch(path: String, name: String): Seq[String] = {
+    val b = branchHead(path, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' at $path"))
+    removeBranchRef(path, name)
+    b.files
+  }
 
   /** Files referenced by live branch refs — retained by [[vacuum]] and
     * the previews exactly like WAP docs and clone breadcrumbs (and,

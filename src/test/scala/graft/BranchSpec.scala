@@ -74,13 +74,14 @@ class BranchSpec extends SparkSpecBase {
     ManifestTable.appendBranch(batch(100, 110), path, "bf")
     val b = ManifestTable.branches(path)("bf")
     val v = ManifestTable.fastForward(path, "bf")
-    // simulate the crash: restore the ref doc after the commit landed
-    val docDir = java.nio.file.Paths.get(path, "_branch")
-    Files.createDirectories(docDir)
+    // simulate the crash: restore the ref's doc chain after the commit
+    // landed (the window between the publish and the ref removal)
+    val refDir = java.nio.file.Paths.get(path, "_branch", "bf")
+    Files.createDirectories(refDir)
     val json = s"""{"bid":${b.bid},"parent":${b.parent},"commits":[""" +
       s"""{"files":[${b.commits.head.files.map(f => "\"" + f + "\"")
         .mkString(",")}],"ts":${b.commits.head.ts},"commitId":null}]}"""
-    Files.writeString(docDir.resolve("bf.json"), json)
+    Files.writeString(refDir.resolve("b00000001.json"), json)
     assert(ManifestTable.fastForward(path, "bf") == v,
       "the replayed publish must resolve to the SAME version")
     assert(ManifestTable.latestVersion(path) == v)
@@ -152,6 +153,36 @@ class BranchSpec extends SparkSpecBase {
     intercept[Exception] {
       s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 'audit'").collect()
     }
+  }
+
+  test("racing appenders on ONE branch: all commits land (the ref is an " +
+      "optimistic chain, not a last-writer-wins doc)") {
+    val path = freshTable()
+    ManifestTable.createBranch(path, "hot")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futs = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          ManifestTable.appendBranch(
+            batch(1000 + i * 100, 1000 + i * 100 + 10), path, "hot")
+        }
+      })
+    }
+    gate.countDown()
+    val ordinals = futs.map(_.get()).sorted
+    pool.shutdown()
+    assert(ordinals == Seq(1, 2, 3, 4),
+      s"every racing append must land with its own ordinal: $ordinals")
+    assert(ManifestTable.branches(path)("hot").commits.size == 4)
+    assert(ManifestTable.readBranch(spark, path, "hot").count() == 140)
+    // commitId replay still answers from the chain
+    ManifestTable.appendBranch(batch(2000, 2005), path, "hot", Some("x1"))
+    assert(ManifestTable.appendBranch(
+      batch(2000, 2005), path, "hot", Some("x1")) == 5,
+      "a replayed commit id must return its original ordinal, landing nothing")
+    assert(ManifestTable.branches(path)("hot").commits.size == 5)
   }
 
   test("branch names cannot shadow tags; numeric names refuse; a branch " +
