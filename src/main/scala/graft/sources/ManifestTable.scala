@@ -3921,17 +3921,40 @@ object ManifestTable {
     ms.map { m =>
       val parent = byVersion.get(m.parent)
       val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
+      val added = m.files.count(f => !parentFiles.contains(f))
+      val removed = parentFiles.count(f => !m.files.contains(f))
+      // the OPERATION each version performed, recovered from the commit
+      // id's well-known prefixes plus commit structure — what DESCRIBE
+      // HISTORY answers first when an operator audits an unfamiliar
+      // table ("what rewrote half my files last night?")
+      val deletesAdded = m.deletes.size -
+        parent.map(_.deletes.size).getOrElse(0)
+      val id = m.commitId.getOrElse("")
+      val op =
+        if (id.startsWith("compact-where-of-")) "OPTIMIZE WHERE"
+        else if (id.startsWith("compact-incr-of-")) "OPTIMIZE INCREMENTAL"
+        else if (id.startsWith("compact-of-")) "OPTIMIZE"
+        else if (id.startsWith("fold-deletes-of-")) "FOLD DELETES"
+        else if (id.startsWith("branch:")) "FAST FORWARD"
+        else if (id.startsWith("wap:")) "PUBLISH WAP"
+        else if (id.startsWith("st-")) "STREAMING EPOCH"
+        else if (deletesAdded > 0) "MERGE"
+        else if (parent.isEmpty && m.parent <= 0) "CREATE"
+        else if (removed > 0 && removed == parentFiles.size && added > 0 &&
+          m.files.forall(f => !parentFiles.contains(f))) "OVERWRITE"
+        else if (removed > 0) "REWRITE"
+        else "APPEND"
       (m.version, commitTimeMillis(path, m.version),
         m.commitId.orNull,
         m.files.size, m.deletes.size,
         m.files.flatMap(m.rows.get).sum,
-        m.files.count(f => !parentFiles.contains(f)),
-        parentFiles.count(f => !m.files.contains(f)),
+        added, removed,
         m.constraints.size,
-        m.mergeKeys.mkString(","))
+        m.mergeKeys.mkString(","),
+        op)
     }.toDF("version", "commit_ts", "commit_id", "n_files", "n_delete_files",
       "recorded_rows", "files_added", "files_removed", "n_constraints",
-      "merge_keys")
+      "merge_keys", "operation")
   }
 
   /** DESCRIBE DETAIL (Delta's): the CURRENT version's summary as one

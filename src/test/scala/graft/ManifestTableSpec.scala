@@ -874,6 +874,12 @@ class ManifestTableSpec extends SparkSpecBase {
     assert(h(2).getString(9) == "k")
     assert(h.forall(_.getLong(1) > 0), "commit timestamps missing")
     assert(h(2).getLong(5) >= 2, "recorded rows missing")
+    // the operation column names what each version did
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("CREATE", "APPEND", "MERGE"))
+    ManifestTable.compactCommit(spark, t)
+    val h2 = ManifestTable.history(spark, t).orderBy("version").collect()
+    assert(h2.last.getAs[String]("operation") == "OPTIMIZE")
   }
 
   test("schema-evolving merge: new source columns land, op markers stay " +
