@@ -4000,6 +4000,8 @@ object SparkEntry {
       // conflict costing metadata instead of data. Final rollup under
       // the oracle.
       import graft.sources.ManifestTable
+      // defensive: a prior failed gate must never leave the race armed
+      ManifestTable.beforePublishHook = () => ()
       val wh = java.nio.file.Files.createTempDirectory("graft-q186-").toString
       val path = s"$wh/t"
       val orders = Tables(s, dir, "orders").select(
@@ -4079,6 +4081,8 @@ object SparkEntry {
       // the oracle. At 100 TB this is N concurrent backfill pipelines
       // on one table instead of a serialized retry storm.
       import graft.sources.ManifestTable
+      // defensive: a prior failed gate must never leave the race armed
+      ManifestTable.beforePublishHook = () => ()
       val wh = java.nio.file.Files.createTempDirectory("graft-q183-").toString
       val path = s"$wh/t"
       val orders = Tables(s, dir, "orders").select(
