@@ -8636,7 +8636,72 @@ object SparkEntry {
       // keyframe-sampling plumbing: 32-byte frames, every 4th kept
       operators.multimodal.BinaryMeta.frameSample(
         Tables(s, dir, "documents"), "doc_id", "text",
-        frameBytes = 32, stride = 4))
+        frameBytes = 32, stride = 4)),
+
+    "mm12_scene_cuts" -> ((s, dir) => {
+      // VIDEO SCENE-CUT detection over REAL frames (mm7/mm8/mm9's
+      // honesty discipline on the temporal axis): each doc synthesizes
+      // an 8-frame clip of real 8×8 BMPs — a scene change at frame
+      // doc_id % 7 + 1 shifts every channel by a channel-specific step,
+      // and consecutive frames inside a scene drift by +1 per channel
+      // (ranges clamped below 256 so no mod-wrap pollutes the
+      // contrast). Every frame is ENCODED then DECODED through the
+      // actual codec, and the cut detector works on decoded pixels: a
+      // channel-weighted sum of absolute adjacent-frame differences
+      // (weights 4/2/1, so a channel swap in the codec breaks the
+      // value). Per-row flatMap, no shuffle — the shot-boundary
+      // front-end of a video training pipeline. Gate: the argmax
+      // recovers the planted cut for EVERY doc; the oracle predicts
+      // every adjacent-pair difference arithmetically.
+      import s.implicits._
+      import operators.multimodal.BmpCodec
+      val diffs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val cut = (id % 7 + 1).toInt
+          def framePixels(f: Int): Array[Int] = {
+            val scene = if (f < cut) 0 else 1
+            val px = Array.tabulate(64) { i =>
+              val x = i % 8; val y = i / 8
+              val r = ((x * 13 + y * 7 + (id % 41) * 31) % 200).toInt +
+                scene * 40 + f
+              val g = ((x * 5 + y * 11 + (id % 41) * 17) % 200).toInt +
+                scene * 25 + f
+              val b = ((x * 9 + y * 3 + (id % 41) * 23) % 200).toInt +
+                scene * 10 + f
+              (r << 16) | (g << 8) | b
+            }
+            BmpCodec.decode(BmpCodec.encode(8, 8, px)).getOrElse(
+              throw new IllegalStateException(s"undecodable frame $f of $id"))
+              .pixels
+          }
+          val clip = (0 until 8).map(framePixels)
+          (1 until 8).map { f =>
+            var d = 0L
+            var i = 0
+            while (i < 64) {
+              val a = clip(f - 1)(i); val b = clip(f)(i)
+              d += 4L * math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) +
+                2L * math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) +
+                math.abs((a & 0xFF) - (b & 0xFF))
+              i += 1
+            }
+            (id, f.toLong, d, f == cut)
+          }
+        }.toDF("doc_id", "frame_idx", "diff", "is_cut")
+        .localCheckpoint()
+      // the detector must RECOVER every planted cut from decoded bytes:
+      // per doc, the argmax adjacent difference is the cut frame
+      import org.apache.spark.sql.expressions.Window
+      val top = diffs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("diff").desc,
+          col("frame_idx"))))
+        .where(col("rk") === 1)
+      val missed = top.where(col("frame_idx") =!=
+        (col("doc_id") % 7 + 1)).count()
+      require(missed == 0,
+        s"scene-cut detector missed the planted cut in $missed docs")
+      diffs
+    })
   )
 
   // ----------------------------------------------------------------- oracle
@@ -9586,6 +9651,20 @@ object SparkEntry {
          FROM (SELECT doc_id, text, octet_length(encode(text)) AS len
                FROM documents WHERE octet_length(encode(text)) >= 32),
          LATERAL (SELECT unnest(generate_series(0, CAST(floor((len/32.0 - 1)/4) AS BIGINT))) AS i)""",
+    // mm12: every adjacent-frame difference predicted arithmetically —
+    // inside a scene each channel drifts +1 (weighted 4/2/1 over 64
+    // pixels = 448); at the planted cut the channel steps are 40/25/10
+    // plus the drift (4*41 + 2*26 + 11 = 227 per pixel = 14528). Any
+    // codec stride/row/channel bug on the Spark side breaks the hash.
+    "mm12_scene_cuts" ->
+      """SELECT d.doc_id, CAST(t.f AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN t.f = d.doc_id % 7 + 1 THEN 14528
+                     ELSE 448 END AS BIGINT) AS diff,
+           t.f = d.doc_id % 7 + 1 AS is_cut
+         FROM documents d
+         CROSS JOIN (SELECT 1 AS f UNION ALL SELECT 2 UNION ALL SELECT 3
+                     UNION ALL SELECT 4 UNION ALL SELECT 5
+                     UNION ALL SELECT 6 UNION ALL SELECT 7) t""",
     "tx12_pii" ->
       """WITH d AS (SELECT doc_id, text || ' contact ' ||
            CASE WHEN doc_id % 3 = 0 THEN 'user' || doc_id || '@example.com'
