@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses a JSON line from the last ~2000 chars of the
+// run's output. sbt's default LoggedOutput prefixes every forked-run
+// line with "[info] "/"[error] " and appends its own "[success] Total
+// time..." line, which broke that parse 17 rounds running. Inherit the
+// forked JVM's streams unwrapped and drop the success banner so the
+// final stdout line is Bench's bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -138,7 +138,12 @@ object Bench {
     }
     val compact = header + entries.mkString("{", ",", "}") +
       s""","queries_omitted":${results.size - entries.size}}"""
-    println(compact)
+    // stop BEFORE printing: Spark's shutdown chatter (if any) must land
+    // ahead of the JSON so the compact line is the genuinely last line of
+    // the run — build.sbt unwraps forked output (StdoutOutput) and drops
+    // sbt's "[success]" banner (showSuccess := false) for the same reason.
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }
