@@ -560,7 +560,10 @@ object ManifestTable {
     if (m.version >= BranchIdBase)
       branches(path).find(_._2.bid == m.version)
         .map(e => cacheKey(branchDocPath(path, e._1)))
-        .getOrElse(s"branch-gone:${m.version}")
+        // bids derive from the branch NAME alone, so the fallback must
+        // carry the table path — without it, two tables that both just
+        // dropped a same-named branch would share one schema-cache slot
+        .getOrElse(s"branch-gone:$path:${m.version}")
     else cacheKey(manifestDir(path).resolve(f"v${m.version}%08d.json"))
 
   private def latest(path: String): Option[Manifest] =
@@ -3147,11 +3150,13 @@ object ManifestTable {
         case _: java.nio.file.FileAlreadyExistsException =>
           // lost the claim. Rebase is exact when the winner ONLY ADDED
           // key-disjoint files: nothing we read changed, and our delete
-          // ledger entry pins its seq at base.version+1, BELOW every
-          // winner-added file's seq — the winner's rows stay visible by
-          // the ledger's own seq rule even before the key check proves
-          // no overlap. Anything else (a delete landed, files removed,
-          // key overlap) re-runs the merge against the new head.
+          // ledger entry pins its seq at base.version+1 — EQUAL to the
+          // first winner's file seq, not below it. The winner's rows stay
+          // visible only because reconcile's hide rule is STRICTLY
+          // dseq > fseq (relaxing it to >= would hide winner rows this
+          // rebase proved key-disjoint); the keyFree check below is the
+          // second, independent guard. Anything else (a delete landed,
+          // files removed, key overlap) re-runs the merge at the new head.
           val keyFree = (added: Seq[String]) => added.isEmpty || {
             spark.read.schema(physicalSchemaAt(spark, path, base))
               .parquet(added.map(f => dataDir(path).resolve(f).toString): _*)
@@ -4587,8 +4592,12 @@ object ManifestTable {
 
   final case class BranchCommit(files: Seq[String], ts: Long,
       commitId: Option[String])
+  /** `isSealed`: the ref is being consumed by fast-forward — the seal is
+    * itself a doc published at the next slot through the create-exclusive
+    * chain, so a racing [[appendBranch]] LOSES the slot and fails loudly
+    * instead of publishing a commit the ref removal would silently erase. */
   final case class BranchState(bid: Long, parent: Long,
-      commits: Seq[BranchCommit]) {
+      commits: Seq[BranchCommit], isSealed: Boolean = false) {
     def files: Seq[String] = commits.flatMap(_.files)
   }
 
@@ -4664,7 +4673,8 @@ object ManifestTable {
             (c \ "commitId").extractOpt[String])
         }
         case _ => Seq.empty
-      })
+      },
+      (j \ "sealed").extractOpt[Boolean].getOrElse(false))
   }
 
   private def branchHead(path: String, name: String): Option[BranchState] = {
@@ -4693,7 +4703,8 @@ object ManifestTable {
       s"""{"files":[${c.files.map(q).mkString(",")}],"ts":${c.ts},""" +
         s""""commitId":${c.commitId.map(q).getOrElse("null")}}"""
     }.mkString("[", ",", "]")
-    s"""{"bid":${b.bid},"parent":${b.parent},"commits":$commits}"""
+    s"""{"bid":${b.bid},"parent":${b.parent},"sealed":${b.isSealed},""" +
+      s""""commits":$commits}"""
   }
 
   /** Fork branch `name` from a main version (default: the current
@@ -4747,6 +4758,10 @@ object ManifestTable {
       val b = branchHead(path, name).get
       val replayed = replayOf(b)
       if (replayed.isDefined) return replayed.get
+      if (b.isSealed) throw new IllegalStateException(
+        s"branch '$name' at $path is sealed for fast-forward - " +
+          "its commits are being published to main; re-run this append " +
+          "against main (or a new branch) once the publish resolves")
       val c = BranchCommit(staged, System.currentTimeMillis(), commitId)
       val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
       try {
@@ -4814,26 +4829,69 @@ object ManifestTable {
     * replays to the same version via the file-set-fingerprint commit
     * id. Returns the published main version. */
   def fastForward(path: String, name: String): Long = {
-    val b = branches(path).getOrElse(name, throw new IllegalStateException(
+    var b = branches(path).getOrElse(name, throw new IllegalStateException(
       s"no branch '$name' at $path"))
+    require(b.commits.nonEmpty || b.isSealed,
+      s"branch '$name' has no commits to publish - DROP it instead")
+    def ffId(st: BranchState): String = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(st.files.sorted.mkString(",").getBytes("UTF-8"))
+        .take(8).map(x => f"$x%02x").mkString
+      s"branch:$name:$digest"
+    }
+    def landed(id: String): Option[Long] =
+      versions(path).map(manifestAt(path, _))
+        .find(_.commitId.contains(id)).map(_.version)
+    // crash replay FIRST (before strictness or sealing): a leftover ref —
+    // sealed by the new publish flow or unsealed from an older one —
+    // whose commit already landed resolves idempotently to that version
+    landed(ffId(b)).foreach { v => removeBranchRef(path, name); return v }
+    // strictness BEFORE the seal: a branch whose base main outran must
+    // refuse WITHOUT sealing, or the refusal would leave a ref that can
+    // neither append nor rebase. (A sealed ref skips this: it is either
+    // a crash replay — resolved below post-seal — or mid-publish.)
+    if (!b.isSealed) {
+      val head0 = latestVersion(path)
+      require(head0 == b.parent,
+        s"main moved since branch '$name' forked (v${b.parent} -> " +
+          s"v$head0): rebaseBranch + re-audit, or DROP the branch")
+    }
+    // SEAL before consuming: the ref is about to be snapshotted, committed
+    // to main, and deleted. An appendBranch racing that window would
+    // publish a doc slot our snapshot never saw and removeBranchRef would
+    // erase it — success returned, rows gone, staged files orphaned. The
+    // seal is a doc at the NEXT slot through the same create-exclusive
+    // chain, so the race is decided by the filesystem: either the appender
+    // wins the slot (we re-read and seal over its commit, including it in
+    // the publish) or we win and the appender fails loudly.
+    var attempts = 0
+    while (!b.isSealed) {
+      attempts += 1
+      require(attempts <= 64,
+        s"branch contention sealing '$name': gave up after $attempts attempts")
+      val ks = branchDocVersions(path, name)
+      require(ks.nonEmpty, s"no branch '$name' at $path - dropped mid-publish")
+      b = branchHead(path, name).get
+      if (!b.isSealed) {
+        val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
+        try { publish(doc, renderBranchDoc(b.copy(isSealed = true)))
+              b = b.copy(isSealed = true) }
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
     require(b.commits.nonEmpty,
       s"branch '$name' has no commits to publish - DROP it instead")
     val files = b.files
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(files.sorted.mkString(",").getBytes("UTF-8"))
-      .take(8).map(x => f"$x%02x").mkString
-    val id = s"branch:$name:$digest"
-    // crash replay: the commit landed but the ref survived
-    val already = versions(path).map(manifestAt(path, _))
-      .find(_.commitId.contains(id))
-    if (already.isDefined) {
-      removeBranchRef(path, name)
-      return already.get.version
-    }
+    val id = ffId(b)
+    // crash replay, post-seal state: the commit landed but the ref
+    // survived (the seal may have folded in commits the pre-seal check
+    // never saw, so the id is recomputed)
+    landed(id).foreach { v => removeBranchRef(path, name); return v }
     val head = latestVersion(path)
     require(head == b.parent,
       s"main moved since branch '$name' forked (v${b.parent} -> v$head): " +
         "rebaseBranch + re-audit, or DROP the branch")
+    beforePublishHook() // race-injection window: sealed, not yet committed
     val v = commit(path, files, replace = false, Some(id))
     removeBranchRef(path, name)
     v
@@ -4862,6 +4920,8 @@ object ManifestTable {
       val ks = branchDocVersions(path, name)
       require(ks.nonEmpty, s"no branch '$name' at $path")
       val b = branchHead(path, name).get
+      if (b.isSealed) throw new IllegalStateException(
+        s"branch '$name' at $path is sealed for fast-forward - cannot rebase")
       val head = latestVersion(path)
       val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
       try {

@@ -387,9 +387,13 @@ final case class RestWarehouse(
     // AFTER the origin applied it, a retried Spark task, a re-run job
     // with the same id) is origin-side deduplicable instead of
     // double-written. Unset, no header is sent (at-least-once, the
-    // reference's behavior). The key is stable across Spark task
-    // retries by construction: partition id and batch ordinal are
-    // functions of the data layout, not of the attempt. */
+    // reference's behavior). Partition id and batch ordinal are functions
+    // of the data layout, not of the attempt — but batch MEMBERSHIP also
+    // depends on row order within the partition, which Spark does not
+    // guarantee across task attempts after a shuffle. Setting pushId
+    // therefore forces a sortWithinPartitions over all columns before
+    // batching, making every attempt of a task produce the same batches
+    // under the same keys. */
     pushId: Option[String] = None) extends Warehouse {
 
   require(pageSize > 0 && maxParallelFetch > 0 && writeBatchSize > 0)
@@ -708,7 +712,15 @@ final case class RestWarehouse(
     val pid = pushId
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.toJSON.mapPartitions { rows =>
+    // pushId promises "same batch under the same key on every attempt";
+    // partition membership is hash-deterministic, but row ORDER after a
+    // shuffle fetch is not — pin it with a per-partition full-row sort so
+    // batch boundaries are a pure function of the data (cheap: no shuffle)
+    val src =
+      if (pid.isDefined)
+        df.sortWithinPartitions(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      else df
+    val counts = src.toJSON.mapPartitions { rows =>
       var hdrs = headers0
       val part = Option(org.apache.spark.TaskContext.get())
         .map(_.partitionId()).getOrElse(0)
@@ -746,12 +758,20 @@ final case class RestWarehouse(
         try { send(batch.mkString("[", ",", "]"), bkey); ok += batch.size }
         catch {
           // whole batch rejected: isolate — one record per request, so
-          // only the records the origin actually refuses are lost
-          case RestHttpError(code, _, _) if code != 401 && code / 100 == 4 =>
+          // only the records the origin actually refuses are lost.
+          // 429 is EXCLUDED: retry-exhausted throttling is not a verdict
+          // on the records, and the origin may already have APPLIED the
+          // batch (the lost-ack case pushId exists for). Re-sending each
+          // row under a fresh `-r<i>` key the origin never saw would
+          // double-apply; rethrowing lets Spark retry the whole task,
+          // which resends the SAME batch key the origin can dedupe.
+          case RestHttpError(code, _, _)
+              if code != 401 && code != 429 && code / 100 == 4 =>
             batch.zipWithIndex.foreach { case (r, i) =>
               try { send(s"[$r]", bkey.map(k => s"$k-r$i")); ok += 1 }
               catch {
-                case RestHttpError(c, _, _) if c != 401 && c / 100 == 4 =>
+                case RestHttpError(c, _, _)
+                    if c != 401 && c != 429 && c / 100 == 4 =>
                   bad += 1
               }
             }

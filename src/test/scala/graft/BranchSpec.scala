@@ -185,6 +185,34 @@ class BranchSpec extends SparkSpecBase {
     assert(ManifestTable.branches(path)("hot").commits.size == 5)
   }
 
+  test("an appendBranch racing fast-forward fails LOUDLY on the seal - " +
+      "never silently erased by the ref removal") {
+    val path = freshTable()
+    ManifestTable.createBranch(path, "pub")
+    ManifestTable.appendBranch(batch(100, 110), path, "pub")
+    // the hook fires inside fastForward's main commit — i.e. AFTER the
+    // seal doc landed and BEFORE removeBranchRef: exactly the window
+    // where an un-sealed design would accept the append and then erase it
+    @volatile var raced: Option[Throwable] = None
+    @volatile var fired = false
+    ManifestTable.beforePublishHook = () => {
+      if (!fired) {
+        fired = true
+        raced = Some(intercept[IllegalStateException] {
+          ManifestTable.appendBranch(batch(110, 120), path, "pub")
+        })
+      }
+    }
+    try {
+      ManifestTable.fastForward(path, "pub")
+    } finally ManifestTable.beforePublishHook = () => ()
+    assert(raced.exists(_.getMessage.contains("sealed")),
+      s"racing append must refuse on the seal, got: $raced")
+    assert(ManifestTable.read(spark, path).count() == 110,
+      "exactly the sealed chain publishes - no more, no less")
+    assert(ManifestTable.branches(path).isEmpty, "the ref is consumed")
+  }
+
   test("branch names cannot shadow tags; numeric names refuse; a branch " +
       "with no commits drops but does not fast-forward") {
     val path = freshTable()
