@@ -4065,6 +4065,110 @@ object SparkEntry {
           sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    "q187_metadata_conflict" -> ((s, dir) => {
+      // METADATA-COMMIT CONFLICT SCOPES — the nightly constraint/
+      // maintenance pass races the ingest cadence on every real table;
+      // neither side may serialize the other. Three injected races on
+      // one table:
+      //  (A) ADD CONSTRAINT lands FIRST, mid-backfill: the backfill's
+      //      staged files are proven against the NEW contract with one
+      //      O(staged) scan and rebase metadata-only (zero re-staged
+      //      bytes — gated by file-set capture); DESCRIBE HISTORY's
+      //      rebased_from names the staged-against version.
+      //  (B) ADD CONSTRAINT loses its claim to a racing append: the
+      //      retry re-validates ONLY the append's delta files, not the
+      //      table — both land, no re-run.
+      //  (C) the loud leg: an append whose staged rows satisfy the live
+      //      contract but violate one landing mid-commit REFUSES at the
+      //      claim (the table never asserts an invariant its rows were
+      //      not checked against).
+      // Final rollup under the oracle.
+      import graft.sources.ManifestTable
+      // defensive: a prior failed gate must never leave the race armed
+      ManifestTable.beforePublishHook = () => ()
+      val wh = java.nio.file.Files.createTempDirectory("graft-q187-").toString
+      val path = s"$wh/t"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("double").as("price"))
+      ManifestTable.append(orders.where(year(col("day")) =!= 1996)
+        .repartitionByRange(8, col("day")), path)
+      ManifestTable.append(orders.where(year(col("day")) === 1996)
+        .repartitionByRange(4, col("day")), path)
+      val v0 = ManifestTable.latestVersion(path)
+      def arm(body: => Unit): Unit = {
+        ManifestTable.beforePublishHook = () => {
+          ManifestTable.beforePublishHook = () => () // one-shot
+          body
+        }
+      }
+      def listing() = scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(path, "data"))) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString).toSet
+      }
+      // (A) backfill 1996 (price*2) vs ADD CONSTRAINT — constraint wins
+      val scope96 = col("day") >= java.sql.Date.valueOf("1996-01-01") &&
+        col("day") <= java.sql.Date.valueOf("1996-12-31")
+      var captured = Set.empty[String]
+      ManifestTable.beforePublishHook = () => {
+        ManifestTable.beforePublishHook = () => ()
+        captured = listing() // base + the backfill's staged files
+        ManifestTable.setConstraints(s, path, Seq("price >= 0"))
+      }
+      ManifestTable.replaceWhere(s, path, scope96,
+        orders.where(year(col("day")) === 1996)
+          .withColumn("price", col("price") * 2))
+      require(ManifestTable.latestVersion(path) == v0 + 2,
+        "constraint commit + rebased backfill must both land")
+      require(ManifestTable.constraints(path) == Seq("price >= 0"),
+        "the rebased rewrite must adopt the winner's contract")
+      val winnerM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+      val finalA = ManifestTable.snapshotAt(path, None).get
+      val loserAdded = finalA.files.toSet -- winnerM.files.toSet
+      require(loserAdded.nonEmpty && loserAdded.forall(captured.contains),
+        "rebase across contract drift must reuse staged files: " +
+          s"${(loserAdded -- captured).size} fresh files found")
+      val hist = ManifestTable.history(s, path)
+      require(hist.where(col("version") === v0 + 2)
+          .select("rebased_from").head().getLong(0) == v0,
+        "DESCRIBE HISTORY must name the version the rebase staged against")
+      require(hist.where(col("version") === v0 + 1)
+          .select("rebased_from").head().isNullAt(0),
+        "non-rebased commits carry no rebased_from")
+      // (B) ADD CONSTRAINT k-cap vs a racing append (rows satisfy both)
+      val extra97 = orders.where(year(col("day")) === 1997)
+        .select((col("k") + 20000000L).as("k"), col("day"), col("price"))
+      arm { ManifestTable.append(extra97.coalesce(2), path) }
+      ManifestTable.setConstraints(s, path, Seq("price >= 0", "k < 90000000"))
+      require(ManifestTable.latestVersion(path) == v0 + 4,
+        "racing append + delta-revalidated constraint must both land")
+      require(ManifestTable.constraints(path) ==
+        Seq("price >= 0", "k < 90000000"), "the stricter contract holds")
+      // (C) an append violating the contract that lands mid-commit refuses
+      val bad = orders.where(year(col("day")) === 1997).limit(50)
+        .select((col("k") + 40000000L).as("k"), col("day"), col("price"))
+      arm { ManifestTable.setConstraints(s, path,
+        Seq("price >= 0", "k < 30000000")) }
+      val refused =
+        try { ManifestTable.append(bad, path); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("do not satisfy the new contract") }
+      require(refused,
+        "an append racing a contract its rows violate must refuse loudly")
+      require(ManifestTable.latestVersion(path) == v0 + 5,
+        "the refused append must land nothing")
+      require(ManifestTable.read(s, path)
+          .where(col("k") >= 30000000L).count() == 0,
+        "no row above the k-cap may exist after the refusal")
+      // the combined truth of every landed writer under the oracle
+      ManifestTable.read(s, path)
+        .groupBy(year(col("day")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     "q183_concurrent_backfill" -> ((s, dir) => {
       // LOGICAL COMMIT-CONFLICT RULES — two writers, one table, zero
       // wasted bytes: session A backfills 1996 while session B's
@@ -4133,6 +4237,90 @@ object SparkEntry {
       // the year-level truth of both corrections under the oracle
       ManifestTable.read(s, path)
         .groupBy(year(col("day")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    "q188_branch_doors" -> ((s, dir) => {
+      // BRANCH WRITE/READ DOORS beyond the session conf:
+      //  - `df.writeTo(t).option("branch", name)` routes ONE write to
+      //    the ref (scoped to the write, not ambient session state;
+      //    naming a DIFFERENT ref in option and conf refuses);
+      //  - `TIMESTAMP AS OF` under `spark.graft.branch` resolves on the
+      //    BRANCH's own commit clock — wall-clock time travel for ref
+      //    consumers (main-chain resolution untouched with the conf
+      //    off); readBranchAsOf is the API twin;
+      //  - fast-forward unchanged by either door.
+      // Published rollup under the oracle.
+      import graft.sources.ManifestTable
+      ManifestTable.beforePublishHook = () => ()
+      val wh = java.nio.file.Files.createTempDirectory("graft-q188-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.bt (k BIGINT, status STRING, price DOUBLE)")
+      val path = s"$wh/bt"
+      val orders = Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("price"))
+      def slice(st: String) = orders.where(col("status") === st)
+      val (nF, nO, nP) = (slice("F").count(), slice("O").count(),
+        slice("P").count())
+      ManifestTable.append(slice("F"), path) // main = the F slice
+      ManifestTable.createBranch(path, "audit")
+      // three ref commits through the per-write door; wall-clock marks
+      // BETWEEN commits drive the branch-clock reads below
+      slice("O").writeTo("graft.bt").option("branch", "audit").append()
+      Thread.sleep(15)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(15)
+      slice("P").writeTo("graft.bt").option("branch", "audit").append()
+      Thread.sleep(15)
+      val t2 = System.currentTimeMillis()
+      Thread.sleep(15)
+      val corr = slice("F").where(col("price") > 150000.0)
+        .select((col("k") + 10000000L).as("k"), col("status"), col("price"))
+      val nC = corr.count()
+      corr.writeTo("graft.bt").option("branch", "audit").append()
+      require(ManifestTable.read(s2, path).count() == nF,
+        "main must keep the fork-point table through per-write commits")
+      require(ManifestTable.branches(path)("audit").commits.size == 3,
+        "all three writeTo commits must land on the ref")
+      // conflicting doors refuse: option names one ref, conf another
+      s2.conf.set("spark.graft.branch", "other")
+      val conflicted =
+        try { slice("P").limit(1).writeTo("graft.bt")
+                .option("branch", "audit").append(); false }
+        catch { case e: Throwable =>
+          String.valueOf(e.getMessage).contains("conflicts") ||
+            Option(e.getCause).exists(c =>
+              String.valueOf(c.getMessage).contains("conflicts")) }
+      require(conflicted, "option-vs-conf branch mismatch must refuse")
+      // branch-clock TIMESTAMP AS OF under the session conf
+      s2.conf.set("spark.graft.branch", "audit")
+      def tsLit(t: Long) = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(t))
+      def countAsOf(t: Long) = s2.sql(
+        s"SELECT count(*) FROM graft.bt TIMESTAMP AS OF '${tsLit(t)}'")
+        .head().getLong(0)
+      require(countAsOf(t1) == nF + nO,
+        "AS OF t1 on the branch clock = fork point + commit 1")
+      require(countAsOf(t2) == nF + nO + nP,
+        "AS OF t2 on the branch clock = fork point + commits 1-2")
+      require(ManifestTable.readBranchAsOf(s2, path, "audit", t2).count()
+        == nF + nO + nP, "the API twin resolves the same instant")
+      s2.conf.unset("spark.graft.branch")
+      require(countAsOf(t2) == nF,
+        "conf off: the same instant resolves on MAIN's chain (untouched)")
+      // the doors change routing, never the publish: fast-forward intact
+      val v = ManifestTable.fastForward(path, "audit")
+      require(ManifestTable.latestVersion(path) == v &&
+        ManifestTable.branches(path).isEmpty, "ref consumed by publish")
+      ManifestTable.read(s2, path)
+        .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),
           sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
@@ -11230,6 +11418,24 @@ object SparkEntry {
                                    UNION ALL SELECT 6) t
            WHERE o_orderkey % 4 = 0
          ) GROUP BY 1""",
+    // q187: the year rollup after every landed writer — the 1996
+    // correction (rebased across the constraint), the 1997 shadow
+    // append (landed against the delta-revalidated constraint); the
+    // refused append and all three races invisible to the truth
+    "q187_metadata_conflict" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT o_orderdate,
+                  CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                       THEN CAST(o_totalprice AS DOUBLE) * 2
+                       ELSE CAST(o_totalprice AS DOUBLE) END AS price
+           FROM orders
+           UNION ALL
+           SELECT o_orderdate, CAST(o_totalprice AS DOUBLE) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+         ) GROUP BY 1""",
     // q183: both interleaved backfills' corrections, by year — the
     // conflict, the rebase and the file reuse must all be invisible
     // to the relational truth
@@ -11244,6 +11450,19 @@ object SparkEntry {
                     ELSE CAST(o_totalprice AS DOUBLE) END
                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q188: the published table = the F slice (fork point) + O + P +
+    // the high-value-F correction batch; both doors and the branch-clock
+    // reads must be invisible to the relational truth
+    "q188_branch_doors" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4)))
+             AS DOUBLE) AS revenue
+         FROM (
+           SELECT o_orderstatus, o_totalprice FROM orders
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderstatus = 'F' AND CAST(o_totalprice AS DOUBLE) > 150000
+         ) GROUP BY 1""",
     // q184: the fast-forwarded table is simply all of orders — the
     // branch lifecycle must be invisible to the published rollup
     "q184_branch_backfill" ->

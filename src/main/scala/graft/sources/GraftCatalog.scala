@@ -176,7 +176,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = tableDir(ident).toString
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    loadAt(ident, Some(ManifestTable.versionAt(path, timestampMicros / 1000L)))
+    // BRANCH session door, read side: with `spark.graft.branch` set,
+    // `TIMESTAMP AS OF` resolves on the BRANCH's own commit clock (the
+    // parent snapshot plus every branch commit at or before the instant)
+    // — wall-clock time travel for ref consumers, not just version
+    // ordinals. Main-chain resolution is untouched when the conf is off.
+    val branch = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.branch").map(_.trim).filter(_.nonEmpty)
+    val v = branch match {
+      case Some(b) =>
+        ManifestTable.resolveBranchAsOf(path, b, timestampMicros / 1000L)
+      case None => ManifestTable.versionAt(path, timestampMicros / 1000L)
+    }
+    loadAt(ident, Some(v))
   }
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
@@ -1148,7 +1160,13 @@ class GraftSqlTable(val ident: String, val path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshot.isEmpty,
       s"cannot write to a time-travel snapshot of $ident (VERSION AS OF ${snapshot.get})")
-    new GraftWriteBuilder(path, info.schema(), info.queryId(), partCols)
+    // per-write branch routing (`df.writeTo(t).option("branch", name)`):
+    // scoped to THIS write where the session conf is scoped to the
+    // session — the safer door when one job writes main and a ref
+    val branchOpt = Option(info.options.get("branch"))
+      .map(_.trim).filter(_.nonEmpty)
+    new GraftWriteBuilder(path, info.schema(), info.queryId(), partCols,
+      branchOpt)
   }
 
   // `DELETE FROM <t> WHERE <cond>` → the copy-on-write rewrite commit
@@ -1649,7 +1667,8 @@ class GraftSqlRelation(ctx: SQLContext, path: String, version: Option[Long],
 }
 
 class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    branchOpt: Option[String] = None)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var replace = false
@@ -1712,12 +1731,20 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
           // OVERWRITE under a wap id refuses rather than half-isolating
           val wapId = data.sparkSession.conf.getOption("spark.graft.wap.id")
             .map(_.trim).filter(_.nonEmpty)
-          // BRANCH session door (Iceberg's write-to-branch): with
-          // `spark.graft.branch` set, INSERT INTO appends to the named
-          // branch ref — main's readers keep the fork-point table until
-          // `ALTER TABLE … FAST FORWARD BRANCH`. Append-shaped like WAP.
-          val branch = data.sparkSession.conf.getOption("spark.graft.branch")
-            .map(_.trim).filter(_.nonEmpty)
+          // BRANCH doors (Iceberg's write-to-branch): the per-write
+          // `writeTo(t).option("branch", name)` wins over the session
+          // conf `spark.graft.branch` (a write that NAMES its ref is
+          // more specific than ambient session state; naming BOTH with
+          // different refs is a caller bug and refuses). Either way,
+          // the write appends to the ref — main's readers keep the
+          // fork-point table until `ALTER TABLE … FAST FORWARD BRANCH`.
+          val confBranch = data.sparkSession.conf
+            .getOption("spark.graft.branch").map(_.trim).filter(_.nonEmpty)
+          require(branchOpt.isEmpty || confBranch.isEmpty ||
+              branchOpt == confBranch,
+            s"write option branch=${branchOpt.get} conflicts with session " +
+              s"conf spark.graft.branch=${confBranch.get}")
+          val branch = branchOpt.orElse(confBranch)
           require(wapId.isEmpty || branch.isEmpty,
             "spark.graft.wap.id and spark.graft.branch are both set - " +
               "one isolation door at a time")

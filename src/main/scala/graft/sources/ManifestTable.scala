@@ -158,7 +158,13 @@ object ManifestTable {
       // constraints/mergeKeys.
       renames: Map[String, String] = Map.empty,
       droppedCols: Seq[String] = Seq.empty,
-      bytes: Map[String, Long] = Map.empty)
+      bytes: Map[String, Long] = Map.empty,
+      // CONFLICT-REBASE observability: when this commit landed by
+      // adopting already-staged work onto a moved head (a lost optimistic
+      // claim resolved metadata-only), the version the work was staged
+      // against. DESCRIBE HISTORY surfaces it so a 100 TB operator can
+      // audit table contention; None = landed first try or re-ran.
+      rebasedFrom: Option[Long] = None)
 
   private def q(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -282,7 +288,8 @@ object ManifestTable {
     }
   }
 
-  private def render(path: String, m0r: Manifest): String = {
+  private def render(path: String, m0r: Manifest): String =
+      CommitProfile.timed("render") {
     // record any missing per-file byte size HERE, once, at commit
     // render: the only point every referenced file is guaranteed local
     // and every commit path flows through. One stat per NEWLY-staged
@@ -367,6 +374,7 @@ object ManifestTable {
       s""""renames":{${m.renames.toSeq.sortBy(_._1).map { case (l, p) =>
         q(l) + ":" + q(p) }.mkString(",")}},""" +
       s""""dropped_cols":[${m.droppedCols.map(q).mkString(",")}],""" +
+      m.rebasedFrom.map(v => s""""rebased_from":$v,""").getOrElse("") +
       s""""merge_keys":[${m.mergeKeys.map(q).mkString(",")}]}"""
   }
 
@@ -476,7 +484,8 @@ object ManifestTable {
       bytes = (j \ "bytes") match {
         case JObject(fs) => fs.collect { case (f, JInt(n)) => f -> n.toLong }.toMap
         case _ => Map.empty[String, Long]
-      })
+      },
+      rebasedFrom = (j \ "rebased_from").extractOpt[Long])
     // segmented file lists: resolve referenced segments (immutable,
     // id-cached) and merge their live entries BEFORE the inline tail —
     // absent in pre-segment manifests, which parse exactly as before
@@ -549,15 +558,25 @@ object ManifestTable {
 
   private def manifestAt(path: String, version: Long): Manifest =
     // ids past BranchIdBase are branch snapshots, synthesized from the
-    // branch ledger (never files in the linear chain — see BRANCH REFS)
-    if (version >= BranchIdBase) branchManifest(path, version)
+    // branch ledger (never files in the linear chain — see BRANCH REFS);
+    // NEGATIVE ids below BranchAsOfBase are session-local branch-as-of
+    // snapshots (branch bids occupy [BranchIdBase, BranchIdBase + 2^62),
+    // so the disjoint namespace is the negatives)
+    if (version <= BranchAsOfBase)
+      Option(asOfRegistry.get(version)).getOrElse(
+        throw new IllegalStateException(
+          s"branch-as-of snapshot $version expired (session-local id)"))
+    else if (version >= BranchIdBase) branchManifest(path, version)
     else parse(manifestDir(path).resolve(f"v$version%08d.json"))
 
   /** Cache key for per-manifest derived state (schemas): a branch
     * snapshot's identity is its DOC's size+mtime (the doc changes with
     * every branch commit); a chain version's is its manifest file's. */
   private def manifestCacheKey(path: String, m: Manifest): String =
-    if (m.version >= BranchIdBase)
+    // branch-as-of ids are session-local and never reused: the id alone
+    // identifies the synthesized state
+    if (m.version <= BranchAsOfBase) s"branch-asof:$path:${m.version}"
+    else if (m.version >= BranchIdBase)
       branches(path).find(_._2.bid == m.version)
         .map(e => cacheKey(branchDocPath(path, e._1)))
         // bids derive from the branch NAME alone, so the fallback must
@@ -1341,22 +1360,32 @@ object ManifestTable {
       gens: Seq[(String, String)]): Long = {
     require(latest(path).isDefined, s"no table at $path")
     var attempts = 0
+    // full reconciled validation once; a lost race re-proves ONLY the
+    // files added since (the setConstraints delta economy — see there)
     var validatedVersion = -1L
+    var validatedFiles = Set.empty[String]
     while (attempts < 64) {
       attempts += 1
       val base = latest(path).get
       if (gens.nonEmpty && base.version != validatedVersion) {
-        val df = read(spark, path, Some(base.version))
-        gens.foreach { case (c, _) =>
-          require(df.columns.contains(c),
-            s"generated column '$c' does not exist in the table — " +
-              "declare it over a table that already carries the column") }
-        applyGenerated(df, gens).count() // fail-fast mismatch scan
+        val delta = base.files.filterNot(validatedFiles)
+        if (validatedVersion < 0 ||
+            !filesSatisfy(spark, path, delta, Seq.empty, gens,
+              base.renames, base.droppedCols)) {
+          val df = read(spark, path, Some(base.version))
+          gens.foreach { case (c, _) =>
+            require(df.columns.contains(c),
+              s"generated column '$c' does not exist in the table — " +
+                "declare it over a table that already carries the column") }
+          applyGenerated(df, gens).count() // fail-fast mismatch scan
+        }
         validatedVersion = base.version
+        validatedFiles = base.files.toSet
       }
       val m = base.copy(version = base.version + 1, parent = base.version,
         commitId = None, generated = gens, commitTs = None)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
+      beforePublishHook() // race-injection seam (specs/gates; no-op live)
       try { publish(target, render(path, m)); return m.version }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
@@ -1372,14 +1401,26 @@ object ManifestTable {
     // commit lands on: a lost publish race means a concurrent write
     // slipped in between, and its rows must be scanned too — otherwise
     // the table would assert an invariant its data was never checked
-    // against (the ALTER TABLE ADD CONSTRAINT race)
+    // against (the ALTER TABLE ADD CONSTRAINT race). The FIRST pass is
+    // a full reconciled-table scan; a lost race re-validates ONLY the
+    // files added since (deletes can't introduce violations), so a
+    // nightly constraint pass racing the ingest cadence costs O(delta)
+    // per retry, not O(table) — the metadata×data conflict scope. A
+    // raw delta file may carry MoR-hidden rows, so a delta refusal
+    // falls back to the exact reconciled scan before giving up.
     var validatedVersion = -1L
+    var validatedFiles = Set.empty[String]
     while (attempts < 64) {
       attempts += 1
       val base = latest(path).get
       if (cons.nonEmpty && base.version != validatedVersion) {
-        enforceConstraints(read(spark, path, Some(base.version)), cons).count()
+        val delta = base.files.filterNot(validatedFiles)
+        if (validatedVersion < 0 ||
+            !filesSatisfy(spark, path, delta, cons, Seq.empty,
+              base.renames, base.droppedCols))
+          enforceConstraints(read(spark, path, Some(base.version)), cons).count()
         validatedVersion = base.version
+        validatedFiles = base.files.toSet
       }
       // commitTs = None: render() stamps THIS commit's wall time — copying
       // the parent's would misdate the constraints commit for
@@ -1387,6 +1428,7 @@ object ManifestTable {
       val m = base.copy(version = base.version + 1, parent = base.version,
         commitId = None, constraints = cons, commitTs = None)
       val target = manifestDir(path).resolve(f"v${m.version}%08d.json")
+      beforePublishHook() // race-injection seam (specs/gates; no-op live)
       try { publish(target, render(path, m)); return m.version }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
@@ -1561,47 +1603,14 @@ object ManifestTable {
       case _ => df
     }
 
-  /** Run `body` with the session writing parquet timestamps as INT64
-    * MICROS — graft's storage FORM for timestamps (see
-    * [[org.apache.spark.sql.graft.ParquetRowWriter.open]], which pins
-    * the same form on the task-writer paths): INT96 carries no ordered
-    * footer statistics, so time-window predicates over an INT96 table
-    * could never skip a file. Set-and-restore rather than a session
-    * builder conf so USER sessions writing through the catalog get the
-    * invariant too; staging runs driver-side, so the window is scoped
-    * to this write. */
-  private val microsPins =
-    new java.util.HashMap[SparkSession, (Int, Option[String])]()
+  // (Timestamps store as INT64 MICROS — graft's storage form, pinned by
+  // [[org.apache.spark.sql.graft.ParquetRowWriter.open]] on EVERY write
+  // path now that staging is committer-free: INT96 carries no ordered
+  // footer statistics, so time-window predicates over an INT96 table
+  // could never skip a file.)
 
-  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    // REFERENCE-COUNTED pin, not naive set-and-restore: one session can
-    // run CONCURRENT graft writes (a streaming sink's micro-batch
-    // commits while a foreground write stages), and interleaved
-    // restores would capture the pinned value as "previous" and leave
-    // the session conf permanently switched. The first pin captures the
-    // caller's value; the last unpin restores it; overlapping writes
-    // all want MICROS anyway.
-    microsPins.synchronized {
-      val cur = Option(microsPins.get(spark))
-      val orig = cur.map(_._2).getOrElse(spark.conf.getOption(key))
-      microsPins.put(spark, (cur.map(_._1).getOrElse(0) + 1, orig))
-      spark.conf.set(key, "TIMESTAMP_MICROS")
-    }
-    try body
-    finally microsPins.synchronized {
-      val (n, orig) = microsPins.get(spark)
-      if (n == 1) {
-        microsPins.remove(spark)
-        orig match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-      } else microsPins.put(spark, (n - 1, orig))
-    }
-  }
-
-  private def stage(df: DataFrame, path: String): Seq[String] = {
+  private def stage(df: DataFrame, path: String): Seq[String] =
+      CommitProfile.timed("stage") {
     Files.createDirectories(dataDir(path))
     val processed = toPhysical(enforceConstraints(
       applyGenerated(df, generatedColumns(path)), constraints(path)), path)
@@ -1637,27 +1646,34 @@ object ManifestTable {
         catch { case e: Throwable => w.abort(); throw e }
       }.collect().toSeq.sorted
     }
-    val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    val stageWriter = processed.write
-    GraftCatalog.readDeclaredCompression(Paths.get(path))
-      .foreach(c => stageWriter.option("compression", c))
-    withMicrosTimestamps(processed.sparkSession) {
-      stageWriter.parquet(staging.toString)
-    }
-    val parts = Using.resource(Files.list(staging)) { st =>
-      st.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
-    }
-    val named = parts.map { p =>
+    // committer-free staging (the partitioned/bucketed paths' rolling
+    // task writer, with no roll key): each non-empty task streams its
+    // rows straight to ONE UUID-named file in the data dir — invisible
+    // until the manifest commit references it, a failed task deletes its
+    // own files. This replaces the DataFrameWriter round trip (staging
+    // dir + Hadoop committer + _SUCCESS + per-file ATOMIC_MOVE), which
+    // profiled as the single largest term of the local commit floor
+    // (~0.3 s/action — see CommitFloorSpec); ParquetRowWriter pins the
+    // same TIMESTAMP_MICROS format invariant the old path set via
+    // session conf.
+    val dd = dataDir(path).toAbsolutePath.toString
+    val schema = processed.schema
+    val codec = GraftCatalog.readDeclaredCompression(Paths.get(path))
+    val staged = processed.queryExecution.toRdd.mapPartitions { rows =>
+      val w = new GraftAppendTaskWriter(dd, schema, Seq.empty, None, codec)
+      try { rows.foreach(w.write); val fs = w.files; w.close(); fs.iterator }
+      catch { case e: Throwable => w.abort(); throw e }
+    }.collect().toSeq.sorted
+    if (staged.nonEmpty) staged
+    else {
+      // an EMPTY frame still stages ONE zero-row file (the old
+      // DataFrameWriter contract): the table's schema lives in parquet
+      // footers, so a TRUNCATE/empty-overwrite version must name a file
       val name = s"${UUID.randomUUID()}.parquet"
-      Files.move(p, dataDir(path).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      name
+      org.apache.spark.sql.graft.ParquetRowWriter
+        .open(s"$dd/$name", schema, codec).close()
+      Seq(name)
     }
-    Using.resource(Files.walk(staging)) { st =>
-      st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-    named
   }
 
   /** Bucket-layout staging: shuffle rows by bucket id, sort within
@@ -1740,7 +1756,8 @@ object ManifestTable {
     * open is a ranged GET), and separate stats/rows passes doubled the
     * opens. KB-scale reads, driver-side, ~#cores concurrent. */
   private def footerHarvest(path: String, files: Seq[String])
-      : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
+      : (Map[String, Map[String, ColStats]], Map[String, Long]) =
+      CommitProfile.timed("footerHarvest") {
     val harvested: Seq[(String, Map[String, ColStats], Long)] =
       if (files.lengthCompare(2) < 0) files.map(n => harvestOne(path, n))
       else {
@@ -1938,7 +1955,33 @@ object ManifestTable {
     * on POSIX silently REPLACES an existing target and lets two racing
     * committers both "win" the same version. Readers tolerate the
     * claim-to-content window via the empty-manifest retry in [[parse]]. */
-  private def publish(target: Path, content: String): Unit = {
+  // ── COMMIT-FLOOR PROFILING ──────────────────────────────────────────
+  // Per-phase wall-clock accounting for the transactional write path —
+  // the observability behind "where does the ~1 s/commit go locally?".
+  // Always on: one ConcurrentHashMap update per phase per commit
+  // (nanoseconds against a floor measured in hundreds of milliseconds).
+  private[graft] object CommitProfile {
+    import java.util.concurrent.atomic.AtomicLong
+    private val cells = new java.util.concurrent.ConcurrentHashMap[
+      String, (AtomicLong, AtomicLong)]()
+    def timed[A](phase: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      try body finally {
+        val c = cells.computeIfAbsent(phase,
+          _ => (new AtomicLong, new AtomicLong))
+        c._1.incrementAndGet()
+        c._2.addAndGet(System.nanoTime() - t0)
+      }
+    }
+    /** phase → (calls, total seconds). */
+    def snapshot: Map[String, (Long, Double)] =
+      cells.asScala.map { case (k, (n, ns)) =>
+        k -> ((n.get, ns.get / 1e9)) }.toMap
+    def reset(): Unit = cells.clear()
+  }
+
+  private def publish(target: Path, content: String): Unit =
+      CommitProfile.timed("publish") {
     val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}.json")
     Files.writeString(tmp, content)
     try Files.createLink(target, tmp)
@@ -2011,13 +2054,39 @@ object ManifestTable {
   private def commit(path: String, newFiles: Seq[String], replace: Boolean,
       commitId: Option[String],
       appTxn: Option[(String, Long)] = None,
-      resetMapping: Boolean = false): Long = {
+      resetMapping: Boolean = false,
+      // the manifest the caller's staging validated against: when the
+      // head this commit lands on carries a DIFFERENT contract
+      // (constraints/generated — a metadata commit raced us), the staged
+      // files re-validate against the head's contract before adoption.
+      // Without this, an append racing ADD CONSTRAINT could land rows
+      // the table's invariant never checked. None = caller has no
+      // staged-validation context (legacy/metadata-only paths).
+      stagedUnder: Option[Manifest] = None): Long =
+      CommitProfile.timed("commit") {
     Files.createDirectories(manifestDir(path))
     val (newStats, newRows) = footerHarvest(path, newFiles)
     var attempts = 0
+    var proven = Set.empty[(Seq[String], Seq[(String, String)])]
     while (attempts < 64) {
       attempts += 1
       val cur = latest(path)
+      for {
+        su <- stagedUnder
+        c <- cur
+        if newFiles.nonEmpty &&
+          (c.constraints != su.constraints || c.generated != su.generated) &&
+          !proven((c.constraints, c.generated))
+        spark <- SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+      } {
+        require(filesSatisfy(spark, path, newFiles, c.constraints,
+            c.generated, c.renames, c.droppedCols),
+          s"a constraint/generated-column commit landed at $path while " +
+            "this write was staging, and the staged rows do not satisfy " +
+            "the new contract " + c.constraints.mkString("[", "; ", "]"))
+        proven += ((c.constraints, c.generated))
+      }
       // O(1) idempotent replay for transactional writers: the latest
       // manifest's txn ledger answers from ONE read (the commit-id scan
       // below is O(versions) — fine for one-shot jobs, not for a
@@ -2030,13 +2099,16 @@ object ManifestTable {
       if (txnReplayed.isDefined) return txnReplayed.get
       // idempotent replay: an already-landed commit id wins immediately
       // (skipped when the txn ledger owns replay protection)
-      val replayed = if (appTxn.isDefined) None else commitId.flatMap(id =>
-        versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
+      val replayed = CommitProfile.timed("replayScan") {
+        if (appTxn.isDefined) None else commitId.flatMap(id =>
+          versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
+      }
       if (replayed.isDefined) return replayed.get.version
       val next = cur.map(_.version + 1).getOrElse(1L)
       val m = buildNext(path, cur, next, newFiles, replace, commitId,
         newStats, newRows, appTxn, resetMapping)
       val target = manifestDir(path).resolve(f"v$next%08d.json")
+      beforePublishHook() // race-injection seam (specs/gates; no-op live)
       try {
         // publish is the optimistic lock: exactly one writer can link
         // v<next>; losers re-read latest and retry on top
@@ -2058,7 +2130,9 @@ object ManifestTable {
     if (appTxn.isEmpty && commitId.exists(id =>
         versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
       return commit(path, Seq.empty, replace = false, commitId) // replay fast-path
-    commit(path, stage(df, path), replace = false, commitId, appTxn)
+    val under = latest(path) // contract the in-scan staging validates against
+    commit(path, stage(df, path), replace = false, commitId, appTxn,
+      stagedUnder = under)
   }
 
   /** Overwrite-commit: new version = exactly df's files. */
@@ -2070,7 +2144,9 @@ object ManifestTable {
     if (appTxn.isEmpty && commitId.exists(id =>
         versions(path).map(manifestAt(path, _)).exists(_.commitId.contains(id))))
       return commit(path, Seq.empty, replace = true, commitId)
-    commit(path, stage(df, path), replace = true, commitId, appTxn)
+    val under = latest(path)
+    commit(path, stage(df, path), replace = true, commitId, appTxn,
+      stagedUnder = under)
   }
 
   /** O(1) per-commit replay answer from the latest manifest's txn
@@ -2384,7 +2460,7 @@ object ManifestTable {
         // its files carry, ours adopt, zero bytes re-staged. The
         // folded-away ledger stays sound: winner-added files' seqs
         // exceed every base delete's. Overlapping winners re-plan.
-        rebasePublish(path, base, base.files.toSet, staged,
+        rebasePublish(spark, path, base, base.files.toSet, staged,
             stagedStats, stagedRows, Some(s"compact-of-v${base.version}"),
             dataChange = false, Seq.empty, Map.empty, _ => true)
           .map(v => Some(v)).getOrElse {
@@ -2504,7 +2580,7 @@ object ManifestTable {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // disjoint-winner rebase: scope = the rewritten file subset
-        rebasePublish(path, base, scope.toSet, staged, stagedStats,
+        rebasePublish(spark, path, base, scope.toSet, staged, stagedStats,
             stagedRows, Some(s"compact-where-of-v${base.version}"),
             dataChange = false, base.deletes, base.deleteStats, _ => true)
           .map(v => Some(v)).getOrElse(None)
@@ -2587,7 +2663,7 @@ object ManifestTable {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // disjoint-winner rebase: scope = the folded file subset
-        rebasePublish(path, base, toFold.toSet, staged, stagedStats,
+        rebasePublish(spark, path, base, toFold.toSet, staged, stagedStats,
             stagedRows, Some(s"compact-incr-of-v${base.version}"),
             dataChange = false, base.deletes, base.deleteStats, _ => true)
           .map(v => Some(v)).getOrElse(None)
@@ -2805,18 +2881,55 @@ object ManifestTable {
 
   /** All scope checks except the predicate-delta scan (which only
     * predicate-scoped rewrites need). `inputs` = files the rewrite
-    * consumed at `base`. */
+    * consumed at `base`.
+    *
+    * METADATA drift is no longer an automatic refusal: constraint and
+    * generated-column changes are commutative with a disjoint data
+    * rewrite PROVIDED the staged files satisfy the head's contract —
+    * [[rebasePublish]] proves that with one O(staged) scan
+    * ([[filesSatisfy]]). Column-mapping drift (renames/droppedCols) is
+    * commutative unconditionally: physical names are frozen at birth,
+    * so files staged under the base's mapping carry exactly the
+    * physical schema the head's mapping resolves against. What still
+    * refuses here: the MoR delete ledger moved (our fresh seqs would
+    * fold the winner's delete away) or the merge keys changed. */
   private def rebaseSafe(base: Manifest, head: Manifest,
       inputs: Set[String]): Boolean = {
     val headFiles = head.files.toSet
     inputs.forall(headFiles) &&
       head.deletes == base.deletes &&
       head.deleteStats == base.deleteStats &&
-      head.constraints == base.constraints &&
-      head.renames == base.renames &&
-      head.droppedCols == base.droppedCols &&
-      head.generated == base.generated &&
       head.mergeKeys == base.mergeKeys
+  }
+
+  /** Do `files`' rows satisfy `cons` and `gens` (the head's contract)?
+    * ONE scan over only the named files — the metadata commit already
+    * validated every other row at its own version, so proving the
+    * staged delta is all a rebase across metadata drift needs. Files
+    * are read physically and translated to the head's LOGICAL names
+    * (constraint/generated expressions reference logical columns). A
+    * generated column a file does not carry cannot be recomputed here
+    * → false (conservative: the caller re-runs). */
+  private def filesSatisfy(spark: SparkSession, path: String,
+      files: Seq[String], cons: Seq[String],
+      gens: Seq[(String, String)],
+      renames: Map[String, String], droppedCols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty || (cons.isEmpty && gens.isEmpty)) return true
+    var df = spark.read.parquet(
+      files.map(f => dataDir(path).resolve(f).toString): _*)
+    renames.foreach { case (logical, physical) =>
+      if (df.columns.contains(physical) && logical != physical)
+        df = df.withColumnRenamed(physical, logical) }
+    val hidden = droppedCols.filter(df.columns.contains)
+    if (hidden.nonEmpty) df = df.drop(hidden: _*)
+    val consOk = cons.isEmpty || df.where(
+      !cons.map(c => gated(expr(c))).reduce(_ && _)).limit(1).collect().isEmpty
+    if (!consOk) return false
+    if (gens.isEmpty) return true
+    if (!gens.forall { case (c, _) => df.columns.contains(c) }) return false
+    df.where(!gens.map { case (c, e) => col(c) <=> expr(e) }
+      .reduce(_ && _)).limit(1).collect().isEmpty
   }
 
   /** Adopt an already-staged rewrite (`inputs` → `staged`) onto the
@@ -2829,7 +2942,7 @@ object ManifestTable {
     * scope is exactly `inputs` — pass a constant true). The publish
     * itself loops: losing AGAIN to another disjoint commit just
     * re-checks against the newer head, still zero re-staging. */
-  private def rebasePublish(path: String, base: Manifest,
+  private def rebasePublish(spark: SparkSession, path: String, base: Manifest,
       inputs: Set[String], staged: Seq[String],
       stagedStats: Map[String, Map[String, ColStats]],
       stagedRows: Map[String, Long],
@@ -2843,12 +2956,29 @@ object ManifestTable {
       newMergeKeys: Option[Seq[String]] = None): Option[Long] = {
     val baseFiles = base.files.toSet
     var attempts = 0
+    // contract drift already proven against: staged files scan at most
+    // once per distinct (constraints, generated) the loop encounters
+    var provenAgainst: Option[(Seq[String], Seq[(String, String)])] = None
     while (attempts < 16) {
       attempts += 1
       val head = latest(path).getOrElse(return None)
       if (head.version == base.version)
         return None // claim lost to a non-manifest cause: re-run
       if (!rebaseSafe(base, head, inputs)) return None
+      // metadata×data conflict scope: a constraint/generated commit
+      // raced our rewrite. Our staged files validated against the BASE
+      // contract — adopt them under the head's contract only after ONE
+      // O(staged) scan proves they satisfy it (the metadata commit
+      // itself validated every pre-existing row at its own version).
+      if (head.constraints != base.constraints ||
+          head.generated != base.generated) {
+        val contract = (head.constraints, head.generated)
+        if (!provenAgainst.contains(contract)) {
+          if (!filesSatisfy(spark, path, staged, head.constraints,
+              head.generated, head.renames, head.droppedCols)) return None
+          provenAgainst = Some(contract)
+        }
+      }
       if (!deltaSafe(head.files.filterNot(baseFiles))) return None
       val next = head.version + 1
       val carried = head.files.filterNot(inputs)
@@ -2863,7 +2993,7 @@ object ManifestTable {
         dataChange = dataChange,
         generated = head.generated, txns = head.txns ++ extraTxn,
         renames = head.renames, droppedCols = head.droppedCols,
-        bytes = head.bytes)
+        bytes = head.bytes, rebasedFrom = Some(base.version))
       try {
         publish(manifestDir(path).resolve(f"v$next%08d.json"),
           render(path, m))
@@ -3029,7 +3159,7 @@ object ManifestTable {
             .parquet(added.map(f => dataDir(path).resolve(f).toString): _*)
             .join(srcKeys, keyCols, "left_semi").limit(1).collect().isEmpty
         }
-        rebasePublish(path, base, base.files.toSet -- untouchedFiles,
+        rebasePublish(spark, path, base, base.files.toSet -- untouchedFiles,
             staged, stagedStats, stagedRows, commitId, dataChange = true,
             base.deletes, base.deleteStats, deltaSafe,
             extraTxn = appTxn, newMergeKeys = Some(keyCols))
@@ -3165,6 +3295,7 @@ object ManifestTable {
           def tryRebase(): Option[Long] = {
             var attempts = 0
             val baseFiles = base.files.toSet
+            var provenAgainst: Option[(Seq[String], Seq[(String, String)])] = None
             while (attempts < 16) {
               attempts += 1
               val head = latest(path).getOrElse(return None)
@@ -3172,12 +3303,23 @@ object ManifestTable {
               val ok = baseFiles.forall(head.files.toSet) &&
                 head.deletes == base.deletes &&
                 head.deleteStats == base.deleteStats &&
-                head.constraints == base.constraints &&
-                head.renames == base.renames &&
-                head.droppedCols == base.droppedCols &&
-                head.generated == base.generated &&
                 (head.mergeKeys.isEmpty || head.mergeKeys == keyCols)
               if (!ok) return None
+              // contract drift (racing constraint/generated commit):
+              // adopt only after one O(staged) scan proves the merge's
+              // output rows satisfy the head's contract — same scope
+              // rule as rebasePublish; column-mapping drift is free
+              // (physical names are frozen)
+              if (head.constraints != base.constraints ||
+                  head.generated != base.generated) {
+                val contract = (head.constraints, head.generated)
+                if (!provenAgainst.contains(contract)) {
+                  if (!filesSatisfy(spark, path, staged, head.constraints,
+                      head.generated, head.renames, head.droppedCols))
+                    return None
+                  provenAgainst = Some(contract)
+                }
+              }
               if (!keyFree(head.files.filterNot(baseFiles))) return None
               val n2 = head.version + 1
               val m2 = Manifest(n2, head.files ++ staged, commitId,
@@ -3193,7 +3335,7 @@ object ManifestTable {
                 mergeKeys = keyCols, generated = head.generated,
                 txns = head.txns ++ appTxn,
                 renames = head.renames, droppedCols = head.droppedCols,
-                bytes = head.bytes)
+                bytes = head.bytes, rebasedFrom = Some(base.version))
               try {
                 publish(manifestDir(path).resolve(f"v$n2%08d.json"),
                   render(path, m2))
@@ -3213,27 +3355,28 @@ object ManifestTable {
   /** Stage merge keys as delete files (named `del-*` so a listing reads
     * as intent, but tracked ONLY via the manifest like any data file).
     * Coalesced to one part — a delete file is O(merge batch), KBs to MBs. */
-  private def stageDeletes(keys: DataFrame, path: String): Seq[String] = {
+  private def stageDeletes(keys: DataFrame, path: String): Seq[String] =
+      CommitProfile.timed("stageDeletes") {
     Files.createDirectories(dataDir(path))
-    val staging = Paths.get(path, s".staging-${UUID.randomUUID()}")
-    val kw = keys.coalesce(1).write
-    GraftCatalog.readDeclaredCompression(Paths.get(path))
-      .foreach(c => kw.option("compression", c))
-    withMicrosTimestamps(keys.sparkSession) { kw.parquet(staging.toString) }
-    val parts = Using.resource(Files.list(staging)) { st =>
-      st.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+    // committer-free like stage(): one coalesced task streams the key
+    // frame to one file; the driver then stamps the `del-` name (a
+    // same-directory atomic move — the name is intent documentation,
+    // the manifest ledger is the real tracking)
+    val dd = dataDir(path).toAbsolutePath.toString
+    val one = keys.coalesce(1)
+    val schema = one.schema
+    val codec = GraftCatalog.readDeclaredCompression(Paths.get(path))
+    val raw = one.queryExecution.toRdd.mapPartitions { rows =>
+      val w = new GraftAppendTaskWriter(dd, schema, Seq.empty, None, codec)
+      try { rows.foreach(w.write); val fs = w.files; w.close(); fs.iterator }
+      catch { case e: Throwable => w.abort(); throw e }
+    }.collect().toSeq.sorted
+    raw.map { n =>
+      val named = s"del-$n"
+      Files.move(dataDir(path).resolve(n), dataDir(path).resolve(named),
+        StandardCopyOption.ATOMIC_MOVE)
+      named
     }
-    val named = parts.map { p =>
-      val name = s"del-${UUID.randomUUID()}.parquet"
-      Files.move(p, dataDir(path).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      name
-    }
-    Using.resource(Files.walk(staging)) { st =>
-      st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-    named
   }
 
   /** The merge-key columns the table is keyed on (empty = unkeyed).
@@ -3254,7 +3397,7 @@ object ManifestTable {
   /** CHECK-constraint validation over freshly staged files only —
     * O(delta), never the table. Throws on the first violating row. */
   private def validateStagedConstraints(spark: SparkSession, path: String,
-      files: Seq[String]): Unit = {
+      files: Seq[String]): Unit = CommitProfile.timed("validateStaged") {
     import org.apache.spark.sql.functions._
     val cons = constraints(path)
     val gens = generatedColumns(path)
@@ -3299,8 +3442,10 @@ object ManifestTable {
     // streaming epochs and RTAS replace data directly; neither can be
     // WAP-isolated (epoch idempotence rides the COMMIT txn ledger)
     requireNoWapSession(spark, "a streaming epoch / CTAS commit")
+    val under = latest(path) // head the validation below runs against
     validateStagedConstraints(spark, path, files)
-    commit(path, files, replace, commitId, appTxn, resetMapping)
+    commit(path, files, replace, commitId, appTxn, resetMapping,
+      stagedUnder = under)
   }
 
   /** The highest epoch `app` has applied to this table (Delta's
@@ -3907,7 +4052,7 @@ object ManifestTable {
             .parquet(added.map(f => dataDir(path).resolve(f).toString): _*)
             .where(cond).limit(1).collect().isEmpty
         }
-        rebasePublish(path, base, base.files.toSet -- untouched,
+        rebasePublish(spark, path, base, base.files.toSet -- untouched,
             staged, stagedStats, stagedRows, commitId, dataChange = true,
             base.deletes, base.deleteStats, deltaSafe)
           .getOrElse(throw new IllegalStateException(
@@ -3956,10 +4101,15 @@ object ManifestTable {
         added, removed,
         m.constraints.size,
         m.mergeKeys.mkString(","),
-        op)
+        op,
+        // contention audit: non-null when this commit landed by adopting
+        // already-staged work across a lost optimistic claim — the value
+        // is the version the work was staged against, so (parent -
+        // rebased_from) counts the commits it rebased across
+        m.rebasedFrom.map(java.lang.Long.valueOf).orNull)
     }.toDF("version", "commit_ts", "commit_id", "n_files", "n_delete_files",
       "recorded_rows", "files_added", "files_removed", "n_constraints",
-      "merge_keys", "operation")
+      "merge_keys", "operation", "rebased_from")
   }
 
   /** DESCRIBE DETAIL (Delta's): the CURRENT version's summary as one
@@ -4520,7 +4670,16 @@ object ManifestTable {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(staged.sorted.mkString(",").getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
-    val v = commit(path, staged, replace = false, Some(s"wap:$wapId:$digest"))
+    // wap batches validated in-scan at STAGING time, and a constraint
+    // commit's own full-table scan never sees out-of-chain staged files —
+    // so any contract on the head must re-prove the batch at publish.
+    // The empty-contract stagedUnder makes commit() validate whenever
+    // the head carries constraints/generated at all: O(staged), and the
+    // only point the batch and the live contract provably meet.
+    val v = commit(path, staged, replace = false,
+      Some(s"wap:$wapId:$digest"),
+      stagedUnder = latest(path).map(_.copy(
+        constraints = Seq.empty, generated = Seq.empty)))
     docs.foreach { case (doc, _) => Files.deleteIfExists(doc) }
     v
   }
@@ -4820,6 +4979,48 @@ object ManifestTable {
     read(spark, path, Some(resolveBranch(path, name).getOrElse(
       throw new IllegalStateException(s"no branch '$name' at $path"))))
 
+  // branch-as-of snapshots: session-local synthetic ids in their own
+  // reserved range — NEGATIVE, because branch bids cover most of the
+  // positive space above BranchIdBase — registered at resolve time and
+  // served by manifestAt through the one shared read path (stats
+  // pruning, MoR reconcile). Ephemeral by design — the id is resolved
+  // and read within a session; persisting it would mean persisting a
+  // wall-clock query.
+  private[sources] val BranchAsOfBase = -1000000000000L
+  private val asOfIds = new java.util.concurrent.atomic.AtomicLong(0)
+  private val asOfRegistry =
+    new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
+
+  /** Resolve branch `name` AS OF `tsMillis` on the BRANCH'S OWN commit
+    * clock (every branch commit stamps its publish wall time): the
+    * parent snapshot plus each branch commit at or before the instant —
+    * the wall-clock resolution main-chain consumers already get from
+    * `TIMESTAMP AS OF`, extended to refs. Returns a session-local
+    * snapshot id readable through the shared path. */
+  def resolveBranchAsOf(path: String, name: String, tsMillis: Long): Long = {
+    val b = branches(path).getOrElse(name, throw new IllegalStateException(
+      s"no branch '$name' at $path"))
+    val upTo = b.commits.filter(_.ts <= tsMillis)
+    val parent = manifestAt(path, b.parent)
+    val (st, rws) = footerHarvest(path, upTo.flatMap(_.files))
+    val id = BranchAsOfBase - asOfIds.incrementAndGet()
+    val m = parent.copy(version = id, parent = b.parent,
+      files = parent.files ++ upTo.flatMap(_.files),
+      seqs = parent.seqs ++ upTo.zipWithIndex.flatMap { case (c, i) =>
+        c.files.map(_ -> (parent.version + i + 1)) },
+      stats = parent.stats ++ st, rows = parent.rows ++ rws,
+      commitId = Some(s"branch:$name@$tsMillis"))
+    if (asOfRegistry.size > 4096) asOfRegistry.clear()
+    asOfRegistry.put(id, m)
+    id
+  }
+
+  /** The branch as it stood at wall-clock `tsMillis` — [[readBranch]]'s
+    * time-travel twin, resolved on the branch's commit clock. */
+  def readBranchAsOf(spark: SparkSession, path: String, name: String,
+      tsMillis: Long): DataFrame =
+    read(spark, path, Some(resolveBranchAsOf(path, name, tsMillis)))
+
   /** Publish every branch commit onto main in ONE atomic commit and
     * drop the ref — the Iceberg fast-forward: readers see none of the
     * branch or all of it, never a prefix. STRICT: refuses when main
@@ -4891,8 +5092,13 @@ object ManifestTable {
     require(head == b.parent,
       s"main moved since branch '$name' forked (v${b.parent} -> v$head): " +
         "rebaseBranch + re-audit, or DROP the branch")
-    beforePublishHook() // race-injection window: sealed, not yet committed
-    val v = commit(path, files, replace = false, Some(id))
+    // (commit() fires beforePublishHook in the sealed-not-yet-committed
+    // window — the race-injection seam BranchSpec's seal test drives)
+    // branch appends validated in-scan against the parent-era contract
+    // (strictness pins head == parent, so no other contract can apply);
+    // a contract commit racing THIS window re-validates inside commit()
+    val v = commit(path, files, replace = false, Some(id),
+      stagedUnder = Some(manifestAt(path, b.parent)))
     removeBranchRef(path, name)
     v
   }

@@ -716,10 +716,28 @@ final case class RestWarehouse(
     // partition membership is hash-deterministic, but row ORDER after a
     // shuffle fetch is not — pin it with a per-partition full-row sort so
     // batch boundaries are a pure function of the data (cheap: no shuffle)
+    import org.apache.spark.sql.functions.{col => fcol, row_number, struct, to_json}
+    val deduped = (idField, pid) match {
+      case (Some(f), Some(_)) =>
+        // PAGINATION-DRIFT armor for the id-addressed update path: an
+        // offset-paginated pull sees one record on TWO pages when the
+        // origin shifts mid-read, and pushing both copies re-applies the
+        // update under two different batch keys the origin cannot
+        // relate. The id IS the record's identity at the origin: one
+        // update per id per push, the survivor picked deterministically
+        // (ordered by the full row's JSON) so batch layout — and with
+        // it every idempotency key — stays a pure function of the data.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fcol(f))
+          .orderBy(to_json(struct(df.columns.toIndexedSeq.map(fcol): _*)))
+        df.withColumn("__graft_rn", row_number().over(w))
+          .where(fcol("__graft_rn") === 1).drop("__graft_rn")
+      case _ => df
+    }
     val src =
       if (pid.isDefined)
-        df.sortWithinPartitions(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      else df
+        deduped.sortWithinPartitions(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      else deduped
     val counts = src.toJSON.mapPartitions { rows =>
       var hdrs = headers0
       val part = Option(org.apache.spark.TaskContext.get())

@@ -48,6 +48,22 @@ final class RestFixture private (
   // recorded answer WITHOUT re-applying (the origin-side contract)
   private[sources] val appliedKeys =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // PAGINATION-DRIFT simulation: after N data GETs, a record materializes
+  // in the collection (as if another writer inserted mid-read) — every
+  // offset past its sort position shifts by one, so a client fanning out
+  // offset pages sees one record on TWO pages. armDrift arms it.
+  private[sources] val driftCountdown = new AtomicInteger(-1)
+  @volatile private[sources] var driftRec
+      : Option[(String, Map[String, Any])] = None
+  def armDrift(afterDataReads: Int, json: String,
+      fields: Map[String, Any]): Unit = {
+    driftRec = Some(json -> fields)
+    driftCountdown.set(afterDataReads)
+  }
+  private[sources] def maybeDrift(): Unit =
+    if (driftCountdown.get >= 0 && driftCountdown.getAndDecrement() == 0)
+      driftRec.foreach { case (j, f) => postedRecs.add(j -> f) }
+
   val servedRows = new AtomicLong(0)
   val tokensIssued = new AtomicInteger(0)
   val postedRows = new ConcurrentLinkedQueue[String]()
@@ -218,6 +234,7 @@ object RestFixture {
             else respond(ex, 200, resp)
           }
         } else if (fx.keyset) {
+          fx.maybeDrift() // armed page-shift fires before serving this GET
           // token pagination: an opaque base64 offset token, no total
           val params = parseQuery(query)
           val limit = params.collectFirst { case ("limit", v) => v.toInt }.getOrElse(100)
@@ -240,6 +257,7 @@ object RestFixture {
           respond(ex, 200, slice.map(_.json).mkString(
             """{"data":[""", ",", s"]$next}"))
         } else {
+          fx.maybeDrift() // armed page-shift fires before serving this GET
           val params = parseQuery(query)
           val sortDesc = params.collectFirst { case ("sort_by", v) => v }.contains("desc")
           val page = params.collectFirst { case ("page", v) => v.toLong }.getOrElse(1L)

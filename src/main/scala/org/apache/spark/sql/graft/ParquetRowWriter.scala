@@ -58,6 +58,14 @@ object ParquetRowWriter {
     conf.set("parquet.compression",
       codec.map(c => if (c == "none") "uncompressed" else c)
         .getOrElse("snappy"))
+    // RAW local fs: no `.<name>.crc` checksum sidecars (a second write
+    // per file that nothing reads back — manifest-tracked tables carry
+    // integrity in the parquet footer itself). The cache bypass matters:
+    // FileSystem.get caches per scheme and would otherwise ignore the
+    // impl override when a checksummed LocalFileSystem was created first.
+    conf.set("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    conf.setBoolean("fs.file.impl.disable.cache", true)
     val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
     new Writer(new ParquetOutputWriter(file, ctx))
   }

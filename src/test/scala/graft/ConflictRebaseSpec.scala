@@ -302,6 +302,128 @@ class ConflictRebaseSpec extends SparkSpecBase {
         s"${(onDisk -- referenced).size}")
   }
 
+  test("metadata×data: replaceWhere racing ADD CONSTRAINT rebases " +
+      "metadata-only when its staged rows satisfy the new contract") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val dataA = spark.range(0, 40).select(
+      col("id").as("k"), lit(2L).as("g"), lit(2.0).as("v"))
+    val staged = armRace(path) {
+      ManifestTable.setConstraints(spark, path, Seq("v >= 0"))
+    }
+    ManifestTable.replaceWhere(spark, path, col("g") === 2, dataA)
+    assert(ManifestTable.latestVersion(path) == v0 + 2,
+      "the constraint commit AND the rebased rewrite must both land")
+    // the loser reused its staged files — zero bytes re-staged
+    val winnerM = ManifestTable.snapshotAt(path, Some(v0 + 1)).get
+    val finalM = ManifestTable.snapshotAt(path, None).get
+    val loserAdded = finalM.files.toSet -- winnerM.files.toSet
+    assert(loserAdded.nonEmpty && loserAdded.forall(staged().contains),
+      "rebase across a satisfied contract drift must reuse staged files")
+    // the adopted head carries the winner's contract, enforced from now on
+    assert(ManifestTable.constraints(path) == Seq("v >= 0"))
+    intercept[Exception] {
+      ManifestTable.append(spark.range(0, 1).select(
+        col("id").as("k"), lit(9L).as("g"), lit(-1.0).as("v")), path)
+    }
+    // DESCRIBE HISTORY surfaces the contention: the rebased commit names
+    // the version its work was staged against
+    val h = ManifestTable.history(spark, path)
+      .where(col("version") === v0 + 2).select("rebased_from").head()
+    assert(!h.isNullAt(0) && h.getLong(0) == v0,
+      s"rebased_from must record the staged-against version, got $h")
+  }
+
+  test("metadata×data: replaceWhere whose staged rows VIOLATE the racing " +
+      "constraint refuses the rebase and the re-run fails loudly") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    val bad = spark.range(0, 40).select(
+      col("id").as("k"), lit(2L).as("g"), lit(-2.0).as("v"))
+    armRace(path) {
+      ManifestTable.setConstraints(spark, path, Seq("v >= 0"))
+    }
+    val e = intercept[Exception] {
+      ManifestTable.replaceWhere(spark, path, col("g") === 2, bad)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("CHECK constraint violated") ||
+      msgs.contains("constraint"), s"want a constraint failure, got: $msgs")
+    // only the constraint landed; the violating rewrite landed NOTHING
+    assert(ManifestTable.latestVersion(path) == v0 + 1)
+    assert(ManifestTable.read(spark, path).where(col("v") < 0).count() == 0)
+  }
+
+  test("metadata×data: an append racing ADD CONSTRAINT re-validates its " +
+      "staged rows against the head's contract inside the commit loop") {
+    val path = mk()
+    val okRows = spark.range(2000, 2010).select(
+      col("id").as("k"), lit(60L).as("g"), lit(1.0).as("v"))
+    val badRows = spark.range(3000, 3010).select(
+      col("id").as("k"), lit(61L).as("g"), lit(-9.0).as("v"))
+    // satisfied: the append validates O(staged) against the new contract
+    // and lands on top of the constraint commit
+    armRace(path) { ManifestTable.setConstraints(spark, path, Seq("v >= 0")) }
+    ManifestTable.append(okRows, path)
+    assert(ManifestTable.read(spark, path)
+      .where(col("g") === 60).count() == 10)
+    ManifestTable.setConstraints(spark, path, Seq.empty) // drop for leg 2
+    // violating: the append staged under NO contract, the constraint
+    // landed mid-commit, and the adoption must refuse
+    armRace(path) { ManifestTable.setConstraints(spark, path, Seq("v >= 0")) }
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(badRows, path)
+    }
+    assert(e.getMessage.contains("do not satisfy the new contract"),
+      s"got: ${e.getMessage}")
+    assert(ManifestTable.read(spark, path).where(col("v") < 0).count() == 0,
+      "the refused append must land nothing")
+  }
+
+  test("metadata×data: ADD CONSTRAINT losing its claim to an append " +
+      "re-validates ONLY the delta and both land") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    // the interleaved append's rows satisfy → constraint lands on retry
+    armRace(path) {
+      ManifestTable.append(spark.range(4000, 4010).select(
+        col("id").as("k"), lit(70L).as("g"), lit(4.0).as("v")), path)
+    }
+    val v = ManifestTable.setConstraints(spark, path, Seq("v >= 0"))
+    assert(v == v0 + 2 && ManifestTable.constraints(path) == Seq("v >= 0"))
+    assert(ManifestTable.read(spark, path).where(col("g") === 70).count() == 10)
+    // the interleaved append's rows satisfy the CURRENT contract (they
+    // stage fine) but VIOLATE the one being declared → must refuse
+    armRace(path) {
+      ManifestTable.append(spark.range(7000, 7010).select(
+        col("id").as("k"), lit(71L).as("g"), lit(4.0).as("v")), path)
+    }
+    val e = intercept[Exception] {
+      ManifestTable.setConstraints(spark, path, Seq("v >= 0", "k < 6000"))
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("CHECK constraint violated") ||
+      msgs.contains("constraint"), s"want a constraint failure, got: $msgs")
+    assert(ManifestTable.constraints(path) == Seq("v >= 0"),
+      "the refused constraint change must leave the previous contract")
+  }
+
+  test("metadata×metadata: ADD CONSTRAINT and GENERATED COLUMNS " +
+      "interleave - both land, neither update lost") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    armRace(path) {
+      ManifestTable.setGeneratedColumns(spark, path, Seq("g" -> "k % 8"))
+    }
+    ManifestTable.setConstraints(spark, path, Seq("v >= 0"))
+    assert(ManifestTable.latestVersion(path) == v0 + 2)
+    assert(ManifestTable.constraints(path) == Seq("v >= 0"))
+    assert(ManifestTable.generatedColumns(path) == Seq("g" -> "k % 8"),
+      "the constraint retry must carry the generated columns forward")
+  }
+
   test("plain appends still rebase in the commit loop itself (no staging " +
       "re-run on contention)") {
     val path = mk()

@@ -185,6 +185,66 @@ class RestWarehouseSpec extends SparkSpecBase {
     } finally fx3.stop()
   }
 
+  test("pagination drift mid-pull: the record the origin served on TWO " +
+      "pages updates exactly once under pushId (keyed by record identity)") {
+    val slice = customer.where(col("c_nationkey") < 5).localCheckpoint()
+    val n = slice.count()
+    val p = math.max(2, (n / 2).toInt)
+    // the drifting record sorts FIRST (c_custkey = -1): when it lands,
+    // every later offset shifts by one and the page boundary re-serves
+    // the last row of the previous page — real offset-pagination drift
+    val drifter = slice.limit(1).withColumn("c_custkey", lit(-1L))
+      .select(slice.columns.map(col).toIndexedSeq: _*)
+    val drow = drifter.collect().head
+    val dfields = drifter.columns.zipWithIndex
+      .map { case (c, i) => c -> drow.get(i) }.toMap
+    val fxSrc = RestFixture.serve(slice, "customer", "c_custkey")
+    val pulled = try {
+      // GET 1 = the driver's total probe, GET 2 = data page 1; the shift
+      // fires before GET 3 (data page 2). maxParallelFetch=1 pins the
+      // executor's page order so the window is deterministic.
+      fxSrc.armDrift(2, drifter.toJSON.head(), dfields)
+      RestWarehouse("fixture", fxSrc.baseUrl, pageSize = p,
+        maxParallelFetch = 1)
+        .readSlice(spark, "customer", schema = Some(customer.schema))
+        .localCheckpoint()
+    } finally fxSrc.stop()
+    val dupIds = pulled.groupBy(col("c_custkey")).count()
+      .where(col("count") > 1).count()
+    assert(dupIds >= 1,
+      "the shifted origin must re-serve a record across the page boundary")
+    val distinctIds = pulled.select("c_custkey").distinct().count()
+    // control: keyless update pushes the duplicate too — the drift gap
+    // is real, not hypothetical
+    val fxC = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
+      writable = true)
+    try {
+      RestWarehouse("fixture", fxC.baseUrl, writeBatchSize = p,
+        updateIdField = Some("c_custkey"))
+        .update(pulled, "customer", "c_custkey")
+      assert(fxC.putRows.size() == pulled.count() &&
+        fxC.putRows.size() > distinctIds,
+        "without pushId the duplicated record must double-apply (control)")
+    } finally fxC.stop()
+    // keyed: one update per record IDENTITY — the dedup runs before
+    // batching, so no batch key ever covers the second copy at all
+    val fxK = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
+      writable = true)
+    try {
+      RestWarehouse("fixture", fxK.baseUrl, writeBatchSize = p,
+        updateIdField = Some("c_custkey"), pushId = Some("drift-run-1"))
+        .update(pulled, "customer", "c_custkey")
+      assert(fxK.putRows.size() == distinctIds,
+        s"exactly one update per id (got ${fxK.putRows.size()} of $distinctIds)")
+      import scala.jdk.CollectionConverters._
+      val ids = fxK.putRows.asScala.toSeq
+        .map(j => graft.sources.Http.mapper.readTree(j)
+          .get("c_custkey").asLong)
+      assert(ids.distinct.size == ids.size,
+        "the origin must hold exactly one copy per record identity")
+    } finally fxK.stop()
+  }
+
   test("writable origin serves pushed rows through KEYSET pagination too") {
     val fx = RestFixture.serve(customer.limit(0), "customer", "c_custkey",
       keyset = true, writable = true)
