@@ -138,6 +138,14 @@ object Bench {
     }
     val compact = header + entries.mkString("{", ",", "}") +
       s""","queries_omitted":${results.size - entries.size}}"""
+    // commit-path phase accounting for the whole run (stderr, like the
+    // per-query lines): how much of the suite's wall went to the
+    // transactional write floor — the number §5b's commit-floor work is
+    // judged against round over round
+    val prof = graft.sources.ManifestTable.CommitProfile.snapshot
+    if (prof.nonEmpty) System.err.println("[bench] commit-profile " +
+      prof.toSeq.sortBy(-_._2._2).map { case (k, (n, s)) =>
+        f"$k=x$n/$s%.1fs" }.mkString(" "))
     // stop BEFORE printing: Spark's shutdown chatter (if any) must land
     // ahead of the JSON so the compact line is the genuinely last line of
     // the run — build.sbt unwraps forked output (StdoutOutput) and drops
