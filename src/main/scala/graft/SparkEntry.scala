@@ -4241,6 +4241,70 @@ object SparkEntry {
           sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    "q189_partition_delete" -> ((s, dir) => {
+      // METADATA-ONLY DELETE (Delta's partition-aligned delete): when
+      // the predicate rides the Condition algebra and a file's stats
+      // PROVE every row matches, the file drops from the manifest
+      // WITHOUT being read — retention by DELETE at 100 TB is a
+      // manifest edit, not a table scan. Files provably outside the
+      // scope never even join the discovery scan; straddling files
+      // rewrite exactly as before; null columns block the proof
+      // (DeleteSkipSpec pins that + the corrupt-file never-read proof).
+      import graft.sources.ManifestTable
+      ManifestTable.beforePublishHook = () => ()
+      val wh = java.nio.file.Files.createTempDirectory("graft-q189-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.pd (k BIGINT, day DATE, price DOUBLE)")
+      val path = s"$wh/pd"
+      val orders = Tables(s2, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("double").as("price"))
+      // ingest by year: every staged file's day range sits inside one
+      // year (range-clustered), the layout a synced table actually has
+      (1995 to 2001).foreach { y =>
+        ManifestTable.append(orders.where(year(col("day")) === y)
+          .repartitionByRange(3, col("day")), path)
+      }
+      val total = orders.count()
+      val pre97 = orders.where(col("day") < lit("1997-01-01").cast("date")).count()
+      // (A) the aligned retention pass through SQL: every 1995/1996 file
+      // is provably all-matching → version lands with ZERO files staged
+      s2.sql("DELETE FROM graft.pd WHERE day < DATE'1997-01-01'")
+      val h = ManifestTable.history(s2, path)
+      val hA = h.orderBy(col("version").desc)
+        .select(col("files_added").cast("long"),
+          col("files_removed").cast("long")).head()
+      require(hA.getLong(0) == 0,
+        s"aligned DELETE must stage nothing (${hA.getLong(0)} files added)")
+      require(hA.getLong(1) >= 6,
+        s"every 1995-96 file must drop metadata-only (${hA.getLong(1)})")
+      require(s2.sql("SELECT count(*) FROM graft.pd").head().getLong(0)
+        == total - pre97, "relational truth after the metadata-only drop")
+      // (B) a mid-year cutoff: 1997 files straddle → rewrite; H1-covered
+      // files still drop whole where the range allows
+      s2.sql("DELETE FROM graft.pd WHERE day < DATE'1997-07-01'")
+      val hB = ManifestTable.history(s2, path).orderBy(col("version").desc)
+        .select(col("files_added").cast("long"),
+          col("files_removed").cast("long")).head()
+      require(hB.getLong(0) >= 1 && hB.getLong(0) <= 3,
+        s"only 1997's straddling files may rewrite (${hB.getLong(0)})")
+      // (C) files fully outside any scope are untouched across both
+      // deletes: 1998+ files carry their original names from v<=7
+      val mNow = ManifestTable.snapshotAt(path, None).get
+      val m7 = ManifestTable.snapshotAt(path, Some(7L)).get
+      val carried = mNow.files.toSet.intersect(m7.files.toSet)
+      require(carried.nonEmpty && carried.size >= 12,
+        s"1998-2001 files must carry byte-identical (${carried.size})")
+      // the remaining table under the oracle
+      ManifestTable.read(s2, path)
+        .groupBy(year(col("day")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     "q188_branch_doors" -> ((s, dir) => {
       // BRANCH WRITE/READ DOORS beyond the session conf:
       //  - `df.writeTo(t).option("branch", name)` routes ONE write to
@@ -11450,6 +11514,17 @@ object SparkEntry {
                     ELSE CAST(o_totalprice AS DOUBLE) END
                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q189: the table after the two retention deletes — everything on
+    // or after 1994-07-01; the metadata-only drops, the straddling
+    // rewrite, and the untouched carries must be invisible to the truth
+    "q189_partition_delete" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,4)))
+             AS DOUBLE) AS revenue
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1997-07-01'
+         GROUP BY 1""",
     // q188: the published table = the F slice (fork point) + O + P +
     // the high-value-F correction batch; both doors and the branch-clock
     // reads must be invisible to the relational truth

@@ -1059,6 +1059,22 @@ object GraftCatalog {
     }
   }
 
+  /** STRICT [[Filter]] → [[Condition]] conversion: Some only when the
+    * WHOLE filter is representable (every conjunct converts). The
+    * lossless form is what [[ManifestTable.fileMustMatch]]'s
+    * metadata-only delete needs — a silently dropped conjunct would
+    * prove "every row matches" for a predicate narrower than the one
+    * the user wrote. (The lossy [[toConditions]] stays correct for
+    * might-match pruning, where dropping a conjunct only widens.) */
+  private[sources] def toConditionsStrict(f: Filter): Option[Seq[Condition]] =
+    f match {
+      case sources.And(l, r) =>
+        for (a <- toConditionsStrict(l); b <- toConditionsStrict(r))
+          yield a ++ b
+      case sources.AlwaysTrue() => Some(Seq.empty)
+      case other => Some(toConditions(other)).filter(_.nonEmpty)
+    }
+
   /** Spark [[Filter]] → manifest-skippable [[Condition]]s. Top-level
     * columns only; anything richer simply does not prune (it still
     * filters — Spark keeps every filter as a residual). AND splits into
@@ -1182,7 +1198,15 @@ class GraftSqlTable(val ident: String, val path: String,
     if (ManifestTable.versions(path).isEmpty) return // empty table: nothing to delete
     val cond = filters.flatMap(GraftCatalog.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    ManifestTable.deleteWhere(SparkSession.active, path, cond)
+    // lossless Condition form (when the whole predicate converts) arms
+    // the stats fast paths: scan only might-match files, and drop
+    // provably-all-matching files metadata-only
+    val strict = filters.toSeq.map(GraftCatalog.toConditionsStrict)
+    val scope =
+      if (strict.nonEmpty && strict.forall(_.isDefined)) strict.flatten.flatten
+      else Seq.empty
+    ManifestTable.deleteWhere(SparkSession.active, path, cond,
+      scopeConds = scope)
   }
 
   override def truncateTable(): Boolean = {
@@ -1675,6 +1699,9 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
   // REPLACE WHERE (`df.writeTo(t).overwrite(cond)`): the predicate of a
   // scoped overwrite — delete-matching + insert in ONE commit
   private var overwriteCond: Option[org.apache.spark.sql.Column] = None
+  // the same predicate in lossless Condition form (when convertible):
+  // arms replaceWhere's stats fast paths (scan-prune + whole-file drop)
+  private var overwriteConds: Seq[Condition] = Seq.empty
 
   // bucket layouts ride the declared sidecar (the table object carries
   // identity partCols only): streamed epochs cluster + sort on the
@@ -1691,6 +1718,9 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
       .getOrElse(throw new UnsupportedOperationException(
         s"overwrite predicate not expressible for replaceWhere: $f")))
     overwriteCond = Some(cols.reduce(_ && _))
+    val strict = filters.toSeq.map(GraftCatalog.toConditionsStrict)
+    overwriteConds =
+      if (strict.forall(_.isDefined)) strict.flatten.flatten else Seq.empty
     this
   }
 
@@ -1764,7 +1794,7 @@ class GraftWriteBuilder(path: String, schema: StructType, queryId: String,
           }
           else if (overwriteCond.isDefined)
             ManifestTable.replaceWhere(data.sparkSession, path,
-              overwriteCond.get, clustered)
+              overwriteCond.get, clustered, scopeConds = overwriteConds)
           else if (replace || overwrite) ManifestTable.overwrite(clustered, path)
           else ManifestTable.append(clustered, path)
         }

@@ -1142,6 +1142,73 @@ object ManifestTable {
     }
   }
 
+  /** Dual of [[fileMightMatch]]: do the stats PROVE that EVERY row of
+    * the file satisfies every condition? The yes answer is what lets a
+    * partition-aligned DELETE drop the whole file from the manifest
+    * without reading it (Delta's metadata-only partition delete). Sound
+    * under stat truncation (truncated bounds are strictly wider, and a
+    * proof over the wider interval covers the real one). Conservative
+    * FALSE whenever stats are missing, the null count is unknown (a
+    * NULL row fails every null-rejecting comparison), or the op has no
+    * bounds proof (contains). */
+  private[sources] def fileMustMatch(stats: Option[Map[String, ColStats]],
+      fileRows: Option[Long],
+      conds: Seq[graft.conditions.Condition]): Boolean =
+    conds.nonEmpty && conds.forall { c =>
+      stats.flatMap(_.get(c.field)).exists { st =>
+        import graft.conditions.Op
+        if (st.unit.contains("allnull"))
+          c.op == Op.IsNull // every row null: only IS NULL holds for all
+        else if (c.op == Op.IsNull)
+          // all-null without the marker: null count == row count
+          st.nulls.isDefined && fileRows.isDefined &&
+            st.nulls == fileRows && fileRows.get > 0
+        else st.nulls.contains(0L) && evalMustMatch(st, c)
+      }
+    }
+
+  private def evalMustMatch(st: ColStats,
+      c: graft.conditions.Condition): Boolean = {
+    def cv(v: Any): Option[Any] =
+      if (st.numeric) v match {
+        case bd: java.math.BigDecimal if st.unit.isEmpty => Some(bd)
+        case bd: scala.math.BigDecimal if st.unit.isEmpty =>
+          Some(bd.bigDecimal)
+        case _ => numValueU(v, st.unit).map(d => d: Number)
+      }
+      else v match {
+        case s: String => Some(s)
+        case _ => None
+      }
+    def lo(v: Any) = cmpStat(st.min, v, st.numeric)
+    def hi(v: Any) = cmpStat(st.max, v, st.numeric)
+    import graft.conditions.Op
+    c.op match {
+      // exists-a-proof forms: an unparseable value is NO proof (contrast
+      // fileMightMatch, where unparseable must conservatively match)
+      case Op.Eq  => cv(c.value).exists(v => lo(v) == 0 && hi(v) == 0)
+      case Op.Gt  => cv(c.value).exists(v => lo(v) > 0)
+      case Op.Gte => cv(c.value).exists(v => lo(v) >= 0)
+      case Op.Lt  => cv(c.value).exists(v => hi(v) < 0)
+      case Op.Lte => cv(c.value).exists(v => hi(v) <= 0)
+      case Op.In => c.value match {
+        // single-valued file whose one value is in the set
+        case xs: Iterable[_] =>
+          xs.exists(x => cv(x).exists(v => lo(v) == 0 && hi(v) == 0))
+        case x => cv(x).exists(v => lo(v) == 0 && hi(v) == 0)
+      }
+      // byte-ordered bounds sharing the prefix bound every string
+      // between them to the same prefix
+      case Op.StartsWith => c.value match {
+        case p: String if p.nonEmpty && !st.numeric =>
+          st.min.startsWith(p) && st.max.startsWith(p)
+        case _ => false
+      }
+      case Op.NotNull => true // zero nulls already required above
+      case _ => false // contains and anything unproven: never
+    }
+  }
+
   private def evalBounds(st: ColStats,
       c: graft.conditions.Condition): Boolean = {
       def cv(v: Any): Option[Any] =
@@ -3936,10 +4003,19 @@ object ManifestTable {
     * replays idempotently. */
   def deleteWhere(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
-      commitId: Option[String] = None): Long = {
+      commitId: Option[String] = None,
+      // `cond` in the manifest-skippable Condition algebra, when the
+      // caller has it (the SQL door converts its Filters; the API caller
+      // may pass its own). MUST be equivalent to `cond` in conjunction —
+      // it drives two stats-only fast paths: files provably without a
+      // match never scan, and files where EVERY row provably matches
+      // drop from the manifest without being read (Delta's
+      // partition-aligned metadata delete). Empty = no fast path.
+      scopeConds: Seq[graft.conditions.Condition] = Seq.empty): Long = {
     requireNoWapSession(spark, "deleteWhere")
     retryMerge("deleteWhere")(
-      rewriteWhereAttempt(spark, path, cond, None, commitId))
+      rewriteWhereAttempt(spark, path, cond, None, commitId,
+        scopeConds = scopeConds))
   }
 
   /** UPDATE … SET … WHERE — same copy-on-write shape as [[deleteWhere]]:
@@ -3967,17 +4043,20 @@ object ManifestTable {
     * `df.writeTo("graft.t").overwrite(cond)`. */
   def replaceWhere(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column, data: DataFrame,
-      commitId: Option[String] = None): Long = {
+      commitId: Option[String] = None,
+      scopeConds: Seq[graft.conditions.Condition] = Seq.empty): Long = {
     requireNoWapSession(spark, "replaceWhere")
     retryMerge("replaceWhere")(
-      rewriteWhereAttempt(spark, path, cond, None, commitId, Some(data)))
+      rewriteWhereAttempt(spark, path, cond, None, commitId, Some(data),
+        scopeConds = scopeConds))
   }
 
   private def rewriteWhereAttempt(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
       set: Option[Map[String, org.apache.spark.sql.Column]],
       commitId: Option[String],
-      insert: Option[DataFrame] = None): Long = {
+      insert: Option[DataFrame] = None,
+      scopeConds: Seq[graft.conditions.Condition] = Seq.empty): Long = {
     import org.apache.spark.sql.functions._
     val replayed = commitId.flatMap(id =>
       versions(path).map(manifestAt(path, _)).find(_.commitId.contains(id)))
@@ -3987,17 +4066,38 @@ object ManifestTable {
     set.foreach(m => m.keys.foreach(c =>
       require(read(spark, path, Some(base.version)).columns.contains(c),
         s"SET column '$c' not in table")))
+    val physConds = toPhysicalConds(base, scopeConds)
+    // stats fast paths when the predicate rides the Condition algebra:
+    //  (a) files whose stats prove NO row matches never join the
+    //      discovery scan at all — at 100 TB a one-day DELETE reads one
+    //      day's files, not the table;
+    //  (b) DELETE/REPLACE scope only: files whose stats prove EVERY row
+    //      matches (fileMustMatch) drop from the manifest WITHOUT being
+    //      read — the partition-aligned metadata-only delete. MoR-safe:
+    //      hidden rows are a subset of the physical rows the proof
+    //      covers. UPDATE rewrites its full-match files (values change).
+    val candidates =
+      if (physConds.isEmpty) base.files
+      else base.files.filter(f => fileMightMatch(base.stats.get(f), physConds))
+    val dropped: Set[String] =
+      if (set.isDefined || physConds.isEmpty) Set.empty
+      else candidates.filter(f =>
+        fileMustMatch(base.stats.get(f), base.rows.get(f), physConds)).toSet
+    val scanFiles = candidates.filterNot(dropped)
     // (1) which files hold a matching row? predicate pushdown reaches
     // the parquet scan; only file NAMES come back
-    val withFile = spark.read.schema(physicalSchemaAt(spark, path, base))
-      .parquet(base.files.map(f => dataDir(path).resolve(f).toString): _*)
-      .withColumn("__file", input_file_name())
-    val touched = withFile.where(cond)
-      .select(col("__file")).distinct().collect()
-      .map(r => baseName(r.getString(0))).toSet
-    if (touched.isEmpty && insert.isEmpty)
+    val touched =
+      if (scanFiles.isEmpty) Set.empty[String]
+      else spark.read.schema(physicalSchemaAt(spark, path, base))
+        .parquet(scanFiles.map(f => dataDir(path).resolve(f).toString): _*)
+        .withColumn("__file", input_file_name())
+        .where(cond)
+        .select(col("__file")).distinct().collect()
+        .map(r => baseName(r.getString(0))).toSet
+    if (touched.isEmpty && dropped.isEmpty && insert.isEmpty)
       return base.version // nothing matches: no commit
-    val untouched = base.files.filterNot(f => touched(baseName(f)))
+    val untouched = base.files.filterNot(f =>
+      touched(baseName(f)) || dropped(f))
     // (2) rewrite only those files (MoR-reconciled first)
     val matches = coalesce(cond, lit(false))
     val rewriteStaged =
