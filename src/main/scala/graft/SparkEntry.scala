@@ -8890,6 +8890,45 @@ object SparkEntry {
         Tables(s, dir, "documents"), "doc_id", "text",
         frameBytes = 32, stride = 4)),
 
+    "mm13_exif_meta" -> ((s, dir) => {
+      // REAL EXIF extraction: every payload is a byte-for-byte valid
+      // JPEG whose APP1 segment carries a TIFF stream — IFD0 (Model,
+      // Orientation, DateTime, Exif-IFD pointer) plus the Exif-private
+      // IFD (ISO, FocalLength RATIONAL) — in BOTH byte orders (even ids
+      // little-endian II, odd big-endian MM), with ASCII values stored
+      // at offsets and SHORTs inline, the layouts real camera files
+      // use. The Spark side walks the actual bytes
+      // (operators/multimodal/Exif.parse); the oracle predicts every
+      // field arithmetically. Every 13th doc is raw text (the
+      // no-EXIF/unknown-format path → nulls).
+      import s.implicits._
+      import operators.multimodal.Exif
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 13 == 0) text.getBytes("UTF-8")
+            else Exif.synthExifJpeg(
+              w = (16 + id % 624).toInt, h = (16 + (id * 7) % 464).toInt,
+              littleEndian = id % 2 == 0,
+              orientation = (1 + id % 8).toInt,
+              iso = (100 * (1 + id % 16)).toInt,
+              focalNum = (24 + id % 180).toInt,
+              focalDen = (1 + id % 3).toInt,
+              model = s"CAM-${id % 5}",
+              capture = f"${2000 + id % 20}%04d:${1 + (id * 3) % 12}%02d:" +
+                f"${1 + (id * 7) % 28}%02d 12:00:00")
+          val m = Exif.parse(payload)
+          (id, m.map(_.byteOrder).orNull,
+            m.flatMap(_.orientation).map(_.toLong),
+            m.flatMap(_.iso).map(_.toLong),
+            m.flatMap(_.focalMm),
+            m.flatMap(_.model).orNull,
+            m.flatMap(_.capture).orNull)
+        }.toDF("doc_id", "byte_order", "orientation", "iso", "focal_mm",
+          "model", "capture")
+    }),
+
     "mm12_scene_cuts" -> ((s, dir) => {
       // VIDEO SCENE-CUT detection over REAL frames (mm7/mm8/mm9's
       // honesty discipline on the temporal axis): each doc synthesizes
@@ -9908,6 +9947,27 @@ object SparkEntry {
     // pixels = 448); at the planted cut the channel steps are 40/25/10
     // plus the drift (4*41 + 2*26 + 11 = 227 per pixel = 14528). Any
     // codec stride/row/channel bug on the Spark side breaks the hash.
+    // mm13: every EXIF field predicted arithmetically from doc_id —
+    // a parse that drifted from the real TIFF layout (endianness,
+    // inline-vs-offset, the chained IFD) would break value equality
+    "mm13_exif_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 8 AS BIGINT) END AS orientation,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE CAST(100 * (1 + doc_id % 16) AS BIGINT) END AS iso,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE CAST(24 + doc_id % 180 AS DOUBLE) /
+                     CAST(1 + doc_id % 3 AS DOUBLE) END AS focal_mm,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE 'CAM-' || CAST(doc_id % 5 AS VARCHAR) END AS model,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE printf('%04d:%02d:%02d 12:00:00',
+                       2000 + doc_id % 20, 1 + (doc_id * 3) % 12,
+                       1 + (doc_id * 7) % 28) END AS capture
+         FROM documents""",
     "mm12_scene_cuts" ->
       """SELECT d.doc_id, CAST(t.f AS BIGINT) AS frame_idx,
            CAST(CASE WHEN t.f = d.doc_id % 7 + 1 THEN 14528
