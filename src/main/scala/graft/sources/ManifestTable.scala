@@ -4051,6 +4051,84 @@ object ManifestTable {
         scopeConds = scopeConds))
   }
 
+  /** Best-effort STRICT translation of a Column predicate into the
+    * manifest-skippable Condition algebra — what arms the stats fast
+    * paths for API callers that pass only a Column (the SQL doors
+    * translate their Filters directly). Analysis runs over an EMPTY
+    * frame of the version's logical schema, so no engine-internal
+    * conjunct can leak in (an extra conjunct would narrow might-match
+    * pruning below the user's predicate — unsound). Strict: ANY
+    * unconvertible part yields Seq.empty (no fast path), never a
+    * partial translation. Value sides accept any foldable expression
+    * (analysis wraps literals in casts); evaluation externalizes the
+    * Catalyst-internal forms the stats comparators expect. */
+  private def columnToConditions(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      c: org.apache.spark.sql.Column): Seq[graft.conditions.Condition] = try {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import graft.conditions.{Condition, Op}
+    val probe = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val cond = probe.where(c).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(return Seq.empty)
+    def externalize(v: Any, dt: DataType): Any = dt match {
+      case StringType => String.valueOf(v)
+      case _: DecimalType => v match {
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case x => x
+      }
+      // DATE stays epoch-day Int, TIMESTAMP epoch-micros Long — the
+      // numeric forms the stat comparators normalize to anyway
+      case _ => v
+    }
+    def value(e: Expression): Option[Any] = e match {
+      case l if l.foldable =>
+        Option(l.eval()).map(externalize(_, l.dataType)) // null lit: None
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def one(n: String, op: Op, v: Any) = Some(Seq(Condition(n, op, v)))
+    def conv(e: Expression): Option[Seq[Condition]] = e match {
+      case And(l, r) => for (a <- conv(l); b <- conv(r)) yield a ++ b
+      case EqualTo(a, v) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Eq, x)) yield r
+      case EqualTo(v, a) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Eq, x)) yield r
+      case GreaterThan(a, v) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Gt, x)) yield r
+      case GreaterThan(v, a) if attr(a).isDefined => // v > col ⇔ col < v
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Lt, x)) yield r
+      case GreaterThanOrEqual(a, v) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Gte, x)) yield r
+      case GreaterThanOrEqual(v, a) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Lte, x)) yield r
+      case LessThan(a, v) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Lt, x)) yield r
+      case LessThan(v, a) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Gt, x)) yield r
+      case LessThanOrEqual(a, v) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Lte, x)) yield r
+      case LessThanOrEqual(v, a) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.Gte, x)) yield r
+      case In(a, vs) if attr(a).isDefined =>
+        val xs = vs.map(value)
+        if (xs.forall(_.isDefined))
+          attr(a).map(n => Seq(Condition(n, Op.In, xs.map(_.get))))
+        else None
+      case IsNull(a) => attr(a).map(n => Seq(Condition(n, Op.IsNull, null)))
+      case IsNotNull(a) => attr(a).map(n => Seq(Condition(n, Op.NotNull, null)))
+      case StartsWith(a, v) if attr(a).isDefined =>
+        for (n <- attr(a); x <- value(v); r <- one(n, Op.StartsWith, x)) yield r
+      case _ => None
+    }
+    conv(cond).getOrElse(Seq.empty)
+  } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   private def rewriteWhereAttempt(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
       set: Option[Map[String, org.apache.spark.sql.Column]],
@@ -4066,7 +4144,13 @@ object ManifestTable {
     set.foreach(m => m.keys.foreach(c =>
       require(read(spark, path, Some(base.version)).columns.contains(c),
         s"SET column '$c' not in table")))
-    val physConds = toPhysicalConds(base, scopeConds)
+    // callers that pass only a Column still get the fast paths when the
+    // predicate translates strictly (the SQL doors pass conds directly)
+    val effConds =
+      if (scopeConds.nonEmpty) scopeConds
+      else columnToConditions(spark,
+        schemaAt(spark, path, Some(base.version)), cond)
+    val physConds = toPhysicalConds(base, effConds)
     // stats fast paths when the predicate rides the Condition algebra:
     //  (a) files whose stats prove NO row matches never join the
     //      discovery scan at all — at 100 TB a one-day DELETE reads one

@@ -66,6 +66,20 @@ class DeleteSkipSpec extends SparkSpecBase {
     assert(left.where(col("g") >= 75).count() == 250)
   }
 
+  test("a bare Column predicate auto-translates: API deleteWhere gets " +
+      "the fast path without passing scopeConds") {
+    val path = mk()
+    ManifestTable.deleteWhere(spark, path, col("g") <= 24) // no conds
+    val (added, removed) = lastHist(path)
+    assert(added == 0 && removed == 1,
+      s"auto-translated predicate must drop metadata-only ($added/$removed)")
+    assert(ManifestTable.read(spark, path).count() == 750)
+    // an untranslatable predicate still deletes correctly (no fast path)
+    ManifestTable.deleteWhere(spark, path, length(col("g").cast("string")) === 2)
+    assert(ManifestTable.read(spark, path)
+      .where(col("g") >= 10 && col("g") <= 99).count() == 0)
+  }
+
   test("null rows block the whole-file drop: a null-rejecting predicate " +
       "cannot claim a file with nulls matches everywhere") {
     val path = Files.createTempDirectory("graft-ds-").toString + "/t"
