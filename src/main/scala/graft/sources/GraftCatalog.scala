@@ -1210,9 +1210,16 @@ class GraftSqlTable(val ident: String, val path: String,
   }
 
   override def truncateTable(): Boolean = {
-    import org.apache.spark.sql.functions.lit
-    if (ManifestTable.versions(path).nonEmpty)
-      ManifestTable.deleteWhere(SparkSession.active, path, lit(true))
+    // overwrite-with-empty, NOT deleteWhere(true): the old path scanned
+    // the whole table to discover that every file matches and rewrote
+    // it; the replace commit stages one schema-carrying empty file and
+    // drops everything else metadata-only — TRUNCATE at 100 TB is a
+    // manifest edit. Table contract (constraints/mapping/keys/txns)
+    // survives replace exactly as any overwrite.
+    if (ManifestTable.versions(path).nonEmpty) {
+      val s = SparkSession.active
+      ManifestTable.overwrite(ManifestTable.read(s, path).limit(0), path)
+    }
     true
   }
 }
