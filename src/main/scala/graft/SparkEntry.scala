@@ -4241,6 +4241,89 @@ object SparkEntry {
           sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    "q190_join_mv" -> ((s, dir) => {
+      // INCREMENTAL JOIN-VIEW MAINTENANCE — q71's aggregate-MV story
+      // extended to the harder shape, M = A ⋈ B with BOTH sides
+      // changing. Each side's refresh reads only that side's
+      // value-carrying change feed (O(changed files), the CDF contract):
+      //  left  Δ: deleted A-keys leave M by key; changed rows re-join
+      //           against B-current (a dim-sized broadcast);
+      //  right Δ: only the CHANGED join keys touch A — A-current is
+      //           read semi-filtered to them, with the join-key filter
+      //           pushed to the scan; a deleted B row deletes every M
+      //           row of its key (inner-join semantics).
+      // Never A ⋈ B recomputed. The in-query gate proves the maintained
+      // MV row-for-row equals the full recompute, then the MV rollup
+      // goes under the oracle. At 100 TB this is how a denormalized
+      // serving table tracks a 0.1% merge on either input.
+      import graft.sources.ManifestTable
+      val wh = java.nio.file.Files.createTempDirectory("graft-q190-").toString
+      val (pa, pb, pm) = (s"$wh/a", s"$wh/b", s"$wh/mv")
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("custkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val customer = Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("custkey"),
+        col("c_mktsegment").as("segment"))
+      ManifestTable.overwrite(orders, pa)
+      ManifestTable.overwrite(customer, pb)
+      ManifestTable.overwrite(orders.join(customer, "custkey")
+        .select("k", "custkey", "price", "segment"), pm)
+      // ΔA: negate price for k%5 (U), tombstone k%7 (D) — disjoint sets
+      val srcA = orders.where(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+        .withColumn("price", -col("price")).withColumn("op", lit("U"))
+        .unionByName(orders.where(col("k") % 7 === 0)
+          .withColumn("op", lit("D")))
+      ManifestTable.mergeMoR(s, pa, srcA, Seq("k"),
+        deleteWhen = Some(col("op") === "D"))
+      // left-delta refresh from A's feed
+      val fa = ManifestTable.changesWithValues(s, pa, 1L, 2L, "k")
+      val bCur = ManifestTable.read(s, pb)
+      val upsA = fa.where(col("change_type") =!= "removed")
+        .select(col("k"), col("after.custkey").as("custkey"),
+          col("after.price").as("price"))
+        .join(broadcast(bCur), "custkey")
+        .select(col("k"), col("custkey"), col("price"), col("segment"),
+          lit("U").as("op"))
+      val delA = fa.where(col("change_type") === "removed")
+        .select(col("k"), lit(0L).as("custkey"), lit(0.0).as("price"),
+          lit("-").as("segment"), lit("D").as("op"))
+      ManifestTable.mergeMoR(s, pm, upsA.unionByName(delA), Seq("k"),
+        deleteWhen = Some(col("op") === "D"))
+      // ΔB: re-segment custkey%3 (U), tombstone custkey%11 (D)
+      val srcB = customer
+        .where(col("custkey") % 3 === 0 && col("custkey") % 11 =!= 0)
+        .withColumn("segment", lit("SEG-X")).withColumn("op", lit("U"))
+        .unionByName(customer.where(col("custkey") % 11 === 0)
+          .withColumn("op", lit("D")))
+      ManifestTable.mergeMoR(s, pb, srcB, Seq("custkey"),
+        deleteWhen = Some(col("op") === "D"))
+      // right-delta refresh: A-current touched ONLY on the changed keys
+      val fb = ManifestTable.changesWithValues(s, pb, 1L, 2L, "custkey")
+        .select(col("custkey"), col("change_type"),
+          col("after.segment").as("new_segment"))
+      val srcM = ManifestTable.read(s, pa)
+        .join(broadcast(fb), Seq("custkey"))
+        .select(col("k"), col("custkey"), col("price"),
+          coalesce(col("new_segment"), lit("-")).as("segment"),
+          when(col("change_type") === "removed", "D")
+            .otherwise("U").as("op"))
+      ManifestTable.mergeMoR(s, pm, srcM, Seq("k"),
+        deleteWhen = Some(col("op") === "D"))
+      // the maintained MV must equal the full recompute, row for row
+      val full = ManifestTable.read(s, pa)
+        .join(ManifestTable.read(s, pb), "custkey")
+        .select("k", "custkey", "price", "segment")
+      val mv = ManifestTable.read(s, pm)
+        .select("k", "custkey", "price", "segment")
+      require(mv.except(full).isEmpty && full.except(mv).isEmpty,
+        "maintained join MV must equal the A'⋈B' recompute exactly")
+      mv.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     "q189_partition_delete" -> ((s, dir) => {
       // METADATA-ONLY DELETE (Delta's partition-aligned delete): when
       // the predicate rides the Condition algebra and a file's stats
@@ -11574,6 +11657,26 @@ object SparkEntry {
                     ELSE CAST(o_totalprice AS DOUBLE) END
                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q190: the maintained MV = A' ⋈ B' with both deltas applied — the
+    // feeds, the merges and the key-scoped refreshes must be invisible
+    // to the relational truth
+    "q190_join_mv" ->
+      """WITH a AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS k,
+                  CAST(o_custkey AS BIGINT) AS custkey,
+                  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+                       THEN -CAST(o_totalprice AS DOUBLE)
+                       ELSE CAST(o_totalprice AS DOUBLE) END AS price
+           FROM orders WHERE o_orderkey % 7 <> 0
+         ), b AS (
+           SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                  CASE WHEN c_custkey % 3 = 0 AND c_custkey % 11 <> 0
+                       THEN 'SEG-X' ELSE c_mktsegment END AS segment
+           FROM customer WHERE c_custkey % 11 <> 0
+         )
+         SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM a JOIN b USING (custkey) GROUP BY 1""",
     // q189: the table after the two retention deletes — everything on
     // or after 1994-07-01; the metadata-only drops, the straddling
     // rewrite, and the untouched carries must be invisible to the truth
