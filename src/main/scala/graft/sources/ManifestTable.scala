@@ -1130,7 +1130,7 @@ object ManifestTable {
   /** Conservative per-file test: prune ONLY when stats prove emptiness.
     * A file with no stats for the column (unsupported type, pre-stats
     * manifest, stats missing from some row group) always survives. */
-  private def fileMightMatch(stats: Option[Map[String, ColStats]],
+  private[graft] def fileMightMatch(stats: Option[Map[String, ColStats]],
       conds: Seq[graft.conditions.Condition]): Boolean = conds.forall { c =>
     stats.flatMap(_.get(c.field)).forall { st =>
       import graft.conditions.Op
@@ -1151,7 +1151,7 @@ object ManifestTable {
     * FALSE whenever stats are missing, the null count is unknown (a
     * NULL row fails every null-rejecting comparison), or the op has no
     * bounds proof (contains). */
-  private[sources] def fileMustMatch(stats: Option[Map[String, ColStats]],
+  private[graft] def fileMustMatch(stats: Option[Map[String, ColStats]],
       fileRows: Option[Long],
       conds: Seq[graft.conditions.Condition]): Boolean =
     conds.nonEmpty && conds.forall { c =>
