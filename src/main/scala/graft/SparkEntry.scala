@@ -4248,14 +4248,18 @@ object SparkEntry {
       // value-carrying change feed (O(changed files), the CDF contract):
       //  left  Δ: deleted A-keys leave M by key; changed rows re-join
       //           against B-current (a dim-sized broadcast);
-      //  right Δ: only the CHANGED join keys touch A — A-current is
-      //           read semi-filtered to them, with the join-key filter
-      //           pushed to the scan; a deleted B row deletes every M
-      //           row of its key (inner-join semantics).
+      //  right Δ: only the CHANGED join keys touch A — the key set is
+      //           collected (dim-delta-sized by construction), and
+      //           A-current is read through the stats-pruned readWhere
+      //           so only files whose key range touches the set are
+      //           OPENED (gated: scanned < total); a deleted B row
+      //           deletes every M row of its key (inner-join semantics).
       // Never A ⋈ B recomputed. The in-query gate proves the maintained
       // MV row-for-row equals the full recompute, then the MV rollup
       // goes under the oracle. At 100 TB this is how a denormalized
-      // serving table tracks a 0.1% merge on either input.
+      // serving table tracks a 0.1% merge on either input — the fact
+      // side is key-clustered (as its own ingest below is), so the
+      // dim-batch refresh is O(touched files), never a fact-table scan.
       import graft.sources.ManifestTable
       val wh = java.nio.file.Files.createTempDirectory("graft-q190-").toString
       val (pa, pb, pm) = (s"$wh/a", s"$wh/b", s"$wh/mv")
@@ -4266,7 +4270,8 @@ object SparkEntry {
       val customer = Tables(s, dir, "customer").select(
         col("c_custkey").cast("long").as("custkey"),
         col("c_mktsegment").as("segment"))
-      ManifestTable.overwrite(orders, pa)
+      ManifestTable.overwrite(
+        orders.repartitionByRange(16, col("custkey")), pa)
       ManifestTable.overwrite(customer, pb)
       ManifestTable.overwrite(orders.join(customer, "custkey")
         .select("k", "custkey", "price", "segment"), pm)
@@ -4291,19 +4296,30 @@ object SparkEntry {
           lit("-").as("segment"), lit("D").as("op"))
       ManifestTable.mergeMoR(s, pm, upsA.unionByName(delA), Seq("k"),
         deleteWhen = Some(col("op") === "D"))
-      // ΔB: re-segment custkey%3 (U), tombstone custkey%11 (D)
+      // ΔB: a NARROW dim batch — custkeys 1..120 re-segment (U) or
+      // tombstone where %11 (D) — the realistic incremental shape
+      // (a few dim rows change per batch, not a third of the dimension)
       val srcB = customer
-        .where(col("custkey") % 3 === 0 && col("custkey") % 11 =!= 0)
+        .where(col("custkey") <= 120 && col("custkey") % 11 =!= 0)
         .withColumn("segment", lit("SEG-X")).withColumn("op", lit("U"))
-        .unionByName(customer.where(col("custkey") % 11 === 0)
-          .withColumn("op", lit("D")))
+        .unionByName(
+          customer.where(col("custkey") <= 120 && col("custkey") % 11 === 0)
+            .withColumn("op", lit("D")))
       ManifestTable.mergeMoR(s, pb, srcB, Seq("custkey"),
         deleteWhen = Some(col("op") === "D"))
-      // right-delta refresh: A-current touched ONLY on the changed keys
+      // right-delta refresh: collect the changed join keys (dim-delta-
+      // sized), then touch A ONLY through the stats-pruned readWhere —
+      // files whose custkey range misses the set are never opened
       val fb = ManifestTable.changesWithValues(s, pb, 1L, 2L, "custkey")
         .select(col("custkey"), col("change_type"),
           col("after.segment").as("new_segment"))
-      val srcM = ManifestTable.read(s, pa)
+      val changedKeys = fb.select("custkey").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val keyCond = Seq(Condition("custkey", Op.In, changedKeys))
+      val (scannedA, totalA) = ManifestTable.pruneCount(pa, keyCond)
+      require(scannedA < totalA, "right-delta refresh must stats-prune " +
+        s"A's scan to the touched files: $scannedA of $totalA")
+      val srcM = ManifestTable.readWhere(s, pa, keyCond)
         .join(broadcast(fb), Seq("custkey"))
         .select(col("k"), col("custkey"), col("price"),
           coalesce(col("new_segment"), lit("-")).as("segment"),
@@ -11670,9 +11686,10 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 7 <> 0
          ), b AS (
            SELECT CAST(c_custkey AS BIGINT) AS custkey,
-                  CASE WHEN c_custkey % 3 = 0 AND c_custkey % 11 <> 0
+                  CASE WHEN c_custkey <= 120 AND c_custkey % 11 <> 0
                        THEN 'SEG-X' ELSE c_mktsegment END AS segment
-           FROM customer WHERE c_custkey % 11 <> 0
+           FROM customer
+           WHERE NOT (c_custkey <= 120 AND c_custkey % 11 = 0)
          )
          SELECT segment, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue

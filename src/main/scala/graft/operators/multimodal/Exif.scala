@@ -136,7 +136,12 @@ object Exif {
     if (u16(tiffAt + 2) != 42) return None
     // one IFD's (tag → (type, count, value-slot offset)) map
     def readIfd(ifdAt: Int): Map[Int, (Int, Long, Int)] = {
-      if (ifdAt + 2 > end) return Map.empty
+      // a hostile/corrupt IFD pointer (huge u32, or one that overflows
+      // tiffAt + offset past Int.MaxValue) lands negative after .toInt,
+      // or re-enters the 8-byte TIFF header (offsets are TIFF-relative
+      // and the spec floors them at 8) — reject both so the u16 below
+      // can never index out of bounds or parse header bytes as an IFD
+      if (ifdAt < tiffAt + 8 || ifdAt + 2 > end) return Map.empty
       val n = u16(ifdAt)
       (0 until n).flatMap { k =>
         val e = ifdAt + 2 + k * 12

@@ -2144,9 +2144,16 @@ object ManifestTable {
         if newFiles.nonEmpty &&
           (c.constraints != su.constraints || c.generated != su.generated) &&
           !proven((c.constraints, c.generated))
-        spark <- SparkSession.getActiveSession
-          .orElse(SparkSession.getDefaultSession)
       } {
+        // drift detected with rows staged: validation is mandatory — a
+        // missing session must fail the commit, not silently skip the
+        // exact check this parameter exists to run
+        val spark = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException(
+            s"a contract commit landed at $path while this write was " +
+              "staging and no SparkSession is available to re-validate " +
+              "the staged rows - refusing to commit unvalidated"))
         require(filesSatisfy(spark, path, newFiles, c.constraints,
             c.generated, c.renames, c.droppedCols),
           s"a constraint/generated-column commit landed at $path while " +
@@ -2990,8 +2997,13 @@ object ManifestTable {
         df = df.withColumnRenamed(physical, logical) }
     val hidden = droppedCols.filter(df.columns.contains)
     if (hidden.nonEmpty) df = df.drop(hidden: _*)
+    // null-is-violation, matching enforceConstraints' assert_true
+    // semantics (which throws on NULL): a row violates unless every
+    // constraint evaluates to exactly TRUE, so `NOT (c <=> true)`
+    // catches NULL results that `NOT c` would filter out
     val consOk = cons.isEmpty || df.where(
-      !cons.map(c => gated(expr(c))).reduce(_ && _)).limit(1).collect().isEmpty
+      !cons.map(c => gated(expr(c) <=> lit(true))).reduce(_ && _))
+      .limit(1).collect().isEmpty
     if (!consOk) return false
     if (gens.isEmpty) return true
     if (!gens.forall { case (c, _) => df.columns.contains(c) }) return false
@@ -5175,6 +5187,20 @@ object ManifestTable {
   private val asOfRegistry =
     new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
 
+  /** Evict the OLDEST branch-as-of snapshots down to 3/4 of `max`,
+    * never clear(): a wholesale clear would expire a concurrent
+    * reader's snapshot between resolveBranchAsOf and manifestAt
+    * mid-query. Ids DESCEND from [[BranchAsOfBase]], so the smallest
+    * keys are the newest registrations — those are kept. */
+  private[graft] def trimAsOfRegistry(max: Int): Unit =
+    if (asOfRegistry.size > max) {
+      asOfRegistry.keySet().asScala.toSeq.sorted
+        .drop(max * 3 / 4).foreach(asOfRegistry.remove)
+    }
+
+  private[graft] def asOfRegistered(id: Long): Boolean =
+    asOfRegistry.containsKey(id)
+
   /** Resolve branch `name` AS OF `tsMillis` on the BRANCH'S OWN commit
     * clock (every branch commit stamps its publish wall time): the
     * parent snapshot plus each branch commit at or before the instant —
@@ -5194,7 +5220,7 @@ object ManifestTable {
         c.files.map(_ -> (parent.version + i + 1)) },
       stats = parent.stats ++ st, rows = parent.rows ++ rws,
       commitId = Some(s"branch:$name@$tsMillis"))
-    if (asOfRegistry.size > 4096) asOfRegistry.clear()
+    trimAsOfRegistry(4096)
     asOfRegistry.put(id, m)
     id
   }
@@ -5273,9 +5299,39 @@ object ManifestTable {
     // never saw, so the id is recomputed)
     landed(id).foreach { v => removeBranchRef(path, name); return v }
     val head = latestVersion(path)
-    require(head == b.parent,
-      s"main moved since branch '$name' forked (v${b.parent} -> v$head): " +
-        "rebaseBranch + re-audit, or DROP the branch")
+    if (head != b.parent) {
+      // main moved inside the seal window: UNSEAL before refusing, or
+      // the ref is stuck — appendBranch and rebaseBranch both refuse
+      // sealed refs and every fastForward retry re-fails this same
+      // check, leaving the commits recoverable only by DROP. The unseal
+      // rides the same create-exclusive slot chain as the seal; losing
+      // a slot race re-reads (a concurrent fastForward may have
+      // published meanwhile — then ITS landed commit is the answer).
+      var unsealAttempts = 0
+      var cur = b
+      while (cur.isSealed) {
+        unsealAttempts += 1
+        require(unsealAttempts <= 64, s"branch contention unsealing " +
+          s"'$name': gave up after $unsealAttempts attempts")
+        landed(ffId(cur)).foreach { v =>
+          removeBranchRef(path, name); return v }
+        val uks = branchDocVersions(path, name)
+        require(uks.nonEmpty,
+          s"no branch '$name' at $path - dropped mid-publish")
+        cur = branchHead(path, name).get
+        if (cur.isSealed) {
+          val doc =
+            branchRefDir(path, name).resolve(f"b${uks.last + 1}%08d.json")
+          try { publish(doc, renderBranchDoc(cur.copy(isSealed = false)))
+                cur = cur.copy(isSealed = false) }
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      }
+      throw new IllegalStateException(
+        s"main moved since branch '$name' forked (v${b.parent} -> " +
+          s"v$head) during the fast-forward seal window; the ref has " +
+          "been unsealed - rebaseBranch + re-audit, or DROP the branch")
+    }
     // (commit() fires beforePublishHook in the sealed-not-yet-committed
     // window — the race-injection seam BranchSpec's seal test drives)
     // branch appends validated in-scan against the parent-era contract

@@ -213,6 +213,58 @@ class BranchSpec extends SparkSpecBase {
     assert(ManifestTable.branches(path).isEmpty, "the ref is consumed")
   }
 
+  test("branch-as-of registry evicts oldest-first under pressure - a " +
+      "freshly resolved snapshot never expires mid-query") {
+    val path = freshTable()
+    ManifestTable.createBranch(path, "asf")
+    ManifestTable.appendBranch(batch(100, 110), path, "asf")
+    val ts = System.currentTimeMillis() + 60000
+    val ids =
+      (0 until 8).map(_ => ManifestTable.resolveBranchAsOf(path, "asf", ts))
+    ManifestTable.trimAsOfRegistry(4)
+    // ids DESCEND: the last-resolved have the smallest keys = newest.
+    // keep-3/evict-rest at max=4 must retain exactly the newest.
+    assert(ids.takeRight(3).forall(ManifestTable.asOfRegistered),
+      "the newest snapshots must survive the trim")
+    assert(!ManifestTable.asOfRegistered(ids.head),
+      "the oldest snapshot must be evicted")
+    // a retained snapshot still reads through the shared path
+    assert(ManifestTable.read(spark, path, Some(ids.last)).count() == 110)
+  }
+
+  test("a fast-forward that finds main moved post-seal UNSEALS the ref " +
+      "before refusing - the branch stays recoverable by rebase, not " +
+      "only by DROP") {
+    val path = freshTable()
+    ManifestTable.createBranch(path, "stuck")
+    ManifestTable.appendBranch(batch(100, 120), path, "stuck")
+    // crash INSIDE the sealed-not-yet-committed window: the hook fires in
+    // fastForward's main commit, after the seal doc landed
+    @volatile var fired = false
+    ManifestTable.beforePublishHook = () => {
+      if (!fired) { fired = true; sys.error("injected crash post-seal") }
+    }
+    try intercept[RuntimeException] { ManifestTable.fastForward(path, "stuck") }
+    finally ManifestTable.beforePublishHook = () => ()
+    assert(ManifestTable.branches(path)("stuck").isSealed,
+      "the crash must leave the ref sealed (the window under test)")
+    ManifestTable.append(batch(900, 905), path) // main moves past the fork
+    // retry: the post-seal strictness check fails, but must UNSEAL first
+    val refused = intercept[IllegalStateException] {
+      ManifestTable.fastForward(path, "stuck")
+    }
+    assert(refused.getMessage.contains("unsealed"),
+      s"the refusal must say the ref was unsealed: ${refused.getMessage}")
+    assert(!ManifestTable.branches(path)("stuck").isSealed,
+      "the ref must be unsealed after the refusal")
+    // the recommended recovery in the error message now actually works
+    ManifestTable.rebaseBranch(path, "stuck")
+    ManifestTable.fastForward(path, "stuck")
+    assert(ManifestTable.read(spark, path).count() == 125,
+      "base 100 + main append 5 + branch 20 all land")
+    assert(ManifestTable.branches(path).isEmpty, "the ref is consumed")
+  }
+
   test("branch names cannot shadow tags; numeric names refuse; a branch " +
       "with no commits drops but does not fast-forward") {
     val path = freshTable()

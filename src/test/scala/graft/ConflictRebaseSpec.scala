@@ -355,6 +355,32 @@ class ConflictRebaseSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, path).where(col("v") < 0).count() == 0)
   }
 
+  test("metadata×data: staged rows whose constraint evaluates to NULL " +
+      "count as violations in the delta prover - 3VL matches " +
+      "assert_true's null-is-violation enforcement") {
+    val path = mk()
+    val v0 = ManifestTable.latestVersion(path)
+    // v IS NULL makes `v >= 0` evaluate to NULL: the old NOT(pred)
+    // violation query filtered those rows OUT (NOT(null) = null),
+    // approving a rebase the full-scan enforcement path would reject
+    val nullV = spark.range(0, 40).select(col("id").as("k"),
+      lit(2L).as("g"), lit(null).cast("double").as("v"))
+    armRace(path) {
+      ManifestTable.setConstraints(spark, path, Seq("v >= 0"))
+    }
+    val e = intercept[Exception] {
+      ManifestTable.replaceWhere(spark, path, col("g") === 2, nullV)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("CHECK constraint violated") ||
+      msgs.contains("constraint"), s"want a constraint failure, got: $msgs")
+    // only the constraint landed; no NULL row dodged the contract
+    assert(ManifestTable.latestVersion(path) == v0 + 1)
+    assert(ManifestTable.read(spark, path)
+      .where(col("v").isNull).count() == 0)
+  }
+
   test("metadata×data: an append racing ADD CONSTRAINT re-validates its " +
       "staged rows against the head's contract inside the commit loop") {
     val path = mk()

@@ -44,6 +44,33 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.parse(bad2).isEmpty)
   }
 
+  test("hostile IFD pointers - huge or Int-overflowing u32 offsets - " +
+      "parse to None, never ArrayIndexOutOfBounds") {
+    // TIFF starts at byte 12 (SOI+APP1 header+\"Exif\\0\\0\"); the IFD0
+    // pointer is the u32 at tiffAt+4 = bytes 16..19 (little-endian here)
+    def smashIfd0(offset: Long): Array[Byte] = {
+      val b = mk(true).clone()
+      b(16) = (offset & 0xFF).toByte
+      b(17) = ((offset >> 8) & 0xFF).toByte
+      b(18) = ((offset >> 16) & 0xFF).toByte
+      b(19) = ((offset >> 24) & 0xFF).toByte
+      b
+    }
+    // 0x80000000 lands negative after .toInt; 0x7FFFFFF0 + tiffAt
+    // overflows Int; 0xFFFFFFFF is the all-ones corruption classic
+    for (off <- Seq(0x80000000L, 0x7FFFFFF0L, 0xFFFFFFFFL, 1L << 20))
+      assert(Exif.parse(smashIfd0(off)).isEmpty, f"ifd0 offset 0x$off%x")
+    // same attack on the chained Exif-IFD pointer (tag 0x8769's value
+    // slot): IFD0 entry 4 of 4, value at ifd0At + 2 + 3*12 + 8
+    val exifPtrAt = 12 + 8 + 2 + 3 * 12 + 8
+    val b2 = mk(true).clone()
+    b2(exifPtrAt) = 0xF0.toByte; b2(exifPtrAt + 1) = 0xFF.toByte
+    b2(exifPtrAt + 2) = 0xFF.toByte; b2(exifPtrAt + 3) = 0xFF.toByte
+    val m = Exif.parse(b2)
+    assert(m.nonEmpty && m.get.iso.isEmpty && m.get.focalMm.isEmpty,
+      "a corrupt Exif-IFD pointer drops the sub-IFD fields, keeps IFD0's")
+  }
+
   test("a JPEG without APP1 yields None; fields absent from the IFD " +
       "come back None, not defaults") {
     // plain JPEG: SOI + EOI
