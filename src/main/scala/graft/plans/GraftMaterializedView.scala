@@ -45,7 +45,16 @@ object GraftMaterializedView {
       measures: Seq[String], version: Long,
       // min/max measure columns (min_<m>/max_<m> in the rollup) —
       // absent in pre-minmax sidecars, json4s fills the default
-      minMax: Seq[String] = Seq.empty)
+      minMax: Seq[String] = Seq.empty,
+      // JOIN views (kind = "join"): `source` is the LEFT/fact side,
+      // `source2` the RIGHT/dim side, `joinKey` the USING column,
+      // `version2` the right version the view reflects, `cols` the
+      // view's projection, `leftPk` the fact key that keys the
+      // maintained view (the left table's PRIMARY KEY / merge keys).
+      // All defaulted so pre-join sidecars parse unchanged.
+      kind: String = "rollup", source2: String = "",
+      joinKey: String = "", version2: Long = -1L,
+      cols: Seq[String] = Seq.empty, leftPk: Seq[String] = Seq.empty)
 
   private[plans] def writeSpec(mvPath: String, spec: MvSpec): Unit = {
     import org.json4s._
@@ -145,6 +154,197 @@ object GraftMaterializedView {
     (srcParts, dims, measures, minMaxBuf.toSeq)
   }
 
+  /** Destructure a CREATE's SELECT-JOIN into (left parts, right parts,
+    * key, requested cols or None for `*`), refusing any shape the
+    * two-sided delta maintenance cannot keep fresh: inner USING joins
+    * of two catalog tables, plain column projections only. */
+  private[plans] def parseJoinSelect(spark: SparkSession, selectSql: String)
+      : (Seq[String], Seq[String], String, Option[Seq[String]]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW ... AS SELECT <cols|*> FROM <left> JOIN " +
+        s"<right> USING (<key>) — $why (ON-joins, outer joins and " +
+        "expressions are not maintainable; use USING with plain columns)")
+    val plan = spark.sessionState.sqlParser.parsePlan(selectSql)
+    val (items, join) = plan match {
+      case Project(is, j: Join) => (is, j)
+      case j: Join => (Seq.empty, j)
+      case other => refuse(s"got a ${other.nodeName}")
+    }
+    val key = join.joinType match {
+      case UsingJoin(Inner, Seq(k)) => k
+      case other => refuse(s"join type is ${other.sql}")
+    }
+    val lParts = join.left match {
+      case r: UnresolvedRelation => r.multipartIdentifier
+      case other => refuse(s"left side must be a catalog table, got ${other.nodeName}")
+    }
+    val rParts = join.right match {
+      case r: UnresolvedRelation => r.multipartIdentifier
+      case other => refuse(s"right side must be a catalog table, got ${other.nodeName}")
+    }
+    val cols: Option[Seq[String]] =
+      if (items.isEmpty || items.forall(_.isInstanceOf[UnresolvedStar])) None
+      else Some(items.map {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case other => refuse(s"unsupported select item ${other.sql}")
+      })
+    (lParts, rParts, key, cols)
+  }
+
+  /** The JOIN-view CREATE behind the SQL door: materialize L ⋈ R
+    * (inner, USING key) at `mvPath`, persist the two-sided maintenance
+    * contract, register the transparent join rewrite. The LEFT side
+    * must be keyed (PRIMARY KEY / merge.keys) — that key keys the
+    * maintained view. Returns (left version, right version, rows). */
+  def createJoinAt(spark: SparkSession, mvPath: String, lPath: String,
+      rPath: String, key: String,
+      colsReq: Option[Seq[String]]): (Long, Long, Long) = {
+    val lV = ManifestTable.latestVersion(lPath)
+    val rV = ManifestTable.latestVersion(rPath)
+    // manifest metadata wins (a keyed merge has run); the CREATE-time
+    // PRIMARY KEY / merge.keys declaration covers the not-yet-merged
+    // table — the same resolution order the SQL row-level doors use
+    val lPk = ManifestTable.tableMergeKeys(lPath) match {
+      case ks if ks.nonEmpty => ks
+      case _ => GraftCatalog.readDeclaredKeys(java.nio.file.Paths.get(lPath))
+    }
+    require(lPk.nonEmpty, "a join view needs the LEFT (fact) side " +
+      "keyed: declare PRIMARY KEY / TBLPROPERTIES('merge.keys') on it")
+    val l = ManifestTable.read(spark, lPath, Some(lV))
+    val r = ManifestTable.read(spark, rPath, Some(rV))
+    require(l.columns.contains(key) && r.columns.contains(key),
+      s"join key '$key' must exist on both sides")
+    val shared = l.columns.toSet.intersect(r.columns.toSet)
+    require(shared == Set(key),
+      s"sides share non-key columns ${(shared - key).mkString(", ")} — " +
+        "rename them; the rewrite needs unambiguous names")
+    val joined = l.join(r, Seq(key))
+    val cols = colsReq.getOrElse(joined.columns.toSeq)
+    require(cols.forall(joined.columns.contains),
+      s"unknown columns ${cols.filterNot(joined.columns.contains).mkString(", ")}")
+    require((lPk :+ key).forall(cols.contains),
+      s"the view must carry the left key(s) ${lPk.mkString(",")} and the " +
+        s"join key '$key' — they key the incremental maintenance")
+    val mv = joined.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    commitRollup(spark, mvPath, mv)
+    val spec = MvSpec(lPath, Seq.empty, Seq.empty, lV,
+      kind = "join", source2 = rPath, joinKey = key, version2 = rV,
+      cols = cols, leftPk = lPk)
+    writeSpec(mvPath, spec)
+    registerJoinRewrite(spark, mvPath, spec)
+    (lV, rV, ManifestTable.read(spark, mvPath).count())
+  }
+
+  private[plans] def registerJoinRewrite(spark: SparkSession,
+      mvPath: String, spec: MvSpec): Unit = {
+    val m = ManifestTable.snapshotAt(mvPath, None).getOrElse(
+      throw new IllegalStateException(s"$mvPath has no committed view"))
+    require(m.deletes.isEmpty, "join-view registration requires a " +
+      "folded ledger (refresh compacts before registering)")
+    val files = m.files.map(f =>
+      java.nio.file.Paths.get(mvPath, "data").resolve(f).toString)
+    MvRewrite.registerJoin(spark, spec.source, spec.source2, spec.joinKey,
+      spark.read.parquet(files: _*), spec.version, spec.version2)
+  }
+
+  /** JOIN-view REFRESH — q190's two-sided delta fold as a maintained
+    * surface. Left delta: the fact feed's upserts re-join the right
+    * side AS the view reflects it (dim-sized broadcast); deletes leave
+    * by fact key. Right delta: the changed join keys are collected
+    * (dim-delta-sized) and the fact side is read through the
+    * stats-pruned readWhere — only files whose key range touches the
+    * set are opened; a deleted right row deletes every view row of its
+    * key. Falls back to a full recompute when a commit cannot feed
+    * (the rollup REFRESH's contract). Returns (versions, mode). */
+  def refreshJoinAt(spark: SparkSession, mvPath: String,
+      spec: MvSpec): (Long, String) = {
+    import org.apache.spark.sql.functions._
+    val curL = ManifestTable.latestVersion(spec.source)
+    val curR = ManifestTable.latestVersion(spec.source2)
+    def realChanges(p: String, from: Long, to: Long): Boolean =
+      ManifestTable.versions(p).exists(v =>
+        v > from && v <= to && ManifestTable.isDataChange(p, v))
+    val lMoved = realChanges(spec.source, spec.version, curL)
+    val rMoved = realChanges(spec.source2, spec.version2, curR)
+    if (!lMoved && !rMoved) {
+      val advanced = spec.copy(version = curL, version2 = curR)
+      if (curL != spec.version || curR != spec.version2)
+        writeSpec(mvPath, advanced)
+      registerJoinRewrite(spark, mvPath, advanced)
+      return (curL, "noop")
+    }
+    val lSchema = ManifestTable.read(spark, spec.source, Some(curL)).columns
+    val viewLeftCols = spec.cols.filter(lSchema.contains) // key rides left
+    val viewRightCols = spec.cols.filterNot(viewLeftCols.contains)
+    val mode =
+      try {
+        if (lMoved) {
+          // LEFT delta against the right side the view still reflects
+          val fa = ManifestTable.changesWithValues(spark, spec.source,
+            spec.version, curL, spec.leftPk)
+          val rOld = ManifestTable.read(spark, spec.source2,
+            Some(spec.version2))
+            .select((spec.joinKey +: viewRightCols).map(col): _*)
+          val mvSchema = ManifestTable.read(spark, mvPath).schema
+          val ups = fa.where(col("change_type") =!= "removed")
+            .select(spec.leftPk.map(col) ++
+              viewLeftCols.filterNot(spec.leftPk.contains)
+                .map(c => col(s"after.$c").as(c)): _*)
+            .join(broadcast(rOld), Seq(spec.joinKey))
+            .select(spec.cols.map(col): _*)
+            .withColumn("__op", lit("U"))
+          val dels = fa.where(col("change_type") === "removed")
+            .select(spec.cols.map(c =>
+              if (spec.leftPk.contains(c)) col(c)
+              else lit(null).cast(mvSchema(c).dataType).as(c)): _*)
+            .withColumn("__op", lit("D"))
+          ManifestTable.mergeMoR(spark, mvPath, ups.unionByName(dels),
+            spec.leftPk, deleteWhen = Some(col("__op") === "D"))
+        }
+        if (rMoved) {
+          // RIGHT delta: collect changed keys, stats-prune the fact read
+          val fb = ManifestTable.changesWithValues(spark, spec.source2,
+            spec.version2, curR, spec.joinKey)
+            .select(col(spec.joinKey) +: col("change_type") +:
+              viewRightCols.map(c => col(s"after.$c").as(c)): _*)
+          val changedKeys = fb.select(spec.joinKey).distinct()
+            .collect().map(_.get(0)).toIndexedSeq
+          val keyCond = Seq(graft.conditions.Condition(spec.joinKey,
+            graft.conditions.Op.In, changedKeys))
+          val src = ManifestTable.readWhere(spark, spec.source, keyCond,
+            Some(curL))
+            .select(viewLeftCols.map(col): _*)
+            .join(broadcast(fb), Seq(spec.joinKey))
+            .withColumn("__op",
+              when(col("change_type") === "removed", "D").otherwise("U"))
+            .select(spec.cols.map(col) :+ col("__op"): _*)
+          ManifestTable.mergeMoR(spark, mvPath, src, spec.leftPk,
+            deleteWhen = Some(col("__op") === "D"))
+        }
+        // fold the merge ledger so the registration's plain file scan
+        // serves exactly the live rows (bounded by the delta's touch
+        // set), then retire superseded versions like the rollup path
+        ManifestTable.compactDeletes(spark, mvPath)
+        MvRewrite.purgeForPath(mvPath)
+        ManifestTable.expire(mvPath, keepLast = 1)
+        "incremental"
+      } catch {
+        case _: IllegalStateException =>
+          val l = ManifestTable.read(spark, spec.source, Some(curL))
+          val r = ManifestTable.read(spark, spec.source2, Some(curR))
+          commitRollup(spark, mvPath,
+            l.join(r, Seq(spec.joinKey))
+              .select(spec.cols.map(col): _*))
+          "full"
+      }
+    val updated = spec.copy(version = curL, version2 = curR)
+    writeSpec(mvPath, updated)
+    registerJoinRewrite(spark, mvPath, updated)
+    (curL, mode)
+  }
+
   /** Re-register the session's transparent rewrite onto the CURRENT
     * live rollup files (the registration pins a concrete file listing,
     * so every CREATE/REFRESH re-registers). */
@@ -217,11 +417,14 @@ object GraftMaterializedView {
     found.flatMap { mvPath =>
       readSpec(mvPath).flatMap { spec =>
         val fresh = scala.util.Try(
-          ManifestTable.latestVersion(spec.source) == spec.version)
+          ManifestTable.latestVersion(spec.source) == spec.version &&
+            (spec.kind != "join" ||
+              ManifestTable.latestVersion(spec.source2) == spec.version2))
           .getOrElse(false)
         if (!fresh) None
         else {
-          registerRewrite(spark, mvPath, spec)
+          if (spec.kind == "join") registerJoinRewrite(spark, mvPath, spec)
+          else registerRewrite(spark, mvPath, spec)
           Some(mvPath -> spec.source)
         }
       }
@@ -236,6 +439,7 @@ object GraftMaterializedView {
   def refreshAt(spark: SparkSession, mvPath: String): (Long, String) = {
     val spec = readSpec(mvPath).getOrElse(throw new IllegalArgumentException(
       s"$mvPath is not a materialized view (no ${SidecarFile})"))
+    if (spec.kind == "join") return refreshJoinAt(spark, mvPath, spec)
     val cur = ManifestTable.latestVersion(spec.source)
     // maintenance commits (OPTIMIZE/compaction, dataChange=false) change
     // no rows — a gap of only those is as fresh as no gap at all; the
@@ -284,6 +488,20 @@ case class GraftCreateMvCommand(target: Either[String, Seq[String]],
     GraftSqlParser.attr("groups", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // a SELECT-JOIN declares a keyed join view; a grouped aggregate
+    // declares the classic rollup — the parser splits on plan shape
+    val isJoin = spark.sessionState.sqlParser.parsePlan(selectSql) match {
+      case _: Aggregate => false
+      case _ => true
+    }
+    if (isJoin) {
+      val (lParts, rParts, key, cols) = parseJoinSelect(spark, selectSql)
+      val lPath = GraftSqlParser.resolvePath(spark, Right(lParts))
+      val rPath = GraftSqlParser.resolvePath(spark, Right(rParts))
+      val mvPath = GraftSqlParser.resolveNewPath(spark, target)
+      val (lV, _, rows) = createJoinAt(spark, mvPath, lPath, rPath, key, cols)
+      return Seq(Row(lV, rows))
+    }
     val (srcParts, dims, measures, minMax) = parseSelect(spark, selectSql)
     val srcPath = GraftSqlParser.resolvePath(spark, Right(srcParts))
     val mvPath = GraftSqlParser.resolveNewPath(spark, target)

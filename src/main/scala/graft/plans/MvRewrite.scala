@@ -129,6 +129,62 @@ object MvRewrite {
     install(spark)
   }
 
+  // ── declared JOIN views ─────────────────────────────────────────────
+  // A keyed inner-join view M = L ⋈ R (the denormalized serving table):
+  // registration lets the rule substitute the MAINTAINED M for the join
+  // subtree itself — the query pays one scan instead of two scans and a
+  // shuffle/broadcast join. Freshness is double-armed: BOTH base heads
+  // must still equal the versions the view reflects, or the original
+  // join plans (fresh by construction, same contract as rollups).
+
+  /** A registered join view: both base paths, the equi-join key, the
+    * analyzed view scan, the column names the view carries, and the two
+    * base versions it reflects. */
+  final case class JoinMvDef(leftPath: String, rightPath: String,
+      key: String, mvPlan: LogicalRelation, cols: Set[String],
+      leftVersion: Long, rightVersion: Long)
+
+  private val joinRegistry = new ConcurrentHashMap[String, JoinMvDef]()
+
+  /** Register `mv` as the maintained L ⋈ R (inner, USING `key`) FOR
+    * THIS SESSION and install the rule. */
+  def registerJoin(spark: SparkSession, leftPath: String, rightPath: String,
+      key: String, mv: DataFrame, leftVersion: Long,
+      rightVersion: Long): Unit = {
+    val plan = mv.queryExecution.analyzed match {
+      case lr: LogicalRelation => lr
+      case other => throw new IllegalArgumentException(
+        s"join MV must be a plain file scan (got ${other.nodeName})")
+    }
+    if (joinRegistry.size >= 1024) joinRegistry.clear()
+    joinRegistry.put(
+      s"${uuidOf(spark)}|${norm(leftPath)}|${norm(rightPath)}",
+      JoinMvDef(norm(leftPath), norm(rightPath), key, plan,
+        plan.output.map(_.name).toSet, leftVersion, rightVersion))
+    install(spark)
+  }
+
+  def deregisterJoin(spark: SparkSession, leftPath: String,
+      rightPath: String): Unit =
+    joinRegistry.remove(
+      s"${uuidOf(spark)}|${norm(leftPath)}|${norm(rightPath)}")
+
+  private[plans] def lookupJoin(leftPath: String,
+      rightPath: String): Option[JoinMvDef] =
+    SparkSession.getActiveSession.flatMap(s =>
+      Option(joinRegistry.get(s"${uuidOf(s)}|$leftPath|$rightPath")))
+
+  /** BOTH bases must still be at the versions the view reflects. */
+  private[plans] def isCurrentJoin(jm: JoinMvDef): Boolean = {
+    def cur(p: String, v: Long): Boolean = {
+      val local = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      scala.util.Try(
+        graft.sources.ManifestTable.latestVersion(local)).toOption
+        .contains(v)
+    }
+    cur(jm.leftPath, jm.leftVersion) && cur(jm.rightPath, jm.rightVersion)
+  }
+
   /** Substitution-time freshness: a version-armed registration only
     * answers while the base's CURRENT head version still equals the
     * version the rollup aggregates — a write to the base between
@@ -172,6 +228,14 @@ object MvRewrite {
           case _ => false
         })
     }
+    joinRegistry.entrySet().removeIf { e =>
+      e.getValue.leftPath == n || e.getValue.rightPath == n ||
+        (e.getValue.mvPlan.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(p => under(p.toString))
+          case _ => false
+        })
+    }
     ()
   }
 
@@ -207,6 +271,76 @@ class MvRewriteRule extends Rule[LogicalPlan] {
             .flatMap(tryRewrite(agg, _, cond))
         }
         .getOrElse(agg)
+    // a registered JOIN view substitutes for the join subtree itself:
+    // transformUp rewrites the join FIRST, then a parent Aggregate over
+    // a registered rollup (if any) can still rewrite independently
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+      tryRewriteJoin(j).getOrElse(j)
+  }
+
+  /** Substitute a registered, CURRENT join view for an inner equi-join
+    * of its two base scans. Sound because an inner equi-join row is a
+    * 1:1 image of (left row, right row) pairs: a deterministic filter
+    * pushed to either side equals the same filter over the view's rows,
+    * so side filters map straight onto the view scan. Bails on anything
+    * else — outer/semi joins, compound or non-key conditions, columns
+    * the view lacks, ambiguous (same-named, non-key) columns. */
+  private def tryRewriteJoin(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    if (j.joinType != Inner) return None
+    val eq = j.condition match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) => (a, b)
+      case _ => return None
+    }
+    val (lp, lCond) = destructure(j.left).getOrElse(return None)
+    val (rp, rCond) = destructure(j.right).getOrElse(return None)
+    // either orientation: `a JOIN b` and `b JOIN a` are the same view
+    val jm = MvRewrite.lookupJoin(lp, rp)
+      .orElse(MvRewrite.lookupJoin(rp, lp)).getOrElse(return None)
+    if (!MvRewrite.isCurrentJoin(jm)) return None
+    // the join condition must be exactly the registered key equality,
+    // one side from each input (either orientation)
+    val lIds = AttributeSet(j.left.output)
+    val rIds = AttributeSet(j.right.output)
+    val keyOk = eq._1.name == jm.key && eq._2.name == jm.key &&
+      ((lIds.contains(eq._1) && rIds.contains(eq._2)) ||
+        (lIds.contains(eq._2) && rIds.contains(eq._1)))
+    if (!keyOk) return None
+    // every output column (and filter column) must exist in the view
+    // under its own name, unambiguously: the two sides may share ONLY
+    // the key name (an inner USING join's shape)
+    val shared = j.left.output.map(_.name).toSet
+      .intersect(j.right.output.map(_.name).toSet)
+    if (shared.exists(_ != jm.key)) return None
+    val fresh = jm.mvPlan.newInstance()
+    val mvAttr: Map[String, Attribute] = fresh.output.map(a => a.name -> a).toMap
+    def mapped(a: Attribute): Option[Attribute] =
+      mvAttr.get(a.name).filter(_.dataType == a.dataType)
+    // side filters (collected by destructure under the join) map by name
+    def mapCond(e: Expression): Option[Expression] = e match {
+      case _: PlanExpression[_] => None
+      case a: AttributeReference => mapped(a)
+      case other if other.children.isEmpty => Some(other)
+      case other =>
+        val kids = other.children.map(mapCond)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val conds = (lCond.toSeq ++ rCond.toSeq).map(c =>
+      mapCond(c).getOrElse(return None))
+    // rebuild the join's exact output: each output attribute keeps its
+    // name AND exprId so parent references resolve unchanged
+    val outs: Seq[NamedExpression] = j.output.map { a =>
+      mapped(a) match {
+        case Some(m) => Alias(m, a.name)(exprId = a.exprId)
+        case None => return None
+      }
+    }
+    val filtered: LogicalPlan = conds.reduceOption(And)
+      .map(org.apache.spark.sql.catalyst.plans.logical.Filter(_, fresh))
+      .getOrElse(fresh)
+    Some(Project(outs, filtered))
   }
 
   /** The aggregate child must be the registered base scan — optionally

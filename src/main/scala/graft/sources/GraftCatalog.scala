@@ -999,7 +999,7 @@ object GraftCatalog {
 
   /** CREATE-time `merge.keys` declaration (pre-first-commit identity;
     * the manifest's mergeKeys take over once any keyed commit lands). */
-  private[sources] def readDeclaredKeys(dir: Path): Seq[String] = {
+  private[graft] def readDeclaredKeys(dir: Path): Seq[String] = {
     val f = dir.resolve(KeysFile)
     if (!Files.isRegularFile(f)) Seq.empty
     else Files.readString(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq

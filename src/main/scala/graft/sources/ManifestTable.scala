@@ -2458,6 +2458,299 @@ object ManifestTable {
     * clobbering the winner's rows; the loser's staged files are
     * abandoned for vacuum. Attempts are bounded small because each one
     * re-stages data (unlike a metadata-only merge retry). */
+  // ─────────────── single-table multi-action transactions ───────────
+  //
+  // Iceberg's `table.newTransaction()` (public API; Delta has no
+  // analogue): stage N actions against a PENDING snapshot — each action
+  // sees every earlier action's effects, its data files land on disk
+  // immediately (invisible until publish), the manifest mutation stays
+  // in memory — then publish ONE version. A pipeline step that deletes
+  // a scope, appends the correction batch and tightens the contract
+  // pays one commit (claim + render + publish + one history row), not
+  // N: §5b's floor breakdown shows per-version machinery is the
+  // irreducible term of q147/q153-class gates, so folding actions is
+  // the remaining wall-time lever — and the reader-visible semantics a
+  // pipeline actually wants (no intermediate version where the scope is
+  // deleted but the correction has not landed).
+  //
+  // Conflict handling is WHOLE-BUNDLE: a winner landing between the
+  // txn's open and its commit triggers ONE rebase decision for the
+  // entire bundle — adopted metadata-only iff the winner provably
+  // touched nothing the txn consumed (txn-removed inputs still live at
+  // the head, delete ledger / merge keys untouched, no winner-added row
+  // inside any txn rewrite scope, staged rows re-proven against a
+  // drifted contract). Any doubt = refuse loudly; the caller re-runs
+  // the bundle. Replay is bundle-level through `commitId`.
+
+  /** Open a transaction on `path`. Actions stage immediately; nothing
+    * is visible until [[TableTxn.commit]]. Actions after commit throw.
+    * V1 scope: append / deleteWhere / updateWhere / replaceWhere /
+    * setConstraints — no schema evolution, no MoR merge, no branch
+    * routing inside a bundle (each of those is its own versioned
+    * commit with its own conflict rules). */
+  def newTransaction(spark: SparkSession, path: String,
+      commitId: Option[String] = None): TableTxn = {
+    requireNoWapSession(spark, "newTransaction")
+    new TableTxn(spark, path, commitId)
+  }
+
+  final class TableTxn private[ManifestTable] (spark: SparkSession,
+      path: String, commitId: Option[String]) {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, col, lit, when}
+
+    private val base: Manifest = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    private var pending: Manifest = base
+    // replay detected at OPEN: every action no-ops (zero re-staged
+    // bytes — the single-op replay fast paths' economy, bundle-level)
+    private val replayedAtOpen: Option[Long] = commitId.flatMap(id =>
+      versions(path).map(manifestAt(path, _))
+        .find(_.commitId.contains(id)).map(_.version))
+    private var committed: Option[Long] = replayedAtOpen
+    // every rewrite action's predicate: the bundle-level delta-safety
+    // scan at rebase must prove the winner added no row in ANY of them
+    private val rewriteScopes =
+      scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Column]
+    private var consChanged = false
+
+    /** True = this action should silently no-op (replayed bundle);
+      * throws when the CALLER's own commit() already ran (re-use of a
+      * spent handle is a bug, a replayed bundle is not). */
+    private def skipAction(): Boolean = {
+      if (replayedAtOpen.isDefined) return true
+      require(committed.isEmpty,
+        s"transaction on $path already committed (v${committed.get})")
+      false
+    }
+
+    /** The PENDING snapshot's rows — base plus every action so far.
+      * What the next action (and the caller's own validation) sees. */
+    def read(): DataFrame = reconcile(spark, path, pending, pending.files)
+
+    /** Pre-apply the PENDING contract (the txn may have tightened it
+      * after open — [[stage]] only knows the committed head's), then
+      * stage through the shared layout-aware writer. */
+    private def stagePending(df: DataFrame): Seq[String] =
+      stage(enforceConstraints(
+        applyGenerated(df, pending.generated), pending.constraints), path)
+
+    private def fold(untouched: Seq[String], staged: Seq[String]): Unit = {
+      val (st, rws) = footerHarvest(path, staged)
+      val nextSeq = base.version + 1 // retargeted at publish if the slot moves
+      pending = pending.copy(
+        files = untouched ++ staged,
+        stats = untouched.flatMap(f =>
+          pending.stats.get(f).map(f -> _)).toMap ++ st,
+        seqs = untouched.map(f =>
+          f -> pending.seqs.getOrElse(f, 0L)).toMap ++
+          staged.map(_ -> nextSeq),
+        rows = pending.rows ++ rws)
+    }
+
+    def append(df: DataFrame): this.type = { if (skipAction()) return this
+      fold(pending.files, stagePending(df)); this }
+
+    def deleteWhere(cond: org.apache.spark.sql.Column,
+        scopeConds: Seq[graft.conditions.Condition] = Seq.empty): this.type =
+      rewriteWhere(cond, None, None, scopeConds)
+
+    def updateWhere(cond: org.apache.spark.sql.Column,
+        set: Map[String, org.apache.spark.sql.Column]): this.type = {
+      require(set.nonEmpty, "updateWhere needs at least one SET column")
+      rewriteWhere(cond, Some(set), None, Seq.empty)
+    }
+
+    def replaceWhere(cond: org.apache.spark.sql.Column, data: DataFrame,
+        scopeConds: Seq[graft.conditions.Condition] = Seq.empty): this.type =
+      rewriteWhere(cond, None, Some(data), scopeConds)
+
+    /** Tighten/replace the table contract inside the bundle: every
+      * PENDING row validates against the new constraints NOW (same
+      * enforcement semantics as the standalone setConstraints, against
+      * the exact snapshot the constraint will land with), and every
+      * LATER action in this txn stages under the new contract. */
+    def setConstraints(cons: Seq[String]): this.type = {
+      if (skipAction()) return this
+      if (cons.nonEmpty) enforceConstraints(read(), cons).count()
+      pending = pending.copy(constraints = cons)
+      consChanged = true
+      this
+    }
+
+    /** The shared copy-on-write rewrite against the PENDING snapshot —
+      * the same candidate/must-match/touched/rewrite shape as the
+      * standalone [[rewriteWhereAttempt]], minus the publish. */
+    private def rewriteWhere(cond: org.apache.spark.sql.Column,
+        set: Option[Map[String, org.apache.spark.sql.Column]],
+        insert: Option[DataFrame],
+        scopeConds: Seq[graft.conditions.Condition]): this.type = {
+      if (skipAction()) return this
+      set.foreach(m => m.keys.foreach(c =>
+        require(read().columns.contains(c), s"SET column '$c' not in table")))
+      val effConds =
+        if (scopeConds.nonEmpty) scopeConds
+        else columnToConditions(spark,
+          schemaAt(spark, path, Some(base.version)), cond)
+      val physConds = toPhysicalConds(pending, effConds)
+      val candidates =
+        if (physConds.isEmpty) pending.files
+        else pending.files.filter(f =>
+          fileMightMatch(pending.stats.get(f), physConds))
+      val dropped: Set[String] =
+        if (set.isDefined || physConds.isEmpty) Set.empty
+        else candidates.filter(f => fileMustMatch(pending.stats.get(f),
+          pending.rows.get(f), physConds)).toSet
+      val scanFiles = candidates.filterNot(dropped)
+      val touched =
+        if (scanFiles.isEmpty) Set.empty[String]
+        else spark.read.schema(physicalSchemaAt(spark, path, base))
+          .parquet(scanFiles.map(f => dataDir(path).resolve(f).toString): _*)
+          .withColumn("__file",
+            org.apache.spark.sql.functions.input_file_name())
+          .where(cond)
+          .select(col("__file")).distinct().collect()
+          .map(r => baseName(r.getString(0))).toSet
+      rewriteScopes += cond
+      if (touched.isEmpty && dropped.isEmpty && insert.isEmpty) return this
+      val untouched = pending.files.filterNot(f =>
+        touched(baseName(f)) || dropped(f))
+      val matches = coalesce(cond, lit(false))
+      val rewriteStaged =
+        if (touched.isEmpty) Seq.empty[String]
+        else {
+          val rows = reconcile(spark, path, pending,
+            pending.files.filter(f => touched(baseName(f))))
+          val rewritten = set match {
+            case None => rows.where(!matches)
+            case Some(m) => rows.select(rows.columns.map(c =>
+              m.get(c).map(nc => when(matches, nc).otherwise(col(c)).as(c))
+                .getOrElse(col(c))).toIndexedSeq: _*)
+          }
+          stagePending(rewritten)
+        }
+      val insertStaged = insert.map { ins =>
+        stagePending(ins.where(gated(assert_true(matches,
+          lit("replaceWhere: an inserted row does not satisfy the " +
+            "replaced predicate")).isNull)))
+      }.getOrElse(Seq.empty)
+      fold(untouched, rewriteStaged ++ insertStaged)
+      this
+    }
+
+    /** Publish the whole bundle as ONE version. Idempotent through
+      * `commitId`; a moved head triggers the whole-bundle rebase or a
+      * loud refusal — never a partial landing. */
+    def commit(): Long = {
+      committed.foreach(v => return v)
+      def replayed: Option[Long] = commitId.flatMap(id =>
+        versions(path).map(manifestAt(path, _))
+          .find(_.commitId.contains(id)).map(_.version))
+      replayed.foreach { v => committed = Some(v); return v }
+      if (pending == base) { // every action no-opped: nothing to commit
+        committed = Some(base.version); return base.version
+      }
+      val baseFiles = base.files.toSet
+      val removedByTxn = baseFiles -- pending.files.toSet
+      val addedByTxn = pending.files.filterNot(baseFiles)
+      var attempts = 0
+      var proven = Set.empty[(Seq[String], Seq[(String, String)])]
+      while (attempts < 16) {
+        attempts += 1
+        val head = latest(path).get
+        val next = head.version + 1
+        val m: Manifest =
+          if (head.version == base.version)
+            pending.copy(version = next, parent = head.version,
+              commitId = commitId, commitTs = None, rebasedFrom = None)
+          else {
+            // WHOLE-BUNDLE REBASE: one decision for all N actions.
+            require(removedByTxn.subsetOf(head.files.toSet),
+              s"transaction conflict at $path: a concurrent commit " +
+                "rewrote files this bundle consumed - re-run the bundle")
+            require(head.deletes == base.deletes &&
+              head.deleteStats == base.deleteStats &&
+              head.mergeKeys == base.mergeKeys,
+              s"transaction conflict at $path: the delete ledger or " +
+                "merge keys moved under this bundle - re-run the bundle")
+            require(!(consChanged && (head.constraints != base.constraints
+                || head.generated != base.generated)),
+              s"transaction conflict at $path: both this bundle and a " +
+                "concurrent commit changed the table contract")
+            val winnerAdded = (head.files.toSet -- baseFiles).toSeq
+            if (rewriteScopes.nonEmpty && winnerAdded.nonEmpty) {
+              val anyScope = rewriteScopes
+                .map(c => coalesce(c, lit(false))).reduce(_ || _)
+              require(spark.read
+                .schema(physicalSchemaAt(spark, path, head))
+                .parquet(winnerAdded.map(f =>
+                  dataDir(path).resolve(f).toString): _*)
+                .where(anyScope).limit(1).collect().isEmpty,
+                s"transaction conflict at $path: a concurrent commit " +
+                  "added rows inside this bundle's rewrite scope - " +
+                  "re-run the bundle")
+            }
+            // drift in the OTHER direction too: the bundle's new
+            // contract must hold for rows the winner added — the same
+            // delta proof the standalone setConstraints runs on a lost
+            // race, or the landed contract would assert an invariant
+            // the winner's rows were never checked against
+            if (consChanged && winnerAdded.nonEmpty) {
+              require(filesSatisfy(spark, path, winnerAdded,
+                pending.constraints, pending.generated, head.renames,
+                head.droppedCols),
+                s"transaction conflict at $path: rows a concurrent " +
+                  "commit added violate this bundle's new contract " +
+                  pending.constraints.mkString("[", "; ", "]"))
+            }
+            if ((head.constraints != base.constraints ||
+                head.generated != base.generated) && addedByTxn.nonEmpty &&
+                !proven((head.constraints, head.generated))) {
+              require(filesSatisfy(spark, path, addedByTxn,
+                head.constraints, head.generated, head.renames,
+                head.droppedCols),
+                s"a contract commit landed at $path during this " +
+                  "transaction and the bundle's staged rows do not " +
+                  "satisfy it " + head.constraints.mkString("[", "; ", "]"))
+              proven += ((head.constraints, head.generated))
+            }
+            Manifest(next,
+              head.files.filterNot(removedByTxn) ++ addedByTxn,
+              commitId, head.version,
+              stats = (head.stats -- removedByTxn) ++ addedByTxn.flatMap(
+                f => pending.stats.get(f).map(f -> _)),
+              seqs = (head.seqs -- removedByTxn) ++
+                addedByTxn.map(_ -> next),
+              deletes = head.deletes,
+              constraints =
+                if (consChanged) pending.constraints else head.constraints,
+              deleteStats = head.deleteStats,
+              rows = head.rows ++ addedByTxn.flatMap(f =>
+                pending.rows.get(f).map(f -> _)),
+              mergeKeys = head.mergeKeys, generated = head.generated,
+              txns = head.txns, renames = head.renames,
+              droppedCols = head.droppedCols, bytes = head.bytes,
+              rebasedFrom = Some(base.version))
+          }
+        // seqs of the bundle's files retarget to the slot actually
+        // claimed (MoR ordering: staged rows must outrank every
+        // pre-existing delete key)
+        val mSeq = m.copy(seqs = m.seqs ++ addedByTxn.map(_ -> next))
+        beforePublishHook()
+        try {
+          publish(manifestDir(path).resolve(f"v$next%08d.json"),
+            render(path, mSeq))
+          committed = Some(next); return next
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            replayed.foreach { v => committed = Some(v); return v }
+        }
+      }
+      throw new IllegalStateException(
+        s"commit contention in transaction at $path: " +
+          s"gave up after $attempts attempts")
+    }
+  }
+
   private def retryCompaction(what: String)(attempt: () => Option[Long]): Long = {
     var attempts = 0
     while (attempts < 8) {
