@@ -4241,6 +4241,69 @@ object SparkEntry {
           sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    "q193_branch_dml" -> ((s, dir) => {
+      // BRANCH DML — the audit-a-CORRECTION flow branch refs could not
+      // express before (r18 "What's missing" 3): UPDATE and DELETE now
+      // route onto a ref as keyed MoR ledger commits (mergeMoRBranch),
+      // so a correction — reprice a scope, drop poison rows, land the
+      // late batch — stages on the branch, audits through the SAME
+      // shared read path (`VERSION AS OF '<name>'` reconciles ledger +
+      // files), and fast-forward publishes data AND ledger in ONE
+      // STRICT main commit (no rebase with a ledger in flight — seqs
+      // are parent-relative; BranchSpec arms the race). Main is
+      // byte-untouched until the audit passes. At 100 TB this is the
+      // staged-correction review gate a data platform actually runs.
+      import graft.sources.ManifestTable
+      ManifestTable.beforePublishHook = () => ()
+      val wh = java.nio.file.Files.createTempDirectory("graft-q193-").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables(s2, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("ord_q193")
+      s2.sql("""CREATE TABLE graft.ord (k BIGINT, status STRING, price DOUBLE)
+                TBLPROPERTIES ('merge.keys'='k')""")
+      s2.sql("INSERT INTO graft.ord SELECT * FROM ord_q193")
+      val p = s"$wh/ord"
+      val total = s2.table("ord_q193").count()
+      val v0 = ManifestTable.latestVersion(p)
+      s2.sql("ALTER TABLE graft.ord CREATE BRANCH 'corr'")
+      // the correction, staged entirely on the ref
+      ManifestTable.updateBranchWhere(s2, p, "corr", col("status") === "F",
+        Map("price" -> (col("price") + 10.0)), Seq("k"))
+      ManifestTable.deleteBranchWhere(s2, p, "corr",
+        col("k") % 13 === 0, Seq("k"))
+      ManifestTable.appendBranch(
+        s2.table("ord_q193").where(col("k") % 10 === 0)
+          .select((col("k") + 100000000L).as("k"), lit("X").as("status"),
+            (col("price") * 0.5).as("price")), p, "corr")
+      // main is untouched while the correction stages
+      require(ManifestTable.latestVersion(p) == v0 &&
+        s2.sql("SELECT count(*) FROM graft.ord").head().getLong(0) == total,
+        "branch DML must never move main")
+      // the audit: VERSION AS OF the ref reconciles ledger + files
+      val audited = s2.sql(
+        "SELECT k, status, price FROM graft.ord VERSION AS OF 'corr'")
+      val deleted = s2.table("ord_q193").where(col("k") % 13 === 0).count()
+      val late = s2.table("ord_q193").where(col("k") % 10 === 0).count()
+      require(audited.count() == total - deleted + late,
+        "the audit read must see update+delete+append reconciled")
+      require(audited.where(col("k") % 13 === 0 &&
+          col("k") < 100000000L).count() == 0,
+        "deleted keys must be gone from the audit read")
+      // publish: ONE main commit carries files AND ledger
+      val v = ManifestTable.fastForward(p, "corr")
+      require(v == v0 + 1, s"fast-forward must land ONE version, got $v")
+      val t = ManifestTable.read(s2, p)
+      require(t.count() == total - deleted + late)
+      t.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     "q192_join_mv_sql" -> ((s, dir) => {
       // DECLARED JOIN MATERIALIZED VIEWS — q190's hand-assembled
       // incremental join maintenance promoted to a maintained surface:
@@ -11839,6 +11902,24 @@ object SparkEntry {
                     ELSE CAST(o_totalprice AS DOUBLE) END
                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+    // q193: the published table after the branch-staged correction —
+    // the ref, its ledger commits, the audit read and the one-commit
+    // fast-forward must be invisible to the relational truth
+    "q193_branch_dml" ->
+      """WITH kept AS (
+           SELECT o_orderstatus AS status,
+                  CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(o_totalprice AS DOUBLE) + 10.0
+                       ELSE CAST(o_totalprice AS DOUBLE) END AS price
+           FROM orders WHERE o_orderkey % 13 <> 0
+         ), late AS (
+           SELECT 'X' AS status, CAST(o_totalprice AS DOUBLE) * 0.5 AS price
+           FROM orders WHERE o_orderkey % 10 = 0
+         )
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM late)
+         GROUP BY 1""",
     // q192: the maintained join view's rollup = A' ⋈ B' with both MoR
     // deltas applied — declaration, rewrite, de-arm and two-sided
     // incremental REFRESH must be invisible to the relational truth

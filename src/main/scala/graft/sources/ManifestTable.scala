@@ -5238,15 +5238,24 @@ object ManifestTable {
 
   private def branchDir(path: String): Path = Paths.get(path, "_branch")
 
+  /** `deletes`: MoR delete-key files this commit carries — the branch
+    * DML door ([[mergeMoRBranch]]) stages corrections as keyed delete
+    * ledgers + upsert files, exactly the main-chain merge shape. */
   final case class BranchCommit(files: Seq[String], ts: Long,
-      commitId: Option[String])
+      commitId: Option[String], deletes: Seq[String] = Seq.empty)
   /** `isSealed`: the ref is being consumed by fast-forward — the seal is
     * itself a doc published at the next slot through the create-exclusive
     * chain, so a racing [[appendBranch]] LOSES the slot and fails loudly
-    * instead of publishing a commit the ref removal would silently erase. */
+    * instead of publishing a commit the ref removal would silently erase.
+    * `keys`: the merge keys the branch's DML commits are ledgered on —
+    * set by the first [[mergeMoRBranch]] when the table itself is not
+    * yet keyed, so branch readers and the fast-forward publish resolve
+    * the ledger identically. */
   final case class BranchState(bid: Long, parent: Long,
-      commits: Seq[BranchCommit], isSealed: Boolean = false) {
+      commits: Seq[BranchCommit], isSealed: Boolean = false,
+      keys: Seq[String] = Seq.empty) {
     def files: Seq[String] = commits.flatMap(_.files)
+    def deleteFiles: Seq[String] = commits.flatMap(_.deletes)
   }
 
   private val branchManifestCache =
@@ -5318,11 +5327,20 @@ object ManifestTable {
               case _ => Seq.empty
             },
             (c \ "ts").extract[Long],
-            (c \ "commitId").extractOpt[String])
+            (c \ "commitId").extractOpt[String],
+            // pre-DML docs carry no deletes field
+            (c \ "deletes") match {
+              case JArray(ds) => ds.map(_.extract[String])
+              case _ => Seq.empty
+            })
         }
         case _ => Seq.empty
       },
-      (j \ "sealed").extractOpt[Boolean].getOrElse(false))
+      (j \ "sealed").extractOpt[Boolean].getOrElse(false),
+      (j \ "keys") match {
+        case JArray(ks) => ks.map(_.extract[String])
+        case _ => Seq.empty
+      })
   }
 
   private def branchHead(path: String, name: String): Option[BranchState] = {
@@ -5349,10 +5367,11 @@ object ManifestTable {
   private def renderBranchDoc(b: BranchState): String = {
     val commits = b.commits.map { c =>
       s"""{"files":[${c.files.map(q).mkString(",")}],"ts":${c.ts},""" +
-        s""""commitId":${c.commitId.map(q).getOrElse("null")}}"""
+        s""""commitId":${c.commitId.map(q).getOrElse("null")},""" +
+        s""""deletes":[${c.deletes.map(q).mkString(",")}]}"""
     }.mkString("[", ",", "]")
     s"""{"bid":${b.bid},"parent":${b.parent},"sealed":${b.isSealed},""" +
-      s""""commits":$commits}"""
+      s""""keys":[${b.keys.map(q).mkString(",")}],"commits":$commits}"""
   }
 
   /** Fork branch `name` from a main version (default: the current
@@ -5424,6 +5443,116 @@ object ManifestTable {
       s"branch contention on '$name': gave up after $attempts attempts")
   }
 
+  /** BRANCH DML — the keyed MoR merge routed onto a ref: corrections
+    * (UPDATE-shaped upserts, DELETE-shaped tombstones) stage as delete
+    * ledgers + upsert files, exactly the main-chain [[mergeMoR]] shape,
+    * and publish as ONE branch commit. Main never moves; the branch
+    * snapshot reconciles them through the ONE shared read path (the
+    * commit's ledger rides one seq above the last, so parent rows and
+    * earlier branch commits with matching keys hide while the commit's
+    * own upserts survive). Fast-forward publishes data AND ledger in one
+    * STRICT main commit. This is the audit-a-CORRECTION flow: stage the
+    * fix on a branch, audit `VERSION AS OF '<name>'`, publish or drop.
+    * Returns the 1-based branch commit ordinal. */
+  def mergeMoRBranch(spark: SparkSession, path: String, name: String,
+      source: DataFrame, keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      commitId: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "branch merge needs at least one key column")
+    def replayOf(b: BranchState): Option[Int] = commitId.flatMap(id =>
+      b.commits.zipWithIndex.find(_._1.commitId.contains(id)))
+      .map(_._2 + 1)
+    val b0 = branchHead(path, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' at $path - CREATE BRANCH first"))
+    replayOf(b0).foreach(return _)
+    val parentM = manifestAt(path, b0.parent)
+    require(parentM.mergeKeys.isEmpty || parentM.mergeKeys == keyCols,
+      s"table is keyed on ${parentM.mergeKeys.mkString("(", ",", ")")}; " +
+        s"branch merge on ${keyCols.mkString("(", ",", ")")} rejected")
+    require(b0.keys.isEmpty || b0.keys == keyCols,
+      s"branch '$name' is keyed on ${b0.keys.mkString("(", ",", ")")}; " +
+        s"merge on ${keyCols.mkString("(", ",", ")")} rejected")
+    val target = readBranch(spark, path, name)
+    val cols = target.columns.toSeq
+    require(keyCols.forall(cols.contains), s"key not in target: $keyCols")
+    require(cols.forall(source.columns.contains),
+      s"source is missing target columns: ${cols.diff(source.columns.toSeq)}")
+    val raw = source.localCheckpoint()
+    try {
+      val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
+        .select(cols.map(col): _*)
+      val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
+        .getOrElse(raw).select(cols.map(col): _*)
+      Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
+        case (side, df) =>
+          val dup = df.groupBy(keyCols.map(col): _*).count()
+            .where(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"source has duplicate $side merge key ${dup.headOption.map(_.get(0))}")
+      }
+      val delKeys = tombstones.select(keyCols.map(col): _*)
+        .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
+      val delFiles = stageDeletes(delKeys, path)
+      val staged = stage(upserts, path)
+      var attempts = 0
+      while (attempts < 64) {
+        attempts += 1
+        val ks = branchDocVersions(path, name)
+        require(ks.nonEmpty, s"no branch '$name' at $path - dropped mid-write")
+        val b = branchHead(path, name).get
+        replayOf(b).foreach(return _)
+        if (b.isSealed) throw new IllegalStateException(
+          s"branch '$name' at $path is sealed for fast-forward - " +
+            "re-run this merge once the publish resolves")
+        require(b.keys.isEmpty || b.keys == keyCols,
+          s"branch '$name' keyed on ${b.keys.mkString(",")} mid-write")
+        val c = BranchCommit(staged, System.currentTimeMillis(), commitId,
+          delFiles)
+        val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
+        try {
+          publish(doc, renderBranchDoc(
+            b.copy(commits = b.commits :+ c, keys = keyCols)))
+          return b.commits.size + 1
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // retry on top
+        }
+      }
+      throw new IllegalStateException(
+        s"branch contention on '$name': gave up after $attempts attempts")
+    } finally graft.operators.IndexScope.release(raw)
+  }
+
+  /** UPDATE … SET … WHERE on a branch: matching branch-snapshot rows
+    * re-land with each `set` column replaced (expressions read the old
+    * row), as one keyed branch commit. */
+  def updateBranchWhere(spark: SparkSession, path: String, name: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      keyCols: Seq[String], commitId: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateBranchWhere needs at least one SET column")
+    val snap = readBranch(spark, path, name)
+    set.keys.foreach(c => require(snap.columns.contains(c),
+      s"SET column '$c' not in table"))
+    val updated = snap.where(cond).select(snap.columns.map(c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))).toIndexedSeq: _*)
+    mergeMoRBranch(spark, path, name, updated, keyCols, None, commitId)
+  }
+
+  /** DELETE … WHERE on a branch: matching branch-snapshot rows leave
+    * the ref's view as one keyed ledger commit (main untouched). */
+  def deleteBranchWhere(spark: SparkSession, path: String, name: String,
+      cond: org.apache.spark.sql.Column, keyCols: Seq[String],
+      commitId: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = readBranch(spark, path, name)
+    val doomed = snap.where(cond)
+      .withColumn("__graft_del", lit(true))
+    mergeMoRBranch(spark, path, name, doomed, keyCols,
+      Some(col("__graft_del")), commitId)
+  }
+
   /** Resolve a branch name to its synthetic snapshot id (what
     * `VERSION AS OF '<name>'` reads through). */
   def resolveBranch(path: String, name: String): Option[Long] =
@@ -5447,6 +5576,7 @@ object ManifestTable {
     if (hit != null) return hit
     val parent = manifestAt(path, b.parent)
     val (branchStats, branchRows) = footerHarvest(path, b.files)
+    val (delStats, delRows) = footerHarvest(path, b.deleteFiles)
     val m = parent.copy(
       version = bid,
       parent = b.parent,
@@ -5454,7 +5584,15 @@ object ManifestTable {
       seqs = parent.seqs ++ b.commits.zipWithIndex.flatMap {
         case (c, i) => c.files.map(_ -> (parent.version + i + 1)) },
       stats = parent.stats ++ branchStats,
-      rows = parent.rows ++ branchRows,
+      rows = parent.rows ++ branchRows ++ delRows,
+      // branch DML: each commit's delete ledger rides one seq above the
+      // last, exactly as it will after fast-forward — parent rows and
+      // earlier branch commits with matching keys reconcile away, the
+      // commit's own upserts survive (strict dseq > fseq)
+      deletes = parent.deletes ++ b.commits.zipWithIndex.flatMap {
+        case (c, i) => c.deletes.map(_ -> (parent.version + i + 1)) },
+      deleteStats = parent.deleteStats ++ delStats,
+      mergeKeys = if (parent.mergeKeys.nonEmpty) parent.mergeKeys else b.keys,
       commitId = Some(s"branch:$name"))
     if (branchManifestCache.size > 4096) branchManifestCache.clear()
     branchManifestCache.put(key, m)
@@ -5506,12 +5644,17 @@ object ManifestTable {
     val upTo = b.commits.filter(_.ts <= tsMillis)
     val parent = manifestAt(path, b.parent)
     val (st, rws) = footerHarvest(path, upTo.flatMap(_.files))
+    val (dst, drws) = footerHarvest(path, upTo.flatMap(_.deletes))
     val id = BranchAsOfBase - asOfIds.incrementAndGet()
     val m = parent.copy(version = id, parent = b.parent,
       files = parent.files ++ upTo.flatMap(_.files),
       seqs = parent.seqs ++ upTo.zipWithIndex.flatMap { case (c, i) =>
         c.files.map(_ -> (parent.version + i + 1)) },
-      stats = parent.stats ++ st, rows = parent.rows ++ rws,
+      stats = parent.stats ++ st, rows = parent.rows ++ rws ++ drws,
+      deletes = parent.deletes ++ upTo.zipWithIndex.flatMap { case (c, i) =>
+        c.deletes.map(_ -> (parent.version + i + 1)) },
+      deleteStats = parent.deleteStats ++ dst,
+      mergeKeys = if (parent.mergeKeys.nonEmpty) parent.mergeKeys else b.keys,
       commitId = Some(s"branch:$name@$tsMillis"))
     trimAsOfRegistry(4096)
     asOfRegistry.put(id, m)
@@ -5538,14 +5681,45 @@ object ManifestTable {
     require(b.commits.nonEmpty || b.isSealed,
       s"branch '$name' has no commits to publish - DROP it instead")
     def ffId(st: BranchState): String = {
+      // delete-ledger files join the fingerprint with a marker prefix so
+      // a DML branch and an append branch over the same data files can
+      // never replay to each other's commit; pure-append branches keep
+      // the historical digest (crash-replay compatibility)
+      val parts = st.files.sorted ++ st.deleteFiles.sorted.map("D:" + _)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(st.files.sorted.mkString(",").getBytes("UTF-8"))
+        .digest(parts.mkString(",").getBytes("UTF-8"))
         .take(8).map(x => f"$x%02x").mkString
       s"branch:$name:$digest"
     }
     def landed(id: String): Option[Long] =
       versions(path).map(manifestAt(path, _))
         .find(_.commitId.contains(id)).map(_.version)
+    // UNSEAL the ref through the slot chain (recovery from a refused or
+    // contended publish); Some(v) when a concurrent fast-forward landed
+    // meanwhile — that version IS the answer and the ref is consumed.
+    def unsealRef(cur0: BranchState): Option[Long] = {
+      var unsealAttempts = 0
+      var cur = cur0
+      while (cur.isSealed) {
+        unsealAttempts += 1
+        require(unsealAttempts <= 64, s"branch contention unsealing " +
+          s"'$name': gave up after $unsealAttempts attempts")
+        landed(ffId(cur)).foreach { v =>
+          removeBranchRef(path, name); return Some(v) }
+        val uks = branchDocVersions(path, name)
+        require(uks.nonEmpty,
+          s"no branch '$name' at $path - dropped mid-publish")
+        cur = branchHead(path, name).get
+        if (cur.isSealed) {
+          val doc =
+            branchRefDir(path, name).resolve(f"b${uks.last + 1}%08d.json")
+          try { publish(doc, renderBranchDoc(cur.copy(isSealed = false)))
+                cur = cur.copy(isSealed = false) }
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      }
+      None
+    }
     // crash replay FIRST (before strictness or sealing): a leftover ref —
     // sealed by the new publish flow or unsealed from an older one —
     // whose commit already landed resolves idempotently to that version
@@ -5600,30 +5774,52 @@ object ManifestTable {
       // rides the same create-exclusive slot chain as the seal; losing
       // a slot race re-reads (a concurrent fastForward may have
       // published meanwhile — then ITS landed commit is the answer).
-      var unsealAttempts = 0
-      var cur = b
-      while (cur.isSealed) {
-        unsealAttempts += 1
-        require(unsealAttempts <= 64, s"branch contention unsealing " +
-          s"'$name': gave up after $unsealAttempts attempts")
-        landed(ffId(cur)).foreach { v =>
-          removeBranchRef(path, name); return v }
-        val uks = branchDocVersions(path, name)
-        require(uks.nonEmpty,
-          s"no branch '$name' at $path - dropped mid-publish")
-        cur = branchHead(path, name).get
-        if (cur.isSealed) {
-          val doc =
-            branchRefDir(path, name).resolve(f"b${uks.last + 1}%08d.json")
-          try { publish(doc, renderBranchDoc(cur.copy(isSealed = false)))
-                cur = cur.copy(isSealed = false) }
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        }
-      }
+      unsealRef(b).foreach(v => return v)
       throw new IllegalStateException(
         s"main moved since branch '$name' forked (v${b.parent} -> " +
           s"v$head) during the fast-forward seal window; the ref has " +
           "been unsealed - rebaseBranch + re-audit, or DROP the branch")
+    }
+    if (b.deleteFiles.nonEmpty) {
+      // DML branch: the ledger's seqs are computed against the parent
+      // chain, and a racing commit's files could land BELOW a branch
+      // delete seq — commit()'s append rebase would be UNSOUND here, so
+      // the publish is STRICT: claim exactly head+1 or unseal + refuse.
+      val parentM = manifestAt(path, b.parent)
+      val (st, rws) = footerHarvest(path, files)
+      val (dst, drws) = footerHarvest(path, b.deleteFiles)
+      val next = head + 1
+      val m = parentM.copy(version = next, parent = head,
+        commitId = Some(id), commitTs = None,
+        files = parentM.files ++ files,
+        seqs = parentM.seqs ++
+          (parentM.files.filterNot(parentM.seqs.contains).map(_ -> 0L)) ++
+          b.commits.zipWithIndex.flatMap { case (c, i) =>
+            c.files.map(_ -> (b.parent + i + 1)) },
+        stats = parentM.stats ++ st,
+        deletes = parentM.deletes ++
+          b.commits.zipWithIndex.flatMap { case (c, i) =>
+            c.deletes.map(_ -> (b.parent + i + 1)) },
+        deleteStats = parentM.deleteStats ++ dst,
+        rows = parentM.rows ++ rws ++ drws,
+        mergeKeys =
+          if (parentM.mergeKeys.nonEmpty) parentM.mergeKeys else b.keys,
+        rebasedFrom = None)
+      beforePublishHook()
+      try {
+        publish(manifestDir(path).resolve(f"v$next%08d.json"),
+          render(path, m))
+        removeBranchRef(path, name)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          landed(id).foreach { v => removeBranchRef(path, name); return v }
+          unsealRef(b).foreach(v => return v)
+          throw new IllegalStateException(
+            s"main moved during the fast-forward publish of DML branch " +
+              s"'$name' at $path; the ref has been unsealed - re-audit " +
+              "(rebase is refused for keyed-DML branches), or DROP it")
+      }
     }
     // (commit() fires beforePublishHook in the sealed-not-yet-committed
     // window — the race-injection seam BranchSpec's seal test drives)
@@ -5661,6 +5857,11 @@ object ManifestTable {
       val b = branchHead(path, name).get
       if (b.isSealed) throw new IllegalStateException(
         s"branch '$name' at $path is sealed for fast-forward - cannot rebase")
+      if (b.deleteFiles.nonEmpty) throw new IllegalStateException(
+        s"branch '$name' at $path carries keyed DML commits - a rebase " +
+          "would re-aim its delete ledger at rows the audit never saw " +
+          "(sound only for append-shaped branches); re-stage the " +
+          "correction on a fresh branch, or DROP this one")
       val head = latestVersion(path)
       val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
       try {
@@ -5680,14 +5881,14 @@ object ManifestTable {
     val b = branchHead(path, name).getOrElse(throw new IllegalStateException(
       s"no branch '$name' at $path"))
     removeBranchRef(path, name)
-    b.files
+    b.files ++ b.deleteFiles
   }
 
   /** Files referenced by live branch refs — retained by [[vacuum]] and
     * the previews exactly like WAP docs and clone breadcrumbs (and,
     * like them, loud on an unreadable ref: [[branches]] throws). */
   private def branchRetained(path: String): Set[String] =
-    branches(path).values.flatMap(_.files).toSet
+    branches(path).values.flatMap(b => b.files ++ b.deleteFiles).toSet
 
   /** Main versions pinned by branch fork points — retention never
     * expires a version a live branch still reads through. */

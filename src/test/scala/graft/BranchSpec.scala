@@ -213,6 +213,101 @@ class BranchSpec extends SparkSpecBase {
     assert(ManifestTable.branches(path).isEmpty, "the ref is consumed")
   }
 
+  test("branch DML: a CORRECTION (update + delete) stages on the ref, " +
+      "audits via the branch read, publishes data AND ledger in ONE " +
+      "commit - main untouched until then") {
+    val path = freshTable() // k in [0,100), g = k % 10
+    val v0 = ManifestTable.latestVersion(path)
+    ManifestTable.createBranch(path, "fix")
+    // the audit flow: late rows land, a bad scope is repriced, poison
+    // rows leave - all on the ref
+    ManifestTable.appendBranch(batch(100, 120), path, "fix")
+    ManifestTable.updateBranchWhere(spark, path, "fix",
+      col("g") === 3, Map("g" -> lit(300L)), Seq("k"))
+    ManifestTable.deleteBranchWhere(spark, path, "fix",
+      col("k") < 10, Seq("k"))
+    // main is byte-identical
+    assert(ManifestTable.latestVersion(path) == v0)
+    assert(ManifestTable.read(spark, path).count() == 100)
+    assert(ManifestTable.read(spark, path)
+      .where(col("g") === 300L).count() == 0)
+    // the branch read reconciles the whole correction
+    val br = ManifestTable.readBranch(spark, path, "fix")
+    assert(br.count() == 110, "100 base + 20 late - 10 deleted")
+    assert(br.where(col("g") === 300L).count() == 11,
+      "g=3 rows (10 base + 2 late) re-land updated, minus k=3 which " +
+        "the later k<10 delete removed")
+    assert(br.where(col("k") < 10).count() == 0)
+    // an UPDATE of an UPDATED row folds in-branch (last write wins)
+    ManifestTable.updateBranchWhere(spark, path, "fix",
+      col("g") === 300L, Map("g" -> lit(400L)), Seq("k"))
+    assert(ManifestTable.readBranch(spark, path, "fix")
+      .where(col("g") === 400L).count() == 11)
+    // fast-forward: ONE main commit carries files + ledger
+    val v = ManifestTable.fastForward(path, "fix")
+    assert(v == v0 + 1)
+    val t = ManifestTable.read(spark, path)
+    assert(t.count() == 110)
+    assert(t.where(col("g") === 400L).count() == 11)
+    assert(t.where(col("k") < 10).count() == 0)
+    assert(ManifestTable.branches(path).isEmpty, "the ref is consumed")
+    // replayed fast-forward is impossible (ref gone); time travel intact
+    assert(ManifestTable.read(spark, path, Some(v0)).count() == 100)
+  }
+
+  test("branch DML vs main ingest: fast-forward is STRICT (no rebase " +
+      "with a ledger in flight) - refusal unseals, rebase refuses " +
+      "loudly, DROP recovers") {
+    val path = freshTable()
+    ManifestTable.createBranch(path, "corr")
+    ManifestTable.deleteBranchWhere(spark, path, "corr",
+      col("k") < 10, Seq("k"))
+    // main ingest wins the slot inside the publish window
+    @volatile var fired = false
+    ManifestTable.beforePublishHook = () => {
+      if (!fired) { fired = true
+        ManifestTable.beforePublishHook = () => ()
+        ManifestTable.append(batch(500, 505), path)
+      }
+    }
+    val e = try intercept[IllegalStateException] {
+      ManifestTable.fastForward(path, "corr")
+    } finally ManifestTable.beforePublishHook = () => ()
+    assert(e.getMessage.contains("unsealed"), e.getMessage)
+    assert(!ManifestTable.branches(path)("corr").isSealed)
+    // rebase would re-aim the ledger: refused with the DML message
+    val r = intercept[IllegalStateException] {
+      ManifestTable.rebaseBranch(path, "corr")
+    }
+    assert(r.getMessage.contains("keyed DML"), r.getMessage)
+    // main kept the winner's rows; the ledger never leaked onto main
+    assert(ManifestTable.read(spark, path).count() == 105)
+    // the delete files are vacuum-pinned while the ref lives, released
+    // with the DROP
+    val released = ManifestTable.dropBranch(path, "corr")
+    assert(released.nonEmpty, "DROP returns the ledger files to reclaim")
+  }
+
+  test("branch DML keying: a second merge on different keys refuses; " +
+      "commitId replays answer the original ordinal") {
+    val path = freshTable()
+    ManifestTable.createBranch(path, "kd")
+    val ord = ManifestTable.mergeMoRBranch(spark, path, "kd",
+      batch(0, 5).withColumn("g", lit(77L)), Seq("k"), None, Some("c1"))
+    assert(ord == 1)
+    assert(ManifestTable.mergeMoRBranch(spark, path, "kd",
+      batch(0, 5).withColumn("g", lit(77L)), Seq("k"), None, Some("c1")) == 1,
+      "a replayed branch merge answers its original ordinal")
+    assert(ManifestTable.branches(path)("kd").commits.size == 1)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.mergeMoRBranch(spark, path, "kd",
+        batch(5, 6), Seq("g"))
+    }
+    assert(e.getMessage.contains("keyed on"), e.getMessage)
+    assert(ManifestTable.readBranch(spark, path, "kd")
+      .where(col("g") === 77L).count() == 5)
+  }
+
   test("branch-as-of registry evicts oldest-first under pressure - a " +
       "freshly resolved snapshot never expires mid-query") {
     val path = freshTable()
