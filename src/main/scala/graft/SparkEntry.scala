@@ -8434,6 +8434,80 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
     }),
 
+    "tx29_bpe_tokenizer" -> ((s, dir) => {
+      // TRAINABLE BPE TOKENIZER ARTIFACT (r18 "What's missing" 4):
+      // until now every budget consumer counted whitespace tokens; this
+      // trains a REAL subword vocabulary (Sennrich 2016) on a bounded
+      // sample, persists it as a transactional table (the
+      // Perplexity.train/save/load pattern), re-loads it, broadcasts
+      // the KB-sized merge list and counts tokens DISTRIBUTEDLY — then
+      // runs the per-lang token-budget admission on the real counts.
+      // BPE counts cannot hash-match a SQL oracle (the merges are
+      // iterative), so the suite's recall-gate convention applies:
+      // hard in-query gates — decode(encode(t)) == normalized t for
+      // EVERY doc, save/load byte-equality, words <= n_bpe <= chars
+      // per doc, corpus-wide compression, and the admission equals an
+      // independently-computed prefix of the admission order — then
+      // the emitted frame is the oracle-expressible corpus profile.
+      import graft.operators.textual.Bpe
+      val wh = java.nio.file.Files.createTempDirectory("graft-tx29-").toString
+      val docs = Tables(s, dir, "documents")
+      // bounded driver-side sample: 1-in-20 docs is metadata-sized next
+      // to the corpus (the artifact economics this pattern exists for)
+      val sample = docs.where(col("doc_id") % 4 === 0)
+        .select("text").collect().map(_.getString(0)).toSeq
+      // request 200 merges; a small-vocabulary sample may exhaust its
+      // pair space earlier - the artifact is whatever the sample yields
+      val trained = Bpe.train(sample, 200)
+      require(trained.merges.nonEmpty, "sample must yield a vocabulary")
+      Bpe.save(s, trained, s"$wh/vocab")
+      val vocab = Bpe.load(s, s"$wh/vocab")
+      require(vocab.merges == trained.merges,
+        "the persisted vocabulary must load back byte-identical")
+      val bc = s.sparkContext.broadcast(vocab)
+      val rtOk = udf((t: String) =>
+        bc.value.decode(bc.value.encode(t)) == Bpe.normalize(t))
+      val counted = Bpe.withTokenCounts(docs, "text", "n_bpe", vocab)
+        .withColumn("n_words",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("n_chars",
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+        .localCheckpoint()
+      require(counted.where(!rtOk(col("text"))).limit(1).collect().isEmpty,
+        "decode(encode(t)) must equal normalized t for EVERY document")
+      require(counted.where(col("n_bpe") < col("n_words") ||
+          col("n_bpe") > col("n_chars")).limit(1).collect().isEmpty,
+        "per doc: words <= n_bpe <= non-whitespace chars")
+      val tot = counted.agg(
+        sum("n_bpe").cast("long"), sum("n_chars").cast("long")).head()
+      require(tot.getLong(0) < tot.getLong(1),
+        "a trained vocabulary must compress the corpus it sampled")
+      // the budget admission on REAL token counts, gated against an
+      // independent recompute of the same admission order
+      val budgets = counted.groupBy("lang")
+        .agg(expr("sum(n_bpe) div 2").as("budget"))
+      val admitted = operators.Sampling.tokenBudget(
+        counted, "doc_id", "lang", "n_bpe", budgets)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("doc_id") * 2654435761L % 4294967296L % 64,
+          col("doc_id") * 2654435761L % 4294967296L % 1000000, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val expect = counted
+        .withColumn("cum", sum(col("n_bpe")).over(w))
+        .join(budgets, "lang").where(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("cum").as("cum_tokens"))
+      val got = admitted.select("doc_id", "cum_tokens")
+      require(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "BPE-budget admission must equal the independent prefix recompute")
+      require(admitted.count() < counted.count(),
+        "a half-budget must actually cut the corpus")
+      counted.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("ws_tokens"))
+    }),
+
     "tx16_token_budget" -> ((s, dir) => {
       // token-budget mixture sampling (Sampling.tokenBudget): each lang
       // is filled to HALF its total whitespace tokens in Knuth-hash
@@ -9793,6 +9867,16 @@ object SparkEntry {
     // tx16: same Knuth-hash admission order, same div-2 integer budget —
     // the oracle's single window per lang is the semantics; the Spark
     // side computes the identical total order via the bucketed prefix sum
+    // tx29: the BPE legs are require-gated in-query (round trip on every
+    // doc, artifact byte-equality, bounds, compression, admission =
+    // independent prefix recompute — iterative merges cannot hash-match
+    // SQL, the suite's recall-gate convention); the emitted corpus
+    // profile is the relational truth
+    "tx29_bpe_tokenizer" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS ws_tokens
+         FROM documents GROUP BY 1""",
     "tx16_token_budget" ->
       """WITH t AS (
            SELECT doc_id, lang,
