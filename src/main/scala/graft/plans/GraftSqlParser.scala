@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType}
 
 import graft.sources.{GraftCatalog, ManifestTable}
 
@@ -94,6 +94,12 @@ object GraftSqlParser {
     """(?is)^\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+FORCE)?""" +
       """(?:\s+(DRY\s+RUN))?\s*;?\s*$""")
+  // the maintenance advisor's execution door (RUN is a non-Spark
+  // leading token, so every real statement still delegates)
+  private val RunMaint = Pattern.compile(
+    """(?is)^\s*RUN\s+MAINTENANCE\s+('[^']+'|[\w.`]+)""" +
+      """(?:\s+TARGET\s+(\d+))?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""")
   private val Analyze = Pattern.compile(
     """(?is)^\s*ANALYZE\s+TABLE\s+('[^']+'|[\w.`]+)\s+COMPUTE\s+STATISTICS""" +
       """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)))?""" +
@@ -157,6 +163,11 @@ object GraftSqlParser {
         hours = Option(vm.group(3)).exists(_.equalsIgnoreCase("HOURS")),
         force = vm.group(4) != null,
         dryRun = vm.group(5) != null))
+    val rm = RunMaint.matcher(sqlText)
+    if (rm.matches())
+      return Some(GraftRunMaintenanceCommand(target(rm.group(1), delegate),
+        Option(rm.group(2)).map(_.toLong),
+        Option(rm.group(3)).map(_.toInt)))
     val cmv = CreateMv.matcher(sqlText)
     if (cmv.matches())
       return Some(GraftCreateMvCommand(target(cmv.group(1), delegate),
@@ -484,6 +495,29 @@ case class GraftAlterPartitionFieldCommand(target: Either[String, Seq[String]],
   * RETAIN 1 (current version only stays time-travelable). DRY RUN
   * (Delta's safety valve) reports what WOULD expire and sweep under the
   * same rules, touching nothing. */
+/** `RUN MAINTENANCE <t> [TARGET <bytes>] [RETAIN <n> VERSIONS]` — the
+  * [[graft.sources.ManifestTable.maintenancePlan]] advisor's execution
+  * door: every recommended row runs (ledger fold → compaction → index
+  * catch-up → retention), each through its own conflict-rebasing
+  * machinery, and the report comes back as rows. */
+case class GraftRunMaintenanceCommand(target: Either[String, Seq[String]],
+    targetBytes: Option[Long], keepLast: Option[Int])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("action", StringType),
+    GraftSqlParser.attr("metric", LongType),
+    GraftSqlParser.attr("recommended", BooleanType),
+    GraftSqlParser.attr("result", StringType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.runMaintenance(spark, path,
+      targetBytes = targetBytes.getOrElse(128L * 1024 * 1024),
+      keepLast = keepLast.getOrElse(1)).collect().toSeq
+  }
+}
+
 case class GraftVacuumCommand(target: Either[String, Seq[String]],
     retain: Option[Int], hours: Boolean = false, force: Boolean = false,
     dryRun: Boolean = false)

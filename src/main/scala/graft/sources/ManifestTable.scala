@@ -4686,6 +4686,52 @@ object ManifestTable {
       .toDF("action", "metric", "recommended")
   }
 
+  /** RUN MAINTENANCE: execute [[maintenancePlan]]'s recommended rows —
+    * the advisor becomes the nightly job a 100 TB table actually runs.
+    * Ledger folding runs BEFORE compaction (a fold rewrites exactly the
+    * delete-covered files, so the compactor then sees their true
+    * sizes); each action rides its own conflict-safe machinery
+    * (compactions rebase/retry against racing commits, expire is
+    * pin-aware, index builds are sidecar-only), so the pass can race
+    * ingest without serializing against it. Returns one row per plan
+    * action: what ran and what it did. */
+  def runMaintenance(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFill: Double = 0.5,
+      keepLast: Int = 1): DataFrame = {
+    import spark.implicits._
+    val plan = maintenancePlan(spark, path, targetBytes, minFill, keepLast)
+      .collect() // metadata-sized: one row per known action
+    val order = Map("fold_deletes" -> 0, "compact_incremental" -> 1,
+      "expire" -> 3) // indexes at 2 (rebuilt before old files expire)
+    val report = plan.sortBy(r => order.getOrElse(
+        r.getString(0).split(":").head, 2)).map { r =>
+      val action = r.getString(0)
+      val metric = r.getLong(1)
+      val rec = r.getBoolean(2)
+      val result: String =
+        if (!rec) "skipped"
+        else action match {
+          case "fold_deletes" =>
+            s"committed v${compactDeletes(spark, path)}"
+          case "compact_incremental" =>
+            s"committed v${compactIncremental(spark, path, targetBytes,
+              Seq.empty, minFill)}"
+          case "expire" =>
+            val (dropped, swept) = expire(path, keepLast)
+            s"expired ${dropped.size} versions, swept ${swept.size} files"
+          case a if a.startsWith("reindex_bloom:") =>
+            val c = a.stripPrefix("reindex_bloom:")
+            s"indexed ${BloomIndex.build(spark, path, Seq(c))} files"
+          case a if a.startsWith("reindex_trigram:") =>
+            val c = a.stripPrefix("reindex_trigram:")
+            s"indexed ${TrigramIndex.build(spark, path, c)} files"
+          case other => s"unknown action '$other'" // report, never throw
+        }
+      (action, metric, rec, result)
+    }
+    report.toSeq.toDF("action", "metric", "recommended", "result")
+  }
+
   /** RESTORE (Delta's RESTORE TABLE … TO VERSION): re-commit version
     * K's complete state — files, stats, seqs, delete ledger, scoping
     * stats, row counts — as a NEW version on top of the current chain.

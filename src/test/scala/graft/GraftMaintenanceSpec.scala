@@ -17,6 +17,40 @@ class GraftMaintenanceSpec extends SparkSpecBase {
   private def freshWh(): String =
     Files.createTempDirectory("graft-maint-").toString
 
+  test("RUN MAINTENANCE executes the plan's recommended rows, converges, " +
+      "and no-ops cleanly on an already-maintained table") {
+    val wh = freshWh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("""CREATE TABLE graft.nm (k BIGINT, v DOUBLE)
+              TBLPROPERTIES ('merge.keys'='k')""")
+    val p = s"$wh/nm"
+    def rows(a: Long, b: Long) = s2.range(a, b).select(
+      col("id").as("k"), (col("id") * 1.0).as("v"))
+    (0 until 4).foreach(i => ManifestTable.append(rows(i * 50, i * 50 + 50), p))
+    ManifestTable.mergeMoR(s2, p, rows(1, 21).withColumn("v", -col("v")),
+      Seq("k"))
+    val rep = s2.sql("RUN MAINTENANCE graft.nm RETAIN 1 VERSIONS").collect()
+    assert(rep.exists(r => r.getString(0) == "fold_deletes" &&
+      r.getString(3).startsWith("committed")), rep.mkString("; "))
+    assert(rep.exists(r => r.getString(0) == "compact_incremental" &&
+      r.getString(3).startsWith("committed")))
+    assert(rep.exists(r => r.getString(0) == "expire" &&
+      r.getString(3).startsWith("expired")))
+    // converged: the whole plan reads not-recommended now
+    assert(ManifestTable.maintenancePlan(s2, p)
+      .where(col("recommended")).count() == 0)
+    // relational truth untouched
+    val t = ManifestTable.read(s2, p)
+    assert(t.count() == 200 && t.where(col("v") < 0).count() == 20)
+    // a second pass is a clean no-op: every action reports skipped
+    val rep2 = s2.sql("RUN MAINTENANCE graft.nm RETAIN 1 VERSIONS").collect()
+    assert(rep2.forall(_.getString(3) == "skipped"), rep2.mkString("; "))
+    // quoted-path form hits the path API
+    assert(s2.sql(s"RUN MAINTENANCE '$p'").collect().nonEmpty)
+  }
+
   test("OPTIMIZE compacts a catalog table; plain SQL still parses; unknown targets refuse") {
     val wh = freshWh()
     val s2 = spark.newSession()
