@@ -4813,15 +4813,23 @@ object SparkEntry {
         .collect().head.getLong(0)
       val v0 = ManifestTable.latestVersion(path)
       s2.sql("ALTER TABLE graft.bf CREATE BRANCH 'audit'")
-      // three branch commits through the session-conf door
+      // three branch commits through the session-conf door. Reads under
+      // the conf resolve the REF (Iceberg's wap.branch
+      // see-your-own-writes — chained corrections compose); main's
+      // chain and conf-free readers never move.
       s2.conf.set("spark.graft.branch", "audit")
+      var accumulated = mainCount
       Seq(1L, 3L, 5L).foreach { r =>
         s2.sql(s"INSERT INTO graft.bf SELECT * FROM ord_q184 WHERE k % 6 = $r")
-        require(s2.sql("SELECT count(*) FROM graft.bf")
-          .collect().head.getLong(0) == mainCount,
-          "main must stay at the fork point while the branch accumulates")
+        val sessionSees = s2.sql("SELECT count(*) FROM graft.bf")
+          .collect().head.getLong(0)
+        require(sessionSees > accumulated,
+          "the branch session must see its own accumulated writes")
+        accumulated = sessionSees
         require(ManifestTable.latestVersion(path) == v0,
           "branch commits must not move main's version chain")
+        require(ManifestTable.read(s2, path).count() == mainCount,
+          "conf-free readers must stay at the fork point throughout")
       }
       // a direct commit under the branch session refuses loudly
       require(scala.util.Try(ManifestTable.overwrite(

@@ -152,8 +152,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def loadTable(ident: Identifier): Table =
-    loadAt(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // BRANCH session door, plain reads: with `spark.graft.branch` set,
+    // a table that HAS the named ref resolves to the ref's snapshot —
+    // Iceberg's wap.branch semantics (see-your-own-writes for the
+    // staged-correction session); tables without the ref, and every
+    // conf-free session, read main exactly as before. Writes stay legal
+    // on the branch snapshot: the write doors route them onto the ref.
+    val snap = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.branch")).map(_.trim)
+      .filter(_.nonEmpty)
+      .flatMap(b => ManifestTable.resolveBranch(tableDir(ident).toString, b))
+    loadAt(ident, snap)
+  }
 
   override def loadTable(ident: Identifier, version: String): Table = {
     // `VERSION AS OF 3` reads a literal version; `VERSION AS OF 'name'`
@@ -1174,7 +1185,11 @@ class GraftSqlTable(val ident: String, val path: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(snapshot.isEmpty,
+    // a BRANCH snapshot (bid range) stays writable — the write doors
+    // below route the write onto the ref; only true time-travel
+    // (a historical main version) refuses writes
+    require(snapshot.isEmpty ||
+        snapshot.get >= graft.sources.ManifestTable.BranchIdBase,
       s"cannot write to a time-travel snapshot of $ident (VERSION AS OF ${snapshot.get})")
     // per-write branch routing (`df.writeTo(t).option("branch", name)`):
     // scoped to THIS write where the session conf is scoped to the
@@ -1257,7 +1272,11 @@ class GraftKeyedSqlTable(ident0: String, path0: String,
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    require(snapshot.isEmpty,
+    // a BRANCH snapshot stays DML-able: the operation's own scan and
+    // commit both resolve the ref (branch-session routing); only true
+    // time-travel refuses
+    require(snapshot.isEmpty ||
+        snapshot.get >= ManifestTable.BranchIdBase,
       s"cannot run ${info.command} against a time-travel snapshot of $ident")
     () => new GraftRowLevelOperation(path, tableSchema, keyCols, info.command)
   }

@@ -51,8 +51,16 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
 
   override def command(): RowLevelOperation.Command = cmd
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, None, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // branch-session DML: the discovery scan resolves the REF's
+    // snapshot, so chained corrections see their own earlier branch
+    // writes — the commit side (commitStagedDelta) publishes onto the
+    // same ref. Conf off (or no such branch here) = main, as before.
+    val snap = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.branch").map(_.trim).filter(_.nonEmpty)
+      .flatMap(b => ManifestTable.resolveBranch(path, b))
+    new GraftScanBuilder(path, snap, tableSchema)
+  }
 
   override def rowId(): Array[NamedReference] =
     keyCols.map(Expressions.column).toArray

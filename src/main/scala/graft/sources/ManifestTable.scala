@@ -3565,6 +3565,14 @@ object ManifestTable {
       // mergeSchema reads null-fill every older file
       evolveSchema: Boolean = false,
       appTxn: Option[(String, Long)] = None): Long = {
+    branchSession(spark).foreach { name =>
+      requireNoWap(spark, "mergeMoR")
+      require(appTxn.isEmpty && !evolveSchema, "transactional-epoch and " +
+        "schema-evolving merges cannot route to a branch session - " +
+        "unset spark.graft.branch or use mergeMoRBranch directly")
+      return mergeMoRBranch(spark, path, name, source, keyCols,
+        deleteWhen, commitId).toLong
+    }
     requireNoWapSession(spark, "mergeMoR")
     retryMerge("mergeMoR")(mergeMoRAttempt(spark, path, source, keyCols,
       deleteWhen, commitId, evolveSchema, appTxn))
@@ -3842,11 +3850,22 @@ object ManifestTable {
       upsertFiles: Seq[String], deleteFiles: Seq[String],
       keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
-    requireNoWapSession(spark, "a row-level DML commit")
+    requireNoWap(spark, "a row-level DML commit")
     require(keyCols.nonEmpty, "delta commit needs the table's merge keys")
     if (upsertFiles.isEmpty && deleteFiles.isEmpty)
       return latest(path).map(_.version).getOrElse(0L)
     validateStagedConstraints(spark, path, upsertFiles)
+    // write-to-branch session: the SQL UPDATE/MERGE's discovery scan
+    // already resolved the BRANCH snapshot (the catalog's read door),
+    // and its staged delta files ARE the branch-DML commit shape —
+    // publish them as ONE branch commit instead of claiming a version
+    branchSession(spark).foreach { name =>
+      val ks = branchDmlKeys(path, name)
+      require(ks == keyCols, s"branch '$name' DML is keyed on " +
+        s"${ks.mkString(",")}; delta write on ${keyCols.mkString(",")}")
+      return publishBranchCommit(path, name, upsertFiles, deleteFiles,
+        keyCols, None).toLong
+    }
     if (upsertFiles.nonEmpty) {
       val staged = spark.read.parquet(
         upsertFiles.map(f => dataDir(path).resolve(f).toString): _*)
@@ -4317,6 +4336,15 @@ object ManifestTable {
       // drop from the manifest without being read (Delta's
       // partition-aligned metadata delete). Empty = no fast path.
       scopeConds: Seq[graft.conditions.Condition] = Seq.empty): Long = {
+    // write-to-branch session: the DELETE stages as a keyed ledger
+    // commit on the ref (audit-then-fast-forward), never on main — the
+    // SQL door's DELETE routes here too, so the whole DML family
+    // honors the branch conf the INSERT door already did
+    branchSession(spark).foreach { name =>
+      requireNoWap(spark, "deleteWhere")
+      return deleteBranchWhere(spark, path, name, cond,
+        branchDmlKeys(path, name), commitId).toLong
+    }
     requireNoWapSession(spark, "deleteWhere")
     retryMerge("deleteWhere")(
       rewriteWhereAttempt(spark, path, cond, None, commitId,
@@ -4332,6 +4360,11 @@ object ManifestTable {
       set: Map[String, org.apache.spark.sql.Column],
       commitId: Option[String] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    branchSession(spark).foreach { name =>
+      requireNoWap(spark, "updateWhere")
+      return updateBranchWhere(spark, path, name, cond, set,
+        branchDmlKeys(path, name), commitId).toLong
+    }
     requireNoWapSession(spark, "updateWhere")
     retryMerge("updateWhere")(
       rewriteWhereAttempt(spark, path, cond, Some(set), commitId))
@@ -5541,32 +5574,77 @@ object ManifestTable {
         .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
       val delFiles = stageDeletes(delKeys, path)
       val staged = stage(upserts, path)
-      var attempts = 0
-      while (attempts < 64) {
-        attempts += 1
-        val ks = branchDocVersions(path, name)
-        require(ks.nonEmpty, s"no branch '$name' at $path - dropped mid-write")
-        val b = branchHead(path, name).get
-        replayOf(b).foreach(return _)
-        if (b.isSealed) throw new IllegalStateException(
-          s"branch '$name' at $path is sealed for fast-forward - " +
-            "re-run this merge once the publish resolves")
-        require(b.keys.isEmpty || b.keys == keyCols,
-          s"branch '$name' keyed on ${b.keys.mkString(",")} mid-write")
-        val c = BranchCommit(staged, System.currentTimeMillis(), commitId,
-          delFiles)
-        val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
-        try {
-          publish(doc, renderBranchDoc(
-            b.copy(commits = b.commits :+ c, keys = keyCols)))
-          return b.commits.size + 1
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => () // retry on top
-        }
-      }
-      throw new IllegalStateException(
-        s"branch contention on '$name': gave up after $attempts attempts")
+      publishBranchCommit(path, name, staged, delFiles, keyCols, commitId)
     } finally graft.operators.IndexScope.release(raw)
+  }
+
+  /** The session's write-to-branch routing target, when set. */
+  private def branchSession(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.branch").map(_.trim).filter(_.nonEmpty)
+
+  /** WAP-only refusal — for write paths that ROUTE under a branch
+    * session instead of refusing (branch DML), where the full
+    * [[requireNoWapSession]] would wrongly reject the branch conf. */
+  private def requireNoWap(spark: SparkSession, op: String): Unit =
+    spark.conf.getOption("spark.graft.wap.id").map(_.trim)
+      .filter(_.nonEmpty).foreach { id =>
+        throw new IllegalStateException(
+          s"$op cannot be WAP-isolated - unset spark.graft.wap.id " +
+            s"(currently '$id') or publish/abort the wap first")
+      }
+
+  /** The merge keys a branch-session DML must ledger on: the ref's own
+    * keys (an earlier branch DML set them), else the table's, else the
+    * DDL declaration — refusing loudly when the table is unkeyed. */
+  private def branchDmlKeys(path: String, name: String): Seq[String] = {
+    val b = branchHead(path, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' at $path - CREATE BRANCH first"))
+    val ks =
+      if (b.keys.nonEmpty) b.keys
+      else manifestAt(path, b.parent).mergeKeys match {
+        case mk if mk.nonEmpty => mk
+        case _ => GraftCatalog.readDeclaredKeys(Paths.get(path))
+      }
+    require(ks.nonEmpty, s"branch DML on '$name' needs the table keyed: " +
+      "declare PRIMARY KEY / merge.keys, or run a keyed merge first")
+    ks
+  }
+
+  /** Publish ONE keyed-DML branch commit (data + ledger files, already
+    * staged) onto the ref's doc chain — the shared tail of
+    * [[mergeMoRBranch]] and the SQL delta-write route. Returns the
+    * 1-based branch commit ordinal. */
+  private def publishBranchCommit(path: String, name: String,
+      staged: Seq[String], delFiles: Seq[String], keyCols: Seq[String],
+      commitId: Option[String]): Int = {
+    def replayOf(b: BranchState): Option[Int] = commitId.flatMap(id =>
+      b.commits.zipWithIndex.find(_._1.commitId.contains(id)))
+      .map(_._2 + 1)
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val ks = branchDocVersions(path, name)
+      require(ks.nonEmpty, s"no branch '$name' at $path - dropped mid-write")
+      val b = branchHead(path, name).get
+      replayOf(b).foreach(return _)
+      if (b.isSealed) throw new IllegalStateException(
+        s"branch '$name' at $path is sealed for fast-forward - " +
+          "re-run this merge once the publish resolves")
+      require(b.keys.isEmpty || b.keys == keyCols,
+        s"branch '$name' keyed on ${b.keys.mkString(",")} mid-write")
+      val c = BranchCommit(staged, System.currentTimeMillis(), commitId,
+        delFiles)
+      val doc = branchRefDir(path, name).resolve(f"b${ks.last + 1}%08d.json")
+      try {
+        publish(doc, renderBranchDoc(
+          b.copy(commits = b.commits :+ c, keys = keyCols)))
+        return b.commits.size + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // retry on top
+      }
+    }
+    throw new IllegalStateException(
+      s"branch contention on '$name': gave up after $attempts attempts")
   }
 
   /** UPDATE … SET … WHERE on a branch: matching branch-snapshot rows

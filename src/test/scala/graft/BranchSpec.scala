@@ -288,6 +288,55 @@ class BranchSpec extends SparkSpecBase {
     assert(released.nonEmpty, "DROP returns the ledger files to reclaim")
   }
 
+  test("SQL DML under the branch session conf ROUTES onto the ref: " +
+      "UPDATE and DELETE stage ledger commits, main never moves, the " +
+      "published table carries the correction") {
+    val wh = Files.createTempDirectory("graft-br-dml-sql-").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.sql("""CREATE TABLE graft.t (k BIGINT, g BIGINT, v DOUBLE)
+              TBLPROPERTIES ('merge.keys'='k')""")
+    s2.sql("INSERT INTO graft.t SELECT id, id % 10, id * 1.0 FROM range(0, 100)")
+    val path = s"$wh/t"
+    val v0 = ManifestTable.latestVersion(path)
+    s2.sql("ALTER TABLE graft.t CREATE BRANCH 'corr'")
+    s2.conf.set("spark.graft.branch", "corr")
+    try {
+      // the discovery scans resolve the BRANCH snapshot under the conf,
+      // and the commits land on the ref - main's chain never moves
+      s2.sql("UPDATE graft.t SET v = -1.0 WHERE g = 3")
+      s2.sql("DELETE FROM graft.t WHERE k < 10")
+      s2.sql("""MERGE INTO graft.t USING
+                  (SELECT id AS k, 0L AS g, 9.0 AS v FROM range(200, 205)) s
+                ON graft.t.k = s.k
+                WHEN NOT MATCHED THEN INSERT *""")
+      assert(ManifestTable.latestVersion(path) == v0,
+        "branch-session DML must never move main")
+      assert(ManifestTable.branches(path)("corr").commits.size == 3)
+      // the session's own reads see the correction (branch-resolved)
+      assert(s2.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 95)
+      assert(s2.sql("SELECT count(*) FROM graft.t WHERE v = -1.0")
+        .head().getLong(0) == 9, "g=3 minus k=3 (deleted) = 9 updated rows")
+    } finally s2.conf.unset("spark.graft.branch")
+    // a conf-free reader still sees the base
+    assert(ManifestTable.read(spark, path).count() == 100)
+    ManifestTable.fastForward(path, "corr")
+    val t = ManifestTable.read(spark, path)
+    assert(t.count() == 95 && t.where(col("v") === 9.0).count() == 5)
+    // WAP + branch both set refuses; an unkeyed table refuses branch DML
+    s2.sql("CREATE TABLE graft.u (k BIGINT, v DOUBLE)")
+    s2.sql("INSERT INTO graft.u VALUES (1, 1.0)")
+    s2.conf.set("spark.graft.branch", "nope")
+    try {
+      val e = intercept[Exception] {
+        ManifestTable.deleteWhere(s2, s"$wh/u", col("k") === 1L)
+      }
+      assert(e.getMessage.contains("CREATE BRANCH") ||
+        e.getMessage.contains("keyed"), e.getMessage)
+    } finally s2.conf.unset("spark.graft.branch")
+  }
+
   test("branch DML keying: a second merge on different keys refuses; " +
       "commitId replays answer the original ordinal") {
     val path = freshTable()
