@@ -2512,6 +2512,12 @@ object ManifestTable {
     private val rewriteScopes =
       scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Column]
     private var consChanged = false
+    // a keyed merge's scope is a KEY SET, not a predicate — the rebase
+    // delta-safety scan cannot prove a winner's rows key-disjoint
+    // against it, so a merge-carrying bundle refuses rebase across any
+    // winner data addition (conservative; the caller re-runs)
+    private var hasMerge = false
+    private var keysSet: Option[Seq[String]] = None
 
     /** True = this action should silently no-op (replayed bundle);
       * throws when the CALLER's own commit() already ran (re-use of a
@@ -2563,6 +2569,73 @@ object ManifestTable {
     def replaceWhere(cond: org.apache.spark.sql.Column, data: DataFrame,
         scopeConds: Seq[graft.conditions.Condition] = Seq.empty): this.type =
       rewriteWhere(cond, None, Some(data), scopeConds)
+
+    /** Keyed MERGE inside the bundle — [[mergeMoR]]'s relational
+      * outcome (upsert by key, delete where) expressed COPY-ON-WRITE
+      * against the PENDING snapshot. Why not a ledger commit: the whole
+      * bundle lands ONE version, so every action's files and delete
+      * entries would share one seq — a second merge's deletes could
+      * never outrank the first's upserts (MoR hiding is strictly
+      * dseq > fseq). The CoW shape sidesteps the ordering entirely:
+      * files holding a source key (found by ONE exact semi-probe scan,
+      * names only) rewrite with those keys folded out, upserts stage on
+      * top, and the pending ledger keeps covering the untouched files.
+      * Correction-batch economics: touched files are bounded by the
+      * source's key spread, everything else carries byte-identical. */
+    def merge(source: DataFrame, keyCols: Seq[String],
+        deleteWhen: Option[org.apache.spark.sql.Column] = None): this.type = {
+      if (skipAction()) return this
+      import org.apache.spark.sql.functions.{broadcast, input_file_name}
+      require(keyCols.nonEmpty, "merge needs at least one key column")
+      require(pending.mergeKeys.isEmpty || pending.mergeKeys == keyCols,
+        s"table is keyed on ${pending.mergeKeys.mkString("(", ",", ")")}; " +
+          s"merge on ${keyCols.mkString("(", ",", ")")} rejected")
+      val target = read()
+      val cols = target.columns.toSeq
+      require(keyCols.forall(cols.contains), s"key not in target: $keyCols")
+      require(cols.forall(source.columns.contains),
+        s"source is missing target columns: ${cols.diff(source.columns.toSeq)}")
+      val raw = source.localCheckpoint()
+      try {
+        val tombstones = deleteWhen.map(raw.where(_)).getOrElse(raw.limit(0))
+          .select(cols.map(col): _*)
+        val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
+          .getOrElse(raw).select(cols.map(col): _*)
+        Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
+          case (side, df) =>
+            val dup = df.groupBy(keyCols.map(col): _*).count()
+              .where(col("count") > 1).limit(1).collect()
+            require(dup.isEmpty, s"source has duplicate $side merge " +
+              s"key ${dup.headOption.map(_.get(0))}")
+        }
+        val srcKeys = tombstones.select(keyCols.map(col): _*)
+          .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
+          .localCheckpoint()
+        val touched =
+          if (pending.files.isEmpty) Set.empty[String]
+          else spark.read.schema(physicalSchemaAt(spark, path, base))
+            .parquet(pending.files.map(f =>
+              dataDir(path).resolve(f).toString): _*)
+            .withColumn("__file", input_file_name())
+            .join(broadcast(srcKeys), keyCols, "left_semi")
+            .select(col("__file")).distinct().collect()
+            .map(r => baseName(r.getString(0))).toSet
+        val untouched = pending.files.filterNot(f => touched(baseName(f)))
+        val rewriteStaged =
+          if (touched.isEmpty) Seq.empty[String]
+          else stagePending(reconcile(spark, path, pending,
+              pending.files.filter(f => touched(baseName(f))))
+            .join(broadcast(srcKeys), keyCols, "left_anti"))
+        val upsertStaged = stagePending(upserts)
+        fold(untouched, rewriteStaged ++ upsertStaged)
+        if (pending.mergeKeys != keyCols) {
+          pending = pending.copy(mergeKeys = keyCols)
+          keysSet = Some(keyCols)
+        }
+        hasMerge = true
+        this
+      } finally graft.operators.IndexScope.release(raw)
+    }
 
     /** Tighten/replace the table contract inside the bundle: every
       * PENDING row validates against the new constraints NOW (same
@@ -2677,6 +2750,10 @@ object ManifestTable {
               s"transaction conflict at $path: both this bundle and a " +
                 "concurrent commit changed the table contract")
             val winnerAdded = (head.files.toSet -- baseFiles).toSeq
+            require(!(hasMerge && winnerAdded.nonEmpty),
+              s"transaction conflict at $path: the bundle carries a " +
+                "keyed merge and a concurrent commit added rows - their " +
+                "keys cannot be proven disjoint; re-run the bundle")
             if (rewriteScopes.nonEmpty && winnerAdded.nonEmpty) {
               val anyScope = rewriteScopes
                 .map(c => coalesce(c, lit(false))).reduce(_ || _)
@@ -2726,7 +2803,8 @@ object ManifestTable {
               deleteStats = head.deleteStats,
               rows = head.rows ++ addedByTxn.flatMap(f =>
                 pending.rows.get(f).map(f -> _)),
-              mergeKeys = head.mergeKeys, generated = head.generated,
+              mergeKeys = keysSet.getOrElse(head.mergeKeys),
+              generated = head.generated,
               txns = head.txns, renames = head.renames,
               droppedCols = head.droppedCols, bytes = head.bytes,
               rebasedFrom = Some(base.version))

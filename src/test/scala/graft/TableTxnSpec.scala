@@ -257,6 +257,65 @@ class TableTxnSpec extends SparkSpecBase {
     assert(ManifestTable.read(spark, pb).count() == 408)
   }
 
+  test("a keyed MERGE inside the bundle: upserts and tombstones land " +
+      "with the other actions as ONE version, equal to the sequential " +
+      "mergeMoR outcome; later actions see the merge") {
+    val path = mk()
+    // a pre-existing MoR ledger (k in [0,10) gone) must stay honored
+    ManifestTable.mergeMoR(spark, path,
+      spark.range(0, 10).select(col("id").as("k"), lit(0L).as("g"),
+        lit(0.0).as("v"), lit("D").as("op")),
+      Seq("k"), deleteWhen = Some(col("op") === "D"))
+    val v0 = ManifestTable.latestVersion(path)
+    val src = spark.range(100, 160).select(col("id").as("k"),
+        (col("id") % 4).as("g"), lit(-5.0).as("v"))
+      .withColumn("op", when(col("k") < 120, "D").otherwise("U"))
+    val txn = ManifestTable.newTransaction(spark, path)
+    txn.merge(src, Seq("k"), Some(col("op") === "D"))
+    // the pending snapshot reflects the merge for later actions
+    assert(txn.read().where(col("v") === -5.0).count() == 40)
+    assert(txn.read().count() == 390 - 20 + 0) // 390 base - 20 deleted
+    txn.append(spark.range(5000, 5005).select(col("id").as("k"),
+      lit(0L).as("g"), lit(1.0).as("v")))
+    val v = txn.commit()
+    assert(v == v0 + 1, "merge + append land as ONE version")
+    val t = ManifestTable.read(spark, path)
+    assert(t.count() == 375)
+    assert(t.where(col("k") < 10).count() == 0, "old ledger still hides")
+    assert(t.where(col("v") === -5.0).count() == 40, "upserts landed")
+    assert(t.where(col("k") >= 100 && col("k") < 120).count() == 0,
+      "tombstoned keys gone")
+    assert(ManifestTable.tableMergeKeys(path) == Seq("k"),
+      "the bundle's merge establishes the table keys")
+    // a second merge on DIFFERENT keys refuses mid-bundle
+    val t2 = ManifestTable.newTransaction(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      t2.merge(spark.range(0, 1).select(col("id").as("k"),
+        lit(0L).as("g"), lit(0.0).as("v")), Seq("g"))
+    }
+    assert(e.getMessage.contains("keyed on"), e.getMessage)
+  }
+
+  test("a merge-carrying bundle REFUSES rebase across any winner data " +
+      "addition (keys cannot be proven disjoint)") {
+    val path = mk()
+    val txn = ManifestTable.newTransaction(spark, path)
+    txn.merge(spark.range(0, 5).select(col("id").as("k"),
+      (col("id") % 4).as("g"), lit(-9.0).as("v")), Seq("k"))
+    @volatile var fired = false
+    ManifestTable.beforePublishHook = () => {
+      if (!fired) { fired = true
+        ManifestTable.beforePublishHook = () => ()
+        ManifestTable.append(batch(9000, 9003), path)
+      }
+    }
+    val e = try intercept[IllegalArgumentException] { txn.commit() }
+      finally ManifestTable.beforePublishHook = () => ()
+    assert(e.getMessage.contains("keyed merge"), e.getMessage)
+    assert(ManifestTable.read(spark, path).where(col("v") === -9.0)
+      .count() == 0, "the refused bundle landed nothing")
+  }
+
   test("a constraint SET both by the bundle and by a concurrent commit " +
       "refuses (no silent last-writer-wins on the contract)") {
     val path = mk()
