@@ -592,4 +592,36 @@ class PropertySpec extends SparkSpecBase {
       dims, ms)
     assert(gone.isEmpty, "emptied dimension group survived the fold")
   }
+
+  test("BPE invariants on random corpora: round trip, count bounds, " +
+      "determinism, merge-count monotonicity") {
+    import graft.operators.textual.Bpe
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'f') ++ Seq('ü', 'λ'))).map(_.mkString))
+    val docGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpora = (0 until 8).map(i =>
+      samples(docGen, 12 + i).toList)
+    corpora.foreach { corpus =>
+      val v = Bpe.train(corpus, 48)
+      // determinism: byte-identical artifact from the same sample
+      assert(Bpe.train(corpus, 48).merges == v.merges)
+      val probes = corpus ++ samples(docGen, 6) ++ // unseen docs too
+        Seq("", " ", "zz qq", corpus.head.toUpperCase)
+      probes.foreach { t =>
+        // round trip over whitespace normalization, always
+        assert(v.decode(v.encode(t)) == Bpe.normalize(t), s"'$t'")
+        // words <= tokens <= non-whitespace chars
+        val n = v.countTokens(t)
+        assert(n >= Bpe.words(t).size && n <= t.count(!_.isWhitespace),
+          s"'$t': ${Bpe.words(t).size} <= $n <= ${t.count(!_.isWhitespace)}")
+      }
+      // monotonicity: more merges never grow a document's token count
+      val fewer = Bpe.Vocab(v.merges.take(16))
+      corpus.foreach { t =>
+        assert(v.countTokens(t) <= fewer.countTokens(t),
+          s"more merges must never lengthen '$t'")
+      }
+    }
+  }
 }
