@@ -54,7 +54,14 @@ object GraftMaterializedView {
       // All defaulted so pre-join sidecars parse unchanged.
       kind: String = "rollup", source2: String = "",
       joinKey: String = "", version2: Long = -1L,
-      cols: Seq[String] = Seq.empty, leftPk: Seq[String] = Seq.empty)
+      cols: Seq[String] = Seq.empty, leftPk: Seq[String] = Seq.empty,
+      // composite USING lists; single-key sidecars may carry only
+      // joinKey (round-18-era compat) - read through joinKeysOf
+      joinKeys: Seq[String] = Seq.empty)
+
+  private[plans] def joinKeysOf(spec: MvSpec): Seq[String] =
+    if (spec.joinKeys.nonEmpty) spec.joinKeys
+    else Seq(spec.joinKey).filter(_.nonEmpty)
 
   private[plans] def writeSpec(mvPath: String, spec: MvSpec): Unit = {
     import org.json4s._
@@ -159,7 +166,7 @@ object GraftMaterializedView {
     * two-sided delta maintenance cannot keep fresh: inner USING joins
     * of two catalog tables, plain column projections only. */
   private[plans] def parseJoinSelect(spark: SparkSession, selectSql: String)
-      : (Seq[String], Seq[String], String, Option[Seq[String]]) = {
+      : (Seq[String], Seq[String], Seq[String], Option[Seq[String]]) = {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
     import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
     def refuse(why: String): Nothing = throw new IllegalArgumentException(
@@ -172,8 +179,8 @@ object GraftMaterializedView {
       case j: Join => (Seq.empty, j)
       case other => refuse(s"got a ${other.nodeName}")
     }
-    val key = join.joinType match {
-      case UsingJoin(Inner, Seq(k)) => k
+    val keys = join.joinType match {
+      case UsingJoin(Inner, ks) if ks.nonEmpty => ks
       case other => refuse(s"join type is ${other.sql}")
     }
     val lParts = join.left match {
@@ -190,7 +197,7 @@ object GraftMaterializedView {
         case a: UnresolvedAttribute => a.nameParts.last
         case other => refuse(s"unsupported select item ${other.sql}")
       })
-    (lParts, rParts, key, cols)
+    (lParts, rParts, keys, cols)
   }
 
   /** The JOIN-view CREATE behind the SQL door: materialize L ⋈ R
@@ -199,7 +206,7 @@ object GraftMaterializedView {
     * must be keyed (PRIMARY KEY / merge.keys) — that key keys the
     * maintained view. Returns (left version, right version, rows). */
   def createJoinAt(spark: SparkSession, mvPath: String, lPath: String,
-      rPath: String, key: String,
+      rPath: String, keys: Seq[String],
       colsReq: Option[Seq[String]]): (Long, Long, Long) = {
     val lV = ManifestTable.latestVersion(lPath)
     val rV = ManifestTable.latestVersion(rPath)
@@ -214,24 +221,26 @@ object GraftMaterializedView {
       "keyed: declare PRIMARY KEY / TBLPROPERTIES('merge.keys') on it")
     val l = ManifestTable.read(spark, lPath, Some(lV))
     val r = ManifestTable.read(spark, rPath, Some(rV))
-    require(l.columns.contains(key) && r.columns.contains(key),
-      s"join key '$key' must exist on both sides")
+    require(keys.forall(k => l.columns.contains(k) && r.columns.contains(k)),
+      s"join keys ${keys.mkString(",")} must exist on both sides")
     val shared = l.columns.toSet.intersect(r.columns.toSet)
-    require(shared == Set(key),
-      s"sides share non-key columns ${(shared - key).mkString(", ")} — " +
+    require(shared == keys.toSet,
+      s"sides share non-key columns ${(shared -- keys).mkString(", ")} — " +
         "rename them; the rewrite needs unambiguous names")
-    val joined = l.join(r, Seq(key))
+    val joined = l.join(r, keys)
     val cols = colsReq.getOrElse(joined.columns.toSeq)
     require(cols.forall(joined.columns.contains),
       s"unknown columns ${cols.filterNot(joined.columns.contains).mkString(", ")}")
-    require((lPk :+ key).forall(cols.contains),
+    require((lPk ++ keys).forall(cols.contains),
       s"the view must carry the left key(s) ${lPk.mkString(",")} and the " +
-        s"join key '$key' — they key the incremental maintenance")
+        s"join keys ${keys.mkString(",")} — they key the incremental " +
+        "maintenance")
     val mv = joined.select(cols.map(org.apache.spark.sql.functions.col): _*)
     commitRollup(spark, mvPath, mv)
     val spec = MvSpec(lPath, Seq.empty, Seq.empty, lV,
-      kind = "join", source2 = rPath, joinKey = key, version2 = rV,
-      cols = cols, leftPk = lPk)
+      kind = "join", source2 = rPath,
+      joinKey = if (keys.size == 1) keys.head else "", version2 = rV,
+      cols = cols, leftPk = lPk, joinKeys = keys)
     writeSpec(mvPath, spec)
     registerJoinRewrite(spark, mvPath, spec)
     (lV, rV, ManifestTable.read(spark, mvPath).count())
@@ -245,7 +254,8 @@ object GraftMaterializedView {
       "folded ledger (refresh compacts before registering)")
     val files = m.files.map(f =>
       java.nio.file.Paths.get(mvPath, "data").resolve(f).toString)
-    MvRewrite.registerJoin(spark, spec.source, spec.source2, spec.joinKey,
+    MvRewrite.registerJoin(spark, spec.source, spec.source2,
+      joinKeysOf(spec),
       spark.read.parquet(files: _*), spec.version, spec.version2)
   }
 
@@ -275,8 +285,9 @@ object GraftMaterializedView {
       registerJoinRewrite(spark, mvPath, advanced)
       return (curL, "noop")
     }
+    val jKeys = joinKeysOf(spec)
     val lSchema = ManifestTable.read(spark, spec.source, Some(curL)).columns
-    val viewLeftCols = spec.cols.filter(lSchema.contains) // key rides left
+    val viewLeftCols = spec.cols.filter(lSchema.contains) // keys ride left
     val viewRightCols = spec.cols.filterNot(viewLeftCols.contains)
     val mode =
       try {
@@ -286,13 +297,13 @@ object GraftMaterializedView {
             spec.version, curL, spec.leftPk)
           val rOld = ManifestTable.read(spark, spec.source2,
             Some(spec.version2))
-            .select((spec.joinKey +: viewRightCols).map(col): _*)
+            .select((jKeys ++ viewRightCols).map(col): _*)
           val mvSchema = ManifestTable.read(spark, mvPath).schema
           val ups = fa.where(col("change_type") =!= "removed")
             .select(spec.leftPk.map(col) ++
               viewLeftCols.filterNot(spec.leftPk.contains)
                 .map(c => col(s"after.$c").as(c)): _*)
-            .join(broadcast(rOld), Seq(spec.joinKey))
+            .join(broadcast(rOld), jKeys)
             .select(spec.cols.map(col): _*)
             .withColumn("__op", lit("U"))
           val dels = fa.where(col("change_type") === "removed")
@@ -306,17 +317,23 @@ object GraftMaterializedView {
         if (rMoved) {
           // RIGHT delta: collect changed keys, stats-prune the fact read
           val fb = ManifestTable.changesWithValues(spark, spec.source2,
-            spec.version2, curR, spec.joinKey)
-            .select(col(spec.joinKey) +: col("change_type") +:
-              viewRightCols.map(c => col(s"after.$c").as(c)): _*)
-          val changedKeys = fb.select(spec.joinKey).distinct()
-            .collect().map(_.get(0)).toIndexedSeq
-          val keyCond = Seq(graft.conditions.Condition(spec.joinKey,
-            graft.conditions.Op.In, changedKeys))
+            spec.version2, curR, jKeys)
+            .select(jKeys.map(col) ++ (col("change_type") +:
+              viewRightCols.map(c => col(s"after.$c").as(c))): _*)
+          // per-column In conditions: for a composite key this prunes
+          // on the cartesian SUPERSET of the changed tuples — sound
+          // (conservative) for file skipping; the join below restores
+          // tuple-exactness
+          val changedRows = fb.select(jKeys.map(col): _*).distinct()
+            .collect().toIndexedSeq
+          val keyCond = jKeys.zipWithIndex.map { case (k, i) =>
+            graft.conditions.Condition(k, graft.conditions.Op.In,
+              changedRows.map(_.get(i)).distinct)
+          }
           val src = ManifestTable.readWhere(spark, spec.source, keyCond,
             Some(curL))
             .select(viewLeftCols.map(col): _*)
-            .join(broadcast(fb), Seq(spec.joinKey))
+            .join(broadcast(fb), jKeys)
             .withColumn("__op",
               when(col("change_type") === "removed", "D").otherwise("U"))
             .select(spec.cols.map(col) :+ col("__op"): _*)
@@ -335,7 +352,7 @@ object GraftMaterializedView {
           val l = ManifestTable.read(spark, spec.source, Some(curL))
           val r = ManifestTable.read(spark, spec.source2, Some(curR))
           commitRollup(spark, mvPath,
-            l.join(r, Seq(spec.joinKey))
+            l.join(r, jKeys)
               .select(spec.cols.map(col): _*))
           "full"
       }

@@ -137,11 +137,12 @@ object MvRewrite {
   // must still equal the versions the view reflects, or the original
   // join plans (fresh by construction, same contract as rollups).
 
-  /** A registered join view: both base paths, the equi-join key, the
-    * analyzed view scan, the column names the view carries, and the two
-    * base versions it reflects. */
+  /** A registered join view: both base paths, the equi-join keys
+    * (composite USING lists supported), the analyzed view scan, the
+    * column names the view carries, and the two base versions it
+    * reflects. */
   final case class JoinMvDef(leftPath: String, rightPath: String,
-      key: String, mvPlan: LogicalRelation, cols: Set[String],
+      keys: Seq[String], mvPlan: LogicalRelation, cols: Set[String],
       leftVersion: Long, rightVersion: Long)
 
   private val joinRegistry = new ConcurrentHashMap[String, JoinMvDef]()
@@ -149,8 +150,9 @@ object MvRewrite {
   /** Register `mv` as the maintained L ⋈ R (inner, USING `key`) FOR
     * THIS SESSION and install the rule. */
   def registerJoin(spark: SparkSession, leftPath: String, rightPath: String,
-      key: String, mv: DataFrame, leftVersion: Long,
+      keys: Seq[String], mv: DataFrame, leftVersion: Long,
       rightVersion: Long): Unit = {
+    require(keys.nonEmpty, "join MV needs at least one USING key")
     val plan = mv.queryExecution.analyzed match {
       case lr: LogicalRelation => lr
       case other => throw new IllegalArgumentException(
@@ -159,7 +161,7 @@ object MvRewrite {
     if (joinRegistry.size >= 1024) joinRegistry.clear()
     joinRegistry.put(
       s"${uuidOf(spark)}|${norm(leftPath)}|${norm(rightPath)}",
-      JoinMvDef(norm(leftPath), norm(rightPath), key, plan,
+      JoinMvDef(norm(leftPath), norm(rightPath), keys, plan,
         plan.output.map(_.name).toSet, leftVersion, rightVersion))
     install(spark)
   }
@@ -289,30 +291,41 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.plans.Inner
     if (j.joinType != Inner) return None
-    val eq = j.condition match {
-      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) => (a, b)
-      case _ => return None
-    }
+    // decompose the condition into its equality conjuncts — a
+    // composite USING join analyzes to And-chained EqualTo pairs
+    def eqs(e: Expression): Option[Seq[(AttributeReference, AttributeReference)]] =
+      e match {
+        case And(l, r) => for (a <- eqs(l); b <- eqs(r)) yield a ++ b
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          Some(Seq((a, b)))
+        case _ => None
+      }
+    val pairs = j.condition.flatMap(eqs).getOrElse(return None)
     val (lp, lCond) = destructure(j.left).getOrElse(return None)
     val (rp, rCond) = destructure(j.right).getOrElse(return None)
     // either orientation: `a JOIN b` and `b JOIN a` are the same view
     val jm = MvRewrite.lookupJoin(lp, rp)
       .orElse(MvRewrite.lookupJoin(rp, lp)).getOrElse(return None)
     if (!MvRewrite.isCurrentJoin(jm)) return None
-    // the join condition must be exactly the registered key equality,
-    // one side from each input (either orientation)
+    // the conjuncts must cover EXACTLY the registered key set: each a
+    // same-name equality with one side from each input (either
+    // orientation), no extra condition, no key missing
     val lIds = AttributeSet(j.left.output)
     val rIds = AttributeSet(j.right.output)
-    val keyOk = eq._1.name == jm.key && eq._2.name == jm.key &&
-      ((lIds.contains(eq._1) && rIds.contains(eq._2)) ||
-        (lIds.contains(eq._2) && rIds.contains(eq._1)))
-    if (!keyOk) return None
+    val matchedKeys = pairs.map { case (a, b) =>
+      val crossSides = (lIds.contains(a) && rIds.contains(b)) ||
+        (lIds.contains(b) && rIds.contains(a))
+      if (a.name == b.name && crossSides && jm.keys.contains(a.name)) a.name
+      else return None
+    }
+    if (matchedKeys.toSet != jm.keys.toSet ||
+      matchedKeys.size != jm.keys.size) return None
     // every output column (and filter column) must exist in the view
     // under its own name, unambiguously: the two sides may share ONLY
-    // the key name (an inner USING join's shape)
+    // the key names (an inner USING join's shape)
     val shared = j.left.output.map(_.name).toSet
       .intersect(j.right.output.map(_.name).toSet)
-    if (shared.exists(_ != jm.key)) return None
+    if (shared.exists(!jm.keys.contains(_))) return None
     val fresh = jm.mvPlan.newInstance()
     val mvAttr: Map[String, Attribute] = fresh.output.map(a => a.name -> a).toMap
     def mapped(a: Attribute): Option[Attribute] =

@@ -78,7 +78,7 @@ class JoinMvSpec extends SparkSpecBase {
       MvRewrite.deregisterJoin(s2, s"$wh/fact", s"$wh/dim")
       val rawFiltered = s2.sql(joinSql.replace("GROUP BY seg",
         "WHERE price >= 100.0 GROUP BY seg")).collect().toSet
-      MvRewrite.registerJoin(s2, s"$wh/fact", s"$wh/dim", "ck",
+      MvRewrite.registerJoin(s2, s"$wh/fact", s"$wh/dim", Seq("ck"),
         s2.read.parquet(ManifestTable.snapshotAt(s"$wh/jv", None).get.files
           .map(f => s"$wh/jv/data/" + f): _*),
         ManifestTable.latestVersion(s"$wh/fact"),
@@ -148,6 +148,74 @@ class JoinMvSpec extends SparkSpecBase {
       // and the refreshed view serves the dashboard again
       assert(scansView(s2.sql(joinSql), wh))
       assert(s2.sql(joinSql).collect().nonEmpty)
+    } finally SparkSession.setActiveSession(spark)
+  }
+
+  test("composite USING keys: CREATE, rewrite and two-sided incremental " +
+      "REFRESH all key on the full tuple") {
+    val (s2, wh) = freshSession()
+    s2.sql("""CREATE TABLE graft.f2 (k BIGINT, ck BIGINT, day BIGINT,
+              price DOUBLE) TBLPROPERTIES ('merge.keys'='k')""")
+    s2.sql("""CREATE TABLE graft.d2 (ck BIGINT, day BIGINT, seg STRING)
+              TBLPROPERTIES ('merge.keys'='ck,day')""")
+    s2.range(0, 300).select(col("id").as("k"), (col("id") % 10).as("ck"),
+        (col("id") % 3).as("day"), (col("id") * 1.0).as("price"))
+      .createOrReplaceTempView("f2_src")
+    s2.range(0, 30).select((col("id") % 10).as("ck"),
+        (col("id") / 10).cast("long").as("day"),
+        concat(lit("S"), col("id") % 4).as("seg"))
+      .createOrReplaceTempView("d2_src")
+    s2.sql("INSERT INTO graft.f2 SELECT * FROM f2_src")
+    s2.sql("INSERT INTO graft.d2 SELECT * FROM d2_src")
+    SparkSession.setActiveSession(s2)
+    try {
+      s2.sql("""CREATE MATERIALIZED VIEW graft.jv2 AS
+                SELECT ck, day, k, price, seg
+                FROM graft.f2 JOIN graft.d2 USING (ck, day)""").collect()
+      val q =
+        """SELECT seg, CAST(count(*) AS BIGINT) AS n
+           FROM graft.f2 JOIN graft.d2 USING (ck, day) GROUP BY seg"""
+      def scansJv2(df: DataFrame): Boolean = {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        df.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten.exists(_.contains("/jv2/data"))
+      }
+      val raw = {
+        MvRewrite.deregisterJoin(s2, s"$wh/f2", s"$wh/d2")
+        val r = s2.sql(q).collect().toSet
+        GraftMaterializedView.registerAll(s2, wh)
+        r
+      }
+      assert(scansJv2(s2.sql(q)), "the composite join must rewrite")
+      assert(s2.sql(q).collect().toSet == raw)
+      // a PARTIAL key join must NOT rewrite (different semantics)
+      assert(!scansJv2(s2.sql(
+        """SELECT seg, count(*) AS n
+           FROM graft.f2 JOIN graft.d2 USING (ck) GROUP BY seg""")),
+        "a single-key join over a two-key view must bail")
+      // two-sided deltas, then incremental refresh equals rebuild
+      ManifestTable.mergeMoR(s2, s"$wh/f2",
+        s2.table("f2_src").where(col("k") % 5 === 0)
+          .withColumn("price", -col("price")), Seq("k"))
+      ManifestTable.mergeMoR(s2, s"$wh/d2",
+        s2.table("d2_src").where(col("ck") === 2)
+          .withColumn("seg", lit("SX")).withColumn("op", lit("U"))
+          .unionByName(s2.table("d2_src").where(col("ck") === 3 &&
+            col("day") === 0).withColumn("op", lit("D"))),
+        Seq("ck", "day"), deleteWhen = Some(col("op") === "D"))
+      val r = s2.sql("REFRESH MATERIALIZED VIEW graft.jv2").collect()
+      assert(r.head.getString(1) == "incremental", r.head.toString)
+      val mv = ManifestTable.read(s2, s"$wh/jv2")
+        .select("ck", "day", "k", "price", "seg")
+      val full = ManifestTable.read(s2, s"$wh/f2")
+        .join(ManifestTable.read(s2, s"$wh/d2"), Seq("ck", "day"))
+        .select("ck", "day", "k", "price", "seg")
+      assert(mv.except(full).isEmpty && full.except(mv).isEmpty,
+        "composite-key maintained view must equal the rebuild")
     } finally SparkSession.setActiveSession(spark)
   }
 
