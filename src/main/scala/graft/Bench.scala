@@ -14,7 +14,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def build(): SparkSession = {
-      val s = SparkSession.builder()
+      val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
@@ -23,7 +23,16 @@ object Bench {
         // parser + rules + functions at session BUILD: the injected
         // parser (SQL OPTIMIZE/VACUUM) cannot be retrofitted later
         .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-        .getOrCreate()
+      // scale-dependent knobs stay parameterised (optimization-round
+      // rule): `SPARK_GRAFT_CONF="k=v;k2=v2"` lets the driver (or a
+      // cluster deployment) override any session conf without editing
+      // the bench; absent, the defaults above hold and the measurement
+      // stays comparable round over round.
+      sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0) b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
+      val s = b.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
     }

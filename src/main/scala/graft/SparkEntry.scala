@@ -4459,7 +4459,7 @@ object SparkEntry {
         val full = ManifestTable.read(s2, s"$wh/fact")
           .join(ManifestTable.read(s2, s"$wh/dim"), Seq("ck"))
           .select("ck", "k", "price", "seg")
-        require(mv.except(full).isEmpty && full.except(mv).isEmpty,
+        require(sameRows(mv, full),
           "maintained view must equal the A'⋈B' rebuild exactly")
         val dash = s2.sql(dashSql)
         require(scanPaths(dash).exists(_.contains("/jv/data")),
@@ -4631,7 +4631,7 @@ object SparkEntry {
         .select("k", "custkey", "price", "segment")
       val mv = ManifestTable.read(s, pm)
         .select("k", "custkey", "price", "segment")
-      require(mv.except(full).isEmpty && full.except(mv).isEmpty,
+      require(sameRows(mv, full),
         "maintained join MV must equal the A'⋈B' recompute exactly")
       mv.groupBy(col("segment"))
         .agg(count(lit(1)).as("n"),
@@ -8576,7 +8576,7 @@ object SparkEntry {
         .join(budgets, "lang").where(col("cum") <= col("budget"))
         .select(col("doc_id"), col("cum").as("cum_tokens"))
       val got = admitted.select("doc_id", "cum_tokens")
-      require(got.except(expect).isEmpty && expect.except(got).isEmpty,
+      require(sameRows(got, expect),
         "BPE-budget admission must equal the independent prefix recompute")
       require(admitted.count() < counted.count(),
         "a half-budget must actually cut the corpus")
