@@ -27,6 +27,11 @@ object Verify {
         // parser + rules + functions at session BUILD: the injected
         // parser (SQL OPTIMIZE/VACUUM) cannot be retrofitted later
         .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        // checksum-free local FS, same as Bench: correctness must be
+        // proven under the exact session the bench times (see Bench for
+        // the measured rationale)
+        .config("spark.hadoop.fs.file.impl",
+          "org.apache.hadoop.fs.RawLocalFileSystem")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

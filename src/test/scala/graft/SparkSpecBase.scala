@@ -21,6 +21,10 @@ object SparkSpecBase {
       // parser + rules + functions at session BUILD: the injected
       // parser (SQL OPTIMIZE/VACUUM) cannot be retrofitted later
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // checksum-free local FS, mirroring Bench/Verify (specs must
+      // exercise the session shape the bench times)
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
