@@ -1676,6 +1676,26 @@ object ManifestTable {
   // footer statistics, so time-window predicates over an INT96 table
   // could never skip a file.)
 
+  /** One-job dup-key guard over both merge splits. Grouping includes the
+    * side tag, so a delete-then-reinsert key (once per side — the
+    * legitimate CDC shape) passes while a duplicate WITHIN either side
+    * fails: the same semantics as the two per-side guard jobs this
+    * replaces, at half the action count (the guard runs on EVERY merge,
+    * so the saved job is paid dozens of times per pipeline run). */
+  private def requireKeyedSplits(upserts: DataFrame, tombstones: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dup = upserts
+      .select(lit("upsert").as("__side") +: keyCols.map(col): _*)
+      .unionByName(tombstones
+        .select(lit("tombstone").as("__side") +: keyCols.map(col): _*))
+      .groupBy(("__side" +: keyCols).map(col): _*).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty, s"source has duplicate " +
+      s"${dup.headOption.map(_.getString(0)).getOrElse("")} merge key " +
+      s"${dup.headOption.map(_.get(1))}")
+  }
+
   private def stage(df: DataFrame, path: String): Seq[String] =
       CommitProfile.timed("stage") {
     Files.createDirectories(dataDir(path))
@@ -2601,13 +2621,7 @@ object ManifestTable {
           .select(cols.map(col): _*)
         val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
           .getOrElse(raw).select(cols.map(col): _*)
-        Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
-          case (side, df) =>
-            val dup = df.groupBy(keyCols.map(col): _*).count()
-              .where(col("count") > 1).limit(1).collect()
-            require(dup.isEmpty, s"source has duplicate $side merge " +
-              s"key ${dup.headOption.map(_.get(0))}")
-        }
+        requireKeyedSplits(upserts, tombstones, keyCols)
         val srcKeys = tombstones.select(keyCols.map(col): _*)
           .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
           .localCheckpoint()
@@ -3529,13 +3543,7 @@ object ManifestTable {
     // re-insert of the same key in one batch is the legitimate CDC shape
     // and processes unambiguously (delete first, then upsert-as-insert);
     // a duplicate WITHIN either split would make "the" update ambiguous
-    Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
-      case (side, df) =>
-        val dup = df.groupBy(keyCols.map(col): _*).count()
-          .where(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"source has duplicate $side merge key ${dup.headOption.map(_.get(0))}")
-    }
+    requireKeyedSplits(upserts, tombstones, keyCols)
     val src = raw.select(allCols.map(col): _*)
 
     // (1) which files contain a source key? (file names only — the
@@ -3698,13 +3706,7 @@ object ManifestTable {
         .select(allCols.map(col): _*)
       val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
         .getOrElse(raw).select(allCols.map(col): _*)
-      Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
-        case (side, df) =>
-          val dup = df.groupBy(keyCols.map(col): _*).count()
-            .where(col("count") > 1).limit(1).collect()
-          require(dup.isEmpty,
-            s"source has duplicate $side merge key ${dup.headOption.map(_.get(0))}")
-      }
+      requireKeyedSplits(upserts, tombstones, keyCols)
       // ONE delete file: every source key (upsert keys delete their old
       // row before the new one lands; a key absent from the table deletes
       // nothing — the anti-join just misses). distinct: a
@@ -5641,13 +5643,7 @@ object ManifestTable {
         .select(cols.map(col): _*)
       val upserts = deleteWhen.map(c => raw.where(!coalesce(c, lit(false))))
         .getOrElse(raw).select(cols.map(col): _*)
-      Seq("upsert" -> upserts, "tombstone" -> tombstones).foreach {
-        case (side, df) =>
-          val dup = df.groupBy(keyCols.map(col): _*).count()
-            .where(col("count") > 1).limit(1).collect()
-          require(dup.isEmpty,
-            s"source has duplicate $side merge key ${dup.headOption.map(_.get(0))}")
-      }
+      requireKeyedSplits(upserts, tombstones, keyCols)
       val delKeys = tombstones.select(keyCols.map(col): _*)
         .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
       val delFiles = stageDeletes(delKeys, path)
