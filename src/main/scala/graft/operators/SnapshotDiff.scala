@@ -79,6 +79,23 @@ object SnapshotDiff {
         s"snapshots must be unique on ${keyCols.mkString("(", ",", ")")}")
   }
 
+  /** Both-sides [[assertKeyed]] in ONE job: the sides are tagged and
+    * grouped by (side, key), so a key present once on each side passes
+    * while a duplicate within either side fails with that side named —
+    * identical semantics to two per-side probes at half the action
+    * count (this guard runs on every CDC slice pair). */
+  def assertKeyedBoth(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    val dup = before.select(lit("before").as("__side") +: keyCols.map(col): _*)
+      .unionByName(after.select(lit("after").as("__side") +: keyCols.map(col): _*))
+      .groupBy(("__side" +: keyCols).map(col): _*).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"${dup.headOption.map(_.getString(0)).getOrElse("")} snapshot has " +
+        s"duplicate key ${dup.headOption.map(_.get(1))} — " +
+        s"snapshots must be unique on ${keyCols.mkString("(", ",", ")")}")
+  }
+
   /** Composite-key [[diffWithValues]] (a lineitem-style table is keyed
     * on (orderkey, linenumber) — single-column keys are the special
     * case). Null-safe key equality: a null key component matches a null

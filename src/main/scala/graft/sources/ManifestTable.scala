@@ -4114,8 +4114,7 @@ object ManifestTable {
       s"table at $path is keyed on ${declared.mkString("(", ",", ")")} " +
         s"(merge-key metadata); a change feed on " +
         s"${keyCols.mkString("(", ",", ")")} would not be a keyed diff")
-    graft.operators.SnapshotDiff.assertKeyed("before", before, keyCols)
-    graft.operators.SnapshotDiff.assertKeyed("after", after, keyCols)
+    graft.operators.SnapshotDiff.assertKeyedBoth(before, after, keyCols)
   }
 
   def changes(spark: SparkSession, path: String, fromVersion: Long,
@@ -4368,7 +4367,12 @@ object ManifestTable {
         val keys = if (keyCols.nonEmpty) keyCols else m.mergeKeys
         require(keys.nonEmpty,
           s"materializeCdf needs key columns (no merge-key metadata at $path)")
+        // pin the two-version diff ONCE: the four change-type projections
+        // below reference it in one union plan, which would otherwise
+        // re-execute the before/after outer join four times. The diff is
+        // change-sized by construction, so the checkpoint is small.
         val diff = changesWithValues(spark, path, version - 1, version, keys)
+          .localCheckpoint()
         def side(changeType: String, sideCol: String, flag: String) = diff
           .where(col("change_type") === changeType)
           .select(tableCols.map(c =>
