@@ -63,16 +63,22 @@ object IncrementalAgg {
       measures: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
     // signed contributions: (−1, −measures) from the before image,
-    // (+1, +measures) from the after image
-    def side(image: String, sign: Int): DataFrame =
-      feed.where(col(image).isNotNull)
-        .select(
-          dims.map(d => col(s"$image.$d").as(d)) ++
-            (lit(sign).cast("long").as("__dn") +:
-              measures.map(m =>
-                (col(s"$image.$m").cast(dec) * sign).as(s"__d_$m"))): _*)
-    fold(mv, side("before", -1).unionByName(side("after", 1)),
-      dims, measures)
+    // (+1, +measures) from the after image. ONE pass over the feed: each
+    // row explodes into its ≤2 images — the old two-branch union
+    // referenced (and therefore re-executed) the feed's diff-join twice
+    // in one plan. Sign stays an INTEGER literal column so the decimal
+    // multiply's result type is unchanged.
+    val signed = feed
+      .select(explode(array(
+        struct(col("before").as("img"), lit(-1).as("__sign")),
+        struct(col("after").as("img"), lit(1).as("__sign")))).as("e"))
+      .where(col("e.img").isNotNull)
+      .select(
+        dims.map(d => col(s"e.img.$d").as(d)) ++
+          (col("e.__sign").cast("long").as("__dn") +:
+            measures.map(m =>
+              (col(s"e.img.$m").cast(dec) * col("e.__sign")).as(s"__d_$m"))): _*)
+    fold(mv, signed, dims, measures)
   }
 
   /** [[applyDelta]] for the FLAT change-feed row shape the STREAMING
