@@ -4591,8 +4591,11 @@ object SparkEntry {
           .withColumn("op", lit("D")))
       ManifestTable.mergeMoR(s, pa, srcA, Seq("k"),
         deleteWhen = Some(col("op") === "D"))
-      // left-delta refresh from A's feed
+      // left-delta refresh from A's feed (pinned once: the upsert and
+      // delete branches below reference it in one merge-source plan,
+      // which would otherwise run the change-diff join twice)
       val fa = ManifestTable.changesWithValues(s, pa, 1L, 2L, "k")
+        .localCheckpoint()
       val bCur = ManifestTable.read(s, pb)
       val upsA = fa.where(col("change_type") =!= "removed")
         .select(col("k"), col("after.custkey").as("custkey"),
@@ -4622,6 +4625,7 @@ object SparkEntry {
       val fb = ManifestTable.changesWithValues(s, pb, 1L, 2L, "custkey")
         .select(col("custkey"), col("change_type"),
           col("after.segment").as("new_segment"))
+        .localCheckpoint() // read twice: the key-collect and the broadcast join
       val changedKeys = fb.select("custkey").distinct()
         .collect().map(_.getLong(0)).toSeq
       val keyCond = Seq(Condition("custkey", Op.In, changedKeys))

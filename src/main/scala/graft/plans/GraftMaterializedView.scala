@@ -293,8 +293,10 @@ object GraftMaterializedView {
       try {
         if (lMoved) {
           // LEFT delta against the right side the view still reflects
+          // pinned once: the upsert and delete branches reference it in
+          // ONE merge-source plan (the diff join would otherwise run twice)
           val fa = ManifestTable.changesWithValues(spark, spec.source,
-            spec.version, curL, spec.leftPk)
+            spec.version, curL, spec.leftPk).localCheckpoint()
           val rOld = ManifestTable.read(spark, spec.source2,
             Some(spec.version2))
             .select((jKeys ++ viewRightCols).map(col): _*)
@@ -320,6 +322,7 @@ object GraftMaterializedView {
             spec.version2, curR, jKeys)
             .select(jKeys.map(col) ++ (col("change_type") +:
               viewRightCols.map(c => col(s"after.$c").as(c))): _*)
+            .localCheckpoint() // read twice: key-collect + broadcast join
           // per-column In conditions: for a composite key this prunes
           // on the cartesian SUPERSET of the changed tuples — sound
           // (conservative) for file skipping; the join below restores
