@@ -3569,19 +3569,22 @@ object ManifestTable {
       tombstones.select(keyCols.map(col): _*), keyCols, "left_anti")
     val u = upserts.select(
       keyCols.map(col) :+ struct(allCols.map(col): _*).as("__u"): _*)
-    val rewritten = afterDelete.join(u, keyCols, "left_outer")
+    // (3) updates AND inserts from ONE full-outer join: a key on both
+    // sides takes the upsert's values (update), a key only in the
+    // target survives unchanged, a key only in the source is an insert
+    // — one SURVIVING-row row set in one pass where the old
+    // left_outer(rewrites) + left_anti(inserts) pair referenced (and so
+    // re-executed) the touched-file read twice. Semantics unchanged: a
+    // key deleted and re-inserted in the same batch really re-inserts
+    // (its row left afterDelete via the tombstone anti-join, so the
+    // source side is unmatched), and untouched files hold no source key
+    // by construction of `touched`.
+    val rewritten = afterDelete.join(u, keyCols, "full_outer")
       .select(allCols.map(c =>
         when(col("__u").isNotNull, col(s"__u.$c")).otherwise(col(c)).as(c)): _*)
 
-    // (3) inserts: upsert keys matching no SURVIVING target row — the
-    // anti-join runs against afterDelete, not touchedRows, so a key
-    // deleted and re-inserted in the same batch really re-inserts
-    // (untouched files hold no source key by construction of `touched`)
-    val inserts = upserts.join(
-      afterDelete.select(keyCols.map(col): _*), keyCols, "left_anti")
-
     // (4) stage + publish (optimistic, conflict-checked like compactCommit)
-    val staged = stage(rewritten.unionByName(inserts), path)
+    val staged = stage(rewritten, path)
     val (stagedStats, stagedRows) = footerHarvest(path, staged)
     val next = base.version + 1
     // untouched files CARRY their stats, seqs, and any delete files that
