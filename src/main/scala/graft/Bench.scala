@@ -63,13 +63,21 @@ object Bench {
     // path's — one-time costs the rest of the suite never sees (guide
     // §1: measure the computation, not the compiler). sf0.001 keeps the
     // warm-up itself to a few seconds; it is untimed either way.
+    // warm-up data: the smallest sibling SF of the bench dir (falls back
+    // to the bench dir itself) — hardcoding one path silently no-ops on a
+    // machine without it, reintroducing the first-query JIT skew
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir)
+      Option(p.getParent).map(_.resolve("sf0.001"))
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.toString).getOrElse(sfDir)
+    }
     Seq(
       (s: SparkSession) => SparkEntry.entry(s),
-      (s: SparkSession) =>
-        SparkEntry.queries("q44_stream_agg")(s, "/root/testdata/sf0.001"),
-      (s: SparkSession) =>
-        SparkEntry.queries("q60_merge")(s, "/root/testdata/sf0.001")
-    ).foreach(f => try f(spark).count() catch { case _: Throwable => () })
+      (s: SparkSession) => SparkEntry.queries("q44_stream_agg")(s, warmDir),
+      (s: SparkSession) => SparkEntry.queries("q60_merge")(s, warmDir)
+    ).foreach(f => try f(spark).count() catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up lambda failed (untimed): $e") })
     // optional args = query-name filter (ad-hoc timing); driver runs bare.
     // Unknown names are an ERROR: silently ignoring a typo would print a
     // perfect-looking total=0 run.
@@ -116,6 +124,11 @@ object Bench {
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val results = firstPass.map { case (name, fn, dt, ok) =>
       if (ok && dt > math.max(5.0, 6 * median)) {
+        // a re-timed query must RECOMPUTE, not read a shared-artifact
+        // cache its first pass populated: clear the caches so min-of-pair
+        // compares two honest measurements (a cache-backed second pass
+        // would otherwise erase the build cost from every headline)
+        SparkEntry.clearSharedCaches()
         val (dt2, ok2) = time(name, fn)
         System.err.println(f"[bench] $name%-20s $dt2%8.2f s (re-timed; first pass $dt%.2f)")
         // a FAILED re-run of a query that just succeeded is a

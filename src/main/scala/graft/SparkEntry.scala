@@ -2391,7 +2391,10 @@ object SparkEntry {
       val e = fam(col("doc_id") + 1)
         .unionByName(fam(col("doc_id") + 2))
         .unionByName(fam(col("doc_id") * 7 + 3))
-      operators.graph.Triangles.perVertex(e, "src", "dst")
+      // 3·n0 generated edges — the count the query already computed
+      // sizes the operator's shuffles (LoopScale), no extra pass
+      operators.graph.Triangles.perVertex(e, "src", "dst",
+        edgesHint = 3 * n0)
     }),
 
     "q109_multi_table_txn" -> ((s, dir) => {
@@ -4648,6 +4651,10 @@ object SparkEntry {
         .select("k", "custkey", "price", "segment")
       require(sameRows(mv, full),
         "maintained join MV must equal the A'⋈B' recompute exactly")
+      // both delta pins are dead once the merges landed: release their
+      // blocks before returning (merge()'s try/finally discipline)
+      graft.operators.IndexScope.release(fa)
+      graft.operators.IndexScope.release(fb)
       mv.groupBy(col("segment"))
         .agg(count(lit(1)).as("n"),
           sum(col("price").cast("decimal(18,4)")).cast("double").as("revenue"))
@@ -9502,6 +9509,23 @@ object SparkEntry {
   private def evictAndRelease(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]): Unit =
     if (cache.size >= 4) {
+      cache.keys.toSeq.foreach { k =>
+        cache.remove(k).foreach(
+          org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)
+      }
+    }
+
+  /** Drop (and release) every cross-query shared-artifact cache. For the
+    * BENCH's outlier re-time: a cache-backed query whose first pass paid
+    * the shared build must not record a pure cache read as its headline —
+    * clearing before the re-run makes the second measurement recompute
+    * the same work the first did (min-of-pair then compares like with
+    * like). Results are unaffected: every cached frame is deterministic
+    * and rebuilt on demand. */
+  def clearSharedCaches(): Unit =
+    Seq(nndGraphCache, topGraphCache, brute5000Cache, nearDupPairsCache,
+      cosinePairsCache, suffixRanksCache, dupFlaggedCache,
+      manifoldTruthCache).foreach { cache =>
       cache.keys.toSeq.foreach { k =>
         cache.remove(k).foreach(
           org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)

@@ -69,14 +69,22 @@ object DedupClusters extends Logging {
   /** @param pairs (doc_a, doc_b) undirected edges
     * @return ((doc_id, cluster_id) for every node in `pairs`, converged) */
   def clustersConverged(pairs: DataFrame, maxIterations: Int = 25): (DataFrame, Boolean) = {
-    val nodes = pairs.select(col("doc_a").as("id"))
-      .unionAll(pairs.select(col("doc_b").as("id")))
-      .distinct()
     var edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint()
     var sig = signature(edges)
+    // star rounds partitioned by the EDGE count (×2 for symmetrization),
+    // not the session default — see [[graft.operators.LoopScale]]: the
+    // near-dup subset is tiny relative to the corpus, and per-core
+    // near-empty window partitions make the loop anti-scale with cores
+    val loop = graft.operators.LoopScale.sessionFor(
+      pairs.sparkSession, sig._1 * 2)
+    edges = graft.operators.LoopScale.rebind(edges, loop)
+    val nodes = graft.operators.LoopScale.rebind(
+      pairs.select(col("doc_a").as("id"))
+        .unionAll(pairs.select(col("doc_b").as("id")))
+        .distinct(), loop)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -98,10 +106,10 @@ object DedupClusters extends Logging {
     // is materialized eagerly (it is the near-dup SUBSET — small) so the
     // loop's final edge checkpoint can be released here instead of leaking
     // into whatever stage consumes the assignments.
-    val assign = nodes
+    val assign = graft.operators.LoopScale.rebind(nodes
       .join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint(), pairs.sparkSession)
     IndexScope.release(edges)
     (assign, converged)
   }

@@ -62,8 +62,16 @@ object PageRank {
 
   private def iterateImpl(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, untilStable: Boolean): (DataFrame, Int, Boolean) = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    // round partitioning derived from the edge count, not the session
+    // default ([[graft.operators.LoopScale]]): each BSP round is one
+    // join + one aggregation over O(|E|) rows, and near-empty per-core
+    // partitions make the loop anti-scale with cluster size. The count
+    // is a metadata-sized job over the checkpoint just taken.
+    val loop = graft.operators.LoopScale.sessionFor(
+      edges.sparkSession, e.count())
+    e = graft.operators.LoopScale.rebind(e, loop)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
@@ -102,6 +110,9 @@ object PageRank {
     // these lineages)
     Seq(e, nodes, deg).foreach(
       org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint)
-    (pr, rounds, converged)
+    // ranks re-bound to the CALLER's session: downstream plans keep
+    // cluster-sized parallelism, not the loop's
+    (graft.operators.LoopScale.rebind(pr, edges.sparkSession),
+      rounds, converged)
   }
 }

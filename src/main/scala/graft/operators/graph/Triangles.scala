@@ -35,9 +35,20 @@ object Triangles {
     * graph objects). Output: (node, n_tri) for every vertex in at least
     * one triangle.
     */
-  def perVertex(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  /** @param edgesHint caller-known edge count (−1 = unknown): when
+    *  given, the join/aggregation partitioning is derived from it via
+    *  [[graft.operators.LoopScale]] instead of the session default —
+    *  a gate-scale graph (thousands of edges) then runs its five
+    *  shuffles at 1-2 partitions instead of one near-empty partition
+    *  per core, while a billion-edge graph keeps full parallelism. */
+  def perVertex(edges: DataFrame, srcCol: String, dstCol: String,
+      edgesHint: Long = -1L): DataFrame = {
+    val sized =
+      if (edgesHint < 0) edges
+      else graft.operators.LoopScale.rebind(edges,
+        graft.operators.LoopScale.sessionFor(edges.sparkSession, edgesHint))
     // canonical undirected edge set: unordered pair as (u < v), deduped
-    val und = edges
+    val und = sized
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
@@ -62,7 +73,9 @@ object Triangles {
         col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
       .select(col("o1.s").as("a"), col("o1.t").as("b"), col("o2.t").as("c"))
       .join(und, col("b") === col("u") && col("c") === col("v"), "left_semi")
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    graft.operators.LoopScale.rebind(
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri")),
+      edges.sparkSession)
   }
 }

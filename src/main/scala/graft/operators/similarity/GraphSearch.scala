@@ -259,6 +259,13 @@ object GraphSearch extends Logging {
         .select(col("query_id"), col("nid"))
 
       var nVisited = visited.count()
+      // NOT LoopScale-sized (r20, measured): unlike the id-only BSP
+      // loops (connected components, PageRank), each walk round SCORES
+      // its fresh candidates with per-row dot products — row count is a
+      // bad proxy for work, and shrinking the round partitioning to the
+      // state size starved the scoring of cores (ss8 3.80→6.76 s,
+      // ss17 4.70→9.73 s at local[32] when sized by visited rows).
+      // The session default keeps the compute parallel.
 
       // one beam-walk phase over `edgeTable`; rounds are global across
       // phases (each is one driver-synchronized action — the metric)

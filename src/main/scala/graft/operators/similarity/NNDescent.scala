@@ -50,10 +50,18 @@ object NNDescent extends Logging {
       convergedFrac: Double = 0.01): DataFrame = IndexScope.scoped { sc =>
     require(k > 0 && maxRounds > 0 && bucketSize > k)
     val deg = if (maxDegree > 0) maxDegree else 2 * k
-    val u = sc.index(emb
+    val u0 = sc.index(emb
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("__v"))
       .select(col("id"), col("__v"), sqrt(dot(col("__v"), col("__v"))).as("__n"))
       .select(col("id"), transform(col("__v"), x => x / col("__n")).as("v")))
+    val n = u0.count()
+    // NOT LoopScale-sized (r20, measured): like GraphSearch's walk, each
+    // round's dominant cost is the per-candidate dot-product scoring —
+    // row count is a bad proxy for work here, and sizing the round
+    // shuffles to the candidate count starved the scoring of cores
+    // (ss16's own build +0.7 s at local[32]). The id-only BSP loops
+    // (DedupClusters, PageRank, Triangles) are where LoopScale applies.
+    val u = u0
 
     def scored(pairs: DataFrame): DataFrame = pairs
       .join(u.select(col("id").as("src"), col("v").as("__sv")), "src")
@@ -88,7 +96,7 @@ object NNDescent extends Logging {
     // of a dedicated distinct exchange (duplicate pairs cost only
     // map-side dot products, and the map-side combine collapses them
     // before any shuffle bytes move).
-    val nBuckets = math.max(1L, u.count() / bucketSize)
+    val nBuckets = math.max(1L, n / bucketSize)
     val offsets = u.sparkSession.range(1, k + 1).select(col("id").as("__j"))
     val ringAll = sc.index {
       val seeds = u.sparkSession.range(0, maxRounds + 1L)

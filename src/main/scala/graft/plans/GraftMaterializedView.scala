@@ -289,14 +289,23 @@ object GraftMaterializedView {
     val lSchema = ManifestTable.read(spark, spec.source, Some(curL)).columns
     val viewLeftCols = spec.cols.filter(lSchema.contains) // keys ride left
     val viewRightCols = spec.cols.filterNot(viewLeftCols.contains)
+    // delta pins live for the refresh only: released in the finally below
+    // (merge()'s discipline — without it every REFRESH leaks one
+    // delta-sized block set per core into the shared block manager)
+    val pins = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.DataFrame]
     val mode =
       try {
         if (lMoved) {
           // LEFT delta against the right side the view still reflects
           // pinned once: the upsert and delete branches reference it in
           // ONE merge-source plan (the diff join would otherwise run twice)
+          // pinned at the plan's own partitioning: a coalesce(1) here
+          // serialized the change-diff's reduce side (q190 +1.2 s) —
+          // the leak fix is the RELEASE below, not the block count
           val fa = ManifestTable.changesWithValues(spark, spec.source,
             spec.version, curL, spec.leftPk).localCheckpoint()
+          pins += fa
           val rOld = ManifestTable.read(spark, spec.source2,
             Some(spec.version2))
             .select((jKeys ++ viewRightCols).map(col): _*)
@@ -323,6 +332,7 @@ object GraftMaterializedView {
             .select(jKeys.map(col) ++ (col("change_type") +:
               viewRightCols.map(c => col(s"after.$c").as(c))): _*)
             .localCheckpoint() // read twice: key-collect + broadcast join
+          pins += fb
           // per-column In conditions: for a composite key this prunes
           // on the cartesian SUPERSET of the changed tuples — sound
           // (conservative) for file skipping; the join below restores
@@ -358,7 +368,7 @@ object GraftMaterializedView {
             l.join(r, jKeys)
               .select(spec.cols.map(col): _*))
           "full"
-      }
+      } finally pins.foreach(graft.operators.IndexScope.release)
     val updated = spec.copy(version = curL, version2 = curR)
     writeSpec(mvPath, updated)
     registerJoinRewrite(spark, mvPath, updated)

@@ -1696,9 +1696,70 @@ object ManifestTable {
       s"${dup.headOption.map(_.get(1))}")
   }
 
+  /** Staging parallelism sized by DATA, not cores: ceil(estimated bytes /
+    * target file size) write tasks. Frames entering stage() default to
+    * `spark.sql.shuffle.partitions` (= core count) partitions, so without
+    * this every commit writes one near-empty file PER CORE — the file
+    * count, footer harvest, downstream listing and compaction work then
+    * scale with the cluster size instead of the delta size (guide §6
+    * small-files / §2 partition sizing; at 32 cores the staging bucket
+    * measured 2.5× its 8-core cost on identical data). The estimate comes
+    * from the optimizer's size stats: exact for local/checkpointed frames
+    * (the common commit shapes), conservative (huge ⇒ no coalesce, i.e.
+    * current behavior) for frames it cannot size. Coalesce never raises
+    * the partition count, so a big frame keeps its parallelism. */
+  private[sources] def stageTasks(df: DataFrame): Int =
+    stageTasks(df.sparkSession, df.queryExecution.optimizedPlan.stats.sizeInBytes)
+
+  private def stageTasks(spark: SparkSession, est: BigInt): Int = {
+    val target = spark.conf.getOption(
+      "spark.graft.stage.targetFileBytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    val n = (est + BigInt(target) - 1) / BigInt(target)
+    if (n < 1) 1 else if (n > (1 << 20)) 1 << 20 else n.toInt
+  }
+
+  /** True when the CALLER deliberately partitioned the frame it is
+    * staging (repartition / repartitionByRange / coalesce at the top of
+    * the plan, under projections/filters/sorts): the partition count is
+    * then the caller's intended FILE LAYOUT — e.g. range-clustering a
+    * table so per-file min/max stats prune reads — and stage() must not
+    * fold it away. */
+  private def callerSized(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: RepartitionOperation => true
+      case p: Project => callerSized(p.child)
+      case f: Filter => callerSized(f.child)
+      case s: Sort => callerSized(s.child)
+      case _ => false
+    }
+  }
+
+  /** The execution RDD of `frame`, coalesced to [[stageTasks]] writers
+    * unless the caller sized the layout itself. Works on the SAME
+    * QueryExecution the stats came from, so the plan is analyzed and
+    * optimized exactly once per staging action (a DataFrame-level
+    * coalesce would replan the whole tree — measured ~40% on the
+    * per-action staging floor). */
+  private def sizedRdd(frame: DataFrame, keepLayout: Boolean)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+      CommitProfile.timed("stagePlan") {
+    val qe = frame.queryExecution
+    val rdd = qe.toRdd
+    if (keepLayout) rdd
+    else {
+      val want = stageTasks(frame.sparkSession,
+        qe.optimizedPlan.stats.sizeInBytes)
+      if (want < rdd.getNumPartitions) rdd.coalesce(want) else rdd
+    }
+  }
+
   private def stage(df: DataFrame, path: String): Seq[String] =
       CommitProfile.timed("stage") {
     Files.createDirectories(dataDir(path))
+    val keepLayout = callerSized(df.queryExecution.analyzed)
     val processed = toPhysical(enforceConstraints(
       applyGenerated(df, generatedColumns(path)), constraints(path)), path)
     // PARTITIONED BY tables stage through the rolling task writer: a
@@ -1727,11 +1788,15 @@ object ManifestTable {
         declaredParts.map(processed.col): _*)
       val schema = sorted.schema
       val codec = GraftCatalog.readDeclaredCompression(Paths.get(path))
-      return sorted.queryExecution.toRdd.mapPartitions { rows =>
+      // sizing note: RDD-level coalesce concatenates the in-task-sorted
+      // runs; the roll writer still emits one partition value per file
+      // (it rolls on value change), only the file count shrinks
+      val rdd = sizedRdd(sorted, keepLayout).mapPartitions { rows =>
         val w = new GraftAppendTaskWriter(dd, schema, declaredParts, None, codec)
         try { rows.foreach(w.write); val fs = w.files; w.close(); fs.iterator }
         catch { case e: Throwable => w.abort(); throw e }
-      }.collect().toSeq.sorted
+      }
+      return CommitProfile.timed("stageJob") { rdd.collect().toSeq.sorted }
     }
     // committer-free staging (the partitioned/bucketed paths' rolling
     // task writer, with no roll key): each non-empty task streams its
@@ -1746,11 +1811,13 @@ object ManifestTable {
     val dd = dataDir(path).toAbsolutePath.toString
     val schema = processed.schema
     val codec = GraftCatalog.readDeclaredCompression(Paths.get(path))
-    val staged = processed.queryExecution.toRdd.mapPartitions { rows =>
+    val stagedRdd = sizedRdd(processed, keepLayout).mapPartitions { rows =>
       val w = new GraftAppendTaskWriter(dd, schema, Seq.empty, None, codec)
       try { rows.foreach(w.write); val fs = w.files; w.close(); fs.iterator }
       catch { case e: Throwable => w.abort(); throw e }
-    }.collect().toSeq.sorted
+    }
+    val staged = CommitProfile.timed("stageJob") {
+      stagedRdd.collect().toSeq.sorted }
     if (staged.nonEmpty) staged
     else {
       // an EMPTY frame still stages ONE zero-row file (the old
@@ -2624,7 +2691,9 @@ object ManifestTable {
         requireKeyedSplits(upserts, tombstones, keyCols)
         val srcKeys = tombstones.select(keyCols.map(col): _*)
           .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
+          .coalesce(1) // key-set-sized: one block, not one per core
           .localCheckpoint()
+        try {
         val touched =
           if (pending.files.isEmpty) Set.empty[String]
           else spark.read.schema(physicalSchemaAt(spark, path, base))
@@ -2648,6 +2717,7 @@ object ManifestTable {
         }
         hasMerge = true
         this
+        } finally graft.operators.IndexScope.release(srcKeys)
       } finally graft.operators.IndexScope.release(raw)
     }
 
@@ -4361,6 +4431,12 @@ object ManifestTable {
     Files.createDirectories(target.getParent)
     val m = manifestAt(path, version)
     val tableCols = read(spark, path, Some(version)).columns.toSeq
+    // pinned two-version diff (else None): released after the write below
+    // — merge()'s try/finally discipline; without the release a
+    // long-lived session accumulates one change-sized block set PER
+    // materialized commit in the shared block manager
+    var pinnedDiff: Option[DataFrame] = None
+    try {
     val out: DataFrame =
       if (m.parent == 0L) {
         read(spark, path, Some(version))
@@ -4373,9 +4449,12 @@ object ManifestTable {
         // pin the two-version diff ONCE: the four change-type projections
         // below reference it in one union plan, which would otherwise
         // re-execute the before/after outer join four times. The diff is
-        // change-sized by construction, so the checkpoint is small.
-        val diff = changesWithValues(spark, path, version - 1, version, keys)
-          .localCheckpoint()
+        // change-sized by construction, so the checkpoint is small —
+        // coalesced to size so the pin is a handful of blocks, not one
+        // near-empty block per core.
+        val raw = changesWithValues(spark, path, version - 1, version, keys)
+        val diff = raw.coalesce(stageTasks(raw)).localCheckpoint()
+        pinnedDiff = Some(diff)
         def side(changeType: String, sideCol: String, flag: String) = diff
           .where(col("change_type") === changeType)
           .select(tableCols.map(c =>
@@ -4403,6 +4482,7 @@ object ManifestTable {
       st.iterator().asScala.toSeq.reverse.foreach(p =>
         try Files.deleteIfExists(p) catch { case _: Throwable => () })
     }
+    } finally pinnedDiff.foreach(graft.operators.IndexScope.release)
   }
 
   /** DELETE FROM … WHERE (Delta's predicate delete), copy-on-write at

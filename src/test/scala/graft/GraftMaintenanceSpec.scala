@@ -393,7 +393,11 @@ class GraftMaintenanceSpec extends SparkSpecBase {
               SELECT id, pmod(id * 37, 1000), pmod(id * 91, 1000)
               FROM range(0, 2000)""")
     s2.sql("ALTER TABLE graft.t SET TBLPROPERTIES ('zorder.cols'='a,b')")
-    s2.sql("OPTIMIZE graft.t TARGET 8192").collect()
+    // TARGET sized so the rewrite yields ≥5 z-slices: since r20's
+    // data-sized staging the INSERT above lands ONE ~20 KB file (not 4
+    // with per-file overhead), and at 8192 the 3 resulting slices were
+    // too wide to bound `a` (range-sampling jitter flipped the margin)
+    s2.sql("OPTIMIZE graft.t TARGET 4096").collect()
     import graft.conditions.{Condition, Op}
     val path = s"$wh/t"
     val sv = ManifestTable.statsSurvivors(path, Seq(Condition("a", Op.Lt, 50L)))
@@ -473,7 +477,9 @@ class GraftMaintenanceSpec extends SparkSpecBase {
     s2.sql("""INSERT INTO graft.t
               SELECT id, pmod(id * 37, 1000), pmod(id * 91, 1000)
               FROM range(0, 2000)""")
-    s2.sql("OPTIMIZE graft.t TARGET 8192").collect()
+    // TARGET sized for ≥5 z-slices on the single data-sized INSERT file
+    // (see the declared-zorder test above)
+    s2.sql("OPTIMIZE graft.t TARGET 4096").collect()
     import graft.conditions.{Condition, Op}
     val path = s"$wh/t"
     val sv = ManifestTable.statsSurvivors(path, Seq(Condition("a", Op.Lt, 50L)))
