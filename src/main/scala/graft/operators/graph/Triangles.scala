@@ -73,9 +73,12 @@ object Triangles {
         col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
       .select(col("o1.s").as("a"), col("o1.t").as("b"), col("o2.t").as("c"))
       .join(und, col("b") === col("u") && col("c") === col("v"), "left_semi")
-    graft.operators.LoopScale.rebind(
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri")),
-      edges.sparkSession)
+    // NOT rebound to the caller's session: unlike the checkpointing loop
+    // operators, this plan is fully lazy — rebinding would re-analyze
+    // the whole tree under the caller's (cluster-sized) shuffle conf and
+    // undo the sizing. The result is the aggregated per-vertex counts
+    // (|V|-bounded), so downstream consumers lose nothing.
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 }
